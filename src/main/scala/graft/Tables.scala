@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Canonical table access over the driver-generated parquet testdata.
+  * Mirrors kiara's "onboarding" idea (values come from a store, not ad-hoc
+  * paths): every operator takes (spark, sfDir) and resolves tables here.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark only reads with
+    * spark.sql.legacy.parquet.nanosAsLong=true (as raw nanos). Convert to a
+    * µs timestamp here (integer DIV — no double round-trip, which would
+    * lose precision at 1.7e18 ns) so every operator sees TimestampType.
+    * DuckDB's CAST(ts AS TIMESTAMP) truncates ns→µs identically. */
+  def normalizeTs(df: DataFrame): DataFrame =
+    if (df.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
+      df.withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    else df
+}

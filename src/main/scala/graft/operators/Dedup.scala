@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM-training-data pipelines.
+  *
+  * Scale design: candidate generation is ALWAYS an equi-join on a bucket
+  * key (fingerprint / LSH band hash / simhash chunk) — a single shuffle on
+  * the key — never an all-pairs crossJoin. At 100 TB the bucket join is the
+  * only quadratic-risk step and its cost is bounded by bucket size, which
+  * the banding parameters control.
+  */
+object Dedup {
+
+  /** Whitespace-collapsed lowercase normalization. */
+  def normalized(c: Column): Column = lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** Exact dedup: md5 fingerprint groups (one hash-shuffle groupBy). */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(normalized(col("text"))).as("fp"))
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+      .orderBy("fp")
+
+  // ---- MinHash-LSH ------------------------------------------------------
+
+  val NumHashes = 64
+  val Bands = 16
+  val RowsPerBand: Int = NumHashes / Bands
+
+  /** Word k-shingles of the token array (expr over the `toks` column). */
+  private def shinglesExpr(k: Int): String =
+    s"transform(sequence(0, size(toks) - $k), i -> concat_ws(' ', slice(toks, i + 1, $k)))"
+
+  /** doc_id → sig: array[long] of NumHashes minhash values (hash family =
+    * xxhash64 seeded per-index — ANSI-safe, no overflow arithmetic).
+    * Plan: explode shingles → one groupBy(doc_id) computing all NumHashes
+    * mins (single shuffle; map-side partial min). */
+  def minhashSignatures(docs: DataFrame, shingleK: Int = 3): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= shingleK)
+      .select(col("doc_id"), explode(array_distinct(expr(shinglesExpr(shingleK)))).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    val minCols = (0 until NumHashes).map { i =>
+      min(xxhash64(col("h"), lit(i))).as(s"m$i")
+    }
+    base
+      .groupBy("doc_id")
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"), array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** Candidate near-dup pairs via banded LSH: explode each signature into
+    * (band, band_hash) keys, equi-join on the key, estimate Jaccard from
+    * full-signature agreement. No crossJoin anywhere. */
+  def minhashCandidates(docs: DataFrame, shingleK: Int = 3): DataFrame = {
+    val sigs = minhashSignatures(docs, shingleK)
+    val bandExprs = (0 until Bands).map { bnd =>
+      val parts = (0 until RowsPerBand).map(r => s"sig[${bnd * RowsPerBand + r}]").mkString(", ")
+      s"named_struct('band', $bnd, 'bhash', xxhash64($bnd, $parts))"
+    }
+    val banded = sigs
+      .select(col("doc_id"), col("sig"),
+        explode(expr(bandExprs.mkString("array(", ", ", ")"))).as("bk"))
+      .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.bhash").as("bhash"))
+    val a = banded.select(col("band"), col("bhash"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bhash"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bhash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / cast($NumHashes as double)").as("est_jaccard"))
+      .groupBy("doc_a", "doc_b")
+      .agg(max("est_jaccard").as("est_jaccard"))
+      .orderBy(col("est_jaccard").desc, col("doc_a"), col("doc_b"))
+  }
+
+  /** Near-dup pairs above a Jaccard-estimate threshold. */
+  def minhashPairs(docs: DataFrame, threshold: Double, shingleK: Int = 3): DataFrame =
+    minhashCandidates(docs, shingleK).filter(col("est_jaccard") >= threshold)
+
+  // ---- SimHash ----------------------------------------------------------
+
+  /** 64-bit simhash per doc, computed with HOF `aggregate` over the token
+    * array: per-token xxhash64 contributes ±1 to each of 64 bit counters,
+    * then the sign vector re-assembles to a long. Pure builtins. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val counters =
+      "aggregate(toks, array_repeat(0, 64), (acc, t) -> " +
+        "zip_with(acc, transform(sequence(0, 63), i -> " +
+        "case when (shiftright(xxhash64(t), i) & 1) = 1 then 1 else -1 end), (a, b) -> a + b))"
+    val assemble =
+      "aggregate(sequence(0, 63), cast(0 as bigint), (acc, i) -> " +
+        "acc + (case when bal[i] > 0 then shiftleft(cast(1 as bigint), i) else cast(0 as bigint) end))"
+    docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), expr(counters).as("bal"))
+      .select(col("doc_id"), expr(assemble).as("simhash"))
+  }
+
+  /** Near-dup pairs with Hamming distance ≤ maxHamming: band the 64-bit
+    * hash into 4 16-bit chunks (pigeonhole: any pair at distance ≤3 shares
+    * a chunk), equi-join per chunk, verify with bit_count(xor). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(docs)
+    val chunked = sh.select(col("doc_id"), col("simhash"),
+      explode(expr("transform(sequence(0, 3), c -> " +
+        "named_struct('chunk', c, 'ckey', shiftright(simhash, c * 16) & 65535))")).as("ck"))
+      .select(col("doc_id"), col("simhash"), col("ck.chunk").as("chunk"), col("ck.ckey").as("ckey"))
+    val a = chunked.select(col("chunk"), col("ckey"), col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val b = chunked.select(col("chunk"), col("ckey"), col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("chunk", "ckey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sh_a ^ sh_b)").as("hamming"))
+      .groupBy("doc_a", "doc_b")
+      .agg(min("hamming").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+  }
+
+  // ---- Exact n-gram Jaccard (verification kernel) -----------------------
+
+  /** Exact shingle-set Jaccard over `toks_a`/`toks_b` columns — the
+    * verification step applied to LSH candidates (never to all pairs). */
+  def ngramJaccard(k: Int = 3): Column = {
+    def sh(c: String): String =
+      s"array_distinct(transform(sequence(0, size($c) - $k), i -> concat_ws(' ', slice($c, i + 1, $k))))"
+    expr(
+      s"round(cast(size(array_intersect(${sh("toks_a")}, ${sh("toks_b")})) as double) / " +
+        s"size(array_union(${sh("toks_a")}, ${sh("toks_b")})), 4)")
+  }
+}

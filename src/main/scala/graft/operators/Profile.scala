@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Column profiling — the Spark-native `extract_metadata` (kiara reference:
+  * operations/included_core_operations/metadata.py:63 and
+  * modules/included_core_modules/metadata.py:34).
+  *
+  * One distributed aggregation pass over the table computes every column's
+  * stats at once (no per-column jobs, no data rows collected); the 1-row
+  * wide result is reshaped to long form with `stack` on the driver side of
+  * the plan. At 100 TB this is a single scan + a 1-row shuffle.
+  */
+object Profile {
+
+  /** Per-column count / nulls / min / max / exact ndv for numeric columns. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = Seq(count(lit(1)).as("__cnt")) ++ cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max"),
+        countDistinct(col(c)).as(s"${c}__ndv"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols
+      .map(c => s"'$c', __cnt, `${c}__nulls`, `${c}__min`, `${c}__max`, `${c}__ndv`")
+      .mkString(", ")
+    one
+      .select(expr(s"stack(${cols.size}, $stackArgs) as (col_name, cnt, nulls, minv, maxv, ndv)"))
+      .orderBy("col_name")
+  }
+
+  /** Schema metadata as a DataFrame (name, type, nullable). */
+  def schemaOf(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.schema.fields.toSeq
+      .map(f => (f.name, f.dataType.simpleString, f.nullable))
+      .toDF("col_name", "data_type", "nullable")
+  }
+}

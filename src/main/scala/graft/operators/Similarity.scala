@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Two paths, mirroring how a 100 TB pipeline would run:
+  *  - `topKExact`: brute-force cosine for a SMALL broadcast query set
+  *    against the full corpus — one corpus scan, no shuffle of the corpus.
+  *  - `annTopK`: random-hyperplane LSH bucketing for corpus-vs-corpus
+  *    top-k — candidates come from an equi-join on (table, bucket), never
+  *    an all-pairs product; multi-table probing recovers recall.
+  */
+object Similarity {
+
+  /** Double-precision dot product of two array columns (HOF builtins,
+    * sequential fold → bitwise-deterministic, matches the DuckDB oracle). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Exact top-k neighbors for each query vector. `queries` must be small
+    * (it is broadcast); corpus is scanned once. */
+  def topKExact(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("nemb"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), cosine(col("qemb"), col("nemb")).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("vec_id"), col("nid").as("neighbor_id"),
+        round(col("sim"), 4).as("sim"), col("rank").cast("long").as("rank"))
+      .orderBy("vec_id", "rank")
+  }
+
+  /** Deterministic random hyperplanes: numTables × numBits planes of `dim`
+    * components, seeded — identical across executors and runs. */
+  private def planes(dim: Int, numTables: Int, numBits: Int, seed: Long): Array[Array[Array[Double]]] = {
+    val r = new scala.util.Random(seed)
+    Array.fill(numTables, numBits, dim)(r.nextGaussian())
+  }
+
+  /** Bucket id for one table: sign bits of projections onto its planes. */
+  private def bucketExpr(emb: Column, tablePlanes: Array[Array[Double]]): Column =
+    tablePlanes.zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit): _*)
+      when(dot(emb, planeLit) >= 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Approximate corpus-vs-corpus top-k: LSH-bucketed candidate join +
+    * exact cosine within buckets. Shuffles on (table, bucket) only. */
+  def annTopK(corpus: DataFrame, k: Int, dim: Int = 64, numTables: Int = 8,
+              numBits: Int = 6, seed: Long = 42L): DataFrame = {
+    val ps = planes(dim, numTables, numBits, seed)
+    val bucketStructs = ps.zipWithIndex.map { case (tp, t) =>
+      struct(lit(t).as("tbl"), bucketExpr(col("embedding"), tp).as("bucket"))
+    }
+    val bucketed = corpus
+      .select(col("vec_id"), col("embedding"), explode(array(bucketStructs: _*)).as("tb"))
+      .select(col("vec_id"), col("embedding"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val a = bucketed.select(col("tbl"), col("bucket"), col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val b = bucketed.select(col("tbl"), col("bucket"), col("vec_id").as("nid"), col("embedding").as("nemb"))
+    val cands = a.join(b, Seq("tbl", "bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), col("qemb"), col("nemb"))
+      .groupBy("qid", "nid")
+      .agg(first("qemb").as("qemb"), first("nemb").as("nemb"))
+      .select(col("qid"), col("nid"), cosine(col("qemb"), col("nemb")).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    cands
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("vec_id"), col("nid").as("neighbor_id"),
+        round(col("sim"), 4).as("sim"), col("rank").cast("long").as("rank"))
+      .orderBy("vec_id", "rank")
+  }
+}

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over document tables — all built on codegen'd
+  * Spark builtins (split/regexp/aggregate), no UDFs, so the whole stage
+  * stays inside WholeStageCodegen and scales linearly with the scan.
+  *
+  * kiara analogue: table/text processing modules; these extend the surface
+  * with the LLM-training-pipeline operations (tokenize, language-ID,
+  * quality scoring, n-grams, fingerprinting).
+  */
+object TextOps {
+
+  /** Lowercased alphanumeric tokens of `c` (empty strings removed). */
+  def tokens(c: Column): Column =
+    array_remove(split(lower(c), "[^a-z0-9]+"), "")
+
+  /** Token count per document. */
+  def withTokenCount(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("n_tokens", size(tokens(col(textCol))).cast("long"))
+
+  /** doc_id → n_tokens, deterministic order. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    withTokenCount(docs).select("doc_id", "n_tokens").orderBy("doc_id")
+
+  /** Per-language corpus stats. */
+  def langStats(docs: DataFrame): DataFrame =
+    withTokenCount(docs)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("n_chars"), 2).as("avg_chars"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"),
+        countDistinct("source").as("n_sources"))
+      .orderBy("lang")
+
+  /** Top-k bigrams corpus-wide: one explode + one shuffle (the groupBy). */
+  def topBigrams(docs: DataFrame, k: Int = 50): DataFrame =
+    docs
+      .select(tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1)," +
+          " (a, b) -> concat(a, ' ', b))")).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(k)
+
+  /** Quality signals: token count, avg token length, punctuation/stopword
+    * ratios. All ratios rounded so the DuckDB oracle hash-matches. */
+  def qualityScores(docs: DataFrame): DataFrame = {
+    val txt = col("text")
+    val toks = tokens(txt)
+    val nTokens = size(toks)
+    val alnumChars = length(regexp_replace(lower(txt), "[^a-z0-9]", ""))
+    val punctChars = length(txt) - length(regexp_replace(txt, "[^a-zA-Z0-9\\s]", ""))
+    val stopHits = regexp_count(lower(txt), lit("\\b(the|a|and|of|to|in|is)\\b"))
+    docs.select(
+      col("doc_id"),
+      nTokens.cast("long").as("n_tokens"),
+      round(alnumChars.cast("double") / nTokens, 4).as("avg_tok_len"),
+      round(punctChars.cast("double") / length(txt), 4).as("punct_ratio"),
+      round(stopHits.cast("double") / nTokens, 4).as("stop_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Heuristic language ID: marker-word hit counts per language, argmax
+    * with a fixed tie-break order. CJK presence short-circuits to zh. */
+  def langId(docs: DataFrame): DataFrame = {
+    def hits(pat: String): Column = regexp_count(lower(col("text")), lit(pat))
+    val sZh = regexp_count(col("text"), lit("[\\x{4e00}-\\x{9fff}]"))
+    val sEn = hits("\\b(the|and|of|to|in|is|that)\\b")
+    val sDe = hits("\\b(der|die|und|das|ist|nicht)\\b")
+    val sFr = hits("\\b(le|la|et|les|des|est)\\b")
+    val sEs = hits("\\b(el|los|las|que|es|una)\\b")
+    docs.select(
+      col("doc_id"),
+      when(sZh > 0, "zh")
+        .when(sEn >= greatest(sDe, sFr, sEs), "en")
+        .when(sDe >= greatest(sFr, sEs), "de")
+        .when(sFr >= sEs, "fr")
+        .otherwise("es").as("pred_lang"))
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Core relational query surface (the "query capabilities" target of
+  * BASELINE.json; kiara analogue: the `filter` operation type,
+  * reference operations/included_core_operations/filter.py:85).
+  *
+  * Scale notes: all dimension joins broadcast (region/nation/customer
+  * are orders-of-magnitude smaller than the facts); aggregates rely on
+  * Catalyst's partial (map-side) aggregation; top-N uses
+  * TakeOrderedAndProject (orderBy+limit), never a full global sort.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary: scan+filter+groupBy aggregate. */
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2000-12-31"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Filter + projection; predicate and column pruning push to the scan. */
+  def q2Filter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_quantity") > 45 && col("l_discount") > 0.05)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        // portable round-to-2: identical IEEE ops in Spark and DuckDB (plain
+        // round() differs on half-boundaries between the two engines)
+        (floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0 + 0.5).cast("double") / 100.0).as("net_price"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Fact-fact join (lineitem ⋈ orders) + broadcast customer; top-20 revenue. */
+  def q3Join(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(col("o_orderdate") >= lit("1996-01-01"))
+    val l = t(s, dir, "lineitem")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Sort + limit → TakeOrderedAndProject, no global sort. */
+  def q4SortLimit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(25)
+
+  /** Distinct aggregation. */
+  def q5Distinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(countDistinct("o_custkey").as("n_cust"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderstatus")
+
+  /** Star join over broadcast dims: region ⋈ nation ⋈ customer. */
+  def q6RegionJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_cust"), round(avg("c_acctbal"), 2).as("avg_bal"))
+      .orderBy("r_name")
+
+  /** Window function: top-3 orders per customer by price. */
+  def q7Window(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).cast("long").as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Left-semi join (EXISTS). */
+  def q8Semijoin(s: SparkSession, dir: String): DataFrame = {
+    val f = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+    t(s, dir, "customer")
+      .join(f, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no orders. */
+  def q9Antijoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Rollup aggregation with explicit ALL labels (no NULL sort ambiguity). */
+  def q10Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("sum_qty"), col("n"))
+      .orderBy("rflag", "lstatus")
+
+  /** Conditional (CASE) aggregation. */
+  def q11CaseAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        round(sum(when(col("o_totalprice") > 200000, col("o_totalprice")).otherwise(0.0)), 2).as("big_total"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_finished"))
+      .orderBy("o_orderpriority")
+
+  /** UNION ALL of two branches + aggregate. */
+  def q12Union(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val hi = o.filter(col("o_totalprice") > 400000).select(lit("high").as("bucket"), col("o_orderstatus"))
+    val recent = o.filter(col("o_orderdate") >= lit("2001-01-01")).select(lit("recent").as("bucket"), col("o_orderstatus"))
+    hi.unionAll(recent)
+      .groupBy("bucket", "o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket", "o_orderstatus")
+  }
+
+  /** Paginated render slice (kiara render_value, render_value.py:54). */
+  def renderSlice(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+      .offset(100)
+      .limit(50)
+}

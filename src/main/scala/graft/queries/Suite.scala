@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables.t
+import graft.operators._
+import graft.sources.{Export, Ingest, Serde}
+import graft.plans.Pipeline
+import graft.registries.{AliasRegistry, DataRegistry}
+
+/** Non-relational query entries: ingestion/export round-trips, serde,
+  * bundles, registries, pipeline DAG, profiling, text/dedup/similarity/
+  * events/streaming. Each is registered in SparkEntry.queries; the
+  * SQL-expressible ones also carry a DuckDB oracle.
+  */
+object Suite {
+
+  // --- ingestion / export / serde (kiara import_data / export_as) --------
+
+  def ingestCsv(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val tmp = Export.tempDir("graft_csv_").toString
+    Export.csv(src, tmp)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType)))
+    Ingest.csv(s, tmp, schema)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  def ingestJson(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "nation")
+    val tmp = Export.tempDir("graft_json_").toString
+    Export.json(src, tmp)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    Ingest.json(s, tmp, schema)
+      .groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n_nations"))
+      .orderBy("n_regionkey")
+  }
+
+  def exportRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "part")
+    val tmp = Export.tempDir("graft_pq_").toString
+    Export.parquet(src, tmp)
+    Ingest.parquet(s, tmp)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), round(avg("p_retailprice"), 2).as("avg_price"))
+      .orderBy("p_brand")
+  }
+
+  def serdeJson(s: SparkSession, dir: String): DataFrame =
+    Serde.roundTrip(t(s, dir, "nation")).orderBy("n_nationkey")
+
+  // --- file bundles (kiara file_bundle import / pick) ---------------------
+
+  private def writeBundle(s: SparkSession, dir: String): String = {
+    val tmp = Export.tempDir("graft_bundle_").toString
+    t(s, dir, "documents")
+      .repartition(8, col("lang"))
+      .write.mode("overwrite").partitionBy("lang").parquet(tmp)
+    tmp
+  }
+
+  def bundleStats(s: SparkSession, dir: String): DataFrame = {
+    val tmp = writeBundle(s, dir)
+    Ingest.readBundle(s, tmp)
+      .drop("lang") // force lang recovery from the file PATH metadata
+      .select(regexp_extract(col("_file_path"), "lang=([a-z]+)", 1).as("lang"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+  }
+
+  def bundlePick(s: SparkSession, dir: String): DataFrame = {
+    val tmp = writeBundle(s, dir)
+    val picked = Ingest.pick(Ingest.readBundle(s, tmp), "lang=en")
+    picked.agg(count(lit(1)).as("n_rows"), countDistinct("_file_path").as("n_files"))
+  }
+
+  // --- registries (kiara data store + aliases) ----------------------------
+
+  def registryRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val root = Export.tempDir("graft_reg_").toString
+    val reg = new DataRegistry(root)
+    val aliases = new AliasRegistry(root)
+    val vip = t(s, dir, "customer").filter(col("c_acctbal") > 5000)
+    reg.store("customer_vip_v1", vip)
+    aliases.set("vip", "customer_vip_v1")
+    val resolved = aliases.resolve("vip").get
+    reg.load(s, resolved)
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
+  // --- pipeline DAG (kiara pipeline operation) ----------------------------
+
+  def pipelineDemo(s: SparkSession, dir: String): DataFrame = {
+    val steps = Seq(
+      Pipeline.Step("filtered", Seq("lineitem"),
+        in => in("lineitem").filter(col("l_quantity") > 40)),
+      Pipeline.Step("agg", Seq("filtered"),
+        in => in("filtered")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("total"))))
+    Pipeline.run(steps, Map("lineitem" -> t(s, dir, "lineitem")))("agg")
+      .orderBy("l_returnflag")
+  }
+
+  // --- profiling ----------------------------------------------------------
+
+  def metaProfile(s: SparkSession, dir: String): DataFrame =
+    Profile.profile(t(s, dir, "lineitem"), Seq("l_quantity", "l_extendedprice", "l_discount"))
+
+  // --- text ---------------------------------------------------------------
+
+  def textTokens(s: SparkSession, dir: String): DataFrame =
+    TextOps.tokenCounts(t(s, dir, "documents"))
+
+  def textLangStats(s: SparkSession, dir: String): DataFrame =
+    TextOps.langStats(t(s, dir, "documents"))
+
+  def textNgrams(s: SparkSession, dir: String): DataFrame =
+    TextOps.topBigrams(t(s, dir, "documents"), 50)
+
+  def textQuality(s: SparkSession, dir: String): DataFrame =
+    TextOps.qualityScores(t(s, dir, "documents"))
+
+  def textLangid(s: SparkSession, dir: String): DataFrame =
+    TextOps.langId(t(s, dir, "documents"))
+
+  // --- dedup --------------------------------------------------------------
+
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(t(s, dir, "documents"))
+
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidates(t(s, dir, "documents")).limit(200)
+
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 16).limit(200)
+
+  /** Exact 3-gram Jaccard on a fixed pair set (doc i vs i+1, i % 5 == 0):
+    * the SQL-checkable verification kernel used on LSH candidates. */
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val a = d.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("doc_a"), TextOps.tokens(col("text")).as("toks_a"))
+    val b = d.select((col("doc_id") - 1).as("doc_a"), col("doc_id").as("doc_b"),
+      TextOps.tokens(col("text")).as("toks_b"))
+    a.join(b, "doc_a")
+      .filter(size(col("toks_a")) >= 3 && size(col("toks_b")) >= 3)
+      .select(col("doc_a"), col("doc_b"), Dedup.ngramJaccard(3).as("jaccard"))
+      .orderBy("doc_a")
+  }
+
+  // --- similarity ---------------------------------------------------------
+
+  def simTopkExact(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.topKExact(e, e.filter(col("vec_id") < 20), 5)
+  }
+
+  def simAnnLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.annTopK(t(s, dir, "embeddings"), k = 5)
+
+  // --- multimodal ---------------------------------------------------------
+
+  def mmBytes(s: SparkSession, dir: String): DataFrame =
+    Multimodal.byteStats(t(s, dir, "documents"))
+
+  // --- events + streaming -------------------------------------------------
+
+  def evtSessionize(s: SparkSession, dir: String): DataFrame =
+    Events.sessionStats(t(s, dir, "events"))
+
+  def evtWindowAgg(s: SparkSession, dir: String): DataFrame =
+    Events.hourlyAgg(t(s, dir, "events"))
+
+  def evtTopkUsers(s: SparkSession, dir: String): DataFrame =
+    Events.topUsers(t(s, dir, "events"))
+
+  def streamWindow(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.hourlyCounts(s, s"$dir/events.parquet")
+}

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming surface over the events table: the same windowed
+  * aggregation as the batch path, expressed as readStream → window agg →
+  * sink. `hourlyCounts` uses Trigger.AvailableNow against the static
+  * parquet (deterministic, so it is oracle-checkable); a production
+  * deployment points the same code at a live directory/Kafka source and
+  * adds the watermark that `hourlyCountsStreaming` shows.
+  */
+object EventStream {
+  private val n = new AtomicLong(0)
+
+  /** Bounded run: process everything currently in `path`, return the final
+    * windowed counts as a batch DataFrame. */
+  def hourlyCounts(spark: SparkSession, path: String): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    val name = s"graft_stream_sink_${n.incrementAndGet()}"
+    // The file streaming source lists a DIRECTORY; select the one file via
+    // a glob filter so `path` may point at a single parquet file.
+    val (dir, file) = {
+      val i = path.lastIndexOf('/')
+      (path.substring(0, i), path.substring(i + 1))
+    }
+    val q = graft.Tables.normalizeTs(
+      spark.readStream.schema(schema).option("pathGlobFilter", file).parquet(dir))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour"),
+        col("event_type"), col("n"))
+      .orderBy("hour", "event_type")
+  }
+
+  /** Unbounded shape with watermarked late-data handling — the plan a live
+    * deployment runs (returned unstarted; callers pick sink + trigger). */
+  def hourlyCountsStreaming(spark: SparkSession, path: String,
+                            schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+}

@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run each oracle SQL in
+DuckDB over the sf0.01 tables, load the Spark-written parquet for the same
+key, sort columns by name + rows by value, and compare. Builder-side tool
+only (driver-side python libs are allowed for validation, not for the
+engine itself)."""
+import sys, json, glob
+import duckdb
+import pandas as pd
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+oracle = json.load(open(f"{OUT_DIR}/oracle_sql.json"))
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+ok, bad = [], []
+for name, sql in sorted(oracle.items()):
+    try:
+        want = con.execute(sql).df()
+        got = pd.concat([pd.read_parquet(f) for f in
+                         sorted(glob.glob(f"{OUT_DIR}/{name}/*.parquet"))])
+        w, g = canon(want), canon(got)
+        if list(w.columns) != list(g.columns):
+            bad.append((name, f"columns differ: oracle={list(w.columns)} spark={list(g.columns)}"))
+            continue
+        if len(w) != len(g):
+            bad.append((name, f"row count differs: oracle={len(w)} spark={len(g)}"))
+            continue
+        diffs = []
+        for c in w.columns:
+            wv, gv = w[c], g[c]
+            if wv.dtype.kind == 'f' or gv.dtype.kind == 'f':
+                neq = ~((wv.isna() & gv.isna()) | (wv == gv))
+            else:
+                neq = wv.astype(str) != gv.astype(str)
+            if neq.any():
+                i = neq.idxmax()
+                diffs.append(f"col {c}: {int(neq.sum())} diffs, first at row {i}: oracle={wv[i]!r} spark={gv[i]!r}")
+        if diffs:
+            bad.append((name, "; ".join(diffs)))
+        else:
+            ok.append(name)
+    except Exception as e:
+        bad.append((name, f"EXC {type(e).__name__}: {e}"))
+
+print(f"PASS {len(ok)}/{len(oracle)}: {' '.join(ok)}")
+for name, msg in bad:
+    print(f"FAIL {name}: {msg[:400]}")
+# rows-only keys
+rows_only = [k for k in glob.glob(f"{OUT_DIR}/*") if k.split('/')[-1] not in oracle
+             and not k.endswith('.json')]
+for k in sorted(rows_only):
+    n = sum(len(pd.read_parquet(f)) for f in glob.glob(f"{k}/*.parquet"))
+    print(f"ROWS-ONLY {k.split('/')[-1]}: {n} rows")
