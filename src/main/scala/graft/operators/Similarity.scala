@@ -15,12 +15,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Double-precision dot product of two array columns (HOF builtins,
-    * sequential fold → bitwise-deterministic, matches the DuckDB oracle). */
+  /** Double-precision dot product — a native codegen'd Catalyst expression
+    * (graft.functions.DotProduct). Sequential double accumulation →
+    * bitwise-deterministic and identical to the DuckDB oracle's fold. */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
+    org.apache.spark.sql.graftext.VectorFunctions.dot(a, b)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
@@ -69,12 +68,15 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     val a = bucketed.select(col("tbl"), col("bucket"), col("vec_id").as("qid"), col("embedding").as("qemb"))
     val b = bucketed.select(col("tbl"), col("bucket"), col("vec_id").as("nid"), col("embedding").as("nemb"))
+    // Score inside the bucket join and dedup on the (qid,nid,sim) triple —
+    // recomputing the (codegen'd) cosine for a pair that collides in
+    // several tables is far cheaper than shuffling embedding arrays
+    // through a groupBy to dedup before scoring.
     val cands = a.join(b, Seq("tbl", "bucket"))
       .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), col("qemb"), col("nemb"))
-      .groupBy("qid", "nid")
-      .agg(first("qemb").as("qemb"), first("nemb").as("nemb"))
       .select(col("qid"), col("nid"), cosine(col("qemb"), col("nemb")).as("sim"))
+      .groupBy("qid", "nid")
+      .agg(max("sim").as("sim"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
     cands
       .withColumn("rank", row_number().over(w))

@@ -59,13 +59,16 @@ object Suite {
 
   // --- file bundles (kiara file_bundle import / pick) ---------------------
 
-  private def writeBundle(s: SparkSession, dir: String): String = {
-    val tmp = Export.tempDir("graft_bundle_").toString
-    t(s, dir, "documents")
-      .repartition(8, col("lang"))
-      .write.mode("overwrite").partitionBy("lang").parquet(tmp)
-    tmp
-  }
+  private val bundleCache = scala.collection.concurrent.TrieMap[String, String]()
+
+  private def writeBundle(s: SparkSession, dir: String): String =
+    bundleCache.getOrElseUpdate(dir, {
+      val tmp = Export.tempDir("graft_bundle_").toString
+      t(s, dir, "documents")
+        .repartition(8, col("lang"))
+        .write.mode("overwrite").partitionBy("lang").parquet(tmp)
+      tmp
+    })
 
   def bundleStats(s: SparkSession, dir: String): DataFrame = {
     val tmp = writeBundle(s, dir)
