@@ -119,7 +119,7 @@ object Dedup {
     a.join(b, Seq("chunk", "ckey"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        expr("bit_count(sh_a ^ sh_b)").as("hamming"))
+        expr("bit_count(sh_a ^ sh_b)").cast("long").as("hamming"))
       .groupBy("doc_a", "doc_b")
       .agg(min("hamming").as("hamming"))
       .filter(col("hamming") <= maxHamming)

@@ -56,9 +56,21 @@ object Similarity {
     }.reduce(_ + _)
 
   /** Approximate corpus-vs-corpus top-k: LSH-bucketed candidate join +
-    * exact cosine within buckets. Shuffles on (table, bucket) only. */
+    * exact cosine within buckets. Shuffles on (table, bucket) only.
+    *
+    * `multiProbe = true` additionally probes, on the query side, every
+    * bucket at Hamming distance 1 from the query's own bucket — (numBits+1)×
+    * candidates per table in exchange for markedly higher recall at the
+    * same bucket granularity. The index side stays single-bucket, so the
+    * join key cardinality (and the shuffle) is unchanged.
+    *
+    * Scale caveat (measured on the synthetic embeddings): LSH pays off when
+    * true neighbors are substantially closer than random vectors (clustered
+    * corpora — the realistic embedding workload, covered by the recall
+    * ScalaTest). For near-uniform random vectors no sub-quadratic method
+    * beats a brute scan; use topKExact with a bounded query set there. */
   def annTopK(corpus: DataFrame, k: Int, dim: Int = 64, numTables: Int = 8,
-              numBits: Int = 6, seed: Long = 42L): DataFrame = {
+              numBits: Int = 6, seed: Long = 42L, multiProbe: Boolean = false): DataFrame = {
     val ps = planes(dim, numTables, numBits, seed)
     val bucketStructs = ps.zipWithIndex.map { case (tp, t) =>
       struct(lit(t).as("tbl"), bucketExpr(col("embedding"), tp).as("bucket"))
@@ -66,7 +78,14 @@ object Similarity {
     val bucketed = corpus
       .select(col("vec_id"), col("embedding"), explode(array(bucketStructs: _*)).as("tb"))
       .select(col("vec_id"), col("embedding"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    val a = bucketed.select(col("tbl"), col("bucket"), col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val probed =
+      if (!multiProbe) bucketed
+      else bucketed.select(col("vec_id"), col("embedding"), col("tbl"),
+        explode(array((-1 until numBits).map {
+          case -1 => col("bucket")
+          case j  => expr(s"int(bucket ^ ${1 << j})")
+        }: _*)).as("bucket"))
+    val a = probed.select(col("tbl"), col("bucket"), col("vec_id").as("qid"), col("embedding").as("qemb"))
     val b = bucketed.select(col("tbl"), col("bucket"), col("vec_id").as("nid"), col("embedding").as("nemb"))
     // Score inside the bucket join and dedup on the (qid,nid,sim) triple —
     // recomputing the (codegen'd) cosine for a pair that collides in

@@ -97,10 +97,11 @@ object Relational {
       .orderBy("c_custkey")
   }
 
-  /** Left-anti join (NOT EXISTS): customers with no orders. */
+  /** Left-anti join (NOT EXISTS): customers with no high-value order. */
   def q9Antijoin(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer")
-      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(t(s, dir, "orders").filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
 

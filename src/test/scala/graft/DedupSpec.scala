@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill nearby every day"
+
+  test("exactGroups groups normalized duplicates") {
+    val d = docs(
+      1L -> "Hello   World",
+      2L -> "hello world",
+      3L -> "HELLO  WORLD ",
+      4L -> "something else entirely")
+    val groups = Dedup.exactGroups(d).collect()
+    assert(groups.length == 2)
+    val dup = groups.map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(dup.contains((3L, 1L))) // three-way dup, first doc_id 1
+    assert(dup.contains((1L, 4L)))
+  }
+
+  test("minhash LSH finds planted near-duplicates and not unrelated docs") {
+    val nearDup = base.replace("lazy", "sleepy") // one token changed
+    val unrelated =
+      "completely different content about spark query engines and distributed columnar storage systems at scale"
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> unrelated)
+    val pairs = Dedup.minhashPairs(d, threshold = 0.5).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
+    assert(!pairs.map(r => (r.getLong(0), r.getLong(1))).exists(p => p._2 == 3L || p._1 == 3L))
+  }
+
+  test("minhash estimate approximates true jaccard for identical docs") {
+    val d = docs(1L -> base, 2L -> base)
+    val pairs = Dedup.minhashCandidates(d).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getDouble(2) == 1.0) // identical shingle sets
+  }
+
+  test("simhash: near-dups closer than unrelated; exact dups paired at hamming 0") {
+    val nearDup = base.replace("lazy", "sleepy")
+    val unrelated =
+      "completely different content about spark query engines and distributed columnar storage systems at scale"
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> unrelated)
+    val sh = Dedup.simhash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(2L)) < hamming(sh(1L), sh(3L)))
+    // exact duplicate → hamming 0 → chunk-collision guaranteed → paired
+    val d2 = docs(1L -> base, 2L -> base, 3L -> unrelated)
+    val pairs = Dedup.simhashPairs(d2, maxHamming = 3).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 2L, 0L)))
+  }
+
+  test("ngram jaccard exact value on a hand-computed pair") {
+    // toks_a: [a b c d], shingles {a b c, b c d}; toks_b: [a b c e] → {a b c, b c e}
+    // intersect=1, union=3 → 0.3333
+    val pairs = Seq((Seq("a", "b", "c", "d"), Seq("a", "b", "c", "e")))
+      .toDF("toks_a", "toks_b")
+    val j = pairs.select(Dedup.ngramJaccard(3).as("j")).head().getDouble(0)
+    assert(j == 0.3333)
+  }
+}

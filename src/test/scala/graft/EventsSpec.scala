@@ -1,0 +1,58 @@
+package graft
+
+import java.sql.Timestamp
+import graft.operators.{Events, Multimodal}
+
+class EventsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("sessionize splits on gap > 30 min, counts per user") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L, "view", 1.0),
+      (2L, ts("2024-01-01 10:10:00"), 100L, "click", 2.0),
+      (3L, ts("2024-01-01 11:00:00"), 100L, "view", 3.0),  // 50min gap → new session
+      (4L, ts("2024-01-01 10:05:00"), 200L, "view", 4.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val stats = Events.sessionStats(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(stats == Map(100L -> (2L, 3L), 200L -> (1L, 1L)))
+  }
+
+  test("sessionize boundary: exactly 30 min is the same session") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a", 0.0),
+      (2L, ts("2024-01-01 10:30:00"), 1L, "a", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(Events.sessionStats(ev).head().getLong(1) == 1L)
+  }
+
+  test("hourly aggregation buckets by window start") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:05:00"), 1L, "view", 1.0),
+      (2L, ts("2024-01-01 10:55:00"), 1L, "view", 2.0),
+      (3L, ts("2024-01-01 11:05:00"), 1L, "view", 4.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val agg = Events.hourlyAgg(ev).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    assert(agg.toSeq == Seq(("2024-01-01 10:00", 2L, 3.0), ("2024-01-01 11:00", 1L, 4.0)))
+  }
+
+  test("streaming hourly counts equal the batch result") {
+    val batch = Events.hourlyAgg(Tables.t(spark, sfDir, "events"))
+      .select("hour", "event_type", "n").collect().toSeq
+    val stream = graft.streaming.EventStream
+      .hourlyCounts(spark, s"$sfDir/events.parquet").collect().toSeq
+    assert(stream == batch)
+  }
+
+  test("multimodal decode stub is deterministic with real plumbing") {
+    val docs = Seq((1L, "hello"), (2L, "world")).toDF("doc_id", "text")
+    val a = Multimodal.decodeMeta(docs).collect().sortBy(_.doc_id)
+    val b = Multimodal.decodeMeta(docs).collect().sortBy(_.doc_id)
+    assert(a.toSeq == b.toSeq)
+    assert(a.forall(m => m.n_bytes == 5 && m.width >= 64 && m.height >= 64))
+    assert(a.forall(m => Set("png", "jpeg", "webp").contains(m.format)))
+  }
+}

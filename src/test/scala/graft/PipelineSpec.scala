@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.{OpRegistry, Pipeline}
+import graft.registries.{LineageRegistry, WorkflowRegistry}
+
+class PipelineSpec extends SparkTestBase {
+
+  private def steps = Seq(
+    Pipeline.Step("filtered", Seq("lineitem"),
+      in => in("lineitem").filter(col("l_quantity") > 40)),
+    Pipeline.Step("agg", Seq("filtered"),
+      in => in("filtered").groupBy("l_returnflag").agg(count(lit(1)).as("n"))))
+
+  test("3-step pipeline executes topologically with lineage") {
+    val li = Tables.t(spark, sfDir, "lineitem")
+    val res = Pipeline.run(steps, Map("lineitem" -> li))
+    assert(res("agg").collect().map(_.getLong(1)).sum > 0)
+    assert(res.lineage.map(_.step) == Seq("filtered", "agg"))
+    assert(res.lineage.last.inputs == Seq("filtered"))
+  }
+
+  test("out-of-order step declaration still resolves") {
+    val li = Tables.t(spark, sfDir, "lineitem")
+    val res = Pipeline.run(steps.reverse, Map("lineitem" -> li))
+    assert(res.lineage.map(_.step) == Seq("filtered", "agg"))
+  }
+
+  test("unknown input fails fast with the missing name") {
+    val ex = intercept[IllegalArgumentException] {
+      Pipeline.run(Seq(Pipeline.Step("s", Seq("nope"), in => in("nope"))), Map.empty)
+    }
+    assert(ex.getMessage.contains("nope"))
+  }
+
+  test("cycle detection") {
+    val cyc = Seq(
+      Pipeline.Step("a", Seq("b"), in => in("b")),
+      Pipeline.Step("b", Seq("a"), in => in("a")))
+    intercept[IllegalArgumentException] { Pipeline.run(cyc, Map.empty) }
+  }
+
+  test("workflow registry re-runs a named pipeline and records lineage") {
+    val root = java.nio.file.Files.createTempDirectory("graft_wf_").toString
+    val lin = new LineageRegistry(root)
+    val wf = new WorkflowRegistry(lin)
+    wf.register("counts", steps)
+    val res = wf.run("counts", "run-1", Map("lineitem" -> Tables.t(spark, sfDir, "lineitem")))
+    assert(res("agg").count() > 0)
+    assert(lin.lines.size == 2)
+    assert(lin.lines.head.contains("\"run\":\"run-1\""))
+  }
+
+  test("op registry registers and resolves custom operators") {
+    OpRegistry.register("double_qty",
+      df => df.withColumn("l_quantity", col("l_quantity") * 2))
+    assert(OpRegistry.contains("double_qty"))
+    val li = Tables.t(spark, sfDir, "lineitem").limit(5)
+    val doubled = OpRegistry.get("double_qty")(li)
+    val a = li.select(sum("l_quantity")).head().getDouble(0)
+    val b = doubled.select(sum("l_quantity")).head().getDouble(0)
+    assert(math.abs(b - 2 * a) < 1e-9)
+    intercept[NoSuchElementException] { OpRegistry.get("missing_op") }
+  }
+}

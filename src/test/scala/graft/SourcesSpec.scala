@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.{Convert, Export, Ingest, Serde, TypeMap}
+import graft.registries.{AliasRegistry, DataRegistry}
+import graft.operators.Profile
+
+class SourcesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("csv export → ingest round-trip preserves data") {
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "s", "v")
+    val tmp = Export.tempDir("t_csv_").toString
+    Export.csv(df, tmp)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("s", StringType), StructField("v", DoubleType)))
+    val back = Ingest.csv(spark, tmp, schema).orderBy("id").collect()
+    assert(back.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ==
+      Seq((1L, "a", 1.5), (2L, "b", 2.5)))
+  }
+
+  test("json serde round-trip is identity") {
+    val df = Tables.t(spark, sfDir, "nation")
+    val back = Serde.roundTrip(df)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      df.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("convert resolves registered conversions and rejects unknown") {
+    assert(Convert.available.contains(("csv", "table")))
+    intercept[IllegalArgumentException] {
+      Convert.convert("xml", "table")(spark, "/tmp/x", new StructType())
+    }
+  }
+
+  test("file bundle read carries path metadata; pick subsets by path") {
+    val tmp = Export.tempDir("t_bundle_").toString
+    Seq((1L, "en"), (2L, "de")).toDF("id", "lang")
+      .repartition(2, col("lang")).write.partitionBy("lang").mode("overwrite").parquet(tmp)
+    val bundle = Ingest.readBundle(spark, tmp)
+    assert(bundle.columns.contains("_file_path") && bundle.columns.contains("_file_size"))
+    val en = Ingest.pick(bundle, "lang=en")
+    assert(en.select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("type map: kiara types ⇄ spark types") {
+    assert(TypeMap.toSpark("string") == StringType)
+    assert(TypeMap.toSpark("integer") == LongType)
+    assert(TypeMap.toKiara(DoubleType) == "float")
+    assert(TypeMap.toKiara(MapType(StringType, StringType)) == "dict")
+  }
+
+  test("data + alias registry store/resolve/load round-trip") {
+    val root = Export.tempDir("t_reg_").toString
+    val reg = new DataRegistry(root)
+    val al = new AliasRegistry(root)
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "s")
+    reg.store("v1", df)
+    al.set("latest", "v1")
+    assert(reg.exists("v1") && reg.list == Seq("v1"))
+    assert(al.resolve("latest").contains("v1"))
+    assert(al.resolve("missing").isEmpty)
+    val back = reg.load(spark, al.resolve("latest").get)
+    assert(back.orderBy("id").collect().map(_.getString(1)).toSeq == Seq("x", "y"))
+    intercept[IllegalArgumentException] { reg.store("../evil", df) }
+  }
+
+  test("profile computes one-pass stats with nulls") {
+    val df = Seq[(java.lang.Long, java.lang.Double)]((1L, 1.0), (2L, null), (3L, 3.0))
+      .toDF("id", "v")
+    val p = Profile.profile(df, Seq("v")).head()
+    assert(p.getString(0) == "v")
+    assert(p.getLong(1) == 3L) // cnt
+    assert(p.getLong(2) == 1L) // nulls
+    assert(p.getDouble(3) == 1.0 && p.getDouble(4) == 3.0)
+    assert(p.getLong(5) == 2L) // ndv ignores null
+  }
+
+  test("schemaOf lists columns") {
+    val s = Profile.schemaOf(Tables.t(spark, sfDir, "region")).collect()
+    assert(s.map(_.getString(0)).toSeq == Seq("r_regionkey", "r_name"))
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextOps
+
+class TextOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("tokens: lowercased, punctuation-split, empties removed") {
+    val df = Seq("Hello, World!  Foo-bar 42").toDF("text")
+    val toks = df.select(TextOps.tokens(col("text"))).head().getSeq[String](0)
+    assert(toks == Seq("hello", "world", "foo", "bar", "42"))
+  }
+
+  test("token counts per doc") {
+    val d = Seq((1L, "one two three"), (2L, ""), (3L, "  ")).toDF("doc_id", "text")
+    val counts = TextOps.tokenCounts(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1L -> 3L, 2L -> 0L, 3L -> 0L))
+  }
+
+  test("bigrams counted and ranked") {
+    val d = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val top = TextOps.topBigrams(d, 10).collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(top.head == ("a b", 3L))
+    assert(top.toMap == Map("a b" -> 3L, "b a" -> 1L, "b c" -> 1L))
+  }
+
+  test("langid picks marker language, CJK short-circuits") {
+    val d = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "der hund und die katze ist nicht da"),
+      (3L, "le chat et les chiens des villes"),
+      (4L, "el gato y los perros que es una casa"),
+      (5L, "中文文本")).toDF("doc_id", "text")
+    val pred = TextOps.langId(d).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pred == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es", 5L -> "zh"))
+  }
+
+  test("quality scores on a crafted doc") {
+    val d = Seq((1L, "the cat!! sat.")).toDF("doc_id", "text")
+    val r = TextOps.qualityScores(d).head()
+    assert(r.getLong(1) == 3L) // the, cat, sat
+    assert(r.getDouble(2) == 3.0) // 9 alnum chars / 3 tokens
+    assert(r.getDouble(3) == 0.2143) // 3 punct of 14 chars
+    assert(r.getDouble(4) == 0.3333) // 1 stopword of 3 tokens
+  }
+}
