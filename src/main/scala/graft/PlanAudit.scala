@@ -1,0 +1,39 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+
+/** Dumps formatted physical plans for the headline queries so the scale
+  * properties (pushdown, broadcast, codegen spans, shuffle count) can be
+  * audited: runMain graft.PlanAudit <sfDir> <outFile>.
+  */
+object PlanAudit {
+  val audited: Seq[String] = Seq(
+    "q1_agg", "q2_filter", "q3_join", "q4_sort_limit", "q6_region_join",
+    "q8_semijoin", "q9_antijoin", "meta_profile", "text_tokens",
+    "dedup_exact", "dedup_minhash", "sim_topk_exact", "sim_ann_lsh",
+    "evt_sessionize", "evt_window_agg", "evt_topk_users")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val out = if (args.length > 1) args(1) else "/tmp/plans.txt"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sb = new StringBuilder
+    audited.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      sb.append(s"\n================ $name ================\n")
+      sb.append(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    Files.writeString(Paths.get(out), sb.toString)
+    println(s"wrote $out")
+    spark.stop()
+  }
+}

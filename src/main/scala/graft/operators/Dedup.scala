@@ -25,26 +25,41 @@ object Dedup {
 
   // ---- MinHash-LSH ------------------------------------------------------
 
-  val NumHashes = 64
-  val Bands = 16
+  // 32 hashes in 8 bands of 4: detection prob at jaccard 0.8 is
+  // 1-(1-0.8^4)^8 ≈ 0.985 with false positives ~ 8·j^4 per random pair.
+  // (64 hashes doubled estimate resolution but also doubled the Catalyst
+  // tree and codegen-compile time — the constant cost dominated runtime.)
+  val NumHashes = 32
+  val Bands = 8
   val RowsPerBand: Int = NumHashes / Bands
 
-  /** Word k-shingles of the token array (expr over the `toks` column). */
-  private def shinglesExpr(k: Int): String =
-    s"transform(sequence(0, size(toks) - $k), i -> concat_ws(' ', slice(toks, i + 1, $k)))"
+  /** Hashed word k-shingles: tokens are hashed once, then each shingle's
+    * hash combines k consecutive token hashes — no per-shingle string
+    * concatenation or array slicing. */
+  private def shingleHashExpr(k: Int): String = {
+    val parts = (1 to k).map(j => s"element_at(th, i + $j)").mkString(", ")
+    s"transform(sequence(0, size(th) - $k), i -> xxhash64($parts))"
+  }
 
-  /** doc_id → sig: array[long] of NumHashes minhash values (hash family =
-    * xxhash64 seeded per-index — ANSI-safe, no overflow arithmetic).
-    * Plan: explode shingles → one groupBy(doc_id) computing all NumHashes
-    * mins (single shuffle; map-side partial min). */
+  /** doc_id → sig: array[long] of NumHashes minhash values.
+    *
+    * Hash family: two base hashes per shingle (h1, h2 = reseeded xxhash64)
+    * expanded to NumHashes values via h1 xor rotl(h2, i) — the classic
+    * double-hashing expansion; bitwise-only, so ANSI-safe and far cheaper
+    * than NumHashes independent hash evaluations per shingle.
+    * Plan: explode hashed shingles → one groupBy(doc_id) computing all
+    * NumHashes mins (single shuffle; map-side partial min). */
   def minhashSignatures(docs: DataFrame, shingleK: Int = 3): DataFrame = {
     val base = docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= shingleK)
-      .select(col("doc_id"), explode(array_distinct(expr(shinglesExpr(shingleK)))).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+      .select(col("doc_id"), expr("transform(toks, t -> xxhash64(t))").as("th"))
+      .select(col("doc_id"), explode(array_distinct(expr(shingleHashExpr(shingleK)))).as("h"))
+      .select(col("doc_id"), xxhash64(col("h")).as("h1"), xxhash64(col("h"), lit(1)).as("h2"))
+    def rotl(c: Column, i: Int): Column =
+      if (i == 0) c else shiftleft(c, i).bitwiseOR(shiftrightunsigned(c, 64 - i))
     val minCols = (0 until NumHashes).map { i =>
-      min(xxhash64(col("h"), lit(i))).as(s"m$i")
+      min(col("h1").bitwiseXOR(rotl(col("h2"), i))).as(s"m$i")
     }
     base
       .groupBy("doc_id")
@@ -56,7 +71,13 @@ object Dedup {
     * (band, band_hash) keys, equi-join on the key, estimate Jaccard from
     * full-signature agreement. No crossJoin anywhere. */
   def minhashCandidates(docs: DataFrame, shingleK: Int = 3): DataFrame = {
+    // Persist the signature table: the band self-join references it on both
+    // sides, and without materialization Spark recomputes the whole
+    // shingle+minhash subtree twice. Signatures are tiny relative to the
+    // corpus (NumHashes longs per doc), so this is the 100 TB play too
+    // (there you'd checkpoint them to storage).
     val sigs = minhashSignatures(docs, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandExprs = (0 until Bands).map { bnd =>
       val parts = (0 until RowsPerBand).map(r => s"sig[${bnd * RowsPerBand + r}]").mkString(", ")
       s"named_struct('band', $bnd, 'bhash', xxhash64($bnd, $parts))"
@@ -109,7 +130,10 @@ object Dedup {
     * hash into 4 16-bit chunks (pigeonhole: any pair at distance ≤3 shares
     * a chunk), equi-join per chunk, verify with bit_count(xor). */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // persist: referenced on both sides of the chunk self-join (see
+    // minhashCandidates) — one long per doc, negligible footprint
     val sh = simhash(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = sh.select(col("doc_id"), col("simhash"),
       explode(expr("transform(sequence(0, 3), c -> " +
         "named_struct('chunk', c, 'ckey', shiftright(simhash, c * 16) & 65535))")).as("ck"))

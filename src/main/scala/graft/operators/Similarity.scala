@@ -75,9 +75,13 @@ object Similarity {
     val bucketStructs = ps.zipWithIndex.map { case (tp, t) =>
       struct(lit(t).as("tbl"), bucketExpr(col("embedding"), tp).as("bucket"))
     }
+    // persist: both sides of the bucket self-join read this, and the
+    // numTables×numBits projection dots per vector would otherwise run
+    // twice (at cluster scale, write the bucket index to storage instead)
     val bucketed = corpus
       .select(col("vec_id"), col("embedding"), explode(array(bucketStructs: _*)).as("tb"))
       .select(col("vec_id"), col("embedding"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probed =
       if (!multiProbe) bucketed
       else bucketed.select(col("vec_id"), col("embedding"), col("tbl"),
