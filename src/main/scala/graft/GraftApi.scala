@@ -1,0 +1,79 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+import graft.plans.{OpRegistry, Pipeline}
+import graft.registries.{AliasRegistry, DataRegistry, LineageRegistry, WorkflowRegistry}
+import graft.sources.{Convert, Export, TypeMap}
+
+/** Top-level facade mirroring kiara's python API
+  * (reference interfaces/python_api/kiara_api.py): run_job (:105),
+  * list_operation_ids (:679), list_data_type_names (:578),
+  * store_value (:1018), get_value (:893), list_alias_names (:965),
+  * import_values (:1130), export_values (:1174), get_job_record (:1410).
+  *
+  * A context roots all registries under one directory, exactly like a
+  * kiara context; values are DataFrames, operations are registered
+  * DataFrame transforms, jobs leave lineage records.
+  */
+class GraftApi(val spark: SparkSession, root: String) {
+  val data = new DataRegistry(root)
+  val aliases = new AliasRegistry(root)
+  val lineage = new LineageRegistry(root)
+  val workflows = new WorkflowRegistry(lineage)
+  private val jobSeq = new AtomicLong(0)
+  private val jobs = scala.collection.concurrent.TrieMap[String, Pipeline.StepRecord]()
+
+  // --- operations (kiara_api.py:679,709) ---------------------------------
+  def listOperationIds: Seq[String] = OpRegistry.list
+  def registerOperation(name: String, op: DataFrame => DataFrame): Unit =
+    OpRegistry.register(name, op)
+
+  /** run_job (kiara_api.py:105): execute a registered operation on a
+    * value (by alias or value id), record the job, return the result. */
+  def runJob(operation: String, inputValue: String): (String, DataFrame) = {
+    val op = OpRegistry.get(operation)
+    val in = getValue(inputValue)
+    val out = op(in)
+    val jobId = s"job-${jobSeq.incrementAndGet()}"
+    val rec = Pipeline.StepRecord(operation, Seq(inputValue), out.schema.simpleString)
+    jobs.put(jobId, rec)
+    lineage.record(jobId, rec)
+    (jobId, out)
+  }
+
+  def getJobRecord(jobId: String): Option[Pipeline.StepRecord] = jobs.get(jobId)
+  def listJobRecordIds: Seq[String] = jobs.keys.toSeq.sorted
+
+  // --- data types (kiara_api.py:578) -------------------------------------
+  def listDataTypeNames: Seq[String] = TypeMap.toSpark.keys.toSeq.sorted
+
+  // --- values + aliases (kiara_api.py:893,1018,965,831) -------------------
+  def storeValue(id: String, df: DataFrame, alias: Option[String] = None): String = {
+    data.store(id, df)
+    alias.foreach(a => aliases.set(a, id))
+    id
+  }
+  def getValue(ref: String): DataFrame =
+    data.load(spark, aliases.resolve(ref).getOrElse(ref))
+  def listValueIds: Seq[String] = data.list
+  def listAliasNames: Seq[String] = aliases.list.map(_._1)
+
+  // --- import / export (kiara_api.py:1130,1174) ---------------------------
+  def importValue(id: String, format: String, path: String,
+                  schema: StructType = new StructType()): DataFrame = {
+    val df = Convert.convert(format, "table")(spark, path, schema)
+    data.store(id, df)
+    df
+  }
+  def exportValue(ref: String, format: String, path: String): Unit = {
+    val df = getValue(ref)
+    format match {
+      case "csv"     => Export.csv(df, path)
+      case "json"    => Export.json(df, path)
+      case "parquet" => Export.parquet(df, path)
+      case other     => throw new IllegalArgumentException(s"unknown export format: $other")
+    }
+  }
+}

@@ -3,7 +3,7 @@ package graft.streaming
 import java.util.concurrent.atomic.AtomicLong
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Structured Streaming surface over the events table: the same windowed
   * aggregation as the batch path, expressed as readStream → window agg →
@@ -47,4 +47,45 @@ object EventStream {
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
+
+  /** Per-user session state carried across micro-batches. */
+  case class SessionState(nSessions: Long, lastUs: Long, nEvents: Long)
+
+  /** Streaming sessionization via flatMapGroupsWithState: per-user custom
+    * state (session count + last event time) survives micro-batch
+    * boundaries, so a session spanning two batches is not double-counted.
+    * Run with AvailableNow over the static table it matches the batch
+    * operator (Events.sessionStats) exactly — asserted in EventsSpec. */
+  def sessionStats(spark: SparkSession, path: String, gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val schema = spark.read.parquet(path).schema
+    val (dir, file) = {
+      val i = path.lastIndexOf('/')
+      (path.substring(0, i), path.substring(i + 1))
+    }
+    val src = graft.Tables.normalizeTs(
+      spark.readStream.schema(schema).option("pathGlobFilter", file).parquet(dir))
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .as[(Long, Long, Long)]
+    val stats = src
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Long)], state: GroupState[SessionState]) =>
+          val evs = rows.toArray.sortBy(r => (r._2, r._3))
+          var s = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
+          evs.foreach { e =>
+            val newSession = s.nEvents == 0L || e._2 - s.lastUs > gapUs
+            s = SessionState(s.nSessions + (if (newSession) 1L else 0L), e._2, s.nEvents + 1L)
+          }
+          state.update(s)
+          Iterator.single((uid, s.nSessions, s.nEvents))
+      }
+    val name = s"graft_sess_sink_${n.incrementAndGet()}"
+    val q = stats.toDF("user_id", "n_sessions", "n_events")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("user_id")
+  }
 }

@@ -47,6 +47,14 @@ class EventsSpec extends SparkTestBase {
     assert(stream == batch)
   }
 
+  test("streaming sessionization (flatMapGroupsWithState) matches batch") {
+    val batch = Events.sessionStats(Tables.t(spark, sfDir, "events"))
+      .select("user_id", "n_sessions", "n_events").collect().toSeq
+    val stream = graft.streaming.EventStream
+      .sessionStats(spark, s"$sfDir/events.parquet").collect().toSeq
+    assert(stream == batch)
+  }
+
   test("multimodal decode stub is deterministic with real plumbing") {
     val docs = Seq((1L, "hello"), (2L, "world")).toDF("doc_id", "text")
     val a = Multimodal.decodeMeta(docs).collect().sortBy(_.doc_id)

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.Render
+import graft.sources.Export
+
+class GraftApiSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def newApi = new GraftApi(spark, Export.tempDir("graft_api_").toString)
+
+  test("store/get value by id and alias") {
+    val api = newApi
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    api.storeValue("v1", df, alias = Some("latest"))
+    assert(api.listValueIds == Seq("v1"))
+    assert(api.listAliasNames == Seq("latest"))
+    assert(api.getValue("latest").count() == 2)
+    assert(api.getValue("v1").count() == 2)
+  }
+
+  test("runJob executes a registered operation and records the job") {
+    val api = newApi
+    api.storeValue("nums", Seq(1L, 2L, 3L, 4L).toDF("n"), Some("input"))
+    api.registerOperation("evens_only", df => df.filter(col("n") % 2 === 0))
+    val (jobId, out) = api.runJob("evens_only", "input")
+    assert(out.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 4L))
+    assert(api.listJobRecordIds == Seq(jobId))
+    assert(api.getJobRecord(jobId).get.step == "evens_only")
+    assert(api.lineage.lines.exists(_.contains(jobId)))
+  }
+
+  test("listDataTypeNames mirrors the kiara core types") {
+    val names = newApi.listDataTypeNames
+    assert(Seq("string", "boolean", "integer", "float", "bytes", "dict", "file")
+      .forall(names.contains))
+  }
+
+  test("import and export round-trip through the value store") {
+    val api = newApi
+    val src = Seq((1L, 2.5), (2L, 3.5)).toDF("k", "v")
+    val csvDir = Export.tempDir("graft_api_csv_").toString
+    Export.csv(src, csvDir)
+    val schema = StructType(Seq(StructField("k", LongType), StructField("v", DoubleType)))
+    api.importValue("imported", "csv", csvDir, schema)
+    assert(api.getValue("imported").count() == 2)
+    val outDir = Export.tempDir("graft_api_out_").toString
+    api.exportValue("imported", "json", outDir)
+    assert(spark.read.schema(schema).json(outDir).count() == 2)
+    intercept[IllegalArgumentException] { api.exportValue("imported", "xml", outDir) }
+  }
+
+  test("prettyPrint renders a bounded aligned table") {
+    val s = Render.prettyPrint(Seq((1L, "alpha"), (2L, "beta")).toDF("id", "name"), rows = 1)
+    val lines = s.split("\n")
+    assert(lines.count(_.startsWith("|")) == 2) // header + 1 row only
+    assert(lines(1).contains("id") && lines(1).contains("name"))
+    assert(lines.last.startsWith("+-"))
+  }
+
+  test("page slices deterministically") {
+    val df = spark.range(100).toDF("n")
+    val p2 = Render.page(df, Seq("n"), pageSize = 10, pageNo = 2).collect().map(_.getLong(0))
+    assert(p2.toSeq == (20L until 30L).toSeq)
+  }
+}
