@@ -29,6 +29,9 @@ object SparkEntry {
     "q10_rollup" -> (Relational.q10Rollup _),
     "q11_case_agg" -> (Relational.q11CaseAgg _),
     "q12_union" -> (Relational.q12Union _),
+    "q13_percentile" -> (Relational.q13Percentile _),
+    "q14_dates" -> (Relational.q14Dates _),
+    "q15_strings" -> (Relational.q15Strings _),
     "render_slice" -> (Relational.renderSlice _),
     // ingestion / export / serde / bundles (rows 2-6, 8, 14)
     "ingest_csv" -> (Suite.ingestCsv _),
@@ -130,6 +133,21 @@ object SparkEntry {
         | UNION ALL
         | SELECT 'recent' AS bucket, o_orderstatus FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
         |GROUP BY bucket, o_orderstatus ORDER BY bucket, o_orderstatus""".stripMargin,
+    "q13_percentile" ->
+      """SELECT l_returnflag, round(quantile_cont(l_quantity, 0.25),4) AS q25_qty,
+        | round(quantile_cont(l_quantity, 0.5),4) AS median_qty,
+        | round(quantile_cont(l_extendedprice, 0.75),4) AS q75_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q14_dates" ->
+      """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+        | count(*) AS n, round(sum(o_totalprice),2) AS total
+        |FROM orders GROUP BY yr, mo ORDER BY yr, mo""".stripMargin,
+    "q15_strings" ->
+      """SELECT c_custkey, upper(substr(c_name, 10, 9)) AS cust_num,
+        | replace(c_name, 'Customer#', 'C-') AS short_name,
+        | c_mktsegment || '/' || c_name AS tagged,
+        | CAST(length(c_name) AS BIGINT) AS name_len
+        |FROM customer WHERE c_name LIKE '%00%' ORDER BY c_custkey""".stripMargin,
     "render_slice" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders ORDER BY o_orderkey LIMIT 50 OFFSET 100""".stripMargin,

@@ -135,6 +135,35 @@ object Relational {
       .orderBy("bucket", "o_orderstatus")
   }
 
+  /** Exact interpolated percentiles per group (distributed sort-based). */
+  def q13Percentile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 4).as("q25_qty"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("q75_price"))
+      .orderBy("l_returnflag")
+
+  /** Date-part extraction + aggregation. */
+  def q14Dates(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("yr", "mo")
+
+  /** String functions: LIKE filter, substring/replace/concat projection. */
+  def q15Strings(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .filter(col("c_name").like("%00%"))
+      .select(col("c_custkey"),
+        upper(substring(col("c_name"), 10, 9)).as("cust_num"),
+        regexp_replace(col("c_name"), "Customer#", "C-").as("short_name"),
+        concat(col("c_mktsegment"), lit("/"), col("c_name")).as("tagged"),
+        length(col("c_name")).cast("long").as("name_len"))
+      .orderBy("c_custkey")
+
   /** Paginated render slice (kiara render_value, render_value.py:54). */
   def renderSlice(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
