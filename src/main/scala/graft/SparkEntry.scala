@@ -51,6 +51,9 @@ object SparkEntry {
     "text_ngrams" -> (Suite.textNgrams _),
     "text_quality" -> (Suite.textQuality _),
     "text_langid" -> (Suite.textLangid _),
+    "text_fingerprint" -> (Suite.textFingerprint _),
+    "q16_sql" -> (Suite.sqlTpchQ5 _),
+    "sim_centroids" -> (Suite.simCentroids _),
     // dedup (§2b rows 20-23)
     "dedup_exact" -> (Suite.dedupExact _),
     "dedup_minhash" -> (Suite.dedupMinhash _),
@@ -222,6 +225,23 @@ object SparkEntry {
         | WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
         | WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS pred_lang
         |FROM s ORDER BY doc_id""".stripMargin,
+    "q16_sql" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "sim_centroids" ->
+      """WITH u AS (
+        |  SELECT label, i - 1 AS dim, emb[i] AS v
+        |  FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |       (SELECT unnest(generate_series(1, 8)) AS i) g)
+        |SELECT label, CAST(dim AS BIGINT) AS dim, round(avg(v), 4) AS avg_v
+        |FROM u GROUP BY label, dim ORDER BY label, dim""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
         | count(*) AS n_docs, min(doc_id) AS first_doc

@@ -66,6 +66,23 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Winnowing document fingerprints (Schleimer et al.'s local rolling-
+    * hash selection): hash every token k-gram, slide a window of w over
+    * the hash sequence, keep each window's minimum — documents sharing a
+    * substring of ≥ k+w-1 tokens are guaranteed to share a fingerprint.
+    * Pure builtins; one row per doc with its distinct fingerprint set. */
+  def winnowFingerprints(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
+    val kgram = (1 to k).map(j => s"element_at(toks, i + $j)").mkString(", ")
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= k + w - 1)
+      .select(col("doc_id"),
+        expr(s"transform(sequence(0, size(toks) - $k), i -> xxhash64($kgram))").as("th"))
+      .select(col("doc_id"),
+        expr(s"array_distinct(transform(sequence(0, size(th) - $w), i -> " +
+          s"array_min(slice(th, i + 1, $w))))").as("fps"))
+  }
+
   /** Heuristic language ID: marker-word hit counts per language, argmax
     * with a fixed tie-break order. CJK presence short-circuits to zh. */
   def langId(docs: DataFrame): DataFrame = {

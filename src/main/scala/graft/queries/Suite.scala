@@ -115,6 +115,26 @@ object Suite {
       .orderBy("l_returnflag")
   }
 
+  // --- SQL entry point ----------------------------------------------------
+
+  /** Full SQL surface over the registered catalog: TPC-H Q5 (local
+    * supplier volume) run verbatim through spark.sql — the engine's SQL
+    * front door, same Catalyst plan quality as the DataFrame API. */
+  def sqlTpchQ5(s: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+      .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)
+  }
+
   // --- profiling ----------------------------------------------------------
 
   def metaProfile(s: SparkSession, dir: String): DataFrame =
@@ -136,6 +156,11 @@ object Suite {
 
   def textLangid(s: SparkSession, dir: String): DataFrame =
     TextOps.langId(t(s, dir, "documents"))
+
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    TextOps.winnowFingerprints(t(s, dir, "documents"))
+      .select(col("doc_id"), size(col("fps")).cast("long").as("n_fps"))
+      .orderBy("doc_id")
 
   // --- dedup --------------------------------------------------------------
 
@@ -171,6 +196,16 @@ object Suite {
 
   def simAnnLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.annTopK(t(s, dir, "embeddings"), k = 5)
+
+  /** Per-label centroid components: posexplode the vector, aggregate by
+    * (label, dim) — embedding aggregation without ever collecting vectors. */
+  def simCentroids(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+      .filter(col("pos") < 8) // prune dims BEFORE the shuffle
+      .groupBy(col("label"), col("pos").cast("long").as("dim"))
+      .agg(round(avg("v"), 4).as("avg_v"))
+      .orderBy("label", "dim")
 
   // --- multimodal ---------------------------------------------------------
 

@@ -36,6 +36,20 @@ class TextOpsSpec extends SparkTestBase {
     assert(pred == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es", 5L -> "zh"))
   }
 
+  test("winnowing: shared long substring ⇒ shared fingerprint; disjoint ⇒ none") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d = Seq(
+      (1L, s"intro words here $shared trailing content one"),
+      (2L, s"totally other lead $shared and different tail"),
+      (3L, "unrelated vocabulary entirely disjoint from both documents above completely"))
+      .toDF("doc_id", "text")
+    val fps = TextOps.winnowFingerprints(d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(1L) intersect fps(2L)).nonEmpty)
+    assert((fps(1L) intersect fps(3L)).isEmpty)
+    assert((fps(2L) intersect fps(3L)).isEmpty)
+  }
+
   test("quality scores on a crafted doc") {
     val d = Seq((1L, "the cat!! sat.")).toDF("doc_id", "text")
     val r = TextOps.qualityScores(d).head()
