@@ -24,14 +24,25 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** Cosine with pre-computed norms: one array pass per pair instead of
+    * three. Numerically identical to `cosine` (same accumulators, same
+    * order), so oracle comparisons are unaffected — norms are just
+    * amortized per vector instead of recomputed per candidate pair. */
+  private def cosinePrenormed(dotCol: Column, na: Column, nb: Column): Column =
+    dotCol / (na * nb)
+
+  private def withNorm(df: DataFrame, emb: String, out: String): DataFrame =
+    df.withColumn(out, sqrt(dot(col(emb), col(emb))))
+
   /** Exact top-k neighbors for each query vector. `queries` must be small
     * (it is broadcast); corpus is scanned once. */
   def topKExact(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qemb"))
-    val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("nemb"))
+    val q = withNorm(queries.select(col("vec_id").as("qid"), col("embedding").as("qemb")), "qemb", "qnorm")
+    val c = withNorm(corpus.select(col("vec_id").as("nid"), col("embedding").as("nemb")), "nemb", "nnorm")
     val scored = c.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), cosine(col("qemb"), col("nemb")).as("sim"))
+      .select(col("qid"), col("nid"),
+        cosinePrenormed(dot(col("qemb"), col("nemb")), col("qnorm"), col("nnorm")).as("sim"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -78,26 +89,29 @@ object Similarity {
     // persist: both sides of the bucket self-join read this, and the
     // numTables×numBits projection dots per vector would otherwise run
     // twice (at cluster scale, write the bucket index to storage instead)
-    val bucketed = corpus
-      .select(col("vec_id"), col("embedding"), explode(array(bucketStructs: _*)).as("tb"))
-      .select(col("vec_id"), col("embedding"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val bucketed = withNorm(corpus, "embedding", "norm")
+      .select(col("vec_id"), col("embedding"), col("norm"), explode(array(bucketStructs: _*)).as("tb"))
+      .select(col("vec_id"), col("embedding"), col("norm"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probed =
       if (!multiProbe) bucketed
-      else bucketed.select(col("vec_id"), col("embedding"), col("tbl"),
+      else bucketed.select(col("vec_id"), col("embedding"), col("norm"), col("tbl"),
         explode(array((-1 until numBits).map {
           case -1 => col("bucket")
           case j  => expr(s"int(bucket ^ ${1 << j})")
         }: _*)).as("bucket"))
-    val a = probed.select(col("tbl"), col("bucket"), col("vec_id").as("qid"), col("embedding").as("qemb"))
-    val b = bucketed.select(col("tbl"), col("bucket"), col("vec_id").as("nid"), col("embedding").as("nemb"))
+    val a = probed.select(col("tbl"), col("bucket"), col("vec_id").as("qid"),
+      col("embedding").as("qemb"), col("norm").as("qnorm"))
+    val b = bucketed.select(col("tbl"), col("bucket"), col("vec_id").as("nid"),
+      col("embedding").as("nemb"), col("norm").as("nnorm"))
     // Score inside the bucket join and dedup on the (qid,nid,sim) triple —
     // recomputing the (codegen'd) cosine for a pair that collides in
     // several tables is far cheaper than shuffling embedding arrays
     // through a groupBy to dedup before scoring.
     val cands = a.join(b, Seq("tbl", "bucket"))
       .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), cosine(col("qemb"), col("nemb")).as("sim"))
+      .select(col("qid"), col("nid"),
+        cosinePrenormed(dot(col("qemb"), col("nemb")), col("qnorm"), col("nnorm")).as("sim"))
       .groupBy("qid", "nid")
       .agg(max("sim").as("sim"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
