@@ -68,6 +68,7 @@ object SparkEntry {
     "evt_sessionize" -> (Suite.evtSessionize _),
     "evt_window_agg" -> (Suite.evtWindowAgg _),
     "evt_topk_users" -> (Suite.evtTopkUsers _),
+    "evt_props" -> (Suite.evtProps _),
     "stream_window" -> (Suite.streamWindow _)
   )
 
@@ -288,6 +289,12 @@ object SparkEntry {
     "evt_topk_users" ->
       """SELECT user_id, count(*) AS n_events, round(sum(value),2) AS total_value
         |FROM events GROUP BY user_id ORDER BY total_value DESC, user_id LIMIT 20""".stripMargin,
+    "evt_props" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+        | CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stream_window" ->
       """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:00') AS hour,
         | event_type, count(*) AS n

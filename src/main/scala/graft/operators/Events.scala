@@ -44,6 +44,19 @@ object Events {
         col("event_type"), col("n"), col("total_value"))
       .orderBy("hour", "event_type")
 
+  /** Semi-structured props handling: parse the JSON payload column with a
+    * schema (codegen'd from_json — no UDF) and aggregate on a field. */
+  def propsStats(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType))))
+          .getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
   /** Top-k users by total value — agg then TakeOrdered (no global sort). */
   def topUsers(events: DataFrame, k: Int = 20): DataFrame =
     events

@@ -223,6 +223,9 @@ object Suite {
   def evtTopkUsers(s: SparkSession, dir: String): DataFrame =
     Events.topUsers(t(s, dir, "events"))
 
+  def evtProps(s: SparkSession, dir: String): DataFrame =
+    Events.propsStats(t(s, dir, "events"))
+
   def streamWindow(s: SparkSession, dir: String): DataFrame =
     graft.streaming.EventStream.hourlyCounts(s, s"$dir/events.parquet")
 }
