@@ -43,6 +43,7 @@ object SparkEntry {
     // registries + pipeline (rows 9, 15, 16)
     "registry_roundtrip" -> (Suite.registryRoundtrip _),
     "pipeline_demo" -> (Suite.pipelineDemo _),
+    "pipeline_llm" -> (Suite.pipelineLlm _),
     // profiling (row 7)
     "meta_profile" -> (Suite.metaProfile _),
     "meta_profile_approx" -> (Suite.metaProfileApprox _),
@@ -176,6 +177,26 @@ object SparkEntry {
       """SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice),2) AS total
         |FROM lineitem WHERE l_quantity > 40
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "pipeline_llm" ->
+      """WITH cleaned AS (
+        |  SELECT doc_id, lang, trim(regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(text, 'https?://\S+', ' ', 'g'),
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' ', 'g'),
+        |      '[\x00-\x1f]', ' ', 'g'),
+        |    '\s+', ' ', 'g')) AS ctext FROM documents),
+        |scored AS (
+        |  SELECT doc_id, lang, ctext,
+        |   CAST(len(list_filter(regexp_split_to_array(lower(ctext), '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM cleaned),
+        |kept AS (SELECT * FROM scored WHERE n_tokens >= 20),
+        |deduped AS (
+        |  SELECT * FROM (SELECT *, row_number() OVER (
+        |    PARTITION BY lower(trim(regexp_replace(ctext, '\s+', ' ', 'g'))) ORDER BY doc_id) AS rn
+        |   FROM kept) WHERE rn = 1)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |FROM deduped GROUP BY lang ORDER BY lang""".stripMargin,
     "meta_profile" ->
       """SELECT * FROM (
         | SELECT 'l_discount' AS col_name, count(*) AS cnt,

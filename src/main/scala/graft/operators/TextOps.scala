@@ -13,6 +13,17 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Training-data scrubbing: strip URLs and email addresses, drop
+    * control characters, collapse whitespace. All regexp_replace — the
+    * same patterns run identically on the DuckDB oracle (RE2 vs Java
+    * regex agree on these classes). */
+  def clean(c: Column): Column = {
+    val noUrl = regexp_replace(c, "https?://\\S+", " ")
+    val noMail = regexp_replace(noUrl, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", " ")
+    val noCtl = regexp_replace(noMail, "[\\x00-\\x1f]", " ")
+    trim(regexp_replace(noCtl, "\\s+", " "))
+  }
+
   /** Lowercased alphanumeric tokens of `c` (empty strings removed). */
   def tokens(c: Column): Column =
     array_remove(split(lower(c), "[^a-z0-9]+"), "")

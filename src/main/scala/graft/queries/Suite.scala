@@ -115,6 +115,32 @@ object Suite {
       .orderBy("l_returnflag")
   }
 
+  /** The LLM training-data pipeline as a Pipeline DAG: scrub → tokenize →
+    * quality-filter → exact-dedup (keep first) → per-language stats. Every
+    * step is SQL-expressible, so the WHOLE 4-step DAG is oracle-checked —
+    * and because steps return lazy DataFrames, Catalyst fuses the DAG into
+    * one plan (filters reach the scan through all four steps). */
+  def pipelineLlm(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val steps = Seq(
+      Pipeline.Step("cleaned", Seq("documents"),
+        in => in("documents").withColumn("ctext", TextOps.clean(col("text")))),
+      Pipeline.Step("scored", Seq("cleaned"),
+        in => in("cleaned").withColumn("n_tokens", size(TextOps.tokens(col("ctext"))).cast("long"))),
+      Pipeline.Step("kept", Seq("scored"),
+        in => in("scored").filter(col("n_tokens") >= 20)),
+      Pipeline.Step("deduped", Seq("kept"),
+        in => {
+          val w = Window.partitionBy(Dedup.normalized(col("ctext"))).orderBy("doc_id")
+          in("kept").withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+        }),
+      Pipeline.Step("stats", Seq("deduped"),
+        in => in("deduped").groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+          .orderBy("lang")))
+    Pipeline.run(steps, Map("documents" -> t(s, dir, "documents")))("stats")
+  }
+
   // --- SQL entry point ----------------------------------------------------
 
   /** Full SQL surface over the registered catalog: TPC-H Q5 (local

@@ -36,6 +36,12 @@ class TextOpsSpec extends SparkTestBase {
     assert(pred == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es", 5L -> "zh"))
   }
 
+  test("clean strips urls, emails, control chars; collapses whitespace") {
+    val d = Seq("See https://example.com/x?y=1 or mail bob@example.org \t now\u0007!").toDF("text")
+    val out = d.select(TextOps.clean(col("text"))).head().getString(0)
+    assert(out == "See or mail now !") // BEL became a space
+  }
+
   test("winnowing: shared long substring ⇒ shared fingerprint; disjoint ⇒ none") {
     val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val d = Seq(
