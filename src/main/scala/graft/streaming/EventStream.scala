@@ -48,6 +48,28 @@ object EventStream {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
 
+  /** Streaming exact dedup: dropDuplicates holds the fingerprint set as
+    * streaming state, so duplicates arriving in ANY later micro-batch are
+    * dropped — the streaming twin of Dedup.exactGroups. Bounded run here;
+    * a live deployment adds a watermark to age out state. Returns the
+    * per-language counts of the deduplicated stream. */
+  def dedupedLangCounts(spark: SparkSession, path: String): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    val (dir, file) = {
+      val i = path.lastIndexOf('/')
+      (path.substring(0, i), path.substring(i + 1))
+    }
+    val name = s"graft_dedup_sink_${n.incrementAndGet()}"
+    val q = spark.readStream.schema(schema).option("pathGlobFilter", file).parquet(dir)
+      .select(col("lang"),
+        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
+      .dropDuplicates("fp")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).groupBy("lang").agg(count(lit(1)).as("n_unique")).orderBy("lang")
+  }
+
   /** Per-user session state carried across micro-batches. */
   case class SessionState(nSessions: Long, lastUs: Long, nEvents: Long)
 

@@ -55,6 +55,14 @@ class EventsSpec extends SparkTestBase {
     assert(stream == batch)
   }
 
+  test("streaming dedup matches batch distinct fingerprint counts") {
+    val batch = graft.operators.Dedup.exactGroups(Tables.t(spark, sfDir, "documents")).count()
+    val stream = graft.streaming.EventStream
+      .dedupedLangCounts(spark, s"$sfDir/documents.parquet")
+      .agg(org.apache.spark.sql.functions.sum("n_unique")).head().getLong(0)
+    assert(stream == batch)
+  }
+
   test("multimodal decode stub is deterministic with real plumbing") {
     val docs = Seq((1L, "hello"), (2L, "world")).toDF("doc_id", "text")
     val a = Multimodal.decodeMeta(docs).collect().sortBy(_.doc_id)
