@@ -32,6 +32,12 @@ object SparkEntry {
     "q13_percentile" -> (Relational.q13Percentile _),
     "q14_dates" -> (Relational.q14Dates _),
     "q15_strings" -> (Relational.q15Strings _),
+    "q17_intersect" -> (Relational.q17Intersect _),
+    "q18_except" -> (Relational.q18Except _),
+    "q19_having" -> (Relational.q19Having _),
+    "q20_scalar_subquery" -> (Relational.q20ScalarSubquery _),
+    "q21_array_agg" -> (Relational.q21ArrayAgg _),
+    "q22_histogram" -> (Relational.q22Histogram _),
     "render_slice" -> (Relational.renderSlice _),
     // ingestion / export / serde / bundles (rows 2-6, 8, 14)
     "ingest_csv" -> (Suite.ingestCsv _),
@@ -248,6 +254,31 @@ object SparkEntry {
         | WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
         | WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS pred_lang
         |FROM s ORDER BY doc_id""".stripMargin,
+    "q17_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+        |ORDER BY custkey""".stripMargin,
+    "q18_except" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+        |ORDER BY custkey""".stripMargin,
+    "q19_having" ->
+      """SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice),2) AS spend
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 15 ORDER BY o_custkey""".stripMargin,
+    "q20_scalar_subquery" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        |ORDER BY c_custkey""".stripMargin,
+    "q21_array_agg" ->
+      """SELECT n_regionkey, array_to_string(list_sort(list(n_name)), ',') AS nations,
+        | count(*) AS n
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q22_histogram" ->
+      """SELECT bucket, count(*) AS n FROM (
+        | SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket FROM orders)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q16_sql" ->
       """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
         |FROM customer, orders, lineitem, supplier, nation, region

@@ -164,6 +164,57 @@ object Relational {
         length(col("c_name")).cast("long").as("name_len"))
       .orderBy("c_custkey")
 
+  /** INTERSECT: customers active in both periods. */
+  def q17Intersect(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val early = o.filter(col("o_orderdate") < lit("1998-01-01")).select("o_custkey")
+    val late = o.filter(col("o_orderdate") >= lit("1999-01-01")).select("o_custkey")
+    early.intersect(late).withColumnRenamed("o_custkey", "custkey").orderBy("custkey")
+  }
+
+  /** EXCEPT: customers with a finished order but no high-value order. */
+  def q18Except(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val finished = o.filter(col("o_orderstatus") === "F").select("o_custkey")
+    val big = o.filter(col("o_totalprice") > 400000).select("o_custkey")
+    finished.except(big).withColumnRenamed("o_custkey", "custkey").orderBy("custkey")
+  }
+
+  /** GROUP BY + HAVING. */
+  def q19Having(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("spend"))
+      .filter(col("n_orders") >= 15)
+      .orderBy("o_custkey")
+
+  /** Scalar subquery: customers above the average account balance. */
+  def q20ScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val avgBal = c.agg(avg("c_acctbal").as("ab"))
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("ab"))
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
+  /** Array aggregation, emitted as a joined string for engine parity. */
+  def q21ArrayAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation")
+      .groupBy("n_regionkey")
+      .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"),
+        count(lit(1)).as("n"))
+      .orderBy("n_regionkey")
+
+  /** Numeric histogram: fixed-width buckets via floor division (portable
+    * across engines; width_bucket is absent from DuckDB 1.0). */
+  def q22Histogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(floor(col("o_totalprice") / 50000.0).cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+
   /** Paginated render slice (kiara render_value, render_value.py:54). */
   def renderSlice(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
