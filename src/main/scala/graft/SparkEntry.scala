@@ -77,6 +77,7 @@ object SparkEntry {
     "evt_window_agg" -> (Suite.evtWindowAgg _),
     "evt_topk_users" -> (Suite.evtTopkUsers _),
     "evt_props" -> (Suite.evtProps _),
+    "evt_session_window" -> (Suite.evtSessionWindow _),
     "stream_window" -> (Suite.streamWindow _)
   )
 
@@ -342,6 +343,17 @@ object SparkEntry {
     "evt_topk_users" ->
       """SELECT user_id, count(*) AS n_events, round(sum(value),2) AS total_value
         |FROM events GROUP BY user_id ORDER BY total_value DESC, user_id LIMIT 20""".stripMargin,
+    "evt_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS tsx,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |f AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |    OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |g AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f)
+        |SELECT user_id, strftime(min(tsx), '%Y-%m-%d %H:%M:%S') AS session_start,
+        | count(*) AS n_events, round(sum(value),2) AS session_value
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
     "evt_props" ->
       """SELECT event_type, count(*) AS n,
         | CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -44,6 +44,18 @@ object Events {
         col("event_type"), col("n"), col("total_value"))
       .orderBy("hour", "event_type")
 
+  /** Per-session rows via Spark's native session_window operator (gap-
+    * merged event-time windows) — the idiomatic form of sessionization;
+    * oracle-checked against the explicit lag/running-sum derivation. */
+  def sessionWindows(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("session_value"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"), col("session_value"))
+      .orderBy("user_id", "session_start")
+
   /** Semi-structured props handling: parse the JSON payload column with a
     * schema (codegen'd from_json — no UDF) and aggregate on a field. */
   def propsStats(events: DataFrame): DataFrame =

@@ -257,6 +257,9 @@ object Suite {
   def evtProps(s: SparkSession, dir: String): DataFrame =
     Events.propsStats(t(s, dir, "events"))
 
+  def evtSessionWindow(s: SparkSession, dir: String): DataFrame =
+    Events.sessionWindows(t(s, dir, "events"))
+
   def streamWindow(s: SparkSession, dir: String): DataFrame =
     graft.streaming.EventStream.hourlyCounts(s, s"$dir/events.parquet")
 }

@@ -48,6 +48,28 @@ object EventStream {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
 
+  /** Stream-static join: enrich the event stream with a static dimension
+    * (broadcast per micro-batch — the standard dimension-enrichment shape
+    * for a live pipeline). Returns counts per enriched attribute. */
+  def enrichedCounts(spark: SparkSession, eventsPath: String, dim: DataFrame,
+                     joinKey: String, attr: String): DataFrame = {
+    val schema = spark.read.parquet(eventsPath).schema
+    val (dir, file) = {
+      val i = eventsPath.lastIndexOf('/')
+      (eventsPath.substring(0, i), eventsPath.substring(i + 1))
+    }
+    val name = s"graft_enrich_sink_${n.incrementAndGet()}"
+    val q = graft.Tables.normalizeTs(
+      spark.readStream.schema(schema).option("pathGlobFilter", file).parquet(dir))
+      .join(org.apache.spark.sql.functions.broadcast(dim), joinKey)
+      .groupBy(attr)
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy(attr)
+  }
+
   /** Streaming exact dedup: dropDuplicates holds the fingerprint set as
     * streaming state, so duplicates arriving in ANY later micro-batch are
     * dropped — the streaming twin of Dedup.exactGroups. Bounded run here;

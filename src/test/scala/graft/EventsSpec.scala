@@ -55,6 +55,28 @@ class EventsSpec extends SparkTestBase {
     assert(stream == batch)
   }
 
+  test("session_window operator agrees with the lag-based derivation") {
+    val ev = Tables.t(spark, sfDir, "events")
+    val viaWindow = Events.sessionWindows(ev)
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLag = Events.sessionStats(ev).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaWindow == viaLag)
+  }
+
+  test("stream-static broadcast join matches the batch join") {
+    val users = (0L until 200L).map(u => (u, if (u % 2 == 0) "A" else "B"))
+      .toDF("user_id", "cohort")
+    val batch = Tables.t(spark, sfDir, "events").join(users, "user_id")
+      .groupBy("cohort").count().orderBy("cohort").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val stream = graft.streaming.EventStream
+      .enrichedCounts(spark, s"$sfDir/events.parquet", users, "user_id", "cohort")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(stream == batch)
+  }
+
   test("streaming dedup matches batch distinct fingerprint counts") {
     val batch = graft.operators.Dedup.exactGroups(Tables.t(spark, sfDir, "documents")).count()
     val stream = graft.streaming.EventStream
