@@ -10,9 +10,11 @@ import org.apache.spark.sql.SparkSession
 object PlanAudit {
   val audited: Seq[String] = Seq(
     "q1_agg", "q2_filter", "q3_join", "q4_sort_limit", "q6_region_join",
-    "q8_semijoin", "q9_antijoin", "meta_profile", "text_tokens",
+    "q8_semijoin", "q9_antijoin", "q16_sql", "q17_intersect", "q18_except",
+    "q20_scalar_subquery", "meta_profile", "text_tokens",
     "dedup_exact", "dedup_minhash", "sim_topk_exact", "sim_ann_lsh",
-    "evt_sessionize", "evt_window_agg", "evt_topk_users")
+    "evt_sessionize", "evt_session_window", "evt_window_agg",
+    "evt_topk_users", "pipeline_llm")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

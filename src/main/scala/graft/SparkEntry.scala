@@ -238,9 +238,9 @@ object SparkEntry {
     "text_quality" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents)
          |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-         | round(CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) / len(toks), 4) AS avg_tok_len,
-         | round(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text), 4) AS punct_ratio,
-         | round(CAST(len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in|is)\\b')) AS DOUBLE) / len(toks), 4) AS stop_ratio
+         | CAST(floor(CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) / len(toks) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS avg_tok_len,
+         | CAST(floor(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS punct_ratio,
+         | CAST(floor(CAST(len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in|is)\\b')) AS DOUBLE) / len(toks) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS stop_ratio
          |FROM t ORDER BY doc_id""".stripMargin,
     "text_langid" ->
       """WITH s AS (SELECT doc_id,
@@ -307,8 +307,8 @@ object SparkEntry {
          |  generate_series(1, len(toks)-2),
          |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM t)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         | round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |   / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+         | CAST(floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |   / len(list_distinct(list_concat(a.sh, b.sh))) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS jaccard
          |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
          |WHERE a.doc_id % 5 = 0 AND a.n >= 3 AND b.n >= 3 ORDER BY doc_a""".stripMargin,
     "sim_topk_exact" ->
@@ -318,7 +318,9 @@ object SparkEntry {
         |  list_inner_product(q.e, c.e)
         |    / (sqrt(list_inner_product(q.e, q.e)) * sqrt(list_inner_product(c.e, c.e))) AS sim
         |  FROM q JOIN c ON q.vec_id <> c.vec_id)
-        |SELECT vec_id, neighbor_id, round(sim, 4) AS sim, CAST(rank AS BIGINT) AS rank FROM (
+        |SELECT vec_id, neighbor_id,
+        | CAST(floor(sim * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS sim,
+        | CAST(rank AS BIGINT) AS rank FROM (
         | SELECT vec_id, neighbor_id, sim,
         |  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
         |WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin,
@@ -347,7 +349,7 @@ object SparkEntry {
       """WITH e AS (SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS tsx,
         |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
         |f AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
-        |    OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS is_new
+        |    OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
         |g AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f)

@@ -127,9 +127,15 @@ object Dedup {
   }
 
   /** Near-dup pairs with Hamming distance ≤ maxHamming: band the 64-bit
-    * hash into 4 16-bit chunks (pigeonhole: any pair at distance ≤3 shares
-    * a chunk), equi-join per chunk, verify with bit_count(xor). */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    * hash into 4 16-bit chunks (pigeonhole: any pair at distance ≤ 3 is
+    * GUARANTEED to share a chunk), equi-join per chunk, verify with
+    * bit_count(xor). For maxHamming > 3 the chunk join is best-effort
+    * candidate generation (full recall is not guaranteed) — callers must
+    * opt in explicitly via bestEffort. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, bestEffort: Boolean = false): DataFrame = {
+    require(maxHamming <= 3 || bestEffort,
+      s"4x16-bit chunking guarantees recall only for maxHamming <= 3 " +
+        s"(got $maxHamming); pass bestEffort=true for approximate higher-distance search")
     // persist: referenced on both sides of the chunk self-join (see
     // minhashCandidates) — one long per doc, negligible footprint
     val sh = simhash(docs)
@@ -153,12 +159,15 @@ object Dedup {
   // ---- Exact n-gram Jaccard (verification kernel) -----------------------
 
   /** Exact shingle-set Jaccard over `toks_a`/`toks_b` columns — the
-    * verification step applied to LSH candidates (never to all pairs). */
+    * verification step applied to LSH candidates (never to all pairs).
+    * Portable rounding: jaccard is a small-integer ratio, exactly the
+    * value class where Spark and DuckDB round() disagree (see Num). */
   def ngramJaccard(k: Int = 3): Column = {
     def sh(c: String): String =
       s"array_distinct(transform(sequence(0, size($c) - $k), i -> concat_ws(' ', slice($c, i + 1, $k))))"
-    expr(
-      s"round(cast(size(array_intersect(${sh("toks_a")}, ${sh("toks_b")})) as double) / " +
-        s"size(array_union(${sh("toks_a")}, ${sh("toks_b")})), 4)")
+    val ratio =
+      s"cast(size(array_intersect(${sh("toks_a")}, ${sh("toks_b")})) as double) / " +
+        s"size(array_union(${sh("toks_a")}, ${sh("toks_b")}))"
+    expr(s"cast(floor(($ratio) * 10000.0 + 0.5) as double) / 10000.0")
   }
 }

@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
-  /** Gap-based sessionization: a new session starts after `gapMinutes` of
-    * user inactivity. Single shuffle on user_id; two window passes over
-    * the same partitioning (Catalyst reuses the sort). */
+  /** Gap-based sessionization: a new session starts once the gap EXCEEDS
+    * `gapMinutes` (gap > threshold ⇒ new session). This matches Spark's
+    * native session_window exactly: an event landing precisely at the
+    * session end (gap == threshold) still merges — verified empirically
+    * in EventsSpec's boundary test. Single shuffle on user_id; two window
+    * passes over the same partitioning (Catalyst reuses the sort). */
   def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val gapUs = gapMinutes.toLong * 60L * 1000000L

@@ -14,14 +14,14 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
-  /** Per-column count / nulls / min / max / exact ndv for numeric columns. */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  private def profileWith(df: DataFrame, cols: Seq[String],
+                          ndv: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
     val aggs = Seq(count(lit(1)).as("__cnt")) ++ cols.flatMap { c =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
         min(col(c)).cast("double").as(s"${c}__min"),
         max(col(c)).cast("double").as(s"${c}__max"),
-        countDistinct(col(c)).as(s"${c}__ndv"))
+        ndv(col(c)).as(s"${c}__ndv"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val stackArgs = cols
@@ -32,25 +32,15 @@ object Profile {
       .orderBy("col_name")
   }
 
+  /** Per-column count / nulls / min / max / exact ndv for numeric columns. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+    profileWith(df, cols, countDistinct(_))
+
   /** The 100 TB profile variant: HyperLogLog ndv (approx_count_distinct)
     * instead of exact — avoids the Expand ×(cols+1) row blowup that exact
     * multi-column count-distinct plans require. Same single scan. */
-  def profileApprox(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val aggs = Seq(count(lit(1)).as("__cnt")) ++ cols.flatMap { c =>
-      Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        min(col(c)).cast("double").as(s"${c}__min"),
-        max(col(c)).cast("double").as(s"${c}__max"),
-        approx_count_distinct(col(c)).as(s"${c}__ndv"))
-    }
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols
-      .map(c => s"'$c', __cnt, `${c}__nulls`, `${c}__min`, `${c}__max`, `${c}__ndv`")
-      .mkString(", ")
-    one
-      .select(expr(s"stack(${cols.size}, $stackArgs) as (col_name, cnt, nulls, minv, maxv, ndv)"))
-      .orderBy("col_name")
-  }
+  def profileApprox(df: DataFrame, cols: Seq[String]): DataFrame =
+    profileWith(df, cols, approx_count_distinct(_))
 
   /** Schema metadata as a DataFrame (name, type, nullable). */
   def schemaOf(df: DataFrame): DataFrame = {

@@ -48,7 +48,7 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid").as("vec_id"), col("nid").as("neighbor_id"),
-        round(col("sim"), 4).as("sim"), col("rank").cast("long").as("rank"))
+        Num.pround(col("sim"), 4).as("sim"), col("rank").cast("long").as("rank"))
       .orderBy("vec_id", "rank")
   }
 
@@ -119,7 +119,7 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid").as("vec_id"), col("nid").as("neighbor_id"),
-        round(col("sim"), 4).as("sim"), col("rank").cast("long").as("rank"))
+        Num.pround(col("sim"), 4).as("sim"), col("rank").cast("long").as("rank"))
       .orderBy("vec_id", "rank")
   }
 }

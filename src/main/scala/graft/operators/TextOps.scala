@@ -71,9 +71,9 @@ object TextOps {
     docs.select(
       col("doc_id"),
       nTokens.cast("long").as("n_tokens"),
-      round(alnumChars.cast("double") / nTokens, 4).as("avg_tok_len"),
-      round(punctChars.cast("double") / length(txt), 4).as("punct_ratio"),
-      round(stopHits.cast("double") / nTokens, 4).as("stop_ratio"))
+      Num.pround(alnumChars.cast("double") / nTokens, 4).as("avg_tok_len"),
+      Num.pround(punctChars.cast("double") / length(txt), 4).as("punct_ratio"),
+      Num.pround(stopHits.cast("double") / nTokens, 4).as("stop_ratio"))
       .orderBy("doc_id")
   }
 

@@ -28,9 +28,10 @@ object Pipeline {
   def run(steps: Seq[Step], inputs: Map[String, DataFrame]): Result = {
     val byName = steps.map(s => s.name -> s).toMap
     require(byName.size == steps.size, "duplicate step names")
+    require(!steps.exists(s => inputs.contains(s.name)),
+      s"step names shadow pipeline inputs: ${steps.map(_.name).filter(inputs.contains).mkString(", ")}")
     var values = inputs
     var lineage = Vector.empty[StepRecord]
-    var done = Set.empty[String]
     var remaining = steps
     while (remaining.nonEmpty) {
       val (ready, blocked) = remaining.partition(_.inputs.forall(values.contains))
@@ -44,7 +45,6 @@ object Pipeline {
         val out = s.fn(s.inputs.map(i => i -> values(i)).toMap)
         values += (s.name -> out)
         lineage :+= StepRecord(s.name, s.inputs, out.schema.simpleString)
-        done += s.name
       }
       remaining = blocked
     }

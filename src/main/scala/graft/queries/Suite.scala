@@ -202,7 +202,7 @@ object Suite {
     Dedup.minhashCandidates(t(s, dir, "documents")).limit(200)
 
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 16).limit(200)
+    Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 16, bestEffort = true).limit(200)
 
   /** Exact 3-gram Jaccard on a fixed pair set (doc i vs i+1, i % 5 == 0):
     * the SQL-checkable verification kernel used on LSH candidates. */

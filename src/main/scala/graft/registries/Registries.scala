@@ -11,18 +11,25 @@ import graft.plans.Pipeline
   * so a stored value is immediately a first-class distributed table again.
   */
 class DataRegistry(root: String) {
-  private def dir(id: String) = s"$root/values/$id"
+  // same id validation on every path that touches the filesystem — a raw
+  // alias target like "../x" must not escape the registry root
+  private def dir(id: String) = {
+    require(id.matches("[A-Za-z0-9_.-]+") && id != "." && id != "..", s"bad value id: $id")
+    s"$root/values/$id"
+  }
   Files.createDirectories(Paths.get(s"$root/values"))
 
   def store(id: String, df: DataFrame): String = {
-    require(id.matches("[A-Za-z0-9_.-]+"), s"bad value id: $id")
     df.write.mode("overwrite").parquet(dir(id))
     id
   }
   def load(spark: SparkSession, id: String): DataFrame = spark.read.parquet(dir(id))
   def exists(id: String): Boolean = Files.exists(Paths.get(dir(id)))
-  def list: Seq[String] =
-    Files.list(Paths.get(s"$root/values")).iterator.asScala.map(_.getFileName.toString).toSeq.sorted
+  def list: Seq[String] = {
+    val s = Files.list(Paths.get(s"$root/values"))
+    try s.iterator.asScala.map(_.getFileName.toString).toSeq.sorted
+    finally s.close()
+  }
 }
 
 /** Alias registry (kiara registries/aliases/): human names → value ids,

@@ -83,8 +83,7 @@ object EventStream {
     }
     val name = s"graft_dedup_sink_${n.incrementAndGet()}"
     val q = spark.readStream.schema(schema).option("pathGlobFilter", file).parquet(dir)
-      .select(col("lang"),
-        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
+      .select(col("lang"), md5(graft.operators.Dedup.normalized(col("text"))).as("fp"))
       .dropDuplicates("fp")
       .writeStream.format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
@@ -130,6 +129,11 @@ object EventStream {
       .writeStream.format("memory").queryName(name)
       .outputMode("update").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.table(name).orderBy("user_id")
+    // update mode appends one row per user per micro-batch; counts are
+    // monotone, so max() selects each user's final state even when
+    // AvailableNow splits the input into several batches
+    spark.table(name).groupBy("user_id")
+      .agg(max("n_sessions").as("n_sessions"), max("n_events").as("n_events"))
+      .orderBy("user_id")
   }
 }

@@ -20,12 +20,15 @@ class EventsSpec extends SparkTestBase {
     assert(stats == Map(100L -> (2L, 3L), 200L -> (1L, 1L)))
   }
 
-  test("sessionize boundary: exactly 30 min is the same session") {
+  test("sessionize boundary matches native session_window: exactly 30 min merges") {
     val ev = Seq(
-      (1L, ts("2024-01-01 10:00:00"), 1L, "a", 0.0),
-      (2L, ts("2024-01-01 10:30:00"), 1L, "a", 0.0))
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a", 0.0), // session 1
+      (2L, ts("2024-01-01 10:30:00"), 1L, "a", 0.0), // exactly gap → merges
+      (3L, ts("2024-01-01 11:00:01"), 1L, "a", 0.0)) // > gap → new session
       .toDF("event_id", "ts", "user_id", "event_type", "value")
-    assert(Events.sessionStats(ev).head().getLong(1) == 1L)
+    assert(Events.sessionStats(ev).head().getLong(1) == 2L)
+    // the native operator agrees on this exact boundary input
+    assert(Events.sessionWindows(ev).count() == 2L)
   }
 
   test("hourly aggregation buckets by window start") {
