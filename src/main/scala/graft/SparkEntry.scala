@@ -60,6 +60,7 @@ object SparkEntry {
     "text_quality" -> (Suite.textQuality _),
     "text_langid" -> (Suite.textLangid _),
     "text_fingerprint" -> (Suite.textFingerprint _),
+    "text_bpe_tokens" -> (Suite.textBpeTokens _),
     "q16_sql" -> (Suite.sqlTpchQ5 _),
     "sim_centroids" -> (Suite.simCentroids _),
     // dedup (§2b rows 20-23)
@@ -297,6 +298,10 @@ object SparkEntry {
         |       (SELECT unnest(generate_series(1, 8)) AS i) g)
         |SELECT label, CAST(dim AS BIGINT) AS dim, round(avg(v), 4) AS avg_v
         |FROM u GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+    "text_bpe_tokens" ->
+      """SELECT doc_id, CAST(len(regexp_extract_all(text,
+        | '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS BIGINT) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
         | count(*) AS n_docs, min(doc_id) AS first_doc

@@ -52,6 +52,12 @@ object Similarity {
       .orderBy("vec_id", "rank")
   }
 
+  /** Unit-normalize an embedding column (array<double> out). */
+  def normalize(emb: Column): Column = {
+    val n = sqrt(dot(emb, emb))
+    transform(emb.cast("array<double>"), v => v / n)
+  }
+
   /** Deterministic random hyperplanes: numTables × numBits planes of `dim`
     * components, seeded — identical across executors and runs. */
   private def planes(dim: Int, numTables: Int, numBits: Int, seed: Long): Array[Array[Array[Double]]] = {

@@ -77,6 +77,16 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** BPE-style pre-tokenizer count: the GPT-2-family splitting regex
+    * (contraction suffixes, letter runs, digit runs, punctuation runs,
+    * whitespace-prefixed) — the standard proxy for "how many tokens will
+    * the tokenizer produce" when the merges table isn't available. */
+  val bpePattern: String =
+    "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  def bpeTokenCount(c: Column): Column =
+    regexp_count(c, lit(bpePattern)).cast("long")
+
   /** Winnowing document fingerprints (Schleimer et al.'s local rolling-
     * hash selection): hash every token k-gram, slide a window of w over
     * the hash sequence, keep each window's minimum — documents sharing a

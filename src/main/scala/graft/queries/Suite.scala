@@ -188,6 +188,11 @@ object Suite {
   def textLangid(s: SparkSession, dir: String): DataFrame =
     TextOps.langId(t(s, dir, "documents"))
 
+  def textBpeTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     TextOps.winnowFingerprints(t(s, dir, "documents"))
       .select(col("doc_id"), size(col("fps")).cast("long").as("n_fps"))

@@ -72,6 +72,20 @@ class SimilaritySpec extends SparkTestBase {
     assert(classOf[org.apache.spark.sql.graftext.GraftExtensions].getName.nonEmpty)
   }
 
+  test("normalize yields unit vectors") {
+    val df = Seq(Array(3.0f, 4.0f)).toDF("embedding")
+    val v = df.select(Similarity.normalize(col("embedding"))).head().getSeq[Double](0)
+    assert(v == Seq(0.6, 0.8))
+  }
+
+  test("bpe token count on a crafted string") {
+    import graft.operators.TextOps
+    // "I'll pay 42 dollars!" → ["I", "'ll", " pay", " 42", " dollars", "!"]
+    val n = Seq("I'll pay 42 dollars!").toDF("text")
+      .select(TextOps.bpeTokenCount(col("text"))).head().getLong(0)
+    assert(n == 6L)
+  }
+
   test("multi-probe raises candidate coverage on the random corpus") {
     val e = Tables.t(spark, sfDir, "embeddings").limit(200)
     val single = Similarity.annTopK(e, k = 5).count()
