@@ -13,10 +13,4 @@ object Num {
     val f = math.pow(10, dp)
     floor(c * f + 0.5).cast("double") / f
   }
-
-  /** The same formula as a SQL fragment for oracle queries. */
-  def proundSql(expr: String, dp: Int): String = {
-    val f = math.pow(10, dp)
-    s"CAST(floor(($expr) * $f + 0.5) AS DOUBLE) / $f"
-  }
 }

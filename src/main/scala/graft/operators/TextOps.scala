@@ -65,15 +65,20 @@ object TextOps {
     val txt = col("text")
     val toks = tokens(txt)
     val nTokens = size(toks)
+    // nullif guards: zero-token/empty docs get NULL ratios — matching
+    // DuckDB, where double division by zero yields NULL (Spark alone
+    // would produce Infinity/NaN and diverge from the oracle)
+    val nTokensNz = nullif(nTokens.cast("double"), lit(0.0))
+    val nCharsNz = nullif(length(txt).cast("double"), lit(0.0))
     val alnumChars = length(regexp_replace(lower(txt), "[^a-z0-9]", ""))
     val punctChars = length(txt) - length(regexp_replace(txt, "[^a-zA-Z0-9\\s]", ""))
     val stopHits = regexp_count(lower(txt), lit("\\b(the|a|and|of|to|in|is)\\b"))
     docs.select(
       col("doc_id"),
       nTokens.cast("long").as("n_tokens"),
-      Num.pround(alnumChars.cast("double") / nTokens, 4).as("avg_tok_len"),
-      Num.pround(punctChars.cast("double") / length(txt), 4).as("punct_ratio"),
-      Num.pround(stopHits.cast("double") / nTokens, 4).as("stop_ratio"))
+      Num.pround(alnumChars.cast("double") / nTokensNz, 4).as("avg_tok_len"),
+      Num.pround(punctChars.cast("double") / nCharsNz, 4).as("punct_ratio"),
+      Num.pround(stopHits.cast("double") / nTokensNz, 4).as("stop_ratio"))
       .orderBy("doc_id")
   }
 

@@ -34,9 +34,7 @@ object Relational {
     t(s, dir, "lineitem")
       .filter(col("l_quantity") > 45 && col("l_discount") > 0.05)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-        // portable round-to-2: identical IEEE ops in Spark and DuckDB (plain
-        // round() differs on half-boundaries between the two engines)
-        (floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0 + 0.5).cast("double") / 100.0).as("net_price"))
+        graft.operators.Num.pround(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2).as("net_price"))
       .orderBy("l_orderkey", "l_linenumber")
 
   /** Fact-fact join (lineitem ⋈ orders) + broadcast customer; top-20 revenue. */

@@ -44,9 +44,17 @@ class AliasRegistry(root: String) {
       val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
     }.toMap
 
-  def set(alias: String, valueId: String): Unit = {
+  /** Validated + atomic: alias names share the value-id charset (an '='
+    * or newline would corrupt the flat file), and the rewrite goes
+    * through a temp file + atomic move so concurrent readers never see a
+    * torn file. Same-JVM writers serialize on the instance lock. */
+  def set(alias: String, valueId: String): Unit = synchronized {
+    require(alias.matches("[A-Za-z0-9_.-]+"), s"bad alias name: $alias")
     val all = readAll() + (alias -> valueId)
-    Files.write(file, all.toSeq.sorted.map { case (k, v) => s"$k=$v" }.asJava)
+    val tmp = Files.createTempFile(Paths.get(root), ".aliases", ".tmp")
+    Files.write(tmp, all.toSeq.sorted.map { case (k, v) => s"$k=$v" }.asJava)
+    Files.move(tmp, file, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
   def resolve(alias: String): Option[String] = readAll().get(alias)
   def list: Seq[(String, String)] = readAll().toSeq.sorted
@@ -58,7 +66,18 @@ class LineageRegistry(root: String) {
   private val file = Paths.get(s"$root/lineage.jsonl")
   Files.createDirectories(Paths.get(root))
 
-  private def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+  // full JSON escape incl. control chars — an unrestricted step name with
+  // a tab/newline must not corrupt the JSONL log (same hardening as
+  // Verify's oracle_sql.json writer)
+  private def esc(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
 
   def record(runId: String, rec: Pipeline.StepRecord): Unit = {
     val line = s"""{"run":"${esc(runId)}","step":"${esc(rec.step)}","inputs":[${

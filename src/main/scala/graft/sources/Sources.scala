@@ -12,11 +12,16 @@ import org.apache.spark.sql.types._
   * metadata columns (Spark's hidden `_metadata` — no extra IO).
   */
 object Ingest {
-  def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.read.schema(schema).option("header", "true").csv(path)
+  /** Empty schema (the default) means "infer" — an explicit 0-column
+    * schema would otherwise read zero columns and break every consumer. */
+  def csv(spark: SparkSession, path: String, schema: StructType = new StructType()): DataFrame =
+    if (schema.isEmpty)
+      spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    else spark.read.schema(schema).option("header", "true").csv(path)
 
-  def json(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.read.schema(schema).json(path)
+  def json(spark: SparkSession, path: String, schema: StructType = new StructType()): DataFrame =
+    if (schema.isEmpty) spark.read.json(path)
+    else spark.read.schema(schema).json(path)
 
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

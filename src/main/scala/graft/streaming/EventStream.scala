@@ -15,35 +15,50 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object EventStream {
   private val n = new AtomicLong(0)
 
-  /** Bounded run: process everything currently in `path`, return the final
-    * windowed counts as a batch DataFrame. */
-  def hourlyCounts(spark: SparkSession, path: String): DataFrame = {
+  /** The file streaming source lists a DIRECTORY; select one file via a
+    * glob filter so `path` may point at a single parquet file. */
+  private def splitPath(path: String): (String, String) = {
+    val i = path.lastIndexOf('/')
+    require(i > 0, s"expected a directory-qualified path, got: $path")
+    (path.substring(0, i), path.substring(i + 1))
+  }
+
+  /** Streaming source over one parquet file/dir with the events-table ts
+    * normalization applied (nanos-long → µs timestamp). */
+  private def source(spark: SparkSession, path: String): DataFrame = {
     val schema = spark.read.parquet(path).schema
-    val name = s"graft_stream_sink_${n.incrementAndGet()}"
-    // The file streaming source lists a DIRECTORY; select the one file via
-    // a glob filter so `path` may point at a single parquet file.
-    val (dir, file) = {
-      val i = path.lastIndexOf('/')
-      (path.substring(0, i), path.substring(i + 1))
-    }
-    val q = graft.Tables.normalizeTs(
+    val (dir, file) = splitPath(path)
+    graft.Tables.normalizeTs(
       spark.readStream.schema(schema).option("pathGlobFilter", file).parquet(dir))
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
-      .writeStream.format("memory").queryName(name)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+  }
+
+  /** Run a streaming DataFrame to a memory sink with AvailableNow and
+    * return the sink table. */
+  private def runToMemory(spark: SparkSession, df: DataFrame, mode: String): DataFrame = {
+    val name = s"graft_stream_sink_${n.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     spark.table(name)
+  }
+
+  /** Bounded run: process everything currently in `path`, return the final
+    * windowed counts as a batch DataFrame. */
+  def hourlyCounts(spark: SparkSession, path: String): DataFrame =
+    runToMemory(spark,
+      source(spark, path)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n")),
+      "complete")
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour"),
         col("event_type"), col("n"))
       .orderBy("hour", "event_type")
-  }
 
   /** Unbounded shape with watermarked late-data handling — the plan a live
-    * deployment runs (returned unstarted; callers pick sink + trigger). */
-  def hourlyCountsStreaming(spark: SparkSession, path: String,
-                            schema: org.apache.spark.sql.types.StructType): DataFrame =
-    spark.readStream.schema(schema).parquet(path)
+    * deployment runs (returned unstarted; callers pick sink + trigger).
+    * Exercised in EventsSpec with an AvailableNow append run. */
+  def hourlyCountsStreaming(spark: SparkSession, path: String): DataFrame =
+    source(spark, path)
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -52,44 +67,27 @@ object EventStream {
     * (broadcast per micro-batch — the standard dimension-enrichment shape
     * for a live pipeline). Returns counts per enriched attribute. */
   def enrichedCounts(spark: SparkSession, eventsPath: String, dim: DataFrame,
-                     joinKey: String, attr: String): DataFrame = {
-    val schema = spark.read.parquet(eventsPath).schema
-    val (dir, file) = {
-      val i = eventsPath.lastIndexOf('/')
-      (eventsPath.substring(0, i), eventsPath.substring(i + 1))
-    }
-    val name = s"graft_enrich_sink_${n.incrementAndGet()}"
-    val q = graft.Tables.normalizeTs(
-      spark.readStream.schema(schema).option("pathGlobFilter", file).parquet(dir))
-      .join(org.apache.spark.sql.functions.broadcast(dim), joinKey)
-      .groupBy(attr)
-      .agg(count(lit(1)).as("n"))
-      .writeStream.format("memory").queryName(name)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table(name).orderBy(attr)
-  }
+                     joinKey: String, attr: String): DataFrame =
+    runToMemory(spark,
+      source(spark, eventsPath)
+        .join(broadcast(dim), joinKey)
+        .groupBy(attr)
+        .agg(count(lit(1)).as("n")),
+      "complete")
+      .orderBy(attr)
 
   /** Streaming exact dedup: dropDuplicates holds the fingerprint set as
     * streaming state, so duplicates arriving in ANY later micro-batch are
     * dropped — the streaming twin of Dedup.exactGroups. Bounded run here;
     * a live deployment adds a watermark to age out state. Returns the
     * per-language counts of the deduplicated stream. */
-  def dedupedLangCounts(spark: SparkSession, path: String): DataFrame = {
-    val schema = spark.read.parquet(path).schema
-    val (dir, file) = {
-      val i = path.lastIndexOf('/')
-      (path.substring(0, i), path.substring(i + 1))
-    }
-    val name = s"graft_dedup_sink_${n.incrementAndGet()}"
-    val q = spark.readStream.schema(schema).option("pathGlobFilter", file).parquet(dir)
-      .select(col("lang"), md5(graft.operators.Dedup.normalized(col("text"))).as("fp"))
-      .dropDuplicates("fp")
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table(name).groupBy("lang").agg(count(lit(1)).as("n_unique")).orderBy("lang")
-  }
+  def dedupedLangCounts(spark: SparkSession, path: String): DataFrame =
+    runToMemory(spark,
+      source(spark, path)
+        .select(col("lang"), md5(graft.operators.Dedup.normalized(col("text"))).as("fp"))
+        .dropDuplicates("fp"),
+      "append")
+      .groupBy("lang").agg(count(lit(1)).as("n_unique")).orderBy("lang")
 
   /** Per-user session state carried across micro-batches. */
   case class SessionState(nSessions: Long, lastUs: Long, nEvents: Long)
@@ -102,13 +100,7 @@ object EventStream {
   def sessionStats(spark: SparkSession, path: String, gapMinutes: Int = 30): DataFrame = {
     import spark.implicits._
     val gapUs = gapMinutes.toLong * 60L * 1000000L
-    val schema = spark.read.parquet(path).schema
-    val (dir, file) = {
-      val i = path.lastIndexOf('/')
-      (path.substring(0, i), path.substring(i + 1))
-    }
-    val src = graft.Tables.normalizeTs(
-      spark.readStream.schema(schema).option("pathGlobFilter", file).parquet(dir))
+    val src = source(spark, path)
       .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
       .as[(Long, Long, Long)]
     val stats = src
@@ -124,15 +116,11 @@ object EventStream {
           state.update(s)
           Iterator.single((uid, s.nSessions, s.nEvents))
       }
-    val name = s"graft_sess_sink_${n.incrementAndGet()}"
-    val q = stats.toDF("user_id", "n_sessions", "n_events")
-      .writeStream.format("memory").queryName(name)
-      .outputMode("update").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
     // update mode appends one row per user per micro-batch; counts are
     // monotone, so max() selects each user's final state even when
     // AvailableNow splits the input into several batches
-    spark.table(name).groupBy("user_id")
+    runToMemory(spark, stats.toDF("user_id", "n_sessions", "n_events"), "update")
+      .groupBy("user_id")
       .agg(max("n_sessions").as("n_sessions"), max("n_events").as("n_events"))
       .orderBy("user_id")
   }

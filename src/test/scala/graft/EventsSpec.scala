@@ -80,6 +80,19 @@ class EventsSpec extends SparkTestBase {
     assert(stream == batch)
   }
 
+  test("watermarked streaming plan runs append-mode end to end") {
+    val agg = graft.streaming.EventStream
+      .hourlyCountsStreaming(spark, s"$sfDir/events.parquet")
+    val name = s"wm_sink_${System.nanoTime()}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // append emits only windows older than the 2h watermark: all but the
+    // tail of the month of data
+    assert(spark.table(name).count() > 0)
+  }
+
   test("streaming dedup matches batch distinct fingerprint counts") {
     val batch = graft.operators.Dedup.exactGroups(Tables.t(spark, sfDir, "documents")).count()
     val stream = graft.streaming.EventStream

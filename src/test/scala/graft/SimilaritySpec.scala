@@ -72,6 +72,15 @@ class SimilaritySpec extends SparkTestBase {
     assert(classOf[org.apache.spark.sql.graftext.GraftExtensions].getName.nonEmpty)
   }
 
+  test("cosine(a,b) equals the prenormed formulation used by the operators") {
+    val e = Tables.t(spark, sfDir, "embeddings").limit(50)
+    val a = e.select(col("vec_id"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id"), col("embedding").as("eb"))
+    val paired = a.join(b, "vec_id")
+    val direct = paired.select(Similarity.cosine(col("ea"), col("eb")).as("c")).collect().map(_.getDouble(0))
+    assert(direct.forall(c => math.abs(c - 1.0) < 1e-12)) // self-cosine = 1
+  }
+
   test("normalize yields unit vectors") {
     val df = Seq(Array(3.0f, 4.0f)).toDF("embedding")
     val v = df.select(Similarity.normalize(col("embedding"))).head().getSeq[Double](0)
