@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.operators.{Profile, Render}
+
+/** Command-line surface mirroring kiara's CLI (`kiara run`, `kiara data
+  * list/explain`, `kiara operation list` — reference interfaces/cli/):
+  *
+  *   queries                          list registered query keys
+  *   query <name> <sfDir> [rows]      run a query, print a bounded table
+  *   tables <sfDir>                   tables with row counts
+  *   profile <sfDir> <table> <col..>  one-pass column stats
+  *   entry                            run the flagship query
+  *
+  * `run` is separated from `main` so specs can drive it on a shared
+  * session and assert on the rendered output.
+  */
+object Cli {
+
+  def run(spark: SparkSession, args: Array[String]): String = args.toList match {
+    case "queries" :: Nil =>
+      SparkEntry.queries.keys.toSeq.sorted.mkString("\n")
+    case "query" :: name :: sfDir :: rest =>
+      val rows = rest.headOption.map(_.toInt).getOrElse(20)
+      val fn = SparkEntry.queries.getOrElse(name,
+        throw new IllegalArgumentException(
+          s"unknown query: $name (see `queries` for the list)"))
+      Render.prettyPrint(fn(spark, sfDir), rows)
+    case "tables" :: sfDir :: Nil =>
+      Tables.names.map(t => f"$t%-12s ${Tables.t(spark, sfDir, t).count()}%d rows").mkString("\n")
+    case "profile" :: sfDir :: table :: cols if cols.nonEmpty =>
+      Render.prettyPrint(Profile.profile(Tables.t(spark, sfDir, table), cols), 50)
+    case "entry" :: Nil =>
+      Render.prettyPrint(SparkEntry.entry(spark))
+    case other =>
+      throw new IllegalArgumentException(
+        s"usage: queries | query <name> <sfDir> [rows] | tables <sfDir> | " +
+          s"profile <sfDir> <table> <col...> | entry (got: ${other.mkString(" ")})")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    println(run(spark, args))
+    spark.stop()
+  }
+}

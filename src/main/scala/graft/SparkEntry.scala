@@ -71,6 +71,7 @@ object SparkEntry {
     // similarity (§2b rows 24-25)
     "sim_topk_exact" -> (Suite.simTopkExact _),
     "sim_ann_lsh" -> (Suite.simAnnLsh _),
+    "dedup_embedding" -> (Suite.dedupEmbedding _),
     // multimodal (§2b row 26)
     "mm_bytes" -> (Suite.mmBytes _),
     // events + streaming (§2b rows 33-36)

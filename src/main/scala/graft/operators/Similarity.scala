@@ -52,6 +52,18 @@ object Similarity {
       .orderBy("vec_id", "rank")
   }
 
+  /** Embedding-cosine near-duplicate pairs: LSH-bucketed candidates
+    * filtered to cosine ≥ threshold, each unordered pair once (qid < nid).
+    * The dedup-by-embedding path of an LLM data pipeline — same bucket
+    * equi-join as annTopK, no all-pairs product. */
+  def nearDupPairs(corpus: DataFrame, threshold: Double, dim: Int = 64,
+                   numTables: Int = 8, numBits: Int = 6, seed: Long = 42L): DataFrame =
+    candidatePairs(corpus, dim, numTables, numBits, seed, multiProbe = false)
+      .filter(col("sim") >= threshold && col("qid") < col("nid"))
+      .select(col("qid").as("vec_a"), col("nid").as("vec_b"),
+        Num.pround(col("sim"), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
+
   /** Unit-normalize an embedding column (array<double> out). */
   def normalize(emb: Column): Column = {
     val n = sqrt(dot(emb, emb))
@@ -88,6 +100,19 @@ object Similarity {
     * beats a brute scan; use topKExact with a bounded query set there. */
   def annTopK(corpus: DataFrame, k: Int, dim: Int = 64, numTables: Int = 8,
               numBits: Int = 6, seed: Long = 42L, multiProbe: Boolean = false): DataFrame = {
+    val cands = candidatePairs(corpus, dim, numTables, numBits, seed, multiProbe)
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    cands
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("vec_id"), col("nid").as("neighbor_id"),
+        Num.pround(col("sim"), 4).as("sim"), col("rank").cast("long").as("rank"))
+      .orderBy("vec_id", "rank")
+  }
+
+  /** Scored, deduplicated LSH candidate pairs (both directions). */
+  private def candidatePairs(corpus: DataFrame, dim: Int, numTables: Int,
+                             numBits: Int, seed: Long, multiProbe: Boolean): DataFrame = {
     val ps = planes(dim, numTables, numBits, seed)
     val bucketStructs = ps.zipWithIndex.map { case (tp, t) =>
       struct(lit(t).as("tbl"), bucketExpr(col("embedding"), tp).as("bucket"))
@@ -114,18 +139,11 @@ object Similarity {
     // recomputing the (codegen'd) cosine for a pair that collides in
     // several tables is far cheaper than shuffling embedding arrays
     // through a groupBy to dedup before scoring.
-    val cands = a.join(b, Seq("tbl", "bucket"))
+    a.join(b, Seq("tbl", "bucket"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         cosinePrenormed(dot(col("qemb"), col("nemb")), col("qnorm"), col("nnorm")).as("sim"))
       .groupBy("qid", "nid")
       .agg(max("sim").as("sim"))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
-    cands
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid").as("vec_id"), col("nid").as("neighbor_id"),
-        Num.pround(col("sim"), 4).as("sim"), col("rank").cast("long").as("rank"))
-      .orderBy("vec_id", "rank")
   }
 }

@@ -233,6 +233,13 @@ object Suite {
   def simAnnLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.annTopK(t(s, dir, "embeddings"), k = 5)
 
+  /** Embedding-cosine near-dup pairs (rows-only; the synthetic embeddings
+    * are near-random with max pairwise cosine ≈ 0.48, so the threshold
+    * here is demonstrative — production dedup uses ~0.95, covered by the
+    * planted-cluster ScalaTest). */
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(t(s, dir, "embeddings"), threshold = 0.30).limit(200)
+
   /** Per-label centroid components: posexplode the vector, aggregate by
     * (label, dim) — embedding aggregation without ever collecting vectors. */
   def simCentroids(s: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,33 @@
+package graft
+
+class CliSpec extends SparkTestBase {
+
+  test("queries lists registered keys") {
+    val out = Cli.run(spark, Array("queries"))
+    assert(out.linesIterator.contains("q1_agg"))
+    assert(out.linesIterator.size == SparkEntry.queries.size)
+  }
+
+  test("query renders a bounded table") {
+    val out = Cli.run(spark, Array("query", "q5_distinct", sfDir, "3"))
+    assert(out.contains("o_orderstatus"))
+    assert(out.linesIterator.count(_.startsWith("|")) <= 4) // header + ≤3 rows
+  }
+
+  test("tables lists row counts") {
+    val out = Cli.run(spark, Array("tables", sfDir))
+    assert(out.contains("lineitem") && out.contains("6000 rows"))
+  }
+
+  test("profile renders stats") {
+    val out = Cli.run(spark, Array("profile", sfDir, "orders", "o_totalprice"))
+    assert(out.contains("o_totalprice") && out.contains("ndv"))
+  }
+
+  test("unknown query and bad usage fail with guidance") {
+    val e1 = intercept[IllegalArgumentException] { Cli.run(spark, Array("query", "nope", sfDir)) }
+    assert(e1.getMessage.contains("unknown query"))
+    val e2 = intercept[IllegalArgumentException] { Cli.run(spark, Array("bogus")) }
+    assert(e2.getMessage.contains("usage:"))
+  }
+}

@@ -81,6 +81,22 @@ class SimilaritySpec extends SparkTestBase {
     assert(direct.forall(c => math.abs(c - 1.0) < 1e-12)) // self-cosine = 1
   }
 
+  test("embedding near-dup pairs: intra-cluster only at a high threshold") {
+    val r = new scala.util.Random(11)
+    val dim = 64
+    val rows = (0 until 10).flatMap { c =>
+      val center = Array.fill(dim)(r.nextGaussian())
+      (0 until 10).map(m => (c.toLong * 10 + m,
+        center.map(x => (x + 0.1 * r.nextGaussian()).toFloat)))
+    }
+    val e = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDupPairs(e, threshold = 0.9).collect()
+    assert(pairs.nonEmpty)
+    // every reported pair is within one planted cluster
+    assert(pairs.forall(p => p.getLong(0) / 10 == p.getLong(1) / 10))
+    assert(pairs.forall(_.getDouble(2) >= 0.9))
+  }
+
   test("normalize yields unit vectors") {
     val df = Seq(Array(3.0f, 4.0f)).toDF("embedding")
     val v = df.select(Similarity.normalize(col("embedding"))).head().getSeq[Double](0)
