@@ -72,6 +72,8 @@ object SparkEntry {
     "sim_topk_exact" -> (Suite.simTopkExact _),
     "sim_ann_lsh" -> (Suite.simAnnLsh _),
     "dedup_embedding" -> (Suite.dedupEmbedding _),
+    "dedup_clusters" -> (Suite.dedupClusters _),
+    "sim_ivf_topk" -> (Suite.simIvfTopk _),
     // multimodal (§2b row 26)
     "mm_bytes" -> (Suite.mmBytes _),
     // events + streaming (§2b rows 33-36)

@@ -156,6 +156,47 @@ object Dedup {
       .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
   }
 
+  // ---- Duplicate clustering (connected components) ----------------------
+
+  /** Duplicate CLUSTERS from near-dup pairs: connected components by
+    * iterative min-label propagation. Each node starts labeled with its
+    * own id; every round it adopts the minimum label in its neighborhood;
+    * convergence in O(diameter) rounds (duplicate clusters are shallow).
+    * Only the per-round change COUNT reaches the driver — labels stay
+    * distributed, so this runs at any pair-set size.
+    *
+    * Input: (doc_a, doc_b) pair rows. Output: (doc_id, cluster_id) where
+    * cluster_id is the minimum doc_id in the component. */
+  def clusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "dst").withColumnRenamed("label", "dst_label"), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min("dst_label").as("nmin"))
+      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = updated.join(labels.withColumnRenamed("label", "old_label"), "doc_id")
+        .filter(col("label") =!= col("old_label")).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("label", "cluster_id").orderBy("doc_id")
+  }
+
   // ---- Exact n-gram Jaccard (verification kernel) -----------------------
 
   /** Exact shingle-set Jaccard over `toks_a`/`toks_b` columns — the

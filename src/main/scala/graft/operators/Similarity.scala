@@ -64,6 +64,62 @@ object Similarity {
         Num.pround(col("sim"), 4).as("sim"))
       .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
 
+  /** IVF (inverted-file) ANN — the coarse-quantizer alternative to
+    * hyperplane LSH. Centroids are a deterministic sample of the corpus
+    * (every N/numCentroids-th vector by vec_id rank); each vector is
+    * assigned to its single nearest centroid (the inverted lists), and a
+    * query probes its `nprobe` nearest centroids' lists. The centroid set
+    * is O(√N) by construction, so collecting it to the driver for
+    * broadcast is bounded (32k centroids × 64 dims ≈ 8 MB at 1B vectors).
+    * Shuffles on centroid_id only — list sizes, not all-pairs. */
+  def ivfTopK(corpus: DataFrame, k: Int, numCentroids: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    val n = corpus.count()
+    val step = math.max(1L, n / numCentroids)
+    // deterministic sample by key stride — no global sort at index build
+    val centroidRows = corpus
+      .filter(col("vec_id") % step === 0)
+      .limit(numCentroids)
+      .select(col("embedding").cast("array<double>"))
+      .collect()
+    val cents: Array[Array[Double]] =
+      centroidRows.map((r: Row) => r.getSeq[Double](0).toArray)
+    // nearest-centroid assignment: cosine against the broadcast centroid
+    // literals, reusing the precomputed vector norm
+    def centScores(emb: Column, norm: Column): Column =
+      array(cents.map { c =>
+        val cl = array(c.map(lit): _*)
+        dot(emb, cl) / (norm * math.sqrt(c.map(x => x * x).sum))
+      }: _*)
+    val scored = withNorm(corpus, "embedding", "norm")
+      .withColumn("__scores", centScores(col("embedding"), col("norm")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val indexed = scored.select(col("vec_id"), col("embedding"), col("norm"),
+      expr("array_position(__scores, array_max(__scores)) - 1").cast("int").as("centroid_id"))
+    val probed = scored.select(col("vec_id"), col("embedding"), col("norm"),
+      explode(expr(
+        s"slice(array_sort(transform(__scores, (s, i) -> named_struct('ns', -s, 'ci', i))), 1, $nprobe)"))
+        .as("p"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        col("norm").as("qnorm"), col("p.ci").as("centroid_id"))
+    val cands = probed.join(
+      indexed.select(col("centroid_id"), col("vec_id").as("nid"),
+        col("embedding").as("nemb"), col("norm").as("nnorm")),
+      "centroid_id")
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        cosinePrenormed(dot(col("qemb"), col("nemb")), col("qnorm"), col("nnorm")).as("sim"))
+      .groupBy("qid", "nid")
+      .agg(max("sim").as("sim"))
+    val rankW = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    cands
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("vec_id"), col("nid").as("neighbor_id"),
+        Num.pround(col("sim"), 4).as("sim"), col("rank").cast("long").as("rank"))
+      .orderBy("vec_id", "rank")
+  }
+
   /** Unit-normalize an embedding column (array<double> out). */
   def normalize(emb: Column): Column = {
     val n = sqrt(dot(emb, emb))

@@ -233,6 +233,20 @@ object Suite {
   def simAnnLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.annTopK(t(s, dir, "embeddings"), k = 5)
 
+  /** Duplicate clusters (connected components) over the LSH candidate
+    * pairs — pairs become dedup GROUPS, the form a pipeline actually
+    * consumes (keep cluster_id, drop the rest). Rows-only. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.clusters(Dedup.minhashCandidates(t(s, dir, "documents"))
+      .select("doc_a", "doc_b"))
+
+  /** IVF ANN top-k (rows-only; recall spec on planted clusters). */
+  def simIvfTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.ivfTopK(e, k = 5,
+      numCentroids = math.max(4, math.sqrt(e.count().toDouble).toInt), nprobe = 4)
+  }
+
   /** Embedding-cosine near-dup pairs (rows-only; the synthetic embeddings
     * are near-random with max pairwise cosine ≈ 0.48, so the threshold
     * here is demonstrative — production dedup uses ~0.95, covered by the

@@ -56,6 +56,20 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 2L, 0L)))
   }
 
+  test("clusters: connected components over near-dup pairs") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L)).toDF("doc_a", "doc_b")
+    val cc = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // {1,2,3,9} form one component labeled by min id 1; {5,6} labeled 5
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("clusters: a long chain converges to one component") {
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = Dedup.clusters(chain).collect().map(_.getLong(1)).distinct
+    assert(cc.toSeq == Seq(1L))
+  }
+
   test("ngram jaccard exact value on a hand-computed pair") {
     // toks_a: [a b c d], shingles {a b c, b c d}; toks_b: [a b c e] → {a b c, b c e}
     // intersect=1, union=3 → 0.3333
