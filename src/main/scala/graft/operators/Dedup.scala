@@ -169,13 +169,25 @@ object Dedup {
     * cluster_id is the minimum doc_id in the component. */
   def clusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val spark = pairs.sparkSession
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    var edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // near-dup pair sets are a sliver of the corpus (LSH candidates);
+    // size the iterative joins to the graph, not to the session default —
+    // per-iteration scheduling overhead dominates otherwise
+    val nEdges = edges.count()
+    val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
+      (nEdges / 100000L).toInt + 1))
+    edges = edges.repartition(parts, col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (eager) truncates lineage every round, so each
+    // iteration re-executes the SAME plan shape — one codegen compile for
+    // the whole loop instead of one per round, and no lineage blowup
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .repartition(parts, col("doc_id"))
+      .localCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -184,12 +196,11 @@ object Dedup {
         .groupBy(col("src").as("doc_id"))
         .agg(min("dst_label").as("nmin"))
       val updated = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = updated.join(labels.withColumnRenamed("label", "old_label"), "doc_id")
-        .filter(col("label") =!= col("old_label")).count()
-      labels.unpersist()
-      labels = updated
+        .select(col("doc_id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          col("label").as("old_label"))
+        .localCheckpoint()
+      val changed = updated.filter(col("label") =!= col("old_label")).count()
+      labels = updated.drop("old_label")
       converged = changed == 0
       iter += 1
     }
