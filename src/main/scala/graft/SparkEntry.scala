@@ -38,6 +38,8 @@ object SparkEntry {
     "q20_scalar_subquery" -> (Relational.q20ScalarSubquery _),
     "q21_array_agg" -> (Relational.q21ArrayAgg _),
     "q22_histogram" -> (Relational.q22Histogram _),
+    "q23_grouping_sets" -> (Relational.q23GroupingSets _),
+    "q24_pivot" -> (Relational.q24Pivot _),
     "render_slice" -> (Relational.renderSlice _),
     // ingestion / export / serde / bundles (rows 2-6, 8, 14)
     "ingest_csv" -> (Suite.ingestCsv _),
@@ -284,6 +286,19 @@ object SparkEntry {
       """SELECT bucket, count(*) AS n FROM (
         | SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket FROM orders)
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q23_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | count(*) AS n, round(sum(o_totalprice),2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY status, priority""".stripMargin,
+    "q24_pivot" ->
+      """SELECT o_orderpriority,
+        | CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_f,
+        | CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_o,
+        | CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q16_sql" ->
       """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
         |FROM customer, orders, lineitem, supplier, nation, region
