@@ -169,18 +169,20 @@ object Dedup {
     * cluster_id is the minimum doc_id in the component. */
   def clusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val spark = pairs.sparkSession
-    var edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val rawEdges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // near-dup pair sets are a sliver of the corpus (LSH candidates);
     // size the iterative joins to the graph, not to the session default —
     // per-iteration scheduling overhead dominates otherwise
-    val nEdges = edges.count()
+    val nEdges = rawEdges.count()
     val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
       (nEdges / 100000L).toInt + 1))
-    edges = edges.repartition(parts, col("dst"))
+    val edges = rawEdges.repartition(parts, col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count() // materialize, then release the pre-repartition copy
+    rawEdges.unpersist()
     // localCheckpoint (eager) truncates lineage every round, so each
     // iteration re-executes the SAME plan shape — one codegen compile for
     // the whole loop instead of one per round, and no lineage blowup
@@ -205,6 +207,11 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // an unconverged exit would silently emit intermediate labels —
+    // surface it instead; callers with deep components raise maxIters
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge in $maxIters rounds " +
+        s"(component diameter exceeds maxIters); raise maxIters")
     labels.withColumnRenamed("label", "cluster_id").orderBy("doc_id")
   }
 

@@ -72,18 +72,21 @@ object Similarity {
     * is O(√N) by construction, so collecting it to the driver for
     * broadcast is bounded (32k centroids × 64 dims ≈ 8 MB at 1B vectors).
     * Shuffles on centroid_id only — list sizes, not all-pairs. */
-  def ivfTopK(corpus: DataFrame, k: Int, numCentroids: Int, nprobe: Int): DataFrame = {
+  def ivfTopK(corpus: DataFrame, k: Int, numCentroids: Int = -1, nprobe: Int = 4): DataFrame = {
     import org.apache.spark.sql.Row
     val n = corpus.count()
-    val step = math.max(1L, n / numCentroids)
-    // deterministic sample by key stride — no global sort at index build
-    val centroidRows = corpus
-      .filter(col("vec_id") % step === 0)
-      .limit(numCentroids)
+    val c = if (numCentroids > 0) numCentroids else math.max(4, math.sqrt(n.toDouble).toInt)
+    val step = math.max(1L, n / c)
+    // deterministic id-HASH stride (robust to sparse/structured vec_ids),
+    // with a total order under the limit per the repo's determinism rule;
+    // fall back to the smallest ids if the hash stride under-samples
+    def firstK(df: DataFrame): Array[Array[Double]] = df
+      .orderBy("vec_id").limit(c)
       .select(col("embedding").cast("array<double>"))
-      .collect()
+      .collect().map((r: Row) => r.getSeq[Double](0).toArray)
+    val sampled = firstK(corpus.filter(pmod(xxhash64(col("vec_id")), lit(step)) === 0))
     val cents: Array[Array[Double]] =
-      centroidRows.map((r: Row) => r.getSeq[Double](0).toArray)
+      if (sampled.length >= math.min(c, 4)) sampled else firstK(corpus)
     // nearest-centroid assignment: cosine against the broadcast centroid
     // literals, reusing the precomputed vector norm
     def centScores(emb: Column, norm: Column): Column =

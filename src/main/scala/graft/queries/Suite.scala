@@ -233,19 +233,18 @@ object Suite {
   def simAnnLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.annTopK(t(s, dir, "embeddings"), k = 5)
 
-  /** Duplicate clusters (connected components) over the LSH candidate
-    * pairs — pairs become dedup GROUPS, the form a pipeline actually
-    * consumes (keep cluster_id, drop the rest). Rows-only. */
+  /** Duplicate clusters (connected components) over THRESHOLDED near-dup
+    * pairs — raw band collisions would transitively merge unrelated docs
+    * (one spurious bridge chains two components), so the Jaccard-estimate
+    * gate comes first. Pairs become dedup GROUPS, the form a pipeline
+    * actually consumes (keep one doc per cluster_id). Rows-only. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
-    Dedup.clusters(Dedup.minhashCandidates(t(s, dir, "documents"))
+    Dedup.clusters(Dedup.minhashPairs(t(s, dir, "documents"), threshold = 0.2)
       .select("doc_a", "doc_b"))
 
   /** IVF ANN top-k (rows-only; recall spec on planted clusters). */
-  def simIvfTopk(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings")
-    Similarity.ivfTopK(e, k = 5,
-      numCentroids = math.max(4, math.sqrt(e.count().toDouble).toInt), nprobe = 4)
-  }
+  def simIvfTopk(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(t(s, dir, "embeddings"), k = 5, nprobe = 4)
 
   /** Embedding-cosine near-dup pairs (rows-only; the synthetic embeddings
     * are near-random with max pairwise cosine ≈ 0.48, so the threshold
