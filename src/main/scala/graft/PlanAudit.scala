@@ -11,7 +11,7 @@ object PlanAudit {
   val audited: Seq[String] = Seq(
     "q1_agg", "q2_filter", "q3_join", "q4_sort_limit", "q6_region_join",
     "q8_semijoin", "q9_antijoin", "q16_sql", "q17_intersect", "q18_except",
-    "q20_scalar_subquery", "meta_profile", "text_tokens",
+    "q20_scalar_subquery", "q23_grouping_sets", "q24_pivot", "meta_profile", "text_tokens",
     "dedup_exact", "dedup_minhash", "sim_topk_exact", "sim_ann_lsh",
     "evt_sessionize", "evt_session_window", "evt_window_agg",
     // dedup_clusters is excluded: its localCheckpoint-based loop runs
