@@ -106,43 +106,53 @@ object Dedup {
   /** 64-bit simhash per doc: per-token xxhash64 contributes ±1 to each of
     * 64 bit counters, the sign vector re-assembles to a long.
     *
-    * Shape: explode tokens → one groupBy(doc_id) with 64 conditional-sum
-    * aggregates (all codegen'd, map-side partial aggregation) → bitmask
-    * assembly from the 64 sums. The earlier HOF `aggregate`-over-array
-    * formulation computed the same thing ~25× slower because Spark's
-    * higher-order functions are interpreted per element. */
-  def simhash(docs: DataFrame): DataFrame = {
-    val tok = docs
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(expr(s"(shiftright(h, $i) & 1) = 1"), 1L).otherwise(-1L)).as(s"b$i")
-    }
-    tok
-      .groupBy("doc_id")
-      .agg(bitSums.head, bitSums.tail: _*)
+    * Shape: a single map stage — the native row-local
+    * [[org.apache.spark.sql.graftext.SimHash]] expression loops over the
+    * token array inside whole-stage codegen. Because simhash is a
+    * per-document function, this needs NO explode and NO shuffle: the
+    * canonical 100 TB shape. (History: a 64 × `sum(when(...))` aggregate
+    * tree over exploded tokens paid ~10 s of one-time janino compile per
+    * plan; an HOF `aggregate`-over-array formulation before that was ~25×
+    * slower still. [[org.apache.spark.sql.graftext.SimHashAgg]] remains
+    * for pre-exploded (doc, token_hash) inputs and produces identical
+    * hashes.) */
+  def simhash(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0) // match the exploded form: tokenless docs emit no row
       .select(col("doc_id"),
-        (0 until 64).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-          .reduce(_ bitwiseOR _).as("simhash"))
-  }
+        org.apache.spark.sql.graftext.SimHash.simhash(col("toks")).as("simhash"))
 
   /** Near-dup pairs with Hamming distance ≤ maxHamming: band the 64-bit
-    * hash into 4 16-bit chunks (pigeonhole: any pair at distance ≤ 3 is
-    * GUARANTEED to share a chunk), equi-join per chunk, verify with
-    * bit_count(xor). For maxHamming > 3 the chunk join is best-effort
-    * candidate generation (full recall is not guaranteed) — callers must
-    * opt in explicitly via bestEffort. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, bestEffort: Boolean = false): DataFrame = {
-    require(maxHamming <= 3 || bestEffort,
-      s"4x16-bit chunking guarantees recall only for maxHamming <= 3 " +
-        s"(got $maxHamming); pass bestEffort=true for approximate higher-distance search")
+    * hash into `numChunks` equal chunks (pigeonhole: any pair at distance
+    * ≤ numChunks - 1 is GUARANTEED to share a chunk), equi-join per chunk,
+    * verify with bit_count(xor).
+    *
+    * Chunk-count trade-off at scale: 4×16-bit chunks give 2^16 buckets per
+    * chunk (collision-sparse, the 100 TB default) but guarantee only
+    * hamming ≤ 3; 8×8-bit chunks guarantee ≤ 7 but only 256 buckets per
+    * chunk — on a billion-doc corpus every bucket pairs ~N/256 docs, a
+    * quadratic blowup, so reserve 8-chunk mode for bounded corpora or add
+    * a within-bucket cap. For maxHamming ≥ numChunks the chunk join is
+    * best-effort candidate generation (full recall is not guaranteed) —
+    * callers must opt in explicitly via bestEffort. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, numChunks: Int = 4,
+      bestEffort: Boolean = false): DataFrame = {
+    require(numChunks > 0 && 64 % numChunks == 0,
+      s"numChunks must divide 64 (got $numChunks)")
+    require(maxHamming < numChunks || bestEffort,
+      s"${numChunks}x${64 / numChunks}-bit chunking guarantees recall only for " +
+        s"maxHamming <= ${numChunks - 1} (got $maxHamming); pass bestEffort=true " +
+        s"for approximate higher-distance search")
+    val width = 64 / numChunks
+    val mask = if (width == 64) -1L else (1L << width) - 1L
     // persist: referenced on both sides of the chunk self-join (see
     // minhashCandidates) — one long per doc, negligible footprint
     val sh = simhash(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = sh.select(col("doc_id"), col("simhash"),
-      explode(expr("transform(sequence(0, 3), c -> " +
-        "named_struct('chunk', c, 'ckey', shiftright(simhash, c * 16) & 65535))")).as("ck"))
+      explode(expr(s"transform(sequence(0, ${numChunks - 1}), c -> " +
+        s"named_struct('chunk', c, 'ckey', shiftright(simhash, c * $width) & $mask))")).as("ck"))
       .select(col("doc_id"), col("simhash"), col("ck.chunk").as("chunk"), col("ck.ckey").as("ckey"))
     val a = chunked.select(col("chunk"), col("ckey"), col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
     val b = chunked.select(col("chunk"), col("ckey"), col("doc_id").as("doc_b"), col("simhash").as("sh_b"))

@@ -37,13 +37,17 @@ object Relational {
         graft.operators.Num.pround(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2).as("net_price"))
       .orderBy("l_orderkey", "l_linenumber")
 
-  /** Fact-fact join (lineitem ⋈ orders) + broadcast customer; top-20 revenue. */
+  /** Fact-fact join (lineitem ⋈ orders) ⋈ customer; top-20 revenue.
+    * customer is fact-scale (it grows with SF), so it carries NO broadcast
+    * hint: a forced broadcast would override AQE's size check and OOM at
+    * cluster scale. AQE still picks a broadcast at small SF where the
+    * side fits, and falls back to shuffle join when it doesn't. */
   def q3Join(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
     val o = t(s, dir, "orders").filter(col("o_orderdate") >= lit("1996-01-01"))
     val l = t(s, dir, "lineitem")
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy("c_custkey", "c_name")
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
         count(lit(1)).as("n_items"))

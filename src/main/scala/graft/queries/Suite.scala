@@ -206,8 +206,13 @@ object Suite {
   def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashCandidates(t(s, dir, "documents")).limit(200)
 
+  /** Recall-guaranteed configuration: 4×16-bit chunking guarantees every
+    * pair at hamming ≤ 3 shares a chunk (pigeonhole) — no bestEffort
+    * waiver, and 2^16 buckets per chunk keeps the candidate join sparse
+    * at corpus scale (the 100 TB default; see Dedup.simhashPairs for the
+    * 8×8 trade-off). */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 16, bestEffort = true).limit(200)
+    Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3).limit(200)
 
   /** Exact 3-gram Jaccard on a fixed pair set (doc i vs i+1, i % 5 == 0):
     * the SQL-checkable verification kernel used on LSH candidates. */

@@ -56,6 +56,22 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 2L, 0L)))
   }
 
+  test("simhash: row-local expression and explode+aggregate paths produce identical hashes") {
+    import graft.operators.TextOps
+    import org.apache.spark.sql.graftext.SimHashAgg
+    val nearDup = base.replace("lazy", "sleepy")
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> base.toUpperCase, 4L -> "one two three")
+    val viaExpr = Dedup.simhash(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaAgg = d
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+      .groupBy("doc_id")
+      .agg(SimHashAgg.simhashAgg(col("h")).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExpr == viaAgg)
+  }
+
   test("clusters: connected components over near-dup pairs") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L)).toDF("doc_a", "doc_b")
     val cc = Dedup.clusters(pairs).collect()
