@@ -16,6 +16,17 @@ object Profile {
 
   private def profileWith(df: DataFrame, cols: Seq[String],
                           ndv: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+    // both the column names and their types are interpolated into a SQL
+    // `stack(...)` string below, and min/max are cast to double — validate
+    // up front (this path is reachable from the user-facing Cli `profile`
+    // command) instead of failing with a parse/ANSI-cast error mid-query
+    cols.foreach { c =>
+      require(c.matches("[A-Za-z0-9_.-]+"), s"bad column name for profile: $c")
+      val field = df.schema.fields.find(_.name == c)
+        .getOrElse(throw new IllegalArgumentException(s"no such column: $c"))
+      require(field.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"profile supports numeric columns only; '$c' is ${field.dataType.simpleString}")
+    }
     val aggs = Seq(count(lit(1)).as("__cnt")) ++ cols.flatMap { c =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),

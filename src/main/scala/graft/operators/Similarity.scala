@@ -85,8 +85,11 @@ object Similarity {
       .select(col("embedding").cast("array<double>"))
       .collect().map((r: Row) => r.getSeq[Double](0).toArray)
     val sampled = firstK(corpus.filter(pmod(xxhash64(col("vec_id")), lit(step)) === 0))
+    // fall back to the smallest ids unless the hash stride produced at
+    // least half the requested centroids — accepting a handful (e.g. 5 of
+    // 100) would silently gut recall
     val cents: Array[Array[Double]] =
-      if (sampled.length >= math.min(c, 4)) sampled else firstK(corpus)
+      if (sampled.length >= math.max(1, (c + 1) / 2)) sampled else firstK(corpus)
     // nearest-centroid assignment: cosine against the broadcast centroid
     // literals, reusing the precomputed vector norm
     def centScores(emb: Column, norm: Column): Column =

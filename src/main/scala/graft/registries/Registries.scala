@@ -50,6 +50,7 @@ class AliasRegistry(root: String) {
     * torn file. Same-JVM writers serialize on the instance lock. */
   def set(alias: String, valueId: String): Unit = synchronized {
     require(alias.matches("[A-Za-z0-9_.-]+"), s"bad alias name: $alias")
+    require(valueId.matches("[A-Za-z0-9_.-]+"), s"bad value id: $valueId")
     val all = readAll() + (alias -> valueId)
     val tmp = Files.createTempFile(Paths.get(root), ".aliases", ".tmp")
     Files.write(tmp, all.toSeq.sorted.map { case (k, v) => s"$k=$v" }.asJava)

@@ -111,7 +111,16 @@ object EventStream {
           var s = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
           evs.foreach { e =>
             val newSession = s.nEvents == 0L || e._2 - s.lastUs > gapUs
-            s = SessionState(s.nSessions + (if (newSession) 1L else 0L), e._2, s.nEvents + 1L)
+            // lastUs is monotone (max-seen): an event OLDER than state
+            // (possible when the source splits into several micro-batches
+            // and a later batch carries earlier timestamps) folds into the
+            // current session instead of moving the gap anchor backwards,
+            // which would falsely re-open a session on the next event.
+            // Exact late-event placement needs a watermarked event buffer;
+            // with a single AvailableNow batch (EventsSpec's setup) the
+            // in-batch sort makes this path exact.
+            s = SessionState(s.nSessions + (if (newSession) 1L else 0L),
+              math.max(s.lastUs, e._2), s.nEvents + 1L)
           }
           state.update(s)
           Iterator.single((uid, s.nSessions, s.nEvents))

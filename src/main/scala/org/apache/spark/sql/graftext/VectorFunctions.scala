@@ -48,7 +48,7 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = DotProduct.checkedLength(x.numElements(), y.numElements())
     val xf = isFloat(left)
     val yf = isFloat(right)
     var acc = 0.0
@@ -70,7 +70,8 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = org.apache.spark.sql.graftext.DotProduct.checkedLength(
+         |  $a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += ${get(left, a, i)} * ${get(right, b, i)};
@@ -84,6 +85,17 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "graft_dot"
+}
+
+object DotProduct {
+  /** Dimension check shared by eval and codegen: a length mismatch is an
+    * upstream bug (mixed embedding spaces), not something to silently
+    * truncate — DuckDB's list_inner_product errors the same way. */
+  def checkedLength(a: Int, b: Int): Int = {
+    if (a != b) throw new IllegalArgumentException(
+      s"graft_dot: array length mismatch ($a vs $b) — inputs must come from the same embedding space")
+    a
+  }
 }
 
 object VectorFunctions {
