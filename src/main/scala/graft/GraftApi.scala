@@ -21,7 +21,7 @@ class GraftApi(val spark: SparkSession, root: String) {
   val data = new DataRegistry(root)
   val aliases = new AliasRegistry(root)
   val lineage = new LineageRegistry(root)
-  val workflows = new WorkflowRegistry(lineage)
+  val workflows = new WorkflowRegistry(root, lineage)
   private val jobSeq = new AtomicLong(0)
   private val jobs = scala.collection.concurrent.TrieMap[String, Pipeline.StepRecord]()
 
@@ -76,4 +76,17 @@ class GraftApi(val spark: SparkSession, root: String) {
       case other     => throw new IllegalArgumentException(s"unknown export format: $other")
     }
   }
+
+  // --- archives (kiara_api.py:1257 export_archive, :1306 import_archive) --
+  /** Bundle values (all by default) + aliases + lineage into a portable
+    * archive directory — kiara's primary context-to-context sharing path. */
+  def exportArchive(targetDir: String, values: Seq[String] = Seq.empty,
+                    noAliases: Boolean = false): Seq[String] =
+    graft.registries.Archive.exportArchive(spark, data, aliases, lineage,
+      targetDir, values, noAliases)
+
+  /** Import an archive's values (+ aliases, + lineage) into this context. */
+  def importArchive(sourceDir: String, noAliases: Boolean = false): Seq[String] =
+    graft.registries.Archive.importArchive(spark, data, aliases, lineage,
+      sourceDir, noAliases)
 }

@@ -50,6 +50,7 @@ object SparkEntry {
     "bundle_pick" -> (Suite.bundlePick _),
     // registries + pipeline (rows 9, 15, 16)
     "registry_roundtrip" -> (Suite.registryRoundtrip _),
+    "registry_archive" -> (Suite.registryArchive _),
     "pipeline_demo" -> (Suite.pipelineDemo _),
     "pipeline_llm" -> (Suite.pipelineLlm _),
     // profiling (row 7)
@@ -186,6 +187,9 @@ object SparkEntry {
     "registry_roundtrip" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |WHERE c_acctbal > 5000 ORDER BY c_custkey""".stripMargin,
+    "registry_archive" ->
+      """SELECT s_suppkey, s_name, s_acctbal FROM supplier
+        |WHERE s_acctbal > 3000 ORDER BY s_suppkey""".stripMargin,
     "pipeline_demo" ->
       """SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice),2) AS total
         |FROM lineitem WHERE l_quantity > 40

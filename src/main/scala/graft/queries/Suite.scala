@@ -101,6 +101,22 @@ object Suite {
       .orderBy("c_custkey")
   }
 
+  /** Archive round-trip (kiara export_archive/import_archive): store a
+    * value + alias in context A, export to a portable archive directory,
+    * import into a fresh context B, read back through the alias. */
+  def registryArchive(s: SparkSession, dir: String): DataFrame = {
+    val apiA = new graft.GraftApi(s, Export.tempDir("graft_arch_a_").toString)
+    apiA.storeValue("supplier_rich_v1",
+      t(s, dir, "supplier").filter(col("s_acctbal") > 3000), alias = Some("rich"))
+    val arch = Export.tempDir("graft_arch_").toString
+    apiA.exportArchive(arch)
+    val apiB = new graft.GraftApi(s, Export.tempDir("graft_arch_b_").toString)
+    apiB.importArchive(arch)
+    apiB.getValue("rich")
+      .select("s_suppkey", "s_name", "s_acctbal")
+      .orderBy("s_suppkey")
+  }
+
   // --- pipeline DAG (kiara pipeline operation) ----------------------------
 
   def pipelineDemo(s: SparkSession, dir: String): DataFrame = {

@@ -1,0 +1,97 @@
+package graft.registries
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.SparkSession
+
+/** Portable archive of registry state — kiara's `.kiarchive` workflow
+  * (reference interfaces/python_api/kiara_api.py:1257 `export_archive`,
+  * :1306 `import_archive`; archive layout mirrors
+  * registries/data/data_store + aliases + jobs in one shippable root).
+  *
+  * Layout (a plain directory — rsync/distcp/S3-friendly, values stay
+  * splittable parquet so an imported value is immediately a distributed
+  * table again; no tarball, because at 100 TB values must be readable
+  * in place without a driver-side unpack):
+  *
+  * {{{
+  * <archive>/manifest.json    version, value ids, aliases
+  * <archive>/values/<id>/     one parquet dir per value
+  * <archive>/lineage.jsonl    provenance records (verbatim copy)
+  * }}}
+  */
+object Archive {
+
+  private val Version = 1
+
+  private def esc(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** Export values (all by default) + their aliases + the lineage log
+    * into a fresh archive directory. Values are re-written through Spark
+    * (not file-copied) so the archive is self-consistent parquet
+    * regardless of how the store was produced. Returns exported ids. */
+  def exportArchive(spark: SparkSession, data: DataRegistry, aliases: AliasRegistry,
+                    lineage: LineageRegistry, targetDir: String,
+                    values: Seq[String] = Seq.empty,
+                    noAliases: Boolean = false): Seq[String] = {
+    val target = Paths.get(targetDir)
+    require(!Files.exists(target) || !Files.list(target).iterator().hasNext,
+      s"archive target exists and is not empty: $targetDir")
+    val ids = if (values.nonEmpty) values else data.list
+    ids.foreach { id =>
+      require(data.exists(id), s"no such value in store: $id")
+      data.load(spark, id).write.mode("errorifexists").parquet(s"$targetDir/values/$id")
+    }
+    val kept =
+      if (noAliases) Seq.empty
+      else aliases.list.filter { case (_, vid) => ids.contains(vid) }
+    val manifest =
+      s"""{"version":$Version,"values":[${ids.map(i => "\"" + esc(i) + "\"").mkString(",")}],""" +
+        s""""aliases":{${kept.map { case (a, v) => "\"" + esc(a) + "\":\"" + esc(v) + "\"" }.mkString(",")}}}"""
+    Files.createDirectories(target)
+    Files.write(target.resolve("manifest.json"), (manifest + "\n").getBytes("UTF-8"))
+    val lin = lineage.lines
+    if (lin.nonEmpty)
+      Files.write(target.resolve("lineage.jsonl"), (lin.mkString("\n") + "\n").getBytes("UTF-8"))
+    ids
+  }
+
+  /** Import every value (+ aliases, + lineage records) from an archive
+    * into the target registries. Returns imported ids. */
+  def importArchive(spark: SparkSession, data: DataRegistry, aliases: AliasRegistry,
+                    lineage: LineageRegistry, sourceDir: String,
+                    noAliases: Boolean = false): Seq[String] = {
+    val (ids, als) = readManifest(sourceDir)
+    ids.foreach(id => data.store(id, spark.read.parquet(s"$sourceDir/values/$id")))
+    if (!noAliases) als.foreach { case (a, v) => aliases.set(a, v) }
+    val lin = Paths.get(sourceDir, "lineage.jsonl")
+    if (Files.exists(lin))
+      Files.readAllLines(lin).asScala.foreach(lineage.appendRaw)
+    ids
+  }
+
+  /** Parse manifest.json — fields are the restricted value-id/alias
+    * charset (enforced at store/set time), so a charset-bounded regex
+    * scan is exact; no general JSON parser needed. */
+  private[registries] def readManifest(sourceDir: String): (Seq[String], Seq[(String, String)]) = {
+    val p = Paths.get(sourceDir, "manifest.json")
+    require(Files.exists(p), s"not an archive (no manifest.json): $sourceDir")
+    val txt = Files.readString(p)
+    val values = """"values":\[([^\]]*)\]""".r.findFirstMatchIn(txt)
+      .map(_.group(1)).getOrElse("")
+    val ids = """"([A-Za-z0-9_.-]+)"""".r.findAllMatchIn(values).map(_.group(1)).toSeq
+    val aliasBlock = """"aliases":\{([^}]*)\}""".r.findFirstMatchIn(txt)
+      .map(_.group(1)).getOrElse("")
+    val als = """"([A-Za-z0-9_.-]+)":"([A-Za-z0-9_.-]+)"""".r.findAllMatchIn(aliasBlock)
+      .map(m => m.group(1) -> m.group(2)).toSeq
+    (ids, als)
+  }
+}

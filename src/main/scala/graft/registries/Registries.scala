@@ -3,7 +3,7 @@ package graft.registries
 import java.nio.file.{Files, Paths, StandardOpenOption}
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.plans.Pipeline
+import graft.plans.{OpRegistry, Pipeline}
 
 /** Parquet-backed value catalog — kiara's data store
   * (registries/data/data_store/): store a DataFrame under a value id,
@@ -89,17 +89,75 @@ class LineageRegistry(root: String) {
   def recordRun(runId: String, recs: Seq[Pipeline.StepRecord]): Unit = recs.foreach(record(runId, _))
   def lines: Seq[String] =
     if (!Files.exists(file)) Seq.empty else Files.readAllLines(file).asScala.toSeq
+  /** Append an already-serialized record line (archive import path). */
+  def appendRaw(line: String): Unit =
+    Files.write(file, (line + "\n").getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
 }
 
-/** Workflow registry (kiara registries/workflows/): named pipelines that
-  * can be re-run against fresh inputs, with lineage recorded per run. */
-class WorkflowRegistry(lineage: LineageRegistry) {
-  private val flows = scala.collection.concurrent.TrieMap[String, Seq[Pipeline.Step]]()
+/** Workflow registry (kiara registries/workflows/sqlite_store.py: named
+  * pipelines that survive a restart): workflows registered as DAGs of
+  * NAMED OpRegistry operations persist to `workflows.properties` under
+  * the registry root and can be re-run by a fresh JVM — the operation
+  * CODE is re-resolved by name at run time (kiara's contract too: the
+  * module providing an operation must be importable when a stored
+  * workflow runs). Arbitrary-closure workflows (`register`) stay
+  * in-memory only, since a Scala closure has no portable serialization.
+  */
+object WorkflowRegistry {
+  /** One persistable step: apply registered op `op` to the named value
+    * `input`, producing value `name`. */
+  final case class OpStep(name: String, op: String, input: String)
+}
 
+class WorkflowRegistry(root: String, lineage: LineageRegistry) {
+  import WorkflowRegistry.OpStep
+
+  private val flows = scala.collection.concurrent.TrieMap[String, Seq[Pipeline.Step]]()
+  private val file = Paths.get(s"$root/workflows.properties")
+  Files.createDirectories(Paths.get(root))
+
+  /** In-memory registration for arbitrary-closure steps (not persisted). */
   def register(name: String, steps: Seq[Pipeline.Step]): Unit = flows.put(name, steps)
-  def list: Seq[String] = flows.keys.toSeq.sorted
+
+  // flat `wf=step:op:input,step:op:input` lines — names share the
+  // registry charset, which excludes the separators, so the encoding is
+  // unambiguous; rewrite is temp-file + atomic move like AliasRegistry
+  private def readAll(): Map[String, Seq[OpStep]] =
+    if (!Files.exists(file)) Map.empty
+    else Files.readAllLines(file).asScala.filter(_.contains("=")).map { l =>
+      val i = l.indexOf('=')
+      val steps = l.substring(i + 1).split(',').toSeq.filter(_.nonEmpty).map { s =>
+        val p = s.split(':')
+        OpStep(p(0), p(1), p(2))
+      }
+      l.substring(0, i) -> steps
+    }.toMap
+
+  /** Register a persistable workflow: each part is validated against the
+    * registry charset, then the whole table is atomically rewritten. */
+  def registerOps(name: String, steps: Seq[OpStep]): Unit = synchronized {
+    def ok(s: String): Boolean = s.matches("[A-Za-z0-9_.-]+")
+    require(ok(name), s"bad workflow name: $name")
+    steps.foreach { st =>
+      require(ok(st.name) && ok(st.op) && ok(st.input), s"bad step part in: $st")
+    }
+    val all = readAll() + (name -> steps)
+    val tmp = Files.createTempFile(Paths.get(root), ".workflows", ".tmp")
+    Files.write(tmp, all.toSeq.sortBy(_._1).map { case (n, ss) =>
+      s"$n=${ss.map(s => s"${s.name}:${s.op}:${s.input}").mkString(",")}"
+    }.asJava)
+    Files.move(tmp, file, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def list: Seq[String] = (flows.keys.toSeq ++ readAll().keys).distinct.sorted
+
   def run(name: String, runId: String, inputs: Map[String, DataFrame]): Pipeline.Result = {
-    val steps = flows.getOrElse(name, throw new NoSuchElementException(s"workflow not registered: $name"))
+    val steps = flows.get(name)
+      .orElse(readAll().get(name).map(_.map(st =>
+        Pipeline.Step(st.name, Seq(st.input), in => OpRegistry.get(st.op)(in(st.input))))))
+      .getOrElse(throw new NoSuchElementException(s"workflow not registered: $name"))
     val res = Pipeline.run(steps, inputs)
     lineage.recordRun(runId, res.lineage)
     res

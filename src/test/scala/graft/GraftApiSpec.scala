@@ -51,6 +51,31 @@ class GraftApiSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { api.exportValue("imported", "xml", outDir) }
   }
 
+  test("archive export/import round-trips values, aliases and lineage") {
+    val apiA = newApi
+    apiA.storeValue("v1", Seq((1L, "a"), (2L, "b")).toDF("id", "s"), Some("latest"))
+    apiA.storeValue("v2", Seq(3L, 4L).toDF("n"))
+    apiA.registerOperation("noop", df => df)
+    apiA.runJob("noop", "latest")
+    val arch = Export.tempDir("graft_api_arch_").toString
+    assert(apiA.exportArchive(arch).sorted == Seq("v1", "v2"))
+    // import into a brand-new context: values, aliases AND lineage arrive
+    val apiB = newApi
+    assert(apiB.importArchive(arch).sorted == Seq("v1", "v2"))
+    assert(apiB.listValueIds == Seq("v1", "v2"))
+    assert(apiB.getValue("latest").count() == 2)
+    assert(apiB.getValue("v2").count() == 2)
+    assert(apiB.lineage.lines.exists(_.contains("noop")))
+    // selective export + noAliases
+    val arch2 = Export.tempDir("graft_api_arch2_").toString
+    apiA.exportArchive(arch2, values = Seq("v2"), noAliases = true)
+    val apiC = newApi
+    assert(apiC.importArchive(arch2) == Seq("v2"))
+    assert(apiC.listAliasNames.isEmpty)
+    // refuses to clobber a non-empty target
+    intercept[IllegalArgumentException] { apiA.exportArchive(arch) }
+  }
+
   test("prettyPrint renders a bounded aligned table") {
     val s = Render.prettyPrint(Seq((1L, "alpha"), (2L, "beta")).toDF("id", "name"), rows = 1)
     val lines = s.split("\n")

@@ -43,12 +43,34 @@ class PipelineSpec extends SparkTestBase {
   test("workflow registry re-runs a named pipeline and records lineage") {
     val root = java.nio.file.Files.createTempDirectory("graft_wf_").toString
     val lin = new LineageRegistry(root)
-    val wf = new WorkflowRegistry(lin)
+    val wf = new WorkflowRegistry(root, lin)
     wf.register("counts", steps)
     val res = wf.run("counts", "run-1", Map("lineitem" -> Tables.t(spark, sfDir, "lineitem")))
     assert(res("agg").count() > 0)
     assert(lin.lines.size == 2)
     assert(lin.lines.head.contains("\"run\":\"run-1\""))
+  }
+
+  test("persisted workflow survives a fresh registry on the same root") {
+    val root = java.nio.file.Files.createTempDirectory("graft_wfp_").toString
+    val lin = new LineageRegistry(root)
+    val wf = new WorkflowRegistry(root, lin)
+    OpRegistry.register("wf_filter_heavy", df => df.filter(col("l_quantity") > 40))
+    OpRegistry.register("wf_count_flag",
+      df => df.groupBy("l_returnflag").agg(count(lit(1)).as("n")))
+    wf.registerOps("heavy_counts", Seq(
+      WorkflowRegistry.OpStep("filtered", "wf_filter_heavy", "lineitem"),
+      WorkflowRegistry.OpStep("agg", "wf_count_flag", "filtered")))
+    // a brand-new registry instance on the same root (fresh-JVM analogue;
+    // ops re-resolve by name at run time) sees and runs the workflow
+    val wf2 = new WorkflowRegistry(root, new LineageRegistry(root))
+    assert(wf2.list.contains("heavy_counts"))
+    val res = wf2.run("heavy_counts", "run-2",
+      Map("lineitem" -> Tables.t(spark, sfDir, "lineitem")))
+    assert(res("agg").count() > 0)
+    intercept[IllegalArgumentException] {
+      wf2.registerOps("bad name!", Seq(WorkflowRegistry.OpStep("a", "b", "c")))
+    }
   }
 
   test("op registry registers and resolves custom operators") {
