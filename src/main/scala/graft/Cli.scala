@@ -11,6 +11,10 @@ import graft.operators.{Profile, Render}
   *   tables <sfDir>                   tables with row counts
   *   profile <sfDir> <table> <col..>  one-pass column stats
   *   entry                            run the flagship query
+  *   context <root> list              contexts under a base root (* = active)
+  *   context <root> create <name>     create a context
+  *   context <root> use <name>        switch the persisted active context
+  *   context <root> current           show the active context name
   *
   * `run` is separated from `main` so specs can drive it on a shared
   * session and assert on the rendered output.
@@ -32,10 +36,25 @@ object Cli {
       Render.prettyPrint(Profile.profile(Tables.t(spark, sfDir, table), cols), 50)
     case "entry" :: Nil =>
       Render.prettyPrint(SparkEntry.entry(spark))
+    // multi-context management (kiara context list / create / use)
+    case "context" :: baseRoot :: "list" :: Nil =>
+      val cx = new GraftContexts(spark, baseRoot)
+      cx.listContextNames.map(n =>
+        (if (n == cx.currentContextName) "* " else "  ") + n).mkString("\n")
+    case "context" :: baseRoot :: "create" :: name :: Nil =>
+      new GraftContexts(spark, baseRoot).createContext(name)
+      s"created context: $name"
+    case "context" :: baseRoot :: "use" :: name :: Nil =>
+      new GraftContexts(spark, baseRoot).setActiveContext(name)
+      s"active context: $name"
+    case "context" :: baseRoot :: "current" :: Nil =>
+      new GraftContexts(spark, baseRoot).currentContextName
     case other =>
       throw new IllegalArgumentException(
         s"usage: queries | query <name> <sfDir> [rows] | tables <sfDir> | " +
-          s"profile <sfDir> <table> <col...> | entry (got: ${other.mkString(" ")})")
+          s"profile <sfDir> <table> <col...> | entry | " +
+          s"context <root> list|create <name>|use <name>|current " +
+          s"(got: ${other.mkString(" ")})")
   }
 
   def main(args: Array[String]): Unit = {

@@ -46,6 +46,11 @@ class GraftApi(val spark: SparkSession, root: String) {
   def getJobRecord(jobId: String): Option[Pipeline.StepRecord] = jobs.get(jobId)
   def listJobRecordIds: Seq[String] = jobs.keys.toSeq.sorted
 
+  /** Upstream provenance of a value (kiara_api.py:243
+    * retrieve_augmented_value_lineage): the step that produced it, the
+    * steps that produced its inputs, recursively to the raw leaves. */
+  def valueLineage(value: String): Seq[LineageRegistry.StepNode] = lineage.upstream(value)
+
   // --- data types (kiara_api.py:578) -------------------------------------
   def listDataTypeNames: Seq[String] = TypeMap.toSpark.keys.toSeq.sorted
 
@@ -59,6 +64,15 @@ class GraftApi(val spark: SparkSession, root: String) {
     data.load(spark, aliases.resolve(ref).getOrElse(ref))
   def listValueIds: Seq[String] = data.list
   def listAliasNames: Seq[String] = aliases.list.map(_._1)
+
+  // --- value matchers (kiara_api.py:844 list_value_ids(**matchers), :875) --
+  /** Matcher-filtered value ids: id glob + schema check, parquet footers
+    * only — never a data scan. */
+  def findValues(idGlob: String = "*", hasColumn: Option[String] = None): Seq[String] =
+    data.find(spark, graft.registries.DataRegistry.Matcher(Some(idGlob), hasColumn))
+  /** Matcher-filtered aliases: glob over alias name and/or target id. */
+  def findAliases(aliasGlob: String = "*", valueGlob: String = "*"): Seq[(String, String)] =
+    aliases.find(aliasGlob, valueGlob)
 
   // --- import / export (kiara_api.py:1130,1174) ---------------------------
   def importValue(id: String, format: String, path: String,

@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.SparkSession
+
+/** Multi-context management — kiara's context switcher
+  * (reference interfaces/python_api/kiara_api.py:538 `list_context_names`,
+  * :566 `set_active_context`, :520 `create_new_context`).
+  *
+  * Contexts are sibling GraftApi roots under one base directory; the
+  * active-context choice persists in a marker file so it survives the
+  * JVM (and is shared with the CLI). Each context isolates its value
+  * store, aliases, lineage and workflows exactly like a kiara context.
+  */
+class GraftContexts(spark: SparkSession, baseRoot: String) {
+  private val base = Paths.get(baseRoot)
+  private val activeFile = base.resolve("active_context")
+  Files.createDirectories(base)
+
+  private val apis = scala.collection.concurrent.TrieMap[String, GraftApi]()
+
+  private def validate(name: String): String = {
+    require(name.matches("[A-Za-z0-9_.-]+") && name != "." && name != "..",
+      s"bad context name: $name")
+    name
+  }
+
+  /** Create (or return existing) context `name`. */
+  def createContext(name: String): GraftApi = context(validate(name))
+
+  /** The GraftApi rooted at context `name` (created on first use —
+    * kiara's get_context(create=True) behavior). */
+  def context(name: String): GraftApi =
+    apis.getOrElseUpdate(validate(name), new GraftApi(spark, s"$baseRoot/${validate(name)}"))
+
+  /** All context names under the base root. */
+  def listContextNames: Seq[String] = {
+    val s = Files.list(base)
+    try s.iterator.asScala.filter(Files.isDirectory(_))
+      .map(_.getFileName.toString).toSeq.sorted
+    finally s.close()
+  }
+
+  /** Persistently switch the active context (creating it if needed). */
+  def setActiveContext(name: String): GraftApi = synchronized {
+    val api = context(name) // creates the root dir
+    Files.write(activeFile, validate(name).getBytes("UTF-8"))
+    api
+  }
+
+  def currentContextName: String =
+    if (Files.exists(activeFile)) new String(Files.readAllBytes(activeFile), "UTF-8").trim
+    else "default"
+
+  def currentContext: GraftApi = context(currentContextName)
+}

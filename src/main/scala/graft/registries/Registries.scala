@@ -5,6 +5,25 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.plans.{OpRegistry, Pipeline}
 
+object DataRegistry {
+  /** Value matcher (kiara_api.py:844 `list_value_ids(**matcher_params)`):
+    * filter the catalog without loading any value. `idGlob` is a shell
+    * glob on the id; `hasColumn` checks the stored schema — read from the
+    * parquet FOOTER only, never a data scan. */
+  final case class Matcher(idGlob: Option[String] = None, hasColumn: Option[String] = None)
+
+  /** Shell-glob → anchored regex (`*` any run, `?` one char). */
+  private[registries] def globMatch(glob: String, s: String): Boolean = {
+    val rx = glob.flatMap {
+      case '*' => ".*"
+      case '?' => "."
+      case c if "\\.[]{}()+-^$|".contains(c) => "\\" + c
+      case c => c.toString
+    }
+    s.matches(rx)
+  }
+}
+
 /** Parquet-backed value catalog — kiara's data store
   * (registries/data/data_store/): store a DataFrame under a value id,
   * load it back, enumerate. Values live as parquet (columnar, splittable)
@@ -29,6 +48,15 @@ class DataRegistry(root: String) {
     val s = Files.list(Paths.get(s"$root/values"))
     try s.iterator.asScala.map(_.getFileName.toString).toSeq.sorted
     finally s.close()
+  }
+
+  /** Matcher-filtered ids: the id filter is pure string work; the schema
+    * filter reads parquet footers only (spark.read.parquet(...).schema
+    * plans a scan but executes nothing — no data pages are touched). */
+  def find(spark: SparkSession, m: DataRegistry.Matcher): Seq[String] = {
+    val byId = m.idGlob.fold(list)(g => list.filter(DataRegistry.globMatch(g, _)))
+    m.hasColumn.fold(byId)(c =>
+      byId.filter(id => load(spark, id).schema.fieldNames.contains(c)))
   }
 }
 
@@ -59,11 +87,26 @@ class AliasRegistry(root: String) {
   }
   def resolve(alias: String): Option[String] = readAll().get(alias)
   def list: Seq[(String, String)] = readAll().toSeq.sorted
+
+  /** Matcher-filtered aliases (kiara_api.py:875 `list_aliases` analogue):
+    * glob over alias name and/or target value id — flat-file lookup,
+    * no value IO at all. */
+  def find(aliasGlob: String = "*", valueGlob: String = "*"): Seq[(String, String)] =
+    list.filter { case (a, v) =>
+      DataRegistry.globMatch(aliasGlob, a) && DataRegistry.globMatch(valueGlob, v)
+    }
+}
+
+object LineageRegistry {
+  /** One parsed lineage record: step (= produced value name), the value
+    * names it consumed, and the run that produced it. */
+  final case class StepNode(run: String, step: String, inputs: Seq[String], schema: String)
 }
 
 /** Job/lineage registry (kiara registries/jobs/, models/module/jobs.py):
   * append-only JSONL of executed steps with inputs and output schemas. */
 class LineageRegistry(root: String) {
+  import LineageRegistry.StepNode
   private val file = Paths.get(s"$root/lineage.jsonl")
   Files.createDirectories(Paths.get(root))
 
@@ -93,6 +136,65 @@ class LineageRegistry(root: String) {
   def appendRaw(line: String): Unit =
     Files.write(file, (line + "\n").getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+
+  // --- provenance graph traversal (kiara_api.py:243
+  //     retrieve_augmented_value_lineage) ---------------------------------
+
+  private def unesc(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"'  => b += '"';  i += 2
+          case '\\' => b += '\\'; i += 2
+          case 'n'  => b += '\n'; i += 2
+          case 'r'  => b += '\r'; i += 2
+          case 't'  => b += '\t'; i += 2
+          case 'u'  => b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+          case o    => b += o;    i += 2
+        }
+      } else { b += c; i += 1 }
+    }
+    b.toString
+  }
+
+  private val FieldStr = (name: String) => (s""""$name":"((?:[^"\\\\]|\\\\.)*)"""").r
+  private val RunRe = FieldStr("run"); private val StepRe = FieldStr("step")
+  private val SchemaRe = FieldStr("schema")
+  private val InputsRe = """"inputs":\[((?:[^\]"]|"(?:[^"\\]|\\.)*")*)\]""".r
+  private val QuotedRe = """"((?:[^"\\]|\\.)*)"""".r
+
+  /** All records, parsed. The writer is `record` above (restricted,
+    * self-escaped JSON), so a regex field scan is exact. */
+  def records: Seq[StepNode] = lines.flatMap { l =>
+    for {
+      r <- RunRe.findFirstMatchIn(l).map(m => unesc(m.group(1)))
+      s <- StepRe.findFirstMatchIn(l).map(m => unesc(m.group(1)))
+      sch = SchemaRe.findFirstMatchIn(l).map(m => unesc(m.group(1))).getOrElse("")
+      ins = InputsRe.findFirstMatchIn(l).map(m =>
+        QuotedRe.findAllMatchIn(m.group(1)).map(q => unesc(q.group(1))).toSeq).getOrElse(Seq.empty)
+    } yield StepNode(r, s, ins, sch)
+  }
+
+  /** Upstream provenance closure of a value: its producing step, the
+    * steps that produced ITS inputs, and so on to the pipeline leaves —
+    * BFS order (value's producer first). When a step was re-recorded
+    * (re-runs), the LATEST record wins. Leaves (raw inputs that no step
+    * produced) appear only inside `inputs` of returned nodes. */
+  def upstream(value: String): Seq[StepNode] = {
+    val latest = records.groupBy(_.step).map { case (k, v) => k -> v.last }
+    val out = scala.collection.mutable.ArrayBuffer.empty[StepNode]
+    val seen = scala.collection.mutable.Set.empty[String]
+    var frontier = Seq(value)
+    while (frontier.nonEmpty) {
+      val nodes = frontier.filterNot(seen.contains).flatMap { v => seen += v; latest.get(v) }
+      out ++= nodes
+      frontier = nodes.flatMap(_.inputs).distinct
+    }
+    out.toSeq
+  }
 }
 
 /** Workflow registry (kiara registries/workflows/sqlite_store.py: named

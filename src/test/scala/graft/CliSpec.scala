@@ -24,6 +24,17 @@ class CliSpec extends SparkTestBase {
     assert(out.contains("o_totalprice") && out.contains("ndv"))
   }
 
+  test("context commands create, switch and list persistently") {
+    val base = graft.sources.Export.tempDir("graft_cli_ctx_").toString
+    assert(Cli.run(spark, Array("context", base, "current")) == "default")
+    assert(Cli.run(spark, Array("context", base, "create", "research"))
+      .contains("research"))
+    Cli.run(spark, Array("context", base, "use", "research"))
+    assert(Cli.run(spark, Array("context", base, "current")) == "research")
+    val listing = Cli.run(spark, Array("context", base, "list"))
+    assert(listing.linesIterator.contains("* research"))
+  }
+
   test("unknown query and bad usage fail with guidance") {
     val e1 = intercept[IllegalArgumentException] { Cli.run(spark, Array("query", "nope", sfDir)) }
     assert(e1.getMessage.contains("unknown query"))

@@ -76,6 +76,55 @@ class GraftApiSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { apiA.exportArchive(arch) }
   }
 
+  test("valueLineage walks the full upstream provenance of a pipeline output") {
+    import graft.plans.Pipeline
+    val api = newApi
+    val steps = Seq(
+      Pipeline.Step("cleaned", Seq("docs"), in => in("docs")),
+      Pipeline.Step("scored", Seq("cleaned", "weights"), in => in("cleaned")),
+      Pipeline.Step("stats", Seq("scored"), in => in("scored")))
+    api.workflows.register("llm_prep", steps)
+    val docs = Seq((1L, "x")).toDF("doc_id", "text")
+    val weights = Seq(1.0).toDF("w")
+    api.workflows.run("llm_prep", "run-lin", Map("docs" -> docs, "weights" -> weights))
+    val up = api.valueLineage("stats")
+    assert(up.map(_.step) == Seq("stats", "scored", "cleaned")) // BFS, producer first
+    assert(up.find(_.step == "scored").get.inputs.toSet == Set("cleaned", "weights"))
+    assert(up.find(_.step == "cleaned").get.inputs == Seq("docs")) // raw leaf
+    assert(up.forall(_.run == "run-lin"))
+    assert(api.valueLineage("docs").isEmpty) // leaves have no producing step
+  }
+
+  test("value and alias matchers filter without loading data") {
+    val api = newApi
+    api.storeValue("customer_v1", Seq((1L, "a")).toDF("c_custkey", "c_name"), Some("cust"))
+    api.storeValue("customer_v2", Seq((2L, "b")).toDF("c_custkey", "c_name"), Some("cust_latest"))
+    api.storeValue("orders_v1", Seq((7L, 9.5)).toDF("o_orderkey", "o_total"), Some("ord"))
+    assert(api.findValues("customer_*") == Seq("customer_v1", "customer_v2"))
+    assert(api.findValues("*_v?") == Seq("customer_v1", "customer_v2", "orders_v1"))
+    assert(api.findValues(hasColumn = Some("o_orderkey")) == Seq("orders_v1"))
+    assert(api.findValues("customer_*", hasColumn = Some("o_orderkey")).isEmpty)
+    assert(api.findAliases("cust*").map(_._1) == Seq("cust", "cust_latest"))
+    assert(api.findAliases(valueGlob = "orders_*") == Seq("ord" -> "orders_v1"))
+  }
+
+  test("multi-context: named roots isolate values; active switch persists") {
+    val base = Export.tempDir("graft_ctx_").toString
+    val cx = new GraftContexts(spark, base)
+    assert(cx.currentContextName == "default")
+    cx.createContext("research").storeValue("v1", Seq(1L).toDF("n"))
+    cx.createContext("prod")
+    assert(cx.listContextNames == Seq("prod", "research"))
+    assert(cx.context("research").listValueIds == Seq("v1"))
+    assert(cx.context("prod").listValueIds.isEmpty) // isolation
+    cx.setActiveContext("research")
+    // a NEW manager on the same base sees the persisted switch
+    val cx2 = new GraftContexts(spark, base)
+    assert(cx2.currentContextName == "research")
+    assert(cx2.currentContext.getValue("v1").count() == 1)
+    intercept[IllegalArgumentException] { cx.createContext("../escape") }
+  }
+
   test("prettyPrint renders a bounded aligned table") {
     val s = Render.prettyPrint(Seq((1L, "alpha"), (2L, "beta")).toDF("id", "name"), rows = 1)
     val lines = s.split("\n")
