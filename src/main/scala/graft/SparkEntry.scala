@@ -71,6 +71,7 @@ object SparkEntry {
     "dedup_minhash" -> (Suite.dedupMinhash _),
     "dedup_simhash" -> (Suite.dedupSimhash _),
     "dedup_ngram_jaccard" -> (Suite.dedupNgramJaccard _),
+    "dedup_minhash_verified" -> (Suite.dedupMinhashVerified _),
     // similarity (§2b rows 24-25)
     "sim_topk_exact" -> (Suite.simTopkExact _),
     "sim_ann_lsh" -> (Suite.simAnnLsh _),
@@ -79,6 +80,7 @@ object SparkEntry {
     "sim_ivf_topk" -> (Suite.simIvfTopk _),
     // multimodal (§2b row 26)
     "mm_bytes" -> (Suite.mmBytes _),
+    "mm_decode" -> (Suite.mmDecode _),
     // events + streaming (§2b rows 33-36)
     "evt_sessionize" -> (Suite.evtSessionize _),
     "evt_window_agg" -> (Suite.evtWindowAgg _),
@@ -338,6 +340,18 @@ object SparkEntry {
          |   / len(list_distinct(list_concat(a.sh, b.sh))) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS jaccard
          |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
          |WHERE a.doc_id % 5 = 0 AND a.n >= 3 AND b.n >= 3 ORDER BY doc_a""".stripMargin,
+    "dedup_minhash_verified" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (SELECT doc_id, list_distinct(list_transform(
+         |  generate_series(1, len(toks)-2),
+         |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+         |  FROM t WHERE len(toks) >= 3)
+         |SELECT * FROM (
+         | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.sh, b.sh))) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS jaccard
+         | FROM g a JOIN g b ON a.doc_id < b.doc_id)
+         |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
     "sim_topk_exact" ->
       """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 20),
         |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -353,6 +367,13 @@ object SparkEntry {
         |WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin,
     "mm_bytes" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_decode" ->
+      """SELECT doc_id, doc_id % 640 + 1 AS width, doc_id % 480 + 1 AS height,
+        | CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+        |  WHEN 2 THEN 'jpeg' ELSE 'bmp' END AS format,
+        | CAST(CASE doc_id % 4 WHEN 0 THEN 33 WHEN 1 THEN 13
+        |  WHEN 2 THEN 39 ELSE 54 END AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
     "evt_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),

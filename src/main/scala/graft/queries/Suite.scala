@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables.t
 import graft.operators._
+import graft.operators.ImageHeader
 import graft.sources.{Export, Ingest, Serde}
 import graft.plans.Pipeline
 import graft.registries.{AliasRegistry, DataRegistry}
@@ -230,6 +231,13 @@ object Suite {
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3).limit(200)
 
+  /** LSH-candidates + exact-Jaccard verification, oracle-anchored against
+    * DuckDB's brute-force all-pairs exact Jaccard at the same threshold:
+    * hash equality proves zero false positives AND full recall on this
+    * corpus (see Dedup.minhashVerified). */
+  def dedupMinhashVerified(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashVerified(t(s, dir, "documents"), threshold = 0.8)
+
   /** Exact 3-gram Jaccard on a fixed pair set (doc i vs i+1, i % 5 == 0):
     * the SQL-checkable verification kernel used on LSH candidates. */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
@@ -288,6 +296,32 @@ object Suite {
 
   def mmBytes(s: SparkSession, dir: String): DataFrame =
     Multimodal.byteStats(t(s, dir, "documents"))
+
+  /** Real image-metadata decode over a planted mixed-format corpus: every
+    * doc gets a REAL (header-valid) PNG/GIF/JPEG/BMP payload whose
+    * geometry is a pure function of doc_id, then ImageHeader.decode
+    * recovers it distributed. The DuckDB oracle recomputes the planted
+    * geometry directly, so a hash match proves decode∘encode == identity
+    * across the whole corpus and all four formats. */
+  def mmDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planted = t(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val w = (id % 640).toInt + 1
+      val h = (id % 480).toInt + 1
+      val bytes = (id % 4) match {
+        case 0 => ImageHeader.pngHeader(w, h)
+        case 1 => ImageHeader.gifHeader(w, h)
+        case 2 => ImageHeader.jpegHeader(w, h)
+        case _ => ImageHeader.bmpHeader(w, h)
+      }
+      (id, bytes)
+    }.toDF("doc_id", "payload")
+    Multimodal.decodeMeta(planted).toDF()
+      .select(col("doc_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"), col("format"),
+        col("n_bytes").cast("long").as("n_bytes"))
+      .orderBy("doc_id")
+  }
 
   // --- events + streaming -------------------------------------------------
 

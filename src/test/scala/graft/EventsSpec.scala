@@ -101,12 +101,9 @@ class EventsSpec extends SparkTestBase {
     assert(stream == batch)
   }
 
-  test("multimodal decode stub is deterministic with real plumbing") {
+  test("multimodal decode classifies non-image payloads as unknown, not an error") {
     val docs = Seq((1L, "hello"), (2L, "world")).toDF("doc_id", "text")
-    val a = Multimodal.decodeMeta(docs).collect().sortBy(_.doc_id)
-    val b = Multimodal.decodeMeta(docs).collect().sortBy(_.doc_id)
-    assert(a.toSeq == b.toSeq)
-    assert(a.forall(m => m.n_bytes == 5 && m.width >= 64 && m.height >= 64))
-    assert(a.forall(m => Set("png", "jpeg", "webp").contains(m.format)))
+    val a = Multimodal.decodeMeta(Multimodal.withPayload(docs)).collect().sortBy(_.doc_id)
+    assert(a.forall(m => m.n_bytes == 5 && m.width == 0 && m.height == 0 && m.format == "unknown"))
   }
 }
