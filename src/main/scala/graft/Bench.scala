@@ -1,5 +1,13 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark: runs every registered query twice and reports
+  * cold (first run: includes the one-time plan/codegen compile) and warm
+  * (second run: data-dependent cost only) seconds. The headline `value`
+  * stays the cold total — the number the driver tracks — with
+  * `warm`/`warm_total` alongside so plan-compile constants are
+  * separable from real data costs (they amortize to noise at cluster
+  * scale; warm is the 100 TB-relevant number). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -16,7 +24,7 @@ object Bench {
     // the whole session bootstrap cost
     spark.range(1000).selectExpr("sum(id)").collect()
     SparkEntry.entry(spark).count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // a failed query must be visible, not a fast-looking timing: report
       // -1 and log, instead of silently recording time-to-crash
@@ -26,12 +34,17 @@ object Bench {
       }
       val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       spark.catalog.clearCache() // release operator-persisted intermediates
-      name -> dt
+      dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      (name, timeOne(name, fn), timeOne(name, fn))
+    }
+    def dict(f: ((String, Double, Double)) => Double): String =
+      results.map(r => s"\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val warmTotal = results.map(_._3).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":${dict(_._2)},"warm":${dict(_._3)},"warm_total":$warmTotal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -229,10 +229,12 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "dst").withColumnRenamed("label", "dst_label"), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min("dst_label").as("nmin"))
+      // lazy checkpoint: the count() below materializes it, so each round
+      // is ONE Spark job (eager checkpointing + a separate count was two)
       val updated = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
           col("label").as("old_label"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val changed = updated.filter(col("label") =!= col("old_label")).count()
       labels = updated.drop("old_label")
       converged = changed == 0
