@@ -11,6 +11,8 @@ import graft.operators.{Profile, Render}
   *   tables <sfDir>                   tables with row counts
   *   profile <sfDir> <table> <col..>  one-pass column stats
   *   entry                            run the flagship query
+  *   operations [filter...]           registered operations with docs
+  *   operation <name>                 info record for one operation
   *   context <root> list              contexts under a base root (* = active)
   *   context <root> create <name>     create a context
   *   context <root> use <name>        switch the persisted active context
@@ -36,6 +38,18 @@ object Cli {
       Render.prettyPrint(Profile.profile(Tables.t(spark, sfDir, table), cols), 50)
     case "entry" :: Nil =>
       Render.prettyPrint(SparkEntry.entry(spark))
+    // operation info surface (kiara operation list / explain)
+    case "operations" :: filters =>
+      graft.plans.Builtins.ensureRegistered()
+      val ids = if (filters.isEmpty) graft.plans.OpRegistry.list
+                else graft.plans.OpRegistry.find(filters: _*)
+      ids.map { n =>
+        f"$n%-24s ${graft.plans.OpRegistry.info(n).doc}"
+      }.mkString("\n")
+    case "operation" :: name :: Nil =>
+      graft.plans.Builtins.ensureRegistered()
+      val i = graft.plans.OpRegistry.info(name)
+      s"id:     ${i.name}\ninput:  ${i.inputType}\noutput: ${i.outputType}\ndoc:    ${i.doc}"
     // multi-context management (kiara context list / create / use)
     case "context" :: baseRoot :: "list" :: Nil =>
       val cx = new GraftContexts(spark, baseRoot)
@@ -53,6 +67,7 @@ object Cli {
       throw new IllegalArgumentException(
         s"usage: queries | query <name> <sfDir> [rows] | tables <sfDir> | " +
           s"profile <sfDir> <table> <col...> | entry | " +
+          s"operations [filter...] | operation <name> | " +
           s"context <root> list|create <name>|use <name>|current " +
           s"(got: ${other.mkString(" ")})")
   }

@@ -3,7 +3,7 @@ package graft
 import java.util.concurrent.atomic.AtomicLong
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
-import graft.plans.{OpRegistry, Pipeline}
+import graft.plans.{Builtins, OpRegistry, Pipeline}
 import graft.registries.{AliasRegistry, DataRegistry, LineageRegistry, WorkflowRegistry}
 import graft.sources.{Convert, Export, TypeMap}
 
@@ -25,10 +25,17 @@ class GraftApi(val spark: SparkSession, root: String) {
   private val jobSeq = new AtomicLong(0)
   private val jobs = scala.collection.concurrent.TrieMap[String, Pipeline.StepRecord]()
 
-  // --- operations (kiara_api.py:679,709) ---------------------------------
+  Builtins.ensureRegistered()
+
+  // --- operations (kiara_api.py:679,709,770) ------------------------------
   def listOperationIds: Seq[String] = OpRegistry.list
-  def registerOperation(name: String, op: DataFrame => DataFrame): Unit =
-    OpRegistry.register(name, op)
+  /** Filtered ids (kiara_api.py:679 list_operation_ids(filter=...)). */
+  def listOperationIds(filters: String*): Seq[String] = OpRegistry.find(filters: _*)
+  /** retrieve_operation_info (kiara_api.py:770): doc + type hints. */
+  def operationInfo(name: String): OpRegistry.OpInfo = OpRegistry.info(name)
+  def registerOperation(name: String, op: DataFrame => DataFrame,
+                        doc: String = ""): Unit =
+    OpRegistry.register(name, op, doc)
 
   /** run_job (kiara_api.py:105): execute a registered operation on a
     * value (by alias or value id), record the job, return the result. */

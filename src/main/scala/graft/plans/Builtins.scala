@@ -1,0 +1,51 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Profile, TextOps}
+
+/** Built-in operation catalog — the analogue of kiara's shipped module
+  * types (reference modules/included_core_modules/,
+  * operations/included_core_operations/): default-configured, unary
+  * table→table forms of the engine's operators, registered by name so
+  * `listOperationIds` is populated out of the box and persisted
+  * workflows can be authored against a stable vocabulary. Parameterized
+  * use goes through the operator objects directly; these defaults cover
+  * the common pipeline steps.
+  */
+object Builtins {
+
+  @volatile private var registered = false
+
+  /** Idempotent: registers the builtin catalog once per JVM. */
+  def ensureRegistered(): Unit = synchronized {
+    if (registered) return
+    registered = true
+    OpRegistry.register("text.clean",
+      df => df.withColumn("ctext", TextOps.clean(col("text"))),
+      doc = "scrub urls/emails/control chars from `text` into `ctext`")
+    OpRegistry.register("text.token_count",
+      df => df.withColumn("n_tokens", size(TextOps.tokens(col("text"))).cast("long")),
+      doc = "whitespace/punct token count of `text` as `n_tokens`")
+    OpRegistry.register("text.quality",
+      df => TextOps.qualityScores(df),
+      doc = "per-doc quality signals: token count, token length, punct and stopword ratios")
+    OpRegistry.register("text.langid",
+      df => TextOps.langId(df),
+      doc = "n-gram/stopword heuristic language id of `text` as `pred_lang`")
+    OpRegistry.register("dedup.exact_groups",
+      df => Dedup.exactGroups(df),
+      doc = "group exact duplicates of normalized `text` by md5 fingerprint")
+    OpRegistry.register("dedup.minhash_pairs",
+      df => Dedup.minhashPairs(df, threshold = 0.7),
+      doc = "MinHash-LSH near-duplicate pairs at estimated jaccard >= 0.7")
+    OpRegistry.register("dedup.simhash",
+      df => Dedup.simhash(df),
+      doc = "64-bit simhash of `text` tokens as `simhash` (row-local, no shuffle)")
+    OpRegistry.register("mm.decode_meta",
+      df => Multimodal.decodeMeta(df).toDF(),
+      doc = "image geometry metadata (png/jpeg/gif/bmp header parse) from `payload`")
+    OpRegistry.register("profile.schema",
+      df => Profile.schemaOf(df),
+      doc = "schema of the input as (col_name, data_type, nullable) rows")
+  }
+}

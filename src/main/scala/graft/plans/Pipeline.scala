@@ -54,14 +54,40 @@ object Pipeline {
 
 /** custom_module operator registration
   * (operations/included_core_operations/__init__.py:63): user code registers
-  * named DataFrame transforms; pipelines and callers resolve them by name. */
+  * named DataFrame transforms; pipelines and callers resolve them by name.
+  * Each operation carries an info record (doc + input/output type hints) —
+  * kiara's OperationInfo surface (kiara_api.py:770
+  * retrieve_operation_info, :679 list_operation_ids filters). */
 object OpRegistry {
   type Op = DataFrame => DataFrame
-  private val ops = scala.collection.concurrent.TrieMap[String, Op]()
 
-  def register(name: String, op: Op): Unit = ops.put(name, op)
+  /** Operation metadata (kiara models/module/operations.py analogue). */
+  final case class OpInfo(name: String, doc: String,
+                          inputType: String = "table", outputType: String = "table")
+
+  private val ops = scala.collection.concurrent.TrieMap[String, Op]()
+  private val infos = scala.collection.concurrent.TrieMap[String, OpInfo]()
+
+  def register(name: String, op: Op): Unit = register(name, op, doc = "")
+  def register(name: String, op: Op, doc: String,
+               inputType: String = "table", outputType: String = "table"): Unit = {
+    ops.put(name, op)
+    infos.put(name, OpInfo(name, doc, inputType, outputType))
+  }
   def get(name: String): Op =
     ops.getOrElse(name, throw new NoSuchElementException(s"operator not registered: $name"))
   def list: Seq[String] = ops.keys.toSeq.sorted
   def contains(name: String): Boolean = ops.contains(name)
+
+  /** Full info for one operation. */
+  def info(name: String): OpInfo =
+    infos.getOrElse(name, throw new NoSuchElementException(s"operator not registered: $name"))
+
+  /** Filtered ids (kiara list_operation_ids): every filter term must
+    * appear in the id or its doc (case-insensitive). */
+  def find(filters: String*): Seq[String] =
+    list.filter { n =>
+      val hay = (n + " " + infos.get(n).map(_.doc).getOrElse("")).toLowerCase
+      filters.forall(f => hay.contains(f.toLowerCase))
+    }
 }

@@ -35,6 +35,15 @@ class CliSpec extends SparkTestBase {
     assert(listing.linesIterator.contains("* research"))
   }
 
+  test("operations list, filter and explain") {
+    val all = Cli.run(spark, Array("operations"))
+    assert(all.linesIterator.exists(_.startsWith("text.langid")))
+    val filtered = Cli.run(spark, Array("operations", "dedup"))
+    assert(filtered.linesIterator.forall(_.startsWith("dedup.")))
+    val one = Cli.run(spark, Array("operation", "mm.decode_meta"))
+    assert(one.contains("id:     mm.decode_meta") && one.contains("header parse"))
+  }
+
   test("unknown query and bad usage fail with guidance") {
     val e1 = intercept[IllegalArgumentException] { Cli.run(spark, Array("query", "nope", sfDir)) }
     assert(e1.getMessage.contains("unknown query"))

@@ -84,4 +84,20 @@ class PipelineSpec extends SparkTestBase {
     assert(math.abs(b - 2 * a) < 1e-9)
     intercept[NoSuchElementException] { OpRegistry.get("missing_op") }
   }
+
+  test("builtin catalog registers with info records and filtered lookup") {
+    graft.plans.Builtins.ensureRegistered()
+    assert(OpRegistry.contains("text.langid") && OpRegistry.contains("dedup.simhash"))
+    val info = OpRegistry.info("text.token_count")
+    assert(info.doc.contains("token count") && info.inputType == "table")
+    // every filter term must match (id or doc, case-insensitive)
+    assert(OpRegistry.find("dedup").forall(_.startsWith("dedup.")))
+    assert(OpRegistry.find("MINHASH") == Seq("dedup.minhash_pairs"))
+    assert(OpRegistry.find("no_such_term").isEmpty)
+    // builtins are runnable: token count over real docs
+    val docs = Tables.t(spark, sfDir, "documents").limit(10)
+    val out = OpRegistry.get("text.token_count")(docs)
+    assert(out.columns.contains("n_tokens") && out.count() == 10)
+    intercept[NoSuchElementException] { OpRegistry.info("missing_op") }
+  }
 }
