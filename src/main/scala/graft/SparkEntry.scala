@@ -40,6 +40,7 @@ object SparkEntry {
     "q22_histogram" -> (Relational.q22Histogram _),
     "q23_grouping_sets" -> (Relational.q23GroupingSets _),
     "q24_pivot" -> (Relational.q24Pivot _),
+    "q25_bucketed_join" -> (Relational.q25BucketedJoin _),
     "render_slice" -> (Relational.renderSlice _),
     // ingestion / export / serde / bundles (rows 2-6, 8, 14)
     "ingest_csv" -> (Suite.ingestCsv _),
@@ -77,6 +78,7 @@ object SparkEntry {
     "sim_ann_lsh" -> (Suite.simAnnLsh _),
     "dedup_embedding" -> (Suite.dedupEmbedding _),
     "dedup_clusters" -> (Suite.dedupClusters _),
+    "dedup_clusters_verified" -> (Suite.dedupClustersVerified _),
     "sim_ivf_topk" -> (Suite.simIvfTopk _),
     // multimodal (§2b row 26)
     "mm_bytes" -> (Suite.mmBytes _),
@@ -86,6 +88,8 @@ object SparkEntry {
     "evt_window_agg" -> (Suite.evtWindowAgg _),
     "evt_topk_users" -> (Suite.evtTopkUsers _),
     "evt_props" -> (Suite.evtProps _),
+    "evt_asof_join" -> (Suite.evtAsofJoin _),
+    "evt_range_join" -> (Suite.evtRangeJoin _),
     "evt_session_window" -> (Suite.evtSessionWindow _),
     "stream_window" -> (Suite.streamWindow _)
   )
@@ -305,6 +309,13 @@ object SparkEntry {
         | CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_o,
         | CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS n_p
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // bucketed tables hold the same rows as the source parquet, so the
+    // plain join is the oracle for the exchange-free bucketed join
+    "q25_bucketed_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        | round(sum(l_extendedprice), 2) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q16_sql" ->
       """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
         |FROM customer, orders, lineitem, supplier, nation, region
@@ -352,6 +363,28 @@ object SparkEntry {
          |    / len(list_distinct(list_concat(a.sh, b.sh))) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS jaccard
          | FROM g a JOIN g b ON a.doc_id < b.doc_id)
          |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+    // connected components verified end-to-end: brute-force exact-Jaccard
+    // pair set + recursive-CTE transitive closure (min reachable id =
+    // cluster label, matching Dedup.clusters' min-label propagation)
+    "dedup_clusters_verified" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (SELECT doc_id, list_distinct(list_transform(
+         |  generate_series(1, len(toks)-2),
+         |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+         |  FROM t WHERE len(toks) >= 3),
+         |p AS (SELECT * FROM (
+         | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.sh, b.sh))) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS jaccard
+         | FROM g a JOIN g b ON a.doc_id < b.doc_id)
+         |WHERE jaccard >= 0.8),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |      UNION SELECT doc_b, doc_a FROM p),
+         |reach AS (SELECT src, dst FROM e
+         |          UNION
+         |          SELECT r.src, e2.dst FROM reach r JOIN e e2 ON e2.src = r.dst)
+         |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
     "sim_topk_exact" ->
       """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 20),
         |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -413,6 +446,22 @@ object SparkEntry {
     "stream_window" ->
       """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:00') AS hour,
         | event_type, count(*) AS n
-        |FROM events GROUP BY hour, event_type ORDER BY hour, event_type""".stripMargin
+        |FROM events GROUP BY hour, event_type ORDER BY hour, event_type""".stripMargin,
+    // DuckDB's NATIVE ASOF JOIN is the oracle for the union+window operator
+    "evt_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts, p.value,
+        | c.event_id AS click_event_id, c.value AS click_value
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    // plain BETWEEN join is the oracle for the bin-bucketed range join
+    "evt_range_join" ->
+      """WITH e AS (SELECT event_id AS err_id, user_id, ts AS w_start,
+        |  ts + INTERVAL 24 HOUR AS w_end FROM events WHERE event_type = 'error'),
+        |c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+        |SELECT e.err_id, count(*) AS n_clicks, round(sum(c.value), 2) AS click_value
+        |FROM c JOIN e ON c.user_id = e.user_id AND c.ts >= e.w_start AND c.ts <= e.w_end
+        |GROUP BY e.err_id ORDER BY e.err_id""".stripMargin
   )
 }

@@ -79,4 +79,65 @@ object Events {
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
       .orderBy(col("total_value").desc, col("user_id"))
       .limit(k)
+
+  /** As-of join: attach to each left row the LATEST right row with
+    * right.ts <= left.ts for the same key (DuckDB/kdb ASOF JOIN
+    * semantics; Spark has no native operator).
+    *
+    * Shape — the scalable union+window formulation: tag both sides, union,
+    * ONE shuffle on the key, sort by (ts, side) within partitions, and a
+    * running `last(non-null right payload)` window carries each right row
+    * forward to the left rows it matches. No range blow-up, no crossJoin,
+    * no per-key driver loop — cost is a single sort-shuffle of |L|+|R|
+    * rows regardless of time-skew, the canonical 100 TB shape. Right rows
+    * sort before left rows at equal ts (side 0 < 1) so ties match, per
+    * ASOF `>=`; among equal-ts right rows the payload struct is the final
+    * sort key, making the winner deterministic.
+    *
+    * Output: every left column, plus right payload columns renamed
+    * `<rightPrefix><col>` (null when no right row precedes). */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+      rightCols: Seq[String], rightPrefix: String = "r_"): DataFrame = {
+    val payload = struct(rightCols.map(col): _*)
+    val r = right.select(
+      Seq(col(key), col(tsCol), lit(0).as("__side"), payload.as("__p")) ++
+        left.columns.filterNot(c => c == key || c == tsCol).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val l = left.select(
+      Seq(col(key), col(tsCol), lit(1).as("__side"),
+        lit(null).cast(r.schema("__p").dataType).as("__p")) ++
+        left.columns.filterNot(c => c == key || c == tsCol).map(col): _*)
+    val w = Window.partitionBy(key).orderBy(col(tsCol), col("__side"), col("__p"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val matched = r.unionByName(l)
+      .withColumn("__m", last("__p", ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    matched.select(
+      left.columns.map(col) ++
+        rightCols.map(c => col(s"__m.$c").as(s"$rightPrefix$c")): _*)
+  }
+
+  /** Range (interval) join: pair each point with every range containing
+    * it for the same key — `point.ts ∈ [start, end]` — without the naive
+    * non-equi join (which Spark plans as a per-key nested loop).
+    *
+    * Shape — bin bucketing: ranges explode to the fixed-width time bins
+    * they overlap, points map to exactly ONE bin, and the join becomes a
+    * sparse equi-join on (key, bin) + an exact containment filter. Since
+    * a point lives in one bin, each (point, range) pair is produced at
+    * most once — no dedup pass. Cost scales with bins-per-range
+    * (len/binWidth, 2 for the registered query), not with |L|×|R|; skewed
+    * keys split across bins. Bin arithmetic is integer µs `div` —
+    * no doubles (exact at 2^50-µs epoch scale), no ANSI overflow. */
+  def rangeJoin(points: DataFrame, ranges: DataFrame, key: String,
+      ptsCol: String, startCol: String, endCol: String,
+      binSeconds: Long = 300L): DataFrame = {
+    val binUs = binSeconds * 1000000L
+    val rb = ranges.withColumn("__bin",
+      explode(expr(s"sequence(unix_micros($startCol) div $binUs, unix_micros($endCol) div $binUs)")))
+    val pb = points.withColumn("__bin", expr(s"unix_micros($ptsCol) div $binUs"))
+    pb.join(rb, Seq(key, "__bin"))
+      .filter(col(ptsCol) >= col(startCol) && col(ptsCol) <= col(endCol))
+      .drop("__bin")
+  }
 }

@@ -271,6 +271,15 @@ object Suite {
     Dedup.clusters(Dedup.minhashPairs(t(s, dir, "documents"), threshold = 0.2)
       .select("doc_a", "doc_b"))
 
+  /** Connected components over the EXACT-verified near-dup pairs,
+    * oracle-anchored: DuckDB recomputes the pair set by brute-force
+    * all-pairs exact Jaccard and the components by recursive-CTE
+    * transitive closure. Hash equality proves the distributed min-label
+    * propagation produces the same clustering as an exact reference. */
+  def dedupClustersVerified(s: SparkSession, dir: String): DataFrame =
+    Dedup.clusters(Dedup.minhashVerified(t(s, dir, "documents"), threshold = 0.8)
+      .select("doc_a", "doc_b"))
+
   /** IVF ANN top-k (rows-only; recall spec on planted clusters). */
   def simIvfTopk(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(t(s, dir, "embeddings"), k = 5, nprobe = 4)
@@ -336,6 +345,44 @@ object Suite {
 
   def evtProps(s: SparkSession, dir: String): DataFrame =
     Events.propsStats(t(s, dir, "events"))
+
+  /** As-of join: each purchase picks up the user's most recent prior (or
+    * simultaneous) click. Oracle is DuckDB's NATIVE `ASOF LEFT JOIN` —
+    * hash equality proves the union+window formulation implements the
+    * standard as-of semantics exactly, including ties and no-match nulls. */
+  def evtAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "ts", "event_id", "value")
+    Events.asofJoin(purchases, clicks, "user_id", "ts",
+        rightCols = Seq("event_id", "value"), rightPrefix = "click_")
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"), col("value"),
+        col("click_event_id"), col("click_value"))
+      .orderBy("event_id")
+  }
+
+  /** Range join: clicks landing inside each error's 24-hour aftermath
+    * window for the same user, aggregated per error. The bin-bucketed
+    * equi-join shape (Events.rangeJoin) replaces the nested-loop non-equi
+    * join; the oracle is the plain BETWEEN join. Bin width = window
+    * length, so every range overlaps at most 2 bins. */
+  def evtRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"),
+        col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 24 HOURS")).as("w_end"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "ts", "value")
+    Events.rangeJoin(clicks, errors, "user_id", "ts", "w_start", "w_end",
+        binSeconds = 86400L)
+      .groupBy("err_id")
+      .agg(count(lit(1)).as("n_clicks"), round(sum("value"), 2).as("click_value"))
+      .orderBy("err_id")
+  }
 
   def evtSessionWindow(s: SparkSession, dir: String): DataFrame =
     Events.sessionWindows(t(s, dir, "events"))

@@ -101,6 +101,46 @@ class EventsSpec extends SparkTestBase {
     assert(stream == batch)
   }
 
+  test("asof join matches latest prior right row, ties and no-match included") {
+    val purchases = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, 10.0),  // before any click → null
+      (2L, ts("2024-01-01 10:30:00"), 1L, 20.0),  // after clicks A,B → B
+      (3L, ts("2024-01-01 10:20:00"), 2L, 30.0))  // tie: click at same instant matches
+      .toDF("event_id", "ts", "user_id", "value")
+    val clicks = Seq(
+      (101L, ts("2024-01-01 10:05:00"), 1L, 1.0), // A
+      (102L, ts("2024-01-01 10:10:00"), 1L, 2.0), // B (latest ≤ 10:30)
+      (103L, ts("2024-01-01 10:20:00"), 2L, 3.0), // equal-ts tie for purchase 3
+      (104L, ts("2024-01-01 10:21:00"), 2L, 4.0)) // after purchase 3 → excluded
+      .toDF("event_id", "ts", "user_id", "value")
+    val out = Events.asofJoin(purchases, clicks, "user_id", "ts",
+        Seq("event_id", "value"), "click_")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(4)).map(_.asInstanceOf[Long]), Option(r.get(5)))).toMap
+    assert(out(1L) == (None, None))
+    assert(out(2L) == (Some(102L), Some(2.0)))
+    assert(out(3L) == (Some(103L), Some(3.0)))
+  }
+
+  test("range join pairs points with every containing range, boundaries inclusive") {
+    val ranges = Seq(
+      (10L, 1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")),
+      (11L, 1L, ts("2024-01-01 10:30:00"), ts("2024-01-01 12:00:00")), // overlaps 10
+      (12L, 2L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"))) // other key
+      .toDF("range_id", "user_id", "w_start", "w_end")
+    val points = Seq(
+      (1L, 1L, ts("2024-01-01 10:45:00"), 1.0),  // in 10 AND 11 (range overlap)
+      (2L, 1L, ts("2024-01-01 11:00:00"), 2.0),  // end boundary of 10, in 11
+      (3L, 1L, ts("2024-01-01 12:00:01"), 3.0),  // past everything
+      (4L, 2L, ts("2024-01-01 10:45:00"), 4.0))  // key isolation: only 12
+      .toDF("event_id", "user_id", "ts", "value")
+    // small bin (10 min) forces multi-bin ranges; each pair still appears once
+    val got = Events.rangeJoin(points, ranges, "user_id", "ts", "w_start", "w_end",
+        binSeconds = 600L)
+      .select("event_id", "range_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (4L, 12L)))
+  }
+
   test("multimodal decode classifies non-image payloads as unknown, not an error") {
     val docs = Seq((1L, "hello"), (2L, "world")).toDF("doc_id", "text")
     val a = Multimodal.decodeMeta(Multimodal.withPayload(docs)).collect().sortBy(_.doc_id)
