@@ -241,6 +241,15 @@ object Relational {
         coalesce(col("P"), lit(0L)).as("n_p"))
       .orderBy("o_orderpriority")
 
+  /** Bucketed co-located join: both fact tables written hash-bucketed on
+    * the join key (graft.sources.Bucketing), so the sort-merge join runs
+    * exchange-free — the storage-level shuffle elimination for repeated
+    * fact-fact joins at 100 TB. Oracle is the plain SQL join; the
+    * no-Exchange plan property is asserted in SourcesSpec. */
+  def q25BucketedJoin(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Bucketing.ordersLineitemJoin(
+      t(s, dir, "orders"), t(s, dir, "lineitem"))
+
   /** Paginated render slice (kiara render_value, render_value.py:54). */
   def renderSlice(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
