@@ -89,6 +89,31 @@ object EventStream {
       "append")
       .groupBy("lang").agg(count(lit(1)).as("n_unique")).orderBy("lang")
 
+  /** Stream-stream join: two live streams (purchases and clicks split
+    * from the same source) joined per user within a bounded event-time
+    * interval — click at most `hours` before the purchase. BOTH sides
+    * carry watermarks and the join condition bounds event time in both
+    * directions; that pair is what lets Spark expire buffered join state
+    * instead of holding each side forever, the requirement for an
+    * unbounded deployment. Inner join, append mode. EventsSpec asserts
+    * exact parity with the batch join twin. */
+  def purchaseClickJoin(spark: SparkSession, path: String, hours: Int = 24): DataFrame = {
+    val purchases = source(spark, path)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val clicks = source(spark, path)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val joined = purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $hours HOURS") &&
+        col("c_ts") <= col("p_ts"))
+    runToMemory(spark, joined.select(col("p_id"), col("c_id")), "append")
+  }
+
   /** Per-user session state carried across micro-batches. */
   case class SessionState(nSessions: Long, lastUs: Long, nEvents: Long)
 

@@ -1,6 +1,7 @@
 package graft
 
 import java.sql.Timestamp
+import org.apache.spark.sql.functions.{col, expr}
 import graft.operators.{Events, Multimodal}
 
 class EventsSpec extends SparkTestBase {
@@ -99,6 +100,22 @@ class EventsSpec extends SparkTestBase {
       .dedupedLangCounts(spark, s"$sfDir/documents.parquet")
       .agg(org.apache.spark.sql.functions.sum("n_unique")).head().getLong(0)
     assert(stream == batch)
+  }
+
+  test("stream-stream interval join matches the batch join twin") {
+    val ev = Tables.t(spark, sfDir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val batch = p.join(c, col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS") &&
+        col("c_ts") <= col("p_ts"))
+      .select("p_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val stream = graft.streaming.EventStream
+      .purchaseClickJoin(spark, s"$sfDir/events.parquet")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stream == batch && batch.nonEmpty)
   }
 
   test("asof join matches latest prior right row, ties and no-match included") {
