@@ -17,7 +17,10 @@ object PlanAudit {
     // dedup_clusters is excluded: its localCheckpoint-based loop runs
     // eagerly at construction and leaves only a vacuous post-checkpoint
     // plan to explain
-    "evt_topk_users", "pipeline_llm", "sim_ivf_topk", "dedup_embedding")
+    "evt_topk_users", "pipeline_llm", "sim_ivf_topk", "dedup_embedding",
+    // round 3: as-of join (union+window), bin-bucketed range join,
+    // bucketed co-located join (expect zero Exchange below the SMJ)
+    "evt_asof_join", "evt_range_join", "q25_bucketed_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -91,7 +91,8 @@ object SparkEntry {
     "evt_asof_join" -> (Suite.evtAsofJoin _),
     "evt_range_join" -> (Suite.evtRangeJoin _),
     "evt_session_window" -> (Suite.evtSessionWindow _),
-    "stream_window" -> (Suite.streamWindow _)
+    "stream_window" -> (Suite.streamWindow _),
+    "stream_join" -> (Suite.streamJoin _)
   )
 
   private val toksSql =
@@ -447,6 +448,16 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:00') AS hour,
         | event_type, count(*) AS n
         |FROM events GROUP BY hour, event_type ORDER BY hour, event_type""".stripMargin,
+    // the streaming interval join drained over the static table equals
+    // the plain batch BETWEEN join
+    "stream_join" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS c_id, user_id, ts AS c_ts FROM events
+        |  WHERE event_type = 'click')
+        |SELECT p.p_id, c.c_id FROM p JOIN c ON p.user_id = c.user_id
+        | AND c.c_ts >= p.p_ts - INTERVAL 24 HOUR AND c.c_ts <= p.p_ts
+        |ORDER BY p.p_id, c.c_id""".stripMargin,
     // DuckDB's NATIVE ASOF JOIN is the oracle for the union+window operator
     "evt_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),

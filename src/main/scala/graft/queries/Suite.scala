@@ -389,4 +389,11 @@ object Suite {
 
   def streamWindow(s: SparkSession, dir: String): DataFrame =
     graft.streaming.EventStream.hourlyCounts(s, s"$dir/events.parquet")
+
+  /** Stream-stream interval join run to completion over the static table;
+    * deterministic (inner join + total order), so the plain BETWEEN join
+    * is its DuckDB oracle — the streaming join twin of evt_range_join. */
+  def streamJoin(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.purchaseClickJoin(s, s"$dir/events.parquet")
+      .orderBy("p_id", "c_id")
 }
