@@ -59,6 +59,7 @@ object SparkEntry {
     "meta_profile_approx" -> (Suite.metaProfileApprox _),
     // text analysis (§2b rows 27-32)
     "text_tokens" -> (Suite.textTokens _),
+    "text_nfc" -> (Suite.textNfc _),
     "text_lang_stats" -> (Suite.textLangStats _),
     "text_ngrams" -> (Suite.textNgrams _),
     "text_quality" -> (Suite.textQuality _),
@@ -241,6 +242,14 @@ object SparkEntry {
     "text_tokens" ->
       s"""SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // chr(769) = U+0301 COMBINING ACUTE: the appended suffix is decomposed
+    // (6 bytes) and NFC recomposes it (5 bytes, composed final char)
+    "text_nfc" ->
+      """WITH r AS (SELECT doc_id, text || 'cafe' || chr(769) AS raw FROM documents),
+        |n AS (SELECT doc_id, raw, nfc_normalize(raw) AS nfc FROM r)
+        |SELECT doc_id, CAST(strlen(raw) AS BIGINT) AS raw_bytes,
+        | CAST(strlen(nfc) AS BIGINT) AS nfc_bytes, right(nfc, 4) AS suffix
+        |FROM n ORDER BY doc_id""".stripMargin,
     "text_lang_stats" ->
       s"""WITH t AS (SELECT lang, source, n_chars, len($toksSql) AS n_tokens FROM documents)
          |SELECT lang, count(*) AS n_docs, round(avg(n_chars),2) AS avg_chars,

@@ -28,6 +28,13 @@ object TextOps {
   def tokens(c: Column): Column =
     array_remove(split(lower(c), "[^a-z0-9]+"), "")
 
+  /** Unicode NFC canonicalization (native codegen'd expression): composed
+    * and decomposed spellings of the same text become byte-identical, so
+    * downstream fingerprints/dedup agree. Run BEFORE md5/minhash on any
+    * corpus that mixes encoders. */
+  def nfc(c: Column): Column =
+    org.apache.spark.sql.graftext.NfcNormalize.nfc(c)
+
   /** Token count per document. */
   def withTokenCount(df: DataFrame, textCol: String = "text"): DataFrame =
     df.withColumn("n_tokens", size(tokens(col(textCol))).cast("long"))

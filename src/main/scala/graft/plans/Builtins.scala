@@ -32,6 +32,9 @@ object Builtins {
     OpRegistry.register("text.langid",
       df => TextOps.langId(df),
       doc = "n-gram/stopword heuristic language id of `text` as `pred_lang`")
+    OpRegistry.register("text.nfc",
+      df => df.withColumn("text", TextOps.nfc(col("text"))),
+      doc = "unicode NFC canonicalization of `text` (native codegen expression)")
     OpRegistry.register("dedup.exact_groups",
       df => Dedup.exactGroups(df),
       doc = "group exact duplicates of normalized `text` by md5 fingerprint")

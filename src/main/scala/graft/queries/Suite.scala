@@ -196,6 +196,23 @@ object Suite {
   def textLangStats(s: SparkSession, dir: String): DataFrame =
     TextOps.langStats(t(s, dir, "documents"))
 
+  /** NFC normalization parity: every doc gets a decomposed suffix
+    * ("cafe" + combining acute, 5 codepoints / 6 bytes) appended, and the
+    * query emits byte lengths before/after NFC plus the normalized
+    * suffix. nfc_bytes = raw_bytes − 1 on every row and the suffix comes
+    * back composed ("café") — proving the native expression actually
+    * recomposed, matched against DuckDB's nfc_normalize. */
+  def textNfc(s: SparkSession, dir: String): DataFrame = {
+    val decomposed = "cafe\u0301" // 'e' + COMBINING ACUTE; NFC composes to caf\u00e9
+    t(s, dir, "documents")
+      .select(col("doc_id"), concat(col("text"), lit(decomposed)).as("raw"))
+      .select(col("doc_id"),
+        octet_length(col("raw")).cast("long").as("raw_bytes"),
+        octet_length(TextOps.nfc(col("raw"))).cast("long").as("nfc_bytes"),
+        substring(TextOps.nfc(col("raw")), -4, 4).as("suffix"))
+      .orderBy("doc_id")
+  }
+
   def textNgrams(s: SparkSession, dir: String): DataFrame =
     TextOps.topBigrams(t(s, dir, "documents"), 50)
 

@@ -64,4 +64,21 @@ class TextOpsSpec extends SparkTestBase {
     assert(r.getDouble(3) == 0.2143) // 3 punct of 14 chars
     assert(r.getDouble(4) == 0.3333) // 1 stopword of 3 tokens
   }
+  test("nfc normalization: decomposed recomposes, ascii unchanged, fingerprints converge") {
+    val composed = "caf\u00e9"            // U+00E9, 5 bytes
+    val decomposed = "cafe\u0301"         // e + U+0301, 6 bytes
+    val d = Seq((1L, composed), (2L, decomposed), (3L, "plain ascii"), (4L, null))
+      .toDF("doc_id", "text")
+    val out = d.select(col("doc_id"), TextOps.nfc(col("text")).as("t"),
+        octet_length(TextOps.nfc(col("text"))).as("nb"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), if (r.isNullAt(2)) -1 else r.getInt(2))).toMap
+    assert(out(1L) == (composed, 5))      // already composed: unchanged
+    assert(out(2L) == (composed, 5))      // decomposed -> composed
+    assert(out(3L) == ("plain ascii", 11)) // ascii fast path
+    assert(out(4L)._2 == -1)              // null passthrough
+    // the dedup motivation: both spellings share an md5 after NFC
+    val fps = d.filter(col("doc_id") <= 2)
+      .select(md5(TextOps.nfc(col("text")))).collect().map(_.getString(0)).toSet
+    assert(fps.size == 1)
+  }
 }
