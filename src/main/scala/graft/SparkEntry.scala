@@ -60,6 +60,7 @@ object SparkEntry {
     // text analysis (§2b rows 27-32)
     "text_tokens" -> (Suite.textTokens _),
     "text_nfc" -> (Suite.textNfc _),
+    "text_tfidf" -> (Suite.textTfidf _),
     "text_lang_stats" -> (Suite.textLangStats _),
     "text_ngrams" -> (Suite.textNgrams _),
     "text_quality" -> (Suite.textQuality _),
@@ -91,6 +92,8 @@ object SparkEntry {
     "evt_props" -> (Suite.evtProps _),
     "evt_asof_join" -> (Suite.evtAsofJoin _),
     "evt_range_join" -> (Suite.evtRangeJoin _),
+    "evt_rolling" -> (Suite.evtRolling _),
+    "evt_funnel" -> (Suite.evtFunnel _),
     "evt_session_window" -> (Suite.evtSessionWindow _),
     "stream_window" -> (Suite.streamWindow _),
     "stream_join" -> (Suite.streamJoin _)
@@ -242,6 +245,23 @@ object SparkEntry {
     "text_tokens" ->
       s"""SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // ranking is by the integer key (tf desc, df asc, term) so no float
+    // comparison decides top-k membership; tfidf is informational output
+    "text_tfidf" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, count(*) AS df FROM
+         |  (SELECT DISTINCT doc_id, term FROM t) GROUP BY term),
+         |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+         |SELECT doc_id, term, tf, df,
+         | CAST(floor(tf * ln(CAST(n_docs AS DOUBLE) / df) * 10000.0 + 0.5) AS DOUBLE)
+         |   / 10000.0 AS tfidf,
+         | CAST(rank AS BIGINT) AS rank
+         |FROM (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, n.n_docs,
+         |  row_number() OVER (PARTITION BY tf.doc_id
+         |    ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC) AS rank
+         | FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     // chr(769) = U+0301 COMBINING ACUTE: the appended suffix is decomposed
     // (6 bytes) and NFC recomposes it (5 bytes, composed final char)
     "text_nfc" ->
@@ -457,6 +477,22 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:00') AS hour,
         | event_type, count(*) AS n
         |FROM events GROUP BY hour, event_type ORDER BY hour, event_type""".stripMargin,
+    "evt_rolling" ->
+      """SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+        |   RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW), 2) AS rolling_value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "evt_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+        |SELECT '1_signup' AS stage, count(*) AS n_users FROM s1
+        |UNION ALL SELECT '2_click', count(*) FROM s2
+        |UNION ALL SELECT '3_purchase', count(*) FROM s3
+        |ORDER BY stage""".stripMargin,
     // the streaming interval join drained over the static table equals
     // the plain batch BETWEEN join
     "stream_join" ->

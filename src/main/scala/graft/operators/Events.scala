@@ -80,6 +80,47 @@ object Events {
       .orderBy(col("total_value").desc, col("user_id"))
       .limit(k)
 
+  /** Rolling time-range aggregate: per-user sum of `value` over a
+    * trailing `days`-day event-time window (RANGE frame on the µs
+    * timeline, not a row count — gaps and bursts are handled correctly).
+    * One shuffle on user_id; the frame is evaluated in a single sorted
+    * pass per partition. */
+  def rollingUserValue(events: DataFrame, days: Int = 7): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-days.toLong * 86400000000L, 0L)
+    events
+      .select(col("event_id"), col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .withColumn("rolling_value", round(sum("value").over(w), 2))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+        col("rolling_value"))
+      .orderBy("event_id")
+  }
+
+  /** Conversion funnel: users reaching each stage of
+    * signup → click → purchase in STRICT temporal order (each stage's
+    * event must follow the user's earliest previous-stage event).
+    * Three bounded aggregate-join rounds — each stage table is one row
+    * per user, so the joins stay dimension-sized even on a 100 TB event
+    * log. */
+  def funnel(events: DataFrame): DataFrame = {
+    val s1 = events.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("t1"))
+    val s2 = events.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("cus"))
+      .join(s1, "user_id").filter(col("cus") > col("t1"))
+      .groupBy("user_id").agg(min("cus").as("t2"))
+    val s3 = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("pus"))
+      .join(s2, "user_id").filter(col("pus") > col("t2"))
+      .groupBy("user_id").agg(min("pus").as("t3"))
+    s1.agg(count(lit(1)).as("n_users")).select(lit("1_signup").as("stage"), col("n_users"))
+      .unionByName(s2.agg(count(lit(1)).as("n_users")).select(lit("2_click").as("stage"), col("n_users")))
+      .unionByName(s3.agg(count(lit(1)).as("n_users")).select(lit("3_purchase").as("stage"), col("n_users")))
+      .orderBy("stage")
+  }
+
   /** As-of join: attach to each left row the LATEST right row with
     * right.ts <= left.ts for the same key (DuckDB/kdb ASOF JOIN
     * semantics; Spark has no native operator).

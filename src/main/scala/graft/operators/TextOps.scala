@@ -66,6 +66,31 @@ object TextOps {
       .orderBy(col("cnt").desc, col("bigram"))
       .limit(k)
 
+  /** TF-IDF top terms per document: tf = in-doc term count, idf =
+    * ln(N/df). Ranking is by the INTEGER key (tf desc, df asc, term) —
+    * monotone in tf·idf for a fixed doc up to float noise, and fully
+    * portable across engines (no float comparison decides membership);
+    * the tfidf score itself is emitted rounded as the informational
+    * value. Two shuffles (doc-term agg, term df agg); the df table is
+    * vocabulary-sized and broadcastable at corpus scale. */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(countDistinct("doc_id").as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(dfreq, "term").crossJoin(nDocs)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        expr("cast(floor(tf * ln(cast(n_docs as double) / df) * 10000.0 + 0.5) as double) / 10000.0")
+          .as("tfidf"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("doc_id", "rank")
+  }
+
   /** Quality signals: token count, avg token length, punctuation/stopword
     * ratios. All ratios rounded so the DuckDB oracle hash-matches. */
   def qualityScores(docs: DataFrame): DataFrame = {

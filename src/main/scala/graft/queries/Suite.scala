@@ -222,6 +222,10 @@ object Suite {
   def textLangid(s: SparkSession, dir: String): DataFrame =
     TextOps.langId(t(s, dir, "documents"))
 
+  /** TF-IDF top-3 terms per doc (integer-keyed ranking, see operator). */
+  def textTfidf(s: SparkSession, dir: String): DataFrame =
+    TextOps.tfidfTopTerms(t(s, dir, "documents"))
+
   def textBpeTokens(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), TextOps.bpeTokenCount(col("text")).as("n_bpe_tokens"))
@@ -362,6 +366,14 @@ object Suite {
 
   def evtProps(s: SparkSession, dir: String): DataFrame =
     Events.propsStats(t(s, dir, "events"))
+
+  /** Rolling 7-day per-user value (RANGE frame over event time). */
+  def evtRolling(s: SparkSession, dir: String): DataFrame =
+    Events.rollingUserValue(t(s, dir, "events"))
+
+  /** signup → click → purchase conversion funnel (strict temporal order). */
+  def evtFunnel(s: SparkSession, dir: String): DataFrame =
+    Events.funnel(t(s, dir, "events"))
 
   /** As-of join: each purchase picks up the user's most recent prior (or
     * simultaneous) click. Oracle is DuckDB's NATIVE `ASOF LEFT JOIN` —

@@ -102,6 +102,35 @@ class EventsSpec extends SparkTestBase {
     assert(stream == batch)
   }
 
+  test("funnel counts users per stage in strict temporal order") {
+    val ev = Seq(
+      // user 1: full funnel in order
+      (1L, ts("2024-01-01 10:00:00"), 1L, "signup", 0.0),
+      (2L, ts("2024-01-01 11:00:00"), 1L, "click", 0.0),
+      (3L, ts("2024-01-01 12:00:00"), 1L, "purchase", 0.0),
+      // user 2: click BEFORE signup → stalls at stage 1
+      (4L, ts("2024-01-01 09:00:00"), 2L, "click", 0.0),
+      (5L, ts("2024-01-01 10:00:00"), 2L, "signup", 0.0),
+      // user 3: purchase before click → reaches stage 2 only
+      (6L, ts("2024-01-01 10:00:00"), 3L, "signup", 0.0),
+      (7L, ts("2024-01-01 10:30:00"), 3L, "purchase", 0.0),
+      (8L, ts("2024-01-01 11:00:00"), 3L, "click", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val f = Events.funnel(ev).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(f == Map("1_signup" -> 3L, "2_click" -> 2L, "3_purchase" -> 1L))
+  }
+
+  test("rolling range frame spans exactly the trailing window") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "view", 1.0),
+      (2L, ts("2024-01-04 00:00:00"), 1L, "view", 2.0),
+      (3L, ts("2024-01-11 00:00:00"), 1L, "view", 4.0)) // day 1 aged out; day 4 exactly -7d → in
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Events.rollingUserValue(ev, days = 7).collect()
+      .map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(r == Map(1L -> 1.0, 2L -> 3.0, 3L -> 6.0))
+  }
+
   test("stream-stream interval join matches the batch join twin") {
     val ev = Tables.t(spark, sfDir, "events")
     val p = ev.filter(col("event_type") === "purchase")

@@ -81,4 +81,21 @@ class TextOpsSpec extends SparkTestBase {
       .select(md5(TextOps.nfc(col("text")))).collect().map(_.getString(0)).toSet
     assert(fps.size == 1)
   }
+  test("tfidf ranks rare high-frequency terms first with integer tie-breaks") {
+    val d = Seq(
+      (1L, "apple apple apple zebra common common"),
+      (2L, "common zebra"),
+      (3L, "common plain")).toDF("doc_id", "text")
+    val top = TextOps.tfidfTopTerms(d, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(5)) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 1: apple tf=3 df=1 beats common tf=2 df=3
+    assert(top((1L, 1L)) == ("apple", 3L, 1L))
+    assert(top((1L, 2L)) == ("common", 2L, 3L))
+    // doc 2: tf ties at 1 -> rarer term (zebra df=2) outranks common (df=3)
+    assert(top((2L, 1L)) == ("zebra", 1L, 2L))
+    // tfidf value of a df=N term is ln(1)=0
+    val common3 = TextOps.tfidfTopTerms(d, k = 2)
+      .filter(col("doc_id") === 3L && col("term") === "common").head()
+    assert(common3.getDouble(4) == 0.0)
+  }
 }
