@@ -20,11 +20,8 @@ class GraftContexts(spark: SparkSession, baseRoot: String) {
 
   private val apis = scala.collection.concurrent.TrieMap[String, GraftApi]()
 
-  private def validate(name: String): String = {
-    require(name.matches("[A-Za-z0-9_.-]+") && name != "." && name != "..",
-      s"bad context name: $name")
-    name
-  }
+  private def validate(name: String): String =
+    graft.registries.Names.validate("context name", name)
 
   /** Create (or return existing) context `name`. */
   def createContext(name: String): GraftApi = context(validate(name))
@@ -42,10 +39,18 @@ class GraftContexts(spark: SparkSession, baseRoot: String) {
     finally s.close()
   }
 
-  /** Persistently switch the active context (creating it if needed). */
+  /** Persistently switch the active context (creating it if needed).
+    * Write-temp + ATOMIC_MOVE so a crash or concurrent reader (the file
+    * is shared across JVMs by design) never observes a torn name — a
+    * torn prefix would still validate and silently select a brand-new
+    * empty context. Same pattern as AliasRegistry. */
   def setActiveContext(name: String): GraftApi = synchronized {
     val api = context(name) // creates the root dir
-    Files.write(activeFile, validate(name).getBytes("UTF-8"))
+    val tmp = activeFile.resolveSibling(s"${activeFile.getFileName}.tmp")
+    Files.write(tmp, validate(name).getBytes("UTF-8"))
+    Files.move(tmp, activeFile,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     api
   }
 

@@ -477,17 +477,23 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:00') AS hour,
         | event_type, count(*) AS n
         |FROM events GROUP BY hour, event_type ORDER BY hour, event_type""".stripMargin,
+    // CAST(ts AS TIMESTAMP) truncates DuckDB's TIMESTAMP_NS to the same
+    // microseconds Spark's normalizeTs produces — REQUIRED in every
+    // event-time comparison or a sub-µs difference flips a predicate in
+    // exactly one engine (same rule as the pre-existing event oracles)
     "evt_rolling" ->
-      """SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+      """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+        |SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
         | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
         |   RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW), 2) AS rolling_value
-        |FROM events ORDER BY event_id""".stripMargin,
+        |FROM ev ORDER BY event_id""".stripMargin,
     "evt_funnel" ->
-      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t1 FROM ev
         |  WHERE event_type = 'signup' GROUP BY user_id),
-        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM ev e JOIN s1 USING (user_id)
         |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
-        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM ev e JOIN s2 USING (user_id)
         |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
         |SELECT '1_signup' AS stage, count(*) AS n_users FROM s1
         |UNION ALL SELECT '2_click', count(*) FROM s2
@@ -496,26 +502,33 @@ object SparkEntry {
     // the streaming interval join drained over the static table equals
     // the plain batch BETWEEN join
     "stream_join" ->
-      """WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts FROM events
+      """WITH p AS (SELECT event_id AS p_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts FROM events
         |  WHERE event_type = 'purchase'),
-        |c AS (SELECT event_id AS c_id, user_id, ts AS c_ts FROM events
+        |c AS (SELECT event_id AS c_id, user_id, CAST(ts AS TIMESTAMP) AS c_ts FROM events
         |  WHERE event_type = 'click')
         |SELECT p.p_id, c.c_id FROM p JOIN c ON p.user_id = c.user_id
         | AND c.c_ts >= p.p_ts - INTERVAL 24 HOUR AND c.c_ts <= p.p_ts
         |ORDER BY p.p_id, c.c_id""".stripMargin,
     // DuckDB's NATIVE ASOF JOIN is the oracle for the union+window operator
     "evt_asof_join" ->
-      """WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
-        |c AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click')
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, event_id, value FROM (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+        |   row_number() OVER (PARTITION BY user_id, CAST(ts AS TIMESTAMP)
+        |     ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'click') WHERE rn = 1)
         |SELECT p.event_id, p.user_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts, p.value,
         | c.event_id AS click_event_id, c.value AS click_value
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
     // plain BETWEEN join is the oracle for the bin-bucketed range join
     "evt_range_join" ->
-      """WITH e AS (SELECT event_id AS err_id, user_id, ts AS w_start,
-        |  ts + INTERVAL 24 HOUR AS w_end FROM events WHERE event_type = 'error'),
-        |c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+      """WITH e AS (SELECT event_id AS err_id, user_id, CAST(ts AS TIMESTAMP) AS w_start,
+        |  CAST(ts AS TIMESTAMP) + INTERVAL 24 HOUR AS w_end FROM events
+        |  WHERE event_type = 'error'),
+        |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+        |  WHERE event_type = 'click')
         |SELECT e.err_id, count(*) AS n_clicks, round(sum(c.value), 2) AS click_value
         |FROM c JOIN e ON c.user_id = e.user_id AND c.ts >= e.w_start AND c.ts <= e.w_end
         |GROUP BY e.err_id ORDER BY e.err_id""".stripMargin

@@ -38,8 +38,12 @@ object Multimodal {
       .select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        val (w, h, fmt) = ImageHeader.decode(bytes)
-        MediaMeta(id, bytes.length, w, h, fmt)
+        // a NULL payload is data too: empty unknown, not an executor NPE
+        if (bytes == null) MediaMeta(id, 0, 0, 0, "unknown")
+        else {
+          val (w, h, fmt) = ImageHeader.decode(bytes)
+          MediaMeta(id, bytes.length, w, h, fmt)
+        }
       })
   }
 

@@ -21,7 +21,7 @@ object Profile {
     // up front (this path is reachable from the user-facing Cli `profile`
     // command) instead of failing with a parse/ANSI-cast error mid-query
     cols.foreach { c =>
-      require(c.matches("[A-Za-z0-9_.-]+"), s"bad column name for profile: $c")
+      graft.registries.Names.validate("column name for profile", c)
       val field = df.schema.fields.find(_.name == c)
         .getOrElse(throw new IllegalArgumentException(s"no such column: $c"))
       require(field.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],

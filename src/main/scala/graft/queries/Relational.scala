@@ -247,8 +247,7 @@ object Relational {
     * fact-fact joins at 100 TB. Oracle is the plain SQL join; the
     * no-Exchange plan property is asserted in SourcesSpec. */
   def q25BucketedJoin(s: SparkSession, dir: String): DataFrame =
-    graft.sources.Bucketing.ordersLineitemJoin(
-      t(s, dir, "orders"), t(s, dir, "lineitem"))
+    graft.sources.Bucketing.ordersLineitemJoin(s, dir)
 
   /** Paginated render slice (kiara render_value, render_value.py:54). */
   def renderSlice(s: SparkSession, dir: String): DataFrame =

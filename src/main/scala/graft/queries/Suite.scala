@@ -380,11 +380,19 @@ object Suite {
     * hash equality proves the union+window formulation implements the
     * standard as-of semantics exactly, including ties and no-match nulls. */
   def evtAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ev = t(s, dir, "events")
     val purchases = ev.filter(col("event_type") === "purchase")
       .select("event_id", "user_id", "ts", "value")
+    // one click per (user, instant), keeping the max event_id: DuckDB's
+    // ASOF JOIN pick among equal-ts duplicates is implementation-defined,
+    // so the registered query removes the ambiguity on BOTH sides before
+    // comparing (the operator itself is deterministic either way)
     val clicks = ev.filter(col("event_type") === "click")
       .select("user_id", "ts", "event_id", "value")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("user_id", "ts").orderBy(col("event_id").desc)))
+      .filter(col("__rn") === 1).drop("__rn")
     Events.asofJoin(purchases, clicks, "user_id", "ts",
         rightCols = Seq("event_id", "value"), rightPrefix = "click_")
       .select(col("event_id"), col("user_id"),

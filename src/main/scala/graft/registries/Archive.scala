@@ -43,8 +43,12 @@ object Archive {
                     values: Seq[String] = Seq.empty,
                     noAliases: Boolean = false): Seq[String] = {
     val target = Paths.get(targetDir)
-    require(!Files.exists(target) || !Files.list(target).iterator().hasNext,
-      s"archive target exists and is not empty: $targetDir")
+    if (Files.exists(target)) {
+      val s = Files.list(target)
+      try require(!s.iterator().hasNext,
+        s"archive target exists and is not empty: $targetDir")
+      finally s.close()
+    }
     val ids = if (values.nonEmpty) values else data.list
     ids.foreach { id =>
       require(data.exists(id), s"no such value in store: $id")
@@ -87,10 +91,10 @@ object Archive {
     val txt = Files.readString(p)
     val values = """"values":\[([^\]]*)\]""".r.findFirstMatchIn(txt)
       .map(_.group(1)).getOrElse("")
-    val ids = """"([A-Za-z0-9_.-]+)"""".r.findAllMatchIn(values).map(_.group(1)).toSeq
+    val ids = ("\"(" + Names.Pattern + ")\"").r.findAllMatchIn(values).map(_.group(1)).toSeq
     val aliasBlock = """"aliases":\{([^}]*)\}""".r.findFirstMatchIn(txt)
       .map(_.group(1)).getOrElse("")
-    val als = """"([A-Za-z0-9_.-]+)":"([A-Za-z0-9_.-]+)"""".r.findAllMatchIn(aliasBlock)
+    val als = ("\"(" + Names.Pattern + ")\":\"(" + Names.Pattern + ")\"").r.findAllMatchIn(aliasBlock)
       .map(m => m.group(1) -> m.group(2)).toSeq
     (ids, als)
   }

@@ -33,7 +33,7 @@ class DataRegistry(root: String) {
   // same id validation on every path that touches the filesystem — a raw
   // alias target like "../x" must not escape the registry root
   private def dir(id: String) = {
-    require(id.matches("[A-Za-z0-9_.-]+") && id != "." && id != "..", s"bad value id: $id")
+    Names.validate("value id", id)
     s"$root/values/$id"
   }
   Files.createDirectories(Paths.get(s"$root/values"))
@@ -77,8 +77,8 @@ class AliasRegistry(root: String) {
     * through a temp file + atomic move so concurrent readers never see a
     * torn file. Same-JVM writers serialize on the instance lock. */
   def set(alias: String, valueId: String): Unit = synchronized {
-    require(alias.matches("[A-Za-z0-9_.-]+"), s"bad alias name: $alias")
-    require(valueId.matches("[A-Za-z0-9_.-]+"), s"bad value id: $valueId")
+    Names.validate("alias name", alias)
+    Names.validate("value id", valueId)
     val all = readAll() + (alias -> valueId)
     val tmp = Files.createTempFile(Paths.get(root), ".aliases", ".tmp")
     Files.write(tmp, all.toSeq.sorted.map { case (k, v) => s"$k=$v" }.asJava)
@@ -239,7 +239,7 @@ class WorkflowRegistry(root: String, lineage: LineageRegistry) {
   /** Register a persistable workflow: each part is validated against the
     * registry charset, then the whole table is atomically rewritten. */
   def registerOps(name: String, steps: Seq[OpStep]): Unit = synchronized {
-    def ok(s: String): Boolean = s.matches("[A-Za-z0-9_.-]+")
+    def ok(s: String): Boolean = Names.isValid(s)
     require(ok(name), s"bad workflow name: $name")
     steps.foreach { st =>
       require(ok(st.name) && ok(st.op) && ok(st.input), s"bad step part in: $st")

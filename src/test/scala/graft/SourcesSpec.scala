@@ -88,8 +88,7 @@ class SourcesSpec extends SparkTestBase {
     val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val joined = graft.sources.Bucketing.ordersLineitemJoin(
-        Tables.t(spark, sfDir, "orders"), Tables.t(spark, sfDir, "lineitem"))
+      val joined = graft.sources.Bucketing.ordersLineitemJoin(spark, sfDir)
       val rows = joined.collect()
       val plan = joined.queryExecution.executedPlan.toString
       // the join itself reads co-located buckets: no Exchange below it
@@ -97,8 +96,8 @@ class SourcesSpec extends SparkTestBase {
       // join inputs by checking bucketed scans and counting exchanges)
       assert(plan.contains("SelectedBucketsCount"),
         s"expected bucketed scans in plan:\n$plan")
-      assert(!plan.split("SortMergeJoin")(1).isEmpty) // join present
-      val exchangesBelowJoin = plan.split("SortMergeJoin").last
+      assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+      val exchangesBelowJoin = plan.substring(plan.indexOf("SortMergeJoin"))
         .linesIterator.count(_.contains("Exchange"))
       assert(exchangesBelowJoin == 0,
         s"bucketed join inputs must not shuffle:\n$plan")
