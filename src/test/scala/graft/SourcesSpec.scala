@@ -90,17 +90,34 @@ class SourcesSpec extends SparkTestBase {
     try {
       val joined = graft.sources.Bucketing.ordersLineitemJoin(spark, sfDir)
       val rows = joined.collect()
-      val plan = joined.queryExecution.executedPlan.toString
-      // the join itself reads co-located buckets: no Exchange below it
-      // (the final orderBy/aggregate may still exchange — assert on the
-      // join inputs by checking bucketed scans and counting exchanges)
-      assert(plan.contains("SelectedBucketsCount"),
-        s"expected bucketed scans in plan:\n$plan")
-      assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
-      val exchangesBelowJoin = plan.substring(plan.indexOf("SortMergeJoin"))
-        .linesIterator.count(_.contains("Exchange"))
-      assert(exchangesBelowJoin == 0,
-        s"bucketed join inputs must not shuffle:\n$plan")
+      // Walk the post-AQE physical plan tree (the rendered string embeds
+      // both the Final and Initial plan sections, so substring counting
+      // is unreliable): find the SortMergeJoin node and assert its
+      // subtree — traversing through AQE query-stage boundaries —
+      // contains no shuffle. The orderBy/aggregate above it may still
+      // exchange; only the join inputs must be co-located.
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+      import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+      def flatten(p: SparkPlan): Seq[SparkPlan] = {
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case s: QueryStageExec        => Seq(s.plan)
+          case r: ReusedExchangeExec    => Seq(r.child)
+          case other                    => other.children
+        }
+        p +: kids.flatMap(flatten)
+      }
+      val all = flatten(joined.queryExecution.executedPlan)
+      val planStr = joined.queryExecution.executedPlan.toString
+      assert(planStr.contains("SelectedBucketsCount"),
+        s"expected bucketed scans in plan:\n$planStr")
+      val smj = all.collectFirst { case j: SortMergeJoinExec => j }
+      assert(smj.isDefined, s"expected a sort-merge join:\n$planStr")
+      val shuffles = flatten(smj.get).collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.isEmpty,
+        s"bucketed join inputs must not shuffle, found ${shuffles.size}:\n$planStr")
       // result parity with the straightforward non-bucketed join
       val plainRows = Tables.t(spark, sfDir, "orders")
         .join(Tables.t(spark, sfDir, "lineitem"),
