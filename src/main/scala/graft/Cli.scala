@@ -63,12 +63,32 @@ object Cli {
       s"active context: $name"
     case "context" :: baseRoot :: "current" :: Nil =>
       new GraftContexts(spark, baseRoot).currentContextName
+    // archive inspection without importing (kiara_api.py:1237)
+    case "archive" :: "info" :: dir :: Nil =>
+      val info = graft.registries.Archive.archiveInfo(dir)
+      val header = s"archive version ${info.version}: ${info.values.size} values, " +
+        s"${info.aliases.size} aliases, ${info.lineageRecords} lineage records"
+      val vals = info.values.map(v =>
+        f"  ${v.id}%-24s ${v.rows}%10d rows ${v.sizeBytes}%12d bytes (${v.files}%d files)")
+      val als = info.aliases.map { case (a, v) => s"  $a -> $v" }
+      (header +: vals ++: (if (als.isEmpty) Seq.empty else "aliases:" +: als)).mkString("\n")
+    // value + context info records (kiara_api.py:944,529)
+    case "value" :: root :: "info" :: ref :: Nil =>
+      val i = new GraftApi(spark, root).valueInfo(ref)
+      s"id:       ${i.id}\nschema:   ${i.schema}\nrows:     ${i.rows}\n" +
+        s"bytes:    ${i.sizeBytes}\nproduced: ${i.producedBy.getOrElse("-")}\n" +
+        s"aliases:  ${if (i.aliases.isEmpty) "-" else i.aliases.mkString(", ")}"
+    case "context" :: baseRoot :: "info" :: Nil =>
+      val i = new GraftContexts(spark, baseRoot).currentContext.contextInfo
+      s"root:       ${i.root}\nvalues:     ${i.values}\naliases:    ${i.aliases}\n" +
+        s"jobs:       ${i.jobs}\nworkflows:  ${i.workflows}\noperations: ${i.operations}"
     case other =>
       throw new IllegalArgumentException(
         s"usage: queries | query <name> <sfDir> [rows] | tables <sfDir> | " +
           s"profile <sfDir> <table> <col...> | entry | " +
           s"operations [filter...] | operation <name> | " +
-          s"context <root> list|create <name>|use <name>|current " +
+          s"context <root> list|create <name>|use <name>|current|info | " +
+          s"archive info <dir> | value <root> info <ref> " +
           s"(got: ${other.mkString(" ")})")
   }
 

@@ -1,11 +1,31 @@
 package graft
 
+import java.util.concurrent.Executors
 import java.util.concurrent.atomic.AtomicLong
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 import graft.plans.{Builtins, OpRegistry, Pipeline}
-import graft.registries.{AliasRegistry, DataRegistry, LineageRegistry, WorkflowRegistry}
+import graft.registries.{AliasRegistry, Archive, CommentStore, DataRegistry, LineageRegistry, ParquetMeta, WorkflowRegistry}
 import graft.sources.{Convert, Export, TypeMap}
+
+object GraftApi {
+  /** Queued-job state (kiara_api.py:1342 `get_job`): terminal states are
+    * `success` and `failed`. */
+  final case class JobStatus(jobId: String, state: String, error: Option[String])
+
+  /** Lightweight value info (kiara_api.py:944 `retrieve_values_info`):
+    * schema + size from parquet footers/filesystem only (no data scan),
+    * plus the lineage step that produced the value, if any. */
+  final case class ValueInfo(id: String, schema: String, rows: Long,
+                             sizeBytes: Long, producedBy: Option[String],
+                             aliases: Seq[String])
+
+  /** Context summary (kiara_api.py:529 `get_context_info`). */
+  final case class ContextInfo(root: String, values: Int, aliases: Int,
+                               jobs: Int, workflows: Int, operations: Int)
+}
 
 /** Top-level facade mirroring kiara's python API
   * (reference interfaces/python_api/kiara_api.py): run_job (:105),
@@ -18,11 +38,19 @@ import graft.sources.{Convert, Export, TypeMap}
   * DataFrame transforms, jobs leave lineage records.
   */
 class GraftApi(val spark: SparkSession, root: String) {
+  import GraftApi._
+
   val data = new DataRegistry(root)
   val aliases = new AliasRegistry(root)
   val lineage = new LineageRegistry(root)
   val workflows = new WorkflowRegistry(root, lineage)
-  private val jobSeq = new AtomicLong(0)
+  val comments = new CommentStore(root)
+  // job ids continue where a previous JVM on the same root left off —
+  // job records persist in the lineage JSONL (kiara registries/jobs/),
+  // so a restart must not re-issue an existing id
+  private val jobSeq = new AtomicLong(
+    persistedJobIds.flatMap(id => id.stripPrefix("job-").toLongOption)
+      .maxOption.getOrElse(0L))
   private val jobs = scala.collection.concurrent.TrieMap[String, Pipeline.StepRecord]()
 
   Builtins.ensureRegistered()
@@ -44,14 +72,81 @@ class GraftApi(val spark: SparkSession, root: String) {
     val in = getValue(inputValue)
     val out = op(in)
     val jobId = s"job-${jobSeq.incrementAndGet()}"
-    val rec = Pipeline.StepRecord(operation, Seq(inputValue), out.schema.simpleString)
-    jobs.put(jobId, rec)
-    lineage.record(jobId, rec)
+    recordJob(jobId, operation, inputValue, out)
     (jobId, out)
   }
 
-  def getJobRecord(jobId: String): Option[Pipeline.StepRecord] = jobs.get(jobId)
-  def listJobRecordIds: Seq[String] = jobs.keys.toSeq.sorted
+  private def recordJob(jobId: String, operation: String, inputValue: String,
+                        out: DataFrame): Unit = {
+    val rec = Pipeline.StepRecord(operation, Seq(inputValue), out.schema.simpleString)
+    jobs.put(jobId, rec)
+    // concurrent queued jobs append from worker threads; serialize so two
+    // single-line appends cannot interleave
+    lineage.synchronized { lineage.record(jobId, rec) }
+  }
+
+  // job-prefixed runs in the persisted lineage log ARE the job records
+  // (kiara's store-backed job registry): a fresh GraftApi on the same
+  // root sees every prior JVM's jobs without any extra bookkeeping file
+  private def persistedJobIds: Seq[String] =
+    lineage.records.map(_.run).filter(_.startsWith("job-")).distinct
+
+  /** get_job_record (kiara_api.py:1410) — in-memory first, then the
+    * persisted lineage log, so records survive a JVM restart. */
+  def getJobRecord(jobId: String): Option[Pipeline.StepRecord] =
+    jobs.get(jobId).orElse(
+      lineage.records.filter(_.run == jobId).lastOption
+        .map(n => Pipeline.StepRecord(n.step, n.inputs, n.schema)))
+  def listJobRecordIds: Seq[String] = (jobs.keys.toSeq ++ persistedJobIds).distinct.sorted
+
+  // --- async job queue (kiara_api.py:149 queue_job, :1342 get_job,
+  //     :1348 get_job_result) ----------------------------------------------
+  private val jobPool = Executors.newFixedThreadPool(4, r => {
+    val t = new Thread(r, "graft-job"); t.setDaemon(true); t
+  })
+  private implicit val jobEc: ExecutionContext = ExecutionContext.fromExecutor(jobPool)
+  private val asyncJobs = scala.collection.concurrent.TrieMap[String, Future[DataFrame]]()
+  private val jobStates = scala.collection.concurrent.TrieMap[String, JobStatus]()
+
+  /** queue_job: submit a registered operation asynchronously; returns the
+    * job id immediately. Spark plan construction and actions are
+    * session-thread-safe, so queued jobs genuinely overlap. */
+  def queueJob(operation: String, inputValue: String): String = {
+    val jobId = s"job-${jobSeq.incrementAndGet()}"
+    jobStates.put(jobId, JobStatus(jobId, "queued", None))
+    val fut = Future {
+      jobStates.put(jobId, JobStatus(jobId, "running", None))
+      val out = OpRegistry.get(operation)(getValue(inputValue))
+      recordJob(jobId, operation, inputValue, out)
+      jobStates.put(jobId, JobStatus(jobId, "success", None))
+      out
+    }
+    fut.failed.foreach(e =>
+      jobStates.put(jobId, JobStatus(jobId, "failed", Some(e.toString))))
+    asyncJobs.put(jobId, fut)
+    jobId
+  }
+
+  /** get_job: current state of a queued (or already-recorded) job. */
+  def getJob(jobId: String): JobStatus =
+    jobStates.get(jobId)
+      .orElse(getJobRecord(jobId).map(_ => JobStatus(jobId, "success", None)))
+      .getOrElse(throw new NoSuchElementException(s"no such job: $jobId"))
+
+  /** get_job_result: block until the queued job finishes; rethrows the
+    * job's failure if it failed. */
+  def getJobResult(jobId: String): DataFrame =
+    Await.result(asyncJobs.getOrElse(jobId,
+      throw new NoSuchElementException(s"no queued job: $jobId")), Duration.Inf)
+
+  // --- job comments (kiara_api.py:186,209) --------------------------------
+  def setJobComment(jobId: String, comment: String): Unit = {
+    require(getJobRecord(jobId).isDefined || jobStates.contains(jobId),
+      s"no such job: $jobId")
+    comments.set(jobId, comment)
+  }
+  def getJobComment(jobId: String): Option[String] = comments.get(jobId)
+  def listJobComments: Seq[(String, String)] = comments.list
 
   /** Upstream provenance of a value (kiara_api.py:243
     * retrieve_augmented_value_lineage): the step that produced it, the
@@ -71,6 +166,41 @@ class GraftApi(val spark: SparkSession, root: String) {
     data.load(spark, aliases.resolve(ref).getOrElse(ref))
   def listValueIds: Seq[String] = data.list
   def listAliasNames: Seq[String] = aliases.list.map(_._1)
+
+  // --- batch value ops (kiara_api.py:1055 store_values, :909 get_values) --
+  /** store_values: store several values in one call; pairs are
+    * (id, DataFrame), aliasing each id to itself is kiara's default. */
+  def storeValues(values: Seq[(String, DataFrame)]): Seq[String] =
+    values.map { case (id, df) => storeValue(id, df) }
+  /** get_values: resolve several refs (ids or aliases) in one call. */
+  def getValues(refs: Seq[String]): Map[String, DataFrame] =
+    refs.map(r => r -> getValue(r)).toMap
+
+  // --- info surfaces (kiara_api.py:944,590,529) ---------------------------
+  /** retrieve_values_info: schema from the catalog, rows + bytes from
+    * parquet footers/filesystem only — inspecting a value never scans
+    * its data pages, whatever its size. */
+  def valueInfo(ref: String): ValueInfo = {
+    val id = aliases.resolve(ref).getOrElse(ref)
+    require(data.exists(id), s"no such value: $ref")
+    val dir = data.path(id)
+    val schema = data.load(spark, id).schema.simpleString
+    val producedBy = lineage.records.filter(_.step == id).lastOption.map(_.run)
+    val als = aliases.list.collect { case (a, v) if v == id => a }
+    ValueInfo(id, schema, ParquetMeta.dirRowCount(dir),
+      ParquetMeta.dirSizeBytes(dir), producedBy, als)
+  }
+  def valuesInfo(refs: Seq[String] = Seq.empty): Seq[ValueInfo] =
+    (if (refs.nonEmpty) refs else listValueIds).map(valueInfo)
+
+  /** retrieve_data_types_info: kiara type name → Spark SQL type. */
+  def dataTypesInfo: Seq[(String, String)] =
+    TypeMap.toSpark.toSeq.sortBy(_._1).map { case (k, t) => k -> t.sql }
+
+  /** get_context_info: one-line census of everything rooted here. */
+  def contextInfo: ContextInfo =
+    ContextInfo(root, data.list.size, aliases.list.size,
+      listJobRecordIds.size, workflows.list.size, OpRegistry.list.size)
 
   // --- value matchers (kiara_api.py:844 list_value_ids(**matchers), :875) --
   /** Matcher-filtered value ids: id glob + schema check, parquet footers
@@ -110,4 +240,9 @@ class GraftApi(val spark: SparkSession, root: String) {
   def importArchive(sourceDir: String, noAliases: Boolean = false): Seq[String] =
     graft.registries.Archive.importArchive(spark, data, aliases, lineage,
       sourceDir, noAliases)
+
+  /** retrieve_archive_info (kiara_api.py:1237): inspect an archive's
+    * manifest, per-value sizes and row counts WITHOUT importing it. */
+  def archiveInfo(sourceDir: String): Archive.ArchiveInfo =
+    Archive.archiveInfo(sourceDir)
 }

@@ -82,6 +82,37 @@ object Archive {
     ids
   }
 
+  /** Summary of an archive produced by `exportArchive` — everything a
+    * user needs to decide whether to import, computed WITHOUT importing
+    * (kiara_api.py:1237 `retrieve_archive_info`). Sizes come from the
+    * filesystem, row counts from parquet footers only: no value is read
+    * as data, so inspecting a 100 TB archive stays a metadata operation. */
+  final case class ValueEntry(id: String, files: Int, sizeBytes: Long, rows: Long)
+  final case class ArchiveInfo(version: Int, values: Seq[ValueEntry],
+                               aliases: Seq[(String, String)], lineageRecords: Int)
+
+  def archiveInfo(sourceDir: String): ArchiveInfo = {
+    val (ids, als) = readManifest(sourceDir)
+    val txt = Files.readString(Paths.get(sourceDir, "manifest.json"))
+    val version = """"version":(\d+)""".r.findFirstMatchIn(txt)
+      .map(_.group(1).toInt).getOrElse(0)
+    val entries = ids.map { id =>
+      val vdir = Paths.get(sourceDir, "values", id)
+      val parts =
+        if (!Files.exists(vdir)) Seq.empty[java.nio.file.Path]
+        else {
+          val s = Files.list(vdir)
+          try s.iterator.asScala.filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+          finally s.close()
+        }
+      val rows = parts.map(p => ParquetMeta.rowCount(p.toString)).sum
+      ValueEntry(id, parts.size, parts.map(Files.size).sum, rows)
+    }
+    val lin = Paths.get(sourceDir, "lineage.jsonl")
+    val nLin = if (Files.exists(lin)) Files.readAllLines(lin).size else 0
+    ArchiveInfo(version, entries, als, nLin)
+  }
+
   /** Parse manifest.json — fields are the restricted value-id/alias
     * charset (enforced at store/set time), so a charset-bounded regex
     * scan is exact; no general JSON parser needed. */

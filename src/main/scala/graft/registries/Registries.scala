@@ -44,6 +44,9 @@ class DataRegistry(root: String) {
   }
   def load(spark: SparkSession, id: String): DataFrame = spark.read.parquet(dir(id))
   def exists(id: String): Boolean = Files.exists(Paths.get(dir(id)))
+  /** On-disk location of a stored value (validated id) — the info
+    * surfaces read footers/sizes from here without loading the value. */
+  def path(id: String): String = dir(id)
   def list: Seq[String] = {
     val s = Files.list(Paths.get(s"$root/values"))
     try s.iterator.asScala.map(_.getFileName.toString).toSeq.sorted
@@ -103,17 +106,12 @@ object LineageRegistry {
   final case class StepNode(run: String, step: String, inputs: Seq[String], schema: String)
 }
 
-/** Job/lineage registry (kiara registries/jobs/, models/module/jobs.py):
-  * append-only JSONL of executed steps with inputs and output schemas. */
-class LineageRegistry(root: String) {
-  import LineageRegistry.StepNode
-  private val file = Paths.get(s"$root/lineage.jsonl")
-  Files.createDirectories(Paths.get(root))
-
-  // full JSON escape incl. control chars — an unrestricted step name with
-  // a tab/newline must not corrupt the JSONL log (same hardening as
-  // Verify's oracle_sql.json writer)
-  private def esc(s: String): String = s.flatMap {
+/** Shared JSONL string escape/unescape — full JSON escape incl. control
+  * chars, so an unrestricted step name or free-text comment with a
+  * tab/newline cannot corrupt an append-only log (same hardening as
+  * Verify's oracle_sql.json writer). */
+private[registries] object Jsonl {
+  def esc(s: String): String = s.flatMap {
     case '"'  => "\\\""
     case '\\' => "\\\\"
     case '\n' => "\\n"
@@ -123,24 +121,7 @@ class LineageRegistry(root: String) {
     case c => c.toString
   }
 
-  def record(runId: String, rec: Pipeline.StepRecord): Unit = {
-    val line = s"""{"run":"${esc(runId)}","step":"${esc(rec.step)}","inputs":[${
-      rec.inputs.map(i => "\"" + esc(i) + "\"").mkString(",")}],"schema":"${esc(rec.outputSchema)}"}"""
-    Files.write(file, (line + "\n").getBytes("UTF-8"),
-      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
-  }
-  def recordRun(runId: String, recs: Seq[Pipeline.StepRecord]): Unit = recs.foreach(record(runId, _))
-  def lines: Seq[String] =
-    if (!Files.exists(file)) Seq.empty else Files.readAllLines(file).asScala.toSeq
-  /** Append an already-serialized record line (archive import path). */
-  def appendRaw(line: String): Unit =
-    Files.write(file, (line + "\n").getBytes("UTF-8"),
-      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
-
-  // --- provenance graph traversal (kiara_api.py:243
-  //     retrieve_augmented_value_lineage) ---------------------------------
-
-  private def unesc(s: String): String = {
+  def unesc(s: String): String = {
     val b = new StringBuilder(s.length)
     var i = 0
     while (i < s.length) {
@@ -159,6 +140,35 @@ class LineageRegistry(root: String) {
     }
     b.toString
   }
+}
+
+/** Job/lineage registry (kiara registries/jobs/, models/module/jobs.py):
+  * append-only JSONL of executed steps with inputs and output schemas. */
+class LineageRegistry(root: String) {
+  import LineageRegistry.StepNode
+  private val file = Paths.get(s"$root/lineage.jsonl")
+  Files.createDirectories(Paths.get(root))
+
+  private def esc(s: String): String = Jsonl.esc(s)
+
+  def record(runId: String, rec: Pipeline.StepRecord): Unit = {
+    val line = s"""{"run":"${esc(runId)}","step":"${esc(rec.step)}","inputs":[${
+      rec.inputs.map(i => "\"" + esc(i) + "\"").mkString(",")}],"schema":"${esc(rec.outputSchema)}"}"""
+    Files.write(file, (line + "\n").getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+  def recordRun(runId: String, recs: Seq[Pipeline.StepRecord]): Unit = recs.foreach(record(runId, _))
+  def lines: Seq[String] =
+    if (!Files.exists(file)) Seq.empty else Files.readAllLines(file).asScala.toSeq
+  /** Append an already-serialized record line (archive import path). */
+  def appendRaw(line: String): Unit =
+    Files.write(file, (line + "\n").getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+
+  // --- provenance graph traversal (kiara_api.py:243
+  //     retrieve_augmented_value_lineage) ---------------------------------
+
+  private def unesc(s: String): String = Jsonl.unesc(s)
 
   private val FieldStr = (name: String) => (s""""$name":"((?:[^"\\\\]|\\\\.)*)"""").r
   private val RunRe = FieldStr("run"); private val StepRe = FieldStr("step")
@@ -264,4 +274,39 @@ class WorkflowRegistry(root: String, lineage: LineageRegistry) {
     lineage.recordRun(runId, res.lineage)
     res
   }
+}
+
+/** Job comments (kiara_api.py:186 `set_job_comment`, :209
+  * `get_job_comment`): free-text notes attached to job ids, persisted as
+  * append-only JSONL next to the lineage log. Comments are arbitrary
+  * text (fully JSON-escaped); the latest write for a job wins, so
+  * updating a comment is an append, never a rewrite. */
+class CommentStore(root: String) {
+  private val file = Paths.get(s"$root/job_comments.jsonl")
+  Files.createDirectories(Paths.get(root))
+
+  def set(jobId: String, comment: String): Unit = synchronized {
+    Names.validate("job id", jobId)
+    val line = s"""{"job":"${Jsonl.esc(jobId)}","comment":"${Jsonl.esc(comment)}"}"""
+    Files.write(file, (line + "\n").getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+
+  private val JobRe = """"job":"((?:[^"\\]|\\.)*)"""".r
+  private val CommentRe = """"comment":"((?:[^"\\]|\\.)*)"""".r
+
+  /** Latest comment per job, sorted by job id. */
+  def list: Seq[(String, String)] = {
+    val all =
+      if (!Files.exists(file)) Seq.empty
+      else Files.readAllLines(file).asScala.toSeq.flatMap { l =>
+        for {
+          j <- JobRe.findFirstMatchIn(l).map(m => Jsonl.unesc(m.group(1)))
+          c <- CommentRe.findFirstMatchIn(l).map(m => Jsonl.unesc(m.group(1)))
+        } yield j -> c
+      }
+    all.groupBy(_._1).map { case (j, cs) => j -> cs.last._2 }.toSeq.sortBy(_._1)
+  }
+
+  def get(jobId: String): Option[String] = list.find(_._1 == jobId).map(_._2)
 }

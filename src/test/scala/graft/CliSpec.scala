@@ -44,6 +44,26 @@ class CliSpec extends SparkTestBase {
     assert(one.contains("id:     mm.decode_meta") && one.contains("header parse"))
   }
 
+  test("archive info, value info and context info render without importing") {
+    import spark.implicits._
+    val root = graft.sources.Export.tempDir("graft_cli_info_").toString
+    val api = new GraftApi(spark, root)
+    api.storeValue("v1", Seq((1L, "a"), (2L, "b")).toDF("id", "s"), Some("latest"))
+    val arch = graft.sources.Export.tempDir("graft_cli_arch_").toString
+    api.exportArchive(arch)
+    val ai = Cli.run(spark, Array("archive", "info", arch))
+    assert(ai.contains("1 values") && ai.contains("v1") && ai.contains("2 rows".trim))
+    assert(ai.contains("latest -> v1"))
+    val vi = Cli.run(spark, Array("value", root, "info", "latest"))
+    assert(vi.contains("id:       v1") && vi.contains("rows:     2"))
+    assert(vi.contains("aliases:  latest"))
+    // context info goes through the active context of a base root
+    val base = graft.sources.Export.tempDir("graft_cli_ctxinfo_").toString
+    Cli.run(spark, Array("context", base, "create", "default"))
+    val ci = Cli.run(spark, Array("context", base, "info"))
+    assert(ci.contains("values:     0") && ci.contains("operations:"))
+  }
+
   test("unknown query and bad usage fail with guidance") {
     val e1 = intercept[IllegalArgumentException] { Cli.run(spark, Array("query", "nope", sfDir)) }
     assert(e1.getMessage.contains("unknown query"))

@@ -125,6 +125,95 @@ class GraftApiSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { cx.createContext("../escape") }
   }
 
+  test("job records and comments persist across JVM-equivalent API instances") {
+    val root = Export.tempDir("graft_jobs_").toString
+    val apiA = new GraftApi(spark, root)
+    apiA.storeValue("nums", Seq(1L, 2L, 3L).toDF("n"), Some("input"))
+    apiA.registerOperation("positive_only", df => df.filter(col("n") > 0))
+    val (jobId, _) = apiA.runJob("positive_only", "input")
+    apiA.setJobComment(jobId, "first pass — keep an eye on nulls\nline2")
+    // a brand-new GraftApi on the same root (fresh-JVM shape) sees the
+    // job record, the comment, and does not re-issue the job id
+    val apiB = new GraftApi(spark, root)
+    assert(apiB.listJobRecordIds.contains(jobId))
+    val rec = apiB.getJobRecord(jobId).get
+    assert(rec.step == "positive_only" && rec.inputs == Seq("input"))
+    assert(apiB.getJobComment(jobId).contains("first pass — keep an eye on nulls\nline2"))
+    val (jobId2, _) = apiB.runJob("positive_only", "input")
+    assert(jobId2 != jobId)
+    assert(apiB.listJobRecordIds.toSet == Set(jobId, jobId2))
+    // comment updates are latest-wins; unknown jobs are rejected
+    apiB.setJobComment(jobId, "resolved")
+    assert(apiB.getJobComment(jobId).contains("resolved"))
+    intercept[IllegalArgumentException] { apiB.setJobComment("job-999", "x") }
+  }
+
+  test("queueJob runs asynchronously with pollable state and blocking result") {
+    val api = newApi
+    api.storeValue("nums", Seq(1L, 2L, 3L, 4L).toDF("n"), Some("input"))
+    api.registerOperation("evens", df => df.filter(col("n") % 2 === 0))
+    api.registerOperation("boom", _ => throw new RuntimeException("kaboom"))
+    val j1 = api.queueJob("evens", "input")
+    val j2 = api.queueJob("evens", "input")
+    assert(j1 != j2)
+    // getJobResult blocks until done; results are full DataFrames
+    assert(api.getJobResult(j1).collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 4L))
+    assert(api.getJobResult(j2).count() == 2)
+    assert(api.getJob(j1).state == "success")
+    // queued jobs leave the same persisted record as runJob
+    assert(api.getJobRecord(j1).exists(_.step == "evens"))
+    // a failing job reports failed state and rethrows on result
+    val j3 = api.queueJob("boom", "input")
+    intercept[RuntimeException] { api.getJobResult(j3) }
+    assert(api.getJob(j3).state == "failed" && api.getJob(j3).error.get.contains("kaboom"))
+    intercept[NoSuchElementException] { api.getJob("job-12345") }
+  }
+
+  test("batch store/get values round-trip") {
+    val api = newApi
+    val ids = api.storeValues(Seq(
+      "a" -> Seq(1L).toDF("n"), "b" -> Seq(2L, 3L).toDF("n")))
+    assert(ids == Seq("a", "b"))
+    val got = api.getValues(Seq("a", "b"))
+    assert(got("a").count() == 1 && got("b").count() == 2)
+  }
+
+  test("valueInfo reads footers only; contextInfo and dataTypesInfo render") {
+    val api = newApi
+    api.storeValue("v1", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), Some("latest"))
+    val vi = api.valueInfo("latest") // resolves alias → id
+    assert(vi.id == "v1" && vi.rows == 3L && vi.sizeBytes > 0L)
+    assert(vi.schema.contains("id:bigint") && vi.aliases == Seq("latest"))
+    assert(vi.producedBy.isEmpty) // raw import, no producing step
+    // a pipeline-produced value carries its producing run
+    import graft.plans.Pipeline
+    api.workflows.register("wf", Seq(Pipeline.Step("derived", Seq("v1"), in => in("v1"))))
+    api.workflows.run("wf", "run-9", Map("v1" -> api.getValue("v1")))
+    api.storeValue("derived", api.getValue("v1"))
+    assert(api.valueInfo("derived").producedBy.contains("run-9"))
+    assert(api.valuesInfo().map(_.id) == Seq("derived", "v1"))
+    val ci = api.contextInfo
+    assert(ci.values == 2 && ci.aliases == 1 && ci.operations > 0)
+    assert(api.dataTypesInfo.toMap.get("integer").contains("BIGINT"))
+    intercept[IllegalArgumentException] { api.valueInfo("nope") }
+  }
+
+  test("archiveInfo inspects an archive without importing it") {
+    val api = newApi
+    api.storeValue("v1", Seq((1L, "a"), (2L, "b")).toDF("id", "s"), Some("latest"))
+    api.storeValue("v2", (1L to 50L).toDF("n"))
+    val arch = Export.tempDir("graft_archinfo_").toString
+    api.exportArchive(arch)
+    val info = api.archiveInfo(arch)
+    assert(info.version == 1)
+    assert(info.values.map(_.id).sorted == Seq("v1", "v2"))
+    assert(info.values.find(_.id == "v1").get.rows == 2L)
+    assert(info.values.find(_.id == "v2").get.rows == 50L)
+    assert(info.values.forall(v => v.sizeBytes > 0 && v.files > 0))
+    assert(info.aliases == Seq("latest" -> "v1"))
+    assert(info.lineageRecords == 0)
+  }
+
   test("prettyPrint renders a bounded aligned table") {
     val s = Render.prettyPrint(Seq((1L, "alpha"), (2L, "beta")).toDF("id", "name"), rows = 1)
     val lines = s.split("\n")
