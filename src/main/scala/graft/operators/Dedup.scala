@@ -33,39 +33,28 @@ object Dedup {
   val Bands = 8
   val RowsPerBand: Int = NumHashes / Bands
 
-  /** Hashed word k-shingles: tokens are hashed once, then each shingle's
-    * hash combines k consecutive token hashes — no per-shingle string
-    * concatenation or array slicing. */
-  private def shingleHashExpr(k: Int): String = {
-    val parts = (1 to k).map(j => s"element_at(th, i + $j)").mkString(", ")
-    s"transform(sequence(0, size(th) - $k), i -> xxhash64($parts))"
-  }
-
   /** doc_id → sig: array[long] of NumHashes minhash values.
     *
     * Hash family: two base hashes per shingle (h1, h2 = reseeded xxhash64)
     * expanded to NumHashes values via h1 xor rotl(h2, i) — the classic
     * double-hashing expansion; bitwise-only, so ANSI-safe and far cheaper
     * than NumHashes independent hash evaluations per shingle.
-    * Plan: explode hashed shingles → one groupBy(doc_id) computing all
-    * NumHashes mins (single shuffle; map-side partial min). */
-  def minhashSignatures(docs: DataFrame, shingleK: Int = 3): DataFrame = {
-    val base = docs
+    *
+    * Shape: the ENTIRE signature is computed row-locally by the native
+    * codegen'd [[org.apache.spark.sql.graftext.MinHashSig]] expression —
+    * a minhash signature is a per-document function, so this is a pure
+    * map stage: NO explode, NO shuffle. (History: the previous plan
+    * exploded shingle hashes through interpreted HOF `transform` chains
+    * and re-aggregated 32 mins per doc — one full shuffle of the shingle
+    * stream plus HOF interpretation overhead; the expression is
+    * bit-identical, so every oracle row is unchanged.) */
+  def minhashSignatures(docs: DataFrame, shingleK: Int = 3): DataFrame =
+    docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= shingleK)
-      .select(col("doc_id"), expr("transform(toks, t -> xxhash64(t))").as("th"))
-      .select(col("doc_id"), explode(array_distinct(expr(shingleHashExpr(shingleK)))).as("h"))
-      .select(col("doc_id"), xxhash64(col("h")).as("h1"), xxhash64(col("h"), lit(1)).as("h2"))
-    def rotl(c: Column, i: Int): Column =
-      if (i == 0) c else shiftleft(c, i).bitwiseOR(shiftrightunsigned(c, 64 - i))
-    val minCols = (0 until NumHashes).map { i =>
-      min(col("h1").bitwiseXOR(rotl(col("h2"), i))).as(s"m$i")
-    }
-    base
-      .groupBy("doc_id")
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("doc_id"), array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
-  }
+      .select(col("doc_id"),
+        org.apache.spark.sql.graftext.Shingles
+          .minhashSig(col("toks"), shingleK, NumHashes).as("sig"))
 
   /** Candidate near-dup pairs via banded LSH: explode each signature into
     * (band, band_hash) keys, equi-join on the key, estimate Jaccard from

@@ -128,18 +128,17 @@ object TextOps {
     * hash selection): hash every token k-gram, slide a window of w over
     * the hash sequence, keep each window's minimum — documents sharing a
     * substring of ≥ k+w-1 tokens are guaranteed to share a fingerprint.
-    * Pure builtins; one row per doc with its distinct fingerprint set. */
-  def winnowFingerprints(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
-    val kgram = (1 to k).map(j => s"element_at(toks, i + $j)").mkString(", ")
+    * One row per doc with its distinct fingerprint set.
+    * Pure map stage via the native codegen'd
+    * [[org.apache.spark.sql.graftext.WinnowFps]] expression (bit-identical
+    * to the interpreted HOF chain it replaced — k-gram hash, window min,
+    * first-occurrence distinct). */
+  def winnowFingerprints(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame =
     docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= k + w - 1)
       .select(col("doc_id"),
-        expr(s"transform(sequence(0, size(toks) - $k), i -> xxhash64($kgram))").as("th"))
-      .select(col("doc_id"),
-        expr(s"array_distinct(transform(sequence(0, size(th) - $w), i -> " +
-          s"array_min(slice(th, i + 1, $w))))").as("fps"))
-  }
+        org.apache.spark.sql.graftext.Shingles.winnowFps(col("toks"), k, w).as("fps"))
 
   /** Heuristic language ID: marker-word hit counts per language, argmax
     * with a fixed tie-break order. CJK presence short-circuits to zh. */

@@ -72,6 +72,34 @@ class DedupSpec extends SparkTestBase {
     assert(viaExpr == viaAgg)
   }
 
+  test("minhash signature expression is bit-identical to the HOF + aggregate chain") {
+    import graft.operators.TextOps
+    val nearDup = base.replace("lazy", "sleepy")
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> "alpha beta gamma delta", 4L -> "one two")
+    val viaExpr = Dedup.minhashSignatures(d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // the replaced formulation: token-hash HOF → shingle-hash HOF →
+    // explode → 32 per-doc mins of h1 xor rotl(h2, i)
+    val k = 3
+    val kgram = (1 to k).map(j => s"element_at(th, i + $j)").mkString(", ")
+    val exploded = d
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), expr("transform(toks, t -> xxhash64(t))").as("th"))
+      .select(col("doc_id"), explode(array_distinct(
+        expr(s"transform(sequence(0, size(th) - $k), i -> xxhash64($kgram))"))).as("h"))
+      .select(col("doc_id"), xxhash64(col("h")).as("h1"), xxhash64(col("h"), lit(1)).as("h2"))
+    def rotl(c: org.apache.spark.sql.Column, i: Int) =
+      if (i == 0) c else shiftleft(c, i).bitwiseOR(shiftrightunsigned(c, 64 - i))
+    val minCols = (0 until Dedup.NumHashes).map(i =>
+      min(col("h1").bitwiseXOR(rotl(col("h2"), i))).as(s"m$i"))
+    val viaAgg = exploded.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"), array((0 until Dedup.NumHashes).map(i => col(s"m$i")): _*).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaExpr.keySet == Set(1L, 2L, 3L)) // doc 4 has < k tokens
+    assert(viaExpr == viaAgg)
+  }
+
   test("clusters: connected components over near-dup pairs") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L)).toDF("doc_a", "doc_b")
     val cc = Dedup.clusters(pairs).collect()

@@ -56,6 +56,31 @@ class TextOpsSpec extends SparkTestBase {
     assert((fps(2L) intersect fps(3L)).isEmpty)
   }
 
+  test("winnowing expression is bit-identical to the HOF chain") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d = Seq(
+      (1L, s"intro words here $shared trailing content one"),
+      (2L, s"totally other lead $shared and different tail"),
+      (3L, "short one"))
+      .toDF("doc_id", "text")
+    val (k, w) = (5, 4)
+    val viaExpr = TextOps.winnowFingerprints(d, k, w).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // the replaced formulation: k-gram hash HOF, window-min HOF, distinct
+    val kgram = (1 to k).map(j => s"element_at(toks, i + $j)").mkString(", ")
+    val viaHof = d
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= k + w - 1)
+      .select(col("doc_id"),
+        expr(s"transform(sequence(0, size(toks) - $k), i -> xxhash64($kgram))").as("th"))
+      .select(col("doc_id"),
+        expr(s"array_distinct(transform(sequence(0, size(th) - $w), i -> " +
+          s"array_min(slice(th, i + 1, $w))))").as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaExpr.keySet == Set(1L, 2L)) // doc 3 is below k+w-1 tokens
+    assert(viaExpr == viaHof) // values AND first-occurrence order
+  }
+
   test("quality scores on a crafted doc") {
     val d = Seq((1L, "the cat!! sat.")).toDF("doc_id", "text")
     val r = TextOps.qualityScores(d).head()
