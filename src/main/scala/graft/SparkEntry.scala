@@ -41,6 +41,7 @@ object SparkEntry {
     "q23_grouping_sets" -> (Relational.q23GroupingSets _),
     "q24_pivot" -> (Relational.q24Pivot _),
     "q25_bucketed_join" -> (Relational.q25BucketedJoin _),
+    "q26_skew_salted" -> (Relational.q26SkewSalted _),
     "render_slice" -> (Relational.renderSlice _),
     // ingestion / export / serde / bundles (rows 2-6, 8, 14)
     "ingest_csv" -> (Suite.ingestCsv _),
@@ -346,6 +347,17 @@ object SparkEntry {
         | round(sum(l_extendedprice), 2) AS revenue
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // salting is result-transparent, so the plain skewed join is the oracle
+    "q26_skew_salted" ->
+      """WITH fact AS (
+        |  SELECT CASE WHEN l_quantity <= 45 THEN 0 ELSE l_partkey % 100 END AS k,
+        |         l_extendedprice
+        |  FROM lineitem),
+        |dim AS (SELECT DISTINCT p_partkey % 100 AS k FROM part)
+        |SELECT 'b' || lpad(CAST(k AS VARCHAR), 3, '0') AS bucket_name,
+        |  count(*) AS n_rows, round(sum(l_extendedprice), 2) AS revenue
+        |FROM fact JOIN dim USING (k)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q16_sql" ->
       """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
         |FROM customer, orders, lineitem, supplier, nation, region

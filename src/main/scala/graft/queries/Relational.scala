@@ -249,6 +249,30 @@ object Relational {
   def q25BucketedJoin(s: SparkSession, dir: String): DataFrame =
     graft.sources.Bucketing.ordersLineitemJoin(s, dir)
 
+  /** Salted skewed join: ~90% of lineitem rows collapse onto one hot key
+    * (l_quantity <= 45), the classic straggler shape at 100 TB — one
+    * reducer would process the hot key's entire partition. Skew.saltedJoin
+    * spreads the hot key over 8 reducers with a deterministic row-hash
+    * salt (the dim side replicates once per salt), and the result is
+    * provably identical to the plain join — the DuckDB oracle IS the
+    * plain join. AQE's runtime skew-split covers the same shape when the
+    * stats allow it (asserted on the plan in SkewSpec); explicit salting
+    * is the fallback for plans AQE cannot split. */
+  def q26SkewSalted(s: SparkSession, dir: String): DataFrame = {
+    val fact = t(s, dir, "lineitem").select(
+      when(col("l_quantity") <= 45, lit(0L))
+        .otherwise(pmod(col("l_partkey"), lit(100)).cast("long")).as("k"),
+      col("l_extendedprice"))
+    val dim = t(s, dir, "part")
+      .select(pmod(col("p_partkey"), lit(100)).cast("long").as("k")).distinct()
+      .withColumn("bucket_name",
+        concat(lit("b"), lpad(col("k").cast("string"), 3, "0")))
+    graft.operators.Skew.saltedJoin(fact, dim, "k", salts = 8)
+      .groupBy("bucket_name")
+      .agg(count(lit(1)).as("n_rows"), round(sum("l_extendedprice"), 2).as("revenue"))
+      .orderBy("bucket_name")
+  }
+
   /** Paginated render slice (kiara render_value, render_value.py:54). */
   def renderSlice(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")

@@ -96,26 +96,15 @@ class SourcesSpec extends SparkTestBase {
       // subtree — traversing through AQE query-stage boundaries —
       // contains no shuffle. The orderBy/aggregate above it may still
       // exchange; only the join inputs must be co-located.
-      import org.apache.spark.sql.execution.SparkPlan
-      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-      import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
       import org.apache.spark.sql.execution.joins.SortMergeJoinExec
-      def flatten(p: SparkPlan): Seq[SparkPlan] = {
-        val kids = p match {
-          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-          case s: QueryStageExec        => Seq(s.plan)
-          case r: ReusedExchangeExec    => Seq(r.child)
-          case other                    => other.children
-        }
-        p +: kids.flatMap(flatten)
-      }
-      val all = flatten(joined.queryExecution.executedPlan)
+      val all = flattenPlan(joined.queryExecution.executedPlan)
       val planStr = joined.queryExecution.executedPlan.toString
       assert(planStr.contains("SelectedBucketsCount"),
         s"expected bucketed scans in plan:\n$planStr")
       val smj = all.collectFirst { case j: SortMergeJoinExec => j }
       assert(smj.isDefined, s"expected a sort-merge join:\n$planStr")
-      val shuffles = flatten(smj.get).collect { case e: ShuffleExchangeExec => e }
+      val shuffles = flattenPlan(smj.get).collect { case e: ShuffleExchangeExec => e }
       assert(shuffles.isEmpty,
         s"bucketed join inputs must not shuffle, found ${shuffles.size}:\n$planStr")
       // result parity with the straightforward non-bucketed join
