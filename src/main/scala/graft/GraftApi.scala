@@ -116,13 +116,20 @@ class GraftApi(val spark: SparkSession, root: String) {
     jobStates.put(jobId, JobStatus(jobId, "queued", None))
     val fut = Future {
       jobStates.put(jobId, JobStatus(jobId, "running", None))
-      val out = OpRegistry.get(operation)(getValue(inputValue))
-      recordJob(jobId, operation, inputValue, out)
-      jobStates.put(jobId, JobStatus(jobId, "success", None))
-      out
+      // state transitions happen INSIDE the body so they are visible
+      // before the future completes — a post-completion callback would
+      // race with a caller that saw getJobResult return/throw
+      try {
+        val out = OpRegistry.get(operation)(getValue(inputValue))
+        recordJob(jobId, operation, inputValue, out)
+        jobStates.put(jobId, JobStatus(jobId, "success", None))
+        out
+      } catch {
+        case e: Throwable =>
+          jobStates.put(jobId, JobStatus(jobId, "failed", Some(e.toString)))
+          throw e
+      }
     }
-    fut.failed.foreach(e =>
-      jobStates.put(jobId, JobStatus(jobId, "failed", Some(e.toString))))
     asyncJobs.put(jobId, fut)
     jobId
   }
