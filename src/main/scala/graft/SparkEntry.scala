@@ -68,6 +68,9 @@ object SparkEntry {
     "text_langid" -> (Suite.textLangid _),
     "text_fingerprint" -> (Suite.textFingerprint _),
     "text_bpe_tokens" -> (Suite.textBpeTokens _),
+    "text_pii" -> (Suite.textPii _),
+    "text_decontam" -> (Suite.textDecontam _),
+    "text_repetition" -> (Suite.textRepetition _),
     "q16_sql" -> (Suite.sqlTpchQ5 _),
     "sim_centroids" -> (Suite.simCentroids _),
     // dedup (§2b rows 20-23)
@@ -276,6 +279,51 @@ object SparkEntry {
          |SELECT lang, count(*) AS n_docs, round(avg(n_chars),2) AS avg_chars,
          | CAST(sum(n_tokens) AS BIGINT) AS total_tokens, count(DISTINCT source) AS n_sources
          |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    // planted pii built with the SAME expressions as the Spark side;
+    // DuckDB regexp_replace needs the 'g' flag (Spark replaces all by
+    // default), sums cast to BIGINT (DuckDB sum(int) is HUGEINT)
+    "text_pii" ->
+      """WITH planted AS (SELECT doc_id, text
+        |  || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
+        |  || CASE WHEN doc_id % 11 = 0 THEN ' visit https://example.org/d/' || CAST(doc_id AS VARCHAR) ELSE '' END
+        |  || CASE WHEN doc_id % 13 = 0 THEN ' call 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS text
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(text, 'https?://\S+')) AS BIGINT) AS n_urls,
+        | CAST(len(regexp_extract_all(text, '[0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}')) AS BIGINT) AS n_phones,
+        | md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |   'https?://\S+', '[URL]', 'g'),
+        |   '[0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}', '[PHONE]', 'g')) AS redacted_md5
+        |FROM planted ORDER BY doc_id""".stripMargin,
+    // grams join on k-gram STRINGS here vs xxhash64 values in Spark —
+    // counts agree unless xxhash64 collides within this corpus (~1e5
+    // grams against 2^64)
+    "text_decontam" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (SELECT DISTINCT doc_id, gram FROM (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-2),
+         |    i -> array_to_string(toks[i:i+2], ' '))) AS gram
+         |  FROM t WHERE len(toks) >= 3)),
+         |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 101 = 0),
+         |train AS (SELECT doc_id, gram FROM g WHERE doc_id % 101 <> 0)
+         |SELECT doc_id, count(*) AS n_grams,
+         | CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+         | CAST(floor(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+         |   / count(*) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS contamination
+         |FROM train LEFT JOIN bench b ON train.gram = b.gram
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
+         |SELECT doc_id,
+         | CAST(len(toks) - 2 AS BIGINT) AS n_ngrams,
+         | CAST(len(list_distinct(list_transform(generate_series(1, len(toks)-2),
+         |   i -> array_to_string(toks[i:i+2], ' ')))) AS BIGINT) AS n_distinct,
+         | CAST(floor((1.0 - len(list_distinct(list_transform(generate_series(1, len(toks)-2),
+         |   i -> array_to_string(toks[i:i+2], ' '))))
+         |     / (len(toks) - 2)) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS rep_ratio
+         |FROM t WHERE len(toks) >= 3 ORDER BY doc_id""".stripMargin,
     "text_ngrams" ->
       s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
          |p AS (SELECT unnest(list_transform(generate_series(1, len(toks)-1),

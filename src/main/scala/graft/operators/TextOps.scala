@@ -140,6 +140,78 @@ object TextOps {
       .select(col("doc_id"),
         org.apache.spark.sql.graftext.Shingles.winnowFps(col("toks"), k, w).as("fps"))
 
+  // PII patterns — identical semantics under Java regex (Spark) and RE2
+  // (DuckDB oracle): no backrefs, no lookaround
+  val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val urlPattern: String = "https?://\\S+"
+  val phonePattern: String = "[0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}"
+
+  /** PII detection + redaction for training-data scrubbing: per-doc
+    * counts of emails/URLs/phone-shaped strings and the md5 of the
+    * redacted text (emails → [EMAIL], then URLs → [URL], then phones →
+    * [PHONE] — the order is part of the contract). Pure regexp builtins,
+    * single map stage, no shuffle. */
+  def piiStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(t, emailPattern, "[EMAIL]"),
+        urlPattern, "[URL]"),
+      phonePattern, "[PHONE]")
+    docs.select(
+      col("doc_id"),
+      regexp_count(t, lit(emailPattern)).cast("long").as("n_emails"),
+      regexp_count(t, lit(urlPattern)).cast("long").as("n_urls"),
+      regexp_count(t, lit(phonePattern)).cast("long").as("n_phones"),
+      md5(redacted).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Benchmark decontamination: for each training document, how many of
+    * its distinct token k-grams appear in a benchmark/eval corpus — the
+    * standard pre-training hygiene check (does the training set contain
+    * the test set?).
+    *
+    * Scale shape: per-doc distinct k-gram HASHES come from the native
+    * row-local [[org.apache.spark.sql.graftext.WinnowFps]] kernel with
+    * w=1 (each k-gram hash is its own window minimum, distinct kept), so
+    * the only shuffle is the gram equi-join; the benchmark gram set is
+    * eval-suite-sized by definition and broadcast. No crossJoin, no
+    * all-pairs anything. */
+  def contamination(docs: DataFrame, benchmark: DataFrame, k: Int = 3): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), explode(
+        org.apache.spark.sql.graftext.Shingles.winnowFps(col("toks"), k, 1)).as("gram"))
+    val bench = grams(benchmark).select("gram").distinct()
+    grams(docs)
+      .join(broadcast(bench.withColumn("__hit", lit(1L))), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"))
+      .withColumn("contamination",
+        Num.pround(col("n_contaminated").cast("double") / col("n_grams"), 4))
+      .orderBy("doc_id")
+  }
+
+  /** Within-document repetition ratio: 1 − distinct/total token k-grams
+    * — the boilerplate/spam signal every corpus quality filter computes.
+    * Entirely row-local (total = size−k+1 arithmetic, distinct = the
+    * native WinnowFps(w=1) kernel): a pure map stage with NO explode and
+    * NO shuffle, the scale-correct shape for a per-doc metric. */
+  def repetitionRatio(docs: DataFrame, k: Int = 3): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        (size(col("toks")) - (k - 1)).cast("long").as("n_ngrams"),
+        size(org.apache.spark.sql.graftext.Shingles.winnowFps(col("toks"), k, 1))
+          .cast("long").as("n_distinct"))
+      .withColumn("rep_ratio",
+        Num.pround(lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams"), 4))
+      .orderBy("doc_id")
+
   /** Heuristic language ID: marker-word hit counts per language, argmax
     * with a fixed tie-break order. CJK presence short-circuits to zh. */
   def langId(docs: DataFrame): DataFrame = {

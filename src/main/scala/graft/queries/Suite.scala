@@ -236,6 +236,34 @@ object Suite {
       .select(col("doc_id"), size(col("fps")).cast("long").as("n_fps"))
       .orderBy("doc_id")
 
+  /** PII scrub over deterministically PLANTED pii (the synthetic corpus
+    * has none): docs at doc_id % 7/11/13 get an email/url/phone suffix,
+    * built identically in the DuckDB oracle, so detection counts and the
+    * redacted-text md5 are both hash-checked end-to-end. */
+  def textPii(s: SparkSession, dir: String): DataFrame = {
+    val planted = t(s, dir, "documents").withColumn("text", concat(
+      col("text"),
+      when(col("doc_id") % 7 === 0, concat(lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com now"))).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0, concat(lit(" visit https://example.org/d/"),
+        col("doc_id").cast("string"))).otherwise(lit("")),
+      when(col("doc_id") % 13 === 0, concat(lit(" call 555-010-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit(""))))
+    TextOps.piiStats(planted)
+  }
+
+  /** Decontamination: docs at doc_id % 101 == 0 play the benchmark set;
+    * every other doc is scored for distinct 3-gram overlap with it. */
+  def textDecontam(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    TextOps.contamination(
+      d.filter(col("doc_id") % 101 =!= 0),
+      d.filter(col("doc_id") % 101 === 0))
+  }
+
+  def textRepetition(s: SparkSession, dir: String): DataFrame =
+    TextOps.repetitionRatio(t(s, dir, "documents"))
+
   // --- dedup --------------------------------------------------------------
 
   def dedupExact(s: SparkSession, dir: String): DataFrame =

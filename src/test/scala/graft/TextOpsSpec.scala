@@ -81,6 +81,48 @@ class TextOpsSpec extends SparkTestBase {
     assert(viaExpr == viaHof) // values AND first-occurrence order
   }
 
+  test("pii stats count and redact emails, urls and phones") {
+    val d = Seq(
+      (1L, "mail bob@example.org or alice@test.co, see https://x.io/a and call 555-123-4567"),
+      (2L, "no pii here at all"))
+      .toDF("doc_id", "text")
+    val out = TextOps.piiStats(d).collect()
+    val r1 = out.find(_.getLong(0) == 1L).get
+    assert(r1.getLong(1) == 2L && r1.getLong(2) == 1L && r1.getLong(3) == 1L)
+    val r2 = out.find(_.getLong(0) == 2L).get
+    assert(r2.getLong(1) == 0L && r2.getLong(2) == 0L && r2.getLong(3) == 0L)
+    // redaction md5 equals the md5 of the hand-redacted text
+    val redacted = d.filter(col("doc_id") === 1L).select(md5(lit(
+      "mail [EMAIL] or [EMAIL], see [URL] and call [PHONE]"))).head().getString(0)
+    assert(r1.getString(4) == redacted)
+  }
+
+  test("contamination counts distinct shared k-grams against a benchmark set") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "intro alpha beta gamma outro"), // shares: "alpha beta gamma"
+      (2L, "totally unrelated words entirely"))
+      .toDF("doc_id", "text")
+    val out = TextOps.contamination(train, bench, k = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == (3L, 1L)) // 3 distinct trigrams, 1 contaminated
+    assert(out(2L)._2 == 0L)
+  }
+
+  test("repetition ratio: hand-computed on a repeating doc; map-only plan") {
+    val d = Seq((1L, "a b a b a b"), (2L, "w x y z")).toDF("doc_id", "text")
+    val out = TextOps.repetitionRatio(d)
+    val m = out.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(m(1L) == (4L, 2L, 0.5)) // trigrams: aba bab aba bab → 2 distinct of 4
+    assert(m(2L) == (2L, 2L, 0.0))
+    // the per-doc metric must stay a pure map stage: no shuffle anywhere
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val shuffles = flattenPlan(out.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeExec => e }
+    // orderBy adds a range-exchange for the final sort; nothing else may
+    assert(shuffles.size <= 1)
+  }
+
   test("quality scores on a crafted doc") {
     val d = Seq((1L, "the cat!! sat.")).toDF("doc_id", "text")
     val r = TextOps.qualityScores(d).head()
