@@ -71,6 +71,7 @@ object SparkEntry {
     "text_pii" -> (Suite.textPii _),
     "text_decontam" -> (Suite.textDecontam _),
     "text_repetition" -> (Suite.textRepetition _),
+    "mix_sampled" -> (Suite.mixSampled _),
     "q16_sql" -> (Suite.sqlTpchQ5 _),
     "sim_centroids" -> (Suite.simCentroids _),
     // dedup (§2b rows 20-23)
@@ -100,7 +101,8 @@ object SparkEntry {
     "evt_funnel" -> (Suite.evtFunnel _),
     "evt_session_window" -> (Suite.evtSessionWindow _),
     "stream_window" -> (Suite.streamWindow _),
-    "stream_join" -> (Suite.streamJoin _)
+    "stream_join" -> (Suite.streamJoin _),
+    "stream_dedup" -> (Suite.streamDedup _)
   )
 
   private val toksSql =
@@ -279,6 +281,14 @@ object SparkEntry {
          |SELECT lang, count(*) AS n_docs, round(avg(n_chars),2) AS avg_chars,
          | CAST(sum(n_tokens) AS BIGINT) AS total_tokens, count(DISTINCT source) AS n_sources
          |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    // hex-prefix comparison implements the same d/16 hash sampling in
+    // both engines (md5 hex alphabet is ASCII-ordered)
+    "mix_sampled" ->
+      """SELECT source, count(*) AS n_sampled FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <
+        |  CASE WHEN CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 2 = 0
+        |       THEN '8' ELSE '2' END
+        |GROUP BY source ORDER BY source""".stripMargin,
     // planted pii built with the SAME expressions as the Spark side;
     // DuckDB regexp_replace needs the 'g' flag (Spark replaces all by
     // default), sums cast to BIGINT (DuckDB sum(int) is HUGEINT)
@@ -569,6 +579,12 @@ object SparkEntry {
         |SELECT p.p_id, c.c_id FROM p JOIN c ON p.user_id = c.user_id
         | AND c.c_ts >= p.p_ts - INTERVAL 24 HOUR AND c.c_ts <= p.p_ts
         |ORDER BY p.p_id, c.c_id""".stripMargin,
+    // the drained streaming dropDuplicates state equals per-lang DISTINCT
+    // fingerprint counts (no cross-lang duplicate texts in the corpus)
+    "stream_dedup" ->
+      """SELECT lang, count(DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))
+        |  AS n_unique
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // DuckDB's NATIVE ASOF JOIN is the oracle for the union+window operator
     "evt_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events

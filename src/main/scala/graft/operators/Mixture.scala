@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus-mixture sampling — the data-mixing step of a
+  * training pipeline ("web at 50%, forums at 12.5%, ...").
+  *
+  * Scale shape: a pure map-side FILTER. Each row is kept iff the first
+  * hex digit of md5(key) falls below its group's threshold digit, so
+  * sampling needs no shuffle, no sort, no count, and no driver state —
+  * at 100 TB the mixture is decided row-locally during the scan, and the
+  * same (key, rate) always makes the same decision, so re-runs and
+  * incremental loads stay consistent. md5's hex alphabet is ordered
+  * ('0'..'9' < 'a'..'f' in ASCII), so a plain string comparison
+  * implements "keep with probability d/16" identically in Spark and in
+  * the DuckDB oracle. Rates are multiples of 1/16; widen the compared
+  * prefix for finer granularity (two digits → 1/256 steps).
+  */
+object Mixture {
+
+  /** Keep each row iff md5(key)'s first hex digit < `thresholdHex` —
+    * i.e. with deterministic probability digit/16, independently and
+    * reproducibly per key. `thresholdHex` is a per-row Column, so
+    * different groups (sources, languages, quality tiers) sample at
+    * different rates in one pass. */
+  def hashMixture(df: DataFrame, key: Column, thresholdHex: Column): DataFrame =
+    df.filter(substring(md5(key.cast("string")), 1, 1) < thresholdHex)
+
+  /** Fixed-rate convenience: `sixteenths` in 0..16. */
+  def hashSample(df: DataFrame, key: Column, sixteenths: Int): DataFrame = {
+    require(sixteenths >= 0 && sixteenths <= 16, s"rate must be 0..16/16, got $sixteenths")
+    if (sixteenths == 16) df
+    else hashMixture(df, key, lit(java.lang.Integer.toHexString(sixteenths)))
+  }
+}

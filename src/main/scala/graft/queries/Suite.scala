@@ -264,6 +264,19 @@ object Suite {
   def textRepetition(s: SparkSession, dir: String): DataFrame =
     TextOps.repetitionRatio(t(s, dir, "documents"))
 
+  /** Corpus mixture: even-numbered sources sample at 8/16, odd at 2/16 —
+    * a deterministic map-side hash filter (Mixture.hashMixture), counted
+    * per source. */
+  def mixSampled(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val thr = when(
+      pmod(regexp_extract(col("source"), "([0-9]+)$", 1).cast("int"), lit(2)) === 0,
+      lit("8")).otherwise(lit("2"))
+    graft.operators.Mixture.hashMixture(d, col("doc_id"), thr)
+      .groupBy("source").agg(count(lit(1)).as("n_sampled"))
+      .orderBy("source")
+  }
+
   // --- dedup --------------------------------------------------------------
 
   def dedupExact(s: SparkSession, dir: String): DataFrame =
@@ -461,4 +474,11 @@ object Suite {
   def streamJoin(s: SparkSession, dir: String): DataFrame =
     graft.streaming.EventStream.purchaseClickJoin(s, s"$dir/events.parquet")
       .orderBy("p_id", "c_id")
+
+  /** Streaming exact dedup drained over the documents table; the corpus
+    * has no cross-language duplicate texts, so per-lang distinct
+    * fingerprint counts are its deterministic DuckDB oracle — the
+    * streaming twin of dedup_exact. */
+  def streamDedup(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.dedupedLangCounts(s, s"$dir/documents.parquet")
 }

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Mixture
+
+class MixtureSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("hash sampling is deterministic, rate-accurate and map-only") {
+    val d = spark.range(0, 4000).toDF("id")
+    val once = Mixture.hashSample(d, col("id"), 8).collect().map(_.getLong(0)).toSet
+    val twice = Mixture.hashSample(d, col("id"), 8).collect().map(_.getLong(0)).toSet
+    assert(once == twice) // same keys every run
+    // 8/16 rate: binomial(4000, 0.5) stays within ±5 sigma of 2000
+    assert(math.abs(once.size - 2000) < 160, s"got ${once.size} of 4000 at rate 1/2")
+    // rate 0 keeps nothing; rate 16 keeps everything
+    assert(Mixture.hashSample(d, col("id"), 0).count() == 0L)
+    assert(Mixture.hashSample(d, col("id"), 16).count() == 4000L)
+    // the filter is a pure map stage: no shuffle in the sampled plan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val sampled = Mixture.hashSample(d, col("id"), 8)
+    sampled.collect()
+    val shuffles = flattenPlan(sampled.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty, "mixture sampling must not shuffle")
+  }
+
+  test("per-group thresholds mix groups at different rates in one pass") {
+    val d = spark.range(0, 2000)
+      .select(col("id"), (col("id") % 2).cast("string").as("grp"))
+    val thr = when(col("grp") === "0", lit("c")).otherwise(lit("2")) // 12/16 vs 2/16
+    val counts = Mixture.hashMixture(d, col("id"), thr)
+      .groupBy("grp").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 1000 keys per group: expect ~750 vs ~125; ±5 sigma bounds
+    assert(math.abs(counts("0") - 750) < 70, s"grp0=${counts("0")}")
+    assert(math.abs(counts("1") - 125) < 55, s"grp1=${counts("1")}")
+    // sampling decisions depend only on the key, not the group: a key
+    // kept at 2/16 is also kept at 12/16 (nested samples — rate changes
+    // grow/shrink the sample monotonically, they never reshuffle it)
+    val low = Mixture.hashSample(d, col("id"), 2).collect().map(_.getLong(0)).toSet
+    val high = Mixture.hashSample(d, col("id"), 12).collect().map(_.getLong(0)).toSet
+    assert(low.subsetOf(high))
+  }
+}
