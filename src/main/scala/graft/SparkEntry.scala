@@ -80,6 +80,7 @@ object SparkEntry {
     "dedup_simhash" -> (Suite.dedupSimhash _),
     "dedup_ngram_jaccard" -> (Suite.dedupNgramJaccard _),
     "dedup_minhash_verified" -> (Suite.dedupMinhashVerified _),
+    "dedup_incremental" -> (Suite.dedupIncremental _),
     // similarity (§2b rows 24-25)
     "sim_topk_exact" -> (Suite.simTopkExact _),
     "sim_ann_lsh" -> (Suite.simAnnLsh _),
@@ -463,6 +464,22 @@ object SparkEntry {
          |    / len(list_distinct(list_concat(a.sh, b.sh))) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS jaccard
          | FROM g a JOIN g b ON a.doc_id < b.doc_id)
          |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+    // brute-force batch×corpus exact jaccard anchors the incremental
+    // LSH path the same way the all-pairs oracle anchors the self-join
+    "dedup_incremental" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (SELECT doc_id, list_distinct(list_transform(
+         |  generate_series(1, len(toks)-2),
+         |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+         |  FROM t WHERE len(toks) >= 3),
+         |a AS (SELECT * FROM g WHERE doc_id % 17 = 0),
+         |b AS (SELECT * FROM g WHERE doc_id % 17 <> 0)
+         |SELECT * FROM (
+         | SELECT a.doc_id AS doc_new, b.doc_id AS doc_old,
+         |  CAST(floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.sh, b.sh))) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS jaccard
+         | FROM a CROSS JOIN b)
+         |WHERE jaccard >= 0.8 ORDER BY doc_new, doc_old""".stripMargin,
     // connected components verified end-to-end: brute-force exact-Jaccard
     // pair set + recursive-CTE transitive closure (min reachable id =
     // cluster label, matching Dedup.clusters' min-label propagation)

@@ -56,6 +56,20 @@ object Dedup {
         org.apache.spark.sql.graftext.Shingles
           .minhashSig(col("toks"), shingleK, NumHashes).as("sig"))
 
+  /** Banded (band, band_hash) keys from a PERSISTED signature table —
+    * shared by the self-join (minhashCandidates) and the incremental
+    * batch-vs-corpus join (minhashVerifiedAgainst). */
+  private def bandedSigs(sigs: DataFrame): DataFrame = {
+    val bandExprs = (0 until Bands).map { bnd =>
+      val parts = (0 until RowsPerBand).map(r => s"sig[${bnd * RowsPerBand + r}]").mkString(", ")
+      s"named_struct('band', $bnd, 'bhash', xxhash64($bnd, $parts))"
+    }
+    sigs
+      .select(col("doc_id"), col("sig"),
+        explode(expr(bandExprs.mkString("array(", ", ", ")"))).as("bk"))
+      .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.bhash").as("bhash"))
+  }
+
   /** Candidate near-dup pairs via banded LSH: explode each signature into
     * (band, band_hash) keys, equi-join on the key, estimate Jaccard from
     * full-signature agreement. No crossJoin anywhere. */
@@ -67,14 +81,7 @@ object Dedup {
     // (there you'd checkpoint them to storage).
     val sigs = minhashSignatures(docs, shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandExprs = (0 until Bands).map { bnd =>
-      val parts = (0 until RowsPerBand).map(r => s"sig[${bnd * RowsPerBand + r}]").mkString(", ")
-      s"named_struct('band', $bnd, 'bhash', xxhash64($bnd, $parts))"
-    }
-    val banded = sigs
-      .select(col("doc_id"), col("sig"),
-        explode(expr(bandExprs.mkString("array(", ", ", ")"))).as("bk"))
-      .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.bhash").as("bhash"))
+    val banded = bandedSigs(sigs)
     val a = banded.select(col("band"), col("bhash"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("bhash"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band", "bhash"))
@@ -110,6 +117,35 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), ngramJaccard(shingleK).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** INCREMENTAL near-dup detection: a NEW batch of documents checked
+    * against the EXISTING corpus — the production shape (today's crawl vs
+    * everything already ingested). Candidate generation is a band
+    * equi-join BETWEEN the two signature tables, never a batch×corpus
+    * product: the batch signature side is increment-sized, and at scale
+    * the corpus side is the already-persisted signature index, so the
+    * daily cost is O(batch + matching buckets), not O(corpus). Candidates
+    * are then exact-verified (same contract as minhashVerified: output is
+    * exact, LSH only bounds which pairs get verified). */
+  def minhashVerifiedAgainst(newDocs: DataFrame, corpus: DataFrame,
+      threshold: Double, shingleK: Int = 3): DataFrame = {
+    def sigsOf(df: DataFrame) = minhashSignatures(df, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = bandedSigs(sigsOf(newDocs))
+      .select(col("band"), col("bhash"), col("doc_id").as("doc_new"))
+    val b = bandedSigs(sigsOf(corpus))
+      .select(col("band"), col("bhash"), col("doc_id").as("doc_old"))
+    val cands = a.join(b, Seq("band", "bhash")).select("doc_new", "doc_old").distinct()
+    def toks(df: DataFrame) = df
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= shingleK)
+    cands
+      .join(toks(newDocs).select(col("doc_id").as("doc_new"), col("toks").as("toks_a")), "doc_new")
+      .join(toks(corpus).select(col("doc_id").as("doc_old"), col("toks").as("toks_b")), "doc_old")
+      .select(col("doc_new"), col("doc_old"), ngramJaccard(shingleK).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("doc_new", "doc_old")
   }
 
   // ---- SimHash ----------------------------------------------------------

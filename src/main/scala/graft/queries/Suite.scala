@@ -300,6 +300,16 @@ object Suite {
   def dedupMinhashVerified(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashVerified(t(s, dir, "documents"), threshold = 0.8)
 
+  /** Incremental dedup: docs at doc_id % 17 == 0 play the newly-arrived
+    * batch, checked against everything else as the existing corpus;
+    * oracle is the brute-force batch×corpus exact Jaccard. */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    Dedup.minhashVerifiedAgainst(
+      d.filter(col("doc_id") % 17 === 0),
+      d.filter(col("doc_id") % 17 =!= 0), threshold = 0.8)
+  }
+
   /** Exact 3-gram Jaccard on a fixed pair set (doc i vs i+1, i % 5 == 0):
     * the SQL-checkable verification kernel used on LSH candidates. */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {

@@ -72,6 +72,22 @@ class DedupSpec extends SparkTestBase {
     assert(viaExpr == viaAgg)
   }
 
+  test("incremental dedup: new batch vs corpus finds planted cross pairs only") {
+    val nearDup = base.replace("lazy", "sleepy")
+    val unrelated =
+      "completely different content about spark query engines and distributed columnar storage systems at scale"
+    val corpus = docs(1L -> base, 2L -> unrelated)
+    val batch = docs(10L -> nearDup, 11L -> "brand new totally novel text about gardens and weather")
+    val pairs = Dedup.minhashVerifiedAgainst(batch, corpus, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == Seq((10L, 1L))) // the planted near-dup, nothing else
+    // batch-internal duplicates are NOT reported (only batch-vs-corpus)
+    val batch2 = docs(10L -> base, 11L -> base)
+    val pairs2 = Dedup.minhashVerifiedAgainst(batch2, corpus, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs2 == Set((10L, 1L), (11L, 1L)))
+  }
+
   test("minhash signature expression is bit-identical to the HOF + aggregate chain") {
     import graft.operators.TextOps
     val nearDup = base.replace("lazy", "sleepy")
