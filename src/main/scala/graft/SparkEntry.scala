@@ -83,6 +83,7 @@ object SparkEntry {
     "dedup_incremental" -> (Suite.dedupIncremental _),
     // similarity (§2b rows 24-25)
     "sim_topk_exact" -> (Suite.simTopkExact _),
+    "sim_quant_topk" -> (Suite.simQuantTopk _),
     "sim_ann_lsh" -> (Suite.simAnnLsh _),
     "dedup_embedding" -> (Suite.dedupEmbedding _),
     "dedup_clusters" -> (Suite.dedupClusters _),
@@ -509,6 +510,26 @@ object SparkEntry {
         |  list_inner_product(q.e, c.e)
         |    / (sqrt(list_inner_product(q.e, q.e)) * sqrt(list_inner_product(c.e, c.e))) AS sim
         |  FROM q JOIN c ON q.vec_id <> c.vec_id)
+        |SELECT vec_id, neighbor_id,
+        | CAST(floor(sim * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS sim,
+        | CAST(rank AS BIGINT) AS rank FROM (
+        | SELECT vec_id, neighbor_id, sim,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+        |WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin,
+    // identical int8 quantization in SQL (floor(x+0.5) is portable
+    // round-half-up; scales cancel in the cosine, so quantized scores
+    // are exact-int dot products — bitwise comparable across engines)
+    "sim_quant_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |m AS (SELECT vec_id, e,
+        |  greatest(list_max(list_transform(e, x -> abs(x))), 1e-30) / 127.0 AS scale FROM e),
+        |qv AS (SELECT vec_id,
+        |  CAST(list_transform(e, x -> floor(x / scale + 0.5)) AS DOUBLE[]) AS q FROM m),
+        |q AS (SELECT vec_id, q FROM qv WHERE vec_id < 20),
+        |s AS (SELECT q.vec_id AS vec_id, c.vec_id AS neighbor_id,
+        |  list_inner_product(q.q, c.q)
+        |    / (sqrt(list_inner_product(q.q, q.q)) * sqrt(list_inner_product(c.q, c.q))) AS sim
+        |  FROM q JOIN qv c ON q.vec_id <> c.vec_id)
         |SELECT vec_id, neighbor_id,
         | CAST(floor(sim * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS sim,
         | CAST(rank AS BIGINT) AS rank FROM (

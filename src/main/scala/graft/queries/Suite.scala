@@ -334,6 +334,13 @@ object Suite {
   def simAnnLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.annTopK(t(s, dir, "embeddings"), k = 5)
 
+  /** Top-k over the int8-quantized index, same query set as
+    * sim_topk_exact; the oracle quantizes identically in SQL. */
+  def simQuantTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.quantizedTopK(e, e.filter(col("vec_id") < 20), 5)
+  }
+
   /** Duplicate clusters (connected components) over THRESHOLDED near-dup
     * pairs — raw band collisions would transitively merge unrelated docs
     * (one spurious bridge chains two components), so the Jaccard-estimate

@@ -30,41 +30,46 @@ import org.apache.spark.sql.types._
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
 
   private def elemTypeOk(e: Expression): Boolean = e.dataType match {
-    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) | ArrayType(ByteType, _) => true
     case _ => false
   }
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (elemTypeOk(left) && elemTypeOk(right)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"graft_dot expects array<float>/array<double> inputs, got " +
+      s"graft_dot expects array<float>/array<double>/array<tinyint> inputs, got " +
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
 
   override def dataType: DataType = DoubleType
 
-  private def isFloat(e: Expression): Boolean =
-    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = DotProduct.checkedLength(x.numElements(), y.numElements())
-    val xf = isFloat(left)
-    val yf = isFloat(right)
+    def get(d: ArrayData, t: DataType, i: Int): Double = t match {
+      case FloatType => d.getFloat(i).toDouble
+      case ByteType  => d.getByte(i).toDouble
+      case _         => d.getDouble(i)
+    }
+    val (tl, tr) = (elemType(left), elemType(right))
     var acc = 0.0
     var i = 0
     while (i < n) {
-      val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
-      acc += xv * yv
+      acc += get(x, tl, i) * get(y, tr, i)
       i += 1
     }
     acc
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    def get(e: Expression, v: String, i: String): String =
-      if (isFloat(e)) s"(double)$v.getFloat($i)" else s"$v.getDouble($i)"
+    def get(e: Expression, v: String, i: String): String = elemType(e) match {
+      case FloatType => s"(double)$v.getFloat($i)"
+      case ByteType  => s"(double)$v.getByte($i)"
+      case _         => s"$v.getDouble($i)"
+    }
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")

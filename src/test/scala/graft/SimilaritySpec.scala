@@ -22,6 +22,37 @@ class SimilaritySpec extends SparkTestBase {
     assert(df.select(VectorFunctions.dot(col("a"), col("b"))).head().getDouble(0) == 1.0)
   }
 
+  test("graft_dot over int8 (byte) arrays") {
+    // note Array[Byte] would encode as BinaryType; build array<tinyint>
+    val df = spark.sql(
+      "SELECT cast(array(1, 2, 127) AS array<tinyint>) AS a, " +
+        "cast(array(3, 4, 127) AS array<tinyint>) AS b")
+    assert(df.select(VectorFunctions.dot(col("a"), col("b"))).head().getDouble(0)
+      == (3.0 + 8.0 + 127.0 * 127.0))
+  }
+
+  test("int8 quantization: cosine error bounded, identical vectors stay rank-1") {
+    val e = Tables.t(spark, sfDir, "embeddings")
+    val queries = e.filter(col("vec_id") < 5)
+    val exact = Similarity.topKExact(e, queries, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val quant = Similarity.quantizedTopK(e, queries, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // int8 on 64 dims: quantized cosine within ~0.02 of exact for every
+    // pair both rankings surface
+    val common = exact.keySet intersect quant.keySet
+    assert(common.nonEmpty)
+    common.foreach { k =>
+      assert(math.abs(exact(k) - quant(k)) < 0.02,
+        s"pair $k: exact ${exact(k)} vs quantized ${quant(k)}")
+    }
+    // a planted exact duplicate is rank-1 with quantized sim 1.0
+    val dup = e.filter(col("vec_id") === 0).withColumn("vec_id", lit(100000L))
+    val corpus2 = e.union(dup)
+    val top = Similarity.quantizedTopK(corpus2, e.filter(col("vec_id") === 0), 1).head()
+    assert(top.getLong(1) == 100000L && top.getDouble(2) == 1.0)
+  }
+
   test("exact top-k: self-similarity excluded, ranks ordered, sim in [-1,1]") {
     val e = Tables.t(spark, sfDir, "embeddings")
     val top = Similarity.topKExact(e, e.filter(col("vec_id") < 5), 3).collect()
