@@ -72,6 +72,7 @@ object SparkEntry {
     "text_decontam" -> (Suite.textDecontam _),
     "text_repetition" -> (Suite.textRepetition _),
     "mix_sampled" -> (Suite.mixSampled _),
+    "pipeline_curate" -> (Suite.pipelineCurate _),
     "q16_sql" -> (Suite.sqlTpchQ5 _),
     "sim_centroids" -> (Suite.simCentroids _),
     // dedup (§2b rows 20-23)
@@ -283,6 +284,29 @@ object SparkEntry {
          |SELECT lang, count(*) AS n_docs, round(avg(n_chars),2) AS avg_chars,
          | CAST(sum(n_tokens) AS BIGINT) AS total_tokens, count(DISTINCT source) AS n_sources
          |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    // the full curation flow replayed step-for-step: clean → token gate
+    // → fingerprint-dedup (first per fp) → 12/16 hash sample → stats
+    "pipeline_curate" ->
+      """WITH cleaned AS (
+        |  SELECT doc_id, source, trim(regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(text, 'https?://\S+', ' ', 'g'),
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' ', 'g'),
+        |      '[\x00-\x1f]', ' ', 'g'),
+        |    '\s+', ' ', 'g')) AS ctext FROM documents),
+        |scored AS (SELECT doc_id, source, ctext,
+        |  CAST(len(list_filter(regexp_split_to_array(lower(ctext), '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n_toks
+        | FROM cleaned),
+        |gated AS (SELECT * FROM scored WHERE n_toks >= 10),
+        |deduped AS (SELECT * FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY md5(lower(trim(regexp_replace(ctext, '\s+', ' ', 'g'))))
+        |    ORDER BY doc_id) AS rn FROM gated) WHERE rn = 1),
+        |sampled AS (SELECT * FROM deduped
+        |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c')
+        |SELECT source, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS total_tokens
+        |FROM sampled GROUP BY source ORDER BY source""".stripMargin,
     // hex-prefix comparison implements the same d/16 hash sampling in
     // both engines (md5 hex alphabet is ASCII-ordered)
     "mix_sampled" ->

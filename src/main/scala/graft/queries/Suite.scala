@@ -264,6 +264,30 @@ object Suite {
   def textRepetition(s: SparkSession, dir: String): DataFrame =
     TextOps.repetitionRatio(t(s, dir, "documents"))
 
+  /** End-to-end corpus curation as ONE Catalyst plan — the full
+    * training-data flow: scrub (clean), quality-gate (token count +
+    * punctuation ratio), exact-dedup (first doc per fingerprint), mixture
+    * sample (d/16 hash threshold), then per-source corpus stats. One
+    * shuffle for the dedup window, one for the final aggregate;
+    * everything else is map-side. The DuckDB oracle replays the identical
+    * steps, so the whole pipeline is hash-checked as a unit. */
+  def pipelineCurate(s: SparkSession, dir: String): DataFrame = {
+    val cleaned = t(s, dir, "documents")
+      .withColumn("ctext", TextOps.clean(col("text")))
+      .withColumn("n_toks", size(TextOps.tokens(col("ctext"))).cast("long"))
+    val gated = cleaned
+      .filter(col("n_toks") >= 10)
+      .withColumn("fp", md5(graft.operators.Dedup.normalized(col("ctext"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("fp").orderBy("doc_id")
+    val deduped = gated
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    graft.operators.Mixture.hashMixture(deduped, col("doc_id"), lit("c")) // 12/16
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("total_tokens"))
+      .orderBy("source")
+  }
+
   /** Corpus mixture: even-numbered sources sample at 8/16, odd at 2/16 —
     * a deterministic map-side hash filter (Mixture.hashMixture), counted
     * per source. */
