@@ -105,7 +105,8 @@ object SparkEntry {
     "evt_session_window" -> (Suite.evtSessionWindow _),
     "stream_window" -> (Suite.streamWindow _),
     "stream_join" -> (Suite.streamJoin _),
-    "stream_dedup" -> (Suite.streamDedup _)
+    "stream_dedup" -> (Suite.streamDedup _),
+    "stream_sessionize" -> (Suite.streamSessionize _)
   )
 
   private val toksSql =
@@ -641,6 +642,18 @@ object SparkEntry {
         |SELECT p.p_id, c.c_id FROM p JOIN c ON p.user_id = c.user_id
         | AND c.c_ts >= p.p_ts - INTERVAL 24 HOUR AND c.c_ts <= p.p_ts
         |ORDER BY p.p_id, c.c_id""".stripMargin,
+    // per-user custom streaming state vs the declarative lag/running-sum
+    // session derivation
+    "stream_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |f AS (SELECT user_id, us,
+        |  CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+        |    OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+        |   THEN 1 ELSE 0 END AS is_new FROM e),
+        |g AS (SELECT user_id, sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM f)
+        |SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions, count(*) AS n_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
     // the drained streaming dropDuplicates state equals per-lang DISTINCT
     // fingerprint counts (no cross-lang duplicate texts in the corpus)
     "stream_dedup" ->

@@ -522,4 +522,11 @@ object Suite {
     * streaming twin of dedup_exact. */
   def streamDedup(s: SparkSession, dir: String): DataFrame =
     graft.streaming.EventStream.dedupedLangCounts(s, s"$dir/documents.parquet")
+
+  /** Stateful streaming sessionization (flatMapGroupsWithState) drained
+    * over the static events table — oracle is the batch lag/running-sum
+    * session derivation in SQL, so custom streaming STATE is verified
+    * against a declarative formulation, not just a batch twin spec. */
+  def streamSessionize(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.sessionStats(s, s"$dir/events.parquet")
 }
