@@ -129,7 +129,12 @@ object EventStream {
     * boundaries, so a session spanning two batches is not double-counted.
     * Run with AvailableNow over the static table it matches the batch
     * operator (Events.sessionStats) exactly — asserted in EventsSpec. */
-  def sessionStats(spark: SparkSession, path: String, gapMinutes: Int = 30): DataFrame = {
+  def sessionStats(spark0: SparkSession, path: String, gapMinutes: Int = 30): DataFrame = {
+    // stateful stage: one state store per shuffle partition — size to the
+    // key cardinality on a cloned session instead of inheriting the batch
+    // default (same reasoning as purchaseClickJoin below)
+    val spark = spark0.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     import spark.implicits._
     val gapUs = gapMinutes.toLong * 60L * 1000000L
     val src = source(spark, path)
