@@ -47,9 +47,13 @@ class GraftApi(val spark: SparkSession, root: String) {
   val comments = new CommentStore(root)
   // job ids continue where a previous JVM on the same root left off —
   // job records persist in the lineage JSONL (kiara registries/jobs/),
-  // so a restart must not re-issue an existing id
+  // so a restart must not re-issue an existing id. Failed queued jobs
+  // leave no lineage record, but they CAN leave a persisted comment, so
+  // the comment store's ids count toward the resume point too —
+  // otherwise a re-issued id would inherit the dead job's comment.
   private val jobSeq = new AtomicLong(
-    persistedJobIds.flatMap(id => id.stripPrefix("job-").toLongOption)
+    (persistedJobIds ++ comments.list.map(_._1))
+      .flatMap(id => id.stripPrefix("job-").toLongOption)
       .maxOption.getOrElse(0L))
   private val jobs = scala.collection.concurrent.TrieMap[String, Pipeline.StepRecord]()
 

@@ -313,7 +313,7 @@ object SparkEntry {
     "mix_sampled" ->
       """SELECT source, count(*) AS n_sampled FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <
-        |  CASE WHEN CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 2 = 0
+        |  CASE WHEN coalesce(TRY_CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT), 1) % 2 = 0
         |       THEN '8' ELSE '2' END
         |GROUP BY source ORDER BY source""".stripMargin,
     // planted pii built with the SAME expressions as the Spark side;

@@ -130,11 +130,12 @@ object Dedup {
     * exact, LSH only bounds which pairs get verified). */
   def minhashVerifiedAgainst(newDocs: DataFrame, corpus: DataFrame,
       threshold: Double, shingleK: Int = 3): DataFrame = {
-    def sigsOf(df: DataFrame) = minhashSignatures(df, shingleK)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = bandedSigs(sigsOf(newDocs))
+    // unlike the self-join path, each signature subtree appears exactly
+    // once in this plan, so there is nothing to persist (signatures are
+    // a pure map stage over the scan since the MinHashSig kernel)
+    val a = bandedSigs(minhashSignatures(newDocs, shingleK))
       .select(col("band"), col("bhash"), col("doc_id").as("doc_new"))
-    val b = bandedSigs(sigsOf(corpus))
+    val b = bandedSigs(minhashSignatures(corpus, shingleK))
       .select(col("band"), col("bhash"), col("doc_id").as("doc_old"))
     val cands = a.join(b, Seq("band", "bhash")).select("doc_new", "doc_old").distinct()
     def toks(df: DataFrame) = df

@@ -13,13 +13,20 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  // PII patterns — identical semantics under Java regex (Spark) and RE2
+  // (DuckDB oracle): no backrefs, no lookaround. Shared by clean() and
+  // piiStats() so the scrub and the detector can never diverge.
+  val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val urlPattern: String = "https?://\\S+"
+  val phonePattern: String = "[0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}"
+
   /** Training-data scrubbing: strip URLs and email addresses, drop
     * control characters, collapse whitespace. All regexp_replace — the
     * same patterns run identically on the DuckDB oracle (RE2 vs Java
     * regex agree on these classes). */
   def clean(c: Column): Column = {
-    val noUrl = regexp_replace(c, "https?://\\S+", " ")
-    val noMail = regexp_replace(noUrl, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", " ")
+    val noUrl = regexp_replace(c, urlPattern, " ")
+    val noMail = regexp_replace(noUrl, emailPattern, " ")
     val noCtl = regexp_replace(noMail, "[\\x00-\\x1f]", " ")
     trim(regexp_replace(noCtl, "\\s+", " "))
   }
@@ -139,12 +146,6 @@ object TextOps {
       .filter(size(col("toks")) >= k + w - 1)
       .select(col("doc_id"),
         org.apache.spark.sql.graftext.Shingles.winnowFps(col("toks"), k, w).as("fps"))
-
-  // PII patterns — identical semantics under Java regex (Spark) and RE2
-  // (DuckDB oracle): no backrefs, no lookaround
-  val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val urlPattern: String = "https?://\\S+"
-  val phonePattern: String = "[0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}"
 
   /** PII detection + redaction for training-data scrubbing: per-doc
     * counts of emails/URLs/phone-shaped strings and the md5 of the

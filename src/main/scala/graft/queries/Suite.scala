@@ -293,9 +293,11 @@ object Suite {
     * per source. */
   def mixSampled(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-    val thr = when(
-      pmod(regexp_extract(col("source"), "([0-9]+)$", 1).cast("int"), lit(2)) === 0,
-      lit("8")).otherwise(lit("2"))
+    // try_cast: a source name without a trailing digit yields null (not
+    // an ANSI cast error) and falls into the odd/low-rate bucket
+    val idx = expr("try_cast(regexp_extract(source, '([0-9]+)$', 1) AS int)")
+    val thr = when(pmod(coalesce(idx, lit(1)), lit(2)) === 0, lit("8"))
+      .otherwise(lit("2"))
     graft.operators.Mixture.hashMixture(d, col("doc_id"), thr)
       .groupBy("source").agg(count(lit(1)).as("n_sampled"))
       .orderBy("source")

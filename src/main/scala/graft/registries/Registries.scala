@@ -308,5 +308,18 @@ class CommentStore(root: String) {
     all.groupBy(_._1).map { case (j, cs) => j -> cs.last._2 }.toSeq.sortBy(_._1)
   }
 
-  def get(jobId: String): Option[String] = list.find(_._1 == jobId).map(_._2)
+  /** Latest-wins single-key lookup: scan the log backwards and stop at
+    * the first match instead of parsing and grouping the whole file. */
+  def get(jobId: String): Option[String] = {
+    if (!Files.exists(file)) return None
+    Files.readAllLines(file).asScala.reverseIterator
+      .flatMap { l =>
+        for {
+          j <- JobRe.findFirstMatchIn(l).map(m => Jsonl.unesc(m.group(1)))
+          if j == jobId
+          c <- CommentRe.findFirstMatchIn(l).map(m => Jsonl.unesc(m.group(1)))
+        } yield c
+      }
+      .nextOption()
+  }
 }

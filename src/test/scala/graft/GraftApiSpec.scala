@@ -169,6 +169,24 @@ class GraftApiSpec extends SparkTestBase {
     intercept[NoSuchElementException] { api.getJob("job-12345") }
   }
 
+  test("failed queued job ids are not re-issued after a restart") {
+    val root = Export.tempDir("graft_jobfail_").toString
+    val apiA = new GraftApi(spark, root)
+    apiA.storeValue("nums", Seq(1L, 2L).toDF("n"), Some("input"))
+    apiA.registerOperation("always_fails", _ => throw new RuntimeException("nope"))
+    apiA.registerOperation("identity_op", df => df)
+    val j = apiA.queueJob("always_fails", "input")
+    intercept[RuntimeException] { apiA.getJobResult(j) }
+    apiA.setJobComment(j, "died on bad input") // failed jobs may be annotated
+    // a fresh API on the same root must not hand the dead job's id (and
+    // therefore its comment) to an unrelated new job
+    val apiB = new GraftApi(spark, root)
+    val (j2, _) = apiB.runJob("identity_op", "input")
+    assert(j2 != j)
+    assert(apiB.getJobComment(j2).isEmpty)
+    assert(apiB.getJobComment(j).contains("died on bad input"))
+  }
+
   test("batch store/get values round-trip") {
     val api = newApi
     val ids = api.storeValues(Seq(
