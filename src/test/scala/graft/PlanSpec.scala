@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+
+/** Executable plan-quality assertions — the properties PLANS.md claims,
+  * verified on the live plans rather than by inspection: predicates and
+  * column pruning must reach the parquet scan, dimension joins must
+  * broadcast, and orderBy+limit must not shuffle a full sort.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private def scansOf(df: org.apache.spark.sql.DataFrame): Seq[FileSourceScanExec] = {
+    df.collect()
+    flattenPlan(df.queryExecution.executedPlan)
+      .collect { case s: FileSourceScanExec => s }
+  }
+
+  test("q2_filter pushes predicates and prunes columns at the scan") {
+    val scans = scansOf(SparkEntry.queries("q2_filter")(spark, sfDir))
+    assert(scans.size == 1)
+    val s = scans.head
+    // both conjuncts reach the parquet reader as pushed filters
+    val pushed = s.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThan(l_quantity"), s"pushed=$pushed")
+    assert(pushed.contains("GreaterThan(l_discount"), s"pushed=$pushed")
+    // only the referenced columns are read — not the 16-column table
+    val readCols = s.requiredSchema.fieldNames.toSet
+    assert(readCols == Set("l_orderkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount"), s"read=$readCols")
+  }
+
+  test("text queries read only the columns they use") {
+    val scans = scansOf(SparkEntry.queries("text_tokens")(spark, sfDir))
+    assert(scans.size == 1)
+    assert(scans.head.requiredSchema.fieldNames.toSet == Set("doc_id", "text"))
+  }
+
+  test("dimension join broadcasts the small side, never shuffles it") {
+    // q6 joins nation+region dims; on a fresh default session the dims
+    // must come in via BroadcastHashJoin with no ShuffleExchange feeding
+    // a join input (the final sort may exchange)
+    val s2 = spark.newSession() // default autoBroadcastJoinThreshold
+    val df = SparkEntry.queries("q6_region_join")(s2, sfDir)
+    df.collect()
+    val all = flattenPlan(df.queryExecution.executedPlan)
+    val bhj = all.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, "expected broadcast joins for the dims")
+    val joinSubtreeShuffles = bhj.flatMap(j => flattenPlan(j))
+      .collect { case e: ShuffleExchangeExec => e }
+    assert(joinSubtreeShuffles.isEmpty,
+      "dimension join inputs must not shuffle")
+  }
+
+  test("orderBy+limit compiles to TakeOrderedAndProject (no global sort)") {
+    val df = SparkEntry.queries("q4_sort_limit")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+  }
+}
