@@ -117,7 +117,9 @@ object VectorFunctions {
 
 /** SparkSessionExtensions injector for spark-submit / config-based use:
   * `--conf spark.sql.extensions=org.apache.spark.sql.graftext.GraftExtensions`
-  * exposes graft_dot to pure-SQL workloads on any cluster.
+  * exposes graft_dot to pure-SQL workloads on any cluster and installs
+  * the [[RewriteHofDot]] optimizer rule (interpreted HOF dot-product
+  * idiom → native codegen'd expression).
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
@@ -127,5 +129,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectOptimizerRule(_ => RewriteHofDot)
   }
 }

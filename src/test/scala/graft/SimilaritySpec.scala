@@ -53,6 +53,38 @@ class SimilaritySpec extends SparkTestBase {
     assert(top.getLong(1) == 100000L && top.getDouble(2) == 1.0)
   }
 
+  test("RewriteHofDot rewrites the aggregate(zip_with) idiom to graft_dot") {
+    import org.apache.spark.sql.graftext.RewriteHofDot
+    val s2 = spark.newSession()
+    RewriteHofDot.install(s2)
+    // parquet-backed input: a local Seq would be constant-folded into a
+    // LocalRelation before any optimizer rule could see the expression
+    val hofDot = "aggregate(zip_with(cast(embedding AS array<double>), " +
+      "cast(embedding AS array<double>), (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    val df = Tables.t(s2, sfDir, "embeddings")
+      .selectExpr("vec_id", s"$hofDot AS d")
+      .filter(col("vec_id") === 0)
+    // the optimized plan carries the native expression, not the HOF chain
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_dot"), s"plan:\n$optimized")
+    assert(!optimized.contains("aggregate("), s"plan:\n$optimized")
+    // value identical to the native formulation
+    val viaNative = Tables.t(s2, sfDir, "embeddings")
+      .filter(col("vec_id") === 0)
+      .select(VectorFunctions.dot(
+        col("embedding").cast("array<double>"),
+        col("embedding").cast("array<double>"))).head().getDouble(0)
+    assert(df.head().getDouble(1) == viaNative)
+    // a session WITHOUT the rule keeps the HOF formulation (sanity)
+    val plain = Tables.t(spark, sfDir, "embeddings").selectExpr(s"$hofDot AS d")
+    assert(!plain.queryExecution.optimizedPlan.toString.contains("graft_dot"))
+    // non-matching shapes (different seed) are left untouched
+    val other = Tables.t(s2, sfDir, "embeddings")
+      .selectExpr("aggregate(zip_with(cast(embedding AS array<double>), " +
+        "cast(embedding AS array<double>), (x, y) -> x * y), 1D, (acc, v) -> acc + v) AS d")
+    assert(!other.queryExecution.optimizedPlan.toString.contains("graft_dot"))
+  }
+
   test("exact top-k: self-similarity excluded, ranks ordered, sim in [-1,1]") {
     val e = Tables.t(spark, sfDir, "embeddings")
     val top = Similarity.topKExact(e, e.filter(col("vec_id") < 5), 3).collect()
