@@ -204,6 +204,11 @@ class GraftApi(val spark: SparkSession, root: String) {
   def valuesInfo(refs: Seq[String] = Seq.empty): Seq[ValueInfo] =
     (if (refs.nonEmpty) refs else listValueIds).map(valueInfo)
 
+  /** retrieve_aliases_info (kiara_api.py:997): the matching aliases'
+    * target values, each augmented to a full ValueInfo record. */
+  def aliasesInfo(aliasGlob: String = "*"): Seq[(String, ValueInfo)] =
+    aliases.find(aliasGlob).map { case (a, vid) => a -> valueInfo(vid) }
+
   /** retrieve_data_types_info: kiara type name → Spark SQL type. */
   def dataTypesInfo: Seq[(String, String)] =
     TypeMap.toSpark.toSeq.sortBy(_._1).map { case (k, t) => k -> t.sql }

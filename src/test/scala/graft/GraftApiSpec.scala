@@ -210,6 +210,10 @@ class GraftApiSpec extends SparkTestBase {
     api.storeValue("derived", api.getValue("v1"))
     assert(api.valueInfo("derived").producedBy.contains("run-9"))
     assert(api.valuesInfo().map(_.id) == Seq("derived", "v1"))
+    // aliases info: alias → augmented target info (kiara_api.py:997)
+    val ai = api.aliasesInfo()
+    assert(ai.map(_._1) == Seq("latest") && ai.head._2.id == "v1" && ai.head._2.rows == 3L)
+    assert(api.aliasesInfo("nope*").isEmpty)
     val ci = api.contextInfo
     assert(ci.values == 2 && ci.aliases == 1 && ci.operations > 0)
     assert(api.dataTypesInfo.toMap.get("integer").contains("BIGINT"))
