@@ -73,6 +73,7 @@ object SparkEntry {
     "text_repetition" -> (Suite.textRepetition _),
     "mix_sampled" -> (Suite.mixSampled _),
     "pipeline_curate" -> (Suite.pipelineCurate _),
+    "maint_compact" -> (Suite.maintCompact _),
     "q16_sql" -> (Suite.sqlTpchQ5 _),
     "sim_centroids" -> (Suite.simCentroids _),
     // dedup (§2b rows 20-23)
@@ -285,6 +286,11 @@ object SparkEntry {
          |SELECT lang, count(*) AS n_docs, round(avg(n_chars),2) AS avg_chars,
          | CAST(sum(n_tokens) AS BIGINT) AS total_tokens, count(DISTINCT source) AS n_sources
          |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    // compaction preserves contents exactly, so the original table is
+    // the oracle for the aggregate over the compacted copy
+    "maint_compact" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // the full curation flow replayed step-for-step: clean → token gate
     // → fingerprint-dedup (first per fp) → 12/16 hash sample → stats
     "pipeline_curate" ->

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table-maintenance operators — the housekeeping a 100 TB lakehouse
+  * actually schedules. Streaming ingest and per-batch writes leave
+  * thousands of small parquet files; every downstream scan then pays
+  * per-file open/footer costs and loses row-group-sized reads.
+  * Compaction rewrites a directory into target-sized files — run it as
+  * a periodic job and every later query reads fewer, bigger files.
+  */
+object Maintenance {
+
+  final case class CompactionStats(filesBefore: Long, filesAfter: Long, rows: Long)
+
+  private def parquetFiles(dir: String): Long = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(p)) return 0L
+    val s = java.nio.file.Files.list(p)
+    try s.iterator.asScala.count(_.getFileName.toString.endsWith(".parquet")).toLong
+    finally s.close()
+  }
+
+  /** Rewrite `srcDir` into `destDir` with ~`targetRecordsPerFile` rows
+    * per file. Row count comes from parquet FOOTERS (no data scan) to
+    * size the rewrite; the write itself is one distributed pass.
+    * Contents are preserved exactly — only the file layout changes. */
+  def compact(spark: SparkSession, srcDir: String, destDir: String,
+              targetRecordsPerFile: Long): CompactionStats = {
+    require(targetRecordsPerFile > 0, "targetRecordsPerFile must be positive")
+    val rows = graft.registries.ParquetMeta.dirRowCount(srcDir)
+    val files = math.max(1L, (rows + targetRecordsPerFile - 1) / targetRecordsPerFile)
+    spark.read.parquet(srcDir)
+      .repartition(files.toInt)
+      .write.mode("errorifexists").parquet(destDir)
+    CompactionStats(parquetFiles(srcDir), parquetFiles(destDir), rows)
+  }
+}

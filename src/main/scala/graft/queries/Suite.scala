@@ -264,6 +264,23 @@ object Suite {
   def textRepetition(s: SparkSession, dir: String): DataFrame =
     TextOps.repetitionRatio(t(s, dir, "documents"))
 
+  /** Small-files compaction round-trip: fragment the documents table
+    * into 64 tiny files, compact to target-sized ones, and aggregate the
+    * COMPACTED copy per lang — the oracle is the same aggregate on the
+    * original table, proving the rewrite is lossless. */
+  def maintCompact(s: SparkSession, dir: String): DataFrame = {
+    val frag = graft.sources.Export.tempDir("graft_frag_").toString + "/d"
+    val dest = graft.sources.Export.tempDir("graft_compact_").toString + "/d"
+    t(s, dir, "documents").repartition(64).write.parquet(frag)
+    val stats = graft.operators.Maintenance.compact(s, frag, dest, targetRecordsPerFile = 300)
+    require(stats.filesAfter < stats.filesBefore,
+      s"compaction must shrink the file count, got $stats")
+    s.read.parquet(dest)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .orderBy("lang")
+  }
+
   /** End-to-end corpus curation as ONE Catalyst plan — the full
     * training-data flow: scrub (clean), quality-gate (token count +
     * punctuation ratio), exact-dedup (first doc per fingerprint), mixture
