@@ -78,6 +78,17 @@ object Cli {
       s"id:       ${i.id}\nschema:   ${i.schema}\nrows:     ${i.rows}\n" +
         s"bytes:    ${i.sizeBytes}\nproduced: ${i.producedBy.getOrElse("-")}\n" +
         s"aliases:  ${if (i.aliases.isEmpty) "-" else i.aliases.mkString(", ")}"
+    // job listing with comments (kiara's CLI job table)
+    case "jobs" :: root :: "list" :: Nil =>
+      val api = new GraftApi(spark, root)
+      val cs = api.listJobComments.toMap
+      val ids = api.listJobRecordIds
+      if (ids.isEmpty) "no jobs recorded"
+      else ids.map { id =>
+        val rec = api.getJobRecord(id).get
+        val comment = cs.get(id).map(c => s"  # ${c.linesIterator.next()}").getOrElse("")
+        f"$id%-12s ${rec.step}%-24s inputs=${rec.inputs.mkString(",")}$comment"
+      }.mkString("\n")
     case "context" :: baseRoot :: "info" :: Nil =>
       val i = new GraftContexts(spark, baseRoot).currentContext.contextInfo
       s"root:       ${i.root}\nvalues:     ${i.values}\naliases:    ${i.aliases}\n" +
@@ -88,7 +99,7 @@ object Cli {
           s"profile <sfDir> <table> <col...> | entry | " +
           s"operations [filter...] | operation <name> | " +
           s"context <root> list|create <name>|use <name>|current|info | " +
-          s"archive info <dir> | value <root> info <ref> " +
+          s"archive info <dir> | value <root> info <ref> | jobs <root> list " +
           s"(got: ${other.mkString(" ")})")
   }
 

@@ -107,7 +107,8 @@ object SparkEntry {
     "stream_window" -> (Suite.streamWindow _),
     "stream_join" -> (Suite.streamJoin _),
     "stream_dedup" -> (Suite.streamDedup _),
-    "stream_sessionize" -> (Suite.streamSessionize _)
+    "stream_sessionize" -> (Suite.streamSessionize _),
+    "stream_enrich" -> (Suite.streamEnrich _)
   )
 
   private val toksSql =
@@ -648,6 +649,11 @@ object SparkEntry {
         |SELECT p.p_id, c.c_id FROM p JOIN c ON p.user_id = c.user_id
         | AND c.c_ts >= p.p_ts - INTERVAL 24 HOUR AND c.c_ts <= p.p_ts
         |ORDER BY p.p_id, c.c_id""".stripMargin,
+    // per-micro-batch broadcast enrichment drained = the batch CASE agg
+    "stream_enrich" ->
+      """SELECT CASE WHEN event_type IN ('purchase', 'signup') THEN 'conversion'
+        |  ELSE 'engagement' END AS type_group, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // per-user custom streaming state vs the declarative lag/running-sum
     // session derivation
     "stream_sessionize" ->

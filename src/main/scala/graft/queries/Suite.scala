@@ -542,6 +542,19 @@ object Suite {
   def streamDedup(s: SparkSession, dir: String): DataFrame =
     graft.streaming.EventStream.dedupedLangCounts(s, s"$dir/documents.parquet")
 
+  /** Stream-static enrichment drained over the static events table: the
+    * event stream joins a broadcast event-type dimension per micro-batch
+    * and counts per enriched group; oracle is the equivalent batch CASE
+    * aggregate. */
+  def streamEnrich(s: SparkSession, dir: String): DataFrame = {
+    val dim = t(s, dir, "events").select("event_type").distinct()
+      .withColumn("type_group",
+        when(col("event_type").isin("purchase", "signup"), "conversion")
+          .otherwise("engagement"))
+    graft.streaming.EventStream.enrichedCounts(
+      s, s"$dir/events.parquet", dim, "event_type", "type_group")
+  }
+
   /** Stateful streaming sessionization (flatMapGroupsWithState) drained
     * over the static events table — oracle is the batch lag/running-sum
     * session derivation in SQL, so custom streaming STATE is verified

@@ -64,6 +64,21 @@ class CliSpec extends SparkTestBase {
     assert(ci.contains("values:     0") && ci.contains("operations:"))
   }
 
+  test("jobs list shows persisted records with comments") {
+    import spark.implicits._
+    val root = graft.sources.Export.tempDir("graft_cli_jobs_").toString
+    val api = new GraftApi(spark, root)
+    api.storeValue("v", Seq(1L).toDF("n"), Some("in"))
+    api.registerOperation("cli_noop", df => df)
+    val (j, _) = api.runJob("cli_noop", "in")
+    api.setJobComment(j, "checked by hand\nsecond line ignored in listing")
+    val out = Cli.run(spark, Array("jobs", root, "list"))
+    assert(out.contains(j) && out.contains("cli_noop") && out.contains("# checked by hand"))
+    assert(!out.contains("second line"))
+    assert(Cli.run(spark, Array("jobs",
+      graft.sources.Export.tempDir("graft_cli_nojobs_").toString, "list")) == "no jobs recorded")
+  }
+
   test("unknown query and bad usage fail with guidance") {
     val e1 = intercept[IllegalArgumentException] { Cli.run(spark, Array("query", "nope", sfDir)) }
     assert(e1.getMessage.contains("unknown query"))
