@@ -42,6 +42,8 @@ object SparkEntry {
     "q24_pivot" -> (Relational.q24Pivot _),
     "q25_bucketed_join" -> (Relational.q25BucketedJoin _),
     "q26_skew_salted" -> (Relational.q26SkewSalted _),
+    "q27_latest" -> (Relational.q27Latest _),
+    "meta_profile_str" -> (Suite.metaProfileStr _),
     "render_slice" -> (Relational.renderSlice _),
     // ingestion / export / serde / bundles (rows 2-6, 8, 14)
     "ingest_csv" -> (Suite.ingestCsv _),
@@ -439,6 +441,32 @@ object SparkEntry {
         | round(sum(l_extendedprice), 2) AS revenue
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // last-writer-wins compaction: same window, unique tie-break
+    "q27_latest" ->
+      """SELECT user_id, event_id, event_type,
+        | strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |  ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "meta_profile_str" ->
+      """SELECT 'lang' AS col_name, count(*) AS cnt,
+        | CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+        | CAST(min(strlen(lang)) AS BIGINT) AS min_len,
+        | CAST(max(strlen(lang)) AS BIGINT) AS max_len,
+        | count(DISTINCT lang) AS ndv FROM documents
+        |UNION ALL
+        |SELECT 'source', count(*),
+        | CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        | CAST(min(strlen(source)) AS BIGINT),
+        | CAST(max(strlen(source)) AS BIGINT),
+        | count(DISTINCT source) FROM documents
+        |UNION ALL
+        |SELECT 'text', count(*),
+        | CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        | CAST(min(strlen(text)) AS BIGINT),
+        | CAST(max(strlen(text)) AS BIGINT),
+        | count(DISTINCT text) FROM documents
+        |ORDER BY col_name""".stripMargin,
     // salting is result-transparent, so the plain skewed join is the oracle
     "q26_skew_salted" ->
       """WITH fact AS (

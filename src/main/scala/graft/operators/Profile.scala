@@ -53,6 +53,35 @@ object Profile {
   def profileApprox(df: DataFrame, cols: Seq[String]): DataFrame =
     profileWith(df, cols, approx_count_distinct(_))
 
+  /** String-column profile (kiara's extract_metadata covers every core
+    * type, not just numerics): one distributed pass computing count,
+    * nulls, exact ndv and min/max BYTE LENGTH per column — the length
+    * stats replace the numeric min/max cast, so text/categorical columns
+    * profile without ANSI cast errors. Same single-scan shape. */
+  def profileStrings(df: DataFrame, cols: Seq[String]): DataFrame = {
+    cols.foreach { c =>
+      graft.registries.Names.validate("column name for profile", c)
+      val field = df.schema.fields.find(_.name == c)
+        .getOrElse(throw new IllegalArgumentException(s"no such column: $c"))
+      require(field.dataType == org.apache.spark.sql.types.StringType,
+        s"profileStrings supports string columns only; '$c' is ${field.dataType.simpleString}")
+    }
+    val aggs = Seq(count(lit(1)).as("__cnt")) ++ cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        min(octet_length(col(c))).cast("long").as(s"${c}__minlen"),
+        max(octet_length(col(c))).cast("long").as(s"${c}__maxlen"),
+        countDistinct(col(c)).as(s"${c}__ndv"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols
+      .map(c => s"'$c', __cnt, `${c}__nulls`, `${c}__minlen`, `${c}__maxlen`, `${c}__ndv`")
+      .mkString(", ")
+    one
+      .select(expr(s"stack(${cols.size}, $stackArgs) as (col_name, cnt, nulls, min_len, max_len, ndv)"))
+      .orderBy("col_name")
+  }
+
   /** Schema metadata as a DataFrame (name, type, nullable). */
   def schemaOf(df: DataFrame): DataFrame = {
     val spark = df.sparkSession

@@ -273,6 +273,20 @@ object Relational {
       .orderBy("bucket_name")
   }
 
+  /** Latest record per key — CDC/upsert "last writer wins" semantics
+    * (compact a change log to current state): row_number over
+    * (key, ts desc) with a unique tie-break, keep rank 1. One shuffle on
+    * the key; at 100 TB this is the standard log-compaction query. */
+  def q27Latest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    t(s, dir, "events")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"))
+      .orderBy("user_id")
+  }
+
   /** Paginated render slice (kiara render_value, render_value.py:54). */
   def renderSlice(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")

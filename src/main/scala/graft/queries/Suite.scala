@@ -264,6 +264,12 @@ object Suite {
   def textRepetition(s: SparkSession, dir: String): DataFrame =
     TextOps.repetitionRatio(t(s, dir, "documents"))
 
+  /** String-column profile over the documents table (length stats +
+    * exact ndv) — the non-numeric half of extract_metadata. */
+  def metaProfileStr(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.profileStrings(
+      t(s, dir, "documents"), Seq("lang", "source", "text"))
+
   /** Small-files compaction round-trip: fragment the documents table
     * into 64 tiny files, compact to target-sized ones, and aggregate the
     * COMPACTED copy per lang — the oracle is the same aggregate on the
