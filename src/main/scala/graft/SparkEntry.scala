@@ -100,6 +100,7 @@ object SparkEntry {
     "evt_sessionize" -> (Suite.evtSessionize _),
     "evt_window_agg" -> (Suite.evtWindowAgg _),
     "evt_topk_users" -> (Suite.evtTopkUsers _),
+    "evt_cohort" -> (Suite.evtCohort _),
     "evt_props" -> (Suite.evtProps _),
     "evt_asof_join" -> (Suite.evtAsofJoin _),
     "evt_range_join" -> (Suite.evtRangeJoin _),
@@ -441,6 +442,18 @@ object SparkEntry {
         | round(sum(l_extendedprice), 2) AS revenue
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // both engines truncate weeks to Monday; offsets are exact-day/7
+    "evt_cohort" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tsx FROM events),
+        |f AS (SELECT user_id, date_trunc('week', min(tsx)) AS cohort_w FROM e GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, date_trunc('week', tsx) AS week_w FROM e)
+        |SELECT strftime(cohort_w, '%Y-%m-%d') AS cohort_week,
+        | CAST(date_diff('day', cohort_w, week_w) / 7 AS BIGINT) AS week_offset,
+        | count(DISTINCT user_id) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |WHERE date_diff('day', cohort_w, week_w) / 7 <= 3
+        |GROUP BY cohort_w, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin,
     // last-writer-wins compaction: same window, unique tie-break
     "q27_latest" ->
       """SELECT user_id, event_id, event_type,

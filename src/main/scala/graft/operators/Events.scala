@@ -72,6 +72,29 @@ object Events {
         min("k").as("min_k"), max("k").as("max_k"))
       .orderBy("event_type")
 
+  /** Weekly cohort retention: users cohorted by the week of their first
+    * event; for each cohort and week-offset k, how many distinct users
+    * were active — the standard retention matrix. Three aggregations
+    * (first-event per user, distinct activity weeks, the matrix), each a
+    * single shuffle on user/cohort keys; the per-user tables are
+    * dimension-sized even on a 100 TB event log. */
+  def cohortRetention(events: DataFrame, maxWeeks: Int = 3): DataFrame = {
+    val firsts = events.groupBy("user_id").agg(min("ts").as("first_ts"))
+      .select(col("user_id"), date_trunc("week", col("first_ts")).as("cohort_w"))
+    val active = events
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week_w")).distinct()
+    active.join(firsts, "user_id")
+      .select(col("cohort_w"), col("user_id"),
+        (datediff(col("week_w").cast("date"), col("cohort_w").cast("date")) / 7)
+          .cast("long").as("week_offset"))
+      .filter(col("week_offset") <= maxWeeks)
+      .groupBy("cohort_w", "week_offset")
+      .agg(countDistinct("user_id").as("n_users"))
+      .select(date_format(col("cohort_w"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   /** Top-k users by total value — agg then TakeOrdered (no global sort). */
   def topUsers(events: DataFrame, k: Int = 20): DataFrame =
     events

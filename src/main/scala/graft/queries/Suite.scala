@@ -471,6 +471,9 @@ object Suite {
   def evtTopkUsers(s: SparkSession, dir: String): DataFrame =
     Events.topUsers(t(s, dir, "events"))
 
+  def evtCohort(s: SparkSession, dir: String): DataFrame =
+    Events.cohortRetention(t(s, dir, "events"))
+
   def evtProps(s: SparkSession, dir: String): DataFrame =
     Events.propsStats(t(s, dir, "events"))
 
