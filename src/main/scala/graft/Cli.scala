@@ -78,15 +78,18 @@ object Cli {
       s"id:       ${i.id}\nschema:   ${i.schema}\nrows:     ${i.rows}\n" +
         s"bytes:    ${i.sizeBytes}\nproduced: ${i.producedBy.getOrElse("-")}\n" +
         s"aliases:  ${if (i.aliases.isEmpty) "-" else i.aliases.mkString(", ")}"
-    // job listing with comments (kiara's CLI job table)
+    // job listing with comments (kiara's CLI job table); one lineage
+    // pass for all records, first comment line only (empty-safe)
     case "jobs" :: root :: "list" :: Nil =>
       val api = new GraftApi(spark, root)
       val cs = api.listJobComments.toMap
-      val ids = api.listJobRecordIds
-      if (ids.isEmpty) "no jobs recorded"
-      else ids.map { id =>
-        val rec = api.getJobRecord(id).get
-        val comment = cs.get(id).map(c => s"  # ${c.linesIterator.next()}").getOrElse("")
+      val recs = api.listJobRecords
+      if (recs.isEmpty) "no jobs recorded"
+      else recs.map { case (id, rec) =>
+        val comment = cs.get(id)
+          .flatMap(_.linesIterator.nextOption())
+          .filter(_.nonEmpty)
+          .map(first => s"  # $first").getOrElse("")
         f"$id%-12s ${rec.step}%-24s inputs=${rec.inputs.mkString(",")}$comment"
       }.mkString("\n")
     case "context" :: baseRoot :: "info" :: Nil =>

@@ -103,6 +103,17 @@ class GraftApi(val spark: SparkSession, root: String) {
         .map(n => Pipeline.StepRecord(n.step, n.inputs, n.schema)))
   def listJobRecordIds: Seq[String] = (jobs.keys.toSeq ++ persistedJobIds).distinct.sorted
 
+  /** All job records in ONE lineage pass (the per-id getJobRecord loop
+    * would re-parse the log once per job) — in-memory records win over
+    * persisted ones for the same id. */
+  def listJobRecords: Seq[(String, Pipeline.StepRecord)] = {
+    val persisted = lineage.records.filter(_.run.startsWith("job-"))
+      .groupBy(_.run).map { case (r, ns) =>
+        r -> Pipeline.StepRecord(ns.last.step, ns.last.inputs, ns.last.schema)
+      }
+    (persisted ++ jobs).toSeq.sortBy(_._1)
+  }
+
   // --- async job queue (kiara_api.py:149 queue_job, :1342 get_job,
   //     :1348 get_job_result) ----------------------------------------------
   private val jobPool = Executors.newFixedThreadPool(4, r => {

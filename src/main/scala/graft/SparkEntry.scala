@@ -690,11 +690,14 @@ object SparkEntry {
         |SELECT p.p_id, c.c_id FROM p JOIN c ON p.user_id = c.user_id
         | AND c.c_ts >= p.p_ts - INTERVAL 24 HOUR AND c.c_ts <= p.p_ts
         |ORDER BY p.p_id, c.c_id""".stripMargin,
-    // per-micro-batch broadcast enrichment drained = the batch CASE agg
+    // per-micro-batch broadcast enrichment drained = the batch CASE agg;
+    // the stream side is an INNER join, which drops null keys — mirror
+    // that explicitly so the parity holds even on corpora with null types
     "stream_enrich" ->
       """SELECT CASE WHEN event_type IN ('purchase', 'signup') THEN 'conversion'
         |  ELSE 'engagement' END AS type_group, count(*) AS n
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM events WHERE event_type IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // per-user custom streaming state vs the declarative lag/running-sum
     // session derivation
     "stream_sessionize" ->

@@ -14,27 +14,24 @@ object Maintenance {
 
   final case class CompactionStats(filesBefore: Long, filesAfter: Long, rows: Long)
 
-  private def parquetFiles(dir: String): Long = {
-    import scala.jdk.CollectionConverters._
-    val p = java.nio.file.Paths.get(dir)
-    if (!java.nio.file.Files.isDirectory(p)) return 0L
-    val s = java.nio.file.Files.list(p)
-    try s.iterator.asScala.count(_.getFileName.toString.endsWith(".parquet")).toLong
-    finally s.close()
-  }
-
   /** Rewrite `srcDir` into `destDir` with ~`targetRecordsPerFile` rows
     * per file. Row count comes from parquet FOOTERS (no data scan) to
     * size the rewrite; the write itself is one distributed pass.
     * Contents are preserved exactly — only the file layout changes. */
   def compact(spark: SparkSession, srcDir: String, destDir: String,
               targetRecordsPerFile: Long): CompactionStats = {
+    import graft.registries.ParquetMeta
     require(targetRecordsPerFile > 0, "targetRecordsPerFile must be positive")
-    val rows = graft.registries.ParquetMeta.dirRowCount(srcDir)
+    val rows = ParquetMeta.dirRowCount(srcDir)
     val files = math.max(1L, (rows + targetRecordsPerFile - 1) / targetRecordsPerFile)
+    // repartition takes an Int; a silent .toInt would wrap exactly at the
+    // scale this operator exists for
+    require(files <= Int.MaxValue,
+      s"compaction would need $files files ($rows rows at $targetRecordsPerFile/file); " +
+        "raise targetRecordsPerFile")
     spark.read.parquet(srcDir)
       .repartition(files.toInt)
       .write.mode("errorifexists").parquet(destDir)
-    CompactionStats(parquetFiles(srcDir), parquetFiles(destDir), rows)
+    CompactionStats(ParquetMeta.dirFileCount(srcDir), ParquetMeta.dirFileCount(destDir), rows)
   }
 }

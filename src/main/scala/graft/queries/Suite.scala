@@ -278,7 +278,11 @@ object Suite {
     val frag = graft.sources.Export.tempDir("graft_frag_").toString + "/d"
     val dest = graft.sources.Export.tempDir("graft_compact_").toString + "/d"
     t(s, dir, "documents").repartition(64).write.parquet(frag)
-    val stats = graft.operators.Maintenance.compact(s, frag, dest, targetRecordsPerFile = 300)
+    // size the target from the actual corpus so the 8-file result stays
+    // below the 64 fragments at ANY scale factor (a fixed per-file row
+    // target would stop shrinking once rows/target exceeded 64)
+    val target = math.max(1L, graft.registries.ParquetMeta.dirRowCount(frag) / 8)
+    val stats = graft.operators.Maintenance.compact(s, frag, dest, target)
     require(stats.filesAfter < stats.filesBefore,
       s"compaction must shrink the file count, got $stats")
     s.read.parquet(dest)

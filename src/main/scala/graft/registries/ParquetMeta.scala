@@ -31,6 +31,16 @@ object ParquetMeta {
     finally s.close()
   }
 
+  /** Number of part-files in a parquet dir. */
+  def dirFileCount(dir: String): Long = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(p)) return 0L
+    val s = java.nio.file.Files.list(p)
+    try s.iterator.asScala.count(_.getFileName.toString.endsWith(".parquet")).toLong
+    finally s.close()
+  }
+
   /** Total on-disk bytes of a parquet dir's part-files. */
   def dirSizeBytes(dir: String): Long = {
     import scala.jdk.CollectionConverters._

@@ -4,7 +4,7 @@ package org.apache.spark.sql.graftext
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, FloatType}
+import org.apache.spark.sql.types.DoubleType
 
 /** Optimizer rule: rewrite the interpreted higher-order-function
   * dot-product idiom
@@ -17,11 +17,17 @@ import org.apache.spark.sql.types.{DoubleType, FloatType}
   * CLAUDE.md); the rewrite is the difference between an interpreted and
   * a compiled inner loop on billions of candidate pairs.
   *
-  * Semantics: DotProduct widens each element to double and accumulates
-  * left-to-right — exactly what the matched shape computes when the
-  * products are double-typed, so the rewrite is bit-identical (IEEE
-  * multiplication is commutative, so `(x, y) -> y * x` matches too).
-  * Only the canonical double-typed shape is rewritten; anything else is
+  * Semantics are preserved exactly, including the HOF edge cases:
+  * DotProduct widens each element to double and accumulates
+  * left-to-right — what the matched shape computes for non-null
+  * equal-length inputs (IEEE multiplication commutes, so
+  * `(x, y) -> y * x` matches too). For MISMATCHED lengths the HOF
+  * returns NULL (zip_with pads with nulls, the sum propagates them),
+  * where DotProduct would throw — so the rewrite wraps the dot in a
+  * size-equality guard that yields NULL instead. Arrays whose elements
+  * may themselves be null (`containsNull`) are NOT rewritten at all: a
+  * null element makes the HOF return NULL, which a primitive-array dot
+  * cannot reproduce. Anything but this canonical double-typed shape is
   * left untouched.
   *
   * Installed either through [[GraftExtensions]]
@@ -31,8 +37,10 @@ import org.apache.spark.sql.types.{DoubleType, FloatType}
   */
 object RewriteHofDot extends Rule[LogicalPlan] {
 
+  // element nulls would make the HOF chain return NULL; a primitive dot
+  // cannot reproduce that, so nullable-element arrays are not rewritten
   private def doubleArray(e: Expression): Boolean = e.dataType match {
-    case org.apache.spark.sql.types.ArrayType(DoubleType, _) => true
+    case org.apache.spark.sql.types.ArrayType(DoubleType, containsNull) => !containsNull
     case _ => false
   }
 
@@ -70,7 +78,11 @@ object RewriteHofDot extends Rule[LogicalPlan] {
             isElementProduct(prod, zipVars.asInstanceOf[Seq[NamedLambdaVariable]]) &&
             isSum(merge, aggVars.asInstanceOf[Seq[NamedLambdaVariable]]) &&
             isIdentity(finish, finVars.asInstanceOf[Seq[NamedLambdaVariable]]) =>
-        DotProduct(a, b)
+        // size guard preserves the HOF's NULL-on-length-mismatch (where
+        // DotProduct would throw); Size(_, false) is null for null input,
+        // routing null arrays to the else branch = NULL, same as the HOF
+        If(EqualTo(Size(a, legacySizeOfNull = false), Size(b, legacySizeOfNull = false)),
+          DotProduct(a, b), Literal.create(null, DoubleType))
     }
 
   /** Convenience installer for an existing session. */

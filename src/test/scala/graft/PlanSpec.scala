@@ -37,20 +37,32 @@ class PlanSpec extends SparkTestBase {
     assert(scans.head.requiredSchema.fieldNames.toSet == Set("doc_id", "text"))
   }
 
-  test("dimension join broadcasts the small side, never shuffles it") {
-    // q6 joins nation+region dims; on a fresh default session the dims
-    // must come in via BroadcastHashJoin with no ShuffleExchange feeding
-    // a join input (the final sort may exchange)
-    val s2 = spark.newSession() // default autoBroadcastJoinThreshold
-    val df = SparkEntry.queries("q6_region_join")(s2, sfDir)
+  test("size-based planning broadcasts small join sides without hints") {
+    // newSession INHERITS the builder-level threshold=-1 from TestSpark,
+    // so restore the Spark default explicitly — and use q3, which since
+    // r3 carries NO broadcast hints: the BroadcastHashJoin below must
+    // come from size estimation alone
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val df = SparkEntry.queries("q3_join")(s2, sfDir)
     df.collect()
     val all = flattenPlan(df.queryExecution.executedPlan)
     val bhj = all.collect { case j: BroadcastHashJoinExec => j }
-    assert(bhj.nonEmpty, "expected broadcast joins for the dims")
+    assert(bhj.nonEmpty, "expected size-based broadcast joins at sf0.001")
     val joinSubtreeShuffles = bhj.flatMap(j => flattenPlan(j))
       .collect { case e: ShuffleExchangeExec => e }
     assert(joinSubtreeShuffles.isEmpty,
       "dimension join inputs must not shuffle")
+  }
+
+  test("hinted dimension joins broadcast with no shuffle below the join") {
+    val df = SparkEntry.queries("q6_region_join")(spark, sfDir)
+    df.collect()
+    val all = flattenPlan(df.queryExecution.executedPlan)
+    val bhj = all.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size >= 2, "expected both dims broadcast")
+    assert(bhj.flatMap(j => flattenPlan(j))
+      .collect { case e: ShuffleExchangeExec => e }.isEmpty)
   }
 
   test("orderBy+limit compiles to TakeOrderedAndProject (no global sort)") {

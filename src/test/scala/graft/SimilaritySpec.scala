@@ -58,9 +58,12 @@ class SimilaritySpec extends SparkTestBase {
     val s2 = spark.newSession()
     RewriteHofDot.install(s2)
     // parquet-backed input: a local Seq would be constant-folded into a
-    // LocalRelation before any optimizer rule could see the expression
-    val hofDot = "aggregate(zip_with(cast(embedding AS array<double>), " +
-      "cast(embedding AS array<double>), (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    // LocalRelation before any optimizer rule could see the expression.
+    // transform+coalesce makes element nullability provably false — the
+    // rule (correctly) refuses nullable-element arrays, whose HOF
+    // semantics a primitive dot cannot reproduce
+    val nn = "transform(embedding, x -> coalesce(cast(x AS double), 0d))"
+    val hofDot = s"aggregate(zip_with($nn, $nn, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
     val df = Tables.t(s2, sfDir, "embeddings")
       .selectExpr("vec_id", s"$hofDot AS d")
       .filter(col("vec_id") === 0)
@@ -69,20 +72,22 @@ class SimilaritySpec extends SparkTestBase {
     assert(optimized.contains("graft_dot"), s"plan:\n$optimized")
     assert(!optimized.contains("aggregate("), s"plan:\n$optimized")
     // value identical to the native formulation
-    val viaNative = Tables.t(s2, sfDir, "embeddings")
+    val nativeVal = Tables.t(s2, sfDir, "embeddings")
       .filter(col("vec_id") === 0)
-      .select(VectorFunctions.dot(
-        col("embedding").cast("array<double>"),
-        col("embedding").cast("array<double>"))).head().getDouble(0)
-    assert(df.head().getDouble(1) == viaNative)
+      .select(VectorFunctions.dot(expr(nn), expr(nn))).head().getDouble(0)
+    assert(df.head().getDouble(1) == nativeVal)
     // a session WITHOUT the rule keeps the HOF formulation (sanity)
     val plain = Tables.t(spark, sfDir, "embeddings").selectExpr(s"$hofDot AS d")
     assert(!plain.queryExecution.optimizedPlan.toString.contains("graft_dot"))
-    // non-matching shapes (different seed) are left untouched
+    // non-matching shapes (different seed) and nullable-element arrays
+    // are left untouched
     val other = Tables.t(s2, sfDir, "embeddings")
-      .selectExpr("aggregate(zip_with(cast(embedding AS array<double>), " +
-        "cast(embedding AS array<double>), (x, y) -> x * y), 1D, (acc, v) -> acc + v) AS d")
+      .selectExpr(s"aggregate(zip_with($nn, $nn, (x, y) -> x * y), 1D, (acc, v) -> acc + v) AS d")
     assert(!other.queryExecution.optimizedPlan.toString.contains("graft_dot"))
+    val nullable = Tables.t(s2, sfDir, "embeddings")
+      .selectExpr("aggregate(zip_with(cast(embedding AS array<double>), " +
+        "cast(embedding AS array<double>), (x, y) -> x * y), 0D, (acc, v) -> acc + v) AS d")
+    assert(!nullable.queryExecution.optimizedPlan.toString.contains("graft_dot"))
   }
 
   test("exact top-k: self-similarity excluded, ranks ordered, sim in [-1,1]") {
