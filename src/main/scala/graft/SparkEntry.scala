@@ -73,6 +73,7 @@ object SparkEntry {
     "text_pii" -> (Suite.textPii _),
     "text_decontam" -> (Suite.textDecontam _),
     "text_repetition" -> (Suite.textRepetition _),
+    "text_perplexity" -> (Suite.textPerplexity _),
     "mix_sampled" -> (Suite.mixSampled _),
     "pipeline_curate" -> (Suite.pipelineCurate _),
     "maint_compact" -> (Suite.maintCompact _),
@@ -295,6 +296,16 @@ object SparkEntry {
     "maint_compact" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // unigram LM scoring: same two aggregations, natural log both sides
+    "text_perplexity" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |c AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+         |n AS (SELECT count(*) AS n_total FROM toks)
+         |SELECT doc_id, count(*) AS n_tokens,
+         | CAST(floor(avg(-ln(cnt / CAST(n_total AS DOUBLE))) * 10000.0 + 0.5) AS DOUBLE)
+         |   / 10000.0 AS cross_entropy
+         |FROM toks JOIN c USING (term) CROSS JOIN n
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the full curation flow replayed step-for-step: clean → token gate
     // → fingerprint-dedup (first per fp) → 12/16 hash sample → stats
     "pipeline_curate" ->

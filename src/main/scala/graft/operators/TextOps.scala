@@ -196,6 +196,25 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Unigram cross-entropy score per document — the perplexity-filter
+    * proxy every corpus quality pipeline runs (docs whose tokens are
+    * improbable under the corpus unigram LM are boilerplate/noise/
+    * wrong-language candidates): score = avg over tokens of
+    * −ln(count(token)/N). Two aggregations (corpus term counts, per-doc
+    * average); the vocabulary table is broadcastable at corpus scale, so
+    * the scoring join never shuffles the token stream twice. */
+  def unigramCrossEntropy(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val counts = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = toks.select(count(lit(1)).as("n_total"))
+    toks.join(counts, "term").crossJoin(total)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        Num.pround(avg(-log(col("cnt").cast("double") / col("n_total"))), 4)
+          .as("cross_entropy"))
+      .orderBy("doc_id")
+  }
+
   /** Within-document repetition ratio: 1 − distinct/total token k-grams
     * — the boilerplate/spam signal every corpus quality filter computes.
     * Entirely row-local (total = size−k+1 arithmetic, distinct = the

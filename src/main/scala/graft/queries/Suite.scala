@@ -264,6 +264,9 @@ object Suite {
   def textRepetition(s: SparkSession, dir: String): DataFrame =
     TextOps.repetitionRatio(t(s, dir, "documents"))
 
+  def textPerplexity(s: SparkSession, dir: String): DataFrame =
+    TextOps.unigramCrossEntropy(t(s, dir, "documents"))
+
   /** String-column profile over the documents table (length stats +
     * exact ndv) — the non-numeric half of extract_metadata. */
   def metaProfileStr(s: SparkSession, dir: String): DataFrame =
