@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Skew-mitigation utilities for joins whose key distribution is heavy-
@@ -29,30 +29,21 @@ object Skew {
   }
 
   /** Per-key frequency diagnostic: top-k keys with row counts and their
-    * share of the table — feeds the decision to salt. */
+    * share of the table — feeds the decision to salt.
+    *
+    * Single scan of the base table: the total is derived from the
+    * already-aggregated per-key counts (a 1-row scalar, broadcast), not a
+    * separate `count()` pass. Both branches share the same groupBy
+    * subtree, so ReuseExchange materializes the aggregation shuffle once.
+    */
   def keySkew(df: DataFrame, key: String, topK: Int = 10): DataFrame = {
-    val total = df.count()
-    df.groupBy(key)
-      .agg(count(lit(1)).as("n_rows"))
-      .withColumn("share", round(col("n_rows") / lit(total.toDouble), 4))
+    val grouped = df.groupBy(key).agg(count(lit(1)).as("n_rows"))
+    val total = grouped.agg(sum("n_rows").cast("double").as("__total"))
+    grouped
+      .orderBy(col("n_rows").desc, col(key)).limit(topK)
+      .crossJoin(broadcast(total)) // bounded: exactly one scalar row
+      .withColumn("share", round(col("n_rows") / col("__total"), 4))
+      .drop("__total")
       .orderBy(col("n_rows").desc, col(key))
-      .limit(topK)
   }
-}
-
-/** Bucketed-table write path: pre-shuffling a fact table into sorted
-  * buckets on its join key makes later joins between co-bucketed tables
-  * exchange-free (no shuffle at query time) — the standard way to
-  * amortize the big shuffle across many downstream queries at 100 TB.
-  */
-object Bucketing {
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
-    df.write.mode("overwrite")
-      .bucketBy(buckets, key).sortBy(key)
-      .format("parquet").saveAsTable(table)
-
-  /** Join two co-bucketed tables on their bucket key — plans with zero
-    * Exchange operators (asserted in SkewSpec). */
-  def coBucketedJoin(spark: SparkSession, left: String, right: String, key: String): DataFrame =
-    spark.table(left).join(spark.table(right), key)
 }

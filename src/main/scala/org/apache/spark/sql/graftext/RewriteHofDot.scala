@@ -74,7 +74,11 @@ object RewriteHofDot extends Rule[LogicalPlan] {
             Literal(0.0, DoubleType),
             LambdaFunction(merge, aggVars: Seq[_], _),
             LambdaFunction(finish, finVars: Seq[_], _))
-          if doubleArray(a) && doubleArray(b) &&
+          // a/b are duplicated into the Size guard and DotProduct, which
+          // is only sound when re-evaluation yields the same array —
+          // standard Catalyst practice when copying subexpressions
+          if a.deterministic && b.deterministic &&
+            doubleArray(a) && doubleArray(b) &&
             isElementProduct(prod, zipVars.asInstanceOf[Seq[NamedLambdaVariable]]) &&
             isSum(merge, aggVars.asInstanceOf[Seq[NamedLambdaVariable]]) &&
             isIdentity(finish, finVars.asInstanceOf[Seq[NamedLambdaVariable]]) =>

@@ -68,7 +68,9 @@ class PlanSpec extends SparkTestBase {
   test("orderBy+limit compiles to TakeOrderedAndProject (no global sort)") {
     val df = SparkEntry.queries("q4_sort_limit")(spark, sfDir)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    val top = flattenPlan(df.queryExecution.executedPlan)
+      .collect { case t: TakeOrderedAndProjectExec => t }
+    assert(top.nonEmpty, s"plan:\n${df.queryExecution.executedPlan}")
   }
 }

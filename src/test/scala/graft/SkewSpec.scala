@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Bucketing, Skew}
+import graft.operators.Skew
+import graft.sources.{Bucketing, Export}
 
 class SkewSpec extends SparkTestBase {
   import spark.implicits._
@@ -82,11 +83,18 @@ class SkewSpec extends SparkTestBase {
     val li = Tables.t(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
     val o = Tables.t(spark, sfDir, "orders").select("o_orderkey", "o_totalprice")
       .withColumnRenamed("o_orderkey", "l_orderkey")
-    Bucketing.writeBucketed(li, "b_lineitem", "l_orderkey", 8)
-    Bucketing.writeBucketed(o, "b_orders", "l_orderkey", 8)
-    val joined = Bucketing.coBucketedJoin(spark, "b_lineitem", "b_orders", "l_orderkey")
-    val plan = joined.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), s"expected exchange-free bucketed join, got:\n$plan")
-    assert(joined.count() == li.count()) // every lineitem row has its order
+    val base = Export.tempDir("graft_skewspec_bucketed_").toString
+    Bucketing.writeBucketed(li, "b_lineitem", "l_orderkey", 8, s"$base/lineitem")
+    Bucketing.writeBucketed(o, "b_orders", "l_orderkey", 8, s"$base/orders")
+    val joined = spark.table("b_lineitem").join(spark.table("b_orders"), "l_orderkey")
+    val nRows = joined.count() // execute first so the walked plan is post-AQE
+    // tree walk (not string matching): no shuffle anywhere in the plan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val shuffles = flattenPlan(joined.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty,
+      s"expected exchange-free bucketed join, found ${shuffles.size}:\n" +
+        joined.queryExecution.executedPlan)
+    assert(nRows == li.count()) // every lineitem row has its order
   }
 }
