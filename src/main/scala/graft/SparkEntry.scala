@@ -74,6 +74,7 @@ object SparkEntry {
     "text_decontam" -> (Suite.textDecontam _),
     "text_repetition" -> (Suite.textRepetition _),
     "text_perplexity" -> (Suite.textPerplexity _),
+    "text_line_dedup" -> (Suite.textLineDedup _),
     "mix_sampled" -> (Suite.mixSampled _),
     "pipeline_curate" -> (Suite.pipelineCurate _),
     "maint_compact" -> (Suite.maintCompact _),
@@ -382,6 +383,28 @@ object SparkEntry {
          |   i -> array_to_string(toks[i:i+2], ' '))))
          |     / (len(toks) - 2)) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS rep_ratio
          |FROM t WHERE len(toks) >= 3 ORDER BY doc_id""".stripMargin,
+    // line-structured view planted identically to the Spark side; a line
+    // in >= 2 distinct docs is dropped everywhere, survivors reassembled
+    // in original order and md5-hashed
+    "text_line_dedup" ->
+      """WITH planted AS (SELECT doc_id,
+        |  regexp_replace(text, '((\S+ ){3})', '\1' || chr(10), 'g')
+        |  || CASE WHEN doc_id % 3 = 0 THEN chr(10) || '(c) example corp all rights reserved' ELSE '' END
+        |  || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'subscribe to our newsletter' ELSE '' END AS text
+        | FROM documents),
+        |lines AS (SELECT doc_id,
+        |  unnest(string_split(text, chr(10))) AS line,
+        |  unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+        | FROM planted),
+        |dup AS (SELECT md5(line) AS f FROM lines
+        |        GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT l.doc_id,
+        | CAST(count(*) AS BIGINT) AS n_lines,
+        | CAST(count(CASE WHEN d.f IS NULL THEN 1 END) AS BIGINT) AS n_kept,
+        | CAST(count(CASE WHEN d.f IS NOT NULL THEN 1 END) AS BIGINT) AS n_dropped,
+        | md5(coalesce(string_agg(CASE WHEN d.f IS NULL THEN l.line END, chr(10) ORDER BY l.pos), '')) AS kept_md5
+        |FROM lines l LEFT JOIN dup d ON md5(l.line) = d.f
+        |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin,
     "text_ngrams" ->
       s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
          |p AS (SELECT unnest(list_transform(generate_series(1, len(toks)-1),

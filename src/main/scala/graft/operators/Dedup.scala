@@ -23,6 +23,50 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
       .orderBy("fp")
 
+  /** Line-level corpus dedup (RefinedWeb/CCNet-style boilerplate removal):
+    * a line that appears in >= `minDocs` DISTINCT documents is dropped
+    * from EVERY document; the survivors are reassembled in original line
+    * order. This is the standard finer-grained companion to doc-level
+    * dedup — nav menus, cookie banners, copyright footers are duplicated
+    * across pages whose bodies are unique.
+    *
+    * Output: doc_id, n_lines, n_kept, n_dropped, kept_text (lines joined
+    * with "\n"; empty string when every line was dropped). Docs whose
+    * text column is NULL have no lines and are absent from the output.
+    *
+    * Scale shape: explode to (doc, pos, line), md5 the line; the
+    * duplicated-fingerprint set is ONE aggregation shuffle on the
+    * fingerprint, and is typically tiny relative to the corpus (only
+    * fingerprints crossing the threshold survive), so the flagging join
+    * broadcasts at spec scale and AQE skew-splits the hot boilerplate
+    * fingerprints when it doesn't. The per-doc rebuild is a single
+    * groupBy(doc_id): counts + sort_array(collect_list(struct(pos,
+    * line))), with the field extraction via GetArrayStructFields
+    * (codegen'd), not an interpreted HOF. collect_list is bounded by
+    * lines-per-document, not corpus size. kiara analogue: table filter/
+    * transform modules (src/kiara/models/values/value.py table ops);
+    * the line granularity is the LLM-pipeline extension. */
+  def lineDedup(docs: DataFrame, textCol: String = "text", minDocs: Int = 2): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("f", md5(col("line")))
+    val dup = lines
+      .groupBy("f").agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("f"), lit(1).as("__dup"))
+    lines.join(dup, Seq("f"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(when(col("__dup").isNull, 1)).as("n_kept"),
+        count(when(col("__dup").isNotNull, 1)).as("n_dropped"),
+        sort_array(collect_list(when(col("__dup").isNull, struct(col("pos"), col("line")))))
+          .as("ordered"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"), col("n_dropped"),
+        array_join(col("ordered.line"), "\n").as("kept_text"))
+      .orderBy("doc_id")
+  }
+
   // ---- MinHash-LSH ------------------------------------------------------
 
   // 32 hashes in 8 bands of 4: detection prob at jaccard 0.8 is

@@ -264,6 +264,24 @@ object Suite {
   def textRepetition(s: SparkSession, dir: String): DataFrame =
     TextOps.repetitionRatio(t(s, dir, "documents"))
 
+  /** Line-level corpus dedup over a PLANTED line-structured view (the
+    * synthetic corpus has no newlines): a line break after every 3 words,
+    * plus boilerplate footer lines on doc_id % 3 / % 5 — the RefinedWeb
+    * motivation exactly (footers duplicated across docs whose bodies are
+    * unique). The view is built identically in the DuckDB oracle, so the
+    * per-doc drop counts AND the scrubbed-text md5 are hash-checked. */
+  def textLineDedup(s: SparkSession, dir: String): DataFrame = {
+    val planted = t(s, dir, "documents").select(col("doc_id"), concat(
+      regexp_replace(col("text"), "((\\S+ ){3})", "$1\n"),
+      when(col("doc_id") % 3 === 0,
+        lit("\n(c) example corp all rights reserved")).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        lit("\nsubscribe to our newsletter")).otherwise(lit(""))).as("text"))
+    Dedup.lineDedup(planted)
+      .select(col("doc_id"), col("n_lines"), col("n_kept"), col("n_dropped"),
+        md5(col("kept_text")).as("kept_md5"))
+  }
+
   def textPerplexity(s: SparkSession, dir: String): DataFrame =
     TextOps.unigramCrossEntropy(t(s, dir, "documents"))
 

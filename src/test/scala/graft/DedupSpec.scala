@@ -25,6 +25,40 @@ class DedupSpec extends SparkTestBase {
     assert(dup.contains((1L, 4L)))
   }
 
+  test("lineDedup drops cross-doc duplicated lines, keeps order, keeps uniques") {
+    val footer = "all rights reserved"
+    val d = docs(
+      1L -> s"alpha one\nbravo two\n$footer",
+      2L -> s"charlie three\n$footer\ndelta four",
+      3L -> s"echo five\nfoxtrot six",
+      4L -> footer) // entire doc is boilerplate
+    val out = Dedup.lineDedup(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+    assert(out(1L) == ((3L, 2L, 1L, "alpha one\nbravo two")))
+    assert(out(2L) == ((3L, 2L, 1L, "charlie three\ndelta four"))) // middle line cut, order kept
+    assert(out(3L) == ((2L, 2L, 0L, "echo five\nfoxtrot six"))) // untouched
+    assert(out(4L) == ((1L, 0L, 1L, ""))) // fully-boilerplate doc survives with empty text
+  }
+
+  test("lineDedup respects minDocs and within-doc repeats don't count") {
+    // "ping" repeats inside doc 1 only — one distinct doc, stays at minDocs=2
+    val d = docs(
+      1L -> "ping\nping\nbody a",
+      2L -> "body b\nshared",
+      3L -> "shared\nbody c")
+    val out2 = Dedup.lineDedup(d, minDocs = 2).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(out2(1L) == "ping\nping\nbody a")
+    assert(out2(2L) == "body b")
+    assert(out2(3L) == "body c")
+    // at minDocs=3 nothing crosses the threshold
+    val out3 = Dedup.lineDedup(d, minDocs = 3).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(out3(2L) == "body b\nshared")
+    assert(out3(3L) == "shared\nbody c")
+  }
+
   test("minhash LSH finds planted near-duplicates and not unrelated docs") {
     val nearDup = base.replace("lazy", "sleepy") // one token changed
     val unrelated =
