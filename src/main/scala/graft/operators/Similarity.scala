@@ -221,16 +221,19 @@ object Similarity {
     *
     * floor(x+0.5) (round-half-up) instead of round(): identical IEEE
     * behavior in Spark and DuckDB, so quantized values — and therefore
-    * quantized scores — are oracle-checkable. HOF `transform` here is
-    * fine: quantization runs once at index-BUILD time, not per query. */
+    * quantized scores — are oracle-checkable. The whole struct(scale, q)
+    * comes from the native codegen'd
+    * [[org.apache.spark.sql.graftext.Int8Quantize]] expression — one
+    * row-local JVM pass, no interpreted HOF even at index-build time
+    * (bit-identity with the old two-`transform` chain is parity-spec'd
+    * in SimilaritySpec). */
   def quantize(corpus: DataFrame): DataFrame =
     corpus
-      .withColumn("scale",
-        greatest(expr("array_max(transform(embedding, x -> abs(cast(x as double))))"),
-          lit(1e-30)) / 127.0)
-      .select(col("vec_id"), col("scale"),
-        expr("transform(embedding, x -> cast(floor(cast(x as double) / scale + 0.5) as tinyint))")
-          .as("q"))
+      .select(col("vec_id"),
+        org.apache.spark.sql.graftext.Quantize.int8(col("embedding")).as("qs"))
+      .select(col("vec_id"),
+        col("qs").getField("scale").as("scale"),
+        col("qs").getField("q").as("q"))
 
   /** Exact top-k over the QUANTIZED index — same shape as topKExact
     * (broadcast query set, one corpus scan), but the scored arrays are

@@ -53,6 +53,34 @@ class SimilaritySpec extends SparkTestBase {
     assert(top.getLong(1) == 100000L && top.getDouble(2) == 1.0)
   }
 
+  test("native int8 quantize is bit-identical to the HOF chain and HOF-free") {
+    val e = Tables.t(spark, sfDir, "embeddings")
+    val native = Similarity.quantize(e)
+    // the two-transform chain the expression replaced
+    val hof = e
+      .withColumn("scale",
+        greatest(expr("array_max(transform(embedding, x -> abs(cast(x as double))))"),
+          lit(1e-30)) / 127.0)
+      .select(col("vec_id"), col("scale"),
+        expr("transform(embedding, x -> cast(floor(cast(x as double) / scale + 0.5) as tinyint))")
+          .as("q"))
+    val n = native.collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.getSeq[Byte](2).toList)).sortBy(_._1)
+    val h = hof.collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.getSeq[Byte](2).toList)).sortBy(_._1)
+    assert(n.length == h.length && n.length > 0)
+    n.zip(h).foreach { case (a, b) => assert(a == b, s"mismatch: $a vs $b") }
+    // and the quantize plan carries no interpreted higher-order function
+    import org.apache.spark.sql.catalyst.expressions.HigherOrderFunction
+    val hofs = native.queryExecution.optimizedPlan.collect {
+      case p => p.expressions.filter(_.exists {
+        case _: HigherOrderFunction => true
+        case _ => false
+      })
+    }.flatten
+    assert(hofs.isEmpty, s"interpreted HOFs in quantize plan: $hofs")
+  }
+
   test("RewriteHofDot rewrites the aggregate(zip_with) idiom to graft_dot") {
     import org.apache.spark.sql.graftext.RewriteHofDot
     val s2 = spark.newSession()
