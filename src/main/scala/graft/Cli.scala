@@ -49,7 +49,21 @@ object Cli {
     case "operation" :: name :: Nil =>
       graft.plans.Builtins.ensureRegistered()
       val i = graft.plans.OpRegistry.info(name)
-      s"id:     ${i.name}\ninput:  ${i.inputType}\noutput: ${i.outputType}\ndoc:    ${i.doc}"
+      s"id:     ${i.name}\nmodule: ${i.module}\ninput:  ${i.inputType}\n" +
+        s"output: ${i.outputType}\ndoc:    ${i.doc}"
+    // module-type catalog (kiara module list / explain)
+    case "module" :: "list" :: Nil =>
+      graft.plans.Builtins.ensureRegistered()
+      graft.plans.OpRegistry.moduleTypesInfo.map { m =>
+        f"${m.name}%-10s ${m.operations.size}%2d ops  ${m.implementing}%-28s ${m.doc}"
+      }.mkString("\n")
+    case "module" :: "explain" :: name :: Nil =>
+      graft.plans.Builtins.ensureRegistered()
+      val m = graft.plans.OpRegistry.moduleTypeInfo(name)
+      s"module:       ${m.name}\nimplementing: ${m.implementing}\n" +
+        s"input:        ${m.inputType}\noutput:       ${m.outputType}\n" +
+        s"doc:          ${m.doc}\noperations:\n" +
+        m.operations.map("  " + _).mkString("\n")
     // multi-context management (kiara context list / create / use)
     case "context" :: baseRoot :: "list" :: Nil =>
       val cx = new GraftContexts(spark, baseRoot)
@@ -78,19 +92,18 @@ object Cli {
       s"id:       ${i.id}\nschema:   ${i.schema}\nrows:     ${i.rows}\n" +
         s"bytes:    ${i.sizeBytes}\nproduced: ${i.producedBy.getOrElse("-")}\n" +
         s"aliases:  ${if (i.aliases.isEmpty) "-" else i.aliases.mkString(", ")}"
-    // job listing with comments (kiara's CLI job table); one lineage
-    // pass for all records, first comment line only (empty-safe)
+    // rendered job-info table (kiara's jobs CLI): StepRecord + state +
+    // comment in one pass, first comment line only (empty-safe)
     case "jobs" :: root :: "list" :: Nil =>
-      val api = new GraftApi(spark, root)
-      val cs = api.listJobComments.toMap
-      val recs = api.listJobRecords
-      if (recs.isEmpty) "no jobs recorded"
-      else recs.map { case (id, rec) =>
-        val comment = cs.get(id)
+      val infos = new GraftApi(spark, root).jobsInfo
+      if (infos.isEmpty) "no jobs recorded"
+      else infos.map { j =>
+        val comment = j.comment
           .flatMap(_.linesIterator.nextOption())
           .filter(_.nonEmpty)
           .map(first => s"  # $first").getOrElse("")
-        f"$id%-12s ${rec.step}%-24s inputs=${rec.inputs.mkString(",")}$comment"
+        f"${j.jobId}%-12s ${j.state}%-8s ${j.operation}%-24s " +
+          s"inputs=${j.inputs.mkString(",")}$comment"
       }.mkString("\n")
     case "context" :: baseRoot :: "info" :: Nil =>
       val i = new GraftContexts(spark, baseRoot).currentContext.contextInfo
@@ -101,6 +114,7 @@ object Cli {
         s"usage: queries | query <name> <sfDir> [rows] | tables <sfDir> | " +
           s"profile <sfDir> <table> <col...> | entry | " +
           s"operations [filter...] | operation <name> | " +
+          s"module list|explain <name> | " +
           s"context <root> list|create <name>|use <name>|current|info | " +
           s"archive info <dir> | value <root> info <ref> | jobs <root> list " +
           s"(got: ${other.mkString(" ")})")

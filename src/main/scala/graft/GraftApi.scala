@@ -25,6 +25,14 @@ object GraftApi {
   /** Context summary (kiara_api.py:529 `get_context_info`). */
   final case class ContextInfo(root: String, values: Int, aliases: Int,
                                jobs: Int, workflows: Int, operations: Int)
+
+  /** Rendered job-info record (kiara_api.py:379 get_all_jobs_info_data,
+    * :1419 retrieve_job_info, :1428 retrieve_jobs_info): the persisted
+    * StepRecord joined with runtime status and the job's comment — what
+    * kiara's `jobs` CLI renders per row. */
+  final case class JobInfo(jobId: String, operation: String, inputs: Seq[String],
+                           outputSchema: String, state: String,
+                           comment: Option[String])
 }
 
 /** Top-level facade mirroring kiara's python API
@@ -68,6 +76,18 @@ class GraftApi(val spark: SparkSession, root: String) {
   def registerOperation(name: String, op: DataFrame => DataFrame,
                         doc: String = ""): Unit =
     OpRegistry.register(name, op, doc)
+
+  // --- module types (kiara_api.py:632,638,662) -----------------------------
+  /** list_module_type_names: the module-type vocabulary (operation
+    * families + their implementing classes), distinct from operation
+    * instances. */
+  def listModuleTypeNames: Seq[String] = OpRegistry.moduleTypeNames
+  /** retrieve_module_type_info: doc + type hints + implementing class +
+    * member operations for one module type. */
+  def moduleTypeInfo(name: String): OpRegistry.ModuleTypeInfo =
+    OpRegistry.moduleTypeInfo(name)
+  /** retrieve_module_types_info: every module type's info record. */
+  def moduleTypesInfo: Seq[OpRegistry.ModuleTypeInfo] = OpRegistry.moduleTypesInfo
 
   /** run_job (kiara_api.py:105): execute a registered operation on a
     * value (by alias or value id), record the job, return the result. */
@@ -170,6 +190,27 @@ class GraftApi(val spark: SparkSession, root: String) {
   def getJobComment(jobId: String): Option[String] = comments.get(jobId)
   def listJobComments: Seq[(String, String)] = comments.list
 
+  // --- rendered job info (kiara_api.py:379,1419,1428) ----------------------
+  /** retrieve_jobs_info: StepRecord + runtime state + comment joined in
+    * ONE pass over the lineage log and the comment store (no per-job
+    * re-parse). Jobs recorded by a previous JVM on the same root render
+    * as `success` — only a terminal state leaves a lineage record. */
+  def jobsInfo: Seq[JobInfo] = {
+    val cs = comments.list.toMap
+    listJobRecords.map { case (id, rec) =>
+      val state = jobStates.get(id).map(_.state).getOrElse("success")
+      JobInfo(id, rec.step, rec.inputs, rec.outputSchema, state, cs.get(id))
+    }
+  }
+
+  /** retrieve_job_info: one job's rendered record (queued-but-unrecorded
+    * jobs surface with their live state and no lineage fields). */
+  def jobInfo(jobId: String): JobInfo =
+    jobsInfo.find(_.jobId == jobId)
+      .orElse(jobStates.get(jobId).map(s =>
+        JobInfo(jobId, "", Seq.empty, "", s.state, comments.get(jobId))))
+      .getOrElse(throw new NoSuchElementException(s"no such job: $jobId"))
+
   /** Upstream provenance of a value (kiara_api.py:243
     * retrieve_augmented_value_lineage): the step that produced it, the
     * steps that produced its inputs, recursively to the raw leaves. */
@@ -254,6 +295,31 @@ class GraftApi(val spark: SparkSession, root: String) {
       case other     => throw new IllegalArgumentException(s"unknown export format: $other")
     }
   }
+
+  /** import_values (kiara_api.py:1130): batch import, format dispatched
+    * per file from its extension; returns the ids in input order. */
+  def importValues(files: Seq[(String, String)]): Seq[String] =
+    files.map { case (id, path) =>
+      val fmt = path.toLowerCase.replaceAll("^.*\\.", "") match {
+        case "csv"                       => "csv"
+        case "json" | "jsonl" | "ndjson" => "json"
+        case "parquet"                   => "parquet"
+        case other => throw new IllegalArgumentException(
+          s"cannot infer import format for $path (extension .$other)")
+      }
+      importValue(id, fmt, path)
+      id
+    }
+
+  /** export_values (kiara_api.py:1174): batch export under `targetDir`,
+    * one `<ref>.<format>` dataset per ref; returns ref → written path. */
+  def exportValues(refs: Seq[String], targetDir: String,
+                   format: String): Map[String, String] =
+    refs.map { r =>
+      val path = s"$targetDir/$r.$format"
+      exportValue(r, format, path)
+      r -> path
+    }.toMap
 
   // --- archives (kiara_api.py:1257 export_archive, :1306 import_archive) --
   /** Bundle values (all by default) + aliases + lineage into a portable

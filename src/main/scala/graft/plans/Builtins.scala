@@ -20,6 +20,20 @@ object Builtins {
   def ensureRegistered(): Unit = synchronized {
     if (registered) return
     registered = true
+    // module types: the implementing class behind each operation family
+    // (kiara `module list` vocabulary; reference modules/included_core_modules/)
+    OpRegistry.registerModuleType("text",
+      "text cleaning, scoring, tokenization and language analysis",
+      "graft.operators.TextOps")
+    OpRegistry.registerModuleType("dedup",
+      "corpus deduplication: exact, MinHash-LSH, SimHash, line-level",
+      "graft.operators.Dedup")
+    OpRegistry.registerModuleType("mm",
+      "multimodal binary-payload handling (image header decode)",
+      "graft.operators.Multimodal")
+    OpRegistry.registerModuleType("profile",
+      "table and column profiling",
+      "graft.operators.Profile")
     OpRegistry.register("text.clean",
       df => df.withColumn("ctext", TextOps.clean(col("text"))),
       doc = "scrub urls/emails/control chars from `text` into `ctext`")
@@ -44,6 +58,9 @@ object Builtins {
     OpRegistry.register("dedup.simhash",
       df => Dedup.simhash(df),
       doc = "64-bit simhash of `text` tokens as `simhash` (row-local, no shuffle)")
+    OpRegistry.register("dedup.line",
+      df => Dedup.lineDedup(df),
+      doc = "drop lines duplicated across >= 2 distinct docs, keep order + drop stats")
     OpRegistry.register("mm.decode_meta",
       df => Multimodal.decodeMeta(df).toDF(),
       doc = "image geometry metadata (png/jpeg/gif/bmp header parse) from `payload`")

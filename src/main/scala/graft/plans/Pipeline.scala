@@ -61,19 +61,67 @@ object Pipeline {
 object OpRegistry {
   type Op = DataFrame => DataFrame
 
-  /** Operation metadata (kiara models/module/operations.py analogue). */
+  /** Operation metadata (kiara models/module/operations.py analogue).
+    * `module` is the module TYPE this operation instantiates — the
+    * name's dotted prefix by default ("text.clean" → "text"). */
   final case class OpInfo(name: String, doc: String,
-                          inputType: String = "table", outputType: String = "table")
+                          inputType: String = "table", outputType: String = "table",
+                          module: String = "")
+
+  /** Module-type info record (kiara_api.py:632 list_module_type_names,
+    * :638 retrieve_module_types_info, :662 retrieve_module_type_info):
+    * a module type is the implementing class behind a family of
+    * registered operations — kiara's module-vs-operation distinction. */
+  final case class ModuleTypeInfo(name: String, doc: String, implementing: String,
+                                  inputType: String, outputType: String,
+                                  operations: Seq[String])
 
   private val ops = scala.collection.concurrent.TrieMap[String, Op]()
   private val infos = scala.collection.concurrent.TrieMap[String, OpInfo]()
+  // module type → (doc, implementing class)
+  private val modules = scala.collection.concurrent.TrieMap[String, (String, String)]()
+
+  private def defaultModule(name: String): String =
+    name.split('.').headOption.getOrElse(name)
 
   def register(name: String, op: Op): Unit = register(name, op, doc = "")
   def register(name: String, op: Op, doc: String,
-               inputType: String = "table", outputType: String = "table"): Unit = {
+               inputType: String = "table", outputType: String = "table",
+               module: String = ""): Unit = {
     ops.put(name, op)
-    infos.put(name, OpInfo(name, doc, inputType, outputType))
+    val m = if (module.nonEmpty) module else defaultModule(name)
+    infos.put(name, OpInfo(name, doc, inputType, outputType, m))
   }
+
+  /** Declare a module type's doc + implementing class (kiara module
+    * classes are python entry points; the JVM twin is the operator
+    * object the registered transforms close over). */
+  def registerModuleType(name: String, doc: String, implementing: String): Unit =
+    modules.put(name, (doc, implementing))
+
+  /** Module types: every declared type plus any module name referenced
+    * by a registered operation (custom registrations without a declared
+    * type still surface). */
+  def moduleTypeNames: Seq[String] =
+    (modules.keys ++ infos.values.map(_.module)).toSeq.distinct.sorted
+
+  def moduleTypeInfo(name: String): ModuleTypeInfo = {
+    val members = infos.values.filter(_.module == name).toSeq.sortBy(_.name)
+    val (doc, impl) = modules.getOrElse(name,
+      if (members.isEmpty)
+        throw new NoSuchElementException(s"module type not registered: $name")
+      else ("", "custom"))
+    def uniform(f: OpInfo => String): String =
+      members.map(f).distinct match {
+        case Seq(one) => one
+        case Seq()    => "table"
+        case many     => many.mkString("|")
+      }
+    ModuleTypeInfo(name, doc, impl, uniform(_.inputType), uniform(_.outputType),
+      members.map(_.name))
+  }
+
+  def moduleTypesInfo: Seq[ModuleTypeInfo] = moduleTypeNames.map(moduleTypeInfo)
   def get(name: String): Op =
     ops.getOrElse(name, throw new NoSuchElementException(s"operator not registered: $name"))
   def list: Seq[String] = ops.keys.toSeq.sorted

@@ -42,6 +42,21 @@ class CliSpec extends SparkTestBase {
     assert(filtered.linesIterator.forall(_.startsWith("dedup.")))
     val one = Cli.run(spark, Array("operation", "mm.decode_meta"))
     assert(one.contains("id:     mm.decode_meta") && one.contains("header parse"))
+    assert(one.contains("module: mm"))
+  }
+
+  test("module list and explain render the module-type catalog") {
+    val listed = Cli.run(spark, Array("module", "list"))
+    assert(listed.linesIterator.exists(l =>
+      l.startsWith("text") && l.contains("graft.operators.TextOps")))
+    assert(listed.linesIterator.exists(_.startsWith("dedup")))
+    val one = Cli.run(spark, Array("module", "explain", "dedup"))
+    assert(one.contains("module:       dedup"))
+    assert(one.contains("implementing: graft.operators.Dedup"))
+    assert(one.contains("  dedup.exact_groups") && one.contains("  dedup.line"))
+    intercept[NoSuchElementException] {
+      Cli.run(spark, Array("module", "explain", "no_such_module"))
+    }
   }
 
   test("archive info, value info and context info render without importing") {
@@ -74,6 +89,7 @@ class CliSpec extends SparkTestBase {
     api.setJobComment(j, "checked by hand\nsecond line ignored in listing")
     val out = Cli.run(spark, Array("jobs", root, "list"))
     assert(out.contains(j) && out.contains("cli_noop") && out.contains("# checked by hand"))
+    assert(out.contains("success")) // rendered state column
     assert(!out.contains("second line"))
     assert(Cli.run(spark, Array("jobs",
       graft.sources.Export.tempDir("graft_cli_nojobs_").toString, "list")) == "no jobs recorded")

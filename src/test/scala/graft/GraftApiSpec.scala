@@ -148,6 +148,65 @@ class GraftApiSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { apiB.setJobComment("job-999", "x") }
   }
 
+  test("module-type catalog: names, info records, custom types surface") {
+    val api = newApi
+    val names = api.listModuleTypeNames
+    assert(Seq("dedup", "mm", "profile", "text").forall(names.contains), names)
+    val text = api.moduleTypeInfo("text")
+    assert(text.implementing == "graft.operators.TextOps")
+    assert(text.operations.contains("text.clean") && text.doc.nonEmpty)
+    assert(text.inputType == "table" && text.outputType == "table")
+    // an undeclared custom registration still surfaces its module type
+    api.registerOperation("mymod.noop", df => df)
+    assert(api.listModuleTypeNames.contains("mymod"))
+    val my = api.moduleTypeInfo("mymod")
+    assert(my.implementing == "custom" && my.operations == Seq("mymod.noop"))
+    intercept[NoSuchElementException] { api.moduleTypeInfo("no_such_module") }
+    assert(api.moduleTypesInfo.map(_.name) == api.listModuleTypeNames)
+  }
+
+  test("jobsInfo joins record+state+comment and survives a restart") {
+    val root = Export.tempDir("graft_jobsinfo_").toString
+    val apiA = new GraftApi(spark, root)
+    apiA.storeValue("nums", Seq(1L, 2L).toDF("n"), Some("in"))
+    apiA.registerOperation("ji_noop", df => df)
+    val (j1, _) = apiA.runJob("ji_noop", "in")
+    apiA.setJobComment(j1, "looks right")
+    // fresh GraftApi on the same root = fresh-JVM shape: the rendered
+    // info record joins the persisted StepRecord with the comment
+    val apiB = new GraftApi(spark, root)
+    val ji = apiB.jobsInfo.find(_.jobId == j1).get
+    assert(ji.operation == "ji_noop" && ji.inputs == Seq("in"))
+    assert(ji.state == "success" && ji.comment.contains("looks right"))
+    assert(ji.outputSchema.contains("n"))
+    assert(apiB.jobInfo(j1) == ji)
+    intercept[NoSuchElementException] { apiB.jobInfo("job-424242") }
+  }
+
+  test("importValues dispatches format per extension; exportValues batches") {
+    val api = newApi
+    val dir = Export.tempDir("graft_batch_io_").toString
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "s")
+    api.storeValues(Seq("va" -> df, "vb" -> df, "vc" -> df))
+    val pCsv = api.exportValues(Seq("va"), dir, "csv")("va")
+    val pJson = api.exportValues(Seq("vb"), dir, "json")("vb")
+    val pParq = api.exportValues(Seq("vc"), dir, "parquet")("vc")
+    // one batch import across three formats, dispatched by extension
+    val ids = api.importValues(Seq("ra" -> pCsv, "rb" -> pJson, "rc" -> pParq))
+    assert(ids == Seq("ra", "rb", "rc"))
+    val want = df.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    ids.foreach { id =>
+      // csv inference narrows small ids to int; compare at long width
+      val got = api.getValue(id).select(col("id").cast("long"), col("s"))
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got == want, s"$id: $got")
+    }
+    intercept[IllegalArgumentException] {
+      api.importValues(Seq("rx" -> s"$dir/unknown.xml"))
+    }
+  }
+
   test("queueJob runs asynchronously with pollable state and blocking result") {
     val api = newApi
     api.storeValue("nums", Seq(1L, 2L, 3L, 4L).toDF("n"), Some("input"))
