@@ -111,6 +111,7 @@ object SparkEntry {
     "evt_session_window" -> (Suite.evtSessionWindow _),
     "stream_window" -> (Suite.streamWindow _),
     "stream_join" -> (Suite.streamJoin _),
+    "stream_left_join" -> (Suite.streamLeftJoin _),
     "stream_dedup" -> (Suite.streamDedup _),
     "stream_sessionize" -> (Suite.streamSessionize _),
     "stream_enrich" -> (Suite.streamEnrich _)
@@ -722,6 +723,17 @@ object SparkEntry {
         |c AS (SELECT event_id AS c_id, user_id, CAST(ts AS TIMESTAMP) AS c_ts FROM events
         |  WHERE event_type = 'click')
         |SELECT p.p_id, c.c_id FROM p JOIN c ON p.user_id = c.user_id
+        | AND c.c_ts >= p.p_ts - INTERVAL 24 HOUR AND c.c_ts <= p.p_ts
+        |ORDER BY p.p_id, c.c_id""".stripMargin,
+    // the LEFT-OUTER streaming interval join (drained with the sentinel
+    // watermark flush) equals the plain batch LEFT BETWEEN join: every
+    // matched pair plus a NULL click id per unmatched purchase
+    "stream_left_join" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS c_id, user_id, CAST(ts AS TIMESTAMP) AS c_ts FROM events
+        |  WHERE event_type = 'click')
+        |SELECT p.p_id, c.c_id FROM p LEFT JOIN c ON p.user_id = c.user_id
         | AND c.c_ts >= p.p_ts - INTERVAL 24 HOUR AND c.c_ts <= p.p_ts
         |ORDER BY p.p_id, c.c_id""".stripMargin,
     // per-micro-batch broadcast enrichment drained = the batch CASE agg;

@@ -569,6 +569,13 @@ object Suite {
     graft.streaming.EventStream.purchaseClickJoin(s, s"$dir/events.parquet")
       .orderBy("p_id", "c_id")
 
+  /** LEFT-OUTER streaming interval join drained via the sentinel
+    * watermark flush; oracle is the plain batch LEFT BETWEEN join
+    * (unmatched purchases carry a NULL click id). */
+  def streamLeftJoin(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.purchaseClickLeftJoin(s, s"$dir/events.parquet")
+      .orderBy("p_id", "c_id")
+
   /** Streaming exact dedup drained over the documents table; the corpus
     * has no cross-language duplicate texts, so per-lang distinct
     * fingerprint counts are its deterministic DuckDB oracle — the

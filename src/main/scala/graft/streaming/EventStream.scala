@@ -121,6 +121,69 @@ object EventStream {
     runToMemory(s2, joined.select(col("p_id"), col("c_id")), "append")
   }
 
+  /** LEFT-OUTER stream-stream interval join — the remaining join mode
+    * with real state semantics: a purchase with NO click in the window
+    * emits with a NULL click id, and in Structured Streaming that null
+    * row can only materialize once the GLOBAL watermark passes the point
+    * where a match could still arrive (outer results ride on state
+    * EXPIRY, not on data arrival). Draining deterministically therefore
+    * needs the watermark pushed past every real purchase: the source is
+    * staged as two files — the real events, then a far-future sentinel
+    * pair (one purchase, one click, distinct impossible users so they
+    * cannot match anything) — and `maxFilesPerTrigger=1` makes the
+    * sentinel its own micro-batch, advancing BOTH sides' watermarks so
+    * every buffered unmatched purchase expires and emits its null row.
+    * Sentinels (negative ids) are filtered from the result. A live
+    * deployment never drains — it just keeps running; the sentinel is
+    * the bounded-run equivalent of "time passes". */
+  def purchaseClickLeftJoin(spark: SparkSession, path: String, hours: Int = 24): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val batch = graft.Tables.normalizeTs(s2.read.parquet(path))
+      .select("event_id", "ts", "user_id", "event_type")
+    val maxUs = batch.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val flushUs = maxUs + 30L * 86400L * 1000000L
+    import s2.implicits._
+    val sentinels = Seq((-1L, flushUs, -1L, "purchase"), (-2L, flushUs, -2L, "click"))
+      .toDF("event_id", "us", "user_id", "event_type")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"))
+    // stage dir: 0_events.parquet then 1_flush.parquet, mtimes ordered so
+    // the file source (oldest-first) replays them as two micro-batches
+    val dir = graft.sources.Export.tempDir("graft_stream_flush_").toString
+    def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = s"$dir/_stage_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+      val dst = Paths.get(dir, s"$name.parquet")
+      Files.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+      dst.toFile.setLastModified(mtime)
+    }
+    val now = System.currentTimeMillis()
+    stage(batch, "0_events", now - 600000L)
+    stage(sentinels, "1_flush", now)
+    val src = s2.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(dir)
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val joined = purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $hours HOURS") &&
+        col("c_ts") <= col("p_ts"),
+      "left_outer")
+    runToMemory(s2, joined.select(col("p_id"), col("c_id")), "append")
+      .filter(col("p_id") >= 0)
+  }
+
   /** Per-user session state carried across micro-batches. */
   case class SessionState(nSessions: Long, lastUs: Long, nEvents: Long)
 

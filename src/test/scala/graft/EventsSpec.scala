@@ -147,6 +147,27 @@ class EventsSpec extends SparkTestBase {
     assert(stream == batch && batch.nonEmpty)
   }
 
+  test("streaming LEFT-OUTER interval join drains to the batch left join") {
+    val ev = Tables.t(spark, sfDir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val batch = p.join(c, col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS") &&
+        col("c_ts") <= col("p_ts"), "left_outer")
+      .select("p_id", "c_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    val stream = graft.streaming.EventStream
+      .purchaseClickLeftJoin(spark, s"$sfDir/events.parquet")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(stream == batch)
+    // the left-outer mode actually exercises null emission on expiry
+    assert(stream.exists(_._2 == -1L), "expected unmatched purchases")
+    assert(stream.exists(_._2 >= 0L), "expected matched pairs")
+  }
+
   test("asof join matches latest prior right row, ties and no-match included") {
     val purchases = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1L, 10.0),  // before any click → null
