@@ -65,6 +65,38 @@ class PlanSpec extends SparkTestBase {
       .collect { case e: ShuffleExchangeExec => e }.isEmpty)
   }
 
+  test("runtime bloom-filter pruning fires on a filtered fact-fact join") {
+    // cloned session: threshold overrides must not leak into the shared one
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    // the rule guards the probe behind a 10 GiB application-side scan
+    // threshold (pruning only pays off on big scans); spec-scale parquet
+    // is MBs, so lower the guard to exercise the firing logic — at the
+    // 100 TB deployment the DEFAULT thresholds fire on exactly this
+    // query shape (see PLANS.md)
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1024")
+    val li = Tables.t(s, sfDir, "lineitem").select("l_orderkey", "l_extendedprice")
+    val o = Tables.t(s, sfDir, "orders")
+      .filter(org.apache.spark.sql.functions.col("o_totalprice") > 150000.0)
+      .select("o_orderkey", "o_orderstatus")
+    val joined = li.join(o, org.apache.spark.sql.functions.col("l_orderkey") ===
+        org.apache.spark.sql.functions.col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    joined.collect()
+    // tree walk: InjectRuntimeFilter adds a might_contain probe on the
+    // application (lineitem) side, fed by a bloom filter built over the
+    // filtered creation (orders) side
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    val probes = flattenPlan(joined.queryExecution.executedPlan).flatMap(
+      _.expressions.flatMap(_.collect { case b: BloomFilterMightContain => b }))
+    assert(probes.nonEmpty,
+      s"expected a runtime bloom probe:\n${joined.queryExecution.executedPlan}")
+  }
+
   test("orderBy+limit compiles to TakeOrderedAndProject (no global sort)") {
     val df = SparkEntry.queries("q4_sort_limit")(spark, sfDir)
     df.collect()
