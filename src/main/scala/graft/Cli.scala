@@ -64,6 +64,15 @@ object Cli {
         s"input:        ${m.inputType}\noutput:       ${m.outputType}\n" +
         s"doc:          ${m.doc}\noperations:\n" +
         m.operations.map("  " + _).mkString("\n")
+    // plugin catalog (kiara plugin list / explain)
+    case "plugin" :: "list" :: Nil =>
+      graft.plans.PluginRegistry.infos.map { p =>
+        f"${p.name}%-18s ${p.implementing}%-44s provides: ${p.provides.mkString(", ")}"
+      }.mkString("\n")
+    case "plugin" :: "explain" :: name :: Nil =>
+      val p = graft.plans.PluginRegistry.info(name)
+      s"plugin:       ${p.name}\nimplementing: ${p.implementing}\n" +
+        s"provides:     ${p.provides.mkString(", ")}\ndoc:          ${p.description}"
     // multi-context management (kiara context list / create / use)
     case "context" :: baseRoot :: "list" :: Nil =>
       val cx = new GraftContexts(spark, baseRoot)
@@ -114,7 +123,7 @@ object Cli {
         s"usage: queries | query <name> <sfDir> [rows] | tables <sfDir> | " +
           s"profile <sfDir> <table> <col...> | entry | " +
           s"operations [filter...] | operation <name> | " +
-          s"module list|explain <name> | " +
+          s"module list|explain <name> | plugin list|explain <name> | " +
           s"context <root> list|create <name>|use <name>|current|info | " +
           s"archive info <dir> | value <root> info <ref> | jobs <root> list " +
           s"(got: ${other.mkString(" ")})")

@@ -89,6 +89,16 @@ class GraftApi(val spark: SparkSession, root: String) {
   /** retrieve_module_types_info: every module type's info record. */
   def moduleTypesInfo: Seq[OpRegistry.ModuleTypeInfo] = OpRegistry.moduleTypesInfo
 
+  // --- plugins (kiara_api.py:483,498,516) ----------------------------------
+  /** list_available_plugin_names: registered extension bundles. */
+  def listPluginNames: Seq[String] = graft.plans.PluginRegistry.names
+  /** retrieve_plugin_info: one bundle's info record. */
+  def pluginInfo(name: String): graft.plans.PluginRegistry.PluginInfo =
+    graft.plans.PluginRegistry.info(name)
+  /** retrieve_plugin_infos: every registered bundle. */
+  def pluginsInfo: Seq[graft.plans.PluginRegistry.PluginInfo] =
+    graft.plans.PluginRegistry.infos
+
   /** run_job (kiara_api.py:105): execute a registered operation on a
     * value (by alias or value id), record the job, return the result. */
   def runJob(operation: String, inputValue: String): (String, DataFrame) = {

@@ -59,6 +59,15 @@ class CliSpec extends SparkTestBase {
     }
   }
 
+  test("plugin list and explain render the extension-bundle catalog") {
+    val listed = Cli.run(spark, Array("plugin", "list"))
+    assert(listed.linesIterator.exists(l =>
+      l.startsWith("graft-extensions") && l.contains("graftext.GraftExtensions")))
+    val one = Cli.run(spark, Array("plugin", "explain", "graft-extensions"))
+    assert(one.contains("plugin:       graft-extensions"))
+    assert(one.contains("provides:     graft_dot, RewriteHofDot"))
+  }
+
   test("archive info, value info and context info render without importing") {
     import spark.implicits._
     val root = graft.sources.Export.tempDir("graft_cli_info_").toString

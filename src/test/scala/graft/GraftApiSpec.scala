@@ -165,6 +165,19 @@ class GraftApiSpec extends SparkTestBase {
     assert(api.moduleTypesInfo.map(_.name) == api.listModuleTypeNames)
   }
 
+  test("plugin catalog lists bundles with info records; custom bundles join") {
+    val api = newApi
+    assert(api.listPluginNames.contains("graft-extensions"))
+    val ext = api.pluginInfo("graft-extensions")
+    assert(ext.implementing == "org.apache.spark.sql.graftext.GraftExtensions")
+    assert(ext.provides.contains("graft_dot") && ext.description.nonEmpty)
+    graft.plans.PluginRegistry.register(graft.plans.PluginRegistry.PluginInfo(
+      "my-bundle", "com.example.MyExt", "user bundle", Seq("my_fn")))
+    assert(api.listPluginNames.contains("my-bundle"))
+    assert(api.pluginsInfo.map(_.name) == api.listPluginNames)
+    intercept[NoSuchElementException] { api.pluginInfo("no-such-plugin") }
+  }
+
   test("jobsInfo joins record+state+comment and survives a restart") {
     val root = Export.tempDir("graft_jobsinfo_").toString
     val apiA = new GraftApi(spark, root)
