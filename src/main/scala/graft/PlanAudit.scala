@@ -20,7 +20,11 @@ object PlanAudit {
     "evt_topk_users", "pipeline_llm", "sim_ivf_topk", "dedup_embedding",
     // round 3: as-of join (union+window), bin-bucketed range join,
     // bucketed co-located join (expect zero Exchange below the SMJ)
-    "evt_asof_join", "evt_range_join", "q25_bucketed_join")
+    "evt_asof_join", "evt_range_join", "q25_bucketed_join",
+    // round 5: line dedup (expect explode + ONE agg shuffle on the line
+    // fingerprint + one doc regroup; the dup-set join broadcast at spec
+    // scale), quantized top-k (expect the native Int8Quantize, no HOF)
+    "text_line_dedup", "sim_quant_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
