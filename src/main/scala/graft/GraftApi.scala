@@ -152,12 +152,16 @@ class GraftApi(val spark: SparkSession, root: String) {
   private implicit val jobEc: ExecutionContext = ExecutionContext.fromExecutor(jobPool)
   private val asyncJobs = scala.collection.concurrent.TrieMap[String, Future[DataFrame]]()
   private val jobStates = scala.collection.concurrent.TrieMap[String, JobStatus]()
+  // operation + input of not-yet-recorded queued jobs, so jobsInfo can
+  // render in-flight and failed jobs (they leave no lineage record)
+  private val liveJobMeta = scala.collection.concurrent.TrieMap[String, (String, String)]()
 
   /** queue_job: submit a registered operation asynchronously; returns the
     * job id immediately. Spark plan construction and actions are
     * session-thread-safe, so queued jobs genuinely overlap. */
   def queueJob(operation: String, inputValue: String): String = {
     val jobId = s"job-${jobSeq.incrementAndGet()}"
+    liveJobMeta.put(jobId, (operation, inputValue))
     jobStates.put(jobId, JobStatus(jobId, "queued", None))
     val fut = Future {
       jobStates.put(jobId, JobStatus(jobId, "running", None))
@@ -204,21 +208,28 @@ class GraftApi(val spark: SparkSession, root: String) {
   /** retrieve_jobs_info: StepRecord + runtime state + comment joined in
     * ONE pass over the lineage log and the comment store (no per-job
     * re-parse). Jobs recorded by a previous JVM on the same root render
-    * as `success` — only a terminal state leaves a lineage record. */
+    * as `success` — only a success leaves a lineage record — and jobs
+    * that are still queued/running or that FAILED (no lineage record)
+    * surface from the live state table, so the list never hides a
+    * failure. */
   def jobsInfo: Seq[JobInfo] = {
     val cs = comments.list.toMap
-    listJobRecords.map { case (id, rec) =>
+    val recorded = listJobRecords.map { case (id, rec) =>
       val state = jobStates.get(id).map(_.state).getOrElse("success")
       JobInfo(id, rec.step, rec.inputs, rec.outputSchema, state, cs.get(id))
     }
+    val recordedIds = recorded.map(_.jobId).toSet
+    val live = jobStates.toSeq.collect {
+      case (id, s) if !recordedIds.contains(id) =>
+        val (op, in) = liveJobMeta.getOrElse(id, ("", ""))
+        JobInfo(id, op, if (in.isEmpty) Seq.empty else Seq(in), "", s.state, cs.get(id))
+    }
+    (recorded ++ live).sortBy(_.jobId)
   }
 
-  /** retrieve_job_info: one job's rendered record (queued-but-unrecorded
-    * jobs surface with their live state and no lineage fields). */
+  /** retrieve_job_info: one job's rendered record. */
   def jobInfo(jobId: String): JobInfo =
     jobsInfo.find(_.jobId == jobId)
-      .orElse(jobStates.get(jobId).map(s =>
-        JobInfo(jobId, "", Seq.empty, "", s.state, comments.get(jobId))))
       .getOrElse(throw new NoSuchElementException(s"no such job: $jobId"))
 
   /** Upstream provenance of a value (kiara_api.py:243
@@ -310,7 +321,11 @@ class GraftApi(val spark: SparkSession, root: String) {
     * per file from its extension; returns the ids in input order. */
   def importValues(files: Seq[(String, String)]): Seq[String] =
     files.map { case (id, path) =>
-      val fmt = path.toLowerCase.replaceAll("^.*\\.", "") match {
+      val name = path.substring(path.lastIndexOf('/') + 1)
+      val dot = name.lastIndexOf('.')
+      if (dot < 0) throw new IllegalArgumentException(
+        s"cannot infer import format for $path (no file extension)")
+      val fmt = name.substring(dot + 1).toLowerCase match {
         case "csv"                       => "csv"
         case "json" | "jsonl" | "ndjson" => "json"
         case "parquet"                   => "parquet"

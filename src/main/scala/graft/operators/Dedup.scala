@@ -50,10 +50,14 @@ object Dedup {
     val lines = docs
       .select(col("doc_id"), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
       .withColumn("f", md5(col("line")))
+    // persist the SMALL table (duplicated fingerprints only) so the
+    // flagging join cannot re-run the corpus scan+explode behind it —
+    // the same self-join rule as the LSH signature tables (CLAUDE.md)
     val dup = lines
       .groupBy("f").agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd") >= minDocs)
       .select(col("f"), lit(1).as("__dup"))
+      .persist()
     lines.join(dup, Seq("f"), "left")
       .groupBy("doc_id")
       .agg(

@@ -20,7 +20,7 @@ import org.apache.spark.sql.types._
   * Replaces the interpreted two-`transform` HOF chain (one pass for
   * maxabs, one for the quantized bytes, each through the lambda
   * interpreter — HOFs never reach codegen, see CLAUDE.md) and is
-  * BIT-IDENTICAL to it on non-null elements:
+  * BIT-IDENTICAL to it on non-null FINITE elements:
   *
   *   scale = greatest(array_max(transform(x, v -> abs(double(v)))), 1e-30) / 127
   *   q_i   = cast(floor(double(x_i) / scale + 0.5) as tinyint)
@@ -32,7 +32,9 @@ import org.apache.spark.sql.types._
   * Null ELEMENTS are rejected (the HOF chain would emit a null byte
   * slot, which a primitive int8 index cannot represent — and a null
   * inside an embedding is an upstream bug, same stance as graft_dot's
-  * length check).
+  * length check). Non-finite elements are rejected too: the HOF chain
+  * also fails the job there (NaN reaches the ANSI tinyint cast), and
+  * rejecting explicitly beats silently quantizing garbage.
   */
 object Quantize {
 
@@ -42,7 +44,14 @@ object Quantize {
     def elem(i: Int): Double = {
       if (arr.isNullAt(i)) throw new IllegalArgumentException(
         "graft_int8_quantize: null element in embedding — clean the corpus upstream")
-      if (floatElems) arr.getFloat(i).toDouble else arr.getDouble(i)
+      val v = if (floatElems) arr.getFloat(i).toDouble else arr.getDouble(i)
+      // the HOF chain this replaces also fails the job on a non-finite
+      // element (NaN/Inf reach the ANSI tinyint cast as NaN); reject it
+      // explicitly instead of silently shipping garbage bytes
+      if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v))
+        throw new IllegalArgumentException(
+          s"graft_int8_quantize: non-finite element $v — clean the corpus upstream")
+      v
     }
     var maxabs = 1e-30
     var i = 0

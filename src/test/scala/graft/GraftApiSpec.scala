@@ -194,6 +194,14 @@ class GraftApiSpec extends SparkTestBase {
     assert(ji.outputSchema.contains("n"))
     assert(apiB.jobInfo(j1) == ji)
     intercept[NoSuchElementException] { apiB.jobInfo("job-424242") }
+    // a FAILED queued job leaves no lineage record but must still be
+    // listed — failures hidden from the list surface are unauditable
+    apiA.registerOperation("ji_boom", _ => throw new RuntimeException("boom"))
+    val jf = apiA.queueJob("ji_boom", "in")
+    intercept[Exception] { apiA.getJobResult(jf) }
+    val failed = apiA.jobsInfo.find(_.jobId == jf).get
+    assert(failed.state == "failed" && failed.operation == "ji_boom")
+    assert(failed.inputs == Seq("in"))
   }
 
   test("importValues dispatches format per extension; exportValues batches") {

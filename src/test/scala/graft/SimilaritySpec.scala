@@ -79,6 +79,10 @@ class SimilaritySpec extends SparkTestBase {
       })
     }.flatten
     assert(hofs.isEmpty, s"interpreted HOFs in quantize plan: $hofs")
+    // corrupt vectors fail the job, like the ANSI cast in the old chain
+    val bad = Seq((1L, Array(1.0f, Float.NaN))).toDF("vec_id", "embedding")
+    val err = intercept[Exception] { Similarity.quantize(bad).collect() }
+    assert(err.getMessage != null)
   }
 
   test("RewriteHofDot rewrites the aggregate(zip_with) idiom to graft_dot") {
