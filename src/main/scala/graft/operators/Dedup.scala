@@ -31,8 +31,10 @@ object Dedup {
     * across pages whose bodies are unique.
     *
     * Output: doc_id, n_lines, n_kept, n_dropped, kept_text (lines joined
-    * with "\n"; empty string when every line was dropped). Docs whose
+    * with `sep`; empty string when every line was dropped). Docs whose
     * text column is NULL have no lines and are absent from the output.
+    * `sep` picks the granularity: "\n" = lines (default), "\n\n" =
+    * paragraphs (the other standard corpus-dedup unit).
     *
     * Scale shape: explode to (doc, pos, line), md5 the line; the
     * duplicated-fingerprint set is ONE aggregation shuffle on the
@@ -46,9 +48,12 @@ object Dedup {
     * lines-per-document, not corpus size. kiara analogue: table filter/
     * transform modules (src/kiara/models/values/value.py table ops);
     * the line granularity is the LLM-pipeline extension. */
-  def lineDedup(docs: DataFrame, textCol: String = "text", minDocs: Int = 2): DataFrame = {
+  def lineDedup(docs: DataFrame, textCol: String = "text", minDocs: Int = 2,
+                sep: String = "\n"): DataFrame = {
     val lines = docs
-      .select(col("doc_id"), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .select(col("doc_id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "line")))
       .withColumn("f", md5(col("line")))
     // persist the SMALL table (duplicated fingerprints only) so the
     // flagging join cannot re-run the corpus scan+explode behind it —
@@ -67,7 +72,7 @@ object Dedup {
         sort_array(collect_list(when(col("__dup").isNull, struct(col("pos"), col("line")))))
           .as("ordered"))
       .select(col("doc_id"), col("n_lines"), col("n_kept"), col("n_dropped"),
-        array_join(col("ordered.line"), "\n").as("kept_text"))
+        array_join(col("ordered.line"), sep).as("kept_text"))
       .orderBy("doc_id")
   }
 

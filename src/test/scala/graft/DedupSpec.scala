@@ -41,6 +41,25 @@ class DedupSpec extends SparkTestBase {
     assert(out(4L) == ((1L, 0L, 1L, ""))) // fully-boilerplate doc survives with empty text
   }
 
+  test("lineDedup at paragraph granularity drops duplicated paragraphs whole") {
+    val boiler = "about us\nwe value your privacy"
+    val d = docs(
+      1L -> s"intro one\nstill intro\n\n$boiler",
+      2L -> s"$boiler\n\nbody two",
+      3L -> "solo paragraph\nsecond line of it")
+    val out = Dedup.lineDedup(d, sep = "\n\n").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3), r.getString(4))).toMap
+    // the multi-LINE boilerplate paragraph is one unit at this granularity
+    assert(out(1L) == ((2L, 1L, "intro one\nstill intro")))
+    assert(out(2L) == ((2L, 1L, "body two")))
+    assert(out(3L) == ((1L, 0L, "solo paragraph\nsecond line of it")))
+    // at line granularity the same corpus keeps the non-shared intro lines
+    // but splits the boilerplate into two independently-duplicated lines
+    val byLine = Dedup.lineDedup(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(byLine(1L) == 3L) // "", "about us", "we value your privacy"
+  }
+
   test("lineDedup respects minDocs and within-doc repeats don't count") {
     // "ping" repeats inside doc 1 only — one distinct doc, stays at minDocs=2
     val d = docs(
