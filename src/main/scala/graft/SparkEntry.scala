@@ -75,6 +75,7 @@ object SparkEntry {
     "text_repetition" -> (Suite.textRepetition _),
     "text_perplexity" -> (Suite.textPerplexity _),
     "text_line_dedup" -> (Suite.textLineDedup _),
+    "text_pack" -> (Suite.textPack _),
     "mix_sampled" -> (Suite.mixSampled _),
     "pipeline_curate" -> (Suite.pipelineCurate _),
     "maint_compact" -> (Suite.maintCompact _),
@@ -384,6 +385,20 @@ object SparkEntry {
          |   i -> array_to_string(toks[i:i+2], ' '))))
          |     / (len(toks) - 2)) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS rep_ratio
          |FROM t WHERE len(toks) >= 3 ORDER BY doc_id""".stripMargin,
+    // sharded concat-and-chunk packing: same window replayed in DuckDB
+    // (sum() over BIGINT widens to HUGEINT there — cast back)
+    "text_pack" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
+         |f AS (SELECT doc_id, n_tokens, doc_id % 8 AS shard FROM t WHERE n_tokens > 0),
+         |p AS (SELECT doc_id, shard, n_tokens,
+         |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+         |  FROM f)
+         |SELECT doc_id, shard, start_tok,
+         | start_tok // 64 AS start_seq,
+         | (start_tok + n_tokens - 1) // 64 AS end_seq,
+         | n_tokens
+         |FROM p ORDER BY doc_id""".stripMargin,
     // line-structured view planted identically to the Spark side; a line
     // in >= 2 distinct docs is dropped everywhere, survivors reassembled
     // in original order and md5-hashed

@@ -232,6 +232,38 @@ object TextOps {
         Num.pround(lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams"), 4))
       .orderBy("doc_id")
 
+  /** Sequence packing for pretraining (GPT-style concat-and-chunk): each
+    * shard's documents are concatenated in doc_id order and cut into
+    * fixed `budget`-token training sequences — documents may straddle a
+    * boundary, exactly like the production tokenize-concat-split
+    * pipeline. Sharding is what makes this scale: packing needs a
+    * running token offset, which is a WINDOW over an order — global
+    * order would serialize the corpus through one partition, so the
+    * window partitions by shard and each shard packs independently
+    * (embarrassingly parallel; one shard → one downstream writer task;
+    * `shards` = target parallelism at 100 TB). Empty docs are excluded
+    * (they occupy no tokens).
+    *
+    * Output per doc: shard, start_tok (token offset in the shard's
+    * stream), start_seq/end_seq (first/last training sequence the doc
+    * lands in), n_tokens. */
+  def packSequences(docs: DataFrame, budget: Int = 2048, shards: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0 && shards > 0, s"bad packing params budget=$budget shards=$shards")
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)))
+      .withColumn("start_tok", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("start_tok"),
+        expr(s"start_tok DIV $budget").as("start_seq"),
+        expr(s"(start_tok + n_tokens - 1) DIV $budget").as("end_seq"),
+        col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** Heuristic language ID: marker-word hit counts per language, argmax
     * with a fixed tie-break order. CJK presence short-circuits to zh. */
   def langId(docs: DataFrame): DataFrame = {

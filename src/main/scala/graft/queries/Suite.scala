@@ -285,6 +285,12 @@ object Suite {
   def textPerplexity(s: SparkSession, dir: String): DataFrame =
     TextOps.unigramCrossEntropy(t(s, dir, "documents"))
 
+  /** Sharded concat-and-chunk packing of the documents table into
+    * 64-token training sequences (small budget so spec-scale docs
+    * straddle boundaries); oracle replays the same window in DuckDB. */
+  def textPack(s: SparkSession, dir: String): DataFrame =
+    TextOps.packSequences(t(s, dir, "documents"), budget = 64, shards = 8)
+
   /** String-column profile over the documents table (length stats +
     * exact ndv) — the non-numeric half of extract_metadata. */
   def metaProfileStr(s: SparkSession, dir: String): DataFrame =

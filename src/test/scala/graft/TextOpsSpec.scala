@@ -12,6 +12,28 @@ class TextOpsSpec extends SparkTestBase {
     assert(toks == Seq("hello", "world", "foo", "bar", "42"))
   }
 
+  test("packSequences: shard-local offsets, straddling docs, empty docs out") {
+    // one shard (shards=1), budget 4; token counts 3, 2, 4, 0
+    val d = Seq(
+      (10L, "a b c"),
+      (11L, "d e"),
+      (12L, "f g h i"),
+      (13L, "")).toDF("doc_id", "text")
+    val out = TextOps.packSequences(d, budget = 4, shards = 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out(10L) == ((0L, 0L, 0L, 0L))) // tokens 0-2 → seq 0 only
+    assert(out(11L) == ((0L, 3L, 0L, 1L))) // tokens 3-4 STRADDLE seqs 0/1
+    assert(out(12L) == ((0L, 5L, 1L, 2L))) // tokens 5-8 straddle seqs 1/2
+    assert(!out.contains(13L)) // empty doc occupies no tokens
+    // two shards: offsets restart per shard (each shard packs alone)
+    val sharded = TextOps.packSequences(d, budget = 4, shards = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(sharded(10L) == ((0L, 0L))) // shard 0: first doc
+    assert(sharded(12L) == ((0L, 3L))) // shard 0: after doc 10's 3 tokens
+    assert(sharded(11L) == ((1L, 0L))) // shard 1: first doc
+  }
+
   test("token counts per doc") {
     val d = Seq((1L, "one two three"), (2L, ""), (3L, "  ")).toDF("doc_id", "text")
     val counts = TextOps.tokenCounts(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
