@@ -190,10 +190,20 @@ class GraftApi(val spark: SparkSession, root: String) {
       .getOrElse(throw new NoSuchElementException(s"no such job: $jobId"))
 
   /** get_job_result: block until the queued job finishes; rethrows the
-    * job's failure if it failed. */
+    * job's failure if it failed. runJob-issued ids and jobs persisted by
+    * a previous JVM have no queued future — their StepRecord replays the
+    * recorded operation on its recorded input (kiara's store-backed
+    * job-result lookup: results are re-derivable from lineage). */
   def getJobResult(jobId: String): DataFrame =
-    Await.result(asyncJobs.getOrElse(jobId,
-      throw new NoSuchElementException(s"no queued job: $jobId")), Duration.Inf)
+    asyncJobs.get(jobId) match {
+      case Some(fut) => Await.result(fut, Duration.Inf)
+      case None =>
+        getJobRecord(jobId) match {
+          case Some(rec) => OpRegistry.get(rec.step)(getValue(rec.inputs.head))
+          case None => throw new NoSuchElementException(
+            s"job $jobId was neither queued in this session nor recorded on this root")
+        }
+    }
 
   // --- job comments (kiara_api.py:186,209) --------------------------------
   def setJobComment(jobId: String, comment: String): Unit = {

@@ -76,6 +76,9 @@ object SparkEntry {
     "text_perplexity" -> (Suite.textPerplexity _),
     "text_line_dedup" -> (Suite.textLineDedup _),
     "text_pack" -> (Suite.textPack _),
+    "text_vocab" -> (Suite.textVocab _),
+    "text_chunk" -> (Suite.textChunk _),
+    "sample_group" -> (Suite.sampleGroup _),
     "mix_sampled" -> (Suite.mixSampled _),
     "pipeline_curate" -> (Suite.pipelineCurate _),
     "maint_compact" -> (Suite.maintCompact _),
@@ -305,8 +308,7 @@ object SparkEntry {
          |c AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
          |n AS (SELECT count(*) AS n_total FROM toks)
          |SELECT doc_id, count(*) AS n_tokens,
-         | CAST(floor(avg(-ln(cnt / CAST(n_total AS DOUBLE))) * 10000.0 + 0.5) AS DOUBLE)
-         |   / 10000.0 AS cross_entropy
+         | round(avg(-ln(cnt / CAST(n_total AS DOUBLE))), 4) AS cross_entropy
          |FROM toks JOIN c USING (term) CROSS JOIN n
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the full curation flow replayed step-for-step: clean → token gate
@@ -399,6 +401,37 @@ object SparkEntry {
          | (start_tok + n_tokens - 1) // 64 AS end_seq,
          | n_tokens
          |FROM p ORDER BY doc_id""".stripMargin,
+    // vocabulary build: same count→floor→top-500→row_number pipeline
+    "text_vocab" ->
+      s"""WITH toks AS (SELECT unnest($toksSql) AS term FROM documents),
+         |c AS (SELECT term, count(*) AS cnt FROM toks
+         |      GROUP BY term HAVING count(*) >= 2),
+         |v AS (SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 500)
+         |SELECT term, cnt,
+         | CAST(row_number() OVER (ORDER BY cnt DESC, term) - 1 AS BIGINT) AS token_id
+         |FROM v ORDER BY token_id""".stripMargin,
+    // RAG chunking: 64-token windows, stride 48; DuckDB 1-based
+    // inclusive list slicing toks[a:b] == Spark slice(toks, a, 64)
+    "text_chunk" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens
+         |      FROM t WHERE len(toks) > 0),
+         |c AS (SELECT doc_id, toks,
+         |  unnest(range(0, 1 + (greatest(0, n_tokens - 64) + 47) // 48)) AS chunk_id
+         | FROM s)
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         | CAST(chunk_id * 48 AS BIGINT) AS start_tok,
+         | CAST(len(toks[chunk_id*48 + 1 : chunk_id*48 + 64]) AS BIGINT) AS n_chunk_tokens,
+         | md5(array_to_string(toks[chunk_id*48 + 1 : chunk_id*48 + 64], ' ')) AS chunk_md5
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    // fixed-size per-group sample: identical md5 rank order both engines
+    "sample_group" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |  CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS sample_rank
+        | FROM documents)
+        |SELECT doc_id, lang, sample_rank FROM r
+        |WHERE sample_rank <= 5 ORDER BY lang, sample_rank""".stripMargin,
     // line-structured view planted identically to the Spark side; a line
     // in >= 2 distinct docs is dropped everywhere, survivors reassembled
     // in original order and md5-hashed

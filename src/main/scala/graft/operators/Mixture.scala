@@ -33,4 +33,20 @@ object Mixture {
     if (sixteenths == 16) df
     else hashMixture(df, key, lit(java.lang.Integer.toHexString(sixteenths)))
   }
+
+  /** Deterministic fixed-SIZE sample per group — the reservoir-sampling
+    * analogue ("eval set: exactly n docs per language"): rank rows
+    * within each group by md5(key) (a uniform, data-independent order)
+    * and keep ranks ≤ n. Where hashMixture fixes the RATE, this fixes
+    * the COUNT. One shuffle on the group key; the md5 order makes the
+    * chosen n stable under re-runs, appends elsewhere in the corpus,
+    * and engine changes — the properties seeded `sample()` cannot give.
+    * `key` must be unique per row (it is the tie-break). */
+  def groupSample(df: DataFrame, group: Column, key: Column, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n > 0, s"sample size must be positive, got $n")
+    val w = Window.partitionBy(group).orderBy(md5(key.cast("string")), key)
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= n)
+  }
 }

@@ -210,7 +210,11 @@ object TextOps {
     toks.join(counts, "term").crossJoin(total)
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_tokens"),
-        Num.pround(avg(-log(col("cnt").cast("double") / col("n_total"))), 4)
+        // float AGGREGATE: round(x,4), not the floor-based pround —
+        // partial-agg sum order can shift the value by ULPs, and the
+        // half-up floor trick flips at exactly those boundaries (the
+        // per-row pround convention is for deterministic projections)
+        round(avg(-log(col("cnt").cast("double") / col("n_total"))), 4)
           .as("cross_entropy"))
       .orderBy("doc_id")
   }
@@ -262,6 +266,56 @@ object TextOps {
         expr(s"(start_tok + n_tokens - 1) DIV $budget").as("end_seq"),
         col("n_tokens"))
       .orderBy("doc_id")
+  }
+
+  /** Vocabulary construction — the tokenizer-training step of an LLM
+    * data pipeline: corpus term frequencies, floor at `minCount`, keep
+    * the `maxSize` most frequent, assign contiguous token ids by
+    * (count desc, term). One aggregation shuffle over the token stream;
+    * the id-assigning window runs AFTER the TakeOrdered top-`maxSize`
+    * cut, so the unpartitioned row_number only ever sees a bounded
+    * vocabulary-sized table (same bounded-single-partition waiver as
+    * Render.page), never the corpus. */
+  def vocabulary(docs: DataFrame, maxSize: Int = 1000, minCount: Long = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxSize > 0 && minCount >= 1, s"bad vocab params $maxSize/$minCount")
+    val top = docs.select(explode(tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("term")).limit(maxSize)
+    top.withColumn("token_id",
+        (row_number().over(Window.orderBy(col("cnt").desc, col("term"))) - 1)
+          .cast("long"))
+      .orderBy("token_id")
+  }
+
+  /** RAG document chunking: cut each document's token stream into
+    * overlapping `chunkTokens`-token windows every `chunkTokens−overlap`
+    * tokens — the retrieval-index preparation step (chunk text is
+    * emitted as an md5 so the result stays index-sized; the chunk text
+    * itself is `slice(toks, start+1, chunkTokens)` re-joined). Chunk
+    * count is computed arithmetically BEFORE the explode, so the only
+    * row growth is the real output fan-out (≈ n_tokens/stride per doc)
+    * and there is no shuffle at all — chunking is a pure map stage at
+    * any corpus size. Empty docs produce no chunks. */
+  def chunkDocs(docs: DataFrame, chunkTokens: Int = 64, overlap: Int = 16): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"bad chunk params chunk=$chunkTokens overlap=$overlap")
+    val stride = chunkTokens - overlap
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("n_chunks",
+        lit(1L) + expr(s"(greatest(0L, n_tokens - $chunkTokens) + ${stride - 1}) DIV $stride"))
+      .withColumn("chunk_id", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .withColumn("start_tok", col("chunk_id") * stride)
+      .withColumn("chunk",
+        slice(col("toks"), col("start_tok").cast("int") + 1, lit(chunkTokens)))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        size(col("chunk")).cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
   }
 
   /** Heuristic language ID: marker-word hit counts per language, argmax

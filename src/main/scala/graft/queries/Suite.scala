@@ -291,6 +291,24 @@ object Suite {
   def textPack(s: SparkSession, dir: String): DataFrame =
     TextOps.packSequences(t(s, dir, "documents"), budget = 64, shards = 8)
 
+  /** Tokenizer vocabulary over the corpus: top-500 terms seen ≥2 times,
+    * contiguous ids by (count desc, term). */
+  def textVocab(s: SparkSession, dir: String): DataFrame =
+    TextOps.vocabulary(t(s, dir, "documents"), maxSize = 500, minCount = 2)
+
+  /** RAG chunking: 64-token windows every 48 tokens (16-token overlap),
+    * chunk content hash-checked via md5. */
+  def textChunk(s: SparkSession, dir: String): DataFrame =
+    TextOps.chunkDocs(t(s, dir, "documents"), chunkTokens = 64, overlap = 16)
+
+  /** Deterministic fixed-size eval sample: exactly 5 docs per language,
+    * chosen by the md5(doc_id) rank — stable under re-runs and appends. */
+  def sampleGroup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Mixture.groupSample(
+        t(s, dir, "documents"), col("lang"), col("doc_id"), 5)
+      .select(col("doc_id"), col("lang"), col("sample_rank"))
+      .orderBy("lang", "sample_rank")
+
   /** String-column profile over the documents table (length stats +
     * exact ndv) — the non-numeric half of extract_metadata. */
   def metaProfileStr(s: SparkSession, dir: String): DataFrame =

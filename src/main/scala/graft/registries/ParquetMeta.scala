@@ -19,37 +19,29 @@ object ParquetMeta {
     try r.getRecordCount finally r.close()
   }
 
-  /** Sum of footer row counts over every part-file in a parquet dir. */
-  def dirRowCount(dir: String): Long = {
-    import scala.jdk.CollectionConverters._
+  /** Every part-file under `dir`, recursively — a hive-partitioned
+    * layout nests part-files inside `col=value` dirs, and a flat listing
+    * would silently report such a table as 0 rows / 0 files. */
+  private def partFiles[A](dir: String)(f: Iterator[java.nio.file.Path] => A): A = {
     val p = java.nio.file.Paths.get(dir)
-    if (!java.nio.file.Files.isDirectory(p)) return 0L
-    val s = java.nio.file.Files.list(p)
-    try s.iterator.asScala
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map(f => rowCount(f.toString)).sum
-    finally s.close()
+    if (!java.nio.file.Files.isDirectory(p)) return f(Iterator.empty)
+    val s = java.nio.file.Files.walk(p)
+    try {
+      import scala.jdk.CollectionConverters._
+      f(s.iterator.asScala.filter(q =>
+        java.nio.file.Files.isRegularFile(q) &&
+          q.getFileName.toString.endsWith(".parquet")))
+    } finally s.close()
   }
+
+  /** Sum of footer row counts over every part-file in a parquet dir. */
+  def dirRowCount(dir: String): Long =
+    partFiles(dir)(_.map(f => rowCount(f.toString)).sum)
 
   /** Number of part-files in a parquet dir. */
-  def dirFileCount(dir: String): Long = {
-    import scala.jdk.CollectionConverters._
-    val p = java.nio.file.Paths.get(dir)
-    if (!java.nio.file.Files.isDirectory(p)) return 0L
-    val s = java.nio.file.Files.list(p)
-    try s.iterator.asScala.count(_.getFileName.toString.endsWith(".parquet")).toLong
-    finally s.close()
-  }
+  def dirFileCount(dir: String): Long = partFiles(dir)(_.size.toLong)
 
   /** Total on-disk bytes of a parquet dir's part-files. */
-  def dirSizeBytes(dir: String): Long = {
-    import scala.jdk.CollectionConverters._
-    val p = java.nio.file.Paths.get(dir)
-    if (!java.nio.file.Files.isDirectory(p)) return 0L
-    val s = java.nio.file.Files.list(p)
-    try s.iterator.asScala
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map(f => java.nio.file.Files.size(f)).sum
-    finally s.close()
-  }
+  def dirSizeBytes(dir: String): Long =
+    partFiles(dir)(_.map(f => java.nio.file.Files.size(f)).sum)
 }

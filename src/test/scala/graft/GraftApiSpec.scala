@@ -249,6 +249,23 @@ class GraftApiSpec extends SparkTestBase {
     intercept[NoSuchElementException] { api.getJob("job-12345") }
   }
 
+  test("getJobResult replays recorded jobs that were never queued here") {
+    val root = Export.tempDir("graft_jobreplay_").toString
+    val apiA = new GraftApi(spark, root)
+    apiA.storeValue("nums", Seq(1L, 2L, 3L, 4L).toDF("n"), Some("input"))
+    apiA.registerOperation("evens_replay", df => df.filter(col("n") % 2 === 0))
+    // runJob issues an id with no queued future behind it
+    val (jobId, _) = apiA.runJob("evens_replay", "input")
+    assert(apiA.getJobResult(jobId).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(2L, 4L))
+    // a fresh JVM-equivalent on the same root sees the persisted record
+    // and replays it too (ops/values are re-registered, records persist)
+    val apiB = new GraftApi(spark, root)
+    apiB.registerOperation("evens_replay", df => df.filter(col("n") % 2 === 0))
+    assert(apiB.getJobResult(jobId).count() == 2)
+    intercept[NoSuchElementException] { apiB.getJobResult("job-99999") }
+  }
+
   test("failed queued job ids are not re-issued after a restart") {
     val root = Export.tempDir("graft_jobfail_").toString
     val apiA = new GraftApi(spark, root)

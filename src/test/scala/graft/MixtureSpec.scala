@@ -6,6 +6,25 @@ import graft.operators.Mixture
 class MixtureSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("groupSample keeps exactly n rows per group, stably") {
+    val d = spark.range(0, 300)
+      .selectExpr("id AS doc_id", "CAST(id % 3 AS STRING) AS g")
+    val s = Mixture.groupSample(d, col("g"), col("doc_id"), 7).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+    assert(s.length == 21)
+    assert(s.groupBy(_._1).forall { case (_, rs) =>
+      rs.map(_._3).sorted.toSeq == (1L to 7L) })
+    // stability: appending rows to OTHER groups never changes a group's
+    // chosen sample (the md5 rank is data-independent)
+    val d2 = spark.range(0, 400) // group "0" gains rows only via id%3
+      .selectExpr("id AS doc_id", "CAST(id % 3 AS STRING) AS g")
+      .filter(col("doc_id") < 300 || col("doc_id") % 3 === 1)
+    val s2 = Mixture.groupSample(d2, col("g"), col("doc_id"), 7).collect()
+      .map(r => (r.getString(1), r.getLong(0)))
+    assert(s2.filter(_._1 == "0").toSet == s.filter(_._1 == "0").map(t => (t._1, t._2)).toSet)
+    assert(s2.filter(_._1 == "2").toSet == s.filter(_._1 == "2").map(t => (t._1, t._2)).toSet)
+  }
+
   test("hash sampling is deterministic, rate-accurate and map-only") {
     val d = spark.range(0, 4000).toDF("id")
     val once = Mixture.hashSample(d, col("id"), 8).collect().map(_.getLong(0)).toSet

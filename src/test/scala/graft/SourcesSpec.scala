@@ -118,4 +118,16 @@ class SourcesSpec extends SparkTestBase {
       assert(rows.toSeq == plainRows.toSeq)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
   }
+
+  test("ParquetMeta walks hive-partitioned layouts recursively") {
+    import graft.registries.ParquetMeta
+    val dir = Export.tempDir("graft_meta_part_").toString + "/t"
+    spark.range(100).selectExpr("id", "id % 4 AS k")
+      .write.partitionBy("k").parquet(dir)
+    assert(ParquetMeta.dirRowCount(dir) == 100L)
+    assert(ParquetMeta.dirFileCount(dir) >= 4L)
+    assert(ParquetMeta.dirSizeBytes(dir) > 0L)
+    // non-directory input stays a zero, not an exception
+    assert(ParquetMeta.dirRowCount(dir + "/nope") == 0L)
+  }
 }

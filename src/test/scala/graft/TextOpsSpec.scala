@@ -187,4 +187,38 @@ class TextOpsSpec extends SparkTestBase {
       .filter(col("doc_id") === 3L && col("term") === "common").head()
     assert(common3.getDouble(4) == 0.0)
   }
+
+  test("vocabulary assigns contiguous ids by count desc then term") {
+    val d = Seq(
+      (1L, "b b b a a c once"),
+      (2L, "a c z")).toDF("doc_id", "text")
+    val v = TextOps.vocabulary(d, maxSize = 3, minCount = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // once/z appear <2 times and are floored out; a(3) before b(3) on
+    // the term tie-break, then c(2); ids are 0-based and contiguous
+    assert(v.toSeq == Seq(("a", 3L, 0L), ("b", 3L, 1L), ("c", 2L, 2L)))
+    // maxSize cuts BEFORE id assignment, so ids stay dense
+    val v1 = TextOps.vocabulary(d, maxSize = 1, minCount = 1).collect()
+    assert(v1.length == 1 && v1.head.getString(0) == "a" && v1.head.getLong(2) == 0L)
+  }
+
+  test("chunkDocs cuts overlapping windows and straddles boundaries") {
+    val text10 = (1 to 10).map(i => s"t$i").mkString(" ") // 10 tokens
+    val d = Seq((1L, text10), (2L, "solo"), (3L, "")).toDF("doc_id", "text")
+    // chunk=4, overlap=2 -> stride 2: starts 0,2,4,6 cover all 10 tokens
+    val c = TextOps.chunkDocs(d, chunkTokens = 4, overlap = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(c.keys.count(_._1 == 1L) == 4)
+    assert(c((1L, 0L)) == (0L, 4L) && c((1L, 1L)) == (2L, 4L))
+    assert(c((1L, 3L)) == (6L, 4L)) // last full window reaches token 10
+    // a doc shorter than one chunk still yields exactly one (short) chunk
+    assert(c((2L, 0L)) == (0L, 1L))
+    // empty docs produce no chunks at all
+    assert(!c.keys.exists(_._1 == 3L))
+    // consecutive chunks overlap by exactly `overlap` tokens
+    val texts = TextOps.chunkDocs(
+        Seq((9L, text10)).toDF("doc_id", "text"), chunkTokens = 4, overlap = 2)
+      .collect().map(_.getString(4))
+    assert(texts.distinct.length == texts.length) // distinct windows
+  }
 }
