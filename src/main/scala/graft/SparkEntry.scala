@@ -82,6 +82,8 @@ object SparkEntry {
     "mix_sampled" -> (Suite.mixSampled _),
     "pipeline_curate" -> (Suite.pipelineCurate _),
     "maint_compact" -> (Suite.maintCompact _),
+    "maint_cluster" -> (Suite.maintCluster _),
+    "maint_zorder" -> (Suite.maintZorder _),
     "q16_sql" -> (Suite.sqlTpchQ5 _),
     "sim_centroids" -> (Suite.simCentroids _),
     // dedup (§2b rows 20-23)
@@ -302,6 +304,24 @@ object SparkEntry {
     "maint_compact" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // clustering preserves contents exactly (layout-only rewrite)
+    "maint_cluster" ->
+      """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // identical grid + Morton-interleave arithmetic, DuckDB operators
+    "maint_zorder" -> {
+      val zx = graft.operators.Layout.gridOracleSql("doc_id", "minx", "maxx")
+      val zy = graft.operators.Layout.gridOracleSql("n_chars", "miny", "maxy")
+      val zv = graft.operators.Layout.mortonOracleSql("zx", "zy")
+      s"""WITH b AS (SELECT CAST(min(doc_id) AS BIGINT) AS minx,
+         |  CAST(max(doc_id) AS BIGINT) AS maxx,
+         |  CAST(min(n_chars) AS BIGINT) AS miny,
+         |  CAST(max(n_chars) AS BIGINT) AS maxy FROM documents),
+         |g AS (SELECT doc_id, CAST($zx AS BIGINT) AS zx,
+         |  CAST($zy AS BIGINT) AS zy FROM documents, b)
+         |SELECT doc_id, zx, zy, CAST($zv AS BIGINT) AS zval
+         |FROM g ORDER BY zval, doc_id""".stripMargin
+    },
     // unigram LM scoring: same two aggregations, natural log both sides
     "text_perplexity" ->
       s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.registries.ParquetMeta
+
+/** Clustered storage layouts — the data-skipping half of table
+  * maintenance (kiara keeps values as parquet dirs,
+  * `registries/data/data_store/`; at 100 TB HOW those files are laid
+  * out decides whether a selective query reads 1 file or all of them).
+  *
+  * Two layouts:
+  *  - [[clusterWrite]]: range-partition + sort on ONE key → per-file
+  *    key ranges are pairwise disjoint, so a point/range predicate on
+  *    that key prunes to O(1) files from footer min/max stats alone.
+  *  - [[zorderWrite]]: range-partition + sort on the Morton (Z-order)
+  *    interleave of TWO keys → each file covers a small rectangle in
+  *    (x,y) space, so a predicate on EITHER column skips most files —
+  *    the multi-dimensional clustering trade: neither column gets the
+  *    perfect 1-D layout, both get a usable one.
+  *
+  * Both are one declarative Catalyst plan (a range-exchange shuffle +
+  * per-partition sort — the cost of any global sort, AQE-compatible).
+  * The z-value is pure codegen'd integer arithmetic: grid coordinates
+  * use only subtraction and integer division (NO multiplication, so
+  * the expression cannot overflow however wide the key range — ANSI-
+  * safe at any scale), then 16 shift/mask/or terms per dimension.
+  * Column min/max bounds ride along as a broadcast 1-row aggregate —
+  * nothing is collected to the driver.
+  */
+object Layout {
+
+  /** Spark-SQL text of the 16-bit grid coordinate (c − min) DIV width,
+    * width = ceil((max−min+1)/65536) ≥ 1 — guarantees the coordinate
+    * fits 0..65535 with equal-width bins. `min`/`max` are column names
+    * from the bounds aggregate. */
+  private def gridSql(c: String, min: String, max: String): String =
+    s"(($c - $min) DIV greatest(1L, ($max - $min + 65536L) DIV 65536L))"
+
+  /** Morton interleave of the two 16-bit grid coordinates `zx`/`zy`
+    * (column names): x bits land on even positions, y bits on odd. */
+  private def mortonSql(zx: String, zy: String): String =
+    (0 until 16).map { i =>
+      s"shiftleft(shiftright($zx, $i) & 1, ${2 * i}) | " +
+        s"shiftleft(shiftright($zy, $i) & 1, ${2 * i + 1})"
+    }.mkString("(", " | ", ")")
+
+  /** Project `df` plus its Z-order value over columns `x` and `y`
+    * (both integral): zx/zy are the 16-bit grid coordinates, zval the
+    * interleaved Morton code. The min/max bounds come from a broadcast
+    * one-row aggregate, so this is two scans and zero driver state. */
+  def zValues(df: DataFrame, x: String, y: String): DataFrame = {
+    val b = df.agg(
+      min(col(x)).cast("long").as("_minx"), max(col(x)).cast("long").as("_maxx"),
+      min(col(y)).cast("long").as("_miny"), max(col(y)).cast("long").as("_maxy"))
+    df.crossJoin(broadcast(b))
+      .withColumn("zx", expr(gridSql(x, "_minx", "_maxx")).cast("long"))
+      .withColumn("zy", expr(gridSql(y, "_miny", "_maxy")).cast("long"))
+      .withColumn("zval", expr(mortonSql("zx", "zy")).cast("long"))
+      .drop("_minx", "_maxx", "_miny", "_maxy")
+  }
+
+  /** Write `df` range-partitioned AND sorted on `key` into ~`nFiles`
+    * files: per-file key ranges end up pairwise disjoint, so footer
+    * stats alone answer "which files can hold key = k". */
+  def clusterWrite(df: DataFrame, key: String, outDir: String, nFiles: Int): Unit = {
+    require(nFiles > 0, s"nFiles must be positive, got $nFiles")
+    df.repartitionByRange(nFiles, col(key))
+      .sortWithinPartitions(key)
+      .write.mode("overwrite").parquet(outDir)
+  }
+
+  /** Write `df` clustered on the Z-order of (`x`,`y`): range-partition
+    * by zval (so files tile the space-filling curve) and sort within
+    * partitions (so row groups inside a file stay tight too). The zval
+    * is layout-only and is not persisted. */
+  def zorderWrite(df: DataFrame, x: String, y: String, outDir: String,
+                  nFiles: Int): Unit = {
+    require(nFiles > 0, s"nFiles must be positive, got $nFiles")
+    zValues(df, x, y)
+      .repartitionByRange(nFiles, col("zval"))
+      .sortWithinPartitions("zval")
+      .drop("zx", "zy", "zval")
+      .write.mode("overwrite").parquet(outDir)
+  }
+
+  /** How many part-files a scan with predicate `lo ≤ col ≤ hi` must
+    * read, judged from footer min/max only — the file-skipping measure
+    * (the planner's pruning uses exactly this metadata). */
+  def filesTouched(dir: String, column: String, lo: Long, hi: Long): Int =
+    ParquetMeta.fileRanges(dir, column).count { case (_, mn, mx) =>
+      mx >= lo && mn <= hi
+    }
+
+  /** DuckDB-portable SQL for the same grid + Morton computation (the
+    * oracle side of the parity check): `//` integer division and
+    * operator shifts instead of Spark's DIV/shiftleft. */
+  def mortonOracleSql(zx: String, zy: String): String =
+    (0 until 16).map { i =>
+      s"((($zx >> $i) & 1) << ${2 * i}) | ((($zy >> $i) & 1) << ${2 * i + 1})"
+    }.mkString("(", " | ", ")")
+
+  def gridOracleSql(c: String, min: String, max: String): String =
+    s"(($c - $min) // greatest(1, ($max - $min + 65536) // 65536))"
+}

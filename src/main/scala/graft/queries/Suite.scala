@@ -336,6 +336,38 @@ object Suite {
       .orderBy("lang")
   }
 
+  /** Single-key clustered rewrite: documents range-partitioned + sorted
+    * on doc_id into 8 files. The layout claims are require()d from
+    * parquet footers (disjoint per-file ranges; a point lookup touches
+    * exactly one file); the oracle proves the rewrite lossless by
+    * aggregating the CLUSTERED copy against the original table. */
+  def maintCluster(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Layout
+    import graft.registries.ParquetMeta
+    val dest = Export.tempDir("graft_cluster_").toString + "/d"
+    Layout.clusterWrite(t(s, dir, "documents"), "doc_id", dest, 8)
+    val ranges = ParquetMeta.fileRanges(dest, "doc_id").sortBy(_._2)
+    require(ranges.size > 1 && ranges.sliding(2).forall {
+      case Seq((_, _, aMax), (_, bMin, _)) => aMax < bMin
+      case _ => true
+    }, s"clustered files must have disjoint key ranges: $ranges")
+    require(Layout.filesTouched(dest, "doc_id", ranges.head._2, ranges.head._2) == 1,
+      "a point lookup must touch exactly one clustered file")
+    s.read.parquet(dest)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .orderBy("source")
+  }
+
+  /** Z-order (Morton) values over (doc_id, n_chars) — the 2-D
+    * clustering key, oracle-checked bit-for-bit against the identical
+    * grid+interleave arithmetic in DuckDB. The write path and its
+    * file-skipping evidence live in LayoutSpec. */
+  def maintZorder(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Layout.zValues(t(s, dir, "documents"), "doc_id", "n_chars")
+      .select(col("doc_id"), col("zx"), col("zy"), col("zval"))
+      .orderBy("zval", "doc_id")
+
   /** End-to-end corpus curation as ONE Catalyst plan — the full
     * training-data flow: scrub (clean), quality-gate (token count +
     * punctuation ratio), exact-dedup (first doc per fingerprint), mixture

@@ -44,4 +44,32 @@ object ParquetMeta {
   /** Total on-disk bytes of a parquet dir's part-files. */
   def dirSizeBytes(dir: String): Long =
     partFiles(dir)(_.map(f => java.nio.file.Files.size(f)).sum)
+
+  /** Footer min/max statistics of an INT64 column in one part-file —
+    * the metadata a clustered layout exists for: a scan with a
+    * predicate on `col` skips every file whose [min,max] misses it
+    * without reading a data page. None if the column is absent or
+    * carries no stats. */
+  def colRange(path: String, col: String): Option[(Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf))
+    try {
+      val chunks = r.getFooter.getBlocks.asScala.flatMap(_.getColumns.asScala)
+        .filter(c => c.getPath.toDotString == col)
+        .flatMap(c => Option(c.getStatistics) match {
+          case Some(s: org.apache.parquet.column.statistics.LongStatistics)
+            if !s.isEmpty => Some((s.genericGetMin.toLong, s.genericGetMax.toLong))
+          case _ => None
+        })
+      if (chunks.isEmpty) None
+      else Some((chunks.map(_._1).min, chunks.map(_._2).max))
+    } finally r.close()
+  }
+
+  /** Per-file [min,max] of an INT64 column over a parquet dir: one
+    * entry per part-file that has stats for `col`. */
+  def fileRanges(dir: String, col: String): Seq[(String, Long, Long)] =
+    partFiles(dir)(_.flatMap { f =>
+      colRange(f.toString, col).map { case (mn, mx) => (f.toString, mn, mx) }
+    }.toSeq)
 }

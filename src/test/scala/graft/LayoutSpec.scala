@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Layout
+import graft.registries.ParquetMeta
+import graft.sources.Export
+
+class LayoutSpec extends SparkTestBase {
+
+  /** Reference Morton interleave computed driver-side, bit by bit. */
+  private def morton(zx: Long, zy: Long): Long =
+    (0 until 16).foldLeft(0L) { (acc, i) =>
+      acc | (((zx >> i) & 1L) << (2 * i)) | (((zy >> i) & 1L) << (2 * i + 1))
+    }
+
+  test("zValues matches the reference Morton interleave bit for bit") {
+    // 64x64 grid: ranges fit 16 bits directly (grid width 1, zx == x)
+    val d = spark.range(0, 4096)
+      .selectExpr("id % 64 AS x", "id DIV 64 AS y")
+    val got = Layout.zValues(d, "x", "y").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got.size == 4096)
+    got.foreach { case ((x, y), (zx, zy, zval)) =>
+      assert(zx == x && zy == y, s"grid width must be 1 on a 64x64 grid ($x,$y)")
+      assert(zval == morton(x, y), s"zval mismatch at ($x,$y)")
+    }
+    // hand-checked corner: x=0b11, y=0b01 -> 0b0111 = 7
+    assert(morton(3, 1) == 7L)
+  }
+
+  test("grid coordinates stay within 16 bits for ranges beyond 65536") {
+    val d = spark.range(0, 1000)
+      .selectExpr("id * 1000 AS x", "id AS y") // x spans ~1M: width > 1
+    val zs = Layout.zValues(d, "x", "y").agg(
+      max(col("zx")).as("mx"), min(col("zx")).as("mn")).head()
+    assert(zs.getLong(0) <= 65535L && zs.getLong(1) >= 0L)
+  }
+
+  test("z-order layout prunes files on BOTH dimensions; 1-D clustering on one") {
+    val d = spark.range(0, 4096)
+      .selectExpr("id % 64 AS x", "id DIV 64 AS y", "id AS payload")
+    val zdir = Export.tempDir("graft_zorder_").toString + "/t"
+    val cdir = Export.tempDir("graft_linear_").toString + "/t"
+    Layout.zorderWrite(d, "x", "y", zdir, 16)
+    Layout.clusterWrite(d, "x", cdir, 16)
+    assert(ParquetMeta.dirRowCount(zdir) == 4096L) // lossless
+    val nz = ParquetMeta.dirFileCount(zdir).toInt
+    val nc = ParquetMeta.dirFileCount(cdir).toInt
+    // narrow predicates on each dimension: x in [0,3], y in [0,3]
+    val zx = Layout.filesTouched(zdir, "x", 0, 3)
+    val zy = Layout.filesTouched(zdir, "y", 0, 3)
+    val cx = Layout.filesTouched(cdir, "x", 0, 3)
+    val cy = Layout.filesTouched(cdir, "y", 0, 3)
+    // z-order: each file is a rectangle tile, so BOTH dims prune well
+    assert(zx <= nz / 2, s"zorder must prune on x: touched $zx of $nz")
+    assert(zy <= nz / 2, s"zorder must prune on y: touched $zy of $nz")
+    // 1-D clustering: perfect on the sort key...
+    assert(cx <= 2, s"clustered layout must prune hard on its key: $cx of $nc")
+    // ...and useless on the other dimension (every file spans all y)
+    assert(cy == nc, s"1-D layout cannot prune the other dim: $cy of $nc")
+    // and the zorder write is what a full-table reader still sums correctly
+    assert(spark.read.parquet(zdir).agg(sum("payload")).head().getLong(0)
+      == (0L until 4096L).sum)
+  }
+
+  test("filesTouched honors closed-interval overlap semantics") {
+    val dir = Export.tempDir("graft_ft_").toString + "/t"
+    Layout.clusterWrite(
+      spark.range(0, 100).selectExpr("id AS k"), "k", dir, 4)
+    val ranges = ParquetMeta.fileRanges(dir, "k").sortBy(_._2)
+    assert(ranges.size > 1)
+    // the whole domain touches every file; an out-of-range probe none
+    assert(Layout.filesTouched(dir, "k", 0, 99) == ranges.size)
+    assert(Layout.filesTouched(dir, "k", 1000, 2000) == 0)
+    // a file's exact max is still inside that file (closed interval)
+    val (_, _, firstMax) = ranges.head
+    assert(Layout.filesTouched(dir, "k", firstMax, firstMax) >= 1)
+  }
+}
