@@ -77,6 +77,7 @@ object SparkEntry {
     "text_line_dedup" -> (Suite.textLineDedup _),
     "text_pack" -> (Suite.textPack _),
     "text_vocab" -> (Suite.textVocab _),
+    "text_heavy_hitters" -> (Suite.textHeavyHitters _),
     "text_chunk" -> (Suite.textChunk _),
     "sample_group" -> (Suite.sampleGroup _),
     "mix_sampled" -> (Suite.mixSampled _),
@@ -421,6 +422,11 @@ object SparkEntry {
          | (start_tok + n_tokens - 1) // 64 AS end_seq,
          | n_tokens
          |FROM p ORDER BY doc_id""".stripMargin,
+    // heavy hitters: the sketch+verify result IS the exact top-20
+    "text_heavy_hitters" ->
+      s"""WITH toks AS (SELECT unnest($toksSql) AS term FROM documents),
+         |c AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term)
+         |SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 20""".stripMargin,
     // vocabulary build: same count→floor→top-500→row_number pipeline
     "text_vocab" ->
       s"""WITH toks AS (SELECT unnest($toksSql) AS term FROM documents),

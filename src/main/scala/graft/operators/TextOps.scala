@@ -318,6 +318,45 @@ object TextOps {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** Exact-verified heavy hitters — corpus top-k terms WITHOUT a
+    * vocabulary-sized shuffle. Two passes over the token stream:
+    * (1) a Misra-Gries sketch aggregate ([[org.apache.spark.sql.graftext.FrequentAgg]])
+    * reduces each partition to `capacity` counters map-side and merges
+    * partials pairwise — nothing vocabulary-sized is shuffled or
+    * collected (the one driver row is the bounded candidate set);
+    * (2) an exact count of the candidate terms only (broadcast
+    * semi-join, so the shuffle carries candidate tokens, not the
+    * vocabulary). The MG guarantee — every untracked term's true count
+    * ≤ sketch debt — is then CHECKED: `kth exact count > debt` proves
+    * no term outside the candidate set can belong in the top k, making
+    * the approximate algorithm's answer exact (same pattern as the
+    * LSH+exact-verify dedup). Throws if the corpus is too flat for the
+    * capacity to give that proof — widen `capacity` rather than accept
+    * a silently unverified answer. */
+  def heavyHitters(docs: DataFrame, k: Int = 20, capacity: Int = 2048): DataFrame = {
+    import org.apache.spark.sql.graftext.FrequentAgg
+    require(k > 0 && capacity > k, s"need capacity > k > 0, got k=$k cap=$capacity")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(explode(tokens(col("text"))).as("term"))
+    val sk = toks.agg(FrequentAgg.frequentSketch(col("term"), capacity).as("sk"))
+      .head().getStruct(0)
+    val debt = sk.getLong(1)
+    val cands = sk.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+    require(cands.nonEmpty || debt == 0L,
+      s"heavy-hitter guarantee not met (no term survived the sketch, debt $debt): " +
+        s"raise capacity above $capacity")
+    require(cands.nonEmpty, "heavyHitters on an empty corpus")
+    val topk = toks.join(broadcast(cands.toDF("term")), "term")
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(k)
+      .collect() // bounded: k rows
+    require(topk.nonEmpty && topk.last.getLong(1) > debt,
+      s"heavy-hitter guarantee not met (kth count ${topk.lastOption.map(_.getLong(1))} " +
+        s"<= sketch debt $debt): raise capacity above $capacity")
+    topk.toSeq.map(r => (r.getString(0), r.getLong(1))).toDF("term", "cnt")
+  }
+
   /** Heuristic language ID: marker-word hit counts per language, argmax
     * with a fixed tie-break order. CJK presence short-circuits to zh. */
   def langId(docs: DataFrame): DataFrame = {

@@ -291,6 +291,11 @@ object Suite {
   def textPack(s: SparkSession, dir: String): DataFrame =
     TextOps.packSequences(t(s, dir, "documents"), budget = 64, shards = 8)
 
+  /** Sketch-then-verify heavy hitters: corpus top-20 terms, exactness
+    * proven at runtime by the Misra-Gries debt bound. */
+  def textHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    TextOps.heavyHitters(t(s, dir, "documents"), k = 20, capacity = 2048)
+
   /** Tokenizer vocabulary over the corpus: top-500 terms seen ≥2 times,
     * contiguous ids by (count desc, term). */
   def textVocab(s: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftext.FrequentAgg
+import graft.operators.TextOps
+
+class FrequentSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def sketch(terms: Seq[String], capacity: Int, parts: Int = 4) = {
+    val row = terms.toDF("term").repartition(parts)
+      .agg(FrequentAgg.frequentSketch(col("term"), capacity))
+      .head().getStruct(0)
+    val items = row.getSeq[Row](0).map(r => r.getString(0) -> r.getLong(1)).toMap
+    (items, row.getLong(1))
+  }
+
+  test("sketch is exact when cardinality fits the capacity") {
+    val stream = Seq.fill(30)("a") ++ Seq.fill(11)("b") ++ Seq.fill(2)("c")
+    val (items, debt) = sketch(scala.util.Random.shuffle(stream), capacity = 16)
+    assert(debt == 0L)
+    assert(items == Map("a" -> 30L, "b" -> 11L, "c" -> 2L))
+  }
+
+  test("heavy items survive eviction and merges with a valid error bound") {
+    // 400 hot occurrences vs 600 singletons through capacity-16 sketches
+    // merged across 8 partitions
+    val stream = Seq.fill(400)("hot") ++ (0 until 600).map(i => s"cold$i")
+    val (items, debt) = sketch(scala.util.Random.shuffle(stream), 16, parts = 8)
+    assert(items.contains("hot"), s"hot item evicted: $items debt=$debt")
+    val est = items("hot")
+    // MG invariant: underestimate, within debt of the truth
+    assert(est <= 400L && est + debt >= 400L, s"est=$est debt=$debt")
+    // an untracked term's true count must be <= debt (all colds are 1)
+    assert(debt >= 1L || items.size == 601)
+  }
+
+  test("heavyHitters equals the exact top-k when the guarantee holds") {
+    val docs = (0 until 200).map { i =>
+      // zipf-ish: "alpha" everywhere, "beta" half, "gamma" quarter, noise
+      val parts = Seq("alpha") ++
+        (if (i % 2 == 0) Seq("beta") else Nil) ++
+        (if (i % 4 == 0) Seq("gamma") else Nil) ++ Seq(s"noise$i")
+      (i.toLong, parts.mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = TextOps.heavyHitters(docs, k = 3, capacity = 64).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("alpha", 200L), ("beta", 100L), ("gamma", 50L)))
+  }
+
+  test("heavyHitters refuses an unverifiable answer on flat data") {
+    val docs = (0 until 5000).map(i => (i.toLong, s"only$i")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextOps.heavyHitters(docs, k = 2, capacity = 8)
+    }
+    assert(e.getMessage.contains("guarantee not met"))
+  }
+}
