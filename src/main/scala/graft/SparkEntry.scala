@@ -30,6 +30,8 @@ object SparkEntry {
     "q11_case_agg" -> (Relational.q11CaseAgg _),
     "q12_union" -> (Relational.q12Union _),
     "q13_percentile" -> (Relational.q13Percentile _),
+    "q13_approx" -> (Relational.q13Approx _),
+    "q28_full_outer" -> (Relational.q28FullOuter _),
     "q14_dates" -> (Relational.q14Dates _),
     "q15_strings" -> (Relational.q15Strings _),
     "q17_intersect" -> (Relational.q17Intersect _),
@@ -194,6 +196,15 @@ object SparkEntry {
         | round(quantile_cont(l_quantity, 0.5),4) AS median_qty,
         | round(quantile_cont(l_extendedprice, 0.75),4) AS q75_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // full outer join: one-sided rows surface with NULLs on the other
+    "q28_full_outer" ->
+      """WITH big AS (SELECT o_custkey AS custkey, count(*) AS n_big_orders
+        |  FROM orders WHERE o_totalprice > 400000 GROUP BY 1),
+        |rich AS (SELECT c_custkey AS custkey, c_acctbal AS acctbal
+        |  FROM customer WHERE c_acctbal > 9000)
+        |SELECT COALESCE(big.custkey, rich.custkey) AS custkey, n_big_orders, acctbal
+        |FROM big FULL OUTER JOIN rich ON big.custkey = rich.custkey
+        |ORDER BY custkey""".stripMargin,
     "q14_dates" ->
       """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
         | count(*) AS n, round(sum(o_totalprice),2) AS total

@@ -33,4 +33,32 @@ object Render {
   /** Paginated sorted slice (kiara render_value): page is 0-based. */
   def page(df: DataFrame, sortCols: Seq[String], pageSize: Int, pageNo: Int): DataFrame =
     df.orderBy(sortCols.map(col): _*).offset(pageSize * pageNo).limit(pageSize)
+
+  private def boundedRows(df: DataFrame, rows: Int): Seq[Seq[String]] =
+    df.limit(rows).collect().toSeq.map(_.toSeq.map {
+      case null => ""
+      case v    => v.toString
+    })
+
+  /** GitHub-style markdown table of the first `rows` rows — kiara's
+    * render_value `markdown` target (render_value.py:54 dispatches on
+    * target format; same bounded-slice materialization as prettyPrint). */
+  def markdown(df: DataFrame, rows: Int = 20): String = {
+    val header = df.columns.toSeq
+    val body = boundedRows(df, rows)
+    (Seq(header.mkString("| ", " | ", " |"),
+      header.map(_ => "---").mkString("| ", " | ", " |")) ++
+      body.map(_.mkString("| ", " | ", " |"))).mkString("\n")
+  }
+
+  /** Minimal HTML table — kiara's render_value `html` target. Cell text
+    * is escaped, so values cannot inject markup. */
+  def html(df: DataFrame, rows: Int = 20): String = {
+    def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val header = df.columns.toSeq.map(c => s"<th>${esc(c)}</th>").mkString
+    val body = boundedRows(df, rows)
+      .map(_.map(v => s"<td>${esc(v)}</td>").mkString)
+      .map(r => s"<tr>$r</tr>").mkString
+    s"<table><thead><tr>$header</tr></thead><tbody>$body</tbody></table>"
+  }
 }

@@ -137,6 +137,47 @@ object Relational {
       .orderBy("bucket", "o_orderstatus")
   }
 
+  /** Full outer join over two aggregates with non-overlapping key sets:
+    * customers with a big order but a small balance (and vice versa)
+    * surface as one-sided rows. */
+  def q28FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("n_big_orders"))
+    val rich = t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey").as("custkey"), col("c_acctbal").as("acctbal"))
+    big.join(rich, Seq("custkey"), "full_outer")
+      .select(col("custkey"), col("n_big_orders"), col("acctbal"))
+      .orderBy("custkey")
+  }
+
+  /** The 100 TB twin of q13: t-digest-style approximate percentiles
+    * (fixed-size mergeable sketch per group, map-side partials) instead
+    * of the exact distributed sort. Registered rows-only — the sketch is
+    * engine-specific — but the require() makes every run self-checking
+    * against the exact answer at gate scale. */
+  def q13Approx(s: SparkSession, dir: String): DataFrame = {
+    val approx = t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(l_quantity, 0.5, 10000)").as("median_qty_approx"),
+        expr("approx_percentile(l_extendedprice, 0.75, 10000)").as("q75_price_approx"))
+    val exact = t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.5)").as("median_exact"),
+        expr("percentile(l_extendedprice, 0.75)").as("q75_exact"))
+    val joined = approx.join(exact, "l_returnflag").collect() // group-bounded
+    joined.foreach { r =>
+      val (ma, me) = (r.getDouble(1), r.getDouble(3))
+      val (qa, qe) = (r.getDouble(2), r.getDouble(4))
+      require(math.abs(ma - me) <= math.max(1.0, me * 0.01),
+        s"approx median drifted: $ma vs $me")
+      require(math.abs(qa - qe) <= math.max(1.0, qe * 0.01),
+        s"approx q75 drifted: $qa vs $qe")
+    }
+    approx.orderBy("l_returnflag")
+  }
+
   /** Exact interpolated percentiles per group (distributed sort-based). */
   def q13Percentile(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")

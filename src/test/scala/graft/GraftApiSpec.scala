@@ -346,4 +346,17 @@ class GraftApiSpec extends SparkTestBase {
     val p2 = Render.page(df, Seq("n"), pageSize = 10, pageNo = 2).collect().map(_.getLong(0))
     assert(p2.toSeq == (20L until 30L).toSeq)
   }
+
+  test("markdown and html render targets are bounded and escaped") {
+    val df = Seq((1L, "<b>bold</b>"), (2L, "a&b"), (3L, "c")).toDF("id", "payload")
+    val md = Render.markdown(df, rows = 2)
+    val lines = md.split("\n")
+    assert(lines(0) == "| id | payload |")
+    assert(lines(1) == "| --- | --- |")
+    assert(lines.length == 4) // header + separator + 2 rows (bounded)
+    val h = Render.html(df, rows = 3)
+    assert(h.startsWith("<table>") && h.endsWith("</table>"))
+    assert(h.contains("&lt;b&gt;bold&lt;/b&gt;") && h.contains("a&amp;b"))
+    assert(!h.contains("<b>")) // no raw markup injection
+  }
 }
