@@ -24,7 +24,13 @@ object PlanAudit {
     // round 5: line dedup (expect explode + ONE agg shuffle on the line
     // fingerprint + one doc regroup; the dup-set join broadcast at spec
     // scale), quantized top-k (expect the native Int8Quantize, no HOF)
-    "text_line_dedup", "sim_quant_topk")
+    "text_line_dedup", "sim_quant_topk",
+    // round 5 cont.: vocab (one agg shuffle + bounded window), chunking
+    // (pure map, no shuffle), group sample (one shuffle on the group),
+    // z-values (broadcast bounds + codegen'd interleave, no shuffle),
+    // full outer (shuffled hash/merge join both sides)
+    "text_vocab", "text_chunk", "sample_group", "maint_zorder",
+    "q28_full_outer")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
