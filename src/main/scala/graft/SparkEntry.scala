@@ -111,6 +111,7 @@ object SparkEntry {
     "evt_sessionize" -> (Suite.evtSessionize _),
     "evt_window_agg" -> (Suite.evtWindowAgg _),
     "evt_topk_users" -> (Suite.evtTopkUsers _),
+    "evt_topk_per_user" -> (Suite.evtTopkPerUser _),
     "evt_cohort" -> (Suite.evtCohort _),
     "evt_props" -> (Suite.evtProps _),
     "evt_asof_join" -> (Suite.evtAsofJoin _),
@@ -757,6 +758,14 @@ object SparkEntry {
     "evt_topk_users" ->
       """SELECT user_id, count(*) AS n_events, round(sum(value),2) AS total_value
         |FROM events GROUP BY user_id ORDER BY total_value DESC, user_id LIMIT 20""".stripMargin,
+    // the custom GroupTopK operator vs the declarative formulation it
+    // replaces: row_number over (value desc, event_id) per user
+    "evt_topk_per_user" ->
+      """WITH r AS (SELECT user_id, event_id, value,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY value DESC, event_id) AS rk FROM events)
+        |SELECT user_id, event_id, value FROM r WHERE rk <= 3
+        |ORDER BY user_id, value DESC, event_id""".stripMargin,
     "evt_session_window" ->
       """WITH e AS (SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS tsx,
         |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),

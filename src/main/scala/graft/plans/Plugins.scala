@@ -32,8 +32,10 @@ object PluginRegistry {
     "org.apache.spark.sql.graftext.GraftExtensions",
     "SparkSessionExtensions injector: SQL function graft_dot (native " +
       "codegen'd dot product) + RewriteHofDot optimizer rule (interpreted " +
-      "HOF dot-product idiom rewritten to the native expression)",
-    Seq("graft_dot", "RewriteHofDot")))
+      "HOF dot-product idiom rewritten to the native expression) + " +
+      "GroupTopKStrategy planner strategy (per-group top-k as bounded " +
+      "heaps with map-side partial pruning)",
+    Seq("graft_dot", "RewriteHofDot", "GroupTopKStrategy")))
   register(PluginInfo("graft-builtins",
     "graft.plans.Builtins",
     "builtin operation catalog: default-configured table transforms over " +

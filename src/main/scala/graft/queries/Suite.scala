@@ -291,6 +291,17 @@ object Suite {
   def textPack(s: SparkSession, dir: String): DataFrame =
     TextOps.packSequences(t(s, dir, "documents"), budget = 64, shards = 8)
 
+  /** Per-user top-3 events by value through the custom GroupTopK
+    * operator (logical node + planner strategy + bounded-heap physical
+    * exec with map-side partial pruning) — oracle is the declarative
+    * row_number()<=k formulation it replaces. */
+  def evtTopkPerUser(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select("user_id", "event_id", "value")
+    org.apache.spark.sql.graftext.GroupTopK.topK(
+        ev, Seq("user_id"), Seq("value" -> true, "event_id" -> false), k = 3)
+      .orderBy(col("user_id"), col("value").desc, col("event_id"))
+  }
+
   /** Sketch-then-verify heavy hitters: corpus top-20 terms, exactness
     * proven at runtime by the Misra-Gries debt bound. */
   def textHeavyHitters(s: SparkSession, dir: String): DataFrame =

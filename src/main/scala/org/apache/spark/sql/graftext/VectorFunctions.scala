@@ -130,5 +130,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => RewriteHofDot)
+    ext.injectPlannerStrategy(_ => GroupTopKStrategy)
   }
 }

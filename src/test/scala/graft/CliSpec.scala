@@ -65,7 +65,7 @@ class CliSpec extends SparkTestBase {
       l.startsWith("graft-extensions") && l.contains("graftext.GraftExtensions")))
     val one = Cli.run(spark, Array("plugin", "explain", "graft-extensions"))
     assert(one.contains("plugin:       graft-extensions"))
-    assert(one.contains("provides:     graft_dot, RewriteHofDot"))
+    assert(one.contains("provides:     graft_dot, RewriteHofDot, GroupTopKStrategy"))
   }
 
   test("archive info, value info and context info render without importing") {
