@@ -76,6 +76,7 @@ object SparkEntry {
     "text_decontam" -> (Suite.textDecontam _),
     "text_repetition" -> (Suite.textRepetition _),
     "text_perplexity" -> (Suite.textPerplexity _),
+    "text_bigram_ce" -> (Suite.textBigramCe _),
     "text_line_dedup" -> (Suite.textLineDedup _),
     "text_pack" -> (Suite.textPack _),
     "text_vocab" -> (Suite.textVocab _),
@@ -343,6 +344,20 @@ object SparkEntry {
          |SELECT doc_id, count(*) AS n_tokens,
          | round(avg(-ln(cnt / CAST(n_total AS DOUBLE))), 4) AS cross_entropy
          |FROM toks JOIN c USING (term) CROSS JOIN n
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // bigram LM scoring: same model tables, natural log both sides
+    "text_bigram_ce" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+         |bw AS (SELECT doc_id,
+         |  unnest(list_transform(generate_series(1, len(toks)-1),
+         |    i -> toks[i] || ' ' || toks[i+1])) AS bigram FROM s),
+         |b AS (SELECT doc_id, bigram, string_split(bigram, ' ')[1] AS w1 FROM bw),
+         |c12 AS (SELECT bigram, count(*) AS c12 FROM b GROUP BY bigram),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY w1)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         | round(avg(-ln(c12 / CAST(c1 AS DOUBLE))), 4) AS bigram_ce
+         |FROM b JOIN c12 USING (bigram) JOIN c1 USING (w1)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the full curation flow replayed step-for-step: clean → token gate
     // → fingerprint-dedup (first per fp) → 12/16 hash sample → stats

@@ -219,6 +219,37 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Bigram-LM cross-entropy per document — the CCNet-style upgrade of
+    * [[unigramCrossEntropy]]: score = avg over the doc's bigrams of
+    * −ln P(w2|w1) under the corpus MLE bigram model (c12/c1head). No
+    * smoothing is needed because every scored bigram came from the
+    * corpus itself (the production shape: score a CANDIDATE corpus
+    * against a model trained on a reference corpus).
+    *
+    * Scale shape: the bigram stream is exploded map-side from
+    * consecutive token pairs; the model tables are aggregations OF that
+    * stream, and the head-count table is derived from the (much
+    * smaller) bigram-count table rather than re-aggregating the stream.
+    * Scoring is two equi-joins (bigram, then head) — shuffles on model
+    * keys, never a crossJoin. */
+  def bigramCrossEntropy(docs: DataFrame): DataFrame = {
+    val bi = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))"))
+        .as("bigram"))
+    val c12 = bi
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .groupBy("bigram", "w1").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    bi.join(c12, "bigram").join(c1, "w1")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        round(avg(-log(col("c12").cast("double") / col("c1"))), 4).as("bigram_ce"))
+      .orderBy("doc_id")
+  }
+
   /** Within-document repetition ratio: 1 − distinct/total token k-grams
     * — the boilerplate/spam signal every corpus quality filter computes.
     * Entirely row-local (total = size−k+1 arithmetic, distinct = the

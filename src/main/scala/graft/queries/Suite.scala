@@ -291,6 +291,11 @@ object Suite {
   def textPack(s: SparkSession, dir: String): DataFrame =
     TextOps.packSequences(t(s, dir, "documents"), budget = 64, shards = 8)
 
+  /** Bigram-LM cross-entropy over the documents corpus (the CCNet-style
+    * perplexity-filter upgrade of text_perplexity). */
+  def textBigramCe(s: SparkSession, dir: String): DataFrame =
+    TextOps.bigramCrossEntropy(t(s, dir, "documents"))
+
   /** Per-user top-3 events by value through the custom GroupTopK
     * operator (logical node + planner strategy + bounded-heap physical
     * exec with map-side partial pruning) — oracle is the declarative

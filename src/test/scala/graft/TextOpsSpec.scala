@@ -188,6 +188,20 @@ class TextOpsSpec extends SparkTestBase {
     assert(common3.getDouble(4) == 0.0)
   }
 
+  test("bigram cross-entropy scores P(w2|w1) under the corpus MLE model") {
+    val d = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextOps.bigramCrossEntropy(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // c1(a)=3; P(b|a)=2/3, P(c|a)=1/3
+    assert(out(1L) == (1L, BigDecimal(-math.log(2.0 / 3)).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(out(3L)._2 == BigDecimal(-math.log(1.0 / 3)).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // single-token docs carry no bigrams and are excluded
+    assert(!out.contains(4L))
+  }
+
   test("vocabulary assigns contiguous ids by count desc then term") {
     val d = Seq(
       (1L, "b b b a a c once"),
