@@ -15,6 +15,24 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Rank the top `k` scored (qid, nid, sim) neighbors per query. The
+    * custom GroupTopK operator prunes first with bounded heaps — its
+    * map-side partial stage shuffles at most k candidates per query per
+    * partition instead of the whole scored stream — and the rank window
+    * (the thing that sorts entire partitions) then only ever sees the
+    * pruned k-per-query result. Identical output to ranking the full
+    * stream: both use the same (sim desc, nid) total order. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val pruned = org.apache.spark.sql.graftext.GroupTopK.topK(
+      scored, Seq("qid"), Seq("sim" -> true, "nid" -> false), k)
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    pruned
+      .withColumn("rank", row_number().over(w))
+      .select(col("qid").as("vec_id"), col("nid").as("neighbor_id"),
+        Num.pround(col("sim"), 4).as("sim"), col("rank").cast("long").as("rank"))
+      .orderBy("vec_id", "rank")
+  }
+
   /** Double-precision dot product — a native codegen'd Catalyst expression
     * (graft.functions.DotProduct). Sequential double accumulation →
     * bitwise-deterministic and identical to the DuckDB oracle's fold. */
@@ -43,13 +61,7 @@ object Similarity {
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         cosinePrenormed(dot(col("qemb"), col("nemb")), col("qnorm"), col("nnorm")).as("sim"))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid").as("vec_id"), col("nid").as("neighbor_id"),
-        Num.pround(col("sim"), 4).as("sim"), col("rank").cast("long").as("rank"))
-      .orderBy("vec_id", "rank")
+    rankTopK(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs: LSH-bucketed candidates
@@ -117,13 +129,7 @@ object Similarity {
         cosinePrenormed(dot(col("qemb"), col("nemb")), col("qnorm"), col("nnorm")).as("sim"))
       .groupBy("qid", "nid")
       .agg(max("sim").as("sim"))
-    val rankW = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
-    cands
-      .withColumn("rank", row_number().over(rankW))
-      .filter(col("rank") <= k)
-      .select(col("qid").as("vec_id"), col("nid").as("neighbor_id"),
-        Num.pround(col("sim"), 4).as("sim"), col("rank").cast("long").as("rank"))
-      .orderBy("vec_id", "rank")
+    rankTopK(cands, k)
   }
 
   /** Unit-normalize an embedding column (array<double> out). */
@@ -163,13 +169,7 @@ object Similarity {
   def annTopK(corpus: DataFrame, k: Int, dim: Int = 64, numTables: Int = 8,
               numBits: Int = 6, seed: Long = 42L, multiProbe: Boolean = false): DataFrame = {
     val cands = candidatePairs(corpus, dim, numTables, numBits, seed, multiProbe)
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
-    cands
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid").as("vec_id"), col("nid").as("neighbor_id"),
-        Num.pround(col("sim"), 4).as("sim"), col("rank").cast("long").as("rank"))
-      .orderBy("vec_id", "rank")
+    rankTopK(cands, k)
   }
 
   /** Scored, deduplicated LSH candidate pairs (both directions). */
@@ -248,12 +248,6 @@ object Similarity {
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         cosinePrenormed(dot(col("qemb"), col("nemb")), col("qnorm"), col("nnorm")).as("sim"))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid").as("vec_id"), col("nid").as("neighbor_id"),
-        Num.pround(col("sim"), 4).as("sim"), col("rank").cast("long").as("rank"))
-      .orderBy("vec_id", "rank")
+    rankTopK(scored, k)
   }
 }
