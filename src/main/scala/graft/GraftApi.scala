@@ -73,6 +73,9 @@ class GraftApi(val spark: SparkSession, root: String) {
   def listOperationIds(filters: String*): Seq[String] = OpRegistry.find(filters: _*)
   /** retrieve_operation_info (kiara_api.py:770): doc + type hints. */
   def operationInfo(name: String): OpRegistry.OpInfo = OpRegistry.info(name)
+  /** retrieve_operations_info (kiara_api.py:770): every registered
+    * operation's info record in one catalog pass. */
+  def operationsInfo: Seq[OpRegistry.OpInfo] = OpRegistry.list.map(OpRegistry.info)
   def registerOperation(name: String, op: DataFrame => DataFrame,
                         doc: String = ""): Unit =
     OpRegistry.register(name, op, doc)
@@ -295,6 +298,16 @@ class GraftApi(val spark: SparkSession, root: String) {
   /** retrieve_data_types_info: kiara type name → Spark SQL type. */
   def dataTypesInfo: Seq[(String, String)] =
     TypeMap.toSpark.toSeq.sortBy(_._1).map { case (k, t) => k -> t.sql }
+
+  /** retrieve_data_type_info (kiara_api.py:590, singular). */
+  def dataTypeInfo(name: String): (String, String) =
+    dataTypesInfo.find(_._1 == name).getOrElse(
+      throw new NoSuchElementException(s"unknown data type: $name"))
+
+  /** get_value_str (kiara_api.py:929): bounded text rendering of a
+    * stored value — never materializes more than `rows` rows. */
+  def getValueStr(idOrAlias: String, rows: Int = 20): String =
+    graft.operators.Render.prettyPrint(getValue(idOrAlias), rows)
 
   /** get_context_info: one-line census of everything rooted here. */
   def contextInfo: ContextInfo =

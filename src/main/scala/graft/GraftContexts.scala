@@ -59,4 +59,18 @@ class GraftContexts(spark: SparkSession, baseRoot: String) {
     else "default"
 
   def currentContext: GraftApi = context(currentContextName)
+
+  /** retrieve_context_infos (kiara_api.py:529 plural): census of every
+    * context under the base — footer/catalog reads only, no data scan. */
+  def contextInfos: Seq[(String, GraftApi.ContextInfo)] =
+    listContextNames.map(n => n -> context(n).contextInfo)
+
+  /** list_all_value_ids (kiara_api.py): the cross-context value catalog,
+    * ids qualified as `context:id`. */
+  def listAllValueIds: Seq[String] =
+    listContextNames.flatMap(n => context(n).listValueIds.map(id => s"$n:$id"))
+
+  /** list_all_job_record_ids (kiara_api.py): cross-context job catalog. */
+  def listAllJobRecordIds: Seq[String] =
+    listContextNames.flatMap(n => context(n).listJobRecordIds.map(id => s"$n:$id"))
 }

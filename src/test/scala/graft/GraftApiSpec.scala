@@ -347,6 +347,29 @@ class GraftApiSpec extends SparkTestBase {
     assert(p2.toSeq == (20L until 30L).toSeq)
   }
 
+  test("singular/plural info surfaces and cross-context catalogs") {
+    val api = newApi
+    api.storeValue("v1", Seq((1L, "a")).toDF("id", "s"), Some("latest"))
+    api.registerOperation("noop_info", df => df, doc = "does nothing")
+    // get_value_str renders a bounded table
+    val s = api.getValueStr("latest", rows = 5)
+    assert(s.contains("id") && s.contains("s") && s.contains("a"))
+    // plural operations info covers the registered op in one pass
+    assert(api.operationsInfo.exists(_.name == "noop_info"))
+    // singular data-type lookup mirrors the plural table
+    assert(api.dataTypeInfo("string") == ("string" -> api.dataTypesInfo.toMap.apply("string")))
+    intercept[NoSuchElementException] { api.dataTypeInfo("no_such_type") }
+    // cross-context catalogs qualify ids with the context name
+    val base = Export.tempDir("graft_ctxs_").toString
+    val ctxs = new GraftContexts(spark, base)
+    ctxs.context("alpha").storeValue("va", Seq(1L).toDF("n"), None)
+    ctxs.context("beta").storeValue("vb", Seq(2L).toDF("n"), None)
+    assert(ctxs.listAllValueIds == Seq("alpha:va", "beta:vb"))
+    val infos = ctxs.contextInfos.toMap
+    assert(infos("alpha").values == 1 && infos("beta").values == 1)
+    assert(ctxs.listAllJobRecordIds.isEmpty)
+  }
+
   test("markdown and html render targets are bounded and escaped") {
     val df = Seq((1L, "<b>bold</b>"), (2L, "a&b"), (3L, "c")).toDF("id", "payload")
     val md = Render.markdown(df, rows = 2)
