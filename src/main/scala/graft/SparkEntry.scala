@@ -77,6 +77,7 @@ object SparkEntry {
     "text_repetition" -> (Suite.textRepetition _),
     "text_perplexity" -> (Suite.textPerplexity _),
     "text_bigram_ce" -> (Suite.textBigramCe _),
+    "text_gopher" -> (Suite.textGopher _),
     "text_line_dedup" -> (Suite.textLineDedup _),
     "text_pack" -> (Suite.textPack _),
     "text_vocab" -> (Suite.textVocab _),
@@ -359,6 +360,30 @@ object SparkEntry {
          | round(avg(-ln(c12 / CAST(c1 AS DOUBLE))), 4) AS bigram_ce
          |FROM b JOIN c12 USING (bigram) JOIN c1 USING (w1)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // every ratio rule compares cross-multiplied BIGINTs, so no float
+    // ever decides a rule — the two engines must agree exactly
+    "text_gopher" ->
+      s"""WITH m AS (SELECT doc_id,
+         |  CAST(len($toksSql) AS BIGINT) AS n_words,
+         |  CAST(len(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS BIGINT) AS alnum,
+         |  CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT) AS symbols,
+         |  CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|a|is|that)\\b')) AS BIGINT) AS stop_hits,
+         |  CAST(len(regexp_extract_all(lower(text), '\\b[0-9]+\\b')) AS BIGINT) AS digit_toks
+         | FROM documents),
+         |r AS (SELECT doc_id, n_words,
+         |  (n_words >= 50 AND n_words <= 100000) AS r_wc,
+         |  (3*n_words <= alnum AND alnum <= 10*n_words) AS r_wl,
+         |  (10*symbols <= n_words) AS r_sym,
+         |  (stop_hits >= 2) AS r_stop,
+         |  (10*digit_toks <= 3*n_words) AS r_dig FROM m)
+         |SELECT doc_id, n_words,
+         | CAST(r_wc AS BIGINT) AS r_wordcount, CAST(r_wl AS BIGINT) AS r_wordlen,
+         | CAST(r_sym AS BIGINT) AS r_symbol, CAST(r_stop AS BIGINT) AS r_stopword,
+         | CAST(r_dig AS BIGINT) AS r_digit,
+         | CAST(5 - CAST(r_wc AS INT) - CAST(r_wl AS INT) - CAST(r_sym AS INT)
+         |   - CAST(r_stop AS INT) - CAST(r_dig AS INT) AS BIGINT) AS n_failed,
+         | CAST(r_wc AND r_wl AND r_sym AND r_stop AND r_dig AS BIGINT) AS pass
+         |FROM r ORDER BY doc_id""".stripMargin,
     // the full curation flow replayed step-for-step: clean → token gate
     // → fingerprint-dedup (first per fp) → 12/16 hash sample → stats
     "pipeline_curate" ->

@@ -219,6 +219,36 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style rule-based quality gate (Rae et al. 2021 §A1.1, the
+    * standard pre-filter every corpus pipeline runs before model-based
+    * scoring): word count bounds, mean word length bounds, symbol and
+    * digit-token ratio caps, minimum stopword evidence. One map stage
+    * of codegen'd regex/length builtins. Every ratio threshold is
+    * evaluated in INTEGER cross-multiplied form (`10*symbols ≤ words`,
+    * not `symbols/words ≤ 0.1`), so no float ever decides a rule —
+    * engine-portable by construction. */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val lowered = lower(col("text"))
+    val nWords = size(tokens(col("text"))).cast("long")
+    val alnumChars = length(regexp_replace(lowered, "[^a-z0-9]", "")).cast("long")
+    val symbols = regexp_count(col("text"), lit("#|\\.\\.\\.")).cast("long")
+    val stopHits = regexp_count(lowered, lit("\\b(the|and|of|to|in|a|is|that)\\b")).cast("long")
+    val digitToks = regexp_count(lowered, lit("\\b[0-9]+\\b")).cast("long")
+    val rWc = (nWords >= 50L) && (nWords <= 100000L)
+    val rWlen = (lit(3L) * nWords <= alnumChars) && (alnumChars <= lit(10L) * nWords)
+    val rSymbol = lit(10L) * symbols <= nWords
+    val rStop = stopHits >= 2L
+    val rDigit = lit(10L) * digitToks <= lit(3L) * nWords
+    val failures = Seq(rWc, rWlen, rSymbol, rStop, rDigit)
+      .map(r => when(r, 0L).otherwise(1L)).reduce(_ + _)
+    docs.select(col("doc_id"), nWords.as("n_words"),
+        rWc.cast("long").as("r_wordcount"), rWlen.cast("long").as("r_wordlen"),
+        rSymbol.cast("long").as("r_symbol"), rStop.cast("long").as("r_stopword"),
+        rDigit.cast("long").as("r_digit"),
+        failures.as("n_failed"), (failures === 0L).cast("long").as("pass"))
+      .orderBy("doc_id")
+  }
+
   /** Bigram-LM cross-entropy per document — the CCNet-style upgrade of
     * [[unigramCrossEntropy]]: score = avg over the doc's bigrams of
     * −ln P(w2|w1) under the corpus MLE bigram model (c12/c1head). No

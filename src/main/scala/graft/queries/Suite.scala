@@ -291,6 +291,10 @@ object Suite {
   def textPack(s: SparkSession, dir: String): DataFrame =
     TextOps.packSequences(t(s, dir, "documents"), budget = 64, shards = 8)
 
+  /** Gopher rule-based quality gate over the documents corpus. */
+  def textGopher(s: SparkSession, dir: String): DataFrame =
+    TextOps.gopherRules(t(s, dir, "documents"))
+
   /** Bigram-LM cross-entropy over the documents corpus (the CCNet-style
     * perplexity-filter upgrade of text_perplexity). */
   def textBigramCe(s: SparkSession, dir: String): DataFrame =

@@ -145,6 +145,26 @@ class TextOpsSpec extends SparkTestBase {
     assert(shuffles.size <= 1)
   }
 
+  test("gopher rules: crafted pass/fail docs; map-only plan") {
+    val good = Array.fill(5)("the quick brown fox jumps over lazy dogs today again").mkString(" ")
+    val d = Seq((1L, good), (2L, "hi 1 2 3")).toDF("doc_id", "text")
+    val out = TextOps.gopherRules(d)
+    val m = out.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(7), r.getLong(8))).toMap
+    assert(m(1L) == (50L, 0L, 1L))         // 50 words, all rules pass
+    // "hi 1 2 3": too short, mean wordlen < 3, no stopwords, 3/4 digit toks
+    assert(m(2L) == (4L, 4L, 0L))
+    val perRule = out.filter(col("doc_id") === 2L).head()
+    assert(perRule.getLong(2) == 0L && perRule.getLong(3) == 0L) // wc, wlen
+    assert(perRule.getLong(4) == 1L)                             // symbol ok
+    assert(perRule.getLong(5) == 0L && perRule.getLong(6) == 0L) // stop, digit
+    // rule evaluation is a pure map stage; only the final sort may shuffle
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val shuffles = flattenPlan(out.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 1)
+  }
+
   test("quality scores on a crafted doc") {
     val d = Seq((1L, "the cat!! sat.")).toDF("doc_id", "text")
     val r = TextOps.qualityScores(d).head()
