@@ -34,6 +34,26 @@ object Mixture {
     else hashMixture(df, key, lit(java.lang.Integer.toHexString(sixteenths)))
   }
 
+  /** Deterministic stratified train/validation/test assignment — the
+    * split step every training pipeline runs before tokenization. Each
+    * row's split is decided by the first TWO hex digits of md5(key)
+    * (1/256 granularity): below `testBound` → "test", below `valBound`
+    * → "validation", else "train". Map-only like [[hashMixture]]: no
+    * shuffle, no global sort, no driver state, and a doc keeps its
+    * split across re-runs, appends, and engine changes — the property
+    * that prevents silent eval-set contamination when the corpus grows.
+    * Hex-string comparison is engine-portable (md5's hex alphabet is
+    * ASCII-ordered), so DuckDB replays the assignment exactly. */
+  def assignSplit(df: DataFrame, key: Column,
+                  testBound: String = "08", valBound: String = "18"): DataFrame = {
+    require(testBound < valBound, s"test bound $testBound must sort below val bound $valBound")
+    val h2 = substring(md5(key.cast("string")), 1, 2)
+    df.withColumn("split",
+      when(h2 < testBound, "test")
+        .when(h2 < valBound, "validation")
+        .otherwise("train"))
+  }
+
   /** Deterministic fixed-SIZE sample per group — the reservoir-sampling
     * analogue ("eval set: exactly n docs per language"): rank rows
     * within each group by md5(key) (a uniform, data-independent order)

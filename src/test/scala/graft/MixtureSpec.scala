@@ -60,4 +60,29 @@ class MixtureSpec extends SparkTestBase {
     val high = Mixture.hashSample(d, col("id"), 12).collect().map(_.getLong(0)).toSet
     assert(low.subsetOf(high))
   }
+
+  test("assignSplit: exhaustive, disjoint, rate-accurate, append-stable, map-only") {
+    val d = spark.range(0, 4000).toDF("id")
+    val out = Mixture.assignSplit(d, col("id"))
+    out.collect()
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every row gets exactly one split
+    assert(counts.values.sum == 4000L)
+    assert(counts.keySet == Set("train", "validation", "test"))
+    // 8/256 ≈ 125, 16/256 ≈ 250 expected; ±5 sigma
+    assert(math.abs(counts("test") - 125) < 55, s"test=${counts("test")}")
+    assert(math.abs(counts("validation") - 250) < 78, s"val=${counts("validation")}")
+    // append stability: a doc's split never changes when the corpus grows
+    val testIds = out.filter(col("split") === "test").collect().map(_.getLong(0)).toSet
+    val grown = Mixture.assignSplit(spark.range(0, 8000).toDF("id"), col("id"))
+    val testIds2 = grown.filter(col("split") === "test" && col("id") < 4000)
+      .collect().map(_.getLong(0)).toSet
+    assert(testIds == testIds2)
+    // assignment is a pure map stage
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val shuffles = flattenPlan(out.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty, "split assignment must not shuffle")
+  }
 }
