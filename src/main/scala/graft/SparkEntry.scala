@@ -73,6 +73,7 @@ object SparkEntry {
     "text_fingerprint" -> (Suite.textFingerprint _),
     "text_bpe_tokens" -> (Suite.textBpeTokens _),
     "text_pii" -> (Suite.textPii _),
+    "text_url_filter" -> (Suite.textUrlFilter _),
     "text_decontam" -> (Suite.textDecontam _),
     "text_repetition" -> (Suite.textRepetition _),
     "text_perplexity" -> (Suite.textPerplexity _),
@@ -85,6 +86,7 @@ object SparkEntry {
     "text_chunk" -> (Suite.textChunk _),
     "sample_group" -> (Suite.sampleGroup _),
     "mix_sampled" -> (Suite.mixSampled _),
+    "split_assign" -> (Suite.splitAssign _),
     "pipeline_curate" -> (Suite.pipelineCurate _),
     "maint_compact" -> (Suite.maintCompact _),
     "maint_cluster" -> (Suite.maintCluster _),
@@ -415,6 +417,16 @@ object SparkEntry {
         |  CASE WHEN coalesce(TRY_CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT), 1) % 2 = 0
         |       THEN '8' ELSE '2' END
         |GROUP BY source ORDER BY source""".stripMargin,
+    // two-hex-digit prefix → 1/256-granular stratified split, replayed
+    // with the same ASCII string comparisons
+    "split_assign" ->
+      """WITH a AS (SELECT source, doc_id,
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '08' THEN 'test'
+        |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '18' THEN 'validation'
+        |       ELSE 'train' END AS split FROM documents)
+        |SELECT source, split, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+        |FROM a GROUP BY source, split ORDER BY source, split""".stripMargin,
     // planted pii built with the SAME expressions as the Spark side;
     // DuckDB regexp_replace needs the 'g' flag (Spark replaces all by
     // default), sums cast to BIGINT (DuckDB sum(int) is HUGEINT)
@@ -433,6 +445,29 @@ object SparkEntry {
         |   'https?://\S+', '[URL]', 'g'),
         |   '[0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}', '[PHONE]', 'g')) AS redacted_md5
         |FROM planted ORDER BY doc_id""".stripMargin,
+    // registrable domain = last two dot labels, extracted with the same
+    // two regexes both sides; blocklist replayed as a VALUES table
+    "text_url_filter" ->
+      """WITH planted AS (SELECT doc_id, text
+        |  || CASE WHEN doc_id % 5 = 0 THEN
+        |       CASE WHEN doc_id % 3 = 0 THEN ' https://spam.example-ads.com/x' || CAST(doc_id AS VARCHAR)
+        |            WHEN doc_id % 3 = 1 THEN ' http://en.wikipedia.org/wiki/' || CAST(doc_id AS VARCHAR)
+        |            ELSE ' https://tracker.badsite.net/p?q=' || CAST(doc_id AS VARCHAR) END
+        |     ELSE '' END
+        |  || CASE WHEN doc_id % 7 = 0 THEN ' see https://docs.example.org/guide' ELSE '' END AS text
+        | FROM documents),
+        |u AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS url FROM planted),
+        |d AS (SELECT doc_id, regexp_extract(
+        |    regexp_extract(url, '^https?://([^/:?#]+)', 1), '([^.]+\.[^.]+)$', 1) AS reg FROM u),
+        |b(bad) AS (VALUES ('example-ads.com'), ('badsite.net')),
+        |agg AS (SELECT doc_id, count(*) AS n_urls,
+        |  sum(CASE WHEN reg IN (SELECT bad FROM b) THEN 1 ELSE 0 END) AS n_blocked
+        | FROM d GROUP BY doc_id)
+        |SELECT p.doc_id,
+        | CAST(coalesce(a.n_urls, 0) AS BIGINT) AS n_urls,
+        | CAST(coalesce(a.n_blocked, 0) AS BIGINT) AS n_blocked,
+        | CAST(coalesce(a.n_blocked, 0) = 0 AS BIGINT) AS pass
+        |FROM planted p LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
     // grams join on k-gram STRINGS here vs xxhash64 values in Spark —
     // counts agree unless xxhash64 collides within this corpus (~1e5
     // grams against 2^64)

@@ -168,6 +168,34 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** URL/domain blocklist filter — RefinedWeb's stage-1 curation step
+    * (filter documents whose links point at blocked domains). URLs are
+    * exploded out of the text, reduced to their registrable domain (last
+    * two dot labels), and equi-joined against the blocklist; per-doc
+    * counts decide the gate.
+    *
+    * Scale shape: the blocklist is DATA (a DataFrame), not a compiled
+    * regex — real blocklists run to millions of domains, which no regex
+    * alternation survives but a broadcast (or, beyond that, shuffled)
+    * equi-join handles natively. One shuffle on doc_id for the per-doc
+    * rollup; the explode is linear in link count. */
+  def urlFilter(docs: DataFrame, blocklist: DataFrame): DataFrame = {
+    val urls = docs.select(col("doc_id"),
+      explode_outer(regexp_extract_all(col("text"),
+        lit("https?://[^\\s]+"), lit(0))).as("url"))
+    val withReg = urls.withColumn("reg_domain",
+      regexp_extract(regexp_extract(col("url"), "^https?://([^/:?#]+)", 1),
+        "([^.]+\\.[^.]+)$", 1))
+    withReg
+      .join(broadcast(blocklist.select(col("domain").as("__bad"))),
+        col("reg_domain") === col("__bad"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("url")).as("n_urls"),
+        sum(when(col("__bad").isNotNull, 1L).otherwise(0L)).as("n_blocked"))
+      .withColumn("pass", (col("n_blocked") === 0L).cast("long"))
+      .orderBy("doc_id")
+  }
+
   /** Benchmark decontamination: for each training document, how many of
     * its distinct token k-grams appear in a benchmark/eval corpus — the
     * standard pre-training hygiene check (does the training set contain

@@ -252,6 +252,28 @@ object Suite {
     TextOps.piiStats(planted)
   }
 
+  /** URL blocklist filter over deterministically PLANTED links (the
+    * synthetic corpus has none): every 5th doc gets a URL whose domain
+    * rotates allowed/blocked by doc_id % 3, every 7th a second, allowed
+    * link — built identically in the DuckDB oracle, so per-doc link and
+    * blocked counts are hash-checked end-to-end. */
+  def textUrlFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planted = t(s, dir, "documents").select(col("doc_id"), concat(
+      col("text"),
+      when(col("doc_id") % 5 === 0,
+        when(col("doc_id") % 3 === 0, concat(lit(" https://spam.example-ads.com/x"),
+          col("doc_id").cast("string")))
+          .when(col("doc_id") % 3 === 1, concat(lit(" http://en.wikipedia.org/wiki/"),
+            col("doc_id").cast("string")))
+          .otherwise(concat(lit(" https://tracker.badsite.net/p?q="),
+            col("doc_id").cast("string")))).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        lit(" see https://docs.example.org/guide")).otherwise(lit(""))).as("text"))
+    val blocklist = Seq("example-ads.com", "badsite.net").toDF("domain")
+    TextOps.urlFilter(planted, blocklist)
+  }
+
   /** Decontamination: docs at doc_id % 101 == 0 play the benchmark set;
     * every other doc is scored for distinct 3-gram overlap with it. */
   def textDecontam(s: SparkSession, dir: String): DataFrame = {
@@ -431,6 +453,15 @@ object Suite {
       .groupBy("source").agg(count(lit(1)).as("n_sampled"))
       .orderBy("source")
   }
+
+  /** Stratified train/val/test split: per-(source, split) doc counts +
+    * doc_id checksum, assignment decided row-locally by md5 prefix
+    * (test 8/256 ≈ 3.1%, validation 16/256 = 6.25%, train the rest). */
+  def splitAssign(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Mixture.assignSplit(t(s, dir, "documents"), col("doc_id"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_doc_id"))
+      .orderBy("source", "split")
 
   // --- dedup --------------------------------------------------------------
 

@@ -145,6 +145,24 @@ class TextOpsSpec extends SparkTestBase {
     assert(shuffles.size <= 1)
   }
 
+  test("url filter: registrable-domain blocklist, subdomains blocked, no-link docs pass") {
+    val d = Seq(
+      (1L, "intro https://ads.tracker.bad/x then http://ok.example.com/y"),
+      (2L, "no links at all"),
+      (3L, "double https://a.sub.tracker.bad/1 https://b.tracker.bad/2"))
+      .toDF("doc_id", "text")
+    val bl = Seq("tracker.bad").toDF("domain")
+    val out = TextOps.urlFilter(d, bl).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (2L, 1L, 0L)) // one blocked link fails the doc
+    assert(out(2L) == (0L, 0L, 1L)) // linkless docs pass
+    assert(out(3L) == (2L, 2L, 0L)) // subdomains reduce to the same registrable domain
+    // blocklist is dimension-sized: the probe must be a broadcast join
+    val plan = TextOps.urlFilter(d, bl).queryExecution.executedPlan
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    assert(flattenPlan(plan).exists(_.isInstanceOf[BroadcastHashJoinExec]))
+  }
+
   test("gopher rules: crafted pass/fail docs; map-only plan") {
     val good = Array.fill(5)("the quick brown fox jumps over lazy dogs today again").mkString(" ")
     val d = Seq((1L, good), (2L, "hi 1 2 3")).toDF("doc_id", "text")
