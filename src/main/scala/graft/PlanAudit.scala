@@ -30,7 +30,15 @@ object PlanAudit {
     // z-values (broadcast bounds + codegen'd interleave, no shuffle),
     // full outer (shuffled hash/merge join both sides)
     "text_vocab", "text_chunk", "sample_group", "maint_zorder",
-    "q28_full_outer")
+    "q28_full_outer",
+    // round 5 cont. #2: bloom membership (expect the might_contain
+    // filter BELOW the semi-join — map-side screen, survivors-only
+    // shuffle), sorted-neighborhood (ONE shuffle on the block key, lag
+    // window, no self-join), bm25 (broadcast query terms + pruned df
+    // table + GroupTopK physical operator; only matching postings
+    // shuffle); graph_pagerank is audited per-iteration semantics in
+    // GraphSpec — its loop materializes eagerly like dedup_clusters
+    "dedup_bloom", "dedup_sorted_nbr", "text_bm25")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

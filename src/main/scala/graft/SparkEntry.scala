@@ -95,6 +95,8 @@ object SparkEntry {
     "sim_centroids" -> (Suite.simCentroids _),
     // dedup (§2b rows 20-23)
     "dedup_exact" -> (Suite.dedupExact _),
+    "dedup_bloom" -> (Suite.dedupBloom _),
+    "dedup_sorted_nbr" -> (Suite.dedupSortedNbr _),
     "dedup_minhash" -> (Suite.dedupMinhash _),
     "dedup_simhash" -> (Suite.dedupSimhash _),
     "dedup_ngram_jaccard" -> (Suite.dedupNgramJaccard _),
@@ -117,6 +119,8 @@ object SparkEntry {
     "evt_topk_users" -> (Suite.evtTopkUsers _),
     "evt_topk_per_user" -> (Suite.evtTopkPerUser _),
     "evt_cohort" -> (Suite.evtCohort _),
+    "graph_pagerank" -> (Suite.graphPagerank _),
+    "text_bm25" -> (Suite.textBm25 _),
     "evt_props" -> (Suite.evtProps _),
     "evt_asof_join" -> (Suite.evtAsofJoin _),
     "evt_range_join" -> (Suite.evtRangeJoin _),
@@ -133,6 +137,35 @@ object SparkEntry {
 
   private val toksSql =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  /** Unrolled fixed-iteration PageRank oracle: DuckDB recursive CTEs
+    * forbid aggregates in the recursive term, so the five rounds are
+    * generated as plain chained CTEs — bit-for-bit the same arithmetic
+    * as Graph.pageRank (double literals `1e0`/`0.85e0` keep DuckDB out
+    * of DECIMAL arithmetic, which would diverge from Spark's doubles). */
+  private def pagerankSql(iters: Int): String = {
+    val head =
+      """WITH cs AS (SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst FROM cs UNION SELECT dst, src FROM cs),
+        |od AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |r0 AS (SELECT node, 1e0/nn.n AS rank FROM nodes CROSS JOIN nn)""".stripMargin
+    val its = (1 to iters).map { k =>
+      s""",
+         |s$k AS (SELECT e.dst AS node, sum(r.rank/od.out_deg) AS m
+         |  FROM e JOIN od ON e.src = od.src JOIN r${k - 1} r ON r.node = e.src
+         |  GROUP BY e.dst),
+         |r$k AS (SELECT nodes.node,
+         |    (1e0 - 0.85e0)/nn.n + 0.85e0*coalesce(s$k.m, 0e0) AS rank
+         |  FROM nodes CROSS JOIN nn LEFT JOIN s$k ON s$k.node = nodes.node)""".stripMargin
+    }.mkString
+    head + its +
+      s"""
+         |SELECT node, round(rank * nn.n, 4) AS rank_norm
+         |FROM r$iters CROSS JOIN nn ORDER BY node""".stripMargin
+  }
 
   /** DuckDB oracle SQL; keys omitted here get a rows-only check. */
   def oracleSql: Map[String, String] = Map(
@@ -639,6 +672,35 @@ object SparkEntry {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // both engines truncate weeks to Monday; offsets are exact-day/7
+    "graph_pagerank" -> pagerankSql(5),
+    // BM25: double literals (1e0/0.5e0/...) keep DuckDB in IEEE double
+    // arithmetic; avgdl is exact both sides (integer sums below 2^53),
+    // the scored sum is a float aggregate → round(,4) per the gate rules
+    "text_bm25" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+         |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+         |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |q AS (SELECT doc_id AS query_id, array_to_string(($toksSql)[1:8], ' ') AS qtext
+         |  FROM documents WHERE doc_id % 97 = 0),
+         |qt AS (SELECT DISTINCT query_id,
+         |    unnest(list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) AS term
+         |  FROM q),
+         |s AS (SELECT qt.query_id, tf.doc_id,
+         |    sum(ln(1e0 + (stats.n_docs - dfreq.df + 0.5e0)/(dfreq.df + 0.5e0))
+         |      * tf.tf * (1.2e0 + 1e0)
+         |      / (tf.tf + 1.2e0*(1e0 - 0.75e0 + 0.75e0*dl.dl/stats.avgdl))) AS score,
+         |    count(*) AS n_terms
+         |  FROM tf JOIN qt USING (term) JOIN dfreq USING (term)
+         |    JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+         |  GROUP BY qt.query_id, tf.doc_id)
+         |SELECT query_id, doc_id, n_terms, round(score, 4) AS score,
+         |  CAST(rank AS BIGINT) AS rank FROM (
+         |  SELECT query_id, doc_id, n_terms, score,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+         |  FROM s)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "evt_cohort" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tsx FROM events),
         |f AS (SELECT user_id, date_trunc('week', min(tsx)) AS cohort_w FROM e GROUP BY user_id),
@@ -712,6 +774,15 @@ object SparkEntry {
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
         | count(*) AS n_docs, min(doc_id) AS first_doc
         |FROM documents GROUP BY fp ORDER BY fp""".stripMargin,
+    // bloom prefilter is result-transparent: the oracle is the PLAIN
+    // semi-join the operator is semantically equal to
+    "dedup_bloom" ->
+      """WITH f AS (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |r AS (SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT doc_id, fp FROM f WHERE fp IN (SELECT fp FROM r)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |g AS (SELECT doc_id, len(toks) AS n, list_distinct(list_transform(
@@ -722,6 +793,37 @@ object SparkEntry {
          |   / len(list_distinct(list_concat(a.sh, b.sh))) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS jaccard
          |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
          |WHERE a.doc_id % 5 = 0 AND a.n >= 3 AND b.n >= 3 ORDER BY doc_a""".stripMargin,
+    // sorted-neighborhood: the oracle replays the identical planting,
+    // blocking window, lag pairing, and rounded-jaccard verification
+    "dedup_sorted_nbr" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, regexp_replace(text, '\\s+\\S+$$', '')
+         |    FROM documents WHERE doc_id % 47 = 0),
+         |t AS (SELECT doc_id, $toksSql AS toks FROM base),
+         |f AS (SELECT doc_id, toks,
+         |    array_to_string(toks[1:2], ' ') AS block,
+         |    array_to_string(toks[1:8], ' ') AS skey
+         |  FROM t WHERE len(toks) >= 3),
+         |l AS (SELECT doc_id, toks,
+         |    lag(doc_id, 1) OVER win AS id1, lag(toks, 1) OVER win AS toks1,
+         |    lag(doc_id, 2) OVER win AS id2, lag(toks, 2) OVER win AS toks2,
+         |    lag(doc_id, 3) OVER win AS id3, lag(toks, 3) OVER win AS toks3
+         |  FROM f WINDOW win AS (PARTITION BY block ORDER BY skey, doc_id)),
+         |p AS (SELECT doc_id AS b_id, toks AS b_toks, id1 AS a_id, toks1 AS a_toks FROM l WHERE id1 IS NOT NULL
+         |  UNION ALL SELECT doc_id, toks, id2, toks2 FROM l WHERE id2 IS NOT NULL
+         |  UNION ALL SELECT doc_id, toks, id3, toks3 FROM l WHERE id3 IS NOT NULL),
+         |g AS (SELECT least(a_id, b_id) AS doc_a, greatest(a_id, b_id) AS doc_b,
+         |    list_distinct(list_transform(generate_series(1, len(a_toks)-2),
+         |      i -> a_toks[i] || ' ' || a_toks[i+1] || ' ' || a_toks[i+2])) AS sh_a,
+         |    list_distinct(list_transform(generate_series(1, len(b_toks)-2),
+         |      i -> b_toks[i] || ' ' || b_toks[i+1] || ' ' || b_toks[i+2])) AS sh_b
+         |  FROM p)
+         |SELECT * FROM (
+         |  SELECT doc_a, doc_b,
+         |    CAST(floor(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(sh_a, sh_b))) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS jaccard
+         |  FROM g)
+         |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_minhash_verified" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |g AS (SELECT doc_id, list_distinct(list_transform(

@@ -328,6 +328,92 @@ object Dedup {
     labels.withColumnRenamed("label", "cluster_id").orderBy("doc_id")
   }
 
+  // ---- Bloom-prefiltered reference membership ---------------------------
+
+  /** Which corpus rows exactly duplicate a row of an already-ingested
+    * reference set (incremental-ingest dedup / "have I stored this value
+    * already", kiara's data-store onboarding check,
+    * /root/reference/src/kiara/registries/data/data_store/__init__.py).
+    * Semantically a semi-join of corpus fingerprints against reference
+    * fingerprints — the bloom sketch only changes WHERE rows die.
+    *
+    * Scale shape: the reference set folds into one <=16 MB sketch via a
+    * distributed aggregate (partials merged executor-side, only the final
+    * blob reaches the driver — same bounded-collect class as the IVF
+    * centroid table); the corpus is then screened MAP-SIDE by the
+    * codegen'd might_contain, so only might-be-members (~|ref| rows + the
+    * fpp sliver) ever shuffle into the exact semi-join that removes false
+    * positives. A plain semi-join would shuffle the full corpus.
+    * Result-transparent by construction: `sketchItems` (exposed for the
+    * fpp-abuse spec) mis-sizes the sketch without changing the answer.
+    */
+  def bloomMembers(fact: DataFrame, ref: DataFrame, textCol: String = "text",
+                   sketchItems: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.graftext.BloomMembership._
+    val refFp = ref.select(md5(normalized(col(textCol))).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one pass over the reference feeds BOTH the sketch build and the
+    // exact join (persist = no second scan); the count sizes the sketch
+    val nRef = refFp.count()
+    val est = sketchItems.getOrElse(nRef)
+    val bloomLit =
+      if (nRef == 0) lit(null).cast(org.apache.spark.sql.types.BinaryType)
+      else lit(refFp.agg(bloomAgg(xxhash64(col("fp")), est).as("bf"))
+        .head.getAs[Array[Byte]](0))
+    fact.select(col("doc_id"), md5(normalized(col(textCol))).as("fp"))
+      .filter(mightContain(bloomLit, xxhash64(col("fp"))))
+      .join(refFp, Seq("fp"), "leftsemi")
+      .select(col("doc_id"), col("fp"))
+      .orderBy("doc_id")
+  }
+
+  // ---- Sorted-neighborhood blocking -------------------------------------
+
+  /** Sorted-neighborhood dedup (Hernández/Stolfo merge-purge): sort
+    * records by a derived key, compare each record only to its `window`
+    * predecessors in sort order. Complements the hash-bucket family
+    * (minhash/simhash band joins): sort-order blocking catches near-dups
+    * whose edits are at the END of the text — a shared prefix makes them
+    * sort-adjacent — with no signature computation at all.
+    *
+    * Scale shape: ONE shuffle on the block key (first `blockToks`
+    * tokens); the neighbor pairing is a lag() window inside the block, so
+    * there is no self-join and no all-pairs — candidates are bounded by
+    * window × corpus. Candidates are then verified with the exact n-gram
+    * Jaccard kernel. Cross-block near-dups are unreachable by
+    * construction (the standard blocking trade-off; widen blockToks to
+    * trade recall for block size). Window ordering is made total with the
+    * doc_id tie-break, so the candidate set is deterministic.
+    *
+    * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, one row per
+    * verified pair with jaccard >= threshold.
+    */
+  def sortedNeighborhood(docs: DataFrame, window: Int = 3, threshold: Double = 0.8,
+                         blockToks: Int = 2, keyToks: Int = 8, k: Int = 3): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= k)
+      .withColumn("block", concat_ws(" ", slice(col("toks"), 1, blockToks)))
+      .withColumn("skey", concat_ws(" ", slice(col("toks"), 1, keyToks)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("block").orderBy("skey", "doc_id")
+    val nbrs = array((1 to window).map(i =>
+      struct(lag(col("doc_id"), i).over(w).as("id"),
+             lag(col("toks"), i).over(w).as("toks"))): _*)
+    toks
+      .withColumn("nbrs", nbrs)
+      .select(col("doc_id"), col("toks"), explode(col("nbrs")).as("nbr"))
+      .filter(col("nbr.id").isNotNull)
+      .select(
+        least(col("doc_id"), col("nbr.id")).as("doc_a"),
+        greatest(col("doc_id"), col("nbr.id")).as("doc_b"),
+        col("toks").as("toks_b"), col("nbr.toks").as("toks_a"))
+      .withColumn("jaccard", ngramJaccard(k))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   // ---- Exact n-gram Jaccard (verification kernel) -----------------------
 
   /** Exact shingle-set Jaccard over `toks_a`/`toks_b` columns — the

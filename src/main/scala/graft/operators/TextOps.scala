@@ -464,4 +464,52 @@ object TextOps {
         .otherwise("es").as("pred_lang"))
       .orderBy("doc_id")
   }
+
+  // ---- BM25 retrieval scoring -------------------------------------------
+
+  /** Okapi BM25 scoring of the corpus against a bounded query set — the
+    * sparse-retrieval complement to the dense embedding path
+    * (Similarity.topKExact). k1/b are the standard defaults. kiara
+    * analogue: the table-query operations family
+    * (/root/reference/src/kiara/interfaces/python_api/kiara_api.py
+    * query surface); retrieval scoring is the LLM-pipeline extension.
+    *
+    * Scale shape: an INVERTED-INDEX PROBE. The distinct query-term set is
+    * dimension-sized: it broadcasts into the vocabulary-sized
+    * document-frequency aggregate (pruning it to |query terms| rows,
+    * itself then broadcastable) and into the term-frequency postings, so
+    * only postings matching a query term ever shuffle. Corpus stats
+    * (N, avgdl) ride along as a broadcast 1-row crossJoin — the
+    * documented bounded-broadcast pattern. Top-k per query goes through
+    * the GroupTopK physical operator (per-partition heaps, no full sort).
+    */
+  def bm25(docs: DataFrame, queries: DataFrame, k1: Double = 1.2, b: Double = 0.75,
+           topK: Int = 10): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val dfreq = toks.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val qterms = queries
+      .select(col("query_id"), explode(array_distinct(tokens(col("qtext")))).as("term"))
+    val qdf = dfreq.join(broadcast(qterms.select("term").distinct()), "term")
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = col("tf") * (lit(k1) + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    val scored = tf
+      .join(broadcast(qterms), "term")
+      .join(broadcast(qdf), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(idf * tfNorm).as("score"), count(lit(1)).as("n_terms"))
+    val pruned = org.apache.spark.sql.graftext.GroupTopK.topK(
+      scored, Seq("query_id"), Seq("score" -> true, "doc_id" -> false), topK)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    pruned.withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("doc_id"), col("n_terms"),
+        round(col("score"), 4).as("score"), col("rank").cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
 }

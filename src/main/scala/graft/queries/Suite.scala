@@ -468,6 +468,28 @@ object Suite {
   def dedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(t(s, dir, "documents"))
 
+  /** Bloom-prefiltered membership vs an "already ingested" reference
+    * shard (doc_id%3) probed by an overlapping corpus slice (doc_id%2):
+    * members are exactly the doc_id%6 docs, so the oracle (a plain
+    * semi-join) is guaranteed non-empty. */
+  def dedupBloom(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    Dedup.bloomMembers(d.filter(col("doc_id") % 2 === 0),
+                       d.filter(col("doc_id") % 3 === 0))
+  }
+
+  /** Sorted-neighborhood over a corpus with PLANTED end-edited copies
+    * (doc_id%47 docs re-added at id+1000000 with the last word dropped):
+    * the shared prefix makes each copy sort-adjacent to its original —
+    * exactly the edit class sort-order blocking is built for. */
+  def dedupSortedNbr(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = d.filter(col("doc_id") % 47 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        regexp_replace(col("text"), "\\s+\\S+$", "").as("text"))
+    Dedup.sortedNeighborhood(d.union(planted))
+  }
+
   def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashCandidates(t(s, dir, "documents")).limit(200)
 
@@ -607,6 +629,23 @@ object Suite {
 
   def evtTopkUsers(s: SparkSession, dir: String): DataFrame =
     Events.topUsers(t(s, dir, "events"))
+
+  /** BM25 retrieval: queries are the first 8 tokens of every doc_id%97
+    * doc, so each query's own source document is a guaranteed strong hit
+    * (retrieval sanity is visible in the output, not just nonzero). */
+  def textBm25(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val q = d.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 8)).as("qtext"))
+    TextOps.bm25(d, q)
+  }
+
+  /** Five PageRank rounds over the customer↔supplier trade graph; the
+    * oracle replays the identical iterations as unrolled CTEs. */
+  def graphPagerank(s: SparkSession, dir: String): DataFrame =
+    Graph.pageRank(Graph.tradeEdges(t(s, dir, "orders"), t(s, dir, "lineitem")), iters = 5)
+      .select(col("node"), col("rank_norm"))
 
   def evtCohort(s: SparkSession, dir: String): DataFrame =
     Events.cohortRetention(t(s, dir, "events"))

@@ -183,6 +183,53 @@ class DedupSpec extends SparkTestBase {
     assert(cc.toSeq == Seq(1L))
   }
 
+  test("bloomMembers equals the plain semi-join it accelerates") {
+    val fact = docs(
+      1L -> "alpha doc", 2L -> "bravo doc", 3L -> "charlie doc",
+      4L -> "delta doc", 5L -> "Alpha   DOC") // 5 normalizes to 1's text
+    val ref = docs(
+      10L -> "alpha doc", 11L -> "charlie doc", 12L -> "zulu doc")
+    val got = Dedup.bloomMembers(fact, ref).select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 3L, 5L))
+  }
+
+  test("bloomMembers is exact even with an abusively undersized sketch") {
+    // sketchItems=1 for a 60-row reference → fpp-saturated sketch; the
+    // exact semi-join must still remove every false positive
+    val fact = docs((1L to 200L).map(i => i -> s"fact text number $i"): _*)
+    val ref = docs((1L to 60L).map(i => (1000L + i) -> s"fact text number ${i * 3}"): _*)
+    val got = Dedup.bloomMembers(fact, ref, sketchItems = Some(1L))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got == (1L to 200L).filter(i => i % 3 == 0 && i <= 180).map(identity))
+  }
+
+  test("bloomMembers on an empty reference returns no members") {
+    val fact = docs(1L -> "alpha doc")
+    val ref = docs().filter(lit(false))
+    assert(Dedup.bloomMembers(fact, ref).count() == 0L)
+  }
+
+  test("sortedNeighborhood finds end-edited near-dups, respects window and blocks") {
+    val d = docs(
+      1L -> s"$base extra tail words here",
+      2L -> s"$base extra tail words", // end-edit of 1: same prefix, sort-adjacent
+      3L -> "totally different text about volcanoes and geology for contrast",
+      // same block as 1/2 but pushed >3 positions away is impossible here,
+      // so give it a diverging 8-token key: stays in block, low jaccard
+      4L -> "the quick brown dog sits under a tree all afternoon long quietly")
+    val out = Dedup.sortedNeighborhood(d, window = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L)))
+  }
+
+  test("sortedNeighborhood misses cross-block pairs by design (blocking trade-off)") {
+    // identical text except the FIRST token differs → different block
+    val d = docs(
+      1L -> "alpha common body of text shared between the two documents here",
+      2L -> "bravo common body of text shared between the two documents here")
+    assert(Dedup.sortedNeighborhood(d).count() == 0L)
+  }
+
   test("ngram jaccard exact value on a hand-computed pair") {
     // toks_a: [a b c d], shingles {a b c, b c d}; toks_b: [a b c e] → {a b c, b c e}
     // intersect=1, union=3 → 0.3333

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+class GraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("pageRank on a 3-cycle is uniform (fixed point of the iteration)") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val out = Graph.pageRank(edges, iters = 5).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // uniform 1/3 is exactly preserved every round: rank_norm == 1.0
+    assert(out.forall(_.getDouble(2) == 1.0))
+  }
+
+  test("pageRank star: hub outranks leaves, leaves tie, mass conserved") {
+    // 1→2, 3→2, 2→1, 2→3: every node has in+out degree, no leaked mass
+    val edges = Seq((1L, 2L), (3L, 2L), (2L, 1L), (2L, 3L)).toDF("src", "dst")
+    val out = Graph.pageRank(edges, iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(2L) > out(1L))
+    assert(out(1L) == out(3L)) // symmetric leaves follow identical arithmetic
+    assert(math.abs(out.values.sum - 1.0) < 1e-9)
+  }
+
+  test("pageRank collapses parallel edges and survives no-inbound nodes") {
+    // duplicate edge must count once; node 9 has no inbound → teleport only
+    val edges = Seq((1L, 2L), (1L, 2L), (2L, 1L), (9L, 1L)).toDF("src", "dst")
+    val out = Graph.pageRank(edges, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val base = (1.0 - 0.85) / 3 // the engine's exact constant: NOT 0.15/3 in doubles
+    assert(out(9L) == base + 0.0) // never receives contributions
+    // iter1: m(1)=r2+r9=2/3, m(2)=r1=1/3; iter2: m(1)=r2'+r9'≈0.383,
+    // m(2)=r1'≈0.617 — the 2-cycle oscillates, but both always beat the
+    // teleport-only node, and the duplicate edge changed no out_deg
+    assert(out(1L) > out(9L) && out(2L) > out(9L))
+    assert(math.abs(out(2L) - ((1.0 - 0.85) / 3 + 0.85 * (0.05 + 0.85 * 2.0 / 3))) < 1e-12)
+  }
+
+  test("tradeEdges emits both directions over disjoint id spaces") {
+    val orders = Seq((100L, 7L)).toDF("o_orderkey", "o_custkey")
+    val li = Seq((100L, 3L)).toDF("l_orderkey", "l_suppkey")
+    val e = Graph.tradeEdges(orders, li).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(e == Set((14L, 7L), (7L, 14L))) // cust 7→14 (even), supp 3→7 (odd)
+  }
+}

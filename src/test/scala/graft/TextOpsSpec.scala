@@ -6,6 +6,33 @@ import graft.operators.TextOps
 class TextOpsSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("bm25: hand-computed scores, ranking, and non-matching doc excluded") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "durian fig")).toDF("doc_id", "text")
+    val q = Seq((100L, "apple")).toDF("query_id", "qtext")
+    val out = TextOps.bm25(docs, q).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    // N=3, avgdl=7/3, df(apple)=2 → idf=ln(1.6);
+    // d1: tf=2,dl=3 → 4.4/3.45714… = 1.272727…, score .5982
+    // d2: tf=1,dl=2 → 2.2/2.07142… = 1.062069…, score .4992
+    assert(out.toSeq == Seq(
+      (100L, 1L, 1L, 0.5982, 1L),
+      (100L, 2L, 1L, 0.4992, 2L)))
+  }
+
+  test("bm25: multi-term query sums contributions and respects topK") {
+    val docs = Seq(
+      (1L, "x y"), (2L, "x"), (3L, "y"), (4L, "z")).toDF("doc_id", "text")
+    val q = Seq((7L, "x y")).toDF("query_id", "qtext")
+    val out = TextOps.bm25(docs, q, topK = 2).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(4)))
+    // doc 1 matches both terms → rank 1; docs 2/3 tie on score, doc_id
+    // tie-break keeps doc 2; topK=2 cuts doc 3; doc 4 never matches
+    assert(out.toSeq == Seq((1L, 2L, 1L), (2L, 1L, 2L)))
+  }
+
   test("tokens: lowercased, punctuation-split, empties removed") {
     val df = Seq("Hello, World!  Foo-bar 42").toDF("text")
     val toks = df.select(TextOps.tokens(col("text"))).head().getSeq[String](0)
