@@ -38,7 +38,11 @@ object PlanAudit {
     // table + GroupTopK physical operator; only matching postings
     // shuffle); graph_pagerank is audited per-iteration semantics in
     // GraphSpec — its loop materializes eagerly like dedup_clusters
-    "dedup_bloom", "dedup_sorted_nbr", "text_bm25")
+    "dedup_bloom", "dedup_sorted_nbr", "text_bm25",
+    // shared spans (explode of the native gram-hash array + one agg
+    // shuffle + broadcast-back, the lineDedup shape), triangles (three
+    // equi-joins, no cartesian anywhere)
+    "text_shared_spans", "graph_triangles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

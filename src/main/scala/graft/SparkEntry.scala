@@ -120,7 +120,9 @@ object SparkEntry {
     "evt_topk_per_user" -> (Suite.evtTopkPerUser _),
     "evt_cohort" -> (Suite.evtCohort _),
     "graph_pagerank" -> (Suite.graphPagerank _),
+    "graph_triangles" -> (Suite.graphTriangles _),
     "text_bm25" -> (Suite.textBm25 _),
+    "text_shared_spans" -> (Suite.textSharedSpans _),
     "evt_props" -> (Suite.evtProps _),
     "evt_asof_join" -> (Suite.evtAsofJoin _),
     "evt_range_join" -> (Suite.evtRangeJoin _),
@@ -673,6 +675,35 @@ object SparkEntry {
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // both engines truncate weeks to Monday; offsets are exact-day/7
     "graph_pagerank" -> pagerankSql(5),
+    // triangles: id-ordered enumeration here vs degree-ordered in Spark —
+    // the same unordered triangle set either way, each found once
+    "graph_triangles" ->
+      """WITH l AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem WHERE l_partkey % 5 = 0),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM l a JOIN l b ON a.ok = b.ok AND a.p < b.p),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |n AS (SELECT unnest([a, b, c]) AS node FROM tri)
+        |SELECT node, count(*) AS n_tri FROM n GROUP BY node ORDER BY node""".stripMargin,
+    // shared spans: grams join on STRINGS here vs xxhash64 values in
+    // Spark — identical unless xxhash64 collides in-corpus (the
+    // text_decontam caveat); DuckDB sum(BIGINT)→HUGEINT is cast back
+    "text_shared_spans" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |f AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 10),
+         |g AS (SELECT doc_id, pos, array_to_string(toks[pos:pos+9], ' ') AS gram
+         |  FROM (SELECT doc_id, toks, unnest(generate_series(1, n - 9)) AS pos FROM f)),
+         |dup AS (SELECT gram FROM (
+         |    SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram)
+         |  WHERE nd >= 2),
+         |s AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+         |r AS (SELECT doc_id, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM s),
+         |runs AS (SELECT doc_id, grp, count(*) AS run FROM r GROUP BY doc_id, grp),
+         |agg AS (SELECT doc_id, CAST(sum(run) AS BIGINT) AS n_shared,
+         |    CAST(max(run) AS BIGINT) AS max_run FROM runs GROUP BY doc_id)
+         |SELECT f.doc_id, CAST(n - 9 AS BIGINT) AS n_windows,
+         |  coalesce(n_shared, 0) AS n_shared, coalesce(max_run, 0) AS max_run
+         |FROM f LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
     // BM25: double literals (1e0/0.5e0/...) keep DuckDB in IEEE double
     // arithmetic; avgdl is exact both sides (integer sums below 2^53),
     // the scored sum is a float aggregate → round(,4) per the gate rules

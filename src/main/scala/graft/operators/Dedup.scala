@@ -390,25 +390,34 @@ object Dedup {
     */
   def sortedNeighborhood(docs: DataFrame, window: Int = 3, threshold: Double = 0.8,
                          blockToks: Int = 2, keyToks: Int = 8, k: Int = 3): DataFrame = {
+    // shingle sets are built ONCE per document, before pairing — the
+    // interpreted shingle HOF otherwise re-runs per candidate pair SIDE
+    // (2 × window × N evaluations instead of N)
+    val sh =
+      s"array_distinct(transform(sequence(0, size(toks) - $k), i -> concat_ws(' ', slice(toks, i + 1, $k))))"
     val toks = docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= k)
       .withColumn("block", concat_ws(" ", slice(col("toks"), 1, blockToks)))
       .withColumn("skey", concat_ws(" ", slice(col("toks"), 1, keyToks)))
+      .withColumn("sh", expr(sh))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("block").orderBy("skey", "doc_id")
     val nbrs = array((1 to window).map(i =>
       struct(lag(col("doc_id"), i).over(w).as("id"),
-             lag(col("toks"), i).over(w).as("toks"))): _*)
+             lag(col("sh"), i).over(w).as("sh"))): _*)
+    // identical arithmetic to ngramJaccard, over the precomputed sets
+    val ratio = "cast(size(array_intersect(sh_a, sh_b)) as double) / size(array_union(sh_a, sh_b))"
+    val jaccard = expr(s"cast(floor(($ratio) * 10000.0 + 0.5) as double) / 10000.0")
     toks
       .withColumn("nbrs", nbrs)
-      .select(col("doc_id"), col("toks"), explode(col("nbrs")).as("nbr"))
+      .select(col("doc_id"), col("sh"), explode(col("nbrs")).as("nbr"))
       .filter(col("nbr.id").isNotNull)
       .select(
         least(col("doc_id"), col("nbr.id")).as("doc_a"),
         greatest(col("doc_id"), col("nbr.id")).as("doc_b"),
-        col("toks").as("toks_b"), col("nbr.toks").as("toks_a"))
-      .withColumn("jaccard", ngramJaccard(k))
+        col("sh").as("sh_b"), col("nbr.sh").as("sh_a"))
+      .withColumn("jaccard", jaccard)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy("doc_a", "doc_b")

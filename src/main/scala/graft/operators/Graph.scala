@@ -36,17 +36,26 @@ object Graph {
     * (raw ranks are O(1/N) and would vanish under absolute rounding).
     */
   def pageRank(edgesIn: DataFrame, iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    val spark = edgesIn.sparkSession
     val edges = edgesIn.select(col("src"), col("dst")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // size the per-iteration shuffles to the GRAPH, not the session
+    // default — at spec scale the loop is scheduler-bound otherwise
+    // (the Dedup.clusters sizing rule)
+    val nEdges = edges.count()
+    val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
+      (nEdges / 100000L).toInt + 1))
     val outDeg = edges.groupBy("src").agg(count(lit(1)).as("out_deg"))
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
+      .repartition(parts, col("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
     // static across iterations: (src, dst, out_deg), co-partitioned on
-    // src so each round's join with ranks(node) lines up shuffle-free
+    // src so each round's join with ranks(node) only moves the (much
+    // smaller) ranks side
     val contrib = edges.join(outDeg, "src")
-      .repartition(col("src"))
+      .repartition(parts, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     contrib.count()
     edges.unpersist()
@@ -56,6 +65,7 @@ object Graph {
       val inbound = contrib.join(ranks, contrib("src") === ranks("node"))
         .groupBy(contrib("dst").as("node"))
         .agg(sum(col("rank") / col("out_deg")).as("m"))
+        .repartition(parts, col("node"))
       ranks = nodes.join(inbound, Seq("node"), "left")
         .select(col("node"),
           (lit(baseTerm) + lit(damping) * coalesce(col("m"), lit(0.0))).as("rank"))
@@ -64,6 +74,62 @@ object Graph {
     ranks
       .select(col("node"), col("rank"), round(col("rank") * n, 4).as("rank_norm"))
       .orderBy("node")
+  }
+
+  /** Per-node triangle counts via degree-ordered edge orientation — the
+    * provably-bounded distributed formulation (wedges from a node are
+    * pairs of its HIGHER-degree out-neighbors, so out-degree is O(√m)
+    * and wedge volume O(m^1.5) worst-case; naive id-ordering has no such
+    * bound when low ids are hubs). Input: undirected unique edges with
+    * u < v. Each triangle is found exactly once (its three edges form
+    * exactly one directed path under any total order), then credited to
+    * all three corners.
+    *
+    * Three joins total: two degree lookups, one wedge self-join on the
+    * oriented source, one closing equi-join on (b, c) — every one an
+    * equi-join on a key, no all-pairs anywhere. The oriented edge table
+    * is persisted (self-join rule).
+    */
+  def triangleCounts(edgesUV: DataFrame): DataFrame = {
+    val edges = edgesUV.select(col("u"), col("v"))
+    val deg = edges.select(col("u").as("x")).union(edges.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = edges
+      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(uFirst, col("u")).otherwise(col("v")).as("src"),
+        when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+        when(uFirst, col("dv")).otherwise(col("du")).as("dd"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e1 = oriented.select(col("src"), col("dst").as("b"), col("dd").as("db"))
+    val e2 = oriented.select(col("src"), col("dst").as("c"), col("dd").as("dc"))
+    val wedges = e1.join(e2, Seq("src"))
+      .filter(col("db") < col("dc") || (col("db") === col("dc") && col("b") < col("c")))
+    val tri = wedges
+      .join(oriented.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+      .select(col("src").as("a"), col("b"), col("c"))
+    tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+      .orderBy("node")
+  }
+
+  /** Part co-purchase graph: two parts are linked when some order buys
+    * both. `mod` restricts to the p%mod==0 part subset — co-purchase
+    * graphs densify quadratically with order size, and the subgraph keeps
+    * wedge volume proportional at every scale factor. */
+  def coPurchaseEdges(lineitem: DataFrame, mod: Int = 5): DataFrame = {
+    val l = lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .filter(col("p") % mod === 0)
+      .persist(StorageLevel.MEMORY_AND_DISK) // self-join rule
+    l.as("a").join(l.as("b"),
+        col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .distinct()
   }
 
   /** Customer↔supplier trade graph from orders ⋈ lineitem: node ids are

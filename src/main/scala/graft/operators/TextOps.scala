@@ -465,6 +465,59 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // ---- Exact shared-span detection --------------------------------------
+
+  /** Exact substring-duplication profile (the detection half of Lee et
+    * al.'s "Deduplicating Training Data Makes Language Models Better"):
+    * for every document, how many of its k-token windows also occur in
+    * at least `minDocs` distinct documents, and the longest CONSECUTIVE
+    * run of such windows (a long run = a long verbatim shared passage —
+    * the memorization-risk signal; isolated hits = idiom).
+    *
+    * Scale shape: positional gram hashes come from the row-local
+    * codegen'd GramHashes expression (no interpreted HOF), one shuffle
+    * aggregates the cross-doc gram counts, and the (typically tiny)
+    * duplicated-gram set is persisted and joined back broadcast-style —
+    * the lineDedup pattern one level down, at window granularity. The
+    * run-length computation is the classic pos − row_number() grouping
+    * inside a per-doc window: one more shuffle on doc_id, nothing
+    * quadratic anywhere.
+    *
+    * Output: (doc_id, n_windows, n_shared, max_run), every doc with
+    * >= k tokens present (zeros when nothing is shared).
+    */
+  def sharedSpans(docs: DataFrame, k: Int = 10, minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.graftext.Shingles
+    val toksD = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= k)
+    val pos = toksD
+      .select(col("doc_id"),
+        posexplode(Shingles.gramHashes(col("toks"), k)).as(Seq("pos", "h")))
+    // the duplicated-gram set is the only thing aggregated corpus-wide;
+    // persist it so the flagging join can't re-run the explode behind it
+    val dup = pos.groupBy("h").agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shared = pos.join(dup, Seq("h"), "leftsemi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val runs = shared
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy("doc_id")
+      .agg(sum(col("run")).as("n_shared"), max(col("run")).as("max_run"))
+    toksD
+      .select(col("doc_id"), (size(col("toks")) - (k - 1)).cast("long").as("n_windows"))
+      .join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"))
+      .orderBy("doc_id")
+  }
+
   // ---- BM25 retrieval scoring -------------------------------------------
 
   /** Okapi BM25 scoring of the corpus against a bounded query set — the
@@ -486,9 +539,14 @@ object TextOps {
   def bm25(docs: DataFrame, queries: DataFrame, k1: Double = 1.2, b: Double = 0.75,
            topK: Int = 10): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    // ONE explode + one corpus-wide shuffle builds tf; doc length and
+    // document frequency are integer-exact DERIVATIONS of tf (sum of tf
+    // per doc / row count per term), so they aggregate the compressed
+    // postings table instead of re-exploding the token stream
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val dfreq = toks.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val qterms = queries
       .select(col("query_id"), explode(array_distinct(tokens(col("qtext")))).as("term"))

@@ -630,6 +630,13 @@ object Suite {
   def evtTopkUsers(s: SparkSession, dir: String): DataFrame =
     Events.topUsers(t(s, dir, "events"))
 
+  /** Exact shared-span profile over the raw corpus — the natural near-dup
+    * pairs in the synthetic documents (see dedup_sorted_nbr) carry long
+    * verbatim shared passages, so n_shared/max_run are non-trivially
+    * populated without planting. */
+  def textSharedSpans(s: SparkSession, dir: String): DataFrame =
+    TextOps.sharedSpans(t(s, dir, "documents"))
+
   /** BM25 retrieval: queries are the first 8 tokens of every doc_id%97
     * doc, so each query's own source document is a guaranteed strong hit
     * (retrieval sanity is visible in the output, not just nonzero). */
@@ -640,6 +647,12 @@ object Suite {
         concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 8)).as("qtext"))
     TextOps.bm25(d, q)
   }
+
+  /** Per-node triangle counts over the part co-purchase subgraph; Spark
+    * orients edges by DEGREE (the bounded formulation), the oracle by id
+    * — both enumerate the identical unordered triangle set. */
+  def graphTriangles(s: SparkSession, dir: String): DataFrame =
+    Graph.triangleCounts(Graph.coPurchaseEdges(t(s, dir, "lineitem")))
 
   /** Five PageRank rounds over the customer↔supplier trade graph; the
     * oracle replays the identical iterations as unrolled CTEs. */

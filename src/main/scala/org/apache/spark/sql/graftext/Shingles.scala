@@ -117,6 +117,31 @@ object Shingles {
     UnsafeArrayData.fromPrimitiveArray(arr)
   }
 
+  /** Positional k-gram hashes: gram p covers tokens[p .. p+k-1]; output
+    * index IS the gram position (no winnowing, no dedup) — the input to
+    * span-level analyses that need to know WHERE a gram sits, not just
+    * that it exists. Bit-identical to winnowFps's internal hash stream.
+    */
+  def gramHashes(tokens: ArrayData, k: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (n < k) return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+    val m = n - k + 1
+    val th = new Array[Long](m)
+    var p = 0
+    while (p < m) {
+      var sh = Seed
+      var j = p
+      while (j < p + k) {
+        if (!tokens.isNullAt(j))
+          sh = XxHash64Function.hash(tokens.getUTF8String(j), StringType, sh)
+        j += 1
+      }
+      th(p) = sh
+      p += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(th)
+  }
+
   /** Column API: full minhash signature (array<long> of `numHashes`). */
   def minhashSig(tokens: Column, k: Int, numHashes: Int): Column =
     ExpressionUtils.column(
@@ -126,6 +151,11 @@ object Shingles {
   def winnowFps(tokens: Column, k: Int, w: Int): Column =
     ExpressionUtils.column(
       WinnowFps(ExpressionUtils.expression(tokens), k, w))
+
+  /** Column API: positional k-gram hashes (array<long>, index = pos). */
+  def gramHashes(tokens: Column, k: Int): Column =
+    ExpressionUtils.column(
+      GramHashes(ExpressionUtils.expression(tokens), k))
 }
 
 private[graftext] trait TokenArrayExpr extends UnaryExpression {
@@ -135,6 +165,25 @@ private[graftext] trait TokenArrayExpr extends UnaryExpression {
       s"$prettyName expects array<string> tokens, got ${other.simpleString}")
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+}
+
+/** Positional k-gram hash stream: tokens → array<long>, index = gram
+  * position. Row-local and codegen'd like its siblings. */
+case class GramHashes(child: Expression, k: Int)
+    extends TokenArrayExpr {
+  require(k > 0, s"bad gram size k=$k")
+
+  override def nullSafeEval(input: Any): Any =
+    Shingles.gramHashes(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graftext.Shingles.gramHashes($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_gram_hashes"
 }
 
 /** Whole-signature minhash: tokens → array<long> of `numHashes` minima.

@@ -38,6 +38,33 @@ class GraphSpec extends SparkTestBase {
     assert(math.abs(out(2L) - ((1.0 - 0.85) / 3 + 0.85 * (0.05 + 0.85 * 2.0 / 3))) < 1e-12)
   }
 
+  test("triangleCounts: hand-built graph, each triangle credited once per corner") {
+    // triangles {1,2,3} and {2,3,4}; edge (1,5) is in no triangle
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (1L, 5L))
+      .toDF("u", "v")
+    val out = Graph.triangleCounts(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("triangleCounts: K4 has four triangles, every node in three") {
+    val edges = (for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)).toDF("u", "v")
+    val out = Graph.triangleCounts(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("coPurchaseEdges links parts sharing an order, subset-filtered, deduped") {
+    val li = Seq(
+      (1L, 10L), (1L, 15L), (1L, 20L), (1L, 7L), // order 1: parts 10,15,20 pass %5; 7 doesn't
+      (2L, 10L), (2L, 20L), // order 2 repeats a pair → dedup
+      (3L, 25L)) // lone part: no pair
+      .toDF("l_orderkey", "l_partkey")
+    val e = Graph.coPurchaseEdges(li, mod = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(e == Set((10L, 15L), (10L, 20L), (15L, 20L)))
+  }
+
   test("tradeEdges emits both directions over disjoint id spaces") {
     val orders = Seq((100L, 7L)).toDF("o_orderkey", "o_custkey")
     val li = Seq((100L, 3L)).toDF("l_orderkey", "l_suppkey")

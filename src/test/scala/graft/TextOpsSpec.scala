@@ -105,6 +105,42 @@ class TextOpsSpec extends SparkTestBase {
     assert((fps(2L) intersect fps(3L)).isEmpty)
   }
 
+  test("gramHashes expression is bit-identical to the positional HOF chain") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two")) // below k → empty array
+      .toDF("doc_id", "text")
+    val k = 3
+    val kgram = (1 to k).map(j => s"element_at(toks, i + $j)").mkString(", ")
+    val toks = d.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val viaExpr = toks
+      .select(col("doc_id"),
+        org.apache.spark.sql.graftext.Shingles.gramHashes(col("toks"), k).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaHof = toks
+      .select(col("doc_id"), when(size(col("toks")) >= k,
+        expr(s"transform(sequence(0, size(toks) - $k), i -> xxhash64($kgram))"))
+        .otherwise(expr("cast(array() as array<bigint>)")).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaExpr(1L).length == 4 && viaExpr(2L).isEmpty)
+    assert(viaExpr == viaHof) // values AND positional order
+  }
+
+  test("sharedSpans: run lengths, isolated hits, and clean docs") {
+    val passage = "the shared verbatim passage appears in two documents exactly alike"
+    val d = Seq(
+      (1L, s"unique lead in for doc one then $passage and a unique tail one"),
+      (2L, s"other opening words for doc two $passage plus different ending two"),
+      (3L, "completely unrelated text with no overlap at all beyond chance here"))
+      .toDF("doc_id", "text")
+    val out = TextOps.sharedSpans(d, k = 5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // the 10-token passage yields 6 shared 5-gram positions, consecutive
+    assert(out(1L)._2 == 6L && out(1L)._3 == 6L)
+    assert(out(2L)._2 == 6L && out(2L)._3 == 6L)
+    assert(out(3L) == ((7L, 0L, 0L))) // 11 tokens → 7 windows, none shared
+  }
+
   test("winnowing expression is bit-identical to the HOF chain") {
     val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val d = Seq(
