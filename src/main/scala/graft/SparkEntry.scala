@@ -123,6 +123,7 @@ object SparkEntry {
     "graph_triangles" -> (Suite.graphTriangles _),
     "text_bm25" -> (Suite.textBm25 _),
     "text_shared_spans" -> (Suite.textSharedSpans _),
+    "text_bpe_train" -> (Suite.textBpeTrain _),
     "evt_props" -> (Suite.evtProps _),
     "evt_asof_join" -> (Suite.evtAsofJoin _),
     "evt_range_join" -> (Suite.evtRangeJoin _),
@@ -167,6 +168,33 @@ object SparkEntry {
       s"""
          |SELECT node, round(rank * nn.n, 4) AS rank_norm
          |FROM r$iters CROSS JOIN nn ORDER BY node""".stripMargin
+  }
+
+  /** Generated BPE-training oracle: the greedy merge loop unrolled as
+    * chained CTEs (argmax per round via ORDER BY c DESC, pair LIMIT 1 —
+    * the same total order as the Spark loop; replace() scans
+    * left-to-right non-overlapping in both engines, which IS BPE's
+    * greedy merge order). */
+  private def bpeTrainSql(merges: Int): String = {
+    val head =
+      s"""WITH t0 AS (SELECT unnest($toksSql) AS term FROM documents),
+         |w0 AS (SELECT ' ' || trim(regexp_replace(term, '(.)', '\\1 ', 'g')) || ' ' AS sym,
+         |    count(*) AS cnt FROM t0 GROUP BY term)""".stripMargin
+    val its = (1 to merges).map { k =>
+      s""",
+         |p$k AS (SELECT pair, sum(cnt) AS c FROM (
+         |    SELECT cnt, unnest(list_transform(generate_series(1, len(l) - 1),
+         |      j -> l[j] || ' ' || l[j + 1])) AS pair
+         |    FROM (SELECT string_split(trim(sym), ' ') AS l, cnt FROM w${k - 1}))
+         |  GROUP BY pair),
+         |b$k AS (SELECT pair, c FROM p$k ORDER BY c DESC, pair LIMIT 1),
+         |w$k AS (SELECT replace(sym, ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' ') AS sym,
+         |    cnt FROM w${k - 1} CROSS JOIN b$k b)""".stripMargin
+    }.mkString
+    val rows = (1 to merges).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS merge_idx, pair, CAST(c AS BIGINT) AS cnt FROM b$k")
+      .mkString("\n UNION ALL ")
+    s"$head$its\nSELECT * FROM (\n $rows)\nORDER BY merge_idx"
   }
 
   /** DuckDB oracle SQL; keys omitted here get a rows-only check. */
@@ -685,6 +713,7 @@ object SparkEntry {
         |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
         |n AS (SELECT unnest([a, b, c]) AS node FROM tri)
         |SELECT node, count(*) AS n_tri FROM n GROUP BY node ORDER BY node""".stripMargin,
+    "text_bpe_train" -> bpeTrainSql(10),
     // shared spans: grams join on STRINGS here vs xxhash64 values in
     // Spark — identical unless xxhash64 collides in-corpus (the
     // text_decontam caveat); DuckDB sum(BIGINT)→HUGEINT is cast back

@@ -65,7 +65,6 @@ object Graph {
       val inbound = contrib.join(ranks, contrib("src") === ranks("node"))
         .groupBy(contrib("dst").as("node"))
         .agg(sum(col("rank") / col("out_deg")).as("m"))
-        .repartition(parts, col("node"))
       ranks = nodes.join(inbound, Seq("node"), "left")
         .select(col("node"),
           (lit(baseTerm) + lit(damping) * coalesce(col("m"), lit(0.0))).as("rank"))

@@ -465,6 +465,70 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // ---- BPE merge training -----------------------------------------------
+
+  /** Distributed BPE tokenizer training (Sennrich et al.): learn the top
+    * `merges` byte-pair merges from corpus word frequencies. The classic
+    * implementation collects the word-frequency dict to one machine; the
+    * distributed re-expression keeps the words table as a DataFrame —
+    * BPE's key property is that it only ever needs DISTINCT words with
+    * counts (vocab-sized, not corpus-sized), so after ONE corpus-wide
+    * shuffle every round touches only the vocabulary.
+    *
+    * Each round: explode adjacent symbol pairs (weighted by word count),
+    * aggregate, take the argmax (a bounded 1-row collect, tie-broken by
+    * pair text), and apply the merge with a boundary-guarded replace —
+    * words carry sentinel spaces so ' a b ' cannot match inside a symbol
+    * that merely ENDS with 'a'; left-to-right non-overlapping replace is
+    * exactly BPE's greedy merge order, and DuckDB's replace() scans the
+    * same way, so the oracle replays the loop verbatim.
+    *
+    * Output: (merge_idx, pair, cnt) — the learned merge table, the
+    * artifact a tokenizer ships. kiara analogue: module-produced model
+    * values (/root/reference/src/kiara/models/values/value.py).
+    */
+  def bpeTrain(docs: DataFrame, merges: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // sentinel-padded character symbols: "cat" → " c a t " (the pad makes
+    // every symbol boundary a space, so merge replace can anchor on it)
+    var words = docs
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .select(concat(lit(" "),
+        trim(regexp_replace(col("term"), "(.)", "$1 ")), lit(" ")).as("sym"), col("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    words.count()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    for (i <- 1 to merges) {
+      // sequence(1, 0) counts DOWN in Spark — single-symbol words need
+      // the explicit empty-array guard, not an empty sequence
+      val best = words
+        .select(col("cnt"), explode(expr(
+          "case when size(split(trim(sym), ' ')) < 2 then cast(array() as array<string>) " +
+            "else transform(sequence(1, size(split(trim(sym), ' ')) - 1), " +
+            "j -> concat_ws(' ', element_at(split(trim(sym), ' '), j), " +
+            "element_at(split(trim(sym), ' '), j + 1))) end")).as("pair"))
+        .groupBy("pair").agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("pair"))
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val (pair, c) = (best(0).getString(0), best(0).getLong(1))
+        out += ((i, pair, c))
+        val merged = pair.replace(" ", "")
+        val next = words
+          .select(expr(s"replace(sym, ' ${pair} ', ' ${merged} ')").as("sym"), col("cnt"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        words.unpersist()
+        words = next
+      }
+    }
+    out.toSeq.toDF("merge_idx", "pair", "cnt")
+      .select(col("merge_idx").cast("long").as("merge_idx"), col("pair"), col("cnt"))
+      .orderBy("merge_idx")
+  }
+
   // ---- Exact shared-span detection --------------------------------------
 
   /** Exact substring-duplication profile (the detection half of Lee et

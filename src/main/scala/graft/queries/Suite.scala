@@ -630,6 +630,11 @@ object Suite {
   def evtTopkUsers(s: SparkSession, dir: String): DataFrame =
     Events.topUsers(t(s, dir, "events"))
 
+  /** Ten learned BPE merges over the corpus word frequencies; the oracle
+    * replays the identical greedy loop as generated CTEs. */
+  def textBpeTrain(s: SparkSession, dir: String): DataFrame =
+    TextOps.bpeTrain(t(s, dir, "documents"))
+
   /** Exact shared-span profile over the raw corpus — the natural near-dup
     * pairs in the synthetic documents (see dedup_sorted_nbr) carry long
     * verbatim shared passages, so n_shared/max_run are non-trivially

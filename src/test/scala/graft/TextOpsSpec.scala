@@ -105,6 +105,29 @@ class TextOpsSpec extends SparkTestBase {
     assert((fps(2L) intersect fps(3L)).isEmpty)
   }
 
+  test("bpeTrain: hand-traced greedy merges with counts and tie-breaks") {
+    val d = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val out = TextOps.bpeTrain(d, merges = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // words: 'aaab'×2 → ' a a a b ', 'ab'×1 → ' a b '
+    // r1: pairs a·a=4 (overlapping, ×2 words), a·b=3 → merge 'a a' (4)
+    //     greedy left-to-right: ' a a a b ' → ' aa a b '
+    // r2: aa·a=2, a·b=2+1=3 → merge 'a b' (3) → ' aa ab ', ' ab '
+    // r3: aa·ab=2 (the lone ' ab ' word has no pairs)
+    assert(out.toSeq == Seq((1L, "a a", 4L), (2L, "a b", 3L), (3L, "aa ab", 2L)))
+  }
+
+  test("bpeTrain: merge anchors on symbol boundaries, not substrings") {
+    // after r1 merges 'x a' → 'xa', the word ' xa b ' contains the raw
+    // substring 'a b' — r2's 'a b' merge must NOT fire inside it (the
+    // sentinel spaces anchor both symbol boundaries); r3 then finds the
+    // legitimate 'xa b' pair, which a buggy substring replace destroys
+    val d = Seq((1L, "xa xa xab ab")).toDF("doc_id", "text")
+    val out = TextOps.bpeTrain(d, merges = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, "x a", 3L), (2L, "a b", 1L), (3L, "xa b", 1L)))
+  }
+
   test("gramHashes expression is bit-identical to the positional HOF chain") {
     val d = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
