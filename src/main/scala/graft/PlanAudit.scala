@@ -42,7 +42,11 @@ object PlanAudit {
     // shared spans (explode of the native gram-hash array + one agg
     // shuffle + broadcast-back, the lineDedup shape), triangles (three
     // equi-joins, no cartesian anywhere)
-    "text_shared_spans", "graph_triangles")
+    "text_shared_spans", "graph_triangles",
+    // exact set-similarity join: expect the candidate join on exploded
+    // PREFIX postings (not full postings) and the verify join against
+    // the persisted shingle table
+    "dedup_prefix_pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

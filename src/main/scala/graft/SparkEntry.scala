@@ -97,6 +97,7 @@ object SparkEntry {
     "dedup_exact" -> (Suite.dedupExact _),
     "dedup_bloom" -> (Suite.dedupBloom _),
     "dedup_sorted_nbr" -> (Suite.dedupSortedNbr _),
+    "dedup_prefix_pairs" -> (Suite.dedupPrefixPairs _),
     "dedup_minhash" -> (Suite.dedupMinhash _),
     "dedup_simhash" -> (Suite.dedupSimhash _),
     "dedup_ngram_jaccard" -> (Suite.dedupNgramJaccard _),
@@ -119,6 +120,7 @@ object SparkEntry {
     "evt_topk_users" -> (Suite.evtTopkUsers _),
     "evt_topk_per_user" -> (Suite.evtTopkPerUser _),
     "evt_cohort" -> (Suite.evtCohort _),
+    "evt_anomaly" -> (Suite.evtAnomalies _),
     "graph_pagerank" -> (Suite.graphPagerank _),
     "graph_triangles" -> (Suite.graphTriangles _),
     "text_bm25" -> (Suite.textBm25 _),
@@ -702,6 +704,18 @@ object SparkEntry {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // both engines truncate weeks to Monday; offsets are exact-day/7
+    // anomalies: stddev_samp algorithms differ at ~1e-12 relative across
+    // engines — z is rounded at the edge; the |z|>3 cut on the unrounded
+    // value flips only if a z lands within that epsilon of 3.0 exactly
+    "evt_anomaly" ->
+      """WITH p AS (SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sd, count(*) AS n
+        |  FROM events GROUP BY user_id
+        |  HAVING count(*) >= 20 AND stddev_samp(value) > 0)
+        |SELECT event_id, user_id, value, round(mu, 4) AS mu, round(sd, 4) AS sd,
+        |  round((value - mu)/sd, 4) AS z
+        |FROM events JOIN p USING (user_id)
+        |WHERE abs((value - mu)/sd) > 3.0
+        |ORDER BY event_id""".stripMargin,
     "graph_pagerank" -> pagerankSql(5),
     // triangles: id-ordered enumeration here vs degree-ordered in Spark —
     // the same unordered triangle set either way, each found once
@@ -853,6 +867,20 @@ object SparkEntry {
          |   / len(list_distinct(list_concat(a.sh, b.sh))) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS jaccard
          |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
          |WHERE a.doc_id % 5 = 0 AND a.n >= 3 AND b.n >= 3 ORDER BY doc_a""".stripMargin,
+    // prefix join is EXACT: the oracle is plain brute-force all-pairs —
+    // any pair the prefix filter drops is a gate failure
+    "dedup_prefix_pairs" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (SELECT doc_id, list_distinct(list_transform(
+         |  generate_series(1, len(toks)-2),
+         |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+         |  FROM t WHERE len(toks) >= 3)
+         |SELECT * FROM (
+         | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.sh, b.sh))) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS jaccard
+         | FROM g a JOIN g b ON a.doc_id < b.doc_id)
+         |WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b""".stripMargin,
     // sorted-neighborhood: the oracle replays the identical planting,
     // blocking window, lag pairing, and rounded-jaccard verification
     "dedup_sorted_nbr" ->

@@ -367,6 +367,60 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // ---- Exact set-similarity join (prefix filtering) ---------------------
+
+  /** AllPairs/PPJoin-style EXACT Jaccard self-join (Bayardo et al.,
+    * Chaudhuri et al.): every pair with shingle-set Jaccard >= threshold,
+    * guaranteed — no LSH recall caveat. The prefix-filtering lemma does
+    * the pruning: order every set by global shingle rarity; a pair with
+    * J >= t and sizes within factor t of each other MUST share a shingle
+    * within each set's first n − ceil(t·n) + 1 rarest shingles, so the
+    * candidate join runs on exploded PREFIXES only (rarest-first makes
+    * those postings the shortest), with the size filter applied in the
+    * join. Exact verification on the persisted shingle arrays removes
+    * the false positives; the lemma proves there are no false negatives.
+    *
+    * Shuffles: shingle-frequency aggregate, per-doc re-sort, prefix
+    * posting join, verify join — all equi-joins on keys; posting-list
+    * length is bounded by prefix length (≈ (1−t)·n per doc), and the
+    * rare-first order keeps hot shingles out of the prefixes entirely.
+    */
+  def prefixJaccardPairs(docs: DataFrame, threshold: Double = 0.7, k: Int = 3): DataFrame = {
+    val shingles =
+      s"array_distinct(transform(sequence(0, size(toks) - $k), i -> concat_ws(' ', slice(toks, i + 1, $k))))"
+    val sh = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), expr(shingles).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val posting = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val freq = posting.groupBy("s").agg(count(lit(1)).as("cf"))
+    val prefix = posting.join(freq, "s")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("cf"), col("s")))).as("ord"))
+      .select(col("doc_id"), size(col("ord")).as("n"),
+        explode(expr(
+          s"slice(transform(ord, x -> x.s), 1, " +
+            s"size(ord) - cast(ceil($threshold * size(ord)) as int) + 1)")).as("s"))
+      // self-join input: persist or the whole posting/frequency/sort
+      // subtree runs twice (CLAUDE.md self-join rule)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * lit(threshold) <= col("b.n") &&
+          col("b.n") * lit(threshold) <= col("a.n"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val ratio = "cast(size(array_intersect(sh_a, sh_b)) as double) / size(array_union(sh_a, sh_b))"
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard", expr(s"cast(floor(($ratio) * 10000.0 + 0.5) as double) / 10000.0"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   // ---- Sorted-neighborhood blocking -------------------------------------
 
   /** Sorted-neighborhood dedup (Hernández/Stolfo merge-purge): sort

@@ -121,6 +121,30 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Per-user value anomalies: events whose `value` sits more than
+    * `sigma` sample standard deviations from that USER's own mean —
+    * self-normalizing (a whale's normal is not a minnow's spike). One
+    * aggregation shuffle builds the per-user profile (dimension-sized),
+    * which joins back to the event stream; users need `minEvents`
+    * observations before they can flag (tiny-sample stddevs are noise).
+    * z is recomputed from the unrounded profile and rounded only at the
+    * output edge (float-aggregate gate rule: round(,4) both engines).
+    */
+  def valueAnomalies(events: DataFrame, sigma: Double = 3.0, minEvents: Int = 20): DataFrame = {
+    val prof = events.groupBy("user_id")
+      .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"),
+        count(lit(1)).as("n_events"))
+      .filter(col("n_events") >= minEvents && col("sd") > 0.0)
+    events
+      .join(prof, "user_id")
+      .withColumn("z", (col("value") - col("mu")) / col("sd"))
+      .filter(abs(col("z")) > sigma)
+      .select(col("event_id"), col("user_id"), col("value"),
+        round(col("mu"), 4).as("mu"), round(col("sd"), 4).as("sd"),
+        round(col("z"), 4).as("z"))
+      .orderBy("event_id")
+  }
+
   /** Conversion funnel: users reaching each stage of
     * signup → click → purchase in STRICT temporal order (each stage's
     * event must follow the user's earliest previous-stage event).

@@ -478,6 +478,13 @@ object Suite {
                        d.filter(col("doc_id") % 3 === 0))
   }
 
+  /** Exact prefix-filtered Jaccard self-join at t=0.7 over the raw
+    * corpus; the oracle is brute-force all-pairs — the prefix filter
+    * must lose NOTHING (exactness is the operator's contract, unlike
+    * the LSH paths whose recall is parameter-dependent). */
+  def dedupPrefixPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.prefixJaccardPairs(t(s, dir, "documents"))
+
   /** Sorted-neighborhood over a corpus with PLANTED end-edited copies
     * (doc_id%47 docs re-added at id+1000000 with the last word dropped):
     * the shared prefix makes each copy sort-adjacent to its original —
@@ -664,6 +671,9 @@ object Suite {
   def graphPagerank(s: SparkSession, dir: String): DataFrame =
     Graph.pageRank(Graph.tradeEdges(t(s, dir, "orders"), t(s, dir, "lineitem")), iters = 5)
       .select(col("node"), col("rank_norm"))
+
+  def evtAnomalies(s: SparkSession, dir: String): DataFrame =
+    Events.valueAnomalies(t(s, dir, "events"))
 
   def evtCohort(s: SparkSession, dir: String): DataFrame =
     Events.cohortRetention(t(s, dir, "events"))

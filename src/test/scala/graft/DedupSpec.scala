@@ -209,6 +209,32 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.bloomMembers(fact, ref).count() == 0L)
   }
 
+  test("prefixJaccardPairs equals brute force on a corpus straddling the threshold") {
+    import graft.operators.TextOps
+    val d = docs(
+      1L -> base,
+      2L -> base, // identical → j = 1.0
+      3L -> base.replace("lazy", "sleepy"), // one substitution → j ≈ 0.86
+      4L -> base.replace("lazy", "sleepy").replace("quick", "rapid")
+        .replace("warm", "cold"), // three → j ≈ 0.6, below t
+      5L -> "a completely different document about rivers and mountains in spring",
+      6L -> base.split(" ").take(10).mkString(" ")) // half-length: size filter territory
+    val got = Dedup.prefixJaccardPairs(d, threshold = 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val toksDf = d.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val brute = toksDf.as("x").join(toksDf.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.toks").as("toks_a"), col("y.toks").as("toks_b"))
+      .withColumn("jaccard", Dedup.ngramJaccard(3))
+      .filter(col("jaccard") >= 0.7)
+      .select("doc_a", "doc_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.nonEmpty && got == brute) // exact: no LSH recall caveat
+    assert(got.contains((1L, 2L, 1.0)))
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L)) // below threshold
+  }
+
   test("sortedNeighborhood finds end-edited near-dups, respects window and blocks") {
     val d = docs(
       1L -> s"$base extra tail words here",

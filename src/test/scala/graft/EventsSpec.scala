@@ -208,6 +208,23 @@ class EventsSpec extends SparkTestBase {
     assert(got == Set((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (4L, 12L)))
   }
 
+  test("valueAnomalies flags the planted spike only, per-user normalized") {
+    // user 100: twenty 10.0s + one 1000.0 spike; user 200: twenty VOLATILE
+    // values where 1000.0 is normal — same magnitude, no flag (self-
+    // normalization); user 300: too few events to profile
+    val base = (1 to 20).map(i =>
+      (i.toLong, ts("2024-01-01 10:00:00"), 100L, "view", if (i == 1) 10.5 else 10.0))
+    val spike = Seq((21L, ts("2024-01-01 11:00:00"), 100L, "view", 1000.0))
+    val volatile = (1 to 20).map(i =>
+      (100L + i, ts("2024-01-01 10:00:00"), 200L, "view", i * 100.0))
+    val tiny = Seq((900L, ts("2024-01-01 10:00:00"), 300L, "view", 99999.0))
+    val ev = (base ++ spike ++ volatile ++ tiny)
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.valueAnomalies(ev, sigma = 3.0, minEvents = 20).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(21L))
+    assert(out.head.getLong(1) == 100L && out.head.getDouble(2) == 1000.0)
+  }
+
   test("multimodal decode classifies non-image payloads as unknown, not an error") {
     val docs = Seq((1L, "hello"), (2L, "world")).toDF("doc_id", "text")
     val a = Multimodal.decodeMeta(Multimodal.withPayload(docs)).collect().sortBy(_.doc_id)
