@@ -121,6 +121,7 @@ object SparkEntry {
     "evt_topk_per_user" -> (Suite.evtTopkPerUser _),
     "evt_cohort" -> (Suite.evtCohort _),
     "evt_anomaly" -> (Suite.evtAnomalies _),
+    "evt_transitions" -> (Suite.evtTransitions _),
     "graph_pagerank" -> (Suite.graphPagerank _),
     "graph_triangles" -> (Suite.graphTriangles _),
     "text_bm25" -> (Suite.textBm25 _),
@@ -704,6 +705,19 @@ object SparkEntry {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // both engines truncate weeks to Monday; offsets are exact-day/7
+    // transitions: order by µs-truncated ts both sides (raw ns order
+    // could disagree with Spark's normalized µs + event_id tie-break)
+    "evt_transitions" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tsx, event_id, event_type FROM events),
+        |p AS (SELECT user_id, event_type AS to_type,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY tsx, event_id) AS from_type
+        |  FROM e),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from,
+        |  CAST(floor(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+        |    * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
     // anomalies: stddev_samp algorithms differ at ~1e-12 relative across
     // engines — z is rounded at the edge; the |z|>3 cut on the unrounded
     // value flips only if a z lands within that epsilon of 3.0 exactly

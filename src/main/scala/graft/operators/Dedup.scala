@@ -386,12 +386,10 @@ object Dedup {
     * rare-first order keeps hot shingles out of the prefixes entirely.
     */
   def prefixJaccardPairs(docs: DataFrame, threshold: Double = 0.7, k: Int = 3): DataFrame = {
-    val shingles =
-      s"array_distinct(transform(sequence(0, size(toks) - $k), i -> concat_ws(' ', slice(toks, i + 1, $k))))"
     val sh = docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= k)
-      .select(col("doc_id"), expr(shingles).as("sh"))
+      .select(col("doc_id"), expr(shingleSetSql("toks", k)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val posting = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     val freq = posting.groupBy("s").agg(count(lit(1)).as("cf"))
@@ -411,11 +409,10 @@ object Dedup {
           col("b.n") * lit(threshold) <= col("a.n"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val ratio = "cast(size(array_intersect(sh_a, sh_b)) as double) / size(array_union(sh_a, sh_b))"
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("jaccard", expr(s"cast(floor(($ratio) * 10000.0 + 0.5) as double) / 10000.0"))
+      .withColumn("jaccard", setJaccard("sh_a", "sh_b"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -447,22 +444,17 @@ object Dedup {
     // shingle sets are built ONCE per document, before pairing — the
     // interpreted shingle HOF otherwise re-runs per candidate pair SIDE
     // (2 × window × N evaluations instead of N)
-    val sh =
-      s"array_distinct(transform(sequence(0, size(toks) - $k), i -> concat_ws(' ', slice(toks, i + 1, $k))))"
     val toks = docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= k)
       .withColumn("block", concat_ws(" ", slice(col("toks"), 1, blockToks)))
       .withColumn("skey", concat_ws(" ", slice(col("toks"), 1, keyToks)))
-      .withColumn("sh", expr(sh))
+      .withColumn("sh", expr(shingleSetSql("toks", k)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("block").orderBy("skey", "doc_id")
     val nbrs = array((1 to window).map(i =>
       struct(lag(col("doc_id"), i).over(w).as("id"),
              lag(col("sh"), i).over(w).as("sh"))): _*)
-    // identical arithmetic to ngramJaccard, over the precomputed sets
-    val ratio = "cast(size(array_intersect(sh_a, sh_b)) as double) / size(array_union(sh_a, sh_b))"
-    val jaccard = expr(s"cast(floor(($ratio) * 10000.0 + 0.5) as double) / 10000.0")
     toks
       .withColumn("nbrs", nbrs)
       .select(col("doc_id"), col("sh"), explode(col("nbrs")).as("nbr"))
@@ -471,7 +463,7 @@ object Dedup {
         least(col("doc_id"), col("nbr.id")).as("doc_a"),
         greatest(col("doc_id"), col("nbr.id")).as("doc_b"),
         col("sh").as("sh_b"), col("nbr.sh").as("sh_a"))
-      .withColumn("jaccard", jaccard)
+      .withColumn("jaccard", setJaccard("sh_a", "sh_b"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -483,12 +475,21 @@ object Dedup {
     * verification step applied to LSH candidates (never to all pairs).
     * Portable rounding: jaccard is a small-integer ratio, exactly the
     * value class where Spark and DuckDB round() disagree (see Num). */
-  def ngramJaccard(k: Int = 3): Column = {
-    def sh(c: String): String =
-      s"array_distinct(transform(sequence(0, size($c) - $k), i -> concat_ws(' ', slice($c, i + 1, $k))))"
-    val ratio =
-      s"cast(size(array_intersect(${sh("toks_a")}, ${sh("toks_b")})) as double) / " +
-        s"size(array_union(${sh("toks_a")}, ${sh("toks_b")}))"
+  def ngramJaccard(k: Int = 3): Column =
+    setJaccard(shingleSetSql("toks_a", k), shingleSetSql("toks_b", k))
+
+  /** SQL for the distinct k-shingle set of a token-array column — the
+    * ONE definition every jaccard consumer shares (sorted-neighborhood,
+    * prefix join, the verification kernel); the DuckDB oracles mirror
+    * this exact formulation. */
+  private[operators] def shingleSetSql(toksCol: String, k: Int): String =
+    s"array_distinct(transform(sequence(0, size($toksCol) - $k), i -> concat_ws(' ', slice($toksCol, i + 1, $k))))"
+
+  /** Portable floor-rounded Jaccard of two set-SQL fragments (see Num:
+    * round() disagrees across engines on half-boundaries for per-row
+    * float projections; small-integer ratios hit them). */
+  private[operators] def setJaccard(aSql: String, bSql: String): Column = {
+    val ratio = s"cast(size(array_intersect($aSql, $bSql)) as double) / size(array_union($aSql, $bSql))"
     expr(s"cast(floor(($ratio) * 10000.0 + 0.5) as double) / 10000.0")
   }
 }

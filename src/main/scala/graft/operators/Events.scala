@@ -121,6 +121,31 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** First-order behavior transition matrix: for consecutive events of
+    * the same user (ts order, event_id tie-break), count from→to
+    * event-type transitions and their per-source probabilities — the
+    * Markov-chain view of user journeys (what follows a `signup`?).
+    * One shuffle on user_id for the lag window, one dimension-sized
+    * aggregate (|event_types|² rows at most); probability denominators
+    * derive from the aggregated counts via a window, never re-scanning
+    * the stream. Counts are integer-exact; the probability is the only
+    * float (per-row small-integer ratio → portable floor rounding).
+    */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("to_type"))
+      .withColumn("from_type", lag(col("to_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn("n_from", sum(col("n")).over(Window.partitionBy("from_type")))
+      .withColumn("p", expr(
+        "cast(floor(cast(n as double) / n_from * 10000.0 + 0.5) as double) / 10000.0"))
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"), col("p"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** Per-user value anomalies: events whose `value` sits more than
     * `sigma` sample standard deviations from that USER's own mean —
     * self-normalizing (a whale's normal is not a minnow's spike). One

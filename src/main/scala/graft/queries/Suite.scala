@@ -672,6 +672,9 @@ object Suite {
     Graph.pageRank(Graph.tradeEdges(t(s, dir, "orders"), t(s, dir, "lineitem")), iters = 5)
       .select(col("node"), col("rank_norm"))
 
+  def evtTransitions(s: SparkSession, dir: String): DataFrame =
+    Events.transitionMatrix(t(s, dir, "events"))
+
   def evtAnomalies(s: SparkSession, dir: String): DataFrame =
     Events.valueAnomalies(t(s, dir, "events"))
 

@@ -208,6 +208,28 @@ class EventsSpec extends SparkTestBase {
     assert(got == Set((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (4L, 12L)))
   }
 
+  test("transitionMatrix counts per-user consecutive pairs with probabilities") {
+    val ev = Seq(
+      // user 100: view→click→view→purchase ⇒ v→c, c→v, v→p
+      (1L, ts("2024-01-01 10:00:00"), 100L, "view", 0.0),
+      (2L, ts("2024-01-01 10:01:00"), 100L, "click", 0.0),
+      (3L, ts("2024-01-01 10:02:00"), 100L, "view", 0.0),
+      (4L, ts("2024-01-01 10:03:00"), 100L, "purchase", 0.0),
+      // user 200: view→view ⇒ v→v; no cross-user pair with user 100
+      (5L, ts("2024-01-01 09:00:00"), 200L, "view", 0.0),
+      (6L, ts("2024-01-01 09:30:00"), 200L, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.transitionMatrix(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    // from=view: v→c 1, v→p 1, v→v 1 (n_from 3, p = 0.3333 each)
+    assert(out(("view", "click")) == ((1L, 3L, 0.3333)))
+    assert(out(("view", "purchase")) == ((1L, 3L, 0.3333)))
+    assert(out(("view", "view")) == ((1L, 3L, 0.3333)))
+    assert(out(("click", "view")) == ((1L, 1L, 1.0)))
+    assert(out.size == 4)
+  }
+
   test("valueAnomalies flags the planted spike only, per-user normalized") {
     // user 100: twenty 10.0s + one 1000.0 spike; user 200: twenty VOLATILE
     // values where 1000.0 is normal — same magnitude, no flag (self-
