@@ -122,6 +122,8 @@ object SparkEntry {
     "evt_cohort" -> (Suite.evtCohort _),
     "evt_anomaly" -> (Suite.evtAnomalies _),
     "evt_transitions" -> (Suite.evtTransitions _),
+    "dq_expectations" -> (Suite.dqExpectations _),
+    "maint_incr_agg" -> (Suite.maintIncrAgg _),
     "graph_pagerank" -> (Suite.graphPagerank _),
     "graph_triangles" -> (Suite.graphTriangles _),
     "text_bm25" -> (Suite.textBm25 _),
@@ -705,6 +707,35 @@ object SparkEntry {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // both engines truncate weeks to Monday; offsets are exact-day/7
+    "dq_expectations" ->
+      """WITH c AS (SELECT count(*) AS row_count,
+        |  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ok,
+        |  CAST(sum(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS qty_oor,
+        |  CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS disc_oor,
+        |  CAST(sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS bad_rf,
+        |  CAST(sum(CASE WHEN l_extendedprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpos
+        | FROM lineitem),
+        |u AS (SELECT CAST(count(*) AS BIGINT) AS dups FROM (
+        |   SELECT l_orderkey, l_linenumber FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1)),
+        |o AS (SELECT CAST(count(*) AS BIGINT) AS orphans
+        |  FROM lineitem l LEFT JOIN orders ON l.l_orderkey = o_orderkey WHERE o_orderkey IS NULL)
+        |SELECT * FROM (
+        | SELECT 'row_count_min_1' AS check_name, row_count AS observed, row_count >= 1 AS passed FROM c
+        | UNION ALL SELECT 'not_null_l_orderkey', null_ok, null_ok = 0 FROM c
+        | UNION ALL SELECT 'range_l_quantity_1_50', qty_oor, qty_oor = 0 FROM c
+        | UNION ALL SELECT 'range_l_discount_0_0.1', disc_oor, disc_oor = 0 FROM c
+        | UNION ALL SELECT 'accepted_l_returnflag_ANR', bad_rf, bad_rf = 0 FROM c
+        | UNION ALL SELECT 'positive_l_extendedprice', nonpos, nonpos = 0 FROM c
+        | UNION ALL SELECT 'unique_l_orderkey_l_linenumber', dups, dups = 0 FROM u
+        | UNION ALL SELECT 'fk_l_orderkey_in_orders', orphans, orphans = 0 FROM o)
+        |ORDER BY check_name""".stripMargin,
+    // merge-equals-recompute: the oracle aggregates the FULL table in
+    // one pass; the Spark side merges two disjoint partial states
+    "maint_incr_agg" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | round(sum(o_totalprice), 2) AS total,
+        | round(sum(o_totalprice) / count(*), 4) AS avg_value
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // transitions: order by µs-truncated ts both sides (raw ns order
     // could disagree with Spark's normalized µs + event_id tie-break)
     "evt_transitions" ->

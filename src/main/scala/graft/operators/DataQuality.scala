@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality expectations (the Great-Expectations /
+  * dbt-test idea, Spark-first): a suite of named checks evaluated
+  * against a table, one result row per check with the observed
+  * violation count and a pass flag. kiara analogue: metadata/validation
+  * on onboarded values (/root/reference/src/kiara/models/values/
+  * value_metadata.py — kiara validates values at store time; this is
+  * the table-level generalization).
+  *
+  * Scale design: every column-local check (null counts, range
+  * violations, accepted-value violations, row count) folds into ONE
+  * conditional-aggregate pass over the table — adding a check adds a
+  * column to the same aggregate, not a scan. Only checks that are
+  * genuinely relational cost more: uniqueness is one groupBy on the key
+  * (count of over-represented keys), referential integrity is one
+  * anti-join against the parent (orphan count). Each emits a 1-row
+  * frame; the union is check-count-sized.
+  */
+object DataQuality {
+
+  /** Expectation suite for the lineitem/orders pair: column checks in
+    * one pass + key uniqueness + FK orphan count. */
+  def lineitemExpectations(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val cols = lineitem.select(
+      count(lit(1)).as("row_count"),
+      sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("null_orderkey"),
+      sum(when(col("l_quantity") < 1.0 || col("l_quantity") > 50.0, 1L).otherwise(0L))
+        .as("qty_out_of_range"),
+      sum(when(col("l_discount") < 0.0 || col("l_discount") > 0.1, 1L).otherwise(0L))
+        .as("disc_out_of_range"),
+      sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L).otherwise(0L))
+        .as("bad_returnflag"),
+      sum(when(col("l_extendedprice") <= 0.0, 1L).otherwise(0L))
+        .as("nonpositive_price"))
+    val checks = cols.select(
+      struct(lit("row_count_min_1").as("check_name"), col("row_count").as("observed"),
+        (col("row_count") >= 1L).as("passed")).as("r1"),
+      struct(lit("not_null_l_orderkey").as("check_name"), col("null_orderkey").as("observed"),
+        (col("null_orderkey") === 0L).as("passed")).as("r2"),
+      struct(lit("range_l_quantity_1_50").as("check_name"), col("qty_out_of_range").as("observed"),
+        (col("qty_out_of_range") === 0L).as("passed")).as("r3"),
+      struct(lit("range_l_discount_0_0.1").as("check_name"), col("disc_out_of_range").as("observed"),
+        (col("disc_out_of_range") === 0L).as("passed")).as("r4"),
+      struct(lit("accepted_l_returnflag_ANR").as("check_name"), col("bad_returnflag").as("observed"),
+        (col("bad_returnflag") === 0L).as("passed")).as("r5"),
+      struct(lit("positive_l_extendedprice").as("check_name"), col("nonpositive_price").as("observed"),
+        (col("nonpositive_price") === 0L).as("passed")).as("r6"))
+      .select(explode(array(col("r1"), col("r2"), col("r3"), col("r4"), col("r5"), col("r6"))).as("c"))
+      .select(col("c.check_name"), col("c.observed"), col("c.passed"))
+    val dupKeys = lineitem.groupBy("l_orderkey", "l_linenumber")
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1L)
+      .agg(count(lit(1)).as("observed"))
+      .select(lit("unique_l_orderkey_l_linenumber").as("check_name"),
+        col("observed"), (col("observed") === 0L).as("passed"))
+    val orphans = lineitem.select(col("l_orderkey"))
+      .join(orders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("observed"))
+      .select(lit("fk_l_orderkey_in_orders").as("check_name"),
+        col("observed"), (col("observed") === 0L).as("passed"))
+    checks.unionByName(dupKeys).unionByName(orphans).orderBy("check_name")
+  }
+}

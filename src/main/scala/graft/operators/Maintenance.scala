@@ -34,4 +34,34 @@ object Maintenance {
       .write.mode("errorifexists").parquet(destDir)
     CompactionStats(ParquetMeta.dirFileCount(srcDir), ParquetMeta.dirFileCount(destDir), rows)
   }
+
+  /** Incremental aggregate-view maintenance: merge a new batch's partial
+    * aggregate STATE into the existing materialized state without
+    * rescanning the base data — the delta pattern that makes daily
+    * aggregates over a 100 TB fact table cost O(batch), not O(history).
+    * Works because count/sum are mergeable (avg and friends derive from
+    * them at READ time); the merge is one key-aligned full-outer join of
+    * two aggregate-sized tables.
+    *
+    * State schema: (key, n BIGINT, s DOUBLE). `aggState` builds it from
+    * raw rows; `mergeState` combines two states; `readView` derives the
+    * user-facing view (count, rounded sum, derived avg).
+    */
+  def aggState(rows: org.apache.spark.sql.DataFrame, key: String, valueCol: String)
+      : org.apache.spark.sql.DataFrame =
+    rows.groupBy(key).agg(count(lit(1)).as("n"), sum(col(valueCol)).as("s"))
+
+  def mergeState(base: org.apache.spark.sql.DataFrame, delta: org.apache.spark.sql.DataFrame,
+                 key: String): org.apache.spark.sql.DataFrame =
+    base.select(col(key), col("n").as("n_a"), col("s").as("s_a"))
+      .join(delta.select(col(key), col("n").as("n_b"), col("s").as("s_b")), Seq(key), "full_outer")
+      .select(col(key),
+        (coalesce(col("n_a"), lit(0L)) + coalesce(col("n_b"), lit(0L))).as("n"),
+        (coalesce(col("s_a"), lit(0.0)) + coalesce(col("s_b"), lit(0.0))).as("s"))
+
+  def readView(state: org.apache.spark.sql.DataFrame, key: String)
+      : org.apache.spark.sql.DataFrame =
+    state.select(col(key), col("n"), round(col("s"), 2).as("total"),
+        round(col("s") / col("n"), 4).as("avg_value"))
+      .orderBy(key)
 }

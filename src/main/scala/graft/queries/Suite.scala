@@ -672,6 +672,23 @@ object Suite {
     Graph.pageRank(Graph.tradeEdges(t(s, dir, "orders"), t(s, dir, "lineitem")), iters = 5)
       .select(col("node"), col("rank_norm"))
 
+  /** Data-quality expectation suite over lineitem⋈orders. */
+  def dqExpectations(s: SparkSession, dir: String): DataFrame =
+    DataQuality.lineitemExpectations(t(s, dir, "lineitem"), t(s, dir, "orders"))
+
+  /** Incremental aggregate-view maintenance: the orders table split into
+    * "history" (o_orderkey%5≠0) and "new batch" (%5=0) states, merged
+    * WITHOUT rescanning history; the oracle recomputes from the full
+    * table — merge-equals-recompute is the operator's contract. */
+  def maintIncrAgg(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val base = Maintenance.aggState(o.filter(col("o_orderkey") % 5 =!= 0),
+      "o_orderstatus", "o_totalprice")
+    val delta = Maintenance.aggState(o.filter(col("o_orderkey") % 5 === 0),
+      "o_orderstatus", "o_totalprice")
+    Maintenance.readView(Maintenance.mergeState(base, delta, "o_orderstatus"), "o_orderstatus")
+  }
+
   def evtTransitions(s: SparkSession, dir: String): DataFrame =
     Events.transitionMatrix(t(s, dir, "events"))
 

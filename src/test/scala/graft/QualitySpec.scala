@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{DataQuality, Maintenance}
+
+class QualitySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("mergeState: merging disjoint partial states equals a full recompute") {
+    val rows = Seq(
+      ("O", 10.0), ("O", 20.0), ("F", 5.0), ("F", 7.0), ("P", 100.0))
+      .toDF("k", "v")
+    // split so key P exists only in the delta (full-outer merge path)
+    val base = Maintenance.aggState(rows.filter(col("v") < 50.0), "k", "v")
+    val delta = Maintenance.aggState(rows.filter(col("v") >= 50.0), "k", "v")
+    val merged = Maintenance.readView(Maintenance.mergeState(base, delta, "k"), "k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val full = Maintenance.readView(Maintenance.aggState(rows, "k", "v"), "k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(merged.toSeq == full.toSeq)
+    assert(merged.toSeq.contains(("P", 1L, 100.0, 100.0)))
+  }
+
+  test("expectations: planted violations are counted, clean checks pass") {
+    val li = Seq(
+      // (orderkey, linenumber, qty, discount, returnflag, price)
+      (1L, 1L, 10.0, 0.05, "A", 100.0),
+      (1L, 2L, 99.0, 0.05, "N", 100.0), // qty out of range
+      (2L, 1L, 10.0, 0.50, "X", 100.0), // discount OOR + bad returnflag
+      (2L, 1L, 10.0, 0.05, "R", 100.0), // duplicate (2,1) key
+      (9L, 1L, 10.0, 0.05, "R", 100.0)) // orphan order 9
+      .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag", "l_extendedprice")
+    val orders = Seq(1L, 2L).toDF("o_orderkey")
+    val out = DataQuality.lineitemExpectations(li, orders).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out("row_count_min_1") == ((5L, true)))
+    assert(out("not_null_l_orderkey") == ((0L, true)))
+    assert(out("range_l_quantity_1_50") == ((1L, false)))
+    assert(out("range_l_discount_0_0.1") == ((1L, false)))
+    assert(out("accepted_l_returnflag_ANR") == ((1L, false)))
+    assert(out("positive_l_extendedprice") == ((0L, true)))
+    assert(out("unique_l_orderkey_l_linenumber") == ((1L, false))) // one over-represented key
+    assert(out("fk_l_orderkey_in_orders") == ((1L, false))) // the order-9 row
+    assert(out.size == 8)
+  }
+}
