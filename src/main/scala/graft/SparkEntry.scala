@@ -126,6 +126,7 @@ object SparkEntry {
     "maint_incr_agg" -> (Suite.maintIncrAgg _),
     "graph_pagerank" -> (Suite.graphPagerank _),
     "graph_triangles" -> (Suite.graphTriangles _),
+    "graph_khops" -> (Suite.graphKhops _),
     "text_bm25" -> (Suite.textBm25 _),
     "text_shared_spans" -> (Suite.textSharedSpans _),
     "text_bpe_train" -> (Suite.textBpeTrain _),
@@ -200,6 +201,28 @@ object SparkEntry {
       s"SELECT CAST($k AS BIGINT) AS merge_idx, pair, CAST(c AS BIGINT) AS cnt FROM b$k")
       .mkString("\n UNION ALL ")
     s"$head$its\nSELECT * FROM (\n $rows)\nORDER BY merge_idx"
+  }
+
+  /** Generated k-hop BFS oracle: each round expands the newest frontier
+    * through the edge table and min-combines — the identical relational
+    * recurrence as Graph.kHopDistances, unrolled. */
+  private def khopsSql(k: Int): String = {
+    val head =
+      """WITH cs AS (SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst FROM cs UNION SELECT dst, src FROM cs),
+        |d0 AS (SELECT DISTINCT c_custkey*2 AS node, CAST(0 AS BIGINT) AS dist
+        |  FROM customer WHERE c_custkey % 100 = 0)""".stripMargin
+    val its = (1 to k).map { i =>
+      s""",
+         |d$i AS (SELECT node, min(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, CAST($i AS BIGINT) AS dist
+         |    FROM e JOIN d${i - 1} p ON p.node = e.src AND p.dist = ${i - 1})
+         |  GROUP BY node)""".stripMargin
+    }.mkString
+    head + its + s"\nSELECT node, dist FROM d$k ORDER BY node"
   }
 
   /** DuckDB oracle SQL; keys omitted here get a rows-only check. */
@@ -762,6 +785,7 @@ object SparkEntry {
         |WHERE abs((value - mu)/sd) > 3.0
         |ORDER BY event_id""".stripMargin,
     "graph_pagerank" -> pagerankSql(5),
+    "graph_khops" -> khopsSql(3),
     // triangles: id-ordered enumeration here vs degree-ordered in Spark —
     // the same unordered triangle set either way, each found once
     "graph_triangles" ->

@@ -75,6 +75,33 @@ object Graph {
       .orderBy("node")
   }
 
+  /** Minimum hop distance from a seed set, bounded at `k` hops — BFS as
+    * iterated relational algebra. Each round expands ONLY the newest
+    * frontier (nodes first reached last round) through the edge table
+    * and min-combines with the accumulated distances: one equi-join +
+    * one aggregate per round, lineage truncated with the lazy
+    * localCheckpoint idiom. Nodes never reached within k hops are
+    * absent (not ∞ rows — at 100 TB the unreachable set dwarfs the
+    * reachable one).
+    */
+  def kHopDistances(edgesIn: DataFrame, seeds: DataFrame, k: Int = 3): DataFrame = {
+    val edges = edgesIn.select(col("src"), col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+    var dist = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    for (i <- 1 to k) {
+      val frontier = dist.filter(col("dist") === (i - 1).toLong)
+      val reached = frontier.join(edges, frontier("node") === edges("src"))
+        .select(col("dst").as("node"), lit(i.toLong).as("dist"))
+      dist = dist.unionByName(reached)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint(false) // lazy: materialized by the next round
+    }
+    edges.unpersist()
+    dist.orderBy("node")
+  }
+
   /** Per-node triangle counts via degree-ordered edge orientation — the
     * provably-bounded distributed formulation (wedges from a node are
     * pairs of its HIGHER-degree out-neighbors, so out-degree is O(√m)

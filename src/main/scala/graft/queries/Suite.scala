@@ -666,6 +666,15 @@ object Suite {
   def graphTriangles(s: SparkSession, dir: String): DataFrame =
     Graph.triangleCounts(Graph.coPurchaseEdges(t(s, dir, "lineitem")))
 
+  /** 3-hop BFS distances on the trade graph from the custkey%100==0
+    * customer nodes; oracle = the same frontier expansion unrolled. */
+  def graphKhops(s: SparkSession, dir: String): DataFrame = {
+    val edges = Graph.tradeEdges(t(s, dir, "orders"), t(s, dir, "lineitem"))
+    val seeds = t(s, dir, "customer").filter(col("c_custkey") % 100 === 0)
+      .select((col("c_custkey") * 2).as("node"))
+    Graph.kHopDistances(edges, seeds, k = 3)
+  }
+
   /** Five PageRank rounds over the customer↔supplier trade graph; the
     * oracle replays the identical iterations as unrolled CTEs. */
   def graphPagerank(s: SparkSession, dir: String): DataFrame =

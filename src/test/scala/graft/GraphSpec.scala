@@ -38,6 +38,25 @@ class GraphSpec extends SparkTestBase {
     assert(math.abs(out(2L) - ((1.0 - 0.85) / 3 + 0.85 * (0.05 + 0.85 * 2.0 / 3))) < 1e-12)
   }
 
+  test("kHopDistances: chain graph — min distance wins, horizon cuts off") {
+    // 1→2→3→4→5 plus shortcut 1→4; seeds {1}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val out = Graph.kHopDistances(edges, seeds, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 4 is reachable in 1 via the shortcut (not 3); 5 in 2 through it;
+    // node 3 at dist 2; nothing beyond the k=2 horizon is emitted
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 2L))
+  }
+
+  test("kHopDistances: seed set distances dominate, disconnected nodes absent") {
+    val edges = Seq((1L, 2L), (2L, 1L), (8L, 9L)).toDF("src", "dst")
+    val seeds = Seq(1L, 2L).toDF("node")
+    val out = Graph.kHopDistances(edges, seeds, k = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L)) // both seeds stay 0; 8/9 unreachable
+  }
+
   test("triangleCounts: hand-built graph, each triangle credited once per corner") {
     // triangles {1,2,3} and {2,3,4}; edge (1,5) is in no triangle
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (1L, 5L))
