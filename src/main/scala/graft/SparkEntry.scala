@@ -124,12 +124,16 @@ object SparkEntry {
     "evt_transitions" -> (Suite.evtTransitions _),
     "dq_expectations" -> (Suite.dqExpectations _),
     "maint_incr_agg" -> (Suite.maintIncrAgg _),
+    "maint_merge" -> (Suite.maintMerge _),
+    "maint_idempotent" -> (Suite.maintIdempotent _),
     "graph_pagerank" -> (Suite.graphPagerank _),
     "graph_triangles" -> (Suite.graphTriangles _),
     "graph_khops" -> (Suite.graphKhops _),
     "text_bm25" -> (Suite.textBm25 _),
     "text_shared_spans" -> (Suite.textSharedSpans _),
+    "text_scrub_spans" -> (Suite.textScrubSpans _),
     "text_bpe_train" -> (Suite.textBpeTrain _),
+    "text_bpe_encode" -> (Suite.textBpeEncode _),
     "evt_props" -> (Suite.evtProps _),
     "evt_asof_join" -> (Suite.evtAsofJoin _),
     "evt_range_join" -> (Suite.evtRangeJoin _),
@@ -181,7 +185,9 @@ object SparkEntry {
     * the same total order as the Spark loop; replace() scans
     * left-to-right non-overlapping in both engines, which IS BPE's
     * greedy merge order). */
-  private def bpeTrainSql(merges: Int): String = {
+  /** Shared BPE training CTE chain (t0/w0 + p_k/b_k/w_k per round) —
+    * the common prefix of the train and encode oracles. */
+  private def bpeCtes(merges: Int): String = {
     val head =
       s"""WITH t0 AS (SELECT unnest($toksSql) AS term FROM documents),
          |w0 AS (SELECT ' ' || trim(regexp_replace(term, '(.)', '\\1 ', 'g')) || ' ' AS sym,
@@ -197,10 +203,36 @@ object SparkEntry {
          |w$k AS (SELECT replace(sym, ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' ') AS sym,
          |    cnt FROM w${k - 1} CROSS JOIN b$k b)""".stripMargin
     }.mkString
+    head + its
+  }
+
+  private def bpeTrainSql(merges: Int): String = {
     val rows = (1 to merges).map(k =>
       s"SELECT CAST($k AS BIGINT) AS merge_idx, pair, CAST(c AS BIGINT) AS cnt FROM b$k")
       .mkString("\n UNION ALL ")
-    s"$head$its\nSELECT * FROM (\n $rows)\nORDER BY merge_idx"
+    s"${bpeCtes(merges)}\nSELECT * FROM (\n $rows)\nORDER BY merge_idx"
+  }
+
+  /** Generated BPE-encode oracle: replay training (shared CTEs), then
+    * apply each learned merge in rank order to the DISTINCT words table
+    * (e0..e_k chain — the same left-to-right replace), join the
+    * per-word symbol counts back to the token stream, aggregate per
+    * doc. */
+  private def bpeEncodeSql(merges: Int): String = {
+    val enc0 =
+      """,
+        |e0 AS (SELECT term, ' ' || trim(regexp_replace(term, '(.)', '\1 ', 'g')) || ' ' AS sym
+        |  FROM (SELECT DISTINCT term FROM t0))""".stripMargin
+    val encs = (1 to merges).map { k =>
+      s""",
+         |e$k AS (SELECT term, replace(sym, ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' ') AS sym
+         |  FROM e${k - 1} CROSS JOIN b$k b)""".stripMargin
+    }.mkString
+    s"""${bpeCtes(merges)}$enc0$encs,
+       |n AS (SELECT term, len(string_split(trim(sym), ' ')) AS n_sym FROM e$merges),
+       |tk AS (SELECT doc_id, unnest($toksSql) AS term FROM documents)
+       |SELECT doc_id, count(*) AS n_words, CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens
+       |FROM tk JOIN n USING (term) GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** Generated k-hop BFS oracle: each round expands the newest frontier
@@ -759,6 +791,40 @@ object SparkEntry {
         | round(sum(o_totalprice), 2) AS total,
         | round(sum(o_totalprice) / count(*), 4) AS avg_value
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // idempotent reload: the oracle is the SINGLE load — if the replayed
+    // click batch had appended instead of replaced, n would double
+    "maint_idempotent" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // CDC merge: arg_max replays Spark's max_by latest-wins; price math
+    // is the same IEEE add on both engines so doubles match bitwise
+    "maint_merge" ->
+      """WITH b AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 < 8),
+        |ch AS (
+        |  SELECT o_orderkey, 1 AS seq, 'U' AS op, o_custkey, o_orderstatus,
+        |         o_totalprice + 1.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey, 2, 'U', o_custkey, 'R', o_totalprice + 2.0
+        |  FROM orders WHERE o_orderkey % 100 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey, 1, 'D', o_custkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 7
+        |  UNION ALL
+        |  SELECT o_orderkey, 1, 'U', o_custkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 8),
+        |latest AS (
+        |  SELECT o_orderkey, arg_max(op, seq) AS op, arg_max(o_custkey, seq) AS ck,
+        |         arg_max(o_orderstatus, seq) AS st, arg_max(o_totalprice, seq) AS pr
+        |  FROM ch GROUP BY o_orderkey)
+        |SELECT coalesce(b.o_orderkey, latest.o_orderkey) AS o_orderkey,
+        |  CASE WHEN op IS NOT NULL THEN ck ELSE b.o_custkey END AS o_custkey,
+        |  CASE WHEN op IS NOT NULL THEN st ELSE b.o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN op IS NOT NULL THEN pr ELSE b.o_totalprice END AS o_totalprice
+        |FROM b FULL OUTER JOIN latest ON b.o_orderkey = latest.o_orderkey
+        |WHERE coalesce(op, 'U') <> 'D'
+        |ORDER BY o_orderkey""".stripMargin,
     // transitions: order by µs-truncated ts both sides (raw ns order
     // could disagree with Spark's normalized µs + event_id tie-break)
     "evt_transitions" ->
@@ -797,6 +863,7 @@ object SparkEntry {
         |n AS (SELECT unnest([a, b, c]) AS node FROM tri)
         |SELECT node, count(*) AS n_tri FROM n GROUP BY node ORDER BY node""".stripMargin,
     "text_bpe_train" -> bpeTrainSql(10),
+    "text_bpe_encode" -> bpeEncodeSql(10),
     // shared spans: grams join on STRINGS here vs xxhash64 values in
     // Spark — identical unless xxhash64 collides in-corpus (the
     // text_decontam caveat); DuckDB sum(BIGINT)→HUGEINT is cast back
@@ -816,6 +883,41 @@ object SparkEntry {
          |SELECT f.doc_id, CAST(n - 9 AS BIGINT) AS n_windows,
          |  coalesce(n_shared, 0) AS n_shared, coalesce(max_run, 0) AS max_run
          |FROM f LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // scrub: same string-gram-vs-xxhash64 caveat as text_shared_spans;
+    // md5(coalesce(...,'')) covers the fully-scrubbed-doc edge where
+    // string_agg over zero survivors is NULL but Spark's array_join of
+    // an empty array is ''
+    "text_scrub_spans" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |f AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 10),
+         |g AS (SELECT doc_id, pos, array_to_string(toks[pos:pos+9], ' ') AS gram
+         |  FROM (SELECT doc_id, toks, unnest(generate_series(1, n - 9)) AS pos FROM f)),
+         |dup AS (SELECT gram FROM (
+         |    SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram)
+         |  WHERE nd >= 2),
+         |s AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+         |r AS (SELECT doc_id, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM s),
+         |iv AS (SELECT doc_id, min(pos) AS a, max(pos) + 9 AS b FROM r GROUP BY doc_id, grp),
+         |cov AS (SELECT DISTINCT doc_id, tpos FROM (
+         |    SELECT doc_id, unnest(generate_series(a, b)) AS tpos FROM iv)),
+         |aff AS (SELECT DISTINCT doc_id FROM cov),
+         |tk AS (SELECT doc_id, tpos, toks[tpos] AS tok FROM (
+         |    SELECT f.doc_id, f.toks, unnest(generate_series(1, f.n)) AS tpos
+         |    FROM f JOIN aff USING (doc_id))),
+         |reb AS (SELECT tk.doc_id, count(*) AS n_tokens,
+         |    count(CASE WHEN cov.tpos IS NOT NULL THEN 1 END) AS n_removed,
+         |    md5(coalesce(string_agg(CASE WHEN cov.tpos IS NULL THEN tok END,
+         |      ' ' ORDER BY tk.tpos), '')) AS scrubbed_md5
+         |  FROM tk LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.tpos = cov.tpos
+         |  GROUP BY tk.doc_id)
+         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(0 AS BIGINT) AS n_removed,
+         |  md5(array_to_string(toks, ' ')) AS scrubbed_md5
+         |FROM t WHERE doc_id NOT IN (SELECT doc_id FROM aff)
+         |UNION ALL
+         |SELECT doc_id, n_tokens, n_removed, scrubbed_md5 FROM reb
+         |ORDER BY doc_id""".stripMargin,
     // BM25: double literals (1e0/0.5e0/...) keep DuckDB in IEEE double
     // arithmetic; avgdl is exact both sides (integer sums below 2^53),
     // the scored sum is a float aggregate → round(,4) per the gate rules

@@ -64,4 +64,50 @@ object Maintenance {
     state.select(col(key), col("n"), round(col("s"), 2).as("total"),
         round(col("s") / col("n"), 4).as("avg_value"))
       .orderBy(key)
+
+  /** Idempotent partitioned load — the exactly-once BATCH sink. Writing
+    * with DYNAMIC partition overwrite makes a load replace exactly the
+    * partitions its batch touches and nothing else, so re-running a
+    * batch after a partial failure (the routine 1000-executor incident)
+    * converges to the same table instead of duplicating rows. This is
+    * the batch twin of the streaming checkpoint story: retries are
+    * free because the write is a partition-valued PUT, not an append.
+    * Scoped via a writer OPTION, not session config — concurrent loads
+    * with other overwrite modes are unaffected.
+    */
+  def idempotentLoad(df: DataFrame, destDir: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(destDir)
+
+  /** CDC MERGE — fold a change batch into a keyed base table (the SQL
+    * `MERGE INTO` / Debezium-sink primitive; kiara's store-backed value
+    * update analogue). `changes` rows are (key, seq, op, payload...):
+    * op `"U"` upserts (update when the key exists, insert when it
+    * doesn't), op `"D"` deletes (a no-op for absent keys). When the
+    * batch carries several changes for one key the HIGHEST `seqCol`
+    * wins — the standard log-offset latest-wins rule; `seqCol` must be
+    * unique per key (ties would make the survivor engine-dependent).
+    *
+    * Scale shape: the latest-wins dedup is one BATCH-sized shuffle
+    * (`max_by` keeps it a single aggregate, no window sort), then ONE
+    * full-outer join on the key — base-side exchange-free when the base
+    * is bucketed on the key ([[graft.sources.Bucketing]]), and the
+    * batch side is the small one at 100 TB. Never O(base) beyond the
+    * single co-partitioned pass, and nothing collects.
+    */
+  def cdcMerge(base: DataFrame, changes: DataFrame, key: String, seqCol: String,
+               opCol: String, payload: Seq[String]): DataFrame = {
+    val latest = changes.groupBy(col(key)).agg(
+        max_by(struct(col(opCol).as("op") +: payload.map(col): _*), col(seqCol)).as("c"))
+      .select(col(key) +: col("c.op").as("__op") +:
+        payload.map(p => col(s"c.$p").as(s"__c_$p")): _*)
+    base.join(latest, Seq(key), "full_outer")
+      // base-only rows (__op null) pass through; matched 'D' rows — and
+      // 'D' for keys never loaded — drop
+      .filter(coalesce(col("__op"), lit("U")) =!= "D")
+      .select(col(key) +: payload.map(p =>
+        when(col("__op").isNotNull, col(s"__c_$p")).otherwise(col(p)).as(p)): _*)
+  }
 }

@@ -529,6 +529,36 @@ object TextOps {
       .orderBy("merge_idx")
   }
 
+  /** BPE ENCODING — apply a learned merge table (the [[bpeTrain]]
+    * artifact) to the corpus and report per-document token statistics:
+    * words, post-merge BPE tokens, and the character count the symbols
+    * started from. The merge list is model-sized (a tokenizer ships
+    * thousands of merges, never corpus-scaled), so it arrives as a
+    * driver-side Seq and compiles into ONE composed codegen'd
+    * `replace` chain — encoding is a single map pass over the DISTINCT
+    * words table (vocab-sized, the bpeTrain insight), then an equi-join
+    * back onto the exploded token stream and one per-doc aggregate.
+    * Merges apply in learned rank order with left-to-right
+    * non-overlapping replaces — exactly the order training applied
+    * them, so training-time segmentations reproduce.
+    *
+    * kiara analogue: applying a module-produced model value to a table
+    * (/root/reference/src/kiara/models/values/value.py).
+    */
+  def bpeEncode(docs: DataFrame, mergePairs: Seq[String]): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val sym0: org.apache.spark.sql.Column =
+      concat(lit(" "), trim(regexp_replace(col("term"), "(.)", "$1 ")), lit(" "))
+    val symN = mergePairs.foldLeft(sym0)((s, pair) =>
+      replace(s, lit(s" $pair "), lit(s" ${pair.replace(" ", "")} ")))
+    val enc = toks.select(col("term")).distinct()
+      .select(col("term"), size(split(trim(symN), " ")).cast("long").as("n_sym"))
+    toks.join(enc, "term")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
   // ---- Exact shared-span detection --------------------------------------
 
   /** Exact substring-duplication profile (the detection half of Lee et
@@ -580,6 +610,63 @@ object TextOps {
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
         coalesce(col("max_run"), lit(0L)).as("max_run"))
       .orderBy("doc_id")
+  }
+
+  /** Exact substring-duplication REMOVAL — the scrub half of Lee et
+    * al.'s exact substring dedup ([[sharedSpans]] is the detection
+    * half): every token covered by a cross-doc duplicated k-token
+    * window (in a run of at least `minRun` consecutive windows) is cut,
+    * survivors reassemble in order. Output per doc: token count, tokens
+    * removed, and the md5 of the scrubbed (token-normalized) text.
+    *
+    * Scale shape — the rewrite cost is O(affected docs), not O(corpus):
+    * documents with NO duplicated window never explode or rebuild;
+    * their hash is a row-local map stage. Only flagged docs take the
+    * explode → covered-interval anti-join → ordered-rebuild path, and
+    * the duplicated-gram set driving it is persisted per the self-join
+    * rule. Consecutive shared windows merge into intervals BEFORE the
+    * per-token explode, so coverage is enumerated once per covered
+    * token (adjacent runs closer than k overlap — distinct() collapses
+    * the seam).
+    */
+  def scrubSharedSpans(docs: DataFrame, k: Int = 10, minDocs: Int = 2,
+                       minRun: Int = 1): DataFrame = {
+    import org.apache.spark.sql.graftext.Shingles
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val toksD = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val withWin = toksD.filter(size(col("toks")) >= k)
+    val pos = withWin.select(col("doc_id"),
+      posexplode(Shingles.gramHashes(col("toks"), k)).as(Seq("pos", "h")))
+    val dup = pos.groupBy("h").agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs).select(col("h")).persist(mem)
+    val shared = pos.join(dup, Seq("h"), "leftsemi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val covered = shared
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("start"), (max(col("pos")) + k - 1).as("end"),
+        count(lit(1)).as("run"))
+      .filter(col("run") >= minRun)
+      .select(col("doc_id"), explode(sequence(col("start"), col("end"))).as("tpos"))
+      .distinct()
+      .persist(mem)
+    val affected = covered.select(col("doc_id")).distinct()
+    val rebuilt = withWin.join(affected, Seq("doc_id"), "leftsemi")
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("tpos", "tok")))
+      .join(covered.withColumn("__cov", lit(1)), Seq("doc_id", "tpos"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("__cov").isNotNull, 1)).as("n_removed"),
+        sort_array(collect_list(when(col("__cov").isNull,
+          struct(col("tpos"), col("tok"))))).as("ordered"))
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        md5(array_join(col("ordered.tok"), " ")).as("scrubbed_md5"))
+    val untouched = toksD.join(affected, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        lit(0L).as("n_removed"),
+        md5(concat_ws(" ", col("toks"))).as("scrubbed_md5"))
+    untouched.unionByName(rebuilt).orderBy("doc_id")
   }
 
   // ---- BM25 retrieval scoring -------------------------------------------

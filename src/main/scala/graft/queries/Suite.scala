@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables.t
@@ -642,12 +642,28 @@ object Suite {
   def textBpeTrain(s: SparkSession, dir: String): DataFrame =
     TextOps.bpeTrain(t(s, dir, "documents"))
 
+  /** Train ten merges, then ENCODE the corpus with them — per-doc word
+    * and BPE-token counts. The merge-table collect is the bounded model
+    * artifact (ten rows here; thousands for a production tokenizer),
+    * never corpus-scaled. */
+  def textBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = TextOps.bpeTrain(docs, 10).collect().map(_.getString(1)).toIndexedSeq
+    TextOps.bpeEncode(docs, pairs)
+  }
+
   /** Exact shared-span profile over the raw corpus — the natural near-dup
     * pairs in the synthetic documents (see dedup_sorted_nbr) carry long
     * verbatim shared passages, so n_shared/max_run are non-trivially
     * populated without planting. */
   def textSharedSpans(s: SparkSession, dir: String): DataFrame =
     TextOps.sharedSpans(t(s, dir, "documents"))
+
+  /** The removal half of exact substring dedup over the same corpus:
+    * tokens under cross-doc duplicated 10-token windows cut, scrubbed
+    * text md5-checked. Unaffected docs never explode. */
+  def textScrubSpans(s: SparkSession, dir: String): DataFrame =
+    TextOps.scrubSharedSpans(t(s, dir, "documents"))
 
   /** BM25 retrieval: queries are the first 8 tokens of every doc_id%97
     * doc, so each query's own source document is a guaranteed strong hit
@@ -696,6 +712,49 @@ object Suite {
     val delta = Maintenance.aggState(o.filter(col("o_orderkey") % 5 === 0),
       "o_orderstatus", "o_totalprice")
     Maintenance.readView(Maintenance.mergeState(base, delta, "o_orderstatus"), "o_orderstatus")
+  }
+
+  /** Exactly-once reload: full load, then REPLAY one partition's batch
+    * (the retry-after-partial-failure case). Dynamic partition
+    * overwrite replaces instead of appending, so the final table equals
+    * the single-load oracle — an append would double the click rows and
+    * fail the gate. */
+  def maintIdempotent(s: SparkSession, dir: String): DataFrame = {
+    val dest = graft.sources.Export.tempDir("graft_idem_").toString + "/d"
+    val e = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    Maintenance.idempotentLoad(e, dest, Seq("event_type"))
+    Maintenance.idempotentLoad(e.filter(col("event_type") === "click"),
+      dest, Seq("event_type"))
+    s.read.parquet(dest)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  /** CDC MERGE gate query: the change batch is derived deterministically
+    * from orders itself — keys %10∈{8,9} start unloaded, %10=3 get a
+    * price bump (and %100=3 a SECOND, higher-seq change so latest-wins
+    * is exercised), %10=7 are deleted, %10=8 arrive as inserts. The
+    * oracle replays the same merge declaratively via arg_max. */
+  def maintMerge(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val base = o.filter(col("o_orderkey") % 10 < 8)
+    def ch(pred: Column, seq: Long, op: String, status: Column, price: Column) =
+      o.filter(pred).select(col("o_orderkey"), lit(seq).as("seq"), lit(op).as("op"),
+        col("o_custkey"), status.as("o_orderstatus"), price.as("o_totalprice"))
+    val changes = ch(col("o_orderkey") % 10 === 3, 1L, "U",
+        col("o_orderstatus"), col("o_totalprice") + 1.0d)
+      .unionByName(ch(col("o_orderkey") % 100 === 3, 2L, "U",
+        lit("R"), col("o_totalprice") + 2.0d))
+      .unionByName(ch(col("o_orderkey") % 10 === 7, 1L, "D",
+        col("o_orderstatus"), col("o_totalprice")))
+      .unionByName(ch(col("o_orderkey") % 10 === 8, 1L, "U",
+        col("o_orderstatus"), col("o_totalprice")))
+    Maintenance.cdcMerge(base, changes, "o_orderkey", "seq", "op",
+        Seq("o_custkey", "o_orderstatus", "o_totalprice"))
+      .orderBy("o_orderkey")
   }
 
   def evtTransitions(s: SparkSession, dir: String): DataFrame =

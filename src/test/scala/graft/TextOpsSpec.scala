@@ -128,6 +128,56 @@ class TextOpsSpec extends SparkTestBase {
     assert(out.toSeq == Seq((1L, "x a", 3L), (2L, "a b", 1L), (3L, "xa b", 1L)))
   }
 
+  test("bpeEncode: hand-traced segmentation under learned merges") {
+    val d = Seq((1L, "aaab aaab ab"), (2L, "ba")).toDF("doc_id", "text")
+    // merges learned on doc 1's trace (see bpeTrain spec): a·a, a·b, aa·ab
+    val pairs = Seq("a a", "a b", "aa ab")
+    val rows = TextOps.bpeEncode(d, pairs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    // doc 1: 'aaab' → ' aa a b ' → ' aa ab ' → ' aaab ' (1 sym) ×2,
+    //   'ab' → ' ab ' (1 sym): 3 words, 3 bpe tokens
+    assert(rows(1L) == ((3L, 3L)))
+    // doc 2: 'ba' has no applicable merge → 2 char symbols
+    assert(rows(2L) == ((1L, 2L)))
+  }
+
+  test("scrubSharedSpans: shared passage cut, unique docs untouched") {
+    val shared = (1 to 12).map(i => s"common$i").mkString(" ") // 12 tokens
+    val d = Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"one two three $shared four"),
+      (3L, "totally unique text with nothing shared at all here ok yes"))
+      .toDF("doc_id", "text")
+    val out = TextOps.scrubSharedSpans(d, k = 10, minDocs = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // the 12 shared tokens produce 3 windows (12-10+1) in each doc, all
+    // duplicated → one run covering exactly the 12 shared positions
+    assert(out(1L)._1 == 16L && out(1L)._2 == 12L)
+    assert(out(2L)._1 == 16L && out(2L)._2 == 12L)
+    assert(out(3L)._2 == 0L)
+    // survivors are the doc-unique tokens, in order
+    val expect1 = java.security.MessageDigest.getInstance("MD5")
+      .digest("alpha beta gamma delta".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out(1L)._3 == expect1)
+  }
+
+  test("scrubSharedSpans: doc below the window size passes through") {
+    val d = Seq((1L, "short text"), (2L, "short text")).toDF("doc_id", "text")
+    val out = TextOps.scrubSharedSpans(d, k = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L)) // no 10-token window exists
+  }
+
+  test("bpeEncode: merges apply in rank order, boundary-anchored") {
+    // word 'xab': r1 'x a' → ' xa b ', then 'a b' must NOT fire inside
+    // (no ' a ' boundary remains); final = 2 symbols
+    val d = Seq((1L, "xab")).toDF("doc_id", "text")
+    val rows = TextOps.bpeEncode(d, Seq("x a", "a b")).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(rows(1L) == ((1L, 2L)))
+  }
+
   test("gramHashes expression is bit-identical to the positional HOF chain") {
     val d = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
