@@ -126,6 +126,7 @@ object SparkEntry {
     "maint_incr_agg" -> (Suite.maintIncrAgg _),
     "maint_merge" -> (Suite.maintMerge _),
     "maint_idempotent" -> (Suite.maintIdempotent _),
+    "mix_weighted" -> (Suite.mixWeighted _),
     "graph_pagerank" -> (Suite.graphPagerank _),
     "graph_triangles" -> (Suite.graphTriangles _),
     "graph_khops" -> (Suite.graphKhops _),
@@ -791,6 +792,17 @@ object SparkEntry {
         | round(sum(o_totalprice), 2) AS total,
         | round(sum(o_totalprice) / count(*), 4) AS avg_value
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // weighted sampling: max-of-w md5 draws IS u^(1/w) (A-Res), ranked
+    // as hex strings — no float anywhere, so the sets match exactly
+    "mix_weighted" ->
+      """WITH w AS (SELECT doc_id, lang, n_chars,
+        |    least(4, 1 + n_chars // 2000) AS wt FROM documents),
+        |d AS (SELECT doc_id, max(md5(doc_id || ':' || i)) AS draw_key
+        |  FROM (SELECT doc_id, wt, unnest(generate_series(1, wt)) AS i FROM w)
+        |  GROUP BY doc_id),
+        |top AS (SELECT doc_id, draw_key FROM d ORDER BY draw_key DESC, doc_id LIMIT 100)
+        |SELECT w.doc_id, lang, n_chars, draw_key FROM w JOIN top USING (doc_id)
+        |ORDER BY draw_key DESC, doc_id""".stripMargin,
     // idempotent reload: the oracle is the SINGLE load — if the replayed
     // click batch had appended instead of replaced, n would double
     "maint_idempotent" ->

@@ -69,4 +69,37 @@ object Mixture {
     df.withColumn("sample_rank", row_number().over(w).cast("long"))
       .filter(col("sample_rank") <= n)
   }
+
+  /** Deterministic WEIGHTED sampling without replacement — importance
+    * sampling for data mixing ("upsample the high-quality tier"), the
+    * third leg next to hashMixture (fixes the RATE) and groupSample
+    * (fixes the COUNT per group): fixes the count GLOBALLY with
+    * per-row selection probability monotone in an integer weight.
+    *
+    * Exact Efraimidis–Spirakis semantics for integer weights, with no
+    * float anywhere: an item of weight w gets w independent md5 draws
+    * (hash of "key:i") and ranks by its BEST draw — max of w uniforms
+    * is distributed as u^(1/w), the A-Res key, but computed entirely in
+    * the ordered md5-hex string domain, so Spark and the DuckDB oracle
+    * rank identically with zero pow/log ULP hazard. Re-runs, appends,
+    * and engine moves keep the same sample (the hashMixture property,
+    * weighted).
+    *
+    * Scale shape: the draw explode is O(Σ weights) — cap weights to a
+    * small range (they are mixing RATIOS, not scores); one max-agg per
+    * key, then the global top-n is TakeOrderedAndProject, never a full
+    * sort. `weight` must be ≥ 1 and bounded; `key` unique per row. */
+  def weightedSample(df: DataFrame, keyCol: String, weight: Column, n: Int): DataFrame = {
+    require(n > 0, s"sample size must be positive, got $n")
+    val drawn = df
+      .select(col(keyCol), explode(sequence(lit(1), weight.cast("int"))).as("__i"))
+      .select(col(keyCol), md5(concat(col(keyCol).cast("string"), lit(":"),
+        col("__i").cast("string"))).as("__d"))
+      .groupBy(keyCol).agg(max(col("__d")).as("draw_key"))
+      .orderBy(col("draw_key").desc, col(keyCol))
+      .limit(n)
+    // n-sized winner set joins back broadcast-style for the payload
+    df.join(drawn, Seq(keyCol))
+      .orderBy(col("draw_key").desc, col(keyCol))
+  }
 }

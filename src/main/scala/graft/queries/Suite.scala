@@ -714,6 +714,14 @@ object Suite {
     Maintenance.readView(Maintenance.mergeState(base, delta, "o_orderstatus"), "o_orderstatus")
   }
 
+  /** Weighted sample of 100 docs, weight = length tier (1..4): longer
+    * docs draw proportionally more md5 "tickets"; ranking stays in the
+    * md5-hex string domain so both engines pick the identical set. */
+  def mixWeighted(s: SparkSession, dir: String): DataFrame =
+    Mixture.weightedSample(
+      t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+      "doc_id", least(lit(4), lit(1) + expr("n_chars DIV 2000")), 100)
+
   /** Exactly-once reload: full load, then REPLAY one partition's batch
     * (the retry-after-partial-failure case). Dynamic partition
     * overwrite replaces instead of appending, so the final table equals

@@ -85,4 +85,36 @@ class MixtureSpec extends SparkTestBase {
       .collect { case e: ShuffleExchangeExec => e }
     assert(shuffles.isEmpty, "split assignment must not shuffle")
   }
+
+  test("weightedSample: ranks by the max of w independent md5 draws") {
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def drawKey(k: Long, w: Int): String = (1 to w).map(i => md5hex(s"$k:$i")).max
+    val items = Seq((1L, 1), (2L, 3), (3L, 2), (4L, 4), (5L, 1))
+    val df = items.toDF("k", "w")
+    val out = Mixture.weightedSample(df, "k", col("w"), 3).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    // independent reference: same draws computed driver-side, ordered
+    // draw DESC with key ASC tie-break exactly like the operator
+    val byDrawDescKeyAsc =
+      Ordering.Tuple2(Ordering.String.reverse, Ordering.Long)
+    val expect = items.map { case (k, w) => (k, drawKey(k, w)) }
+      .sortBy { case (k, d) => (d, k) }(byDrawDescKeyAsc).take(3)
+    assert(out.toSeq == expect)
+    // every draw key is genuinely the max over that item's w tickets
+    assert(out.forall { case (k, d) => d == drawKey(k, items.toMap.apply(k).toInt) })
+  }
+
+  test("weightedSample: weight 1 everywhere degrades to the uniform hash sample") {
+    val df = spark.range(0, 500).toDF("id")
+    val viaWeighted = Mixture.weightedSample(df, "id", lit(1), 50)
+      .collect().map(_.getLong(0)).toSet
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val direct = (0L until 500L).map(i => i -> md5hex(s"$i:1"))
+      .sortBy { case (i, d) => (d, i) }(
+        Ordering.Tuple2(Ordering.String.reverse, Ordering.Long))
+      .take(50).map(_._1).toSet
+    assert(viaWeighted == direct)
+  }
 }
