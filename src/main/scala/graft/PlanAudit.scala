@@ -46,7 +46,15 @@ object PlanAudit {
     // exact set-similarity join: expect the candidate join on exploded
     // PREFIX postings (not full postings) and the verify join against
     // the persisted shingle table
-    "dedup_prefix_pairs")
+    "dedup_prefix_pairs",
+    // round 5 cont. #3: CDC merge (ONE max_by batch aggregate + ONE
+    // full-outer SMJ, no window sort), substring scrub (gram explode +
+    // one agg shuffle; rebuild only on affected docs), weighted sample
+    // (bounded ticket explode + max agg + TakeOrdered + n-sized
+    // broadcast join-back), k-hop BFS first round (frontier equi-join +
+    // min agg); graph_khops/bpe run their loops eagerly like
+    // dedup_clusters so only the relational kernels appear here
+    "maint_merge", "text_scrub_spans", "mix_weighted")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

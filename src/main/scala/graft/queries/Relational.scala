@@ -156,27 +156,17 @@ object Relational {
     * of the exact distributed sort. Registered rows-only — the sketch is
     * engine-specific — but the require() makes every run self-checking
     * against the exact answer at gate scale. */
-  def q13Approx(s: SparkSession, dir: String): DataFrame = {
-    val approx = t(s, dir, "lineitem")
+  def q13Approx(s: SparkSession, dir: String): DataFrame =
+    // approx ONLY — the whole point of the sketch is never paying the
+    // exact sort; the within-1%-of-exact accuracy claim is asserted in
+    // QueriesSmokeSpec ("q13Approx tracks the exact percentiles"), not
+    // recomputed on every production run
+    t(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
         expr("approx_percentile(l_quantity, 0.5, 10000)").as("median_qty_approx"),
         expr("approx_percentile(l_extendedprice, 0.75, 10000)").as("q75_price_approx"))
-    val exact = t(s, dir, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(expr("percentile(l_quantity, 0.5)").as("median_exact"),
-        expr("percentile(l_extendedprice, 0.75)").as("q75_exact"))
-    val joined = approx.join(exact, "l_returnflag").collect() // group-bounded
-    joined.foreach { r =>
-      val (ma, me) = (r.getDouble(1), r.getDouble(3))
-      val (qa, qe) = (r.getDouble(2), r.getDouble(4))
-      require(math.abs(ma - me) <= math.max(1.0, me * 0.01),
-        s"approx median drifted: $ma vs $me")
-      require(math.abs(qa - qe) <= math.max(1.0, qe * 0.01),
-        s"approx q75 drifted: $qa vs $qe")
-    }
-    approx.orderBy("l_returnflag")
-  }
+      .orderBy("l_returnflag")
 
   /** Exact interpolated percentiles per group (distributed sort-based). */
   def q13Percentile(s: SparkSession, dir: String): DataFrame =
