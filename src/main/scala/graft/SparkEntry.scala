@@ -31,6 +31,7 @@ object SparkEntry {
     "q12_union" -> (Relational.q12Union _),
     "q13_percentile" -> (Relational.q13Percentile _),
     "q13_approx" -> (Relational.q13Approx _),
+    "q29_rank_funcs" -> (Relational.q29RankFuncs _),
     "q28_full_outer" -> (Relational.q28FullOuter _),
     "q14_dates" -> (Relational.q14Dates _),
     "q15_strings" -> (Relational.q15Strings _),
@@ -106,6 +107,7 @@ object SparkEntry {
     // similarity (§2b rows 24-25)
     "sim_topk_exact" -> (Suite.simTopkExact _),
     "sim_quant_topk" -> (Suite.simQuantTopk _),
+    "sim_pq_topk" -> (Suite.simPqTopk _),
     "sim_ann_lsh" -> (Suite.simAnnLsh _),
     "dedup_embedding" -> (Suite.dedupEmbedding _),
     "dedup_clusters" -> (Suite.dedupClusters _),
@@ -127,6 +129,7 @@ object SparkEntry {
     "maint_merge" -> (Suite.maintMerge _),
     "maint_idempotent" -> (Suite.maintIdempotent _),
     "mix_weighted" -> (Suite.mixWeighted _),
+    "evt_trend" -> (Suite.evtTrend _),
     "graph_pagerank" -> (Suite.graphPagerank _),
     "graph_triangles" -> (Suite.graphTriangles _),
     "graph_khops" -> (Suite.graphKhops _),
@@ -145,6 +148,7 @@ object SparkEntry {
     "stream_join" -> (Suite.streamJoin _),
     "stream_left_join" -> (Suite.streamLeftJoin _),
     "stream_dedup" -> (Suite.streamDedup _),
+    "stream_upsert" -> (Suite.streamUpsert _),
     "stream_sessionize" -> (Suite.streamSessionize _),
     "stream_enrich" -> (Suite.streamEnrich _)
   )
@@ -792,6 +796,46 @@ object SparkEntry {
         | round(sum(o_totalprice), 2) AS total,
         | round(sum(o_totalprice) / count(*), 4) AS avg_value
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // streaming upsert: incremental log-ordered merge ≡ global
+    // latest-wins — arg_max over the whole change feed; last_value is a
+    // raw (unarithmetic) double so it compares bitwise
+    "stream_upsert" ->
+      """WITH ch AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) - 1704067200000000 AS seq,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    event_type AS last_type, value AS last_value FROM events),
+        |latest AS (SELECT user_id, arg_max(op, seq) AS op,
+        |    arg_max(last_type, seq) AS last_type,
+        |    arg_max(last_value, seq) AS last_value
+        |  FROM ch GROUP BY user_id)
+        |SELECT user_id, last_type, last_value FROM latest
+        |WHERE op <> 'D' ORDER BY user_id""".stripMargin,
+    // rank funcs: percent_rank/cume_dist are exact small rationals —
+    // the same IEEE division both engines, so no rounding is needed
+    "q29_rank_funcs" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS price_quartile,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drank,
+        |  percent_rank() OVER w AS prank,
+        |  cume_dist() OVER w AS cdist
+        |FROM orders WHERE o_orderkey % 7 = 0
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |  ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderstatus, drank, o_orderkey""".stripMargin,
+    // trend: identical six-sum formulation both sides (NOT regr_slope —
+    // engines may implement it differently); float aggregates → round(4)
+    "evt_trend" ->
+      """WITH e AS (SELECT event_type,
+        |    (epoch_us(CAST(ts AS TIMESTAMP)) - 1735689600000000) / 86400.0e6 AS x,
+        |    value AS y FROM events),
+        |s AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy
+        |  FROM e GROUP BY event_type)
+        |SELECT event_type, n,
+        |  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 4) AS slope,
+        |  round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 4) AS intercept,
+        |  round((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 4) AS pearson_r
+        |FROM s ORDER BY event_type""".stripMargin,
     // weighted sampling: max-of-w md5 draws IS u^(1/w) (A-Res), ranked
     // as hex strings — no float anywhere, so the sets match exactly
     "mix_weighted" ->

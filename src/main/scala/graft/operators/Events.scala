@@ -170,6 +170,38 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Per-type least-squares TREND of value over time — "is this metric
+    * drifting?" answered in ONE aggregate pass. Slope, intercept, and
+    * Pearson r all derive from the six classic running sums
+    * (n, Σx, Σy, Σx², Σxy, Σy²), which partial-aggregate map-side and
+    * merge associatively — the same mergeable-state property
+    * Maintenance.aggState exploits, so a 100 TB event log costs one
+    * scan + one dimension-sized shuffle and the regression could even
+    * be maintained incrementally. x is DAYS since 2025-01-01 UTC
+    * (integer µs arithmetic first, one double division) to keep the
+    * sums numerically tame; outputs are float aggregates → round(,4)
+    * at the edge per the oracle-parity rules.
+    */
+  def valueTrend(events: DataFrame): DataFrame = {
+    val x = (unix_micros(col("ts")) - lit(1735689600000000L)) / lit(86400.0e6)
+    val n = col("n").cast("double")
+    val varX = n * col("sxx") - col("sx") * col("sx")
+    val varY = n * col("syy") - col("sy") * col("sy")
+    val cov = n * col("sxy") - col("sx") * col("sy")
+    val slope = cov / varX
+    events
+      .select(col("event_type"), x.as("x"), col("value").as("y"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("event_type"), col("n"),
+        round(slope, 4).as("slope"),
+        round((col("sy") - slope * col("sx")) / n, 4).as("intercept"),
+        round(cov / sqrt(varX * varY), 4).as("pearson_r"))
+      .orderBy("event_type")
+  }
+
   /** Conversion funnel: users reaching each stage of
     * signup → click → purchase in STRICT temporal order (each stage's
     * event must follow the user's earliest previous-stage event).

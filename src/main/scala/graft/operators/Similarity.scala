@@ -64,6 +64,82 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Product-quantization top-k with exact re-ranking — the storage
+    * scale rung past int8 ([[quantizedTopK]]): the index keeps `m`
+    * one-byte codes per vector (64-dim float32 → 8 bytes, 32×), each
+    * code naming the nearest codeword of that subspace's codebook.
+    * Codebooks come from the IVF-style deterministic hash-stride sample
+    * (bounded collect: m·codebookSize·(dim/m) doubles); encoding is
+    * argmin-L2 via the 2·x·c − |c|² expansion (argmax of dot-based
+    * scores — the array_position idiom, row-local, one map stage).
+    * Queries (a bounded broadcast set) score against the RECONSTRUCTED
+    * codewords — flatten(codeword(code_j)) rebuilt row-locally from
+    * broadcast literals, so approximate scoring scans only the
+    * byte-code index — then the top `k·refine` candidates per query are
+    * re-ranked with TRUE embeddings (standard ADC + re-rank). Shuffle =
+    * the candidate top-k only; nothing all-pairs, nothing float stored.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
+             codebookSize: Int = 32, refine: Int = 8): DataFrame = {
+    import org.apache.spark.sql.Row
+    val dim = corpus.select(size(col("embedding"))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val d0 = dim / m
+    val n = corpus.count()
+    val step = math.max(1L, n / codebookSize)
+    def firstK(df: DataFrame): Array[Array[Double]] = df
+      .orderBy("vec_id").limit(codebookSize)
+      .select(col("embedding").cast("array<double>"))
+      .collect().map((r: Row) => r.getSeq[Double](0).toArray)
+    val sampled = firstK(corpus.filter(pmod(xxhash64(col("vec_id")), lit(step)) === 0))
+    val sample: Array[Array[Double]] =
+      if (sampled.length >= math.max(1, (codebookSize + 1) / 2)) sampled
+      else firstK(corpus)
+    // codebook[j][t] = subspace-j slice of sample vector t
+    val cb: Array[Array[Array[Double]]] =
+      Array.tabulate(sample.length)(t => sample(t).grouped(d0).toArray).transpose
+    // row-local encoding: per subspace, argmin-L2 over the codewords
+    def codeExpr(j: Int): Column = {
+      val sub = expr(s"CAST(slice(embedding, ${j * d0 + 1}, $d0) AS array<double>)")
+      val scores = array(cb(j).map { cw =>
+        val cwLit = array(cw.map(lit): _*)
+        dot(sub, cwLit) * 2.0 - lit(cw.map(x => x * x).sum)
+      }: _*)
+      (array_position(scores, array_max(scores)) - 1).cast("tinyint")
+    }
+    val codes = corpus
+      .select(col("vec_id"), array((0 until m).map(codeExpr): _*).as("codes"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the compressed index is the only thing the approximate pass scans:
+    // reconstruct each vector from its codewords row-locally
+    val recon = flatten(array((0 until m).map { j =>
+      val cbLit = array(cb(j).map(cw => array(cw.map(lit): _*)): _*)
+      element_at(cbLit, element_at(col("codes"), j + 1).cast("int") + 1)
+    }: _*))
+    val q = withNorm(
+      queries.select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qemb")),
+      "qemb", "qnorm")
+    val approx = codes
+      .select(col("vec_id").as("nid"), recon.as("remb"))
+      .crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), col("qemb"), col("qnorm"),
+        (dot(col("qemb"), col("remb")) /
+          (col("qnorm") * sqrt(dot(col("remb"), col("remb"))))).as("asim"))
+    val cands = rankTopK(
+      approx.select(col("qid"), col("nid"), col("asim").as("sim")), k * refine)
+      .select(col("vec_id").as("qid"), col("neighbor_id").as("nid"))
+    // exact re-rank touches candidates only
+    val c = withNorm(corpus.select(col("vec_id").as("nid"),
+      col("embedding").as("nemb")), "nemb", "nnorm")
+    val exact = cands
+      .join(c, "nid")
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("nid"),
+        cosinePrenormed(dot(col("qemb"), col("nemb")), col("qnorm"), col("nnorm")).as("sim"))
+    rankTopK(exact, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH-bucketed candidates
     * filtered to cosine ≥ threshold, each unordered pair once (qid < nid).
     * The dedup-by-embedding path of an LLM data pipeline — same bucket

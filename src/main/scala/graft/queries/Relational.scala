@@ -318,6 +318,27 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Ranking-function window surface: ntile (equi-depth quartiles),
+    * dense_rank, percent_rank, cume_dist over one deterministic total
+    * order per status partition — one shuffle, one sorted pass; all
+    * four functions share the SAME window, so Catalyst evaluates them
+    * in a single Window operator. The float ranks are exact small
+    * rationals (k/(n−1), k/n) — identical IEEE divisions both engines,
+    * no rounding needed. */
+  def q29RankFuncs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+        ntile(4).over(w).cast("long").as("price_quartile"),
+        dense_rank().over(w).cast("long").as("drank"),
+        percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist"))
+      .orderBy("o_orderstatus", "drank", "o_orderkey")
+  }
+
   /** Paginated render slice (kiara render_value, render_value.py:54). */
   def renderSlice(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")

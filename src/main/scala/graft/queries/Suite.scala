@@ -556,6 +556,14 @@ object Suite {
     Similarity.quantizedTopK(e, e.filter(col("vec_id") < 20), 5)
   }
 
+  /** Top-k over the 8-byte-per-vector PQ index (same query set), exact
+    * re-rank on the true embeddings; rows-only like the other ANN paths
+    * (codebooks and approximate scores are not SQL-expressible). */
+  def simPqTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.pqTopK(e, e.filter(col("vec_id") < 20), 5)
+  }
+
   /** Duplicate clusters (connected components) over THRESHOLDED near-dup
     * pairs — raw band collisions would transitively merge unrelated docs
     * (one spurious bridge chains two components), so the Jaccard-estimate
@@ -765,6 +773,9 @@ object Suite {
       .orderBy("o_orderkey")
   }
 
+  def evtTrend(s: SparkSession, dir: String): DataFrame =
+    Events.valueTrend(t(s, dir, "events"))
+
   def evtTransitions(s: SparkSession, dir: String): DataFrame =
     Events.transitionMatrix(t(s, dir, "events"))
 
@@ -850,6 +861,13 @@ object Suite {
   def streamLeftJoin(s: SparkSession, dir: String): DataFrame =
     graft.streaming.EventStream.purchaseClickLeftJoin(s, s"$dir/events.parquet")
       .orderBy("p_id", "c_id")
+
+  /** Streaming CDC upsert: three log-ordered micro-batches fold into a
+    * per-user profile via foreachBatch + cdcMerge; the oracle is the
+    * global latest-wins merge (arg_max over the whole change feed),
+    * which the log-ordered incremental application must equal. */
+  def streamUpsert(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.upsertedProfiles(s, s"$dir/events.parquet")
 
   /** Streaming exact dedup drained over the documents table; the corpus
     * has no cross-language duplicate texts, so per-lang distinct

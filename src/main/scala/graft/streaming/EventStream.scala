@@ -193,6 +193,78 @@ object EventStream {
       .filter(col("p_id") >= 0)
   }
 
+  private val upsertStaged = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Streaming CDC UPSERT sink — `foreachBatch` + [[graft.operators
+    * .Maintenance.cdcMerge]]: the event stream is a change feed over a
+    * per-user profile table ('error' = delete, anything else = upsert
+    * of the user's latest type/value), applied incrementally one
+    * micro-batch at a time. The month of changes is staged as three
+    * LOG-ORDERED files (days 1–10 / 11–20 / 21+) replayed as three
+    * micro-batches (mtime order, maxFilesPerTrigger=1 — the
+    * purchaseClickLeftJoin staging idiom), so later batches carry
+    * strictly newer sequence numbers — exactly a CDC log's delivery
+    * contract, and the property that makes incremental merge ≡ one
+    * global latest-wins merge (the DuckDB oracle). Each batch costs
+    * O(batch + profile), never O(history); state detaches from the
+    * streaming plan via eager localCheckpoint.
+    */
+  def upsertedProfiles(spark0: SparkSession, path: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val s2 = spark0.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val dir = upsertStaged.getOrElseUpdate(path, {
+      val ev = graft.Tables.normalizeTs(s2.read.parquet(path))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val d = graft.sources.Export.tempDir("graft_stream_upsert_").toString
+      def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = s"$d/_stage_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+        val dst = Paths.get(d, s"$name.parquet")
+        Files.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+        dst.toFile.setLastModified(mtime)
+      }
+      val now = System.currentTimeMillis()
+      stage(ev.filter(dayofmonth(col("ts")) <= 10), "0_w1", now - 600000L)
+      stage(ev.filter(dayofmonth(col("ts")).between(11, 20)), "1_w2", now - 300000L)
+      stage(ev.filter(dayofmonth(col("ts")) >= 21), "2_w3", now)
+      d
+    })
+    val schema = s2.read.parquet(s"$dir/0_w1.parquet").schema
+    val changes = s2.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(dir)
+      .select(col("user_id"),
+        // µs since 2024-01-01 — unique per user in this data (no same-µs
+        // same-user pairs; the cdcMerge seq-uniqueness contract)
+        (unix_micros(col("ts")) - lit(1704067200000000L)).as("seq"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+        col("event_type").as("last_type"), col("value").as("last_value"))
+    val emptyState = s2.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("last_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("last_value",
+          org.apache.spark.sql.types.DoubleType))))
+    var state = emptyState
+    val q = changes.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        state = graft.operators.Maintenance
+          .cdcMerge(state, batch, "user_id", "seq", "op", Seq("last_type", "last_value"))
+          .localCheckpoint() // eager: state survives past this micro-batch's plan
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    state.orderBy("user_id")
+  }
+
   /** Per-user session state carried across micro-batches. */
   case class SessionState(nSessions: Long, lastUs: Long, nEvents: Long)
 

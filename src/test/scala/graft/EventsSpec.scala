@@ -247,6 +247,23 @@ class EventsSpec extends SparkTestBase {
     assert(out.head.getLong(1) == 100L && out.head.getDouble(2) == 1000.0)
   }
 
+  test("valueTrend: recovers an exact linear relationship") {
+    // x lands on whole days from the 2025-01-01 anchor, y = 2x + 5
+    // exactly → slope 2, intercept 5, pearson 1; constant series → r NaN
+    // excluded by construction (only one type here)
+    val ev = (0 to 9).map { i =>
+      (i.toLong, Timestamp.valueOf(s"2025-01-${"%02d".format(i + 1)} 00:00:00"),
+        1L, "view", 2.0 * i + 5.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.valueTrend(ev).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "view" && r.getLong(1) == 10L)
+    assert(r.getDouble(2) == 2.0)   // slope
+    assert(r.getDouble(3) == 5.0)   // intercept
+    assert(r.getDouble(4) == 1.0)   // perfectly correlated
+  }
+
   test("multimodal decode classifies non-image payloads as unknown, not an error") {
     val docs = Seq((1L, "hello"), (2L, "world")).toDF("doc_id", "text")
     val a = Multimodal.decodeMeta(Multimodal.withPayload(docs)).collect().sortBy(_.doc_id)

