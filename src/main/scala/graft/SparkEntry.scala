@@ -130,6 +130,7 @@ object SparkEntry {
     "maint_idempotent" -> (Suite.maintIdempotent _),
     "mix_weighted" -> (Suite.mixWeighted _),
     "evt_trend" -> (Suite.evtTrend _),
+    "dq_drift" -> (Suite.dqDrift _),
     "graph_pagerank" -> (Suite.graphPagerank _),
     "graph_triangles" -> (Suite.graphTriangles _),
     "graph_khops" -> (Suite.graphKhops _),
@@ -260,6 +261,37 @@ object SparkEntry {
          |  GROUP BY node)""".stripMargin
     }.mkString
     head + its + s"\nSELECT node, dist FROM d$k ORDER BY node"
+  }
+
+  /** Generated PSI-drift oracle: the identical conditional-aggregate
+    * pass and the identical left-associative share/PSI arithmetic as
+    * DataQuality.valueDrift (same fixed bins, same sum order), with the
+    * drift flag compared on the UNROUNDED psi exactly like the Spark
+    * side. */
+  private def driftSql(bounds: Seq[Double], threshold: Double): String = {
+    val nb = bounds.length + 1
+    val binCase = bounds.zipWithIndex
+      .map { case (b, i) => s"WHEN value < $b THEN $i" }
+      .mkString("CASE ", " ", s" ELSE ${bounds.length} END")
+    val cnts = (for (h <- Seq("ref", "cur"); i <- 0 until nb)
+      yield s"count(CASE WHEN h = '$h' AND b = $i THEN 1 END) AS ${h}_$i")
+      .mkString(",\n    ")
+    def tot(h: String) = (0 until nb).map(i => s"${h}_$i").mkString(" + ")
+    val psi = (0 until nb).map { i =>
+      val p = s"(CAST(ref_$i AS DOUBLE) / CAST(${tot("ref")} AS DOUBLE))"
+      val q = s"(CAST(cur_$i AS DOUBLE) / CAST(${tot("cur")} AS DOUBLE))"
+      s"($q - $p) * ln($q / $p)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT event_type,
+       |    CASE WHEN day(CAST(ts AS TIMESTAMP)) <= 15 THEN 'ref' ELSE 'cur' END AS h,
+       |    $binCase AS b
+       |  FROM events),
+       |c AS (SELECT event_type,
+       |    $cnts
+       |  FROM e GROUP BY event_type)
+       |SELECT event_type, ${tot("ref")} AS n_ref, ${tot("cur")} AS n_cur,
+       |  round($psi, 4) AS psi, ($psi) > $threshold AS drifted
+       |FROM c ORDER BY event_type""".stripMargin
   }
 
   /** DuckDB oracle SQL; keys omitted here get a rows-only check. */
@@ -822,6 +854,7 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_orderstatus
         |  ORDER BY o_totalprice DESC, o_orderkey)
         |ORDER BY o_orderstatus, drank, o_orderkey""".stripMargin,
+    "dq_drift" -> driftSql(Seq(20.0, 40.0, 60.0, 80.0), 0.25),
     // trend: identical six-sum formulation both sides (NOT regr_slope —
     // engines may implement it differently); float aggregates → round(4)
     "evt_trend" ->

@@ -64,4 +64,48 @@ object DataQuality {
         col("observed"), (col("observed") === 0L).as("passed"))
     checks.unionByName(dupKeys).unionByName(orphans).orderBy("check_name")
   }
+
+  /** Population-Stability-Index drift monitor — "did this metric's
+    * DISTRIBUTION move between the reference window and now?", the
+    * standard ML-ops gate before a model (or mixture ratio) trained on
+    * last month's data meets this month's. Events split into reference
+    * (days 1–15) and current halves; `value` lands in FIXED bins
+    * (integer-exact boundaries — quantile bins would put an
+    * interpolated float on the comparison edge and invite cross-engine
+    * ULP flips); PSI = Σ (qᵢ−pᵢ)·ln(qᵢ/pᵢ) over the bin shares.
+    *
+    * Scale shape: the dq_expectations principle — every (half × bin)
+    * count is a COLUMN of one conditional-aggregate pass, so the whole
+    * monitor is one scan + one dimension-sized shuffle regardless of
+    * bin count; PSI derives from the aggregated counts, never
+    * re-scanning the stream. Float aggregate → round(,4) at the edge.
+    *
+    * No zero-share smoothing (textbook PSI): callers pick bounds so
+    * every (half × bin) cell is populated at the monitored granularity
+    * (an empty cell makes that term ±∞/NaN on ANY engine — that is the
+    * signal to widen bins, not a number to paper over).
+    */
+  def valueDrift(events: DataFrame, bounds: Seq[Double] = Seq(20.0, 40.0, 60.0, 80.0),
+                 threshold: Double = 0.25): DataFrame = {
+    val nb = bounds.length + 1
+    val bin = bounds.tail.zipWithIndex
+      .foldLeft(when(col("value") < bounds.head, 0)) {
+        case (acc, (bd, i)) => acc.when(col("value") < bd, i + 1)
+      }.otherwise(bounds.length)
+    val tagged = events.select(col("event_type"),
+      when(dayofmonth(col("ts")) <= 15, "ref").otherwise("cur").as("h"), bin.as("b"))
+    val cnts = for (h <- Seq("ref", "cur"); i <- 0 until nb)
+      yield count(when(col("h") === h && col("b") === i, 1)).as(s"${h}_$i")
+    val aggd = tagged.groupBy("event_type").agg(cnts.head, cnts.tail: _*)
+    val nRef = (0 until nb).map(i => col(s"ref_$i")).reduce(_ + _)
+    val nCur = (0 until nb).map(i => col(s"cur_$i")).reduce(_ + _)
+    val psi = (0 until nb).map { i =>
+      val p = col(s"ref_$i").cast("double") / nRef.cast("double")
+      val q = col(s"cur_$i").cast("double") / nCur.cast("double")
+      (q - p) * log(q / p)
+    }.reduce(_ + _)
+    aggd.select(col("event_type"), nRef.as("n_ref"), nCur.as("n_cur"),
+        round(psi, 4).as("psi"), (psi > threshold).as("drifted"))
+      .orderBy("event_type")
+  }
 }

@@ -773,6 +773,9 @@ object Suite {
       .orderBy("o_orderkey")
   }
 
+  def dqDrift(s: SparkSession, dir: String): DataFrame =
+    DataQuality.valueDrift(t(s, dir, "events"))
+
   def evtTrend(s: SparkSession, dir: String): DataFrame =
     Events.valueTrend(t(s, dir, "events"))
 

@@ -44,6 +44,28 @@ class QualitySpec extends SparkTestBase {
     assert(out.size == 8)
   }
 
+  test("valueDrift: planted distribution shift flips the drifted flag") {
+    val ref = java.sql.Timestamp.valueOf("2024-01-05 00:00:00") // day 5  -> ref half
+    val cur = java.sql.Timestamp.valueOf("2024-01-25 00:00:00") // day 25 -> cur half
+    // stable: identical per-bin counts in both halves -> psi == 0
+    val stable = for (h <- Seq(ref, cur); v <- Seq(10.0, 30.0, 50.0, 70.0, 90.0); _ <- 1 to 4)
+      yield ("stable", h, v)
+    // shifted: mass moves from the lowest to the highest bin between the
+    // halves; every (half x bin) cell stays populated (fixed-bin PSI has
+    // no zero-share smoothing, by design -- see the operator scaladoc)
+    val refVals = Seq.fill(16)(10.0) ++ Seq(30.0, 50.0, 70.0, 90.0)
+    val curVals = Seq(10.0, 30.0, 50.0, 70.0) ++ Seq.fill(16)(90.0)
+    val shifted = refVals.map(("shifted", ref, _)) ++ curVals.map(("shifted", cur, _))
+    val out = DataQuality.valueDrift((stable ++ shifted).toDF("event_type", "ts", "value"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out("stable") == ((20L, 20L, 0.0, false)))
+    val (nRef, nCur, psi, drifted) = out("shifted")
+    assert(nRef == 20L && nCur == 20L)
+    // analytic PSI: two symmetric (0.8 vs 0.05) bins, three unchanged
+    // bins -> 2 * 0.75 * ln(16) = 4.1589
+    assert(math.abs(psi - 4.1589) < 1e-4 && drifted)
+  }
+
   test("cdcMerge: upsert/delete/insert with latest-wins on the sequence") {
     val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
       .toDF("k", "name", "v")
