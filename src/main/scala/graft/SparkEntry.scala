@@ -131,6 +131,14 @@ object SparkEntry {
     "mix_weighted" -> (Suite.mixWeighted _),
     "evt_trend" -> (Suite.evtTrend _),
     "dq_drift" -> (Suite.dqDrift _),
+    "maint_scd2" -> (Suite.maintScd2 _),
+    "dq_kanon" -> (Suite.dqKanon _),
+    "maint_snapshot" -> (Suite.maintSnapshot _),
+    "rel_copurchase" -> (Suite.relCopurchase _),
+    "evt_abtest" -> (Suite.evtAbtest _),
+    "maint_schema_evo" -> (Suite.maintSchemaEvo _),
+    "evt_winsorized" -> (Suite.evtWinsorized _),
+    "dedup_keep_best" -> (Suite.dedupKeepBest _),
     "graph_pagerank" -> (Suite.graphPagerank _),
     "graph_triangles" -> (Suite.graphTriangles _),
     "graph_khops" -> (Suite.graphKhops _),
@@ -855,6 +863,107 @@ object SparkEntry {
         |  ORDER BY o_totalprice DESC, o_orderkey)
         |ORDER BY o_orderstatus, drank, o_orderkey""".stripMargin,
     "dq_drift" -> driftSql(Seq(20.0, 40.0, 60.0, 80.0), 0.25),
+    // winsorized: Spark percentile ≡ DuckDB quantile_cont (q13-proven);
+    // float aggregates round(4)
+    "evt_winsorized" ->
+      """WITH b AS (SELECT event_type, quantile_cont(value, 0.05) AS p_lo,
+        |    quantile_cont(value, 0.95) AS p_hi
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, count(*) AS n,
+        |  round(avg(value), 4) AS raw_mean,
+        |  round(avg(least(greatest(value, p_lo), p_hi)), 4) AS winsorized_mean,
+        |  round(max(p_lo), 4) AS lo_bound, round(max(p_hi), 4) AS hi_bound
+        |FROM events e JOIN b USING (event_type)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // schema evolution: the oracle replays the union-schema read (v1
+    // slice NULL-padded for the post-evolution column)
+    "maint_schema_evo" ->
+      """WITH m AS (
+        |  SELECT o_totalprice, NULL AS o_orderpriority
+        |    FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_totalprice, o_orderpriority
+        |    FROM orders WHERE o_orderkey % 3 = 1)
+        |SELECT coalesce(o_orderpriority, '<pre-evolution>') AS priority,
+        |  count(*) AS n_rows, round(sum(o_totalprice), 2) AS total
+        |FROM m GROUP BY 1 ORDER BY priority""".stripMargin,
+    // A/B: identical conditional power sums + left-assoc Welch algebra
+    // both sides (NOT an engine t-test builtin); flag on the UNROUNDED t
+    "evt_abtest" ->
+      """WITH e AS (SELECT event_type,
+        |    CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |      THEN 'A' ELSE 'B' END AS v,
+        |    value AS x FROM events),
+        |c AS (SELECT event_type,
+        |    count(CASE WHEN v = 'A' THEN 1 END) AS n_a,
+        |    count(CASE WHEN v = 'B' THEN 1 END) AS n_b,
+        |    sum(CASE WHEN v = 'A' THEN x ELSE 0e0 END) AS sx_a,
+        |    sum(CASE WHEN v = 'B' THEN x ELSE 0e0 END) AS sx_b,
+        |    sum(CASE WHEN v = 'A' THEN x * x ELSE 0e0 END) AS sxx_a,
+        |    sum(CASE WHEN v = 'B' THEN x * x ELSE 0e0 END) AS sxx_b
+        |  FROM e GROUP BY event_type),
+        |d AS (SELECT event_type, n_a, n_b,
+        |    sx_a / CAST(n_a AS DOUBLE) AS ma, sx_b / CAST(n_b AS DOUBLE) AS mb,
+        |    (sxx_a - sx_a * sx_a / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0) / CAST(n_a AS DOUBLE) AS sea,
+        |    (sxx_b - sx_b * sx_b / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0) / CAST(n_b AS DOUBLE) AS seb
+        |  FROM c)
+        |SELECT event_type, n_a, n_b,
+        |  round(ma, 4) AS mean_a, round(mb, 4) AS mean_b,
+        |  round((ma - mb) / sqrt(sea + seb), 4) AS t_stat,
+        |  round((sea + seb) * (sea + seb) / (sea * sea / (CAST(n_a AS DOUBLE) - 1.0)
+        |    + seb * seb / (CAST(n_b AS DOUBLE) - 1.0)), 4) AS welch_df,
+        |  (abs((ma - mb) / sqrt(sea + seb)) > 1.96) AS significant
+        |FROM d ORDER BY event_type""".stripMargin,
+    // co-purchase: identical double-domain lift math both sides (count
+    // products stay out of BIGINT); portable floor on the per-row float
+    "rel_copurchase" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |n AS (SELECT count(DISTINCT okey) AS n_orders FROM items),
+        |s AS (SELECT brand, count(*) AS cnt FROM items GROUP BY 1),
+        |p AS (SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS support
+        |  FROM items a JOIN items b ON a.okey = b.okey AND a.brand < b.brand
+        |  GROUP BY 1, 2 HAVING count(*) >= 50)
+        |SELECT brand_a, brand_b, support,
+        |  CAST(floor(CAST(support AS DOUBLE) * n_orders
+        |      / (CAST(sa.cnt AS DOUBLE) * sb.cnt) * 10000.0 + 0.5) AS DOUBLE)
+        |    / 10000.0 AS lift
+        |FROM p JOIN s sa ON sa.brand = p.brand_a
+        |  JOIN s sb ON sb.brand = p.brand_b CROSS JOIN n
+        |ORDER BY brand_a, brand_b""".stripMargin,
+    // snapshot reads: version v sees order slices 0..v-1 (mod 3) — the
+    // oracle replays each version's visibility set
+    "maint_snapshot" ->
+      """SELECT CAST(v AS BIGINT) AS version, count(*) AS n_rows,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM (SELECT 1 AS v UNION ALL SELECT 2 UNION ALL SELECT 3) vs
+        |JOIN orders ON o_orderkey % 3 < v
+        |GROUP BY v ORDER BY version""".stripMargin,
+    // k-anonymity: 1e0 forces an IEEE double (DuckDB 1.0 is DECIMAL);
+    // per-row float -> portable floor rounding
+    "dq_kanon" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS class_size,
+        |  count(*) >= 5 AS meets_k,
+        |  CAST(floor(1e0 / count(*) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS reid_risk
+        |FROM customer GROUP BY 1, 2
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    // SCD-2: identical change-collapse + episode windows; valid_to is the
+    // NEXT version's valid_from (half-open), NULL ⇒ current
+    "maint_scd2" ->
+      """WITH c AS (SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,
+        |    lag(o_orderstatus) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |v AS (SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus
+        |  FROM c WHERE prev IS NULL OR prev <> o_orderstatus)
+        |SELECT o_custkey, o_orderstatus,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  strftime(lead(o_orderdate) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+        |  (lead(o_orderdate) OVER w IS NULL) AS is_current,
+        |  CAST(row_number() OVER w AS BIGINT) AS version
+        |FROM v
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, version""".stripMargin,
     // trend: identical six-sum formulation both sides (NOT regr_slope —
     // engines may implement it differently); float aggregates → round(4)
     "evt_trend" ->
@@ -1222,6 +1331,37 @@ object SparkEntry {
          |          SELECT r.src, e2.dst FROM reach r JOIN e e2 ON e2.src = r.dst)
          |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    // keep-best: same closure as dedup_clusters_verified + the
+    // longest-member (min-doc_id tie) keeper election
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (SELECT doc_id, list_distinct(list_transform(
+         |  generate_series(1, len(toks)-2),
+         |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+         |  FROM t WHERE len(toks) >= 3),
+         |p AS (SELECT * FROM (
+         | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.sh, b.sh))) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS jaccard
+         | FROM g a JOIN g b ON a.doc_id < b.doc_id)
+         |WHERE jaccard >= 0.8),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |      UNION SELECT doc_b, doc_a FROM p),
+         |reach AS (SELECT src, dst FROM e
+         |          UNION
+         |          SELECT r.src, e2.dst FROM reach r JOIN e e2 ON e2.src = r.dst),
+         |c AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         |      FROM reach GROUP BY src),
+         |s AS (SELECT c.doc_id, c.cluster_id, CAST(length(d.text) AS BIGINT) AS len
+         |      FROM c JOIN documents d ON d.doc_id = c.doc_id),
+         |m AS (SELECT cluster_id, max(len) AS mx FROM s GROUP BY 1),
+         |k AS (SELECT s.cluster_id, min(s.doc_id) AS keeper_doc
+         |      FROM s JOIN m ON s.cluster_id = m.cluster_id AND s.len = m.mx
+         |      GROUP BY s.cluster_id)
+         |SELECT s.cluster_id, keeper_doc, count(*) AS n_docs,
+         |  count(*) - 1 AS n_dropped
+         |FROM s JOIN k ON s.cluster_id = k.cluster_id
+         |GROUP BY s.cluster_id, keeper_doc ORDER BY s.cluster_id""".stripMargin,
     "sim_topk_exact" ->
       """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 20),
         |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -65,6 +65,31 @@ object DataQuality {
     checks.unionByName(dupKeys).unionByName(orphans).orderBy("check_name")
   }
 
+  /** k-anonymity audit — the release gate on quasi-identifiers: a row is
+    * k-anonymous when at least k−1 OTHER rows share its full
+    * quasi-identifier combination, so linking an external record to the
+    * table narrows it to a ≥k crowd. Reports every equivalence class
+    * with its size, the ≥k flag, and the prosecutor re-identification
+    * risk 1/size. PII scrubbing (TextOps.piiStats) removes DIRECT
+    * identifiers; this measures what the remaining indirect columns
+    * still leak in combination — both halves of the privacy story a
+    * training-data release needs.
+    *
+    * Scale shape: one groupBy on the quasi-identifier tuple — a single
+    * shuffle whose output is equivalence-class-sized (the attribute
+    * domain product, not the row count); risk math derives from the
+    * aggregated sizes. The per-row float 1/n uses the portable
+    * floor(x·10⁴+0.5)/10⁴ rounding (projection, not aggregate).
+    */
+  def kAnonymity(df: DataFrame, quasi: Seq[String], k: Int = 5): DataFrame = {
+    val sized = df.groupBy(quasi.map(col): _*).agg(count(lit(1)).as("class_size"))
+    sized.select(quasi.map(col) ++ Seq(
+        col("class_size"),
+        (col("class_size") >= k).as("meets_k"),
+        (floor(lit(1.0) / col("class_size") * 10000.0 + 0.5) / 10000.0).as("reid_risk")): _*)
+      .orderBy(quasi.map(col): _*)
+  }
+
   /** Population-Stability-Index drift monitor — "did this metric's
     * DISTRIBUTION move between the reference window and now?", the
     * standard ML-ops gate before a model (or mixture ratio) trained on

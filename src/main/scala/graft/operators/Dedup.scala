@@ -328,6 +328,36 @@ object Dedup {
     labels.withColumnRenamed("label", "cluster_id").orderBy("doc_id")
   }
 
+  /** The REMOVAL decision after clustering — fuzzy dedup isn't done
+    * until each duplicate cluster elects ONE survivor: the longest
+    * member (the usual "keep the most complete copy" rule), smallest
+    * doc_id on ties so the choice is engine-independent. Emits one row
+    * per cluster: keeper + how many drop. [[clusters]] detects; this
+    * decides — together they are the RefinedWeb/Gopher fuzzy-dedup
+    * pipeline stage end-to-end.
+    *
+    * Scale shape: everything downstream of clustering is sized to the
+    * CLUSTERED docs (an LSH-candidate sliver of the corpus, persisted
+    * once for its three aggregates); keeper election is two
+    * cluster-sized aggregates + one equi-join — no window sort, no
+    * corpus rescan beyond the one length projection. */
+  def keepBestPerCluster(docs: DataFrame, threshold: Double = 0.8,
+                         shingleK: Int = 3): DataFrame = {
+    val cl = clusters(minhashVerified(docs, threshold, shingleK).select("doc_a", "doc_b"))
+    val sized = cl
+      .join(docs.select(col("doc_id"), length(col("text")).cast("long").as("len")), "doc_id")
+      .persist()
+    val best = sized.groupBy("cluster_id").agg(max(col("len")).as("max_len"))
+    val keeper = sized.join(best, "cluster_id")
+      .filter(col("len") === col("max_len"))
+      .groupBy("cluster_id").agg(min(col("doc_id")).as("keeper_doc"))
+    sized.groupBy("cluster_id").agg(count(lit(1)).as("n_docs"))
+      .join(keeper, "cluster_id")
+      .select(col("cluster_id"), col("keeper_doc"), col("n_docs"),
+        (col("n_docs") - 1L).as("n_dropped"))
+      .orderBy("cluster_id")
+  }
+
   // ---- Bloom-prefiltered reference membership ---------------------------
 
   /** Which corpus rows exactly duplicate a row of an already-ingested

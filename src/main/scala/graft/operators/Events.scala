@@ -202,6 +202,81 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Winsorized (outlier-clamped) statistics per group — the robust
+    * mean a metrics pipeline reports when a handful of extreme values
+    * would otherwise own the average: clamp every value into its
+    * group's [p_lo, p_hi] exact percentile band, then aggregate, with
+    * the raw mean alongside for the "how much did outliers matter"
+    * delta.
+    *
+    * Scale shape: two passes by construction (bounds must exist before
+    * clamping) — pass one is a dimension-sized exact-percentile
+    * aggregate whose result BROADCASTS into pass two's clamp+mean scan;
+    * no window, no sort of the fact table. At 100 TB swap the exact
+    * percentile for approx_percentile (same shape, sketch-mergeable) —
+    * exact is kept here because the oracle demands exact quantiles.
+    * Float aggregates round(4); Spark `percentile` ≡ DuckDB
+    * `quantile_cont` (linear interpolation, proven by q13).
+    */
+  def winsorizedStats(events: DataFrame, lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    val bounds = events.groupBy("event_type").agg(
+      expr(s"percentile(value, $lo)").as("p_lo"),
+      expr(s"percentile(value, $hi)").as("p_hi"))
+    events.join(broadcast(bounds), "event_type")
+      .select(col("event_type"), col("value"),
+        least(greatest(col("value"), col("p_lo")), col("p_hi")).as("w"),
+        col("p_lo"), col("p_hi"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("value")), 4).as("raw_mean"),
+        round(avg(col("w")), 4).as("winsorized_mean"),
+        round(max(col("p_lo")), 4).as("lo_bound"),
+        round(max(col("p_hi")), 4).as("hi_bound"))
+      .orderBy("event_type")
+  }
+
+  /** A/B experiment read-out with Welch's unequal-variance t-test — the
+    * decision step after a deterministic split ([[graft.operators.Mixture]]
+    * assigns variants by md5, so the experiment is reproducible and needs
+    * no assignment table). Per metric group: variant sizes, means, the
+    * Welch t statistic, the Welch–Satterthwaite degrees of freedom, and
+    * a |t| > zCrit significance flag.
+    *
+    * Scale shape: the trend-operator principle — everything derives from
+    * conditional power sums (n, Σx, Σx²) per variant, computed in ONE
+    * aggregate pass whose partials merge associatively; variance/t/df
+    * math happens on the dimension-sized aggregate, never re-scanning.
+    * The same fixed left-associative formulation runs in the oracle
+    * (engine t-test builtins would differ in evaluation order); float
+    * aggregates round(4), the flag compares the UNROUNDED t.
+    */
+  def abTest(events: DataFrame, zCrit: Double = 1.96): DataFrame = {
+    val variant = when(
+      substring(md5(col("user_id").cast("string")), 1, 1) < "8", "A").otherwise("B")
+    def cnt(v: String) = count(when(col("v") === v, 1)).as(s"n_${v.toLowerCase}")
+    def sx(v: String) = sum(when(col("v") === v, col("x")).otherwise(lit(0.0)))
+      .as(s"sx_${v.toLowerCase}")
+    def sxx(v: String) = sum(when(col("v") === v, col("x") * col("x")).otherwise(lit(0.0)))
+      .as(s"sxx_${v.toLowerCase}")
+    val aggd = events.select(col("event_type"), variant.as("v"), col("value").as("x"))
+      .groupBy("event_type")
+      .agg(cnt("A"), cnt("B"), sx("A"), sx("B"), sxx("A"), sxx("B"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val ma = col("sx_a") / na
+    val mb = col("sx_b") / nb
+    val sea = (col("sxx_a") - col("sx_a") * col("sx_a") / na) / (na - 1.0) / na
+    val seb = (col("sxx_b") - col("sx_b") * col("sx_b") / nb) / (nb - 1.0) / nb
+    val t = (ma - mb) / sqrt(sea + seb)
+    val dfW = (sea + seb) * (sea + seb) /
+      (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0))
+    aggd.select(col("event_type"), col("n_a"), col("n_b"),
+        round(ma, 4).as("mean_a"), round(mb, 4).as("mean_b"),
+        round(t, 4).as("t_stat"), round(dfW, 4).as("welch_df"),
+        (abs(t) > zCrit).as("significant"))
+      .orderBy("event_type")
+  }
+
   /** Conversion funnel: users reaching each stage of
     * signup → click → purchase in STRICT temporal order (each stage's
     * event must follow the user's earliest previous-stage event).

@@ -97,6 +97,39 @@ object Maintenance {
     * batch side is the small one at 100 TB. Never O(base) beyond the
     * single co-partitioned pass, and nothing collects.
     */
+  /** SCD Type-2 dimension history — turn a change stream into the
+    * warehouse-standard versioned dimension: one row per (key, attribute
+    * value) EPISODE with half-open `[valid_from, valid_to)` validity,
+    * `is_current` on the open episode, and a per-key version number.
+    * [[cdcMerge]] is SCD-1 (overwrite, history lost); this keeps every
+    * state an entity passed through — the "what did we believe about
+    * this customer on March 3rd" query. A new version opens only when
+    * the tracked attribute actually CHANGES (consecutive identical
+    * values collapse into one episode, the textbook SCD-2 rule).
+    *
+    * Scale shape: ONE shuffle on the key; the change-detect lag, the
+    * episode lead, and the version row_number all share the same
+    * (partition, order) so Spark plans one sort under all three
+    * windows. Per-key state is the change count, never the fact-table
+    * width. `tieCol` must make (tsCol, tieCol) unique per key or the
+    * episode order would be engine-dependent.
+    */
+  def scd2(changes: DataFrame, key: String, tsCol: String, tieCol: String,
+           attr: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(key)).orderBy(col(tsCol), col(tieCol))
+    val openers = changes
+      .withColumn("__prev", lag(col(attr), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col(attr))
+    val w2 = Window.partitionBy(col(key)).orderBy(col(tsCol), col(tieCol))
+    openers.select(col(key), col(attr),
+        date_format(col(tsCol), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        date_format(lead(col(tsCol), 1).over(w2), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+        lead(col(tsCol), 1).over(w2).isNull.as("is_current"),
+        row_number().over(w2).cast("long").as("version"))
+      .orderBy(col(key), col("version"))
+  }
+
   def cdcMerge(base: DataFrame, changes: DataFrame, key: String, seqCol: String,
                opCol: String, payload: Seq[String]): DataFrame = {
     val latest = changes.groupBy(col(key)).agg(

@@ -776,6 +776,64 @@ object Suite {
   def dqDrift(s: SparkSession, dir: String): DataFrame =
     DataQuality.valueDrift(t(s, dir, "events"))
 
+  def evtAbtest(s: SparkSession, dir: String): DataFrame =
+    Events.abTest(t(s, dir, "events"))
+
+  def evtWinsorized(s: SparkSession, dir: String): DataFrame =
+    Events.winsorizedStats(t(s, dir, "events"))
+
+  /** Cluster-representative election over the verified near-dup
+    * clusters — the removal half of fuzzy dedup. */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame =
+    Dedup.keepBestPerCluster(t(s, dir, "documents"), threshold = 0.8)
+
+  def relCopurchase(s: SparkSession, dir: String): DataFrame =
+    Basket.coPurchase(t(s, dir, "lineitem"), t(s, dir, "part"))
+
+  /** Three appends build a snapshot table from disjoint order slices;
+    * the query time-travels to EVERY version and aggregates each — v1
+    * must still see only the first batch after later appends. */
+  def maintSnapshot(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{Export, Snapshots}
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+    val root = Export.tempDir("snap_").toString + "/t"
+    (0 to 2).foreach(m => Snapshots.append(o.filter(col("o_orderkey") % 3 === m), root))
+    Snapshots.versions(root).map { v =>
+      Snapshots.readAs(s, root, v).agg(
+        lit(v).cast("long").as("version"),
+        count(lit(1)).as("n_rows"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+    }.reduce(_.unionByName(_)).select("version", "n_rows", "total").orderBy("version")
+  }
+
+  /** v1 appends orders WITHOUT the priority column; v2 appends a slice
+    * WITH it — the merged read sees the union schema, v1 rows NULL. */
+  def maintSchemaEvo(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{Export, Snapshots}
+    val o = t(s, dir, "orders")
+    val root = Export.tempDir("evo_").toString + "/t"
+    Snapshots.append(o.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), col("o_totalprice")), root)
+    Snapshots.append(o.filter(col("o_orderkey") % 3 === 1)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority")), root)
+    Snapshots.readLatest(s, root)
+      .groupBy(coalesce(col("o_orderpriority"), lit("<pre-evolution>")).as("priority"))
+      .agg(count(lit(1)).as("n_rows"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy("priority")
+  }
+
+  /** Customer (nation, segment) as the quasi-identifier pair a linkage
+    * attack would use; class sizes + ≥k flags + 1/n risk. */
+  def dqKanon(s: SparkSession, dir: String): DataFrame =
+    DataQuality.kAnonymity(t(s, dir, "customer"),
+      Seq("c_nationkey", "c_mktsegment"), k = 5)
+
+  /** Each customer's order stream as a change feed over their "latest
+    * order status" attribute — the SCD-2 versioned-dimension build. */
+  def maintScd2(s: SparkSession, dir: String): DataFrame =
+    Maintenance.scd2(t(s, dir, "orders"), "o_custkey", "o_orderdate",
+      "o_orderkey", "o_orderstatus")
+
   def evtTrend(s: SparkSession, dir: String): DataFrame =
     Events.valueTrend(t(s, dir, "events"))
 

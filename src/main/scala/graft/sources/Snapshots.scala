@@ -1,0 +1,131 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Manifest-based snapshot isolation over plain parquet — the minimal
+  * table-format core (the Iceberg/Delta idea, dependency-free): a table
+  * is a DIRECTORY of immutable data files plus a chain of numbered
+  * manifests, each listing exactly the files visible at that version.
+  * Appends write new files and a new manifest; readers resolve a
+  * manifest and scan only its files, so "the table as of version 2"
+  * stays reproducible forever — the provenance property kiara's value
+  * lineage gives single values (/root/reference/src/kiara/registries/
+  * data/data_store/__init__.py — stored values are immutable and
+  * re-resolvable), generalized to evolving tables.
+  *
+  * Scale shape: a commit touches ONLY its own batch (one distributed
+  * write + an O(files) manifest append — no rewrite of standing data);
+  * a versioned read plans exactly the manifest's file list, so old
+  * versions don't pay for newer data; rollback is a metadata-only
+  * commit (no data IO at any size). Manifests hold paths RELATIVE to
+  * the table root (the directory can move). Single-writer per table by
+  * design — real formats add a CAS on the latest-version pointer; the
+  * numbered-manifest layout here is what that CAS would protect.
+  */
+object Snapshots {
+
+  private def manifestDir(root: String): Path = Paths.get(root, "_manifests")
+
+  private def manifestPath(root: String, v: Int): Path =
+    manifestDir(root).resolve(f"v$v%05d.manifest")
+
+  /** Committed versions, ascending (empty for a fresh/absent table). */
+  def versions(root: String): Seq[Int] = {
+    val d = manifestDir(root)
+    if (!Files.isDirectory(d)) return Seq.empty
+    val s = Files.list(d)
+    try s.iterator.asScala.map(_.getFileName.toString)
+      .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
+        n.stripPrefix("v").stripSuffix(".manifest").toInt }
+      .toSeq.sorted
+    finally s.close()
+  }
+
+  /** Root-relative data files visible at `version`. */
+  def files(root: String, version: Int): Seq[String] = {
+    val p = manifestPath(root, version)
+    require(Files.exists(p), s"no snapshot v$version under $root")
+    Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty)
+  }
+
+  private def commitManifest(root: String, v: Int, rel: Seq[String]): Int = {
+    Files.createDirectories(manifestDir(root))
+    val tmp = Files.createTempFile(manifestDir(root), s"v$v-", ".tmp")
+    Files.writeString(tmp, rel.mkString("", "\n", "\n"))
+    // move-into-place keeps a concurrent reader from seeing a half manifest
+    Files.move(tmp, manifestPath(root, v), StandardCopyOption.ATOMIC_MOVE)
+    v
+  }
+
+  /** Append `df` as a new version; returns the committed version id. */
+  def append(df: DataFrame, root: String): Int = {
+    val prev = versions(root)
+    val v = prev.lastOption.getOrElse(0) + 1
+    val batchRel = f"data/b$v%05d"
+    df.write.mode("errorifexists").parquet(s"$root/$batchRel")
+    val batchDir = Paths.get(root, "data", f"b$v%05d")
+    val s = Files.list(batchDir)
+    val fresh =
+      try s.iterator.asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toSeq.sorted.map(n => s"$batchRel/$n")
+      finally s.close()
+    val carried = prev.lastOption.map(files(root, _)).getOrElse(Seq.empty)
+    commitManifest(root, v, carried ++ fresh)
+  }
+
+  /** The table exactly as of `version` — scans only that manifest's
+    * files. `mergeSchema` makes appends with ADDED columns read as the
+    * union schema (older files yield NULL for the new columns) — schema
+    * evolution without rewriting standing data. */
+  def readAs(spark: SparkSession, root: String, version: Int): DataFrame =
+    spark.read.option("mergeSchema", "true")
+      .parquet(files(root, version).map(rel => s"$root/$rel"): _*)
+
+  /** Latest committed version. */
+  def readLatest(spark: SparkSession, root: String): DataFrame = {
+    val vs = versions(root)
+    require(vs.nonEmpty, s"no snapshots under $root")
+    readAs(spark, root, vs.last)
+  }
+
+  /** Metadata-only rollback: commit a NEW version whose file list is
+    * `toVersion`'s — history stays intact (time travel past the
+    * rollback still works), no data files move. */
+  def rollback(root: String, toVersion: Int): Int = {
+    val v = versions(root).lastOption.getOrElse(0) + 1
+    commitManifest(root, v, files(root, toVersion))
+  }
+
+  /** Garbage-collect history: keep the newest `keepLast` manifests,
+    * delete every data file no kept manifest references, drop the old
+    * manifests. Returns (dataFilesDeleted, manifestsDropped). Reads of
+    * kept versions are untouched; time travel before the horizon is
+    * deliberately gone — this is the storage-reclaim half of the
+    * snapshot contract (Iceberg `expire_snapshots`). O(files) metadata
+    * work + unlink syscalls; no data is read or rewritten. */
+  def vacuum(root: String, keepLast: Int = 1): (Int, Int) = {
+    val vs = versions(root)
+    require(keepLast >= 1, "keepLast must be >= 1")
+    require(vs.nonEmpty, s"no snapshots under $root")
+    val kept = vs.takeRight(keepLast)
+    val referenced = kept.flatMap(files(root, _)).toSet
+    val dataDir = Paths.get(root, "data")
+    val victims =
+      if (!Files.isDirectory(dataDir)) Seq.empty[Path]
+      else {
+        val s = Files.walk(dataDir)
+        // materialize BEFORE deleting — unlinking under a live walk
+        // stream is filesystem-dependent behavior
+        try s.iterator.asScala.filter(p => Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet") &&
+            !referenced.contains(Paths.get(root).relativize(p).toString)).toList
+        finally s.close()
+      }
+    victims.foreach(Files.delete)
+    val dropped = vs.dropRight(keepLast)
+    dropped.foreach(v => Files.delete(manifestPath(root, v)))
+    (victims.size, dropped.size)
+  }
+}

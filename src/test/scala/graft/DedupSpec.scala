@@ -141,6 +141,19 @@ class DedupSpec extends SparkTestBase {
     assert(pairs2 == Set((10L, 1L), (11L, 1L)))
   }
 
+  test("keepBestPerCluster elects the longest member, min doc_id on ties") {
+    val longer = base + " and an extra closing sentence rounds it out"
+    val d = docs(
+      1L -> base,
+      2L -> base.replace("lazy", "sleepy"), // near-dup of 1
+      3L -> longer,                          // near-dup of 1, longest -> keeper
+      4L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    val out = Dedup.keepBestPerCluster(d, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // one cluster {1,2,3}, labeled by its min member; doc 4 untouched
+    assert(out.toSeq == Seq((1L, 3L, 3L, 2L)))
+  }
+
   test("minhash signature expression is bit-identical to the HOF + aggregate chain") {
     import graft.operators.TextOps
     val nearDup = base.replace("lazy", "sleepy")

@@ -264,6 +264,54 @@ class EventsSpec extends SparkTestBase {
     assert(r.getDouble(4) == 1.0)   // perfectly correlated
   }
 
+  test("winsorizedStats: clamping tames a planted outlier, raw mean keeps it") {
+    // 19 values of 10 plus one 1000: p95 (linear interp over sorted
+    // values) = 10 + 0.05*990... clamp pulls the spike to the band edge
+    val ev = (1 to 19).map(i =>
+      (i.toLong, Timestamp.valueOf("2025-01-01 00:00:00"), i.toLong, "m", 10.0)) :+
+      ((20L, Timestamp.valueOf("2025-01-01 00:00:00"), 20L, "m", 1000.0))
+    val out = Events.winsorizedStats(ev.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(1) == 20L)
+    assert(r.getDouble(2) == 59.5)            // raw mean owns the spike
+    assert(r.getDouble(3) < r.getDouble(2))   // winsorized mean tamed it
+    assert(r.getDouble(4) == 10.0)            // lo bound
+    assert(r.getDouble(5) < 1000.0)           // hi bound below the spike
+    // winsorized mean = (19*10 + p95)/20 exactly
+    assert(math.abs(r.getDouble(3) - (190.0 + r.getDouble(5)) / 20.0) < 1e-3)
+  }
+
+  test("abTest: planted variant shift is significant with the analytic means") {
+    // mirror the operator's md5 assignment independently to know each
+    // user's variant, then plant a large A-vs-B gap with per-user jitter
+    // (zero within-variant variance would make t infinite)
+    def variantOf(uid: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(uid.toString.getBytes("UTF-8"))
+      if (Character.forDigit((d(0) >> 4) & 0xf, 16) < '8') "A" else "B"
+    }
+    val uids = (1L to 40L).toSeq
+    val ev = uids.map { u =>
+      val base = if (variantOf(u) == "A") 100.0 else 1.0
+      (u, Timestamp.valueOf("2025-01-01 00:00:00"), u, "m", base + (u % 3))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.abTest(ev).collect()
+    assert(out.length == 1)
+    val r = out.head
+    val (na, nb) = (r.getLong(1), r.getLong(2))
+    assert(na + nb == 40L && na > 0 && nb > 0)
+    val meanOf = (v: String) => {
+      val xs = uids.filter(variantOf(_) == v).map(u => (if (v == "A") 100.0 else 1.0) + (u % 3))
+      xs.sum / xs.size
+    }
+    assert(math.abs(r.getDouble(3) - meanOf("A")) < 1e-3)
+    assert(math.abs(r.getDouble(4) - meanOf("B")) < 1e-3)
+    assert(r.getDouble(5) > 10.0)  // t hugely positive: A is the high arm
+    assert(r.getBoolean(7))        // significant
+  }
+
   test("multimodal decode classifies non-image payloads as unknown, not an error") {
     val docs = Seq((1L, "hello"), (2L, "world")).toDF("doc_id", "text")
     val a = Multimodal.decodeMeta(Multimodal.withPayload(docs)).collect().sortBy(_.doc_id)

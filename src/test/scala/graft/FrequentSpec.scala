@@ -16,6 +16,18 @@ class FrequentSpec extends SparkTestBase {
     (items, row.getLong(1))
   }
 
+  test("coPurchase: planted baskets give the analytic lift; repeats collapse") {
+    // o1:{X,Y} (X twice -> one basket membership), o2:{X,Y}, o3:{X},
+    // o4:{Y}, o5:{Z}
+    val li = Seq((1L, 1L), (1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L),
+      (3L, 1L), (4L, 2L), (5L, 3L)).toDF("l_orderkey", "l_partkey")
+    val part = Seq((1L, "X"), (2L, "Y"), (3L, "Z")).toDF("p_partkey", "p_brand")
+    val out = graft.operators.Basket.coPurchase(li, part, minSupport = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // lift(X,Y) = (2/5) / ((3/5)*(3/5)) = 10/9 -> 1.1111
+    assert(out.toSeq == Seq(("X", "Y", 2L, 1.1111)))
+  }
+
   test("sketch is exact when cardinality fits the capacity") {
     val stream = Seq.fill(30)("a") ++ Seq.fill(11)("b") ++ Seq.fill(2)("c")
     val (items, debt) = sketch(scala.util.Random.shuffle(stream), capacity = 16)

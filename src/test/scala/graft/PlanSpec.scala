@@ -97,6 +97,21 @@ class PlanSpec extends SparkTestBase {
       s"expected a runtime bloom probe:\n${joined.queryExecution.executedPlan}")
   }
 
+  test("snapshot reads keep predicate pushdown and column pruning") {
+    import graft.sources.{Export, Snapshots}
+    import org.apache.spark.sql.functions.col
+    val root = Export.tempDir("snapplan_").toString + "/t"
+    Snapshots.append(Tables.t(spark, sfDir, "orders"), root)
+    Snapshots.append(Tables.t(spark, sfDir, "orders"), root)
+    val df = Snapshots.readLatest(spark, root)
+      .filter(col("o_totalprice") > 100000.0)
+      .select("o_orderkey", "o_totalprice")
+    val scans = scansOf(df)
+    assert(scans.size == 1)
+    assert(scans.head.metadata("PushedFilters").contains("GreaterThan(o_totalprice"))
+    assert(scans.head.requiredSchema.fieldNames.toSet == Set("o_orderkey", "o_totalprice"))
+  }
+
   test("orderBy+limit compiles to TakeOrderedAndProject (no global sort)") {
     val df = SparkEntry.queries("q4_sort_limit")(spark, sfDir)
     df.collect()

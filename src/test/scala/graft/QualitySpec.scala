@@ -96,6 +96,36 @@ class QualitySpec extends SparkTestBase {
     assert(after.count() == 3)
   }
 
+  test("kAnonymity: under-k classes flagged, risk is 1/class_size") {
+    val df = Seq.fill(5)(("US", "A")) ++ Seq(("US", "B"), ("UK", "A"), ("UK", "A"))
+    val out = DataQuality.kAnonymity(df.toDF("nat", "seg"), Seq("nat", "seg"), k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getBoolean(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      ("UK", "A", 2L, false, 0.5),
+      ("US", "A", 5L, true, 0.2),
+      ("US", "B", 1L, false, 1.0)))
+  }
+
+  test("scd2: unchanged values collapse; episodes tile half-open intervals") {
+    val ch = Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "A"),
+      (1L, "2024-01-02 00:00:00", 2L, "A"), // unchanged -> same episode
+      (1L, "2024-01-03 00:00:00", 3L, "B"),
+      (1L, "2024-01-04 00:00:00", 4L, "A"), // A again -> NEW episode, not merged
+      (2L, "2024-01-05 00:00:00", 5L, "X"))
+      .toDF("k", "ts0", "tie", "attr")
+      .select(col("k"), to_timestamp(col("ts0")).as("ts"), col("tie"), col("attr"))
+    val out = Maintenance.scd2(ch, "k", "ts", "tie", "attr").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getBoolean(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (1L, "A", "2024-01-01 00:00:00", "2024-01-03 00:00:00", false, 1L),
+      (1L, "B", "2024-01-03 00:00:00", "2024-01-04 00:00:00", false, 2L),
+      (1L, "A", "2024-01-04 00:00:00", null, true, 3L),
+      (2L, "X", "2024-01-05 00:00:00", null, true, 1L)))
+  }
+
   test("cdcMerge: replaying the same batch is idempotent") {
     val base = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "name", "v")
     val changes = Seq((1L, 1L, "U", "a1", 11.0), (2L, 1L, "D", "", 0.0),

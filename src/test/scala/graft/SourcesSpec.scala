@@ -82,6 +82,36 @@ class SourcesSpec extends SparkTestBase {
     assert(s.map(_.getString(0)).toSeq == Seq("r_regionkey", "r_name"))
   }
 
+  test("snapshots: versioned reads isolate appends; rollback is metadata-only") {
+    import graft.sources.Snapshots
+    val root = Export.tempDir("snapspec_").toString + "/t"
+    assert(Snapshots.versions(root).isEmpty) // fresh table: no versions
+    assert(Snapshots.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root) == 1)
+    assert(Snapshots.append(Seq((3L, "c")).toDF("id", "v"), root) == 2)
+    assert(Snapshots.readAs(spark, root, 1).count() == 2) // v1 unaffected by the append
+    assert(Snapshots.readAs(spark, root, 2).count() == 3)
+    assert(Snapshots.rollback(root, 1) == 3)
+    assert(Snapshots.readLatest(spark, root).count() == 2)
+    assert(Snapshots.readAs(spark, root, 2).count() == 3) // time travel PAST the rollback
+    assert(Snapshots.files(root, 3) == Snapshots.files(root, 1)) // no data moved
+  }
+
+  test("snapshots: vacuum reclaims unreferenced files; added columns merge") {
+    import graft.sources.Snapshots
+    val root = Export.tempDir("snapvac_").toString + "/t"
+    Snapshots.append(Seq((1L, "a")).toDF("id", "v"), root)           // v1
+    Snapshots.append(Seq((2L, "b", 9.0)).toDF("id", "v", "w"), root) // v2 adds w
+    val merged = Snapshots.readLatest(spark, root).orderBy("id").collect()
+    assert(merged.map(_.schema.fieldNames.toSet).head == Set("id", "v", "w"))
+    assert(merged(0).isNullAt(merged(0).fieldIndex("w"))) // pre-evolution row
+    assert(merged(1).getDouble(merged(1).fieldIndex("w")) == 9.0)
+    Snapshots.rollback(root, 1) // v3 = v1's files; v2's batch now orphanable
+    val (dataGone, manifestsGone) = Snapshots.vacuum(root, keepLast = 1)
+    assert(dataGone >= 1 && manifestsGone == 2)
+    assert(Snapshots.versions(root) == Seq(3))
+    assert(Snapshots.readLatest(spark, root).collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("bucketed join is exchange-free and matches the plain join") {
     // disable broadcast so the join must be sort-merge: the bucketed
     // layout, not AQE's size heuristics, is what kills the shuffle
