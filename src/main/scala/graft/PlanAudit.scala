@@ -54,7 +54,17 @@ object PlanAudit {
     // broadcast join-back), k-hop BFS first round (frontier equi-join +
     // min agg); graph_khops/bpe run their loops eagerly like
     // dedup_clusters so only the relational kernels appear here
-    "maint_merge", "text_scrub_spans", "mix_weighted")
+    "maint_merge", "text_scrub_spans", "mix_weighted",
+    // round 5 cont. #5: drift/kanon/abtest/scd2 (each ONE dimension-sized
+    // agg shuffle; scd2's three windows share one sort), winsorized
+    // (dimension-sized percentile agg broadcast into the clamp scan),
+    // co-purchase (persisted basket-attr table, domain²-sized pair agg),
+    // snapshot + schema-evo reads (manifest-listed files, pushdown
+    // preserved — also asserted in PlanSpec); dedup_keep_best runs the
+    // eager CC loop like dedup_clusters, so only its election kernel
+    // would appear — excluded for the same reason
+    "dq_drift", "dq_kanon", "evt_abtest", "maint_scd2", "evt_winsorized",
+    "rel_copurchase", "maint_snapshot", "maint_schema_evo")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

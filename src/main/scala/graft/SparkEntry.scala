@@ -134,6 +134,7 @@ object SparkEntry {
     "maint_scd2" -> (Suite.maintScd2 _),
     "dq_kanon" -> (Suite.dqKanon _),
     "maint_snapshot" -> (Suite.maintSnapshot _),
+    "maint_snapshot_diff" -> (Suite.maintSnapshotDiff _),
     "rel_copurchase" -> (Suite.relCopurchase _),
     "evt_abtest" -> (Suite.evtAbtest _),
     "maint_schema_evo" -> (Suite.maintSchemaEvo _),
@@ -157,6 +158,7 @@ object SparkEntry {
     "stream_join" -> (Suite.streamJoin _),
     "stream_left_join" -> (Suite.streamLeftJoin _),
     "stream_dedup" -> (Suite.streamDedup _),
+    "stream_drift" -> (Suite.streamDrift _),
     "stream_upsert" -> (Suite.streamUpsert _),
     "stream_sessionize" -> (Suite.streamSessionize _),
     "stream_enrich" -> (Suite.streamEnrich _)
@@ -863,6 +865,9 @@ object SparkEntry {
         |  ORDER BY o_totalprice DESC, o_orderkey)
         |ORDER BY o_orderstatus, drank, o_orderkey""".stripMargin,
     "dq_drift" -> driftSql(Seq(20.0, 40.0, 60.0, 80.0), 0.25),
+    // the streaming monitor drains to the SAME result as the batch one —
+    // same oracle
+    "stream_drift" -> driftSql(Seq(20.0, 40.0, 60.0, 80.0), 0.25),
     // winsorized: Spark percentile ≡ DuckDB quantile_cont (q13-proven);
     // float aggregates round(4)
     "evt_winsorized" ->
@@ -939,6 +944,16 @@ object SparkEntry {
         |FROM (SELECT 1 AS v UNION ALL SELECT 2 UNION ALL SELECT 3) vs
         |JOIN orders ON o_orderkey % 3 < v
         |GROUP BY v ORDER BY version""".stripMargin,
+    // snapshot diff: the oracle replays the slice visibility — slice 2
+    // only in v2 (added), slice 0 only in v1 (removed), slice 1 in both
+    // with a +1.0 price (changed)
+    "maint_snapshot_diff" ->
+      """SELECT 'added' AS change, o_orderkey AS key FROM orders WHERE o_orderkey % 3 = 2
+        |UNION ALL
+        |SELECT 'removed', o_orderkey FROM orders WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT 'changed', o_orderkey FROM orders WHERE o_orderkey % 3 = 1
+        |ORDER BY change, key""".stripMargin,
     // k-anonymity: 1e0 forces an IEEE double (DuckDB 1.0 is DECIMAL);
     // per-row float -> portable floor rounding
     "dq_kanon" ->

@@ -111,17 +111,32 @@ object DataQuality {
     * signal to widen bins, not a number to paper over).
     */
   def valueDrift(events: DataFrame, bounds: Seq[Double] = Seq(20.0, 40.0, 60.0, 80.0),
-                 threshold: Double = 0.25): DataFrame = {
-    val nb = bounds.length + 1
+                 threshold: Double = 0.25): DataFrame =
+    psiFromCounts(binTag(events, bounds)
+        .groupBy("event_type").agg(psiCounts(bounds.length + 1).head,
+          psiCounts(bounds.length + 1).tail: _*),
+      bounds.length + 1, threshold)
+
+  /** The row-local half of the PSI monitor: tag each event with its
+    * window half and fixed bin. Shared by the batch monitor and the
+    * streaming one ([[graft.streaming.EventStream.driftMonitor]]) so
+    * both are the SAME arithmetic by construction. */
+  private[graft] def binTag(events: DataFrame, bounds: Seq[Double]): DataFrame = {
     val bin = bounds.tail.zipWithIndex
       .foldLeft(when(col("value") < bounds.head, 0)) {
         case (acc, (bd, i)) => acc.when(col("value") < bd, i + 1)
       }.otherwise(bounds.length)
-    val tagged = events.select(col("event_type"),
+    events.select(col("event_type"),
       when(dayofmonth(col("ts")) <= 15, "ref").otherwise("cur").as("h"), bin.as("b"))
-    val cnts = for (h <- Seq("ref", "cur"); i <- 0 until nb)
+  }
+
+  /** The conditional (half × bin) count columns — the mergeable state. */
+  private[graft] def psiCounts(nb: Int): Seq[org.apache.spark.sql.Column] =
+    for (h <- Seq("ref", "cur"); i <- 0 until nb)
       yield count(when(col("h") === h && col("b") === i, 1)).as(s"${h}_$i")
-    val aggd = tagged.groupBy("event_type").agg(cnts.head, cnts.tail: _*)
+
+  /** Derive shares/PSI/flag from the aggregated counts. */
+  private[graft] def psiFromCounts(aggd: DataFrame, nb: Int, threshold: Double): DataFrame = {
     val nRef = (0 until nb).map(i => col(s"ref_$i")).reduce(_ + _)
     val nCur = (0 until nb).map(i => col(s"cur_$i")).reduce(_ + _)
     val psi = (0 until nb).map { i =>

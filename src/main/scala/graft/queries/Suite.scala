@@ -822,6 +822,22 @@ object Suite {
       .orderBy("priority")
   }
 
+  /** v1 holds slices {0,1}; an INSERT-OVERWRITE replaces the table with
+    * {1 modified, 2} — the diff must report slice 2 added, slice 0
+    * removed, slice 1 changed. */
+  def maintSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{Export, Snapshots}
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+    val root = Export.tempDir("snapdiff_").toString + "/t"
+    val v1 = Snapshots.append(o.filter(col("o_orderkey") % 3 < 2), root)
+    val v2 = Snapshots.replace(
+      o.filter(col("o_orderkey") % 3 >= 1)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 3 === 1, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice"))), root)
+    Snapshots.diff(s, root, v1, v2, "o_orderkey", Seq("o_totalprice"))
+  }
+
   /** Customer (nation, segment) as the quasi-identifier pair a linkage
     * attack would use; class sizes + ≥k flags + 1/n risk. */
   def dqKanon(s: SparkSession, dir: String): DataFrame =
@@ -934,6 +950,11 @@ object Suite {
     * has no cross-language duplicate texts, so per-lang distinct
     * fingerprint counts are its deterministic DuckDB oracle — the
     * streaming twin of dedup_exact. */
+  /** Streaming PSI drift drained over the static events table — the
+    * stateful-aggregate monitor must equal the batch dq_drift. */
+  def streamDrift(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.driftMonitor(s, s"$dir/events.parquet")
+
   def streamDedup(s: SparkSession, dir: String): DataFrame =
     graft.streaming.EventStream.dedupedLangCounts(s, s"$dir/documents.parquet")
 

@@ -59,21 +59,25 @@ object Snapshots {
     v
   }
 
-  /** Append `df` as a new version; returns the committed version id. */
-  def append(df: DataFrame, root: String): Int = {
+  private def commitBatch(df: DataFrame, root: String, carryPrev: Boolean): Int = {
     val prev = versions(root)
     val v = prev.lastOption.getOrElse(0) + 1
     val batchRel = f"data/b$v%05d"
     df.write.mode("errorifexists").parquet(s"$root/$batchRel")
-    val batchDir = Paths.get(root, "data", f"b$v%05d")
-    val s = Files.list(batchDir)
+    val s = Files.list(Paths.get(root, "data", f"b$v%05d"))
     val fresh =
       try s.iterator.asScala.map(_.getFileName.toString)
         .filter(_.endsWith(".parquet")).toSeq.sorted.map(n => s"$batchRel/$n")
       finally s.close()
-    val carried = prev.lastOption.map(files(root, _)).getOrElse(Seq.empty)
+    val carried =
+      if (carryPrev) prev.lastOption.map(files(root, _)).getOrElse(Seq.empty)
+      else Seq.empty
     commitManifest(root, v, carried ++ fresh)
   }
+
+  /** Append `df` as a new version; returns the committed version id. */
+  def append(df: DataFrame, root: String): Int =
+    commitBatch(df, root, carryPrev = true)
 
   /** The table exactly as of `version` — scans only that manifest's
     * files. `mergeSchema` makes appends with ADDED columns read as the
@@ -88,6 +92,39 @@ object Snapshots {
     val vs = versions(root)
     require(vs.nonEmpty, s"no snapshots under $root")
     readAs(spark, root, vs.last)
+  }
+
+  /** INSERT-OVERWRITE commit: the new version's manifest lists ONLY
+    * this batch's files — the whole-table replace twin of [[append]].
+    * Old versions still read their old files (immutability is what
+    * makes the overwrite safe to time-travel across). */
+  def replace(df: DataFrame, root: String): Int =
+    commitBatch(df, root, carryPrev = false)
+
+  /** Keyed diff between two versions — "what changed between Monday's
+    * snapshot and now": per key, `added` (only in `vb`), `removed`
+    * (only in `va`), `changed` (in both, any payload column differs —
+    * null-safe compare, no string round-trip). Keys must be unique per
+    * version (it is a DIMENSION diff).
+    *
+    * Scale shape: two anti-joins + one inner join, all on the key —
+    * three co-partitioned shuffles of exactly the two versions
+    * compared (co-bucketed table roots make them exchange-free); no
+    * full-row hashing, no collect. */
+  def diff(spark: SparkSession, root: String, va: Int, vb: Int,
+           key: String, payload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cols = (key +: payload).map(col)
+    val a = readAs(spark, root, va).select(cols: _*)
+    val b = readAs(spark, root, vb).select(cols: _*)
+    val added = b.join(a, Seq(key), "left_anti")
+      .select(lit("added").as("change"), col(key).as("key"))
+    val removed = a.join(b, Seq(key), "left_anti")
+      .select(lit("removed").as("change"), col(key).as("key"))
+    val changed = a.as("a").join(b.as("b"), col(s"a.$key") === col(s"b.$key"))
+      .filter(payload.map(p => !(col(s"a.$p") <=> col(s"b.$p"))).reduce(_ || _))
+      .select(lit("changed").as("change"), col(s"a.$key").as("key"))
+    added.unionByName(removed).unionByName(changed).orderBy("change", "key")
   }
 
   /** Metadata-only rollback: commit a NEW version whose file list is

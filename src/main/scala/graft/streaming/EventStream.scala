@@ -89,6 +89,31 @@ object EventStream {
       "append")
       .groupBy("lang").agg(count(lit(1)).as("n_unique")).orderBy("lang")
 
+  /** Streaming PSI drift monitor — the batch [[graft.operators.DataQuality
+    * .valueDrift]] gate run continuously: the (half × bin) conditional
+    * counts are STREAMING STATE (one stateful aggregate in complete
+    * mode, partials merged per micro-batch exactly like the batch
+    * aggregate merges map-side partials); PSI derives from the drained
+    * state, so the monitor's final read-out is the batch monitor's
+    * result by construction — binning and share/PSI algebra are the
+    * same shared code, and the oracle is the same SQL.
+    *
+    * Scale shape: state is (event_types × 2 × bins) counters — bytes,
+    * not data; a live deployment reads the PSI off the state table at
+    * every trigger without rescanning history. */
+  def driftMonitor(spark: SparkSession, path: String,
+                   bounds: Seq[Double] = Seq(20.0, 40.0, 60.0, 80.0),
+                   threshold: Double = 0.25): DataFrame = {
+    import graft.operators.DataQuality
+    val nb = bounds.length + 1
+    val counts = runToMemory(spark,
+      DataQuality.binTag(source(spark, path), bounds)
+        .groupBy("event_type").agg(DataQuality.psiCounts(nb).head,
+          DataQuality.psiCounts(nb).tail: _*),
+      "complete")
+    DataQuality.psiFromCounts(counts, nb, threshold)
+  }
+
   /** Stream-stream join: two live streams (purchases and clicks split
     * from the same source) joined per user within a bounded event-time
     * interval — click at most `hours` before the purchase. BOTH sides

@@ -51,6 +51,14 @@ class EventsSpec extends SparkTestBase {
     assert(stream == batch)
   }
 
+  test("streaming drift monitor drains to the batch PSI result") {
+    val stream = graft.streaming.EventStream
+      .driftMonitor(spark, s"$sfDir/events.parquet").collect().toSeq
+    val batch = graft.operators.DataQuality
+      .valueDrift(Tables.t(spark, sfDir, "events")).collect().toSeq
+    assert(stream == batch)
+  }
+
   test("streaming sessionization (flatMapGroupsWithState) matches batch") {
     val batch = Events.sessionStats(Tables.t(spark, sfDir, "events"))
       .select("user_id", "n_sessions", "n_events").collect().toSeq

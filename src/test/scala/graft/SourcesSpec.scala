@@ -112,6 +112,19 @@ class SourcesSpec extends SparkTestBase {
     assert(Snapshots.readLatest(spark, root).collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("snapshots: replace overwrites, diff classifies keys, history survives") {
+    import graft.sources.Snapshots
+    val root = Export.tempDir("snapdiffspec_").toString + "/t"
+    Snapshots.append(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), root)  // v1
+    Snapshots.replace(Seq((2L, 21.0), (3L, 30.0)).toDF("k", "v"), root) // v2
+    val d = Snapshots.diff(spark, root, 1, 2, "k", Seq("v")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(d.toSeq == Seq(("added", 3L), ("changed", 2L), ("removed", 1L)))
+    // the overwrite did not touch v1's files: time travel still works
+    assert(Snapshots.readAs(spark, root, 1).orderBy("k").collect()
+      .map(_.getDouble(1)).toSeq == Seq(10.0, 20.0))
+  }
+
   test("bucketed join is exchange-free and matches the plain join") {
     // disable broadcast so the join must be sort-merge: the bucketed
     // layout, not AQE's size heuristics, is what kills the shuffle
