@@ -78,6 +78,7 @@ object SparkEntry {
     "text_decontam" -> (Suite.textDecontam _),
     "text_repetition" -> (Suite.textRepetition _),
     "text_perplexity" -> (Suite.textPerplexity _),
+    "text_ppl_buckets" -> (Suite.textPplBuckets _),
     "text_bigram_ce" -> (Suite.textBigramCe _),
     "text_gopher" -> (Suite.textGopher _),
     "text_line_dedup" -> (Suite.textLineDedup _),
@@ -139,6 +140,7 @@ object SparkEntry {
     "evt_abtest" -> (Suite.evtAbtest _),
     "maint_schema_evo" -> (Suite.maintSchemaEvo _),
     "evt_winsorized" -> (Suite.evtWinsorized _),
+    "evt_attribution" -> (Suite.evtAttribution _),
     "dedup_keep_best" -> (Suite.dedupKeepBest _),
     "graph_pagerank" -> (Suite.graphPagerank _),
     "graph_triangles" -> (Suite.graphTriangles _),
@@ -518,6 +520,24 @@ object SparkEntry {
          | round(avg(-ln(cnt / CAST(n_total AS DOUBLE))), 4) AS cross_entropy
          |FROM toks JOIN c USING (term) CROSS JOIN n
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // CCNet terciles: same per-doc score CTEs; membership via integer
+    // ntile over the deterministic (rounded score, doc_id) order — no
+    // float threshold comparison
+    "text_ppl_buckets" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |c AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+         |n AS (SELECT count(*) AS n_total FROM toks),
+         |ce AS (SELECT doc_id,
+         |   round(avg(-ln(cnt / CAST(n_total AS DOUBLE))), 4) AS cross_entropy
+         | FROM toks JOIN c USING (term) CROSS JOIN n GROUP BY doc_id),
+         |r AS (SELECT d.lang, ce.doc_id, ce.cross_entropy,
+         |   ntile(3) OVER (PARTITION BY d.lang
+         |     ORDER BY ce.cross_entropy, ce.doc_id) AS nt
+         | FROM ce JOIN documents d ON d.doc_id = ce.doc_id)
+         |SELECT lang,
+         |  CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+         |  count(*) AS n_docs, round(avg(cross_entropy), 4) AS avg_ce
+         |FROM r GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
     // bigram LM scoring: same model tables, natural log both sides
     "text_bigram_ce" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
@@ -868,6 +888,26 @@ object SparkEntry {
     // the streaming monitor drains to the SAME result as the batch one —
     // same oracle
     "stream_drift" -> driftSql(Seq(20.0, 40.0, 60.0, 80.0), 0.25),
+    // attribution: DuckDB native ASOF LEFT JOIN; only the click TS value
+    // is used, so equal-instant duplicates can't skew the pick; integer
+    // µs lag buckets
+    "evt_attribution" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS tsx
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tsx
+        |  FROM events WHERE event_type = 'click'),
+        |j AS (SELECT p.user_id, p.tsx, c.tsx AS ctx
+        |  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.tsx >= c.tsx),
+        |b AS (SELECT user_id,
+        |  CASE WHEN ctx IS NULL THEN '4_no_click'
+        |       WHEN epoch_us(tsx) - epoch_us(ctx) < 3600000000 THEN '0_lt_1h'
+        |       WHEN epoch_us(tsx) - epoch_us(ctx) < 21600000000 THEN '1_1h_to_6h'
+        |       WHEN epoch_us(tsx) - epoch_us(ctx) < 86400000000 THEN '2_6h_to_24h'
+        |       ELSE '3_gt_24h' END AS bucket
+        |  FROM j)
+        |SELECT bucket, count(*) AS n_purchases,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
     // winsorized: Spark percentile ≡ DuckDB quantile_cont (q13-proven);
     // float aggregates round(4)
     "evt_winsorized" ->

@@ -247,6 +247,32 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): per
+    * language, split the corpus into head/middle/tail TERCILES of LM
+    * score — the standard coarse quality tiering before mixing (train
+    * mostly on head, sample middle, drop tail). Built on
+    * [[unigramCrossEntropy]] (whose rounded score is oracle-proven
+    * identical cross-engine), so tercile membership is decided by an
+    * integer ntile over a fully deterministic (score, doc_id) order —
+    * no float threshold comparison anywhere.
+    *
+    * Scale shape: one shuffle on the language for the tercile window
+    * (the sort is per-language); at 100 TB swap the exact ntile for
+    * sampled score thresholds broadcast into a map-side tag (the
+    * winsorize pattern) — exact ranks kept here for the oracle. */
+  def perplexityBuckets(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy(col("cross_entropy"), col("doc_id"))
+    unigramCrossEntropy(docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .withColumn("nt", ntile(3).over(w))
+      .groupBy(col("lang"),
+        when(col("nt") === 1, "head").when(col("nt") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), round(avg(col("cross_entropy")), 4).as("avg_ce"))
+      .orderBy("lang", "bucket")
+  }
+
   /** Gopher-style rule-based quality gate (Rae et al. 2021 §A1.1, the
     * standard pre-filter every corpus pipeline runs before model-based
     * scoring): word count bounds, mean word length bounds, symbol and

@@ -307,6 +307,9 @@ object Suite {
   def textPerplexity(s: SparkSession, dir: String): DataFrame =
     TextOps.unigramCrossEntropy(t(s, dir, "documents"))
 
+  def textPplBuckets(s: SparkSession, dir: String): DataFrame =
+    TextOps.perplexityBuckets(t(s, dir, "documents"))
+
   /** Sharded concat-and-chunk packing of the documents table into
     * 64-token training sequences (small budget so spec-scale docs
     * straddle boundaries); oracle replays the same window in DuckDB. */
@@ -897,6 +900,33 @@ object Suite {
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"), col("value"),
         col("click_event_id"), col("click_value"))
       .orderBy("event_id")
+  }
+
+  /** Last-touch conversion lag — the attribution question "how long
+    * after the final touch do users convert": each purchase as-of-joins
+    * its user's latest preceding click and the lag lands in product
+    * buckets (no-click purchases surface explicitly). Same ONE-shuffle
+    * union+window as-of machinery as evt_asof_join; only the click TS
+    * value is carried, so equal-instant duplicate clicks cannot make
+    * the pick engine-dependent. Integer µs lag math. */
+  def evtAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click").select("user_id", "ts")
+    val lagUs = unix_micros(col("ts")) - unix_micros(col("click_ts"))
+    Events.asofJoin(purchases, clicks, "user_id", "ts",
+        rightCols = Seq("ts"), rightPrefix = "click_")
+      .select(col("user_id"),
+        when(col("click_ts").isNull, "4_no_click")
+          .when(lagUs < 3600000000L, "0_lt_1h")
+          .when(lagUs < 21600000000L, "1_1h_to_6h")
+          .when(lagUs < 86400000000L, "2_6h_to_24h")
+          .otherwise("3_gt_24h").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_purchases"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("bucket")
   }
 
   /** Range join: clicks landing inside each error's 24-hour aftermath

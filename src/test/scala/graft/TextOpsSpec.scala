@@ -376,6 +376,20 @@ class TextOpsSpec extends SparkTestBase {
     assert(!out.contains(4L))
   }
 
+  test("perplexityBuckets: per-lang terciles order by LM score") {
+    // 'aa' dominates the corpus (6/12 tokens), 'bb' is middling, the
+    // third doc is all singletons -> scores strictly order doc1<2<3
+    val d = Seq(
+      (1L, "aa aa aa aa", "en"),
+      (2L, "aa aa bb bb", "en"),
+      (3L, "xx yy zz ww", "en")).toDF("doc_id", "text", "lang")
+    val out = TextOps.perplexityBuckets(d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq(("en", "head", 1L), ("en", "middle", 1L), ("en", "tail", 1L)))
+    assert(out(0)._4 < out(1)._4 && out(1)._4 < out(2)._4) // head lowest ce
+  }
+
   test("vocabulary assigns contiguous ids by count desc then term") {
     val d = Seq(
       (1L, "b b b a a c once"),
