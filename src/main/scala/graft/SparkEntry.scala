@@ -95,6 +95,11 @@ object SparkEntry {
     "maint_zorder" -> (Suite.maintZorder _),
     "q16_sql" -> (Suite.sqlTpchQ5 _),
     "sim_centroids" -> (Suite.simCentroids _),
+    "sim_hard_negatives" -> (Suite.simHardNegatives _),
+    "sim_knn_classify" -> (Suite.simKnnClassify _),
+    "sim_label_outliers" -> (Suite.simLabelOutliers _),
+    "dedup_overlap_matrix" -> (Suite.dedupSourceOverlap _),
+    "mix_token_budget" -> (Suite.mixTokenBudget _),
     // dedup (§2b rows 20-23)
     "dedup_exact" -> (Suite.dedupExact _),
     "dedup_bloom" -> (Suite.dedupBloom _),
@@ -1264,6 +1269,95 @@ object SparkEntry {
         |       (SELECT unnest(generate_series(1, 8)) AS i) g)
         |SELECT label, CAST(dim AS BIGINT) AS dim, round(avg(v), 4) AS avg_v
         |FROM u GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+    // hard negatives: top-5 most-similar DIFFERENT-label vectors per query
+    "sim_hard_negatives" ->
+      """WITH q AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |s AS (SELECT q.vec_id AS vec_id, c.vec_id AS neighbor_id,
+        |  CAST(c.label AS BIGINT) AS neighbor_label,
+        |  list_inner_product(q.e, c.e)
+        |    / (sqrt(list_inner_product(q.e, q.e)) * sqrt(list_inner_product(c.e, c.e))) AS sim
+        |  FROM q JOIN c ON q.label <> c.label)
+        |SELECT vec_id, neighbor_id, neighbor_label,
+        | CAST(floor(sim * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS sim,
+        | CAST(rank AS BIGINT) AS rank FROM (
+        | SELECT vec_id, neighbor_id, neighbor_label, sim,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+        |WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin,
+    // kNN vote: per-label accuracy of 5-NN majority label over eval vec_id < 100
+    "sim_knn_classify" ->
+      """WITH q AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 100),
+        |c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |s AS (SELECT q.vec_id AS qid, q.label AS qlabel, c.vec_id AS nid, c.label AS nlabel,
+        |  list_inner_product(q.e, c.e)
+        |    / (sqrt(list_inner_product(q.e, q.e)) * sqrt(list_inner_product(c.e, c.e))) AS sim
+        |  FROM q JOIN c ON q.vec_id <> c.vec_id),
+        |tk AS (SELECT qid, qlabel, nlabel FROM (
+        |  SELECT qid, qlabel, nlabel,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM s)
+        |  WHERE rn <= 5),
+        |v AS (SELECT qid, qlabel, nlabel, count(*) AS votes FROM tk GROUP BY qid, qlabel, nlabel),
+        |p AS (SELECT qid, qlabel, nlabel AS pred FROM (
+        |  SELECT qid, qlabel, nlabel,
+        |    row_number() OVER (PARTITION BY qid ORDER BY votes DESC, nlabel) AS rn FROM v)
+        |  WHERE rn = 1)
+        |SELECT CAST(p.qlabel AS BIGINT) AS label, count(*) AS n_eval,
+        | CAST(sum(CASE WHEN p.pred = p.qlabel THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        | CAST(floor(sum(CASE WHEN p.pred = p.qlabel THEN 1 ELSE 0 END)
+        |   / count(*) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS accuracy
+        |FROM p GROUP BY p.qlabel ORDER BY label""".stripMargin,
+    // label outliers: bottom-3 cosine-to-own-ROUNDED-centroid per label
+    "sim_label_outliers" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |u AS (SELECT label, i AS dim, emb[i] AS v
+        |  FROM e, (SELECT unnest(generate_series(1, 64)) AS i) g),
+        |ca AS (SELECT label, dim, round(avg(v), 4) AS cv FROM u GROUP BY label, dim),
+        |c AS (SELECT label, list(cv ORDER BY dim) AS centroid FROM ca GROUP BY label),
+        |s AS (SELECT e.label, e.vec_id,
+        |  CAST(floor(list_inner_product(e.emb, c.centroid)
+        |    / (sqrt(list_inner_product(e.emb, e.emb)) * sqrt(list_inner_product(c.centroid, c.centroid)))
+        |    * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS sim
+        |  FROM e JOIN c ON e.label = c.label),
+        |r AS (SELECT label, vec_id, sim,
+        |  row_number() OVER (PARTITION BY label ORDER BY sim, vec_id) AS rnk FROM s)
+        |SELECT CAST(r.label AS BIGINT) AS label, r.vec_id, r.sim, CAST(r.rnk AS BIGINT) AS rank
+        |FROM r WHERE r.rnk <= 3 ORDER BY r.label, r.rnk""".stripMargin,
+    // cross-source 3-gram overlap matrix (string grams ≡ fingerprints mod collisions)
+    "dedup_overlap_matrix" ->
+      s"""WITH t AS (SELECT source, $toksSql AS toks FROM documents),
+         |g AS (SELECT DISTINCT source, gram FROM (
+         |  SELECT source, unnest(list_transform(generate_series(1, len(toks)-2),
+         |    i -> array_to_string(toks[i:i+2], ' '))) AS gram
+         |  FROM t WHERE len(toks) >= 3)),
+         |n AS (SELECT source, count(*) AS n FROM g GROUP BY source),
+         |sh AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared
+         |  FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+         |  GROUP BY a.source, b.source)
+         |SELECT sh.src_a, sh.src_b, sh.shared, na.n AS n_a, nb.n AS n_b,
+         |  CAST(floor(sh.shared / (na.n + nb.n - sh.shared) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS jaccard
+         |FROM sh JOIN n na ON sh.src_a = na.source JOIN n nb ON sh.src_b = nb.source
+         |ORDER BY sh.src_a, sh.src_b""".stripMargin,
+    // greedy 10k-token budget by lexical diversity; prefix admission at the boundary
+    "mix_token_budget" ->
+      s"""WITH sc AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+         |by_score AS (SELECT n_distinct, sum(n_tokens) AS score_tokens FROM sc GROUP BY n_distinct),
+         |cum AS (SELECT n_distinct, score_tokens,
+         |  coalesce(sum(score_tokens) OVER (ORDER BY n_distinct DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM by_score),
+         |j AS (SELECT sc.doc_id, sc.n_tokens, sc.n_distinct, cum.score_tokens, cum.cum_before
+         |  FROM sc JOIN cum USING (n_distinct)),
+         |full_keep AS (SELECT doc_id, n_tokens, n_distinct FROM j
+         |  WHERE cum_before + score_tokens <= 10000),
+         |b AS (SELECT doc_id, n_tokens, n_distinct, cum_before,
+         |  sum(n_tokens) OVER (PARTITION BY n_distinct ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_in
+         |  FROM j WHERE cum_before < 10000 AND cum_before + score_tokens > 10000),
+         |kept AS (SELECT doc_id, n_tokens, n_distinct FROM full_keep
+         |  UNION ALL SELECT doc_id, n_tokens, n_distinct FROM b WHERE cum_before + cum_in <= 10000)
+         |SELECT kept.doc_id, kept.n_tokens, kept.n_distinct FROM kept
+         |ORDER BY kept.n_distinct DESC, kept.doc_id""".stripMargin,
     "text_bpe_tokens" ->
       """SELECT doc_id, CAST(len(regexp_extract_all(text,
         | '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS BIGINT) AS n_bpe_tokens

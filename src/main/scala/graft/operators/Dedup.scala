@@ -522,4 +522,44 @@ object Dedup {
     val ratio = s"cast(size(array_intersect($aSql, $bSql)) as double) / size(array_union($aSql, $bSql))"
     expr(s"cast(floor(($ratio) * 10000.0 + 0.5) as double) / 10000.0")
   }
+
+  // ---- Cross-source overlap matrix --------------------------------------
+
+  /** Pairwise content-overlap matrix between corpus sources — shared
+    * distinct k-gram fingerprints and the gram-set Jaccard per source
+    * pair. The audit a curation team runs BEFORE mixing corpora ("how
+    * much of source B is already inside source A?" — e.g. a new CC dump
+    * vs the corpus it will join); doc-level dedup answers per-document,
+    * this answers per-SOURCE.
+    *
+    * Scale shape: grams come from the native row-local
+    * [[org.apache.spark.sql.graftext.Shingles]] fingerprinter (w=1 →
+    * every gram, no windowing) — a pure map stage; the per-source
+    * distinct table takes one shuffle on (source, gram); the self-join
+    * equi-joins on the gram fingerprint only (never all pairs) and its
+    * output aggregates to |sources|² rows — domain-bounded. The distinct
+    * gram table feeds both join sides and the per-source counts, so it
+    * is persisted (the self-join rule). */
+  def sourceOverlap(docs: DataFrame, k: Int = 3): DataFrame = {
+    val grams = docs
+      .select(col("source"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("source"), explode(
+        org.apache.spark.sql.graftext.Shingles.winnowFps(col("toks"), k, 1)).as("gram"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = grams.groupBy("source").agg(count(lit(1)).as("n"))
+    val shared = grams.as("a")
+      .join(grams.as("b"),
+        col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(broadcast(counts.select(col("source").as("src_a"), col("n").as("n_a"))), Seq("src_a"))
+      .join(broadcast(counts.select(col("source").as("src_b"), col("n").as("n_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("shared"), col("n_a"), col("n_b"),
+        Num.pround(col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")), 4)
+          .as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
 }

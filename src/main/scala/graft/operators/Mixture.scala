@@ -102,4 +102,47 @@ object Mixture {
     df.join(drawn, Seq(keyCol))
       .orderBy(col("draw_key").desc, col(keyCol))
   }
+
+  /** Token-BUDGET corpus selection — "take the best documents until the
+    * budget is spent", the selection rule a training run with a fixed
+    * token count actually uses (the fourth leg: hashMixture fixes the
+    * rate, groupSample the per-group count, weightedSample the global
+    * count — this fixes the TOKEN SUM). Quality here is an integer
+    * signal (distinct-token count, i.e. lexical diversity), so ordering
+    * is exact across engines; admission is greedy by (quality desc,
+    * doc_id) and a doc is kept iff every token of it fits the remaining
+    * budget (prefix rule, not knapsack).
+    *
+    * Scale shape — NO global sort of the corpus: (1) one aggregation
+    * folds the corpus to tokens-per-quality-score, a score-domain-sized
+    * table whose running sum (tiny window) locates the threshold score;
+    * (2) docs strictly inside the threshold are kept by a broadcast-join
+    * FILTER; only the single boundary score-class runs a doc-ordered
+    * prefix-sum window. The boundary sliver is corpus/|score domain| in
+    * the worst case — if the score domain is coarse, refine the sliver
+    * with the same two-phase trick on doc_id ranges before windowing. */
+  def tokenBudget(docs: DataFrame, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0, s"budget must be positive, got $budget")
+    val scored = docs.select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+      size(array_distinct(TextOps.tokens(col("text")))).cast("long").as("n_distinct"))
+    val byScore = scored.groupBy("n_distinct").agg(sum("n_tokens").as("score_tokens"))
+    val wScore = Window.orderBy(col("n_distinct").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = byScore.withColumn("cum_before",
+      coalesce(sum("score_tokens").over(wScore), lit(0L)))
+    val joined = scored.join(broadcast(cum), Seq("n_distinct"))
+    val full = joined.filter(col("cum_before") + col("score_tokens") <= budget)
+    val wBoundary = Window.partitionBy("n_distinct").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val boundaryKept = joined
+      .filter(col("cum_before") < budget && col("cum_before") + col("score_tokens") > budget)
+      .withColumn("__cum_in", sum("n_tokens").over(wBoundary))
+      .filter(col("cum_before") + col("__cum_in") <= budget)
+      .drop("__cum_in")
+    full.unionByName(boundaryKept)
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"))
+      .orderBy(col("n_distinct").desc, col("doc_id"))
+  }
 }

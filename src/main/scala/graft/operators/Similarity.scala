@@ -326,4 +326,91 @@ object Similarity {
         cosinePrenormed(dot(col("qemb"), col("nemb")), col("qnorm"), col("nnorm")).as("sim"))
     rankTopK(scored, k)
   }
+
+  /** Hard-negative mining (the contrastive-training data step, DPR /
+    * SimCSE style): for each query vector, the top-k most-similar
+    * corpus vectors whose label DIFFERS from the query's — the
+    * "confusable but wrong" examples a retrieval trainer pairs with
+    * each positive. Scale shape is identical to [[topKExact]]: the
+    * bounded query set is broadcast, the corpus is scanned once, and
+    * GroupTopK prunes to k-per-query map-side before any shuffle. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = withNorm(queries.select(col("vec_id").as("qid"), col("label").as("qlabel"),
+      col("embedding").as("qemb")), "qemb", "qnorm")
+    val c = withNorm(corpus.select(col("vec_id").as("nid"), col("label").as("nlabel"),
+      col("embedding").as("nemb")), "nemb", "nnorm")
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("qlabel") =!= col("nlabel"))
+      .select(col("qid"), col("nid"), col("nlabel"),
+        cosinePrenormed(dot(col("qemb"), col("nemb")), col("qnorm"), col("nnorm")).as("sim"))
+    val pruned = org.apache.spark.sql.graftext.GroupTopK.topK(
+      scored, Seq("qid"), Seq("sim" -> true, "nid" -> false), k)
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    pruned.withColumn("rank", row_number().over(w))
+      .select(col("qid").as("vec_id"), col("nid").as("neighbor_id"),
+        col("nlabel").cast("long").as("neighbor_label"),
+        Num.pround(col("sim"), 4).as("sim"), col("rank").cast("long").as("rank"))
+      .orderBy("vec_id", "rank")
+  }
+
+  /** k-NN majority-vote label accuracy — the label-quality audit a
+    * curation pipeline runs over a labeled embedding table ("do nearest
+    * neighbors agree with the assigned label?"). Each eval vector's k
+    * nearest corpus neighbors (cosine, self excluded) vote; the
+    * majority label (ties → smaller label) is the prediction; output is
+    * per-label (n_eval, n_correct, accuracy). Eval set is a bounded
+    * broadcast; the corpus is scanned once; GroupTopK prunes to
+    * k-per-query map-side, so the vote tables are eval-sized. */
+  def knnClassify(corpus: DataFrame, eval: DataFrame, k: Int): DataFrame = {
+    val q = withNorm(eval.select(col("vec_id").as("qid"), col("label").as("qlabel"),
+      col("embedding").as("qemb")), "qemb", "qnorm")
+    val c = withNorm(corpus.select(col("vec_id").as("nid"), col("label").as("nlabel"),
+      col("embedding").as("nemb")), "nemb", "nnorm")
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("qlabel"), col("nid"), col("nlabel"),
+        cosinePrenormed(dot(col("qemb"), col("nemb")), col("qnorm"), col("nnorm")).as("sim"))
+    val topk = org.apache.spark.sql.graftext.GroupTopK.topK(
+      scored, Seq("qid"), Seq("sim" -> true, "nid" -> false), k)
+    val votes = topk.groupBy("qid", "qlabel", "nlabel").agg(count(lit(1)).as("votes"))
+    val wv = Window.partitionBy("qid").orderBy(col("votes").desc, col("nlabel"))
+    val pred = votes.withColumn("rn", row_number().over(wv)).filter(col("rn") === 1)
+    pred.groupBy(col("qlabel").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("nlabel") === col("qlabel"), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("accuracy", Num.pround(col("n_correct").cast("double") / col("n_eval"), 4))
+      .orderBy("label")
+  }
+
+  /** Label-conditional outlier mining (the mislabel/noise sweep, à la
+    * confident-learning pruning): each vector's cosine to ITS OWN label
+    * centroid; the `bottomK` least-central vectors per label are
+    * flagged for review. The centroid table is label-domain-sized (it
+    * is broadcast); the corpus is scanned once for the centroid build
+    * and once for scoring; GroupTopK prunes ascending map-side.
+    * Centroid coordinates are rounded to 4dp BEFORE the cosine, so the
+    * score is a deterministic function of (rounded centroid, raw
+    * vector) — the per-dim avg is the only cross-engine float
+    * aggregate, handled by the round(x,4) convention. The final-stage
+    * `transform` HOF that reassembles the centroid array is interpreted
+    * but runs over the label-domain-sized table only. */
+  def labelOutliers(corpus: DataFrame, bottomK: Int): DataFrame = {
+    val cent = corpus
+      .select(col("label"), posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(round(avg("v"), 4).as("cv"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pairs"))
+      .select(col("label"), expr("transform(pairs, p -> p.cv)").as("centroid"))
+    val scored = corpus.join(broadcast(cent), Seq("label"))
+      .select(col("label"), col("vec_id"),
+        Num.pround(cosine(col("embedding").cast("array<double>"), col("centroid")), 4).as("sim"))
+    val pruned = org.apache.spark.sql.graftext.GroupTopK.topK(
+      scored, Seq("label"), Seq("sim" -> false, "vec_id" -> false), bottomK)
+    val w = Window.partitionBy("label").orderBy(col("sim"), col("vec_id"))
+    pruned.withColumn("rank", row_number().over(w))
+      .select(col("label").cast("long").as("label"), col("vec_id"),
+        col("sim"), col("rank").cast("long").as("rank"))
+      .orderBy("label", "rank")
+  }
 }

@@ -598,6 +598,35 @@ object Suite {
 
   /** Per-label centroid components: posexplode the vector, aggregate by
     * (label, dim) — embedding aggregation without ever collecting vectors. */
+  /** Top-5 different-label neighbors for the bounded query set — the
+    * hard-negative mining pass of a contrastive-training data build. */
+  def simHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.hardNegatives(e, e.filter(col("vec_id") < 20), 5)
+  }
+
+  /** Per-label 5-NN majority-vote accuracy over a 100-vector eval set —
+    * the label-quality audit. On this corpus the embeddings are
+    * near-uniform random (PLANS.md §5), so accuracy ≈ chance; the
+    * oracle checks the computation, not the classifier. */
+  def simKnnClassify(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.knnClassify(e, e.filter(col("vec_id") < 100), 5)
+  }
+
+  /** Bottom-3 least-centroid-like vectors per label — mislabel/noise
+    * candidates (confident-learning style sweep). */
+  def simLabelOutliers(s: SparkSession, dir: String): DataFrame =
+    Similarity.labelOutliers(t(s, dir, "embeddings"), 3)
+
+  /** Pairwise 3-gram overlap matrix between the 20 corpus sources. */
+  def dedupSourceOverlap(s: SparkSession, dir: String): DataFrame =
+    Dedup.sourceOverlap(t(s, dir, "documents"))
+
+  /** Greedy 10k-token selection by lexical diversity (prefix rule). */
+  def mixTokenBudget(s: SparkSession, dir: String): DataFrame =
+    Mixture.tokenBudget(t(s, dir, "documents"), 10000L)
+
   def simCentroids(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
       .select(col("label"), posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))

@@ -277,4 +277,20 @@ class DedupSpec extends SparkTestBase {
     val j = pairs.select(Dedup.ngramJaccard(3).as("j")).head().getDouble(0)
     assert(j == 0.3333)
   }
+
+  test("source overlap matrix: planted identical sources hit jaccard 1") {
+    // two sources with identical single-doc content, one disjoint
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon", "sA"),
+      (2L, "alpha beta gamma delta epsilon", "sB"),
+      (3L, "zeta eta theta iota kappa", "sC"))
+      .toDF("doc_id", "text", "source")
+    val m = Dedup.sourceOverlap(docs).collect()
+    // only the (sA, sB) pair shares grams; equal sets → jaccard 1.0
+    assert(m.length == 1)
+    val r = m.head
+    assert(r.getString(0) == "sA" && r.getString(1) == "sB")
+    assert(r.getLong(2) == 3L && r.getLong(3) == 3L && r.getLong(4) == 3L) // 5 toks → 3 shingles
+    assert(r.getDouble(5) == 1.0)
+  }
 }

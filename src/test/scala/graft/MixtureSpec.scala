@@ -117,4 +117,35 @@ class MixtureSpec extends SparkTestBase {
       .take(50).map(_._1).toSet
     assert(viaWeighted == direct)
   }
+
+  test("tokenBudget matches the greedy reference and never overspends") {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val budget = 10000L
+    val kept = Mixture.tokenBudget(docs, budget).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(kept.map(_._2).sum <= budget)
+    // greedy reference: docs in (n_distinct desc, doc_id) order, score
+    // classes admitted whole while they fit; the boundary class admits a
+    // doc_id-ordered prefix (stop at the first overflow)
+    val all = docs.select(col("doc_id"),
+      size(graft.operators.TextOps.tokens(col("text"))).cast("long"),
+      size(array_distinct(graft.operators.TextOps.tokens(col("text")))).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byScore = all.groupBy(_._3).toSeq.sortBy(-_._1)
+    var cum = 0L
+    val ref = scala.collection.mutable.Set[Long]()
+    for ((_, ds) <- byScore) {
+      val scoreTotal = ds.map(_._2).sum
+      if (cum + scoreTotal <= budget) { ref ++= ds.map(_._1); cum += scoreTotal }
+      else if (cum < budget) {
+        var boundaryCum = cum
+        for ((id, n, _) <- ds.sortBy(_._1)) {
+          if (boundaryCum + n <= budget) { ref += id; boundaryCum += n }
+          else boundaryCum = budget + 1 // prefix rule: first overflow stops admission
+        }
+        cum = budget + 1 // later (smaller) score classes are all past the threshold
+      }
+    }
+    assert(kept.map(_._1).toSet == ref.toSet)
+  }
 }

@@ -266,4 +266,42 @@ class SimilaritySpec extends SparkTestBase {
     val multi = Similarity.annTopK(e, k = 5, multiProbe = true).count()
     assert(multi >= single)
   }
+
+  test("hard negatives: every neighbor's label differs from its query's") {
+    val e = Tables.t(spark, sfDir, "embeddings")
+    val queries = e.filter(col("vec_id") < 10)
+    val out = Similarity.hardNegatives(e, queries, 4)
+    val qLabels = queries.select(col("vec_id"), col("label").cast("long").as("qlabel"))
+    val sameLabel = out.join(qLabels, Seq("vec_id"))
+      .filter(col("neighbor_label") === col("qlabel")).count()
+    assert(sameLabel == 0L)
+    // exactly k per query (different-label pool is always ≥ k here)
+    val perQuery = out.groupBy("vec_id").count().select("count")
+      .collect().map(_.getLong(0)).toSet
+    assert(perQuery == Set(4L))
+  }
+
+  test("knn classify: per-label counts partition the eval set") {
+    val e = Tables.t(spark, sfDir, "embeddings")
+    val eval = e.filter(col("vec_id") < 50)
+    val out = Similarity.knnClassify(e, eval, 5).collect()
+    assert(out.map(_.getLong(1)).sum == 50L)
+    assert(out.forall(r => r.getLong(2) >= 0L && r.getLong(2) <= r.getLong(1)))
+  }
+
+  test("label outliers: flagged vectors are the per-label minimum-sim set") {
+    val e = Tables.t(spark, sfDir, "embeddings")
+    val flagged = Similarity.labelOutliers(e, 3)
+    val perLabel = flagged.groupBy("label").count().collect()
+    assert(perLabel.forall(_.getLong(1) == 3L))
+    // bottom-k property: the flagged set IS the first 3 ranks of the
+    // unpruned ranking (k = corpus size → GroupTopK keeps everything)
+    val all = Similarity.labelOutliers(e, 500)
+    val expect = all.filter(col("rank") <= 3)
+      .select("label", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = flagged.select("label", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect)
+  }
 }
