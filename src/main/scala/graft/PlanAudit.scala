@@ -64,7 +64,35 @@ object PlanAudit {
     // eager CC loop like dedup_clusters, so only its election kernel
     // would appear — excluded for the same reason
     "dq_drift", "dq_kanon", "evt_abtest", "maint_scd2", "evt_winsorized",
-    "rel_copurchase", "maint_snapshot", "maint_schema_evo")
+    "rel_copurchase", "maint_snapshot", "maint_schema_evo",
+    // round 5 cont. #6: hard negatives / knn vote (broadcast query set +
+    // GroupTopK pruning, corpus scanned once — the topKExact shape),
+    // label outliers (label-domain-sized centroid broadcast into one
+    // scoring scan), overlap matrix (gram-fingerprint equi-join over the
+    // persisted distinct table, |sources|²-bounded agg), token budget
+    // (score-domain-sized cumulative broadcast into a filter; the only
+    // unbounded window runs over the single boundary score-class)
+    "sim_hard_negatives", "sim_knn_classify", "sim_label_outliers",
+    "dedup_overlap_matrix", "mix_token_budget",
+    // hybrid rrf: both legs broadcast the bounded query side (one corpus
+    // scan + one docs scan), fusion aggregates the two k-sized slivers
+    "sim_hybrid_rrf",
+    // round 5 cont. #6b: gap fill (daily agg folds raw events before the
+    // calendar-bounded grid explode; grid join + fill window share the
+    // user partitioning), containment (a-prefix × full-posting equi-join,
+    // one-sided size bound, verify on persisted sets), fuzzy match
+    // (broadcast bounded query side, per-block candidates, codegen'd
+    // levenshtein), temperature sample (source-domain count agg broadcast
+    // into one ranked scan), fertility (two row-local regex kernels + one
+    // lang-domain agg), set ops (aggregate-pruned distinct key sets →
+    // semi/anti joins, nothing corpus-sized past the first agg)
+    "evt_gapfill", "dedup_containment", "dedup_fuzzy_match",
+    "mix_temperature", "text_fertility", "q30_setops",
+    // ctx buckets (one agg shuffle; cumulative windows over the bucket
+    // domain), corr audit (single one-row moment aggregate, map-side
+    // partials); stream_topk is excluded like the other streaming keys
+    // (the micro-batch plan isn't a single comparable batch plan)
+    "text_ctx_buckets", "dq_corr")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -51,6 +51,7 @@ object SparkEntry {
     // ingestion / export / serde / bundles (rows 2-6, 8, 14)
     "ingest_csv" -> (Suite.ingestCsv _),
     "ingest_json" -> (Suite.ingestJson _),
+    "ingest_orc" -> (Suite.ingestOrc _),
     "export_roundtrip" -> (Suite.exportRoundtrip _),
     "serde_json" -> (Suite.serdeJson _),
     "bundle_stats" -> (Suite.bundleStats _),
@@ -96,10 +97,20 @@ object SparkEntry {
     "q16_sql" -> (Suite.sqlTpchQ5 _),
     "sim_centroids" -> (Suite.simCentroids _),
     "sim_hard_negatives" -> (Suite.simHardNegatives _),
+    "sim_hybrid_rrf" -> (Suite.simHybridRrf _),
     "sim_knn_classify" -> (Suite.simKnnClassify _),
     "sim_label_outliers" -> (Suite.simLabelOutliers _),
     "dedup_overlap_matrix" -> (Suite.dedupSourceOverlap _),
     "mix_token_budget" -> (Suite.mixTokenBudget _),
+    "dedup_containment" -> (Suite.dedupContainment _),
+    "dedup_fuzzy_match" -> (Suite.dedupFuzzyMatch _),
+    "evt_gapfill" -> (Suite.evtGapfill _),
+    "mix_temperature" -> (Suite.mixTemperature _),
+    "text_fertility" -> (Suite.textFertility _),
+    "q30_setops" -> (Relational.q30SetOps _),
+    "text_ctx_buckets" -> (Suite.textCtxBuckets _),
+    "dq_corr" -> (Suite.dqCorr _),
+    "stream_topk" -> (Suite.streamTopK _),
     // dedup (§2b rows 20-23)
     "dedup_exact" -> (Suite.dedupExact _),
     "dedup_bloom" -> (Suite.dedupBloom _),
@@ -1269,6 +1280,41 @@ object SparkEntry {
         |       (SELECT unnest(generate_series(1, 8)) AS i) g)
         |SELECT label, CAST(dim AS BIGINT) AS dim, round(avg(v), 4) AS avg_v
         |FROM u GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+    // hybrid retrieval: dense cosine + sparse 3-gram jaccard legs, RRF-fused.
+    // Each leg replays its proven oracle formulation (sim_topk_exact /
+    // dedup_ngram_jaccard); rrf = Σ 1/(60+rank) has ≤2 addends → commutative-safe
+    "sim_hybrid_rrf" ->
+      s"""WITH qv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 20),
+         |cv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |ds AS (SELECT qv.vec_id AS query_id, cv.vec_id AS neighbor_id,
+         |  list_inner_product(qv.e, cv.e)
+         |    / (sqrt(list_inner_product(qv.e, qv.e)) * sqrt(list_inner_product(cv.e, cv.e))) AS sim
+         |  FROM qv JOIN cv ON qv.vec_id <> cv.vec_id),
+         |dtop AS (SELECT query_id, neighbor_id, rnk FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM ds)
+         |  WHERE rnk <= 10),
+         |t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-2),
+         |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+         |  FROM t WHERE len(toks) >= 3),
+         |ss AS (SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id,
+         |  CAST(floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.sh, b.sh))) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS sim
+         |  FROM g a JOIN g b ON a.doc_id < 20 AND a.doc_id <> b.doc_id),
+         |stop AS (SELECT query_id, neighbor_id, rnk FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM ss)
+         |  WHERE rnk <= 10),
+         |u AS (SELECT query_id, neighbor_id, CAST(1.0 AS DOUBLE) / (60 + rnk) AS contrib FROM dtop
+         |  UNION ALL SELECT query_id, neighbor_id, CAST(1.0 AS DOUBLE) / (60 + rnk) AS contrib FROM stop),
+         |f AS (SELECT query_id, neighbor_id, sum(contrib) AS rrf FROM u GROUP BY query_id, neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, rrf,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, neighbor_id) AS rnk FROM f)
+         |SELECT r.query_id, r.neighbor_id,
+         |  CAST(floor(r.rrf * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS rrf,
+         |  CAST(r.rnk AS BIGINT) AS rank
+         |FROM r WHERE r.rnk <= 5 ORDER BY r.query_id, r.rnk""".stripMargin,
     // hard negatives: top-5 most-similar DIFFERENT-label vectors per query
     "sim_hard_negatives" ->
       """WITH q AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 20),
@@ -1337,6 +1383,131 @@ object SparkEntry {
          |  CAST(floor(sh.shared / (na.n + nb.n - sh.shared) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS jaccard
          |FROM sh JOIN n na ON sh.src_a = na.source JOIN n nb ON sh.src_b = nb.source
          |ORDER BY sh.src_a, sh.src_b""".stripMargin,
+    // asymmetric containment (ordered pairs): brute-force oracle — any pair
+    // the prefix filter drops is a gate failure
+    "dedup_containment" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (SELECT doc_id, list_distinct(list_transform(
+         |  generate_series(1, len(toks)-2),
+         |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+         |  FROM t WHERE len(toks) >= 3)
+         |SELECT * FROM (
+         | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / len(a.sh) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS containment
+         | FROM g a JOIN g b ON a.doc_id <> b.doc_id)
+         |WHERE containment >= 0.6 ORDER BY doc_a, doc_b""".stripMargin,
+    // fuzzy record linkage: best same-block Levenshtein match per query part
+    "dedup_fuzzy_match" ->
+      """WITH n AS (SELECT p_partkey AS id, p_name AS name,
+        |    split_part(p_name, ' ', 1) AS block FROM part),
+        |q AS (SELECT id AS query_id, name AS q_name, block FROM n WHERE id < 50),
+        |c AS (SELECT q.query_id, n.id AS match_id,
+        |    CAST(levenshtein(q.q_name, n.name) AS BIGINT) AS dist
+        |  FROM q JOIN n USING (block) WHERE n.id <> q.query_id),
+        |r AS (SELECT query_id, match_id, dist,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY dist, match_id) AS rn FROM c)
+        |SELECT query_id, match_id, dist, dist <= 20 AS accepted FROM r
+        |WHERE rn = 1 ORDER BY query_id""".stripMargin,
+    // per-user daily grid with forward-filled values; the oracle reads the
+    // ORIGINAL events, so grid shape and fill must both match
+    "evt_gapfill" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |d AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    count(*) AS n_events, round(sum(value), 2) AS day_value
+        |  FROM ev GROUP BY 1, 2),
+        |m AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM d GROUP BY user_id),
+        |s AS (SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM m)
+        |SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day,
+        |  coalesce(d.n_events, 0) AS n_events,
+        |  last_value(d.day_value IGNORE NULLS) OVER (PARTITION BY s.user_id
+        |    ORDER BY s.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+        |FROM s LEFT JOIN d USING (user_id, day)
+        |ORDER BY s.user_id, s.day""".stripMargin,
+    // ORC round trip must be lossless vs the original parquet
+    "ingest_orc" ->
+      """SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey,
+        |  CAST(floor(s_acctbal * 100.0 + 0.5) AS DOUBLE) / 100.0 AS s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    // temperature-0.5 rebalance: floor(4·√n) per source, md5-ranked picks;
+    // sqrt and * are correctly rounded in IEEE-754, so the floor is exact
+    // on both engines (pow would not be)
+    "mix_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs,
+        |    CAST(floor(4.0 * sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS n_target
+        |  FROM documents GROUP BY lang),
+        |r AS (SELECT doc_id, lang,
+        |  CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS sample_rank
+        |  FROM documents)
+        |SELECT r.doc_id, r.lang, c.n_docs, c.n_target
+        |FROM r JOIN c USING (lang) WHERE r.sample_rank <= c.n_target
+        |ORDER BY r.doc_id""".stripMargin,
+    // BPE fertility per language: both counts are the proven regex kernels,
+    // fertility a floor-rounded ratio of exact integer sums
+    "text_fertility" ->
+      """WITH f AS (SELECT lang,
+        |  CAST(len(regexp_extract_all(text,
+        |    '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS BIGINT) AS bpe,
+        |  CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |    x -> x <> '')) AS BIGINT) AS words
+        |  FROM documents)
+        |SELECT lang, CAST(sum(bpe) AS BIGINT) AS n_bpe, CAST(sum(words) AS BIGINT) AS n_words,
+        |  CAST(floor(CAST(sum(bpe) AS DOUBLE) / sum(words) * 10000.0 + 0.5) AS DOUBLE)
+        |    / 10000.0 AS fertility
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
+    // power-of-two context buckets; CASE-chain bounds are integer-exact
+    "text_ctx_buckets" ->
+      """WITH f AS (SELECT CAST(len(regexp_extract_all(text,
+        |    '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS BIGINT) AS n
+        |  FROM documents),
+        |b AS (SELECT CAST(CASE WHEN n <= 32 THEN 32 WHEN n <= 64 THEN 64
+        |    WHEN n <= 128 THEN 128 WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+        |    WHEN n <= 1024 THEN 1024 ELSE 2048 END AS BIGINT) AS ctx_bucket, n FROM f),
+        |g AS (SELECT ctx_bucket, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS sum_tokens
+        |  FROM b GROUP BY ctx_bucket),
+        |c AS (SELECT ctx_bucket, n_docs, sum_tokens,
+        |  CAST(sum(n_docs) OVER (ORDER BY ctx_bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_docs,
+        |  CAST(sum(n_docs) OVER () AS BIGINT) AS total_docs FROM g)
+        |SELECT ctx_bucket, n_docs, sum_tokens, cum_docs,
+        |  CAST(floor(CAST(cum_docs AS DOUBLE) / total_docs * 10000.0 + 0.5) AS DOUBLE)
+        |    / 10000.0 AS doc_share
+        |FROM c ORDER BY ctx_bucket""".stripMargin,
+    // one-pass moment aggregates; 4dp absorbs engine accumulation-order ulps
+    "dq_corr" ->
+      """SELECT count(*) AS n,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        |  round(corr(l_quantity, l_discount), 4) AS corr_qty_disc,
+        |  round(corr(l_extendedprice, l_discount), 4) AS corr_price_disc,
+        |  round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(stddev_samp(l_extendedprice), 4) AS sd_price
+        |FROM lineitem""".stripMargin,
+    // streaming daily top-3: drained window×type state ranked = batch rank
+    "stream_topk" ->
+      """WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |    count(*) AS n FROM ev GROUP BY 1, 2),
+        |r AS (SELECT day, event_type, n,
+        |  CAST(row_number() OVER (PARTITION BY day ORDER BY n DESC, event_type)
+        |    AS BIGINT) AS rnk FROM d)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, event_type, n, rnk FROM r
+        |WHERE rnk <= 3 ORDER BY day, rnk""".stripMargin,
+    // INTERSECT/EXCEPT cohorts over distinct early/late customer keys
+    "q30_setops" ->
+      """WITH e AS (SELECT DISTINCT o_custkey FROM orders
+        |    WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+        |l AS (SELECT DISTINCT o_custkey FROM orders
+        |    WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+        |SELECT o_custkey, 'retained' AS cohort FROM (
+        |  SELECT o_custkey FROM e INTERSECT SELECT o_custkey FROM l)
+        |UNION ALL SELECT o_custkey, 'churned' FROM (
+        |  SELECT o_custkey FROM e EXCEPT SELECT o_custkey FROM l)
+        |UNION ALL SELECT o_custkey, 'new' FROM (
+        |  SELECT o_custkey FROM l EXCEPT SELECT o_custkey FROM e)
+        |ORDER BY cohort, o_custkey""".stripMargin,
     // greedy 10k-token budget by lexical diversity; prefix admission at the boundary
     "mix_token_budget" ->
       s"""WITH sc AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,

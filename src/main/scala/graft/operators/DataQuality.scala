@@ -148,4 +148,23 @@ object DataQuality {
         round(psi, 4).as("psi"), (psi > threshold).as("drifted"))
       .orderBy("event_type")
   }
+
+  /** Column-correlation audit — Pearson correlations, sample covariance
+    * and standard deviations over the fact table's numeric measures in
+    * ONE aggregate pass (Spark's corr/covar_samp/stddev_samp are
+    * associatively-mergeable moment aggregates: map-side partials fold
+    * before the single shuffle, the result is one row). The "which
+    * measures move together / which are redundant" screen a feature
+    * pipeline runs before training. Rounded 4dp on both engines — the
+    * moment sums differ across engines only in final-ulp accumulation
+    * order, orders of magnitude inside the rounding. */
+  def correlationAudit(lineitem: DataFrame): DataFrame =
+    lineitem.agg(
+      count(lit(1)).as("n"),
+      round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+      round(corr(col("l_quantity"), col("l_discount")), 4).as("corr_qty_disc"),
+      round(corr(col("l_extendedprice"), col("l_discount")), 4).as("corr_price_disc"),
+      round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_qty_price"),
+      round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+      round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"))
 }

@@ -562,4 +562,96 @@ object Dedup {
           .as("jaccard"))
       .orderBy("src_a", "src_b")
   }
+
+  // ---- Exact containment join (asymmetric near-dup) ---------------------
+
+  /** EXACT asymmetric containment self-join: every ORDERED pair (a, b)
+    * with C(a→b) = |sh(a) ∩ sh(b)| / |sh(a)| >= threshold — the
+    * "document a is (mostly) quoted inside document b" detector that
+    * symmetric Jaccard misses when |b| >> |a| (boilerplate quoting,
+    * page-in-page scrapes, subset duplication; J = t·|a|/|a∪b| can be
+    * arbitrarily small while containment is 1.0).
+    *
+    * Prefix-filtering lemma, containment form: if |a ∩ b| >= t·|a|,
+    * then a's (|a| − ceil(t·|a|) + 1) RAREST shingles must hit b's FULL
+    * set — so the candidate join runs a-prefix postings against full
+    * postings, with the one-sided size bound |b| >= t·|a| in the join.
+    * Exactness is the point (the DuckDB oracle is brute-force
+    * all-ordered-pairs); the full-posting side means globally-hot
+    * shingles cost more than in [[prefixJaccardPairs]] — the rare-first
+    * prefix order keeps them OUT of the probe side, and at corpus scale
+    * the standard mitigation is raising t or df-capping the posting
+    * table with a documented recall trade. */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.6, k: Int = 3): DataFrame = {
+    // the emitted containment is ROUNDED to 1e-4 before the >= threshold
+    // filter (oracle-portability rule), so a pair whose TRUE containment
+    // sits just under the threshold can still round up into the output —
+    // prune candidates with a margin below the rounding granularity or
+    // the lemma would drop exactly those boundary pairs
+    val lemmaT = threshold - 0.001
+    val sh = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), expr(shingleSetSql("toks", k)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val posting = sh.select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freq = posting.groupBy("s").agg(count(lit(1)).as("cf"))
+    val prefix = posting.join(freq, "s")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("cf"), col("s")))).as("ord"))
+      .select(col("doc_id"), size(col("ord")).as("n"),
+        explode(expr(
+          s"slice(transform(ord, x -> x.s), 1, " +
+            s"size(ord) - cast(ceil($lemmaT * size(ord)) as int) + 1)")).as("s"))
+    val cand = prefix.as("a").join(posting.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id") &&
+          col("b.n") >= col("a.n") * lit(lemmaT))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("containment", expr(
+        "cast(floor(cast(size(array_intersect(sh_a, sh_b)) as double) / size(sh_a)" +
+          " * 10000.0 + 0.5) as double) / 10000.0"))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---- Fuzzy record linkage (edit distance + blocking) ------------------
+
+  /** Fuzzy record MATCHING over a name column — the entity-resolution
+    * primitive ("which catalog row is this free-text name?"): for each
+    * of a bounded query set, the single best match among OTHER records
+    * sharing its blocking key (first name token), best = minimum
+    * Levenshtein distance with the record id as the deterministic
+    * tie-break, plus an accept flag at `maxDist`. Complements the
+    * set-similarity family: edit distance catches character-level noise
+    * (typos, OCR) that token-set Jaccard is blind to.
+    *
+    * Scale shape: the blocking key turns the quadratic compare into a
+    * per-block one, and the bounded query side broadcasts — the corpus
+    * is scanned ONCE and only same-block (query, record) pairs ever
+    * materialize; Levenshtein is a codegen'd builtin (no UDF). The
+    * row_number window runs on candidate pairs (|queries| × block
+    * size), not on the corpus. */
+  def fuzzyMatch(records: DataFrame, idCol: String, nameCol: String,
+                 nQueries: Int, maxDist: Int): DataFrame = {
+    val named = records.select(col(idCol).cast("long").as("id"), col(nameCol).as("name"),
+      split(col(nameCol), " ").getItem(0).as("block"))
+    val q = named.filter(col("id") < nQueries)
+      .select(col("id").as("query_id"), col("name").as("q_name"), col("block"))
+    val cand = named.join(broadcast(q),
+        Seq("block")).filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("q_name"), col("id").as("match_id"), col("name"))
+      .withColumn("dist", levenshtein(col("q_name"), col("name")).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("dist"), col("match_id"))
+    cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("query_id"), col("match_id"), col("dist"),
+        (col("dist") <= maxDist).as("accepted"))
+      .orderBy("query_id")
+  }
 }

@@ -360,4 +360,40 @@ object Events {
       .filter(col(ptsCol) >= col(startCol) && col(ptsCol) <= col(endCol))
       .drop("__bin")
   }
+
+  /** Gap-filled daily resample with forward-fill — the time-series
+    * regularization every downstream model/dashboard needs ("one row per
+    * user per day, carrying the last known value across silent days").
+    * Irregular events fold to per-(user, day) aggregates; each user's
+    * [first-day, last-day] span expands to a dense calendar grid
+    * (`sequence` of dates — bounded by the calendar span, never by the
+    * event count); missing days join as NULL and forward-fill via
+    * `last(_, ignoreNulls)` over the user's day order.
+    *
+    * Scale shape: one shuffle for the daily aggregate (map-side
+    * partials fold the raw events, so the grid never sees raw rows),
+    * one for the span aggregate (user-dimension-sized), and the
+    * grid-join + fill window share the user_id partitioning. Grid size
+    * is |users| × span-days — calendar-bounded, independent of event
+    * volume. The first grid day per user has data by construction
+    * (span starts at the user's first event), so `filled_value` is
+    * never NULL. */
+  def gapFillDaily(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("day_value"))
+    val grid = daily.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("day_value"), ignoreNulls = true).over(w).as("filled_value"))
+      .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_events"), col("filled_value"))
+      .orderBy("user_id", "day")
+  }
 }

@@ -124,9 +124,13 @@ object Mixture {
   def tokenBudget(docs: DataFrame, budget: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budget > 0, s"budget must be positive, got $budget")
+    // three consumers (score histogram + both admission branches) read
+    // this projection — persist it so the corpus is scanned ONCE (the
+    // persisted table is 3 longs/doc, not the text)
     val scored = docs.select(col("doc_id"),
       size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
       size(array_distinct(TextOps.tokens(col("text")))).cast("long").as("n_distinct"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val byScore = scored.groupBy("n_distinct").agg(sum("n_tokens").as("score_tokens"))
     val wScore = Window.orderBy(col("n_distinct").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -144,5 +148,39 @@ object Mixture {
     full.unionByName(boundaryKept)
       .select(col("doc_id"), col("n_tokens"), col("n_distinct"))
       .orderBy(col("n_distinct").desc, col("doc_id"))
+  }
+
+  /** Temperature-scaled mixture resampling — the multilingual/multi-source
+    * rebalancing rule (mBERT/XLM-R α-sampling at temperature α = 0.5):
+    * per-source target count `floor(scale · √n_s)`, so big sources are
+    * DOWN-weighted relative to their raw share and small sources keep
+    * proportionally more — then exactly that many docs per source, chosen
+    * by md5 rank (the [[groupSample]] order: stable under re-runs,
+    * appends, and engine moves).
+    *
+    * α is fixed at 0.5 because IEEE-754 `sqrt` and `*` are CORRECTLY
+    * ROUNDED in both Spark and DuckDB — `floor(scale · √n)` is
+    * bit-deterministic cross-engine, unlike `pow(n, α)` for general α
+    * (libm pow is not correctly rounded and may differ in the last ulp,
+    * flipping the floor at integer boundaries). For other temperatures,
+    * precompute integer targets driver-side and pass them in.
+    *
+    * Scale shape: one count aggregate (source-domain-sized, broadcast
+    * back), one row_number window per source — the corpus is scanned
+    * once and never globally sorted. */
+  def temperatureSample(docs: DataFrame, keyCol: String, sourceCol: String,
+                        scale: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(scale > 0, s"scale must be positive, got $scale")
+    val counts = docs.groupBy(sourceCol).agg(count(lit(1)).as("n_docs"))
+      .withColumn("n_target",
+        floor(lit(scale) * sqrt(col("n_docs").cast("double"))).cast("long"))
+    val w = Window.partitionBy(sourceCol)
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    docs.join(broadcast(counts), Seq(sourceCol))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= col("n_target"))
+      .select(col(keyCol), col(sourceCol), col("n_docs"), col("n_target"))
+      .orderBy(keyCol)
   }
 }

@@ -382,6 +382,47 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Hybrid dense+sparse retrieval with reciprocal-rank fusion — the
+    * production hybrid-search pattern (BM25/lexical leg fused with an
+    * embedding leg; RRF is how Elasticsearch/Vespa/Weaviate combine
+    * them without score calibration): score(q,d) = Σ_legs 1/(c+rank).
+    * Dense leg = exact cosine top-kPerLeg ([[topKExact]] shape);
+    * sparse leg = 3-gram shingle Jaccard of each document against the
+    * broadcast query docs, ranked the same way. Fusion touches only
+    * the two k-per-query ranked slivers (≤ 2·kPerLeg rows per query);
+    * the rrf sum has at most |legs|=2 addends, so double addition is
+    * commutative-safe across engines. Query/corpus ids align across
+    * the two tables by corpus construction; in production join your
+    * doc↔vector id mapping into the legs first. Docs shorter than 3
+    * tokens have no shingles and sit out the sparse leg. */
+  def hybridRrfTopK(docs: DataFrame, embeddings: DataFrame, nQueries: Int,
+                    kPerLeg: Int, k: Int, c: Double = 60.0): DataFrame = {
+    val dense = topKExact(embeddings, embeddings.filter(col("vec_id") < nQueries), kPerLeg)
+      .select(col("vec_id").as("query_id"), col("neighbor_id"), col("rank"))
+    val toks = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val q = toks.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("qid"), col("toks").as("toks_a"))
+    val scored = toks.select(col("doc_id").as("nid"), col("toks").as("toks_b"))
+      .crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), Dedup.ngramJaccard(3).as("sim"))
+    val sparse = rankTopK(scored, kPerLeg)
+      .select(col("vec_id").as("query_id"), col("neighbor_id"), col("rank"))
+    val fused = dense.unionByName(sparse)
+      .select(col("query_id"), col("neighbor_id"),
+        (lit(1.0) / (lit(c) + col("rank"))).as("contrib"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum("contrib").as("rrf"))
+    val pruned = org.apache.spark.sql.graftext.GroupTopK.topK(
+      fused, Seq("query_id"), Seq("rrf" -> true, "neighbor_id" -> false), k)
+    val w = Window.partitionBy("query_id").orderBy(col("rrf").desc, col("neighbor_id"))
+    pruned.withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("neighbor_id"),
+        Num.pround(col("rrf"), 6).as("rrf"), col("rank").cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Label-conditional outlier mining (the mislabel/noise sweep, à la
     * confident-learning pruning): each vector's cosine to ITS OWN label
     * centroid; the `bottomK` least-central vectors per label are

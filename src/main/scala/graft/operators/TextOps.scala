@@ -50,6 +50,51 @@ object TextOps {
   def tokenCounts(docs: DataFrame): DataFrame =
     withTokenCount(docs).select("doc_id", "n_tokens").orderBy("doc_id")
 
+  /** Tokenizer fertility per language — BPE-ish tokens emitted per
+    * alphanumeric word, the standard "how expensive is this language
+    * under the tokenizer" diagnostic (fertility ≈ 1 for English-tuned
+    * BPE on English, higher for morphology-rich or non-Latin text;
+    * drives per-language token budgets and mixture weights). Both
+    * counts are row-local codegen'd regex kernels folded by one
+    * aggregate shuffle on the language; fertility is a ratio of exact
+    * integer sums, floor-rounded (the portable rule — round() would
+    * disagree across engines on half-boundaries of small rationals). */
+  def fertilityByLang(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), bpeTokenCount(col("text")).as("bpe"),
+        size(tokens(col("text"))).cast("long").as("words"))
+      .groupBy("lang")
+      .agg(sum("bpe").as("n_bpe"), sum("words").as("n_words"))
+      .withColumn("fertility",
+        Num.pround(col("n_bpe").cast("double") / col("n_words"), 4))
+      .orderBy("lang")
+
+  /** Context-length planning histogram — how the corpus fills power-of-
+    * two context windows (the packing/truncation budget question every
+    * pretraining run answers first): docs bucketed by the smallest
+    * context that holds their BPE token count, with per-bucket doc and
+    * token totals and the cumulative doc share. The bucket bounds are a
+    * literal integer CASE chain (codegen'd, bit-exact on both engines —
+    * `ceil(log2(n))` in floats would not be); the histogram is one
+    * aggregate shuffle and the cumulative windows run over the
+    * bucket-domain-sized result, never the corpus. */
+  def contextBuckets(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = bpeTokenCount(col("text"))
+    val bucket = when(n <= lit(32L), 32L).when(n <= lit(64L), 64L)
+      .when(n <= lit(128L), 128L).when(n <= lit(256L), 256L)
+      .when(n <= lit(512L), 512L).when(n <= lit(1024L), 1024L)
+      .otherwise(2048L)
+    val per = docs.select(bucket.as("ctx_bucket"), n.as("n_tokens"))
+      .groupBy("ctx_bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+    val cumW = Window.orderBy("ctx_bucket").rowsBetween(Window.unboundedPreceding, 0)
+    val totW = Window.partitionBy() // whole-table total — bucket-domain-sized input
+    per.withColumn("cum_docs", sum("n_docs").over(cumW))
+      .withColumn("doc_share",
+        Num.pround(col("cum_docs").cast("double") / sum("n_docs").over(totW), 4))
+      .orderBy("ctx_bucket")
+  }
+
   /** Per-language corpus stats. */
   def langStats(docs: DataFrame): DataFrame =
     withTokenCount(docs)

@@ -339,6 +339,24 @@ object Relational {
       .orderBy("o_orderstatus", "drank", "o_orderkey")
   }
 
+  /** Set-operation surface: INTERSECT / EXCEPT as genuine Spark set
+    * operators (not EXISTS rewrites) — which repeat customers stayed,
+    * churned, or arrived between the two halves of the order history.
+    * Each leg is an aggregate-pruned distinct key set (dimension-sized
+    * before the set op ever runs); Catalyst plans INTERSECT/EXCEPT as
+    * left-semi/left-anti joins over the deduped sides, so the shape is
+    * two shuffles on the customer key and nothing corpus-sized. */
+  def q30SetOps(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val cut = "1998-01-01" // the corpus median date — both halves populated
+    val early = orders.filter(col("o_orderdate") < lit(cut)).select("o_custkey").distinct()
+    val late = orders.filter(col("o_orderdate") >= lit(cut)).select("o_custkey").distinct()
+    early.intersect(late).withColumn("cohort", lit("retained"))
+      .unionByName(early.except(late).withColumn("cohort", lit("churned")))
+      .unionByName(late.except(early).withColumn("cohort", lit("new")))
+      .orderBy("cohort", "o_custkey")
+  }
+
   /** Paginated render slice (kiara render_value, render_value.py:54). */
   def renderSlice(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")

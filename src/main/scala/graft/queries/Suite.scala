@@ -619,6 +619,12 @@ object Suite {
   def simLabelOutliers(s: SparkSession, dir: String): DataFrame =
     Similarity.labelOutliers(t(s, dir, "embeddings"), 3)
 
+  /** Hybrid retrieval: dense cosine leg + sparse 3-gram-jaccard leg,
+    * reciprocal-rank-fused (c=60), top-5 of 10-per-leg for 20 queries. */
+  def simHybridRrf(s: SparkSession, dir: String): DataFrame =
+    Similarity.hybridRrfTopK(t(s, dir, "documents"), t(s, dir, "embeddings"),
+      nQueries = 20, kPerLeg = 10, k = 5)
+
   /** Pairwise 3-gram overlap matrix between the 20 corpus sources. */
   def dedupSourceOverlap(s: SparkSession, dir: String): DataFrame =
     Dedup.sourceOverlap(t(s, dir, "documents"))
@@ -1036,4 +1042,55 @@ object Suite {
     * against a declarative formulation, not just a batch twin spec. */
   def streamSessionize(s: SparkSession, dir: String): DataFrame =
     graft.streaming.EventStream.sessionStats(s, s"$dir/events.parquet")
+
+  /** Gap-filled per-user daily grid with forward-filled values. */
+  def evtGapfill(s: SparkSession, dir: String): DataFrame =
+    Events.gapFillDaily(t(s, dir, "events"))
+
+  /** Asymmetric containment pairs at C >= 0.6 (ordered, exact). */
+  def dedupContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(t(s, dir, "documents"), threshold = 0.6)
+
+  /** Best fuzzy (Levenshtein) part-name match per first-50 query part,
+    * blocked on the first name token; accept at distance <= 20. */
+  def dedupFuzzyMatch(s: SparkSession, dir: String): DataFrame =
+    Dedup.fuzzyMatch(t(s, dir, "part"), "p_partkey", "p_name",
+      nQueries = 50, maxDist = 20)
+
+  /** ORC write + read round trip — the second columnar format; the
+    * oracle reads the ORIGINAL parquet, so the round trip must be
+    * lossless for the gate to pass. */
+  def ingestOrc(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "supplier")
+    val tmp = graft.sources.Export.tempDir("graft_orc_").toString
+    graft.sources.Export.orc(src, tmp)
+    graft.sources.Ingest.orc(s, tmp)
+      .select(col("s_suppkey"), col("s_name"),
+        col("s_nationkey").cast("long").as("s_nationkey"),
+        graft.operators.Num.pround(col("s_acctbal"), 2).as("s_acctbal"))
+      .orderBy("s_suppkey")
+  }
+
+  /** BPE-per-word fertility by language. */
+  def textFertility(s: SparkSession, dir: String): DataFrame =
+    TextOps.fertilityByLang(t(s, dir, "documents"))
+
+  /** Power-of-two context-window histogram with cumulative doc share. */
+  def textCtxBuckets(s: SparkSession, dir: String): DataFrame =
+    TextOps.contextBuckets(t(s, dir, "documents"))
+
+  /** One-pass Pearson/covariance/stddev audit over lineitem measures. */
+  def dqCorr(s: SparkSession, dir: String): DataFrame =
+    DataQuality.correlationAudit(t(s, dir, "lineitem"))
+
+  /** Streaming daily top-3 event types (state = window×type counters,
+    * rank on the drained complete-mode sink). */
+  def streamTopK(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.windowTopK(s, s"$dir/events.parquet")
+
+  /** Temperature-0.5 language rebalancing: floor(4·√n_lang) docs per
+    * language — the skewed dimension (en 44% of the corpus keeps ~27%,
+    * the tail languages keep ~50%), i.e. the actual α-sampling story. */
+  def mixTemperature(s: SparkSession, dir: String): DataFrame =
+    Mixture.temperatureSample(t(s, dir, "documents"), "doc_id", "lang", scale = 4.0)
 }

@@ -26,6 +26,11 @@ object Ingest {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** ORC — the second columnar format warehouses actually hold (Hive
+    * heritage); same pushdown/pruning surface as parquet in Spark. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** file_bundle import (filesystem.py:150): recursive read, each row
     * tagged with its source file path and size. */
   def readBundle(spark: SparkSession, path: String, format: String = "parquet"): DataFrame = {
@@ -58,6 +63,9 @@ object Export {
   def parquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  def orc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   def tempDir(prefix: String): Path = {
     val p = Files.createTempDirectory(prefix)
     p.toFile.deleteOnExit()
@@ -72,7 +80,8 @@ object Convert {
   private val conversions = scala.collection.concurrent.TrieMap[(String, String), Conversion](
     ("csv", "table") -> ((s, p, sc) => Ingest.csv(s, p, sc)),
     ("json", "table") -> ((s, p, sc) => Ingest.json(s, p, sc)),
-    ("parquet", "table") -> ((s, p, _) => Ingest.parquet(s, p)))
+    ("parquet", "table") -> ((s, p, _) => Ingest.parquet(s, p)),
+    ("orc", "table") -> ((s, p, _) => Ingest.orc(s, p)))
 
   def register(from: String, to: String, fn: Conversion): Unit =
     conversions.put((from, to), fn)

@@ -339,4 +339,27 @@ object EventStream {
       .agg(max("n_sessions").as("n_sessions"), max("n_events").as("n_events"))
       .orderBy("user_id")
   }
+
+  /** Streaming per-window top-k: live "trending event types per day".
+    * Streaming STATE is only the (window × type) counters — a stateful
+    * windowed aggregate exactly like [[hourlyCounts]] (partials merge
+    * per micro-batch); the RANK runs on the drained complete-mode sink,
+    * the standard serving-side split (ranking is not a streaming-state
+    * operation — row_number is unsupported inside a streaming query, and
+    * keeping it out of state means the k can change without replay).
+    * State is (days × |event types|) counters — bytes; the post-drain
+    * window sorts a domain-sized table, never the stream. */
+  def windowTopK(spark: SparkSession, path: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = runToMemory(spark,
+      source(spark, path)
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n")),
+      "complete")
+    val w = Window.partitionBy("window").orderBy(col("n").desc, col("event_type"))
+    counts.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n"), col("rnk").cast("long").as("rnk"))
+      .orderBy("day", "rnk")
+  }
 }

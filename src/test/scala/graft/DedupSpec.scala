@@ -293,4 +293,33 @@ class DedupSpec extends SparkTestBase {
     assert(r.getLong(2) == 3L && r.getLong(3) == 3L && r.getLong(4) == 3L) // 5 toks → 3 shingles
     assert(r.getDouble(5) == 1.0)
   }
+
+  test("containment: subset doc flags asymmetrically; reverse direction below threshold") {
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val docs = Seq(
+      (1L, base),                                  // 12 tokens → 10 shingles
+      (2L, base.split(" ").take(6).mkString(" ")), // 4 shingles, all inside doc 1
+      (3L, "completely different words here nothing shared with the others at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, threshold = 0.6).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out((2L, 1L)) == 1.0)                 // doc 2 fully contained in doc 1
+    assert(!out.contains((1L, 2L)))              // C(1→2) = 4/10 < 0.6
+    assert(!out.keys.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("fuzzy match: nearest same-block name wins; blockless queries sit out") {
+    val recs = Seq(
+      (0L, "green apple pie"),
+      (1L, "green appel pie"),   // dist 2 from query 0
+      (2L, "green apple pies"),  // dist 1 from query 0 — the winner
+      (3L, "blue apple pie"))    // its own block, no companions
+      .toDF("id", "name")
+    val out = Dedup.fuzzyMatch(recs, "id", "name", nQueries = 4, maxDist = 20)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(0L) == ((2L, 1L, true)))
+    assert(!out.contains(3L)) // no same-block candidate → no match row
+    // query 1's best is the dist-2 original, not the dist-3 plural
+    assert(out(1L)._1 == 0L && out(1L)._2 == 2L)
+  }
 }

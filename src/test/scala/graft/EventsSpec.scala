@@ -1,7 +1,7 @@
 package graft
 
 import java.sql.Timestamp
-import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.functions.{col, expr, to_timestamp}
 import graft.operators.{Events, Multimodal}
 
 class EventsSpec extends SparkTestBase {
@@ -324,5 +324,41 @@ class EventsSpec extends SparkTestBase {
     val docs = Seq((1L, "hello"), (2L, "world")).toDF("doc_id", "text")
     val a = Multimodal.decodeMeta(Multimodal.withPayload(docs)).collect().sortBy(_.doc_id)
     assert(a.forall(m => m.n_bytes == 5 && m.width == 0 && m.height == 0 && m.format == "unknown"))
+  }
+
+  test("streaming daily top-k drains to the batch ranking") {
+    import org.apache.spark.sql.functions.{count, date_format, row_number, to_date}
+    import org.apache.spark.sql.expressions.Window
+    val stream = graft.streaming.EventStream
+      .windowTopK(spark, s"$sfDir/events.parquet").collect().toSeq
+    val batch = Tables.t(spark, sfDir, "events")
+      .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+      .agg(count(expr("1")).as("n"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("d").orderBy(col("n").desc, col("event_type"))))
+      .filter(col("rnk") <= 3)
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n"), col("rnk").cast("long").as("rnk"))
+      .orderBy("day", "rnk").collect().toSeq
+    assert(stream == batch)
+  }
+
+  test("gap fill: dense daily grid, zero-filled counts, forward-filled values") {
+    val ev = Seq(
+      (1L, 10L, "2024-01-01 10:00:00", 5.0),
+      (2L, 10L, "2024-01-04 09:00:00", 7.5),
+      (3L, 20L, "2024-01-02 00:00:00", 1.0))
+      .toDF("event_id", "user_id", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = Events.gapFillDaily(ev).collect()
+    // user 10: a 4-day span with two silent days carrying the last value
+    val u10 = out.filter(_.getLong(0) == 10L)
+      .map(r => (r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(u10 == Seq(
+      ("2024-01-01", 1L, 5.0), ("2024-01-02", 0L, 5.0),
+      ("2024-01-03", 0L, 5.0), ("2024-01-04", 1L, 7.5)))
+    // user 20: single-day span → single grid row, no padding beyond it
+    val u20 = out.filter(_.getLong(0) == 20L)
+    assert(u20.length == 1 && u20.head.getLong(2) == 1L && u20.head.getDouble(3) == 1.0)
   }
 }

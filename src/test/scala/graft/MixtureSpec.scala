@@ -148,4 +148,20 @@ class MixtureSpec extends SparkTestBase {
     }
     assert(kept.map(_._1).toSet == ref.toSet)
   }
+
+  test("temperature sampling: floor(scale·√n) per group, big groups downweighted") {
+    val d = spark.range(0, 500).selectExpr("id AS doc_id",
+      "CASE WHEN id < 400 THEN 'big' ELSE 'small' END AS src")
+    val out = Mixture.temperatureSample(d, "doc_id", "src", 2.0).collect()
+    val byG = out.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(byG("big") == 40)   // floor(2·√400)
+    assert(byG("small") == 20) // floor(2·√100)
+    // the α<1 point: keep-RATIO falls as the group grows (10% vs 20%)
+    assert(byG("big").toDouble / 400 < byG("small").toDouble / 100)
+    // n_target column agrees with the realized count
+    assert(out.filter(_.getString(1) == "big").forall(_.getLong(3) == 40L))
+    // determinism: identical picks on re-run
+    val again = Mixture.temperatureSample(d, "doc_id", "src", 2.0).collect()
+    assert(out.map(_.getLong(0)).toSet == again.map(_.getLong(0)).toSet)
+  }
 }

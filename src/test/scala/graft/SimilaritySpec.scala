@@ -281,6 +281,26 @@ class SimilaritySpec extends SparkTestBase {
     assert(perQuery == Set(4L))
   }
 
+  test("hybrid rrf: scores come from the finite two-leg fusion domain") {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val e = Tables.t(spark, sfDir, "embeddings")
+    val out = Similarity.hybridRrfTopK(docs, e, nQueries = 5, kPerLeg = 10, k = 5)
+      .collect()
+    // exactly 5 per query, non-increasing rrf within a query
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.size == 5 && byQ.values.forall(_.length == 5))
+    byQ.values.foreach { rows =>
+      val sims = rows.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+    // every rrf is 1/(60+i) or 1/(60+i)+1/(60+j) for leg ranks i,j ≤ 10
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val singles = (1 to 10).map(i => 1.0 / (60 + i))
+    val legal = (singles.map(r6) ++
+      (for (a <- singles; b <- singles) yield r6(a + b))).toSet
+    assert(out.forall(r => legal.contains(r.getDouble(2))))
+  }
+
   test("knn classify: per-label counts partition the eval set") {
     val e = Tables.t(spark, sfDir, "embeddings")
     val eval = e.filter(col("vec_id") < 50)

@@ -173,4 +173,14 @@ class SourcesSpec extends SparkTestBase {
     // non-directory input stays a zero, not an exception
     assert(ParquetMeta.dirRowCount(dir + "/nope") == 0L)
   }
+
+  test("orc round trip is lossless and registered in the conversion graph") {
+    val src = Tables.t(spark, sfDir, "supplier")
+    val tmp = Export.tempDir("t_orc_").toString
+    Export.orc(src, tmp)
+    val back = Ingest.orc(spark, tmp)
+    assert(back.columns.toSeq == src.columns.toSeq)
+    assert(back.exceptAll(src).count() == 0 && src.exceptAll(back).count() == 0)
+    assert(Convert.available.contains(("orc", "table")))
+  }
 }
