@@ -92,7 +92,16 @@ object PlanAudit {
     // domain), corr audit (single one-row moment aggregate, map-side
     // partials); stream_topk is excluded like the other streaming keys
     // (the micro-batch plan isn't a single comparable batch plan)
-    "text_ctx_buckets", "dq_corr")
+    "text_ctx_buckets", "dq_corr",
+    // lateral (DecorrelateInnerQuery must rewrite the per-row subquery to
+    // a window/join — no re-execution node may survive), hive partition
+    // (the read side scans ONE partition directory — also asserted in
+    // LayoutSpec via selectedPartitions)
+    "q31_lateral", "maint_hive_partition",
+    // entropy (row-local melt explode + ONE agg shuffle + value-domain
+    // windows), erase read-back (plain agg over the rewritten layout);
+    // stream_dedup_wm excluded like the other streaming keys
+    "meta_entropy", "maint_erase")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -111,6 +111,12 @@ object SparkEntry {
     "text_ctx_buckets" -> (Suite.textCtxBuckets _),
     "dq_corr" -> (Suite.dqCorr _),
     "stream_topk" -> (Suite.streamTopK _),
+    "maint_hive_partition" -> (Suite.maintHivePartition _),
+    "q31_lateral" -> (Relational.q31Lateral _),
+    "stream_dedup_wm" -> (Suite.streamDedupWm _),
+    "maint_erase" -> (Suite.maintErase _),
+    "meta_entropy" -> (Suite.metaEntropy _),
+    "sim_mmr" -> (Suite.simMmr _),
     // dedup (§2b rows 20-23)
     "dedup_exact" -> (Suite.dedupExact _),
     "dedup_bloom" -> (Suite.dedupBloom _),
@@ -212,6 +218,61 @@ object SparkEntry {
       s"""
          |SELECT node, round(rank * nn.n, 4) AS rank_norm
          |FROM r$iters CROSS JOIN nn ORDER BY node""".stripMargin
+  }
+
+  /** Generated MMR oracle: the k greedy selection rounds unrolled as
+    * chained CTEs (DuckDB recursive CTEs can't carry the per-round
+    * argmax dependency — the PageRank/BPE unrolling precedent). The
+    * penalty weight is written `(1.0 - 0.7)`, NOT `0.3`: Spark computes
+    * `lit(1.0 - lam)` in IEEE doubles (= 0.30000000000000004), and the
+    * oracle must evaluate the SAME subtraction or 6dp-rounded scores
+    * drift on the last digit. */
+  private def mmrSql(nQ: Int, kPool: Int, k: Int): String = {
+    val lamS = "0.7"
+    val penS = "(1.0 - 0.7)"
+    val head =
+      s"""WITH qv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < $nQ),
+         |cv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |s AS (SELECT qv.vec_id AS qid, cv.vec_id AS nid,
+         |  list_inner_product(qv.e, cv.e)
+         |    / (sqrt(list_inner_product(qv.e, qv.e)) * sqrt(list_inner_product(cv.e, cv.e))) AS sim
+         |  FROM qv JOIN cv ON qv.vec_id <> cv.vec_id),
+         |cand AS (SELECT qid, nid,
+         |  CAST(floor(sim * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS sim_q FROM (
+         |  SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM s)
+         |  WHERE rnk <= $kPool),
+         |p AS (SELECT a.qid, a.nid AS nid_a, b.nid AS nid_b,
+         |  CAST(floor(list_inner_product(ca.e, cb.e)
+         |    / (sqrt(list_inner_product(ca.e, ca.e)) * sqrt(list_inner_product(cb.e, cb.e)))
+         |    * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS sim_p
+         |  FROM cand a JOIN cand b ON a.qid = b.qid AND a.nid <> b.nid
+         |  JOIN cv ca ON ca.vec_id = a.nid JOIN cv cb ON cb.vec_id = b.nid),
+         |pick1 AS (SELECT qid, nid, 1 AS mmr_rank, score FROM (
+         |  SELECT qid, nid, $lamS * sim_q AS score,
+         |    row_number() OVER (PARTITION BY qid ORDER BY $lamS * sim_q DESC, nid) AS rn FROM cand)
+         |  WHERE rn = 1),
+         |sel1 AS (SELECT * FROM pick1)""".stripMargin
+    val rounds = (2 to k).map { r =>
+      s""",
+         |rem$r AS (SELECT c.* FROM cand c WHERE NOT EXISTS (
+         |  SELECT 1 FROM sel${r - 1} x WHERE x.qid = c.qid AND x.nid = c.nid)),
+         |pen$r AS (SELECT rem.qid, rem.nid, rem.sim_q, max(p.sim_p) AS max_sel
+         |  FROM rem$r rem JOIN p ON p.qid = rem.qid AND p.nid_a = rem.nid
+         |  JOIN sel${r - 1} x ON x.qid = p.qid AND x.nid = p.nid_b
+         |  GROUP BY rem.qid, rem.nid, rem.sim_q),
+         |pick$r AS (SELECT qid, nid, $r AS mmr_rank, score FROM (
+         |  SELECT qid, nid, $lamS * sim_q - $penS * max_sel AS score,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY $lamS * sim_q - $penS * max_sel DESC, nid) AS rn
+         |  FROM pen$r) WHERE rn = 1),
+         |sel$r AS (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM pick$r)""".stripMargin
+    }.mkString
+    val tail =
+      s"""
+         |SELECT qid, nid, CAST(mmr_rank AS BIGINT) AS mmr_rank,
+         |  CAST(floor(score * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS score
+         |FROM sel$k ORDER BY qid, mmr_rank""".stripMargin
+    head + rounds + tail
   }
 
   /** Generated BPE-training oracle: the greedy merge loop unrolled as
@@ -1495,6 +1556,43 @@ object SparkEntry {
         |    AS BIGINT) AS rnk FROM d)
         |SELECT strftime(day, '%Y-%m-%d') AS day, event_type, n, rnk FROM r
         |WHERE rnk <= 3 ORDER BY day, rnk""".stripMargin,
+    // MMR greedy rounds unrolled; penalty weight written (1.0 - 0.7) to
+    // match Spark's lit(1.0 - lam) bit-for-bit
+    "sim_mmr" -> mmrSql(10, 20, 5),
+    // the doubled feed deduped within the watermark equals batch distinct
+    "stream_dedup_wm" ->
+      """SELECT event_type, count(DISTINCT event_id) AS n FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // post-erase table must equal NOT IN on the original
+    "maint_erase" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_custkey NOT IN (1, 2, 3)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // per-column Shannon entropy over the melted (column, value) pairs
+    "meta_entropy" ->
+      """WITH m AS (SELECT 'event_type' AS col_name, event_type AS v FROM events
+        |  UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events),
+        |f AS (SELECT col_name, v, count(*) AS cnt FROM m GROUP BY col_name, v),
+        |t AS (SELECT col_name, cnt,
+        |  CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY col_name) AS p FROM f)
+        |SELECT col_name, CAST(count(*) AS BIGINT) AS n_distinct,
+        |  round(-sum(p * log2(p)), 4) AS entropy_bits
+        |FROM t GROUP BY col_name ORDER BY col_name""".stripMargin,
+    // partition-pruned english slice must equal the plain filter on the
+    // original table (losslessness of the partitioned layout included)
+    "maint_hive_partition" ->
+      """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY source ORDER BY source""".stripMargin,
+    // correlated LATERAL top-2 per customer
+    "q31_lateral" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o ON true
+        |WHERE c.c_custkey < 100
+        |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin,
     // INTERSECT/EXCEPT cohorts over distinct early/late customer keys
     "q30_setops" ->
       """WITH e AS (SELECT DISTINCT o_custkey FROM orders

@@ -84,6 +84,19 @@ object Layout {
       .write.mode("overwrite").parquet(outDir)
   }
 
+  /** Hive-style partitioned layout: write split by a categorical
+    * column's VALUE into per-value directories, so an equality filter on
+    * it prunes whole directories at planning time — the scan never even
+    * LISTS the other partitions' files. This is the coarsest and
+    * cheapest data-skipping tier (no footer reads at all), sitting above
+    * the min/max file skipping [[clusterWrite]]/[[zorderWrite]] give
+    * INSIDE a partition; at 100 TB the two compose (partition by the
+    * hot categorical, cluster within). Only low-cardinality columns
+    * belong here — each value is a directory, and small-file explosion
+    * is the classic failure mode of over-partitioning. */
+  def hivePartitionWrite(df: DataFrame, key: String, outDir: String): Unit =
+    df.write.mode("overwrite").partitionBy(key).parquet(outDir)
+
   /** How many part-files a scan with predicate `lo ≤ col ≤ hi` must
     * read, judged from footer min/max only — the file-skipping measure
     * (the planner's pruning uses exactly this metadata). */

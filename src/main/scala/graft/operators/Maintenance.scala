@@ -35,6 +35,48 @@ object Maintenance {
     CompactionStats(ParquetMeta.dirFileCount(srcDir), ParquetMeta.dirFileCount(destDir), rows)
   }
 
+  final case class EraseStats(filesTotal: Long, filesRewritten: Long,
+                              rowsErased: Long)
+
+  /** Surgical key deletion (the right-to-be-forgotten rewrite): delete
+    * every row whose `keyCol` is in `ids`, rewriting ONLY the part-files
+    * whose footer [min,max] range can contain a target id — untouched
+    * files are copied byte-for-byte (at scale: hard-linked / retained by
+    * a manifest swap, zero IO). On a clustered layout
+    * ([[Layout.clusterWrite]]: disjoint per-file key ranges) erasing a
+    * handful of keys rewrites a handful of files out of thousands; the
+    * footer check is the SAME metadata the planner's file skipping uses,
+    * applied to writes. Copy-on-write into `destDir` — the source stays
+    * intact for snapshot/rollback layering. */
+  def erase(spark: SparkSession, srcDir: String, destDir: String,
+            keyCol: String, ids: Seq[Long]): EraseStats = {
+    import graft.registries.ParquetMeta
+    import org.apache.spark.sql.functions.col
+    require(ids.nonEmpty, "erase with no ids is a no-op; refuse to rewrite")
+    val dest = java.nio.file.Paths.get(destDir)
+    java.nio.file.Files.createDirectories(dest)
+    val ranges = ParquetMeta.fileRanges(srcDir, keyCol)
+    val (touched, untouched) = ranges.partition { case (_, mn, mx) =>
+      ids.exists(id => id >= mn && id <= mx)
+    }
+    untouched.foreach { case (f, _, _) =>
+      val p = java.nio.file.Paths.get(f)
+      java.nio.file.Files.copy(p, dest.resolve(p.getFileName),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    var erased = 0L
+    if (touched.nonEmpty) {
+      val src = spark.read.parquet(touched.map(_._1): _*)
+      erased = src.filter(col(keyCol).isin(ids: _*)).count()
+      // one output file per rewritten input keeps the clustered layout's
+      // disjoint ranges intact for the NEXT surgical pass
+      src.filter(!col(keyCol).isin(ids: _*))
+        .repartition(touched.size)
+        .write.mode("append").parquet(destDir)
+    }
+    EraseStats(ranges.size.toLong, touched.size.toLong, erased)
+  }
+
   /** Incremental aggregate-view maintenance: merge a new batch's partial
     * aggregate STATE into the existing materialized state without
     * rescanning the base data — the delta pattern that makes daily

@@ -82,6 +82,32 @@ object Profile {
       .orderBy("col_name")
   }
 
+  /** Per-column Shannon entropy (bits) + distinct count — the profiling
+    * signal that separates "5 well-balanced categories" from "one value
+    * 99% of the time" (ndv alone can't), and flags join keys vs
+    * degenerate partition keys before they become skew problems.
+    *
+    * ONE pass: the columns melt row-locally into (column, value) pairs
+    * (explode of a literal-sized array — no extra scans per column),
+    * one aggregate shuffle builds the frequency table, and the entropy
+    * fold runs over that value-domain-sized table, never the data.
+    * Entropy is a float aggregate → round(…, 4) on both engines (the
+    * repo's aggregate-rounding rule). */
+  def columnEntropy(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(cols.nonEmpty, "need at least one column")
+    val melted = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("c"), col(c).cast("string").as("v"))): _*)).as("kv"))
+      .select(col("kv.c").as("col_name"), col("kv.v").as("v"))
+    val freq = melted.groupBy("col_name", "v").agg(count(lit(1)).as("cnt"))
+    val n = Window.partitionBy("col_name")
+    freq.withColumn("p", col("cnt").cast("double") / sum("cnt").over(n))
+      .groupBy("col_name")
+      .agg(count(lit(1)).as("n_distinct"),
+        round(-sum(col("p") * log(2.0, col("p"))), 4).as("entropy_bits"))
+      .orderBy("col_name")
+  }
+
   /** Schema metadata as a DataFrame (name, type, nullable). */
   def schemaOf(df: DataFrame): DataFrame = {
     val spark = df.sparkSession

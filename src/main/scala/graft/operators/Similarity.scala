@@ -394,19 +394,50 @@ object Similarity {
     * commutative-safe across engines. Query/corpus ids align across
     * the two tables by corpus construction; in production join your
     * doc↔vector id mapping into the legs first. Docs shorter than 3
-    * tokens have no shingles and sit out the sparse leg. */
+    * tokens have no shingles and sit out the sparse leg.
+    *
+    * The sparse leg never touches per-pair shingle ARRAYS: gram
+    * fingerprints (native row-local
+    * [[org.apache.spark.sql.graftext.Shingles]], w=1 → every gram) are
+    * built once per doc, |a ∩ b| comes from a posting-list equi-join
+    * on the gram counted by one aggregate, and |a ∪ b| = n_a + n_b −
+    * shared from the per-doc sizes — per-pair `array_intersect` (3.4 s
+    * for 100k pairs, interpreted collection building per row) and
+    * per-pair string-shingle HOFs (18 s) were both this suite's
+    * slowest query until this shape. Zero-overlap pairs are restored
+    * by a LEFT join from the (query × doc) id frame (ids only —
+    * cheap) because the oracle ranks them too, at sim 0, and a query
+    * with few overlapping docs must fill its k from them. Fingerprint
+    * jaccard ≡ string-gram jaccard modulo 64-bit collisions — the
+    * dedup_overlap_matrix / text_decontam oracle precedent. */
   def hybridRrfTopK(docs: DataFrame, embeddings: DataFrame, nQueries: Int,
                     kPerLeg: Int, k: Int, c: Double = 60.0): DataFrame = {
     val dense = topKExact(embeddings, embeddings.filter(col("vec_id") < nQueries), kPerLeg)
       .select(col("vec_id").as("query_id"), col("neighbor_id"), col("rank"))
-    val toks = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    // four consumers (corpus postings, query postings, both id sides) —
+    // persist or the scan+fingerprint subtree runs four times
+    val sets = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
-    val q = toks.filter(col("doc_id") < nQueries)
-      .select(col("doc_id").as("qid"), col("toks").as("toks_a"))
-    val scored = toks.select(col("doc_id").as("nid"), col("toks").as("toks_b"))
-      .crossJoin(broadcast(q))
+      .select(col("doc_id"), array_distinct(
+        org.apache.spark.sql.graftext.Shingles.winnowFps(col("toks"), 3, 1)).as("fps"))
+      .select(col("doc_id"), col("fps"), size(col("fps")).cast("long").as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qpost = sets.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("qid"), col("n").as("n_a"), explode(col("fps")).as("g"))
+    val cpost = sets
+      .select(col("doc_id").as("nid"), col("n").as("n_b"), explode(col("fps")).as("g"))
+    val inter = cpost.join(broadcast(qpost), Seq("g"))
       .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), Dedup.ngramJaccard(3).as("sim"))
+      .groupBy("qid", "nid", "n_a", "n_b").agg(count(lit(1)).as("shared"))
+      .select(col("qid"), col("nid"), expr(
+        "cast(floor((cast(shared as double) / (n_a + n_b - shared)) * 10000.0 + 0.5)" +
+          " as double) / 10000.0").as("sim"))
+    val idFrame = sets.select(col("doc_id").as("nid"))
+      .crossJoin(broadcast(sets.filter(col("doc_id") < nQueries)
+        .select(col("doc_id").as("qid"))))
+      .filter(col("qid") =!= col("nid"))
+    val scored = idFrame.join(inter, Seq("qid", "nid"), "left")
+      .select(col("qid"), col("nid"), coalesce(col("sim"), lit(0.0)).as("sim"))
     val sparse = rankTopK(scored, kPerLeg)
       .select(col("vec_id").as("query_id"), col("neighbor_id"), col("rank"))
     val fused = dense.unionByName(sparse)
@@ -421,6 +452,65 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         Num.pround(col("rrf"), 6).as("rrf"), col("rank").cast("long").as("rank"))
       .orderBy("query_id", "rank")
+  }
+
+  /** Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein
+    * '98): greedily select k of a kPool-candidate pool balancing
+    * relevance against redundancy — score(d) = λ·sim(q,d) −
+    * (1−λ)·max_{s∈selected} sim(d,s). The diversity sampler for both
+    * retrieval (don't hand the context five copies of the same fact)
+    * and training-batch selection.
+    *
+    * Scale shape: the only corpus-sized work is the candidate pool
+    * ([[topKExact]]; swap in the ANN path at scale exactly like plain
+    * top-k); everything after is POOL-sized — pairwise candidate sims
+    * are kPool² per query computed once, each greedy round is a
+    * join+aggregate over (queries × pool) rows, and `localCheckpoint`
+    * per round keeps the loop's lineage flat (the dedup_clusters
+    * precedent). Scores derive only from 4dp-rounded sims, so the
+    * greedy argmax is bit-deterministic cross-engine; ties break to the
+    * smaller candidate id. */
+  def mmrTopK(embeddings: DataFrame, nQueries: Int, kPool: Int, k: Int,
+              lam: Double = 0.7): DataFrame = {
+    require(k > 0 && kPool >= k, s"need kPool >= k > 0, got kPool=$kPool k=$k")
+    val cand = topKExact(embeddings, embeddings.filter(col("vec_id") < nQueries), kPool)
+      .select(col("vec_id").as("qid"), col("neighbor_id").as("nid"), col("sim").as("sim_q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val emb = embeddings.select(col("vec_id"), col("embedding"))
+    val withVec = cand.select("qid", "nid")
+      .join(emb, col("nid") === col("vec_id")).drop("vec_id")
+    val an = withNorm(withVec.select(col("qid"), col("nid").as("nid_a"),
+      col("embedding").as("ea")), "ea", "na")
+    val bn = withNorm(withVec.select(col("qid").as("qid_b"), col("nid").as("nid_b"),
+      col("embedding").as("eb")), "eb", "nb")
+    val pair = an.join(bn, col("qid") === col("qid_b") && col("nid_a") =!= col("nid_b"))
+      .select(col("qid"), col("nid_a"), col("nid_b"),
+        Num.pround(cosinePrenormed(dot(col("ea"), col("eb")), col("na"), col("nb")), 4)
+          .as("sim_p"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("nid"))
+    var selected: DataFrame = null
+    for (r <- 1 to k) {
+      val remaining =
+        if (r == 1) cand
+        else cand.join(selected.select("qid", "nid"), Seq("qid", "nid"), "left_anti")
+      val pen =
+        if (r == 1) remaining.withColumn("max_sel", lit(0.0))
+        else remaining.join(
+          pair.join(selected.select(col("qid"), col("nid").as("nid_b")), Seq("qid", "nid_b"))
+            .groupBy(col("qid"), col("nid_a").as("nid")).agg(max("sim_p").as("max_sel")),
+          Seq("qid", "nid"), "left")
+          .na.fill(0.0, Seq("max_sel"))
+      val pick = pen
+        .withColumn("score", lit(lam) * col("sim_q") - lit(1.0 - lam) * col("max_sel"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("qid"), col("nid"), lit(r.toLong).as("mmr_rank"), col("score"))
+        .localCheckpoint()
+      selected = if (r == 1) pick else selected.unionByName(pick).localCheckpoint()
+    }
+    selected
+      .select(col("qid"), col("nid"), col("mmr_rank"), Num.pround(col("score"), 6).as("score"))
+      .orderBy("qid", "mmr_rank")
   }
 
   /** Label-conditional outlier mining (the mislabel/noise sweep, à la

@@ -357,6 +357,27 @@ object Relational {
       .orderBy("cohort", "o_custkey")
   }
 
+  /** Correlated LATERAL subquery — top-2 orders per customer expressed
+    * the way an analyst writes it (per-row dependent subquery with ORDER
+    * BY + LIMIT), left for Catalyst's DecorrelateInnerQuery to rewrite
+    * into the window/join shape q27_latest hand-builds. The SQL-surface
+    * point: the engine accepts the declarative form and plans it
+    * distributed — no per-row re-execution survives into the physical
+    * plan. Bounded query side (custkey < 100) keeps the gate output
+    * stable; o_totalprice passes through unarithmeticked (raw read —
+    * the renderSlice precedent, no rounding needed). */
+  def q31Lateral(s: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |WHERE c.c_custkey < 100
+        |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin)
+  }
+
   /** Paginated render slice (kiara render_value, render_value.py:54). */
   def renderSlice(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")

@@ -619,6 +619,10 @@ object Suite {
   def simLabelOutliers(s: SparkSession, dir: String): DataFrame =
     Similarity.labelOutliers(t(s, dir, "embeddings"), 3)
 
+  /** MMR-diversified top-5 of a 20-candidate pool for 10 queries, λ=0.7. */
+  def simMmr(s: SparkSession, dir: String): DataFrame =
+    Similarity.mmrTopK(t(s, dir, "embeddings"), nQueries = 10, kPool = 20, k = 5)
+
   /** Hybrid retrieval: dense cosine leg + sparse 3-gram-jaccard leg,
     * reciprocal-rank-fused (c=60), top-5 of 10-per-leg for 20 queries. */
   def simHybridRrf(s: SparkSession, dir: String): DataFrame =
@@ -1087,6 +1091,43 @@ object Suite {
     * rank on the drained complete-mode sink). */
   def streamTopK(s: SparkSession, dir: String): DataFrame =
     graft.streaming.EventStream.windowTopK(s, s"$dir/events.parquet")
+
+  /** Duplicate-feed dedup with watermark-bounded state: every event
+    * arrives twice (self-union), drained counts must equal batch
+    * distinct counts. */
+  def streamDedupWm(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.dedupWithinWatermark(s, s"$dir/events.parquet")
+
+  /** Surgical erase of three customer keys off a clustered layout —
+    * only range-hit files rewritten (EraseStats spec'd in QualitySpec);
+    * the oracle replays NOT IN on the original table. */
+  def maintErase(s: SparkSession, dir: String): DataFrame = {
+    val base = Export.tempDir("graft_erase_src_").toString
+    val dest = Export.tempDir("graft_erase_dst_").toString
+    Layout.clusterWrite(t(s, dir, "orders"), "o_custkey", base, 16)
+    Maintenance.erase(s, base, dest, "o_custkey", Seq(1L, 2L, 3L))
+    s.read.parquet(dest)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Shannon entropy + ndv for a low- and a high-cardinality column. */
+  def metaEntropy(s: SparkSession, dir: String): DataFrame =
+    Profile.columnEntropy(t(s, dir, "events"), Seq("event_type", "user_id"))
+
+  /** Hive-partitioned write + partition-pruned read: per-source stats of
+    * the English slice, scanning only the lang=en directory (asserted in
+    * LayoutSpec); the oracle replays the filter on the ORIGINAL table,
+    * so the partitioned round trip must also be lossless. */
+  def maintHivePartition(s: SparkSession, dir: String): DataFrame = {
+    val out = Export.tempDir("graft_hive_").toString
+    Layout.hivePartitionWrite(t(s, dir, "documents"), "lang", out)
+    s.read.parquet(out).filter(col("lang") === "en")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("source")
+  }
 
   /** Temperature-0.5 language rebalancing: floor(4·√n_lang) docs per
     * language — the skewed dimension (en 44% of the corpus keeps ~27%,

@@ -89,6 +89,26 @@ object EventStream {
       "append")
       .groupBy("lang").agg(count(lit(1)).as("n_unique")).orderBy("lang")
 
+  /** At-least-once source dedup with BOUNDED state —
+    * `dropDuplicatesWithinWatermark`: the answer to "the upstream
+    * delivers duplicates" that [[dedupedLangCounts]]' plain
+    * `dropDuplicates` cannot give at 100 TB (its state holds every key
+    * ever seen, forever; this one expires keys once the watermark
+    * passes their event time — state is bounded by the duplicate
+    * horizon, not the stream's lifetime). The duplicate feed is
+    * simulated by unioning the source with itself: every event arrives
+    * exactly twice, inside the horizon, so the drained per-type counts
+    * must equal the batch DISTINCT counts — the oracle. */
+  def dedupWithinWatermark(spark: SparkSession, path: String): DataFrame = {
+    val s1 = source(spark, path).withWatermark("ts", "1 hour")
+    val s2 = source(spark, path).withWatermark("ts", "1 hour")
+    runToMemory(spark,
+      s1.union(s2).dropDuplicatesWithinWatermark("event_id"),
+      "append")
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
   /** Streaming PSI drift monitor — the batch [[graft.operators.DataQuality
     * .valueDrift]] gate run continuously: the (half × bin) conditional
     * counts are STREAMING STATE (one stateful aggregate in complete

@@ -326,6 +326,15 @@ class EventsSpec extends SparkTestBase {
     assert(a.forall(m => m.n_bytes == 5 && m.width == 0 && m.height == 0 && m.format == "unknown"))
   }
 
+  test("watermarked streaming dedup of a doubled feed equals batch distinct counts") {
+    val stream = graft.streaming.EventStream
+      .dedupWithinWatermark(spark, s"$sfDir/events.parquet").collect().toSeq
+    val batch = Tables.t(spark, sfDir, "events")
+      .groupBy("event_type").agg(expr("count(DISTINCT event_id)").as("n"))
+      .orderBy("event_type").collect().toSeq
+    assert(stream == batch)
+  }
+
   test("streaming daily top-k drains to the batch ranking") {
     import org.apache.spark.sql.functions.{count, date_format, row_number, to_date}
     import org.apache.spark.sql.expressions.Window

@@ -77,4 +77,23 @@ class LayoutSpec extends SparkTestBase {
     val (_, _, firstMax) = ranges.head
     assert(Layout.filesTouched(dir, "k", firstMax, firstMax) >= 1)
   }
+
+  test("hive-partitioned read prunes to one partition directory at planning time") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val docs = Tables.t(spark, sfDir, "documents")
+    val dir = Export.tempDir("hive_spec_").toString
+    Layout.hivePartitionWrite(docs, "lang", dir)
+    val q = spark.read.parquet(dir).filter(col("lang") === "en").select("doc_id")
+    val scans = flattenPlan(q.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
+      "the lang filter must become a partition filter, not a data filter")
+    assert(scans.head.selectedPartitions.partitionCount == 1,
+      "only the lang=en directory may survive pruning")
+    // and the partitioned round trip loses nothing
+    val back = spark.read.parquet(dir)
+    assert(back.count() == docs.count())
+    assert(back.filter(col("lang") === "en").count() ==
+      docs.filter(col("lang") === "en").count())
+  }
 }

@@ -134,4 +134,45 @@ class QualitySpec extends SparkTestBase {
     val twice = Maintenance.cdcMerge(once, changes, "k", "seq", "op", Seq("name", "v"))
     assert(twice.orderBy("k").collect().toSeq == once.orderBy("k").collect().toSeq)
   }
+
+  test("erase rewrites only range-hit files; untouched files copy byte-identically") {
+    import graft.operators.Layout
+    import graft.sources.Export
+    val src = Export.tempDir("erase_src_").toString
+    val dst = Export.tempDir("erase_dst_").toString
+    // clustered: 8 files with disjoint key ranges over 0..799
+    Layout.clusterWrite(
+      spark.range(0, 800).selectExpr("id AS k", "id * 2 AS v"), "k", src, 8)
+    val stats = Maintenance.erase(spark, src, dst, "k", Seq(5L, 7L))
+    assert(stats.filesTotal == 8 && stats.rowsErased == 2)
+    assert(stats.filesRewritten == 1, "keys 5 and 7 live in ONE range file")
+    val out = spark.read.parquet(dst)
+    assert(out.count() == 798)
+    assert(out.filter(col("k").isin(5L, 7L)).count() == 0)
+    // every untouched source file must exist in dest with identical bytes
+    val srcFiles = java.nio.file.Files.list(java.nio.file.Paths.get(src))
+      .toArray.map(_.toString).filter(_.endsWith(".parquet"))
+    val copied = srcFiles.filter { f =>
+      val d = java.nio.file.Paths.get(dst).resolve(
+        java.nio.file.Paths.get(f).getFileName)
+      java.nio.file.Files.exists(d) &&
+        java.util.Arrays.equals(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)),
+          java.nio.file.Files.readAllBytes(d))
+    }
+    assert(copied.length == 7, s"expected 7 byte-identical copies, got ${copied.length}")
+  }
+
+  test("column entropy: uniform beats skewed, constant is zero") {
+    import graft.operators.Profile
+    val d = spark.range(0, 400).selectExpr(
+      "CAST(id % 4 AS STRING) AS uniform4",   // 2 bits exactly
+      "CASE WHEN id < 396 THEN 'a' ELSE 'b' END AS skewed",
+      "'x' AS const")
+    val e = Profile.columnEntropy(d, Seq("uniform4", "skewed", "const"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(e("uniform4") == ((4L, 2.0)))
+    assert(e("const") == ((1L, -0.0)) || e("const") == ((1L, 0.0)))
+    assert(e("skewed")._1 == 2L && e("skewed")._2 > 0.0 && e("skewed")._2 < 0.1)
+  }
 }

@@ -301,6 +301,42 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.forall(r => legal.contains(r.getDouble(2))))
   }
 
+  test("mmr matches a driver-side greedy reference replay") {
+    val e = Tables.t(spark, sfDir, "embeddings")
+    val out = Similarity.mmrTopK(e, nQueries = 5, kPool = 10, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val vecs = e.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val lam = 0.7; val pen = 1.0 - 0.7 // replicate Spark's lit(1.0 - lam) exactly
+    val ref = (0L until 5L).flatMap { q =>
+      val pool = vecs.keys.filter(_ != q).toSeq
+        .map(id => (id, cos(vecs(q), vecs(id))))
+        .sortBy { case (id, s) => (-s, id) }.take(10)
+        .map { case (id, s) => (id, r4(s)) }
+      var sel = Vector.empty[Long]
+      (1 to 4).map { r =>
+        val best = pool.filterNot(p => sel.contains(p._1))
+          .map { case (id, sq) =>
+            val maxSel = if (sel.isEmpty) 0.0
+              else sel.map(s => r4(cos(vecs(id), vecs(s)))).max
+            (id, lam * sq - pen * maxSel)
+          }
+          .minBy { case (id, sc) => (-sc, id) }
+        sel :+= best._1
+        (q, best._1, r.toLong)
+      }
+    }
+    assert(out.toSeq.sorted == ref.sorted)
+  }
+
   test("knn classify: per-label counts partition the eval set") {
     val e = Tables.t(spark, sfDir, "embeddings")
     val eval = e.filter(col("vec_id") < 50)
