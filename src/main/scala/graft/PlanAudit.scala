@@ -101,7 +101,20 @@ object PlanAudit {
     // entropy (row-local melt explode + ONE agg shuffle + value-domain
     // windows), erase read-back (plain agg over the rewritten layout);
     // stream_dedup_wm excluded like the other streaming keys
-    "meta_entropy", "maint_erase")
+    "meta_entropy", "maint_erase",
+    // round 5 cont. #7: dau/mau (distinct (user,day) dimension → bounded
+    // 28× contribution explode, both aggs on that dimension table, never
+    // event-volume), pareto (user-count agg → dimension-global ranked
+    // window + |tiers|-sized join), inter-arrival (ONE user_id window
+    // shuffle + event-type-domain percentile agg), peak concurrency
+    // (session bounds agg → 2·|sessions| sweep deltas under one RANGE
+    // window), url canon (row-local regexp chain, one agg on the canon
+    // key), benford (row-local digit projection + 9-row agg + 9-row
+    // window), langid confusion (row-local predictor + |langs|² agg),
+    // unpivot + cube (Expand fan-out map-side, ONE agg shuffle each)
+    "evt_dau_mau", "evt_pareto", "evt_interarrival", "evt_peak_concurrency",
+    "text_url_canon", "dq_benford", "text_langid_confusion",
+    "q32_unpivot", "q33_cube")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

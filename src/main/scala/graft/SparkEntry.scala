@@ -113,10 +113,19 @@ object SparkEntry {
     "stream_topk" -> (Suite.streamTopK _),
     "maint_hive_partition" -> (Suite.maintHivePartition _),
     "q31_lateral" -> (Relational.q31Lateral _),
+    "q32_unpivot" -> (Relational.q32Unpivot _),
+    "q33_cube" -> (Relational.q33Cube _),
     "stream_dedup_wm" -> (Suite.streamDedupWm _),
     "maint_erase" -> (Suite.maintErase _),
     "meta_entropy" -> (Suite.metaEntropy _),
     "sim_mmr" -> (Suite.simMmr _),
+    "evt_dau_mau" -> (Suite.evtDauMau _),
+    "text_langid_confusion" -> (Suite.textLangidConfusion _),
+    "text_url_canon" -> (Suite.textUrlCanon _),
+    "dq_benford" -> (Suite.dqBenford _),
+    "evt_pareto" -> (Suite.evtPareto _),
+    "evt_interarrival" -> (Suite.evtInterarrival _),
+    "evt_peak_concurrency" -> (Suite.evtPeakConcurrency _),
     // dedup (§2b rows 20-23)
     "dedup_exact" -> (Suite.dedupExact _),
     "dedup_bloom" -> (Suite.dedupBloom _),
@@ -1556,6 +1565,116 @@ object SparkEntry {
         |    AS BIGINT) AS rnk FROM d)
         |SELECT strftime(day, '%Y-%m-%d') AS day, event_type, n, rnk FROM r
         |WHERE rnk <= 3 ORDER BY day, rnk""".stripMargin,
+    // trailing-MAU as a bounded contribution explode of the (user, day)
+    // activity dimension; stickiness floor-rounded
+    "evt_dau_mau" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day FROM events),
+        |d AS (SELECT day, count(*) AS dau FROM a GROUP BY day),
+        |c AS (SELECT DISTINCT user_id, CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+        |    CAST(day AS TIMESTAMP) + INTERVAL 27 DAY, INTERVAL 1 DAY)) AS DATE) AS mday FROM a),
+        |m AS (SELECT mday AS day, count(*) AS mau FROM c GROUP BY mday)
+        |SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, m.mau,
+        |  CAST(floor(CAST(d.dau AS DOUBLE) / m.mau * 10000.0 + 0.5) AS DOUBLE)
+        |    / 10000.0 AS stickiness
+        |FROM d JOIN m ON d.day = m.day ORDER BY d.day""".stripMargin,
+    // sessionize CTE reused verbatim; sweep deltas with the default
+    // RANGE frame (peer groups) ≡ Spark's explicit rangeBetween
+    "evt_peak_concurrency" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |f AS (SELECT user_id, event_id, us,
+        |  CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+        |    OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+        |   THEN 1 ELSE 0 END AS is_new FROM e),
+        |g AS (SELECT user_id, us, sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM f),
+        |s AS (SELECT user_id, session_id, min(us) AS st, max(us) AS en FROM g
+        |  GROUP BY user_id, session_id),
+        |d AS (SELECT st AS t, 1 AS d FROM s UNION ALL SELECT en + 1, -1 FROM s),
+        |r AS (SELECT t, sum(d) OVER (ORDER BY t, d) AS concurrent FROM d)
+        |SELECT strftime(make_timestamp(t), '%Y-%m-%d') AS day,
+        |  CAST(max(concurrent) AS BIGINT) AS peak_concurrent,
+        |  count(*) AS n_transitions
+        |FROM r GROUP BY day ORDER BY day""".stripMargin,
+    // ranked cumulative user counts; tier cut-offs via a literal frame
+    "evt_pareto" ->
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+        |t AS (SELECT count(*) AS u, sum(n) AS e FROM c),
+        |r AS (SELECT n, CAST(row_number() OVER (ORDER BY n DESC, user_id) AS BIGINT) AS rk,
+        |  CAST(sum(n) OVER (ORDER BY n DESC, user_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM c),
+        |x(tier_pct) AS (VALUES (1), (5), (10), (50)),
+        |k AS (SELECT CAST(tier_pct AS BIGINT) AS tier_pct, e,
+        |  greatest(CAST(1 AS BIGINT),
+        |    CAST(floor(CAST(u AS DOUBLE) * tier_pct / 100.0) AS BIGINT)) AS rk
+        |  FROM x CROSS JOIN t)
+        |SELECT k.tier_pct, k.rk AS n_users, r.cum AS n_events,
+        |  floor(CAST(r.cum AS DOUBLE) / CAST(k.e AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS share
+        |FROM k JOIN r ON r.rk = k.rk ORDER BY k.tier_pct""".stripMargin,
+    // integer-µs gaps; quantile_cont ≡ Spark exact percentile (q13 parity)
+    "evt_interarrival" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |g AS (SELECT event_type,
+        |    us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap_us FROM e)
+        |SELECT event_type, count(*) AS n_gaps,
+        |  round(quantile_cont(gap_us, 0.5) / 1000000.0, 4) AS p50_s,
+        |  round(quantile_cont(gap_us, 0.9) / 1000000.0, 4) AS p90_s,
+        |  round(avg(gap_us) / 1000000.0, 4) AS avg_s
+        |FROM g WHERE gap_us IS NOT NULL GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // confusion matrix over the same langid CASE predictor
+    "text_langid_confusion" ->
+      """WITH s AS (SELECT doc_id, lang,
+        | len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS s_zh,
+        | len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that)\b')) AS s_en,
+        | len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|nicht)\b')) AS s_de,
+        | len(regexp_extract_all(lower(text), '\b(le|la|et|les|des|est)\b')) AS s_fr,
+        | len(regexp_extract_all(lower(text), '\b(el|los|las|que|es|una)\b')) AS s_es
+        |FROM documents),
+        |p AS (SELECT lang, CASE WHEN s_zh > 0 THEN 'zh'
+        | WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+        | WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+        | WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS pred_lang
+        |FROM s)
+        |SELECT lang, pred_lang, count(*) AS n FROM p
+        |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
+    // canonicalization chain replayed step-for-step with 'g'-flag RE2
+    // replaces; the planted variants collapse across spellings
+    "text_url_canon" ->
+      """WITH planted AS (SELECT doc_id, text
+        |  || CASE WHEN doc_id % 4 = 0 THEN ' https://Example.COM/a?utm_source=s' || CAST(doc_id AS VARCHAR)
+        |          WHEN doc_id % 4 = 1 THEN ' http://www.example.com:80/a#sec' || CAST(doc_id AS VARCHAR)
+        |          WHEN doc_id % 4 = 2 THEN ' https://news.site.org/item/' || CAST(doc_id % 10 AS VARCHAR) || '/'
+        |          ELSE '' END
+        |  || CASE WHEN doc_id % 11 = 0 THEN ' (see https://ref.example.net/x' || CAST(doc_id % 7 AS VARCHAR) || ').' ELSE '' END AS text
+        | FROM documents),
+        |u AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS url FROM planted),
+        |c1 AS (SELECT doc_id, regexp_replace(url, '[.,);:!?]+$', '') AS u FROM u),
+        |c2 AS (SELECT doc_id, regexp_replace(u, '#.*', '') AS u FROM c1),
+        |c3 AS (SELECT doc_id, regexp_replace(u, '([?&])(utm_[a-z0-9]+|fbclid|gclid)=[^&]*', '\1', 'g') AS u FROM c2),
+        |c4 AS (SELECT doc_id, regexp_replace(regexp_replace(u, '\?&+', '?', 'g'), '&&+', '&', 'g') AS u FROM c3),
+        |c5 AS (SELECT doc_id, regexp_replace(u, '[?&]+$', '') AS u FROM c4),
+        |c6 AS (SELECT doc_id,
+        |   regexp_replace(regexp_replace(lower(regexp_extract(u, '^https?://([^/?#]+)', 1)), ':(80|443)$', ''), '^www\.', '')
+        |   || regexp_replace(regexp_extract(u, '^https?://[^/?#]+(.*)', 1), '/+$', '') AS canon_url FROM c5)
+        |SELECT canon_url, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs,
+        |  min(doc_id) AS keeper_doc
+        |FROM c6 GROUP BY canon_url ORDER BY canon_url""".stripMargin,
+    // first digit via floor→string (no float log10); expected shares are
+    // 4dp constants identical to the driver-computed literals
+    "dq_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders WHERE o_totalprice >= 1.0),
+        |c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+        |t AS (SELECT digit, n, sum(n) OVER () AS total FROM c),
+        |s AS (SELECT digit, n,
+        |  floor(CAST(n AS DOUBLE) / total * 10000.0 + 0.5) / 10000.0 AS share,
+        |  CAST(CASE digit WHEN 1 THEN 0.3010 WHEN 2 THEN 0.1761 WHEN 3 THEN 0.1249
+        |    WHEN 4 THEN 0.0969 WHEN 5 THEN 0.0792 WHEN 6 THEN 0.0669
+        |    WHEN 7 THEN 0.0580 WHEN 8 THEN 0.0512 ELSE 0.0458 END AS DOUBLE) AS expected
+        | FROM t)
+        |SELECT digit, n, share, expected,
+        |  floor(abs(share - expected) * 10000.0 + 0.5) / 10000.0 AS abs_dev
+        |FROM s ORDER BY digit""".stripMargin,
     // MMR greedy rounds unrolled; penalty weight written (1.0 - 0.7) to
     // match Spark's lit(1.0 - lam) bit-for-bit
     "sim_mmr" -> mmrSql(10, 20, 5),
@@ -1593,6 +1712,24 @@ object SparkEntry {
         |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o ON true
         |WHERE c.c_custkey < 100
         |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin,
+    // the full 4-grain lattice; subtotal NULLs coalesced like q23
+    "q33_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |  coalesce(l_linestatus, 'ALL') AS lstatus,
+        |  count(*) AS n, round(sum(l_extendedprice), 2) AS total,
+        |  round(avg(l_discount), 4) AS avg_disc
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus""".stripMargin,
+    // wide→long via UNION ALL legs ≡ Spark's Expand-based unpivot
+    "q32_unpivot" ->
+      """WITH u AS (
+        |  SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+        |SELECT l_returnflag, metric, count(*) AS n, round(sum(val), 2) AS total,
+        |  round(avg(val), 4) AS avg_val
+        |FROM u GROUP BY l_returnflag, metric ORDER BY l_returnflag, metric""".stripMargin,
     // INTERSECT/EXCEPT cohorts over distinct early/late customer keys
     "q30_setops" ->
       """WITH e AS (SELECT DISTINCT o_custkey FROM orders

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Declarative data-quality expectations (the Great-Expectations /
@@ -147,6 +148,37 @@ object DataQuality {
     aggd.select(col("event_type"), nRef.as("n_ref"), nCur.as("n_cur"),
         round(psi, 4).as("psi"), (psi > threshold).as("drifted"))
       .orderBy("event_type")
+  }
+
+  /** Benford's-law first-digit audit — the classic fabricated-data /
+    * broken-ETL screen: naturally-grown multiplicative quantities
+    * (prices, populations, file sizes) put digit d first with probability
+    * log10(1+1/d); uniform or hand-made data does not. Reports the
+    * observed first-significant-digit distribution against the Benford
+    * expectation with absolute deviation per digit — a synthetic
+    * uniform-ish corpus SHOWING large deviations is exactly the readout
+    * (the auditor's signal, not a test failure).
+    *
+    * Scale shape: digit extraction is a row-local projection (floor →
+    * string → first char — no float log10, whose cross-engine rounding
+    * at exact powers of ten would be fragile); one groupBy over a
+    * 9-value domain; the total re-derives from the grouped counts via a
+    * window over the 9-row aggregate (single scan of the fact table —
+    * the keySkew lesson). Expected shares are 4dp constants computed
+    * once on the driver; observed shares use the portable
+    * floor-round so both engines agree bit-for-bit. */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val expected = (1 to 9).map(d => math.floor(math.log10(1.0 + 1.0 / d) * 10000.0 + 0.5) / 10000.0)
+    val counts = df.filter(col(valueCol) >= 1.0)
+      .select(substring(floor(col(valueCol)).cast("long").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = sum(col("n")).over(Window.partitionBy())
+    counts
+      .withColumn("share", Num.pround(col("n").cast("double") / total.cast("double"), 4))
+      .withColumn("expected", element_at(array(expected.map(lit): _*), col("digit").cast("int")))
+      .withColumn("abs_dev", Num.pround(abs(col("share") - col("expected")), 4))
+      .orderBy("digit")
   }
 
   /** Column-correlation audit — Pearson correlations, sample covariance

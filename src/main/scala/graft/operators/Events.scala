@@ -361,6 +361,128 @@ object Events {
       .drop("__bin")
   }
 
+  /** DAU / trailing-MAU / stickiness — the engagement read-out every
+    * product dashboard leads with (stickiness = DAU/MAU; "how much of
+    * the monthly audience shows up daily"). The sliding DISTINCT that
+    * makes trailing MAU expensive is re-expressed as a bounded
+    * contribution explode: each (user, active-day) row contributes to
+    * the MAU of days [day, day + window), so one distinct + one count
+    * per day replaces a 28-day distinct-over-window (which Spark
+    * windows cannot do exactly without buffering every row anyway).
+    *
+    * Scale shape: everything downstream of the first distinct is
+    * (users × active-days)-dimension-sized, never event-volume; the
+    * explode multiplies that dimension table by the window length only.
+    * Early days carry partial windows by construction (standard). */
+  def dauMau(events: DataFrame, windowDays: Int = 28): DataFrame = {
+    require(windowDays > 0, s"window must be positive, got $windowDays")
+    val activity = events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val dau = activity.groupBy("day").agg(count(lit(1)).as("dau"))
+    val mau = activity
+      .select(col("user_id"), explode(sequence(col("day"),
+        date_add(col("day"), windowDays - 1), expr("interval 1 day"))).as("mday"))
+      .distinct()
+      .groupBy(col("mday").as("day")).agg(count(lit(1)).as("mau"))
+    dau.join(mau, "day")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("mau"),
+        expr("cast(floor(cast(dau as double) / mau * 10000.0 + 0.5) as double) / 10000.0")
+          .as("stickiness"))
+      .orderBy("day")
+  }
+
+  /** Event-volume concentration (Pareto audit): what share of all events
+    * comes from the top p% most-active users — the "is this corpus a
+    * handful of bots?" screen a training-data pipeline runs before
+    * per-user data caps. For each requested tier, reports the user
+    * cut-off count, the events those users contribute, and their share.
+    *
+    * Scale shape: the fact table folds to a per-user count (one
+    * shuffle, user-dimension-sized); the ranked cumulative sum runs
+    * over that dimension table, and the tier lookup joins a
+    * tiers-sized literal frame against exactly |tiers| ranks. The
+    * global-ordered window on the dimension table is the documented
+    * cost (at extreme user cardinality it becomes a range-partitioned
+    * sort + per-partition offset pass; the fact table is never
+    * globally sorted). */
+  def concentration(events: DataFrame, tiers: Seq[Int] = Seq(1, 5, 10, 50)): DataFrame = {
+    require(tiers.nonEmpty && tiers.forall(t => t >= 1 && t <= 100), s"bad tiers: $tiers")
+    val counts = events.groupBy("user_id").agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n").desc, col("user_id"))
+    val ranked = counts.select(col("n"),
+      row_number().over(w).cast("long").as("rk"),
+      sum("n").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"))
+    val totals = counts.agg(count(lit(1)).as("u"), sum("n").as("e"))
+    val cuts = totals.select(col("u"), col("e"),
+        explode(array(tiers.map(t => lit(t.toLong)): _*)).as("tier_pct"))
+      .select(col("tier_pct"), col("e"),
+        greatest(lit(1L), floor(col("u").cast("double") * col("tier_pct") / 100.0).cast("long"))
+          .as("rk"))
+    cuts.join(ranked, "rk")
+      .select(col("tier_pct"), col("rk").as("n_users"), col("cum").as("n_events"),
+        Num.pround(col("cum").cast("double") / col("e").cast("double"), 4).as("share"))
+      .orderBy("tier_pct")
+  }
+
+  /** Inter-arrival time profile: exact p50/p90/mean of the gap between a
+    * user's consecutive events, per event type of the LATER event — the
+    * rate fingerprint that separates humans from schedulers/bots and
+    * sizes session-gap thresholds empirically. Gaps on the integer µs
+    * timeline (exact); percentiles are Spark's exact interpolating
+    * `percentile` (≡ DuckDB `quantile_cont`, the q13 parity). One
+    * shuffle on user_id for the lag, one dimension-sized aggregate. */
+  def interArrival(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(byUser))
+      .filter(col("gap_us").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        round(expr("percentile(gap_us, 0.5)") / 1000000.0, 4).as("p50_s"),
+        round(expr("percentile(gap_us, 0.9)") / 1000000.0, 4).as("p90_s"),
+        round(avg(col("gap_us")) / 1000000.0, 4).as("avg_s"))
+      .orderBy("event_type")
+  }
+
+  /** Peak session concurrency per day — the capacity/load readout ("how
+    * many sessions were open at once, at worst?"): classic sweep-line
+    * over session intervals. Sessions are the same 30-min-gap derivation
+    * as [[sessionize]]; each contributes +1 at its start and −1 just
+    * after its end (the session occupies [s, e] INCLUSIVE on the µs
+    * timeline — it is still open at its last event, so a session
+    * starting exactly at another's end does overlap it), and the
+    * running sum of deltas IS the concurrency. The running sum uses a
+    * RANGE frame so tied timestamps resolve as one peer group —
+    * bit-identical tie semantics in Spark and DuckDB (whose default
+    * window frame this is).
+    *
+    * Scale shape: one shuffle on user_id (session derivation), one
+    * dimension-sized aggregate to session bounds, then the sweep runs
+    * over 2·|sessions| delta rows — session-dimension-sized, never
+    * event-volume. The globally-ordered window is the documented cost
+    * (the pareto note: at extreme session cardinality it becomes a
+    * range-partitioned sort + per-partition prefix offsets); days with
+    * no session transitions carry no row by construction. */
+  def peakConcurrency(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val sessions = sessionize(events, gapMinutes)
+      .withColumn("us", unix_micros(col("ts")))
+      .groupBy("user_id", "session_id")
+      .agg(min("us").as("s"), max("us").as("e"))
+    val deltas = sessions.select(explode(array(
+        struct(col("s").as("t"), lit(1L).as("d")),
+        struct((col("e") + 1L).as("t"), lit(-1L).as("d")))).as("x"))
+      .select(col("x.t").as("t"), col("x.d").as("d"))
+    val sweep = Window.orderBy(col("t"), col("d"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .select(col("t"), sum("d").over(sweep).as("concurrent"))
+      .groupBy(date_format(timestamp_micros(col("t")), "yyyy-MM-dd").as("day"))
+      .agg(max("concurrent").as("peak_concurrent"), count(lit(1)).as("n_transitions"))
+      .orderBy("day")
+  }
+
   /** Gap-filled daily resample with forward-fill — the time-series
     * regularization every downstream model/dashboard needs ("one row per
     * user per day, carrying the last known value across silent days").

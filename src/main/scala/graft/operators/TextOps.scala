@@ -241,6 +241,41 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** URL canonicalization + cross-document URL dedup — the CC-pipeline
+    * step that collapses the many spellings of one address
+    * (`https://Example.COM/a?utm_source=x`, `http://www.example.com:80/a#f`)
+    * into a single canonical key before counting/deduplicating by URL.
+    * Canonical form: lowercase host, default ports and `www.` stripped,
+    * fragment gone, tracking query params (`utm_*`, `fbclid`, `gclid`)
+    * removed with delimiter repair, trailing slashes and trailing
+    * sentence punctuation trimmed, scheme dropped (http/https unify).
+    * kiara analogue: onboarding/preprocessing modules over tabular text
+    * (/root/reference/src/kiara/modules/included_core_modules/filter.py —
+    * value filtering; this is the URL-keyed instance).
+    *
+    * Every step is a row-local codegen'd regexp over RE2-safe patterns
+    * (no lookaround, no backrefs — the PII-pattern rule), so the only
+    * shuffle is the final groupBy on the canonical key, whose output is
+    * distinct-URL-dimension-sized, never corpus-sized. */
+  def urlCanon(docs: DataFrame): DataFrame = {
+    val raw = docs.select(col("doc_id"),
+      explode(regexp_extract_all(col("text"), lit("https?://[^\\s]+"), lit(0))).as("url"))
+    def rr(c: Column, pat: String, rep: String): Column = regexp_replace(c, pat, rep)
+    val noPunct = rr(col("url"), "[.,);:!?]+$", "")
+    val noFrag = rr(noPunct, "#.*", "")
+    val noTrack = rr(noFrag, "([?&])(utm_[a-z0-9]+|fbclid|gclid)=[^&]*", "$1")
+    val repaired = rr(rr(rr(noTrack, "\\?&+", "?"), "&&+", "&"), "[?&]+$", "")
+    val host = rr(rr(lower(regexp_extract(repaired, "^https?://([^/?#]+)", 1)),
+      ":(80|443)$", ""), "^www\\.", "")
+    val rest = rr(regexp_extract(repaired, "^https?://[^/?#]+(.*)", 1), "/+$", "")
+    raw.select(col("doc_id"), concat(host, rest).as("canon_url"))
+      .groupBy("canon_url")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("keeper_doc"))
+      .orderBy("canon_url")
+  }
+
   /** Benchmark decontamination: for each training document, how many of
     * its distinct token k-grams appear in a benchmark/eval corpus — the
     * standard pre-training hygiene check (does the training set contain
@@ -519,22 +554,34 @@ object TextOps {
 
   /** Heuristic language ID: marker-word hit counts per language, argmax
     * with a fixed tie-break order. CJK presence short-circuits to zh. */
-  def langId(docs: DataFrame): DataFrame = {
+  /** The n-gram/stopword language predictor as a row-local Column —
+    * shared by [[langId]] and [[langidConfusion]]. */
+  private def langPred: Column = {
     def hits(pat: String): Column = regexp_count(lower(col("text")), lit(pat))
     val sZh = regexp_count(col("text"), lit("[\\x{4e00}-\\x{9fff}]"))
     val sEn = hits("\\b(the|and|of|to|in|is|that)\\b")
     val sDe = hits("\\b(der|die|und|das|ist|nicht)\\b")
     val sFr = hits("\\b(le|la|et|les|des|est)\\b")
     val sEs = hits("\\b(el|los|las|que|es|una)\\b")
-    docs.select(
-      col("doc_id"),
-      when(sZh > 0, "zh")
-        .when(sEn >= greatest(sDe, sFr, sEs), "en")
-        .when(sDe >= greatest(sFr, sEs), "de")
-        .when(sFr >= sEs, "fr")
-        .otherwise("es").as("pred_lang"))
-      .orderBy("doc_id")
+    when(sZh > 0, "zh")
+      .when(sEn >= greatest(sDe, sFr, sEs), "en")
+      .when(sDe >= greatest(sFr, sEs), "de")
+      .when(sFr >= sEs, "fr")
+      .otherwise("es")
   }
+
+  def langId(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), langPred.as("pred_lang")).orderBy("doc_id")
+
+  /** Language-ID confusion matrix — predicted vs gold label counts, the
+    * classifier-quality readout that decides whether the cheap heuristic
+    * is good enough to route documents (mis-routing silently corrupts
+    * every per-language statistic downstream). One scan, one
+    * dimension-sized aggregate (|langs|² rows at most). */
+  def langidConfusion(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), langPred.as("pred_lang"))
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred_lang")
 
   // ---- BPE merge training -----------------------------------------------
 

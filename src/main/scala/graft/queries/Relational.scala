@@ -378,6 +378,43 @@ object Relational {
         |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin)
   }
 
+  /** Full CUBE over (returnflag, linestatus) — every grain of the
+    * two-dimension rollup lattice in ONE pass (Expand fans each row to
+    * its 4 grouping combinations map-side; one shuffle on the expanded
+    * keys). Completes the rollup/grouping-sets/pivot family. NULL
+    * subtotal markers coalesced to 'ALL' (the q23 convention — real
+    * values can never collide with it). */
+  def q33Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("total"),
+        round(avg("l_discount"), 4).as("avg_disc"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("n"), col("total"), col("avg_disc"))
+      .orderBy("rflag", "lstatus")
+
+  /** Wide-to-long unpivot (melt) + per-metric rollup — the reshape every
+    * profiling/plotting step needs ("one row per (group, metric) with
+    * its stats" from a wide fact table). Spark's native `unpivot`
+    * compiles to an Expand node: each input row fans out to the metric
+    * rows in the SAME map task — a row-local multiply, no shuffle until
+    * the dimension-sized (flag × metric) aggregate. kiara analogue:
+    * table reshape modules (included_core_modules/tables.py). Float
+    * aggregates → round(,2/,4), the oracle-parity rule. */
+  def q32Unpivot(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem")
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "metric", "val")
+      .groupBy("l_returnflag", "metric")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("val")), 2).as("total"),
+        round(avg(col("val")), 4).as("avg_val"))
+      .orderBy("l_returnflag", "metric")
+  }
+
   /** Paginated render slice (kiara render_value, render_value.py:54). */
   def renderSlice(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")

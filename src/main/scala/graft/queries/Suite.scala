@@ -1112,6 +1112,55 @@ object Suite {
       .orderBy("o_orderstatus")
   }
 
+  /** DAU / trailing-28-day MAU / stickiness per active day. */
+  def evtDauMau(s: SparkSession, dir: String): DataFrame =
+    Events.dauMau(t(s, dir, "events"))
+
+  /** Language-ID confusion matrix (gold lang × predicted lang). On the
+    * synthetic corpus every doc is English-like word salad, so the
+    * heuristic IDs everything as `en` — the matrix SHOWING that (one
+    * `en` column, gold labels spread down the rows) is exactly the
+    * readout this operator exists to produce. */
+  def textLangidConfusion(s: SparkSession, dir: String): DataFrame =
+    TextOps.langidConfusion(t(s, dir, "documents"))
+
+  /** URL canonicalization dedup over planted URL variants: three spellings
+    * of the same logical address (mixed-case host + utm params; www. +
+    * default port + fragment; trailing slash) plus parenthesized/punctuated
+    * mentions — the canonical keys collapse across documents and the
+    * whole grouped count is hash-checked. */
+  def textUrlCanon(s: SparkSession, dir: String): DataFrame = {
+    val planted = t(s, dir, "documents").select(col("doc_id"), concat(
+      col("text"),
+      when(col("doc_id") % 4 === 0,
+        concat(lit(" https://Example.COM/a?utm_source=s"), col("doc_id").cast("string")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit(" http://www.example.com:80/a#sec"), col("doc_id").cast("string")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit(" https://news.site.org/item/"), (col("doc_id") % 10).cast("string"), lit("/")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        concat(lit(" (see https://ref.example.net/x"), (col("doc_id") % 7).cast("string"), lit(").")))
+        .otherwise(lit(""))).as("text"))
+    TextOps.urlCanon(planted)
+  }
+
+  /** Benford first-digit audit over order totals. */
+  def dqBenford(s: SparkSession, dir: String): DataFrame =
+    DataQuality.benfordAudit(t(s, dir, "orders"), "o_totalprice")
+
+  /** Daily peak concurrent sessions via interval sweep-line. */
+  def evtPeakConcurrency(s: SparkSession, dir: String): DataFrame =
+    Events.peakConcurrency(t(s, dir, "events"))
+
+  /** Event-volume concentration across top-percentile user tiers. */
+  def evtPareto(s: SparkSession, dir: String): DataFrame =
+    Events.concentration(t(s, dir, "events"))
+
+  /** Exact inter-arrival percentiles per event type. */
+  def evtInterarrival(s: SparkSession, dir: String): DataFrame =
+    Events.interArrival(t(s, dir, "events"))
+
   /** Shannon entropy + ndv for a low- and a high-cardinality column. */
   def metaEntropy(s: SparkSession, dir: String): DataFrame =
     Profile.columnEntropy(t(s, dir, "events"), Seq("event_type", "user_id"))

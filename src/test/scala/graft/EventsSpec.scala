@@ -1,7 +1,7 @@
 package graft
 
 import java.sql.Timestamp
-import org.apache.spark.sql.functions.{col, expr, to_timestamp}
+import org.apache.spark.sql.functions.{col, expr, lit, to_timestamp}
 import graft.operators.{Events, Multimodal}
 
 class EventsSpec extends SparkTestBase {
@@ -350,6 +350,72 @@ class EventsSpec extends SparkTestBase {
         col("event_type"), col("n"), col("rnk").cast("long").as("rnk"))
       .orderBy("day", "rnk").collect().toSeq
     assert(stream == batch)
+  }
+
+  test("dau/mau: trailing-window contributions age out; stickiness is dau/mau") {
+    val ev = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", 0.0),
+      (2L, 2L, "2024-01-01 11:00:00", 0.0),
+      (3L, 2L, "2024-01-05 09:00:00", 0.0),
+      (4L, 1L, "2024-01-30 09:00:00", 0.0))
+      .toDF("event_id", "user_id", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = Events.dauMau(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("2024-01-01") == ((2L, 2L, 1.0)))
+    // day 5 audience: both users seen within 28 days, only one active today
+    assert(out("2024-01-05") == ((1L, 2L, 0.5)))
+    // day 30: day-1 activity aged out, day-5 activity still inside
+    assert(out("2024-01-30") == ((1L, 2L, 0.5)))
+    assert(out.size == 3) // only days with actual activity are reported
+  }
+
+  test("pareto concentration: tier cut-offs, cumulative shares, count-desc ranking") {
+    // user 1: 10 events; users 2-5: 2 each; users 6-10: 1 each (23 total)
+    val users = Seq.fill(10)(1L) ++ (2 to 5).flatMap(u => Seq(u.toLong, u.toLong)) ++
+      (6 to 10).map(_.toLong)
+    val ev = users.zipWithIndex
+      .map { case (u, i) => (i.toLong, u, s"2024-01-01 10:${"%02d".format(i)}:00") }
+      .toDF("event_id", "user_id", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = Events.concentration(ev, Seq(10, 50)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(10L) == ((1L, 10L, 0.4348))) // top user alone: 10/23
+    assert(out(50L) == ((5L, 18L, 0.7826))) // top half: 10 + 4×2 = 18/23
+  }
+
+  test("inter-arrival: per-type gap percentiles interpolate; first events excluded") {
+    val ev = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "A"),
+      (2L, 1L, "2024-01-01 10:00:10", "B"),
+      (3L, 1L, "2024-01-01 10:00:30", "B"),
+      (4L, 2L, "2024-01-01 11:00:00", "A"),
+      (5L, 2L, "2024-01-01 11:00:05", "A"))
+      .toDF("event_id", "user_id", "ts_s", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = Events.interArrival(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(out("A") == ((1L, 5.0, 5.0, 5.0)))
+    // gaps 10s and 20s: p50 midpoint 15, p90 interpolates to 19
+    assert(out("B") == ((2L, 15.0, 19.0, 15.0)))
+  }
+
+  test("peak concurrency: overlaps counted, disjoint sessions don't stack, ties peer-group") {
+    val ev = Seq(
+      (1L, 1L, "2024-01-01 10:00:00"), (2L, 1L, "2024-01-01 10:08:00"), // u1 [10:00,10:08]
+      (3L, 2L, "2024-01-01 10:05:00"), // u2 point session inside u1 → overlap 2
+      (4L, 3L, "2024-01-01 10:20:00"), // u3 after u1 ended → no stack
+      // day 2: three point sessions at the same µs → tied deltas, peak 3
+      (5L, 1L, "2024-01-02 09:00:00"), (6L, 2L, "2024-01-02 09:00:00"),
+      (7L, 3L, "2024-01-02 09:00:00"))
+      .toDF("event_id", "user_id", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .withColumn("value", lit(0.0))
+    val out = Events.peakConcurrency(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("2024-01-01") == ((2L, 6L)))
+    assert(out("2024-01-02") == ((3L, 6L)))
   }
 
   test("gap fill: dense daily grid, zero-filled counts, forward-filled values") {

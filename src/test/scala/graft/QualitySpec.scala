@@ -107,6 +107,17 @@ class QualitySpec extends SparkTestBase {
       ("US", "B", 1L, false, 1.0)))
   }
 
+  test("benford: first digits counted from the integer part, expectation constants 4dp") {
+    // 6× digit-1, 2× digit-9, 2× digit-5; sub-1 values excluded
+    val vals = Seq(1.0, 12.5, 150.0, 1999.99, 10.0, 17.3, 900.1, 99.9, 5.5, 50.0, 0.4)
+    val out = DataQuality.benfordAudit(vals.toDF("v"), "v").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(1L)._1 == 6L && out(5L)._1 == 2L && out(9L)._1 == 2L)
+    assert(out.size == 3) // absent digits are absent, not zero rows
+    assert(out(1L)._2 == 0.6) // 6/10 observed share
+    assert(out(1L)._3 == 0.3010 && out(5L)._3 == 0.0792 && out(9L)._3 == 0.0458)
+  }
+
   test("scd2: unchanged values collapse; episodes tile half-open intervals") {
     val ch = Seq(
       (1L, "2024-01-01 00:00:00", 1L, "A"),

@@ -299,6 +299,25 @@ class TextOpsSpec extends SparkTestBase {
     assert(flattenPlan(plan).exists(_.isInstanceOf[BroadcastHashJoinExec]))
   }
 
+  test("url canon: spelling variants collapse to one key, tracking params repaired") {
+    val d = Seq(
+      (1L, "a https://Example.COM/a?utm_source=s1 x"),
+      (2L, "b http://www.example.com:80/a#frag x"),
+      (3L, "c (see https://example.com/a)."),
+      (4L, "d https://a.b.com/p?a=1&utm_x=2&utm_y=3&b=4&fbclid=9 x"),
+      (5L, "e https://news.org/item/3/ and https://news.org/item/3"))
+      .toDF("doc_id", "text")
+    val out = TextOps.urlCanon(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // case/port/www/fragment/utm/punctuation variants are ONE canonical url
+    assert(out("example.com/a") == ((3L, 3L, 1L)))
+    // delimiter repair keeps the real params, in order, no dangling ?/&
+    assert(out("a.b.com/p?a=1&b=4") == ((1L, 1L, 4L)))
+    // trailing-slash form merges with the bare form inside one doc
+    assert(out("news.org/item/3") == ((2L, 1L, 5L)))
+    assert(out.size == 3)
+  }
+
   test("gopher rules: crafted pass/fail docs; map-only plan") {
     val good = Array.fill(5)("the quick brown fox jumps over lazy dogs today again").mkString(" ")
     val d = Seq((1L, good), (2L, "hi 1 2 3")).toDF("doc_id", "text")
