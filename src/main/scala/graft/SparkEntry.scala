@@ -126,6 +126,11 @@ object SparkEntry {
     "evt_pareto" -> (Suite.evtPareto _),
     "evt_interarrival" -> (Suite.evtInterarrival _),
     "evt_peak_concurrency" -> (Suite.evtPeakConcurrency _),
+    "evt_churn" -> (Suite.evtChurn _),
+    "rel_rfm" -> (Suite.relRfm _),
+    "dq_referential" -> (Suite.dqReferential _),
+    "text_zipf" -> (Suite.textZipf _),
+    "sim_semdedup" -> (Suite.simSemDedup _),
     // dedup (§2b rows 20-23)
     "dedup_exact" -> (Suite.dedupExact _),
     "dedup_bloom" -> (Suite.dedupBloom _),
@@ -1675,6 +1680,138 @@ object SparkEntry {
         |SELECT digit, n, share, expected,
         |  floor(abs(share - expected) * 10000.0 + 0.5) / 10000.0 AS abs_dev
         |FROM s ORDER BY digit""".stripMargin,
+    // lifecycle classification via each user's own lag/lead over the
+    // distinct activity dimension; churn lands on day+1, bounded by the
+    // observed max day; full-outer day alignment (churn can hit a
+    // zero-activity day)
+    "evt_churn" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, day,
+        |   lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day,
+        |   lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day FROM a),
+        |s AS (SELECT day,
+        |   CAST(sum(CASE WHEN prev_day IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |   CAST(sum(CASE WHEN day - prev_day = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |   CAST(sum(CASE WHEN prev_day IS NOT NULL AND day - prev_day > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS n_resurrected
+        | FROM f GROUP BY day),
+        |m AS (SELECT max(day) AS max_day FROM a),
+        |c AS (SELECT day + 1 AS cday, count(*) AS n_churned FROM f CROSS JOIN m
+        |      WHERE day < max_day AND (next_day IS NULL OR next_day - day > 1) GROUP BY 1)
+        |SELECT strftime(coalesce(s.day, c.cday), '%Y-%m-%d') AS day,
+        |  coalesce(n_new, CAST(0 AS BIGINT)) AS n_new,
+        |  coalesce(n_retained, CAST(0 AS BIGINT)) AS n_retained,
+        |  coalesce(n_resurrected, CAST(0 AS BIGINT)) AS n_resurrected,
+        |  coalesce(n_churned, CAST(0 AS BIGINT)) AS n_churned
+        |FROM s FULL OUTER JOIN c ON s.day = c.cday ORDER BY 1""".stripMargin,
+    // monetary as an exact BIGINT cents sum (per-row portable half-up)
+    // so every ntile ORDER BY is integer + key — quintiles cannot be
+    // flipped by float partial-agg order
+    "rel_rfm" ->
+      """WITH per AS (SELECT o_custkey, max(o_orderdate) AS last_order, count(*) AS n_orders,
+        |    CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |mx AS (SELECT max(o_orderdate) AS global_max FROM orders),
+        |sc AS (SELECT o_custkey, n_orders, cents,
+        |    CAST(date_diff('day', last_order, global_max) AS BIGINT) AS recency_days
+        |  FROM per CROSS JOIN mx),
+        |sco AS (SELECT o_custkey, n_orders, cents, recency_days,
+        |    CAST(ntile(5) OVER (ORDER BY recency_days DESC, o_custkey) AS BIGINT) AS r_score,
+        |    CAST(ntile(5) OVER (ORDER BY n_orders ASC, o_custkey) AS BIGINT) AS f_score,
+        |    CAST(ntile(5) OVER (ORDER BY cents ASC, o_custkey) AS BIGINT) AS m_score
+        |  FROM sc),
+        |seg AS (SELECT CASE
+        |    WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN '1_champion'
+        |    WHEN f_score >= 4 THEN '2_loyal'
+        |    WHEN m_score >= 4 THEN '3_big_spender'
+        |    WHEN r_score <= 2 AND f_score >= 3 THEN '4_at_risk'
+        |    WHEN r_score <= 2 THEN '5_hibernating'
+        |    ELSE '6_other' END AS segment, recency_days, n_orders, cents FROM sco)
+        |SELECT segment, count(*) AS n_customers,
+        |  round(avg(recency_days), 2) AS avg_recency_days,
+        |  round(avg(n_orders), 2) AS avg_orders,
+        |  round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS total_monetary
+        |FROM seg GROUP BY segment ORDER BY segment""".stripMargin,
+    // one LEFT JOIN per relation against the distinct parent keys; the
+    // counts ride the join (no second child scan); NULL fk ≠ orphan
+    "dq_referential" ->
+      """WITH
+        |r1 AS (SELECT 'customer->nation' AS relation, count(*) AS n_child,
+        |   CAST(sum(CASE WHEN p.__pk IS NULL AND c.c_nationkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+        |   CAST(count(DISTINCT CASE WHEN p.__pk IS NULL THEN c.c_nationkey END) AS BIGINT) AS n_missing_keys
+        |  FROM customer c LEFT JOIN (SELECT DISTINCT n_nationkey AS __pk FROM nation) p
+        |    ON c.c_nationkey = p.__pk),
+        |r2 AS (SELECT 'lineitem->orders', count(*),
+        |   CAST(sum(CASE WHEN p.__pk IS NULL AND l.l_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |   CAST(count(DISTINCT CASE WHEN p.__pk IS NULL THEN l.l_orderkey END) AS BIGINT)
+        |  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey AS __pk FROM orders) p
+        |    ON l.l_orderkey = p.__pk),
+        |r3 AS (SELECT 'lineitem->orders_pruned', count(*),
+        |   CAST(sum(CASE WHEN p.__pk IS NULL AND l.l_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |   CAST(count(DISTINCT CASE WHEN p.__pk IS NULL THEN l.l_orderkey END) AS BIGINT)
+        |  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey AS __pk FROM orders
+        |    WHERE o_orderkey % 97 <> 0) p ON l.l_orderkey = p.__pk),
+        |r4 AS (SELECT 'lineitem->part', count(*),
+        |   CAST(sum(CASE WHEN p.__pk IS NULL AND l.l_partkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |   CAST(count(DISTINCT CASE WHEN p.__pk IS NULL THEN l.l_partkey END) AS BIGINT)
+        |  FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey AS __pk FROM part) p
+        |    ON l.l_partkey = p.__pk),
+        |r5 AS (SELECT 'orders->customer', count(*),
+        |   CAST(sum(CASE WHEN p.__pk IS NULL AND o.o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |   CAST(count(DISTINCT CASE WHEN p.__pk IS NULL THEN o.o_custkey END) AS BIGINT)
+        |  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey AS __pk FROM customer) p
+        |    ON o.o_custkey = p.__pk)
+        |SELECT * FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+        |  UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4
+        |  UNION ALL SELECT * FROM r5) ORDER BY relation""".stripMargin,
+    // same tokenizer as text_vocab; top-100 under (n DESC, tok) total
+    // order; moment-sum OLS identical to evt_trend's formula
+    "text_zipf" ->
+      """WITH tok AS (SELECT unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok FROM documents),
+        |tf AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok),
+        |top AS (SELECT tok, n FROM tf ORDER BY n DESC, tok LIMIT 100),
+        |r AS (SELECT log10(CAST(row_number() OVER (ORDER BY n DESC, tok) AS DOUBLE)) AS x,
+        |      log10(CAST(n AS DOUBLE)) AS y FROM top),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_terms, CAST(count(*) AS DOUBLE) AS cnt,
+        |   sum(x) AS sx, sum(y) AS sy,
+        |   sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy FROM r),
+        |fit AS (SELECT n_terms,
+        |   (cnt*sxy - sx*sy) / (cnt*sxx - sx*sx) AS slope,
+        |   cnt, sx, sy, sxx, sxy, syy FROM a)
+        |SELECT n_terms,
+        | round(slope, 4) AS slope,
+        | round((sy - slope*sx) / cnt, 4) AS intercept,
+        | round((cnt*sxy - sx*sy)*(cnt*sxy - sx*sy)
+        |   / ((cnt*sxx - sx*sx)*(cnt*syy - sy*sy)), 4) AS r2
+        |FROM fit""".stripMargin,
+    // deterministic first-8 centroid partition replayed exactly; pairs
+    // only within a cluster; planted copies (vec_id+1000) are the only
+    // pairs over the 0.95 threshold on this near-uniform corpus
+    "sim_semdedup" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |corpus AS (SELECT vec_id, e FROM base
+        |   UNION ALL SELECT vec_id + 1000, e FROM base WHERE vec_id % 25 = 0),
+        |cents AS (SELECT vec_id AS cent_id, e AS ce FROM corpus ORDER BY vec_id LIMIT 8),
+        |sc AS (SELECT c.vec_id, c.e, t.cent_id,
+        |   floor(list_inner_product(c.e, t.ce)
+        |     / (sqrt(list_inner_product(c.e, c.e)) * sqrt(list_inner_product(t.ce, t.ce)))
+        |     * 10000.0 + 0.5) / 10000.0 AS csim
+        |  FROM corpus c CROSS JOIN cents t),
+        |asg AS (SELECT vec_id, e, cent_id AS cluster_id FROM (
+        |   SELECT vec_id, e, cent_id,
+        |     row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn FROM sc)
+        |  WHERE rn = 1),
+        |p AS (SELECT a.cluster_id, b.vec_id AS drop_id, a.vec_id AS keep_id,
+        |   floor(list_inner_product(a.e, b.e)
+        |     / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e)))
+        |     * 10000.0 + 0.5) / 10000.0 AS sim
+        |  FROM asg a JOIN asg b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id)
+        |SELECT cluster_id, drop_id AS dropped_vec, min(keep_id) AS keeper_vec,
+        |  max(sim) AS sim
+        |FROM p WHERE sim >= 0.95 GROUP BY cluster_id, drop_id
+        |ORDER BY cluster_id, dropped_vec""".stripMargin,
     // MMR greedy rounds unrolled; penalty weight written (1.0 - 0.7) to
     // match Spark's lit(1.0 - lam) bit-for-bit
     "sim_mmr" -> mmrSql(10, 20, 5),

@@ -58,4 +58,54 @@ object Basket {
           / 10000.0).as("lift"))
       .orderBy("brand_a", "brand_b")
   }
+
+  /** RFM customer segmentation — the classic retail lifecycle scoring
+    * (Recency / Frequency / Monetary, each quintile-scored 1→5 with 5
+    * best), folded into the named marketing segments a growth team acts
+    * on (champion, loyal, big_spender, at_risk, hibernating). Monetary
+    * sums in INTEGER CENTS (per-row portable half-up, then an exact
+    * BIGINT sum) so the ntile ordering can never be flipped by
+    * floating-point partial-aggregation order — the one place a double
+    * sum would be load-bearing rather than cosmetic.
+    *
+    * Scale shape: one shuffle folds orders to the per-customer RFM
+    * triple (map-side partials); everything after runs on the CUSTOMER
+    * DIMENSION — the three global ntile windows sort |customers| rows,
+    * not order volume (the evt_pareto convention: at extreme customer
+    * cardinality the global window becomes a range-partitioned sort, or
+    * quintile cut-offs come from approx_percentile instead). The
+    * observation anchor (recency measured from the corpus max date) is
+    * a broadcast 1-row aggregate, never a driver collect. Every ntile
+    * ORDER BY is a total order (BIGINT measure, customer-key
+    * tie-break), so quintile membership is engine-independent. */
+  def rfmSegments(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = orders.groupBy("o_custkey").agg(
+      max(col("o_orderdate")).as("last_order"),
+      count(lit(1)).as("n_orders"),
+      sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")).as("cents"))
+    val maxDay = orders.agg(max(col("o_orderdate")).as("global_max"))
+    val scored = per.crossJoin(broadcast(maxDay))
+      .withColumn("recency_days",
+        datediff(col("global_max"), col("last_order")).cast("long"))
+      .withColumn("r_score",
+        ntile(5).over(Window.orderBy(col("recency_days").desc, col("o_custkey"))).cast("long"))
+      .withColumn("f_score",
+        ntile(5).over(Window.orderBy(col("n_orders").asc, col("o_custkey"))).cast("long"))
+      .withColumn("m_score",
+        ntile(5).over(Window.orderBy(col("cents").asc, col("o_custkey"))).cast("long"))
+    val segment = when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4, "1_champion")
+      .when(col("f_score") >= 4, "2_loyal")
+      .when(col("m_score") >= 4, "3_big_spender")
+      .when(col("r_score") <= 2 && col("f_score") >= 3, "4_at_risk")
+      .when(col("r_score") <= 2, "5_hibernating")
+      .otherwise("6_other")
+    scored
+      .groupBy(segment.as("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(avg(col("recency_days")), 2).as("avg_recency_days"),
+        round(avg(col("n_orders")), 2).as("avg_orders"),
+        round(sum(col("cents")).cast("double") / 100.0, 2).as("total_monetary"))
+      .orderBy("segment")
+  }
 }

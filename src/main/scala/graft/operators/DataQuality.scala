@@ -199,4 +199,35 @@ object DataQuality {
       round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_qty_price"),
       round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
       round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"))
+
+  /** Referential-integrity audit — the foreign-key orphan screen every
+    * warehouse load runs ("do all child keys resolve to a parent?"):
+    * for each declared (child, fk) → (parent, pk) relation, the child
+    * row count, the number of orphan rows (non-NULL fk with no parent),
+    * and the number of distinct missing key values. NULL fks follow SQL
+    * FK semantics — a NULL reference is not an orphan.
+    *
+    * Scale shape: each relation costs one scan of the child + one join
+    * against the DISTINCT parent-key projection (dimension parents
+    * broadcast; fact-fact checks shuffle on the key, which is the
+    * theoretical floor for this question). The per-relation output is
+    * ONE row folded from map-side partials — the counts ride the join,
+    * there is no second child scan. Relations union at the end
+    * (|relations| rows total). */
+  def referentialAudit(
+      checks: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    val audits = checks.map { case (name, child, fk, parent, pk) =>
+      val p = parent.select(col(pk).as("__pk")).distinct()
+      child.select(col(fk).as("__ck"))
+        .join(p, col("__ck") === col("__pk"), "left")
+        .agg(
+          count(lit(1)).as("n_child"),
+          sum(when(col("__pk").isNull && col("__ck").isNotNull, 1L).otherwise(0L))
+            .as("n_orphans"),
+          countDistinct(when(col("__pk").isNull, col("__ck"))).as("n_missing_keys"))
+        .select(lit(name).as("relation"), col("n_child"), col("n_orphans"),
+          col("n_missing_keys"))
+    }
+    audits.reduce(_.unionAll(_)).orderBy("relation")
+  }
 }

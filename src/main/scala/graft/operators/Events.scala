@@ -518,4 +518,49 @@ object Events {
         col("n_events"), col("filled_value"))
       .orderBy("user_id", "day")
   }
+
+  /** Daily growth accounting — the standard user-lifecycle ledger every
+    * growth dashboard opens with (new / retained / resurrected on each
+    * day, churned counted on the first day of absence): each active user
+    * classifies by their OWN previous active day (none → new, yesterday
+    * → retained, earlier → resurrected), and a user active on day d with
+    * no activity on d+1 churns INTO d+1. The identity
+    * `dau(d) = new + retained + resurrected` holds by construction,
+    * which the spec asserts.
+    *
+    * Scale shape: ONE shuffle builds the distinct (user, day) activity
+    * dimension (map-side partial distinct folds raw events first);
+    * lag/lead classification reuses that user_id partitioning (one
+    * window sort per user over their active days — |days| ≤ calendar
+    * span, never event volume), and both daily aggregates run on the
+    * dimension table. The observation boundary (nobody churns past the
+    * last observed day) comes from a broadcast 1-row max-day aggregate,
+    * not a driver collect. Churn can land on a day with zero activity,
+    * hence the full-outer day alignment with coalesce(0). */
+  def growthAccounting(events: DataFrame): DataFrame = {
+    val active = events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val flagged = active
+      .withColumn("prev_day", lag("day", 1).over(w))
+      .withColumn("next_day", lead("day", 1).over(w))
+    val states = flagged.groupBy("day").agg(
+      sum(when(col("prev_day").isNull, 1L).otherwise(0L)).as("n_new"),
+      sum(when(datediff(col("day"), col("prev_day")) === 1, 1L).otherwise(0L)).as("n_retained"),
+      sum(when(col("prev_day").isNotNull && datediff(col("day"), col("prev_day")) > 1, 1L)
+        .otherwise(0L)).as("n_resurrected"))
+    val maxDay = active.agg(max(col("day")).as("max_day"))
+    val churn = flagged
+      .crossJoin(broadcast(maxDay))
+      .filter(col("day") < col("max_day") &&
+        (col("next_day").isNull || datediff(col("next_day"), col("day")) > 1))
+      .select(date_add(col("day"), 1).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_churned"))
+    states.join(churn, Seq("day"), "full_outer")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .orderBy("day")
+  }
 }

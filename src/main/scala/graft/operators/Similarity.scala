@@ -544,4 +544,59 @@ object Similarity {
         col("sim"), col("rank").cast("long").as("rank"))
       .orderBy("label", "rank")
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication"):
+    * partition the corpus into clusters, compare pairs ONLY within a
+    * cluster, and drop every vector that has a smaller-id cluster-mate
+    * with cosine ≥ `threshold` (the keeper is that mate with the lowest
+    * id). The point of the cluster stage is exactly the 100 TB story:
+    * pairwise work is Σ|cluster|², never |corpus|² — the paper runs
+    * k-means; here the centroid set is the deterministic first-`k`
+    * corpus vectors so the DuckDB oracle can replay the partition
+    * bit-for-bit (WHICH fixed partition is immaterial to the dedup
+    * semantics, only that pairs sharing a centroid get compared).
+    *
+    * Scale shape: centroids are a bounded broadcast (k rows); the
+    * assignment is one corpus scan (argmax over k sims, row-local via a
+    * k-wide ranked cross join); the assigned table is persisted before
+    * the self-join (the CLAUDE.md self-join lesson) and the pair join is
+    * an equi-join on cluster_id. Sims are 4dp-rounded BEFORE the argmax
+    * and the threshold compare, with centroid-id / vec-id tie-breaks —
+    * quintessentially engine-independent given the bit-identical
+    * sequential-fold dot product. At production k ≈ √N both stages stay
+    * balanced; a hot cluster is handled by raising k (or the LSH path
+    * in [[annTopK]]). */
+  def semDedup(corpus: DataFrame, k: Int = 8, threshold: Double = 0.95): DataFrame = {
+    val cents = withNorm(
+      corpus.orderBy("vec_id").limit(k)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cemb")),
+      "cemb", "cnorm")
+    val c = withNorm(corpus.select(col("vec_id"), col("embedding")), "embedding", "vnorm")
+    val scored = c.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("vnorm"), col("cent_id"),
+        Num.pround(cosinePrenormed(dot(col("embedding"), col("cemb")), col("vnorm"), col("cnorm")), 4)
+          .as("csim"))
+    // argmax centroid: GroupTopK's bounded heaps prune to one candidate
+    // per vector map-side, so the assignment shuffle moves N rows, not k·N
+    val assigned = org.apache.spark.sql.graftext.GroupTopK.topK(
+        scored, Seq("vec_id"), Seq("csim" -> true, "cent_id" -> false), 1)
+      .select(col("cent_id").as("cluster_id"), col("vec_id"), col("embedding"), col("vnorm"))
+      .persist()
+    val a = assigned.select(col("cluster_id"), col("vec_id").as("keep_id"),
+      col("embedding").as("kemb"), col("vnorm").as("knorm"))
+    val b = assigned.select(col("cluster_id"), col("vec_id").as("drop_id"),
+      col("embedding").as("demb"), col("vnorm").as("dnorm"))
+    a.join(b, Seq("cluster_id"))
+      .filter(col("keep_id") < col("drop_id"))
+      .select(col("cluster_id"), col("drop_id"), col("keep_id"),
+        Num.pround(cosinePrenormed(dot(col("kemb"), col("demb")), col("knorm"), col("dnorm")), 4)
+          .as("sim"))
+      .filter(col("sim") >= threshold)
+      .groupBy("cluster_id", "drop_id")
+      .agg(min(col("keep_id")).as("keeper_vec"), max(col("sim")).as("sim"))
+      .select(col("cluster_id"), col("drop_id").as("dropped_vec"),
+        col("keeper_vec"), col("sim"))
+      .orderBy("cluster_id", "dropped_vec")
+  }
 }

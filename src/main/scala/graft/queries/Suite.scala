@@ -1153,6 +1153,45 @@ object Suite {
   def evtPeakConcurrency(s: SparkSession, dir: String): DataFrame =
     Events.peakConcurrency(t(s, dir, "events"))
 
+  /** Daily growth accounting: new / retained / resurrected / churned. */
+  def evtChurn(s: SparkSession, dir: String): DataFrame =
+    Events.growthAccounting(t(s, dir, "events"))
+
+  /** RFM quintile segmentation of customers by order history. */
+  def relRfm(s: SparkSession, dir: String): DataFrame =
+    Basket.rfmSegments(t(s, dir, "orders"))
+
+  /** FK orphan audit over the TPC-H relations, plus one deliberately
+    * broken relation (parents with o_orderkey % 97 == 0 withheld) that
+    * proves the detector actually fires — the clean relations assert
+    * the data, the broken one asserts the operator. */
+  def dqReferential(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val ord = t(s, dir, "orders")
+    DataQuality.referentialAudit(Seq(
+      ("customer->nation", t(s, dir, "customer"), "c_nationkey", t(s, dir, "nation"), "n_nationkey"),
+      ("lineitem->orders", li, "l_orderkey", ord, "o_orderkey"),
+      ("lineitem->orders_pruned", li, "l_orderkey",
+        ord.filter(col("o_orderkey") % 97 =!= 0), "o_orderkey"),
+      ("lineitem->part", li, "l_partkey", t(s, dir, "part"), "p_partkey"),
+      ("orders->customer", ord, "o_custkey", t(s, dir, "customer"), "c_custkey")))
+  }
+
+  /** Zipf rank-frequency OLS fit over the top-100 corpus terms. */
+  def textZipf(s: SparkSession, dir: String): DataFrame =
+    TextOps.zipfFit(t(s, dir, "documents"))
+
+  /** SemDeDup over embeddings with planted exact duplicates (every 25th
+    * vector copied to vec_id+1000): the natural corpus is near-uniform
+    * random (neighbor cosine ≈ 0.37), so the planted copies are exactly
+    * the pairs the threshold should find — and nothing else. */
+  def simSemDedup(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val planted = base.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+    Similarity.semDedup(base.unionAll(planted), k = 8, threshold = 0.95)
+  }
+
   /** Event-volume concentration across top-percentile user tiers. */
   def evtPareto(s: SparkSession, dir: String): DataFrame =
     Events.concentration(t(s, dir, "events"))

@@ -436,4 +436,26 @@ class EventsSpec extends SparkTestBase {
     val u20 = out.filter(_.getLong(0) == 20L)
     assert(u20.length == 1 && u20.head.getLong(2) == 1L && u20.head.getDouble(3) == 1.0)
   }
+
+  test("growth accounting: new/retained/resurrected classify, churn lands on day+1") {
+    // u1: d1,d2,d4 — new d1, retained d2, churned→d3, resurrected d4
+    // u2: d2 only — new d2, churned→d3
+    // u3: d1,d4 — new d1, churned→d2, resurrected d4
+    val ev = Seq(
+      (1L, 1L, "2024-01-01 10:00:00"), (2L, 1L, "2024-01-02 10:00:00"),
+      (3L, 1L, "2024-01-04 10:00:00"), (4L, 2L, "2024-01-02 11:00:00"),
+      (5L, 3L, "2024-01-01 12:00:00"), (6L, 3L, "2024-01-04 12:00:00"))
+      .toDF("event_id", "user_id", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = Events.growthAccounting(ev).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("2024-01-01") == ((2L, 0L, 0L, 0L)))
+    assert(out("2024-01-02") == ((1L, 1L, 0L, 1L)))
+    // a zero-activity day still carries its churn row
+    assert(out("2024-01-03") == ((0L, 0L, 0L, 2L)))
+    // the last observed day can't churn anyone past the horizon
+    assert(out("2024-01-04") == ((0L, 0L, 2L, 0L)))
+    assert(out.size == 4)
+  }
 }

@@ -28,6 +28,25 @@ class FrequentSpec extends SparkTestBase {
     assert(out.toSeq == Seq(("X", "Y", 2L, 1.1111)))
   }
 
+  test("rfm: quintile scores follow the constructed R/F/M ordering into segments") {
+    // cust k (1..5): k orders, each 2k dollars, last order 2024-01-0k →
+    // r = f = m = k exactly (5 customers, one per quintile, all three
+    // orderings aligned). 5:(5,5,5) and 4:(4,4,4) → champion;
+    // 3:(3,3,3) → other; 2 and 1 → hibernating.
+    val rows = for { k <- 1 to 5; _ <- 1 to k }
+      yield (k.toLong, s"2024-01-0$k 00:00:00", 2.0 * k)
+    val orders = rows.toDF("o_custkey", "d_s", "o_totalprice")
+      .withColumn("o_orderdate", to_timestamp(col("d_s"))).drop("d_s")
+    val out = graft.operators.Basket.rfmSegments(orders).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // champions: custs 4,5 → recency (1+0)/2, orders (4+5)/2, 32+50 dollars
+    assert(out("1_champion") == ((2L, 0.5, 4.5, 82.0)))
+    assert(out("6_other") == ((1L, 2.0, 3.0, 18.0)))
+    assert(out("5_hibernating") == ((2L, 3.5, 1.5, 10.0)))
+    assert(out.size == 3)
+  }
+
   test("sketch is exact when cardinality fits the capacity") {
     val stream = Seq.fill(30)("a") ++ Seq.fill(11)("b") ++ Seq.fill(2)("c")
     val (items, debt) = sketch(scala.util.Random.shuffle(stream), capacity = 16)

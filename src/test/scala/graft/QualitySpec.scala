@@ -186,4 +186,18 @@ class QualitySpec extends SparkTestBase {
     assert(e("const") == ((1L, -0.0)) || e("const") == ((1L, 0.0)))
     assert(e("skewed")._1 == 2L && e("skewed")._2 > 0.0 && e("skewed")._2 < 0.1)
   }
+
+  test("referential audit: orphans counted, NULL fk ignored, clean relation clean") {
+    import graft.operators.DataQuality
+    val child = Seq(Some(1L), Some(2L), Some(3L), Some(3L), None)
+      .toDF("fk")
+    val parent = Seq(1L, 2L).toDF("pk")
+    val out = DataQuality.referentialAudit(Seq(
+      ("broken", child, "fk", parent, "pk"),
+      ("clean", child.filter(col("fk") <= 2 || col("fk").isNull), "fk", parent, "pk")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // key 3 orphans twice but is ONE missing key; the NULL fk is neither
+    assert(out("broken") == ((5L, 2L, 1L)))
+    assert(out("clean") == ((3L, 0L, 0L)))
+  }
 }

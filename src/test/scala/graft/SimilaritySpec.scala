@@ -360,4 +360,19 @@ class SimilaritySpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == expect)
   }
+
+  test("semDedup: pairs compare only within a cluster, copies drop to the lowest-id keeper") {
+    // centroids = v0, v1 (first k=2). v2/v3 assign to opposite clusters
+    // (cos .743 vs .669); v4=v2 and v5=v3 are exact copies → the only
+    // pairs over 0.95. v0–v2 at .743 must NOT drop; v2 vs v3 are in
+    // different clusters so their (sub-threshold) pair never even forms.
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(1f, 0.9f, 0f, 0f)), (3L, Array(0.9f, 1f, 0f, 0f)),
+      (4L, Array(1f, 0.9f, 0f, 0f)), (5L, Array(0.9f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(emb, k = 2, threshold = 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((0L, 4L, 2L, 1.0), (1L, 5L, 3L, 1.0)))
+  }
 }

@@ -442,4 +442,21 @@ class TextOpsSpec extends SparkTestBase {
       .collect().map(_.getString(4))
     assert(texts.distinct.length == texts.length) // distinct windows
   }
+
+  test("zipf fit: an exact 1/rank corpus fits slope -1 with r2 = 1") {
+    // counts 12/6/4/3 = 12/rank for ranks 1..4 → log-log is EXACTLY
+    // y = log10(12) - x, so OLS must return slope -1, r2 1, intercept
+    // log10(12) to 4dp — any deviation is an implementation bug
+    val words = Seq.fill(12)("aa") ++ Seq.fill(6)("bb") ++
+      Seq.fill(4)("cc") ++ Seq.fill(3)("dd")
+    val docs = Seq((1L, words.take(13).mkString(" ")),
+      (2L, words.drop(13).mkString(" "))).toDF("doc_id", "text")
+    val r = TextOps.zipfFit(docs).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(0) == 4L)
+    assert(row.getDouble(1) == -1.0)
+    assert(row.getDouble(2) == 1.0792) // log10(12) = 1.07918...
+    assert(row.getDouble(3) == 1.0)
+  }
 }
