@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Canonical table access over the driver-generated parquet testdata.
   * Mirrors kiara's "onboarding" idea (values come from a store, not ad-hoc
@@ -16,13 +16,21 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark only reads with
-    * spark.sql.legacy.parquet.nanosAsLong=true (as raw nanos). Convert to a
-    * µs timestamp here (integer DIV — no double round-trip, which would
-    * lose precision at 1.7e18 ns) so every operator sees TimestampType.
-    * DuckDB's CAST(ts AS TIMESTAMP) truncates ns→µs identically. */
+  /** The driver has generated events.parquet with two encodings across
+    * rounds; accept both so every operator sees plain TimestampType:
+    *  - TIMESTAMP(NANOS), which Spark only reads with
+    *    spark.sql.legacy.parquet.nanosAsLong=true (as raw nanos) —
+    *    convert with integer DIV (no double round-trip, which would lose
+    *    precision at 1.7e18 ns). DuckDB's CAST(ts AS TIMESTAMP)
+    *    truncates ns→µs identically.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark reads as
+    *    TIMESTAMP_NTZ — cast to TimestampType under the UTC session
+    *    timezone (same micros value, so identical instants to DuckDB's
+    *    direct read). */
   def normalizeTs(df: DataFrame): DataFrame =
     if (df.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
       df.withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    else if (df.schema.fields.exists(f => f.name == "ts" && f.dataType == TimestampNTZType))
+      df.withColumn("ts", col("ts").cast(TimestampType))
     else df
 }
