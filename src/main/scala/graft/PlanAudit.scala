@@ -114,7 +114,32 @@ object PlanAudit {
     // unpivot + cube (Expand fan-out map-side, ONE agg shuffle each)
     "evt_dau_mau", "evt_pareto", "evt_interarrival", "evt_peak_concurrency",
     "text_url_canon", "dq_benford", "text_langid_confusion",
-    "q32_unpivot", "q33_cube")
+    "q32_unpivot", "q33_cube",
+    // round 5 cont. #8: churn (distinct (user,day) dimension → ONE
+    // user window + day-sized aggs), rfm (customer-dimension fold;
+    // the ntile windows run over the customer dimension), referential
+    // (one left join per relation, counts ride the join), zipf
+    // (TakeOrderedAndProject top-100 → tiny OLS fold), semdedup
+    // (persisted centroid assignment → within-cluster-only self-join)
+    "evt_churn", "rel_rfm", "dq_referential", "text_zipf", "sim_semdedup",
+    // round 5 cont. #9: skyline (two-phase cummax: bucket-domain prefix
+    // window + bucket-partitioned range windows, NO self-join), item-cf
+    // (basket fold + row-local pair explode + broadcast totals),
+    // seasonality (168-cell fold, moment sums, broadcast stats),
+    // chi2 (grid-domain algebra after ONE corpus fold), equidepth
+    // (distributed exact rank: domain-sized prefix + per-cell windows,
+    // no single-partition sort over the corpus)
+    "rel_skyline", "rel_item_cf", "evt_seasonality", "dq_chi2",
+    "q34_equidepth",
+    // round 5 cont. #10: assoc rules (the coPurchase basket fold +
+    // row-local directed pair explode + broadcast totals), snaive
+    // forecast (day-dimension fold, calendar-sized self-join),
+    // readability (row-local regexp counts → (lang × band) agg),
+    // key-skew diagnostic (one groupBy + TakeOrdered + 1-row scalar
+    // broadcast — no second scan), cluster purity (bounded centroid
+    // broadcast + GroupTopK argmax; domain-sized election)
+    "rel_assoc_rules", "evt_forecast_snaive", "text_readability",
+    "dq_skew", "sim_cluster_purity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -131,6 +131,16 @@ object SparkEntry {
     "dq_referential" -> (Suite.dqReferential _),
     "text_zipf" -> (Suite.textZipf _),
     "sim_semdedup" -> (Suite.simSemDedup _),
+    "rel_skyline" -> (Suite.relSkyline _),
+    "rel_item_cf" -> (Suite.relItemCf _),
+    "evt_seasonality" -> (Suite.evtSeasonality _),
+    "dq_chi2" -> (Suite.dqChi2 _),
+    "q34_equidepth" -> (Relational.q34Equidepth _),
+    "rel_assoc_rules" -> (Suite.relAssocRules _),
+    "evt_forecast_snaive" -> (Suite.evtForecastSnaive _),
+    "text_readability" -> (Suite.textReadability _),
+    "dq_skew" -> (Suite.dqSkew _),
+    "sim_cluster_purity" -> (Suite.simClusterPurity _),
     // dedup (§2b rows 20-23)
     "dedup_exact" -> (Suite.dedupExact _),
     "dedup_bloom" -> (Suite.dedupBloom _),
@@ -1812,6 +1822,175 @@ object SparkEntry {
         |  max(sim) AS sim
         |FROM p WHERE sim >= 0.95 GROUP BY cluster_id, drop_id
         |ORDER BY cluster_id, dropped_vec""".stripMargin,
+    // domination decided on exact integer cents; double-division price
+    // (cents/100.0) is the identical IEEE op in both engines
+    "rel_skyline" ->
+      """WITH p AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+        |    CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) AS cents FROM part)
+        |SELECT a.p_partkey, CAST(a.cents AS DOUBLE) / 100.0 AS price, a.p_size
+        |FROM p a WHERE NOT EXISTS (SELECT 1 FROM p b
+        |  WHERE b.cents <= a.cents AND b.p_size >= a.p_size
+        |    AND (b.cents < a.cents OR b.p_size > a.p_size))
+        |ORDER BY price, a.p_partkey""".stripMargin,
+    // cosine from exact integer counts; rank on the ROUNDED cosine with
+    // a brand tie-break so ordering is engine-independent
+    "rel_item_cf" ->
+      """WITH cb AS (SELECT DISTINCT o.o_custkey AS cust, p.p_brand AS b
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN part p ON p.p_partkey = l.l_partkey),
+        |s AS (SELECT b, count(*) AS n FROM cb GROUP BY b),
+        |cp AS (SELECT x.b AS brand_a, y.b AS brand_b, count(*) AS co
+        |  FROM cb x JOIN cb y ON x.cust = y.cust AND x.b <> y.b GROUP BY 1, 2),
+        |sc AS (SELECT brand_a, brand_b, co,
+        |    floor(CAST(co AS DOUBLE)
+        |      / (sqrt(CAST(sa.n AS DOUBLE)) * sqrt(CAST(sb.n AS DOUBLE)))
+        |      * 10000.0 + 0.5) / 10000.0 AS cosine
+        |  FROM cp JOIN s sa ON sa.b = cp.brand_a JOIN s sb ON sb.b = cp.brand_b),
+        |r AS (SELECT brand_a, brand_b, co, cosine,
+        |    CAST(row_number() OVER (PARTITION BY brand_a
+        |      ORDER BY cosine DESC, brand_b) AS BIGINT) AS rank FROM sc)
+        |SELECT brand_a, brand_b, co, cosine, rank FROM r WHERE rank <= 3
+        |ORDER BY brand_a, rank""".stripMargin,
+    // z from exact integer moment sums (Σn, Σn²) — identical IEEE ops
+    // both engines; dow is Sunday=0 in both (Spark dayofweek − 1)
+    "evt_seasonality" ->
+      """WITH cells AS (SELECT CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS BIGINT) AS dow,
+        |    CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |    CAST(sum(n_events) AS BIGINT) AS s1,
+        |    CAST(sum(n_events * n_events) AS BIGINT) AS s2 FROM cells)
+        |SELECT dow, hr, n_events,
+        |  floor((CAST(n_events AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n_cells AS DOUBLE))
+        |    / sqrt((CAST(s2 AS DOUBLE)
+        |        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n_cells AS DOUBLE))
+        |      / CAST(n_cells AS DOUBLE))
+        |    * 10000.0 + 0.5) / 10000.0 AS z
+        |FROM cells CROSS JOIN st ORDER BY dow, hr""".stripMargin,
+    // expected counts from exact integer marginals; the only float agg
+    // is the 15-cell Σ(o−e)²/e, rounded per the float-aggregate rule
+    "dq_chi2" ->
+      """WITH obs AS (SELECT o_orderpriority AS r, o_orderstatus AS c, count(*) AS o
+        |  FROM orders GROUP BY 1, 2),
+        |rt AS (SELECT r, CAST(sum(o) AS BIGINT) AS rt FROM obs GROUP BY r),
+        |ct AS (SELECT c, CAST(sum(o) AS BIGINT) AS ct FROM obs GROUP BY c),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+        |d AS (SELECT CAST((SELECT count(*) FROM rt) AS BIGINT) AS nr,
+        |      CAST((SELECT count(*) FROM ct) AS BIGINT) AS nc),
+        |grid AS (SELECT rt.r, rt.rt, ct.c, ct.ct,
+        |      coalesce(obs.o, CAST(0 AS BIGINT)) AS o
+        |  FROM rt CROSS JOIN ct LEFT JOIN obs ON obs.r = rt.r AND obs.c = ct.c),
+        |cells AS (SELECT tot.n,
+        |    (CAST(grid.o AS DOUBLE)
+        |      - CAST(grid.rt AS DOUBLE) * CAST(grid.ct AS DOUBLE) / CAST(tot.n AS DOUBLE))
+        |    * (CAST(grid.o AS DOUBLE)
+        |      - CAST(grid.rt AS DOUBLE) * CAST(grid.ct AS DOUBLE) / CAST(tot.n AS DOUBLE))
+        |    / (CAST(grid.rt AS DOUBLE) * CAST(grid.ct AS DOUBLE) / CAST(tot.n AS DOUBLE)) AS x2
+        |  FROM grid CROSS JOIN tot)
+        |SELECT cells.n, (nr - 1) * (nc - 1) AS dof, round(sum(x2), 2) AS chi2,
+        |  round(sqrt(sum(x2) / (CAST(cells.n AS DOUBLE)
+        |    * CAST(least(nr - 1, nc - 1) AS DOUBLE))), 4) AS cramers_v
+        |FROM cells CROSS JOIN d GROUP BY cells.n, nr, nc""".stripMargin,
+    // exact distributed rank replayed as a plain ntile window; min/max
+    // are raw stored doubles, the sum rounds per the float-agg rule
+    "q34_equidepth" ->
+      """WITH r AS (SELECT l_extendedprice AS price,
+        |    ntile(8) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bucket
+        |  FROM lineitem)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_rows,
+        |  min(price) AS lo, max(price) AS hi, round(sum(price), 2) AS total
+        |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // every ratio replays Spark's exact op order ((s/ca)/(cc/no) for
+    // lift) on exact integer counts; conviction NULL for exact rules
+    "rel_assoc_rules" ->
+      """WITH ob AS (SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS b
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+        |no AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders FROM ob),
+        |s AS (SELECT b, count(*) AS cnt FROM ob GROUP BY b),
+        |pr AS (SELECT x.b AS antecedent, y.b AS consequent, count(*) AS support
+        |  FROM ob x JOIN ob y ON x.okey = y.okey AND x.b <> y.b GROUP BY 1, 2
+        |  HAVING count(*) >= 50)
+        |SELECT antecedent, consequent, support,
+        |  floor(CAST(support AS DOUBLE) / CAST(sa.cnt AS DOUBLE) * 10000.0 + 0.5)
+        |    / 10000.0 AS confidence,
+        |  floor((CAST(support AS DOUBLE) / CAST(sa.cnt AS DOUBLE))
+        |    / (CAST(sc.cnt AS DOUBLE) / CAST(no.n_orders AS DOUBLE))
+        |    * 10000.0 + 0.5) / 10000.0 AS lift,
+        |  CASE WHEN support = sa.cnt THEN NULL
+        |    ELSE floor((1.0 - CAST(sc.cnt AS DOUBLE) / CAST(no.n_orders AS DOUBLE))
+        |      / (1.0 - CAST(support AS DOUBLE) / CAST(sa.cnt AS DOUBLE))
+        |      * 10000.0 + 0.5) / 10000.0 END AS conviction
+        |FROM pr JOIN s sa ON sa.b = pr.antecedent
+        |  JOIN s sc ON sc.b = pr.consequent CROSS JOIN no
+        |ORDER BY antecedent, consequent""".stripMargin,
+    // the forecast join is day = day−7 on the daily dimension; errors
+    // are exact integer sums, ratios through the portable floor
+    "evt_forecast_snaive" ->
+      """WITH daily AS (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+        |    count(*) AS n FROM events GROUP BY 1),
+        |j AS (SELECT d.day, d.n, p.n AS n_forecast
+        |  FROM daily d JOIN daily p ON p.day + 7 = d.day)
+        |SELECT CAST(dayofweek(day) AS BIGINT) AS dow, count(*) AS n_days,
+        |  floor(CAST(sum(abs(n - n_forecast)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    * 10000.0 + 0.5) / 10000.0 AS mae,
+        |  floor(CAST(sum(abs(n - n_forecast)) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+        |    * 10000.0 + 0.5) / 10000.0 AS wape
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // integer word/sentence/vowel-run counts → deterministic FRE; bands
+    // cut on the unrounded score, avg rounds per the float-agg rule
+    "text_readability" ->
+      """WITH f AS (SELECT lang,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS BIGINT) AS words,
+        |    greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT),
+        |      CAST(1 AS BIGINT)) AS sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS syllables
+        |  FROM documents),
+        |sc AS (SELECT lang,
+        |    206.835 - 1.015 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+        |      - 84.6 * (CAST(syllables AS DOUBLE) / nullif(CAST(words AS DOUBLE), 0.0)) AS fre
+        |  FROM f),
+        |b AS (SELECT lang, CASE WHEN fre IS NULL THEN '9_empty'
+        |    WHEN fre >= 90.0 THEN '0_very_easy' WHEN fre >= 70.0 THEN '1_easy'
+        |    WHEN fre >= 50.0 THEN '2_medium' WHEN fre >= 30.0 THEN '3_hard'
+        |    ELSE '4_very_hard' END AS band, fre FROM sc)
+        |SELECT lang, band, count(*) AS n_docs, round(avg(fre), 2) AS avg_fre
+        |FROM b GROUP BY lang, band ORDER BY lang, band""".stripMargin,
+    // top-10 keys under the (n_rows DESC, key) total order; share from
+    // the summed total — no second scan in the operator
+    "dq_skew" ->
+      """WITH g AS (SELECT user_id, count(*) AS n_rows FROM events GROUP BY user_id),
+        |t AS (SELECT CAST(sum(n_rows) AS DOUBLE) AS tot FROM g),
+        |top AS (SELECT user_id, n_rows FROM g ORDER BY n_rows DESC, user_id LIMIT 10)
+        |SELECT user_id, n_rows,
+        |  floor(CAST(n_rows AS DOUBLE) / tot * 10000.0 + 0.5) / 10000.0 AS share
+        |FROM top CROSS JOIN t ORDER BY n_rows DESC, user_id""".stripMargin,
+    // the semdedup deterministic first-8 centroid assignment, majority
+    // label per cluster with ties to the smaller label
+    "sim_cluster_purity" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings),
+        |cents AS (SELECT vec_id AS cent_id, e AS ce FROM base ORDER BY vec_id LIMIT 8),
+        |sc AS (SELECT b.vec_id, b.label, t.cent_id,
+        |    floor(list_inner_product(b.e, t.ce)
+        |      / (sqrt(list_inner_product(b.e, b.e)) * sqrt(list_inner_product(t.ce, t.ce)))
+        |      * 10000.0 + 0.5) / 10000.0 AS csim
+        |  FROM base b CROSS JOIN cents t),
+        |asg AS (SELECT vec_id, label, cent_id AS cluster_id FROM (
+        |    SELECT vec_id, label, cent_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+        |    FROM sc) WHERE rn = 1),
+        |bl AS (SELECT cluster_id, label, count(*) AS n_label FROM asg GROUP BY 1, 2),
+        |tp AS (SELECT cluster_id, label AS top_label, n_label AS n_top FROM (
+        |    SELECT cluster_id, label, n_label,
+        |      row_number() OVER (PARTITION BY cluster_id ORDER BY n_label DESC, label) AS rn
+        |    FROM bl) WHERE rn = 1),
+        |tot AS (SELECT cluster_id, CAST(sum(n_label) AS BIGINT) AS n_vecs
+        |  FROM bl GROUP BY 1)
+        |SELECT tot.cluster_id, tot.n_vecs, CAST(tp.top_label AS BIGINT) AS top_label, tp.n_top,
+        |  floor(CAST(tp.n_top AS DOUBLE) / CAST(tot.n_vecs AS DOUBLE) * 10000.0 + 0.5)
+        |    / 10000.0 AS purity
+        |FROM tot JOIN tp ON tot.cluster_id = tp.cluster_id
+        |ORDER BY tot.cluster_id""".stripMargin,
     // MMR greedy rounds unrolled; penalty weight written (1.0 - 0.7) to
     // match Spark's lit(1.0 - lam) bit-for-bit
     "sim_mmr" -> mmrSql(10, 20, 5),

@@ -108,4 +108,136 @@ object Basket {
         round(sum(col("cents")).cast("double") / 100.0, 2).as("total_monetary"))
       .orderBy("segment")
   }
+
+  /** Directional association rules X→Y over order baskets: support,
+    * confidence co/nₓ, lift, and conviction (1−P(Y))/(1−conf) — the
+    * full Apriori-style rule readout `coPurchase`'s symmetric lift
+    * summarizes. Conviction is NULL for exact rules (conf = 1), where
+    * it is unbounded.
+    *
+    * Scale design: shares `coPurchase`'s shape — ONE basket-key shuffle
+    * folds baskets to distinct attribute sets, DIRECTED pairs generate
+    * row-locally from the bounded set, per-attribute totals broadcast.
+    * All ratios derive from exact integer counts (identical IEEE ops
+    * both engines), emitted through the portable floor-round. */
+  def assocRules(lineitem: DataFrame, part: DataFrame, minSupport: Long = 50): DataFrame = {
+    val baskets = lineitem.select(col("l_orderkey").as("okey"), col("l_partkey"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("okey").agg(collect_set(col("p_brand")).as("brands"))
+      .persist() // three consumers: totals + both explode passes
+    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+    val singles = baskets.select(explode(col("brands")).as("brand"))
+      .groupBy("brand").agg(count(lit(1)).as("cnt"))
+    val pairs = baskets
+      .select(explode(col("brands")).as("antecedent"), col("brands"))
+      .select(col("antecedent"), explode(col("brands")).as("consequent"))
+      .filter(col("antecedent") =!= col("consequent"))
+      .groupBy("antecedent", "consequent")
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    val conf = col("support").cast("double") / col("cnt_a").cast("double")
+    val pY = col("cnt_c").cast("double") / col("n_orders").cast("double")
+    pairs
+      .join(broadcast(singles.select(col("brand").as("antecedent"), col("cnt").as("cnt_a"))),
+        Seq("antecedent"))
+      .join(broadcast(singles.select(col("brand").as("consequent"), col("cnt").as("cnt_c"))),
+        Seq("consequent"))
+      .crossJoin(broadcast(nOrders)) // bounded: 1 row
+      .select(col("antecedent"), col("consequent"), col("support"),
+        Num.pround(conf, 4).as("confidence"),
+        Num.pround(conf / pY, 4).as("lift"),
+        when(col("support") === col("cnt_a"), lit(null).cast("double"))
+          .otherwise(Num.pround((lit(1.0) - pY) / (lit(1.0) - conf), 4)).as("conviction"))
+      .orderBy("antecedent", "consequent")
+  }
+
+  /** 2-D Pareto frontier (skyline): the parts no other part dominates —
+    * dominated means some part is cheaper-or-equal AND larger-or-equal
+    * with at least one strict. The classic "best tradeoff set" query
+    * (price vs capacity). kiara analogue: tabular query modules
+    * (kiara_plugin/tabular QueryTableSQL) — skyline is the canonical
+    * multi-criteria filter a user would push there.
+    *
+    * Scale design: NO self-join and NO single global sort. Prices are
+    * bucketed into a domain-sized coarse grid ($100 cells); phase 1
+    * folds the corpus to per-bucket max sizes (map-side partial, one
+    * tiny shuffle), whose prefix-max window runs over the bucket table
+    * (domain-sized, not corpus-sized). Phase 2 joins the broadcast
+    * prefix back and resolves domination WITHIN a bucket by a
+    * bucket-partitioned range-frame cummax — every window partition is
+    * one price cell, never the whole table. Price compares in exact
+    * integer cents (floor(x·100+0.5), the portable per-row round), so
+    * domination is integer algebra with no float-equality hazard. */
+  def skyline(part: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = part.select(col("p_partkey"),
+        col("p_size").cast("long").as("p_size"),
+        floor(col("p_retailprice") * 100.0 + 0.5).cast("long").as("cents"))
+      .withColumn("bkt", expr("cents DIV 10000"))
+    val bktMax = p.groupBy("bkt").agg(max("p_size").as("bmax"))
+    // prefix max over strictly-cheaper buckets: window over the
+    // bucket-domain-sized table only
+    val wPrefix = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = bktMax.select(col("bkt"),
+      max(col("bmax")).over(wPrefix).as("prefix_max"))
+    // within-bucket: strictly-cheaper rows via a RANGE frame on exact
+    // cents; same-price-strictly-larger via the (bkt, cents) partition
+    val wCheaper = Window.partitionBy("bkt").orderBy(col("cents"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wSamePrice = Window.partitionBy("bkt", "cents")
+    p.join(broadcast(prefix), Seq("bkt"))
+      .withColumn("cheaper_max", greatest(
+        coalesce(max(col("p_size")).over(wCheaper), lit(-1L)),
+        coalesce(col("prefix_max"), lit(-1L))))
+      .withColumn("same_price_max", max(col("p_size")).over(wSamePrice))
+      .filter(!(col("cheaper_max") >= col("p_size") ||
+        col("same_price_max") > col("p_size")))
+      .select(col("p_partkey"),
+        (col("cents").cast("double") / 100.0).as("price"), col("p_size"))
+      .orderBy("price", "p_partkey")
+  }
+
+  /** Item-item collaborative filtering ("users who bought X also
+    * bought Y", ranked): cosine similarity between brands over the
+    * binary customer–brand purchase matrix, top-k partners per brand.
+    * The neighborhood model every recommender starts from.
+    *
+    * Scale design: the only corpus-sized shuffles are the fact-to-fact
+    * l_orderkey join (to resolve the customer) and ONE groupBy that
+    * folds each customer to their distinct brand set (attribute domain
+    * caps set size). Pairs are then generated ROW-LOCALLY by a double
+    * explode of that bounded set — output Σ basket², never a self-join
+    * of the item stream — and the per-brand totals broadcast
+    * (domain-sized). Cosine co/√(nₐ·n_b) is exact-integer-derived IEEE
+    * (identical in both engines); ranking orders by the ROUNDED cosine
+    * with a brand tie-break so rank is engine-independent. */
+  def itemCf(lineitem: DataFrame, orders: DataFrame, part: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cb = lineitem.select(col("l_orderkey"), col("l_partkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("o_custkey").agg(collect_set(col("p_brand")).as("brands"))
+      .persist() // three consumers: singles + both explode passes
+    val singles = cb.select(explode(col("brands")).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("n"))
+    val pairs = cb
+      .select(explode(col("brands")).as("brand_a"), col("brands"))
+      .select(col("brand_a"), explode(col("brands")).as("brand_b"))
+      .filter(col("brand_a") =!= col("brand_b"))
+      .groupBy("brand_a", "brand_b").agg(count(lit(1)).as("co"))
+    val scored = pairs
+      .join(broadcast(singles.select(col("b").as("brand_a"), col("n").as("n_a"))), Seq("brand_a"))
+      .join(broadcast(singles.select(col("b").as("brand_b"), col("n").as("n_b"))), Seq("brand_b"))
+      .select(col("brand_a"), col("brand_b"), col("co"),
+        Num.pround(col("co").cast("double")
+          / (sqrt(col("n_a").cast("double")) * sqrt(col("n_b").cast("double"))), 4)
+          .as("cosine"))
+    val w = Window.partitionBy("brand_a").orderBy(col("cosine").desc, col("brand_b"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("brand_a", "rank")
+  }
 }

@@ -230,4 +230,44 @@ object DataQuality {
     }
     audits.reduce(_.unionAll(_)).orderBy("relation")
   }
+
+  /** Chi-square test of independence between two categorical columns —
+    * the standard "are these dimensions correlated?" audit (segment ×
+    * status, source × language). Emits the statistic, degrees of
+    * freedom, and Cramér's V effect size in one row.
+    *
+    * Scale design: ONE shuffle folds the corpus to the |A|×|B|
+    * contingency grid (map-side partials); marginals, the grand total,
+    * and the expected-count algebra all run over that domain-sized grid
+    * with broadcast joins — nothing corpus-sized after the first fold.
+    * Expected counts derive from exact integer marginals, so the only
+    * float work is the final per-cell (o−e)²/e and its tiny sum
+    * (round(,2/,4) per the float-aggregate oracle rule). */
+  def chi2Independence(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val obs = df.groupBy(col(colA).as("r"), col(colB).as("c"))
+      .agg(count(lit(1)).as("o"))
+      .persist() // four consumers: marginals ×2, total, cell join
+    val rowT = obs.groupBy("r").agg(sum("o").as("rt"))
+    val colT = obs.groupBy("c").agg(sum("o").as("ct"))
+    val tot = obs.agg(sum("o").as("n"))
+    val nR = rowT.agg(count(lit(1)).as("nr"))
+    val nC = colT.agg(count(lit(1)).as("nc"))
+    val e = col("rt").cast("double") * col("ct").cast("double") / col("n").cast("double")
+    // the FULL marginal grid, not just observed combos: an empty cell
+    // still contributes (0−e)²/e to the statistic (grid is |A|×|B| —
+    // domain-sized, so the cross join is bounded)
+    val cells = rowT.crossJoin(colT)
+      .join(obs, Seq("r", "c"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(tot)) // bounded: 1 row
+      .select(col("n"),
+        ((col("o").cast("double") - e) * (col("o").cast("double") - e) / e).as("x2"))
+    cells.groupBy("n").agg(sum("x2").as("chi2"))
+      .crossJoin(broadcast(nR)).crossJoin(broadcast(nC)) // bounded: 1 row each
+      .select(col("n"),
+        ((col("nr") - 1) * (col("nc") - 1)).cast("long").as("dof"),
+        round(col("chi2"), 2).as("chi2"),
+        round(sqrt(col("chi2") / (col("n").cast("double")
+          * least(col("nr") - 1, col("nc") - 1).cast("double"))), 4).as("cramers_v"))
+  }
 }

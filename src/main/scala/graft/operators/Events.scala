@@ -563,4 +563,72 @@ object Events {
         coalesce(col("n_churned"), lit(0L)).as("n_churned"))
       .orderBy("day")
   }
+
+  /** Seasonal-naive forecast backtest: predict each day's event volume
+    * with the same weekday one week earlier, then score per-weekday MAE
+    * and MAPE — the baseline every real forecasting pipeline must beat
+    * (and the cheapest way to monitor "is this week's traffic shaped
+    * like last week's?").
+    *
+    * Scale design: ONE shuffle folds the corpus to the per-day
+    * dimension; the forecast join is a self-equi-join of that tiny
+    * daily table on day−7 (calendar-sized, never event-volume);
+    * per-dow aggregation runs over the joined dimension. Errors are
+    * exact integer differences; only the final ratios are floats
+    * (portable floor-round). Days with no 7-days-earlier observation
+    * drop out (inner join) — a backtest only scores where the
+    * predictor is defined. */
+  def forecastSnaive(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(to_date(col("ts")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n"))
+      .persist() // both join sides
+    val prior = daily.select(col("day").as("pday"), col("n").as("n_forecast"))
+    daily
+      .join(prior, date_add(col("pday"), 7) === col("day"))
+      .select((dayofweek(col("day")) - 1).cast("long").as("dow"),
+        col("n"), col("n_forecast"))
+      .groupBy("dow")
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("n") - col("n_forecast"))).as("abs_err_total"),
+        sum(col("n")).as("actual_total"))
+      .select(col("dow"), col("n_days"),
+        Num.pround(col("abs_err_total").cast("double") / col("n_days").cast("double"), 4)
+          .as("mae"),
+        Num.pround(col("abs_err_total").cast("double") / col("actual_total").cast("double"), 4)
+          .as("wape"))
+      .orderBy("dow")
+  }
+
+  /** Seasonality heatmap: activity by (day-of-week × hour-of-day) cell
+    * with a z-score against the all-cell mean — the weekly-rhythm
+    * profile behind load forecasting and anomaly baselining.
+    *
+    * Scale design: ONE shuffle folds the corpus to the 168-cell grid
+    * (map-side partials do the heavy lifting); mean/stddev derive from
+    * exact integer moment sums (Σn, Σn²) over that tiny grid — NOT a
+    * float stddev aggregate, so the z formula evaluates the same IEEE
+    * ops on the same exact integers in both engines (the evt_trend
+    * moment-sum precedent). Σn² stays in BIGINT, which holds to ~3e9
+    * events per cell; past that swap the moment to decimal(38,0).
+    * dow is Sunday=0 (Spark dayofweek−1 ≡ DuckDB dayofweek). */
+  def seasonality(events: DataFrame): DataFrame = {
+    val cells = events.select(
+        (dayofweek(col("ts")) - 1).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hr"))
+      .groupBy("dow", "hr").agg(count(lit(1)).as("n_events"))
+      .persist() // two consumers: the moment fold + the z projection
+    val stats = cells.agg(
+      count(lit(1)).as("n_cells"),
+      sum(col("n_events")).as("s1"),
+      sum(col("n_events") * col("n_events")).as("s2"))
+    val mean = col("s1").cast("double") / col("n_cells").cast("double")
+    val variance = (col("s2").cast("double")
+      - col("s1").cast("double") * col("s1").cast("double") / col("n_cells").cast("double")) /
+      col("n_cells").cast("double")
+    cells.crossJoin(broadcast(stats)) // bounded: 1 row
+      .select(col("dow"), col("hr"), col("n_events"),
+        Num.pround((col("n_events").cast("double") - mean) / sqrt(variance), 4).as("z"))
+      .orderBy("dow", "hr")
+  }
 }

@@ -599,4 +599,46 @@ object Similarity {
         col("keeper_vec"), col("sim"))
       .orderBy("cluster_id", "dropped_vec")
   }
+
+  /** Cluster label purity: assign every vector to its nearest of the
+    * first-k deterministic centroids (the semDedup partition) and score
+    * each cluster by its majority label's share — the standard external
+    * quality metric for an embedding clustering against ground-truth
+    * labels (and the fastest smell test for "do these embeddings
+    * separate the classes at all?").
+    *
+    * Scale design: the same bounded-broadcast assignment as semDedup
+    * (GroupTopK prunes the argmax map-side: N rows shuffle, not k·N);
+    * everything after is (cluster × label)-domain-sized. Majority ties
+    * break to the smaller label, so the election is engine-independent;
+    * purity is a ratio of exact integers through the portable floor. */
+  def clusterPurity(corpus: DataFrame, k: Int = 8): DataFrame = {
+    val cents = withNorm(
+      corpus.orderBy("vec_id").limit(k)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cemb")),
+      "cemb", "cnorm")
+    val c = withNorm(corpus.select(col("vec_id"), col("embedding"), col("label")),
+      "embedding", "vnorm")
+    val scored = c.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("cent_id"),
+        Num.pround(cosinePrenormed(dot(col("embedding"), col("cemb")), col("vnorm"), col("cnorm")), 4)
+          .as("csim"))
+    val assigned = org.apache.spark.sql.graftext.GroupTopK.topK(
+        scored, Seq("vec_id"), Seq("csim" -> true, "cent_id" -> false), 1)
+      .select(col("cent_id").as("cluster_id"), col("vec_id"), col("label"))
+    val byLabel = assigned.groupBy("cluster_id", "label")
+      .agg(count(lit(1)).as("n_label"))
+    // majority election over the (cluster × label)-domain table; ties
+    // break to the smaller label
+    val top = org.apache.spark.sql.graftext.GroupTopK.topK(
+        byLabel, Seq("cluster_id"), Seq("n_label" -> true, "label" -> false), 1)
+      .select(col("cluster_id"), col("label").as("top_label"), col("n_label").as("n_top"))
+    byLabel.groupBy("cluster_id").agg(sum(col("n_label")).as("n_vecs"))
+      .join(top, Seq("cluster_id"))
+      // label is int32 in the source; emit long per the oracle-parity rule
+      .select(col("cluster_id"), col("n_vecs"), col("top_label").cast("long").as("top_label"),
+        col("n_top"),
+        Num.pround(col("n_top").cast("double") / col("n_vecs").cast("double"), 4).as("purity"))
+      .orderBy("cluster_id")
+  }
 }

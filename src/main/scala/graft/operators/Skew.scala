@@ -42,7 +42,7 @@ object Skew {
     grouped
       .orderBy(col("n_rows").desc, col(key)).limit(topK)
       .crossJoin(broadcast(total)) // bounded: exactly one scalar row
-      .withColumn("share", round(col("n_rows") / col("__total"), 4))
+      .withColumn("share", Num.pround(col("n_rows") / col("__total"), 4))
       .drop("__total")
       .orderBy(col("n_rows").desc, col(key))
   }

@@ -877,4 +877,34 @@ object TextOps {
         round((col("sy") - slope * col("sx")) / n, 4).as("intercept"),
         round(cov * cov / (varX * varY), 4).as("r2"))
   }
+
+  /** Flesch-reading-ease readability banding per language — the classic
+    * document-difficulty feature for curriculum ordering and quality
+    * filtering. Syllables approximate as vowel-group runs ([aeiouy]+,
+    * the standard heuristic), sentences as terminal-punctuation runs
+    * (min 1 so headline-style fragments stay defined).
+    *
+    * Scale design: every per-doc ingredient (words, sentences, vowel
+    * groups) is a row-local codegen'd regexp count — exact integers —
+    * so the FRE formula is deterministic IEEE both engines and banding
+    * happens map-side on the UNROUNDED score; the only shuffle is the
+    * final (lang × band)-domain aggregate. */
+  def readability(docs: DataFrame): DataFrame = {
+    val txt = col("text")
+    val words = size(tokens(txt)).cast("long")
+    val sentences = greatest(regexp_count(txt, lit("[.!?]+")).cast("long"), lit(1L))
+    val syllables = regexp_count(lower(txt), lit("[aeiouy]+")).cast("long")
+    val wordsNz = nullif(words.cast("double"), lit(0.0))
+    val fre = lit(206.835) -
+      lit(1.015) * (words.cast("double") / sentences.cast("double")) -
+      lit(84.6) * (syllables.cast("double") / wordsNz)
+    val band = when(fre.isNull, "9_empty")
+      .when(fre >= 90.0, "0_very_easy").when(fre >= 70.0, "1_easy")
+      .when(fre >= 50.0, "2_medium").when(fre >= 30.0, "3_hard")
+      .otherwise("4_very_hard")
+    docs.select(col("lang"), band.as("band"), fre.as("fre"))
+      .groupBy("lang", "band")
+      .agg(count(lit(1)).as("n_docs"), round(avg(col("fre")), 2).as("avg_fre"))
+      .orderBy("lang", "band")
+  }
 }

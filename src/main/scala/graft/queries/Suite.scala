@@ -1161,6 +1161,37 @@ object Suite {
   def relRfm(s: SparkSession, dir: String): DataFrame =
     Basket.rfmSegments(t(s, dir, "orders"))
 
+  def relSkyline(s: SparkSession, dir: String): DataFrame =
+    Basket.skyline(t(s, dir, "part"))
+
+  def relItemCf(s: SparkSession, dir: String): DataFrame =
+    Basket.itemCf(t(s, dir, "lineitem"), t(s, dir, "orders"), t(s, dir, "part"))
+
+  def evtSeasonality(s: SparkSession, dir: String): DataFrame =
+    Events.seasonality(t(s, dir, "events"))
+
+  /** Independence of order priority × order status — on the synthetic
+    * uniform generator the two are independent, so chi2 lands near dof
+    * and Cramér's V near 0; the algebra (marginals, expected counts,
+    * effect size) is what the oracle locks down. */
+  def dqChi2(s: SparkSession, dir: String): DataFrame =
+    DataQuality.chi2Independence(t(s, dir, "orders"), "o_orderpriority", "o_orderstatus")
+
+  def relAssocRules(s: SparkSession, dir: String): DataFrame =
+    Basket.assocRules(t(s, dir, "lineitem"), t(s, dir, "part"))
+
+  def evtForecastSnaive(s: SparkSession, dir: String): DataFrame =
+    Events.forecastSnaive(t(s, dir, "events"))
+
+  def textReadability(s: SparkSession, dir: String): DataFrame =
+    TextOps.readability(t(s, dir, "documents"))
+
+  def dqSkew(s: SparkSession, dir: String): DataFrame =
+    Skew.keySkew(t(s, dir, "events"), "user_id", 10)
+
+  def simClusterPurity(s: SparkSession, dir: String): DataFrame =
+    Similarity.clusterPurity(t(s, dir, "embeddings"))
+
   /** FK orphan audit over the TPC-H relations, plus one deliberately
     * broken relation (parents with o_orderkey % 97 == 0 withheld) that
     * proves the detector actually fires — the clean relations assert

@@ -458,4 +458,30 @@ class EventsSpec extends SparkTestBase {
     assert(out("2024-01-04") == ((0L, 0L, 2L, 0L)))
     assert(out.size == 4)
   }
+
+  test("forecastSnaive: week-back predictor scores only where defined, exact per-dow errors") {
+    // days 2024-01-01..01-10 with k events on day k → only days 8,9,10
+    // have a −7 observation: |8−1|=|9−2|=|10−3|=7. Jan 8 is a Monday →
+    // dow 1,2,3; wape = 7/8, 7/9, 7/10
+    val rows = for { d <- 1 to 10; k <- 1 to d }
+      yield (f"2024-01-$d%02d 12:00:00", k)
+    val ev = rows.toDF("ts_s", "k")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s", "k")
+    val out = Events.forecastSnaive(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 7.0, 0.875), (2L, 1L, 7.0, 0.7778), (3L, 1L, 7.0, 0.7)))
+  }
+
+  test("seasonality: planted two-cell grid gives analytic z-scores; dow is Sunday=0") {
+    // 2024-01-07 is a Sunday: cells (0,0)×3 and (0,1)×1 →
+    // mean 2, σ² = ((9+1) − 16/2)/2 = 1 → z = ±1.0 exactly
+    val ev = Seq(
+      "2024-01-07 00:10:00", "2024-01-07 00:20:00",
+      "2024-01-07 00:30:00", "2024-01-07 01:00:00")
+      .toDF("ts_s").withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = Events.seasonality(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(out == Seq((0L, 0L, 3L, 1.0), (0L, 1L, 1L, -1.0)))
+  }
 }

@@ -87,4 +87,73 @@ class FrequentSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("guarantee not met"))
   }
+
+  test("assocRules: directional confidence/lift/conviction replay the hand computation") {
+    // baskets o1:{X,Y}, o2:{X,Y}, o3:{X}, o4:{Y}, o5:{Z} (coPurchase's
+    // fixture): X→Y support 2, conf 2/3, P(Y) 3/5 → lift 10/9 = 1.1111,
+    // conviction (1−0.6)/(1−2/3) = 1.2 — and symmetrically for Y→X
+    val li = Seq((1L, 1L), (1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L),
+      (3L, 1L), (4L, 2L), (5L, 3L)).toDF("l_orderkey", "l_partkey")
+    val part = Seq((1L, "X"), (2L, "Y"), (3L, "Z")).toDF("p_partkey", "p_brand")
+    val out = graft.operators.Basket.assocRules(li, part, minSupport = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      ("X", "Y", 2L, 0.6667, 1.1111, 1.2),
+      ("Y", "X", 2L, 0.6667, 1.1111, 1.2)))
+  }
+
+  test("assocRules: an exact rule (conf = 1) reports NULL conviction") {
+    val li = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L)).toDF("l_orderkey", "l_partkey")
+    val part = Seq((1L, "X"), (2L, "Y")).toDF("p_partkey", "p_brand")
+    val out = graft.operators.Basket.assocRules(li, part, minSupport = 1).collect()
+    assert(out.length == 2 && out.forall(r => r.getDouble(3) == 1.0 && r.isNullAt(5)))
+  }
+
+  test("skyline: planted domination cases resolve across and within price buckets") {
+    // cents: 1:(10,500) 2:(20,500) 3:(20,400) 4:(30,600) 5:(30,600)
+    //        6:(5,300) 7:(4,350) | bucket 1: 8:(50,12000) 9:(25,13000)
+    // 1 ← dominated by 2 (same price, larger); 2 ← by 3 (cheaper, equal
+    // size); 7 ← by 6; 9 ← by 4 ACROSS the bucket boundary (prefix-max
+    // path); 4 and 5 are exact duplicates — strict domination keeps both.
+    val parts = Seq(
+      (1L, 10, 5.00), (2L, 20, 5.00), (3L, 20, 4.00),
+      (4L, 30, 6.00), (5L, 30, 6.00), (6L, 5, 3.00), (7L, 4, 3.50),
+      (8L, 50, 120.00), (9L, 25, 130.00)
+    ).toDF("p_partkey", "p_size", "p_retailprice")
+    val out = graft.operators.Basket.skyline(parts).collect().map(_.getLong(0)).toSet
+    assert(out == Set(3L, 4L, 5L, 6L, 8L))
+  }
+
+  test("itemCf: cosine neighbors replay the hand-computed matrix; repeat purchases collapse") {
+    // customers c1:{X,Y} (Y twice via o5), c2:{X,Y}, c3:{X}, c4:{Y,Z}
+    // n(X)=3 n(Y)=3 n(Z)=1; co(X,Y)=2, co(Y,Z)=1
+    val orders = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L), (5L, 1L))
+      .toDF("o_orderkey", "o_custkey")
+    val li = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L),
+      (4L, 3L), (4L, 2L), (5L, 2L)).toDF("l_orderkey", "l_partkey")
+    val part = Seq((1L, "X"), (2L, "Y"), (3L, "Z")).toDF("p_partkey", "p_brand")
+    val out = graft.operators.Basket.itemCf(li, orders, part, k = 3).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    // cos(X,Y) = 2/3 → 0.6667; cos(Y,Z) = 1/√3 → 0.5774
+    assert(out.toSeq == Seq(
+      ("X", "Y", 2L, 0.6667, 1L),
+      ("Y", "X", 2L, 0.6667, 1L), ("Y", "Z", 1L, 0.5774, 2L),
+      ("Z", "Y", 1L, 0.5774, 1L)))
+  }
+
+  test("equidepth: tiles are exact NTILE groups — sizes within 1, cover the table, ordered bounds") {
+    val out = graft.queries.Relational.q34Equidepth(spark, sfDir).collect()
+    assert(out.map(_.getLong(0)).toSeq == (1L to 8L))
+    val sizes = out.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1)
+    val total = graft.Tables.t(spark, sfDir, "lineitem").count()
+    assert(sizes.sum == total)
+    // equal-row NTILE means earlier tiles are the bigger ones
+    assert(sizes.sameElements(sizes.sortBy(-_)))
+    // value ranges are non-overlapping and ascending (ties may touch)
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(3) <= b.getDouble(2), s"tile ${a.getLong(0)} hi > next lo")
+    }
+  }
 }

@@ -200,4 +200,18 @@ class QualitySpec extends SparkTestBase {
     assert(out("broken") == ((5L, 2L, 1L)))
     assert(out("clean") == ((3L, 0L, 0L)))
   }
+
+  test("chi2: exact independence gives 0; a diagonal table gives chi2 = n, V = 1") {
+    import graft.operators.DataQuality
+    // proportional cells → expected == observed → chi2 0, V 0
+    val indep = (Seq.fill(10)(("r1", "c1")) ++ Seq.fill(20)(("r1", "c2")) ++
+      Seq.fill(20)(("r2", "c1")) ++ Seq.fill(40)(("r2", "c2"))).toDF("a", "b")
+    val i = DataQuality.chi2Independence(indep, "a", "b").head()
+    assert((i.getLong(0), i.getLong(1), i.getDouble(2), i.getDouble(3)) == ((90L, 1L, 0.0, 0.0)))
+    // perfect diagonal association: the EMPTY off-diagonal cells carry
+    // half the statistic — chi2 = n exactly, Cramér's V = 1
+    val diag = (Seq.fill(10)(("r1", "c1")) ++ Seq.fill(10)(("r2", "c2"))).toDF("a", "b")
+    val d = DataQuality.chi2Independence(diag, "a", "b").head()
+    assert((d.getLong(0), d.getLong(1), d.getDouble(2), d.getDouble(3)) == ((20L, 1L, 20.0, 1.0)))
+  }
 }

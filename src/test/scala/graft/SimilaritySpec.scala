@@ -375,4 +375,17 @@ class SimilaritySpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(out.toSeq == Seq((0L, 4L, 2L, 1.0), (1L, 5L, 3L, 1.0)))
   }
+
+  test("clusterPurity: majority share per centroid cluster, ties elect the smaller label") {
+    // centroids = v0 (x-axis), v1 (y-axis). v2 (label 0) joins cluster 0;
+    // v3 (label 0) joins cluster 1 → cluster 0 is pure {0,0}, cluster 1
+    // ties {1:1, 0:1} → top_label 0 (smaller), purity 0.5
+    val emb = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(0f, 1f), 1),
+      (2L, Array(0.9f, 0.1f), 0), (3L, Array(0.1f, 0.9f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.clusterPurity(emb, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq((0L, 2L, 0L, 2L, 1.0), (1L, 2L, 0L, 1L, 0.5)))
+  }
 }

@@ -459,4 +459,17 @@ class TextOpsSpec extends SparkTestBase {
     assert(row.getDouble(2) == 1.0792) // log10(12) = 1.07918...
     assert(row.getDouble(3) == 1.0)
   }
+
+  test("readability: analytic FRE bands — easy prose, hard run-on, empty doc") {
+    // "The cat sat." → w=3 s=1 syl=3: 206.835 − 3.045 − 84.6 = 119.19 →
+    // very_easy. Doc 2: one sentence, 4 words, 10 vowel groups →
+    // 206.835 − 4.06 − 211.5 < 30 → very_hard. Doc 3 empty → 9_empty.
+    val docs = Seq(
+      (1L, "The cat sat.", "en"),
+      (2L, "Aorta ovation equation idea.", "en"),
+      (3L, "", "de")).toDF("doc_id", "text", "lang")
+    val out = TextOps.readability(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq(("de", "9_empty", 1L), ("en", "0_very_easy", 1L), ("en", "4_very_hard", 1L)))
+  }
 }
