@@ -139,7 +139,16 @@ object PlanAudit {
     // broadcast — no second scan), cluster purity (bounded centroid
     // broadcast + GroupTopK argmax; domain-sized election)
     "rel_assoc_rules", "evt_forecast_snaive", "text_readability",
-    "dq_skew", "sim_cluster_purity")
+    "dq_skew", "sim_cluster_purity",
+    // round 5 cont. #11: l-diversity (one quasi-tuple groupBy carrying
+    // class size + distinct-sensitive count), frequent triples (basket
+    // fold + row-local triple explode, domain-capped), dedup
+    // downweighting (one fingerprint groupBy + row-local md5-digit
+    // verdict + cluster-size-domain readout)
+    "dq_ldiversity", "rel_triples", "mix_dedup_weight",
+    // HLL rolling distinct (one day-sized sketch fold; the union window
+    // runs over the calendar-sized daily table)
+    "evt_rolling_distinct_hll")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -141,6 +141,10 @@ object SparkEntry {
     "text_readability" -> (Suite.textReadability _),
     "dq_skew" -> (Suite.dqSkew _),
     "sim_cluster_purity" -> (Suite.simClusterPurity _),
+    "dq_ldiversity" -> (Suite.dqLdiversity _),
+    "rel_triples" -> (Suite.relTriples _),
+    "mix_dedup_weight" -> (Suite.mixDedupWeight _),
+    "evt_rolling_distinct_hll" -> (Suite.evtRollingDistinctHll _),
     // dedup (§2b rows 20-23)
     "dedup_exact" -> (Suite.dedupExact _),
     "dedup_bloom" -> (Suite.dedupBloom _),
@@ -1991,6 +1995,54 @@ object SparkEntry {
         |    / 10000.0 AS purity
         |FROM tot JOIN tp ON tot.cluster_id = tp.cluster_id
         |ORDER BY tot.cluster_id""".stripMargin,
+    // sensitive attribute = value tier; countDistinct ignores NULLs in
+    // both engines
+    "dq_ldiversity" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS BIGINT) AS dow,
+        |    CAST(floor(value / 20.0) AS BIGINT) AS value_tier FROM events)
+        |SELECT event_type, dow, count(*) AS class_size,
+        |  CAST(count(DISTINCT value_tier) AS BIGINT) AS n_sensitive,
+        |  count(DISTINCT value_tier) >= 3 AS meets_l
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // three-way lift replays Spark's exact (s/n)/((ca/n)(cb/n)(cc/n))
+    // op order on exact integer counts
+    "rel_triples" ->
+      """WITH ob AS (SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS b
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+        |no AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders FROM ob),
+        |s AS (SELECT b, count(*) AS cnt FROM ob GROUP BY b),
+        |tr AS (SELECT x.b AS brand_a, y.b AS brand_b, z.b AS brand_c,
+        |    count(*) AS support
+        |  FROM ob x JOIN ob y ON x.okey = y.okey AND x.b < y.b
+        |    JOIN ob z ON y.okey = z.okey AND y.b < z.b
+        |  GROUP BY 1, 2, 3 HAVING count(*) >= 5)
+        |SELECT brand_a, brand_b, brand_c, support,
+        |  floor((CAST(support AS DOUBLE) / CAST(no.n_orders AS DOUBLE))
+        |    / ((CAST(sa.cnt AS DOUBLE) / CAST(no.n_orders AS DOUBLE))
+        |      * (CAST(sb.cnt AS DOUBLE) / CAST(no.n_orders AS DOUBLE))
+        |      * (CAST(sc.cnt AS DOUBLE) / CAST(no.n_orders AS DOUBLE)))
+        |    * 10000.0 + 0.5) / 10000.0 AS lift3
+        |FROM tr JOIN s sa ON sa.b = tr.brand_a JOIN s sb ON sb.b = tr.brand_b
+        |  JOIN s sc ON sc.b = tr.brand_c CROSS JOIN no
+        |ORDER BY brand_a, brand_b, brand_c""".stripMargin,
+    // keep rate max(16 div n, 1)/16 on the md5 first hex digit of the
+    // DOC ID — independent per copy, deterministic, replayable
+    "mix_dedup_weight" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 30 = 0),
+        |f AS (SELECT doc_id,
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp FROM d),
+        |c AS (SELECT fp, count(*) AS n FROM f GROUP BY fp),
+        |j AS (SELECT f.fp, c.n,
+        |    (c.n = 1 OR substring(md5(CAST(f.doc_id AS VARCHAR)), 1, 1)
+        |      < CAST(greatest(16 // c.n, 1) AS VARCHAR)) AS kept
+        |  FROM f JOIN c ON f.fp = c.fp)
+        |SELECT n AS cluster_size, CAST(count(DISTINCT fp) AS BIGINT) AS n_clusters,
+        |  count(*) AS docs_in,
+        |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept
+        |FROM j GROUP BY n ORDER BY n""".stripMargin,
     // MMR greedy rounds unrolled; penalty weight written (1.0 - 0.7) to
     // match Spark's lit(1.0 - lam) bit-for-bit
     "sim_mmr" -> mmrSql(10, 20, 5),

@@ -109,6 +109,47 @@ object Basket {
       .orderBy("segment")
   }
 
+  /** Frequent brand TRIPLES with three-way lift — the next itemset
+    * tier past `coPurchase`'s pairs (bundle design, three-way
+    * cross-sell). Same scale shape: ONE basket-key shuffle folds each
+    * basket to its bounded distinct attribute set, ordered triples
+    * generate ROW-LOCALLY from a triple explode (output Σ basket³ with
+    * the domain capping the base — never a three-way self-join of the
+    * item stream), per-attribute totals broadcast. Lift₃ =
+    * (s/n)/((cₐ/n)(c_b/n)(c_c/n)) replayed in the oracle with the
+    * identical IEEE op order. */
+  def frequentTriples(lineitem: DataFrame, part: DataFrame, minSupport: Long = 20): DataFrame = {
+    val baskets = lineitem.select(col("l_orderkey").as("okey"), col("l_partkey"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("okey").agg(collect_set(col("p_brand")).as("brands"))
+      .persist() // four consumers: total + singles + triple explode
+    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+    val singles = baskets.select(explode(col("brands")).as("brand"))
+      .groupBy("brand").agg(count(lit(1)).as("cnt"))
+    val triples = baskets
+      .select(explode(col("brands")).as("brand_a"), col("brands"))
+      .select(col("brand_a"), explode(col("brands")).as("brand_b"), col("brands"))
+      .filter(col("brand_a") < col("brand_b"))
+      .select(col("brand_a"), col("brand_b"), explode(col("brands")).as("brand_c"))
+      .filter(col("brand_b") < col("brand_c"))
+      .groupBy("brand_a", "brand_b", "brand_c")
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    val n = col("n_orders").cast("double")
+    val obsRate = col("support").cast("double") / n
+    val expRate = (col("cnt_a").cast("double") / n) * (col("cnt_b").cast("double") / n) *
+      (col("cnt_c").cast("double") / n)
+    triples
+      .join(broadcast(singles.select(col("brand").as("brand_a"), col("cnt").as("cnt_a"))), Seq("brand_a"))
+      .join(broadcast(singles.select(col("brand").as("brand_b"), col("cnt").as("cnt_b"))), Seq("brand_b"))
+      .join(broadcast(singles.select(col("brand").as("brand_c"), col("cnt").as("cnt_c"))), Seq("brand_c"))
+      .crossJoin(broadcast(nOrders)) // bounded: 1 row
+      .select(col("brand_a"), col("brand_b"), col("brand_c"), col("support"),
+        Num.pround(obsRate / expRate, 4).as("lift3"))
+      .orderBy("brand_a", "brand_b", "brand_c")
+  }
+
   /** Directional association rules X→Y over order baskets: support,
     * confidence co/nₓ, lift, and conviction (1−P(Y))/(1−conf) — the
     * full Apriori-style rule readout `coPurchase`'s symmetric lift

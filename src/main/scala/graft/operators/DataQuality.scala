@@ -231,6 +231,21 @@ object DataQuality {
     audits.reduce(_.unionAll(_)).orderBy("relation")
   }
 
+  /** l-diversity audit — k-anonymity's stronger sibling: a
+    * quasi-identifier class is safe only if its SENSITIVE attribute
+    * takes at least `l` distinct values (a class of 50 rows that all
+    * share one diagnosis re-identifies the attribute even though k=50
+    * holds). One groupBy on the quasi tuple carrying both the class
+    * size and the distinct-sensitive count; output is
+    * quasi-domain-sized. */
+  def lDiversity(df: DataFrame, quasi: Seq[String], sensitive: String, l: Int = 3): DataFrame =
+    df.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensitive)).as("n_sensitive"))
+      .select(quasi.map(col) ++ Seq(col("class_size"), col("n_sensitive"),
+        (col("n_sensitive") >= l).as("meets_l")): _*)
+      .orderBy(quasi.map(col): _*)
+
   /** Chi-square test of independence between two categorical columns —
     * the standard "are these dimensions correlated?" audit (segment ×
     * status, source × language). Emits the statistic, degrees of

@@ -600,6 +600,34 @@ object Events {
       .orderBy("dow")
   }
 
+  /** Rolling distinct users via DataSketches HLL — the sketch-merge
+    * answer to "7-day rolling uniques" at a scale where the exact
+    * (user, day) dimension itself is too big to window over: each day
+    * folds to ONE fixed-size sketch (map-side partial, bytes per day,
+    * not per user), and the rolling window UNIONS sketches —
+    * associative, so any window length reuses the same per-day
+    * partials. `dauMau` is the exact twin; this is the 100 TB path.
+    *
+    * The window runs over the CALENDAR-sized daily table (documented
+    * single-partition, like the skyline/equidepth prefix step — the
+    * corpus never passes through it). HLL register updates are
+    * max-merges, so the estimate is deterministic and order-independent
+    * — but it is an ESTIMATE with no cross-engine twin, hence
+    * rows-only + a spec bounding the error against the exact count. */
+  def rollingDistinctHll(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val daily = events.select(to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy("day").agg(
+        hll_sketch_agg(col("user_id")).as("sk"),
+        count(lit(1)).as("n_events"))
+    val w = Window.orderBy("day").rowsBetween(-(windowDays - 1), 0)
+    daily
+      .withColumn("users_rolling",
+        hll_sketch_estimate(hll_union_agg(col("sk")).over(w)))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_events"), col("users_rolling"))
+      .orderBy("day")
+  }
+
   /** Seasonality heatmap: activity by (day-of-week × hour-of-day) cell
     * with a z-score against the all-cell mean — the weekly-rhythm
     * profile behind load forecasting and anomaly baselining.

@@ -183,4 +183,37 @@ object Mixture {
       .select(col(keyCol), col(sourceCol), col("n_docs"), col("n_target"))
       .orderBy(keyCol)
   }
+
+  /** Duplicate-count-aware downweighting (the D4/"count-based
+    * reweighting" recipe): instead of DROPPING exact duplicates, keep
+    * each copy with probability ≈ 1/cluster_size so every cluster
+    * contributes one document in expectation — repetition shrinks
+    * without discarding widely-mirrored (often high-quality) content
+    * outright, and unique documents are untouched.
+    *
+    * Keep rate = max(16 div n, 1)/16 through the same md5-digit filter
+    * as [[hashMixture]] (singleton ⇒ keep always; granularity floors
+    * at 1/16 — widen to two digits for finer tails). The decision
+    * hashes the DOC ID, so the per-copy coin flips are independent,
+    * deterministic, and replayable.
+    *
+    * Scale shape: ONE fingerprint groupBy (map-side partials) sized to
+    * the distinct-content domain, joined back in one pass; the verdict
+    * is row-local; the readout aggregates to cluster-size-domain rows.
+    * Output per cluster size: clusters, docs in, docs kept. */
+  def dedupWeighted(docs: DataFrame): DataFrame = {
+    val f = docs.select(col("doc_id"),
+      md5(graft.operators.Dedup.normalized(col("text"))).as("fp"))
+    val sizes = f.groupBy("fp").agg(count(lit(1)).as("n"))
+    val kept = (col("n") === 1) ||
+      (substring(md5(col("doc_id").cast("string")), 1, 1) <
+        greatest(expr("16 DIV n"), lit(1L)).cast("string"))
+    f.join(sizes, Seq("fp"))
+      .select(col("fp"), col("n"), kept.as("kept"))
+      .groupBy(col("n").as("cluster_size"))
+      .agg(countDistinct(col("fp")).as("n_clusters"),
+        count(lit(1)).as("docs_in"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("docs_kept"))
+      .orderBy("cluster_size")
+  }
 }

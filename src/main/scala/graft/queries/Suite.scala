@@ -1192,6 +1192,37 @@ object Suite {
   def simClusterPurity(s: SparkSession, dir: String): DataFrame =
     Similarity.clusterPurity(t(s, dir, "embeddings"))
 
+  /** l-diversity over (event_type × dow) classes with the value
+    * quintile-tier as the sensitive attribute. */
+  def dqLdiversity(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("event_type"),
+      (dayofweek(col("ts")) - 1).cast("long").as("dow"),
+      floor(col("value") / 20.0).cast("long").as("value_tier"))
+    DataQuality.lDiversity(ev, Seq("event_type", "dow"), "value_tier", l = 3)
+  }
+
+  def relTriples(s: SparkSession, dir: String): DataFrame =
+    Basket.frequentTriples(t(s, dir, "lineitem"), t(s, dir, "part"), minSupport = 5)
+
+  /** Rows-only (HLL estimates have no DuckDB twin); EventsSpec bounds
+    * the estimate against the exact rolling distinct within 5%. */
+  def evtRollingDistinctHll(s: SparkSession, dir: String): DataFrame =
+    Events.rollingDistinctHll(t(s, dir, "events"))
+
+  /** Duplicate-aware downweighting over a corpus with PLANTED clusters
+    * (the natural corpus has no exact duplicates): every %10 doc gains
+    * one copy (n=2), every %30 doc two (n=3); singletons must survive
+    * untouched and each duplicated cluster keeps ≈ one copy. */
+  def mixDedupWeight(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = d
+      .union(d.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+      .union(d.filter(col("doc_id") % 30 === 0)
+        .withColumn("doc_id", col("doc_id") + 2000000L))
+    Mixture.dedupWeighted(planted)
+  }
+
   /** FK orphan audit over the TPC-H relations, plus one deliberately
     * broken relation (parents with o_orderkey % 97 == 0 withheld) that
     * proves the detector actually fires — the clean relations assert

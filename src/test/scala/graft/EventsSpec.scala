@@ -473,6 +473,23 @@ class EventsSpec extends SparkTestBase {
       (1L, 1L, 7.0, 0.875), (2L, 1L, 7.0, 0.7778), (3L, 1L, 7.0, 0.7)))
   }
 
+  test("rollingDistinctHll: sketch-union estimate tracks the exact rolling distinct within 5%") {
+    val ev = Tables.t(spark, sfDir, "events")
+    val got = Events.rollingDistinctHll(ev).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    // exact twin: explode each (user, day) into the 7 days it covers
+    import org.apache.spark.sql.functions._
+    val exact = ev.select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .select(explode(expr("sequence(day, date_add(day, 6))")).as("wday"), col("user_id"))
+      .groupBy("wday").agg(countDistinct("user_id").as("exact"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (day, est) =>
+      val ex = exact(day)
+      assert(math.abs(est - ex).toDouble / ex <= 0.05, s"$day: est $est vs exact $ex")
+    }
+  }
+
   test("seasonality: planted two-cell grid gives analytic z-scores; dow is Sunday=0") {
     // 2024-01-07 is a Sunday: cells (0,0)×3 and (0,1)×1 →
     // mean 2, σ² = ((9+1) − 16/2)/2 = 1 → z = ±1.0 exactly

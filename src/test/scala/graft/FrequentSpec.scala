@@ -103,6 +103,17 @@ class FrequentSpec extends SparkTestBase {
       ("Y", "X", 2L, 0.6667, 1.1111, 1.2)))
   }
 
+  test("frequentTriples: the planted triple surfaces once with analytic lift3") {
+    // o1,o2: {X,Y,Z}; o3: {X,Y}; o4: {X} → triple (X,Y,Z) support 2,
+    // n=4, cX=4 cY=3 cZ=2: lift3 = (2/4)/((4/4)(3/4)(2/4)) = 4/3 → 1.3333
+    val li = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L), (2L, 3L),
+      (3L, 1L), (3L, 2L), (4L, 1L)).toDF("l_orderkey", "l_partkey")
+    val part = Seq((1L, "X"), (2L, "Y"), (3L, "Z")).toDF("p_partkey", "p_brand")
+    val out = graft.operators.Basket.frequentTriples(li, part, minSupport = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(("X", "Y", "Z", 2L, 1.3333)))
+  }
+
   test("assocRules: an exact rule (conf = 1) reports NULL conviction") {
     val li = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L)).toDF("l_orderkey", "l_partkey")
     val part = Seq((1L, "X"), (2L, "Y")).toDF("p_partkey", "p_brand")

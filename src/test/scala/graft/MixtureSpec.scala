@@ -164,4 +164,21 @@ class MixtureSpec extends SparkTestBase {
     val again = Mixture.temperatureSample(d, "doc_id", "src", 2.0).collect()
     assert(out.map(_.getLong(0)).toSet == again.map(_.getLong(0)).toSet)
   }
+
+  test("dedupWeighted: singletons untouched, duplicated copies kept at ~1/n via the md5 digit") {
+    // 40 unique docs + "dup" × 16 copies + "tri" × 4 copies
+    val rows = (0 until 40).map(i => (i.toLong, s"unique text $i")) ++
+      (100 until 116).map(i => (i.toLong, "dup dup dup")) ++
+      (200 until 204).map(i => (i.toLong, "tri tri tri"))
+    val out = Mixture.dedupWeighted(rows.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((40L, 40L, 40L)))
+    // driver-side replay of the md5-digit coin for the planted clusters
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val kept16 = (100 until 116).count(i => md5hex(i.toString).head < '1') // 16/16 → rate 1/16
+    val kept4 = (200 until 204).count(i => md5hex(i.toString).head < '4')  // 16/4 → rate 4/16
+    assert(out(16L) == ((1L, 16L, kept16.toLong)))
+    assert(out(4L) == ((1L, 4L, kept4.toLong)))
+  }
 }

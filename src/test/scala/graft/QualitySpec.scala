@@ -214,4 +214,16 @@ class QualitySpec extends SparkTestBase {
     val d = DataQuality.chi2Independence(diag, "a", "b").head()
     assert((d.getLong(0), d.getLong(1), d.getDouble(2), d.getDouble(3)) == ((20L, 1L, 20.0, 1.0)))
   }
+
+  test("lDiversity: a large-but-uniform class fails l while a small diverse one passes") {
+    import graft.operators.DataQuality
+    // class g1: 5 rows, all sensitive 'x' → k=5 but l=1 (the k-anonymity
+    // blind spot); class g2: 3 rows with 3 distinct values → meets l=3
+    val df = (Seq.fill(5)(("g1", "x")) ++ Seq(("g2", "x"), ("g2", "y"), ("g2", "z")))
+      .toDF("qid", "sens")
+    val out = DataQuality.lDiversity(df, Seq("qid"), "sens", l = 3).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out("g1") == ((5L, 1L, false)))
+    assert(out("g2") == ((3L, 3L, true)))
+  }
 }
