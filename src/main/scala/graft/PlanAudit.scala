@@ -148,7 +148,16 @@ object PlanAudit {
     "dq_ldiversity", "rel_triples", "mix_dedup_weight",
     // HLL rolling distinct (one day-sized sketch fold; the union window
     // runs over the calendar-sized daily table)
-    "evt_rolling_distinct_hll")
+    "evt_rolling_distinct_hll",
+    // round 5 cont. #12: cohort LTV (customer-dimension first-month
+    // fold + one tag join; the cumsum window runs over the calendar
+    // grid), script mix (row-local regexp counts → (lang × script)
+    // agg), event-order audit (ONE user window + type-domain agg)
+    "rel_ltv", "text_script_mix", "dq_event_order",
+    // epoch plan (one corpus fold to group tokens; planning algebra on
+    // the group-domain table), bot detect (ONE user window for gaps +
+    // exact moment sums + 2-row readout)
+    "mix_epoch_plan", "evt_bot_detect")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -145,6 +145,11 @@ object SparkEntry {
     "rel_triples" -> (Suite.relTriples _),
     "mix_dedup_weight" -> (Suite.mixDedupWeight _),
     "evt_rolling_distinct_hll" -> (Suite.evtRollingDistinctHll _),
+    "rel_ltv" -> (Suite.relLtv _),
+    "text_script_mix" -> (Suite.textScriptMix _),
+    "dq_event_order" -> (Suite.dqEventOrder _),
+    "mix_epoch_plan" -> (Suite.mixEpochPlan _),
+    "evt_bot_detect" -> (Suite.evtBotDetect _),
     // dedup (§2b rows 20-23)
     "dedup_exact" -> (Suite.dedupExact _),
     "dedup_bloom" -> (Suite.dedupBloom _),
@@ -2043,6 +2048,108 @@ object SparkEntry {
         |  count(*) AS docs_in,
         |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept
         |FROM j GROUP BY n ORDER BY n""".stripMargin,
+    // revenue in exact integer cents end-to-end; the cumulative window
+    // runs over the (cohort × age) calendar grid
+    "rel_ltv" ->
+      """WITH o AS (SELECT o_custkey,
+        |    year(o_orderdate) * 12 + month(o_orderdate) AS m,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents FROM orders),
+        |f AS (SELECT o_custkey, min(m) AS m0 FROM o GROUP BY 1),
+        |cs AS (SELECT m0, count(*) AS n_customers FROM f GROUP BY 1),
+        |cell AS (SELECT f.m0, o.m - f.m0 AS age_months,
+        |    CAST(sum(o.cents) AS BIGINT) AS rev
+        |  FROM o JOIN f ON o.o_custkey = f.o_custkey GROUP BY 1, 2),
+        |cum AS (SELECT m0, age_months,
+        |    CAST(sum(rev) OVER (PARTITION BY m0 ORDER BY age_months
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents FROM cell)
+        |SELECT printf('%04d-%02d', CAST((cum.m0 - 1) // 12 AS INT),
+        |    CAST(cum.m0 - ((cum.m0 - 1) // 12) * 12 AS INT)) AS cohort,
+        |  CAST(age_months AS BIGINT) AS age_months, cs.n_customers, cum_cents,
+        |  floor(CAST(cum_cents AS DOUBLE) / 100.0 / CAST(cs.n_customers AS DOUBLE)
+        |    * 100.0 + 0.5) / 100.0 AS ltv
+        |FROM cum JOIN cs ON cum.m0 = cs.m0 ORDER BY cohort, age_months""".stripMargin,
+    // identical planted literals; hex-range script classes behave the
+    // same in Java regex and RE2; dominance = integer max + precedence
+    "text_script_mix" ->
+      """WITH planted AS (SELECT lang, CASE
+        |    WHEN doc_id % 13 = 3 THEN '中文 内容 测试 样本 之一 2024'
+        |    WHEN doc_id % 13 = 4 THEN 'русский текст пример аудит 2024'
+        |    WHEN doc_id % 13 = 5 THEN '12345 67890'
+        |    ELSE text END AS text FROM documents),
+        |c AS (SELECT lang,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS latin,
+        |    CAST(len(regexp_extract_all(text, '[\x{0400}-\x{04FF}]')) AS BIGINT) AS cyr,
+        |    CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS BIGINT) AS cjk,
+        |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS dig,
+        |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS nonspace
+        |  FROM planted),
+        |sc AS (SELECT lang, CASE
+        |    WHEN latin + cyr + cjk + dig = 0 THEN 'none'
+        |    WHEN latin >= cyr AND latin >= cjk AND latin >= dig THEN 'latin'
+        |    WHEN cyr >= cjk AND cyr >= dig THEN 'cyrillic'
+        |    WHEN cjk >= dig THEN 'cjk'
+        |    ELSE 'digit' END AS script,
+        |    CAST(latin + cyr + cjk + dig AS DOUBLE)
+        |      / nullif(CAST(nonspace AS DOUBLE), 0.0) AS script_ratio
+        |  FROM c)
+        |SELECT lang, script, count(*) AS n_docs,
+        |  round(avg(script_ratio), 4) AS avg_script_ratio
+        |FROM sc GROUP BY lang, script ORDER BY lang, script""".stripMargin,
+    // the same planted 1-hour shifts; inversion = exact integer compare
+    // under the (ts, id) total order
+    "dq_event_order" ->
+      """WITH ev AS (SELECT user_id, event_type, event_id,
+        |    CASE WHEN event_id % 500 = 0
+        |      THEN CAST(ts AS TIMESTAMP) - INTERVAL 1 HOUR
+        |      ELSE CAST(ts AS TIMESTAMP) END AS ts FROM events),
+        |lg AS (SELECT event_type, event_id,
+        |    lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_id
+        |  FROM ev)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN prev_id > event_id THEN 1 ELSE 0 END) AS BIGINT) AS n_inversions,
+        |  floor(CAST(sum(CASE WHEN prev_id > event_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS inversion_rate
+        |FROM lg GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // exact-binary weights (0.5/0.125) so the planning products are
+    // deterministic IEEE; epochs floor-round, the cap compares unrounded
+    "mix_epoch_plan" ->
+      """WITH tok AS (SELECT lang, CAST(len(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n
+        |  FROM documents),
+        |g AS (SELECT lang, CAST(sum(n) AS BIGINT) AS group_tokens,
+        |    CAST(CASE WHEN lang = 'en' THEN 0.5 ELSE 0.125 END AS DOUBLE) AS weight
+        |  FROM tok GROUP BY lang)
+        |SELECT lang, group_tokens, weight,
+        |  floor(least(500000.0 * weight / CAST(group_tokens AS DOUBLE), 4.0)
+        |    * 10000.0 + 0.5) / 10000.0 AS epochs,
+        |  CAST(floor(least(500000.0 * weight / CAST(group_tokens AS DOUBLE), 4.0)
+        |    * CAST(group_tokens AS DOUBLE) + 0.5) AS BIGINT) AS effective_tokens,
+        |  500000.0 * weight / CAST(group_tokens AS DOUBLE) > 4.0 AS capped
+        |FROM g ORDER BY lang""".stripMargin,
+    // the planted metronome (60 s gaps → cv 0) must flag; gap moments
+    // in whole seconds keep Σg² far from BIGINT range
+    "evt_bot_detect" ->
+      """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id FROM events
+        |  UNION ALL SELECT 900000 + i,
+        |    TIMESTAMP '2024-01-05 00:00:00' + i * INTERVAL 1 MINUTE, 9999
+        |  FROM generate_series(0, 99) t(i)),
+        |g AS (SELECT user_id,
+        |    (epoch_us(ts) - lag(epoch_us(ts))
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id)) // 1000000 AS gap_s
+        |  FROM ev),
+        |m AS (SELECT user_id, count(*) AS n_gaps,
+        |    CAST(sum(gap_s) AS BIGINT) AS s1, CAST(sum(gap_s * gap_s) AS BIGINT) AS s2
+        |  FROM g WHERE gap_s IS NOT NULL GROUP BY user_id),
+        |c AS (SELECT user_id, n_gaps,
+        |    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |        / CAST(n_gaps AS DOUBLE)) / CAST(n_gaps AS DOUBLE))
+        |      / nullif(CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE), 0.0) AS cv
+        |  FROM m),
+        |f AS (SELECT CASE WHEN n_gaps >= 19 AND (cv < 0.1 OR cv IS NULL)
+        |      THEN 'bot' ELSE 'human' END AS flag, cv, n_gaps FROM c)
+        |SELECT flag, count(*) AS n_users, round(avg(cv), 4) AS avg_cv,
+        |  round(avg(n_gaps), 2) AS avg_gaps
+        |FROM f GROUP BY flag ORDER BY flag""".stripMargin,
     // MMR greedy rounds unrolled; penalty weight written (1.0 - 0.7) to
     // match Spark's lit(1.0 - lam) bit-for-bit
     "sim_mmr" -> mmrSql(10, 20, 5),

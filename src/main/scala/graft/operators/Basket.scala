@@ -109,6 +109,40 @@ object Basket {
       .orderBy("segment")
   }
 
+  /** Cohort lifetime-value curves: customers cohorted by first-order
+    * month, cumulative revenue per customer tracked by months-since-
+    * first-order — the unit-economics readout (does a cohort ever pay
+    * back?) that subscription/commerce analytics is built on.
+    *
+    * Scale design: ONE groupBy finds each customer's first month
+    * (customer-dimension-sized), one join back tags every order, one
+    * aggregate folds to the (cohort × age) grid — the cumulative
+    * window then runs over that CALENDAR-sized grid, never order
+    * volume. Revenue in exact integer cents end-to-end; the only float
+    * is the final per-customer division through the portable floor. */
+  def cohortLtv(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = orders.select(col("o_custkey"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m"),
+      floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+    val first = o.groupBy("o_custkey").agg(min("m").as("m0"))
+    val cohortSize = first.groupBy("m0").agg(count(lit(1)).as("n_customers"))
+    val cells = o.join(first, Seq("o_custkey"))
+      .select(col("m0"), (col("m") - col("m0")).cast("long").as("age_months"), col("cents"))
+      .groupBy("m0", "age_months").agg(sum("cents").as("rev"))
+    val w = Window.partitionBy("m0").orderBy("age_months")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.withColumn("cum_cents", sum("rev").over(w))
+      .join(broadcast(cohortSize), Seq("m0"))
+      .withColumn("y", expr("CAST((m0 - 1) DIV 12 AS INT)"))
+      .select(
+        format_string("%04d-%02d", col("y"), (col("m0") - col("y") * 12).cast("int")).as("cohort"),
+        col("age_months"), col("n_customers"), col("cum_cents"),
+        Num.pround(col("cum_cents").cast("double") / 100.0 / col("n_customers").cast("double"), 2)
+          .as("ltv"))
+      .orderBy("cohort", "age_months")
+  }
+
   /** Frequent brand TRIPLES with three-way lift — the next itemset
     * tier past `coPurchase`'s pairs (bundle design, three-way
     * cross-sell). Same scale shape: ONE basket-key shuffle folds each

@@ -231,6 +231,28 @@ object DataQuality {
     audits.reduce(_.unionAll(_)).orderBy("relation")
   }
 
+  /** Event-ordering audit: within each user's timeline (ordered by ts
+    * with the id as tie-break), count events whose sequence id moved
+    * BACKWARDS — the late-arrival / clock-skew detector every event
+    * pipeline needs before trusting windowed aggregates (an inversion
+    * means processing order ≠ event order, i.e. watermark risk).
+    *
+    * Scale design: ONE shuffle on user_id for the lag window, then an
+    * event-type-domain aggregate; the inversion flag is exact integer
+    * comparison, the rate goes through the portable floor. */
+  def eventOrderAudit(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events.select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev_id", lag(col("event_id"), 1).over(w))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("prev_id") > col("event_id"), 1L).otherwise(0L)).as("n_inversions"))
+      .select(col("event_type"), col("n_events"), col("n_inversions"),
+        (floor(col("n_inversions").cast("double") / col("n_events").cast("double")
+          * 10000.0 + 0.5) / 10000.0).as("inversion_rate"))
+      .orderBy("event_type")
+  }
+
   /** l-diversity audit — k-anonymity's stronger sibling: a
     * quasi-identifier class is safe only if its SENSITIVE attribute
     * takes at least `l` distinct values (a class of 50 rows that all

@@ -600,6 +600,45 @@ object Events {
       .orderBy("dow")
   }
 
+  /** Bot/automation detection by inter-arrival regularity: a client
+    * firing on a timer has near-zero coefficient of variation in its
+    * event gaps, where organic traffic is bursty (cv ≈ 1 for
+    * Poisson) — the standard first-pass spam/bot screen in web-corpus
+    * curation. A user is flagged when they have at least `minEvents`
+    * events and gap cv below `cvMax`.
+    *
+    * Scale design: ONE shuffle on user_id (lag window → gaps in whole
+    * seconds), then per-user moment sums (n, Σg, Σg²) — exact integers,
+    * so mean/cv are deterministic IEEE in both engines (gap² in whole
+    * seconds stays far from BIGINT range; µs² would overflow) — and a
+    * 2-row readout by flag. The cv threshold compares the UNROUNDED
+    * value; only the reported averages round. */
+  def botDetect(events: DataFrame, minEvents: Int = 20, cvMax: Double = 0.1): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gaps = events.select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("gap_s", expr("(unix_micros(ts) - prev_us) DIV 1000000"))
+      .filter(col("gap_s").isNotNull)
+    val perUser = gaps.groupBy("user_id").agg(
+      count(lit(1)).as("n_gaps"),
+      sum(col("gap_s")).as("s1"),
+      sum(col("gap_s") * col("gap_s")).as("s2"))
+    val n = col("n_gaps").cast("double")
+    val mean = col("s1").cast("double") / n
+    val variance = (col("s2").cast("double") - col("s1").cast("double") * col("s1").cast("double") / n) / n
+    val cv = sqrt(variance) / nullif(mean, lit(0.0))
+    perUser
+      .withColumn("cv", cv)
+      .withColumn("flag",
+        when(col("n_gaps") >= minEvents - 1 && (col("cv") < cvMax || col("cv").isNull), "bot")
+          .otherwise("human"))
+      .groupBy("flag")
+      .agg(count(lit(1)).as("n_users"),
+        round(avg(col("cv")), 4).as("avg_cv"),
+        round(avg(col("n_gaps")), 2).as("avg_gaps"))
+      .orderBy("flag")
+  }
+
   /** Rolling distinct users via DataSketches HLL — the sketch-merge
     * answer to "7-day rolling uniques" at a scale where the exact
     * (user, day) dimension itself is too big to window over: each day

@@ -184,6 +184,35 @@ object Mixture {
       .orderBy(keyCol)
   }
 
+  /** Epoch planning for a target mixture: given per-group token counts,
+    * target weights, and a token budget, how many EPOCHS (repeat
+    * factors) of each group does the training run take — the
+    * data-scheduling bookkeeping every mixture-weighted run needs
+    * (small high-weight groups repeat; `capped` flags where the repeat
+    * ceiling binds and the run under-serves the target).
+    *
+    * Scale shape: ONE aggregate folds the corpus to per-group token
+    * counts (group-domain-sized); all planning algebra happens on that
+    * tiny table. Weights should be exact binary rationals (0.5, 0.125)
+    * so products are deterministic IEEE both engines; epochs round
+    * through the portable floor, the cap compares UNROUNDED. */
+  def epochPlan(docs: DataFrame, groupCol: String, weight: Column,
+                budgetTokens: Long, maxEpochs: Double = 4.0): DataFrame = {
+    val perGroup = docs
+      .select(col(groupCol), size(array_remove(split(lower(col("text")), "[^a-z0-9]+"), ""))
+        .cast("long").as("n_tokens"))
+      .groupBy(groupCol).agg(sum("n_tokens").as("group_tokens"))
+      .withColumn("weight", weight)
+    val target = lit(budgetTokens.toDouble) * col("weight")
+    val rawEpochs = target / col("group_tokens").cast("double")
+    perGroup.select(col(groupCol), col("group_tokens"), col("weight"),
+        Num.pround(least(rawEpochs, lit(maxEpochs)), 4).as("epochs"),
+        floor(least(rawEpochs, lit(maxEpochs)) * col("group_tokens").cast("double") + 0.5)
+          .cast("long").as("effective_tokens"),
+        (rawEpochs > maxEpochs).as("capped"))
+      .orderBy(groupCol)
+  }
+
   /** Duplicate-count-aware downweighting (the D4/"count-based
     * reweighting" recipe): instead of DROPPING exact duplicates, keep
     * each copy with probability ≈ 1/cluster_size so every cluster

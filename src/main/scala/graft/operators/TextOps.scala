@@ -878,6 +878,37 @@ object TextOps {
         round(cov * cov / (varX * varY), 4).as("r2"))
   }
 
+  /** Unicode script mix per document → per-(lang × dominant-script)
+    * rollup — the routing signal a multilingual pipeline needs BEFORE
+    * language ID (script narrows the candidate set, catches
+    * mixed-script spam, and flags transliteration). Script classes are
+    * counted by codepoint-range regexes (hex ranges — identical
+    * semantics in Java regex and RE2, unlike \\p{script=} names);
+    * dominance resolves by max count with a FIXED precedence order on
+    * ties, so the label is deterministic integer algebra.
+    *
+    * Scale shape: all counts are row-local codegen'd regexp_count
+    * calls; the only shuffle is the (lang × script)-domain aggregate. */
+  def scriptMix(docs: DataFrame): DataFrame = {
+    val txt = col("text")
+    val latin = regexp_count(txt, lit("[A-Za-z]")).cast("long")
+    val cyr = regexp_count(txt, lit("[\\x{0400}-\\x{04FF}]")).cast("long")
+    val cjk = regexp_count(txt, lit("[\\x{4e00}-\\x{9fff}]")).cast("long")
+    val digit = regexp_count(txt, lit("[0-9]")).cast("long")
+    val scripted = latin + cyr + cjk + digit
+    val script = when(scripted === 0, "none")
+      .when(latin >= cyr && latin >= cjk && latin >= digit, "latin")
+      .when(cyr >= cjk && cyr >= digit, "cyrillic")
+      .when(cjk >= digit, "cjk")
+      .otherwise("digit")
+    val nonspace = nullif(length(regexp_replace(txt, "\\s", "")).cast("double"), lit(0.0))
+    docs.select(col("lang"), script.as("script"),
+      (scripted.cast("double") / nonspace).as("script_ratio"))
+      .groupBy("lang", "script")
+      .agg(count(lit(1)).as("n_docs"), round(avg(col("script_ratio")), 4).as("avg_script_ratio"))
+      .orderBy("lang", "script")
+  }
+
   /** Flesch-reading-ease readability banding per language — the classic
     * document-difficulty feature for curriculum ordering and quality
     * filtering. Syllables approximate as vowel-group runs ([aeiouy]+,

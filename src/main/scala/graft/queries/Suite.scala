@@ -1209,6 +1209,50 @@ object Suite {
   def evtRollingDistinctHll(s: SparkSession, dir: String): DataFrame =
     Events.rollingDistinctHll(t(s, dir, "events"))
 
+  def relLtv(s: SparkSession, dir: String): DataFrame =
+    Basket.cohortLtv(t(s, dir, "orders"))
+
+  /** Script mix over a corpus with PLANTED non-Latin docs (the
+    * synthetic corpus is all-ASCII): %13==3 docs become CJK, %13==4
+    * Cyrillic, %13==5 digit-only — so every dominance branch and the
+    * tie-precedence order are exercised under the oracle. */
+  def textScriptMix(s: SparkSession, dir: String): DataFrame = {
+    val planted = t(s, dir, "documents").select(col("lang"),
+      when(col("doc_id") % 13 === 3, lit("中文 内容 测试 样本 之一 2024"))
+        .when(col("doc_id") % 13 === 4, lit("русский текст пример аудит 2024"))
+        .when(col("doc_id") % 13 === 5, lit("12345 67890"))
+        .otherwise(col("text")).as("text"))
+    TextOps.scriptMix(planted)
+  }
+
+  /** Epoch plan for a lang mixture (en 0.5, others 0.125 — exact
+    * binary weights) against a 500k-token budget. */
+  def mixEpochPlan(s: SparkSession, dir: String): DataFrame =
+    Mixture.epochPlan(t(s, dir, "documents"), "lang",
+      when(col("lang") === "en", 0.5).otherwise(0.125), budgetTokens = 500000L)
+
+  /** Bot screen over the stream plus one PLANTED metronome user (100
+    * events exactly 60 s apart) — organic users sit at cv ≈ 1, the
+    * timer at cv = 0. */
+  def evtBotDetect(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "events").select(col("event_id"), col("ts"), col("user_id"))
+    val bot = s.range(0, 100).select(
+      (col("id") + 900000L).as("event_id"),
+      expr("timestamp'2024-01-05 00:00:00' + make_interval(0,0,0,0,0,CAST(id AS INT),0)").as("ts"),
+      lit(9999L).as("user_id"))
+    Events.botDetect(base.union(bot))
+  }
+
+  /** Ordering audit over a stream with PLANTED late arrivals (every
+    * %500 event shifted 1 h earlier) — each shift that lands inside a
+    * neighbor's window produces exactly one inversion. */
+  def dqEventOrder(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").withColumn("ts",
+      when(col("event_id") % 500 === 0, col("ts") - expr("INTERVAL 1 HOUR"))
+        .otherwise(col("ts")))
+    DataQuality.eventOrderAudit(ev)
+  }
+
   /** Duplicate-aware downweighting over a corpus with PLANTED clusters
     * (the natural corpus has no exact duplicates): every %10 doc gains
     * one copy (n=2), every %30 doc two (n=3); singletons must survive

@@ -473,6 +473,20 @@ class EventsSpec extends SparkTestBase {
       (1L, 1L, 7.0, 0.875), (2L, 1L, 7.0, 0.7778), (3L, 1L, 7.0, 0.7)))
   }
 
+  test("botDetect: the metronome flags, bursty and thin users stay human") {
+    // u1: 10 events exactly 60 s apart → cv 0 → bot; u2: wildly uneven
+    // gaps → human; u3: only 2 events (too few) → human
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    def ts(offsetS: Long) = new java.sql.Timestamp(base + offsetS * 1000)
+    val rows = (0 until 10).map(i => (i.toLong, 1L, ts(i * 60L))) ++
+      Seq(0L, 1L, 101L, 106L, 406L, 408L).zipWithIndex.map { case (o, i) => (100L + i, 2L, ts(o)) } ++
+      Seq((200L, 3L, ts(0)), (201L, 3L, ts(60)))
+    val ev = rows.toDF("event_id", "user_id", "ts")
+    val out = Events.botDetect(ev, minEvents = 5, cvMax = 0.1).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1)))).toMap
+    assert(out == Map("bot" -> 1L, "human" -> 2L))
+  }
+
   test("rollingDistinctHll: sketch-union estimate tracks the exact rolling distinct within 5%") {
     val ev = Tables.t(spark, sfDir, "events")
     val got = Events.rollingDistinctHll(ev).collect()

@@ -103,6 +103,21 @@ class FrequentSpec extends SparkTestBase {
       ("Y", "X", 2L, 0.6667, 1.1111, 1.2)))
   }
 
+  test("cohortLtv: cumulative per-customer revenue by cohort age, exact cents") {
+    // cohort 2024-01 = {c1, c2}: age0 rev $40 → ltv 20.00, age1 +$20 →
+    // cum $60, ltv 30.00; cohort 2024-02 = {c3}: $5 → ltv 5.00
+    val orders = Seq(
+      (1L, "2024-01-05 00:00:00", 10.0), (1L, "2024-02-10 00:00:00", 20.0),
+      (2L, "2024-01-20 00:00:00", 30.0), (3L, "2024-02-01 00:00:00", 5.0))
+      .toDF("o_custkey", "d_s", "o_totalprice")
+      .withColumn("o_orderdate", to_timestamp(col("d_s"))).drop("d_s")
+    val out = graft.operators.Basket.cohortLtv(orders).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      ("2024-01", 0L, 2L, 4000L, 20.0), ("2024-01", 1L, 2L, 6000L, 30.0),
+      ("2024-02", 0L, 1L, 500L, 5.0)))
+  }
+
   test("frequentTriples: the planted triple surfaces once with analytic lift3") {
     // o1,o2: {X,Y,Z}; o3: {X,Y}; o4: {X} → triple (X,Y,Z) support 2,
     // n=4, cX=4 cY=3 cZ=2: lift3 = (2/4)/((4/4)(3/4)(2/4)) = 4/3 → 1.3333

@@ -165,6 +165,18 @@ class MixtureSpec extends SparkTestBase {
     assert(out.map(_.getLong(0)).toSet == again.map(_.getLong(0)).toSet)
   }
 
+  test("epochPlan: small high-weight group caps at maxEpochs, big group under-repeats") {
+    // lang a: 10 tokens at weight 0.5, budget 100 → raw 5.0 → capped to
+    // 4.0 epochs, 40 effective tokens; lang b: 200 tokens → 0.25 epochs
+    val docs = (Seq.fill(2)("one two three four five").map(("a", _)) :+
+      ("b", Seq.fill(200)("tok").mkString(" "))).toDF("lang", "text")
+    val out = Mixture.epochPlan(docs, "lang",
+      when(col("lang") === "a", 0.5).otherwise(0.5), budgetTokens = 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3),
+        r.getLong(4), r.getBoolean(5))).toSeq
+    assert(out == Seq(("a", 10L, 4.0, 40L, true), ("b", 200L, 0.25, 50L, false)))
+  }
+
   test("dedupWeighted: singletons untouched, duplicated copies kept at ~1/n via the md5 digit") {
     // 40 unique docs + "dup" × 16 copies + "tri" × 4 copies
     val rows = (0 until 40).map(i => (i.toLong, s"unique text $i")) ++

@@ -215,6 +215,20 @@ class QualitySpec extends SparkTestBase {
     assert((d.getLong(0), d.getLong(1), d.getDouble(2), d.getDouble(3)) == ((20L, 1L, 20.0, 1.0)))
   }
 
+  test("eventOrderAudit: a back-shifted event produces exactly one inversion downstream") {
+    import graft.operators.DataQuality
+    // user 1 by ts: id 1 (10:00), id 3 (10:02 — arrived early), id 2
+    // (10:05) → the pair (3 → 2) is the single inversion
+    val ev = Seq(
+      (1L, 1L, "a", "2024-01-01 10:00:00"), (3L, 1L, "a", "2024-01-01 10:02:00"),
+      (2L, 1L, "a", "2024-01-01 10:05:00"))
+      .toDF("event_id", "user_id", "event_type", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val r = DataQuality.eventOrderAudit(ev).head()
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ==
+      (("a", 3L, 1L, 0.3333)))
+  }
+
   test("lDiversity: a large-but-uniform class fails l while a small diverse one passes") {
     import graft.operators.DataQuality
     // class g1: 5 rows, all sensitive 'x' → k=5 but l=1 (the k-anonymity

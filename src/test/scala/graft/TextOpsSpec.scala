@@ -460,6 +460,18 @@ class TextOpsSpec extends SparkTestBase {
     assert(row.getDouble(3) == 1.0)
   }
 
+  test("scriptMix: dominance labels per script class, latin wins ties, none on unscripted") {
+    val docs = Seq(
+      ("en", "Hello world 42"), ("zh", "中文 样本"), ("ru", "русский текст"),
+      ("xx", "123 456"), ("yy", "???"), ("mx", "абв abc"))
+      .toDF("lang", "text")
+    val out = TextOps.scriptMix(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(out == Seq(
+      ("en", "latin", 1L, 1.0), ("mx", "latin", 1L, 1.0), ("ru", "cyrillic", 1L, 1.0),
+      ("xx", "digit", 1L, 1.0), ("yy", "none", 1L, 0.0), ("zh", "cjk", 1L, 1.0)))
+  }
+
   test("readability: analytic FRE bands — easy prose, hard run-on, empty doc") {
     // "The cat sat." → w=3 s=1 syl=3: 206.835 − 3.045 − 84.6 = 119.19 →
     // very_easy. Doc 2: one sentence, 4 words, 10 vowel groups →
