@@ -157,7 +157,9 @@ object PlanAudit {
     // epoch plan (one corpus fold to group tokens; planning algebra on
     // the group-domain table), bot detect (ONE user window for gaps +
     // exact moment sums + 2-row readout)
-    "mix_epoch_plan", "evt_bot_detect")
+    "mix_epoch_plan", "evt_bot_detect",
+    // windowed funnel (user-dimension join chain with µs window bounds)
+    "evt_funnel_windowed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -150,6 +150,7 @@ object SparkEntry {
     "dq_event_order" -> (Suite.dqEventOrder _),
     "mix_epoch_plan" -> (Suite.mixEpochPlan _),
     "evt_bot_detect" -> (Suite.evtBotDetect _),
+    "evt_funnel_windowed" -> (Suite.evtFunnelWindowed _),
     // dedup (§2b rows 20-23)
     "dedup_exact" -> (Suite.dedupExact _),
     "dedup_bloom" -> (Suite.dedupBloom _),
@@ -2150,6 +2151,33 @@ object SparkEntry {
         |SELECT flag, count(*) AS n_users, round(avg(cv), 4) AS avg_cv,
         |  round(avg(n_gaps), 2) AS avg_gaps
         |FROM f GROUP BY flag ORDER BY flag""".stripMargin,
+    // earliest-entry windowed funnel: every later stage must land
+    // within 48 h of the user's FIRST signup; exact integer µs bounds
+    "evt_funnel_windowed" ->
+      """WITH s1 AS (SELECT user_id, min(epoch_us(CAST(ts AS TIMESTAMP))) AS t1
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(epoch_us(CAST(e.ts AS TIMESTAMP))) AS t2,
+        |    min(s1.t1) AS t1
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click'
+        |    AND epoch_us(CAST(e.ts AS TIMESTAMP)) > s1.t1
+        |    AND epoch_us(CAST(e.ts AS TIMESTAMP)) <= s1.t1 + 172800000000
+        |  GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(epoch_us(CAST(e.ts AS TIMESTAMP))) AS t3
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND epoch_us(CAST(e.ts AS TIMESTAMP)) > s2.t2
+        |    AND epoch_us(CAST(e.ts AS TIMESTAMP)) <= s2.t1 + 172800000000
+        |  GROUP BY e.user_id),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n1 FROM s1)
+        |SELECT stage, n_users,
+        |  floor(CAST(n_users AS DOUBLE) / CAST(n.n1 AS DOUBLE) * 10000.0 + 0.5)
+        |    / 10000.0 AS conv_rate
+        |FROM (
+        |  SELECT '1_signup' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s1
+        |  UNION ALL SELECT '2_click_48h', CAST(count(*) AS BIGINT) FROM s2
+        |  UNION ALL SELECT '3_purchase_48h', CAST(count(*) AS BIGINT) FROM s3
+        |) CROSS JOIN n ORDER BY stage""".stripMargin,
     // MMR greedy rounds unrolled; penalty weight written (1.0 - 0.7) to
     // match Spark's lit(1.0 - lam) bit-for-bit
     "sim_mmr" -> mmrSql(10, 20, 5),

@@ -24,18 +24,25 @@ import org.apache.spark.sql.functions._
   */
 object Basket {
 
-  /** Brand pairs co-occurring in orders, with support ≥ `minSupport`
-    * and lift; deterministic total order on the pair. */
-  def coPurchase(lineitem: DataFrame, part: DataFrame, minSupport: Long = 50): DataFrame = {
-    // ONE shuffle on the basket key folds each basket to its distinct
-    // attribute set; pairs are then generated ROW-LOCALLY by a double
-    // explode of the (domain-bounded) set — no self-join, so the item
-    // stream is never shuffled a second and third time for the join
-    val baskets = lineitem.select(col("l_orderkey").as("okey"), col("l_partkey"))
-      .join(part.select(col("p_partkey"), col("p_brand")),
+  /** The shared itemset fold: ONE shuffle on the basket key folds each
+    * order to its DISTINCT brand set (domain-bounded), with the brand
+    * dimension broadcast. coPurchase / assocRules / frequentTriples all
+    * start here; the persist covers each caller's multiple consumers
+    * (total + singles + the explode passes). */
+  private def brandBaskets(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem.select(col("l_orderkey").as("okey"), col("l_partkey"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
         col("l_partkey") === col("p_partkey"))
       .groupBy("okey").agg(collect_set(col("p_brand")).as("brands"))
       .persist()
+
+  /** Brand pairs co-occurring in orders, with support ≥ `minSupport`
+    * and lift; deterministic total order on the pair. */
+  def coPurchase(lineitem: DataFrame, part: DataFrame, minSupport: Long = 50): DataFrame = {
+    // pairs are generated ROW-LOCALLY by a double explode of the
+    // (domain-bounded) set — no self-join, so the item stream is never
+    // shuffled a second and third time for the join
+    val baskets = brandBaskets(lineitem, part)
     val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
     val singles = baskets.select(explode(col("brands")).as("brand"))
       .groupBy("brand").agg(count(lit(1)).as("cnt"))
@@ -153,11 +160,7 @@ object Basket {
     * (s/n)/((cₐ/n)(c_b/n)(c_c/n)) replayed in the oracle with the
     * identical IEEE op order. */
   def frequentTriples(lineitem: DataFrame, part: DataFrame, minSupport: Long = 20): DataFrame = {
-    val baskets = lineitem.select(col("l_orderkey").as("okey"), col("l_partkey"))
-      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
-        col("l_partkey") === col("p_partkey"))
-      .groupBy("okey").agg(collect_set(col("p_brand")).as("brands"))
-      .persist() // four consumers: total + singles + triple explode
+    val baskets = brandBaskets(lineitem, part)
     val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
     val singles = baskets.select(explode(col("brands")).as("brand"))
       .groupBy("brand").agg(count(lit(1)).as("cnt"))
@@ -196,11 +199,7 @@ object Basket {
     * All ratios derive from exact integer counts (identical IEEE ops
     * both engines), emitted through the portable floor-round. */
   def assocRules(lineitem: DataFrame, part: DataFrame, minSupport: Long = 50): DataFrame = {
-    val baskets = lineitem.select(col("l_orderkey").as("okey"), col("l_partkey"))
-      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
-        col("l_partkey") === col("p_partkey"))
-      .groupBy("okey").agg(collect_set(col("p_brand")).as("brands"))
-      .persist() // three consumers: totals + both explode passes
+    val baskets = brandBaskets(lineitem, part)
     val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
     val singles = baskets.select(explode(col("brands")).as("brand"))
       .groupBy("brand").agg(count(lit(1)).as("cnt"))

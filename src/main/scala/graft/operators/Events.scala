@@ -300,6 +300,44 @@ object Events {
       .orderBy("stage")
   }
 
+  /** Windowed funnel (the windowFunnel semantics the plain [[funnel]]
+    * lacks): a conversion only counts if each later stage lands within
+    * `windowHours` of the user's FIRST stage-1 event — "signed up and
+    * purchased within 48 h", the form activation metrics are actually
+    * defined in. Same scalable join-chain shape as funnel (per-stage
+    * user dimensions, earliest-entry semantics, each join
+    * user-dimension-sized), plus the window bound riding the joins and
+    * a conversion-rate readout against stage 1.
+    *
+    * Times compare in exact integer µs; the rate goes through the
+    * portable floor. */
+  def funnelWindowed(events: DataFrame, windowHours: Int = 48): DataFrame = {
+    val wUs = windowHours.toLong * 3600L * 1000000L
+    val s1 = events.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("t1"))
+    val s2 = events.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("cus"))
+      .join(s1, "user_id")
+      .filter(col("cus") > col("t1") && col("cus") <= col("t1") + wUs)
+      .groupBy("user_id").agg(min("cus").as("t2"), min("t1").as("t1"))
+    val s3 = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("pus"))
+      .join(s2, "user_id")
+      .filter(col("pus") > col("t2") && col("pus") <= col("t1") + wUs)
+      .groupBy("user_id").agg(min("pus").as("t3"))
+    val n1 = s1.agg(count(lit(1)).as("n1"))
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
+        .crossJoin(broadcast(n1)) // bounded: 1 row
+        .select(col("stage"), col("n_users"),
+          (floor(col("n_users").cast("double") / col("n1").cast("double")
+            * 10000.0 + 0.5) / 10000.0).as("conv_rate"))
+    stage("1_signup", s1)
+      .unionByName(stage("2_click_48h", s2))
+      .unionByName(stage("3_purchase_48h", s3))
+      .orderBy("stage")
+  }
+
   /** As-of join: attach to each left row the LATEST right row with
     * right.ts <= left.ts for the same key (DuckDB/kdb ASOF JOIN
     * semantics; Spark has no native operator).

@@ -1225,6 +1225,9 @@ object Suite {
     TextOps.scriptMix(planted)
   }
 
+  def evtFunnelWindowed(s: SparkSession, dir: String): DataFrame =
+    Events.funnelWindowed(t(s, dir, "events"))
+
   /** Epoch plan for a lang mixture (en 0.5, others 0.125 — exact
     * binary weights) against a 500k-token budget. */
   def mixEpochPlan(s: SparkSession, dir: String): DataFrame =

@@ -473,6 +473,24 @@ class EventsSpec extends SparkTestBase {
       (1L, 1L, 7.0, 0.875), (2L, 1L, 7.0, 0.7778), (3L, 1L, 7.0, 0.7)))
   }
 
+  test("funnelWindowed: stages only count inside the 48 h window from first signup") {
+    // u1 converts fully in-window; u2's click lands at +49 h (out);
+    // u3 clicks in-window but purchases at +50 h (out); u4 never signs up
+    val rows = Seq(
+      (1L, 1L, "signup", 0L), (2L, 1L, "click", 1L), (3L, 1L, "purchase", 2L),
+      (4L, 2L, "signup", 0L), (5L, 2L, "click", 49L),
+      (6L, 3L, "signup", 0L), (7L, 3L, "click", 1L), (8L, 3L, "purchase", 50L),
+      (9L, 4L, "click", 1L))
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val ev = rows.map { case (id, u, t, h) =>
+      (id, u, t, new java.sql.Timestamp(base + h * 3600 * 1000)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = Events.funnelWindowed(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out == Seq(
+      ("1_signup", 3L, 1.0), ("2_click_48h", 2L, 0.6667), ("3_purchase_48h", 1L, 0.3333)))
+  }
+
   test("botDetect: the metronome flags, bursty and thin users stay human") {
     // u1: 10 events exactly 60 s apart → cv 0 → bot; u2: wildly uneven
     // gaps → human; u3: only 2 events (too few) → human
