@@ -160,6 +160,9 @@ object PlanAudit {
     "mix_epoch_plan", "evt_bot_detect",
     // windowed funnel (user-dimension join chain with µs window bounds)
     "evt_funnel_windowed")
+    // evt_audience_overlap is excluded like dedup_clusters: its
+    // domain-sized sketch table collects eagerly at construction, so
+    // only the trivial driver-built result frame would be explained
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

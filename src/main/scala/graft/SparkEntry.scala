@@ -151,6 +151,7 @@ object SparkEntry {
     "mix_epoch_plan" -> (Suite.mixEpochPlan _),
     "evt_bot_detect" -> (Suite.evtBotDetect _),
     "evt_funnel_windowed" -> (Suite.evtFunnelWindowed _),
+    "evt_audience_overlap" -> (Suite.evtAudienceOverlap _),
     // dedup (§2b rows 20-23)
     "dedup_exact" -> (Suite.dedupExact _),
     "dedup_bloom" -> (Suite.dedupBloom _),
@@ -2178,6 +2179,27 @@ object SparkEntry {
         |  UNION ALL SELECT '2_click_48h', CAST(count(*) AS BIGINT) FROM s2
         |  UNION ALL SELECT '3_purchase_48h', CAST(count(*) AS BIGINT) FROM s3
         |) CROSS JOIN n ORDER BY stage""".stripMargin,
+    // sketches are in exact mode at this scale, so the oracle is the
+    // TRUE distinct-pair algebra (inclusion-exclusion for the union)
+    "evt_audience_overlap" ->
+      """WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+        |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY 1),
+        |pr AS (SELECT x.event_type AS type_a, y.event_type AS type_b
+        |  FROM t x JOIN t y ON x.event_type < y.event_type),
+        |ov AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    CAST(count(*) AS BIGINT) AS n_overlap
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT pr.type_a, pr.type_b, ta.n AS n_a, tb.n AS n_b,
+        |  coalesce(ov.n_overlap, CAST(0 AS BIGINT)) AS n_overlap,
+        |  ta.n + tb.n - coalesce(ov.n_overlap, CAST(0 AS BIGINT)) AS n_union,
+        |  floor(CAST(coalesce(ov.n_overlap, CAST(0 AS BIGINT)) AS DOUBLE)
+        |    / CAST(ta.n + tb.n - coalesce(ov.n_overlap, CAST(0 AS BIGINT)) AS DOUBLE)
+        |    * 10000.0 + 0.5) / 10000.0 AS jaccard
+        |FROM pr JOIN t ta ON ta.event_type = pr.type_a
+        |  JOIN t tb ON tb.event_type = pr.type_b
+        |  LEFT JOIN ov ON ov.type_a = pr.type_a AND ov.type_b = pr.type_b
+        |ORDER BY pr.type_a, pr.type_b""".stripMargin,
     // MMR greedy rounds unrolled; penalty weight written (1.0 - 0.7) to
     // match Spark's lit(1.0 - lam) bit-for-bit
     "sim_mmr" -> mmrSql(10, 20, 5),

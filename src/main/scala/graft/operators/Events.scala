@@ -638,6 +638,46 @@ object Events {
       .orderBy("dow")
   }
 
+  /** Audience overlap via theta sketches: for every pair of event
+    * types, the (approximate) distinct-user intersection, union, and
+    * Jaccard — the "did A-users also do B" readout whose exact form is
+    * a distinct-pair self-join that stops scaling long before the
+    * event log does. HLL can only union; theta sketches intersect,
+    * which is the whole point of this operator.
+    *
+    * Scale design: ONE aggregation folds the log into one fixed-size
+    * sketch per event type (map-side partials, ≤ 2^lgK hashes each);
+    * the collect and pairwise set algebra are event-type-domain-sized
+    * (the IVF-centroid precedent — bytes per TYPE, never per user).
+    * Below ~2^12 distinct users per type the sketches are in exact
+    * mode, so the gate oracle checks TRUE counts; at 100 TB the same
+    * code returns deterministic min-K estimates. */
+  def audienceOverlap(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftext.ThetaSketchAgg
+    val spark = events.sparkSession
+    val sk = events.groupBy("event_type")
+      .agg(ThetaSketchAgg.thetaSketch(col("user_id")).as("sk"))
+      .collect() // bounded: event-type domain
+      .map(r => (r.getString(0), r.getAs[Array[Byte]](1)))
+      .sortBy(_._1)
+    val rows = for {
+      i <- sk.indices
+      j <- (i + 1) until sk.length
+    } yield {
+      val (ta, sa) = sk(i)
+      val (tb, sb) = sk(j)
+      val na = math.round(ThetaSketchAgg.estimate(sa))
+      val nb = math.round(ThetaSketchAgg.estimate(sb))
+      val ni = math.round(ThetaSketchAgg.intersectEstimate(sa, sb))
+      val nu = math.round(ThetaSketchAgg.unionEstimate(sa, sb))
+      (ta, tb, na, nb, ni, nu,
+        math.floor(ni.toDouble / nu.toDouble * 10000.0 + 0.5) / 10000.0)
+    }
+    import spark.implicits._
+    rows.toSeq.toDF("type_a", "type_b", "n_a", "n_b", "n_overlap", "n_union", "jaccard")
+      .orderBy("type_a", "type_b")
+  }
+
   /** Bot/automation detection by inter-arrival regularity: a client
     * firing on a timer has near-zero coefficient of variation in its
     * event gaps, where organic traffic is bursty (cv ≈ 1 for

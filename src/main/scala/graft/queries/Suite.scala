@@ -1228,6 +1228,12 @@ object Suite {
   def evtFunnelWindowed(s: SparkSession, dir: String): DataFrame =
     Events.funnelWindowed(t(s, dir, "events"))
 
+  /** Theta-sketch overlap is EXACT below ~2^12 distinct users per
+    * type, so the oracle checks true distinct-pair counts here while
+    * the same code degrades to estimates at scale. */
+  def evtAudienceOverlap(s: SparkSession, dir: String): DataFrame =
+    Events.audienceOverlap(t(s, dir, "events"))
+
   /** Epoch plan for a lang mixture (en 0.5, others 0.125 — exact
     * binary weights) against a 500k-token budget. */
   def mixEpochPlan(s: SparkSession, dir: String): DataFrame =

@@ -473,6 +473,21 @@ class EventsSpec extends SparkTestBase {
       (1L, 1L, 7.0, 0.875), (2L, 1L, 7.0, 0.7778), (3L, 1L, 7.0, 0.7)))
   }
 
+  test("audienceOverlap: theta intersections are exact at spec scale") {
+    // A users 1..10, B users 6..15 (overlap 5, union 15, j=0.3333),
+    // C user 100 only (disjoint from both)
+    val rows = (1L to 10L).map(u => ("A", u)) ++ (6L to 15L).map(u => ("B", u)) ++
+      Seq(("C", 100L)) ++ Seq(("A", 3L)) // a repeat must not inflate counts
+    val ev = rows.toDF("event_type", "user_id")
+    val out = Events.audienceOverlap(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+    assert(out == Seq(
+      ("A", "B", 10L, 10L, 5L, 15L, 0.3333),
+      ("A", "C", 10L, 1L, 0L, 11L, 0.0),
+      ("B", "C", 10L, 1L, 0L, 11L, 0.0)))
+  }
+
   test("funnelWindowed: stages only count inside the 48 h window from first signup") {
     // u1 converts fully in-window; u2's click lands at +49 h (out);
     // u3 clicks in-window but purchases at +50 h (out); u4 never signs up
