@@ -152,6 +152,7 @@ object SparkEntry {
     "evt_bot_detect" -> (Suite.evtBotDetect _),
     "evt_funnel_windowed" -> (Suite.evtFunnelWindowed _),
     "evt_audience_overlap" -> (Suite.evtAudienceOverlap _),
+    "text_topics_lda" -> (Suite.textTopicsLda _),
     // dedup (§2b rows 20-23)
     "dedup_exact" -> (Suite.dedupExact _),
     "dedup_bloom" -> (Suite.dedupBloom _),

@@ -1234,6 +1234,16 @@ object Suite {
   def evtAudienceOverlap(s: SparkSession, dir: String): DataFrame =
     Events.audienceOverlap(t(s, dir, "events"))
 
+  /** Rows-only (iterative float estimates have no DuckDB twin);
+    * TextOpsSpec pins seed-determinism and planted-topic separation.
+    * Topics are estimated over a deterministic 4/16 hash sample — the
+    * production shape (topic discovery runs on a sample; only the
+    * cheap assignment pass would ever see the full corpus). */
+  def textTopicsLda(s: SparkSession, dir: String): DataFrame =
+    Topics.topicsLda(
+      Mixture.hashSample(t(s, dir, "documents"), col("doc_id"), 4),
+      maxIter = 15)
+
   /** Epoch plan for a lang mixture (en 0.5, others 0.125 — exact
     * binary weights) against a 500k-token budget. */
   def mixEpochPlan(s: SparkSession, dir: String): DataFrame =

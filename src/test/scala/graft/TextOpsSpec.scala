@@ -460,6 +460,27 @@ class TextOpsSpec extends SparkTestBase {
     assert(row.getDouble(3) == 1.0)
   }
 
+  test("topicsLda: disjoint planted vocabularies separate into disjoint topics, deterministically") {
+    // two topic islands with no shared terms: LDA at k=2 must put each
+    // island's words together, whatever it numbers the topics
+    val a = Seq("alpha beta gamma", "beta gamma alpha", "gamma alpha beta")
+    val b = Seq("delta epsilon zeta", "epsilon zeta delta", "zeta delta epsilon")
+    val docs = (0 until 30).map { i =>
+      (i.toLong, if (i % 2 == 0) a(i % 3) else b(i % 3))
+    }.toDF("doc_id", "text")
+    val run1 = graft.operators.Topics.topicsLda(docs, k = 2, topTerms = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byTopic = run1.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val va = Set("alpha", "beta", "gamma")
+    val vb = Set("delta", "epsilon", "zeta")
+    assert(byTopic.size == 2)
+    assert(byTopic.values.toSet == Set(va, vb))
+    // fixed seed → identical output on a re-run
+    val run2 = graft.operators.Topics.topicsLda(docs, k = 2, topTerms = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(run1.toSeq == run2.toSeq)
+  }
+
   test("scriptMix: dominance labels per script class, latin wins ties, none on unscripted") {
     val docs = Seq(
       ("en", "Hello world 42"), ("zh", "中文 样本"), ("ru", "русский текст"),
