@@ -153,6 +153,7 @@ object SparkEntry {
     "evt_funnel_windowed" -> (Suite.evtFunnelWindowed _),
     "evt_audience_overlap" -> (Suite.evtAudienceOverlap _),
     "text_topics_lda" -> (Suite.textTopicsLda _),
+    "rel_fpgrowth" -> (Suite.relFpgrowth _),
     // dedup (§2b rows 20-23)
     "dedup_exact" -> (Suite.dedupExact _),
     "dedup_bloom" -> (Suite.dedupBloom _),

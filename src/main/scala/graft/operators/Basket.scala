@@ -29,7 +29,7 @@ object Basket {
     * dimension broadcast. coPurchase / assocRules / frequentTriples all
     * start here; the persist covers each caller's multiple consumers
     * (total + singles + the explode passes). */
-  private def brandBaskets(lineitem: DataFrame, part: DataFrame): DataFrame =
+  private[operators] def brandBaskets(lineitem: DataFrame, part: DataFrame): DataFrame =
     lineitem.select(col("l_orderkey").as("okey"), col("l_partkey"))
       .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
         col("l_partkey") === col("p_partkey"))

@@ -20,10 +20,36 @@ import org.apache.spark.sql.functions._
   * driver-side vocabulary loop).
   *
   * Registered rows-only: topic-term weights are iterative float
-  * estimates with no cross-engine twin; the spec pins determinism
-  * (fixed seed) and separation on a planted two-vocabulary corpus.
+  * estimates with no cross-engine twin; the spec pins stable topic
+  * membership and separation on a planted two-vocabulary corpus
+  * (within-topic rank order can flip on float-aggregation-order noise
+  * when term weights tie exactly).
   */
 object Topics {
+
+  /** Frequent itemsets of ANY size via MLlib FPGrowth — the general-k
+    * miner past `Basket`'s bounded pair/triple explodes (those cap the
+    * itemset arity by construction; FP-growth's conditional-tree
+    * recursion does not). Deterministic: FP-growth enumerates the
+    * exact frequent-itemset lattice, no sampling — so the counts are
+    * true support counts, cross-checked in the spec against the SQL
+    * pair counts. Registered rows-only because arbitrary-arity itemset
+    * enumeration has no tractable SQL twin.
+    *
+    * Scale shape: the same single-shuffle basket fold feeds FPGrowth's
+    * parallel conditional trees (each partition mines its projected
+    * prefix trees; only itemset counts shuffle). */
+  def fpGrowth(lineitem: DataFrame, part: DataFrame, minSupport: Double = 0.02): DataFrame = {
+    import org.apache.spark.ml.fpm.FPGrowth
+    val baskets = Basket.brandBaskets(lineitem, part)
+    val model = new FPGrowth()
+      .setItemsCol("brands").setMinSupport(minSupport).setMinConfidence(0.5)
+      .fit(baskets)
+    model.freqItemsets
+      .select(concat_ws(",", array_sort(col("items"))).as("itemset"),
+        size(col("items")).cast("long").as("arity"), col("freq"))
+      .orderBy("arity", "itemset")
+  }
 
   def topicsLda(docs: DataFrame, k: Int = 4, vocabSize: Int = 2000,
                 maxIter: Int = 30, topTerms: Int = 8): DataFrame = {

@@ -1235,7 +1235,7 @@ object Suite {
     Events.audienceOverlap(t(s, dir, "events"))
 
   /** Rows-only (iterative float estimates have no DuckDB twin);
-    * TextOpsSpec pins seed-determinism and planted-topic separation.
+    * TextOpsSpec pins stable topic membership and planted-topic separation.
     * Topics are estimated over a deterministic 4/16 hash sample — the
     * production shape (topic discovery runs on a sample; only the
     * cheap assignment pass would ever see the full corpus). */
@@ -1243,6 +1243,11 @@ object Suite {
     Topics.topicsLda(
       Mixture.hashSample(t(s, dir, "documents"), col("doc_id"), 4),
       maxIter = 15)
+
+  /** Rows-only (arbitrary-arity itemsets have no tractable SQL twin);
+    * FrequentSpec cross-checks the pair tier against exact counts. */
+  def relFpgrowth(s: SparkSession, dir: String): DataFrame =
+    Topics.fpGrowth(t(s, dir, "lineitem"), t(s, dir, "part"))
 
   /** Epoch plan for a lang mixture (en 0.5, others 0.125 — exact
     * binary weights) against a 500k-token budget. */

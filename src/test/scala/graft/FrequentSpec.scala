@@ -103,6 +103,20 @@ class FrequentSpec extends SparkTestBase {
       ("Y", "X", 2L, 0.6667, 1.1111, 1.2)))
   }
 
+  test("fpGrowth: itemset counts agree with the exact pair/triple algebra") {
+    // baskets o1,o2: {X,Y,Z}; o3: {X,Y}; o4: {X} (the triples fixture)
+    val li = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L), (2L, 3L),
+      (3L, 1L), (3L, 2L), (4L, 1L)).toDF("l_orderkey", "l_partkey")
+    val part = Seq((1L, "X"), (2L, "Y"), (3L, "Z")).toDF("p_partkey", "p_brand")
+    val out = graft.operators.Topics.fpGrowth(li, part, minSupport = 0.5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // support >= 2 of 4 baskets: X:4 Y:3 Z:2, XY:3 XZ:2 YZ:2, XYZ:2
+    assert(out == Seq(
+      ("X", 1L, 4L), ("Y", 1L, 3L), ("Z", 1L, 2L),
+      ("X,Y", 2L, 3L), ("X,Z", 2L, 2L), ("Y,Z", 2L, 2L),
+      ("X,Y,Z", 3L, 2L)))
+  }
+
   test("cohortLtv: cumulative per-customer revenue by cohort age, exact cents") {
     // cohort 2024-01 = {c1, c2}: age0 rev $40 → ltv 20.00, age1 +$20 →
     // cum $60, ltv 30.00; cohort 2024-02 = {c3}: $5 → ltv 5.00
