@@ -154,6 +154,7 @@ object SparkEntry {
     "evt_audience_overlap" -> (Suite.evtAudienceOverlap _),
     "text_topics_lda" -> (Suite.textTopicsLda _),
     "rel_fpgrowth" -> (Suite.relFpgrowth _),
+    "evt_quantiles_kll" -> (Suite.evtQuantilesKll _),
     // dedup (§2b rows 20-23)
     "dedup_exact" -> (Suite.dedupExact _),
     "dedup_bloom" -> (Suite.dedupBloom _),

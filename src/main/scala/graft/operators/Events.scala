@@ -678,6 +678,33 @@ object Events {
       .orderBy("type_a", "type_b")
   }
 
+  /** Per-type value quantiles via mergeable KLL sketches — the
+    * monitoring readout (p50/p90/p99 latency-style percentiles) whose
+    * exact form needs a per-group sort that stops scaling. Each
+    * partition folds values into a ~few-KB sketch (map-side partials,
+    * bounded rank error ~1.65% at k=200); the rank queries run on the
+    * type-domain sketch table (the theta-overlap precedent). Rows-only:
+    * sketch quantiles have no cross-engine twin; the spec bounds them
+    * against exact percentiles by rank error. */
+  def valueQuantilesKll(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftext.KllSketchAgg
+    val spark = events.sparkSession
+    val sk = events.groupBy("event_type")
+      .agg(KllSketchAgg.kllSketch(col("value")).as("sk"))
+      .collect() // bounded: event-type domain
+      .map(r => (r.getString(0), r.getAs[Array[Byte]](1)))
+      .sortBy(_._1)
+    val rows = sk.map { case (t, bytes) =>
+      (t, KllSketchAgg.count(bytes),
+        KllSketchAgg.quantile(bytes, 0.5),
+        KllSketchAgg.quantile(bytes, 0.9),
+        KllSketchAgg.quantile(bytes, 0.99))
+    }
+    import spark.implicits._
+    rows.toSeq.toDF("event_type", "n", "p50", "p90", "p99")
+      .orderBy("event_type")
+  }
+
   /** Bot/automation detection by inter-arrival regularity: a client
     * firing on a timer has near-zero coefficient of variation in its
     * event gaps, where organic traffic is bursty (cv ≈ 1 for

@@ -1249,6 +1249,11 @@ object Suite {
   def relFpgrowth(s: SparkSession, dir: String): DataFrame =
     Topics.fpGrowth(t(s, dir, "lineitem"), t(s, dir, "part"))
 
+  /** Rows-only (sketch quantiles have no cross-engine twin);
+    * EventsSpec bounds the estimates against exact percentiles. */
+  def evtQuantilesKll(s: SparkSession, dir: String): DataFrame =
+    Events.valueQuantilesKll(t(s, dir, "events"))
+
   /** Epoch plan for a lang mixture (en 0.5, others 0.125 — exact
     * binary weights) against a 500k-token budget. */
   def mixEpochPlan(s: SparkSession, dir: String): DataFrame =

@@ -473,6 +473,28 @@ class EventsSpec extends SparkTestBase {
       (1L, 1L, 7.0, 0.875), (2L, 1L, 7.0, 0.7778), (3L, 1L, 7.0, 0.7)))
   }
 
+  test("valueQuantilesKll: sketch percentiles stay within KLL rank-error of exact") {
+    val ev = Tables.t(spark, sfDir, "events")
+    val got = Events.valueQuantilesKll(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.nonEmpty)
+    import org.apache.spark.sql.functions._
+    val exact = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(value, array(0.47, 0.53, 0.87, 0.93, 0.96, 1.0))").as("p"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getSeq[Double](2)))).toMap
+    got.foreach { case (t, n, p50, p90, p99) =>
+      val (en, ps) = exact(t)
+      assert(n == en)
+      // KLL rank error at k=200 is ~1.65%; a value at estimated rank r
+      // must lie between the exact quantiles at r ∓ 3% (safety margin)
+      assert(p50 >= ps(0) && p50 <= ps(1), s"$t p50 $p50 outside [${ps(0)}, ${ps(1)}]")
+      assert(p90 >= ps(2) && p90 <= ps(3), s"$t p90 $p90 outside [${ps(2)}, ${ps(3)}]")
+      assert(p99 >= ps(4) && p99 <= ps(5), s"$t p99 $p99 outside [${ps(4)}, ${ps(5)}]")
+    }
+  }
+
   test("audienceOverlap: theta intersections are exact at spec scale") {
     // A users 1..10, B users 6..15 (overlap 5, union 15, j=0.3333),
     // C user 100 only (disjoint from both)
