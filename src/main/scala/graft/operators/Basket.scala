@@ -132,7 +132,9 @@ object Basket {
     val o = orders.select(col("o_custkey"),
       (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m"),
       floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
-    val first = o.groupBy("o_custkey").agg(min("m").as("m0"))
+    // customer-dimension-sized; two consumers (cohort sizes + the tag
+    // join), so persist rather than re-scan orders for each
+    val first = o.groupBy("o_custkey").agg(min("m").as("m0")).persist()
     val cohortSize = first.groupBy("m0").agg(count(lit(1)).as("n_customers"))
     val cells = o.join(first, Seq("o_custkey"))
       .select(col("m0"), (col("m") - col("m0")).cast("long").as("age_months"), col("cents"))

@@ -313,13 +313,18 @@ object Events {
     * portable floor. */
   def funnelWindowed(events: DataFrame, windowHours: Int = 48): DataFrame = {
     val wUs = windowHours.toLong * 3600L * 1000000L
+    // each stage table feeds the next join AND its own count row —
+    // persist the (user-dimension-sized) stages so neither consumer
+    // re-scans the event log
     val s1 = events.filter(col("event_type") === "signup")
       .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("t1"))
+      .persist()
     val s2 = events.filter(col("event_type") === "click")
       .select(col("user_id"), unix_micros(col("ts")).as("cus"))
       .join(s1, "user_id")
       .filter(col("cus") > col("t1") && col("cus") <= col("t1") + wUs)
       .groupBy("user_id").agg(min("cus").as("t2"), min("t1").as("t1"))
+      .persist()
     val s3 = events.filter(col("event_type") === "purchase")
       .select(col("user_id"), unix_micros(col("ts")).as("pus"))
       .join(s2, "user_id")

@@ -436,12 +436,13 @@ object Relational {
     val li = t(s, dir, "lineitem")
       .select(col("l_extendedprice").as("price"), col("l_orderkey"), col("l_linenumber"))
       .withColumn("bkt", floor(col("price") / 1000.0).cast("long"))
-    val counts = li.groupBy("bkt").agg(count(lit(1)).as("cnt"))
+    val counts = li.groupBy("bkt").agg(count(lit(1)).as("cnt")).persist()
     // prefix over the coarse grid only — price-domain-sized, not corpus-sized
     val wPrefix = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
     val offsets = counts.select(col("bkt"),
       coalesce(sum(col("cnt")).over(wPrefix), lit(0L)).as("off"))
-    val total = li.agg(count(lit(1)).as("n_total"))
+    // the total is the grid counts summed — no third corpus scan
+    val total = counts.agg(sum("cnt").as("n_total"))
     val wIn = Window.partitionBy("bkt")
       .orderBy(col("price"), col("l_orderkey"), col("l_linenumber"))
     val ranked = li.join(broadcast(offsets), Seq("bkt"))
