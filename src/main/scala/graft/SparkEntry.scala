@@ -155,6 +155,7 @@ object SparkEntry {
     "text_topics_lda" -> (Suite.textTopicsLda _),
     "rel_fpgrowth" -> (Suite.relFpgrowth _),
     "evt_quantiles_kll" -> (Suite.evtQuantilesKll _),
+    "maint_branch" -> (Suite.maintBranch _),
     // dedup (§2b rows 20-23)
     "dedup_exact" -> (Suite.dedupExact _),
     "dedup_bloom" -> (Suite.dedupBloom _),
@@ -2203,6 +2204,22 @@ object SparkEntry {
         |  JOIN t tb ON tb.event_type = pr.type_b
         |  LEFT JOIN ov ON ov.type_a = pr.type_a AND ov.type_b = pr.type_b
         |ORDER BY pr.type_a, pr.type_b""".stripMargin,
+    // the three refs replayed as pure unions: main diverged (base +
+    // %3=1), branch head and published main (base + %3=2)
+    "maint_branch" ->
+      """WITH base AS (SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 3 = 0),
+        |ma AS (SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 3 = 1),
+        |st AS (SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 3 = 2),
+        |u AS (
+        |  SELECT '1_main_diverged' AS ref, o_orderstatus, o_totalprice FROM base
+        |  UNION ALL SELECT '1_main_diverged', o_orderstatus, o_totalprice FROM ma
+        |  UNION ALL SELECT '2_branch_head', o_orderstatus, o_totalprice FROM base
+        |  UNION ALL SELECT '2_branch_head', o_orderstatus, o_totalprice FROM st
+        |  UNION ALL SELECT '3_published', o_orderstatus, o_totalprice FROM base
+        |  UNION ALL SELECT '3_published', o_orderstatus, o_totalprice FROM st)
+        |SELECT ref, o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM u GROUP BY ref, o_orderstatus ORDER BY ref, o_orderstatus""".stripMargin,
     // MMR greedy rounds unrolled; penalty weight written (1.0 - 0.7) to
     // match Spark's lit(1.0 - lam) bit-for-bit
     "sim_mmr" -> mmrSql(10, 20, 5),

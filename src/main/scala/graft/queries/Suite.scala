@@ -848,6 +848,29 @@ object Suite {
     }.reduce(_.unionByName(_)).select("version", "n_rows", "total").orderBy("version")
   }
 
+  /** Write-audit-publish on a branch: main diverges while the staged
+    * slice commits to an `audit` branch; publishing fast-forwards main
+    * to the branch head WITHOUT touching the diverged version (still
+    * readable via time travel). The three refs' grouped totals are
+    * hash-checked as one unit against a pure-SQL replay. */
+  def maintBranch(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{Export, Snapshots}
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val root = Export.tempDir("branch_").toString + "/t"
+    val v1 = Snapshots.append(o.filter(col("o_orderkey") % 3 === 0), root)
+    Snapshots.createBranch(root, "audit", v1)
+    val vMain = Snapshots.append(o.filter(col("o_orderkey") % 3 === 1), root)
+    Snapshots.appendToBranch(o.filter(col("o_orderkey") % 3 === 2), root, "audit")
+    Snapshots.publishBranch(root, "audit")
+    def agg(df: DataFrame, ref: String): DataFrame =
+      df.groupBy(lit(ref).as("ref"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+    agg(Snapshots.readAs(s, root, vMain), "1_main_diverged")
+      .unionByName(agg(Snapshots.readBranch(s, root, "audit"), "2_branch_head"))
+      .unionByName(agg(Snapshots.readLatest(s, root), "3_published"))
+      .orderBy("ref", "o_orderstatus")
+  }
+
   /** v1 appends orders WITHOUT the priority column; v2 appends a slice
     * WITH it — the merged read sees the union schema, v1 rows NULL. */
   def maintSchemaEvo(s: SparkSession, dir: String): DataFrame = {

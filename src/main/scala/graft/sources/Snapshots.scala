@@ -165,4 +165,89 @@ object Snapshots {
     dropped.foreach(v => Files.delete(manifestPath(root, v)))
     (victims.size, dropped.size)
   }
+
+  // --- branches (write-audit-publish) -------------------------------------
+  // A branch is its own manifest chain under _manifests/branch-<name>/,
+  // with data batches namespaced data/<name>_b%05d — the main chain is
+  // never touched by branch commits, which is the whole point: stage
+  // writes on a branch, audit them, then PUBLISH by fast-forwarding
+  // main to the branch head (a metadata-only commit, Iceberg's WAP
+  // recipe). Branch creation is metadata-only too (the first branch
+  // manifest lists the fork version's files).
+
+  private def branchDir(root: String, name: String): Path =
+    Paths.get(root, "_manifests", s"branch-$name")
+
+  private def branchManifestPath(root: String, name: String, v: Int): Path =
+    branchDir(root, name).resolve(f"v$v%05d.manifest")
+
+  /** Committed branch versions, ascending (empty if the branch doesn't
+    * exist). */
+  def branchVersions(root: String, name: String): Seq[Int] = {
+    val d = branchDir(root, name)
+    if (!Files.isDirectory(d)) return Seq.empty
+    val s = Files.list(d)
+    try s.iterator.asScala.map(_.getFileName.toString)
+      .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
+        n.stripPrefix("v").stripSuffix(".manifest").toInt }
+      .toSeq.sorted
+    finally s.close()
+  }
+
+  private def branchFiles(root: String, name: String, v: Int): Seq[String] = {
+    val p = branchManifestPath(root, name, v)
+    require(Files.exists(p), s"no branch '$name' v$v under $root")
+    Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty)
+  }
+
+  private def commitBranchManifest(root: String, name: String, v: Int,
+                                   rel: Seq[String]): Int = {
+    Files.createDirectories(branchDir(root, name))
+    val tmp = Files.createTempFile(branchDir(root, name), s"v$v-", ".tmp")
+    Files.writeString(tmp, rel.mkString("", "\n", "\n"))
+    Files.move(tmp, branchManifestPath(root, name, v), StandardCopyOption.ATOMIC_MOVE)
+    v
+  }
+
+  /** Fork a branch at main's `fromVersion` — metadata-only (the branch
+    * head starts as that version's exact file list). */
+  def createBranch(root: String, name: String, fromVersion: Int): Int = {
+    require(branchVersions(root, name).isEmpty, s"branch '$name' already exists")
+    require(!name.contains("/") && name.nonEmpty, s"bad branch name '$name'")
+    commitBranchManifest(root, name, 1, files(root, fromVersion))
+  }
+
+  /** Append `df` to the branch head — main's chain is untouched. */
+  def appendToBranch(df: DataFrame, root: String, name: String): Int = {
+    val prev = branchVersions(root, name)
+    require(prev.nonEmpty, s"no branch '$name' under $root")
+    val v = prev.last + 1
+    val batchRel = f"data/${name}_b$v%05d"
+    df.write.mode("errorifexists").parquet(s"$root/$batchRel")
+    val s = Files.list(Paths.get(root, "data", f"${name}_b$v%05d"))
+    val fresh =
+      try s.iterator.asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toSeq.sorted.map(n => s"$batchRel/$n")
+      finally s.close()
+    commitBranchManifest(root, name, v, branchFiles(root, name, prev.last) ++ fresh)
+  }
+
+  /** Read the branch head. */
+  def readBranch(spark: SparkSession, root: String, name: String): DataFrame = {
+    val vs = branchVersions(root, name)
+    require(vs.nonEmpty, s"no branch '$name' under $root")
+    spark.read.option("mergeSchema", "true")
+      .parquet(branchFiles(root, name, vs.last).map(rel => s"$root/$rel"): _*)
+  }
+
+  /** PUBLISH: fast-forward main to the branch head — a metadata-only
+    * main-chain commit listing the branch head's files. Main history
+    * stays intact (time travel across the publish works); the branch
+    * can keep evolving or be forgotten. */
+  def publishBranch(root: String, name: String): Int = {
+    val vs = branchVersions(root, name)
+    require(vs.nonEmpty, s"no branch '$name' under $root")
+    val v = versions(root).lastOption.getOrElse(0) + 1
+    commitManifest(root, v, branchFiles(root, name, vs.last))
+  }
 }

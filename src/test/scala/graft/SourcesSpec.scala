@@ -96,6 +96,29 @@ class SourcesSpec extends SparkTestBase {
     assert(Snapshots.files(root, 3) == Snapshots.files(root, 1)) // no data moved
   }
 
+  test("snapshots: branch commits never touch main; publish fast-forwards metadata-only") {
+    import graft.sources.Snapshots
+    val root = Export.tempDir("snapbr_").toString + "/t"
+    val v1 = Snapshots.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root)
+    assert(Snapshots.createBranch(root, "wap", v1) == 1)
+    Snapshots.append(Seq((3L, "m")).toDF("id", "v"), root)          // main diverges
+    Snapshots.appendToBranch(Seq((4L, "s")).toDF("id", "v"), root, "wap")
+    // isolation both ways
+    assert(Snapshots.readLatest(spark, root).collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    assert(Snapshots.readBranch(spark, root, "wap").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
+    // publish: metadata-only fast-forward — no new data directories,
+    // main now reads the branch head, the diverged version still
+    // time-travels
+    val dataDirsBefore = new java.io.File(s"$root/data").list().sorted.toSeq
+    Snapshots.publishBranch(root, "wap")
+    val dataDirsAfter = new java.io.File(s"$root/data").list().sorted.toSeq
+    assert(dataDirsBefore == dataDirsAfter)
+    assert(Snapshots.readLatest(spark, root).collect().map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
+    assert(Snapshots.readAs(spark, root, 2).collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    // double-create refuses
+    intercept[IllegalArgumentException] { Snapshots.createBranch(root, "wap", v1) }
+  }
+
   test("snapshots: vacuum reclaims unreferenced files; added columns merge") {
     import graft.sources.Snapshots
     val root = Export.tempDir("snapvac_").toString + "/t"
