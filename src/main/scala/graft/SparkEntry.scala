@@ -156,6 +156,7 @@ object SparkEntry {
     "rel_fpgrowth" -> (Suite.relFpgrowth _),
     "evt_quantiles_kll" -> (Suite.evtQuantilesKll _),
     "maint_branch" -> (Suite.maintBranch _),
+    "stream_quantiles" -> (Suite.streamQuantiles _),
     // dedup (§2b rows 20-23)
     "dedup_exact" -> (Suite.dedupExact _),
     "dedup_bloom" -> (Suite.dedupBloom _),

@@ -1050,6 +1050,12 @@ object Suite {
   def streamDedup(s: SparkSession, dir: String): DataFrame =
     graft.streaming.EventStream.dedupedLangCounts(s, s"$dir/documents.parquet")
 
+  /** Rows-only: KLL compaction is insertion-order-dependent, so the
+    * streaming sketch differs from the batch one WITHIN the shared
+    * rank-error bound — EventsSpec asserts exactly that. */
+  def streamQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.quantilesStream(s, s"$dir/events.parquet")
+
   /** Stream-static enrichment drained over the static events table: the
     * event stream joins a broadcast event-type dimension per micro-batch
     * and counts per enriched group; oracle is the equivalent batch CASE

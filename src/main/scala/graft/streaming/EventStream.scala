@@ -134,6 +134,33 @@ object EventStream {
     DataQuality.psiFromCounts(counts, nb, threshold)
   }
 
+  /** Streaming percentiles: the KLL quantile sketch AS STREAMING STATE —
+    * each micro-batch folds its values into the per-type sketch held by
+    * the aggregation state store (TypedImperativeAggregate buffers
+    * serialize into the state row), so a live pipeline answers
+    * p50/p90/p99 with BOUNDED per-key memory forever — the streaming
+    * twin of [[graft.operators.Events.valueQuantilesKll]], and the
+    * reason mergeable sketches exist. Complete mode; the drained
+    * type-domain sketch table decodes driver-side (bytes per type).
+    * Rows-only: KLL compaction is insertion-order-dependent, so stream
+    * and batch sketches differ within the shared rank-error bound —
+    * which is exactly what the spec asserts. */
+  def quantilesStream(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.graftext.KllSketchAgg
+    val drained = runToMemory(spark,
+      source(spark, path).groupBy("event_type")
+        .agg(KllSketchAgg.kllSketch(col("value")).as("sk")),
+      "complete")
+    val sk = drained.collect() // bounded: event-type domain
+      .map(r => (r.getString(0), r.getAs[Array[Byte]](1))).sortBy(_._1)
+    val rows = sk.map { case (t, b) =>
+      (t, KllSketchAgg.count(b), KllSketchAgg.quantile(b, 0.5),
+        KllSketchAgg.quantile(b, 0.9), KllSketchAgg.quantile(b, 0.99))
+    }
+    import spark.implicits._
+    rows.toSeq.toDF("event_type", "n", "p50", "p90", "p99").orderBy("event_type")
+  }
+
   /** Stream-stream join: two live streams (purchases and clicks split
     * from the same source) joined per user within a bounded event-time
     * interval — click at most `hours` before the purchase. BOTH sides

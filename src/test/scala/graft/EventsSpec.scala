@@ -495,6 +495,25 @@ class EventsSpec extends SparkTestBase {
     }
   }
 
+  test("streaming KLL quantiles land within rank-error of exact, like the batch twin") {
+    val got = graft.streaming.EventStream
+      .quantilesStream(spark, s"$sfDir/events.parquet").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.nonEmpty)
+    import org.apache.spark.sql.functions._
+    val exact = Tables.t(spark, sfDir, "events").groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(value, array(0.47, 0.53, 0.87, 0.93, 0.96, 1.0))").as("p"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getSeq[Double](2)))).toMap
+    got.foreach { case (t, n, p50, p90, p99) =>
+      val (en, ps) = exact(t)
+      assert(n == en)
+      assert(p50 >= ps(0) && p50 <= ps(1), s"$t p50 $p50 outside [${ps(0)}, ${ps(1)}]")
+      assert(p90 >= ps(2) && p90 <= ps(3), s"$t p90 $p90 outside [${ps(2)}, ${ps(3)}]")
+      assert(p99 >= ps(4) && p99 <= ps(5), s"$t p99 $p99 outside [${ps(4)}, ${ps(5)}]")
+    }
+  }
+
   test("audienceOverlap: theta intersections are exact at spec scale") {
     // A users 1..10, B users 6..15 (overlap 5, union 15, j=0.3333),
     // C user 100 only (disjoint from both)
