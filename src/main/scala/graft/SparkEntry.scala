@@ -81,6 +81,7 @@ object SparkEntry {
     "text_perplexity" -> (Suite.textPerplexity _),
     "text_ppl_buckets" -> (Suite.textPplBuckets _),
     "text_bigram_ce" -> (Suite.textBigramCe _),
+    "text_hashed_lr" -> (Suite.textHashedLr _),
     "text_gopher" -> (Suite.textGopher _),
     "text_line_dedup" -> (Suite.textLineDedup _),
     "text_pack" -> (Suite.textPack _),
@@ -93,6 +94,7 @@ object SparkEntry {
     "pipeline_curate" -> (Suite.pipelineCurate _),
     "maint_compact" -> (Suite.maintCompact _),
     "maint_cluster" -> (Suite.maintCluster _),
+    "maint_bloom_skip" -> (Suite.maintBloomSkip _),
     "maint_zorder" -> (Suite.maintZorder _),
     "q16_sql" -> (Suite.sqlTpchQ5 _),
     "sim_centroids" -> (Suite.simCentroids _),
@@ -142,6 +144,8 @@ object SparkEntry {
     "dq_skew" -> (Suite.dqSkew _),
     "sim_cluster_purity" -> (Suite.simClusterPurity _),
     "dq_ldiversity" -> (Suite.dqLdiversity _),
+    "dq_tcloseness" -> (Suite.dqTcloseness _),
+    "dq_dp_counts" -> (Suite.dqDpCounts _),
     "rel_triples" -> (Suite.relTriples _),
     "mix_dedup_weight" -> (Suite.mixDedupWeight _),
     "evt_rolling_distinct_hll" -> (Suite.evtRollingDistinctHll _),
@@ -205,6 +209,7 @@ object SparkEntry {
     "evt_attribution" -> (Suite.evtAttribution _),
     "dedup_keep_best" -> (Suite.dedupKeepBest _),
     "graph_pagerank" -> (Suite.graphPagerank _),
+    "graph_label_prop" -> (Suite.graphLabelProp _),
     "graph_triangles" -> (Suite.graphTriangles _),
     "graph_khops" -> (Suite.graphKhops _),
     "text_bm25" -> (Suite.textBm25 _),
@@ -258,6 +263,30 @@ object SparkEntry {
       s"""
          |SELECT node, round(rank * nn.n, 4) AS rank_norm
          |FROM r$iters CROSS JOIN nn ORDER BY node""".stripMargin
+  }
+
+  /** Unrolled label-propagation oracle — the same synchronous
+    * mode-with-min-tie-break rounds as Graph.labelPropagation, chained
+    * CTEs per the PageRank precedent (integer counts and integer
+    * labels: no float ever decides a community, so the match is
+    * exact). */
+  private def labelPropSql(iters: Int): String = {
+    val head =
+      """WITH cs AS (SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE l_quantity >= 45.0),
+        |e AS (SELECT src, dst FROM cs UNION SELECT dst, src FROM cs),
+        |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e)""".stripMargin
+    val its = (1 to iters).map { k =>
+      s""",
+         |c$k AS (SELECT e.dst AS node, l.label, count(*) AS cnt
+         |  FROM e JOIN l${k - 1} l ON l.node = e.src GROUP BY 1, 2),
+         |l$k AS (SELECT node, label FROM (
+         |  SELECT node, label, row_number() OVER (
+         |    PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn FROM c$k) q
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString
+    head + its + s"\nSELECT node, label FROM l$iters ORDER BY node"
   }
 
   /** Generated MMR oracle: the k greedy selection rounds unrolled as
@@ -614,6 +643,14 @@ object SparkEntry {
     "maint_cluster" ->
       """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // the bloom-pruned read must return every row whose content hash
+    // matches a probe — including duplicate texts under other doc_ids
+    "maint_bloom_skip" ->
+      """WITH probes AS (SELECT md5(text) AS h FROM
+        |  (SELECT text FROM documents WHERE doc_id % 97 = 3
+        |   ORDER BY doc_id LIMIT 5) q)
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE md5(text) IN (SELECT h FROM probes) ORDER BY doc_id""".stripMargin,
     // identical grid + Morton-interleave arithmetic, DuckDB operators
     "maint_zorder" -> {
       val zx = graft.operators.Layout.gridOracleSql("doc_id", "minx", "maxx")
@@ -669,6 +706,25 @@ object SparkEntry {
          | round(avg(-ln(c12 / CAST(c1 AS DOUBLE))), 4) AS bigram_ce
          |FROM b JOIN c12 USING (bigram) JOIN c1 USING (w1)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the hashed-feature weight table replays from md5 on both engines;
+    // the bucket space and the 'w'||id weight derivation are identical
+    "text_hashed_lr" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s0 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 1),
+         |uni AS (SELECT doc_id, unnest(toks) AS gram FROM s0),
+         |bi AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-1),
+         |    i -> toks[i] || ' ' || toks[i+1])) AS gram FROM s0 WHERE len(toks) >= 2),
+         |g AS (SELECT doc_id,
+         |    ('0x' || substr(md5(gram), 1, 8))::BIGINT % 4096 AS bucket
+         |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi) u),
+         |w AS (SELECT range AS bucket,
+         |    ('0x' || substr(md5('w' || range), 1, 8))::BIGINT / 4294967296.0 - 0.5 AS w
+         |  FROM range(4096)),
+         |a AS (SELECT doc_id, count(*) AS n_grams, sum(w.w) AS s
+         |  FROM g JOIN w USING (bucket) GROUP BY doc_id)
+         |SELECT doc_id, n_grams,
+         |  round(1.0 / (1.0 + exp(-s / sqrt(n_grams))), 4) AS score
+         |FROM a ORDER BY doc_id""".stripMargin,
     // every ratio rule compares cross-multiplied BIGINTs, so no float
     // ever decides a rule — the two engines must agree exactly
     "text_gopher" ->
@@ -1221,6 +1277,7 @@ object SparkEntry {
         |WHERE abs((value - mu)/sd) > 3.0
         |ORDER BY event_id""".stripMargin,
     "graph_pagerank" -> pagerankSql(5),
+    "graph_label_prop" -> labelPropSql(5),
     "graph_khops" -> khopsSql(3),
     // triangles: id-ordered enumeration here vs degree-ordered in Spark —
     // the same unordered triangle set either way, each found once
@@ -2017,6 +2074,45 @@ object SparkEntry {
         |  CAST(count(DISTINCT value_tier) AS BIGINT) AS n_sensitive,
         |  count(DISTINCT value_tier) >= 3 AS meets_l
         |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // TVD per class vs the global sensitive distribution; the cell grid
+    // is the FULL class × domain cross (absent values still deviate)
+    "dq_tcloseness" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS BIGINT) AS dow,
+        |    CAST(floor(value / 20.0) AS BIGINT) AS value_tier FROM events),
+        |grid AS (SELECT event_type, dow, value_tier, count(*) AS n
+        |  FROM e GROUP BY 1, 2, 3),
+        |cls AS (SELECT event_type, dow, CAST(sum(n) AS BIGINT) AS class_size
+        |  FROM grid GROUP BY 1, 2),
+        |gdist AS (SELECT value_tier, CAST(sum(n) AS BIGINT) AS g
+        |  FROM grid GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM grid),
+        |cells AS (SELECT c.event_type, c.dow, c.class_size,
+        |    abs(CAST(COALESCE(gr.n, 0) AS DOUBLE) / c.class_size
+        |      - CAST(gl.g AS DOUBLE) / t.total) AS dev
+        |  FROM cls c CROSS JOIN gdist gl CROSS JOIN tot t
+        |  LEFT JOIN grid gr ON gr.event_type = c.event_type
+        |    AND gr.dow = c.dow AND gr.value_tier = gl.value_tier),
+        |agg AS (SELECT event_type, dow, class_size,
+        |    round(0.5 * sum(dev), 4) AS tvd
+        |  FROM cells GROUP BY 1, 2, 3)
+        |SELECT event_type, dow, class_size, tvd, tvd <= 0.2 AS meets_t
+        |FROM agg ORDER BY 1, 2""".stripMargin,
+    // deterministic discrete-Laplace: both engines hash the identical
+    // 'event_type|day|dp1' bytes and replay the same inverse-CDF algebra
+    "dq_dp_counts" ->
+      """WITH e AS (SELECT event_type,
+        |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day FROM events),
+        |c AS (SELECT event_type, day, count(*) AS n_true FROM e GROUP BY 1, 2),
+        |h AS (SELECT event_type, day, n_true,
+        |    md5(event_type || '|' || day || '|dp1') AS hx FROM c),
+        |d AS (SELECT event_type, day, n_true,
+        |    (('0x' || substr(hx, 1, 8))::BIGINT + 0.5) / 4294967296.0 AS u,
+        |    CASE WHEN substr(hx, 9, 1) < '8' THEN 1 ELSE -1 END AS s FROM h)
+        |SELECT event_type, day,
+        |  CAST(GREATEST(0, n_true + s * CAST(floor(ln(u) / -1.0) AS BIGINT))
+        |    AS BIGINT) AS n_noisy
+        |FROM d ORDER BY 1, 2""".stripMargin,
     // three-way lift replays Spark's exact (s/n)/((ca/n)(cb/n)(cc/n))
     // op order on exact integer counts
     "rel_triples" ->

@@ -268,6 +268,76 @@ object DataQuality {
         (col("n_sensitive") >= l).as("meets_l")): _*)
       .orderBy(quasi.map(col): _*)
 
+  /** t-closeness audit — the third rung of the release-privacy ladder
+    * (k-anonymity bounds the crowd size, l-diversity the attribute
+    * variety, t-closeness the attribute DISTRIBUTION): a
+    * quasi-identifier class leaks when its sensitive-attribute
+    * distribution diverges from the table-wide one, even if it is both
+    * large and diverse (a class that is 90% 'high-risk' against a 10%
+    * global base rate tells the attacker plenty). Reports per class the
+    * total-variation distance to the global distribution and a ≤t flag.
+    *
+    * Scale shape: ONE corpus scan folds to the (quasi × sensitive)
+    * grid; class sizes, the global distribution, and the grand total
+    * all derive from that grid, and the deviation cells come from a
+    * domain-sized crossJoin (|classes| × |sensitive domain|) with the
+    * two scalar/domain frames broadcast — nothing corpus-sized after
+    * the first fold. TVD is a float AGGREGATE → round(,4) on both
+    * engines per the oracle-parity rule. */
+  def tCloseness(df: DataFrame, quasi: Seq[String], sensitive: String,
+                 t: Double = 0.2): DataFrame = {
+    val grid = df.groupBy((quasi :+ sensitive).map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .persist() // four consumers: class sizes, global dist, total, cell join
+    val cls = grid.groupBy(quasi.map(col): _*).agg(sum("n").as("class_size"))
+    val glob = grid.groupBy(col(sensitive)).agg(sum("n").as("g"))
+    val tot = grid.agg(sum("n").as("total"))
+    // the FULL class × sensitive-domain grid: a sensitive value absent
+    // from a class still contributes |0 − g/N| to that class's distance
+    val cells = cls.crossJoin(broadcast(glob))
+      .join(grid, quasi :+ sensitive, "left")
+      .withColumn("o", coalesce(col("n"), lit(0L)))
+      .crossJoin(broadcast(tot)) // bounded: 1 row
+      .select(quasi.map(col) ++ Seq(col("class_size"),
+        abs(col("o").cast("double") / col("class_size").cast("double")
+          - col("g").cast("double") / col("total").cast("double")).as("dev")): _*)
+    cells.groupBy((quasi :+ "class_size").map(col): _*)
+      .agg(round(sum("dev") * 0.5, 4).as("tvd"))
+      .select(quasi.map(col) ++ Seq(col("class_size"), col("tvd"),
+        (col("tvd") <= t).as("meets_t")): _*)
+      .orderBy(quasi.map(col): _*)
+  }
+
+  /** Differentially-private group-count release — the two-sided
+    * geometric (discrete Laplace) mechanism on counting queries, the
+    * textbook ε-DP release for histograms. The noise is DERIVED, not
+    * drawn: md5(group key ‖ salt) → 32-bit uniform → inverse-CDF
+    * geometric magnitude ⌊ln(u)/−ε⌋ with the 9th hex digit as the sign,
+    * then the noisy count clamps at 0 (post-processing preserves DP).
+    *
+    * Determinism is the scale property: at 100 TB a task retry or
+    * speculative duplicate re-executes the projection and MUST emit the
+    * same noise (a fresh rand() would make the release
+    * non-reproducible and double-spend the privacy budget across
+    * retries); keyed-hash noise also needs no driver-side RNG state, so
+    * the whole release stays one shuffle (the count) plus a row-local
+    * projection. Production would derive the salt from a rotated secret
+    * per release — the mechanism is identical. Integer output → exact
+    * oracle (DuckDB replays the same md5/ln algebra). */
+  def dpGroupCounts(df: DataFrame, groupCols: Seq[String], eps: Double = 1.0,
+                    salt: String = "dp1"): DataFrame = {
+    val counts = df.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("n_true"))
+    val h = md5(concat_ws("|",
+      groupCols.map(c => col(c).cast("string")) :+ lit(salt): _*))
+    val v = conv(substring(h, 1, 8), 16, 10).cast("long")
+    val u = (v.cast("double") + 0.5) / 4294967296.0 // (0,1), never 0
+    val mag = floor(log(u) / lit(-eps)).cast("long")
+    val sgn = when(substring(h, 9, 1) < "8", lit(1L)).otherwise(lit(-1L))
+    counts.select(groupCols.map(col) :+
+        greatest(lit(0L), col("n_true") + sgn * mag).as("n_noisy"): _*)
+      .orderBy(groupCols.map(col): _*)
+  }
+
   /** Chi-square test of independence between two categorical columns —
     * the standard "are these dimensions correlated?" audit (segment ×
     * status, source × language). Emits the statistic, degrees of

@@ -75,6 +75,49 @@ object Graph {
       .orderBy("node")
   }
 
+  /** Fixed-iteration synchronous label propagation — community
+    * detection as iterated relational algebra: every node starts as its
+    * own community, then each round simultaneously adopts the MODE of
+    * its neighbors' labels (ties → smallest label). Synchronous update
+    * with a deterministic tie-break makes the result a pure function of
+    * the graph — no RNG, no visit order — which is what lets a DuckDB
+    * oracle replay it and what makes reruns/retries reproducible at
+    * scale. Fixed `iters` (asynchronous LPA converges faster but is
+    * order-dependent by construction; bounded rounds is the distributed
+    * trade, as in pageRank above).
+    *
+    * Scale shape per round: one equi-join of the static co-partitioned
+    * edge table against the (node,label) frame, one (node,label) count,
+    * one argmax fold via max_by — two shuffles per round over
+    * edge-sized then node-sized data, lineage truncated by the lazy
+    * localCheckpoint idiom. Labels never collect to the driver. */
+  def labelPropagation(edgesIn: DataFrame, iters: Int = 5): DataFrame = {
+    val spark = edgesIn.sparkSession
+    val und = edgesIn.select(col("src"), col("dst"))
+      .unionAll(edgesIn.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val parts0 = und.persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = parts0.count()
+    val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
+      (nEdges / 100000L).toInt + 1))
+    val edges = parts0.repartition(parts, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+    parts0.unpersist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      labels = edges.join(labels, edges("src") === labels("node"))
+        .groupBy(edges("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("node")
+        .agg(expr("max_by(label, (cnt, -label))").as("label"))
+        .localCheckpoint(false) // lazy: materialized by the next round
+    }
+    edges.unpersist()
+    labels.orderBy("node")
+  }
+
   /** Minimum hop distance from a seed set, bounded at `k` hops — BFS as
     * iterated relational algebra. Each round expands ONLY the newest
     * frontier (nodes first reached last round) through the edge table

@@ -105,6 +105,54 @@ object Layout {
       mx >= lo && mn <= hi
     }
 
+  /** Per-file BLOOM index over an arbitrary expression — the skipping
+    * story min/max zone maps cannot tell: a high-cardinality column
+    * UNCORRELATED with the physical layout (a content hash over a
+    * time-clustered corpus) has every file spanning the whole value
+    * domain, so footer ranges prune nothing, while a per-file bloom
+    * sketch answers "which files might hold THIS value" in O(files)
+    * probes. This is the Iceberg/Parquet bloom-filter idea built from
+    * Spark's own BloomFilterAggregate as an explicit, queryable index
+    * table: (file, n_rows, bloom).
+    *
+    * Scale shape: ONE scan of the table builds every file's sketch in
+    * parallel (grouped TypedImperativeAggregate on `_metadata.file_path`
+    * — partials merge executor-side); sketches are sized from the
+    * footer-only row count (no pre-scan), ~10 bits/row. The index is
+    * file-count-sized — the thing a 100 TB table has thousands of, not
+    * billions — so probing it is a metadata operation, and a false
+    * positive only costs an extra file read, never a wrong row (the
+    * exact predicate re-applies on the survivors). */
+  def bloomFileIndex(spark: SparkSession, dir: String,
+                     key: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.graftext.BloomMembership
+    val nFiles = math.max(1L, ParquetMeta.dirFileCount(dir))
+    val perFile = math.max(1024L, ParquetMeta.dirRowCount(dir) / nFiles)
+    spark.read.parquet(dir)
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        BloomMembership.bloomAgg(xxhash64(key), perFile).as("bloom"))
+  }
+
+  /** The files a point lookup `key ∈ probes` must read, judged from the
+    * bloom index alone. Probing happens DRIVER-side against the
+    * collected index — the coordinator role every table format gives
+    * file pruning — which is bounded because the index is
+    * file-count-sized metadata, not data. `probeHashes` are xxhash64
+    * values of the probe keys (the same hash the index was built on);
+    * the sketches deserialize through the same
+    * `org.apache.spark.util.sketch.BloomFilter` that
+    * BloomFilterAggregate wrote, so probe and build share one bit
+    * layout by construction. */
+  def bloomFilesTouched(index: DataFrame, probeHashes: Seq[Long]): Seq[String] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    index.select(col("file"), col("bloom")).collect().iterator.flatMap { r =>
+      val bf = BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
+      if (probeHashes.exists(bf.mightContainLong)) Some(r.getString(0)) else None
+    }.toSeq.sorted
+  }
+
   /** DuckDB-portable SQL for the same grid + Morton computation (the
     * oracle side of the parity check): `//` integer division and
     * operator shifts instead of Spark's DIV/shiftleft. */

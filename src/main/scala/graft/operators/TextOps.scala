@@ -414,6 +414,44 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Hashed-feature linear scorer — the fastText/Vowpal-Wabbit
+    * inference shape every model-based corpus filter runs at scale:
+    * tokens and token bigrams hash into a FIXED bucket space (hashing
+    * trick — vocabulary-free, so the feature extractor never needs a
+    * driver-side dictionary), each bucket carries a learned weight, a
+    * document's score is the sigmoid of its length-normalized weight
+    * sum. The weight table here derives deterministically from md5 so
+    * the oracle can replay it; a production model broadcast-joins its
+    * trained table through the IDENTICAL plan.
+    *
+    * Scale shape: gram explode is map-side; the weight table is
+    * bucket-count-sized and BROADCAST (score lookup never shuffles the
+    * corpus); the single shuffle is the per-doc aggregation — the floor
+    * for any per-document score. Sigmoid/rounding ride on the
+    * aggregated row. */
+  def hashedLinearScore(docs: DataFrame, spark: org.apache.spark.sql.SparkSession,
+                        buckets: Int = 4096): DataFrame = {
+    val toksD = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 1)
+    val uni = toksD.select(col("doc_id"), explode(col("toks")).as("gram"))
+    val bi = toksD.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))"))
+        .as("gram"))
+    val grams = uni.unionAll(bi).withColumn("bucket",
+      conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long") % buckets)
+    val weights = spark.range(buckets).select(col("id").as("bucket"),
+      (conv(substring(md5(concat(lit("w"), col("id"))), 1, 8), 16, 10).cast("double")
+        / 4294967296.0 - 0.5).as("w"))
+    grams.join(broadcast(weights), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum("w").as("s"))
+      .select(col("doc_id"), col("n_grams"),
+        round(lit(1.0) / (lit(1.0)
+          + exp(-col("s") / sqrt(col("n_grams").cast("double")))), 4).as("score"))
+      .orderBy("doc_id")
+  }
+
   /** Within-document repetition ratio: 1 − distinct/total token k-grams
     * — the boilerplate/spam signal every corpus quality filter computes.
     * Entirely row-local (total = size−k+1 arithmetic, distinct = the

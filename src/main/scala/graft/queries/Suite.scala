@@ -747,6 +747,17 @@ object Suite {
     Graph.pageRank(Graph.tradeEdges(t(s, dir, "orders"), t(s, dir, "lineitem")), iters = 5)
       .select(col("node"), col("rank_norm"))
 
+  /** Five synchronous label-propagation rounds on the high-quantity
+    * slice of the trade graph (the full bipartite graph is dense enough
+    * that sync-LPA degenerates to a global two-coloring — textbook
+    * behavior; the sparse slice fragments into many components, so the
+    * labels are real communities). Oracle = the identical
+    * mode-with-min-tie-break rounds unrolled. */
+  def graphLabelProp(s: SparkSession, dir: String): DataFrame =
+    Graph.labelPropagation(
+      Graph.tradeEdges(t(s, dir, "orders"),
+        t(s, dir, "lineitem").filter(col("l_quantity") >= 45.0)), iters = 5)
+
   /** Data-quality expectation suite over lineitem⋈orders. */
   def dqExpectations(s: SparkSession, dir: String): DataFrame =
     DataQuality.lineitemExpectations(t(s, dir, "lineitem"), t(s, dir, "orders"))
@@ -1386,4 +1397,55 @@ object Suite {
     * the tail languages keep ~50%), i.e. the actual α-sampling story. */
   def mixTemperature(s: SparkSession, dir: String): DataFrame =
     Mixture.temperatureSample(t(s, dir, "documents"), "doc_id", "lang", scale = 4.0)
+
+  /** Model-based quality scoring through the hashing trick — the
+    * learned complement to the rule-based gopher filter. */
+  def textHashedLr(s: SparkSession, dir: String): DataFrame =
+    TextOps.hashedLinearScore(t(s, dir, "documents"), s)
+
+  /** Bloom-index file skipping: the corpus is clustered by doc_id, so
+    * footer min/max on the CONTENT hash prunes nothing — the per-file
+    * bloom index is what answers "which files might hold these five
+    * document hashes". The require proves files were actually skipped;
+    * the oracle proves the pruned read still returns every matching row
+    * (including exact-duplicate texts living under OTHER doc_ids). */
+  def maintBloomSkip(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Layout
+    val docs = t(s, dir, "documents")
+    val dest = Export.tempDir("graft_bloomskip_").toString + "/d"
+    Layout.clusterWrite(docs, "doc_id", dest, 16)
+    val idx = Layout.bloomFileIndex(s, dest, md5(col("text"))).persist()
+    val probeRows = docs.filter(col("doc_id") % 97 === 3)
+      .orderBy("doc_id").limit(5)
+      .select(md5(col("text")).as("h"), xxhash64(md5(col("text"))).as("hh"))
+      .collect()
+    val probes = probeRows.map(_.getString(0)).toSeq
+    val files = Layout.bloomFilesTouched(idx, probeRows.map(_.getLong(1)).toSeq)
+    val total = idx.count()
+    require(files.nonEmpty && files.size < total,
+      s"bloom skipping must prune files: ${files.size} of $total touched")
+    s.read.parquet(files: _*)
+      .filter(md5(col("text")).isInCollection(probes))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** t-closeness over the same quasi/sensitive framing as the
+    * k-anonymity and l-diversity audits — the three run as a ladder on
+    * one release candidate. */
+  def dqTcloseness(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("event_type"),
+      (dayofweek(col("ts")) - 1).cast("long").as("dow"),
+      floor(col("value") / 20.0).cast("long").as("value_tier"))
+    DataQuality.tCloseness(ev, Seq("event_type", "dow"), "value_tier", t = 0.2)
+  }
+
+  /** ε=1 DP release of the daily event-type activity histogram; the day
+    * rides as a yyyy-MM-dd STRING so the md5-keyed noise hashes the
+    * identical bytes on both engines. */
+  def dqDpCounts(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("event_type"),
+      date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    DataQuality.dpGroupCounts(ev, Seq("event_type", "day"), eps = 1.0)
+  }
 }

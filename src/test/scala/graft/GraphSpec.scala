@@ -90,4 +90,27 @@ class GraphSpec extends SparkTestBase {
     val e = Graph.tradeEdges(orders, li).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(e == Set((14L, 7L), (7L, 14L))) // cust 7→14 (even), supp 3→7 (odd)
   }
+
+  test("labelPropagation recovers the two cliques of a barbell graph") {
+    // cliques {0..4} and {10..14}, one bridge 4–10: mode-of-neighbors
+    // keeps each clique on its own min label; the bridge can't flip a
+    // node that hears 4 clique votes against 1
+    def clique(ids: Seq[Long]) = for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(0L to 4L) ++ clique(10L to 14L) :+ ((4L, 10L)))
+      .toDF("src", "dst")
+    val out = Graph.labelPropagation(edges, iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 4L).map(out).toSet.size == 1, "left clique must agree on one label")
+    assert((10L to 14L).map(out).toSet.size == 1, "right clique must agree on one label")
+    assert(out(0L) != out(10L), "the two cliques must be distinct communities")
+  }
+
+  test("labelPropagation is deterministic under ties (smallest label wins)") {
+    // a 4-cycle: every node has two neighbors with equal counts each
+    // round — the min tie-break must pick the smaller label both runs
+    val cyc = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)).toDF("src", "dst")
+    val a = Graph.labelPropagation(cyc, iters = 4).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = Graph.labelPropagation(cyc, iters = 4).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a == b)
+  }
 }

