@@ -146,6 +146,9 @@ object SparkEntry {
     "dq_ldiversity" -> (Suite.dqLdiversity _),
     "dq_tcloseness" -> (Suite.dqTcloseness _),
     "dq_dp_counts" -> (Suite.dqDpCounts _),
+    "dq_outlier_mad" -> (Suite.dqOutlierMad _),
+    "evt_cusum" -> (Suite.evtCusum _),
+    "text_cms_verified" -> (Suite.textCmsVerified _),
     "rel_triples" -> (Suite.relTriples _),
     "mix_dedup_weight" -> (Suite.mixDedupWeight _),
     "evt_rolling_distinct_hll" -> (Suite.evtRollingDistinctHll _),
@@ -158,6 +161,7 @@ object SparkEntry {
     "evt_audience_overlap" -> (Suite.evtAudienceOverlap _),
     "text_topics_lda" -> (Suite.textTopicsLda _),
     "rel_fpgrowth" -> (Suite.relFpgrowth _),
+    "rel_prefixspan" -> (Suite.relPrefixspan _),
     "evt_quantiles_kll" -> (Suite.evtQuantilesKll _),
     "maint_branch" -> (Suite.maintBranch _),
     "stream_quantiles" -> (Suite.streamQuantiles _),
@@ -176,6 +180,7 @@ object SparkEntry {
     "sim_quant_topk" -> (Suite.simQuantTopk _),
     "sim_pq_topk" -> (Suite.simPqTopk _),
     "sim_ann_lsh" -> (Suite.simAnnLsh _),
+    "sim_recall_at_k" -> (Suite.simRecallAtK _),
     "dedup_embedding" -> (Suite.dedupEmbedding _),
     "dedup_clusters" -> (Suite.dedupClusters _),
     "dedup_clusters_verified" -> (Suite.dedupClustersVerified _),
@@ -2074,6 +2079,68 @@ object SparkEntry {
         |  CAST(count(DISTINCT value_tier) AS BIGINT) AS n_sensitive,
         |  count(DISTINCT value_tier) >= 3 AS meets_l
         |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // double-literal (e-notation) threshold arithmetic keeps DuckDB out
+    // of DECIMAL math (the pagerank precedent); exact medians via
+    // quantile_cont ≡ Spark percentile (the q13 bridge)
+    "dq_outlier_mad" ->
+      """WITH e AS (SELECT event_type, value FROM events),
+        |m AS (SELECT event_type, quantile_cont(value, 0.5) AS med,
+        |    count(*) AS n FROM e GROUP BY 1),
+        |d AS (SELECT e.event_type, abs(e.value - m.med) AS dev, m.med, m.n
+        |  FROM e JOIN m USING (event_type)),
+        |md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY 1)
+        |SELECT d.event_type, CAST(max(d.n) AS BIGINT) AS n,
+        |  round(max(d.med), 4) AS med, round(max(md.mad), 4) AS mad,
+        |  CAST(sum(CASE WHEN d.dev > (3e0 * 1.4826e0) * md.mad
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  floor(sum(CASE WHEN d.dev > (3e0 * 1.4826e0) * md.mad
+        |      THEN 1 ELSE 0 END) / CAST(max(d.n) AS DOUBLE) * 10000.0 + 0.5)
+        |    / 10000.0 AS outlier_rate
+        |FROM d JOIN md USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // prefix sums evaluate in day order on both engines (deterministic
+    // float accumulation); |S| rounds to 4dp BEFORE the argmax
+    "evt_cusum" ->
+      """WITH daily AS (SELECT event_type,
+        |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |    avg(value) AS x FROM events GROUP BY 1, 2),
+        |sc AS (SELECT event_type, day, x,
+        |    avg(x) OVER (PARTITION BY event_type) AS mu,
+        |    count(*) OVER (PARTITION BY event_type) AS n_days
+        |  FROM daily),
+        |pf AS (SELECT event_type, day, n_days,
+        |    round(abs(sum(x - mu) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4) AS s_abs
+        |  FROM sc)
+        |SELECT event_type, day AS cp_day, s_abs, CAST(n_days AS BIGINT) AS n_days
+        |FROM (SELECT pf.*, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY s_abs DESC, day ASC) AS rn FROM pf) z
+        |WHERE rn = 1 ORDER BY 1""".stripMargin,
+    // the oracle rebuilds the ENTIRE d×w counter grid from the same
+    // md5 bucket algebra — sketch state is deterministic, so estimates
+    // (and the visible overcounts) match exactly
+    "text_cms_verified" ->
+      s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+         |bg AS (SELECT unnest(list_transform(generate_series(1, len(toks)-1),
+         |    i -> toks[i] || ' ' || toks[i+1])) AS term FROM t WHERE len(toks) >= 2),
+         |ex AS (SELECT term, count(*) AS n_true FROM bg GROUP BY term),
+         |pr AS (SELECT term, n_true FROM (
+         |  SELECT term, n_true, row_number() OVER (
+         |    ORDER BY n_true DESC, term ASC) AS rn FROM ex) z
+         |  WHERE rn <= 5 OR (rn >= 201 AND rn <= 205)),
+         |dd AS (SELECT unnest([0, 1, 2]) AS depth),
+         |cms AS (SELECT dd.depth,
+         |    ('0x' || substr(md5(dd.depth || '|' || bg.term), 1, 8))::BIGINT % 64
+         |      AS bucket, count(*) AS cnt
+         |  FROM bg CROSS JOIN dd GROUP BY 1, 2),
+         |est AS (SELECT pr.term, pr.n_true, min(cms.cnt) AS n_est
+         |  FROM pr CROSS JOIN dd
+         |  JOIN cms ON cms.depth = dd.depth
+         |    AND cms.bucket =
+         |      ('0x' || substr(md5(dd.depth || '|' || pr.term), 1, 8))::BIGINT % 64
+         |  GROUP BY 1, 2)
+         |SELECT term, n_true, n_est, n_est - n_true AS overcount
+         |FROM est ORDER BY term""".stripMargin,
     // TVD per class vs the global sensitive distribution; the cell grid
     // is the FULL class × domain cross (absent values still deviate)
     "dq_tcloseness" ->

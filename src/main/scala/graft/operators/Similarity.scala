@@ -39,6 +39,42 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     org.apache.spark.sql.graftext.VectorFunctions.dot(a, b)
 
+  /** ANN index-quality evaluation AS AN OPERATOR — recall@k of the LSH
+    * index against exact brute-force ground truth over a bounded query
+    * set, the measurement every retrieval deployment runs before
+    * trusting an index (and re-runs after every re-ingest). Recall@k =
+    * |exact-top-k ∩ ann-top-k| / k averaged over queries.
+    *
+    * Scale shape: ground truth is the broadcast-bounded exact top-k
+    * (nQueries rows against the corpus — the only exact work, linear in
+    * corpus size, never all-pairs); the ANN side is the same persisted
+    * bucket-join index the production query uses; the comparison joins
+    * two (nQueries × kMax)-sized frames — evaluation never costs more
+    * than one exact query batch. Every k in `ks` folds from the SAME
+    * joined frame as a conditional-aggregate column (the
+    * dq_expectations principle), then unpivots to (k, recall) rows. */
+  def recallAtK(corpus: DataFrame, nQueries: Int = 50,
+                ks: Seq[Int] = Seq(1, 5, 10)): DataFrame = {
+    val kMax = ks.max
+    val queries = corpus.filter(col("vec_id") < nQueries)
+    val exact = topKExact(corpus, queries, kMax)
+      .select(col("vec_id"), col("neighbor_id"), col("rank").as("ex_rank"))
+    val ann = annTopK(corpus, kMax, multiProbe = true)
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("neighbor_id"), col("rank").as("ann_rank"))
+    val joined = exact.join(ann, Seq("vec_id", "neighbor_id"), "left")
+    val nq = queries.count() // bounded: the query set is nQueries rows
+    val hitCols = ks.map(k => sum(when(col("ex_rank") <= k
+      && col("ann_rank") <= k, 1L).otherwise(0L)).as(s"hit_$k"))
+    joined.agg(hitCols.head, hitCols.tail: _*)
+      .select(explode(array(ks.map(k =>
+        struct(lit(k.toLong).as("k"), col(s"hit_$k").as("hits"))): _*)).as("kv"))
+      .select(col("kv.k").as("k"), lit(nq).as("n_queries"),
+        Num.pround(col("kv.hits").cast("double")
+          / (col("kv.k") * nq).cast("double"), 4).as("recall"))
+      .orderBy("k")
+  }
+
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 

@@ -51,6 +51,44 @@ object Topics {
       .orderBy("arity", "itemset")
   }
 
+  /** Sequential pattern mining (PrefixSpan, Pei et al. 2001) over
+    * per-user event-type journeys — "which ordered behaviors recur
+    * across users" (signup→click→purchase and friends), the sequence
+    * twin of the FP-growth basket analysis above. kiara analogue: the
+    * network/behavior analytics its plugin family targets
+    * (/root/reference/src/kiara/interfaces/python_api/kiara_api.py:679
+    * operation surface).
+    *
+    * Scale shape: one shuffle builds each user's time-ordered journey
+    * (row_number + collect_list — journeys are CAPPED at `maxEvents`
+    * per user, the standard guard because PrefixSpan's projected
+    * database grows with sequence length, and a 100 TB log has users
+    * with millions of events); MLlib's PrefixSpan then mines the
+    * user-count-sized sequence table distributively. Canonical output:
+    * the pattern as a ">"-joined string with its support count and
+    * arity, totally ordered — deterministic for a fixed input (counts
+    * are exact, no sampling). */
+  def prefixSpan(events: DataFrame, minSupport: Double = 0.2,
+                 maxPatternLength: Int = 3, maxEvents: Int = 20): DataFrame = {
+    import org.apache.spark.ml.fpm.PrefixSpan
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val seqs = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxEvents)
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(struct(col("rn"), col("event_type")))).as("s"))
+      .select(expr("transform(s, x -> array(x.event_type))").as("sequence"))
+    new PrefixSpan()
+      .setMinSupport(minSupport).setMaxPatternLength(maxPatternLength)
+      .findFrequentSequentialPatterns(seqs)
+      .select(
+        concat_ws(">", expr("transform(sequence, x -> x[0])")).as("pattern"),
+        size(col("sequence")).cast("long").as("arity"), col("freq"))
+      .orderBy("arity", "pattern")
+  }
+
   def topicsLda(docs: DataFrame, k: Int = 4, vocabSize: Int = 2000,
                 maxIter: Int = 30, topTerms: Int = 8): DataFrame = {
     val spark = docs.sparkSession

@@ -1430,6 +1430,58 @@ object Suite {
       .orderBy("doc_id")
   }
 
+  /** Rows-only (the LSH side has no SQL twin): recall@{1,5,10} of the
+    * multi-probe ANN index vs exact ground truth on the first 50
+    * vectors — SimilaritySpec bounds recall on planted clusters. */
+  def simRecallAtK(s: SparkSession, dir: String): DataFrame =
+    Similarity.recallAtK(t(s, dir, "embeddings"))
+
+  /** Rows-only (PrefixSpan has no SQL twin): frequent ordered
+    * event-type journeys across users; TopicsSpec checks planted
+    * sequences. */
+  def relPrefixspan(s: SparkSession, dir: String): DataFrame =
+    Topics.prefixSpan(t(s, dir, "events"))
+
+  /** Offline CUSUM change-point per event type over the daily-mean
+    * series. */
+  def evtCusum(s: SparkSession, dir: String): DataFrame =
+    Monitor.cusumChangePoint(t(s, dir, "events"))
+
+  /** MAD-based robust outlier screen — the detector that works when
+    * the outliers have wrecked mean/stddev. */
+  def dqOutlierMad(s: SparkSession, dir: String): DataFrame =
+    Monitor.madOutliers(t(s, dir, "events"))
+
+  /** Count-min verified twin: exact bigram counts for ten probes
+    * (5 head + 5 mid-tail by the exact total order) against the
+    * d=3 × w=64 sketch estimates — `overcount` makes the ε·N error
+    * VISIBLE data, and the md5-derived grid lets DuckDB replay the
+    * whole sketch exactly. Production queries the grid alone; the
+    * exact side exists to expose the guarantee. */
+  def textCmsVerified(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toksD = t(s, dir, "documents")
+      .select(TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val grams = toksD.select(explode(expr(
+        "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))"))
+        .as("term"))
+      .persist() // feeds both the sketch fold and the exact probe counts
+    val grid = CountMin.sketch(grams, "term")
+    val exact = grams.groupBy("term").agg(count(lit(1)).as("n_true"))
+    // vocabulary-sized (≈1k bigrams) total order — the single-partition
+    // window is domain-bounded, never corpus-bounded
+    val probes = exact.withColumn("rn", row_number().over(
+        Window.orderBy(col("n_true").desc, col("term").asc)))
+      .filter(col("rn") <= 5 || (col("rn") >= 201 && col("rn") <= 205))
+      .select("term", "n_true")
+    CountMin.estimate(grid, probes)
+      .join(probes, "term")
+      .select(col("term"), col("n_true"), col("n_est"),
+        (col("n_est") - col("n_true")).as("overcount"))
+      .orderBy("term")
+  }
+
   /** t-closeness over the same quasi/sensitive framing as the
     * k-anonymity and l-diversity audits — the three run as a ladder on
     * one release candidate. */

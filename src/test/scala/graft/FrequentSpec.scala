@@ -196,4 +196,22 @@ class FrequentSpec extends SparkTestBase {
       assert(a.getDouble(3) <= b.getDouble(2), s"tile ${a.getLong(0)} hi > next lo")
     }
   }
+
+  test("prefixSpan: planted ordered journeys mine with exact supports") {
+    import graft.operators.Topics
+    // users 1-3 follow a>b>c in time order; user 4 does c>b>a (reversed
+    // — supports a, b, c singletons but NOT the forward bigrams)
+    def journey(u: Long, types: Seq[String]) = types.zipWithIndex.map {
+      case (t, i) => (u * 100 + i, u, s"2024-03-01 10:0$i:00", t)
+    }
+    val ev = (journey(1, Seq("a", "b", "c")) ++ journey(2, Seq("a", "b", "c")) ++
+        journey(3, Seq("a", "b", "c")) ++ journey(4, Seq("c", "b", "a")))
+      .toDF("event_id", "user_id", "ts_s", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = Topics.prefixSpan(ev, minSupport = 0.5, maxPatternLength = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out("a") == 4L && out("b") == 4L && out("c") == 4L)
+    assert(out("a>b") == 3L && out("b>c") == 3L && out("a>b>c") == 3L)
+    assert(!out.contains("c>a"), "reverse-order pair is below 0.5 support")
+  }
 }

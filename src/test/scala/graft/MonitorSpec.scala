@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{CountMin, Monitor}
+
+class MonitorSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("cusumChangePoint finds a planted level shift at its last pre-shift day") {
+    // mean 10 for days 01..10, mean 30 for days 11..20: series mean is
+    // 20, so S_t = -10t falls to its extreme |S| = 100 exactly at day
+    // 10 (the last day of the old regime), then climbs back to 0
+    val rows = (1 to 20).flatMap { d =>
+      val v = if (d <= 10) 10.0 else 30.0
+      Seq((f"2024-02-$d%02d 12:00:00", "a", v))
+    }
+    val ev = rows.toDF("ts_s", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val r = Monitor.cusumChangePoint(ev).head()
+    assert((r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)) ==
+      (("a", "2024-02-10", 100.0, 20L)))
+  }
+
+  test("madOutliers flags the planted spike that a wrecked stddev would hide") {
+    // 19 values in [9,11] plus one at 1000: med≈10, MAD≈1, so the spike
+    // is an outlier by MAD — while mean≈59.5 / sd≈221 puts its z at
+    // only ~4.2σ of a distribution the spike itself inflated
+    val vals = (1 to 19).map(i => 9.0 + (i % 3)) :+ 1000.0
+    val ev = vals.zipWithIndex
+      .map { case (v, i) => (i.toLong, "a", v) }.toDF("event_id", "event_type", "value")
+    val r = Monitor.madOutliers(ev).head()
+    assert(r.getString(0) == "a" && r.getLong(1) == 20L)
+    assert(r.getLong(4) == 1L, s"exactly the planted spike must flag: $r")
+  }
+
+  test("count-min: estimates never undercount, and are exact without collisions") {
+    val keys = (Seq.fill(7)("x") ++ Seq.fill(3)("y") ++ Seq("z")).toDF("term")
+    val grid = CountMin.sketch(keys, "term", d = 3, w = 64)
+    val probes = Seq(("x", 7L), ("y", 3L), ("z", 1L)).toDF("term", "n_true")
+    val est = CountMin.estimate(grid, probes, d = 3, w = 64)
+      .join(probes, "term").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    est.foreach { case (t, (e, tr)) => assert(e >= tr, s"$t undercounted: $e < $tr") }
+    // 3 keys in 64 buckets × 3 depths: min over depths collides with
+    // probability ~(3/64)^3 — this fixed dataset has none, so exact
+    assert(est.forall { case (_, (e, tr)) => e == tr })
+    // grid never exceeds d×w cells and total per depth preserves N
+    val byDepth = grid.groupBy("depth").agg(sum("cnt").as("s")).collect()
+    assert(byDepth.forall(_.getLong(1) == 11L), "each depth row must hold all N updates")
+  }
+}

@@ -388,4 +388,25 @@ class SimilaritySpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
     assert(out.toSeq == Seq((0L, 2L, 0L, 2L, 1.0), (1L, 2L, 0L, 1L, 0.5)))
   }
+
+  test("recallAtK: high on a clustered corpus, monotone structure, bounded in [0,1]") {
+    val r = new scala.util.Random(11)
+    val dim = 64
+    val rows = (0 until 40).flatMap { c =>
+      val center = Array.fill(dim)(r.nextGaussian())
+      (0 until 25).map { m =>
+        val v = center.map(x => (x + 0.15 * r.nextGaussian()).toFloat)
+        (c.toLong * 25 + m, v)
+      }
+    }
+    val e = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val out = Similarity.recallAtK(e, nQueries = 30, ks = Seq(1, 5)).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    assert(out.keySet == Set(1L, 5L))
+    out.values.foreach { case (nq, rec) =>
+      assert(nq == 30L && rec >= 0.0 && rec <= 1.0)
+    }
+    assert(out(1L)._2 >= 0.9, s"recall@1 on planted clusters: ${out(1L)._2}")
+    assert(out(5L)._2 >= 0.9, s"recall@5 on planted clusters: ${out(5L)._2}")
+  }
 }
