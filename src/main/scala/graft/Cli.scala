@@ -118,6 +118,16 @@ object Cli {
       val i = new GraftContexts(spark, baseRoot).currentContext.contextInfo
       s"root:       ${i.root}\nvalues:     ${i.values}\naliases:    ${i.aliases}\n" +
         s"jobs:       ${i.jobs}\nworkflows:  ${i.workflows}\noperations: ${i.operations}"
+    // renderer catalog + dispatch (kiara render list-renderers / render
+    // item, reference interfaces/cli/render/commands.py:60,79)
+    case "render" :: "list-renderers" :: Nil =>
+      Render.renderers.map { case (n, d) => f"$n%-10s $d" }.mkString("\n")
+    case "render" :: "item" :: target :: name :: sfDir :: rest =>
+      val rows = rest.headOption.map(_.toInt).getOrElse(20)
+      val fn = SparkEntry.queries.getOrElse(name,
+        throw new IllegalArgumentException(
+          s"unknown query: $name (see `queries` for the list)"))
+      Render.as(target, fn(spark, sfDir), rows)
     case other =>
       throw new IllegalArgumentException(
         s"usage: queries | query <name> <sfDir> [rows] | tables <sfDir> | " +

@@ -95,6 +95,7 @@ object SparkEntry {
     "maint_compact" -> (Suite.maintCompact _),
     "maint_cluster" -> (Suite.maintCluster _),
     "maint_bloom_skip" -> (Suite.maintBloomSkip _),
+    "maint_meta_count" -> (Suite.maintMetaCount _),
     "maint_zorder" -> (Suite.maintZorder _),
     "q16_sql" -> (Suite.sqlTpchQ5 _),
     "sim_centroids" -> (Suite.simCentroids _),
@@ -165,6 +166,7 @@ object SparkEntry {
     "evt_quantiles_kll" -> (Suite.evtQuantilesKll _),
     "maint_branch" -> (Suite.maintBranch _),
     "stream_quantiles" -> (Suite.streamQuantiles _),
+    "stream_cms" -> (Suite.streamCms _),
     // dedup (§2b rows 20-23)
     "dedup_exact" -> (Suite.dedupExact _),
     "dedup_bloom" -> (Suite.dedupBloom _),
@@ -650,6 +652,14 @@ object SparkEntry {
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // the bloom-pruned read must return every row whose content hash
     // matches a probe — including duplicate texts under other doc_ids
+    // footer-derived counts must equal the scanned truth (append
+    // carries the previous version's files forward, so v2 is cumulative)
+    "maint_meta_count" ->
+      """SELECT CAST(1 AS BIGINT) AS commit_seq,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 0) AS n_rows
+        |UNION ALL SELECT CAST(2 AS BIGINT),
+        |  (SELECT count(*) FROM orders)
+        |ORDER BY commit_seq""".stripMargin,
     "maint_bloom_skip" ->
       """WITH probes AS (SELECT md5(text) AS h FROM
         |  (SELECT text FROM documents WHERE doc_id % 97 = 3
@@ -2712,6 +2722,22 @@ object SparkEntry {
         | CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
         | CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // streaming CMS drains to the same order-invariant grid a batch
+    // fold builds; the oracle replays grid + probes over all user keys
+    "stream_cms" ->
+      """WITH dd AS (SELECT unnest([0, 1, 2]) AS depth),
+        |k AS (SELECT CAST(user_id AS VARCHAR) AS term FROM events),
+        |cms AS (SELECT dd.depth,
+        |    ('0x' || substr(md5(dd.depth || '|' || k.term), 1, 8))::BIGINT % 64
+        |      AS bucket, count(*) AS cnt
+        |  FROM k CROSS JOIN dd GROUP BY 1, 2),
+        |pr AS (SELECT CAST(range * 10 AS VARCHAR) AS term,
+        |    range * 10 AS uid FROM range(10))
+        |SELECT pr.uid AS user_id, min(cms.cnt) AS n_est
+        |FROM pr CROSS JOIN dd JOIN cms ON cms.depth = dd.depth
+        |  AND cms.bucket =
+        |    ('0x' || substr(md5(dd.depth || '|' || pr.term), 1, 8))::BIGINT % 64
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "stream_window" ->
       """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:00') AS hour,
         | event_type, count(*) AS n

@@ -51,6 +51,24 @@ object Render {
       body.map(_.mkString("| ", " | ", " |"))).mkString("\n")
   }
 
+  /** The renderer catalog — kiara's `render list-renderers`
+    * (reference interfaces/cli/render/commands.py:60): target name →
+    * one-line description, the dispatch table [[as]] uses. */
+  val renderers: Seq[(String, String)] = Seq(
+    "string" -> "fixed-width text table (pretty_print)",
+    "markdown" -> "GitHub-style markdown table",
+    "html" -> "escaped HTML table")
+
+  /** Render a frame through a named target — kiara's `render item`
+    * dispatch (render_value.py:54 picks the renderer by format). */
+  def as(target: String, df: DataFrame, rows: Int = 20): String = target match {
+    case "string"   => prettyPrint(df, rows)
+    case "markdown" => markdown(df, rows)
+    case "html"     => html(df, rows)
+    case other => throw new IllegalArgumentException(
+      s"unknown renderer: $other (see `render list-renderers`)")
+  }
+
   /** Minimal HTML table — kiara's render_value `html` target. Cell text
     * is escaped, so values cannot inject markup. */
   def html(df: DataFrame, rows: Int = 20): String = {

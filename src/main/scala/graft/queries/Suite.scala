@@ -1442,6 +1442,27 @@ object Suite {
   def relPrefixspan(s: SparkSession, dir: String): DataFrame =
     Topics.prefixSpan(t(s, dir, "events"))
 
+  /** Metadata-only counts over the snapshot chain: two appends, each
+    * version's count answered from parquet footers via the manifest —
+    * no data scan, no Spark job. The oracle recomputes the same counts
+    * the slow way, proving footer stats ≡ data. */
+  def maintMetaCount(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{Export, Snapshots}
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+    val root = Export.tempDir("metacount_").toString + "/t"
+    val v1 = Snapshots.append(o.filter(col("o_orderkey") % 3 === 0), root)
+    val v2 = Snapshots.append(o.filter(col("o_orderkey") % 3 =!= 0), root)
+    import s.implicits._
+    Seq((1L, Snapshots.metaCount(root, v1)), (2L, Snapshots.metaCount(root, v2)))
+      .toDF("commit_seq", "n_rows").orderBy("commit_seq")
+  }
+
+  /** Streaming count-min: the engine's aggregation state store IS the
+    * d×w sketch; CMS state is order-invariant, so the drained grid
+    * equals the batch grid and the estimates carry a full oracle. */
+  def streamCms(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.cmsStream(s, dir + "/events.parquet")
+
   /** Offline CUSUM change-point per event type over the daily-mean
     * series. */
   def evtCusum(s: SparkSession, dir: String): DataFrame =

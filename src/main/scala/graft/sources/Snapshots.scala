@@ -250,4 +250,16 @@ object Snapshots {
     val v = versions(root).lastOption.getOrElse(0) + 1
     commitManifest(root, v, branchFiles(root, name, vs.last))
   }
+
+  /** METADATA-ONLY row count of a snapshot version: sum of parquet
+    * FOOTER counts over the manifest's files — `SELECT count(*)`
+    * answered without scanning a single data page, the optimization
+    * every table format makes possible (Iceberg/Delta answer counts
+    * from manifest stats; here the footers are the stats store). At
+    * 100 TB this is the difference between a catalog lookup and a
+    * full-table job; no SparkSession is even involved. */
+  def metaCount(root: String, version: Int): Long =
+    files(root, version)
+      .map(rel => graft.registries.ParquetMeta.rowCount(s"$root/$rel"))
+      .sum
 }

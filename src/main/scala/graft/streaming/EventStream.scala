@@ -161,6 +161,39 @@ object EventStream {
     rows.toSeq.toDF("event_type", "n", "p50", "p90", "p99").orderBy("event_type")
   }
 
+  /** Streaming count-min: the d×w counter grid AS STREAMING STATE —
+    * the grid is nothing but a grouped count on (depth, bucket), so the
+    * engine's own streaming aggregation state store IS the sketch: each
+    * micro-batch folds its keys in, per-key memory is bounded at d×w
+    * counters forever, and ANY user's event count can be point-queried
+    * without the stream ever materializing per-user state (the
+    * cardinality that doesn't fit is exactly why CMS exists). Complete
+    * mode; probes estimate against the drained grid. Unlike the KLL
+    * twin, CMS state is ORDER-INVARIANT (counters only add), so the
+    * drained grid equals the batch grid exactly and the estimates are
+    * oracle-checkable — the strongest check a streaming sketch can
+    * carry. Probes: user_ids 0,10,…,90 (present at every SF). */
+  def cmsStream(spark: SparkSession, path: String, d: Int = 3, w: Int = 64): DataFrame = {
+    val depths = explode(array((0 until d).map(lit): _*)).as("depth")
+    val bucketOf = (term: org.apache.spark.sql.Column, depth: org.apache.spark.sql.Column) =>
+      conv(substring(md5(concat(depth.cast("string"), lit("|"), term)), 1, 8),
+        16, 10).cast("long") % w
+    val grid = runToMemory(spark,
+      source(spark, path)
+        .select(col("user_id").cast("string").as("term"), depths)
+        .select(col("depth"), bucketOf(col("term"), col("depth")).as("bucket"))
+        .groupBy("depth", "bucket").agg(count(lit(1)).as("cnt")),
+      "complete")
+    import spark.implicits._
+    val probes = (0 until 10).map(i => (i * 10).toString).toDF("term")
+    probes.select(col("term"), explode(array((0 until d).map(lit): _*)).as("depth"))
+      .withColumn("bucket", bucketOf(col("term"), col("depth")))
+      .join(broadcast(grid), Seq("depth", "bucket"))
+      .groupBy("term").agg(min("cnt").as("n_est"))
+      .select(col("term").cast("long").as("user_id"), col("n_est"))
+      .orderBy("user_id")
+  }
+
   /** Stream-stream join: two live streams (purchases and clicks split
     * from the same source) joined per user within a bounded event-time
     * interval — click at most `hours` before the purchase. BOTH sides

@@ -110,4 +110,17 @@ class CliSpec extends SparkTestBase {
     val e2 = intercept[IllegalArgumentException] { Cli.run(spark, Array("bogus")) }
     assert(e2.getMessage.contains("usage:"))
   }
+
+  test("render list-renderers catalogs targets; render item dispatches each") {
+    val cat = Cli.run(spark, Array("render", "list-renderers"))
+    assert(cat.contains("string") && cat.contains("markdown") && cat.contains("html"))
+    val md = Cli.run(spark, Array("render", "item", "markdown", "q1_agg", sfDir, "3"))
+    assert(md.startsWith("| ") && md.contains("| --- |"))
+    val html = Cli.run(spark, Array("render", "item", "html", "q1_agg", sfDir, "3"))
+    assert(html.startsWith("<table>") && html.endsWith("</table>"))
+    val e = intercept[IllegalArgumentException] {
+      Cli.run(spark, Array("render", "item", "pdf", "q1_agg", sfDir))
+    }
+    assert(e.getMessage.contains("unknown renderer"))
+  }
 }

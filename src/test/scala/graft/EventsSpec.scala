@@ -514,6 +514,32 @@ class EventsSpec extends SparkTestBase {
     }
   }
 
+  test("streaming CMS estimates equal the batch sketch exactly (order-invariant state)") {
+    import org.apache.spark.sql.functions._
+    val got = graft.streaming.EventStream
+      .cmsStream(spark, s"$sfDir/events.parquet").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty)
+    // batch twin: same grid algebra over the same keys, same probes
+    val keys = Tables.t(spark, sfDir, "events")
+      .select(col("user_id").cast("string").as("term"))
+    val grid = graft.operators.CountMin.sketch(keys, "term")
+    import spark.implicits._
+    val probes = (0 until 10).map(i => (i * 10).toString).toDF("term")
+    val batch = graft.operators.CountMin.estimate(grid, probes)
+      .select(col("term").cast("long"), col("n_est")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == batch, s"stream $got != batch $batch")
+    // and the estimates never undercount the exact per-user counts
+    val exact = Tables.t(spark, sfDir, "events").groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // getOrElse: an absent probe user can still draw a collision-driven
+    // positive estimate (true count 0) — the CMS one-sided guarantee
+    got.foreach { case (u, e) =>
+      assert(e >= exact.getOrElse(u, 0L), s"user $u undercounted")
+    }
+  }
+
   test("audienceOverlap: theta intersections are exact at spec scale") {
     // A users 1..10, B users 6..15 (overlap 5, union 15, j=0.3333),
     // C user 100 only (disjoint from both)

@@ -94,6 +94,11 @@ class SourcesSpec extends SparkTestBase {
     assert(Snapshots.readLatest(spark, root).count() == 2)
     assert(Snapshots.readAs(spark, root, 2).count() == 3) // time travel PAST the rollback
     assert(Snapshots.files(root, 3) == Snapshots.files(root, 1)) // no data moved
+    // footer-derived counts equal the scan at every version — including
+    // the rollback commit, whose manifest lists v1's files
+    assert(Snapshots.metaCount(root, 1) == 2L)
+    assert(Snapshots.metaCount(root, 2) == 3L)
+    assert(Snapshots.metaCount(root, 3) == 2L)
   }
 
   test("snapshots: branch commits never touch main; publish fast-forwards metadata-only") {
