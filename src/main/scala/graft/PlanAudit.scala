@@ -159,7 +159,22 @@ object PlanAudit {
     // exact moment sums + 2-row readout)
     "mix_epoch_plan", "evt_bot_detect",
     // windowed funnel (user-dimension join chain with µs window bounds)
-    "evt_funnel_windowed")
+    "evt_funnel_windowed",
+    // continuation batches: t-closeness (ONE corpus fold to the
+    // (quasi × sensitive) grid; domain-sized cross + broadcast scalars
+    // after), dp counts (one groupBy + row-local md5 noise projection),
+    // hashed-LR (gram explode map-side, BROADCAST weight join — no
+    // corpus shuffle for the lookup — one per-doc agg), cusum (one
+    // fold to the day grid, ordered prefix windows over it), MAD
+    // (two grouped percentile shuffles + dimension broadcasts back),
+    // CMS verified (grid fold + broadcast grid probe join).
+    // graph_label_prop / rel_prefixspan / sim_recall_at_k run eager
+    // loops or MLlib fits at construction (the dedup_clusters rule);
+    // maint_bloom_skip writes its index at construction;
+    // maint_meta_count has NO plan by design (footers only);
+    // stream_cms is excluded like the other streaming keys
+    "dq_tcloseness", "dq_dp_counts", "text_hashed_lr", "evt_cusum",
+    "dq_outlier_mad", "text_cms_verified")
     // evt_audience_overlap is excluded like dedup_clusters: its
     // domain-sized sketch table collects eagerly at construction, so
     // only the trivial driver-built result frame would be explained

@@ -90,6 +90,7 @@ object SparkEntry {
     "text_chunk" -> (Suite.textChunk _),
     "sample_group" -> (Suite.sampleGroup _),
     "mix_sampled" -> (Suite.mixSampled _),
+    "mix_dsir" -> (Suite.mixDsir _),
     "split_assign" -> (Suite.splitAssign _),
     "pipeline_curate" -> (Suite.pipelineCurate _),
     "maint_compact" -> (Suite.maintCompact _),
@@ -789,6 +790,31 @@ object SparkEntry {
         |FROM sampled GROUP BY source ORDER BY source""".stripMargin,
     // hex-prefix comparison implements the same d/16 hash sampling in
     // both engines (md5 hex alphabet is ASCII-ordered)
+    // DSIR: both hashed-bigram LMs and the llr algebra replay exactly
+    // (integer counts, identical double literals, round-4 before the
+    // exact-percentile threshold comparison)
+    "mix_dsir" ->
+      s"""WITH t0 AS (SELECT doc_id, lang = 'en' AS is_t, $toksSql AS toks FROM documents),
+         |t1 AS (SELECT doc_id, is_t, toks FROM t0 WHERE len(toks) >= 1),
+         |g AS (SELECT doc_id, is_t, unnest(toks ||
+         |    CASE WHEN len(toks) >= 2 THEN list_transform(
+         |      generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1])
+         |    ELSE [] END) AS gram FROM t1),
+         |b AS (SELECT doc_id, is_t,
+         |    ('0x' || substr(md5(gram), 1, 8))::BIGINT % 4096 AS bucket FROM g),
+         |lm AS (SELECT bucket, count(*) AS n_r,
+         |    sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS n_t FROM b GROUP BY bucket),
+         |tot AS (SELECT sum(n_r) AS nr, sum(n_t) AS nt FROM lm),
+         |w AS (SELECT bucket,
+         |    ln((CAST(n_t AS DOUBLE) + 1.0) / (CAST(nt AS DOUBLE) + 4096))
+         |      - ln((CAST(n_r AS DOUBLE) + 1.0) / (CAST(nr AS DOUBLE) + 4096)) AS w
+         |  FROM lm CROSS JOIN tot),
+         |sc AS (SELECT doc_id, count(*) AS n_grams,
+         |    round(sum(w.w) / count(*), 4) AS llr
+         |  FROM b JOIN w USING (bucket) GROUP BY doc_id),
+         |th AS (SELECT quantile_cont(llr, 0.8) AS th FROM sc)
+         |SELECT doc_id, n_grams, llr, llr >= th.th AS selected
+         |FROM sc CROSS JOIN th ORDER BY doc_id""".stripMargin,
     "mix_sampled" ->
       """SELECT source, count(*) AS n_sampled FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <

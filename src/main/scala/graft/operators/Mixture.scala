@@ -230,6 +230,61 @@ object Mixture {
     * the distinct-content domain, joined back in one pass; the verdict
     * is row-local; the readout aggregates to cluster-size-domain rows.
     * Output per cluster size: clusters, docs in, docs kept. */
+  /** DSIR-style importance selection (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by the log-likelihood ratio of a TARGET-domain hashed
+    * n-gram LM against the raw-corpus LM, keep the top `keep` fraction
+    * — how modern pretraining sets are tilted toward a quality domain
+    * without a trained classifier. Features are the hashing-trick
+    * unigram+bigram buckets ([[graft.operators.TextOps.hashedLinearScore]]'s
+    * extractor); both LMs are add-one-smoothed bucket distributions.
+    * llr is length-normalized (mean per gram) so selection doesn't
+    * simply favor long documents.
+    *
+    * Scale shape: ONE gram explode feeds both LM folds and the scoring
+    * join (persisted — three consumers of the expensive explode); the
+    * two LMs are bucket-domain tables (≤ `buckets` rows) that join back
+    * BROADCAST, so scoring never shuffles the corpus; the keep
+    * threshold is one exact-percentile aggregate over the doc-level
+    * frame (swap in the KLL sketch at 100 TB), broadcast into a final
+    * filter — nothing doc-count-sized ever single-partitions. In
+    * production the target LM is built once from the curated domain
+    * corpus and reused; here target = a filter over the same table so
+    * the oracle can replay everything. */
+  def dsirSelect(docs: DataFrame, isTarget: Column, buckets: Int = 4096,
+                 keep: Double = 0.2): DataFrame = {
+    import graft.operators.TextOps
+    val grams = docs
+      .select(col("doc_id"), isTarget.as("is_t"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"), col("is_t"), explode(concat(col("toks"), expr(
+        "case when size(toks) >= 2 then " +
+          "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1])) " +
+          "else array() end"))).as("gram"))
+      .select(col("doc_id"), col("is_t"),
+        (conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long") % buckets)
+          .as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lm = grams.groupBy("bucket").agg(
+      count(lit(1)).as("n_r"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("n_t"))
+    val tot = lm.agg(sum("n_r").as("nr"), sum("n_t").as("nt"))
+    val w = lm.crossJoin(broadcast(tot)).select(col("bucket"),
+      (log((col("n_t").cast("double") + 1.0)
+          / (col("nt").cast("double") + buckets))
+        - log((col("n_r").cast("double") + 1.0)
+          / (col("nr").cast("double") + buckets))).as("w"))
+    val scored = grams.join(broadcast(w), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), round(sum("w") / count(lit(1)), 4).as("llr"))
+    val thresh = scored.agg(
+      expr(s"percentile(llr, ${1.0 - keep})").as("th"))
+    scored.crossJoin(broadcast(thresh)) // bounded: 1 row
+      .select(col("doc_id"), col("n_grams"), col("llr"),
+        (col("llr") >= col("th")).as("selected"))
+      .orderBy("doc_id")
+  }
+
   def dedupWeighted(docs: DataFrame): DataFrame = {
     val f = docs.select(col("doc_id"),
       md5(graft.operators.Dedup.normalized(col("text"))).as("fp"))

@@ -67,9 +67,13 @@ object Monitor {
   def madOutliers(events: DataFrame, k: Double = 3.0): DataFrame = {
     val med = events.groupBy("event_type")
       .agg(expr("percentile(value, 0.5)").as("med"), count(lit(1)).as("n"))
+    // dev feeds BOTH the MAD aggregate and the final flag count — persist
+    // it (spilling) so the two-level median costs two corpus scans, not
+    // four (the self-join recompute rule)
     val dev = events.select(col("event_type"), col("value"))
       .join(broadcast(med), "event_type")
       .withColumn("dev", abs(col("value") - col("med")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mad = dev.groupBy("event_type")
       .agg(expr("percentile(dev, 0.5)").as("mad"))
     dev.join(broadcast(mad), "event_type")

@@ -431,15 +431,18 @@ object TextOps {
     * aggregated row. */
   def hashedLinearScore(docs: DataFrame, spark: org.apache.spark.sql.SparkSession,
                         buckets: Int = 4096): DataFrame = {
-    val toksD = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    // both gram families assemble ROW-LOCALLY before one explode, so the
+    // corpus is scanned once, not once per family; the bigram transform
+    // is guarded (sequence(0,-1) counts DOWN — the ANSI phantom-index
+    // trap) so single-token docs contribute their unigram only
+    val grams = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 1)
-    val uni = toksD.select(col("doc_id"), explode(col("toks")).as("gram"))
-    val bi = toksD.filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))"))
-        .as("gram"))
-    val grams = uni.unionAll(bi).withColumn("bucket",
-      conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long") % buckets)
+      .select(col("doc_id"), explode(concat(col("toks"), expr(
+        "case when size(toks) >= 2 then " +
+          "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1])) " +
+          "else array() end"))).as("gram"))
+      .withColumn("bucket",
+        conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long") % buckets)
     val weights = spark.range(buckets).select(col("id").as("bucket"),
       (conv(substring(md5(concat(lit("w"), col("id"))), 1, 8), 16, 10).cast("double")
         / 4294967296.0 - 0.5).as("w"))

@@ -1442,6 +1442,12 @@ object Suite {
   def relPrefixspan(s: SparkSession, dir: String): DataFrame =
     Topics.prefixSpan(t(s, dir, "events"))
 
+  /** DSIR importance selection with English as the target domain:
+    * every doc scored by the target-vs-raw hashed-bigram LM ratio,
+    * top 20% kept. */
+  def mixDsir(s: SparkSession, dir: String): DataFrame =
+    Mixture.dsirSelect(t(s, dir, "documents"), col("lang") === "en")
+
   /** Metadata-only counts over the snapshot chain: two appends, each
     * version's count answered from parquet footers via the manifest —
     * no data scan, no Spark job. The oracle recomputes the same counts

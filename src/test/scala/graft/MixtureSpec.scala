@@ -193,4 +193,27 @@ class MixtureSpec extends SparkTestBase {
     assert(out(16L) == ((1L, 16L, kept16.toLong)))
     assert(out(4L) == ((1L, 4L, kept4.toLong)))
   }
+
+  test("dsirSelect ranks target-vocabulary docs above off-domain ones") {
+    import org.apache.spark.sql.functions.col
+    // target docs (0-4) speak {alpha beta gamma}; docs 5-9 mimic the
+    // target vocabulary WITHOUT being in the target set; docs 10-19
+    // speak an off-domain vocabulary. DSIR must rank the mimics above
+    // the off-domain docs — that ordering is the whole point (select
+    // raw docs that LOOK like the domain).
+    val rows =
+      (0L to 4L).map(i => (i, "alpha beta gamma alpha beta gamma alpha")) ++
+      (5L to 9L).map(i => (i, "alpha beta gamma beta alpha gamma beta")) ++
+      (10L to 19L).map(i => (i, "delta epsilon zeta delta epsilon zeta delta"))
+    val out = Mixture.dsirSelect(rows.toDF("doc_id", "text"), col("doc_id") <= 4L,
+        keep = 0.5).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getBoolean(3)))
+    val byId = out.map(r => r._1 -> r).toMap
+    // every target-vocab doc outscores every off-domain doc
+    val minTargetish = (0L to 9L).map(byId(_)._2).min
+    val maxOff = (10L to 19L).map(byId(_)._2).max
+    assert(minTargetish > maxOff, s"target-vocab llr $minTargetish !> off-domain $maxOff")
+    // keep=0.5 over 20 docs: the ten target-vocab docs are the selection
+    assert((0L to 9L).forall(byId(_)._3) && (10L to 19L).forall(!byId(_)._3))
+  }
 }
