@@ -97,6 +97,7 @@ object SparkEntry {
     "maint_cluster" -> (Suite.maintCluster _),
     "maint_bloom_skip" -> (Suite.maintBloomSkip _),
     "maint_meta_count" -> (Suite.maintMetaCount _),
+    "maint_orphan_gc" -> (Suite.maintOrphanGc _),
     "maint_zorder" -> (Suite.maintZorder _),
     "q16_sql" -> (Suite.sqlTpchQ5 _),
     "sim_centroids" -> (Suite.simCentroids _),
@@ -150,6 +151,7 @@ object SparkEntry {
     "dq_dp_counts" -> (Suite.dqDpCounts _),
     "dq_outlier_mad" -> (Suite.dqOutlierMad _),
     "evt_cusum" -> (Suite.evtCusum _),
+    "evt_islands" -> (Suite.evtIslands _),
     "text_cms_verified" -> (Suite.textCmsVerified _),
     "rel_triples" -> (Suite.relTriples _),
     "mix_dedup_weight" -> (Suite.mixDedupWeight _),
@@ -168,6 +170,7 @@ object SparkEntry {
     "maint_branch" -> (Suite.maintBranch _),
     "stream_quantiles" -> (Suite.streamQuantiles _),
     "stream_cms" -> (Suite.streamCms _),
+    "stream_snapshot_sink" -> (Suite.streamSnapshotSink _),
     // dedup (§2b rows 20-23)
     "dedup_exact" -> (Suite.dedupExact _),
     "dedup_bloom" -> (Suite.dedupBloom _),
@@ -655,6 +658,10 @@ object SparkEntry {
     // matches a probe — including duplicate texts under other doc_ids
     // footer-derived counts must equal the scanned truth (append
     // carries the previous version's files forward, so v2 is cumulative)
+    // after orphan GC the committed slice must read identically
+    "maint_orphan_gc" ->
+      """SELECT count(*) AS n_rows, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin,
     "maint_meta_count" ->
       """SELECT CAST(1 AS BIGINT) AS commit_seq,
         |  (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 0) AS n_rows
@@ -2136,6 +2143,25 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // prefix sums evaluate in day order on both engines (deterministic
     // float accumulation); |S| rounds to 4dp BEFORE the argmax
+    // islands: exact integer microsecond sweep, floor() before the
+    // duration cast (Spark truncates double->long, DuckDB rounds)
+    "evt_islands" ->
+      """WITH iv AS (SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+        |    epoch_us(CAST(ts AS TIMESTAMP))
+        |      + CAST(floor(value * 60000000.0) AS BIGINT) AS e FROM events),
+        |m AS (SELECT user_id, event_id, s, e,
+        |    max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM iv),
+        |g AS (SELECT user_id, s, e,
+        |    sum(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY s, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+        |  FROM m)
+        |SELECT user_id, island_id, min(s) AS island_start_us,
+        |  max(e) AS island_end_us, count(*) AS n_intervals
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "evt_cusum" ->
       """WITH daily AS (SELECT event_type,
         |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
@@ -2750,6 +2776,13 @@ object SparkEntry {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // streaming CMS drains to the same order-invariant grid a batch
     // fold builds; the oracle replays grid + probes over all user keys
+    // the streamed-in snapshot table must aggregate identically to the
+    // source (exactly-once: nothing lost, nothing doubled)
+    "stream_snapshot_sink" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events""".stripMargin,
     "stream_cms" ->
       """WITH dd AS (SELECT unnest([0, 1, 2]) AS depth),
         |k AS (SELECT CAST(user_id AS VARCHAR) AS term FROM events),

@@ -28,6 +28,39 @@ object Events {
     flagged
   }
 
+  /** Gaps-and-islands: merge each user's OVERLAPPING intervals into
+    * maximal islands — the classic interval-consolidation every
+    * availability/occupancy/billing pipeline needs (contiguous covered
+    * time from overlapping bookings). Differs from sessionization:
+    * sessions split on gaps between POINT events, islands merge ranges
+    * whose [start,end] actually overlap, which requires the running
+    * max-end (an interval can swallow later-starting shorter ones).
+    *
+    * Each event spawns the interval [ts, ts + value minutes] (the
+    * table's duration proxy). The algorithm is ONE shuffle on user_id:
+    * running max(end) over the start-ordered window (exclusive frame),
+    * new island where start exceeds it, island id by running sum —
+    * then one domain-sized aggregate per island. All comparisons are
+    * exact integer µs (duration via floor() before the cast: Spark
+    * truncates double→long, DuckDB rounds — floor makes both exact). */
+  def islands(events: DataFrame): DataFrame = {
+    val s = unix_micros(col("ts"))
+    val iv = events.select(col("user_id"), col("event_id"), s.as("s"),
+      (s + floor(col("value") * 60000000.0).cast("long")).as("e"))
+    val w = Window.partitionBy("user_id").orderBy(col("s"), col("event_id"))
+    iv
+      .withColumn("prev_max", max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("is_new",
+        when(col("prev_max").isNull || col("s") > col("prev_max"), 1L).otherwise(0L))
+      .withColumn("island_id", sum("is_new").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "island_id")
+      .agg(min("s").as("island_start_us"), max("e").as("island_end_us"),
+        count(lit(1)).as("n_intervals"))
+      .orderBy("user_id", "island_id")
+  }
+
   /** Per-user session stats. */
   def sessionStats(events: DataFrame, gapMinutes: Int = 30): DataFrame =
     sessionize(events, gapMinutes)

@@ -1448,6 +1448,25 @@ object Suite {
   def mixDsir(s: SparkSession, dir: String): DataFrame =
     Mixture.dsirSelect(t(s, dir, "documents"), col("lang") === "en")
 
+  /** Orphan-file GC: plant an uncommitted write under the table's data
+    * dir (a crashed job's leftovers), collect it, and prove the
+    * committed table reads identically — the oracle sees only the
+    * committed slice, so equality IS the no-data-loss proof. */
+  def maintOrphanGc(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{Export, Snapshots}
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+    val root = Export.tempDir("orphangc_").toString + "/t"
+    Snapshots.append(o.filter(col("o_orderkey") % 3 === 0), root)
+    // the "crashed writer": a parquet dir under data/ no manifest lists
+    o.limit(7).write.parquet(s"$root/data/stray_b99999")
+    val deleted = Snapshots.orphanGc(root)
+    require(deleted.nonEmpty && deleted.forall(_.startsWith("data/stray_b99999")),
+      s"orphan GC must reclaim exactly the stray write, got $deleted")
+    Snapshots.readLatest(s, root)
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum("o_totalprice"), 2).as("sum_price"))
+  }
+
   /** Metadata-only counts over the snapshot chain: two appends, each
     * version's count answered from parquet footers via the manifest —
     * no data scan, no Spark job. The oracle recomputes the same counts
@@ -1463,11 +1482,23 @@ object Suite {
       .toDF("commit_seq", "n_rows").orderBy("commit_seq")
   }
 
+  /** Streaming ingestion into the snapshot table with the #txn epoch
+    * fence; the aggregate equality proves no micro-batch lost or
+    * doubled. */
+  def streamSnapshotSink(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.sources.Export.tempDir("streamsink_").toString + "/t"
+    graft.streaming.EventStream.snapshotSink(s, dir + "/events.parquet", root)
+  }
+
   /** Streaming count-min: the engine's aggregation state store IS the
     * d×w sketch; CMS state is order-invariant, so the drained grid
     * equals the batch grid and the estimates carry a full oracle. */
   def streamCms(s: SparkSession, dir: String): DataFrame =
     graft.streaming.EventStream.cmsStream(s, dir + "/events.parquet")
+
+  /** Gaps-and-islands interval consolidation per user. */
+  def evtIslands(s: SparkSession, dir: String): DataFrame =
+    Events.islands(t(s, dir, "events"))
 
   /** Offline CUSUM change-point per event type over the daily-mean
     * series. */

@@ -43,23 +43,29 @@ object Snapshots {
     finally s.close()
   }
 
-  /** Root-relative data files visible at `version`. */
+  /** Root-relative data files visible at `version` (`#`-prefixed
+    * marker lines — e.g. the streaming `#txn:` fence — are metadata,
+    * not files). */
   def files(root: String, version: Int): Seq[String] = {
     val p = manifestPath(root, version)
     require(Files.exists(p), s"no snapshot v$version under $root")
-    Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty)
+    Files.readAllLines(p).asScala.toSeq
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
   }
 
-  private def commitManifest(root: String, v: Int, rel: Seq[String]): Int = {
+  private def commitManifest(root: String, v: Int, rel: Seq[String],
+                             txn: Option[Long] = None): Int = {
     Files.createDirectories(manifestDir(root))
     val tmp = Files.createTempFile(manifestDir(root), s"v$v-", ".tmp")
-    Files.writeString(tmp, rel.mkString("", "\n", "\n"))
+    val marker = txn.map(id => s"#txn:$id\n").getOrElse("")
+    Files.writeString(tmp, marker + rel.mkString("", "\n", "\n"))
     // move-into-place keeps a concurrent reader from seeing a half manifest
     Files.move(tmp, manifestPath(root, v), StandardCopyOption.ATOMIC_MOVE)
     v
   }
 
-  private def commitBatch(df: DataFrame, root: String, carryPrev: Boolean): Int = {
+  private def commitBatch(df: DataFrame, root: String, carryPrev: Boolean,
+                          txn: Option[Long] = None): Int = {
     val prev = versions(root)
     val v = prev.lastOption.getOrElse(0) + 1
     val batchRel = f"data/b$v%05d"
@@ -72,7 +78,7 @@ object Snapshots {
     val carried =
       if (carryPrev) prev.lastOption.map(files(root, _)).getOrElse(Seq.empty)
       else Seq.empty
-    commitManifest(root, v, carried ++ fresh)
+    commitManifest(root, v, carried ++ fresh, txn)
   }
 
   /** Append `df` as a new version; returns the committed version id. */
@@ -147,7 +153,10 @@ object Snapshots {
     require(keepLast >= 1, "keepLast must be >= 1")
     require(vs.nonEmpty, s"no snapshots under $root")
     val kept = vs.takeRight(keepLast)
-    val referenced = kept.flatMap(files(root, _)).toSet
+    // keep everything any BRANCH still references too — a branch head
+    // may share batches with expired main versions (createBranch is
+    // metadata-only), and WAP staging data must survive a main vacuum
+    val referenced = kept.flatMap(files(root, _)).toSet ++ branchReferenced(root)
     val dataDir = Paths.get(root, "data")
     val victims =
       if (!Files.isDirectory(dataDir)) Seq.empty[Path]
@@ -249,6 +258,71 @@ object Snapshots {
     require(vs.nonEmpty, s"no branch '$name' under $root")
     val v = versions(root).lastOption.getOrElse(0) + 1
     commitManifest(root, v, branchFiles(root, name, vs.last))
+  }
+
+  /** All committed branch names (directories `_manifests/branch-*`). */
+  def listBranches(root: String): Seq[String] = {
+    val d = manifestDir(root)
+    if (!Files.isDirectory(d)) return Seq.empty
+    val s = Files.list(d)
+    try s.iterator.asScala.map(_.getFileName.toString)
+      .collect { case n if n.startsWith("branch-") => n.stripPrefix("branch-") }
+      .toSeq.sorted
+    finally s.close()
+  }
+
+  /** Every file any branch version references. */
+  private def branchReferenced(root: String): Set[String] =
+    listBranches(root).flatMap(b =>
+      branchVersions(root, b).flatMap(v => branchFiles(root, b, v))).toSet
+
+  /** ORPHAN-file GC — delete data files referenced by NO manifest (main
+    * or branch): the leftovers of failed/aborted writes, Iceberg's
+    * `remove_orphan_files`, distinct from [[vacuum]] (which expires OLD
+    * VERSIONS — an orphan was never committed at all, so no version
+    * expiry can ever reclaim it). Returns the deleted root-relative
+    * paths. Metadata + directory listing only; committed data is
+    * untouched by construction, so every readable version reads
+    * identically afterwards. */
+  def orphanGc(root: String): Seq[String] = {
+    val referenced = versions(root).flatMap(files(root, _)).toSet ++
+      branchReferenced(root)
+    val dataDir = Paths.get(root, "data")
+    if (!Files.isDirectory(dataDir)) return Seq.empty
+    val s = Files.walk(dataDir)
+    val orphans =
+      // materialize BEFORE deleting (the vacuum rule)
+      try s.iterator.asScala.filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet") &&
+          !referenced.contains(Paths.get(root).relativize(p).toString)).toList
+      finally s.close()
+    orphans.foreach(Files.delete)
+    orphans.map(p => Paths.get(root).relativize(p).toString).sorted
+  }
+
+  // --- streaming sink (exactly-once foreachBatch) --------------------------
+
+  /** Epoch ids already committed by [[commitStreamBatch]]: the `#txn:`
+    * markers carried INSIDE manifests (metadata-only scan). */
+  def committedStreamBatches(root: String): Set[Long] =
+    versions(root).flatMap { v =>
+      Files.readAllLines(manifestPath(root, v)).asScala
+        .filter(_.startsWith("#txn:"))
+        .map(_.stripPrefix("#txn:").trim.toLong)
+    }.toSet
+
+  /** Exactly-once micro-batch commit — the idempotence contract
+    * foreachBatch requires (a restarted query REDELIVERS the same
+    * epoch; without a fence the table double-appends). The epoch id
+    * rides inside the manifest as a `#txn:` marker, so data list and
+    * fence commit in ONE atomic manifest move — there is no crash
+    * window where the batch is written but unfenced (the Delta
+    * txn-appId recipe, not append-then-log). Returns true if the batch
+    * appended, false if fenced as a duplicate. */
+  def commitStreamBatch(df: DataFrame, root: String, batchId: Long): Boolean = {
+    if (committedStreamBatches(root).contains(batchId)) return false
+    commitBatch(df, root, carryPrev = true, txn = Some(batchId))
+    true
   }
 
   /** METADATA-ONLY row count of a snapshot version: sum of parquet

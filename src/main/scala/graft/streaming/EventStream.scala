@@ -161,6 +161,33 @@ object EventStream {
     rows.toSeq.toDF("event_type", "n", "p50", "p90", "p99").orderBy("event_type")
   }
 
+  /** Streaming ingestion INTO the manifest table — the bridge between
+    * the streaming surface and the table format: each micro-batch
+    * lands as a snapshot version through
+    * [[graft.sources.Snapshots.commitStreamBatch]], whose `#txn:`
+    * epoch fence rides INSIDE the atomic manifest commit, so a
+    * restarted query redelivering an epoch is fenced instead of
+    * double-appended — exactly-once from an at-least-once trigger, the
+    * Delta txn-appId recipe. The committed table then answers with
+    * full snapshot semantics (time travel per micro-batch, vacuum,
+    * metadata-only counts). Returns a whole-table aggregate the oracle
+    * checks against the source — equality proves no batch was lost OR
+    * doubled. */
+  def snapshotSink(spark: SparkSession, path: String, root: String): DataFrame = {
+    val q = source(spark, path)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        graft.sources.Snapshots.commitStreamBatch(df, root, batchId); ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.sources.Snapshots.readLatest(spark, root)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum("value"), 2).as("sum_value"))
+  }
+
   /** Streaming count-min: the d×w counter grid AS STREAMING STATE —
     * the grid is nothing but a grouped count on (depth, bucket), so the
     * engine's own streaming aggregation state store IS the sketch: each

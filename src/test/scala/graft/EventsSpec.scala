@@ -540,6 +540,41 @@ class EventsSpec extends SparkTestBase {
     }
   }
 
+  test("islands: overlapping intervals merge, a long interval swallows a later short one") {
+    import org.apache.spark.sql.functions._
+    // user 1 (value = duration minutes):
+    //   id 1 @10:00 +60min  → [10:00, 11:00]
+    //   id 2 @10:30 +5min   → [10:30, 10:35]  (swallowed by id 1)
+    //   id 3 @10:50 +30min  → [10:50, 11:20]  (overlaps → extends island)
+    //   id 4 @12:00 +10min  → new island (11:20 < 12:00)
+    val ev = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", 60.0), (2L, 1L, "2024-01-01 10:30:00", 5.0),
+      (3L, 1L, "2024-01-01 10:50:00", 30.0), (4L, 1L, "2024-01-01 12:00:00", 10.0))
+      .toDF("event_id", "user_id", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = Events.islands(ev).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.length == 2)
+    val us = (s: String) => java.time.Instant.parse(s).toEpochMilli * 1000L
+    assert(out(0) == ((1L, us("2024-01-01T10:00:00Z"), us("2024-01-01T11:20:00Z"), 3L)))
+    assert(out(1) == ((2L, us("2024-01-01T12:00:00Z"), us("2024-01-01T12:10:00Z"), 1L)))
+  }
+
+  test("snapshot sink is exactly-once: a replayed stream is fenced, the table never doubles") {
+    import graft.sources.{Export, Snapshots}
+    val root = Export.tempDir("sinkspec_").toString + "/t"
+    val first = graft.streaming.EventStream
+      .snapshotSink(spark, s"$sfDir/events.parquet", root).head()
+    val vs = Snapshots.versions(root)
+    assert(vs.nonEmpty && Snapshots.committedStreamBatches(root).nonEmpty)
+    // a fresh query on the same source redelivers epoch 0 — the #txn
+    // fence must skip every batch, leaving versions AND counts unchanged
+    val replay = graft.streaming.EventStream
+      .snapshotSink(spark, s"$sfDir/events.parquet", root).head()
+    assert(replay == first, "replay must not change the table's aggregate")
+    assert(Snapshots.versions(root) == vs, "fenced replay must commit no version")
+  }
+
   test("audienceOverlap: theta intersections are exact at spec scale") {
     // A users 1..10, B users 6..15 (overlap 5, union 15, j=0.3333),
     // C user 100 only (disjoint from both)

@@ -140,6 +140,30 @@ class SourcesSpec extends SparkTestBase {
     assert(Snapshots.readLatest(spark, root).collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("snapshots: vacuum spares branch-referenced files; orphan GC takes only strays") {
+    import graft.sources.Snapshots
+    val root = Export.tempDir("snaporphan_").toString + "/t"
+    Snapshots.append(Seq((1L, "a")).toDF("id", "v"), root)            // v1
+    Snapshots.append(Seq((2L, "b")).toDF("id", "v"), root)            // v2
+    // branch forks at v1: its head references v1's batch even after the
+    // main chain expires v1
+    Snapshots.createBranch(root, "wap", 1)
+    Snapshots.appendToBranch(Seq((3L, "c")).toDF("id", "v"), root, "wap")
+    val (dataGone, _) = Snapshots.vacuum(root, keepLast = 1)
+    assert(dataGone == 0, "vacuum must not reclaim branch-referenced batches")
+    assert(Snapshots.readBranch(spark, root, "wap").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    // a stray uncommitted write is an orphan; committed reads survive GC
+    Seq((9L, "x")).toDF("id", "v").write.parquet(s"$root/data/stray_b99999")
+    val deleted = Snapshots.orphanGc(root)
+    assert(deleted.nonEmpty && deleted.forall(_.startsWith("data/stray_b99999")))
+    assert(Snapshots.orphanGc(root).isEmpty, "second GC finds nothing")
+    assert(Snapshots.readLatest(spark, root).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L)) // v2 is a cumulative append
+    assert(Snapshots.readBranch(spark, root, "wap").count() == 2L)
+    assert(Snapshots.listBranches(root) == Seq("wap"))
+  }
+
   test("snapshots: replace overwrites, diff classifies keys, history survives") {
     import graft.sources.Snapshots
     val root = Export.tempDir("snapdiffspec_").toString + "/t"
