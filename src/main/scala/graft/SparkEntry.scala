@@ -98,6 +98,8 @@ object SparkEntry {
     "maint_bloom_skip" -> (Suite.maintBloomSkip _),
     "maint_meta_count" -> (Suite.maintMetaCount _),
     "maint_orphan_gc" -> (Suite.maintOrphanGc _),
+    "maint_hidden_partition" -> (Suite.maintHiddenPartition _),
+    "maint_constraint" -> (Suite.maintConstraint _),
     "maint_zorder" -> (Suite.maintZorder _),
     "q16_sql" -> (Suite.sqlTpchQ5 _),
     "sim_centroids" -> (Suite.simCentroids _),
@@ -152,6 +154,7 @@ object SparkEntry {
     "dq_outlier_mad" -> (Suite.dqOutlierMad _),
     "evt_cusum" -> (Suite.evtCusum _),
     "evt_islands" -> (Suite.evtIslands _),
+    "evt_shapley" -> (Suite.evtShapley _),
     "text_cms_verified" -> (Suite.textCmsVerified _),
     "rel_triples" -> (Suite.relTriples _),
     "mix_dedup_weight" -> (Suite.mixDedupWeight _),
@@ -659,6 +662,18 @@ object SparkEntry {
     // footer-derived counts must equal the scanned truth (append
     // carries the previous version's files forward, so v2 is cumulative)
     // after orphan GC the committed slice must read identically
+    // the hidden-partitioned round trip must equal the raw-ts filter
+    // on the ORIGINAL table (pruning is a plan property, not a result)
+    // only the CHECK-passing batch is visible
+    "maint_constraint" ->
+      """SELECT count(*) AS n_rows, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin,
+    "maint_hidden_partition" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events
+        |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "maint_orphan_gc" ->
       """SELECT count(*) AS n_rows, round(sum(o_totalprice), 2) AS sum_price
         |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin,
@@ -2145,6 +2160,24 @@ object SparkEntry {
     // float accumulation); |S| rounds to 4dp BEFORE the argmax
     // islands: exact integer microsecond sweep, floor() before the
     // duration cast (Spark truncates double->long, DuckDB rounds)
+    // Shapley via the additive-v closed form: phi_i = sum C(T)/|T| over
+    // coalitions containing i (exact, no enumeration)
+    "evt_shapley" ->
+      """WITH fc AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS conv_ts
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |exp0 AS (SELECT e.user_id,
+        |    string_agg(DISTINCT e.event_type, ',' ORDER BY e.event_type) AS coalition
+        |  FROM events e JOIN fc ON fc.user_id = e.user_id
+        |  WHERE CAST(e.ts AS TIMESTAMP) < fc.conv_ts AND e.event_type <> 'purchase'
+        |  GROUP BY 1),
+        |c AS (SELECT coalition, count(*) AS conversions,
+        |    CAST(len(string_split(coalition, ',')) AS BIGINT) AS k
+        |  FROM exp0 GROUP BY 1),
+        |x AS (SELECT unnest(string_split(coalition, ',')) AS channel,
+        |    conversions, k FROM c)
+        |SELECT channel, sum(conversions) AS n_conversions,
+        |  round(sum(CAST(conversions AS DOUBLE) / k), 4) AS phi
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
     "evt_islands" ->
       """WITH iv AS (SELECT user_id, event_id,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS s,

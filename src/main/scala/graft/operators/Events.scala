@@ -28,6 +28,42 @@ object Events {
     flagged
   }
 
+  /** Data-driven Shapley multi-touch attribution — the principled
+    * split of conversion credit across the channel COALITIONS users
+    * were exposed to, vs the last-touch band readout ([[asofJoin]]
+    * family): each converting user contributes one conversion to their
+    * exposure set T (distinct pre-conversion event types); under the
+    * additive characteristic function v(S) = Σ_{T⊆S} C(T) the Shapley
+    * value collapses to the exact closed form φ_i = Σ_{T∋i} C(T)/|T|
+    * (equal split within each coalition) — no 2^k enumeration, no
+    * sampling, deterministic.
+    *
+    * Scale shape: one shuffle finds each user's first conversion, one
+    * builds the per-user exposure set (collect_set over the
+    * pre-conversion slice — channel-domain-bounded per user), then
+    * everything runs on the COALITION table (≤ 2^k rows, k = channel
+    * count): the explode, the division, the per-channel fold. */
+  def shapleyAttribution(events: DataFrame,
+                         conversion: String = "purchase"): DataFrame = {
+    val firstConv = events.filter(col("event_type") === conversion)
+      .groupBy("user_id").agg(min("ts").as("conv_ts"))
+    val coalitions = events
+      .join(firstConv, "user_id")
+      .filter(col("ts") < col("conv_ts") && col("event_type") =!= conversion)
+      .groupBy("user_id")
+      .agg(concat_ws(",", sort_array(collect_set(col("event_type")))).as("coalition"))
+      .groupBy("coalition").agg(count(lit(1)).as("conversions"))
+      .withColumn("k", size(split(col("coalition"), ",")).cast("long"))
+    coalitions
+      .select(explode(split(col("coalition"), ",")).as("channel"),
+        col("conversions"), col("k"))
+      .groupBy("channel")
+      .agg(sum("conversions").as("n_conversions"),
+        round(sum(col("conversions").cast("double") / col("k").cast("double")), 4)
+          .as("phi"))
+      .orderBy("channel")
+  }
+
   /** Gaps-and-islands: merge each user's OVERLAPPING intervals into
     * maximal islands — the classic interval-consolidation every
     * availability/occupancy/billing pipeline needs (contiguous covered

@@ -105,6 +105,33 @@ object Layout {
       mx >= lo && mn <= hi
     }
 
+  /** Iceberg-style HIDDEN partitioning: the table is physically
+    * partitioned by a DERIVED transform of an existing column
+    * (day(ts)), and the read path accepts predicates on the RAW column
+    * — the caller never sees or manages the partition column, the
+    * library derives the partition filter from the predicate. This is
+    * what plain hive layouts ([[hivePartitionWrite]]) cannot offer:
+    * there the user must know and filter the partition column
+    * themselves, and a raw-ts predicate scans everything. */
+  def hiddenDayPartitionWrite(df: DataFrame, tsCol: String, outDir: String): Unit =
+    df.withColumn("__day", date_format(col(tsCol), "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("__day").parquet(outDir)
+
+  /** Read with a raw time-range predicate `[lo, hi)` (yyyy-MM-dd
+    * HH:mm:ss strings, session zone): the day-transform bounds derive
+    * from the predicate and become PARTITION filters (pruned at
+    * planning — asserted in LayoutSpec), the exact bound re-applies on
+    * the surviving rows. At 100 TB this is the difference between
+    * touching a few day directories and scanning the table. */
+  def timeRangeRead(spark: SparkSession, dir: String, tsCol: String,
+                    lo: String, hi: String): DataFrame = {
+    val (loDay, hiDay) = (lo.take(10), hi.take(10))
+    spark.read.parquet(dir)
+      .filter(col("__day") >= loDay && col("__day") <= hiDay)
+      .filter(col(tsCol) >= to_timestamp(lit(lo)) && col(tsCol) < to_timestamp(lit(hi)))
+      .drop("__day")
+  }
+
   /** Per-file BLOOM index over an arbitrary expression — the skipping
     * story min/max zone maps cannot tell: a high-cardinality column
     * UNCORRELATED with the physical layout (a content hash over a

@@ -1496,6 +1496,42 @@ object Suite {
   def streamCms(s: SparkSession, dir: String): DataFrame =
     graft.streaming.EventStream.cmsStream(s, dir + "/events.parquet")
 
+  /** Hidden day-partitioning: write partitioned by the derived day
+    * transform, query by a RAW ts range — the library turns the
+    * predicate into partition pruning (plan asserted in LayoutSpec). */
+  def maintHiddenPartition(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Layout
+    val out = Export.tempDir("hiddenpart_").toString + "/t"
+    Layout.hiddenDayPartitionWrite(t(s, dir, "events"), "ts", out)
+    Layout.timeRangeRead(s, out, "ts",
+        "2024-01-10 00:00:00", "2024-01-15 00:00:00")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** CHECK-constrained commits: a clean batch lands, a violating batch
+    * is rejected whole (no partial version) — the oracle sees only the
+    * committed slice, so equality proves the rejection. */
+  def maintConstraint(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{Export, Snapshots}
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+    val root = Export.tempDir("constraint_").toString + "/t"
+    val ok = Snapshots.appendChecked(o.filter(col("o_orderkey") % 3 === 0), root,
+      "o_totalprice > 0")
+    require(ok.isRight, s"clean batch must commit: $ok")
+    val rejected = Snapshots.appendChecked(o, root, "o_totalprice < 100000")
+    require(rejected.isLeft && rejected.left.toOption.exists(_ > 0),
+      s"violating batch must be rejected with a count: $rejected")
+    require(Snapshots.versions(root).size == 1, "no partial version may commit")
+    Snapshots.readLatest(s, root)
+      .agg(count(lit(1)).as("n_rows"), round(sum("o_totalprice"), 2).as("sum_price"))
+  }
+
+  /** Shapley multi-touch conversion attribution over event types. */
+  def evtShapley(s: SparkSession, dir: String): DataFrame =
+    Events.shapleyAttribution(t(s, dir, "events"))
+
   /** Gaps-and-islands interval consolidation per user. */
   def evtIslands(s: SparkSession, dir: String): DataFrame =
     Events.islands(t(s, dir, "events"))

@@ -297,7 +297,34 @@ object Snapshots {
           !referenced.contains(Paths.get(root).relativize(p).toString)).toList
       finally s.close()
     orphans.foreach(Files.delete)
+    // reap now-empty stray dirs (and their _SUCCESS markers) so the
+    // data/ tree doesn't accumulate husks of crashed writers; never the
+    // data root itself, and only when nothing but loose marker FILES
+    // remain (a dir still holding referenced parquet, or any subdir,
+    // is left alone)
+    val dirs = orphans.map(_.getParent).distinct.filterNot(_ == dataDir)
+    dirs.foreach { d =>
+      val s2 = Files.list(d)
+      val leftovers = try s2.iterator.asScala.toList finally s2.close()
+      if (leftovers.forall(p => Files.isRegularFile(p) &&
+          !p.getFileName.toString.endsWith(".parquet"))) {
+        leftovers.foreach(Files.delete)
+        Files.delete(d)
+      }
+    }
     orphans.map(p => Paths.get(root).relativize(p).toString).sorted
+  }
+
+  /** Delta-style CHECK constraint on commit: the append lands only if
+    * EVERY row satisfies `constraintSql`; otherwise nothing commits
+    * and the violation count returns (Left) — malformed loads are
+    * rejected at the table boundary instead of discovered downstream.
+    * One aggregate over the batch (not the table); the check rides the
+    * same job that would have written. */
+  def appendChecked(df: DataFrame, root: String,
+                    constraintSql: String): Either[Long, Int] = {
+    val bad = df.filter(s"NOT ($constraintSql)").count()
+    if (bad > 0) Left(bad) else Right(append(df, root))
   }
 
   // --- streaming sink (exactly-once foreachBatch) --------------------------

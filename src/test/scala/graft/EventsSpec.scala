@@ -560,6 +560,27 @@ class EventsSpec extends SparkTestBase {
     assert(out(1) == ((2L, us("2024-01-01T12:00:00Z"), us("2024-01-01T12:10:00Z"), 1L)))
   }
 
+  test("shapleyAttribution: hand-computed coalition splits; non-converters excluded") {
+    import org.apache.spark.sql.functions._
+    // u1: a,b → buy ⇒ T={a,b}; u2: a → buy ⇒ {a}; u3: b,c → buy ⇒ {b,c}
+    // u4: c, never buys; u5 buys with no prior exposure (no coalition)
+    // φ(a)=½+1=1.5, φ(b)=½+½=1.0, φ(c)=½=0.5
+    val rows = Seq(
+      (1L, 1L, "a", "10:00"), (2L, 1L, "b", "10:05"), (3L, 1L, "purchase", "10:10"),
+      (4L, 2L, "a", "10:00"), (5L, 2L, "purchase", "10:01"),
+      (6L, 3L, "b", "09:00"), (7L, 3L, "c", "09:30"), (8L, 3L, "purchase", "09:45"),
+      (9L, 4L, "c", "11:00"),
+      (10L, 5L, "purchase", "08:00"))
+    val ev = rows.map { case (e, u, t0, hm) => (e, u, t0, s"2024-01-01 $hm:00") }
+      .toDF("event_id", "user_id", "event_type", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = Events.shapleyAttribution(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out == Map("a" -> ((2L, 1.5)), "b" -> ((2L, 1.0)), "c" -> ((1L, 0.5))))
+    // credit conservation: Σφ = conversions that had any exposure (3)
+    assert(out.values.map(_._2).sum == 3.0)
+  }
+
   test("snapshot sink is exactly-once: a replayed stream is fenced, the table never doubles") {
     import graft.sources.{Export, Snapshots}
     val root = Export.tempDir("sinkspec_").toString + "/t"

@@ -97,6 +97,28 @@ class LayoutSpec extends SparkTestBase {
       docs.filter(col("lang") === "en").count())
   }
 
+  test("hidden partitioning: a raw ts-range read prunes to the matching day dirs") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val ev = Tables.t(spark, sfDir, "events")
+    val dir = Export.tempDir("hidden_spec_").toString + "/t"
+    Layout.hiddenDayPartitionWrite(ev, "ts", dir)
+    val total = spark.read.parquet(dir).select("__day").distinct().count()
+    val q = Layout.timeRangeRead(spark, dir, "ts",
+      "2024-01-10 00:00:00", "2024-01-15 00:00:00").select("event_id")
+    val scans = flattenPlan(q.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
+      "the derived day bounds must become partition filters")
+    val touched = scans.head.selectedPartitions.partitionCount
+    // [Jan 10, Jan 15) needs at most the 6 day dirs Jan 10..15
+    assert(touched <= 6 && touched < total,
+      s"expected <=6 of $total day dirs, scanned $touched")
+    // and the pruned read returns exactly the raw-predicate rows
+    assert(q.count() == ev.filter(
+      col("ts") >= to_timestamp(lit("2024-01-10 00:00:00")) &&
+      col("ts") < to_timestamp(lit("2024-01-15 00:00:00"))).count())
+  }
+
   test("bloom file index: a planted key prunes to its one file, an absent key to none") {
     import spark.implicits._
     // 8 files clustered by k; the probe column v is k-aligned so each v
