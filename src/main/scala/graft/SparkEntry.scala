@@ -155,6 +155,9 @@ object SparkEntry {
     "evt_cusum" -> (Suite.evtCusum _),
     "evt_islands" -> (Suite.evtIslands _),
     "evt_shapley" -> (Suite.evtShapley _),
+    "evt_survival_km" -> (Suite.evtSurvival _),
+    "rel_elasticity" -> (Suite.relElasticity _),
+    "dq_gini" -> (Suite.dqGini _),
     "text_cms_verified" -> (Suite.textCmsVerified _),
     "rel_triples" -> (Suite.relTriples _),
     "mix_dedup_weight" -> (Suite.mixDedupWeight _),
@@ -2162,6 +2165,60 @@ object SparkEntry {
     // duration cast (Spark truncates double->long, DuckDB rounds)
     // Shapley via the additive-v closed form: phi_i = sum C(T)/|T| over
     // coalitions containing i (exact, no enumeration)
+    // KM: identical risk-set algebra; the product via exp(sum(ln)) under
+    // the same ordered frame; the exhausted-risk-set guard emits 0 on
+    // both engines (Spark nulls ln(0), DuckDB -infs it - neither leaks)
+    // log-log OLS on the same six moment sums (the evt_trend algebra)
+    "rel_elasticity" ->
+      """WITH e AS (SELECT p.p_brand AS brand,
+        |    ln(l.l_extendedprice / l.l_quantity) AS x,
+        |    ln(l.l_quantity) AS y
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |  WHERE l.l_quantity > 0 AND l.l_extendedprice > 0),
+        |s AS (SELECT brand, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy
+        |  FROM e GROUP BY brand)
+        |SELECT brand, n,
+        |  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 4) AS elasticity,
+        |  round((n*sxy - sx*sy)
+        |    / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 4) AS pearson_r
+        |FROM s ORDER BY brand""".stripMargin,
+    // gini via the rank-weighted sum; (value, key) tie-break fixes ranks
+    "dq_gini" ->
+      """WITH r AS (SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS x,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice, o_orderkey) AS i FROM orders),
+        |s AS (SELECT o_orderpriority, count(*) AS n, sum(x) AS sx,
+        |    sum(CAST(i AS DOUBLE) * x) AS six FROM r GROUP BY 1)
+        |SELECT o_orderpriority, n,
+        |  round(2.0 * six / (CAST(n AS DOUBLE) * sx)
+        |    - CAST(n + 1 AS DOUBLE) / n, 4) AS gini
+        |FROM s ORDER BY o_orderpriority""".stripMargin,
+    "evt_survival_km" ->
+      """WITH u AS (SELECT user_id,
+        |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS f,
+        |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS l FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |e AS (SELECT max(l) AS edge FROM u),
+        |lt AS (SELECT CAST(floor((l - f) / 86400000000.0) AS BIGINT) AS t,
+        |    (e.edge - l >= 3 * 86400000000) AS churned FROM u CROSS JOIN e),
+        |bt AS (SELECT t, sum(CASE WHEN churned THEN 1 ELSE 0 END) AS d,
+        |    count(*) AS leaving FROM lt GROUP BY 1),
+        |cv AS (SELECT t, d, leaving, sum(leaving) OVER (ORDER BY t
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_risk
+        |  FROM bt),
+        |fr AS (SELECT t, d, n_risk,
+        |    1.0 - CAST(d AS DOUBLE) / n_risk AS frac FROM cv),
+        |sv AS (SELECT t, n_risk, d,
+        |    CASE WHEN min(frac) OVER (ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= 0.0
+        |      THEN 0.0
+        |      ELSE exp(sum(ln(frac)) OVER (ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) END AS s
+        |  FROM fr)
+        |SELECT t, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(d AS BIGINT) AS n_churned, round(s, 4) AS survival
+        |FROM sv ORDER BY t""".stripMargin,
     "evt_shapley" ->
       """WITH fc AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS conv_ts
         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),

@@ -316,4 +316,60 @@ object Basket {
       .filter(col("rank") <= k)
       .orderBy("brand_a", "rank")
   }
+
+  /** Per-brand PRICE ELASTICITY of demand — the log-log OLS slope of
+    * quantity on unit price (∂ln q / ∂ln p), the econometric readout a
+    * pricing team runs per product line. Same mergeable-moment-sum
+    * shape as [[graft.operators.Events.valueTrend]]: the six running
+    * sums partial-aggregate map-side, one brand-domain shuffle, all
+    * regression algebra on the aggregated row — one scan of lineitem
+    * at any scale. */
+  def priceElasticity(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val pts = lineitem
+      .filter(col("l_quantity") > 0.0 && col("l_extendedprice") > 0.0)
+      .join(part.select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"),
+        log(col("l_extendedprice") / col("l_quantity")).as("x"),
+        log(col("l_quantity")).as("y"))
+    val n = col("n").cast("double")
+    val varX = n * col("sxx") - col("sx") * col("sx")
+    val cov = n * col("sxy") - col("sx") * col("sy")
+    val slope = cov / varX
+    pts.groupBy("brand")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("brand"), col("n"),
+        round(slope, 4).as("elasticity"),
+        round(cov / sqrt(varX * (n * col("syy") - col("sy") * col("sy"))), 4)
+          .as("pearson_r"))
+      .orderBy("brand")
+  }
+
+  /** Gini coefficient of order-value concentration per priority class —
+    * the single-number inequality readout behind the Pareto tiers
+    * ([[graft.operators.Events.concentration]] reports the curve, this
+    * the coefficient): G = 2·Σᵢ i·xᵢ / (n·Σxᵢ) − (n+1)/n over each
+    * group's ascending values.
+    *
+    * Scale shape: the rank window partitions BY GROUP (each group
+    * sorts in its own partitions — never a global single-partition
+    * sort); the weighted sums fold per group in one aggregate. Exact
+    * tie-break (value, key) makes ranks deterministic; the weighted
+    * float sum rounds 4dp at the edge. */
+  def giniByGroup(df: DataFrame, group: String, valueCol: String,
+                  key: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(group).orderBy(col("x"), col(key))
+    df.select(col(group), col(valueCol).cast("double").as("x"), col(key))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(group)
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(col("i").cast("double") * col("x")).as("six"))
+      .select(col(group), col("n"),
+        round(lit(2.0) * col("six") / (col("n").cast("double") * col("sx"))
+          - (col("n") + 1).cast("double") / col("n").cast("double"), 4).as("gini"))
+      .orderBy(group)
+  }
 }

@@ -50,6 +50,52 @@ object Monitor {
       .orderBy("event_type")
   }
 
+  /** Kaplan-Meier survival estimate over user lifetimes — the
+    * retention curve that handles CENSORING correctly (users still
+    * active at the observation edge haven't churned; naive retention
+    * counts them as losses and biases the curve down). Lifetime =
+    * whole days between a user's first and last event; a user is
+    * censored when their last event lies within `censorDays` of the
+    * corpus's observation edge. S(t) = Π_{d≤t} (1 − churn_d/at-risk_d)
+    * over distinct lifetimes d, the product via exp(Σ ln(..)) under an
+    * ordered prefix window (deterministic accumulation; S rounds 4dp;
+    * an exhausted risk set would take ln(0), which Spark nulls and
+    * DuckDB -infs — both sides emit 0 explicitly through the same
+    * guard instead).
+    *
+    * Scale shape: one shuffle folds events to the user dimension
+    * (first/last ts), the observation edge is a broadcast 1-row
+    * aggregate, and ALL curve algebra (risk sets from a cumulative
+    * window, the log-sum product) runs on the distinct-lifetime table
+    * — day-domain-sized, never user- or event-sized. */
+  def kaplanMeier(events: DataFrame, censorDays: Int = 3): DataFrame = {
+    val users = events.groupBy("user_id")
+      .agg(min(unix_micros(col("ts"))).as("first_us"),
+        max(unix_micros(col("ts"))).as("last_us"))
+    val edge = users.agg(max("last_us").as("edge_us"))
+    val dayUs = 86400000000L
+    val lifetimes = users.crossJoin(broadcast(edge)) // bounded: 1 row
+      .select(floor((col("last_us") - col("first_us")) / dayUs).cast("long").as("t"),
+        (col("edge_us") - col("last_us") >= censorDays * dayUs).as("churned"))
+    val byT = lifetimes.groupBy("t")
+      .agg(sum(when(col("churned"), 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("leaving"))
+    val w = Window.orderBy("t") // distinct-lifetime domain: bounded window
+    val curve = byT
+      .withColumn("n_risk",
+        sum("leaving").over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("frac",
+        lit(1.0) - col("d").cast("double") / col("n_risk").cast("double"))
+      .withColumn("s",
+        when(min("frac").over(w.rowsBetween(Window.unboundedPreceding, 0)) <= 0.0,
+          lit(0.0))
+          .otherwise(exp(sum(log(col("frac")))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)))))
+    curve.select(col("t"), col("n_risk"), col("d").as("n_churned"),
+        round(col("s"), 4).as("survival"))
+      .orderBy("t")
+  }
+
   /** Robust outlier screen via the median absolute deviation — the
     * detector that still works when the outliers themselves have
     * wrecked mean and stddev (the z-score blind spot,

@@ -1528,6 +1528,23 @@ object Suite {
       .agg(count(lit(1)).as("n_rows"), round(sum("o_totalprice"), 2).as("sum_price"))
   }
 
+  /** Per-brand log-log price elasticity of demand. */
+  def relElasticity(s: SparkSession, dir: String): DataFrame =
+    Basket.priceElasticity(t(s, dir, "lineitem"), t(s, dir, "part"))
+
+  /** Gini concentration of order value per priority class. */
+  def dqGini(s: SparkSession, dir: String): DataFrame =
+    Basket.giniByGroup(t(s, dir, "orders"), "o_orderpriority",
+      "o_totalprice", "o_orderkey")
+
+  /** Kaplan-Meier retention over users' PURCHASE careers (first to
+    * last purchase; the all-event timeline is degenerate on this
+    * corpus — every synthetic user stays active the whole window, so
+    * purchases are the lifetime with real variation and churn). */
+  def evtSurvival(s: SparkSession, dir: String): DataFrame =
+    Monitor.kaplanMeier(
+      t(s, dir, "events").filter(col("event_type") === "purchase"))
+
   /** Shapley multi-touch conversion attribution over event types. */
   def evtShapley(s: SparkSession, dir: String): DataFrame =
     Events.shapleyAttribution(t(s, dir, "events"))

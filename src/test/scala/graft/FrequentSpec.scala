@@ -197,6 +197,31 @@ class FrequentSpec extends SparkTestBase {
     }
   }
 
+  test("giniByGroup: equality gives 0, total concentration approaches 1 - n ties broken") {
+    import graft.operators.Basket
+    // group e: four equal values → G = 0 exactly
+    // group c: {0,0,0,100} → G = 2·(4·100)/(4·100) − 5/4 = 0.75
+    val rows = Seq(("e", 10.0, 1L), ("e", 10.0, 2L), ("e", 10.0, 3L), ("e", 10.0, 4L),
+      ("c", 0.0, 5L), ("c", 0.0, 6L), ("c", 0.0, 7L), ("c", 100.0, 8L))
+    val out = Basket.giniByGroup(rows.toDF("g", "v", "k"), "g", "v", "k")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out("e") == 0.0 && out("c") == 0.75)
+  }
+
+  test("priceElasticity: a planted q = c/p relation regresses to exactly -1") {
+    import graft.operators.Basket
+    // qty = 100/price → ln(qty) = ln(100) − ln(unit price), slope −1, r −1
+    val li = (1 to 20).map { i =>
+      val p = i.toDouble          // unit price
+      val q = 100.0 / p           // demanded quantity
+      (i.toLong, q, p * q)        // extendedprice = unit price × qty
+    }.toDF("l_partkey", "l_quantity", "l_extendedprice")
+    val part = (1 to 20).map(i => (i.toLong, "B1")).toDF("p_partkey", "p_brand")
+    val r = Basket.priceElasticity(li, part).head()
+    assert((r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)) ==
+      (("B1", 20L, -1.0, -1.0)))
+  }
+
   test("prefixSpan: planted ordered journeys mine with exact supports") {
     import graft.operators.Topics
     // users 1-3 follow a>b>c in time order; user 4 does c>b>a (reversed

@@ -33,6 +33,24 @@ class MonitorSpec extends SparkTestBase {
     assert(r.getLong(4) == 1L, s"exactly the planted spike must flag: $r")
   }
 
+  test("kaplanMeier: censored users hold the curve, churners drop it — hand computation") {
+    // edge = day 10 (u4's last). u1: days 0-2 (churned, 10-2≥3);
+    // u2: 1-3 (churned); u3: 0-8 (last 2 days from edge → CENSORED);
+    // u4: 0-10 (at the edge → censored). Lifetimes: u1 t=2, u2 t=2,
+    // u3 t=8, u4 t=10. Risk sets 4/2/1; S = (1-2/4) = 0.5 then flat —
+    // censoring removes u3/u4 from risk WITHOUT dropping survival.
+    val rows = Seq(
+      (1L, 1L, 0), (2L, 1L, 2), (3L, 2L, 1), (4L, 2L, 3),
+      (5L, 3L, 0), (6L, 3L, 8), (7L, 4L, 0), (8L, 4L, 10))
+    val ev = rows.map { case (e, u, day) =>
+      (e, u, f"2024-03-${day + 1}%02d 12:00:00") }
+      .toDF("event_id", "user_id", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = Monitor.kaplanMeier(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(out == Seq((2L, 4L, 2L, 0.5), (8L, 2L, 0L, 0.5), (10L, 1L, 0L, 0.5)))
+  }
+
   test("count-min: estimates never undercount, and are exact without collisions") {
     val keys = (Seq.fill(7)("x") ++ Seq.fill(3)("y") ++ Seq("z")).toDF("term")
     val grid = CountMin.sketch(keys, "term", d = 3, w = 64)
