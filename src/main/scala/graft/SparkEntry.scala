@@ -155,6 +155,7 @@ object SparkEntry {
     "evt_cusum" -> (Suite.evtCusum _),
     "evt_islands" -> (Suite.evtIslands _),
     "evt_shapley" -> (Suite.evtShapley _),
+    "evt_watermark_audit" -> (Suite.evtWatermarkAudit _),
     "evt_survival_km" -> (Suite.evtSurvival _),
     "rel_elasticity" -> (Suite.relElasticity _),
     "dq_gini" -> (Suite.dqGini _),
@@ -2219,6 +2220,21 @@ object SparkEntry {
         |SELECT t, CAST(n_risk AS BIGINT) AS n_risk,
         |  CAST(d AS BIGINT) AS n_churned, round(s, 4) AS survival
         |FROM sv ORDER BY t""".stripMargin,
+    // ONE sequential running-max window == the distributed chunk scan
+    "evt_watermark_audit" ->
+      """WITH e AS (SELECT event_type,
+        |    CASE WHEN event_id % 17 = 0 THEN event_id * 2 + 81
+        |      ELSE event_id * 2 END AS aid,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |f AS (SELECT event_type, us,
+        |    max(us) OVER (ORDER BY aid
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS frontier
+        |  FROM e)
+        |SELECT event_type, count(*) AS n_events,
+        |  sum(CASE WHEN frontier - us > 3600000000 THEN 1 ELSE 0 END) AS late_1h,
+        |  sum(CASE WHEN frontier - us > 6 * 3600000000 THEN 1 ELSE 0 END) AS late_6h,
+        |  sum(CASE WHEN frontier - us > 24 * 3600000000 THEN 1 ELSE 0 END) AS late_24h
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     "evt_shapley" ->
       """WITH fc AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS conv_ts
         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),

@@ -28,6 +28,49 @@ object Events {
     flagged
   }
 
+  /** Watermark-lateness audit — "which events would a watermark of
+    * 1h/6h/24h have DROPPED?", the measurement that sizes every
+    * Structured Streaming watermark before deployment: an event is
+    * late by `d` when its event time lags the maximum event time
+    * ALREADY SEEN in arrival order (event_id is the arrival proxy) by
+    * more than `d`.
+    *
+    * The running max over arrival order is inherently sequential — the
+    * scale-correct distributed form is the classic two-level PREFIX
+    * SCAN: fold each arrival CHUNK (event_id DIV chunkSize) to its
+    * max, prefix-max the chunk-domain table (a tiny window), broadcast
+    * it back, and combine with the within-chunk running max (windows
+    * partitioned BY CHUNK — bounded sorts, never a global
+    * single-partition order). The DuckDB oracle computes the same
+    * frontier as ONE sequential window, so the hash match proves
+    * distributed-scan ≡ sequential-scan. */
+  def watermarkAudit(events: DataFrame, chunkSize: Long = 4096L): DataFrame = {
+    val ev = events.select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        expr(s"event_id DIV ${chunkSize}L").as("chunk")) // integer div: exact at any id
+    val chunkPrefix = ev.groupBy("chunk").agg(max("us").as("cmax"))
+      .withColumn("prev_chunks_max", max("cmax").over(
+        Window.orderBy("chunk").rowsBetween(Window.unboundedPreceding, -1)))
+      .select("chunk", "prev_chunks_max") // chunk-domain: broadcastable
+    val inChunk = Window.partitionBy("chunk").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hourUs = 3600000000L
+    val scanned = ev.join(broadcast(chunkPrefix), "chunk")
+      .withColumn("in_chunk_max", max("us").over(inChunk))
+      // greatest skips NULLs and is NULL only when both are — so the
+      // globally-first arrival has a NULL frontier (never late), with
+      // no MinValue sentinel to overflow ANSI subtraction
+      .withColumn("frontier",
+        greatest(col("prev_chunks_max"), col("in_chunk_max")))
+      .withColumn("late_us", col("frontier") - col("us"))
+    scanned.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > hourUs, 1L).otherwise(0L)).as("late_1h"),
+        sum(when(col("late_us") > 6L * hourUs, 1L).otherwise(0L)).as("late_6h"),
+        sum(when(col("late_us") > 24L * hourUs, 1L).otherwise(0L)).as("late_24h"))
+      .orderBy("event_type")
+  }
+
   /** Data-driven Shapley multi-touch attribution — the principled
     * split of conversion credit across the channel COALITIONS users
     * were exposed to, vs the last-touch band readout ([[asofJoin]]

@@ -1545,6 +1545,18 @@ object Suite {
     Monitor.kaplanMeier(
       t(s, dir, "events").filter(col("event_type") === "purchase"))
 
+  /** Watermark sizing audit: late-event counts at 1h/6h/24h bounds,
+    * distributed prefix-scan vs the oracle's sequential scan. The
+    * synthetic log arrives in event-time order (ids follow ts), so the
+    * suite PLANTS deterministic disorder: every 17th event arrives ~40
+    * positions late (unique odd/even arrival ids — no ties). */
+  def evtWatermarkAudit(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").withColumn("event_id",
+      when(col("event_id") % 17 === 0, col("event_id") * 2 + 81)
+        .otherwise(col("event_id") * 2))
+    Events.watermarkAudit(ev)
+  }
+
   /** Shapley multi-touch conversion attribution over event types. */
   def evtShapley(s: SparkSession, dir: String): DataFrame =
     Events.shapleyAttribution(t(s, dir, "events"))

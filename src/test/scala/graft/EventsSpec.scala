@@ -560,6 +560,29 @@ class EventsSpec extends SparkTestBase {
     assert(out(1) == ((2L, us("2024-01-01T12:00:00Z"), us("2024-01-01T12:10:00Z"), 1L)))
   }
 
+  test("watermarkAudit: chunked prefix scan equals the sequential scan; hand case exact") {
+    import org.apache.spark.sql.functions._
+    // deterministic pseudo-disordered stream: arrival i carries event
+    // time (7i mod 50) hours — plenty of inversions across chunk seams
+    val rows = (0 until 50).map { i =>
+      (i.toLong, "a", f"2024-04-${(7 * i) % 50 / 24 + 1}%02d ${(7 * i) % 50 % 24}%02d:00:00")
+    }
+    val ev = rows.toDF("event_id", "event_type", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val chunked = Events.watermarkAudit(ev, chunkSize = 8L).collect().toSeq.map(_.toSeq)
+    val single = Events.watermarkAudit(ev, chunkSize = 1000000L).collect().toSeq.map(_.toSeq)
+    assert(chunked == single, "chunk seams must not change lateness")
+    // hand case: arrivals with times 10:00, 13:00, 11:30 — the third
+    // lags the 13:00 frontier by 1.5h → late at 1h, not at 6h
+    val h = Seq((1L, "x", "2024-05-01 10:00:00"), (2L, "x", "2024-05-01 13:00:00"),
+        (3L, "x", "2024-05-01 11:30:00"))
+      .toDF("event_id", "event_type", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val r = Events.watermarkAudit(h, chunkSize = 2L).head()
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      (("x", 3L, 1L, 0L, 0L)))
+  }
+
   test("shapleyAttribution: hand-computed coalition splits; non-converters excluded") {
     import org.apache.spark.sql.functions._
     // u1: a,b → buy ⇒ T={a,b}; u2: a → buy ⇒ {a}; u3: b,c → buy ⇒ {b,c}
