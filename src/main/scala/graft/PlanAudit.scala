@@ -174,7 +174,12 @@ object PlanAudit {
     // maint_meta_count has NO plan by design (footers only);
     // stream_cms is excluded like the other streaming keys
     "dq_tcloseness", "dq_dp_counts", "text_hashed_lr", "evt_cusum",
-    "dq_outlier_mad", "text_cms_verified")
+    "dq_outlier_mad", "text_cms_verified",
+    // round 5 cont.: KS / Mann-Whitney (ONE corpus fold to the
+    // type × bin grid; every window runs over the bounded grid
+    // partitioned by type — nothing corpus-sized sorts), FD audit
+    // (two grouped folds per candidate + scalar agg, union of five)
+    "dq_ks_test", "dq_mannwhitney", "dq_fd_audit")
     // evt_audience_overlap is excluded like dedup_clusters: its
     // domain-sized sketch table collects eagerly at construction, so
     // only the trivial driver-built result frame would be explained

@@ -160,6 +160,9 @@ object SparkEntry {
     "rel_elasticity" -> (Suite.relElasticity _),
     "dq_gini" -> (Suite.dqGini _),
     "text_cms_verified" -> (Suite.textCmsVerified _),
+    "dq_ks_test" -> (Suite.dqKsTest _),
+    "dq_mannwhitney" -> (Suite.dqMannWhitney _),
+    "dq_fd_audit" -> (Suite.dqFdAudit _),
     "rel_triples" -> (Suite.relTriples _),
     "mix_dedup_weight" -> (Suite.mixDedupWeight _),
     "evt_rolling_distinct_hll" -> (Suite.evtRollingDistinctHll _),
@@ -2195,6 +2198,134 @@ object SparkEntry {
         |  round(2.0 * six / (CAST(n AS DOUBLE) * sx)
         |    - CAST(n + 1 AS DOUBLE) / n, 4) AS gini
         |FROM s ORDER BY o_orderpriority""".stripMargin,
+    // binned two-sample KS vs the pooled rest; integer cumsums exact on
+    // both engines, gap rounded BEFORE the argmax (cusum precedent)
+    "dq_ks_test" ->
+      """WITH sv AS (SELECT event_type,
+        |    CASE WHEN event_type = 'error' THEN value * 1.25e0
+        |      ELSE value END AS v FROM events),
+        |b AS (SELECT event_type, CAST(floor(v * 10) AS BIGINT) AS bin FROM sv),
+        |cell AS (SELECT event_type, bin, count(*) AS n_ab FROM b GROUP BY 1, 2),
+        |pb AS (SELECT bin, count(*) AS c_b FROM b GROUP BY 1),
+        |ty AS (SELECT DISTINCT event_type FROM b),
+        |grid AS (SELECT ty.event_type, pb.bin, pb.c_b,
+        |    coalesce(cell.n_ab, 0) AS n_ab
+        |  FROM ty CROSS JOIN pb
+        |  LEFT JOIN cell ON cell.event_type = ty.event_type
+        |    AND cell.bin = pb.bin),
+        |sc AS (SELECT event_type, bin,
+        |    sum(n_ab) OVER (PARTITION BY event_type ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+        |    sum(c_b) OVER (PARTITION BY event_type ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_t,
+        |    sum(n_ab) OVER (PARTITION BY event_type) AS n_a,
+        |    sum(c_b) OVER (PARTITION BY event_type) AS n
+        |  FROM grid),
+        |g AS (SELECT event_type, bin, n_a, n,
+        |    round(abs(CAST(cum_a AS DOUBLE) / n_a
+        |      - CAST(cum_t - cum_a AS DOUBLE) / (n - n_a)), 4) AS gap
+        |  FROM sc),
+        |r AS (SELECT event_type, bin, n_a, n, gap, row_number() OVER (
+        |      PARTITION BY event_type ORDER BY gap DESC, bin ASC) AS rn
+        |  FROM g),
+        |f AS (SELECT event_type, n_a, n, gap, bin,
+        |    round(1.3581e0 * sqrt(CAST(n AS DOUBLE)
+        |      / (CAST(n_a AS DOUBLE) * CAST(n - n_a AS DOUBLE))), 4) AS crit
+        |  FROM r WHERE rn = 1)
+        |SELECT event_type, CAST(n_a AS BIGINT) AS n_a,
+        |  CAST(n - n_a AS BIGINT) AS n_rest, gap AS ks_d, bin AS d_at_bin,
+        |  crit, gap > crit AS reject
+        |FROM f ORDER BY event_type""".stripMargin,
+    // midrank algebra kept ×2 in integers; only u/z are float
+    "dq_mannwhitney" ->
+      """WITH sv AS (SELECT event_type,
+        |    CASE WHEN event_type = 'error' THEN value * 1.25e0
+        |      ELSE value END AS v FROM events),
+        |b AS (SELECT event_type, CAST(floor(v * 10) AS BIGINT) AS bin FROM sv),
+        |cell AS (SELECT event_type, bin, count(*) AS n_ab FROM b GROUP BY 1, 2),
+        |pb AS (SELECT bin, count(*) AS c_b FROM b GROUP BY 1),
+        |ty AS (SELECT DISTINCT event_type FROM b),
+        |grid AS (SELECT ty.event_type, pb.bin, pb.c_b,
+        |    coalesce(cell.n_ab, 0) AS n_ab
+        |  FROM ty CROSS JOIN pb
+        |  LEFT JOIN cell ON cell.event_type = ty.event_type
+        |    AND cell.bin = pb.bin),
+        |sc AS (SELECT event_type, n_ab, c_b,
+        |    sum(c_b) OVER (PARTITION BY event_type ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_t,
+        |    sum(n_ab) OVER (PARTITION BY event_type) AS n_a,
+        |    sum(c_b) OVER (PARTITION BY event_type) AS n,
+        |    sum(c_b * c_b * c_b - c_b)
+        |      OVER (PARTITION BY event_type) AS ties
+        |  FROM grid),
+        |a AS (SELECT event_type, max(n_a) AS n_a, max(n) AS n,
+        |    max(ties) AS ties,
+        |    sum(n_ab * (2 * (cum_t - c_b) + c_b + 1)) AS r2
+        |  FROM sc GROUP BY 1),
+        |fin AS (SELECT event_type, n_a, n - n_a AS n_b, n, ties,
+        |    CAST(r2 - n_a * (n_a + 1) AS DOUBLE) / 2e0 AS u FROM a),
+        |fz AS (SELECT event_type, n_a, n_b, u,
+        |    round((u - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2e0)
+        |      / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12e0
+        |        * (CAST(n + 1 AS DOUBLE) - CAST(ties AS DOUBLE)
+        |          / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))), 4) AS z
+        |  FROM fin)
+        |SELECT event_type, CAST(n_a AS BIGINT) AS n_a,
+        |  CAST(n_b AS BIGINT) AS n_b, round(u, 1) AS u, z,
+        |  abs(z) > 1.96e0 AS reject
+        |FROM fz ORDER BY event_type""".stripMargin,
+    // g3 = min fraction of rows to delete for the FD to hold
+    "dq_fd_audit" ->
+      """WITH c1 AS (SELECT n_nationkey AS l, n_regionkey AS r, count(*) AS n_lr
+        |  FROM nation GROUP BY 1, 2),
+        |g1 AS (SELECT l, sum(n_lr) AS n_l, max(n_lr) AS keep_l,
+        |    count(*) AS n_rhs FROM c1 GROUP BY 1),
+        |c2 AS (SELECT c_nationkey AS l, c_mktsegment AS r, count(*) AS n_lr
+        |  FROM customer GROUP BY 1, 2),
+        |g2 AS (SELECT l, sum(n_lr) AS n_l, max(n_lr) AS keep_l,
+        |    count(*) AS n_rhs FROM c2 GROUP BY 1),
+        |c3 AS (SELECT o_custkey AS l, o_orderpriority AS r, count(*) AS n_lr
+        |  FROM orders GROUP BY 1, 2),
+        |g3 AS (SELECT l, sum(n_lr) AS n_l, max(n_lr) AS keep_l,
+        |    count(*) AS n_rhs FROM c3 GROUP BY 1),
+        |c4 AS (SELECT l_partkey AS l, l_suppkey AS r, count(*) AS n_lr
+        |  FROM lineitem GROUP BY 1, 2),
+        |g4 AS (SELECT l, sum(n_lr) AS n_l, max(n_lr) AS keep_l,
+        |    count(*) AS n_rhs FROM c4 GROUP BY 1),
+        |c5 AS (SELECT user_id AS l, event_type AS r, count(*) AS n_lr
+        |  FROM events GROUP BY 1, 2),
+        |g5 AS (SELECT l, sum(n_lr) AS n_l, max(n_lr) AS keep_l,
+        |    count(*) AS n_rhs FROM c5 GROUP BY 1),
+        |u AS (
+        |  SELECT 'nation.nationkey->regionkey' AS fd,
+        |    CAST(sum(n_l) AS BIGINT) AS n_rows, count(*) AS n_groups,
+        |    CAST(sum(CASE WHEN n_rhs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_clean_groups,
+        |    round(1e0 - CAST(sum(keep_l) AS DOUBLE)
+        |      / CAST(sum(n_l) AS DOUBLE), 4) AS g3_error FROM g1
+        |  UNION ALL SELECT 'customer.nationkey->mktsegment',
+        |    CAST(sum(n_l) AS BIGINT), count(*),
+        |    CAST(sum(CASE WHEN n_rhs = 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    round(1e0 - CAST(sum(keep_l) AS DOUBLE)
+        |      / CAST(sum(n_l) AS DOUBLE), 4) FROM g2
+        |  UNION ALL SELECT 'orders.custkey->orderpriority',
+        |    CAST(sum(n_l) AS BIGINT), count(*),
+        |    CAST(sum(CASE WHEN n_rhs = 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    round(1e0 - CAST(sum(keep_l) AS DOUBLE)
+        |      / CAST(sum(n_l) AS DOUBLE), 4) FROM g3
+        |  UNION ALL SELECT 'lineitem.partkey->suppkey',
+        |    CAST(sum(n_l) AS BIGINT), count(*),
+        |    CAST(sum(CASE WHEN n_rhs = 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    round(1e0 - CAST(sum(keep_l) AS DOUBLE)
+        |      / CAST(sum(n_l) AS DOUBLE), 4) FROM g4
+        |  UNION ALL SELECT 'events.user_id->event_type',
+        |    CAST(sum(n_l) AS BIGINT), count(*),
+        |    CAST(sum(CASE WHEN n_rhs = 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    round(1e0 - CAST(sum(keep_l) AS DOUBLE)
+        |      / CAST(sum(n_l) AS DOUBLE), 4) FROM g5)
+        |SELECT fd, n_rows, n_groups, n_clean_groups, g3_error,
+        |  g3_error = 0e0 AS holds
+        |FROM u ORDER BY fd""".stripMargin,
     "evt_survival_km" ->
       """WITH u AS (SELECT user_id,
         |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS f,

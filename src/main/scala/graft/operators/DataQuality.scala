@@ -377,4 +377,33 @@ object DataQuality {
         round(sqrt(col("chi2") / (col("n").cast("double")
           * least(col("nr") - 1, col("nc") - 1).cast("double"))), 4).as("cramers_v"))
   }
+
+  /** Approximate functional-dependency audit for one candidate
+    * lhs → rhs: does lhs determine rhs, and if not, HOW broken is it?
+    * Reports the standard g3 error — the minimum fraction of rows to
+    * delete for the FD to hold exactly, 1 − Σ_lhs max_rhs n(lhs,rhs)/N
+    * (Kivinen-Mannila) — plus violating-group counts. The schema-
+    * profiling twin of [[referentialAudit]]: FK audits check values
+    * EXIST across tables, FD audits check values DETERMINE within one
+    * (kiara analogue: table metadata/quality profiling,
+    * /root/reference/src/kiara/models/values/value_metadata.py).
+    *
+    * Scale shape: two grouped folds — corpus → (lhs, rhs) cells →
+    * lhs groups — then a scalar aggregate; each shuffle key is a
+    * GROUP domain, never row-sized, and no window or sort exists. */
+  def fdAudit(df: DataFrame, tag: String, lhs: String, rhs: String): DataFrame = {
+    val cells = df.groupBy(col(lhs).as("l"), col(rhs).as("r"))
+      .agg(count(lit(1)).as("n_lr"))
+    val groups = cells.groupBy("l")
+      .agg(sum("n_lr").as("n_l"), max("n_lr").as("keep_l"),
+        count(lit(1)).as("n_rhs"))
+    groups.agg(sum("n_l").as("n_rows"), count(lit(1)).as("n_groups"),
+        sum(when(col("n_rhs") === 1, 1L).otherwise(0L)).as("n_clean_groups"),
+        sum("keep_l").as("n_keep"))
+      .select(lit(tag).as("fd"), col("n_rows"), col("n_groups"),
+        col("n_clean_groups"),
+        round(lit(1.0) - col("n_keep").cast("double")
+          / col("n_rows").cast("double"), 4).as("g3_error"))
+      .withColumn("holds", col("g3_error") === 0.0)
+  }
 }

@@ -134,4 +134,129 @@ object Monitor {
           * 10000.0 + 0.5) / 10000.0).as("outlier_rate"))
       .orderBy("event_type")
   }
+
+  /** Shared grid for the group-vs-rest distribution tests ([[ksTest]],
+    * [[mannWhitney]]): `value` quantized to `1/binsPerUnit`-wide bins,
+    * counted per (event_type, bin), then completed to the FULL
+    * type × bin grid (absent cells = 0 — an ECDF gap can peak at a bin
+    * where one side has no mass). The grid is domain-bounded: #types ×
+    * #bins regardless of corpus size, which is what lets every window
+    * below run over bins, never rows — the binned statistic IS the
+    * statistic of the quantized values, exact, not an approximation of
+    * the raw-value test. Columns: event_type, bin, n_ab (type's count
+    * in bin), c_b (all types' count in bin). */
+  private[graft] def vsRestBinGrid(events: DataFrame, binsPerUnit: Int): DataFrame = {
+    val binned = events.select(col("event_type"),
+      floor(col("value") * binsPerUnit).cast("long").as("bin"))
+    val perCell = binned.groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("n_ab"))
+    val perBin = binned.groupBy("bin").agg(count(lit(1)).as("c_b"))
+    val types = binned.select("event_type").distinct()
+    // full grid: bounded (#types × #bins) cross of two tiny dimensions
+    types.crossJoin(broadcast(perBin))
+      .join(perCell, Seq("event_type", "bin"), "left")
+      .na.fill(0L, Seq("n_ab"))
+  }
+
+  /** Two-sample Kolmogorov-Smirnov test of each event type's `value`
+    * distribution against the POOLED REST — "did this segment's metric
+    * come from the same distribution as everyone else's?", the
+    * nonparametric complement to the binned-PSI drift monitor
+    * ([[DataQuality.valueDrift]]): PSI needs a chosen binning and a
+    * threshold folklore; KS carries its own critical value.
+    * D = sup_bin |F_type − F_rest| over the quantized-value ECDFs;
+    * reject at α=0.05 when D exceeds c(α)·√(n/(n_a·n_b)), c = 1.3581
+    * (the asymptotic two-sample form).
+    *
+    * Scale shape: one corpus fold to the (type × bin) grid, then ALL
+    * window work (cumulative counts, the sup and its argmax) runs on
+    * the grid partitioned by type — nothing corpus-sized sorts. The
+    * cumulative sums are INTEGER counts (exact on any engine); only the
+    * final ECDF ratios are float, rounded 4dp BEFORE the argmax so a
+    * last-ulp wobble cannot flip which bin attains the sup (bin
+    * ascending breaks exact ties). */
+  def ksTest(events: DataFrame, binsPerUnit: Int = 10,
+      alphaCrit: Double = 1.3581): DataFrame = {
+    val grid = vsRestBinGrid(events, binsPerUnit)
+    val byType = Window.partitionBy("event_type")
+    val cum = byType.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = grid
+      .withColumn("cum_a", sum("n_ab").over(cum))
+      .withColumn("cum_t", sum("c_b").over(cum))
+      .withColumn("n_a", sum("n_ab").over(byType))
+      .withColumn("n", sum("c_b").over(byType))
+      .withColumn("gap", round(abs(
+        col("cum_a").cast("double") / col("n_a").cast("double")
+          - (col("cum_t") - col("cum_a")).cast("double")
+            / (col("n") - col("n_a")).cast("double")), 4))
+    scored
+      .withColumn("rn", row_number().over(
+        byType.orderBy(col("gap").desc, col("bin").asc)))
+      .filter(col("rn") === 1)
+      // n_a·n_b multiplies in DOUBLE: the long product overflows ANSI
+      // arithmetic past ~3e9 rows per side, the double never does
+      .withColumn("crit", round(lit(alphaCrit) * sqrt(
+        col("n").cast("double")
+          / (col("n_a").cast("double")
+            * (col("n") - col("n_a")).cast("double"))), 4))
+      .select(col("event_type"), col("n_a"),
+        (col("n") - col("n_a")).as("n_rest"),
+        col("gap").as("ks_d"), col("bin").as("d_at_bin"),
+        col("crit"), (col("gap") > col("crit")).as("reject"))
+      .orderBy("event_type")
+  }
+
+  /** Mann-Whitney U test of each event type's `value` against the
+    * pooled rest — the rank-based shift test that pairs with [[ksTest]]
+    * (KS responds to ANY distributional difference; U targets a
+    * location shift, with more power for that alternative). Ranks are
+    * midranks over the quantized values, so ties are handled exactly:
+    * items in bin b share rank C_{b−1} + (c_b+1)/2, giving
+    * R_a = Σ_b n_ab·(C_b − c_b + (c_b+1)/2) straight from the grid —
+    * NO per-row ranking exists anywhere. U = R_a − n_a(n_a+1)/2,
+    * z = (U − n_a·n_b/2)/σ with the tie-corrected
+    * σ² = (n_a·n_b/12)·((n+1) − Σ(c³−c)/(n(n−1))).
+    *
+    * Scale shape: identical to [[ksTest]] — one corpus fold, then
+    * bin-domain windows; rank algebra is integer-exact with floats
+    * only in the final U/z. Exactness bound, documented not lucky:
+    * the ×2 midrank sums and the Σc³ tie term stay inside ANSI Long
+    * up to ~10⁹ rows per test; past that the 100 TB variant demotes
+    * both to double (σ is float anyway — only engine-replayable
+    * exactness is traded). */
+  def mannWhitney(events: DataFrame, binsPerUnit: Int = 10): DataFrame = {
+    val grid = vsRestBinGrid(events, binsPerUnit)
+    val byType = Window.partitionBy("event_type")
+    val cum = byType.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = grid
+      .withColumn("cum_t", sum("c_b").over(cum))
+      .withColumn("n_a", sum("n_ab").over(byType))
+      .withColumn("n", sum("c_b").over(byType))
+      // global tie term Σ(c³−c): every bin appears once per partition
+      .withColumn("ties", sum(col("c_b") * col("c_b") * col("c_b") - col("c_b"))
+        .over(byType))
+      // midrank of bin b = (count below b) + (c_b + 1)/2, in halves —
+      // kept ×2 as integers so rank algebra stays exact
+      .withColumn("r2_contrib",
+        col("n_ab") * (lit(2) * (col("cum_t") - col("c_b")) + col("c_b") + 1))
+    ranked.groupBy("event_type")
+      .agg(max("n_a").as("n_a"), max("n").as("n"), max("ties").as("ties"),
+        sum("r2_contrib").as("r2"))
+      .withColumn("n_b", col("n") - col("n_a"))
+      .withColumn("u",
+        (col("r2") - col("n_a") * (col("n_a") + 1)).cast("double") / 2.0)
+      .withColumn("mu", col("n_a").cast("double") * col("n_b").cast("double") / 2.0)
+      .withColumn("sigma", sqrt(
+        col("n_a").cast("double") * col("n_b").cast("double") / 12.0
+          * ((col("n") + 1).cast("double")
+            - col("ties").cast("double")
+              / (col("n").cast("double") * (col("n") - 1).cast("double")))))
+      .withColumn("z", round((col("u") - col("mu")) / col("sigma"), 4))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        round(col("u"), 1).as("u"), col("z"),
+        (abs(col("z")) > 1.96).as("reject"))
+      .orderBy("event_type")
+  }
 }

@@ -1623,4 +1623,43 @@ object Suite {
       date_format(col("ts"), "yyyy-MM-dd").as("day"))
     DataQuality.dpGroupCounts(ev, Seq("event_type", "day"), eps = 1.0)
   }
+
+  /** Planted-shift input shared by the two distribution tests: the
+    * synthetic types all draw `value` from near-identical
+    * distributions (the null is TRUE everywhere), so the suite scales
+    * one type ×1.25 — deterministic, exact in binary (×5/4) — to make
+    * the tests exercise BOTH decisions. */
+  private def shiftedEvents(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").withColumn("value",
+      when(col("event_type") === "error", col("value") * 1.25)
+        .otherwise(col("value")))
+
+  /** Two-sample KS: each event type's value distribution vs the pooled
+    * rest; the ×1.25-shifted 'error' type must reject. */
+  def dqKsTest(s: SparkSession, dir: String): DataFrame =
+    Monitor.ksTest(shiftedEvents(s, dir))
+
+  /** Mann-Whitney U (midranks, tie-corrected σ) on the same
+    * planted-shift framing as [[dqKsTest]]. */
+  def dqMannWhitney(s: SparkSession, dir: String): DataFrame =
+    Monitor.mannWhitney(shiftedEvents(s, dir))
+
+  /** Functional-dependency audit over five candidate FDs spanning four
+    * tables — one that holds by construction (nation determines region)
+    * and four plausible-but-false ones, each scored with its g3
+    * repair fraction. */
+  def dqFdAudit(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DataQuality.fdAudit
+    fdAudit(t(s, dir, "nation"), "nation.nationkey->regionkey",
+        "n_nationkey", "n_regionkey")
+      .unionAll(fdAudit(t(s, dir, "customer"), "customer.nationkey->mktsegment",
+        "c_nationkey", "c_mktsegment"))
+      .unionAll(fdAudit(t(s, dir, "orders"), "orders.custkey->orderpriority",
+        "o_custkey", "o_orderpriority"))
+      .unionAll(fdAudit(t(s, dir, "lineitem"), "lineitem.partkey->suppkey",
+        "l_partkey", "l_suppkey"))
+      .unionAll(fdAudit(t(s, dir, "events"), "events.user_id->event_type",
+        "user_id", "event_type"))
+      .orderBy("fd")
+  }
 }

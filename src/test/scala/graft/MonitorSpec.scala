@@ -51,6 +51,37 @@ class MonitorSpec extends SparkTestBase {
     assert(out == Seq((2L, 4L, 2L, 0.5), (8L, 2L, 0L, 0.5), (10L, 1L, 0L, 0.5)))
   }
 
+  test("ksTest: hand ECDFs — D = 0.5 attained first at the earliest gap bin") {
+    // a: bins {5,15,25,35}, b: bins {25,35,45,55}; the ECDF gap peaks
+    // at 0.5 from bin 15 through 35 — argmax ties break to the LOWEST
+    // bin, so both rows must report d_at_bin = 15
+    val rows = Seq(0.5, 1.5, 2.5, 3.5).map(("a", _)) ++
+      Seq(2.5, 3.5, 4.5, 5.5).map(("b", _))
+    val ev = rows.toDF("event_type", "value")
+    val out = Monitor.ksTest(ev).collect()
+      .map(r => (r.getString(0), r.getDouble(3), r.getLong(4), r.getBoolean(6)))
+    // n=8, n_a=4: crit = 1.3581·√(8/16) ≈ 0.9603 > 0.5 → no reject
+    assert(out.toSeq == Seq(("a", 0.5, 15L, false), ("b", 0.5, 15L, false)))
+  }
+
+  test("mannWhitney: textbook no-tie U and the tie-corrected σ, by hand") {
+    // a={.1,.2}, b={.3,.4}: ranks 1..4, R_a=3, U=0,
+    // z = −2/√(4/12·5) = −1.5492
+    val clean = (Seq(0.1, 0.2).map(("a", _)) ++ Seq(0.3, 0.4).map(("b", _)))
+      .toDF("event_type", "value")
+    val c = Monitor.mannWhitney(clean).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(3), r.getDouble(4)))).toMap.apply("a")
+    assert(c == ((0.0, -1.5492)))
+    // a={.1,.2}, b={.1,.3}: bin 1 is TIED (c=2, midrank 1.5) →
+    // R_a = 1.5+3 = 4.5, U = 1.5; T = 2³−2 = 6,
+    // σ² = 4/12·(5 − 6/12) = 1.5, z = −0.5/√1.5 = −0.4082
+    val tied = (Seq(0.1, 0.2).map(("a", _)) ++ Seq(0.1, 0.3).map(("b", _)))
+      .toDF("event_type", "value")
+    val t = Monitor.mannWhitney(tied).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(3), r.getDouble(4)))).toMap.apply("a")
+    assert(t == ((1.5, -0.4082)))
+  }
+
   test("count-min: estimates never undercount, and are exact without collisions") {
     val keys = (Seq.fill(7)("x") ++ Seq.fill(3)("y") ++ Seq("z")).toDF("term")
     val grid = CountMin.sketch(keys, "term", d = 3, w = 64)

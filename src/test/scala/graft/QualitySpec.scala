@@ -284,4 +284,16 @@ class QualitySpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(c.toSeq != a.toSeq)
   }
+
+  test("fdAudit: a violated FD gets its exact g3 repair fraction, an exact FD holds") {
+    // l=1 → {a, a, b}: keep the 2-row majority, delete 1; l=2 → {c}:
+    // clean. g3 = 1 − (2+1)/4 = 0.25
+    val broken = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "c")).toDF("l", "r")
+    val b = DataQuality.fdAudit(broken, "t.l->r", "l", "r").head()
+    assert((b.getString(0), b.getLong(1), b.getLong(2), b.getLong(3),
+      b.getDouble(4), b.getBoolean(5)) == (("t.l->r", 4L, 2L, 1L, 0.25, false)))
+    val exact = Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("l", "r")
+    val e = DataQuality.fdAudit(exact, "t2.l->r", "l", "r").head()
+    assert(e.getDouble(4) == 0.0 && e.getBoolean(5))
+  }
 }
