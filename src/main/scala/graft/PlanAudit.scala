@@ -179,7 +179,11 @@ object PlanAudit {
     // type × bin grid; every window runs over the bounded grid
     // partitioned by type — nothing corpus-sized sorts), FD audit
     // (two grouped folds per candidate + scalar agg, union of five)
-    "dq_ks_test", "dq_mannwhitney", "dq_fd_audit")
+    "dq_ks_test", "dq_mannwhitney", "dq_fd_audit",
+    // Adamic-Adar (wedge equi-join through capped hubs + one anti-join
+    // — no all-pairs), PMI (ONE tagged gram explode + count shuffle;
+    // vocab-sized broadcast joins + TakeOrdered after)
+    "graph_adamic_adar", "text_pmi")
     // evt_audience_overlap is excluded like dedup_clusters: its
     // domain-sized sketch table collects eagerly at construction, so
     // only the trivial driver-built result frame would be explained

@@ -163,6 +163,8 @@ object SparkEntry {
     "dq_ks_test" -> (Suite.dqKsTest _),
     "dq_mannwhitney" -> (Suite.dqMannWhitney _),
     "dq_fd_audit" -> (Suite.dqFdAudit _),
+    "graph_adamic_adar" -> (Suite.graphAdamicAdar _),
+    "text_pmi" -> (Suite.textPmi _),
     "rel_triples" -> (Suite.relTriples _),
     "mix_dedup_weight" -> (Suite.mixDedupWeight _),
     "evt_rolling_distinct_hll" -> (Suite.evtRollingDistinctHll _),
@@ -2326,6 +2328,53 @@ object SparkEntry {
         |SELECT fd, n_rows, n_groups, n_clean_groups, g3_error,
         |  g3_error = 0e0 AS holds
         |FROM u ORDER BY fd""".stripMargin,
+    // wedge-join candidates through hubs capped at deg 256 (same cap as
+    // the engine — a documented part of the operator, not a shortcut)
+    "graph_adamic_adar" ->
+      """WITH l AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem
+        |  WHERE l_partkey % 5 = 0),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM l a
+        |  JOIN l b ON a.ok = b.ok AND a.p < b.p),
+        |adj AS (SELECT u AS w, v AS x FROM e
+        |  UNION ALL SELECT v AS w, u AS x FROM e),
+        |d AS (SELECT w, count(*) AS dw FROM adj GROUP BY 1),
+        |h AS (SELECT adj.w, adj.x, d.dw FROM adj JOIN d USING (w)
+        |  WHERE d.dw >= 2 AND d.dw <= 256),
+        |p AS (SELECT l2.x AS a, r2.x AS b, l2.dw AS dw FROM h l2
+        |  JOIN h r2 ON l2.w = r2.w AND l2.x < r2.x),
+        |np AS (SELECT p.a, p.b, count(*) AS n_common,
+        |    round(sum(1e0 / ln(CAST(p.dw AS DOUBLE))), 4) AS aa_score
+        |  FROM p LEFT JOIN e ON e.u = p.a AND e.v = p.b
+        |  WHERE e.u IS NULL GROUP BY 1, 2)
+        |SELECT a, b, n_common, aa_score
+        |FROM np ORDER BY aa_score DESC, a, b LIMIT 20""".stripMargin,
+    // one tagged gram family (bigrams carry an embedded space); PMI
+    // algebra in the identical double product/quotient shape
+    "text_pmi" ->
+      s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+         |s0 AS (SELECT toks FROM t WHERE len(toks) >= 1),
+         |uni AS (SELECT unnest(toks) AS gram FROM s0),
+         |bi AS (SELECT unnest(list_transform(generate_series(1, len(toks)-1),
+         |    i -> toks[i] || ' ' || toks[i+1])) AS gram
+         |  FROM s0 WHERE len(toks) >= 2),
+         |c AS (SELECT gram, count(*) AS c FROM
+         |  (SELECT * FROM uni UNION ALL SELECT * FROM bi) g0 GROUP BY 1),
+         |tot AS (SELECT sum(CASE WHEN contains(gram, ' ') THEN c END) AS nb,
+         |    sum(CASE WHEN NOT contains(gram, ' ') THEN c END) AS nu FROM c),
+         |b2 AS (SELECT gram AS bigram, c AS n_pair,
+         |    string_split(gram, ' ')[1] AS w1, string_split(gram, ' ')[2] AS w2
+         |  FROM c WHERE contains(gram, ' ') AND c >= 5),
+         |j AS (SELECT b2.bigram, b2.n_pair, u1.c AS c1, u2.c AS c2
+         |  FROM b2 JOIN c u1 ON u1.gram = b2.w1
+         |  JOIN c u2 ON u2.gram = b2.w2),
+         |f AS (SELECT bigram, n_pair, c1, c2,
+         |    round(ln(CAST(n_pair AS DOUBLE) * CAST(nu AS DOUBLE)
+         |        * CAST(nu AS DOUBLE)
+         |      / (CAST(nb AS DOUBLE) * CAST(c1 AS DOUBLE)
+         |        * CAST(c2 AS DOUBLE))), 4) AS pmi
+         |  FROM j CROSS JOIN tot)
+         |SELECT bigram, n_pair, c1, c2, pmi
+         |FROM f ORDER BY pmi DESC, bigram LIMIT 30""".stripMargin,
     "evt_survival_km" ->
       """WITH u AS (SELECT user_id,
         |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS f,

@@ -201,6 +201,48 @@ object Graph {
       .distinct()
   }
 
+  /** Adamic-Adar link prediction: score NON-adjacent node pairs by
+    * their shared neighborhood, common neighbors weighted 1/ln(deg) so
+    * a rare shared neighbor says more than a promiscuous hub — the
+    * classic "who should be connected next?" readout over any of the
+    * derived graphs (kiara analogue: network_analysis's component/
+    * centrality modules, /root/reference — capability mirrored, math
+    * from the public Adamic-Adar formulation).
+    *
+    * Scale shape: candidate pairs come ONLY from wedges (two adjacency
+    * rows sharing a hub — an equi-join on the hub key, the
+    * [[triangleCounts]] shape), never an all-pairs product; existing
+    * edges leave via one anti-join; degrees are a node-domain table.
+    * Wedge volume is Σ_w deg(w)², so hubs above `maxHubDeg` are
+    * EXCLUDED — the standard AA practice (a 10⁶-degree hub contributes
+    * 10¹² wedges and ~0 information: 1/ln(10⁶) ≈ 0.07): the cap is
+    * what makes the operator runnable at 100 TB, documented, not a
+    * correctness shortcut — the oracle applies the identical cap. */
+  def adamicAdar(edgesUV: DataFrame, topK: Int = 20,
+      maxHubDeg: Int = 256): DataFrame = {
+    val edges = edgesUV
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK) // adjacency ×2 + the anti-join
+    val adj = edges.select(col("u").as("w"), col("v").as("x"))
+      .union(edges.select(col("v").as("w"), col("u").as("x")))
+    val deg = adj.groupBy("w").agg(count(lit(1)).as("dw"))
+    val hub = adj.join(deg, "w")
+      .filter(col("dw") >= 2 && col("dw") <= maxHubDeg)
+      .persist(StorageLevel.MEMORY_AND_DISK) // wedge self-join rule
+    val pairs = hub.as("l")
+      .join(hub.as("r"), col("l.w") === col("r.w") && col("l.x") < col("r.x"))
+      .select(col("l.x").as("a"), col("r.x").as("b"), col("l.dw").as("dw"))
+    pairs
+      .join(edges, pairs("a") === edges("u") && pairs("b") === edges("v"),
+        "left_anti")
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_common"),
+        round(sum(lit(1.0) / log(col("dw").cast("double"))), 4).as("aa_score"))
+      .orderBy(col("aa_score").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+
   /** Customer↔supplier trade graph from orders ⋈ lineitem: node ids are
     * key*2 (customers) / key*2+1 (suppliers) so the two key spaces cannot
     * collide; each trading pair yields both edge directions, so every

@@ -455,6 +455,50 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** PMI-ranked collocations: the bigrams whose parts co-occur far more
+    * than their unigram frequencies predict — the classic phrase/term
+    * extractor (pmi = ln(p(ab)/(p(a)p(b)))), with a minimum pair count
+    * so one-off juxtapositions can't win on a tiny denominator.
+    *
+    * Scale shape: both gram families assemble ROW-LOCALLY before ONE
+    * explode (the hashedLinearScore pattern — corpus scanned once, not
+    * once per family; bigrams distinguished by their embedded space),
+    * one count shuffle on the gram, and everything after runs on the
+    * VOCABULARY-sized count table: the unigram lookups are broadcast
+    * joins, the totals a 1-row broadcast, the top-k a
+    * TakeOrderedAndProject. PMI rounds 4dp before the ranked limit;
+    * (pmi desc, bigram) is a unique total order. */
+  def pmiCollocations(docs: DataFrame, minCount: Int = 5,
+      topK: Int = 30): DataFrame = {
+    val grams = docs.select(tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(explode(concat(col("toks"), expr(
+        "case when size(toks) >= 2 then " +
+          "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1])) " +
+          "else array() end"))).as("gram"))
+    val counts = grams.groupBy("gram").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uni = counts.filter(!col("gram").contains(" "))
+      .select(col("gram").as("tok"), col("c"))
+    val totals = counts.agg(
+      sum(when(col("gram").contains(" "), col("c"))).as("nb"),
+      sum(when(!col("gram").contains(" "), col("c"))).as("nu"))
+    counts.filter(col("gram").contains(" ") && col("c") >= minCount)
+      .withColumn("w1", split(col("gram"), " ").getItem(0))
+      .withColumn("w2", split(col("gram"), " ").getItem(1))
+      .join(broadcast(uni.select(col("tok").as("w1"), col("c").as("c1"))), "w1")
+      .join(broadcast(uni.select(col("tok").as("w2"), col("c").as("c2"))), "w2")
+      .crossJoin(broadcast(totals)) // bounded: 1 row
+      .select(col("gram").as("bigram"), col("c").as("n_pair"),
+        col("c1"), col("c2"),
+        round(log(col("c").cast("double") * col("nu").cast("double")
+            * col("nu").cast("double")
+          / (col("nb").cast("double") * col("c1").cast("double")
+            * col("c2").cast("double"))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(topK)
+  }
+
   /** Within-document repetition ratio: 1 − distinct/total token k-grams
     * — the boilerplate/spam signal every corpus quality filter computes.
     * Entirely row-local (total = size−k+1 arithmetic, distinct = the

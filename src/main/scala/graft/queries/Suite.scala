@@ -1662,4 +1662,14 @@ object Suite {
         "user_id", "event_type"))
       .orderBy("fd")
   }
+
+  /** Adamic-Adar link prediction over the part co-purchase graph —
+    * "which unlinked part pairs share the most informative
+    * neighborhoods?". */
+  def graphAdamicAdar(s: SparkSession, dir: String): DataFrame =
+    Graph.adamicAdar(Graph.coPurchaseEdges(t(s, dir, "lineitem")))
+
+  /** PMI-ranked collocations over the documents corpus. */
+  def textPmi(s: SparkSession, dir: String): DataFrame =
+    TextOps.pmiCollocations(t(s, dir, "documents"))
 }

@@ -105,6 +105,18 @@ class GraphSpec extends SparkTestBase {
     assert(out(0L) != out(10L), "the two cliques must be distinct communities")
   }
 
+  test("adamicAdar scores the one non-adjacent pair through its two shared hubs") {
+    // diamond 1-2, 1-3, 2-3, 2-4, 3-4: only (1,4) is unlinked; its
+    // common neighbors 2 and 3 both have degree 3 →
+    // AA = 2/ln 3 = 1.8205, n_common = 2
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("u", "v")
+    val out = Graph.adamicAdar(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((1L, 4L, 2L, 1.8205)))
+    // capping hubs at degree 2 removes both wedge centers → no candidates
+    assert(Graph.adamicAdar(edges, maxHubDeg = 2).isEmpty)
+  }
+
   test("labelPropagation is deterministic under ties (smallest label wins)") {
     // a 4-cycle: every node has two neighbors with equal counts each
     // round — the min tie-break must pick the smaller label both runs

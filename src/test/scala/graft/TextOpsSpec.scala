@@ -523,4 +523,16 @@ class TextOpsSpec extends SparkTestBase {
     assert(out.values.forall { case (_, s) => s > 0.0 && s < 1.0 }, "sigmoid bounds")
     assert(out(1)._2 != out(3)._2, "different content must move the score")
   }
+
+  test("pmiCollocations: hand PMI, min-count filter, single-token docs ignored") {
+    // 5 × "alpha beta" + 1 × "alpha gamma": N_u = 12, N_b = 6;
+    // pmi(alpha beta) = ln(5·12·12/(6·6·5)) = ln 4 = 1.3863;
+    // "alpha gamma" (n_pair = 1) falls to the min-count filter
+    val docs = ((1 to 5).map(i => (i.toLong, "alpha beta")) :+ (6L, "alpha gamma"))
+      .toDF("doc_id", "text")
+    val out = TextOps.pmiCollocations(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.toSeq == Seq(("alpha beta", 5L, 6L, 5L, 1.3863)))
+  }
 }
