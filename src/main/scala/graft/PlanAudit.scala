@@ -183,7 +183,12 @@ object PlanAudit {
     // Adamic-Adar (wedge equi-join through capped hubs + one anti-join
     // — no all-pairs), PMI (ONE tagged gram explode + count shuffle;
     // vocab-sized broadcast joins + TakeOrdered after)
-    "graph_adamic_adar", "text_pmi")
+    "graph_adamic_adar", "text_pmi",
+    // radius search (broadcast query set, threshold prunes ON the scan
+    // — no shuffle at all), curriculum (1-row percentile broadcast into
+    // a persisted-score second pass; NO global sort/ntile), paths (one
+    // user window shuffle → path-domain agg → TakeOrdered)
+    "sim_radius", "mix_curriculum", "evt_paths")
     // evt_audience_overlap is excluded like dedup_clusters: its
     // domain-sized sketch table collects eagerly at construction, so
     // only the trivial driver-built result frame would be explained

@@ -165,6 +165,9 @@ object SparkEntry {
     "dq_fd_audit" -> (Suite.dqFdAudit _),
     "graph_adamic_adar" -> (Suite.graphAdamicAdar _),
     "text_pmi" -> (Suite.textPmi _),
+    "sim_radius" -> (Suite.simRadius _),
+    "mix_curriculum" -> (Suite.mixCurriculum _),
+    "evt_paths" -> (Suite.evtPaths _),
     "rel_triples" -> (Suite.relTriples _),
     "mix_dedup_weight" -> (Suite.mixDedupWeight _),
     "evt_rolling_distinct_hll" -> (Suite.evtRollingDistinctHll _),
@@ -2375,6 +2378,44 @@ object SparkEntry {
          |  FROM j CROSS JOIN tot)
          |SELECT bigram, n_pair, c1, c2, pmi
          |FROM f ORDER BY pmi DESC, bigram LIMIT 30""".stripMargin,
+    // threshold filter on the UNROUNDED cosine (bit-identical
+    // accumulation both engines — the sim_topk_exact rank precedent)
+    "sim_radius" ->
+      """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |s AS (SELECT q.vec_id AS vec_id, c.vec_id AS neighbor_id,
+        |    list_inner_product(q.e, c.e)
+        |      / (sqrt(list_inner_product(q.e, q.e))
+        |        * sqrt(list_inner_product(c.e, c.e))) AS sim
+        |  FROM q JOIN c ON q.vec_id <> c.vec_id)
+        |SELECT vec_id, neighbor_id,
+        |  CAST(floor(sim * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS sim
+        |FROM s WHERE sim >= 0.25e0 ORDER BY vec_id, neighbor_id""".stripMargin,
+    // quartile cuts via quantile_cont ≡ Spark percentile (q13 precedent)
+    "mix_curriculum" ->
+      s"""WITH s AS (SELECT doc_id,
+         |    CAST(len($toksSql) AS BIGINT) AS difficulty FROM documents),
+         |c AS (SELECT quantile_cont(difficulty, 0.25) AS q1,
+         |    quantile_cont(difficulty, 0.5) AS q2,
+         |    quantile_cont(difficulty, 0.75) AS q3 FROM s),
+         |p AS (SELECT difficulty, 1 + (difficulty > q1)::INT
+         |    + (difficulty > q2)::INT + (difficulty > q3)::INT AS phase
+         |  FROM s CROSS JOIN c)
+         |SELECT CAST(phase AS BIGINT) AS phase, count(*) AS n_docs,
+         |  CAST(sum(difficulty) AS BIGINT) AS n_tokens,
+         |  min(difficulty) AS min_difficulty,
+         |  max(difficulty) AS max_difficulty
+         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    "evt_paths" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsx,
+        |    event_type FROM events),
+        |p AS (SELECT user_id, event_type, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY tsx, event_id) AS rn FROM e),
+        |f AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM p WHERE rn <= 5 GROUP BY 1)
+        |SELECT path, count(*) AS n_users FROM f GROUP BY 1
+        |ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
     "evt_survival_km" ->
       """WITH u AS (SELECT user_id,
         |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS f,

@@ -920,4 +920,31 @@ object Events {
         Num.pround((col("n_events").cast("double") - mean) / sqrt(variance), 4).as("z"))
       .orderBy("dow", "hr")
   }
+
+  /** Top onboarding paths: the most common sequences of each user's
+    * FIRST `firstK` event types — the path/Sankey analysis that sits
+    * above pairwise [[transitionMatrix]] (a Markov matrix answers
+    * "what follows X?"; paths answer "which whole journeys dominate?").
+    *
+    * Scale shape: one user_id window shuffle prunes to ≤firstK rows
+    * per user, the per-user path assembles via collect_list ORDERED
+    * DETERMINISTICALLY (array_sort on (rn, type) structs — no reliance
+    * on collect order), and the final count runs on the PATH domain —
+    * bounded by arity^firstK, never user-sized; top-N is a TakeOrdered
+    * under the unique (count desc, path) order. */
+  def topPaths(events: DataFrame, firstK: Int = 5, topN: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val firstEvents = events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= firstK)
+    val paths = firstEvents.groupBy("user_id")
+      .agg(concat_ws(">", transform(
+        array_sort(collect_list(struct(col("rn"), col("event_type")))),
+        x => x.getField("event_type"))).as("path"))
+    paths.groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(topN)
+  }
 }

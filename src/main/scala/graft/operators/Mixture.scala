@@ -300,4 +300,37 @@ object Mixture {
         sum(when(col("kept"), 1L).otherwise(0L)).as("docs_kept"))
       .orderBy("cluster_size")
   }
+
+  /** Curriculum phasing: split the corpus into easy→hard training
+    * phases by a difficulty score (token count — the length-based
+    * curriculum of the ordered-training literature), with phase
+    * boundaries at the exact score quartiles. The curriculum
+    * counterpart of [[epochPlan]] (which weights SOURCES; this orders
+    * the corpus itself).
+    *
+    * Scale shape: NO global sort anywhere — ntile over a ranked corpus
+    * would be exactly the corpus-sized sort this avoids. Instead the
+    * quartile cuts come from one exact percentile aggregate (1-row
+    * broadcast; the mergeable-sketch swap is the KLL aggregate as in
+    * madOutliers), phases assign by comparison on a second pass over
+    * the PERSISTED score projection, and the readout is a 4-row agg. */
+  def curriculumPhases(docs: DataFrame): DataFrame = {
+    val scored = docs.select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("difficulty"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cuts = scored.agg(
+      expr("percentile(difficulty, 0.25)").as("q1"),
+      expr("percentile(difficulty, 0.5)").as("q2"),
+      expr("percentile(difficulty, 0.75)").as("q3"))
+    scored.crossJoin(broadcast(cuts)) // bounded: 1 row
+      .withColumn("phase", (lit(1)
+        + (col("difficulty") > col("q1")).cast("int")
+        + (col("difficulty") > col("q2")).cast("int")
+        + (col("difficulty") > col("q3")).cast("int")).cast("long"))
+      .groupBy("phase")
+      .agg(count(lit(1)).as("n_docs"), sum("difficulty").as("n_tokens"),
+        min("difficulty").as("min_difficulty"),
+        max("difficulty").as("max_difficulty"))
+      .orderBy("phase")
+  }
 }

@@ -88,6 +88,36 @@ object Similarity {
   private def withNorm(df: DataFrame, emb: String, out: String): DataFrame =
     df.withColumn(out, sqrt(dot(col(emb), col(emb))))
 
+  /** Radius (range) similarity search: EVERY corpus vector within
+    * cosine ≥ tau of each query — the "all sufficiently-similar"
+    * complement to top-k (retrieval wants the best k; dedup/recall
+    * audits want everything past a threshold, however many). Exact
+    * brute force over a broadcast bounded query set (the
+    * [[topKExact]] shape: corpus scanned once, codegen'd DotProduct,
+    * no shuffle at all — the threshold filter prunes ON the scan, so
+    * only matches survive to the output sort); at index scale the
+    * same threshold applies over [[annLsh]]'s bucket candidates
+    * instead, trading exactness for the bounded candidate set. The
+    * filter compares the UNROUNDED cosine (bit-identical across
+    * engines: sequential accumulation both sides — the topKExact
+    * rank-parity precedent); rounding is display-only. */
+  def radiusSearch(corpus: DataFrame, queries: DataFrame,
+      tau: Double): DataFrame = {
+    val q = withNorm(queries.select(col("vec_id").as("qid"),
+      col("embedding").as("qemb")), "qemb", "qnorm")
+    val c = withNorm(corpus.select(col("vec_id").as("nid"),
+      col("embedding").as("nemb")), "nemb", "nnorm")
+    c.crossJoin(broadcast(q)) // bounded: the query set
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        cosinePrenormed(dot(col("qemb"), col("nemb")),
+          col("qnorm"), col("nnorm")).as("sim"))
+      .filter(col("sim") >= tau)
+      .select(col("qid").as("vec_id"), col("nid").as("neighbor_id"),
+        Num.pround(col("sim"), 4).as("sim"))
+      .orderBy("vec_id", "neighbor_id")
+  }
+
   /** Exact top-k neighbors for each query vector. `queries` must be small
     * (it is broadcast); corpus is scanned once. */
   def topKExact(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {

@@ -1672,4 +1672,19 @@ object Suite {
   /** PMI-ranked collocations over the documents corpus. */
   def textPmi(s: SparkSession, dir: String): DataFrame =
     TextOps.pmiCollocations(t(s, dir, "documents"))
+
+  /** Radius search at cosine ≥ 0.25 for the first 20 query vectors —
+    * everything past the threshold, however many per query. */
+  def simRadius(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.radiusSearch(e, e.filter(col("vec_id") < 20), tau = 0.25)
+  }
+
+  /** Length-based curriculum phases over the documents corpus. */
+  def mixCurriculum(s: SparkSession, dir: String): DataFrame =
+    Mixture.curriculumPhases(t(s, dir, "documents"))
+
+  /** Top onboarding paths: the dominant first-5-event journeys. */
+  def evtPaths(s: SparkSession, dir: String): DataFrame =
+    Events.topPaths(t(s, dir, "events"))
 }

@@ -694,4 +694,21 @@ class EventsSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
     assert(out == Seq((0L, 0L, 3L, 1.0), (0L, 1L, 1L, -1.0)))
   }
+
+  test("topPaths assembles first-K journeys in time order and truncates at K") {
+    // u1/u2 share a 3-step journey; u3 diverges; u4 has 7 events but
+    // only the first 5 may appear in its path
+    def ev(u: Long, i: Int, ty: String) =
+      (u * 100 + i, u, Timestamp.valueOf(f"2024-01-01 10:${i}%02d:00"), ty)
+    val rows =
+      Seq("view", "click", "purchase").zipWithIndex.flatMap { case (ty, i) =>
+        Seq(ev(1, i, ty), ev(2, i, ty)) } ++
+      Seq(ev(3, 0, "view"), ev(3, 1, "signup")) ++
+      (0 until 7).map(i => ev(4, i, if (i < 5) "view" else "error"))
+    val df = rows.toDF("event_id", "user_id", "ts", "event_type")
+    val out = Events.topPaths(df).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("view>click>purchase", 2L),
+      ("view>signup", 1L), ("view>view>view>view>view", 1L)))
+  }
 }

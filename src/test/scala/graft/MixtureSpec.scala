@@ -216,4 +216,16 @@ class MixtureSpec extends SparkTestBase {
     // keep=0.5 over 20 docs: the ten target-vocab docs are the selection
     assert((0L to 9L).forall(byId(_)._3) && (10L to 19L).forall(!byId(_)._3))
   }
+
+  test("curriculumPhases: exact quartile cuts split 1..8 tokens into 2/2/2/2") {
+    // difficulties 1..8: interpolated quartiles 2.75 / 4.5 / 6.25 →
+    // phases {1,2} {3,4} {5,6} {7,8}
+    val docs = (1 to 8).map(n => (n.toLong, Seq.fill(n)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Mixture.curriculumPhases(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 3L, 1L, 2L), (2L, 2L, 7L, 3L, 4L),
+      (3L, 2L, 11L, 5L, 6L), (4L, 2L, 15L, 7L, 8L)))
+  }
 }

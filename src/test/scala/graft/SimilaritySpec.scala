@@ -409,4 +409,16 @@ class SimilaritySpec extends SparkTestBase {
     assert(out(1L)._2 >= 0.9, s"recall@1 on planted clusters: ${out(1L)._2}")
     assert(out(5L)._2 >= 0.9, s"recall@5 on planted clusters: ${out(5L)._2}")
   }
+
+  test("radiusSearch returns every neighbor past tau, however many — and only those") {
+    // query [1,0]: sims are 1.0, 0.6, 0.0, −1.0 → tau=0.5 keeps two
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.6f, 0.8f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((100L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.radiusSearch(corpus, queries, tau = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((100L, 1L, 1.0), (100L, 2L, 0.6)))
+  }
 }
