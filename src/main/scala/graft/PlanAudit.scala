@@ -188,7 +188,11 @@ object PlanAudit {
     // — no shuffle at all), curriculum (1-row percentile broadcast into
     // a persisted-score second pass; NO global sort/ntile), paths (one
     // user window shuffle → path-domain agg → TakeOrdered)
-    "sim_radius", "mix_curriculum", "evt_paths")
+    "sim_radius", "mix_curriculum", "evt_paths",
+    // ewma (one day-grid fold; calendar²-bounded self-join + moment
+    // broadcast), power (ONE associative moment agg), degree stats
+    // (adjacency fold + two equi-joins + one moment agg)
+    "evt_ewma", "evt_power", "graph_degree_stats")
     // evt_audience_overlap is excluded like dedup_clusters: its
     // domain-sized sketch table collects eagerly at construction, so
     // only the trivial driver-built result frame would be explained

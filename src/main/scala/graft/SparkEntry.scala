@@ -168,6 +168,9 @@ object SparkEntry {
     "sim_radius" -> (Suite.simRadius _),
     "mix_curriculum" -> (Suite.mixCurriculum _),
     "evt_paths" -> (Suite.evtPaths _),
+    "evt_ewma" -> (Suite.evtEwma _),
+    "evt_power" -> (Suite.evtPower _),
+    "graph_degree_stats" -> (Suite.graphDegreeStats _),
     "rel_triples" -> (Suite.relTriples _),
     "mix_dedup_weight" -> (Suite.mixDedupWeight _),
     "evt_rolling_distinct_hll" -> (Suite.evtRollingDistinctHll _),
@@ -2416,6 +2419,71 @@ object SparkEntry {
         |  FROM p WHERE rn <= 5 GROUP BY 1)
         |SELECT path, count(*) AS n_users FROM f GROUP BY 1
         |ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
+    // α=1/2 EWMA: every weight an exact power of two (integer shift,
+    // not libm pow), so both engines agree bit-for-bit on weights
+    "evt_ewma" ->
+      """WITH d AS (SELECT event_type,
+        |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |    avg(value) AS x FROM events GROUP BY 1, 2),
+        |i AS (SELECT event_type, day, x, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY day) AS i FROM d),
+        |st AS (SELECT event_type, count(*) AS nd, sum(x) AS s1,
+        |    sum(x * x) AS s2 FROM i GROUP BY 1),
+        |j AS (SELECT c.event_type, c.i AS t, c.day, c.x, h.x AS xi,
+        |    CASE WHEN h.i = 1 THEN c.i - 1 ELSE c.i - h.i + 1 END AS k
+        |  FROM i c JOIN i h ON h.event_type = c.event_type AND h.i <= c.i),
+        |e AS (SELECT event_type, t, day, x,
+        |    sum(xi * CASE WHEN k > 62 THEN 0e0
+        |      ELSE 1e0 / CAST(1::BIGINT << CAST(k AS INT) AS DOUBLE) END) AS ewma
+        |  FROM j GROUP BY 1, 2, 3, 4),
+        |f AS (SELECT e.event_type, e.day, e.x, e.ewma,
+        |    s1 / CAST(nd AS DOUBLE) AS mu,
+        |    3e0 * sqrt((s2 - s1 * s1 / CAST(nd AS DOUBLE))
+        |        / (CAST(nd AS DOUBLE) - 1e0))
+        |      * sqrt((1e0 - CASE WHEN t > 31 THEN 0e0
+        |        ELSE 1e0 / CAST(1::BIGINT << CAST(2 * t AS INT) AS DOUBLE) END)
+        |        / 3e0) AS lim
+        |  FROM e JOIN st USING (event_type))
+        |SELECT event_type, day, round(x, 4) AS x, round(ewma, 4) AS ewma,
+        |  round(mu - lim, 4) AS lcl, round(mu + lim, 4) AS ucl,
+        |  round(abs(ewma - mu), 4) > round(lim, 4) AS signal
+        |FROM f ORDER BY event_type, day""".stripMargin,
+    "evt_power" ->
+      """WITH a AS (SELECT event_type, count(*) AS n, sum(value) AS s1,
+        |    sum(value * value) AS s2 FROM events GROUP BY 1),
+        |f AS (SELECT event_type, n, s1 / CAST(n AS DOUBLE) AS mu,
+        |    (s2 - s1 * s1 / CAST(n AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) - 1e0) AS v FROM a),
+        |p AS (SELECT event_type, n, mu, v,
+        |    ceil(2e0 * ((1.96e0 + 0.8416e0) * (1.96e0 + 0.8416e0)) * v
+        |      / ((0.05e0 * mu) * (0.05e0 * mu))) AS na FROM f)
+        |SELECT event_type, n, round(mu, 4) AS mu, round(sqrt(v), 4) AS sigma,
+        |  CAST(na AS BIGINT) AS n_per_arm,
+        |  CAST(n AS DOUBLE) >= 2e0 * na AS enough_data
+        |FROM p ORDER BY event_type""".stripMargin,
+    // assortativity via the elasticity moment-sum shape over the
+    // DIRECTED edge list (both orientations)
+    "graph_degree_stats" ->
+      """WITH l AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem
+        |  WHERE l_partkey % 5 = 0),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM l a
+        |  JOIN l b ON a.ok = b.ok AND a.p < b.p),
+        |adj AS (SELECT u AS n, v AS m FROM e
+        |  UNION ALL SELECT v AS n, u AS m FROM e),
+        |d AS (SELECT n, count(*) AS dg FROM adj GROUP BY 1),
+        |sc AS (SELECT CAST(du.dg AS DOUBLE) AS x, CAST(dv.dg AS DOUBLE) AS y
+        |  FROM adj JOIN d du ON du.n = adj.n JOIN d dv ON dv.n = adj.m),
+        |mo AS (SELECT count(*) AS mm, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy FROM sc),
+        |nn AS (SELECT count(*) AS n_nodes, max(dg) AS max_degree FROM d),
+        |ne AS (SELECT count(*) AS n_edges FROM e)
+        |SELECT n_nodes, n_edges, max_degree,
+        |  round(2e0 * CAST(n_edges AS DOUBLE) / CAST(n_nodes AS DOUBLE), 4)
+        |    AS avg_degree,
+        |  round((CAST(mm AS DOUBLE) * sxy - sx * sy)
+        |    / sqrt((CAST(mm AS DOUBLE) * sxx - sx * sx)
+        |      * (CAST(mm AS DOUBLE) * syy - sy * sy)), 4) AS assortativity
+        |FROM mo CROSS JOIN nn CROSS JOIN ne""".stripMargin,
     "evt_survival_km" ->
       """WITH u AS (SELECT user_id,
         |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS f,

@@ -243,6 +243,43 @@ object Graph {
       .limit(topK)
   }
 
+  /** One-row graph summary: size, degree moments, and the degree
+    * assortativity coefficient — Pearson correlation of endpoint
+    * degrees over the directed edge list (Newman's r: positive =
+    * hubs link hubs, negative = hubs link leaves; the single number
+    * that says whether a similarity/co-occurrence graph is
+    * hub-dominated before anything iterative runs on it).
+    *
+    * Scale shape: degree table = one adjacency fold; the edge list
+    * joins it twice (equi-joins on each endpoint); r derives from ONE
+    * associative moment aggregate over the directed edges (the
+    * elasticity convention — double moments, identical
+    * left-associative algebra in the oracle). */
+  def degreeStats(edgesUV: DataFrame): DataFrame = {
+    val edges = edgesUV.select(col("u"), col("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // adjacency + edge count
+    val adj = edges.select(col("u").as("n"), col("v").as("m"))
+      .union(edges.select(col("v").as("n"), col("u").as("m")))
+    val deg = adj.groupBy("n").agg(count(lit(1)).as("d"))
+    val scored = adj
+      .join(deg.select(col("n"), col("d").as("du")), "n")
+      .join(deg.select(col("n").as("m"), col("d").as("dv")), "m")
+      .select(col("du").cast("double").as("x"), col("dv").cast("double").as("y"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"), max("d").as("max_degree"))
+    val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+    val m = col("mm").cast("double")
+    scored.agg(count(lit(1)).as("mm"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .crossJoin(broadcast(nodes)).crossJoin(broadcast(nEdges)) // bounded: 1 row each
+      .select(col("n_nodes"), col("n_edges"), col("max_degree"),
+        round(lit(2.0) * col("n_edges").cast("double")
+          / col("n_nodes").cast("double"), 4).as("avg_degree"),
+        round((m * col("sxy") - col("sx") * col("sy"))
+          / sqrt((m * col("sxx") - col("sx") * col("sx"))
+            * (m * col("syy") - col("sy") * col("sy"))), 4).as("assortativity"))
+  }
+
   /** Customer↔supplier trade graph from orders ⋈ lineitem: node ids are
     * key*2 (customers) / key*2+1 (suppliers) so the two key spaces cannot
     * collide; each trading pair yields both edge directions, so every

@@ -259,4 +259,85 @@ object Monitor {
         (abs(col("z")) > 1.96).as("reject"))
       .orderBy("event_type")
   }
+
+  /** EWMA control chart (α = 1/2, L·σ limits) over each group's daily
+    * mean — the drift-sensitive monitor between Shewhart points
+    * ([[madOutliers]] flags single wild values) and CUSUM
+    * ([[cusumChangePoint]] localizes a completed shift): the
+    * exponentially weighted average crosses its limits while a small
+    * sustained drift is still in progress. α is FIXED at 1/2 so every
+    * weight is an exact power of two (2^−k via integer shift, not
+    * libm pow — the two engines agree bit-for-bit on every weight);
+    * the time-varying limit uses α/(2−α) = 1/3 and (1−α)^2t = 4^−t
+    * through the same shifts.
+    *
+    * Scale shape: ONE corpus fold to the (group × day) grid; the EWMA
+    * closed form evaluates as a day-domain self-join (i ≤ t) — at most
+    * calendar² rows per group, bounded regardless of corpus size, and
+    * weights vanish (exactly 0) past k = 62 anyway. Limits derive from
+    * per-group moment sums (the abTest convention: explicit
+    * left-associative algebra, never an engine's stddev builtin);
+    * signal compares 4dp-rounded deviation against the 4dp-rounded
+    * limit so a final-ulp wobble cannot flip the flag. */
+  def ewmaChart(events: DataFrame, l: Double = 3.0): DataFrame = {
+    val daily = events
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("value"))
+      .groupBy("event_type", "day").agg(avg("value").as("x"))
+      .withColumn("i", row_number().over(
+        Window.partitionBy("event_type").orderBy("day")))
+      .persist() // three consumers: both self-join sides + the moments
+    val nd = col("nd").cast("double")
+    val stats = daily.groupBy("event_type").agg(
+      count(lit(1)).as("nd"), sum("x").as("s1"), sum(col("x") * col("x")).as("s2"))
+    val hist = daily.select(col("event_type"), col("i"), col("x").as("xi"))
+    val cur = daily.select(col("event_type"), col("i").as("t"), col("day"), col("x"))
+    val ewma = cur.join(hist, Seq("event_type"))
+      .filter(col("i") <= col("t"))
+      .withColumn("k", when(col("i") === 1, col("t") - 1)
+        .otherwise(col("t") - col("i") + 1))
+      .withColumn("w", when(col("k") > 62, lit(0.0))
+        .otherwise(lit(1.0) / expr("shiftleft(1L, CAST(k AS INT))").cast("double")))
+      .groupBy("event_type", "t", "day", "x")
+      .agg(sum(col("xi") * col("w")).as("ewma"))
+    val mu = col("s1") / nd
+    val lim = lit(l) * sqrt((col("s2") - col("s1") * col("s1") / nd) / (nd - 1.0)) *
+      sqrt((lit(1.0) - when(col("t") > 31, lit(0.0))
+        .otherwise(lit(1.0)
+          / expr("shiftleft(1L, CAST(2 * t AS INT))").cast("double"))) / lit(3.0))
+    ewma.join(broadcast(stats), "event_type")
+      .select(col("event_type"), col("day"),
+        round(col("x"), 4).as("x"), round(col("ewma"), 4).as("ewma"),
+        round(mu - lim, 4).as("lcl"), round(mu + lim, 4).as("ucl"),
+        (round(abs(col("ewma") - mu), 4) > round(lim, 4)).as("signal"))
+      .orderBy("event_type", "day")
+  }
+
+  /** Experiment sample-size planning — the question BEFORE
+    * [[graft.operators.Events.abTest]] reads an experiment out: how
+    * many users per arm does a two-sample test need to detect an
+    * `mde`-relative lift at level α and the target power?
+    * n/arm = 2(z_{α/2}+z_β)²σ²/δ², δ = mde·μ — the standard normal
+    * approximation, with σ²/μ from the metric's history.
+    *
+    * Scale shape: one associative moment aggregate per group
+    * (n, Σx, Σx²) — the abTest/trend convention — with all planning
+    * algebra on the dimension-sized row. */
+  def powerAnalysis(events: DataFrame, mde: Double = 0.05,
+      zAlpha: Double = 1.96, zBeta: Double = 0.8416): DataFrame = {
+    val aggd = events.groupBy("event_type").agg(
+      count(lit(1)).as("n"), sum("value").as("s1"),
+      sum(col("value") * col("value")).as("s2"))
+    val nD = col("n").cast("double")
+    val mu = col("s1") / nD
+    val varS = (col("s2") - col("s1") * col("s1") / nD) / (nD - 1.0)
+    val delta = lit(mde) * mu
+    val zz = (zAlpha + zBeta) * (zAlpha + zBeta)
+    val nArm = ceil(lit(2.0) * lit(zz) * varS / (delta * delta))
+    aggd.select(col("event_type"), col("n"),
+        round(mu, 4).as("mu"), round(sqrt(varS), 4).as("sigma"),
+        nArm.as("n_per_arm"),
+        (nD >= lit(2.0) * nArm.cast("double")).as("enough_data"))
+      .orderBy("event_type")
+  }
 }

@@ -1687,4 +1687,16 @@ object Suite {
   /** Top onboarding paths: the dominant first-5-event journeys. */
   def evtPaths(s: SparkSession, dir: String): DataFrame =
     Events.topPaths(t(s, dir, "events"))
+
+  /** EWMA control chart over each type's daily-mean series. */
+  def evtEwma(s: SparkSession, dir: String): DataFrame =
+    Monitor.ewmaChart(t(s, dir, "events"))
+
+  /** Per-metric experiment sample-size planning. */
+  def evtPower(s: SparkSession, dir: String): DataFrame =
+    Monitor.powerAnalysis(t(s, dir, "events"))
+
+  /** Degree moments + assortativity of the co-purchase graph. */
+  def graphDegreeStats(s: SparkSession, dir: String): DataFrame =
+    Graph.degreeStats(Graph.coPurchaseEdges(t(s, dir, "lineitem")))
 }

@@ -117,6 +117,14 @@ class GraphSpec extends SparkTestBase {
     assert(Graph.adamicAdar(edges, maxHubDeg = 2).isEmpty)
   }
 
+  test("degreeStats: the 3-path is perfectly disassortative (r = −1)") {
+    // P3: every edge joins a degree-1 leaf to the degree-2 center
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    val r = Graph.degreeStats(edges).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+      r.getDouble(4)) == ((3L, 2L, 2L, 1.3333, -1.0)))
+  }
+
   test("labelPropagation is deterministic under ties (smallest label wins)") {
     // a 4-cycle: every node has two neighbors with equal counts each
     // round — the min tie-break must pick the smaller label both runs

@@ -82,6 +82,35 @@ class MonitorSpec extends SparkTestBase {
     assert(t == ((1.5, -0.4082)))
   }
 
+  test("ewmaChart: exact power-of-two weights by hand; a planted spike signals") {
+    def ev(day: Int, v: Double, ty: String = "a") =
+      (f"2024-04-$day%02d 12:00:00", ty, v)
+    // series 10,10,10,30 with α=1/2: e = 10, 10, 10, 20 exactly
+    val s1 = Seq(ev(1, 10.0), ev(2, 10.0), ev(3, 10.0), ev(4, 30.0))
+      .toDF("ts_s", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val e1 = Monitor.ewmaChart(s1).collect().map(_.getDouble(3)).toSeq
+    assert(e1 == Seq(10.0, 10.0, 10.0, 20.0))
+    // nine 10s then 1000: |e10 − μ| = 396 crosses the L=1 limit (~181)
+    // but NOT the default L=3 — the chart width matters
+    val s2 = ((1 to 9).map(d => ev(d, 10.0)) :+ ev(10, 1000.0))
+      .toDF("ts_s", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    assert(Monitor.ewmaChart(s2, l = 1.0).collect().map(_.getBoolean(6)).toSeq
+      == (Seq.fill(9)(false) :+ true))
+    assert(!Monitor.ewmaChart(s2).collect().map(_.getBoolean(6)).contains(true))
+  }
+
+  test("powerAnalysis: hand n-per-arm from the normal approximation") {
+    // μ=10, s²=20/19: n/arm = ceil(2·(1.96+0.8416)²·s²/(0.5)²) = 67
+    val ev = (1 to 10).flatMap(_ => Seq(9.0, 11.0)).zipWithIndex
+      .map { case (v, i) => (i.toLong, "a", v) }
+      .toDF("event_id", "event_type", "value")
+    val r = Monitor.powerAnalysis(ev).head()
+    assert((r.getLong(1), r.getDouble(2), r.getLong(4), r.getBoolean(5)) ==
+      ((20L, 10.0, 67L, false)))
+  }
+
   test("count-min: estimates never undercount, and are exact without collisions") {
     val keys = (Seq.fill(7)("x") ++ Seq.fill(3)("y") ++ Seq("z")).toDF("term")
     val grid = CountMin.sketch(keys, "term", d = 3, w = 64)
