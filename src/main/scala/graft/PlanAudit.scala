@@ -192,7 +192,11 @@ object PlanAudit {
     // ewma (one day-grid fold; calendar²-bounded self-join + moment
     // broadcast), power (ONE associative moment agg), degree stats
     // (adjacency fold + two equi-joins + one moment agg)
-    "evt_ewma", "evt_power", "graph_degree_stats")
+    "evt_ewma", "evt_power", "graph_degree_stats",
+    // frame sample (pure map: synthesis + slice, no shuffle), rolling
+    // corr (one day-grid fold; calendar-domain windows), windowed
+    // distinct (two user-keyed window shuffles, nothing corpus-global)
+    "mm_frame_sample", "evt_rolling_corr", "q35_window_distinct")
     // evt_audience_overlap is excluded like dedup_clusters: its
     // domain-sized sketch table collects eagerly at construction, so
     // only the trivial driver-built result frame would be explained

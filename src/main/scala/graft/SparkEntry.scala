@@ -171,6 +171,9 @@ object SparkEntry {
     "evt_ewma" -> (Suite.evtEwma _),
     "evt_power" -> (Suite.evtPower _),
     "graph_degree_stats" -> (Suite.graphDegreeStats _),
+    "mm_frame_sample" -> (Suite.mmFrameSample _),
+    "evt_rolling_corr" -> (Suite.evtRollingCorr _),
+    "q35_window_distinct" -> (Relational.q35WindowDistinct _),
     "rel_triples" -> (Suite.relTriples _),
     "mix_dedup_weight" -> (Suite.mixDedupWeight _),
     "evt_rolling_distinct_hll" -> (Suite.evtRollingDistinctHll _),
@@ -2484,6 +2487,68 @@ object SparkEntry {
         |    / sqrt((CAST(mm AS DOUBLE) * sxx - sx * sx)
         |      * (CAST(mm AS DOUBLE) * syy - sy * sy)), 4) AS assortativity
         |FROM mo CROSS JOIN nn CROSS JOIN ne""".stripMargin,
+    // the WHOLE pipeline — container synthesis, header parse, frame
+    // slicing, sampled-byte md5 — replays in SQL (frames are ASCII md5
+    // hex, so byte slicing ≡ substr)
+    "mm_frame_sample" ->
+      """WITH fx AS (SELECT doc_id,
+        |    unnest(generate_series(0, CAST(doc_id % 13 + 3 AS INT))) AS f
+        |  FROM documents),
+        |fr AS (SELECT doc_id, f,
+        |    md5(CAST(doc_id AS VARCHAR) || ':' || CAST(f AS VARCHAR)) AS fb
+        |  FROM fx),
+        |pay AS (SELECT doc_id, 'GFV1'
+        |    || lpad(CAST(doc_id % 13 + 4 AS VARCHAR), 4, '0')
+        |    || lpad('32', 6, '0')
+        |    || string_agg(fb, '' ORDER BY f) AS payload
+        |  FROM fr GROUP BY doc_id),
+        |s AS (SELECT doc_id, payload,
+        |    CAST(substr(payload, 5, 4) AS BIGINT) AS n_frames FROM pay),
+        |sx AS (SELECT doc_id,
+        |    unnest(generate_series(0, CAST(n_frames - 1 AS INT))) AS f
+        |  FROM s),
+        |sf AS (SELECT doc_id, f FROM sx WHERE f % 3 = 0),
+        |agg AS (SELECT sf.doc_id, count(*) AS n_sampled,
+        |    md5(string_agg(substr(s.payload, CAST(15 + 32 * sf.f AS INT), 32),
+        |      '' ORDER BY sf.f)) AS sample_md5
+        |  FROM sf JOIN s USING (doc_id) GROUP BY 1)
+        |SELECT s.doc_id, s.n_frames, agg.n_sampled, agg.sample_md5,
+        |  CAST(length(s.payload) AS BIGINT) AS total_bytes
+        |FROM s JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // zero-variance frames emit NULL through the same guard (0/0 is
+    // engine-dependent NaN otherwise)
+    "evt_rolling_corr" ->
+      """WITH d AS (SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS xa,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS xb
+        |  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1),
+        |f AS (SELECT day, xa, xb, count(*) OVER w AS n,
+        |    sum(xa) OVER w AS sx, sum(xb) OVER w AS sy,
+        |    sum(xa * xb) OVER w AS sxy, sum(xa * xa) OVER w AS sxx,
+        |    sum(xb * xb) OVER w AS syy
+        |  FROM d WINDOW w AS (ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+        |g AS (SELECT day, xa, xb, n,
+        |    CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+        |      AS num,
+        |    (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * syy
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS den2
+        |  FROM f)
+        |SELECT day, CAST(xa AS BIGINT) AS xa, CAST(xb AS BIGINT) AS xb,
+        |  CAST(n AS BIGINT) AS n_days,
+        |  CASE WHEN den2 > 0e0 THEN round(num / sqrt(den2), 4) END AS corr
+        |FROM g ORDER BY day""".stripMargin,
+    // oracle = DuckDB's NATIVE windowed count(DISTINCT): the hash match
+    // proves the first-occurrence composition ≡ the builtin Spark lacks
+    "q35_window_distinct" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsx,
+        |    event_type FROM events)
+        |SELECT user_id, event_id, count(DISTINCT event_type) OVER (
+        |    PARTITION BY user_id ORDER BY tsx, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  AS n_distinct_types
+        |FROM e ORDER BY user_id, event_id""".stripMargin,
     "evt_survival_km" ->
       """WITH u AS (SELECT user_id,
         |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS f,

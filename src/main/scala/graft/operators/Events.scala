@@ -921,6 +921,45 @@ object Events {
       .orderBy("dow", "hr")
   }
 
+  /** Rolling correlation between two event types' daily volumes — the
+    * "do these metrics still move together?" monitor (a structural
+    * break shows as the rolling r collapsing while each series alone
+    * looks healthy). Frame = the last `windowDays` OBSERVED days
+    * (ROWS, not RANGE — documented: on a gappy calendar the frame
+    * spans observed days), r from per-frame moment sums of the two
+    * daily counts.
+    *
+    * Scale shape: ONE corpus fold to the day grid; every window runs
+    * over the calendar-domain grid (the single-partition total order
+    * is day-domain-bounded, the rollingDistinctHll precedent); counts
+    * are integers so the frame sums are exact — only the final r is
+    * float, and the zero-variance frames emit NULL through the same
+    * guard on both engines (0/0 would be engine-dependent NaN). */
+  def rollingCorr(events: DataFrame, typeA: String = "click",
+      typeB: String = "purchase", windowDays: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events.filter(col("event_type").isin(typeA, typeB))
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .groupBy("day")
+      .agg(sum(when(col("event_type") === typeA, 1L).otherwise(0L)).as("xa"),
+        sum(when(col("event_type") === typeB, 1L).otherwise(0L)).as("xb"))
+    val w = Window.orderBy("day").rowsBetween(-(windowDays - 1), 0)
+    val framed = daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum("xa").over(w))
+      .withColumn("sy", sum("xb").over(w))
+      .withColumn("sxy", sum(col("xa") * col("xb")).over(w))
+      .withColumn("sxx", sum(col("xa") * col("xa")).over(w))
+      .withColumn("syy", sum(col("xb") * col("xb")).over(w))
+    val nD = col("n").cast("double")
+    val num = nD * col("sxy") - col("sx").cast("double") * col("sy").cast("double")
+    val den2 = (nD * col("sxx") - col("sx").cast("double") * col("sx").cast("double")) *
+      (nD * col("syy") - col("sy").cast("double") * col("sy").cast("double"))
+    framed.select(col("day"), col("xa"), col("xb"), col("n").as("n_days"),
+        when(den2 > 0.0, round(num / sqrt(den2), 4)).as("corr"))
+      .orderBy("day")
+  }
+
   /** Top onboarding paths: the most common sequences of each user's
     * FIRST `firstK` event types — the path/Sankey analysis that sits
     * above pairwise [[transitionMatrix]] (a Markov matrix answers

@@ -47,6 +47,46 @@ object Multimodal {
       })
   }
 
+  case class FrameStats(doc_id: Long, n_frames: Long, n_sampled: Long,
+    sample_md5: String, total_bytes: Long)
+
+  /** Video-style frame sampling over an opaque binary container: parse
+    * the frame count out of the HEADER BYTES, slice every `every`-th
+    * fixed-size frame out of the payload, and fingerprint the sampled
+    * bytes — the "sample k frames per clip" step of a video curation
+    * pipeline, with the decode/slice plumbing real (header parse + byte
+    * offsets + md5 over the sliced bytes, per row via mapPartitions —
+    * the [[decodeMeta]] shape) and only the CODEC faked: payloads are
+    * synthesized GFV1 containers ("GFV1" + 4-digit frame count +
+    * 6-digit frame size + n×32-byte frames of md5-derived content) so
+    * the whole pipeline — synthesis included — replays in the oracle;
+    * a real build swaps synthesis for the lake read and the 32-byte
+    * frames for codec output, and nothing downstream changes.
+    *
+    * Scale shape: synthesis + sampling are both pure map stages (no
+    * shuffle anywhere); each row touches O(container) bytes once. */
+  def frameSample(docs: DataFrame, every: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // synthesis (stands in for the file-bundle read; row-local)
+    val payloads = docs.select(col("doc_id"),
+      concat(lit("GFV1"),
+        lpad((col("doc_id") % 13 + 4).cast("string"), 4, "0"),
+        lpad(lit("32"), 6, "0"),
+        concat_ws("", expr("transform(sequence(0, CAST(doc_id % 13 + 3 AS INT)), " +
+          "f -> md5(concat(CAST(doc_id AS STRING), ':', CAST(f AS STRING))))")))
+        .cast("binary").as("payload"))
+    payloads.as[(Long, Array[Byte])].mapPartitions(_.map { case (id, bytes) =>
+      val nFrames = new String(bytes, 4, 4, "UTF-8").toInt
+      val frameSize = new String(bytes, 8, 6, "UTF-8").toInt
+      val header = 14
+      val sampled = (0 until nFrames).filter(_ % every == 0)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      sampled.foreach(f => md.update(bytes, header + frameSize * f, frameSize))
+      val hex = md.digest().map("%02x".format(_)).mkString
+      FrameStats(id, nFrames.toLong, sampled.size.toLong, hex, bytes.length.toLong)
+    }).toDF().orderBy("doc_id")
+  }
 }
 
 /** Header-level geometry parse for the public image container formats.

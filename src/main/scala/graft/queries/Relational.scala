@@ -460,6 +460,29 @@ object Relational {
       .orderBy("bucket")
   }
 
+  /** Running DISTINCT count over a window — an aggregate Spark's window
+    * functions REFUSE (`count(DISTINCT) OVER` is unsupported), composed
+    * from two supported pieces instead: a first-occurrence flag
+    * (row_number over (user, type) = 1) summed cumulatively over the
+    * user's timeline. The oracle runs DuckDB's NATIVE windowed
+    * count(DISTINCT), so the hash match proves the composition ≡ the
+    * missing builtin. Two window shuffles, both keyed on user-prefixed
+    * keys; nothing corpus-global. */
+  def q35WindowDistinct(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+    val firstSeen = Window.partitionBy("user_id", "event_type")
+      .orderBy("ts", "event_id")
+    val timeline = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("fo",
+        when(row_number().over(firstSeen) === 1, 1L).otherwise(0L))
+      .withColumn("n_distinct_types", sum("fo").over(timeline))
+      .select(col("user_id"), col("event_id"), col("n_distinct_types"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Paginated render slice (kiara render_value, render_value.py:54). */
   def renderSlice(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")

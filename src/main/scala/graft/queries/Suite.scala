@@ -1699,4 +1699,12 @@ object Suite {
   /** Degree moments + assortativity of the co-purchase graph. */
   def graphDegreeStats(s: SparkSession, dir: String): DataFrame =
     Graph.degreeStats(Graph.coPurchaseEdges(t(s, dir, "lineitem")))
+
+  /** Every-3rd-frame sampling over synthesized GFV1 video containers. */
+  def mmFrameSample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSample(t(s, dir, "documents"))
+
+  /** Rolling 7-day correlation between click and purchase volumes. */
+  def evtRollingCorr(s: SparkSession, dir: String): DataFrame =
+    Events.rollingCorr(t(s, dir, "events"))
 }

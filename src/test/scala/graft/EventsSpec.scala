@@ -711,4 +711,23 @@ class EventsSpec extends SparkTestBase {
     assert(out.toSeq == Seq(("view>click>purchase", 2L),
       ("view>signup", 1L), ("view>view>view>view>view", 1L)))
   }
+
+  test("rollingCorr: proportional series give r=1; a 1-day frame gives NULL") {
+    // daily volumes (click, purchase) = (1,1), (2,2), (3,3): every
+    // frame with n ≥ 2 is perfectly correlated; day 1's frame has zero
+    // variance → NULL, not NaN
+    val rows = (1 to 3).flatMap { d =>
+      (1 to d).flatMap(i => Seq(
+        (d * 100L + i, 1L, Timestamp.valueOf(f"2024-05-$d%02d 10:0$i:00"), "click"),
+        (d * 200L + i, 2L, Timestamp.valueOf(f"2024-05-$d%02d 11:0$i:00"), "purchase")))
+    }
+    val df = rows.toDF("event_id", "user_id", "ts", "event_type")
+    val out = Events.rollingCorr(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    assert(out.toSeq == Seq(
+      ("2024-05-01", 1L, 1L, None),
+      ("2024-05-02", 2L, 2L, Some(1.0)),
+      ("2024-05-03", 3L, 3L, Some(1.0))))
+  }
 }

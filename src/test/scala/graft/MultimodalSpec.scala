@@ -53,4 +53,20 @@ class MultimodalSpec extends SparkTestBase {
       assert(m.format == expected)
     }
   }
+
+  test("frameSample: header round-trip, every-3rd offsets, sampled-byte md5 by hand") {
+    import spark.implicits._
+    // doc 9 → 13 frames, samples f ∈ {0,3,6,9,12}; container = 14-byte
+    // header + 13×32 = 430 bytes
+    val docs = Seq((9L, "ignored")).toDF("doc_id", "text")
+    val r = Multimodal.frameSample(docs).head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(4)) == ((13L, 5L, 430L)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Seq(0, 3, 6, 9, 12).foreach { f =>
+      val frame = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"9:$f".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      md.update(frame.getBytes("UTF-8"))
+    }
+    assert(r.getString(3) == md.digest().map("%02x".format(_)).mkString)
+  }
 }
