@@ -196,7 +196,11 @@ object PlanAudit {
     // frame sample (pure map: synthesis + slice, no shuffle), rolling
     // corr (one day-grid fold; calendar-domain windows), windowed
     // distinct (two user-keyed window shuffles, nothing corpus-global)
-    "mm_frame_sample", "evt_rolling_corr", "q35_window_distinct")
+    "mm_frame_sample", "evt_rolling_corr", "q35_window_distinct",
+    // filter funnel (row-local CASE verdict → ≤5-row agg), migration
+    // (customer-period fold + percentile broadcast + dimension
+    // full-outer), split leakage (map-only assignment + one fp fold)
+    "text_filter_funnel", "rel_migration", "dq_split_leakage")
     // evt_audience_overlap is excluded like dedup_clusters: its
     // domain-sized sketch table collects eagerly at construction, so
     // only the trivial driver-built result frame would be explained

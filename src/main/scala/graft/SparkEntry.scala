@@ -174,6 +174,9 @@ object SparkEntry {
     "mm_frame_sample" -> (Suite.mmFrameSample _),
     "evt_rolling_corr" -> (Suite.evtRollingCorr _),
     "q35_window_distinct" -> (Relational.q35WindowDistinct _),
+    "text_filter_funnel" -> (Suite.textFilterFunnel _),
+    "rel_migration" -> (Suite.relMigration _),
+    "dq_split_leakage" -> (Suite.dqSplitLeakage _),
     "rel_triples" -> (Suite.relTriples _),
     "mix_dedup_weight" -> (Suite.mixDedupWeight _),
     "evt_rolling_distinct_hll" -> (Suite.evtRollingDistinctHll _),
@@ -2549,6 +2552,78 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |  AS n_distinct_types
         |FROM e ORDER BY user_id, event_id""".stripMargin,
+    // every threshold compares cross-multiplied integers — no float
+    // decides a verdict (the gopher precedent)
+    "text_filter_funnel" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |v AS (SELECT CASE
+         |    WHEN len(toks) < 20 THEN '1_too_short'
+         |    WHEN len(toks) > 90 THEN '2_too_long'
+         |    WHEN len(list_distinct(toks)) * 2 < len(toks)
+         |      THEN '3_low_diversity'
+         |    WHEN length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 10
+         |        > length(text) THEN '4_high_symbol'
+         |    ELSE '5_pass' END AS stage FROM t),
+         |g AS (SELECT stage, count(*) AS n_docs FROM v GROUP BY 1)
+         |SELECT stage, n_docs,
+         |  CAST(floor(CAST(n_docs AS DOUBLE) / (SELECT sum(n_docs) FROM g)
+         |    * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS share
+         |FROM g ORDER BY stage""".stripMargin,
+    // per-period quartile tiers (quantile_cont ≡ percentile, spend
+    // rounded 2dp first so float-sum ulps cannot move a boundary)
+    "rel_migration" ->
+      """WITH sp AS (SELECT o_custkey,
+        |    CASE WHEN year(o_orderdate) <= 1997 THEN 'p1' ELSE 'p2' END
+        |      AS period,
+        |    round(sum(o_totalprice), 2) AS spend FROM orders GROUP BY 1, 2),
+        |c AS (SELECT period, quantile_cont(spend, 0.25) AS q1,
+        |    quantile_cont(spend, 0.5) AS q2,
+        |    quantile_cont(spend, 0.75) AS q3 FROM sp GROUP BY 1),
+        |ti AS (SELECT sp.o_custkey, sp.period,
+        |    1 + (spend > q1)::INT + (spend > q2)::INT + (spend > q3)::INT
+        |      AS tier
+        |  FROM sp JOIN c USING (period)),
+        |p1 AS (SELECT o_custkey, tier AS t1 FROM ti WHERE period = 'p1'),
+        |p2 AS (SELECT o_custkey, tier AS t2 FROM ti WHERE period = 'p2')
+        |SELECT CAST(coalesce(t1, 0) AS BIGINT) AS from_tier,
+        |  CAST(coalesce(t2, 0) AS BIGINT) AS to_tier,
+        |  count(*) AS n_customers
+        |FROM p1 FULL OUTER JOIN p2 USING (o_custkey)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // identical planted clones + md5 split assignment + fingerprint fold
+    "dq_split_leakage" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents
+        |    WHERE doc_id % 20 = 0),
+        |a AS (SELECT CASE
+        |    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '08'
+        |      THEN 'test'
+        |    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '18'
+        |      THEN 'validation'
+        |    ELSE 'train' END AS split,
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |  FROM d),
+        |g AS (SELECT fp,
+        |    sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
+        |    sum(CASE WHEN split = 'validation' THEN 1 ELSE 0 END) AS n_val,
+        |    sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_test
+        |  FROM a GROUP BY 1)
+        |SELECT 'train|validation' AS pair,
+        |  CAST(sum(CASE WHEN n_train > 0 AND n_val > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_fingerprints,
+        |  CAST(sum(CASE WHEN n_train > 0 AND n_val > 0
+        |    THEN n_train + n_val ELSE 0 END) AS BIGINT) AS n_docs FROM g
+        |UNION ALL SELECT 'train|test',
+        |  CAST(sum(CASE WHEN n_train > 0 AND n_test > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  CAST(sum(CASE WHEN n_train > 0 AND n_test > 0
+        |    THEN n_train + n_test ELSE 0 END) AS BIGINT) FROM g
+        |UNION ALL SELECT 'validation|test',
+        |  CAST(sum(CASE WHEN n_val > 0 AND n_test > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  CAST(sum(CASE WHEN n_val > 0 AND n_test > 0
+        |    THEN n_val + n_test ELSE 0 END) AS BIGINT) FROM g
+        |ORDER BY pair""".stripMargin,
     "evt_survival_km" ->
       """WITH u AS (SELECT user_id,
         |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS f,

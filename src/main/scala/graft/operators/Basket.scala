@@ -372,4 +372,46 @@ object Basket {
           - (col("n") + 1).cast("double") / col("n").cast("double"), 4).as("gini"))
       .orderBy(group)
   }
+
+  /** Customer segment-migration matrix: tier every customer by spend
+    * QUARTILE within each of two periods, then count the
+    * (from_tier → to_tier) transitions — the "are my best customers
+    * upgrading or churning?" BI readout (tier 0 = absent from the
+    * period, so row 0→k is acquisition and k→0 is churn). Quartiles
+    * are PER-PERIOD, so tiers compare customers against their
+    * contemporaries, not against inflation.
+    *
+    * Scale shape: one corpus fold to (customer × period) spend (spend
+    * rounds 2dp so float-sum ulps cannot move a quartile boundary);
+    * cuts via one exact percentile aggregate broadcast back (the
+    * curriculum shape — never an ntile global sort); the
+    * transition matrix is a customer-dimension full-outer self-pair
+    * + a ≤25-cell aggregate. */
+  def segmentMigration(orders: DataFrame, splitYear: Int = 1997): DataFrame = {
+    val spend = orders.select(col("o_custkey"),
+        when(year(col("o_orderdate")) <= splitYear, "p1").otherwise("p2")
+          .as("period"),
+        col("o_totalprice"))
+      .groupBy("o_custkey", "period")
+      .agg(round(sum("o_totalprice"), 2).as("spend"))
+      .persist() // three consumers: cuts + both period sides
+    val cuts = spend.groupBy("period").agg(
+      expr("percentile(spend, 0.25)").as("q1"),
+      expr("percentile(spend, 0.5)").as("q2"),
+      expr("percentile(spend, 0.75)").as("q3"))
+    val tiered = spend.join(broadcast(cuts), "period")
+      .select(col("o_custkey"), col("period"),
+        (lit(1) + (col("spend") > col("q1")).cast("int")
+          + (col("spend") > col("q2")).cast("int")
+          + (col("spend") > col("q3")).cast("int")).cast("long").as("tier"))
+    val p1 = tiered.filter(col("period") === "p1")
+      .select(col("o_custkey"), col("tier").as("t1"))
+    val p2 = tiered.filter(col("period") === "p2")
+      .select(col("o_custkey"), col("tier").as("t2"))
+    p1.join(p2, Seq("o_custkey"), "full_outer")
+      .select(coalesce(col("t1"), lit(0L)).as("from_tier"),
+        coalesce(col("t2"), lit(0L)).as("to_tier"))
+      .groupBy("from_tier", "to_tier").agg(count(lit(1)).as("n_customers"))
+      .orderBy("from_tier", "to_tier")
+  }
 }

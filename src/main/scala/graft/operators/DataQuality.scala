@@ -391,6 +391,39 @@ object DataQuality {
     * Scale shape: two grouped folds — corpus → (lhs, rhs) cells →
     * lhs groups — then a scalar aggregate; each shuffle key is a
     * GROUP domain, never row-sized, and no window or sort exists. */
+  /** Train/validation/test leakage audit: after [[Mixture.assignSplit]]
+    * hands out splits, does any duplicated document STRADDLE a split
+    * boundary? Exact-fingerprint occurrences are counted per split and
+    * every pair with shared fingerprints is reported — the
+    * split-internal twin of benchmark decontamination (decontam checks
+    * the corpus against an EXTERNAL eval set; this checks the corpus's
+    * own held-out splits, the leak that silently inflates every eval).
+    *
+    * Scale shape: split assignment is map-only (md5), one fingerprint
+    * groupBy carries per-split occurrence counts, and the pair readout
+    * is a 1-row aggregate unpivoted to the 3-row pair domain. */
+  def splitLeakage(docs: DataFrame): DataFrame = {
+    val assigned = graft.operators.Mixture.assignSplit(docs, col("doc_id"))
+      .select(col("split"),
+        md5(graft.operators.Dedup.normalized(col("text"))).as("fp"))
+    val byFp = assigned.groupBy("fp").agg(
+      sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+      sum(when(col("split") === "validation", 1L).otherwise(0L)).as("n_val"),
+      sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+    def pair(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+        name: String) = struct(
+      lit(name).as("pair"),
+      sum(when(a > 0 && b > 0, 1L).otherwise(0L)).as("n_fingerprints"),
+      sum(when(a > 0 && b > 0, a + b).otherwise(0L)).as("n_docs"))
+    byFp.agg(pair(col("n_train"), col("n_val"), "train|validation").as("tv"),
+        pair(col("n_train"), col("n_test"), "train|test").as("tt"),
+        pair(col("n_val"), col("n_test"), "validation|test").as("vt"))
+      .select(explode(array(col("tv"), col("tt"), col("vt"))).as("p"))
+      .select(col("p.pair").as("pair"), col("p.n_fingerprints").as("n_fingerprints"),
+        col("p.n_docs").as("n_docs"))
+      .orderBy("pair")
+  }
+
   def fdAudit(df: DataFrame, tag: String, lhs: String, rhs: String): DataFrame = {
     val cells = df.groupBy(col(lhs).as("l"), col(rhs).as("r"))
       .agg(count(lit(1)).as("n_lr"))

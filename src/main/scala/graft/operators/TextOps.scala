@@ -499,6 +499,38 @@ object TextOps {
       .limit(topK)
   }
 
+  /** Quality-filter funnel with first-failing-rule attribution: every
+    * corpus filter pipeline needs to know not just HOW MANY documents
+    * died but WHICH rule killed each one (a rule that kills 40% is
+    * either a bug or the corpus's biggest problem — the funnel is how
+    * you tell). Rules evaluate in a fixed order; each doc is charged
+    * to the FIRST rule it fails. Every threshold compares
+    * cross-multiplied integers (the gopher precedent) so no float
+    * decides a verdict.
+    *
+    * Scale shape: all rule inputs are row-local builtins, the verdict
+    * is one CASE — a pure map stage into a stage-domain (≤5 row)
+    * aggregate; the share window runs over that bounded domain. */
+  def filterFunnel(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col("text"))
+    val n = size(toks).cast("long")
+    val nd = size(array_distinct(toks)).cast("long")
+    val len = length(col("text")).cast("long")
+    val sym = length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast("long")
+    val verdict = when(n < 20, "1_too_short")
+      .when(n > 90, "2_too_long")
+      .when(nd * 2 < n, "3_low_diversity")
+      .when(sym * 10 > len, "4_high_symbol")
+      .otherwise("5_pass")
+    val staged = docs.select(verdict.as("stage"))
+      .groupBy("stage").agg(count(lit(1)).as("n_docs"))
+    val totW = Window.partitionBy() // stage-domain-sized input
+    staged.withColumn("share",
+        Num.pround(col("n_docs").cast("double") / sum("n_docs").over(totW), 4))
+      .orderBy("stage")
+  }
+
   /** Within-document repetition ratio: 1 − distinct/total token k-grams
     * — the boilerplate/spam signal every corpus quality filter computes.
     * Entirely row-local (total = size−k+1 arithmetic, distinct = the

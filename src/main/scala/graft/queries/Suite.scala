@@ -1707,4 +1707,22 @@ object Suite {
   /** Rolling 7-day correlation between click and purchase volumes. */
   def evtRollingCorr(s: SparkSession, dir: String): DataFrame =
     Events.rollingCorr(t(s, dir, "events"))
+
+  /** Quality-filter funnel with first-failing-rule attribution. */
+  def textFilterFunnel(s: SparkSession, dir: String): DataFrame =
+    TextOps.filterFunnel(t(s, dir, "documents"))
+
+  /** Customer spend-tier migration matrix across the 1997 boundary. */
+  def relMigration(s: SparkSession, dir: String): DataFrame =
+    Basket.segmentMigration(t(s, dir, "orders"))
+
+  /** Split-leakage audit; the corpus has no exact duplicates, so the
+    * suite PLANTS clones (every 20th doc re-ingested under a new id) —
+    * their md5-assigned splits differ, so real leakage exists to find. */
+  def dqSplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = d.unionAll(d.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    DataQuality.splitLeakage(planted)
+  }
 }

@@ -239,4 +239,25 @@ class FrequentSpec extends SparkTestBase {
     assert(out("a>b") == 3L && out("b>c") == 3L && out("a>b>c") == 3L)
     assert(!out.contains("c>a"), "reverse-order pair is below 0.5 support")
   }
+
+  test("segmentMigration: per-period quartiles, acquisition and churn rows") {
+    import graft.operators.Basket
+    // p1 spends: customers 1..8 spend 100·c (tiers 1,1,2,2,3,3,4,4 by
+    // the 2.75/4.5/6.25 rank quartiles ×100); in p2 customer 8 is gone
+    // (churn → tier 0) and customer 9 appears (acquisition from 0);
+    // p2 spends keep everyone else's rank order
+    def o(id: Long, c: Long, yr: Int, price: Double) =
+      (id, c, java.sql.Timestamp.valueOf(s"$yr-06-01 00:00:00"), price)
+    val rows = (1L to 8L).map(c => o(c, c, 1996, 100.0 * c)) ++
+      ((1L to 7L) :+ 9L).map(c => o(100 + c, c, 2000, 100.0 * c))
+    val df = rows.toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val out = Basket.segmentMigration(df).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // customer 8: tier 4 → absent; customer 9: absent → its p2 tier
+    assert(out((4L, 0L)) == 1L, s"churn row missing: $out")
+    assert(out.keys.count(_._1 == 0L) == 1, s"exactly one acquisition row: $out")
+    // stayers: diagonal-heavy (same rank order both periods)
+    assert(out.filterKeys(k => k._1 == k._2 && k._1 > 0).values.sum >= 5,
+      s"rank-stable customers must stay on the diagonal: $out")
+  }
 }

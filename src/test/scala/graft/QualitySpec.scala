@@ -296,4 +296,29 @@ class QualitySpec extends SparkTestBase {
     val e = DataQuality.fdAudit(exact, "t2.l->r", "l", "r").head()
     assert(e.getDouble(4) == 0.0 && e.getBoolean(5))
   }
+
+  test("splitLeakage finds exactly the planted cross-split clones") {
+    // 60 clones of one text across ids 1..60 — md5 scatters them over
+    // all three splits — plus unique texts that can never leak.
+    // Expected counts computed with the SAME md5 assignment here.
+    def split(id: Long): String = {
+      val h2 = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).take(1)
+        .map("%02x".format(_)).mkString
+      if (h2 < "08") "test" else if (h2 < "18") "validation" else "train"
+    }
+    val counts = (1L to 60L).map(split).groupBy(identity).view.mapValues(_.size)
+    val (nTr, nVa, nTe) =
+      (counts.getOrElse("train", 0), counts.getOrElse("validation", 0),
+        counts.getOrElse("test", 0))
+    assert(nTr > 0 && nVa > 0 && nTe > 0, s"md5 must scatter: $counts")
+    val docs = ((1L to 60L).map(id => (id, "the shared clone text")) ++
+      (100L to 140L).map(id => (id, s"unique text number $id")))
+      .toDF("doc_id", "text")
+    val out = DataQuality.splitLeakage(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("train|validation") == ((1L, (nTr + nVa).toLong)))
+    assert(out("train|test") == ((1L, (nTr + nTe).toLong)))
+    assert(out("validation|test") == ((1L, (nVa + nTe).toLong)))
+  }
 }

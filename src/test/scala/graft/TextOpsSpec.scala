@@ -535,4 +535,23 @@ class TextOpsSpec extends SparkTestBase {
         r.getDouble(4)))
     assert(out.toSeq == Seq(("alpha beta", 5L, 6L, 5L, 1.3863)))
   }
+
+  test("filterFunnel charges each doc to its FIRST failing rule") {
+    val pass = (1 to 30).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, "just ten tokens here one two three four five six"), // short
+      (2L, (1 to 95).map(i => s"w$i").mkString(" ")),           // long
+      // 30 copies of one token: fails diversity, NOT length
+      (3L, Seq.fill(30)("same").mkString(" ")),
+      // symbol-heavy but diverse: charged to the symbol rule
+      (4L, (1 to 25).map(i => s"t$i").mkString(" ") + " " + "@#$%!" * 10),
+      (5L, pass), (6L, pass))
+      .toDF("doc_id", "text")
+    val out = TextOps.filterFunnel(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(
+      ("1_too_short", 1L, 0.1667), ("2_too_long", 1L, 0.1667),
+      ("3_low_diversity", 1L, 0.1667), ("4_high_symbol", 1L, 0.1667),
+      ("5_pass", 2L, 0.3333)))
+  }
 }
