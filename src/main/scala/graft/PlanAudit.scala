@@ -200,7 +200,11 @@ object PlanAudit {
     // filter funnel (row-local CASE verdict → ≤5-row agg), migration
     // (customer-period fold + percentile broadcast + dimension
     // full-outer), split leakage (map-only assignment + one fp fold)
-    "text_filter_funnel", "rel_migration", "dq_split_leakage")
+    "text_filter_funnel", "rel_migration", "dq_split_leakage",
+    // bursts (day-grid fold + calendar windows; integer burst compare),
+    // freshness (one grouped fold + 1-row frontier broadcast);
+    // sim_kmeans runs its Lloyd loop eagerly (the dedup_clusters rule)
+    "evt_bursts", "dq_freshness")
     // evt_audience_overlap is excluded like dedup_clusters: its
     // domain-sized sketch table collects eagerly at construction, so
     // only the trivial driver-built result frame would be explained

@@ -177,6 +177,9 @@ object SparkEntry {
     "text_filter_funnel" -> (Suite.textFilterFunnel _),
     "rel_migration" -> (Suite.relMigration _),
     "dq_split_leakage" -> (Suite.dqSplitLeakage _),
+    "sim_kmeans" -> (Suite.simKmeans _),
+    "evt_bursts" -> (Suite.evtBursts _),
+    "dq_freshness" -> (Suite.dqFreshness _),
     "rel_triples" -> (Suite.relTriples _),
     "mix_dedup_weight" -> (Suite.mixDedupWeight _),
     "evt_rolling_distinct_hll" -> (Suite.evtRollingDistinctHll _),
@@ -2624,6 +2627,36 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN n_val > 0 AND n_test > 0
         |    THEN n_val + n_test ELSE 0 END) AS BIGINT) FROM g
         |ORDER BY pair""".stripMargin,
+    // the burst decision is a cross-multiplied integer compare; the
+    // planted ×3 last day replays via the same max-day subquery
+    "evt_bursts" ->
+      """WITH e0 AS (SELECT event_type,
+        |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day FROM events),
+        |md AS (SELECT max(day) AS m FROM e0),
+        |e AS (SELECT event_type, day FROM e0
+        |  UNION ALL SELECT e0.event_type, e0.day FROM e0, md WHERE e0.day = md.m
+        |  UNION ALL SELECT e0.event_type, e0.day FROM e0, md WHERE e0.day = md.m),
+        |d AS (SELECT event_type, day, count(*) AS n_events FROM e GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, n_events,
+        |    count(*) OVER pw AS pn, sum(n_events) OVER pw AS ps
+        |  FROM d WINDOW pw AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, day, n_events,
+        |  CASE WHEN pn >= 3 THEN CAST(floor(CAST(ps AS DOUBLE) / pn
+        |    * 10000.0 + 0.5) AS DOUBLE) / 10000.0 END AS prev_avg,
+        |  (pn >= 3 AND n_events * pn > 2 * ps) AS burst
+        |FROM w ORDER BY event_type, day""".stripMargin,
+    // frontier-relative staleness in exact integer µs (DIV convention)
+    "dq_freshness" ->
+      """WITH p AS (SELECT event_type, count(*) AS n_events,
+        |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us,
+        |    max(CAST(ts AS TIMESTAMP)) AS last_ts0 FROM events GROUP BY 1),
+        |e AS (SELECT max(last_us) AS edge_us FROM p)
+        |SELECT event_type, n_events,
+        |  strftime(last_ts0, '%Y-%m-%d %H:%M:%S') AS last_ts,
+        |  (edge_us - last_us) // 3600000000 AS staleness_hours,
+        |  edge_us - last_us <= 24 * 3600000000 AS within_sla
+        |FROM p CROSS JOIN e ORDER BY event_type""".stripMargin,
     "evt_survival_km" ->
       """WITH u AS (SELECT user_id,
         |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS f,

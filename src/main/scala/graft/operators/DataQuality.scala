@@ -424,6 +424,34 @@ object DataQuality {
       .orderBy("pair")
   }
 
+  /** Freshness audit: per-source staleness against the table's own
+    * event-time frontier — the data-quality dimension beside
+    * completeness ([[referentialAudit]]), ordering ([[eventOrderAudit]])
+    * and distribution ([[valueDrift]]): a source whose last event lags
+    * the frontier by hours is silently stale long before any value
+    * looks wrong. The reference instant is the GLOBAL max event time
+    * (self-contained and deterministic — no wall clock in the oracle
+    * path); staleness arithmetic is exact integer µs with the DIV
+    * convention (Spark truncates double→long, integers don't lie).
+    *
+    * Scale shape: one grouped max/count fold; the frontier is a 1-row
+    * broadcast. */
+  def freshness(events: DataFrame, slaHours: Int = 24): DataFrame = {
+    val perType = events.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        max(unix_micros(col("ts"))).as("last_us"))
+    val edge = perType.agg(max("last_us").as("edge_us"))
+    val hourUs = 3600000000L
+    perType.crossJoin(broadcast(edge)) // bounded: 1 row
+      .select(col("event_type"), col("n_events"),
+        date_format(timestamp_micros(col("last_us")), "yyyy-MM-dd HH:mm:ss")
+          .as("last_ts"),
+        expr("(edge_us - last_us) DIV 3600000000").as("staleness_hours"),
+        (col("edge_us") - col("last_us") <= lit(slaHours.toLong) * hourUs)
+          .as("within_sla"))
+      .orderBy("event_type")
+  }
+
   def fdAudit(df: DataFrame, tag: String, lhs: String, rhs: String): DataFrame = {
     val cells = df.groupBy(col(lhs).as("l"), col(rhs).as("r"))
       .agg(count(lit(1)).as("n_lr"))

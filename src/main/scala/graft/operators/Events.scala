@@ -960,6 +960,38 @@ object Events {
       .orderBy("day")
   }
 
+  /** Burst detection: days where a type's volume exceeds `factor`× its
+    * trailing average — the traffic-spike readout ([[valueAnomalies]]
+    * flags odd VALUES; this flags odd VOLUME, against a moving local
+    * baseline rather than a global one, so seasonal growth doesn't
+    * drown the signal). Requires `minHistory` prior observed days so
+    * day 1 can't be a "burst" over an empty baseline.
+    *
+    * Scale shape: one corpus fold to the day grid, trailing windows
+    * over the calendar domain; the burst decision is a CROSS-MULTIPLIED
+    * INTEGER compare (n·prev_n > factor·prev_sum) — no float decides,
+    * and prev_avg is display-only. */
+  def burstDays(events: DataFrame, factor: Int = 2, minHistory: Int = 3,
+      lookback: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n_events"))
+    val pw = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-lookback, -1)
+    daily
+      .withColumn("prev_n", count(lit(1)).over(pw))
+      .withColumn("prev_sum", sum("n_events").over(pw))
+      .select(col("event_type"), col("day"), col("n_events"),
+        when(col("prev_n") >= minHistory,
+          Num.pround(col("prev_sum").cast("double") / col("prev_n").cast("double"), 4))
+          .as("prev_avg"),
+        (col("prev_n") >= minHistory &&
+          col("n_events") * col("prev_n") > lit(factor.toLong) * col("prev_sum"))
+          .as("burst"))
+      .orderBy("event_type", "day")
+  }
+
   /** Top onboarding paths: the most common sequences of each user's
     * FIRST `firstK` event types — the path/Sankey analysis that sits
     * above pairwise [[transitionMatrix]] (a Markov matrix answers

@@ -274,6 +274,83 @@ object Similarity {
     rankTopK(cands, k)
   }
 
+  /** Lloyd k-means over the embedding corpus — true iterative
+    * refinement, unlike [[ivfTopK]]'s one-shot hash-stride centroids
+    * (which exist to BUCKET, not to model): k-means is the clustering
+    * readout itself (corpus structure, semdedup-style pruning regions,
+    * topic-ish groupings over embeddings). Init = deterministic
+    * farthest-point (Gonzalez k-center — see the inline note); each
+    * iteration assigns by the argmin-L2 expansion (argmax of
+    * 2·x·c − |c|², codegen'd DotProduct against broadcast centroid
+    * literals) and recomputes means; empty clusters keep their
+    * previous center.
+    *
+    * Scale shape: per iteration ONE corpus map (assignment — centroids
+    * ride as k·dim broadcast literals) + one (k × dim)-bounded mean
+    * aggregate (posexplode partials combine map-side; the collect is
+    * k·dim doubles, never corpus-sized). The loop materializes eagerly
+    * (the dedup_clusters rule). Iterative float → registered rows-only;
+    * the spec recovers PLANTED clusters exactly. */
+  def kMeans(corpus: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.Row
+    val base = corpus
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // deterministic FARTHEST-POINT init (Gonzalez k-center, the
+    // derandomized k-means++): seed with the smallest vec_id, then k−1
+    // times take the point maximizing its min distance to the chosen
+    // centers (vec_id breaks exact ties). A hash sample can drop two
+    // seeds in one true cluster and leave another uncovered — a local
+    // optimum Lloyd cannot escape; farthest-point provably covers every
+    // well-separated cluster. Each pick is one corpus scan over the
+    // PERSISTED base + a 1-row TakeOrdered collect.
+    def vecOf(df: DataFrame): Array[Double] =
+      df.select(col("emb")).collect().map((r: Row) => r.getSeq[Double](0).toArray).head
+    val picked = scala.collection.mutable.ArrayBuffer(
+      vecOf(base.orderBy("vec_id").limit(1)))
+    while (picked.length < k) {
+      val minD2 = picked.map { c =>
+        val cl = array(c.map(lit): _*)
+        dot(col("emb"), col("emb")) - lit(2.0) * dot(col("emb"), cl) +
+          lit(c.map(x => x * x).sum)
+      }.reduce(least(_, _))
+      picked += vecOf(base.withColumn("__d2", minD2)
+        .orderBy(col("__d2").desc, col("vec_id")).limit(1))
+    }
+    var cents: Array[Array[Double]] = picked.toArray
+    def withAssignment(): DataFrame = {
+      val scores = array(cents.map { c =>
+        val cl = array(c.map(lit): _*)
+        lit(2.0) * dot(col("emb"), cl) - lit(c.map(x => x * x).sum)
+      }: _*)
+      base.withColumn("__s", scores)
+        .withColumn("cid",
+          expr("array_position(__s, array_max(__s)) - 1").cast("int"))
+        .drop("__s")
+    }
+    for (_ <- 1 to iters) {
+      val means = withAssignment()
+        .select(col("cid"), posexplode(col("emb")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos").agg(avg("v").as("m"))
+        .collect() // bounded: k × dim doubles
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray }
+      cents = cents.indices.map(i => means.getOrElse(i, cents(i))).toArray
+    }
+    // readout: sizes + within-cluster inertia against the final centers
+    val centNorm2 = cents.map(c => c.map(x => x * x).sum)
+    val dist2 = array(cents.zipWithIndex.map { case (c, i) =>
+      val cl = array(c.map(lit): _*)
+      dot(col("emb"), col("emb")) - lit(2.0) * dot(col("emb"), cl) + lit(centNorm2(i))
+    }: _*)
+    withAssignment()
+      .withColumn("d2", element_at(dist2, col("cid") + 1))
+      .groupBy(col("cid").cast("long").as("cluster_id"))
+      .agg(count(lit(1)).as("n_vecs"), round(sum("d2"), 2).as("inertia"))
+      .orderBy("cluster_id")
+  }
+
   /** Unit-normalize an embedding column (array<double> out). */
   def normalize(emb: Column): Column = {
     val n = sqrt(dot(emb, emb))

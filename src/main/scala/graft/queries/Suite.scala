@@ -1725,4 +1725,23 @@ object Suite {
       .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
     DataQuality.splitLeakage(planted)
   }
+
+  /** Lloyd k-means over the embedding corpus (rows-only: iterative
+    * float; planted-cluster recovery spec'd in SimilaritySpec). */
+  def simKmeans(s: SparkSession, dir: String): DataFrame =
+    Similarity.kMeans(t(s, dir, "embeddings"))
+
+  /** Burst days vs the trailing-week baseline; the synthetic log's
+    * volume is near-uniform, so the suite TRIPLES the last day (union
+    * ×2) — every type must burst exactly there. */
+  def evtBursts(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val maxDay = ev.agg(max(date_format(col("ts"), "yyyy-MM-dd"))).head.getString(0)
+    val lastDay = ev.filter(date_format(col("ts"), "yyyy-MM-dd") === maxDay)
+    Events.burstDays(ev.unionAll(lastDay).unionAll(lastDay))
+  }
+
+  /** Per-source freshness vs the table's own event-time frontier. */
+  def dqFreshness(s: SparkSession, dir: String): DataFrame =
+    DataQuality.freshness(t(s, dir, "events"))
 }

