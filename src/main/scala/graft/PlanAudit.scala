@@ -204,7 +204,11 @@ object PlanAudit {
     // bursts (day-grid fold + calendar windows; integer burst compare),
     // freshness (one grouped fold + 1-row frontier broadcast);
     // sim_kmeans runs its Lloyd loop eagerly (the dedup_clusters rule)
-    "evt_bursts", "dq_freshness")
+    "evt_bursts", "dq_freshness",
+    // top movers (fact fold + brand-domain windows), constraint
+    // suggestion (two associative passes + 1-row broadcasts);
+    // graph_kcore peels eagerly (the dedup_clusters rule)
+    "rel_top_movers", "dq_suggest_constraints")
     // evt_audience_overlap is excluded like dedup_clusters: its
     // domain-sized sketch table collects eagerly at construction, so
     // only the trivial driver-built result frame would be explained

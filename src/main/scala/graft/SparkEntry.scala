@@ -180,6 +180,9 @@ object SparkEntry {
     "sim_kmeans" -> (Suite.simKmeans _),
     "evt_bursts" -> (Suite.evtBursts _),
     "dq_freshness" -> (Suite.dqFreshness _),
+    "rel_top_movers" -> (Suite.relTopMovers _),
+    "dq_suggest_constraints" -> (Suite.dqSuggestConstraints _),
+    "graph_kcore" -> (Suite.graphKcore _),
     "rel_triples" -> (Suite.relTriples _),
     "mix_dedup_weight" -> (Suite.mixDedupWeight _),
     "evt_rolling_distinct_hll" -> (Suite.evtRollingDistinctHll _),
@@ -2657,6 +2660,53 @@ object SparkEntry {
         |  (edge_us - last_us) // 3600000000 AS staleness_hours,
         |  edge_us - last_us <= 24 * 3600000000 AS within_sla
         |FROM p CROSS JOIN e ORDER BY event_type""".stripMargin,
+    // revenue rounds 2dp BEFORE ranking so float-sum ulps can't swap
+    // rank neighbors (brand breaks exact ties)
+    "rel_top_movers" ->
+      """WITH rev AS (SELECT p.p_brand AS brand,
+        |    CASE WHEN year(o.o_orderdate) <= 1997 THEN 'p1' ELSE 'p2' END
+        |      AS period,
+        |    round(sum(l.l_extendedprice), 2) AS rev
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN part p ON p.p_partkey = l.l_partkey GROUP BY 1, 2),
+        |r AS (SELECT brand, period, rev, row_number() OVER (
+        |    PARTITION BY period ORDER BY rev DESC, brand) AS rnk FROM rev),
+        |p1 AS (SELECT brand, rev AS rev_p1, rnk AS rank_p1
+        |  FROM r WHERE period = 'p1'),
+        |p2 AS (SELECT brand, rev AS rev_p2, rnk AS rank_p2
+        |  FROM r WHERE period = 'p2')
+        |SELECT brand, rev_p1, rev_p2, CAST(rank_p1 AS BIGINT) AS rank_p1,
+        |  CAST(rank_p2 AS BIGINT) AS rank_p2,
+        |  CAST(rank_p1 - rank_p2 AS BIGINT) AS rank_gain
+        |FROM p1 JOIN p2 USING (brand) ORDER BY brand""".stripMargin,
+    // rule parameters ride as TYPED columns (never engine-formatted
+    // float strings); quantile_cont ≡ percentile (q13 precedent)
+    "dq_suggest_constraints" ->
+      """WITH s AS (SELECT count(*) AS n,
+        |    sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_v,
+        |    sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS null_t,
+        |    round(quantile_cont(value, 0.01), 2) AS p1,
+        |    round(quantile_cont(value, 0.99), 2) AS p99 FROM events),
+        |m AS (SELECT string_agg(DISTINCT event_type, ','
+        |      ORDER BY event_type) AS set_csv,
+        |    count(DISTINCT event_type) AS ndv FROM events),
+        |sup AS (SELECT sum(CASE WHEN e.value >= s.p1 AND e.value <= s.p99
+        |    THEN 1 ELSE 0 END) AS n_in_range FROM events e CROSS JOIN s),
+        |u AS (
+        |  SELECT 'value' AS "column", 'not_null' AS rule,
+        |    CAST(NULL AS DOUBLE) AS lo, CAST(NULL AS DOUBLE) AS hi,
+        |    CAST(NULL AS VARCHAR) AS members,
+        |    CAST(floor(CAST(n - null_v AS DOUBLE) / n * 10000.0 + 0.5)
+        |      AS DOUBLE) / 10000.0 AS support FROM s
+        |  UNION ALL SELECT 'value', 'range_p1_p99', p1, p99, NULL,
+        |    CAST(floor(CAST(n_in_range AS DOUBLE) / n * 10000.0 + 0.5)
+        |      AS DOUBLE) / 10000.0 FROM s CROSS JOIN sup
+        |  UNION ALL SELECT 'event_type', 'not_null', NULL, NULL, NULL,
+        |    CAST(floor(CAST(n - null_t AS DOUBLE) / n * 10000.0 + 0.5)
+        |      AS DOUBLE) / 10000.0 FROM s
+        |  UNION ALL SELECT 'event_type', 'in_set', NULL,
+        |    CAST(ndv AS DOUBLE), set_csv, 1e0 FROM m)
+        |SELECT * FROM u ORDER BY "column", rule""".stripMargin,
     "evt_survival_km" ->
       """WITH u AS (SELECT user_id,
         |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS f,

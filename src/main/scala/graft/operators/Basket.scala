@@ -387,6 +387,45 @@ object Basket {
     * curriculum shape — never an ntile global sort); the
     * transition matrix is a customer-dimension full-outer self-pair
     * + a ≤25-cell aggregate. */
+  /** Period-over-period top movers: each brand's revenue RANK in two
+    * periods and the rank delta — the "what changed?" readout behind
+    * every BI period comparison (absolute revenue moves with volume;
+    * rank moves only when brands trade places).
+    *
+    * Scale shape: one fact-table fold to (brand × period) revenue
+    * (the date rides in via one orders join, brand via a broadcast
+    * part join); ranking windows run over the brand-domain table;
+    * revenue rounds 2dp before ranking so float-sum ulps cannot swap
+    * neighbors (brand breaks exact ties). */
+  def topMovers(lineitem: DataFrame, orders: DataFrame, part: DataFrame,
+      splitYear: Int = 1997): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = lineitem
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"),
+        when(year(col("o_orderdate")) <= splitYear, "p1").otherwise("p2")
+          .as("period"),
+        col("l_extendedprice"))
+      .groupBy("brand", "period")
+      .agg(round(sum("l_extendedprice"), 2).as("rev"))
+    val w = Window.partitionBy("period")
+      .orderBy(col("rev").desc, col("brand"))
+    val ranked = rev.withColumn("rank", row_number().over(w))
+    val p1 = ranked.filter(col("period") === "p1")
+      .select(col("brand"), col("rev").as("rev_p1"), col("rank").as("rank_p1"))
+    val p2 = ranked.filter(col("period") === "p2")
+      .select(col("brand"), col("rev").as("rev_p2"), col("rank").as("rank_p2"))
+    p1.join(p2, "brand")
+      .select(col("brand"), col("rev_p1"), col("rev_p2"),
+        col("rank_p1").cast("long").as("rank_p1"),
+        col("rank_p2").cast("long").as("rank_p2"),
+        (col("rank_p1") - col("rank_p2")).cast("long").as("rank_gain"))
+      .orderBy("brand")
+  }
+
   def segmentMigration(orders: DataFrame, splitYear: Int = 1997): DataFrame = {
     val spend = orders.select(col("o_custkey"),
         when(year(col("o_orderdate")) <= splitYear, "p1").otherwise("p2")

@@ -436,6 +436,59 @@ object DataQuality {
     *
     * Scale shape: one grouped max/count fold; the frontier is a 1-row
     * broadcast. */
+  /** Constraint suggestion: close the profiling→enforcement loop by
+    * deriving candidate CHECK rules FROM the data — the rules
+    * [[graft.sources.Snapshots.appendChecked]] then enforces on future
+    * batches. Numeric columns get a p1..p99 range (observed support
+    * reported — the tails the rule would have rejected); low-cardinality
+    * string columns get an IN-set; every audited column gets a NOT NULL
+    * rule with its observed non-null share. Rule parameters ride as
+    * TYPED columns (lo/hi doubles, members csv) — never engine-formatted
+    * float strings.
+    *
+    * Scale shape: one percentile/null aggregate pass + one support pass
+    * over the corpus (both associative), the IN-set from a
+    * domain-bounded distinct; the readout assembles ≤4 rows from 1-row
+    * broadcasts. */
+  def suggestConstraints(events: DataFrame): DataFrame = {
+    val stats = events.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("value").isNull, 1L).otherwise(0L)).as("null_v"),
+      sum(when(col("event_type").isNull, 1L).otherwise(0L)).as("null_t"),
+      round(expr("percentile(value, 0.01)"), 2).as("p1"),
+      round(expr("percentile(value, 0.99)"), 2).as("p99"))
+    val members = events.agg(
+      array_join(sort_array(collect_set(col("event_type"))), ",").as("set_csv"),
+      countDistinct(col("event_type")).as("ndv"))
+    val support = events.crossJoin(broadcast(stats))
+      .agg(sum(when(col("value") >= col("p1") && col("value") <= col("p99"), 1L)
+        .otherwise(0L)).as("n_in_range"))
+    val nD = col("n").cast("double")
+    support.crossJoin(broadcast(stats)).crossJoin(broadcast(members)) // 1-row each
+      .select(explode(array(
+        struct(lit("value").as("column"), lit("not_null").as("rule"),
+          lit(null).cast("double").as("lo"), lit(null).cast("double").as("hi"),
+          lit(null).cast("string").as("members"),
+          Num.pround((col("n") - col("null_v")).cast("double") / nD, 4)
+            .as("support")),
+        struct(lit("value").as("column"), lit("range_p1_p99").as("rule"),
+          col("p1").as("lo"), col("p99").as("hi"),
+          lit(null).cast("string").as("members"),
+          Num.pround(col("n_in_range").cast("double") / nD, 4).as("support")),
+        struct(lit("event_type").as("column"), lit("not_null").as("rule"),
+          lit(null).cast("double").as("lo"), lit(null).cast("double").as("hi"),
+          lit(null).cast("string").as("members"),
+          Num.pround((col("n") - col("null_t")).cast("double") / nD, 4)
+            .as("support")),
+        struct(lit("event_type").as("column"), lit("in_set").as("rule"),
+          lit(null).cast("double").as("lo"), col("ndv").cast("double").as("hi"),
+          col("set_csv").as("members"), lit(1.0).as("support")))).as("r"))
+      .select(col("r.column").as("column"), col("r.rule").as("rule"),
+        col("r.lo").as("lo"), col("r.hi").as("hi"),
+        col("r.members").as("members"), col("r.support").as("support"))
+      .orderBy("column", "rule")
+  }
+
   def freshness(events: DataFrame, slaHours: Int = 24): DataFrame = {
     val perType = events.groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),

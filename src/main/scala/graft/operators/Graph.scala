@@ -243,6 +243,46 @@ object Graph {
       .limit(topK)
   }
 
+  /** k-core decomposition (the k=3 core by default): iteratively peel
+    * nodes of degree < k until the subgraph stabilizes — the dense
+    * backbone that survives when pendant/chain structure is stripped
+    * (community detection and influence analysis run on the core, not
+    * the fringe). Degeneracy peeling is inherently iterative; the loop
+    * materializes eagerly per round (the dedup_clusters rule), each
+    * round ONE degree fold + two semi-joins — no all-pairs anywhere,
+    * O(diameter-ish) rounds, and the edge set only shrinks.
+    *
+    * Iterative fixpoint → registered rows-only; the spec peels a
+    * planted clique-plus-tail by hand. */
+  def kCore(edgesUV: DataFrame, k: Int = 3, maxIters: Int = 30): DataFrame = {
+    var edges = edgesUV
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var n = edges.count()
+    var rounds = 0
+    var stable = false
+    while (!stable && rounds < maxIters) {
+      val deg = edges.select(col("u").as("x")).union(edges.select(col("v").as("x")))
+        .groupBy("x").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select("x")
+      val next = edges
+        .join(keep.select(col("x").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("x").as("v")), Seq("v"), "left_semi")
+        .select("u", "v")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val m = next.count()
+      edges.unpersist()
+      edges = next
+      stable = m == n
+      n = m
+      rounds += 1
+    }
+    edges.select(col("u").as("x")).union(edges.select(col("v").as("x")))
+      .groupBy(col("x").as("node")).agg(count(lit(1)).as("core_degree"))
+      .orderBy("node")
+  }
+
   /** One-row graph summary: size, degree moments, and the degree
     * assortativity coefficient — Pearson correlation of endpoint
     * degrees over the directed edge list (Newman's r: positive =

@@ -1744,4 +1744,18 @@ object Suite {
   /** Per-source freshness vs the table's own event-time frontier. */
   def dqFreshness(s: SparkSession, dir: String): DataFrame =
     DataQuality.freshness(t(s, dir, "events"))
+
+  /** Brand revenue rank movement across the 1997 boundary. */
+  def relTopMovers(s: SparkSession, dir: String): DataFrame =
+    Basket.topMovers(t(s, dir, "lineitem"), t(s, dir, "orders"),
+      t(s, dir, "part"))
+
+  /** Data-derived CHECK-constraint candidates over the events table. */
+  def dqSuggestConstraints(s: SparkSession, dir: String): DataFrame =
+    DataQuality.suggestConstraints(t(s, dir, "events"))
+
+  /** 3-core of the co-purchase graph (rows-only: iterative fixpoint;
+    * clique-plus-tail peeling spec'd in GraphSpec). */
+  def graphKcore(s: SparkSession, dir: String): DataFrame =
+    Graph.kCore(Graph.coPurchaseEdges(t(s, dir, "lineitem")))
 }

@@ -240,6 +240,19 @@ class FrequentSpec extends SparkTestBase {
     assert(!out.contains("c>a"), "reverse-order pair is below 0.5 support")
   }
 
+  test("topMovers: brands swapping revenue lead swap ranks symmetrically") {
+    import graft.operators.Basket
+    val li = Seq((1L, 1L, 100.0), (1L, 2L, 50.0), (2L, 1L, 50.0), (2L, 2L, 100.0))
+      .toDF("l_orderkey", "l_partkey", "l_extendedprice")
+    val orders = Seq((1L, java.sql.Timestamp.valueOf("1996-06-01 00:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2000-06-01 00:00:00")))
+      .toDF("o_orderkey", "o_orderdate")
+    val part = Seq((1L, "BrandA"), (2L, "BrandB")).toDF("p_partkey", "p_brand")
+    val out = Basket.topMovers(li, orders, part).collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(("BrandA", 1L, 2L, -1L), ("BrandB", 2L, 1L, 1L)))
+  }
+
   test("segmentMigration: per-period quartiles, acquisition and churn rows") {
     import graft.operators.Basket
     // p1 spends: customers 1..8 spend 100·c (tiers 1,1,2,2,3,3,4,4 by

@@ -117,6 +117,16 @@ class GraphSpec extends SparkTestBase {
     assert(Graph.adamicAdar(edges, maxHubDeg = 2).isEmpty)
   }
 
+  test("kCore peels a pendant tail and keeps the clique") {
+    // 5-clique (deg 4) + tail 5-6-7: node 7 (deg 1) peels first, then
+    // 6 (deg 1 after) — the 3-core is exactly the clique at degree 4
+    val clique = for (a <- 1L to 5L; b <- 1L to 5L if a < b) yield (a, b)
+    val edges = (clique ++ Seq((5L, 6L), (6L, 7L))).toDF("u", "v")
+    val out = Graph.kCore(edges, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == (1L to 5L).map((_, 4L)).toSeq)
+  }
+
   test("degreeStats: the 3-path is perfectly disassortative (r = −1)") {
     // P3: every edge joins a degree-1 leaf to the degree-2 center
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")

@@ -310,6 +310,21 @@ class QualitySpec extends SparkTestBase {
       ("stale", "2024-01-08 11:30:00", 48L, false)))
   }
 
+  test("suggestConstraints: p1..p99 range support and the in-set rule by hand") {
+    // values 1..100: p1 = 1.99, p99 = 99.01 (interpolated), in-range =
+    // {2..99} → support 0.98; one event_type → in_set of 1
+    val ev = (1 to 100).map(i => (i.toLong, "a", i.toDouble))
+      .toDF("event_id", "event_type", "value")
+    val out = DataQuality.suggestConstraints(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((Option(r.get(2)), Option(r.get(3)), Option(r.get(4)), r.getDouble(5))))
+      .toMap
+    assert(out(("value", "range_p1_p99")) ==
+      ((Some(1.99), Some(99.01), None, 0.98)))
+    assert(out(("value", "not_null"))._4 == 1.0)
+    assert(out(("event_type", "in_set")) == ((None, Some(1.0), Some("a"), 1.0)))
+  }
+
   test("splitLeakage finds exactly the planted cross-split clones") {
     // 60 clones of one text across ids 1..60 — md5 scatters them over
     // all three splits — plus unique texts that can never leak.
