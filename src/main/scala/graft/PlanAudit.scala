@@ -208,7 +208,11 @@ object PlanAudit {
     // top movers (fact fold + brand-domain windows), constraint
     // suggestion (two associative passes + 1-row broadcasts);
     // graph_kcore peels eagerly (the dedup_clusters rule)
-    "rel_top_movers", "dq_suggest_constraints")
+    "rel_top_movers", "dq_suggest_constraints",
+    // decompose (one day-grid fold; integer OLS moments + ≤7-row dow
+    // broadcast), compress ratio (pure mapPartitions stage), threshold
+    // sweep (md5-stride sample caps the quadratic; one agg pass)
+    "evt_decompose", "text_compress_ratio", "sim_threshold_sweep")
     // evt_audience_overlap is excluded like dedup_clusters: its
     // domain-sized sketch table collects eagerly at construction, so
     // only the trivial driver-built result frame would be explained

@@ -183,6 +183,9 @@ object SparkEntry {
     "rel_top_movers" -> (Suite.relTopMovers _),
     "dq_suggest_constraints" -> (Suite.dqSuggestConstraints _),
     "graph_kcore" -> (Suite.graphKcore _),
+    "evt_decompose" -> (Suite.evtDecompose _),
+    "text_compress_ratio" -> (Suite.textCompressRatio _),
+    "sim_threshold_sweep" -> (Suite.simThresholdSweep _),
     "rel_triples" -> (Suite.relTriples _),
     "mix_dedup_weight" -> (Suite.mixDedupWeight _),
     "evt_rolling_distinct_hll" -> (Suite.evtRollingDistinctHll _),
@@ -2707,6 +2710,62 @@ object SparkEntry {
         |  UNION ALL SELECT 'event_type', 'in_set', NULL,
         |    CAST(ndv AS DOUBLE), set_csv, 1e0 FROM m)
         |SELECT * FROM u ORDER BY "column", rule""".stripMargin,
+    // OLS moments kept entirely in BIGINT (day index × counts) — floats
+    // only after the 1-row division; DuckDB dayofweek ≡ Spark −1
+    "evt_decompose" ->
+      """WITH d0 AS (SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |    CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS BIGINT) AS dow
+        |  FROM events),
+        |d AS (SELECT day, dow, count(*) AS n_events FROM d0 GROUP BY 1, 2),
+        |ix AS (SELECT day, dow, n_events,
+        |    row_number() OVER (ORDER BY day) AS i FROM d),
+        |m AS (SELECT count(*) AS n, sum(i) AS sx, sum(n_events) AS sy,
+        |    sum(i * n_events) AS sxy, sum(i * i) AS sxx FROM ix),
+        |co AS (SELECT
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+        |    n, sx, sy FROM m),
+        |co2 AS (SELECT slope,
+        |    (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+        |      / CAST(n AS DOUBLE) AS icept FROM co),
+        |t2 AS (SELECT day, dow, n_events, i,
+        |    icept + slope * i AS trend,
+        |    CAST(n_events AS DOUBLE) - (icept + slope * i) AS detrended
+        |  FROM ix CROSS JOIN co2),
+        |dw AS (SELECT dow, avg(detrended) AS dow_effect FROM t2 GROUP BY 1)
+        |SELECT day, t2.dow, n_events, round(trend, 4) AS trend,
+        |  round(dow_effect, 4) AS dow_effect,
+        |  round(detrended - dow_effect, 4) AS residual
+        |FROM t2 JOIN dw ON dw.dow = t2.dow ORDER BY day""".stripMargin,
+    // md5-stride sample caps the quadratic; thresholds compare the
+    // unrounded cosine (list_inner_product ≡ DotProduct, topk precedent)
+    "sim_threshold_sweep" ->
+      """WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |    sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+        |      CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings
+        |  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+        |    % 5 = 0),
+        |p AS (SELECT list_inner_product(a.e, b.e) / (a.nrm * b.nrm) AS sim
+        |  FROM s a JOIN s b ON a.vec_id < b.vec_id),
+        |g AS (SELECT count(*) AS n_candidates,
+        |    sum(CASE WHEN sim >= 0.20e0 THEN 1 ELSE 0 END) AS g0,
+        |    sum(CASE WHEN sim >= 0.25e0 THEN 1 ELSE 0 END) AS g1,
+        |    sum(CASE WHEN sim >= 0.30e0 THEN 1 ELSE 0 END) AS g2,
+        |    sum(CASE WHEN sim >= 0.35e0 THEN 1 ELSE 0 END) AS g3,
+        |    sum(CASE WHEN sim >= 0.40e0 THEN 1 ELSE 0 END) AS g4 FROM p),
+        |u AS (
+        |  SELECT 0.20e0 AS threshold, n_candidates, g0 AS np FROM g
+        |  UNION ALL SELECT 0.25e0, n_candidates, g1 FROM g
+        |  UNION ALL SELECT 0.30e0, n_candidates, g2 FROM g
+        |  UNION ALL SELECT 0.35e0, n_candidates, g3 FROM g
+        |  UNION ALL SELECT 0.40e0, n_candidates, g4 FROM g)
+        |SELECT threshold, n_candidates, CAST(np AS BIGINT) AS n_pairs,
+        |  CAST(floor(CAST(np AS DOUBLE) / n_candidates * 10000.0 + 0.5)
+        |    AS DOUBLE) / 10000.0 AS share
+        |FROM u ORDER BY threshold""".stripMargin,
     "evt_survival_km" ->
       """WITH u AS (SELECT user_id,
         |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS f,

@@ -960,6 +960,48 @@ object Events {
       .orderBy("day")
   }
 
+  /** Additive time-series decomposition of the daily event volume:
+    * observed = TREND (OLS line over the day index) + DOW effect
+    * (mean residual-from-trend per day-of-week) + RESIDUAL — the
+    * classic STL-lite that turns "volume moved" into "trend moved /
+    * it's just Tuesday / genuinely anomalous". Complements
+    * [[burstDays]] (which flags level spikes but can't tell a ramp
+    * from a weekly rhythm).
+    *
+    * Scale shape: one corpus fold to the day grid; the OLS slope comes
+    * from calendar-domain moment sums kept ENTIRELY IN LONGS (day
+    * index × counts — exact on both engines; floats appear only after
+    * the 1-row division), the DOW means from a ≤7-row aggregate, both
+    * broadcast back; components round 4dp (aggregate convention). */
+  def decomposeDaily(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        (dayofweek(col("ts")) - 1).cast("long").as("dow"))
+      .groupBy("day", "dow").agg(count(lit(1)).as("n_events"))
+      .withColumn("i", row_number().over(Window.orderBy("day")).cast("long"))
+      .persist() // moments + dow means + the final projection
+    val m = daily.agg(count(lit(1)).as("n"), sum("i").as("sx"),
+      sum("n_events").as("sy"), sum(col("i") * col("n_events")).as("sxy"),
+      sum(col("i") * col("i")).as("sxx"))
+    val nD = col("n").cast("double")
+    val slope = (nD * col("sxy").cast("double")
+        - col("sx").cast("double") * col("sy").cast("double")) /
+      (nD * col("sxx").cast("double")
+        - col("sx").cast("double") * col("sx").cast("double"))
+    val icept = (col("sy").cast("double") - slope * col("sx").cast("double")) / nD
+    val withTrend = daily.crossJoin(broadcast(m)) // bounded: 1 row
+      .withColumn("trend", icept + slope * col("i"))
+      .withColumn("detrended", col("n_events").cast("double") - col("trend"))
+    val dowFx = withTrend.groupBy("dow").agg(avg("detrended").as("dow_effect"))
+    withTrend.join(broadcast(dowFx), "dow") // bounded: ≤7 rows
+      .select(col("day"), col("dow"), col("n_events"),
+        round(col("trend"), 4).as("trend"),
+        round(col("dow_effect"), 4).as("dow_effect"),
+        round(col("detrended") - col("dow_effect"), 4).as("residual"))
+      .orderBy("day")
+  }
+
   /** Burst detection: days where a type's volume exceeds `factor`× its
     * trailing average — the traffic-spike readout ([[valueAnomalies]]
     * flags odd VALUES; this flags odd VOLUME, against a moving local

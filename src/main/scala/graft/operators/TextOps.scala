@@ -499,6 +499,40 @@ object TextOps {
       .limit(topK)
   }
 
+  /** Deflate compression ratio per document — the model-free quality
+    * signal the big corpus pipelines compute (boilerplate, repeated
+    * spans and templated spam compress far better than natural prose;
+    * a near-1.0 ratio with short length flags binary/garbled text).
+    * Complements [[repetitionRatio]]: n-gram novelty sees exact
+    * repeats, Deflate's LZ77 window also prices near-repeats and
+    * skewed symbol distributions.
+    *
+    * Scale shape: pure map stage via mapPartitions (the multimodal
+    * decode shape) — one Deflater per row over O(doc) bytes, no
+    * shuffle. JVM-only codec → registered rows-only; the spec pins
+    * repetitive ≪ prose ≪ random orderings. */
+  def compressionRatio(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val bytes = Option(text).getOrElse("").getBytes("UTF-8")
+        val d = new java.util.zip.Deflater(
+          java.util.zip.Deflater.DEFAULT_COMPRESSION)
+        d.setInput(bytes)
+        d.finish()
+        val buf = new Array[Byte](8192)
+        var total = 0L
+        while (!d.finished()) total += d.deflate(buf)
+        d.end()
+        val ratio = if (bytes.isEmpty) 0.0
+          else math.floor(total.toDouble / bytes.length * 10000.0 + 0.5) / 10000.0
+        (id, bytes.length.toLong, total, ratio)
+      })
+      .toDF("doc_id", "n_bytes", "n_compressed", "ratio")
+      .orderBy("doc_id")
+  }
+
   /** Quality-filter funnel with first-failing-rule attribution: every
     * corpus filter pipeline needs to know not just HOW MANY documents
     * died but WHICH rule killed each one (a rule that kills 40% is

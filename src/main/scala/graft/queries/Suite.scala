@@ -1758,4 +1758,17 @@ object Suite {
     * clique-plus-tail peeling spec'd in GraphSpec). */
   def graphKcore(s: SparkSession, dir: String): DataFrame =
     Graph.kCore(Graph.coPurchaseEdges(t(s, dir, "lineitem")))
+
+  /** Trend + day-of-week + residual decomposition of daily volume. */
+  def evtDecompose(s: SparkSession, dir: String): DataFrame =
+    Events.decomposeDaily(t(s, dir, "events"))
+
+  /** Deflate compression ratio per document (rows-only: JVM codec;
+    * orderings pinned in TextOpsSpec). */
+  def textCompressRatio(s: SparkSession, dir: String): DataFrame =
+    TextOps.compressionRatio(t(s, dir, "documents"))
+
+  /** Near-dup threshold calibration curve over the md5-stride sample. */
+  def simThresholdSweep(s: SparkSession, dir: String): DataFrame =
+    Similarity.thresholdSweep(t(s, dir, "embeddings"))
 }

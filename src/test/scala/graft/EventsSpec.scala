@@ -712,6 +712,25 @@ class EventsSpec extends SparkTestBase {
       ("view>signup", 1L), ("view>view>view>view>view", 1L)))
   }
 
+  test("decomposeDaily: a flat series decomposes to itself; a spike lands in residual") {
+    def mk(dayN: Seq[(Int, Int)]) = dayN.flatMap { case (d, n) =>
+      (1 to n).map(i => (d * 1000L + i, 1L,
+        Timestamp.valueOf(f"2024-06-$d%02d 10:00:${i % 60}%02d"), "click"))
+    }.toDF("event_id", "user_id", "ts", "event_type")
+    // constant 10/day: integer moments give slope EXACTLY 0 →
+    // trend = 10, dow_effect = 0, residual = 0 on every day
+    val flat = Events.decomposeDaily(mk((1 to 14).map((_, 10))))
+      .collect().map(r => (r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(flat.forall(_ == ((10.0, 0.0, 0.0))), s"flat: ${flat.toSeq}")
+    // one 24-event day over THREE weeks (3 samples per weekday, so the
+    // spike can't hide as its weekday's effect): the largest |residual|
+    // must sit on the spike day
+    val spiked = Events.decomposeDaily(
+      mk((1 to 21).map(d => (d, if (d == 9) 24 else 10))))
+      .collect().map(r => (r.getString(0), math.abs(r.getDouble(5))))
+    assert(spiked.maxBy(_._2)._1 == "2024-06-09", s"spike: ${spiked.toSeq}")
+  }
+
   test("burstDays: a 3× day bursts only after enough history exists") {
     // days 1..8: 10 events; day 9: 30. Days 1-3 lack history (prev_n<3
     // → NULL avg, no burst); day 9: 30·8 > 2·80 → burst

@@ -267,6 +267,18 @@ class SimilaritySpec extends SparkTestBase {
     assert(sizes.forall(_._2 % 25 == 0), s"planted clusters split: ${sizes.toSeq}")
   }
 
+  test("thresholdSweep: one identical pair among three vectors at every threshold") {
+    // pairs: (1,2) sim 1.0; (1,3) and (2,3) sim 0 → every threshold in
+    // the ladder keeps exactly the identical pair, share 1/3
+    val e = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.thresholdSweep(e, sampleMod = 1).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length == 5)
+    assert(out.forall { case (_, nc, np, sh) =>
+      nc == 3L && np == 1L && sh == 0.3333 }, s"sweep: ${out.toSeq}")
+  }
+
   test("normalize yields unit vectors") {
     val df = Seq(Array(3.0f, 4.0f)).toDF("embedding")
     val v = df.select(Similarity.normalize(col("embedding"))).head().getSeq[Double](0)

@@ -536,6 +536,22 @@ class TextOpsSpec extends SparkTestBase {
     assert(out.toSeq == Seq(("alpha beta", 5L, 6L, 5L, 1.3863)))
   }
 
+  test("compressionRatio orders repetitive < prose < hash noise; empty is 0") {
+    val noise = (1 to 40).map(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"n$i".getBytes).map("%02x".format(_)).mkString).mkString(" ")
+    val docs = Seq(
+      (1L, "ab" * 500),
+      (2L, "The quick brown fox jumps over the lazy dog and keeps going. " * 10),
+      (3L, noise), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = TextOps.compressionRatio(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) < out(2L) && out(2L) < out(3L), s"ordering: $out")
+    assert(out(4L) == 0.0)
+    assert(out(1L) < 0.05 && out(3L) > 0.5, s"extremes: $out")
+  }
+
   test("filterFunnel charges each doc to its FIRST failing rule") {
     val pass = (1 to 30).map(i => s"word$i").mkString(" ")
     val docs = Seq(
