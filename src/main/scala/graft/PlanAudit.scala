@@ -212,7 +212,11 @@ object PlanAudit {
     // decompose (one day-grid fold; integer OLS moments + ≤7-row dow
     // broadcast), compress ratio (pure mapPartitions stage), threshold
     // sweep (md5-stride sample caps the quadratic; one agg pass)
-    "evt_decompose", "text_compress_ratio", "sim_threshold_sweep")
+    "evt_decompose", "text_compress_ratio", "sim_threshold_sweep",
+    // delete vector (MoR scan = manifest files + ONE broadcast
+    // anti-join), filtered topk (predicate semi-join BEFORE scoring),
+    // srm (one conditional-count agg)
+    "maint_delete_vector", "sim_filtered_topk", "evt_srm")
     // evt_audience_overlap is excluded like dedup_clusters: its
     // domain-sized sketch table collects eagerly at construction, so
     // only the trivial driver-built result frame would be explained

@@ -186,6 +186,9 @@ object SparkEntry {
     "evt_decompose" -> (Suite.evtDecompose _),
     "text_compress_ratio" -> (Suite.textCompressRatio _),
     "sim_threshold_sweep" -> (Suite.simThresholdSweep _),
+    "maint_delete_vector" -> (Suite.maintDeleteVector _),
+    "sim_filtered_topk" -> (Suite.simFilteredTopk _),
+    "evt_srm" -> (Suite.evtSrm _),
     "rel_triples" -> (Suite.relTriples _),
     "mix_dedup_weight" -> (Suite.mixDedupWeight _),
     "evt_rolling_distinct_hll" -> (Suite.evtRollingDistinctHll _),
@@ -2766,6 +2769,43 @@ object SparkEntry {
         |  CAST(floor(CAST(np AS DOUBLE) / n_candidates * 10000.0 + 0.5)
         |    AS DOUBLE) / 10000.0 AS share
         |FROM u ORDER BY threshold""".stripMargin,
+    // the merge-on-read scan must equal the plain filtered table
+    "maint_delete_vector" ->
+      """SELECT count(*) AS n_rows, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin,
+    // pre-filtered hybrid search: the predicate applies BEFORE scoring
+    "sim_filtered_topk" ->
+      """WITH en AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings WHERE vec_id IN (SELECT doc_id FROM en)),
+        |q AS (SELECT vec_id, e FROM c WHERE vec_id < 50),
+        |s AS (SELECT q.vec_id AS vec_id, c.vec_id AS neighbor_id,
+        |    list_inner_product(q.e, c.e)
+        |      / (sqrt(list_inner_product(q.e, q.e))
+        |        * sqrt(list_inner_product(c.e, c.e))) AS sim
+        |  FROM q JOIN c ON q.vec_id <> c.vec_id)
+        |SELECT vec_id, neighbor_id,
+        |  CAST(floor(sim * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS sim,
+        |  CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT vec_id, neighbor_id, sim, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM s)
+        |WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin,
+    // χ² from exact integer counts; flag compares the unrounded value
+    "evt_srm" ->
+      """WITH a AS (SELECT event_type,
+        |    sum(CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |      THEN 1 ELSE 0 END) AS n_a,
+        |    sum(CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |      THEN 0 ELSE 1 END) AS n_b
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, CAST(n_a AS BIGINT) AS n_a,
+        |  CAST(n_b AS BIGINT) AS n_b,
+        |  round(CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+        |    / CAST(n_a + n_b AS DOUBLE), 4) AS chi2,
+        |  CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+        |    / CAST(n_a + n_b AS DOUBLE) > 3.841e0 AS srm
+        |FROM a ORDER BY event_type""".stripMargin,
     "evt_survival_km" ->
       """WITH u AS (SELECT user_id,
         |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS f,

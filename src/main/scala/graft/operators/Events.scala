@@ -389,6 +389,31 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Sample-ratio mismatch (SRM) check — the guardrail run BEFORE
+    * trusting any A/B readout ([[abTest]]): if the md5 assignment that
+    * should split 50/50 didn't, every downstream metric is suspect
+    * (broken logging, bot filtering applied to one arm, redirect
+    * loss). χ² = (n_A − n_B)²/n against the 1-dof 5% critical value.
+    *
+    * Scale shape: one conditional-count aggregate per metric group;
+    * the χ² derives from exact integer counts (the difference casts to
+    * double BEFORE squaring, so nothing overflows at any corpus size)
+    * and the flag compares that deterministic value unrounded. */
+  def srmCheck(events: DataFrame, crit: Double = 3.841): DataFrame = {
+    val variant = when(
+      substring(md5(col("user_id").cast("string")), 1, 1) < "8", "A")
+      .otherwise("B")
+    val aggd = events.select(col("event_type"), variant.as("v"))
+      .groupBy("event_type")
+      .agg(sum(when(col("v") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("v") === "B", 1L).otherwise(0L)).as("n_b"))
+    val d = (col("n_a") - col("n_b")).cast("double")
+    val chi2 = d * d / (col("n_a") + col("n_b")).cast("double")
+    aggd.select(col("event_type"), col("n_a"), col("n_b"),
+        round(chi2, 4).as("chi2"), (chi2 > crit).as("srm"))
+      .orderBy("event_type")
+  }
+
   /** Conversion funnel: users reaching each stage of
     * signup → click → purchase in STRICT temporal order (each stage's
     * event must follow the user's earliest previous-stage event).

@@ -1771,4 +1771,39 @@ object Suite {
   /** Near-dup threshold calibration curve over the md5-stride sample. */
   def simThresholdSweep(s: SparkSession, dir: String): DataFrame =
     Similarity.thresholdSweep(t(s, dir, "embeddings"))
+
+  /** Equality-delete vector (merge-on-read): delete every 7th order
+    * WITHOUT rewriting a single data file — the registered query
+    * require()s the data file list is byte-identical across the delete
+    * commit, then aggregates through the merge-on-read scan; the
+    * oracle reads the plain filtered table. */
+  def maintDeleteVector(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{Export, Snapshots}
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val root = Export.tempDir("dv_").toString + "/t"
+    val v1 = Snapshots.append(o, root)
+    val keys = o.filter(col("o_orderkey") % 7 === 0).select("o_orderkey")
+    val v2 = Snapshots.deleteWhere(keys, root, "o_orderkey")
+    require(Snapshots.files(root, v2) == Snapshots.files(root, v1),
+      "equality delete must not touch data files")
+    Snapshots.readMergeOnRead(s, root, v2, "o_orderkey")
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum("o_totalprice"), 2).as("sum_price"))
+  }
+
+  /** Metadata-filtered (hybrid) vector search: top-k among ENGLISH
+    * documents only — the filter applies BEFORE scoring (pre-filtering:
+    * the corpus scan shrinks to the predicate's selectivity; nothing
+    * is scored then discarded). */
+  def simFilteredTopk(s: SparkSession, dir: String): DataFrame = {
+    val en = t(s, dir, "documents").filter(col("lang") === "en")
+      .select(col("doc_id").as("vec_id"))
+    val corpus = t(s, dir, "embeddings").join(en, Seq("vec_id"), "left_semi")
+    Similarity.topKExact(corpus, corpus.filter(col("vec_id") < 50), 5)
+  }
+
+  /** Sample-ratio mismatch guardrail over the md5 A/B assignment. */
+  def evtSrm(s: SparkSession, dir: String): DataFrame =
+    Events.srmCheck(t(s, dir, "events"))
 }

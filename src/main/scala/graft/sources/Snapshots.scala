@@ -85,13 +85,77 @@ object Snapshots {
   def append(df: DataFrame, root: String): Int =
     commitBatch(df, root, carryPrev = true)
 
+  /** Root-relative EQUALITY-DELETE files visible at `version`
+    * (`#delete:`-marked manifest lines — see [[deleteWhere]]). */
+  def deleteFiles(root: String, version: Int): Seq[String] = {
+    val p = manifestPath(root, version)
+    require(Files.exists(p), s"no snapshot v$version under $root")
+    Files.readAllLines(p).asScala.toSeq
+      .filter(_.startsWith("#delete:")).map(_.stripPrefix("#delete:"))
+  }
+
+  /** Iceberg-style EQUALITY-DELETE commit (merge-on-read): record the
+    * keys to delete as their own parquet file and commit a version
+    * whose manifest carries every prior data file UNCHANGED plus a
+    * `#delete:` marker — a delete that rewrites NOTHING, the only
+    * delete shape that stays O(deleted keys) on a 100 TB table
+    * (contrast [[graft.operators.Maintenance]]'s surgical-erase
+    * rewrite, which is O(affected files)). Readers apply deletes at
+    * scan time via [[readMergeOnRead]]; a later compaction can fold
+    * them in and drop the markers. `keys` must hold exactly one
+    * column named `keyCol`. */
+  def deleteWhere(keys: DataFrame, root: String, keyCol: String): Int = {
+    require(keys.columns.toSeq == Seq(keyCol),
+      s"keys must be a single '$keyCol' column, got ${keys.columns.toSeq}")
+    val prev = versions(root)
+    require(prev.nonEmpty, s"no snapshots under $root")
+    val v = prev.last + 1
+    val delRel = f"data/d$v%05d"
+    keys.write.mode("errorifexists").parquet(s"$root/$delRel")
+    val s = Files.list(Paths.get(root, "data", f"d$v%05d"))
+    val fresh =
+      try s.iterator.asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toSeq.sorted
+        .map(n => s"#delete:$delRel/$n")
+      finally s.close()
+    val carriedDeletes = deleteFiles(root, prev.last).map(r => s"#delete:$r")
+    Files.createDirectories(manifestDir(root))
+    val tmp = Files.createTempFile(manifestDir(root), s"v$v-", ".tmp")
+    Files.writeString(tmp, (carriedDeletes ++ fresh ++ files(root, prev.last))
+      .mkString("", "\n", "\n"))
+    Files.move(tmp, manifestPath(root, v), StandardCopyOption.ATOMIC_MOVE)
+    v
+  }
+
+  /** Merge-on-read scan: the version's data files minus every key in
+    * its equality-delete files — ONE anti-join against the (small)
+    * union of delete keys; data files are never touched. */
+  def readMergeOnRead(spark: SparkSession, root: String, version: Int,
+      keyCol: String): DataFrame = {
+    val dels = deleteFiles(root, version)
+    val data = spark.read.option("mergeSchema", "true")
+      .parquet(files(root, version).map(rel => s"$root/$rel"): _*)
+    if (dels.isEmpty) data
+    else {
+      val keys = spark.read.parquet(dels.map(rel => s"$root/$rel"): _*)
+        .select(keyCol).distinct()
+      data.join(org.apache.spark.sql.functions.broadcast(keys),
+        Seq(keyCol), "left_anti")
+    }
+  }
+
   /** The table exactly as of `version` — scans only that manifest's
     * files. `mergeSchema` makes appends with ADDED columns read as the
     * union schema (older files yield NULL for the new columns) — schema
-    * evolution without rewriting standing data. */
-  def readAs(spark: SparkSession, root: String, version: Int): DataFrame =
+    * evolution without rewriting standing data. Versions carrying
+    * equality deletes REFUSE this plain scan (it would silently
+    * resurrect deleted rows): use [[readMergeOnRead]]. */
+  def readAs(spark: SparkSession, root: String, version: Int): DataFrame = {
+    require(deleteFiles(root, version).isEmpty,
+      s"v$version carries equality deletes — use readMergeOnRead")
     spark.read.option("mergeSchema", "true")
       .parquet(files(root, version).map(rel => s"$root/$rel"): _*)
+  }
 
   /** Latest committed version. */
   def readLatest(spark: SparkSession, root: String): DataFrame = {
@@ -156,7 +220,8 @@ object Snapshots {
     // keep everything any BRANCH still references too — a branch head
     // may share batches with expired main versions (createBranch is
     // metadata-only), and WAP staging data must survive a main vacuum
-    val referenced = kept.flatMap(files(root, _)).toSet ++ branchReferenced(root)
+    val referenced = kept.flatMap(files(root, _)).toSet ++
+      kept.flatMap(deleteFiles(root, _)).toSet ++ branchReferenced(root)
     val dataDir = Paths.get(root, "data")
     val victims =
       if (!Files.isDirectory(dataDir)) Seq.empty[Path]
@@ -286,6 +351,7 @@ object Snapshots {
     * identically afterwards. */
   def orphanGc(root: String): Seq[String] = {
     val referenced = versions(root).flatMap(files(root, _)).toSet ++
+      versions(root).flatMap(deleteFiles(root, _)).toSet ++
       branchReferenced(root)
     val dataDir = Paths.get(root, "data")
     if (!Files.isDirectory(dataDir)) return Seq.empty

@@ -712,6 +712,27 @@ class EventsSpec extends SparkTestBase {
       ("view>signup", 1L), ("view>view>view>view>view", 1L)))
   }
 
+  test("srmCheck: balanced assignment passes, a one-user pile-up flags") {
+    def variant(u: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8")).take(1).map("%02x".format(_)).mkString
+      if (h(0) < '8') "A" else "B"
+    }
+    // 200 distinct users: md5 splits ≈ 50/50 → no SRM
+    val many = (1L to 200L).map(u => (u, u, Timestamp.valueOf("2024-01-01 10:00:00"), "m"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val ok = Events.srmCheck(many).head()
+    val expA = (1L to 200L).count(variant(_) == "A").toLong
+    assert((ok.getLong(1), ok.getLong(2)) == ((expA, 200L - expA)))
+    assert(!ok.getBoolean(4), s"balanced split must not flag: $ok")
+    // every event from ONE user: one arm holds all 100 → χ² = 100
+    val one = (1 to 100).map(i => (i.toLong, 42L,
+        Timestamp.valueOf("2024-01-01 10:00:00"), "m"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val bad = Events.srmCheck(one).head()
+    assert(bad.getDouble(3) == 100.0 && bad.getBoolean(4), s"pile-up must flag: $bad")
+  }
+
   test("decomposeDaily: a flat series decomposes to itself; a spike lands in residual") {
     def mk(dayN: Seq[(Int, Int)]) = dayN.flatMap { case (d, n) =>
       (1 to n).map(i => (d * 1000L + i, 1L,

@@ -235,4 +235,28 @@ class SourcesSpec extends SparkTestBase {
     assert(back.exceptAll(src).count() == 0 && src.exceptAll(back).count() == 0)
     assert(Convert.available.contains(("orc", "table")))
   }
+
+  test("equality deletes: merge-on-read filters, data files untouched, chains carry") {
+    import graft.sources.Snapshots
+    val root = Export.tempDir("dvspec_").toString + "/t"
+    val rows = (1L to 20L).map(i => (i, i * 10.0)).toDF("k", "v")
+    val v1 = Snapshots.append(rows, root)
+    val v2 = Snapshots.deleteWhere(Seq(3L, 7L).toDF("k"), root, "k")
+    // no data rewrite, and the plain reader refuses the delete version
+    assert(Snapshots.files(root, v2) == Snapshots.files(root, v1))
+    intercept[IllegalArgumentException](Snapshots.readAs(spark, root, v2))
+    val got = Snapshots.readMergeOnRead(spark, root, v2, "k")
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (1L to 20L).filterNot(Set(3L, 7L)))
+    // a second delete CHAINS (carries the first version's keys)
+    val v3 = Snapshots.deleteWhere(Seq(10L).toDF("k"), root, "k")
+    val got3 = Snapshots.readMergeOnRead(spark, root, v3, "k")
+      .collect().map(_.getLong(0)).sorted
+    assert(got3.toSeq == (1L to 20L).filterNot(Set(3L, 7L, 10L)))
+    // vacuum to the head must SPARE delete-vector files
+    Snapshots.vacuum(root, keepLast = 1)
+    val after = Snapshots.readMergeOnRead(spark, root, v3, "k")
+      .collect().map(_.getLong(0)).sorted
+    assert(after.toSeq == got3.toSeq, "vacuum must not reap delete vectors")
+  }
 }
