@@ -216,7 +216,11 @@ object PlanAudit {
     // delete vector (MoR scan = manifest files + ONE broadcast
     // anti-join), filtered topk (predicate semi-join BEFORE scoring),
     // srm (one conditional-count agg)
-    "maint_delete_vector", "sim_filtered_topk", "evt_srm")
+    "maint_delete_vector", "sim_filtered_topk", "evt_srm",
+    // MoR upsert (one write pair + broadcast sequence-bounded
+    // anti-join), key audit (grouped fold + scalar agg ×5), cuped
+    // (user fold → pooled 1-row θ → variant moment agg)
+    "maint_upsert_mor", "dq_key_audit", "evt_cuped")
     // evt_audience_overlap is excluded like dedup_clusters: its
     // domain-sized sketch table collects eagerly at construction, so
     // only the trivial driver-built result frame would be explained

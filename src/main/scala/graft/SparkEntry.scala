@@ -189,6 +189,9 @@ object SparkEntry {
     "maint_delete_vector" -> (Suite.maintDeleteVector _),
     "sim_filtered_topk" -> (Suite.simFilteredTopk _),
     "evt_srm" -> (Suite.evtSrm _),
+    "maint_upsert_mor" -> (Suite.maintUpsertMor _),
+    "dq_key_audit" -> (Suite.dqKeyAudit _),
+    "evt_cuped" -> (Suite.evtCuped _),
     "rel_triples" -> (Suite.relTriples _),
     "mix_dedup_weight" -> (Suite.mixDedupWeight _),
     "evt_rolling_distinct_hll" -> (Suite.evtRollingDistinctHll _),
@@ -2806,6 +2809,78 @@ object SparkEntry {
         |  CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
         |    / CAST(n_a + n_b AS DOUBLE) > 3.841e0 AS srm
         |FROM a ORDER BY event_type""".stripMargin,
+    // MoR upsert: latest values win for the re-landed keys
+    "maint_upsert_mor" ->
+      """SELECT count(*) AS n_rows,
+        |  round(sum(CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000
+        |    ELSE o_totalprice END), 2) AS sum_price,
+        |  CAST(sum(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_updated
+        |FROM orders""".stripMargin,
+    "dq_key_audit" ->
+      """WITH k1 AS (SELECT o_orderkey AS a, CAST(NULL AS BIGINT) AS b
+        |  FROM orders),
+        |g1 AS (SELECT count(*) AS c FROM k1 GROUP BY a),
+        |k2 AS (SELECT count(*) AS c FROM lineitem
+        |  GROUP BY l_orderkey, l_linenumber),
+        |k3 AS (SELECT count(*) AS c FROM events GROUP BY event_id),
+        |k4 AS (SELECT count(*) AS c FROM documents GROUP BY doc_id),
+        |k5 AS (SELECT count(*) AS c FROM orders GROUP BY o_custkey),
+        |u AS (
+        |  SELECT 'orders.o_orderkey' AS candidate, CAST(sum(c) AS BIGINT)
+        |      AS n_rows, count(*) AS n_distinct,
+        |    CAST(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT)
+        |      AS n_dup_rows FROM g1
+        |  UNION ALL SELECT 'lineitem.(l_orderkey,l_linenumber)',
+        |    CAST(sum(c) AS BIGINT), count(*),
+        |    CAST(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT) FROM k2
+        |  UNION ALL SELECT 'events.event_id', CAST(sum(c) AS BIGINT),
+        |    count(*),
+        |    CAST(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT) FROM k3
+        |  UNION ALL SELECT 'documents.doc_id', CAST(sum(c) AS BIGINT),
+        |    count(*),
+        |    CAST(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT) FROM k4
+        |  UNION ALL SELECT 'orders.o_custkey', CAST(sum(c) AS BIGINT),
+        |    count(*),
+        |    CAST(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT) FROM k5)
+        |SELECT candidate, n_rows, n_distinct, n_dup_rows,
+        |  n_dup_rows = 0 AS is_key
+        |FROM u ORDER BY candidate""".stripMargin,
+    // CUPED: identical left-associative moment algebra end to end
+    "evt_cuped" ->
+      """WITH b AS (SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) AS lo,
+        |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS hi FROM events),
+        |pu AS (SELECT user_id,
+        |    sum(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) * 2 >= lo + hi
+        |      THEN 0e0 ELSE value END) AS x,
+        |    sum(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) * 2 >= lo + hi
+        |      THEN value ELSE 0e0 END) AS y
+        |  FROM events CROSS JOIN b GROUP BY 1),
+        |pv AS (SELECT user_id, x, y,
+        |    CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |      THEN 'A' ELSE 'B' END AS v FROM pu),
+        |mo AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * x) AS sxx, sum(x * y) AS sxy FROM pv),
+        |th AS (SELECT n, sx,
+        |    (CAST(n AS DOUBLE) * sxy - sx * sy)
+        |      / (CAST(n AS DOUBLE) * sxx - sx * sx) AS theta FROM mo),
+        |ad AS (SELECT v, y,
+        |    y - theta * (x - sx / CAST(n AS DOUBLE)) AS yadj
+        |  FROM pv CROSS JOIN th),
+        |g AS (SELECT v, count(*) AS nu, sum(y) AS vy, sum(y * y) AS vyy,
+        |    sum(yadj) AS va, sum(yadj * yadj) AS vaa FROM ad GROUP BY 1)
+        |SELECT v AS variant, nu AS n_users,
+        |  round(vy / CAST(nu AS DOUBLE), 4) AS mean_raw,
+        |  round(va / CAST(nu AS DOUBLE), 4) AS mean_cuped,
+        |  round((vyy - vy * vy / CAST(nu AS DOUBLE))
+        |    / (CAST(nu AS DOUBLE) - 1e0), 4) AS var_raw,
+        |  round((vaa - va * va / CAST(nu AS DOUBLE))
+        |    / (CAST(nu AS DOUBLE) - 1e0), 4) AS var_cuped,
+        |  round(1e0 - ((vaa - va * va / CAST(nu AS DOUBLE))
+        |      / (CAST(nu AS DOUBLE) - 1e0))
+        |    / ((vyy - vy * vy / CAST(nu AS DOUBLE))
+        |      / (CAST(nu AS DOUBLE) - 1e0)), 4) AS var_reduction
+        |FROM g ORDER BY variant""".stripMargin,
     "evt_survival_km" ->
       """WITH u AS (SELECT user_id,
         |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS f,

@@ -424,6 +424,21 @@ object DataQuality {
       .orderBy("pair")
   }
 
+  /** Candidate-key audit for one column set: is it unique, and if not
+    * how many surplus rows exist? — the primary-key half of schema
+    * profiling beside [[fdAudit]] (an FD says lhs DETERMINES rhs; a
+    * key says the tuple determines the ROW). n_dup_rows counts the
+    * rows a dedup would drop (Σ max(c−1, 0)).
+    *
+    * Scale shape: one grouped fold on the candidate + a scalar
+    * aggregate — group-domain shuffle only. */
+  def keyAudit(df: DataFrame, tag: String, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("c"))
+      .agg(sum("c").as("n_rows"), count(lit(1)).as("n_distinct"),
+        sum(when(col("c") > 1, col("c") - 1).otherwise(0L)).as("n_dup_rows"))
+      .select(lit(tag).as("candidate"), col("n_rows"), col("n_distinct"),
+        col("n_dup_rows"), (col("n_dup_rows") === 0L).as("is_key"))
+
   /** Freshness audit: per-source staleness against the table's own
     * event-time frontier — the data-quality dimension beside
     * completeness ([[referentialAudit]]), ordering ([[eventOrderAudit]])

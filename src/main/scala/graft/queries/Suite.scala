@@ -1806,4 +1806,41 @@ object Suite {
   /** Sample-ratio mismatch guardrail over the md5 A/B assignment. */
   def evtSrm(s: SparkSession, dir: String): DataFrame =
     Events.srmCheck(t(s, dir, "events"))
+
+  /** Merge-on-read UPSERT: every 5th order re-lands with a bumped
+    * price in ONE atomic commit (delete vector + fresh batch in the
+    * same manifest); sequence semantics keep the upsert from masking
+    * its own insert. */
+  def maintUpsertMor(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{Export, Snapshots}
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val root = Export.tempDir("upsert_").toString + "/t"
+    Snapshots.append(o, root)
+    val delta = o.filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (col("o_totalprice") + 1000).as("o_totalprice"))
+    val v2 = Snapshots.upsert(delta, root, "o_orderkey")
+    Snapshots.readMergeOnRead(s, root, v2, "o_orderkey")
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum("o_totalprice"), 2).as("sum_price"),
+        sum(when(col("o_orderstatus") === "U", 1L).otherwise(0L))
+          .as("n_updated"))
+  }
+
+  /** Candidate-key audit over five column sets spanning four tables. */
+  def dqKeyAudit(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DataQuality.keyAudit
+    keyAudit(t(s, dir, "orders"), "orders.o_orderkey", Seq("o_orderkey"))
+      .unionAll(keyAudit(t(s, dir, "lineitem"),
+        "lineitem.(l_orderkey,l_linenumber)", Seq("l_orderkey", "l_linenumber")))
+      .unionAll(keyAudit(t(s, dir, "events"), "events.event_id", Seq("event_id")))
+      .unionAll(keyAudit(t(s, dir, "documents"), "documents.doc_id", Seq("doc_id")))
+      .unionAll(keyAudit(t(s, dir, "orders"), "orders.o_custkey", Seq("o_custkey")))
+      .orderBy("candidate")
+  }
+
+  /** CUPED-adjusted experiment readout over the md5 A/B split. */
+  def evtCuped(s: SparkSession, dir: String): DataFrame =
+    Events.cuped(t(s, dir, "events"))
 }

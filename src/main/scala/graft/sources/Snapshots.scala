@@ -127,20 +127,70 @@ object Snapshots {
     v
   }
 
-  /** Merge-on-read scan: the version's data files minus every key in
-    * its equality-delete files — ONE anti-join against the (small)
-    * union of delete keys; data files are never touched. */
+  /** Merge-on-read UPSERT: ONE atomic commit whose manifest carries the
+    * prior data files untouched, a `#delete:` vector for the incoming
+    * keys, and the incoming batch as a fresh data file — so
+    * [[readMergeOnRead]] sees old rows masked and new rows present, in
+    * one version (no window where the delete landed but the insert
+    * didn't). The MoR twin of [[graft.operators.Maintenance]]'s
+    * copy-on-write CDC merge: O(batch) always, no standing-data
+    * rewrite, at the price of scan-time anti-joins until a compaction
+    * folds the vectors in. */
+  def upsert(df: DataFrame, root: String, keyCol: String): Int = {
+    val prev = versions(root)
+    require(prev.nonEmpty, s"no snapshots under $root")
+    val v = prev.last + 1
+    val delRel = f"data/d$v%05d"
+    val batchRel = f"data/b$v%05d"
+    df.select(keyCol).distinct().write.mode("errorifexists")
+      .parquet(s"$root/$delRel")
+    df.write.mode("errorifexists").parquet(s"$root/$batchRel")
+    def ls(rel: String, prefix: String): Seq[String] = {
+      val s = Files.list(Paths.get(root, rel))
+      try s.iterator.asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toSeq.sorted.map(n => s"$prefix$rel/$n")
+      finally s.close()
+    }
+    val delLines = ls(delRel, "#delete:")
+    val dataLines = ls(batchRel, "")
+    val carriedDeletes = deleteFiles(root, prev.last).map(r => s"#delete:$r")
+    Files.createDirectories(manifestDir(root))
+    val tmp = Files.createTempFile(manifestDir(root), s"v$v-", ".tmp")
+    Files.writeString(tmp,
+      (carriedDeletes ++ delLines ++ files(root, prev.last) ++ dataLines)
+        .mkString("", "\n", "\n"))
+    Files.move(tmp, manifestPath(root, v), StandardCopyOption.ATOMIC_MOVE)
+    v
+  }
+
+  /** Merge-on-read scan with SEQUENCE semantics (the Iceberg rule): a
+    * delete vector masks only data files committed BEFORE it — which
+    * is exactly what lets [[upsert]] delete-and-reinsert a key in one
+    * version without eating its own insert. Both sides' commit
+    * versions ride in the batch directory names (data/bVVVVV vs
+    * data/dVVVVV), parsed from `input_file_name` — no extra metadata
+    * store; ONE broadcast anti-join (key equality + version bound)
+    * against the small delete-key union; data files never touched. */
   def readMergeOnRead(spark: SparkSession, root: String, version: Int,
       keyCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, input_file_name, regexp_extract}
     val dels = deleteFiles(root, version)
     val data = spark.read.option("mergeSchema", "true")
       .parquet(files(root, version).map(rel => s"$root/$rel"): _*)
     if (dels.isEmpty) data
     else {
-      val keys = spark.read.parquet(dels.map(rel => s"$root/$rel"): _*)
-        .select(keyCol).distinct()
-      data.join(org.apache.spark.sql.functions.broadcast(keys),
-        Seq(keyCol), "left_anti")
+      val withV = data.withColumn("__bv",
+        regexp_extract(input_file_name(), "b(\\d{5})/[^/]*$", 1).cast("int"))
+      val keys = dels.map { rel =>
+        val dv = rel.split("/")(1).stripPrefix("d").toInt
+        spark.read.parquet(s"$root/$rel")
+          .select(col(keyCol).as("__dk"))
+          .withColumn("__dv", org.apache.spark.sql.functions.lit(dv))
+      }.reduce(_ unionAll _).distinct()
+      withV.join(broadcast(keys),
+          withV(keyCol) === keys("__dk") && withV("__bv") < keys("__dv"),
+          "left_anti")
+        .drop("__bv")
     }
   }
 

@@ -712,6 +712,22 @@ class EventsSpec extends SparkTestBase {
       ("view>signup", 1L), ("view>view>view>view>view", 1L)))
   }
 
+  test("cuped: a perfectly predictive baseline removes ALL variance") {
+    // user i: pre value i, post value 2i → θ = 2 exactly, every
+    // adjusted metric collapses to 2·x̄ = 21.0, var_cuped = 0,
+    // reduction = 1 — in both arms
+    val rows = (1L to 20L).flatMap { i =>
+      Seq((i * 2, i, Timestamp.valueOf("2024-01-01 10:00:00"), "m", i.toDouble),
+        (i * 2 + 1, i, Timestamp.valueOf("2024-01-01 12:00:00"), "m", 2.0 * i))
+    }
+    val df = rows.toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = Events.cuped(df).collect()
+      .map(r => (r.getString(0), r.getDouble(3), r.getDouble(5), r.getDouble(6)))
+    assert(out.length == 2)
+    assert(out.forall { case (_, meanC, varC, red) =>
+      meanC == 21.0 && varC == 0.0 && red == 1.0 }, s"cuped: ${out.toSeq}")
+  }
+
   test("srmCheck: balanced assignment passes, a one-user pile-up flags") {
     def variant(u: Long): String = {
       val h = java.security.MessageDigest.getInstance("MD5")

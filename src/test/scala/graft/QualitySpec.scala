@@ -325,6 +325,15 @@ class QualitySpec extends SparkTestBase {
     assert(out(("event_type", "in_set")) == ((None, Some(1.0), Some("a"), 1.0)))
   }
 
+  test("keyAudit: a duplicated candidate reports its surplus rows") {
+    val dup = Seq((1L, "x"), (1L, "y"), (2L, "z")).toDF("k", "p")
+    val d = DataQuality.keyAudit(dup, "t.k", Seq("k")).head()
+    assert((d.getString(0), d.getLong(1), d.getLong(2), d.getLong(3),
+      d.getBoolean(4)) == (("t.k", 3L, 2L, 1L, false)))
+    val u = DataQuality.keyAudit(dup, "t.(k,p)", Seq("k", "p")).head()
+    assert(u.getBoolean(4), "the composite candidate is a key")
+  }
+
   test("splitLeakage finds exactly the planted cross-split clones") {
     // 60 clones of one text across ids 1..60 — md5 scatters them over
     // all three splits — plus unique texts that can never leak.

@@ -259,4 +259,21 @@ class SourcesSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).sorted
     assert(after.toSeq == got3.toSeq, "vacuum must not reap delete vectors")
   }
+
+  test("MoR upsert: one commit masks old rows without eating its own insert") {
+    import graft.sources.Snapshots
+    val root = Export.tempDir("upspec_").toString + "/t"
+    val v1 = Snapshots.append((1L to 5L).map(i => (i, i * 10.0)).toDF("k", "v"), root)
+    val v2 = Snapshots.upsert(Seq((2L, 999.0), (3L, 888.0)).toDF("k", "v"),
+      root, "k")
+    assert(v2 == v1 + 1, "one atomic version")
+    val got = Snapshots.readMergeOnRead(spark, root, v2, "k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    // sequence semantics: the delete masks v1's rows for keys 2/3 but
+    // NOT the same-version re-insert
+    assert(got.toSeq == Seq((1L, 10.0), (2L, 999.0), (3L, 888.0),
+      (4L, 40.0), (5L, 50.0)))
+    // v1 still reads clean (no deletes at v1)
+    assert(Snapshots.readAs(spark, root, v1).count() == 5)
+  }
 }
