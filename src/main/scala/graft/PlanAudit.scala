@@ -220,7 +220,11 @@ object PlanAudit {
     // MoR upsert (one write pair + broadcast sequence-bounded
     // anti-join), key audit (grouped fold + scalar agg ×5), cuped
     // (user fold → pooled 1-row θ → variant moment agg)
-    "maint_upsert_mor", "dq_key_audit", "evt_cuped")
+    "maint_upsert_mor", "dq_key_audit", "evt_cuped",
+    // markov2 (one user window shuffle → arity³-domain ranking +
+    // TakeOrdered), yoy (fact fold + calendar-domain lag);
+    // stream_sliding is excluded like the other streaming keys
+    "evt_markov2", "rel_yoy")
     // evt_audience_overlap is excluded like dedup_clusters: its
     // domain-sized sketch table collects eagerly at construction, so
     // only the trivial driver-built result frame would be explained

@@ -192,6 +192,9 @@ object SparkEntry {
     "maint_upsert_mor" -> (Suite.maintUpsertMor _),
     "dq_key_audit" -> (Suite.dqKeyAudit _),
     "evt_cuped" -> (Suite.evtCuped _),
+    "stream_sliding" -> (Suite.streamSliding _),
+    "evt_markov2" -> (Suite.evtMarkov2 _),
+    "rel_yoy" -> (Suite.relYoy _),
     "rel_triples" -> (Suite.relTriples _),
     "mix_dedup_weight" -> (Suite.mixDedupWeight _),
     "evt_rolling_distinct_hll" -> (Suite.evtRollingDistinctHll _),
@@ -2881,6 +2884,45 @@ object SparkEntry {
         |    / ((vyy - vy * vy / CAST(nu AS DOUBLE))
         |      / (CAST(nu AS DOUBLE) - 1e0)), 4) AS var_reduction
         |FROM g ORDER BY variant""".stripMargin,
+    // sliding 2h/1h: an event at t belongs to windows starting at
+    // trunc(t,1h) and trunc(t,1h) − 1h — the oracle replays that
+    "stream_sliding" ->
+      """WITH e AS (SELECT event_type,
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h FROM events),
+        |w AS (SELECT event_type, h AS ws FROM e
+        |  UNION ALL SELECT event_type, h - INTERVAL 1 HOUR FROM e)
+        |SELECT strftime(ws, '%Y-%m-%d %H:00') AS win_start, event_type,
+        |  count(*) AS n
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "evt_markov2" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsx,
+        |    event_type FROM events),
+        |p AS (SELECT event_type AS nxt,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY tsx, event_id) AS l1,
+        |    lag(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY tsx, event_id) AS l2 FROM e),
+        |c AS (SELECT l2 || '>' || l1 AS context, nxt, count(*) AS c
+        |  FROM p WHERE l2 IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT context, nxt, c,
+        |    sum(c) OVER (PARTITION BY context) AS n_obs,
+        |    row_number() OVER (PARTITION BY context
+        |      ORDER BY c DESC, nxt) AS rn FROM c)
+        |SELECT context, CAST(n_obs AS BIGINT) AS n_obs, nxt AS top_next,
+        |  c AS n_top,
+        |  CAST(floor(CAST(c AS DOUBLE) / n_obs * 10000.0 + 0.5)
+        |    AS DOUBLE) / 10000.0 AS accuracy
+        |FROM r WHERE rn = 1 ORDER BY n_obs DESC, context LIMIT 20""".stripMargin,
+    // revenue rounds 2dp BEFORE the growth ratio
+    "rel_yoy" ->
+      """WITH y AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |    round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT yr, n_orders, revenue,
+        |  CASE WHEN lag(revenue) OVER (ORDER BY yr) IS NOT NULL
+        |    THEN round((revenue - lag(revenue) OVER (ORDER BY yr))
+        |      / lag(revenue) OVER (ORDER BY yr) * 100e0, 2) END AS yoy_pct
+        |FROM y ORDER BY yr""".stripMargin,
     "evt_survival_km" ->
       """WITH u AS (SELECT user_id,
         |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS f,

@@ -397,6 +397,27 @@ object Basket {
     * part join); ranking windows run over the brand-domain table;
     * revenue rounds 2dp before ranking so float-sum ulps cannot swap
     * neighbors (brand breaks exact ties). */
+  /** Year-over-year revenue growth — the simplest period comparison
+    * every BI layer ships: yearly revenue plus its growth % against
+    * the lagged year (NULL for the first year, never a fake 0).
+    * One fact fold to the year grid; the lag window runs over the
+    * ≤decades-sized calendar domain; revenue rounds 2dp BEFORE the
+    * growth ratio so float-sum ulps cancel identically. */
+  def yoyGrowth(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val yearly = orders
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(round(sum("o_totalprice"), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+    val w = Window.orderBy("yr") // calendar-domain total order
+    yearly.withColumn("prev", lag("revenue", 1).over(w))
+      .select(col("yr"), col("n_orders"), col("revenue"),
+        when(col("prev").isNotNull,
+          round((col("revenue") - col("prev")) / col("prev") * 100.0, 2))
+          .as("yoy_pct"))
+      .orderBy("yr")
+  }
+
   def topMovers(lineitem: DataFrame, orders: DataFrame, part: DataFrame,
       splitYear: Int = 1997): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -414,6 +414,41 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Second-order next-event baseline: for each (prev2 > prev1)
+    * context, the majority next event and its accuracy — the
+    * honest floor any sequence model must beat, one order above
+    * [[transitionMatrix]] (first-order "what follows X") and the
+    * aggregate view of [[topPaths]]' whole journeys.
+    *
+    * Scale shape: one user-window shuffle builds contexts row-locally
+    * (two lags), then ALL ranking runs on the context × type domain
+    * (≤ arity³ rows); top-N is a TakeOrdered under (n_obs desc,
+    * context). */
+  def nextEventBaseline(events: DataFrame, topN: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val ctx = events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("l1", lag("event_type", 1).over(w))
+      .withColumn("l2", lag("event_type", 2).over(w))
+      .filter(col("l2").isNotNull)
+      .select(concat(col("l2"), lit(">"), col("l1")).as("context"),
+        col("event_type").as("nxt"))
+    val counts = ctx.groupBy("context", "nxt").agg(count(lit(1)).as("c"))
+    val byCtx = Window.partitionBy("context")
+    counts
+      .withColumn("n_obs", sum("c").over(byCtx))
+      .withColumn("rn",
+        row_number().over(byCtx.orderBy(col("c").desc, col("nxt"))))
+      .filter(col("rn") === 1)
+      .select(col("context"), col("n_obs"), col("nxt").as("top_next"),
+        col("c").as("n_top"),
+        Num.pround(col("c").cast("double") / col("n_obs").cast("double"), 4)
+          .as("accuracy"))
+      .orderBy(col("n_obs").desc, col("context"))
+      .limit(topN)
+  }
+
   /** CUPED variance reduction (Deng et al.) — the experimentation
     * technique that shrinks A/B confidence intervals for free: adjust
     * each user's post-period metric by their PRE-period baseline,

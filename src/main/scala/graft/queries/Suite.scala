@@ -1843,4 +1843,17 @@ object Suite {
   /** CUPED-adjusted experiment readout over the md5 A/B split. */
   def evtCuped(s: SparkSession, dir: String): DataFrame =
     Events.cuped(t(s, dir, "events"))
+
+  /** Sliding 2h/1h streaming window counts — every event lands in two
+    * overlapping windows. */
+  def streamSliding(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.slidingCounts(s, s"$dir/events.parquet")
+
+  /** Majority-next-event baseline per 2-gram context. */
+  def evtMarkov2(s: SparkSession, dir: String): DataFrame =
+    Events.nextEventBaseline(t(s, dir, "events"))
+
+  /** Year-over-year revenue growth. */
+  def relYoy(s: SparkSession, dir: String): DataFrame =
+    Basket.yoyGrowth(t(s, dir, "orders"))
 }

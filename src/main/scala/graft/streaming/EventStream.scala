@@ -54,6 +54,24 @@ object EventStream {
         col("event_type"), col("n"))
       .orderBy("hour", "event_type")
 
+  /** SLIDING-window streaming counts (2h windows advancing hourly):
+    * every event lands in TWO overlapping windows — the mode tumbling
+    * windows cannot express (a "last 2 hours" readout updated hourly),
+    * and the state-size tradeoff that comes with it (window/slide
+    * copies of state per key; the watermark still bounds it). The
+    * oracle replays the window assignment arithmetic: an event at t
+    * belongs to the windows starting at trunc(t,1h) and
+    * trunc(t,1h) − 1h. */
+  def slidingCounts(spark: SparkSession, path: String): DataFrame =
+    runToMemory(spark,
+      source(spark, path)
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n")),
+      "complete")
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:00")
+        .as("win_start"), col("event_type"), col("n"))
+      .orderBy("win_start", "event_type")
+
   /** Unbounded shape with watermarked late-data handling — the plan a live
     * deployment runs (returned unstarted; callers pick sink + trigger).
     * Exercised in EventsSpec with an AvailableNow append run. */

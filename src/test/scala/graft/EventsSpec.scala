@@ -712,6 +712,36 @@ class EventsSpec extends SparkTestBase {
       ("view>signup", 1L), ("view>view>view>view>view", 1L)))
   }
 
+  test("slidingCounts: every event lands in exactly two hourly-advancing windows") {
+    // the streaming source expects a FILE like the testdata layout, so
+    // write one part and move it into place
+    val dir = java.nio.file.Files.createTempDirectory("slide_").toString
+    Seq((1L, 1L, Timestamp.valueOf("2024-01-01 10:30:00"), "a", 1.0),
+      (2L, 1L, Timestamp.valueOf("2024-01-01 11:30:00"), "a", 1.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stage")
+    val part = new java.io.File(s"$dir/stage").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val out = graft.streaming.EventStream.slidingCounts(spark, s"$dir/events.parquet")
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(out.toSeq == Seq(("2024-01-01 09:00", 1L),
+      ("2024-01-01 10:00", 2L), ("2024-01-01 11:00", 1L)))
+  }
+
+  test("nextEventBaseline: majority next per context with its accuracy") {
+    def j(u: Long, seq: Seq[String]) = seq.zipWithIndex.map { case (ty, i) =>
+      (u * 100 + i, u, Timestamp.valueOf(f"2024-01-01 10:0$i%01d:00"), ty) }
+    val rows = j(1, Seq("a", "b", "c")) ++ j(2, Seq("a", "b", "c")) ++
+      j(3, Seq("a", "b", "c")) ++ j(4, Seq("a", "b", "d"))
+    val df = rows.toDF("event_id", "user_id", "ts", "event_type")
+    val out = Events.nextEventBaseline(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.toSeq == Seq(("a>b", 4L, "c", 3L, 0.75)))
+  }
+
   test("cuped: a perfectly predictive baseline removes ALL variance") {
     // user i: pre value i, post value 2i → θ = 2 exactly, every
     // adjusted metric collapses to 2·x̄ = 21.0, var_cuped = 0,

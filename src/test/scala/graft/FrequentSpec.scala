@@ -240,6 +240,19 @@ class FrequentSpec extends SparkTestBase {
     assert(!out.contains("c>a"), "reverse-order pair is below 0.5 support")
   }
 
+  test("yoyGrowth: first year NULL, then the exact growth percentage") {
+    import graft.operators.Basket
+    val orders = Seq(
+      (1L, java.sql.Timestamp.valueOf("1995-03-01 00:00:00"), 100.0),
+      (2L, java.sql.Timestamp.valueOf("1996-03-01 00:00:00"), 150.0),
+      (3L, java.sql.Timestamp.valueOf("1997-03-01 00:00:00"), 120.0))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val out = Basket.yoyGrowth(orders).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(out.toSeq == Seq((1995L, None), (1996L, Some(50.0)),
+      (1997L, Some(-20.0))))
+  }
+
   test("topMovers: brands swapping revenue lead swap ranks symmetrically") {
     import graft.operators.Basket
     val li = Seq((1L, 1L, 100.0), (1L, 2L, 50.0), (2L, 1L, 50.0), (2L, 2L, 100.0))
