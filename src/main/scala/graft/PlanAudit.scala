@@ -224,7 +224,12 @@ object PlanAudit {
     // markov2 (one user window shuffle → arity³-domain ranking +
     // TakeOrdered), yoy (fact fold + calendar-domain lag);
     // stream_sliding is excluded like the other streaming keys
-    "evt_markov2", "rel_yoy")
+    "evt_markov2", "rel_yoy",
+    // seq match (one user window shuffle → journey fold → map-side
+    // regex), spearman (domain folds + broadcast rank join-backs +
+    // one moment agg), clustering coeff (triangle equi-join tree +
+    // degree fold, combine on the node domain)
+    "evt_seq_match", "dq_spearman", "graph_cluster_coeff")
     // evt_audience_overlap is excluded like dedup_clusters: its
     // domain-sized sketch table collects eagerly at construction, so
     // only the trivial driver-built result frame would be explained

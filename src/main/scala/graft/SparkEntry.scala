@@ -195,6 +195,9 @@ object SparkEntry {
     "stream_sliding" -> (Suite.streamSliding _),
     "evt_markov2" -> (Suite.evtMarkov2 _),
     "rel_yoy" -> (Suite.relYoy _),
+    "evt_seq_match" -> (Suite.evtSeqMatch _),
+    "dq_spearman" -> (Suite.dqSpearman _),
+    "graph_cluster_coeff" -> (Suite.graphClusterCoeff _),
     "rel_triples" -> (Suite.relTriples _),
     "mix_dedup_weight" -> (Suite.mixDedupWeight _),
     "evt_rolling_distinct_hll" -> (Suite.evtRollingDistinctHll _),
@@ -2923,6 +2926,77 @@ object SparkEntry {
         |    THEN round((revenue - lag(revenue) OVER (ORDER BY yr))
         |      / lag(revenue) OVER (ORDER BY yr) * 100e0, 2) END AS yoy_pct
         |FROM y ORDER BY yr""".stripMargin,
+    // journey strings assembled per user (first 20 events, rn-ordered),
+    // then each pattern is one RE2-subset regex replayed verbatim;
+    // sums cast to BIGINT (DuckDB sum(int) is HUGEINT)
+    "evt_seq_match" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn FROM events),
+        |j AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM e WHERE rn <= 20 GROUP BY user_id),
+        |m AS (SELECT count(*) AS n_journeys,
+        |  CAST(sum(CASE WHEN regexp_matches(path, 'view>purchase')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS direct_convert,
+        |  CAST(sum(CASE WHEN regexp_matches(path, 'error>([a-z]+>)*purchase')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS error_recovery,
+        |  CAST(sum(CASE WHEN regexp_matches(path, '^signup')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS signup_first,
+        |  CAST(sum(CASE WHEN regexp_matches(path, '^(view>)*view$')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS pure_browse FROM j)
+        |SELECT pattern, n_users, n_journeys,
+        |  CAST(floor(CAST(n_users AS DOUBLE) / n_journeys * 10000.0 + 0.5)
+        |    AS DOUBLE) / 10000.0 AS share
+        |FROM (
+        |  SELECT 'direct_convert' AS pattern, direct_convert AS n_users,
+        |    n_journeys FROM m
+        |  UNION ALL SELECT 'error_recovery', error_recovery, n_journeys FROM m
+        |  UNION ALL SELECT 'signup_first', signup_first, n_journeys FROM m
+        |  UNION ALL SELECT 'pure_browse', pure_browse, n_journeys FROM m)
+        |ORDER BY pattern""".stripMargin,
+    // tie-averaged ranks from the value-domain distribution (never a
+    // fact sort); Pearson corr of ranks = Spearman rho, 4dp both sides
+    "dq_spearman" ->
+      """WITH q AS (SELECT l_quantity AS v, count(*) AS cnt FROM lineitem GROUP BY 1),
+        |qr AS (SELECT v, CAST(sum(cnt) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |  - (CAST(cnt AS DOUBLE) - 1e0) / 2e0 AS r FROM q),
+        |d AS (SELECT l_discount AS v, count(*) AS cnt FROM lineitem GROUP BY 1),
+        |dr AS (SELECT v, CAST(sum(cnt) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |  - (CAST(cnt AS DOUBLE) - 1e0) / 2e0 AS r FROM d),
+        |x AS (SELECT l_tax AS v, count(*) AS cnt FROM lineitem GROUP BY 1),
+        |xr AS (SELECT v, CAST(sum(cnt) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |  - (CAST(cnt AS DOUBLE) - 1e0) / 2e0 AS r FROM x),
+        |f AS (SELECT qr.r AS rq, dr.r AS rd, xr.r AS rt FROM lineitem l
+        |  JOIN qr ON l.l_quantity = qr.v
+        |  JOIN dr ON l.l_discount = dr.v
+        |  JOIN xr ON l.l_tax = xr.v)
+        |SELECT count(*) AS n,
+        |  round(corr(rq, rd), 4) AS rho_qty_disc,
+        |  round(corr(rq, rt), 4) AS rho_qty_tax,
+        |  round(corr(rd, rt), 4) AS rho_disc_tax FROM f""".stripMargin,
+    // triangles CTE = graph_triangles verbatim; cc portable-rounded
+    // BEFORE the top-N ordering on both engines
+    "graph_cluster_coeff" ->
+      """WITH l AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem WHERE l_partkey % 5 = 0),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM l a JOIN l b ON a.ok = b.ok AND a.p < b.p),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |tc AS (SELECT node, count(*) AS n_tri
+        |  FROM (SELECT unnest([a, b, c]) AS node FROM tri) GROUP BY node),
+        |dg AS (SELECT x AS node, count(*) AS deg
+        |  FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e) GROUP BY x),
+        |cc AS (SELECT dg.node, dg.deg,
+        |    CAST(COALESCE(tc.n_tri, 0) AS BIGINT) AS n_tri,
+        |    CAST(floor(2e0 * COALESCE(tc.n_tri, 0)
+        |      / (dg.deg * (dg.deg - 1e0)) * 10000.0 + 0.5) AS DOUBLE)
+        |      / 10000.0 AS cc
+        |  FROM dg LEFT JOIN tc ON dg.node = tc.node WHERE dg.deg >= 2)
+        |SELECT node, deg, n_tri, cc FROM cc
+        |ORDER BY cc DESC, node LIMIT 20""".stripMargin,
     "evt_survival_km" ->
       """WITH u AS (SELECT user_id,
         |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS f,

@@ -200,6 +200,37 @@ object DataQuality {
       round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
       round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"))
 
+  /** Spearman rank correlation — [[correlationAudit]]'s robust sibling
+    * for monotone-but-nonlinear association, over the fact table's
+    * COMPACT-domain measures (quantity/discount/tax). Tie-averaged
+    * ranks are computed from the value-domain DISTRIBUTION, never a
+    * fact-table sort: one groupBy(value) fold collapses the facts to
+    * the ≤100-row domain, a prefix-sum window over that domain yields
+    * rank(v) = cum_count_through(v) − (cnt(v)−1)/2, and the three
+    * domain-sized rank tables broadcast-join back onto the scan — so
+    * the only full-data work is the fold and ONE moment aggregate over
+    * the ranked rows (Pearson corr of ranks ≡ Spearman ρ). The
+    * single-partition window is over the tiny domain, not the data. */
+  def spearmanAudit(lineitem: DataFrame): DataFrame = {
+    def rankTable(c: String): DataFrame = {
+      val w = Window.orderBy(col(c))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      lineitem.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+        .select(col(c),
+          (sum("cnt").over(w).cast("double")
+            - (col("cnt").cast("double") - 1.0) / 2.0).as(s"r_$c"))
+    }
+    lineitem.select("l_quantity", "l_discount", "l_tax")
+      .join(broadcast(rankTable("l_quantity")), "l_quantity")
+      .join(broadcast(rankTable("l_discount")), "l_discount")
+      .join(broadcast(rankTable("l_tax")), "l_tax")
+      .agg(
+        count(lit(1)).as("n"),
+        round(corr(col("r_l_quantity"), col("r_l_discount")), 4).as("rho_qty_disc"),
+        round(corr(col("r_l_quantity"), col("r_l_tax")), 4).as("rho_qty_tax"),
+        round(corr(col("r_l_discount"), col("r_l_tax")), 4).as("rho_disc_tax"))
+  }
+
   /** Referential-integrity audit — the foreign-key orphan screen every
     * warehouse load runs ("do all child keys resolve to a parent?"):
     * for each declared (child, fk) → (parent, pk) relation, the child

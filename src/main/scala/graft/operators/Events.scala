@@ -1172,4 +1172,52 @@ object Events {
       .orderBy(col("n_users").desc, col("path"))
       .limit(topN)
   }
+
+  /** MATCH_RECOGNIZE-style sequence-pattern screen (the Flink CEP /
+    * Trino MATCH_RECOGNIZE capability re-expressed relationally): how
+    * many users' journeys match each named pattern — direct view→buy
+    * conversion, purchase recovery after an error, signup-first starts,
+    * and pure-browse sessions. Each user's first `firstK` event types
+    * are assembled into one `a>b>c` journey string (deterministic
+    * order: array_sort on (rn, type), the [[topPaths]] idiom), then
+    * every pattern is ONE row-local regex — no per-pattern scan, no
+    * NFA state machine, and the regex dialect is the RE2-compatible
+    * subset (no lookaround) so the DuckDB oracle replays it verbatim.
+    *
+    * Scale shape: one user_id window shuffle prunes to ≤firstK rows
+    * per user, one groupBy(user) assembles journeys, all pattern
+    * matching is map-side over the journey table, and the final
+    * explode runs over a single aggregated row. */
+  def sequenceMatch(events: DataFrame, firstK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val patterns = Seq(
+      "direct_convert" -> "view>purchase",
+      "error_recovery" -> "error>([a-z]+>)*purchase",
+      "signup_first" -> "^signup",
+      "pure_browse" -> "^(view>)*view$")
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val journeys = events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= firstK)
+      .groupBy("user_id")
+      .agg(concat_ws(">", transform(
+        array_sort(collect_list(struct(col("rn"), col("event_type")))),
+        x => x.getField("event_type"))).as("path"))
+    val hits = journeys.agg(
+      count(lit(1)).as("n_journeys"),
+      patterns.map { case (name, re) =>
+        sum(when(regexp_like(col("path"), lit(re)), 1L).otherwise(0L)).as(name)
+      }: _*)
+    hits
+      .select(col("n_journeys"),
+        explode(array(patterns.map { case (name, _) =>
+          struct(lit(name).as("pattern"), col(name).as("n_users"))
+        }: _*)).as("p"))
+      .select(col("p.pattern").as("pattern"), col("p.n_users").as("n_users"),
+        col("n_journeys"),
+        Num.pround(col("p.n_users").cast("double") / col("n_journeys").cast("double"), 4)
+          .as("share"))
+      .orderBy("pattern")
+  }
 }

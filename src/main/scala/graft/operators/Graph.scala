@@ -186,6 +186,32 @@ object Graph {
       .orderBy("node")
   }
 
+  /** Local clustering coefficient — how clique-like each node's
+    * neighborhood is: cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)), the
+    * standard transitivity measure beside [[degreeStats]]' global
+    * moments. Triangle counts come from [[triangleCounts]]' degree-
+    * ordered oriented formulation (wedge volume O(m^1.5), every join
+    * an equi-join); the degree table is one fold over the edge list;
+    * the combine join runs on the node domain. cc is portable-rounded
+    * BEFORE the ranking so a final-ulp diff can't reorder the top-N
+    * cut (node id breaks exact ties). */
+  def clusteringCoeff(edgesUV: DataFrame, topN: Int = 20): DataFrame = {
+    val edges = edgesUV.select(col("u"), col("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // feeds deg AND the triangle join tree
+    val deg = edges.select(col("u").as("node"))
+      .union(edges.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    deg.filter(col("deg") >= 2)
+      .join(triangleCounts(edges), Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("cc", Num.pround(
+        lit(2.0) * col("n_tri").cast("double")
+          / (col("deg").cast("double") * (col("deg").cast("double") - 1.0)), 4))
+      .orderBy(col("cc").desc, col("node"))
+      .limit(topN)
+  }
+
   /** Part co-purchase graph: two parts are linked when some order buys
     * both. `mod` restricts to the p%mod==0 part subset — co-purchase
     * graphs densify quadratically with order size, and the subgraph keeps

@@ -1856,4 +1856,16 @@ object Suite {
   /** Year-over-year revenue growth. */
   def relYoy(s: SparkSession, dir: String): DataFrame =
     Basket.yoyGrowth(t(s, dir, "orders"))
+
+  /** MATCH_RECOGNIZE-style journey-pattern counts over first-20 paths. */
+  def evtSeqMatch(s: SparkSession, dir: String): DataFrame =
+    Events.sequenceMatch(t(s, dir, "events"))
+
+  /** Spearman rank correlation over compact-domain lineitem measures. */
+  def dqSpearman(s: SparkSession, dir: String): DataFrame =
+    DataQuality.spearmanAudit(t(s, dir, "lineitem"))
+
+  /** Top local clustering coefficients on the co-purchase graph. */
+  def graphClusterCoeff(s: SparkSession, dir: String): DataFrame =
+    Graph.clusteringCoeff(Graph.coPurchaseEdges(t(s, dir, "lineitem")))
 }

@@ -833,4 +833,21 @@ class EventsSpec extends SparkTestBase {
       ("2024-05-02", 2L, 2L, Some(1.0)),
       ("2024-05-03", 3L, 3L, Some(1.0))))
   }
+
+  test("sequenceMatch: each planted journey hits exactly its own pattern") {
+    def j(u: Long, seq: Seq[String]) = seq.zipWithIndex.map { case (ty, i) =>
+      (u * 100 + i, u, Timestamp.valueOf(f"2024-01-01 10:0$i%01d:00"), ty) }
+    val rows = j(1, Seq("view", "purchase")) ++ // direct_convert only
+      j(2, Seq("signup", "view", "click")) ++   // signup_first only
+      j(3, Seq("view", "view", "view")) ++      // pure_browse only
+      j(4, Seq("error", "click", "purchase"))   // error_recovery only
+    val df = rows.toDF("event_id", "user_id", "ts", "event_type")
+    val out = Events.sequenceMatch(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("direct_convert", 1L, 4L, 0.25),
+      ("error_recovery", 1L, 4L, 0.25),
+      ("pure_browse", 1L, 4L, 0.25),
+      ("signup_first", 1L, 4L, 0.25)))
+  }
 }

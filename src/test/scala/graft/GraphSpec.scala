@@ -143,4 +143,14 @@ class GraphSpec extends SparkTestBase {
     val b = Graph.labelPropagation(cyc, iters = 4).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(a == b)
   }
+
+  test("clusteringCoeff: triangle corners are cliques, the pendant-bearing corner is diluted") {
+    // triangle 1-2-3 plus pendant 3-4: cc(1)=cc(2)=1.0,
+    // cc(3)=2·1/(3·2)=0.3333, node 4 (deg 1) filtered out
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("u", "v")
+    val out = Graph.clusteringCoeff(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((1L, 2L, 1L, 1.0), (2L, 2L, 1L, 1.0),
+      (3L, 3L, 1L, 0.3333)))
+  }
 }

@@ -358,4 +358,17 @@ class QualitySpec extends SparkTestBase {
     assert(out("train|test") == ((1L, (nTr + nTe).toLong)))
     assert(out("validation|test") == ((1L, (nVa + nTe).toLong)))
   }
+
+  test("spearmanAudit: tie-averaged ranks give the textbook rho") {
+    // qty (1,1,2) vs disc (5,6,7): tied qty ranks average to 1.5 →
+    // rho = cov/sd·sd = sqrt(0.75) ≈ 0.8660; qty vs tax monotone
+    // DECREASING → rho exactly −0.8660 by the same tie structure
+    val li = Seq((1.0, 5.0, 3.0), (1.0, 6.0, 2.0), (2.0, 7.0, 1.0))
+      .toDF("l_quantity", "l_discount", "l_tax")
+    val r = DataQuality.spearmanAudit(li).head()
+    assert(r.getLong(0) == 3L)
+    assert(r.getDouble(1) == 0.866)
+    assert(r.getDouble(2) == -0.866)
+    assert(r.getDouble(3) == -1.0)
+  }
 }
