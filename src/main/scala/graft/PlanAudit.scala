@@ -229,7 +229,11 @@ object PlanAudit {
     // regex), spearman (domain folds + broadcast rank join-backs +
     // one moment agg), clustering coeff (triangle equi-join tree +
     // degree fold, combine on the node domain)
-    "evt_seq_match", "dq_spearman", "graph_cluster_coeff")
+    "evt_seq_match", "dq_spearman", "graph_cluster_coeff",
+    // target encode (two broadcast join-backs onto a pruned scan, no
+    // fact shuffle), jsd drift (one gram explode + one token fold +
+    // broadcast totals + TakeOrdered), anova (two-level moment fold)
+    "feat_target_encode", "text_jsd_drift", "dq_anova")
     // evt_audience_overlap is excluded like dedup_clusters: its
     // domain-sized sketch table collects eagerly at construction, so
     // only the trivial driver-built result frame would be explained

@@ -198,6 +198,9 @@ object SparkEntry {
     "evt_seq_match" -> (Suite.evtSeqMatch _),
     "dq_spearman" -> (Suite.dqSpearman _),
     "graph_cluster_coeff" -> (Suite.graphClusterCoeff _),
+    "feat_target_encode" -> (Suite.featTargetEncode _),
+    "text_jsd_drift" -> (Suite.textJsdDrift _),
+    "dq_anova" -> (Suite.dqAnova _),
     "rel_triples" -> (Suite.relTriples _),
     "mix_dedup_weight" -> (Suite.mixDedupWeight _),
     "evt_rolling_distinct_hll" -> (Suite.evtRollingDistinctHll _),
@@ -2997,6 +3000,62 @@ object SparkEntry {
         |  FROM dg LEFT JOIN tc ON dg.node = tc.node WHERE dg.deg >= 2)
         |SELECT node, deg, n_tri, cc FROM cc
         |ORDER BY cc DESC, node LIMIT 20""".stripMargin,
+    // LOO target encoding: integer-valued target → exact category sums
+    // → the per-row encoded value is deterministic IEEE on both engines
+    "feat_target_encode" ->
+      """WITH st AS (SELECT l_returnflag AS cat, count(*) AS cnt,
+        |    sum(l_quantity) AS s FROM lineitem GROUP BY 1),
+        |g AS (SELECT sum(l_quantity) / CAST(count(*) AS DOUBLE) AS mu
+        |  FROM lineitem),
+        |sm AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |    l_returnflag AS cat, l_quantity FROM lineitem
+        |  WHERE l_orderkey % 1000 = 0)
+        |SELECT sm.l_orderkey, sm.l_linenumber, sm.cat, sm.l_quantity,
+        |  CAST(floor(((s - l_quantity) + 50e0 * mu)
+        |    / ((CAST(cnt AS DOUBLE) - 1e0) + 50e0) * 10000.0 + 0.5)
+        |    AS DOUBLE) / 10000.0 AS te_loo
+        |FROM sm JOIN st ON sm.cat = st.cat CROSS JOIN g
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // JSD contributions from exact integer token counts; ln on both
+    // engines, basis-point scaling portable-rounded BEFORE the top-N
+    "text_jsd_drift" ->
+      s"""WITH d AS (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS side,
+        |    text FROM documents),
+        |tk AS (SELECT side, unnest($toksSql) AS token FROM d),
+        |c AS (SELECT token,
+        |    CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+        |    CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+        |  FROM tk GROUP BY token),
+        |t AS (SELECT CAST(sum(c_a) AS DOUBLE) AS ta,
+        |    CAST(sum(c_b) AS DOUBLE) AS tb FROM c),
+        |s AS (SELECT token, c_a, c_b, CAST(c_a AS DOUBLE) / ta AS p,
+        |    CAST(c_b AS DOUBLE) / tb AS q FROM c CROSS JOIN t),
+        |e AS (SELECT token, c_a, c_b,
+        |    0.5e0 * (CASE WHEN p > 0e0
+        |      THEN p * ln(p / ((p + q) / 2e0)) ELSE 0e0 END)
+        |  + 0.5e0 * (CASE WHEN q > 0e0
+        |      THEN q * ln(q / ((p + q) / 2e0)) ELSE 0e0 END) AS contrib
+        |  FROM s)
+        |SELECT token, c_a, c_b,
+        |  CAST(floor(contrib * 10000.0 * 10000.0 + 0.5) AS DOUBLE) / 10000.0
+        |    AS contrib_bp
+        |FROM e ORDER BY contrib_bp DESC, token LIMIT 10""".stripMargin,
+    // F from group moments only; 4dp absorbs fold-order ulps
+    "dq_anova" ->
+      """WITH g AS (SELECT o_orderstatus, count(*) AS n_g,
+        |    sum(o_totalprice) AS s_g,
+        |    sum(o_totalprice * o_totalprice) AS ss_g
+        |  FROM orders GROUP BY 1),
+        |m AS (SELECT count(*) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+        |    sum(s_g) AS s, sum(ss_g) AS ssq,
+        |    sum(s_g * s_g / CAST(n_g AS DOUBLE)) AS a FROM g)
+        |SELECT k, n,
+        |  round(((a - s * s / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1e0))
+        |    / ((ssq - a) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 4)
+        |    AS f_stat,
+        |  round((a - s * s / CAST(n AS DOUBLE))
+        |    / (ssq - s * s / CAST(n AS DOUBLE)), 6) AS eta_sq
+        |FROM m""".stripMargin,
     "evt_survival_km" ->
       """WITH u AS (SELECT user_id,
         |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS f,

@@ -231,6 +231,32 @@ object DataQuality {
         round(corr(col("r_l_discount"), col("r_l_tax")), 4).as("rho_disc_tax"))
   }
 
+  /** One-way ANOVA — the k-group generalization of the two-sample
+    * tests (KS / Mann-Whitney / Welch): does the measure's mean differ
+    * across the categorical's groups? F = (SSB/(k−1)) / (SSW/(n−k))
+    * from GROUP MOMENTS only — one fold to the k-row group table
+    * (count, sum, sum-of-squares), one scalar aggregate over it, no
+    * sort, no pairwise anything; η² (SSB/SST) reports effect size
+    * beside significance. Both engines fold the identical moments, so
+    * 4dp absorbs accumulation-order ulps (the dq_corr rule). */
+  def anovaAudit(orders: DataFrame): DataFrame = {
+    val g = orders.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_g"), sum("o_totalprice").as("s_g"),
+        sum(col("o_totalprice") * col("o_totalprice")).as("ss_g"))
+    val m = g.agg(
+      count(lit(1)).as("k"), sum("n_g").as("n"),
+      sum("s_g").as("s"), sum("ss_g").as("ssq"),
+      sum(col("s_g") * col("s_g") / col("n_g").cast("double")).as("a"))
+    val kD = col("k").cast("double")
+    val nD = col("n").cast("double")
+    val ssb = col("a") - col("s") * col("s") / nD
+    val ssw = col("ssq") - col("a")
+    val sst = col("ssq") - col("s") * col("s") / nD
+    m.select(col("k"), col("n"),
+      round((ssb / (kD - 1.0)) / (ssw / (nD - kD)), 4).as("f_stat"),
+      round(ssb / sst, 6).as("eta_sq"))
+  }
+
   /** Referential-integrity audit — the foreign-key orphan screen every
     * warehouse load runs ("do all child keys resolve to a parent?"):
     * for each declared (child, fk) → (parent, pk) relation, the child

@@ -1089,4 +1089,40 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), round(avg(col("fre")), 2).as("avg_fre"))
       .orderBy("lang", "band")
   }
+
+  /** Token-distribution drift between two md5 halves of the corpus —
+    * the Jensen-Shannon divergence screen an LLM pipeline runs to
+    * compare crawls/snapshots ("did the vocabulary shift?"), the
+    * text-domain sibling of the numeric PSI drift check. Emits the
+    * topN tokens by JSD contribution (0.5·p·ln(p/m) + 0.5·q·ln(q/m),
+    * m the mixture), scaled to basis points and portable-rounded
+    * BEFORE the ranking.
+    *
+    * Scale shape: ONE gram explode + ONE (token)-fold producing both
+    * sides' counts at once (conditional sums, no per-side scan); the
+    * vocab-domain count table is persisted because both the totals
+    * aggregate and the scoring read it; totals broadcast back; scoring
+    * is row-local over the vocab domain; top-N is a TakeOrdered. */
+  def jsdDrift(docs: DataFrame, topN: Int = 10): DataFrame = {
+    val side = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 2).as("side")
+    val counts = docs.select(side, explode(tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("c_a"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("c_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = counts.agg(sum("c_a").cast("double").as("ta"),
+      sum("c_b").cast("double").as("tb"))
+    val p = col("c_a").cast("double") / col("ta")
+    val q = col("c_b").cast("double") / col("tb")
+    val m = (p + q) / lit(2.0)
+    val contrib =
+      lit(0.5) * when(p > 0.0, p * log(p / m)).otherwise(lit(0.0)) +
+        lit(0.5) * when(q > 0.0, q * log(q / m)).otherwise(lit(0.0))
+    counts.crossJoin(broadcast(tot))
+      .select(col("token"), col("c_a"), col("c_b"),
+        Num.pround(contrib * 10000.0, 4).as("contrib_bp"))
+      .orderBy(col("contrib_bp").desc, col("token"))
+      .limit(topN)
+  }
 }

@@ -1868,4 +1868,16 @@ object Suite {
   /** Top local clustering coefficients on the co-purchase graph. */
   def graphClusterCoeff(s: SparkSession, dir: String): DataFrame =
     Graph.clusteringCoeff(Graph.coPurchaseEdges(t(s, dir, "lineitem")))
+
+  /** Leave-one-out target encoding on the sampled lineitem rows. */
+  def featTargetEncode(s: SparkSession, dir: String): DataFrame =
+    Features.targetEncodeLoo(t(s, dir, "lineitem"))
+
+  /** Jensen-Shannon token drift between md5 corpus halves. */
+  def textJsdDrift(s: SparkSession, dir: String): DataFrame =
+    TextOps.jsdDrift(t(s, dir, "documents"))
+
+  /** One-way ANOVA of order value across order status. */
+  def dqAnova(s: SparkSession, dir: String): DataFrame =
+    DataQuality.anovaAudit(t(s, dir, "orders"))
 }

@@ -359,6 +359,17 @@ class QualitySpec extends SparkTestBase {
     assert(out("validation|test") == ((1L, (nVa + nTe).toLong)))
   }
 
+  test("anovaAudit: textbook two-group F and eta-squared") {
+    // A={1,2,3}, B={4,5,6}: SSB=13.5, SSW=4, F=(13.5/1)/(4/4)=13.5,
+    // eta2 = 13.5/17.5 = 0.771429 (6dp)
+    val orders = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0),
+      ("B", 4.0), ("B", 5.0), ("B", 6.0))
+      .toDF("o_orderstatus", "o_totalprice")
+    val r = DataQuality.anovaAudit(orders).head()
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)) ==
+      ((2L, 6L, 13.5, 0.771429)))
+  }
+
   test("spearmanAudit: tie-averaged ranks give the textbook rho") {
     // qty (1,1,2) vs disc (5,6,7): tied qty ranks average to 1.5 →
     // rho = cov/sd·sd = sqrt(0.75) ≈ 0.8660; qty vs tax monotone

@@ -570,4 +570,30 @@ class TextOpsSpec extends SparkTestBase {
       ("3_low_diversity", 1L, 0.1667), ("4_high_symbol", 1L, 0.1667),
       ("5_pass", 2L, 0.3333)))
   }
+
+  test("jsdDrift: identical distributions on both sides give zero divergence") {
+    // every doc is the same text, so whatever the md5 split, p == q
+    // for every token → every JSD contribution is exactly 0
+    val docs = (1L to 40L).map(i => (i, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val out = TextOps.jsdDrift(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1) + r.getLong(2), r.getDouble(3)))
+    assert(out.length == 3)
+    assert(out.forall(_._3 == 0.0), s"nonzero contribution: ${out.toSeq}")
+    assert(out.forall(_._2 == 40L))
+  }
+
+  test("jsdDrift: a side-exclusive token contributes 0.5*p*ln2 in bp") {
+    // force a token that only one side can have by giving every doc a
+    // shared token plus doc 1 a unique marker; whichever side doc 1
+    // lands on, the marker's contribution is 0.5*p*ln(2) with p its
+    // in-side probability — strictly positive, ranked above the shared
+    // tokens' near-zero drift
+    val docs = ((1L to 30L).map(i => (i, "shared words here")) :+
+      (31L, "shared words here uniquemarker"))
+      .toDF("doc_id", "text")
+    val out = TextOps.jsdDrift(docs).collect()
+    assert(out.head.getString(0) == "uniquemarker")
+    assert(out.head.getDouble(3) > 0.0)
+  }
 }
