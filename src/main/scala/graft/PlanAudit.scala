@@ -233,7 +233,11 @@ object PlanAudit {
     // target encode (two broadcast join-backs onto a pruned scan, no
     // fact shuffle), jsd drift (one gram explode + one token fold +
     // broadcast totals + TakeOrdered), anova (two-level moment fold)
-    "feat_target_encode", "text_jsd_drift", "dq_anova")
+    "feat_target_encode", "text_jsd_drift", "dq_anova",
+    // did (user fold → 2-row group fold → scalar pivot), time-to-convert
+    // (two user folds + user equi-join, 24-row final agg), neyman
+    // (stratum fold + broadcast allocation + map-side threshold)
+    "evt_did", "evt_time_to_convert", "sample_neyman")
     // evt_audience_overlap is excluded like dedup_clusters: its
     // domain-sized sketch table collects eagerly at construction, so
     // only the trivial driver-built result frame would be explained

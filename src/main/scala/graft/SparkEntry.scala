@@ -201,6 +201,9 @@ object SparkEntry {
     "feat_target_encode" -> (Suite.featTargetEncode _),
     "text_jsd_drift" -> (Suite.textJsdDrift _),
     "dq_anova" -> (Suite.dqAnova _),
+    "evt_did" -> (Suite.evtDid _),
+    "evt_time_to_convert" -> (Suite.evtTimeToConvert _),
+    "sample_neyman" -> (Suite.sampleNeyman _),
     "rel_triples" -> (Suite.relTriples _),
     "mix_dedup_weight" -> (Suite.mixDedupWeight _),
     "evt_rolling_distinct_hll" -> (Suite.evtRollingDistinctHll _),
@@ -3056,6 +3059,78 @@ object SparkEntry {
         |  round((a - s * s / CAST(n AS DOUBLE))
         |    / (ssq - s * s / CAST(n AS DOUBLE)), 6) AS eta_sq
         |FROM m""".stripMargin,
+    // per-user deltas are the clustering unit; t NULL (never NaN)
+    // when both groups are degenerate
+    "evt_did" ->
+      """WITH b AS (SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) AS lo,
+        |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS hi FROM events),
+        |pu AS (SELECT user_id,
+        |    sum(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) * 2 >= lo + hi
+        |      THEN 0e0 ELSE value END) AS x,
+        |    sum(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) * 2 >= lo + hi
+        |      THEN value ELSE 0e0 END) AS y
+        |  FROM events CROSS JOIN b GROUP BY 1),
+        |pd AS (SELECT CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |      THEN 'ctl' ELSE 'trt' END AS g, y - x AS d FROM pu),
+        |gm AS (SELECT g, count(*) AS n, sum(d) AS sd, sum(d * d) AS sdd
+        |  FROM pd GROUP BY 1),
+        |m AS (SELECT
+        |    CAST(sum(CASE WHEN g = 'ctl' THEN n ELSE 0 END) AS BIGINT) AS n_c,
+        |    CAST(sum(CASE WHEN g = 'trt' THEN n ELSE 0 END) AS BIGINT) AS n_t,
+        |    sum(CASE WHEN g = 'ctl' THEN sd ELSE 0e0 END) AS sd_c,
+        |    sum(CASE WHEN g = 'trt' THEN sd ELSE 0e0 END) AS sd_t,
+        |    sum(CASE WHEN g = 'ctl' THEN sdd ELSE 0e0 END) AS sdd_c,
+        |    sum(CASE WHEN g = 'trt' THEN sdd ELSE 0e0 END) AS sdd_t FROM gm),
+        |f AS (SELECT n_c, n_t,
+        |    sd_t / CAST(n_t AS DOUBLE) - sd_c / CAST(n_c AS DOUBLE) AS did_est,
+        |    sqrt(((sdd_c - sd_c * sd_c / CAST(n_c AS DOUBLE))
+        |        / (CAST(n_c AS DOUBLE) - 1e0)) / CAST(n_c AS DOUBLE)
+        |      + ((sdd_t - sd_t * sd_t / CAST(n_t AS DOUBLE))
+        |        / (CAST(n_t AS DOUBLE) - 1e0)) / CAST(n_t AS DOUBLE)) AS se
+        |  FROM m)
+        |SELECT n_c, n_t, round(did_est, 4) AS did, round(se, 4) AS se,
+        |  CASE WHEN se > 0e0 THEN round(did_est / se, 4) END AS t_stat
+        |FROM f""".stripMargin,
+    // "first purchase at-or-after first view" is a filter + min, not
+    // an as-of scan; exact interpolated percentiles (q13 convention)
+    "evt_time_to_convert" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |fv AS (SELECT user_id, min(us) AS v_us FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |cv AS (SELECT e.user_id, min(e.us) AS p_us, min(fv.v_us) AS v_us
+        |  FROM e JOIN fv ON e.user_id = fv.user_id
+        |  WHERE e.event_type = 'purchase' AND e.us >= fv.v_us GROUP BY 1),
+        |d AS (SELECT CAST(hour(make_timestamp(v_us)) AS BIGINT) AS cohort_hour,
+        |    CAST(p_us - v_us AS DOUBLE) / 60e6 AS dur_min FROM cv)
+        |SELECT cohort_hour, count(*) AS n_conv,
+        |  round(quantile_cont(dur_min, 0.5), 4) AS med_min,
+        |  round(quantile_cont(dur_min, 0.9), 4) AS p90_min,
+        |  round(avg(dur_min), 4) AS avg_min
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    // integer-valued measure → exact moments; the draw is the
+    // engine-replayable md5-fraction threshold
+    "sample_neyman" ->
+      """WITH st AS (SELECT lang, count(*) AS n_docs,
+        |    stddev_samp(CAST(n_chars AS DOUBLE)) AS sd
+        |  FROM documents GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+        |    sum(CAST(n_docs AS DOUBLE) * sd) AS wsum FROM st),
+        |al AS (SELECT lang, n_docs, sd,
+        |    CAST(floor(floor(CAST(n_total AS DOUBLE) / 5e0)
+        |      * (CAST(n_docs AS DOUBLE) * sd) / wsum + 0.5) AS BIGINT) AS alloc
+        |  FROM st CROSS JOIN tt),
+        |ar AS (SELECT lang, n_docs, sd, alloc,
+        |    least(1e0, CAST(alloc AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS rate
+        |  FROM al),
+        |sm AS (SELECT d.lang, count(*) AS n_sampled
+        |  FROM documents d JOIN ar ON d.lang = ar.lang
+        |  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |    / 4294967296e0 < ar.rate
+        |  GROUP BY 1)
+        |SELECT ar.lang, ar.n_docs, round(ar.sd, 2) AS sd_chars, ar.alloc,
+        |  COALESCE(sm.n_sampled, 0) AS n_sampled
+        |FROM ar LEFT JOIN sm ON ar.lang = sm.lang ORDER BY ar.lang""".stripMargin,
     "evt_survival_km" ->
       """WITH u AS (SELECT user_id,
         |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS f,

@@ -1173,6 +1173,83 @@ object Events {
       .limit(topN)
   }
 
+  /** Difference-in-differences — the quasi-experimental sibling of
+    * [[cuped]] for when assignment isn't randomized: compare the
+    * treated group's pre→post change against the control group's,
+    * so any shared time trend cancels. Groups come from the same md5
+    * user split and the period from the same integer-µs midpoint as
+    * the rest of the experimentation ladder; the estimate is
+    * mean(Δ|trt) − mean(Δ|ctl) with a Welch SE over per-user deltas
+    * (the unit of clustering — no naive per-event SE).
+    *
+    * Scale shape: one user fold, one 2-row group fold, one scalar
+    * pivot — no sort, no window; t is NULL (never NaN) when both
+    * groups are degenerate. */
+  def did(events: DataFrame): DataFrame = {
+    val bounds = events.agg(min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi"))
+    val perUser = events.crossJoin(broadcast(bounds)) // bounded: 1 row
+      .withColumn("post",
+        unix_micros(col("ts")) * 2 >= col("lo") + col("hi"))
+      .groupBy("user_id")
+      .agg(sum(when(!col("post"), col("value")).otherwise(lit(0.0))).as("x"),
+        sum(when(col("post"), col("value")).otherwise(lit(0.0))).as("y"))
+      .withColumn("g", when(
+        substring(md5(col("user_id").cast("string")), 1, 1) < "8", "ctl")
+        .otherwise("trt"))
+      .withColumn("d", col("y") - col("x"))
+    val gm = perUser.groupBy("g").agg(count(lit(1)).as("n"),
+      sum("d").as("sd"), sum(col("d") * col("d")).as("sdd"))
+    val m = gm.agg(
+      sum(when(col("g") === "ctl", col("n")).otherwise(lit(0L))).as("n_c"),
+      sum(when(col("g") === "trt", col("n")).otherwise(lit(0L))).as("n_t"),
+      sum(when(col("g") === "ctl", col("sd")).otherwise(lit(0.0))).as("sd_c"),
+      sum(when(col("g") === "trt", col("sd")).otherwise(lit(0.0))).as("sd_t"),
+      sum(when(col("g") === "ctl", col("sdd")).otherwise(lit(0.0))).as("sdd_c"),
+      sum(when(col("g") === "trt", col("sdd")).otherwise(lit(0.0))).as("sdd_t"))
+    val nc = col("n_c").cast("double")
+    val nt = col("n_t").cast("double")
+    val didEst = col("sd_t") / nt - col("sd_c") / nc
+    val vc = (col("sdd_c") - col("sd_c") * col("sd_c") / nc) / (nc - 1.0)
+    val vt = (col("sdd_t") - col("sd_t") * col("sd_t") / nt) / (nt - 1.0)
+    val se = sqrt(vc / nc + vt / nt)
+    m.select(col("n_c"), col("n_t"),
+      round(didEst, 4).as("did"), round(se, 4).as("se"),
+      when(se > 0.0, round(didEst / se, 4)).as("t_stat"))
+  }
+
+  /** Funnel latency — the time-to-convert distribution between the
+    * funnel's endpoints: per user, first view → first purchase AT OR
+    * AFTER that view, bucketed by the hour-of-day the journey started
+    * (the "when do fast converters arrive" readout). Exact
+    * interpolated percentiles, the q13 convention.
+    *
+    * Scale shape: two user folds + one user-keyed equi-join (no
+    * window, no range join — the "first at-or-after" is a filter +
+    * min, not an as-of scan); the final aggregate runs on the 24-row
+    * cohort domain. */
+  def timeToConvert(events: DataFrame): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val fv = events.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(us).as("v_us"))
+    val conv = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), us.as("p_us"))
+      .join(fv, "user_id")
+      .filter(col("p_us") >= col("v_us"))
+      .groupBy("user_id")
+      .agg(min(col("p_us")).as("p_us"), min(col("v_us")).as("v_us"))
+    conv
+      .select(
+        hour(timestamp_micros(col("v_us"))).cast("long").as("cohort_hour"),
+        ((col("p_us") - col("v_us")).cast("double") / lit(60e6)).as("dur_min"))
+      .groupBy("cohort_hour")
+      .agg(count(lit(1)).as("n_conv"),
+        round(expr("percentile(dur_min, 0.5)"), 4).as("med_min"),
+        round(expr("percentile(dur_min, 0.9)"), 4).as("p90_min"),
+        round(avg("dur_min"), 4).as("avg_min"))
+      .orderBy("cohort_hour")
+  }
+
   /** MATCH_RECOGNIZE-style sequence-pattern screen (the Flink CEP /
     * Trino MATCH_RECOGNIZE capability re-expressed relationally): how
     * many users' journeys match each named pattern — direct view→buy

@@ -333,4 +333,43 @@ object Mixture {
         max("difficulty").as("max_difficulty"))
       .orderBy("phase")
   }
+
+  /** Neyman-allocation stratified sampling — the survey-statistics
+    * optimum the uniform-rate samplers here don't reach: a fixed
+    * budget (N/5) is allocated across language strata proportional to
+    * N_h·σ_h, so high-variance strata get proportionally more rows
+    * for the same total sample (minimizing the estimator's variance).
+    * The draw itself is the engine-replayable md5-fraction threshold,
+    * so the EXACT sampled set — not just its size — is reproducible
+    * anywhere. σ is over n_chars (integer-valued → exact moments).
+    *
+    * Scale shape: one stratum fold (count + stddev), a ≤arity-row
+    * allocation table broadcast back, and one map-side threshold
+    * filter + stratum fold for the realized counts — the corpus is
+    * scanned twice and shuffled never (both folds are map-side
+    * partials to a tiny domain). */
+  def neymanSample(docs: DataFrame): DataFrame = {
+    val strata = docs.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        stddev_samp(col("n_chars").cast("double")).as("sd"))
+    val tot = strata.agg(sum("n_docs").as("n_total"),
+      sum(col("n_docs").cast("double") * col("sd")).as("wsum"))
+    val alloc = strata.crossJoin(broadcast(tot)) // bounded: 1 row
+      .withColumn("alloc",
+        floor(floor(col("n_total").cast("double") / 5.0)
+          * (col("n_docs").cast("double") * col("sd")) / col("wsum")
+          + 0.5).cast("long"))
+      .withColumn("rate", least(lit(1.0),
+        col("alloc").cast("double") / col("n_docs").cast("double")))
+    val frac = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    val sampled = docs.select(col("lang"), frac.as("frac"))
+      .join(broadcast(alloc.select(col("lang"), col("rate"))), "lang")
+      .filter(col("frac") < col("rate"))
+      .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+    alloc.join(sampled, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), round(col("sd"), 2).as("sd_chars"),
+        col("alloc"), coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+      .orderBy("lang")
+  }
 }

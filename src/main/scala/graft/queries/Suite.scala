@@ -1880,4 +1880,16 @@ object Suite {
   /** One-way ANOVA of order value across order status. */
   def dqAnova(s: SparkSession, dir: String): DataFrame =
     DataQuality.anovaAudit(t(s, dir, "orders"))
+
+  /** Difference-in-differences over the md5 split and µs midpoint. */
+  def evtDid(s: SparkSession, dir: String): DataFrame =
+    Events.did(t(s, dir, "events"))
+
+  /** First-view → first-purchase latency quantiles by start hour. */
+  def evtTimeToConvert(s: SparkSession, dir: String): DataFrame =
+    Events.timeToConvert(t(s, dir, "events"))
+
+  /** Neyman-allocation stratified sample over language strata. */
+  def sampleNeyman(s: SparkSession, dir: String): DataFrame =
+    Mixture.neymanSample(t(s, dir, "documents"))
 }

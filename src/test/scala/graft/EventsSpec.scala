@@ -834,6 +834,51 @@ class EventsSpec extends SparkTestBase {
       ("2024-05-03", 3L, 3L, Some(1.0))))
   }
 
+  test("did: group-constant deltas give the exact effect and zero SE") {
+    // replicate the operator's md5 split independently so the spec can
+    // compute the expected group sizes
+    def ctl(u: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(u.toString.getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.head < '8'
+    }
+    val users = (1L to 12L)
+    val (nc, nt) = (users.count(ctl), users.count(!ctl(_)))
+    assert(nc > 0 && nt > 0, "md5 must scatter users across both groups")
+    // pre value varies by user, but the DELTA depends only on the
+    // group (ctl +2, trt +5) → did = 3 exactly, se = 0, t NULL
+    val rows = users.flatMap { u =>
+      val pre = (u % 3 + 1).toDouble
+      val post = pre + (if (ctl(u)) 2.0 else 5.0)
+      Seq((u * 10 + 1, u, Timestamp.valueOf("2024-01-01 00:00:00"), "view", pre),
+        (u * 10 + 2, u, Timestamp.valueOf("2024-01-02 00:00:00"), "view", post))
+    }
+    val df = rows.toDF("event_id", "user_id", "ts", "event_type", "value")
+    val r = Events.did(df).head()
+    assert((r.getLong(0), r.getLong(1)) == ((nc.toLong, nt.toLong)))
+    assert(r.getDouble(2) == 3.0 && r.getDouble(3) == 0.0)
+    assert(r.isNullAt(4), "zero-variance groups must yield NULL t, not NaN")
+  }
+
+  test("timeToConvert: first purchase at-or-after the first view, by start hour") {
+    val rows = Seq(
+      // u1: view 10:00 → purchase 10:30 (30 min, cohort 10)
+      (11L, 1L, Timestamp.valueOf("2024-01-01 10:00:00"), "view"),
+      (12L, 1L, Timestamp.valueOf("2024-01-01 10:30:00"), "purchase"),
+      // u2: a purchase BEFORE the first view must not count
+      (21L, 2L, Timestamp.valueOf("2024-01-01 09:00:00"), "purchase"),
+      (22L, 2L, Timestamp.valueOf("2024-01-01 09:30:00"), "view"),
+      (23L, 2L, Timestamp.valueOf("2024-01-01 10:30:00"), "purchase"),
+      // u3: never converts
+      (31L, 3L, Timestamp.valueOf("2024-01-01 11:00:00"), "view"))
+    val df = rows.toDF("event_id", "user_id", "ts", "event_type")
+    val out = Events.timeToConvert(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(out.toSeq == Seq((9L, 1L, 60.0, 60.0, 60.0),
+      (10L, 1L, 30.0, 30.0, 30.0)))
+  }
+
   test("sequenceMatch: each planted journey hits exactly its own pattern") {
     def j(u: Long, seq: Seq[String]) = seq.zipWithIndex.map { case (ty, i) =>
       (u * 100 + i, u, Timestamp.valueOf(f"2024-01-01 10:0$i%01d:00"), ty) }

@@ -228,4 +228,27 @@ class MixtureSpec extends SparkTestBase {
       (1L, 2L, 3L, 1L, 2L), (2L, 2L, 7L, 3L, 4L),
       (3L, 2L, 11L, 5L, 6L), (4L, 2L, 15L, 7L, 8L)))
   }
+
+  test("neymanSample: zero-variance strata get nothing, the draw is md5-exact") {
+    // aa: 10 docs of constant length (sd 0 → alloc 0); bb: 10 docs of
+    // 110..200 (sd 30.28); budget = floor(20/5) = 4, all to bb
+    val docs = ((1L to 10L).map(i => (i, "aa", 100L)) ++
+      (11L to 20L).map(i => (i, "bb", 100L + (i - 10) * 10)))
+      .toDF("doc_id", "lang", "n_chars")
+    // replicate the md5-fraction draw to predict bb's realized count
+    def frac(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) / 4294967296.0
+    }
+    val expBb = (11L to 20L).count(frac(_) < 0.4).toLong
+    val out = Mixture.neymanSample(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4)))
+    val sdBb = BigDecimal(math.sqrt(8250.0 / 9))
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.toSeq == Seq(("aa", 10L, 0.0, 0L, 0L),
+      ("bb", 10L, sdBb, 4L, expBb)))
+  }
 }
