@@ -237,7 +237,11 @@ object PlanAudit {
     // did (user fold → 2-row group fold → scalar pivot), time-to-convert
     // (two user folds + user equi-join, 24-row final agg), neyman
     // (stratum fold + broadcast allocation + map-side threshold)
-    "evt_did", "evt_time_to_convert", "sample_neyman")
+    "evt_did", "evt_time_to_convert", "sample_neyman",
+    // woe (fact⋈dim join + category fold + 1-row broadcast), user
+    // profile (sample pruned at the scan → one window + one fold);
+    // stream_funnel is excluded like the other streaming keys
+    "feat_woe", "feat_user_profile")
     // evt_audience_overlap is excluded like dedup_clusters: its
     // domain-sized sketch table collects eagerly at construction, so
     // only the trivial driver-built result frame would be explained

@@ -204,6 +204,9 @@ object SparkEntry {
     "evt_did" -> (Suite.evtDid _),
     "evt_time_to_convert" -> (Suite.evtTimeToConvert _),
     "sample_neyman" -> (Suite.sampleNeyman _),
+    "stream_funnel" -> (Suite.streamFunnel _),
+    "feat_woe" -> (Suite.featWoe _),
+    "feat_user_profile" -> (Suite.featUserProfile _),
     "rel_triples" -> (Suite.relTriples _),
     "mix_dedup_weight" -> (Suite.mixDedupWeight _),
     "evt_rolling_distinct_hll" -> (Suite.evtRollingDistinctHll _),
@@ -3131,6 +3134,59 @@ object SparkEntry {
         |SELECT ar.lang, ar.n_docs, round(ar.sd, 2) AS sd_chars, ar.alloc,
         |  COALESCE(sm.n_sampled, 0) AS n_sampled
         |FROM ar LEFT JOIN sm ON ar.lang = sm.lang ORDER BY ar.lang""".stripMargin,
+    // drained CEP state ≡ chained min-aggregates (order-free set logic)
+    "stream_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |v AS (SELECT user_id, min(us) AS v_us FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.us) AS c_us FROM e
+        |  JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.us >= v.v_us GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.us) AS p_us FROM e
+        |  JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.us >= c.c_us GROUP BY 1)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |  (SELECT count(*) FROM c) AS n_click_after_view,
+        |  (SELECT count(*) FROM p) AS n_purchase_after_click""".stripMargin,
+    // exact integer counts → deterministic WoE ratios; iv in basis
+    // points, both portable-rounded
+    "feat_woe" ->
+      """WITH j AS (SELECT c.c_mktsegment, (o.o_orderstatus = 'F') AS pos
+        |    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |st AS (SELECT c_mktsegment, count(*) AS n,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        |  FROM j GROUP BY 1),
+        |s2 AS (SELECT c_mktsegment, n, n_pos, n - n_pos AS n_neg FROM st),
+        |tt AS (SELECT CAST(sum(n_pos) AS DOUBLE) AS tp,
+        |    CAST(sum(n_neg) AS DOUBLE) AS tn FROM s2)
+        |SELECT c_mktsegment AS segment, n, n_pos, n_neg,
+        |  CAST(floor(ln((CAST(n_pos AS DOUBLE) / tp)
+        |    / (CAST(n_neg AS DOUBLE) / tn)) * 10000.0 + 0.5) AS DOUBLE)
+        |    / 10000.0 AS woe,
+        |  CAST(floor(((CAST(n_pos AS DOUBLE) / tp)
+        |      - (CAST(n_neg AS DOUBLE) / tn))
+        |    * ln((CAST(n_pos AS DOUBLE) / tp) / (CAST(n_neg AS DOUBLE) / tn))
+        |    * 10000.0 * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS iv_bp
+        |FROM s2 CROSS JOIN tt ORDER BY segment""".stripMargin,
+    // user-local features: the sample prunes at the scan; lag window
+    // then one fold, 30-min session boundary in integer µs
+    "feat_user_profile" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events
+        |  WHERE user_id % 10 = 0),
+        |g AS (SELECT user_id, us, value,
+        |    us - lag(us) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS gap FROM e)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  CAST(floor(CAST(max(us) - min(us) AS DOUBLE) / 86400e6 * 10000.0
+        |    + 0.5) AS DOUBLE) / 10000.0 AS tenure_days,
+        |  round(avg(CASE WHEN gap IS NOT NULL
+        |    THEN CAST(gap AS DOUBLE) / 60e6 END), 4) AS avg_gap_min,
+        |  round(sum(value), 2) AS sum_value
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
     "evt_survival_km" ->
       """WITH u AS (SELECT user_id,
         |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS f,

@@ -50,4 +50,71 @@ object Features {
           .as("te_loo"))
       .orderBy("l_orderkey", "l_linenumber")
   }
+
+  /** Weight-of-Evidence encoding + Information Value — the
+    * credit-scoring categorical encoder: per category,
+    * WoE = ln((pos_c/pos_tot)/(neg_c/neg_tot)), and the IV
+    * contribution (pos% − neg%)·WoE that ranks features by predictive
+    * power before any model is trained. Binary target: order fell
+    * through (status 'F'); categorical: the customer's market segment.
+    *
+    * Scale shape: one fact⋈dimension equi-join (dimension keyed,
+    * broadcastable at dim ≪ fact; Catalyst picks by size), ONE
+    * category fold of exact integer counts — so the WoE ratio is
+    * deterministic IEEE — and a 1-row totals broadcast. */
+  def woeEncode(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val j = orders
+      .select(col("o_custkey"), (col("o_orderstatus") === "F").as("pos"))
+      .join(customer.select(col("c_custkey").as("o_custkey"),
+        col("c_mktsegment")), "o_custkey")
+    val st = j.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"))
+      .withColumn("n_neg", col("n") - col("n_pos"))
+    val tot = st.agg(sum("n_pos").cast("double").as("tp"),
+      sum("n_neg").cast("double").as("tn"))
+    val pr = col("n_pos").cast("double") / col("tp")
+    val nr = col("n_neg").cast("double") / col("tn")
+    val woe = log(pr / nr)
+    st.crossJoin(broadcast(tot)) // bounded: 1 row
+      .select(col("c_mktsegment").as("segment"), col("n"), col("n_pos"),
+        col("n_neg"), Num.pround(woe, 4).as("woe"),
+        Num.pround((pr - nr) * woe * 10000.0, 4).as("iv_bp"))
+      .orderBy("segment")
+  }
+
+  /** Feature-store materialization — ONE pass over the event log
+    * produces a whole per-user feature row (frequency, recency,
+    * tenure, session count, mean gap, monetary sum): the "user
+    * features as of now" table an online model trains on. The session
+    * count and gaps need event adjacency, so the plan is one user
+    * window (lag) feeding one user fold — two shuffles total on the
+    * same key, never one per feature.
+    *
+    * Every feature is user-local, so the deterministic user sample
+    * (user_id % sampleMod == 0) prunes BEFORE the window — at the
+    * scan — and the window/fold only ever touch the slice (unlike
+    * targetEncodeLoo, whose statistics are global). */
+  def userProfile(events: DataFrame, gapMinutes: Int = 30,
+      sampleMod: Long = 10L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .filter(col("user_id") % sampleMod === 0)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("gap", col("us") - lag("us", 1).over(w))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        (sum(when(col("gap").isNull || col("gap") > gapUs, 1L)
+          .otherwise(0L))).as("n_sessions"),
+        Num.pround((max("us") - min("us")).cast("double") / lit(86400e6), 4)
+          .as("tenure_days"),
+        round(avg(when(col("gap").isNotNull,
+          col("gap").cast("double") / 60e6)), 4).as("avg_gap_min"),
+        round(sum("value"), 2).as("sum_value"))
+      .orderBy("user_id")
+  }
 }

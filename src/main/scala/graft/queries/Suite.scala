@@ -1892,4 +1892,16 @@ object Suite {
   /** Neyman-allocation stratified sample over language strata. */
   def sampleNeyman(s: SparkSession, dir: String): DataFrame =
     Mixture.neymanSample(t(s, dir, "documents"))
+
+  /** Streaming CEP funnel: view → click → purchase stage counts. */
+  def streamFunnel(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.funnelStages(s, s"$dir/events.parquet")
+
+  /** Weight-of-evidence + information value per market segment. */
+  def featWoe(s: SparkSession, dir: String): DataFrame =
+    Features.woeEncode(t(s, dir, "orders"), t(s, dir, "customer"))
+
+  /** One-pass per-user feature-store row over the sampled user slice. */
+  def featUserProfile(s: SparkSession, dir: String): DataFrame =
+    Features.userProfile(t(s, dir, "events"))
 }

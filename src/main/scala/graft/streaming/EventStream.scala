@@ -465,6 +465,63 @@ object EventStream {
       .orderBy("user_id")
   }
 
+  /** Per-user funnel progression state: earliest view, earliest click
+    * at-or-after that view, earliest purchase at-or-after that click
+    * (Long.MaxValue = stage not reached). */
+  case class FunnelProgress(vMin: Long, cMin: Long, pMin: Long)
+
+  /** Streaming funnel — the CEP stage machine (Flink's CEP / the
+    * streaming face of the batch funnel): per-user custom state tracks
+    * how far each user has progressed through view → click → purchase,
+    * updated per micro-batch via flatMapGroupsWithState. The fold is
+    * ORDER-FREE set logic within a batch (earliest view, earliest
+    * click ≥ it, earliest purchase ≥ that), so iterator order can't
+    * change the answer; minima only ever decrease, making the per-user
+    * output monotone and the state 24 bytes. Cross-batch late events
+    * below an already-anchored stage share the sessionStats caveat
+    * (exact placement needs a watermarked buffer); a single
+    * AvailableNow batch — the oracle setup — is exact.
+    *
+    * Scale shape: state is 3 longs per user; the drained per-user
+    * table folds to a single 3-counter row. */
+  def funnelStages(spark0: SparkSession, path: String): DataFrame = {
+    val spark = spark0.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    import spark.implicits._
+    val M = Long.MaxValue
+    val src = source(spark, path)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .as[(Long, Long, String)]
+    val stages = src.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, String)],
+            state: GroupState[FunnelProgress]) =>
+          val evs = rows.toArray
+          val s = state.getOption.getOrElse(FunnelProgress(M, M, M))
+          def minOf(ty: String, atLeast: Long): Long =
+            evs.iterator.filter(e => e._3 == ty && e._2 >= atLeast)
+              .map(_._2).foldLeft(M)(math.min)
+          // stage anchors only move EARLIER: prior-batch anchors stay
+          // valid because the lower bound they satisfied only decreases
+          val vMin = math.min(s.vMin, minOf("view", Long.MinValue))
+          val cMin = if (vMin == M) M else math.min(s.cMin, minOf("click", vMin))
+          val pMin = if (cMin == M) M else math.min(s.pMin, minOf("purchase", cMin))
+          state.update(FunnelProgress(vMin, cMin, pMin))
+          Iterator.single((uid, vMin != M, cMin != M, pMin != M))
+      }
+    val fin = runToMemory(spark,
+      stages.toDF("user_id", "s1", "s2", "s3"), "update")
+      .groupBy("user_id") // flags are monotone: max = final state
+      .agg(max(col("s1").cast("int")).as("s1"),
+        max(col("s2").cast("int")).as("s2"),
+        max(col("s3").cast("int")).as("s3"))
+    fin.agg(sum("s1").cast("long").as("n_view"),
+      sum("s2").cast("long").as("n_click_after_view"),
+      sum("s3").cast("long").as("n_purchase_after_click"))
+  }
+
   /** Streaming per-window top-k: live "trending event types per day".
     * Streaming STATE is only the (window × type) counters — a stateful
     * windowed aggregate exactly like [[hourlyCounts]] (partials merge

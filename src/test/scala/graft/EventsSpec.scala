@@ -834,6 +834,32 @@ class EventsSpec extends SparkTestBase {
       ("2024-05-03", 3L, 3L, Some(1.0))))
   }
 
+  test("funnelStages: stage anchors respect at-or-after ordering") {
+    val dir = java.nio.file.Files.createTempDirectory("sfun_").toString
+    Seq(
+      // u1: full journey
+      (11L, 1L, Timestamp.valueOf("2024-01-01 10:00:00"), "view", 1.0),
+      (12L, 1L, Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0),
+      (13L, 1L, Timestamp.valueOf("2024-01-01 10:10:00"), "purchase", 1.0),
+      // u2: click BEFORE the first view must not open stage 2,
+      // so the purchase can't open stage 3 either
+      (21L, 2L, Timestamp.valueOf("2024-01-01 09:00:00"), "click", 1.0),
+      (22L, 2L, Timestamp.valueOf("2024-01-01 09:30:00"), "view", 1.0),
+      (23L, 2L, Timestamp.valueOf("2024-01-01 10:00:00"), "purchase", 1.0),
+      // u3: click at the SAME instant as the view counts (>= semantics)
+      (31L, 3L, Timestamp.valueOf("2024-01-01 10:00:00"), "view", 1.0),
+      (32L, 3L, Timestamp.valueOf("2024-01-01 10:00:00"), "click", 1.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stage")
+    val part = new java.io.File(s"$dir/stage").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val r = graft.streaming.EventStream
+      .funnelStages(spark, s"$dir/events.parquet").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 2L, 1L)))
+  }
+
   test("did: group-constant deltas give the exact effect and zero SE") {
     // replicate the operator's md5 split independently so the spec can
     // compute the expected group sizes

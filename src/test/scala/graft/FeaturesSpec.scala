@@ -31,4 +31,43 @@ class FeaturesSpec extends SparkTestBase {
     // LOO for a normal row includes the outlier → (8*10+1000)/9
     assert(out(1L) == 120.0)
   }
+
+  test("woeEncode: hand-checked WoE and IV against the same formula") {
+    def pround(x: Double, dp: Int): Double = {
+      val f = math.pow(10, dp); math.floor(x * f + 0.5) / f
+    }
+    // S1: 1 pos / 1 neg; S2: 1 pos / 3 neg → tp=2, tn=4
+    val orders = Seq((1L, "F"), (2L, "O"), (3L, "F"), (4L, "O"),
+      (5L, "O"), (6L, "P")).map { case (k, st) => (k, st) }
+      .toDF("o_custkey", "o_orderstatus")
+    val cust = Seq((1L, "S1"), (2L, "S1"), (3L, "S2"), (4L, "S2"),
+      (5L, "S2"), (6L, "S2")).toDF("c_custkey", "c_mktsegment")
+    val out = graft.operators.Features.woeEncode(orders, cust).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    def woe(pr: Double, nr: Double) = math.log(pr / nr)
+    assert(out.toSeq == Seq(
+      ("S1", 2L, 1L, 1L, pround(woe(0.5, 0.25), 4),
+        pround((0.5 - 0.25) * woe(0.5, 0.25) * 10000.0, 4)),
+      ("S2", 4L, 1L, 3L, pround(woe(0.5, 0.75), 4),
+        pround((0.5 - 0.75) * woe(0.5, 0.75) * 10000.0, 4))))
+  }
+
+  test("userProfile: sessions, tenure, gaps, and spend from one planted user") {
+    import java.sql.Timestamp
+    val rows = Seq(
+      (1L, 10L, Timestamp.valueOf("2024-01-01 10:00:00"), 1.5),
+      (2L, 10L, Timestamp.valueOf("2024-01-01 10:10:00"), 2.5),
+      (3L, 10L, Timestamp.valueOf("2024-01-01 11:00:00"), 3.0),
+      (4L, 11L, Timestamp.valueOf("2024-01-01 12:00:00"), 9.9)) // not sampled
+      .toDF("event_id", "user_id", "ts", "value")
+    val out = graft.operators.Features.userProfile(rows).collect()
+    assert(out.length == 1)
+    val r = out.head
+    // gaps 10 min (same session) and 50 min (new session) → 2 sessions;
+    // tenure 1h = 0.0417 days; avg gap (10+50)/2 = 30
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+      r.getDouble(4), r.getDouble(5)) ==
+      ((10L, 3L, 2L, 0.0417, 30.0, 7.0)))
+  }
 }
