@@ -241,7 +241,11 @@ object PlanAudit {
     // woe (fact⋈dim join + category fold + 1-row broadcast), user
     // profile (sample pruned at the scan → one window + one fold);
     // stream_funnel is excluded like the other streaming keys
-    "feat_woe", "feat_user_profile")
+    "feat_woe", "feat_user_profile",
+    // priority SLA + temporal audit (each one fact⋈fact equi-join +
+    // domain fold); ivfpq (probe join over the byte-code index +
+    // candidate re-rank — index build collects eagerly like sim_ivf)
+    "rel_priority_sla", "dq_temporal", "sim_ivfpq_topk")
     // evt_audience_overlap is excluded like dedup_clusters: its
     // domain-sized sketch table collects eagerly at construction, so
     // only the trivial driver-built result frame would be explained

@@ -207,6 +207,9 @@ object SparkEntry {
     "stream_funnel" -> (Suite.streamFunnel _),
     "feat_woe" -> (Suite.featWoe _),
     "feat_user_profile" -> (Suite.featUserProfile _),
+    "sim_ivfpq_topk" -> (Suite.simIvfpqTopk _),
+    "rel_priority_sla" -> (Suite.relPrioritySla _),
+    "dq_temporal" -> (Suite.dqTemporal _),
     "rel_triples" -> (Suite.relTriples _),
     "mix_dedup_weight" -> (Suite.mixDedupWeight _),
     "evt_rolling_distinct_hll" -> (Suite.evtRollingDistinctHll _),
@@ -3187,6 +3190,37 @@ object SparkEntry {
         |    THEN CAST(gap AS DOUBLE) / 60e6 END), 4) AS avg_gap_min,
         |  round(sum(value), 2) AS sum_value
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // DATE-cast day arithmetic so both engines count identical days
+    "rel_priority_sla" ->
+      """WITH j AS (SELECT o.o_orderpriority AS priority,
+        |    date_diff('day', CAST(o.o_orderdate AS DATE),
+        |      CAST(l.l_shipdate AS DATE)) AS lag_days
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |s AS (SELECT priority, CAST(lag_days AS BIGINT) AS lag_days,
+        |    lag_days > (CASE priority WHEN '1-URGENT' THEN 7
+        |      WHEN '2-HIGH' THEN 14 WHEN '3-MEDIUM' THEN 30
+        |      WHEN '4-NOT SPECIFIED' THEN 60 ELSE 90 END) AS late
+        |  FROM j)
+        |SELECT priority, count(*) AS n_items,
+        |  CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |  round(avg(CAST(lag_days AS DOUBLE)), 4) AS avg_lag_days,
+        |  CAST(floor(CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS late_rate
+        |FROM s GROUP BY priority ORDER BY priority""".stripMargin,
+    "dq_temporal" ->
+      """WITH j AS (SELECT year(o.o_orderdate) AS order_year,
+        |    date_diff('day', CAST(o.o_orderdate AS DATE),
+        |      CAST(l.l_shipdate AS DATE)) AS lag_days
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |SELECT CAST(order_year AS BIGINT) AS order_year, count(*) AS n_items,
+        |  CAST(sum(CASE WHEN lag_days < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violations,
+        |  CAST(min(lag_days) AS BIGINT) AS min_lag_days,
+        |  CAST(max(lag_days) AS BIGINT) AS max_lag_days,
+        |  CAST(floor(CAST(sum(CASE WHEN lag_days < 0 THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / count(*) * 10000.0 + 0.5) AS DOUBLE) / 10000.0
+        |    AS violation_rate
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "evt_survival_km" ->
       """WITH u AS (SELECT user_id,
         |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS f,

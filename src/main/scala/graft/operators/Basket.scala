@@ -418,6 +418,38 @@ object Basket {
       .orderBy("yr")
   }
 
+  /** Order-priority SLA audit — "are urgent orders actually shipped
+    * faster?": each priority class gets a ship-by window (urgent 7d …
+    * low 90d), and the audit reports the late fraction per class plus
+    * the mean ship lag. Day arithmetic runs on DATE-cast values so
+    * both engines count identical calendar days (timestamps in the
+    * data are midnight-aligned, but the cast makes the semantics
+    * explicit rather than incidental).
+    *
+    * Scale shape: one fact⋈fact equi-join on the order key (the
+    * standard lineitem/orders co-shuffle — bucketing or AQE handles
+    * it at scale), one priority-domain fold. */
+  def prioritySla(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val sla = when(col("o_orderpriority") === "1-URGENT", 7)
+      .when(col("o_orderpriority") === "2-HIGH", 14)
+      .when(col("o_orderpriority") === "3-MEDIUM", 30)
+      .when(col("o_orderpriority") === "4-NOT SPECIFIED", 60)
+      .otherwise(90)
+    val lag = datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+    lineitem.select(col("l_orderkey"), col("l_shipdate"))
+      .join(orders.select(col("o_orderkey").as("l_orderkey"),
+        col("o_orderdate"), col("o_orderpriority")), "l_orderkey")
+      .select(col("o_orderpriority").as("priority"),
+        lag.cast("long").as("lag_days"), (lag > sla).as("late"))
+      .groupBy("priority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
+        round(avg(col("lag_days").cast("double")), 4).as("avg_lag_days"))
+      .withColumn("late_rate",
+        Num.pround(col("n_late").cast("double") / col("n_items").cast("double"), 4))
+      .orderBy("priority")
+  }
+
   def topMovers(lineitem: DataFrame, orders: DataFrame, part: DataFrame,
       splitYear: Int = 1997): DataFrame = {
     import org.apache.spark.sql.expressions.Window

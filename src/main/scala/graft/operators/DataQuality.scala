@@ -257,6 +257,32 @@ object DataQuality {
       round(ssb / sst, 6).as("eta_sq"))
   }
 
+  /** Cross-table temporal-integrity audit — the time-order sibling of
+    * the referential audit: does the child event precede its parent
+    * (ship before order)? Reports, per order year, the violation count
+    * and the lag distribution extremes — the screen that catches
+    * timezone-shifted loads and generator artifacts (this synthetic
+    * data DOES ship ~half its lines before the order date, which is
+    * exactly what the audit is for). One equi-join + one year-domain
+    * fold; all arithmetic integer calendar days. */
+  def temporalAudit(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val lag = datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+    lineitem.select(col("l_orderkey"), col("l_shipdate"))
+      .join(orders.select(col("o_orderkey").as("l_orderkey"),
+        col("o_orderdate")), "l_orderkey")
+      .select(year(col("o_orderdate")).cast("long").as("order_year"),
+        lag.cast("long").as("lag_days"))
+      .groupBy("order_year")
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("lag_days") < 0, 1L).otherwise(0L)).as("n_violations"),
+        min("lag_days").as("min_lag_days"),
+        max("lag_days").as("max_lag_days"))
+      .withColumn("violation_rate",
+        Num.pround(col("n_violations").cast("double")
+          / col("n_items").cast("double"), 4))
+      .orderBy("order_year")
+  }
+
   /** Referential-integrity audit — the foreign-key orphan screen every
     * warehouse load runs ("do all child keys resolve to a parent?"):
     * for each declared (child, fk) → (parent, pk) relation, the child

@@ -274,6 +274,174 @@ object Similarity {
     rankTopK(cands, k)
   }
 
+  /** Driver-side coarse-quantizer training over a BOUNDED sample:
+    * deterministic Gonzalez farthest-point init (covers every
+    * well-separated region the sample reaches) + Lloyd refinement.
+    * All O(|sample|·k·dim) on the driver — the FAISS practice of
+    * training the quantizer on a sample, never the corpus. */
+  private def trainCoarse(sample: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val picked = scala.collection.mutable.ArrayBuffer(sample.head)
+    while (picked.length < k) {
+      var bestI = 0; var bestD = -1.0
+      var i = 0
+      while (i < sample.length) {
+        val md = picked.iterator.map(c => d2(sample(i), c)).min
+        if (md > bestD) { bestD = md; bestI = i }
+        i += 1
+      }
+      picked += sample(bestI)
+    }
+    var cents = picked.toArray
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(k)(new Array[Double](sample.head.length))
+      val cnts = new Array[Int](k)
+      sample.foreach { v =>
+        var best = 0; var bd = Double.MaxValue
+        var j = 0
+        while (j < k) { val d = d2(v, cents(j)); if (d < bd) { bd = d; best = j }; j += 1 }
+        cnts(best) += 1
+        var p = 0
+        while (p < v.length) { sums(best)(p) += v(p); p += 1 }
+      }
+      cents = cents.indices.map { j =>
+        if (cnts(j) == 0) cents(j)
+        else sums(j).map(_ / cnts(j))
+      }.toArray
+    }
+    cents
+  }
+
+  /** IVF-PQ composite index — the production FAISS layout, composing
+    * [[ivfTopK]]'s coarse quantizer with [[pqTopK]]'s product codes
+    * OVER THE RESIDUALS (vector − assigned centroid), which is where
+    * PQ earns its accuracy: residuals are centered near zero, so a
+    * small codebook covers them far better than raw vectors. The
+    * stored index is (centroid_id, m one-byte codes) per vector —
+    * 64-dim float32 → 4+8 bytes (≈21×); a query probes its `nprobe`
+    * nearest lists, scores candidates by ADC inner product
+    * dot(q, centroid) + dot(q, recon_residual) — two native codegen'd
+    * DotProducts over broadcast codebook literals, nothing interpreted
+    * in the scan — and the top k·refine re-rank against true
+    * embeddings (candidates only). Residual construction uses one
+    * build-time zip_with (the quantize() precedent: interpreted HOFs
+    * are acceptable off the hot path). Centroid and codebook samples
+    * are the deterministic hash-stride collects, both O(√N)-bounded.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      numCentroids: Int = -1, nprobe: Int = 4, m: Int = 8,
+      codebookSize: Int = 32, refine: Int = 8): DataFrame = {
+    import org.apache.spark.sql.Row
+    val dim = corpus.select(size(col("embedding"))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val d0 = dim / m
+    val n = corpus.count()
+    val c = if (numCentroids > 0) numCentroids
+      else math.max(4, math.sqrt(n.toDouble).toInt)
+    def firstK(df: DataFrame, kk: Int, emb: String): Array[Array[Double]] = df
+      .orderBy("vec_id").limit(kk)
+      .select(col(emb).cast("array<double>"))
+      .collect().map((r: Row) => r.getSeq[Double](0).toArray)
+    // train the coarse quantizer on a bounded hash-stride sample, the
+    // FAISS recipe: raw sampled VECTORS as centroids leave any cluster
+    // the sample missed with huge residuals the PQ codebook cannot
+    // encode (measured: recall 0.74 → 1.0 on the planted-cluster spec);
+    // Gonzalez + Lloyd on the driver-side sample covers every
+    // well-separated region. Sample is 8c (≥512) vectors — for √N
+    // centroids at extreme scale swap in the distributed kMeans.
+    val sampleSize = math.max(8 * c, 512)
+    val stepS = math.max(1L, n / sampleSize)
+    val tsample = firstK(corpus.filter(
+      pmod(xxhash64(col("vec_id")), lit(stepS)) === 0), sampleSize, "embedding")
+    val train = if (tsample.length >= math.max(1, (sampleSize + 1) / 4)) tsample
+      else firstK(corpus, sampleSize, "embedding")
+    val cents = trainCoarse(train, math.min(c, train.length), 5)
+    val centsLit = array(cents.map(cw => array(cw.map(lit): _*)): _*)
+    def centScores(emb: Column, norm: Column): Column =
+      array(cents.map { cv =>
+        val cl = array(cv.map(lit): _*)
+        dot(emb, cl) / (norm * math.sqrt(cv.map(x => x * x).sum))
+      }: _*)
+    val resDf = withNorm(corpus, "embedding", "norm")
+      .withColumn("__scores", centScores(col("embedding"), col("norm")))
+      .withColumn("centroid_id",
+        expr("array_position(__scores, array_max(__scores)) - 1").cast("int"))
+      .select(col("vec_id"), col("centroid_id"),
+        zip_with(col("embedding").cast("array<double>"),
+          element_at(centsLit, col("centroid_id") + 1),
+          (a, b) => a - b).as("resid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stepR = math.max(1L, n / codebookSize)
+    def residSample(df: DataFrame): Array[Array[Double]] = df
+      .orderBy("vec_id").limit(codebookSize)
+      .select(col("resid")).collect()
+      .map((r: Row) => r.getSeq[Double](0).toArray)
+    val rs = residSample(
+      resDf.filter(pmod(xxhash64(col("vec_id")), lit(stepR)) === 0))
+    val rsample = if (rs.length >= math.max(1, (codebookSize + 1) / 2)) rs
+      else residSample(resDf)
+    val cb: Array[Array[Array[Double]]] =
+      Array.tabulate(rsample.length)(t => rsample(t).grouped(d0).toArray).transpose
+    def codeExpr(j: Int): Column = {
+      val sub = expr(s"slice(resid, ${j * d0 + 1}, $d0)")
+      val scores = array(cb(j).map { cw =>
+        val cwLit = array(cw.map(lit): _*)
+        dot(sub, cwLit) * 2.0 - lit(cw.map(x => x * x).sum)
+      }: _*)
+      (array_position(scores, array_max(scores)) - 1).cast("tinyint")
+    }
+    val codes = resDf
+      .select(col("vec_id"), col("centroid_id"),
+        array((0 until m).map(codeExpr): _*).as("codes"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q0 = withNorm(queries.select(col("vec_id").as("qid"),
+      col("embedding").cast("array<double>").as("qemb")), "qemb", "qnorm")
+      .withColumn("__scores", centScores(col("qemb"), col("qnorm")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probed = q0.select(col("qid"), col("qemb"), col("qnorm"),
+      explode(expr(
+        s"slice(array_sort(transform(__scores, (s, i) -> named_struct('ns', -s, 'ci', i))), 1, $nprobe)"))
+        .as("p"))
+      .select(col("qid"), col("qemb"), col("qnorm"),
+        col("p.ci").as("centroid_id"))
+    val rrec = flatten(array((0 until m).map { j =>
+      val cbLit = array(cb(j).map(cw => array(cw.map(lit): _*)): _*)
+      element_at(cbLit, element_at(col("codes"), j + 1).cast("int") + 1)
+    }: _*))
+    // ADC scan over the byte-code index only: approximate COSINE, not
+    // raw inner product — candidate norms vary, and IP ranking would
+    // crowd true neighbors out of the refine set with high-norm
+    // vectors. |recon|² expands to |c|² + 2·c·r + |r|² where |c|² is a
+    // per-centroid literal and the two dots are native codegen'd.
+    val centNormSq = array(cents.map(cv => lit(cv.map(x => x * x).sum)): _*)
+    val cand = codes.join(broadcast(probed), "centroid_id")
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("__cdot",
+        dot(element_at(centsLit, col("centroid_id") + 1), rrec))
+      .select(col("qid"), col("vec_id").as("nid"),
+        ((dot(col("qemb"), element_at(centsLit, col("centroid_id") + 1))
+          + dot(col("qemb"), rrec))
+          / (col("qnorm") * sqrt(
+            element_at(centNormSq, col("centroid_id") + 1)
+              + lit(2.0) * col("__cdot") + dot(rrec, rrec)))).as("sim"))
+      .groupBy("qid", "nid").agg(max("sim").as("sim"))
+    val cands = rankTopK(cand, k * refine)
+      .select(col("vec_id").as("qid"), col("neighbor_id").as("nid"))
+    val cfull = withNorm(corpus.select(col("vec_id").as("nid"),
+      col("embedding").as("nemb")), "nemb", "nnorm")
+    val exact = cands.join(cfull, "nid")
+      .join(broadcast(q0.select(col("qid"), col("qemb"), col("qnorm"))), "qid")
+      .select(col("qid"), col("nid"),
+        cosinePrenormed(dot(col("qemb"), col("nemb")),
+          col("qnorm"), col("nnorm")).as("sim"))
+    rankTopK(exact, k)
+  }
+
   /** Dedup-threshold calibration sweep: exact pair-similarity counts
     * at a ladder of cosine thresholds over a DETERMINISTIC sample —
     * the curve a team reads before committing a near-dup threshold

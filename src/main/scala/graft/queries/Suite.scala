@@ -1904,4 +1904,20 @@ object Suite {
   /** One-pass per-user feature-store row over the sampled user slice. */
   def featUserProfile(s: SparkSession, dir: String): DataFrame =
     Features.userProfile(t(s, dir, "events"))
+
+  /** IVF-PQ composite ANN over the bounded query set (rows-only; the
+    * planted-cluster recall spec carries the quality bar — synthetic
+    * embeddings are near-uniform, see sim_ann_lsh). */
+  def simIvfpqTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 20), 5)
+  }
+
+  /** Priority-class SLA audit over ship lags. */
+  def relPrioritySla(s: SparkSession, dir: String): DataFrame =
+    Basket.prioritySla(t(s, dir, "lineitem"), t(s, dir, "orders"))
+
+  /** Cross-table temporal-integrity audit (ship-before-order). */
+  def dqTemporal(s: SparkSession, dir: String): DataFrame =
+    DataQuality.temporalAudit(t(s, dir, "lineitem"), t(s, dir, "orders"))
 }

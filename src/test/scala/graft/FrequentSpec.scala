@@ -240,6 +240,25 @@ class FrequentSpec extends SparkTestBase {
     assert(!out.contains("c>a"), "reverse-order pair is below 0.5 support")
   }
 
+  test("prioritySla: urgent SLA flags the slow line, low SLA forgives it") {
+    import graft.operators.Basket
+    import java.sql.Timestamp
+    val orders = Seq(
+      (1L, Timestamp.valueOf("1995-01-01 00:00:00"), "1-URGENT"),
+      (2L, Timestamp.valueOf("1995-01-01 00:00:00"), "5-LOW"))
+      .toDF("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Seq(
+      (1L, Timestamp.valueOf("1995-01-05 00:00:00")), // lag 4 ≤ 7
+      (1L, Timestamp.valueOf("1995-02-01 00:00:00")), // lag 31 > 7: late
+      (2L, Timestamp.valueOf("1995-02-01 00:00:00"))) // lag 31 ≤ 90
+      .toDF("l_orderkey", "l_shipdate")
+    val out = Basket.prioritySla(li, orders).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(out.toSeq == Seq(("1-URGENT", 2L, 1L, 17.5, 0.5),
+      ("5-LOW", 1L, 0L, 31.0, 0.0)))
+  }
+
   test("yoyGrowth: first year NULL, then the exact growth percentage") {
     import graft.operators.Basket
     val orders = Seq(

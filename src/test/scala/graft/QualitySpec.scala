@@ -359,6 +359,18 @@ class QualitySpec extends SparkTestBase {
     assert(out("validation|test") == ((1L, (nVa + nTe).toLong)))
   }
 
+  test("temporalAudit: a ship-before-order line is a violation with its lag") {
+    import java.sql.Timestamp
+    val orders = Seq((1L, Timestamp.valueOf("1995-03-01 00:00:00")))
+      .toDF("o_orderkey", "o_orderdate")
+    val li = Seq((1L, Timestamp.valueOf("1995-02-24 00:00:00")),
+      (1L, Timestamp.valueOf("1995-03-11 00:00:00")))
+      .toDF("l_orderkey", "l_shipdate")
+    val r = DataQuality.temporalAudit(li, orders).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getDouble(5)) == ((1995L, 2L, 1L, -5L, 10L, 0.5)))
+  }
+
   test("anovaAudit: textbook two-group F and eta-squared") {
     // A={1,2,3}, B={4,5,6}: SSB=13.5, SSW=4, F=(13.5/1)/(4/4)=13.5,
     // eta2 = 13.5/17.5 = 0.771429 (6dp)

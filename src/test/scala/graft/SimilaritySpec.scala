@@ -212,6 +212,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(direct.forall(c => math.abs(c - 1.0) < 1e-12)) // self-cosine = 1
   }
 
+  test("IVF-PQ recall >= 0.9 vs brute force on a clustered corpus") {
+    val r = new scala.util.Random(41)
+    val dim = 64
+    val rows = (0 until 40).flatMap { c =>
+      val center = Array.fill(dim)(r.nextGaussian())
+      (0 until 25).map(m => (c.toLong * 25 + m,
+        center.map(x => (x + 0.15 * r.nextGaussian()).toFloat)))
+    }
+    val e = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val qs = e.filter(col("vec_id") % 25 === 0) // one query per cluster
+    val brute = Similarity.topKExact(e, qs, 5).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val ann = Similarity.ivfPqTopK(e, qs, 5, numCentroids = 32, nprobe = 8)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val recall = (brute intersect ann).size.toDouble / brute.size
+    info(f"IVF-PQ recall vs brute force: $recall%.3f")
+    assert(recall >= 0.9, f"recall $recall%.3f below 0.9")
+  }
+
   test("IVF ANN recall >= 0.9 vs brute force on a clustered corpus") {
     val r = new scala.util.Random(13)
     val dim = 64
