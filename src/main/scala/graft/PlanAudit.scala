@@ -245,7 +245,11 @@ object PlanAudit {
     // priority SLA + temporal audit (each one fact⋈fact equi-join +
     // domain fold); ivfpq (probe join over the byte-code index +
     // candidate re-rank — index build collects eagerly like sim_ivf)
-    "rel_priority_sla", "dq_temporal", "sim_ivfpq_topk")
+    "rel_priority_sla", "dq_temporal", "sim_ivfpq_topk",
+    // keyphrase (one persisted phrase explode feeding word/phrase folds
+    // + phrase-domain score join + TakeOrdered), heaps (row-local
+    // points, one moment agg); stream_hll_distinct excluded (streaming)
+    "text_keyphrase", "text_heaps")
     // evt_audience_overlap is excluded like dedup_clusters: its
     // domain-sized sketch table collects eagerly at construction, so
     // only the trivial driver-built result frame would be explained

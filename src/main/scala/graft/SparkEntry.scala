@@ -210,6 +210,9 @@ object SparkEntry {
     "sim_ivfpq_topk" -> (Suite.simIvfpqTopk _),
     "rel_priority_sla" -> (Suite.relPrioritySla _),
     "dq_temporal" -> (Suite.dqTemporal _),
+    "text_keyphrase" -> (Suite.textKeyphrase _),
+    "text_heaps" -> (Suite.textHeaps _),
+    "stream_hll_distinct" -> (Suite.streamHllDistinct _),
     "rel_triples" -> (Suite.relTriples _),
     "mix_dedup_weight" -> (Suite.mixDedupWeight _),
     "evt_rolling_distinct_hll" -> (Suite.evtRollingDistinctHll _),
@@ -3221,6 +3224,47 @@ object SparkEntry {
         |      AS DOUBLE) / count(*) * 10000.0 + 0.5) AS DOUBLE) / 10000.0
         |    AS violation_rate
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // RAKE: every quantity an integer count, scores deterministic
+    // rationals; regexp_replace needs the 'g' flag in DuckDB
+    "text_keyphrase" ->
+      """WITH ph0 AS (SELECT unnest(string_split(regexp_replace(lower(text),
+        |    '\b(the|a|and|of|to|in|is|that|on|for|with|as|by|an|be|or|it)\b',
+        |    '|', 'g'), '|')) AS p0 FROM documents),
+        |ph AS (SELECT trim(regexp_replace(p0, '\s+', ' ', 'g')) AS phrase
+        |  FROM ph0),
+        |phv AS (SELECT phrase, string_split(phrase, ' ') AS words FROM ph
+        |  WHERE phrase <> ''),
+        |phx AS (SELECT phrase, words FROM phv WHERE len(words) <= 4),
+        |pw AS (SELECT phrase, len(words) AS plen, unnest(words) AS word
+        |  FROM phx),
+        |ws AS (SELECT word, count(*) AS freq,
+        |    CAST(sum(plen) AS BIGINT) AS deg FROM pw GROUP BY 1),
+        |pc AS (SELECT phrase, count(*) AS n_occurrences FROM phx GROUP BY 1),
+        |dw AS (SELECT phrase, unnest(string_split(phrase, ' ')) AS word
+        |  FROM pc),
+        |ps AS (SELECT dw.phrase,
+        |    sum(CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE)) AS score
+        |  FROM dw JOIN ws ON dw.word = ws.word GROUP BY 1)
+        |SELECT pc.phrase, pc.n_occurrences,
+        |  CAST(floor(score * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS score
+        |FROM pc JOIN ps ON pc.phrase = ps.phrase
+        |ORDER BY score DESC, pc.phrase LIMIT 15""".stripMargin,
+    // row-local (ln n, ln v) points, one closed-form OLS moment agg
+    "text_heaps" ->
+      s"""WITH p AS (SELECT CAST(len($toksSql) AS BIGINT) AS n,
+        |    CAST(len(list_distinct($toksSql)) AS BIGINT) AS v FROM documents),
+        |x AS (SELECT ln(CAST(n AS DOUBLE)) AS x, ln(CAST(v AS DOUBLE)) AS y
+        |  FROM p WHERE n >= 2),
+        |m AS (SELECT count(*) AS n_docs, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * x) AS sxx, sum(x * y) AS sxy, corr(x, y) AS r FROM x)
+        |SELECT n_docs,
+        |  round((CAST(n_docs AS DOUBLE) * sxy - sx * sy)
+        |    / (CAST(n_docs AS DOUBLE) * sxx - sx * sx), 4) AS beta,
+        |  round(exp((sy - ((CAST(n_docs AS DOUBLE) * sxy - sx * sy)
+        |      / (CAST(n_docs AS DOUBLE) * sxx - sx * sx)) * sx)
+        |    / CAST(n_docs AS DOUBLE)), 4) AS k,
+        |  round(r * r, 4) AS r2
+        |FROM m""".stripMargin,
     "evt_survival_km" ->
       """WITH u AS (SELECT user_id,
         |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS f,

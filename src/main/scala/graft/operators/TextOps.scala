@@ -1090,6 +1090,73 @@ object TextOps {
       .orderBy("lang", "band")
   }
 
+  /** RAKE keyphrase extraction (Rose et al.) — the unsupervised
+    * keyword miner that needs no model: candidate phrases are maximal
+    * stopword-free runs (the corpus really does use "a"/"the" as
+    * delimiters), each word scores degree/frequency over ALL candidate
+    * occurrences, and a phrase scores the sum of its words' scores.
+    * Everything derives from integer counts, so scores are
+    * deterministic rationals portable-rounded before the top-N.
+    *
+    * Scale shape: one map-side phrase explode (persisted — word stats,
+    * occurrence counts and scoring all read it), one word fold, one
+    * phrase fold, a word-score equi-join on the phrase-domain table,
+    * TakeOrdered top-N. No self-joins, nothing quadratic. */
+  def keyphrases(docs: DataFrame, topN: Int = 15, maxLen: Int = 4): DataFrame = {
+    val stopRe =
+      "\\b(the|a|and|of|to|in|is|that|on|for|with|as|by|an|be|or|it)\\b"
+    val phrases = docs
+      .select(explode(split(
+        regexp_replace(lower(col("text")), stopRe, "|"), "\\|")).as("p0"))
+      .select(trim(regexp_replace(col("p0"), "\\s+", " ")).as("phrase"))
+      .filter(col("phrase") =!= "")
+      .withColumn("words", split(col("phrase"), " "))
+      .filter(size(col("words")) <= maxLen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wstats = phrases
+      .select(size(col("words")).as("plen"), explode(col("words")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("freq"), sum("plen").cast("long").as("deg"))
+    val pcount = phrases.groupBy("phrase")
+      .agg(count(lit(1)).as("n_occurrences"))
+    val pscore = pcount
+      .select(col("phrase"), explode(split(col("phrase"), " ")).as("word"))
+      .join(wstats, "word")
+      .groupBy("phrase")
+      .agg(sum(col("deg").cast("double") / col("freq").cast("double"))
+        .as("score"))
+    pcount.join(pscore, "phrase")
+      .select(col("phrase"), col("n_occurrences"),
+        Num.pround(col("score"), 4).as("score"))
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(topN)
+  }
+
+  /** Heaps'-law fit — the vocabulary-growth exponent beside the Zipf
+    * rank-frequency fit: per document, distinct-token count v grows as
+    * K·n^β; β and K come from ONE closed-form log-log OLS over
+    * row-local (ln n, ln v) points (size + array_distinct are both
+    * codegen'd, no explode), r² from the same moment aggregate. The
+    * readout that says how fast a tokenizer's vocab saturates. */
+  def heapsFit(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val pts = docs
+      .select(size(toks).cast("long").as("n"),
+        size(array_distinct(toks)).cast("long").as("v"))
+      .filter(col("n") >= 2)
+      .select(log(col("n").cast("double")).as("x"),
+        log(col("v").cast("double")).as("y"))
+    val m = pts.agg(count(lit(1)).as("n_docs"), sum("x").as("sx"),
+      sum("y").as("sy"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"), corr(col("x"), col("y")).as("r"))
+    val nD = col("n_docs").cast("double")
+    val beta = (nD * col("sxy") - col("sx") * col("sy")) /
+      (nD * col("sxx") - col("sx") * col("sx"))
+    m.select(col("n_docs"), round(beta, 4).as("beta"),
+      round(exp((col("sy") - beta * col("sx")) / nD), 4).as("k"),
+      round(col("r") * col("r"), 4).as("r2"))
+  }
+
   /** Token-distribution drift between two md5 halves of the corpus —
     * the Jensen-Shannon divergence screen an LLM pipeline runs to
     * compare crawls/snapshots ("did the vocabulary shift?"), the

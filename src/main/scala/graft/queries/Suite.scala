@@ -1920,4 +1920,17 @@ object Suite {
   /** Cross-table temporal-integrity audit (ship-before-order). */
   def dqTemporal(s: SparkSession, dir: String): DataFrame =
     DataQuality.temporalAudit(t(s, dir, "lineitem"), t(s, dir, "orders"))
+
+  /** RAKE keyphrases over the whole corpus. */
+  def textKeyphrase(s: SparkSession, dir: String): DataFrame =
+    TextOps.keyphrases(t(s, dir, "documents"))
+
+  /** Heaps'-law vocabulary-growth fit. */
+  def textHeaps(s: SparkSession, dir: String): DataFrame =
+    TextOps.heapsFit(t(s, dir, "documents"))
+
+  /** Streaming hourly approx-distinct users (HLL state; rows-only —
+    * the spec proves bit-parity with the batch HLL). */
+  def streamHllDistinct(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.hourlyDistinctHll(s, s"$dir/events.parquet")
 }

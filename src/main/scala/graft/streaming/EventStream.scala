@@ -465,6 +465,25 @@ object EventStream {
       .orderBy("user_id")
   }
 
+  /** Streaming approximate-distinct per hour — HLL++ sketch state
+    * instead of a per-user dedup set: the state per window is the
+    * fixed-width HLL register array (KB), not the user set (GB at
+    * scale) — the sixteenth streaming mode, and the streaming twin of
+    * the batch rolling-HLL operator. Registers merge by max, so the
+    * estimate is independent of micro-batch order — EventsSpec asserts
+    * the drained stream equals the batch HLL bit-for-bit and bounds it
+    * against the exact count. Exact n_events rides along for free. */
+  def hourlyDistinctHll(spark: SparkSession, path: String): DataFrame =
+    runToMemory(spark,
+      source(spark, path)
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(approx_count_distinct(col("user_id")).as("n_users_hll"),
+          count(lit(1)).as("n_events")),
+      "complete")
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour"),
+        col("n_users_hll"), col("n_events"))
+      .orderBy("hour")
+
   /** Per-user funnel progression state: earliest view, earliest click
     * at-or-after that view, earliest purchase at-or-after that click
     * (Long.MaxValue = stage not reached). */

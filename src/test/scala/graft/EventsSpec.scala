@@ -1,7 +1,8 @@
 package graft
 
 import java.sql.Timestamp
-import org.apache.spark.sql.functions.{col, expr, lit, to_timestamp}
+import org.apache.spark.sql.functions.{approx_count_distinct, col, count,
+  date_format, date_trunc, expr, lit, to_timestamp}
 import graft.operators.{Events, Multimodal}
 
 class EventsSpec extends SparkTestBase {
@@ -858,6 +859,33 @@ class EventsSpec extends SparkTestBase {
     val r = graft.streaming.EventStream
       .funnelStages(spark, s"$dir/events.parquet").head()
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 2L, 1L)))
+  }
+
+  test("hourlyDistinctHll: drained stream equals the batch HLL bit-for-bit") {
+    val dir = java.nio.file.Files.createTempDirectory("shll_").toString
+    val rows = (1L to 40L).map(u =>
+      (u, u % 7, Timestamp.valueOf(f"2024-01-01 ${10 + (u % 2)}%02d:00:00"),
+        "view", 1.0))
+    rows.toDF("event_id", "user_id", "ts", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stage")
+    val part = new java.io.File(s"$dir/stage").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val streamed = graft.streaming.EventStream
+      .hourlyDistinctHll(spark, s"$dir/events.parquet").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00")
+        .as("hour"))
+      .agg(approx_count_distinct(col("user_id")).as("h"),
+        count(lit(1)).as("n"))
+      .orderBy("hour").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(streamed.toSeq == batch.toSeq)
+    // 7 true distinct users per hour; HLL must land within 10%
+    assert(streamed.forall { case (_, hll, _) => math.abs(hll - 7.0) <= 1.0 })
+    assert(streamed.map(_._3).sum == 40L)
   }
 
   test("did: group-constant deltas give the exact effect and zero SE") {

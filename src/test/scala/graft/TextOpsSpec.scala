@@ -571,6 +571,27 @@ class TextOpsSpec extends SparkTestBase {
       ("5_pass", 2L, 0.3333)))
   }
 
+  test("keyphrases: RAKE degree/frequency scores on a hand case") {
+    // "the" splits the doc into phrases "fast table scan" + "fast table":
+    // fast deg 5 freq 2 → 2.5; table 2.5; scan 3/1 = 3
+    // → scores 8.0 and 5.0
+    val docs = Seq((1L, "fast table scan the fast table")).toDF("doc_id", "text")
+    val out = TextOps.keyphrases(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(("fast table scan", 1L, 8.0),
+      ("fast table", 1L, 5.0)))
+  }
+
+  test("heapsFit: v = sqrt(n) recovers beta 0.5, K 1, r2 1") {
+    def doc(words: Int, reps: Int): String =
+      (1 to words).flatMap(w => Seq.fill(reps)(s"w$w")).mkString(" ")
+    val docs = Seq((1L, doc(2, 2)), (2L, doc(4, 4)), (3L, doc(8, 8)))
+      .toDF("doc_id", "text")
+    val r = TextOps.heapsFit(docs).head()
+    assert((r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)) ==
+      ((3L, 0.5, 1.0, 1.0)))
+  }
+
   test("jsdDrift: identical distributions on both sides give zero divergence") {
     // every doc is the same text, so whatever the md5 split, p == q
     // for every token → every JSD contribution is exactly 0
