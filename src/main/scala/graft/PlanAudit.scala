@@ -249,7 +249,11 @@ object PlanAudit {
     // keyphrase (one persisted phrase explode feeding word/phrase folds
     // + phrase-domain score join + TakeOrdered), heaps (row-local
     // points, one moment agg); stream_hll_distinct excluded (streaming)
-    "text_keyphrase", "text_heaps")
+    "text_keyphrase", "text_heaps",
+    // phash (one codegen'd map stage over the sampled slice), share
+    // (fact fold + broadcast dims + domain windows), reconcile (ONE
+    // full-outer co-shuffle + scalar counters)
+    "mm_phash", "q36_share", "dq_reconcile")
     // evt_audience_overlap is excluded like dedup_clusters: its
     // domain-sized sketch table collects eagerly at construction, so
     // only the trivial driver-built result frame would be explained

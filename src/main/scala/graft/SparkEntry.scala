@@ -213,6 +213,9 @@ object SparkEntry {
     "text_keyphrase" -> (Suite.textKeyphrase _),
     "text_heaps" -> (Suite.textHeaps _),
     "stream_hll_distinct" -> (Suite.streamHllDistinct _),
+    "mm_phash" -> (Suite.mmPhash _),
+    "q36_share" -> (Relational.q36Share _),
+    "dq_reconcile" -> (Suite.dqReconcile _),
     "rel_triples" -> (Suite.relTriples _),
     "mix_dedup_weight" -> (Suite.mixDedupWeight _),
     "evt_rolling_distinct_hll" -> (Suite.evtRollingDistinctHll _),
@@ -303,6 +306,20 @@ object SparkEntry {
     "stream_sessionize" -> (Suite.streamSessionize _),
     "stream_enrich" -> (Suite.streamEnrich _)
   )
+
+  /** dHash oracle, generated: 72 strided hex-parsed "pixels", 64
+    * adjacent comparisons — byte-for-byte the Spark expression tree. */
+  private def phashSql: String = {
+    def px(i: Int) =
+      s"('0x' || substr(hx, ((((nb - 1) * $i) // 71) * 2 + 1), 2))::INT"
+    val bits = (0 until 8).flatMap(r => (0 until 8).map(c =>
+      s"(CASE WHEN ${px(r * 9 + c)} > ${px(r * 9 + c + 1)} THEN '1' ELSE '0' END)"))
+    s"""WITH b AS (SELECT doc_id, hex(text) AS hx,
+       |    CAST(strlen(text) AS BIGINT) AS nb FROM documents
+       |  WHERE doc_id % 20 = 0 AND strlen(text) >= 72)
+       |SELECT doc_id, nb AS n_bytes, ${bits.mkString(" || ")} AS phash
+       |FROM b ORDER BY doc_id""".stripMargin
+  }
 
   private val toksSql =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
@@ -3265,6 +3282,55 @@ object SparkEntry {
         |    / CAST(n_docs AS DOUBLE)), 4) AS k,
         |  round(r * r, 4) AS r2
         |FROM m""".stripMargin,
+    "mm_phash" -> phashSql,
+    // revenue rounds 2dp BEFORE the share; windows over the nation domain
+    "q36_share" ->
+      """WITH bn AS (SELECT c.c_nationkey, round(sum(o.o_totalprice), 2)
+        |    AS revenue, count(*) AS n_orders
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1),
+        |d AS (SELECT n.n_nationkey, n.n_name, r.r_name FROM nation n
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey),
+        |x AS (SELECT d.r_name AS region, d.n_name AS nation, bn.n_orders,
+        |    bn.revenue,
+        |    CAST(floor(bn.revenue / sum(bn.revenue)
+        |      OVER (PARTITION BY d.r_name) * 10000.0 + 0.5) AS DOUBLE)
+        |      / 10000.0 AS share,
+        |    CAST(row_number() OVER (PARTITION BY d.r_name
+        |      ORDER BY bn.revenue DESC, d.n_name) AS BIGINT) AS rank_in_region
+        |  FROM bn JOIN d ON bn.c_nationkey = d.n_nationkey)
+        |SELECT region, nation, n_orders, revenue, share, rank_in_region
+        |FROM x ORDER BY region, rank_in_region""".stripMargin,
+    // null-safe comparison = IS DISTINCT FROM; presence via markers
+    "dq_reconcile" ->
+      """WITH l AS (SELECT l_orderkey, l_linenumber, l_quantity,
+        |    l_extendedprice, 1 AS lp FROM lineitem),
+        |r AS (SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN l_orderkey % 97 = 0 THEN l_quantity + 1e0
+        |      ELSE l_quantity END AS l_quantity,
+        |    l_extendedprice, 1 AS rp FROM lineitem
+        |  WHERE l_orderkey % 101 <> 0),
+        |j AS (SELECT l.lp, r.rp,
+        |    l.l_quantity AS lq, r.l_quantity AS rq,
+        |    l.l_extendedprice AS le, r.l_extendedprice AS re
+        |  FROM l FULL JOIN r ON l.l_orderkey = r.l_orderkey
+        |    AND l.l_linenumber = r.l_linenumber)
+        |SELECT
+        |  CAST(sum(CASE WHEN lp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_left,
+        |  CAST(sum(CASE WHEN rp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_right,
+        |  CAST(sum(CASE WHEN lp IS NOT NULL AND rp IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_only_left,
+        |  CAST(sum(CASE WHEN lp IS NULL AND rp IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_only_right,
+        |  CAST(sum(CASE WHEN lp IS NOT NULL AND rp IS NOT NULL
+        |    AND (lq IS DISTINCT FROM rq OR le IS DISTINCT FROM re)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  CAST(sum(CASE WHEN lp IS NOT NULL AND rp IS NOT NULL
+        |    AND NOT (lq IS DISTINCT FROM rq OR le IS DISTINCT FROM re)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_same
+        |FROM j""".stripMargin,
     "evt_survival_km" ->
       """WITH u AS (SELECT user_id,
         |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS f,

@@ -283,6 +283,36 @@ object DataQuality {
       .orderBy("order_year")
   }
 
+  /** Table reconciliation — the "did the migration/backfill produce
+    * the same table" diff every data platform runs between two
+    * pipelines' outputs: keyed FULL OUTER join, null-safe column
+    * comparison, one aggregate of presence/difference counters
+    * (left-only, right-only, changed, same). Presence rides on
+    * explicit marker literals so legitimately-NULL compare columns
+    * can't masquerade as missing rows; comparisons are <=> (null-safe)
+    * so NULL==NULL is "same", matching IS NOT DISTINCT FROM in the
+    * oracle. ONE co-shuffle on the key, no sort, no collect. */
+  def reconcile(left: DataFrame, right: DataFrame, keys: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    val l2 = left.select(
+      (keys.map(col) ++ compareCols.map(col) :+ lit(1).as("__lp")): _*)
+    val r2 = right.select(
+      (keys.map(col) ++ compareCols.map(c => col(c).as(s"__r_$c"))
+        :+ lit(1).as("__rp")): _*)
+    val j = l2.join(r2, keys, "full_outer")
+    val differs = compareCols.map(c => !(col(c) <=> col(s"__r_$c")))
+      .reduce(_ || _)
+    val lp = col("__lp").isNotNull
+    val rp = col("__rp").isNotNull
+    j.agg(
+      sum(when(lp, 1L).otherwise(0L)).as("n_left"),
+      sum(when(rp, 1L).otherwise(0L)).as("n_right"),
+      sum(when(lp && !rp, 1L).otherwise(0L)).as("n_only_left"),
+      sum(when(!lp && rp, 1L).otherwise(0L)).as("n_only_right"),
+      sum(when(lp && rp && differs, 1L).otherwise(0L)).as("n_changed"),
+      sum(when(lp && rp && !differs, 1L).otherwise(0L)).as("n_same"))
+  }
+
   /** Referential-integrity audit — the foreign-key orphan screen every
     * warehouse load runs ("do all child keys resolve to a parent?"):
     * for each declared (child, fk) → (parent, pk) relation, the child

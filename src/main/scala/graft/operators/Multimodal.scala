@@ -47,6 +47,34 @@ object Multimodal {
       })
   }
 
+  /** Perceptual difference-hash (dHash) over an opaque payload — the
+    * near-duplicate fingerprint for media blobs, with the DECODE step
+    * a deterministic stub (strided byte sampling stands in for pixel
+    * decode, since no codec ships in this container) and every other
+    * stage real: an 8×9 "grayscale" grid is sampled at 72 strided
+    * byte offsets, each row's adjacent-cell comparisons yield 64 bits,
+    * and the bit string is the hash — identical payloads collide,
+    * locally-perturbed payloads stay within small Hamming distance.
+    * All arithmetic is integer (hex-parse + integer stride), so the
+    * hash is engine-replayable byte-for-byte; everything is one
+    * codegen'd map stage over the sampled slice. */
+  def pHash(docs: DataFrame, sampleMod: Long = 20L): DataFrame = {
+    import org.apache.spark.sql.Column
+    val base = docs.filter(col("doc_id") % sampleMod === 0)
+      .select(col("doc_id"), hex(col("text")).as("hx"),
+        octet_length(col("text")).cast("long").as("nb"))
+      .filter(col("nb") >= 72)
+    def px(i: Int): Column =
+      conv(col("hx").substr(
+        expr(s"CAST((((nb - 1) * $i) DIV 71) * 2 + 1 AS INT)"), lit(2)),
+        16, 10).cast("int")
+    val bits: Seq[Column] = (0 until 8).flatMap(r => (0 until 8).map(c =>
+      when(px(r * 9 + c) > px(r * 9 + c + 1), lit("1")).otherwise(lit("0"))))
+    base.select(col("doc_id"), col("nb").as("n_bytes"),
+      concat(bits: _*).as("phash"))
+      .orderBy("doc_id")
+  }
+
   case class FrameStats(doc_id: Long, n_frames: Long, n_sampled: Long,
     sample_md5: String, total_bytes: Long)
 

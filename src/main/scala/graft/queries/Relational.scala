@@ -483,6 +483,36 @@ object Relational {
       .orderBy("user_id", "event_id")
   }
 
+  /** Share-of-parent analytics (RATIO_TO_REPORT): each nation's revenue
+    * share and rank WITHIN its region — the BI drill-down complement to
+    * the rollup/cube totals. Facts fold once to the nation domain
+    * (orders⋈customer, one shuffle); the share/rank windows run over
+    * the ≤25-row nation-domain table joined to broadcast dims.
+    * Revenue rounds 2dp BEFORE the ratio (the yoy rule). */
+  def q36Share(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byNation = t(s, dir, "orders")
+      .join(t(s, dir, "customer").select(col("c_custkey").as("o_custkey"),
+        col("c_nationkey")), "o_custkey")
+      .groupBy("c_nationkey")
+      .agg(round(sum("o_totalprice"), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+    val dims = t(s, dir, "nation")
+      .select(col("n_nationkey").as("c_nationkey"), col("n_name"),
+        col("n_regionkey"))
+      .join(t(s, dir, "region").select(col("r_regionkey").as("n_regionkey"),
+        col("r_name")), "n_regionkey")
+    val w = Window.partitionBy("r_name")
+    byNation.join(broadcast(dims), "c_nationkey")
+      .select(col("r_name").as("region"), col("n_name").as("nation"),
+        col("n_orders"), col("revenue"),
+        graft.operators.Num.pround(
+          col("revenue") / sum("revenue").over(w), 4).as("share"),
+        row_number().over(w.orderBy(col("revenue").desc, col("n_name")))
+          .cast("long").as("rank_in_region"))
+      .orderBy("region", "rank_in_region")
+  }
+
   /** Paginated render slice (kiara render_value, render_value.py:54). */
   def renderSlice(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")

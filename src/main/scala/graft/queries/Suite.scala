@@ -1933,4 +1933,19 @@ object Suite {
     * the spec proves bit-parity with the batch HLL). */
   def streamHllDistinct(s: SparkSession, dir: String): DataFrame =
     graft.streaming.EventStream.hourlyDistinctHll(s, s"$dir/events.parquet")
+
+  /** Perceptual dHash fingerprints over the sampled payload slice. */
+  def mmPhash(s: SparkSession, dir: String): DataFrame =
+    Multimodal.pHash(t(s, dir, "documents"))
+
+  /** Reconciliation of lineitem vs a deterministically perturbed copy
+    * (rows dropped at %101, quantities bumped at %97). */
+  def dqReconcile(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val right = li.filter(col("l_orderkey") % 101 =!= 0)
+      .withColumn("l_quantity", when(col("l_orderkey") % 97 === 0,
+        col("l_quantity") + 1.0).otherwise(col("l_quantity")))
+    DataQuality.reconcile(li, right, Seq("l_orderkey", "l_linenumber"),
+      Seq("l_quantity", "l_extendedprice"))
+  }
 }

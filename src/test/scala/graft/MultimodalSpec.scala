@@ -69,4 +69,20 @@ class MultimodalSpec extends SparkTestBase {
     }
     assert(r.getString(3) == md.digest().map("%02x".format(_)).mkString)
   }
+
+  test("pHash: identical payloads collide, a local edit stays Hamming-near") {
+    val base = ("the quick brown fox jumps over the lazy dog and keeps running " * 3)
+    // digits (0x30) sit far below letters (0x61+), so the sampled
+    // pixels over the patched span must flip some comparisons
+    val edited = base.patch(36, "00000000", 8)
+    val docs = Seq((20L, base), (40L, base), (60L, edited))
+      .toDF("doc_id", "text")
+    val out = Multimodal.pHash(docs).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(out.size == 3)
+    assert(out.values.forall(h => h.length == 64 && h.forall(c => c == '0' || c == '1')))
+    assert(out(20L) == out(40L), "identical payloads must collide")
+    val ham = out(20L).zip(out(60L)).count { case (a, b) => a != b }
+    assert(ham > 0 && ham <= 16, s"one-char edit moved $ham of 64 bits")
+  }
 }

@@ -359,6 +359,19 @@ class QualitySpec extends SparkTestBase {
     assert(out("validation|test") == ((1L, (nVa + nTe).toLong)))
   }
 
+  test("reconcile: presence markers and null-safe compares count every case") {
+    val left = Seq((1L, 1, 10.0, 5.0), (2L, 1, 20.0, 5.0), (3L, 1, 30.0, 5.0))
+      .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    // row 1 unchanged, row 2 changed, row 3 dropped, row 4 right-only
+    val right = Seq((1L, 1, 10.0, 5.0), (2L, 1, 21.0, 5.0), (4L, 1, 40.0, 5.0))
+      .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    val r = DataQuality.reconcile(left, right,
+      Seq("l_orderkey", "l_linenumber"),
+      Seq("l_quantity", "l_extendedprice")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ((3L, 3L, 1L, 1L, 1L, 1L)))
+  }
+
   test("temporalAudit: a ship-before-order line is a violation with its lag") {
     import java.sql.Timestamp
     val orders = Seq((1L, Timestamp.valueOf("1995-03-01 00:00:00")))
