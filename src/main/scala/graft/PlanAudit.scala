@@ -253,7 +253,11 @@ object PlanAudit {
     // phash (one codegen'd map stage over the sampled slice), share
     // (fact fold + broadcast dims + domain windows), reconcile (ONE
     // full-outer co-shuffle + scalar counters)
-    "mm_phash", "q36_share", "dq_reconcile")
+    "mm_phash", "q36_share", "dq_reconcile",
+    // causal impact (one day fold, everything else domain-sized),
+    // substitutes (bounded pair domain + restricted basket self-join);
+    // feat_pca excluded: the MLlib fit collects eagerly at construction
+    "evt_causal_impact", "rel_substitutes")
     // evt_audience_overlap is excluded like dedup_clusters: its
     // domain-sized sketch table collects eagerly at construction, so
     // only the trivial driver-built result frame would be explained

@@ -216,6 +216,9 @@ object SparkEntry {
     "mm_phash" -> (Suite.mmPhash _),
     "q36_share" -> (Relational.q36Share _),
     "dq_reconcile" -> (Suite.dqReconcile _),
+    "evt_causal_impact" -> (Suite.evtCausalImpact _),
+    "feat_pca" -> (Suite.featPca _),
+    "rel_substitutes" -> (Suite.relSubstitutes _),
     "rel_triples" -> (Suite.relTriples _),
     "mix_dedup_weight" -> (Suite.mixDedupWeight _),
     "evt_rolling_distinct_hll" -> (Suite.evtRollingDistinctHll _),
@@ -3331,6 +3334,57 @@ object SparkEntry {
         |    AND NOT (lq IS DISTINCT FROM rq OR le IS DISTINCT FROM re)
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_same
         |FROM j""".stripMargin,
+    // day-level µs-midpoint split; counterfactual = pre-period dow
+    // means; ±2σ band from pooled pre residual variance
+    "evt_causal_impact" ->
+      """WITH b AS (SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) AS lo,
+        |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS hi FROM events),
+        |d AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |dd AS (SELECT day, n,
+        |    epoch_us(CAST(day AS TIMESTAMP)) * 2 >= lo + hi AS post,
+        |    dayofweek(day) AS dow FROM d CROSS JOIN b),
+        |pre AS (SELECT dow, count(*) AS cnt, CAST(sum(n) AS BIGINT) AS s,
+        |    sum(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS ss
+        |  FROM dd WHERE NOT post GROUP BY 1),
+        |pool AS (SELECT sum(ss - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / CAST(cnt AS DOUBLE))
+        |    / sum(CAST(cnt AS DOUBLE) - 1e0) AS var_pool FROM pre)
+        |SELECT strftime(dd.day, '%Y-%m-%d') AS day,
+        |  CAST(dd.dow AS BIGINT) AS dow, dd.n,
+        |  CAST(floor(CAST(pre.s AS DOUBLE) / CAST(pre.cnt AS DOUBLE)
+        |    * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS forecast,
+        |  CAST(floor((CAST(dd.n AS DOUBLE)
+        |    - CAST(pre.s AS DOUBLE) / CAST(pre.cnt AS DOUBLE))
+        |    * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS lift,
+        |  abs(CAST(dd.n AS DOUBLE)
+        |    - CAST(pre.s AS DOUBLE) / CAST(pre.cnt AS DOUBLE))
+        |    > 2e0 * sqrt(var_pool) AS significant
+        |FROM dd JOIN pre ON dd.dow = pre.dow CROSS JOIN pool
+        |WHERE dd.post ORDER BY day""".stripMargin,
+    // bounded frequent-item pair domain: never-co-bought pairs surface
+    // with lift 0 — a pure co-occurrence fold cannot see them
+    "rel_substitutes" ->
+      """WITH bk AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem WHERE l_partkey % 5 = 0),
+        |no AS (SELECT count(DISTINCT ok) AS n_orders FROM bk),
+        |fr AS (SELECT p, count(*) AS n FROM bk GROUP BY 1
+        |  ORDER BY n DESC, p LIMIT 50),
+        |pd AS (SELECT a.p AS pa, a.n AS n_a, b.p AS pb, b.n AS n_b
+        |  FROM fr a CROSS JOIN fr b WHERE a.p < b.p),
+        |jt AS (SELECT a.p AS pa, b.p AS pb, count(*) AS n_ab
+        |  FROM bk a JOIN fr fa ON a.p = fa.p
+        |  JOIN bk b ON a.ok = b.ok AND a.p < b.p
+        |  JOIN fr fb ON b.p = fb.p
+        |  GROUP BY 1, 2)
+        |SELECT pd.pa, pd.pb, pd.n_a, pd.n_b,
+        |  CAST(COALESCE(jt.n_ab, 0) AS BIGINT) AS n_ab,
+        |  CAST(floor(CAST(COALESCE(jt.n_ab, 0) AS DOUBLE)
+        |    * (SELECT CAST(n_orders AS DOUBLE) FROM no)
+        |    / (CAST(pd.n_a AS DOUBLE) * CAST(pd.n_b AS DOUBLE))
+        |    * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS lift
+        |FROM pd LEFT JOIN jt ON pd.pa = jt.pa AND pd.pb = jt.pb
+        |ORDER BY lift, pd.pa, pd.pb LIMIT 15""".stripMargin,
     "evt_survival_km" ->
       """WITH u AS (SELECT user_id,
         |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS f,

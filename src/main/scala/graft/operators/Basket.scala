@@ -450,6 +450,48 @@ object Basket {
       .orderBy("priority")
   }
 
+  /** Substitute detection — the mirror of association rules: among
+    * FREQUENT items, the pairs bought together LESS than independence
+    * predicts (lift ≪ 1), including never-co-bought pairs that a
+    * co-occurrence fold alone can't see. The frequent-item set is a
+    * bounded top-N (total order under the limit), so the pair domain
+    * is N²/2 — a bounded self cross-join, never corpus-quadratic; the
+    * joint counts come from ONE basket self-join restricted to that
+    * domain. Lift derives from exact integer counts.
+    *
+    * Bottom-K by portable-rounded lift; never-co-bought pairs rank
+    * first with lift 0. */
+  def substitutes(lineitem: DataFrame, topItems: Int = 50,
+      bottomK: Int = 15, mod: Int = 5): DataFrame = {
+    val baskets = lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .filter(col("p") % mod === 0).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nOrders = baskets.select(col("ok")).distinct().count()
+    val freq = baskets.groupBy("p").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("p")).limit(topItems)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairsDomain = freq.select(col("p").as("pa"), col("n").as("n_a"))
+      .crossJoin(freq.select(col("p").as("pb"), col("n").as("n_b")))
+      .filter(col("pa") < col("pb"))
+    val joint = baskets.as("x")
+      .join(freq.select(col("p")), "p")
+      .select(col("ok"), col("p"))
+      .as("a")
+      .join(baskets.join(freq.select(col("p")), "p").as("b"),
+        col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairsDomain.join(joint, Seq("pa", "pb"), "left")
+      .select(col("pa"), col("pb"), col("n_a"), col("n_b"),
+        coalesce(col("n_ab"), lit(0L)).as("n_ab"))
+      .withColumn("lift", Num.pround(
+        col("n_ab").cast("double") * nOrders.toDouble
+          / (col("n_a").cast("double") * col("n_b").cast("double")), 4))
+      .orderBy(col("lift"), col("pa"), col("pb"))
+      .limit(bottomK)
+  }
+
   def topMovers(lineitem: DataFrame, orders: DataFrame, part: DataFrame,
       splitYear: Int = 1997): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -1250,6 +1250,48 @@ object Events {
       .orderBy("cohort_hour")
   }
 
+  /** Counterfactual impact readout (CausalImpact-lite): the post-period
+    * days are compared against a SEASONAL COUNTERFACTUAL built purely
+    * from the pre-period — the per-day-of-week mean daily volume — with
+    * a ±2σ band from the pooled pre-period residual variance. The
+    * "did the launch change traffic, net of weekly seasonality"
+    * readout when there is no control group at all (one step below
+    * [[did]], which needs one). Period split at the day-level integer
+    * µs midpoint; every ingredient is a count fold, no model fit.
+    *
+    * Scale shape: one day fold of the event log, then everything runs
+    * on the ≤days-sized daily table (dow means, pooled variance, the
+    * post join) — broadcast-sized by construction. */
+  def causalImpact(events: DataFrame): DataFrame = {
+    val bounds = events.agg(min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi"))
+    val daily = events.select(to_date(col("ts")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(bounds)) // bounded: 1 row
+      .withColumn("post",
+        unix_micros(col("day").cast("timestamp")) * 2 >= col("lo") + col("hi"))
+      .withColumn("dow", (dayofweek(col("day")) - 1).cast("long"))
+      .persist() // pre stats + post join both read it
+    val pre = daily.filter(!col("post")).groupBy("dow")
+      .agg(count(lit(1)).as("cnt"), sum("n").as("s"),
+        sum(col("n").cast("double") * col("n").cast("double")).as("ss"))
+    val pooled = pre.agg(
+      (sum(col("ss") - col("s").cast("double") * col("s").cast("double")
+        / col("cnt").cast("double"))
+        / sum(col("cnt").cast("double") - 1.0)).as("var_pool"))
+    daily.filter(col("post"))
+      .join(broadcast(pre.select(col("dow"),
+        (col("s").cast("double") / col("cnt").cast("double")).as("cf"))), "dow")
+      .crossJoin(broadcast(pooled)) // bounded: 1 row
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("dow"),
+        col("n"),
+        Num.pround(col("cf"), 4).as("forecast"),
+        Num.pround(col("n").cast("double") - col("cf"), 4).as("lift"),
+        (abs(col("n").cast("double") - col("cf"))
+          > lit(2.0) * sqrt(col("var_pool"))).as("significant"))
+      .orderBy("day")
+  }
+
   /** MATCH_RECOGNIZE-style sequence-pattern screen (the Flink CEP /
     * Trino MATCH_RECOGNIZE capability re-expressed relationally): how
     * many users' journeys match each named pattern — direct view→buy

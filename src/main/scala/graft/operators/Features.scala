@@ -117,4 +117,32 @@ object Features {
         round(sum("value"), 2).as("sum_value"))
       .orderBy("user_id")
   }
+
+  /** PCA projection to 2-D + per-label cluster geometry — the
+    * dimensionality-reduction step an embedding-quality review runs
+    * ("do the labels separate in the leading components?"). Uses
+    * Spark ML's distributed PCA (covariance Gram accumulated via
+    * treeAggregate — never a collected matrix of rows; the MLlib-LDA
+    * precedent for iterative-float ops), then folds the projected
+    * points to per-label centroids and spreads. Iterative float →
+    * registered rows-only; the spec plants variance on a known axis
+    * and asserts the leading component finds it. */
+  def pcaProject(embeddings: DataFrame, k: Int = 2): DataFrame = {
+    import org.apache.spark.ml.feature.PCA
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val df = embeddings.select(col("vec_id"), col("label"),
+      array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    val model = new PCA().setInputCol("features").setOutputCol("pc")
+      .setK(k).fit(df)
+    model.transform(df)
+      .select(col("label"), vector_to_array(col("pc")).as("p"))
+      .select(col("label"), element_at(col("p"), 1).as("x"),
+        element_at(col("p"), 2).as("y"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg("x"), 4).as("cx"), round(avg("y"), 4).as("cy"),
+        round(stddev_samp(col("x")), 4).as("sd_x"),
+        round(stddev_samp(col("y")), 4).as("sd_y"))
+      .orderBy("label")
+  }
 }

@@ -1938,6 +1938,18 @@ object Suite {
   def mmPhash(s: SparkSession, dir: String): DataFrame =
     Multimodal.pHash(t(s, dir, "documents"))
 
+  /** Counterfactual post-period lift vs the pre-period seasonal mean. */
+  def evtCausalImpact(s: SparkSession, dir: String): DataFrame =
+    Events.causalImpact(t(s, dir, "events"))
+
+  /** PCA 2-D projection geometry per label (rows-only; MLlib float). */
+  def featPca(s: SparkSession, dir: String): DataFrame =
+    Features.pcaProject(t(s, dir, "embeddings"))
+
+  /** Substitute pairs: frequent items co-bought less than independence. */
+  def relSubstitutes(s: SparkSession, dir: String): DataFrame =
+    Basket.substitutes(t(s, dir, "lineitem"))
+
   /** Reconciliation of lineitem vs a deterministically perturbed copy
     * (rows dropped at %101, quantities bumped at %97). */
   def dqReconcile(s: SparkSession, dir: String): DataFrame = {

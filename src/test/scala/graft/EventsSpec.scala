@@ -888,6 +888,27 @@ class EventsSpec extends SparkTestBase {
     assert(streamed.map(_._3).sum == 40L)
   }
 
+  test("causalImpact: a flat pre-period makes the lifted post day significant") {
+    // 28 days, 2 events/day except 2024-01-20 (5 events): the pre
+    // half (Jan 1-14) is perfectly flat → every dow mean is 2, pooled
+    // variance 0 → only the lifted day clears the ±2σ band
+    val rows = (1 to 28).flatMap { d =>
+      val k = if (d == 20) 5 else 2
+      (1 to k).map(i =>
+        (d * 100L + i, 1L, Timestamp.valueOf(f"2024-01-$d%02d 10:0$i%01d:00"),
+          "view", 1.0))
+    }
+    val df = rows.toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = Events.causalImpact(df).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3), r.getDouble(4),
+        r.getBoolean(5)))
+    assert(out.length == 14) // Jan 15-28
+    assert(out.forall(_._3 == 2.0), "every dow forecast must be the flat 2")
+    val lifted = out.filter(_._5)
+    assert(lifted.toSeq == Seq(("2024-01-20", 5L, 2.0, 3.0, true)))
+    assert(out.filterNot(_._5).forall(r => r._2 == 2L && r._4 == 0.0))
+  }
+
   test("did: group-constant deltas give the exact effect and zero SE") {
     // replicate the operator's md5 split independently so the spec can
     // compute the expected group sizes

@@ -32,6 +32,24 @@ class FeaturesSpec extends SparkTestBase {
     assert(out(1L) == 120.0)
   }
 
+  test("pcaProject: the leading component finds the planted variance axis") {
+    // all real variance on axis 0 (spread ±10); labels offset on axis 1
+    // by a constant → per-label spread concentrates in the first PC
+    val rows = (1 to 20).flatMap { i =>
+      val t = (i - 10.5)
+      Seq((i.toLong, "A", Array(t, 0.0, 0.0, 0.0)),
+        (100L + i, "B", Array(t, 5.0, 0.0, 0.0)))
+    }
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val out = graft.operators.Features.pcaProject(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(4), r.getDouble(5)))
+    assert(out.map(x => (x._1, x._2)).toSeq == Seq(("A", 20L), ("B", 20L)))
+    out.foreach { case (label, _, sdX, sdY) =>
+      assert(sdX > 1.0 && sdY < 0.1,
+        s"label $label: leading-PC spread $sdX vs second $sdY")
+    }
+  }
+
   test("woeEncode: hand-checked WoE and IV against the same formula") {
     def pround(x: Double, dp: Int): Double = {
       val f = math.pow(10, dp); math.floor(x * f + 0.5) / f

@@ -240,6 +240,24 @@ class FrequentSpec extends SparkTestBase {
     assert(!out.contains("c>a"), "reverse-order pair is below 0.5 support")
   }
 
+  test("substitutes: never-co-bought pairs rank first with lift 0") {
+    import graft.operators.Basket
+    val li = Seq(
+      (1L, 5L), (1L, 10L), (2L, 5L), (2L, 10L), // 5+10 together twice
+      (3L, 5L), (3L, 15L), (4L, 10L), (4L, 15L),
+      (5L, 20L)) // 20 never co-bought with anything
+      .toDF("l_orderkey", "l_partkey")
+    val out = Basket.substitutes(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    // n_orders = 5 (order 5 holds only the loner part 20)
+    assert(out.toSeq == Seq(
+      (5L, 20L, 3L, 1L, 0L, 0.0), (10L, 20L, 3L, 1L, 0L, 0.0),
+      (15L, 20L, 2L, 1L, 0L, 0.0),
+      (5L, 15L, 3L, 2L, 1L, 0.8333), (10L, 15L, 3L, 2L, 1L, 0.8333),
+      (5L, 10L, 3L, 3L, 2L, 1.1111)))
+  }
+
   test("prioritySla: urgent SLA flags the slow line, low SLA forgives it") {
     import graft.operators.Basket
     import java.sql.Timestamp
