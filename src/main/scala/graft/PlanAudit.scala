@@ -257,7 +257,12 @@ object PlanAudit {
     // causal impact (one day fold, everything else domain-sized),
     // substitutes (bounded pair domain + restricted basket self-join);
     // feat_pca excluded: the MLlib fit collects eagerly at construction
-    "evt_causal_impact", "rel_substitutes")
+    "evt_causal_impact", "rel_substitutes",
+    // price-volume-mix (one filtered fold + broadcast dim), bootstrap
+    // (bounded B-explode folding map-side to B groups + 1-row point
+    // estimate); graph_modularity excluded: its label-prop loop runs
+    // eagerly like pagerank
+    "rel_price_volume_mix", "sample_bootstrap_ci")
     // evt_audience_overlap is excluded like dedup_clusters: its
     // domain-sized sketch table collects eagerly at construction, so
     // only the trivial driver-built result frame would be explained

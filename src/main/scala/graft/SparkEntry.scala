@@ -219,6 +219,9 @@ object SparkEntry {
     "evt_causal_impact" -> (Suite.evtCausalImpact _),
     "feat_pca" -> (Suite.featPca _),
     "rel_substitutes" -> (Suite.relSubstitutes _),
+    "graph_modularity" -> (Suite.graphModularity _),
+    "rel_price_volume_mix" -> (Suite.relPriceVolumeMix _),
+    "sample_bootstrap_ci" -> (Suite.sampleBootstrapCi _),
     "rel_triples" -> (Suite.relTriples _),
     "mix_dedup_weight" -> (Suite.mixDedupWeight _),
     "evt_rolling_distinct_hll" -> (Suite.evtRollingDistinctHll _),
@@ -361,7 +364,7 @@ object SparkEntry {
     * CTEs per the PageRank precedent (integer counts and integer
     * labels: no float ever decides a community, so the match is
     * exact). */
-  private def labelPropSql(iters: Int): String = {
+  private def labelPropCtes(iters: Int): String = {
     val head =
       """WITH cs AS (SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
@@ -377,8 +380,34 @@ object SparkEntry {
          |    PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn FROM c$k) q
          |  WHERE rn = 1)""".stripMargin
     }.mkString
-    head + its + s"\nSELECT node, label FROM l$iters ORDER BY node"
+    head + its
   }
+
+  private def labelPropSql(iters: Int): String =
+    labelPropCtes(iters) + s"\nSELECT node, label FROM l$iters ORDER BY node"
+
+  /** Modularity oracle: the label-prop unrolling plus the Newman sum
+    * over the community domain — identical arithmetic to
+    * Graph.modularity (count/2 halves exactly; 2e0·m doubles). */
+  private def modularitySql(iters: Int): String =
+    labelPropCtes(iters) + s""",
+      |lab AS (SELECT node, label FROM l$iters),
+      |mm AS (SELECT count(*) / 2 AS m FROM e),
+      |mc AS (SELECT a.label, count(*) / 2 AS mc2 FROM e
+      |  JOIN lab a ON e.src = a.node JOIN lab b ON e.dst = b.node
+      |  WHERE a.label = b.label GROUP BY 1),
+      |dg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY 1),
+      |dc AS (SELECT lab.label, CAST(sum(d) AS BIGINT) AS dsum FROM dg
+      |  JOIN lab ON dg.node = lab.node GROUP BY 1),
+      |qq AS (SELECT COALESCE(mc.mc2, 0e0) / mm.m
+      |    - (CAST(dc.dsum AS DOUBLE) / (2e0 * mm.m))
+      |      * (CAST(dc.dsum AS DOUBLE) / (2e0 * mm.m)) AS qc
+      |  FROM dc LEFT JOIN mc ON dc.label = mc.label CROSS JOIN mm),
+      |nn AS (SELECT count(*) AS n_nodes FROM lab)
+      |SELECT (SELECT n_nodes FROM nn) AS n_nodes,
+      |  CAST((SELECT m FROM mm) AS BIGINT) AS n_edges,
+      |  count(*) AS n_communities, round(sum(qc), 4) AS modularity
+      |FROM qq""".stripMargin
 
   /** Generated MMR oracle: the k greedy selection rounds unrolled as
     * chained CTEs (DuckDB recursive CTEs can't carry the per-round
@@ -3385,6 +3414,48 @@ object SparkEntry {
         |    * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS lift
         |FROM pd LEFT JOIN jt ON pd.pa = jt.pa AND pd.pb = jt.pb
         |ORDER BY lift, pd.pa, pd.pb LIMIT 15""".stripMargin,
+    "graph_modularity" -> modularitySql(5),
+    // the waterfall identity (Δq·p0 + Δp·q1 = r1−r0) proves itself;
+    // quantities are exact integer sums
+    "rel_price_volume_mix" ->
+      """WITH f AS (SELECT l.l_partkey, l.l_quantity, l.l_extendedprice,
+        |    year(o.o_orderdate) AS yr
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE year(o.o_orderdate) IN (1996, 1997)),
+        |g AS (SELECT p.p_brand AS brand,
+        |    sum(CASE WHEN yr = 1996 THEN l_quantity ELSE 0e0 END) AS q0,
+        |    sum(CASE WHEN yr = 1997 THEN l_quantity ELSE 0e0 END) AS q1,
+        |    sum(CASE WHEN yr = 1996 THEN l_extendedprice ELSE 0e0 END) AS r0,
+        |    sum(CASE WHEN yr = 1997 THEN l_extendedprice ELSE 0e0 END) AS r1
+        |  FROM f JOIN part p ON f.l_partkey = p.p_partkey GROUP BY 1)
+        |SELECT brand, CAST(q0 AS BIGINT) AS qty0, CAST(q1 AS BIGINT) AS qty1,
+        |  round(r0, 2) AS rev0, round(r1, 2) AS rev1,
+        |  round((q1 - q0) * (r0 / q0), 2) AS volume_effect,
+        |  round(((r1 / q1) - (r0 / q0)) * q1, 2) AS price_effect,
+        |  round(r1 - r0, 2) AS total_change
+        |FROM g WHERE q0 > 0e0 AND q1 > 0e0 ORDER BY brand""".stripMargin,
+    // Poisson(1) weights from the md5 bridge; identical CDF literals
+    // parse to identical doubles on both engines
+    "sample_bootstrap_ci" ->
+      """WITH reps AS (SELECT o_orderkey AS k, o_totalprice AS x,
+        |    unnest(generate_series(0, 199)) AS r FROM orders),
+        |u AS (SELECT r, x,
+        |    ('0x' || substr(md5(CAST(r AS VARCHAR) || '|'
+        |      || CAST(k AS VARCHAR)), 1, 8))::BIGINT / 4294967296e0 AS u
+        |  FROM reps),
+        |w AS (SELECT r, x,
+        |    CASE WHEN u < 0.36787944117144233 THEN 0e0
+        |      WHEN u < 0.7357588823428847 THEN 1e0
+        |      WHEN u < 0.9196986029286058 THEN 2e0
+        |      WHEN u < 0.9810118431238462 THEN 3e0 ELSE 4e0 END AS w
+        |  FROM u),
+        |mb AS (SELECT r, sum(w * x) / sum(w) AS mb FROM w GROUP BY r),
+        |pt AS (SELECT round(avg(o_totalprice), 4) AS mean_est FROM orders)
+        |SELECT count(*) AS n_replicas,
+        |  round(quantile_cont(mb, 0.025), 4) AS ci_lo,
+        |  round(quantile_cont(mb, 0.975), 4) AS ci_hi,
+        |  round(avg(mb), 4) AS boot_mean, pt.mean_est
+        |FROM mb CROSS JOIN pt GROUP BY pt.mean_est""".stripMargin,
     "evt_survival_km" ->
       """WITH u AS (SELECT user_id,
         |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS f,

@@ -492,6 +492,45 @@ object Basket {
       .limit(bottomK)
   }
 
+  /** Price-volume-mix waterfall — the finance decomposition of a
+    * revenue change: per brand, ΔRev between two years splits EXACTLY
+    * into volume effect (Δq·p₀) + price effect (Δp·q₁), an algebraic
+    * identity ((q₁−q₀)p₀ + (p₁−p₀)q₁ = r₁−r₀), so the output proves
+    * its own consistency. One filtered fact fold with conditional
+    * year sums (never two scans), dims broadcast; quantities are
+    * exact integer sums, effects round 2dp at the edge. */
+  def priceVolumeMix(lineitem: DataFrame, orders: DataFrame,
+      part: DataFrame, y0: Int = 1996, y1: Int = 1997): DataFrame = {
+    val facts = lineitem
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"))
+      .join(orders.select(col("o_orderkey").as("l_orderkey"),
+        year(col("o_orderdate")).as("yr")), "l_orderkey")
+      .filter(col("yr") === y0 || col("yr") === y1)
+      .join(broadcast(part.select(col("p_partkey").as("l_partkey"),
+        col("p_brand"))), "l_partkey")
+    val g = facts.groupBy(col("p_brand").as("brand"))
+      .agg(
+        sum(when(col("yr") === y0, col("l_quantity")).otherwise(lit(0.0)))
+          .as("q0"),
+        sum(when(col("yr") === y1, col("l_quantity")).otherwise(lit(0.0)))
+          .as("q1"),
+        sum(when(col("yr") === y0, col("l_extendedprice")).otherwise(lit(0.0)))
+          .as("r0"),
+        sum(when(col("yr") === y1, col("l_extendedprice")).otherwise(lit(0.0)))
+          .as("r1"))
+      .filter(col("q0") > 0.0 && col("q1") > 0.0)
+    val p0 = col("r0") / col("q0")
+    val p1 = col("r1") / col("q1")
+    g.select(col("brand"), col("q0").cast("long").as("qty0"),
+      col("q1").cast("long").as("qty1"),
+      round(col("r0"), 2).as("rev0"), round(col("r1"), 2).as("rev1"),
+      round((col("q1") - col("q0")) * p0, 2).as("volume_effect"),
+      round((p1 - p0) * col("q1"), 2).as("price_effect"),
+      round(col("r1") - col("r0"), 2).as("total_change"))
+      .orderBy("brand")
+  }
+
   def topMovers(lineitem: DataFrame, orders: DataFrame, part: DataFrame,
       splitYear: Int = 1997): DataFrame = {
     import org.apache.spark.sql.expressions.Window

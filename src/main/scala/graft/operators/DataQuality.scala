@@ -313,6 +313,41 @@ object DataQuality {
       sum(when(lp && rp && !differs, 1L).otherwise(0L)).as("n_same"))
   }
 
+  /** Poisson-bootstrap confidence interval — resampling-based
+    * uncertainty for ANY statistic without distributional assumptions,
+    * in the form that actually distributes: instead of materializing B
+    * resampled datasets, every row draws B independent Poisson(1)
+    * weights (the standard big-data bootstrap), here DERIVED from the
+    * md5 bridge so the exact replica means replay in the oracle. The
+    * B-fold row explode is the honest cost of a bootstrap; partials
+    * combine map-side into only B groups, and the CI is an exact
+    * percentile over the B-row replica-mean table. */
+  def bootstrapCi(orders: DataFrame, b: Int = 200): DataFrame = {
+    // Poisson(1) CDF thresholds; both engines parse identical literals
+    val reps = orders
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("x"))
+      .select(col("k"), col("x"),
+        explode(sequence(lit(0), lit(b - 1))).as("r"))
+      .withColumn("u",
+        conv(substring(md5(concat(col("r").cast("string"), lit("|"),
+          col("k").cast("string"))), 1, 8), 16, 10).cast("double")
+          / 4294967296.0)
+      .withColumn("w",
+        when(col("u") < 0.36787944117144233, 0.0)
+          .when(col("u") < 0.7357588823428847, 1.0)
+          .when(col("u") < 0.9196986029286058, 2.0)
+          .when(col("u") < 0.9810118431238462, 3.0).otherwise(4.0))
+    val means = reps.groupBy("r")
+      .agg((sum(col("w") * col("x")) / sum(col("w"))).as("mb"))
+    val pt = orders.agg(round(avg("o_totalprice"), 4).as("mean_est"))
+    means
+      .agg(count(lit(1)).as("n_replicas"),
+        round(expr("percentile(mb, 0.025)"), 4).as("ci_lo"),
+        round(expr("percentile(mb, 0.975)"), 4).as("ci_hi"),
+        round(avg("mb"), 4).as("boot_mean"))
+      .crossJoin(broadcast(pt)) // bounded: 1 row
+  }
+
   /** Referential-integrity audit — the foreign-key orphan screen every
     * warehouse load runs ("do all child keys resolve to a parent?"):
     * for each declared (child, fk) → (parent, pk) relation, the child

@@ -309,6 +309,43 @@ object Graph {
       .orderBy("node")
   }
 
+  /** Newman modularity of the label-propagation partition — the
+    * "are these communities real" score that should accompany any
+    * community detection: Q = Σ_c [ m_c/m − (D_c/2m)² ] over the
+    * communities [[labelPropagation]] finds (deterministic min-label
+    * ties, so Q is reproducible). Q≈0 means no better than random;
+    * well-clustered graphs land 0.3+.
+    *
+    * Scale shape: the partition is one labelPropagation run; then TWO
+    * label join-backs onto the edge list (equi-joins on node id), a
+    * per-community fold, and a final community-domain aggregate — no
+    * all-pairs anywhere. Counts are exact integers; only the final
+    * Σ is float, rounded 4dp. */
+  def modularity(edgesIn: DataFrame, iters: Int = 5): DataFrame = {
+    val e = edgesIn.select(col("src"), col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val labels = labelPropagation(e, iters)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val mE = e.count() / 2 // both directions present → undirected count
+    val nNodes = labels.count()
+    val la = labels.select(col("node").as("src"), col("label").as("la"))
+    val lb = labels.select(col("node").as("dst"), col("label").as("lb"))
+    val mc = e.join(la, "src").join(lb, "dst")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label"))
+      .agg((count(lit(1)) / 2).as("mc2")) // directed pairs halve exactly
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    val dc = deg.join(labels, "node").groupBy("label")
+      .agg(sum("d").as("dsum"))
+    dc.join(mc, Seq("label"), "left")
+      .select((coalesce(col("mc2"), lit(0.0)) / mE.toDouble
+        - (col("dsum").cast("double") / (2.0 * mE))
+          * (col("dsum").cast("double") / (2.0 * mE))).as("qc"))
+      .agg(count(lit(1)).as("n_communities"), round(sum("qc"), 4).as("modularity"))
+      .select(lit(nNodes).as("n_nodes"), lit(mE).as("n_edges"),
+        col("n_communities"), col("modularity"))
+  }
+
   /** One-row graph summary: size, degree moments, and the degree
     * assortativity coefficient — Pearson correlation of endpoint
     * degrees over the directed edge list (Newman's r: positive =

@@ -1938,6 +1938,20 @@ object Suite {
   def mmPhash(s: SparkSession, dir: String): DataFrame =
     Multimodal.pHash(t(s, dir, "documents"))
 
+  /** Newman modularity of the label-prop communities on the trade graph. */
+  def graphModularity(s: SparkSession, dir: String): DataFrame =
+    Graph.modularity(Graph.tradeEdges(t(s, dir, "orders"),
+      t(s, dir, "lineitem").filter(col("l_quantity") >= 45.0)))
+
+  /** Price-volume-mix revenue waterfall per brand, 1996 → 1997. */
+  def relPriceVolumeMix(s: SparkSession, dir: String): DataFrame =
+    Basket.priceVolumeMix(t(s, dir, "lineitem"), t(s, dir, "orders"),
+      t(s, dir, "part"))
+
+  /** Poisson-bootstrap CI for the mean order value. */
+  def sampleBootstrapCi(s: SparkSession, dir: String): DataFrame =
+    DataQuality.bootstrapCi(t(s, dir, "orders"))
+
   /** Counterfactual post-period lift vs the pre-period seasonal mean. */
   def evtCausalImpact(s: SparkSession, dir: String): DataFrame =
     Events.causalImpact(t(s, dir, "events"))

@@ -258,6 +258,24 @@ class FrequentSpec extends SparkTestBase {
       (5L, 10L, 3L, 3L, 2L, 1.1111)))
   }
 
+  test("priceVolumeMix: the waterfall identity splits the revenue change") {
+    import graft.operators.Basket
+    import java.sql.Timestamp
+    val orders = Seq(
+      (1L, Timestamp.valueOf("1996-06-01 00:00:00")),
+      (2L, Timestamp.valueOf("1997-06-01 00:00:00")))
+      .toDF("o_orderkey", "o_orderdate")
+    // brand A: 1996 q=10 r=100 (p=10) → 1997 q=20 r=300 (p=15):
+    // volume (20−10)·10 = 100, price (15−10)·20 = 100, total 200
+    val li = Seq((1L, 7L, 10.0, 100.0), (2L, 7L, 20.0, 300.0))
+      .toDF("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    val part = Seq((7L, "BrandA")).toDF("p_partkey", "p_brand")
+    val out = Basket.priceVolumeMix(li, orders, part).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(5),
+        r.getDouble(6), r.getDouble(7)))
+    assert(out.toSeq == Seq(("BrandA", 10L, 20L, 100.0, 100.0, 200.0)))
+  }
+
   test("prioritySla: urgent SLA flags the slow line, low SLA forgives it") {
     import graft.operators.Basket
     import java.sql.Timestamp

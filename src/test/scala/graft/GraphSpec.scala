@@ -144,6 +144,16 @@ class GraphSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("modularity: two disjoint triangles score exactly 0.5") {
+    // per community: m_c=3, D_c=6, m=6 → Q = 2·(3/6 − (6/12)²) = 0.5
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
+    val edges = tri.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+      .toDF("src", "dst")
+    val r = Graph.modularity(edges).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ==
+      ((6L, 6L, 2L, 0.5)))
+  }
+
   test("clusteringCoeff: triangle corners are cliques, the pendant-bearing corner is diluted") {
     // triangle 1-2-3 plus pendant 3-4: cc(1)=cc(2)=1.0,
     // cc(3)=2·1/(3·2)=0.3333, node 4 (deg 1) filtered out

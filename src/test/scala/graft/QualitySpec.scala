@@ -359,6 +359,18 @@ class QualitySpec extends SparkTestBase {
     assert(out("validation|test") == ((1L, (nVa + nTe).toLong)))
   }
 
+  test("bootstrapCi: the interval brackets the true mean of a flat sample") {
+    val orders = (1L to 500L).map(i => (i, i.toDouble))
+      .toDF("o_orderkey", "o_totalprice")
+    val r = DataQuality.bootstrapCi(orders).head()
+    val (n, lo, hi, bm, est) = (r.getLong(0), r.getDouble(1), r.getDouble(2),
+      r.getDouble(3), r.getDouble(4))
+    assert(n == 200L && est == 250.5)
+    assert(lo <= bm && bm <= hi)
+    assert(lo <= est && est <= hi, s"CI [$lo, $hi] must bracket $est")
+    assert(hi - lo < 60.0, s"CI width ${hi - lo} implausibly wide")
+  }
+
   test("reconcile: presence markers and null-safe compares count every case") {
     val left = Seq((1L, 1, 10.0, 5.0), (2L, 1, 20.0, 5.0), (3L, 1, 30.0, 5.0))
       .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
