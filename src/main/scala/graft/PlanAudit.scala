@@ -262,7 +262,11 @@ object PlanAudit {
     // (bounded B-explode folding map-side to B groups + 1-row point
     // estimate); graph_modularity excluded: its label-prop loop runs
     // eagerly like pagerank
-    "rel_price_volume_mix", "sample_bootstrap_ci")
+    "rel_price_volume_mix", "sample_bootstrap_ci",
+    // trend mining (fact fold → grid → moment fold → TakeOrdered),
+    // kfold (map-side assignment + k-row fold), trunc recall (persisted
+    // full ranking + per-arm equi-joins over sliced scans)
+    "rel_trend_by_group", "feat_kfold", "sim_trunc_recall")
     // evt_audience_overlap is excluded like dedup_clusters: its
     // domain-sized sketch table collects eagerly at construction, so
     // only the trivial driver-built result frame would be explained

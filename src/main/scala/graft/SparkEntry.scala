@@ -222,6 +222,9 @@ object SparkEntry {
     "graph_modularity" -> (Suite.graphModularity _),
     "rel_price_volume_mix" -> (Suite.relPriceVolumeMix _),
     "sample_bootstrap_ci" -> (Suite.sampleBootstrapCi _),
+    "sim_trunc_recall" -> (Suite.simTruncRecall _),
+    "rel_trend_by_group" -> (Suite.relTrendByGroup _),
+    "feat_kfold" -> (Suite.featKfold _),
     "rel_triples" -> (Suite.relTriples _),
     "mix_dedup_weight" -> (Suite.mixDedupWeight _),
     "evt_rolling_distinct_hll" -> (Suite.evtRollingDistinctHll _),
@@ -325,6 +328,41 @@ object SparkEntry {
        |  WHERE doc_id % 20 = 0 AND strlen(text) >= 72)
        |SELECT doc_id, nb AS n_bytes, ${bits.mkString(" || ")} AS phash
        |FROM b ORDER BY doc_id""".stripMargin
+  }
+
+  /** Truncation-recall oracle, generated per dim arm: full-dimension
+    * exact top-k vs the list_slice-truncated top-k, overlap counted on
+    * the (query, neighbor) key — identical selection arithmetic to
+    * Similarity.truncationRecall. */
+  private def truncRecallSql(dims: Seq[Int], k: Int): String = {
+    def top(name: String, eExpr: String => String) =
+      s"""$name AS (SELECT vec_id, neighbor_id FROM (
+         |  SELECT q.vec_id, c.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      list_inner_product(${eExpr("q.e")}, ${eExpr("c.e")})
+         |        / (sqrt(list_inner_product(${eExpr("q.e")}, ${eExpr("q.e")}))
+         |          * sqrt(list_inner_product(${eExpr("c.e")}, ${eExpr("c.e")})))
+         |      DESC, c.vec_id) AS rn
+         |  FROM q JOIN c ON q.vec_id <> c.vec_id) WHERE rn <= $k)""".stripMargin
+    val fullCte = top("f0", (e: String) => e)
+    val armCtes = dims.map(d =>
+      top(s"t$d", (e: String) => s"list_slice($e, 1, $d)")).mkString(",\n")
+    val armSelects = dims.map(d =>
+      s"""SELECT CAST($d AS BIGINT) AS dim,
+         |  (SELECT count(*) FROM f0 JOIN t$d USING (vec_id, neighbor_id))
+         |    AS n_overlap,
+         |  (SELECT count(*) FROM f0) AS n_total""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |  FROM embeddings WHERE vec_id < 20),
+       |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |$fullCte,
+       |$armCtes,
+       |arms AS ($armSelects)
+       |SELECT dim, n_overlap, n_total,
+       |  CAST(floor(CAST(n_overlap AS DOUBLE) / n_total * 10000.0 + 0.5)
+       |    AS DOUBLE) / 10000.0 AS recall
+       |FROM arms ORDER BY dim""".stripMargin
   }
 
   private val toksSql =
@@ -3456,6 +3494,36 @@ object SparkEntry {
         |  round(quantile_cont(mb, 0.975), 4) AS ci_hi,
         |  round(avg(mb), 4) AS boot_mean, pt.mean_est
         |FROM mb CROSS JOIN pt GROUP BY pt.mean_est""".stripMargin,
+    "sim_trunc_recall" -> truncRecallSql(Seq(16, 32, 64), 5),
+    // grouped OLS from moment folds; integer month index keeps the
+    // denominator cancellation exact
+    "rel_trend_by_group" ->
+      """WITH f AS (SELECT l.l_partkey, l.l_extendedprice,
+        |    CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) AS DOUBLE)
+        |      AS m
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |g AS (SELECT p.p_brand AS brand, f.m, sum(f.l_extendedprice) AS rev
+        |  FROM f JOIN part p ON f.l_partkey = p.p_partkey GROUP BY 1, 2),
+        |mo AS (SELECT brand, count(*) AS n_months, sum(m) AS sx,
+        |    sum(rev) AS sy, sum(m * m) AS sxx, sum(m * rev) AS sxy
+        |  FROM g GROUP BY 1)
+        |SELECT brand, n_months,
+        |  CAST(floor((CAST(n_months AS DOUBLE) * sxy - sx * sy)
+        |    / (CAST(n_months AS DOUBLE) * sxx - sx * sx) * 10000.0 + 0.5)
+        |    AS DOUBLE) / 10000.0 AS slope,
+        |  round(sy / CAST(n_months AS DOUBLE), 2) AS avg_monthly_rev
+        |FROM mo ORDER BY slope DESC, brand LIMIT 10""".stripMargin,
+    // md5-bridge fold assignment; balance vs the expected n/k
+    "feat_kfold" ->
+      """WITH f AS (SELECT ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+        |    1, 8))::BIGINT % 5 AS fold, o_totalprice FROM orders),
+        |g AS (SELECT fold, count(*) AS n_orders,
+        |    round(avg(o_totalprice), 4) AS mean_value FROM f GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n_orders) AS DOUBLE) AS n_total FROM g)
+        |SELECT fold, n_orders, mean_value,
+        |  CAST(floor(CAST(n_orders AS DOUBLE) / (n_total / 5e0) * 10000.0
+        |    + 0.5) AS DOUBLE) / 10000.0 AS balance_ratio
+        |FROM g CROSS JOIN tt ORDER BY fold""".stripMargin,
     "evt_survival_km" ->
       """WITH u AS (SELECT user_id,
         |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS f,

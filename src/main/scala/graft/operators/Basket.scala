@@ -492,6 +492,38 @@ object Basket {
       .limit(bottomK)
   }
 
+  /** Grouped trend mining — an OLS slope of monthly revenue PER BRAND
+    * in one pass: the "which products are growing fastest" screen that
+    * needs a regression per key, done as moment folds (n, Σx, Σy, Σxx,
+    * Σxy per brand), never a per-group fit loop. Month index is the
+    * integer year·12+month; slope is portable-rounded BEFORE the
+    * top-N ordering so a final-ulp diff can't reorder the cut.
+    *
+    * Scale shape: fact fold → (brand × month) grid → brand-domain
+    * moment fold → TakeOrdered. Two shuffles total. */
+  def trendByGroup(lineitem: DataFrame, orders: DataFrame,
+      part: DataFrame, topN: Int = 10): DataFrame = {
+    val monthly = lineitem
+      .select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice"))
+      .join(orders.select(col("o_orderkey").as("l_orderkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("double").as("m")), "l_orderkey")
+      .join(broadcast(part.select(col("p_partkey").as("l_partkey"),
+        col("p_brand"))), "l_partkey")
+      .groupBy(col("p_brand").as("brand"), col("m"))
+      .agg(sum("l_extendedprice").as("rev"))
+    val mo = monthly.groupBy("brand").agg(
+      count(lit(1)).as("n_months"), sum("m").as("sx"), sum("rev").as("sy"),
+      sum(col("m") * col("m")).as("sxx"), sum(col("m") * col("rev")).as("sxy"))
+    val nD = col("n_months").cast("double")
+    mo.select(col("brand"), col("n_months"),
+      Num.pround((nD * col("sxy") - col("sx") * col("sy"))
+        / (nD * col("sxx") - col("sx") * col("sx")), 4).as("slope"),
+      round(col("sy") / nD, 2).as("avg_monthly_rev"))
+      .orderBy(col("slope").desc, col("brand"))
+      .limit(topN)
+  }
+
   /** Price-volume-mix waterfall — the finance decomposition of a
     * revenue change: per brand, ΔRev between two years splits EXACTLY
     * into volume effect (Δq·p₀) + price effect (Δp·q₁), an algebraic

@@ -118,6 +118,25 @@ object Features {
       .orderBy("user_id")
   }
 
+  /** Deterministic k-fold cross-validation plan — fold assignment via
+    * the md5 bridge (reproducible anywhere, disjoint and exhaustive by
+    * construction) plus the balance audit every CV setup needs: per
+    * fold, size, target mean, and the ratio to the expected n/k. One
+    * map-side assignment + one k-row fold. */
+  def kfoldPlan(orders: DataFrame, k: Int = 5): DataFrame = {
+    val folds = orders.select(
+      (conv(substring(md5(col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("long") % k).as("fold"), col("o_totalprice"))
+    val g = folds.groupBy("fold").agg(count(lit(1)).as("n_orders"),
+      round(avg("o_totalprice"), 4).as("mean_value"))
+    val tot = g.agg(sum("n_orders").cast("double").as("n_total"))
+    g.crossJoin(broadcast(tot)) // bounded: 1 row
+      .select(col("fold"), col("n_orders"), col("mean_value"),
+        Num.pround(col("n_orders").cast("double")
+          / (col("n_total") / lit(k.toDouble)), 4).as("balance_ratio"))
+      .orderBy("fold")
+  }
+
   /** PCA projection to 2-D + per-label cluster geometry — the
     * dimensionality-reduction step an embedding-quality review runs
     * ("do the labels separate in the leading components?"). Uses

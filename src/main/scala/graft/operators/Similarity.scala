@@ -442,6 +442,38 @@ object Similarity {
     rankTopK(exact, k)
   }
 
+  /** Matryoshka truncation-stability eval — "how many leading
+    * dimensions do we actually need?": recall@k of the cosine ranking
+    * under prefix-truncated embeddings (16/32/64 dims) against the
+    * full-dimension ranking — the measurement behind every
+    * embedding-storage downsizing decision. Each arm is a
+    * [[topKExact]] run over the SLICED column (slice is codegen'd;
+    * the dot stays the native DotProduct); the full ranking is
+    * computed once and persisted; overlap is a key equi-join per arm.
+    * Exact selection (no sketch), so the whole eval hash-replays in
+    * DuckDB via list_inner_product + list slicing. */
+  def truncationRecall(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      dims: Seq[Int] = Seq(16, 32, 64)): DataFrame = {
+    val full = topKExact(corpus, queries, k)
+      .select(col("vec_id"), col("neighbor_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nTotal = full.count()
+    val arms = dims.map { d =>
+      def trunc(df: DataFrame): DataFrame =
+        df.select(col("vec_id"),
+          slice(col("embedding"), 1, d).as("embedding"))
+      val tk = topKExact(trunc(corpus), trunc(queries), k)
+        .select(col("vec_id"), col("neighbor_id"))
+      val overlap = full.join(tk, Seq("vec_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+      overlap.select(lit(d.toLong).as("dim"), col("n_overlap"),
+        lit(nTotal).as("n_total"),
+        Num.pround(col("n_overlap").cast("double") / nTotal.toDouble, 4)
+          .as("recall"))
+    }
+    arms.reduce(_.unionAll(_)).orderBy("dim")
+  }
+
   /** Dedup-threshold calibration sweep: exact pair-similarity counts
     * at a ladder of cosine thresholds over a DETERMINISTIC sample —
     * the curve a team reads before committing a near-dup threshold

@@ -1952,6 +1952,21 @@ object Suite {
   def sampleBootstrapCi(s: SparkSession, dir: String): DataFrame =
     DataQuality.bootstrapCi(t(s, dir, "orders"))
 
+  /** Matryoshka truncation-stability recall over the bounded query set. */
+  def simTruncRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.truncationRecall(e, e.filter(col("vec_id") < 20), 5)
+  }
+
+  /** Per-brand monthly-revenue OLS slopes, top growers. */
+  def relTrendByGroup(s: SparkSession, dir: String): DataFrame =
+    Basket.trendByGroup(t(s, dir, "lineitem"), t(s, dir, "orders"),
+      t(s, dir, "part"))
+
+  /** Deterministic 5-fold CV plan with the balance audit. */
+  def featKfold(s: SparkSession, dir: String): DataFrame =
+    Features.kfoldPlan(t(s, dir, "orders"))
+
   /** Counterfactual post-period lift vs the pre-period seasonal mean. */
   def evtCausalImpact(s: SparkSession, dir: String): DataFrame =
     Events.causalImpact(t(s, dir, "events"))

@@ -32,6 +32,18 @@ class FeaturesSpec extends SparkTestBase {
     assert(out(1L) == 120.0)
   }
 
+  test("kfoldPlan: disjoint exhaustive folds with a sane balance ratio") {
+    val orders = (1L to 100L).map(i => (i, 50.0))
+      .toDF("o_orderkey", "o_totalprice")
+    val out = graft.operators.Features.kfoldPlan(orders).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(out.map(_._2).sum == 100L, "folds must partition the table")
+    assert(out.forall(_._3 == 50.0))
+    assert(out.forall(f => f._4 > 0.5 && f._4 < 1.5),
+      s"md5 folds badly unbalanced: ${out.toSeq}")
+  }
+
   test("pcaProject: the leading component finds the planted variance axis") {
     // all real variance on axis 0 (spread ±10); labels offset on axis 1
     // by a constant → per-label spread concentrates in the first PC

@@ -258,6 +258,23 @@ class FrequentSpec extends SparkTestBase {
       (5L, 10L, 3L, 3L, 2L, 1.1111)))
   }
 
+  test("trendByGroup: a planted linear ramp regresses to its exact slope") {
+    import graft.operators.Basket
+    import java.sql.Timestamp
+    val orders = (1 to 3).map(m =>
+      (m.toLong, Timestamp.valueOf(f"1995-0$m-15 00:00:00")))
+      .toDF("o_orderkey", "o_orderdate")
+    // Grow: 100/200/300 per month → slope 100; Flat: 50/50/50 → slope 0
+    val li = (1 to 3).flatMap(m => Seq(
+      (m.toLong, 1L, 100.0 * m), (m.toLong, 2L, 50.0)))
+      .toDF("l_orderkey", "l_partkey", "l_extendedprice")
+    val part = Seq((1L, "Grow"), (2L, "Flat")).toDF("p_partkey", "p_brand")
+    val out = Basket.trendByGroup(li, orders, part).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(("Grow", 3L, 100.0, 200.0),
+      ("Flat", 3L, 0.0, 50.0)))
+  }
+
   test("priceVolumeMix: the waterfall identity splits the revenue change") {
     import graft.operators.Basket
     import java.sql.Timestamp
