@@ -266,7 +266,11 @@ object PlanAudit {
     // trend mining (fact fold → grid → moment fold → TakeOrdered),
     // kfold (map-side assignment + k-row fold), trunc recall (persisted
     // full ranking + per-arm equi-joins over sliced scans)
-    "rel_trend_by_group", "feat_kfold", "sim_trunc_recall")
+    "rel_trend_by_group", "feat_kfold", "sim_trunc_recall",
+    // mttr (ONE user window, FOLLOWING-frame min, no self-join), OOF
+    // encode (two broadcast folds, facts never shuffled);
+    // maint_migrate_format excluded (write+read round trip is the op)
+    "evt_mttr", "feat_target_encode_oof")
     // evt_audience_overlap is excluded like dedup_clusters: its
     // domain-sized sketch table collects eagerly at construction, so
     // only the trivial driver-built result frame would be explained

@@ -225,6 +225,9 @@ object SparkEntry {
     "sim_trunc_recall" -> (Suite.simTruncRecall _),
     "rel_trend_by_group" -> (Suite.relTrendByGroup _),
     "feat_kfold" -> (Suite.featKfold _),
+    "maint_migrate_format" -> (Suite.maintMigrateFormat _),
+    "evt_mttr" -> (Suite.evtMttr _),
+    "feat_target_encode_oof" -> (Suite.featTargetEncodeOof _),
     "rel_triples" -> (Suite.relTriples _),
     "mix_dedup_weight" -> (Suite.mixDedupWeight _),
     "evt_rolling_distinct_hll" -> (Suite.evtRollingDistinctHll _),
@@ -3524,6 +3527,50 @@ object SparkEntry {
         |  CAST(floor(CAST(n_orders AS DOUBLE) / (n_total / 5e0) * 10000.0
         |    + 0.5) AS DOUBLE) / 10000.0 AS balance_ratio
         |FROM g CROSS JOIN tt ORDER BY fold""".stripMargin,
+    // lossless-migration assertion: every count equals the source's
+    "maint_migrate_format" ->
+      """SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_src,
+        |count(*) AS n_migrated, count(*) AS n_matching FROM nation""".stripMargin,
+    // next non-error via a FOLLOWING-frame window min; unrecovered
+    // errors stay NULL and the aggregates skip them
+    "evt_mttr" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type FROM events),
+        |n AS (SELECT event_type, us,
+        |    min(CASE WHEN event_type <> 'error' THEN us END) OVER (
+        |      PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS rec_us
+        |  FROM e),
+        |r AS (SELECT CAST(rec_us - us AS DOUBLE) / 60e6 AS rec_min
+        |  FROM n WHERE event_type = 'error')
+        |SELECT count(*) AS n_errors,
+        |  CAST(sum(CASE WHEN rec_min IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_recovered,
+        |  round(avg(rec_min), 4) AS avg_recovery_min,
+        |  round(quantile_cont(rec_min, 0.5), 4) AS p50_recovery_min
+        |FROM r""".stripMargin,
+    // group-aware md5 folds; OOF stats = totals minus own fold
+    "feat_target_encode_oof" ->
+      """WITH b AS (SELECT l_orderkey,
+        |    CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |    l_returnflag AS cat, l_quantity,
+        |    ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT
+        |      % 5 AS fold
+        |  FROM lineitem),
+        |bf AS (SELECT cat, fold, count(*) AS cnt_f, sum(l_quantity) AS s_f
+        |  FROM b GROUP BY 1, 2),
+        |tt AS (SELECT cat, CAST(sum(cnt_f) AS BIGINT) AS cnt_t,
+        |    sum(s_f) AS s_t FROM bf GROUP BY 1),
+        |g AS (SELECT sum(l_quantity) / CAST(count(*) AS DOUBLE) AS mu
+        |  FROM lineitem)
+        |SELECT b.l_orderkey, b.l_linenumber, b.cat, b.fold,
+        |  CAST(floor(((s_t - s_f) + 50e0 * mu)
+        |    / (CAST(cnt_t - cnt_f AS DOUBLE) + 50e0) * 10000.0 + 0.5)
+        |    AS DOUBLE) / 10000.0 AS te_oof
+        |FROM b JOIN bf ON b.cat = bf.cat AND b.fold = bf.fold
+        |JOIN tt ON b.cat = tt.cat CROSS JOIN g
+        |WHERE b.l_orderkey % 1000 = 0
+        |ORDER BY b.l_orderkey, b.l_linenumber""".stripMargin,
     "evt_survival_km" ->
       """WITH u AS (SELECT user_id,
         |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS f,

@@ -1250,6 +1250,32 @@ object Events {
       .orderBy("cohort_hour")
   }
 
+  /** MTTR — reliability analytics from the event log: for every
+    * 'error' event, time to the user's next NON-error event (the
+    * recovery), summarized as count / recovered share / mean / median
+    * minutes. The "next at-or-after" lookup is a window MIN over the
+    * FOLLOWING frame — one user shuffle + sort, no self-join, no
+    * as-of scan; errors with no later activity stay NULL (never a
+    * fake 0) and the aggregates skip them. */
+  def mttr(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = events.select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("us"), col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    base
+      .withColumn("rec_us",
+        min(when(col("event_type") =!= "error", col("us"))).over(w))
+      .filter(col("event_type") === "error")
+      .select(((col("rec_us") - col("us")).cast("double") / 60e6)
+        .as("rec_min"))
+      .agg(count(lit(1)).as("n_errors"),
+        sum(when(col("rec_min").isNotNull, 1L).otherwise(0L))
+          .as("n_recovered"),
+        round(avg("rec_min"), 4).as("avg_recovery_min"),
+        round(expr("percentile(rec_min, 0.5)"), 4).as("p50_recovery_min"))
+  }
+
   /** Counterfactual impact readout (CausalImpact-lite): the post-period
     * days are compared against a SEASONAL COUNTERFACTUAL built purely
     * from the pre-period — the per-day-of-week mean daily volume — with

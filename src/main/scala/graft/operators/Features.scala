@@ -118,6 +118,40 @@ object Features {
       .orderBy("user_id")
   }
 
+  /** OUT-OF-FOLD target encoding — the CV-safe production variant of
+    * [[targetEncodeLoo]]: each row's encoding uses category statistics
+    * from the OTHER folds only (totals minus own-fold stats), with
+    * folds assigned by the md5 bridge ON THE ORDER KEY so whole orders
+    * share a fold (group-aware CV). The same exact-integer-target
+    * argument makes every encoded value deterministic IEEE.
+    *
+    * Scale shape: one (cat × fold) fold + its cat rollup, both
+    * broadcast; the fact table is never shuffled. */
+  def targetEncodeOof(lineitem: DataFrame, k: Int = 5,
+      smoothing: Double = 50.0, sampleMod: Long = 1000L): DataFrame = {
+    val fold = conv(substring(md5(col("l_orderkey").cast("string")), 1, 8),
+      16, 10).cast("long") % k
+    val base = lineitem.select(col("l_orderkey"),
+      col("l_linenumber").cast("long").as("l_linenumber"),
+      col("l_returnflag").as("cat"), col("l_quantity"), fold.as("fold"))
+    val byFold = base.groupBy("cat", "fold")
+      .agg(count(lit(1)).as("cnt_f"), sum("l_quantity").as("s_f"))
+    val totals = byFold.groupBy("cat")
+      .agg(sum("cnt_f").as("cnt_t"), sum("s_f").as("s_t"))
+    val overall = lineitem.agg(
+      (sum("l_quantity") / count(lit(1)).cast("double")).as("mu"))
+    base.filter(col("l_orderkey") % sampleMod === 0)
+      .join(broadcast(byFold), Seq("cat", "fold"))
+      .join(broadcast(totals), "cat")
+      .crossJoin(broadcast(overall))
+      .select(col("l_orderkey"), col("l_linenumber"), col("cat"),
+        col("fold"),
+        Num.pround(((col("s_t") - col("s_f")) + lit(smoothing) * col("mu"))
+          / ((col("cnt_t") - col("cnt_f")).cast("double") + lit(smoothing)), 4)
+          .as("te_oof"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** Deterministic k-fold cross-validation plan — fold assignment via
     * the md5 bridge (reproducible anywhere, disjoint and exhaustive by
     * construction) plus the balance audit every CV setup needs: per

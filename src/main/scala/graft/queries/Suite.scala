@@ -1952,6 +1952,30 @@ object Suite {
   def sampleBootstrapCi(s: SparkSession, dir: String): DataFrame =
     DataQuality.bootstrapCi(t(s, dir, "orders"))
 
+  /** Plain-parquet → snapshot-format adoption, lossless by all-column
+    * join: n_matching < n_src would expose a corrupting migration. */
+  def maintMigrateFormat(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{Export, Snapshots}
+    val src = t(s, dir, "nation")
+    val root = Export.tempDir("migrate_").toString + "/t"
+    val v = Snapshots.append(src, root)
+    val migrated = Snapshots.readAs(s, root, v)
+    src.agg(count(lit(1)).as("n_src"))
+      .crossJoin(migrated.agg(count(lit(1)).as("n_migrated")))
+      .crossJoin(src.join(migrated, src.columns.toSeq)
+        .agg(count(lit(1)).as("n_matching")))
+      .select(lit(v.toLong).as("version"), col("n_src"), col("n_migrated"),
+        col("n_matching"))
+  }
+
+  /** Mean/median time-to-recovery after error events. */
+  def evtMttr(s: SparkSession, dir: String): DataFrame =
+    Events.mttr(t(s, dir, "events"))
+
+  /** Out-of-fold target encoding over the sampled lineitem rows. */
+  def featTargetEncodeOof(s: SparkSession, dir: String): DataFrame =
+    Features.targetEncodeOof(t(s, dir, "lineitem"))
+
   /** Matryoshka truncation-stability recall over the bounded query set. */
   def simTruncRecall(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")

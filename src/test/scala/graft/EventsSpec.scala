@@ -888,6 +888,19 @@ class EventsSpec extends SparkTestBase {
     assert(streamed.map(_._3).sum == 40L)
   }
 
+  test("mttr: recovery is the next non-error event; unrecovered stays NULL") {
+    val rows = Seq(
+      (1L, 1L, Timestamp.valueOf("2024-01-01 10:00:00"), "error"),
+      (2L, 1L, Timestamp.valueOf("2024-01-01 10:05:00"), "click"), // rec 5
+      (3L, 1L, Timestamp.valueOf("2024-01-01 10:10:00"), "error"),
+      (4L, 1L, Timestamp.valueOf("2024-01-01 10:30:00"), "view"), // rec 20
+      (5L, 2L, Timestamp.valueOf("2024-01-01 11:00:00"), "error")) // never
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val r = Events.mttr(rows).head()
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)) ==
+      ((3L, 2L, 12.5, 12.5)))
+  }
+
   test("causalImpact: a flat pre-period makes the lifted post day significant") {
     // 28 days, 2 events/day except 2024-01-20 (5 events): the pre
     // half (Jan 1-14) is perfectly flat → every dow mean is 2, pooled

@@ -32,6 +32,32 @@ class FeaturesSpec extends SparkTestBase {
     assert(out(1L) == 120.0)
   }
 
+  test("targetEncodeOof: every encoding excludes exactly its own fold") {
+    def fold(k: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(k.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 5
+    }
+    def pround(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+    val rows = (1L to 20L).map(k => (k, 1, "A", (k % 7).toDouble))
+    val df = rows.toDF("l_orderkey", "l_linenumber", "l_returnflag",
+      "l_quantity")
+    val sTot = rows.map(_._4).sum
+    val mu = sTot / 20.0
+    val out = graft.operators.Features
+      .targetEncodeOof(df, smoothing = 2.0, sampleMod = 1L)
+      .collect().map(r => (r.getLong(0), r.getDouble(4))).toMap
+    rows.foreach { case (k, _, _, _) =>
+      val f = fold(k)
+      val inFold = rows.filter(r => fold(r._1) == f)
+      val sF = inFold.map(_._4).sum
+      val exp = pround(((sTot - sF) + 2.0 * mu)
+        / ((20 - inFold.length).toDouble + 2.0))
+      assert(out(k) == exp, s"orderkey $k fold $f")
+    }
+  }
+
   test("kfoldPlan: disjoint exhaustive folds with a sane balance ratio") {
     val orders = (1L to 100L).map(i => (i, 50.0))
       .toDF("o_orderkey", "o_totalprice")

@@ -276,4 +276,13 @@ class SourcesSpec extends SparkTestBase {
     // v1 still reads clean (no deletes at v1)
     assert(Snapshots.readAs(spark, root, v1).count() == 5)
   }
+
+  test("maintMigrateFormat: adoption is lossless by all-column join") {
+    val r = graft.queries.Suite.maintMigrateFormat(spark, sfDir).head()
+    val (v, nSrc, nMig, nMatch) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(v == 1L && nSrc > 0)
+    assert(nMig == nSrc && nMatch == nSrc,
+      s"migration lost rows: src $nSrc migrated $nMig matching $nMatch")
+  }
 }
