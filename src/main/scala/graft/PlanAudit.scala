@@ -270,7 +270,11 @@ object PlanAudit {
     // mttr (ONE user window, FOLLOWING-frame min, no self-join), OOF
     // encode (two broadcast folds, facts never shuffled);
     // maint_migrate_format excluded (write+read round trip is the op)
-    "evt_mttr", "feat_target_encode_oof")
+    "evt_mttr", "feat_target_encode_oof",
+    // abc-xyz (fact fold → part-domain windows), scaler (1-row fit
+    // broadcast into a pruned row-local transform), table hash (three
+    // scan-side folds, no shuffle beyond the 1-row aggregates)
+    "rel_abc_xyz", "feat_scaler", "dq_table_hash")
     // evt_audience_overlap is excluded like dedup_clusters: its
     // domain-sized sketch table collects eagerly at construction, so
     // only the trivial driver-built result frame would be explained

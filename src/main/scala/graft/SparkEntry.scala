@@ -228,6 +228,9 @@ object SparkEntry {
     "maint_migrate_format" -> (Suite.maintMigrateFormat _),
     "evt_mttr" -> (Suite.evtMttr _),
     "feat_target_encode_oof" -> (Suite.featTargetEncodeOof _),
+    "rel_abc_xyz" -> (Suite.relAbcXyz _),
+    "feat_scaler" -> (Suite.featScaler _),
+    "dq_table_hash" -> (Suite.dqTableHash _),
     "rel_triples" -> (Suite.relTriples _),
     "mix_dedup_weight" -> (Suite.mixDedupWeight _),
     "evt_rolling_distinct_hll" -> (Suite.evtRollingDistinctHll _),
@@ -3571,6 +3574,64 @@ object SparkEntry {
         |JOIN tt ON b.cat = tt.cat CROSS JOIN g
         |WHERE b.l_orderkey % 1000 = 0
         |ORDER BY b.l_orderkey, b.l_linenumber""".stripMargin,
+    // cumulative share evaluated in fixed frame order, rounded BEFORE
+    // the class compare (round-before-argmax rule); CV likewise
+    "rel_abc_xyz" ->
+      """WITH f AS (SELECT l.l_partkey, l.l_quantity, l.l_extendedprice,
+        |    year(o.o_orderdate) * 12 + month(o.o_orderdate) AS m
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |mo AS (SELECT l_partkey, m, sum(l_quantity) AS q,
+        |    sum(l_extendedprice) AS r FROM f GROUP BY 1, 2),
+        |bp AS (SELECT l_partkey, round(sum(r), 2) AS rev,
+        |    stddev_samp(q) / avg(q) AS cv FROM mo GROUP BY 1),
+        |cl AS (SELECT l_partkey, rev,
+        |    CAST(floor(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      / sum(rev) OVER () * 10000.0 + 0.5) AS DOUBLE) / 10000.0
+        |      AS cum_share,
+        |    CAST(floor(cv * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS cv_r
+        |  FROM bp),
+        |cc AS (SELECT rev,
+        |    CASE WHEN cum_share <= 0.8 THEN 'A'
+        |      WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS abc_class,
+        |    CASE WHEN cv_r IS NULL THEN 'Z' WHEN cv_r <= 0.5 THEN 'X'
+        |      WHEN cv_r <= 1.0 THEN 'Y' ELSE 'Z' END AS xyz_class
+        |  FROM cl)
+        |SELECT abc_class, xyz_class, count(*) AS n_parts,
+        |  round(sum(rev), 2) AS revenue
+        |FROM cc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // one fit aggregate broadcast into a row-local transform
+    "feat_scaler" ->
+      """WITH fit AS (SELECT avg(l_quantity) AS mu_q,
+        |    stddev_samp(l_quantity) AS sd_q,
+        |    avg(l_extendedprice) AS mu_p,
+        |    stddev_samp(l_extendedprice) AS sd_p,
+        |    min(l_discount) AS lo_d, max(l_discount) AS hi_d FROM lineitem)
+        |SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  CAST(floor((l_quantity - mu_q) / sd_q * 10000.0 + 0.5) AS DOUBLE)
+        |    / 10000.0 AS z_qty,
+        |  CAST(floor((l_extendedprice - mu_p) / sd_p * 10000.0 + 0.5)
+        |    AS DOUBLE) / 10000.0 AS z_price,
+        |  CAST(floor((l_discount - lo_d) / (hi_d - lo_d) * 10000.0 + 0.5)
+        |    AS DOUBLE) / 10000.0 AS mm_disc
+        |FROM lineitem CROSS JOIN fit WHERE l_orderkey % 1000 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // XOR of 60-bit md5 row hashes: order/partition independent;
+    // ints + strings only (double rendering differs between engines)
+    "dq_table_hash" ->
+      """SELECT 'nation' AS table_name, count(*) AS n_rows,
+        |  bit_xor(('0x' || substr(md5(CAST(n_nationkey AS VARCHAR)
+        |    || '|' || n_name), 1, 15))::BIGINT) AS fingerprint FROM nation
+        |UNION ALL
+        |SELECT 'region', count(*),
+        |  bit_xor(('0x' || substr(md5(CAST(r_regionkey AS VARCHAR)
+        |    || '|' || r_name), 1, 15))::BIGINT) FROM region
+        |UNION ALL
+        |SELECT 'supplier', count(*),
+        |  bit_xor(('0x' || substr(md5(CAST(s_suppkey AS VARCHAR)
+        |    || '|' || s_name || '|' || CAST(s_nationkey AS VARCHAR)),
+        |    1, 15))::BIGINT) FROM supplier
+        |ORDER BY table_name""".stripMargin,
     "evt_survival_km" ->
       """WITH u AS (SELECT user_id,
         |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS f,

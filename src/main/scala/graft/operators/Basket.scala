@@ -492,6 +492,48 @@ object Basket {
       .limit(bottomK)
   }
 
+  /** ABC-XYZ inventory segmentation — the two-axis classification
+    * every supply chain runs: ABC = cumulative revenue concentration
+    * (A ≤ 80%, B ≤ 95%, C rest, Pareto-ranked), XYZ = demand
+    * variability (CV of monthly quantity: X ≤ 0.5, Y ≤ 1.0, Z rest).
+    * Output is the 9-cell matrix with counts and revenue share.
+    *
+    * Scale/determinism: facts fold once to the part domain; the
+    * cumulative-share window runs over that dimension-sized table in
+    * a FIXED frame order (revenue desc, part id), so the prefix sum
+    * is deterministic float on both engines, and both cum-share and
+    * CV are portable-rounded BEFORE their threshold compares (the
+    * round-before-argmax rule). */
+  def abcXyz(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val facts = lineitem
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"))
+      .join(orders.select(col("o_orderkey").as("l_orderkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m")),
+        "l_orderkey")
+    val monthly = facts.groupBy(col("l_partkey"), col("m"))
+      .agg(sum("l_quantity").as("q"), sum("l_extendedprice").as("r"))
+    val byPart = monthly.groupBy("l_partkey")
+      .agg(round(sum("r"), 2).as("rev"),
+        (stddev_samp(col("q")) / avg(col("q"))).as("cv"))
+    val wCum = Window.orderBy(col("rev").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy()
+    val classed = byPart
+      .withColumn("cum_share",
+        Num.pround(sum("rev").over(wCum) / sum("rev").over(wTot), 4))
+      .withColumn("cv_r", Num.pround(col("cv"), 4))
+      .withColumn("abc_class", when(col("cum_share") <= 0.8, "A")
+        .when(col("cum_share") <= 0.95, "B").otherwise("C"))
+      .withColumn("xyz_class", when(col("cv_r").isNull, "Z")
+        .when(col("cv_r") <= 0.5, "X")
+        .when(col("cv_r") <= 1.0, "Y").otherwise("Z"))
+    classed.groupBy("abc_class", "xyz_class")
+      .agg(count(lit(1)).as("n_parts"), round(sum("rev"), 2).as("revenue"))
+      .orderBy("abc_class", "xyz_class")
+  }
+
   /** Grouped trend mining — an OLS slope of monthly revenue PER BRAND
     * in one pass: the "which products are growing fastest" screen that
     * needs a regression per key, done as moment folds (n, Σx, Σy, Σxx,

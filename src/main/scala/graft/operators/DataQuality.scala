@@ -348,6 +348,24 @@ object DataQuality {
       .crossJoin(broadcast(pt)) // bounded: 1 row
   }
 
+  /** Order-independent table fingerprints — the cheap replica/backup
+    * equality check: per table, XOR of a 60-bit md5-derived row hash.
+    * XOR is commutative/associative, so the fingerprint is partition-
+    * and order-independent with NO sort and NO shuffle beyond the
+    * 1-row aggregate — comparing two 100 TB replicas costs two scans
+    * and an equality of longs. Hashed columns are ints + strings only
+    * (double→string rendering differs between engines; the md5 bridge
+    * requires identical bytes). */
+  def tableFingerprints(
+      tables: Seq[(String, DataFrame, Seq[String])]): DataFrame =
+    tables.map { case (name, df, cols) =>
+      val h = conv(substring(md5(concat_ws("|", cols.map(col): _*)), 1, 15),
+        16, 10).cast("long")
+      df.select(h.as("h"))
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("fingerprint"))
+        .select(lit(name).as("table_name"), col("n_rows"), col("fingerprint"))
+    }.reduce(_.unionAll(_)).orderBy("table_name")
+
   /** Referential-integrity audit — the foreign-key orphan screen every
     * warehouse load runs ("do all child keys resolve to a parent?"):
     * for each declared (child, fk) → (parent, pk) relation, the child

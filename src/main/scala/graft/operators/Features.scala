@@ -171,6 +171,35 @@ object Features {
       .orderBy("fold")
   }
 
+  /** Standard feature scaling — fit + transform in one plan: the fit
+    * is ONE moment aggregate (mean/sd/min/max per measure) broadcast
+    * back as a 1-row table, the transform a row-local projection over
+    * the deterministically sampled slice (z-score for the unbounded
+    * measures, min-max for the bounded one). The "scaler object" of
+    * sklearn re-expressed as a broadcast join — nothing is collected,
+    * the fit never leaves the cluster. */
+  def scaler(lineitem: DataFrame, sampleMod: Long = 1000L): DataFrame = {
+    val fit = lineitem.agg(
+      avg("l_quantity").as("mu_q"), stddev_samp(col("l_quantity")).as("sd_q"),
+      avg("l_extendedprice").as("mu_p"),
+      stddev_samp(col("l_extendedprice")).as("sd_p"),
+      min("l_discount").as("lo_d"), max("l_discount").as("hi_d"))
+    lineitem
+      .filter(col("l_orderkey") % sampleMod === 0)
+      .select(col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .crossJoin(broadcast(fit)) // bounded: 1 row
+      .select(col("l_orderkey"), col("l_linenumber"),
+        Num.pround((col("l_quantity") - col("mu_q")) / col("sd_q"), 4)
+          .as("z_qty"),
+        Num.pround((col("l_extendedprice") - col("mu_p")) / col("sd_p"), 4)
+          .as("z_price"),
+        Num.pround((col("l_discount") - col("lo_d"))
+          / (col("hi_d") - col("lo_d")), 4).as("mm_disc"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** PCA projection to 2-D + per-label cluster geometry — the
     * dimensionality-reduction step an embedding-quality review runs
     * ("do the labels separate in the leading components?"). Uses

@@ -1976,6 +1976,22 @@ object Suite {
   def featTargetEncodeOof(s: SparkSession, dir: String): DataFrame =
     Features.targetEncodeOof(t(s, dir, "lineitem"))
 
+  /** ABC-XYZ inventory segmentation matrix. */
+  def relAbcXyz(s: SparkSession, dir: String): DataFrame =
+    Basket.abcXyz(t(s, dir, "lineitem"), t(s, dir, "orders"))
+
+  /** Z-score / min-max scaler fit + transform over the sampled slice. */
+  def featScaler(s: SparkSession, dir: String): DataFrame =
+    Features.scaler(t(s, dir, "lineitem"))
+
+  /** Order-independent replica fingerprints over the dimension tables. */
+  def dqTableHash(s: SparkSession, dir: String): DataFrame =
+    DataQuality.tableFingerprints(Seq(
+      ("nation", t(s, dir, "nation"), Seq("n_nationkey", "n_name")),
+      ("region", t(s, dir, "region"), Seq("r_regionkey", "r_name")),
+      ("supplier", t(s, dir, "supplier"),
+        Seq("s_suppkey", "s_name", "s_nationkey"))))
+
   /** Matryoshka truncation-stability recall over the bounded query set. */
   def simTruncRecall(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")

@@ -58,6 +58,18 @@ class FeaturesSpec extends SparkTestBase {
     }
   }
 
+  test("scaler: textbook z-scores and min-max on a 3-row fit") {
+    val li = Seq(
+      (1L, 1, 1.0, 10.0, 0.0), (2L, 1, 2.0, 20.0, 0.05),
+      (3L, 1, 3.0, 30.0, 0.1))
+      .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount")
+    val out = graft.operators.Features.scaler(li, sampleMod = 1L).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(out.toSeq == Seq((1L, -1.0, -1.0, 0.0), (2L, 0.0, 0.0, 0.5),
+      (3L, 1.0, 1.0, 1.0)))
+  }
+
   test("kfoldPlan: disjoint exhaustive folds with a sane balance ratio") {
     val orders = (1L to 100L).map(i => (i, 50.0))
       .toDF("o_orderkey", "o_totalprice")

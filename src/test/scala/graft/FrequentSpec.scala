@@ -258,6 +258,24 @@ class FrequentSpec extends SparkTestBase {
       (5L, 10L, 3L, 3L, 2L, 1.1111)))
   }
 
+  test("abcXyz: planted 80/15/5 revenue with flat/wobbly/one-shot demand") {
+    import graft.operators.Basket
+    import java.sql.Timestamp
+    val orders = Seq(
+      (1L, Timestamp.valueOf("1995-01-10 00:00:00")),
+      (2L, Timestamp.valueOf("1995-02-10 00:00:00")))
+      .toDF("o_orderkey", "o_orderdate")
+    val li = Seq(
+      (1L, 1L, 10.0, 40.0), (2L, 1L, 10.0, 40.0), // A: cum 0.80, cv 0 → X
+      (1L, 2L, 1.0, 5.0), (2L, 2L, 3.0, 10.0),    // B: cum 0.95, cv .71 → Y
+      (1L, 3L, 2.0, 5.0))                          // C: single month → Z
+      .toDF("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    val out = Basket.abcXyz(li, orders).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(("A", "X", 1L, 80.0), ("B", "Y", 1L, 15.0),
+      ("C", "Z", 1L, 5.0)))
+  }
+
   test("trendByGroup: a planted linear ramp regresses to its exact slope") {
     import graft.operators.Basket
     import java.sql.Timestamp

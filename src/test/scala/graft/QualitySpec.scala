@@ -359,6 +359,19 @@ class QualitySpec extends SparkTestBase {
     assert(out("validation|test") == ((1L, (nVa + nTe).toLong)))
   }
 
+  test("tableFingerprints: order-independent, content-sensitive") {
+    val a = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "v")
+    val b = Seq((3L, "z"), (1L, "x"), (2L, "y")).toDF("k", "v") // reordered
+    val c = Seq((1L, "x"), (2L, "y"), (3L, "Q")).toDF("k", "v") // changed
+    val rows = DataQuality.tableFingerprints(Seq(
+      ("a", a, Seq("k", "v")), ("b", b, Seq("k", "v")),
+      ("c", c, Seq("k", "v")))).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(rows("a")._1 == 3L)
+    assert(rows("a") == rows("b"), "row order must not change the fingerprint")
+    assert(rows("a")._2 != rows("c")._2, "a changed row must change it")
+  }
+
   test("bootstrapCi: the interval brackets the true mean of a flat sample") {
     val orders = (1L to 500L).map(i => (i, i.toDouble))
       .toDF("o_orderkey", "o_totalprice")
