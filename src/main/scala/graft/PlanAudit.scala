@@ -274,7 +274,10 @@ object PlanAudit {
     // abc-xyz (fact fold → part-domain windows), scaler (1-row fit
     // broadcast into a pruned row-local transform), table hash (three
     // scan-side folds, no shuffle beyond the 1-row aggregates)
-    "rel_abc_xyz", "feat_scaler", "dq_table_hash")
+    "rel_abc_xyz", "feat_scaler", "dq_table_hash",
+    // embedding health (one codegen'd scan + scalar fold), heatmap
+    // (one 168-cell fold), basket size (order fold + size-domain fold)
+    "sim_embedding_health", "evt_dow_hour_heatmap", "rel_basket_size")
     // evt_audience_overlap is excluded like dedup_clusters: its
     // domain-sized sketch table collects eagerly at construction, so
     // only the trivial driver-built result frame would be explained

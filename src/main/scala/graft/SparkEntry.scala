@@ -231,6 +231,9 @@ object SparkEntry {
     "rel_abc_xyz" -> (Suite.relAbcXyz _),
     "feat_scaler" -> (Suite.featScaler _),
     "dq_table_hash" -> (Suite.dqTableHash _),
+    "sim_embedding_health" -> (Suite.simEmbeddingHealth _),
+    "evt_dow_hour_heatmap" -> (Suite.evtDowHourHeatmap _),
+    "rel_basket_size" -> (Suite.relBasketSize _),
     "rel_triples" -> (Suite.relTriples _),
     "mix_dedup_weight" -> (Suite.mixDedupWeight _),
     "evt_rolling_distinct_hll" -> (Suite.evtRollingDistinctHll _),
@@ -3632,6 +3635,39 @@ object SparkEntry {
         |    || '|' || s_name || '|' || CAST(s_nationkey AS VARCHAR)),
         |    1, 15))::BIGINT) FROM supplier
         |ORDER BY table_name""".stripMargin,
+    // the norm derives from list_inner_product exactly like the
+    // native DotProduct; NaN probes ride the self-dot
+    "sim_embedding_health" ->
+      """WITH v AS (SELECT CAST(len(embedding) AS BIGINT) AS dim,
+        |    list_inner_product(CAST(embedding AS DOUBLE[]),
+        |      CAST(embedding AS DOUBLE[])) AS n2 FROM embeddings),
+        |w AS (SELECT dim, n2, CASE WHEN isnan(n2) THEN 1 ELSE 0 END AS nan,
+        |    CASE WHEN NOT isnan(n2) THEN sqrt(n2) END AS norm FROM v)
+        |SELECT count(*) AS n_vecs,
+        |  CAST(sum(CASE WHEN dim <> 64 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_wrong_dim,
+        |  CAST(sum(nan) AS BIGINT) AS n_with_nan,
+        |  CAST(sum(CASE WHEN n2 < 1e-12 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_zero_norm,
+        |  round(min(norm), 4) AS min_norm, round(avg(norm), 4) AS avg_norm,
+        |  round(max(norm), 4) AS max_norm
+        |FROM w""".stripMargin,
+    "evt_dow_hour_heatmap" ->
+      """WITH e AS (SELECT dayofweek(CAST(ts AS TIMESTAMP)) AS dow,
+        |    hour(CAST(ts AS TIMESTAMP)) AS hour FROM events),
+        |g AS (SELECT CAST(dow AS BIGINT) AS dow, CAST(hour AS BIGINT) AS hour,
+        |    count(*) AS n FROM e GROUP BY 1, 2)
+        |SELECT dow, hour, n,
+        |  CAST(floor(CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE)
+        |    * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS share
+        |FROM g ORDER BY dow, hour""".stripMargin,
+    "rel_basket_size" ->
+      """WITH ln AS (SELECT l_orderkey AS o_orderkey, count(*) AS n_lines
+        |  FROM lineitem GROUP BY 1)
+        |SELECT n_lines, count(*) AS n_orders,
+        |  round(avg(o_totalprice), 2) AS avg_order_value
+        |FROM orders JOIN ln USING (o_orderkey)
+        |GROUP BY n_lines ORDER BY n_lines""".stripMargin,
     "evt_survival_km" ->
       """WITH u AS (SELECT user_id,
         |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS f,

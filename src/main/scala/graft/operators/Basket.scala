@@ -492,6 +492,22 @@ object Basket {
       .limit(bottomK)
   }
 
+  /** Basket-size distribution — lines-per-order histogram with the
+    * average order value per size bucket: the "how big are orders"
+    * readout that sits under every basket analysis. One order fold
+    * (lines + value via a broadcast-side order join is avoided — the
+    * value rides on orders itself), one size-domain fold. */
+  def basketSize(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val lines = lineitem.groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(count(lit(1)).as("n_lines"))
+    orders.select(col("o_orderkey"), col("o_totalprice"))
+      .join(lines, "o_orderkey")
+      .groupBy("n_lines")
+      .agg(count(lit(1)).as("n_orders"),
+        round(avg("o_totalprice"), 2).as("avg_order_value"))
+      .orderBy("n_lines")
+  }
+
   /** ABC-XYZ inventory segmentation — the two-axis classification
     * every supply chain runs: ABC = cumulative revenue concentration
     * (A ≤ 80%, B ≤ 95%, C rest, Pareto-ranked), XYZ = demand

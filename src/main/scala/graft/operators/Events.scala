@@ -1250,6 +1250,22 @@ object Events {
       .orderBy("cohort_hour")
   }
 
+  /** Usage heatmap — events per (day-of-week × hour) cell with the
+    * share of total: the load-profile grid behind capacity planning
+    * and anomaly baselines. One fold to the 168-cell domain; share
+    * portable-rounded. */
+  def dowHourHeatmap(events: DataFrame): DataFrame = {
+    val g = events
+      .select((dayofweek(col("ts")) - 1).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hour"))
+      .groupBy("dow", "hour").agg(count(lit(1)).as("n"))
+    import org.apache.spark.sql.expressions.Window
+    g.withColumn("share",
+        Num.pround(col("n").cast("double")
+          / sum("n").over(Window.partitionBy()).cast("double"), 4))
+      .orderBy("dow", "hour")
+  }
+
   /** MTTR — reliability analytics from the event log: for every
     * 'error' event, time to the user's next NON-error event (the
     * recovery), summarized as count / recovered share / mean / median

@@ -442,6 +442,30 @@ object Similarity {
     rankTopK(exact, k)
   }
 
+  /** Embedding-table health check — the QA gate before any index
+    * build: NaN components, zero/near-zero norms (cosine is undefined
+    * there and silently poisons ANN), dimension constancy, and the
+    * norm distribution's extremes. One codegen'd scan (native dot for
+    * the norm, exists() for the NaN probe), one scalar fold. */
+  def embeddingHealth(corpus: DataFrame, expectedDim: Int = 64): DataFrame = {
+    // a NaN in ANY component makes the self-dot NaN — the probe stays
+    // inside the codegen'd native DotProduct, no interpreted HOF
+    val n2 = dot(col("embedding"), col("embedding"))
+    corpus
+      .select(size(col("embedding")).cast("long").as("dim"), n2.as("n2"))
+      .select(col("dim"), col("n2"),
+        isnan(col("n2")).cast("long").as("nan"),
+        when(!isnan(col("n2")), sqrt(col("n2"))).as("norm"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("dim") =!= expectedDim, 1L).otherwise(0L))
+          .as("n_wrong_dim"),
+        sum("nan").as("n_with_nan"),
+        sum(when(col("n2") < 1e-12, 1L).otherwise(0L)).as("n_zero_norm"),
+        round(min("norm"), 4).as("min_norm"),
+        round(avg("norm"), 4).as("avg_norm"),
+        round(max("norm"), 4).as("max_norm"))
+  }
+
   /** Matryoshka truncation-stability eval — "how many leading
     * dimensions do we actually need?": recall@k of the cosine ranking
     * under prefix-truncated embeddings (16/32/64 dims) against the

@@ -1976,6 +1976,18 @@ object Suite {
   def featTargetEncodeOof(s: SparkSession, dir: String): DataFrame =
     Features.targetEncodeOof(t(s, dir, "lineitem"))
 
+  /** Embedding-table health gate before any index build. */
+  def simEmbeddingHealth(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingHealth(t(s, dir, "embeddings"))
+
+  /** Usage heatmap over the 168-cell (dow × hour) grid. */
+  def evtDowHourHeatmap(s: SparkSession, dir: String): DataFrame =
+    Events.dowHourHeatmap(t(s, dir, "events"))
+
+  /** Lines-per-order histogram with average order value. */
+  def relBasketSize(s: SparkSession, dir: String): DataFrame =
+    Basket.basketSize(t(s, dir, "lineitem"), t(s, dir, "orders"))
+
   /** ABC-XYZ inventory segmentation matrix. */
   def relAbcXyz(s: SparkSession, dir: String): DataFrame =
     Basket.abcXyz(t(s, dir, "lineitem"), t(s, dir, "orders"))

@@ -888,6 +888,17 @@ class EventsSpec extends SparkTestBase {
     assert(streamed.map(_._3).sum == 40L)
   }
 
+  test("dowHourHeatmap: cells land on the 0-Sunday dow convention") {
+    val rows = Seq(
+      (1L, 1L, Timestamp.valueOf("2024-01-07 10:00:00"), "view"), // Sunday
+      (2L, 1L, Timestamp.valueOf("2024-01-07 10:30:00"), "view"),
+      (3L, 1L, Timestamp.valueOf("2024-01-08 23:00:00"), "view")) // Monday
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = Events.dowHourHeatmap(rows).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((0L, 10L, 2L, 0.6667), (1L, 23L, 1L, 0.3333)))
+  }
+
   test("mttr: recovery is the next non-error event; unrecovered stays NULL") {
     val rows = Seq(
       (1L, 1L, Timestamp.valueOf("2024-01-01 10:00:00"), "error"),

@@ -258,6 +258,18 @@ class FrequentSpec extends SparkTestBase {
       (5L, 10L, 3L, 3L, 2L, 1.1111)))
   }
 
+  test("basketSize: histogram buckets by exact line counts") {
+    import graft.operators.Basket
+    val li = Seq((1L, 1), (2L, 1), (2L, 2), (3L, 1), (3L, 2))
+      .map { case (o, l) => (o, l) }
+      .toDF("l_orderkey", "l_linenumber")
+    val orders = Seq((1L, 10.0), (2L, 20.0), (3L, 40.0))
+      .toDF("o_orderkey", "o_totalprice")
+    val out = Basket.basketSize(li, orders).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 1L, 10.0), (2L, 2L, 30.0)))
+  }
+
   test("abcXyz: planted 80/15/5 revenue with flat/wobbly/one-shot demand") {
     import graft.operators.Basket
     import java.sql.Timestamp

@@ -212,6 +212,20 @@ class SimilaritySpec extends SparkTestBase {
     assert(direct.forall(c => math.abs(c - 1.0) < 1e-12)) // self-cosine = 1
   }
 
+  test("embeddingHealth: planted NaN, zero vector, and short vector are all caught") {
+    val rows = Seq(
+      (1L, Array(3.0f, 4.0f, 0.0f, 0.0f)),             // norm 5
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),             // zero norm
+      (3L, Array(Float.NaN, 1.0f, 0.0f, 0.0f)),        // NaN component
+      (4L, Array(1.0f, 0.0f, 0.0f)))                   // wrong dim, norm 1
+      .toDF("vec_id", "embedding")
+    val r = Similarity.embeddingHealth(rows, expectedDim = 4).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 1L, 1L, 1L)))
+    assert((r.getDouble(4), r.getDouble(5), r.getDouble(6)) ==
+      ((0.0, 2.0, 5.0))) // norms {5, 0, 1} → min 0, avg 2, max 5
+  }
+
   test("truncationRecall: the full-dim arm is exact, prefixes stay strong on clusters") {
     val r = new scala.util.Random(53)
     val dim = 64
