@@ -277,7 +277,10 @@ object PlanAudit {
     "rel_abc_xyz", "feat_scaler", "dq_table_hash",
     // embedding health (one codegen'd scan + scalar fold), heatmap
     // (one 168-cell fold), basket size (order fold + size-domain fold)
-    "sim_embedding_health", "evt_dow_hour_heatmap", "rel_basket_size")
+    "sim_embedding_health", "evt_dow_hour_heatmap", "rel_basket_size",
+    // scorecard (ONE multi-metric fold + broadcast dim + TakeOrdered),
+    // value bands (one type-domain percentile fold)
+    "rel_supplier_scorecard", "evt_value_bands")
     // evt_audience_overlap is excluded like dedup_clusters: its
     // domain-sized sketch table collects eagerly at construction, so
     // only the trivial driver-built result frame would be explained

@@ -234,6 +234,8 @@ object SparkEntry {
     "sim_embedding_health" -> (Suite.simEmbeddingHealth _),
     "evt_dow_hour_heatmap" -> (Suite.evtDowHourHeatmap _),
     "rel_basket_size" -> (Suite.relBasketSize _),
+    "rel_supplier_scorecard" -> (Suite.relSupplierScorecard _),
+    "evt_value_bands" -> (Suite.evtValueBands _),
     "rel_triples" -> (Suite.relTriples _),
     "mix_dedup_weight" -> (Suite.mixDedupWeight _),
     "evt_rolling_distinct_hll" -> (Suite.evtRollingDistinctHll _),
@@ -3668,6 +3670,32 @@ object SparkEntry {
         |  round(avg(o_totalprice), 2) AS avg_order_value
         |FROM orders JOIN ln USING (o_orderkey)
         |GROUP BY n_lines ORDER BY n_lines""".stripMargin,
+    // one fold computes every metric; revenue rounds 2dp BEFORE the
+    // top-N; n_parts cast (DuckDB count(DISTINCT) is BIGINT, Spark too)
+    "rel_supplier_scorecard" ->
+      """WITH f AS (SELECT l.l_suppkey, l.l_partkey, l.l_extendedprice,
+        |    l.l_discount,
+        |    date_diff('day', CAST(o.o_orderdate AS DATE),
+        |      CAST(l.l_shipdate AS DATE)) AS lag
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |g AS (SELECT l_suppkey AS s_suppkey,
+        |    round(sum(l_extendedprice), 2) AS revenue,
+        |    count(*) AS n_lines,
+        |    CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |    round(avg(l_discount), 4) AS avg_discount,
+        |    CAST(floor(sum(CASE WHEN lag > 30 THEN 1e0 ELSE 0e0 END)
+        |      / count(*) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS late_rate
+        |  FROM f GROUP BY 1)
+        |SELECT g.s_suppkey, s.s_name, g.revenue, g.n_lines, g.n_parts,
+        |  g.avg_discount, g.late_rate
+        |FROM g JOIN supplier s ON g.s_suppkey = s.s_suppkey
+        |ORDER BY g.revenue DESC, g.s_suppkey LIMIT 15""".stripMargin,
+    "evt_value_bands" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(quantile_cont(value, 0.1), 4) AS p10,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.9), 4) AS p90
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "evt_survival_km" ->
       """WITH u AS (SELECT user_id,
         |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS f,

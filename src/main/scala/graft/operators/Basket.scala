@@ -492,6 +492,38 @@ object Basket {
       .limit(bottomK)
   }
 
+  /** Supplier scorecard — the entity-360 readout procurement runs:
+    * per supplier (top-N by revenue), revenue, volume, distinct parts
+    * supplied, average discount given, and the late-ship rate against
+    * a flat 30-day SLA. ONE fact fold computes every metric
+    * (conditional sums — never a fold per metric), the supplier dim
+    * joins broadcast, top-N under (revenue DESC, key). Revenue rounds
+    * 2dp BEFORE the ranking (the yoy rule). */
+  def supplierScorecard(lineitem: DataFrame, orders: DataFrame,
+      supplier: DataFrame, topN: Int = 15): DataFrame = {
+    val lag = datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+    val bys = lineitem
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_partkey"),
+        col("l_extendedprice"), col("l_discount"), col("l_shipdate"))
+      .join(orders.select(col("o_orderkey").as("l_orderkey"),
+        col("o_orderdate")), "l_orderkey")
+      .groupBy(col("l_suppkey").as("s_suppkey"))
+      .agg(round(sum("l_extendedprice"), 2).as("revenue"),
+        count(lit(1)).as("n_lines"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        round(avg("l_discount"), 4).as("avg_discount"), // float agg → round
+        Num.pround(
+          sum(when(lag > 30, 1.0).otherwise(0.0)) / count(lit(1)), 4)
+          .as("late_rate"))
+    bys.join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        "s_suppkey")
+      .select(col("s_suppkey"), col("s_name"), col("revenue"),
+        col("n_lines"), col("n_parts"), col("avg_discount"),
+        col("late_rate"))
+      .orderBy(col("revenue").desc, col("s_suppkey"))
+      .limit(topN)
+  }
+
   /** Basket-size distribution — lines-per-order histogram with the
     * average order value per size bucket: the "how big are orders"
     * readout that sits under every basket analysis. One order fold

@@ -1250,6 +1250,19 @@ object Events {
       .orderBy("cohort_hour")
   }
 
+  /** Per-type value bands — exact p10/p50/p90 of the event value per
+    * event type, the "what does normal look like" baseline behind the
+    * anomaly monitors. One fold to the type domain; exact interpolated
+    * percentiles (the q13 convention). */
+  def valueBands(events: DataFrame): DataFrame =
+    events.select(col("event_type"), col("value"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(value, 0.1)"), 4).as("p10"),
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"))
+      .orderBy("event_type")
+
   /** Usage heatmap — events per (day-of-week × hour) cell with the
     * share of total: the load-profile grid behind capacity planning
     * and anomaly baselines. One fold to the 168-cell domain; share

@@ -1976,6 +1976,15 @@ object Suite {
   def featTargetEncodeOof(s: SparkSession, dir: String): DataFrame =
     Features.targetEncodeOof(t(s, dir, "lineitem"))
 
+  /** Supplier scorecard: one fold, every procurement metric. */
+  def relSupplierScorecard(s: SparkSession, dir: String): DataFrame =
+    Basket.supplierScorecard(t(s, dir, "lineitem"), t(s, dir, "orders"),
+      t(s, dir, "supplier"))
+
+  /** Per-type value percentile bands. */
+  def evtValueBands(s: SparkSession, dir: String): DataFrame =
+    Events.valueBands(t(s, dir, "events"))
+
   /** Embedding-table health gate before any index build. */
   def simEmbeddingHealth(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingHealth(t(s, dir, "embeddings"))

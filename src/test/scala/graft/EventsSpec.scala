@@ -888,6 +888,18 @@ class EventsSpec extends SparkTestBase {
     assert(streamed.map(_._3).sum == 40L)
   }
 
+  test("valueBands: interpolated percentiles per type") {
+    val rows = (1 to 9).map(i =>
+      (i.toLong, 1L, Timestamp.valueOf(f"2024-01-01 10:0$i%01d:00"), "a",
+        i.toDouble)) :+
+      (10L, 1L, Timestamp.valueOf("2024-01-01 11:00:00"), "b", 5.0)
+    val df = rows.toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = Events.valueBands(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(out.toSeq == Seq(("a", 9L, 1.8, 5.0, 8.2), ("b", 1L, 5.0, 5.0, 5.0)))
+  }
+
   test("dowHourHeatmap: cells land on the 0-Sunday dow convention") {
     val rows = Seq(
       (1L, 1L, Timestamp.valueOf("2024-01-07 10:00:00"), "view"), // Sunday

@@ -258,6 +258,26 @@ class FrequentSpec extends SparkTestBase {
       (5L, 10L, 3L, 3L, 2L, 1.1111)))
   }
 
+  test("supplierScorecard: one fold yields every metric for the hand case") {
+    import graft.operators.Basket
+    import java.sql.Timestamp
+    val orders = Seq((1L, Timestamp.valueOf("1995-01-01 00:00:00")))
+      .toDF("o_orderkey", "o_orderdate")
+    val li = Seq(
+      (1L, 1L, 7L, 100.0, 0.05, Timestamp.valueOf("1995-01-11 00:00:00")),
+      (1L, 1L, 8L, 200.0, 0.15, Timestamp.valueOf("1995-02-10 00:00:00")),
+      (1L, 2L, 9L, 50.0, 0.0, Timestamp.valueOf("1995-01-06 00:00:00")))
+      .toDF("l_orderkey", "l_suppkey", "l_partkey", "l_extendedprice",
+        "l_discount", "l_shipdate")
+    val sup = Seq((1L, "S1"), (2L, "S2")).toDF("s_suppkey", "s_name")
+    val out = Basket.supplierScorecard(li, orders, sup).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(out.toSeq == Seq(
+      (1L, "S1", 300.0, 2L, 2L, 0.1, 0.5), // lag 10 ok, lag 40 late
+      (2L, "S2", 50.0, 1L, 1L, 0.0, 0.0)))
+  }
+
   test("basketSize: histogram buckets by exact line counts") {
     import graft.operators.Basket
     val li = Seq((1L, 1), (2L, 1), (2L, 2), (3L, 1), (3L, 2))
