@@ -280,7 +280,11 @@ object PlanAudit {
     "sim_embedding_health", "evt_dow_hour_heatmap", "rel_basket_size",
     // scorecard (ONE multi-metric fold + broadcast dim + TakeOrdered),
     // value bands (one type-domain percentile fold)
-    "rel_supplier_scorecard", "evt_value_bands")
+    "rel_supplier_scorecard", "evt_value_bands",
+    // auc (domain rank fold + broadcast join-back + scalar agg),
+    // aging (1-row as-of broadcast + 4-row fold); nprobe sweep
+    // excluded: its ivf arms collect centroids eagerly like sim_kmeans
+    "feat_auc", "rel_order_aging")
     // evt_audience_overlap is excluded like dedup_clusters: its
     // domain-sized sketch table collects eagerly at construction, so
     // only the trivial driver-built result frame would be explained

@@ -236,6 +236,9 @@ object SparkEntry {
     "rel_basket_size" -> (Suite.relBasketSize _),
     "rel_supplier_scorecard" -> (Suite.relSupplierScorecard _),
     "evt_value_bands" -> (Suite.evtValueBands _),
+    "feat_auc" -> (Suite.featAuc _),
+    "sim_nprobe_sweep" -> (Suite.simNprobeSweep _),
+    "rel_order_aging" -> (Suite.relOrderAging _),
     "rel_triples" -> (Suite.relTriples _),
     "mix_dedup_weight" -> (Suite.mixDedupWeight _),
     "evt_rolling_distinct_hll" -> (Suite.evtRollingDistinctHll _),
@@ -3696,6 +3699,43 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.5), 4) AS p50,
         |  round(quantile_cont(value, 0.9), 4) AS p90
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // rank-sum AUC with tie-averaged ranks from the score domain
+    "feat_auc" ->
+      """WITH d AS (SELECT n_chars AS s, count(*) AS cnt FROM documents
+        |  GROUP BY 1),
+        |rk AS (SELECT s, CAST(sum(cnt) OVER (ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |  - (CAST(cnt AS DOUBLE) - 1e0) / 2e0 AS r FROM d),
+        |j AS (SELECT (doc.lang = 'en') AS pos, rk.r FROM documents doc
+        |  JOIN rk ON doc.n_chars = rk.s),
+        |m AS (SELECT
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+        |    sum(CASE WHEN pos THEN r ELSE 0e0 END) AS rp FROM j)
+        |SELECT n_pos, n_neg,
+        |  round((rp - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1e0)
+        |      / 2e0)
+        |    / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6) AS auc,
+        |  round(2e0 * ((rp - CAST(n_pos AS DOUBLE)
+        |      * (CAST(n_pos AS DOUBLE) + 1e0) / 2e0)
+        |    / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))) - 1e0, 6)
+        |    AS gini
+        |FROM m""".stripMargin,
+    // `asof` is a reserved word in DuckDB 1.0 (ASOF JOIN) — as_of
+    "rel_order_aging" ->
+      """WITH a AS (SELECT max(CAST(o_orderdate AS DATE)) AS as_of FROM orders),
+        |b AS (SELECT CASE
+        |    WHEN date_diff('day', CAST(o_orderdate AS DATE), as_of) <= 30
+        |      THEN '0_00_30'
+        |    WHEN date_diff('day', CAST(o_orderdate AS DATE), as_of) <= 60
+        |      THEN '1_31_60'
+        |    WHEN date_diff('day', CAST(o_orderdate AS DATE), as_of) <= 90
+        |      THEN '2_61_90'
+        |    ELSE '3_90_plus' END AS age_bucket, o_totalprice
+        |  FROM orders CROSS JOIN a WHERE o_orderstatus = 'O')
+        |SELECT age_bucket, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS value_at_risk
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "evt_survival_km" ->
       """WITH u AS (SELECT user_id,
         |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS f,

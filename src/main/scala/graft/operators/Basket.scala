@@ -492,6 +492,26 @@ object Basket {
       .limit(bottomK)
   }
 
+  /** Open-order aging — the AR-style report: orders still open
+    * (status 'O'), bucketed by age against the dataset's as-of date
+    * (max order date — no wall clock anywhere), with counts and value
+    * at risk. One 1-row as-of aggregate broadcast into a map-side
+    * bucket assignment, one 4-row fold. */
+  def orderAging(orders: DataFrame): DataFrame = {
+    val asof = orders.agg(max(to_date(col("o_orderdate"))).as("asof"))
+    val age = datediff(col("asof"), to_date(col("o_orderdate")))
+    orders.filter(col("o_orderstatus") === "O")
+      .select(col("o_orderdate"), col("o_totalprice"))
+      .crossJoin(broadcast(asof)) // bounded: 1 row
+      .select(when(age <= 30, "0_00_30").when(age <= 60, "1_31_60")
+        .when(age <= 90, "2_61_90").otherwise("3_90_plus").as("age_bucket"),
+        col("o_totalprice"))
+      .groupBy("age_bucket")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("value_at_risk"))
+      .orderBy("age_bucket")
+  }
+
   /** Supplier scorecard — the entity-360 readout procurement runs:
     * per supplier (top-N by revenue), revenue, volume, distinct parts
     * supplied, average discount given, and the late-ship rate against

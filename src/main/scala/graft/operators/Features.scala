@@ -200,6 +200,37 @@ object Features {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** AUC-ROC via the rank-sum identity — the model-eval staple
+    * computed WITHOUT thresholds or curve integration:
+    * AUC = (Σ ranks⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻) with tie-averaged ranks,
+    * here for "does document length predict English?" (score =
+    * n_chars, label = lang=='en'). Ranks come from the score-DOMAIN
+    * distribution (the spearman recipe: cum − (cnt−1)/2 over the
+    * ≤thousands-row domain, broadcast back) — the fact table is
+    * folded and joined, never sorted. Exact integer counts → the
+    * final ratio is deterministic IEEE; Gini = 2·AUC − 1 rides along. */
+  def aucRoc(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranks = docs.groupBy(col("n_chars").as("s"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("s"),
+        (sum("cnt").over(w).cast("double")
+          - (col("cnt").cast("double") - 1.0) / 2.0).as("r"))
+    val lab = docs.select(col("n_chars").as("s"),
+      (col("lang") === "en").as("pos"))
+    val m = lab.join(broadcast(ranks), "s")
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("n_neg"),
+        sum(when(col("pos"), col("r")).otherwise(lit(0.0))).as("rp"))
+    val np = col("n_pos").cast("double")
+    val nn = col("n_neg").cast("double")
+    val auc = (col("rp") - np * (np + 1.0) / 2.0) / (np * nn)
+    m.select(col("n_pos"), col("n_neg"), round(auc, 6).as("auc"),
+      round(lit(2.0) * auc - 1.0, 6).as("gini"))
+  }
+
   /** PCA projection to 2-D + per-label cluster geometry — the
     * dimensionality-reduction step an embedding-quality review runs
     * ("do the labels separate in the leading components?"). Uses

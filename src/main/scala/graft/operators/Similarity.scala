@@ -442,6 +442,35 @@ object Similarity {
     rankTopK(exact, k)
   }
 
+  /** IVF tuning curve — recall@k as a function of nprobe, the
+    * measurement behind every "how many lists do we probe" decision.
+    * Runs on a bounded tuning SUB-CORPUS (production tunes on a
+    * sample too — probing curves transfer, index builds don't need
+    * the full corpus to pick nprobe): exact ground truth once over
+    * the bounded query set, one ivfTopK arm per nprobe, overlap by
+    * key equi-join. Iterative float index → rows-only; the spec
+    * asserts the curve is monotone and saturates. */
+  def nprobeSweep(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      nprobes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    val qIds = queries.select(col("vec_id")).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val truth = topKExact(corpus, queries, k)
+      .select(col("vec_id"), col("neighbor_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nTotal = truth.count()
+    nprobes.map { p =>
+      val arm = ivfTopK(corpus, k, nprobe = p)
+        .join(qIds, "vec_id")
+        .select(col("vec_id"), col("neighbor_id"))
+      truth.join(arm, Seq("vec_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(p.toLong).as("nprobe"), col("n_overlap"),
+          lit(nTotal).as("n_total"),
+          Num.pround(col("n_overlap").cast("double") / nTotal.toDouble, 4)
+            .as("recall"))
+    }.reduce(_.unionAll(_)).orderBy("nprobe")
+  }
+
   /** Embedding-table health check — the QA gate before any index
     * build: NaN components, zero/near-zero norms (cosine is undefined
     * there and silently poisons ANN), dimension constancy, and the

@@ -1976,6 +1976,21 @@ object Suite {
   def featTargetEncodeOof(s: SparkSession, dir: String): DataFrame =
     Features.targetEncodeOof(t(s, dir, "lineitem"))
 
+  /** Rank-sum AUC: does document length predict English? */
+  def featAuc(s: SparkSession, dir: String): DataFrame =
+    Features.aucRoc(t(s, dir, "documents"))
+
+  /** IVF nprobe tuning curve on the bounded tuning sample (rows-only;
+    * monotone-saturation spec'd on planted clusters). */
+  def simNprobeSweep(s: SparkSession, dir: String): DataFrame = {
+    val sub = t(s, dir, "embeddings").filter(col("vec_id") < 1000)
+    Similarity.nprobeSweep(sub, sub.filter(col("vec_id") < 50), 5)
+  }
+
+  /** Open-order aging buckets against the dataset as-of date. */
+  def relOrderAging(s: SparkSession, dir: String): DataFrame =
+    Basket.orderAging(t(s, dir, "orders"))
+
   /** Supplier scorecard: one fold, every procurement metric. */
   def relSupplierScorecard(s: SparkSession, dir: String): DataFrame =
     Basket.supplierScorecard(t(s, dir, "lineitem"), t(s, dir, "orders"),

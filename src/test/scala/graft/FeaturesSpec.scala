@@ -58,6 +58,19 @@ class FeaturesSpec extends SparkTestBase {
     }
   }
 
+  test("aucRoc: perfect separation gives 1.0, symmetric overlap gives 0.5") {
+    val perfect = Seq((1L, 3L, "en"), (2L, 4L, "en"), (3L, 1L, "de"),
+      (4L, 2L, "de")).toDF("doc_id", "n_chars", "lang")
+    val r1 = graft.operators.Features.aucRoc(perfect).head()
+    assert((r1.getLong(0), r1.getLong(1), r1.getDouble(2), r1.getDouble(3)) ==
+      ((2L, 2L, 1.0, 1.0)))
+    // pos ranks {1,4} → Σ=5 → AUC (5−3)/4 = 0.5
+    val mixed = Seq((1L, 1L, "en"), (2L, 4L, "en"), (3L, 2L, "de"),
+      (4L, 3L, "de")).toDF("doc_id", "n_chars", "lang")
+    val r2 = graft.operators.Features.aucRoc(mixed).head()
+    assert((r2.getDouble(2), r2.getDouble(3)) == ((0.5, 0.0)))
+  }
+
   test("scaler: textbook z-scores and min-max on a 3-row fit") {
     val li = Seq(
       (1L, 1, 1.0, 10.0, 0.0), (2L, 1, 2.0, 20.0, 0.05),

@@ -258,6 +258,21 @@ class FrequentSpec extends SparkTestBase {
       (5L, 10L, 3L, 3L, 2L, 1.1111)))
   }
 
+  test("orderAging: buckets by age against the as-of date, open orders only") {
+    import graft.operators.Basket
+    import java.sql.Timestamp
+    val orders = Seq(
+      (1L, "O", Timestamp.valueOf("1998-08-02 00:00:00"), 10.0), // age 0
+      (2L, "O", Timestamp.valueOf("1998-06-18 00:00:00"), 20.0), // age 45
+      (3L, "O", Timestamp.valueOf("1998-04-24 00:00:00"), 40.0), // age 100
+      (4L, "F", Timestamp.valueOf("1998-04-24 00:00:00"), 99.0)) // closed
+      .toDF("o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice")
+    val out = Basket.orderAging(orders).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(("0_00_30", 1L, 10.0), ("1_31_60", 1L, 20.0),
+      ("3_90_plus", 1L, 40.0)))
+  }
+
   test("supplierScorecard: one fold yields every metric for the hand case") {
     import graft.operators.Basket
     import java.sql.Timestamp

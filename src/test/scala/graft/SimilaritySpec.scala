@@ -212,6 +212,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(direct.forall(c => math.abs(c - 1.0) < 1e-12)) // self-cosine = 1
   }
 
+  test("nprobeSweep: recall climbs monotonically and saturates on clusters") {
+    val r = new scala.util.Random(61)
+    val dim = 64
+    val rows = (0 until 40).flatMap { c =>
+      val center = Array.fill(dim)(r.nextGaussian())
+      (0 until 25).map(m => (c.toLong * 25 + m,
+        center.map(x => (x + 0.15 * r.nextGaussian()).toFloat)))
+    }
+    val e = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val qs = e.filter(col("vec_id") % 25 === 0)
+    val out = Similarity.nprobeSweep(e, qs, 5).collect()
+      .map(x => (x.getLong(0), x.getDouble(3)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L))
+    val rec = out.map(_._2)
+    assert(rec.zip(rec.tail).forall { case (a, b) => b >= a },
+      s"recall not monotone in nprobe: ${out.toSeq}")
+    assert(rec.last >= 0.85, s"nprobe=8 recall too low: ${rec.last}")
+  }
+
   test("embeddingHealth: planted NaN, zero vector, and short vector are all caught") {
     val rows = Seq(
       (1L, Array(3.0f, 4.0f, 0.0f, 0.0f)),             // norm 5
