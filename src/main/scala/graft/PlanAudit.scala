@@ -284,7 +284,11 @@ object PlanAudit {
     // auc (domain rank fold + broadcast join-back + scalar agg),
     // aging (1-row as-of broadcast + 4-row fold); nprobe sweep
     // excluded: its ivf arms collect centroids eagerly like sim_kmeans
-    "feat_auc", "rel_order_aging")
+    "feat_auc", "rel_order_aging",
+    // the composed feature flow (two broadcast fits + join on the
+    // sampled slice, ONE plan), supervised bins (percentile broadcast
+    // + row-local binning + bin-domain fold)
+    "pipeline_features", "feat_supervised_bins")
     // evt_audience_overlap is excluded like dedup_clusters: its
     // domain-sized sketch table collects eagerly at construction, so
     // only the trivial driver-built result frame would be explained

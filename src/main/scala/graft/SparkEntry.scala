@@ -239,6 +239,8 @@ object SparkEntry {
     "feat_auc" -> (Suite.featAuc _),
     "sim_nprobe_sweep" -> (Suite.simNprobeSweep _),
     "rel_order_aging" -> (Suite.relOrderAging _),
+    "pipeline_features" -> (Suite.pipelineFeatures _),
+    "feat_supervised_bins" -> (Suite.featSupervisedBins _),
     "rel_triples" -> (Suite.relTriples _),
     "mix_dedup_weight" -> (Suite.mixDedupWeight _),
     "evt_rolling_distinct_hll" -> (Suite.evtRollingDistinctHll _),
@@ -3736,6 +3738,62 @@ object SparkEntry {
         |SELECT age_bucket, count(*) AS n_orders,
         |  round(sum(o_totalprice), 2) AS value_at_risk
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the whole feature flow replayed as ONE statement: LOO stats,
+    // scaler fit, md5 fold — every step's oracle fragment composed
+    "pipeline_features" ->
+      """WITH st AS (SELECT l_returnflag AS cat, count(*) AS cnt,
+        |    sum(l_quantity) AS s FROM lineitem GROUP BY 1),
+        |g AS (SELECT sum(l_quantity) / CAST(count(*) AS DOUBLE) AS mu
+        |  FROM lineitem),
+        |fit AS (SELECT avg(l_quantity) AS mu_q,
+        |    stddev_samp(l_quantity) AS sd_q,
+        |    avg(l_extendedprice) AS mu_p,
+        |    stddev_samp(l_extendedprice) AS sd_p,
+        |    min(l_discount) AS lo_d, max(l_discount) AS hi_d FROM lineitem),
+        |sm AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT)
+        |      AS l_linenumber, l_returnflag AS cat, l_quantity,
+        |    l_extendedprice, l_discount FROM lineitem
+        |  WHERE l_orderkey % 1000 = 0)
+        |SELECT sm.l_orderkey, sm.l_linenumber, sm.cat,
+        |  CAST(floor(((s - l_quantity) + 50e0 * mu)
+        |    / ((CAST(cnt AS DOUBLE) - 1e0) + 50e0) * 10000.0 + 0.5)
+        |    AS DOUBLE) / 10000.0 AS te_loo,
+        |  CAST(floor((l_quantity - mu_q) / sd_q * 10000.0 + 0.5) AS DOUBLE)
+        |    / 10000.0 AS z_qty,
+        |  CAST(floor((l_extendedprice - mu_p) / sd_p * 10000.0 + 0.5)
+        |    AS DOUBLE) / 10000.0 AS z_price,
+        |  CAST(floor((l_discount - lo_d) / (hi_d - lo_d) * 10000.0 + 0.5)
+        |    AS DOUBLE) / 10000.0 AS mm_disc,
+        |  ('0x' || substr(md5(CAST(sm.l_orderkey AS VARCHAR)), 1, 8))::BIGINT
+        |    % 5 AS fold
+        |FROM sm JOIN st ON sm.cat = st.cat CROSS JOIN g CROSS JOIN fit
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // decile edges are interpolated selections (q13 rule) → the bin
+    // compare is deterministic on both engines
+    "feat_supervised_bins" ->
+      """WITH e AS (SELECT quantile_cont(o_totalprice,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS ed
+        |  FROM orders),
+        |b AS (SELECT 1 + (o_totalprice > ed[1])::BIGINT
+        |    + (o_totalprice > ed[2])::BIGINT + (o_totalprice > ed[3])::BIGINT
+        |    + (o_totalprice > ed[4])::BIGINT + (o_totalprice > ed[5])::BIGINT
+        |    + (o_totalprice > ed[6])::BIGINT + (o_totalprice > ed[7])::BIGINT
+        |    + (o_totalprice > ed[8])::BIGINT + (o_totalprice > ed[9])::BIGINT
+        |      AS bin,
+        |    (o_orderstatus = 'F') AS pos FROM orders CROSS JOIN e),
+        |g AS (SELECT bin, count(*) AS n,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        |  FROM b GROUP BY 1),
+        |g2 AS (SELECT bin, n, n_pos, n - n_pos AS n_neg FROM g),
+        |tt AS (SELECT CAST(sum(n_pos) AS DOUBLE) AS tp,
+        |    CAST(sum(n_neg) AS DOUBLE) AS tn FROM g2)
+        |SELECT CAST(bin AS BIGINT) AS bin, n, n_pos,
+        |  CAST(floor(CAST(n_pos AS DOUBLE) / n * 10000.0 + 0.5) AS DOUBLE)
+        |    / 10000.0 AS event_rate,
+        |  CAST(floor(ln((CAST(n_pos AS DOUBLE) / tp)
+        |    / (CAST(n_neg AS DOUBLE) / tn)) * 10000.0 + 0.5) AS DOUBLE)
+        |    / 10000.0 AS woe
+        |FROM g2 CROSS JOIN tt ORDER BY bin""".stripMargin,
     "evt_survival_km" ->
       """WITH u AS (SELECT user_id,
         |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS f,

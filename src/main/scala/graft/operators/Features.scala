@@ -200,6 +200,39 @@ object Features {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Supervised decile binning — the credit-scoring discretizer: exact
+    * decile edges of the order value (one percentile aggregate,
+    * broadcast), a row-local bin assignment, and per-bin event rate +
+    * WoE against the binary target (order fell through). Edges are
+    * interpolated selections (identical doubles on both engines, the
+    * q13 rule) so the bin compare is deterministic; WoE comes from
+    * exact integer counts. */
+  def supervisedBins(orders: DataFrame): DataFrame = {
+    val edges = orders.agg(expr(
+      "percentile(o_totalprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+      .as("e"))
+    val bin = (1 to 9).map(i =>
+      (col("o_totalprice") > element_at(col("e"), i)).cast("long"))
+      .reduce(_ + _) + 1L
+    val binned = orders
+      .select(col("o_totalprice"), (col("o_orderstatus") === "F").as("pos"))
+      .crossJoin(broadcast(edges)) // bounded: 1 row
+      .select(bin.as("bin"), col("pos"))
+    val g = binned.groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"))
+      .withColumn("n_neg", col("n") - col("n_pos"))
+    val tot = g.agg(sum("n_pos").cast("double").as("tp"),
+      sum("n_neg").cast("double").as("tn"))
+    g.crossJoin(broadcast(tot)) // bounded: 1 row
+      .select(col("bin"), col("n"), col("n_pos"),
+        Num.pround(col("n_pos").cast("double") / col("n").cast("double"), 4)
+          .as("event_rate"),
+        Num.pround(log((col("n_pos").cast("double") / col("tp"))
+          / (col("n_neg").cast("double") / col("tn"))), 4).as("woe"))
+      .orderBy("bin")
+  }
+
   /** AUC-ROC via the rank-sum identity — the model-eval staple
     * computed WITHOUT thresholds or curve integration:
     * AUC = (Σ ranks⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻) with tie-averaged ranks,

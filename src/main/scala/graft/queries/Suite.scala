@@ -1976,6 +1976,53 @@ object Suite {
   def featTargetEncodeOof(s: SparkSession, dir: String): DataFrame =
     Features.targetEncodeOof(t(s, dir, "lineitem"))
 
+  /** End-to-end feature pipeline — LOO encoding + scaling + fold id
+    * composed into ONE Catalyst plan over the same sampled rows, the
+    * whole flow hash-checked as a unit (the pipeline_curate idiom for
+    * the feat_ family). */
+  def pipelineFeatures(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Num
+    val li = t(s, dir, "lineitem")
+    // all three fits fold once and broadcast; the sampled slice is
+    // scanned ONCE (no component self-join — the synthetic lineitem
+    // has non-unique (orderkey, linenumber) pairs, which a key join
+    // would fan out; dq_key_audit documents exactly that)
+    val stats = li.groupBy(col("l_returnflag").as("cat"))
+      .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sq"))
+    val overall = li.agg(
+      (sum("l_quantity") / count(lit(1)).cast("double")).as("mu"))
+    val fit = li.agg(
+      avg("l_quantity").as("mu_q"), stddev_samp(col("l_quantity")).as("sd_q"),
+      avg("l_extendedprice").as("mu_p"),
+      stddev_samp(col("l_extendedprice")).as("sd_p"),
+      min("l_discount").as("lo_d"), max("l_discount").as("hi_d"))
+    val fold = conv(substring(md5(col("l_orderkey").cast("string")), 1, 8),
+      16, 10).cast("long") % 5
+    li.filter(col("l_orderkey") % 1000 === 0)
+      .select(col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_returnflag").as("cat"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(stats), "cat")
+      .crossJoin(broadcast(overall))
+      .crossJoin(broadcast(fit))
+      .select(col("l_orderkey"), col("l_linenumber"), col("cat"),
+        Num.pround(((col("sq") - col("l_quantity")) + lit(50.0) * col("mu"))
+          / ((col("cnt").cast("double") - 1.0) + lit(50.0)), 4).as("te_loo"),
+        Num.pround((col("l_quantity") - col("mu_q")) / col("sd_q"), 4)
+          .as("z_qty"),
+        Num.pround((col("l_extendedprice") - col("mu_p")) / col("sd_p"), 4)
+          .as("z_price"),
+        Num.pround((col("l_discount") - col("lo_d"))
+          / (col("hi_d") - col("lo_d")), 4).as("mm_disc"),
+        fold.as("fold"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Supervised decile bins with per-bin event rate and WoE. */
+  def featSupervisedBins(s: SparkSession, dir: String): DataFrame =
+    Features.supervisedBins(t(s, dir, "orders"))
+
   /** Rank-sum AUC: does document length predict English? */
   def featAuc(s: SparkSession, dir: String): DataFrame =
     Features.aucRoc(t(s, dir, "documents"))

@@ -58,6 +58,31 @@ class FeaturesSpec extends SparkTestBase {
     }
   }
 
+  test("supervisedBins: paired deciles with alternating labels flatten WoE") {
+    // values 1..20 → each decile holds exactly {2k−1, 2k}; F on evens
+    // → every bin has rate 0.5 and WoE exactly 0
+    val orders = (1L to 20L).map(v =>
+      (v, if (v % 2 == 0) "F" else "O", v.toDouble))
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+    val out = graft.operators.Features.supervisedBins(orders).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(out.map(_._1).toSeq == (1L to 10L))
+    assert(out.forall(b => b._2 == 2L && b._3 == 1L && b._4 == 0.5 &&
+      b._5 == 0.0), s"bins not flat: ${out.toSeq}")
+  }
+
+  test("pipelineFeatures: the composed plan equals its components joined") {
+    val out = graft.queries.Suite.pipelineFeatures(spark, sfDir)
+    assert(out.columns.toSeq == Seq("l_orderkey", "l_linenumber", "cat",
+      "te_loo", "z_qty", "z_price", "mm_disc", "fold"))
+    val n = out.count()
+    assert(n > 0)
+    val li = graft.Tables.t(spark, sfDir, "lineitem")
+    val te = graft.operators.Features.targetEncodeLoo(li)
+    assert(n == te.count(), "composition must not drop or duplicate rows")
+  }
+
   test("aucRoc: perfect separation gives 1.0, symmetric overlap gives 0.5") {
     val perfect = Seq((1L, 3L, "en"), (2L, 4L, "en"), (3L, 1L, "de"),
       (4L, 2L, "de")).toDF("doc_id", "n_chars", "lang")
