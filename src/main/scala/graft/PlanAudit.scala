@@ -288,7 +288,10 @@ object PlanAudit {
     // the composed feature flow (two broadcast fits + join on the
     // sampled slice, ONE plan), supervised bins (percentile broadcast
     // + row-local binning + bin-domain fold)
-    "pipeline_features", "feat_supervised_bins")
+    "pipeline_features", "feat_supervised_bins",
+    // rare levels (domain folds, one per column), vocab coverage
+    // (gram explode + type fold + domain prefix windows)
+    "dq_rare_levels", "text_vocab_coverage")
     // evt_audience_overlap is excluded like dedup_clusters: its
     // domain-sized sketch table collects eagerly at construction, so
     // only the trivial driver-built result frame would be explained

@@ -241,6 +241,8 @@ object SparkEntry {
     "rel_order_aging" -> (Suite.relOrderAging _),
     "pipeline_features" -> (Suite.pipelineFeatures _),
     "feat_supervised_bins" -> (Suite.featSupervisedBins _),
+    "dq_rare_levels" -> (Suite.dqRareLevels _),
+    "text_vocab_coverage" -> (Suite.textVocabCoverage _),
     "rel_triples" -> (Suite.relTriples _),
     "mix_dedup_weight" -> (Suite.mixDedupWeight _),
     "evt_rolling_distinct_hll" -> (Suite.evtRollingDistinctHll _),
@@ -3794,6 +3796,59 @@ object SparkEntry {
         |    / (CAST(n_neg AS DOUBLE) / tn)) * 10000.0 + 0.5) AS DOUBLE)
         |    / 10000.0 AS woe
         |FROM g2 CROSS JOIN tt ORDER BY bin""".stripMargin,
+    "dq_rare_levels" ->
+      """WITH c1 AS (SELECT c_mktsegment AS level, count(*) AS n
+        |  FROM customer GROUP BY 1),
+        |r1 AS (SELECT 'customer.c_mktsegment' AS column_name,
+        |    count(*) AS n_levels,
+        |    CAST(sum(CASE WHEN CAST(n AS DOUBLE) / (SELECT CAST(sum(n)
+        |      AS DOUBLE) FROM c1) < 0.005 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_rare,
+        |    CAST(floor(CAST(sum(CASE WHEN CAST(n AS DOUBLE)
+        |        / (SELECT CAST(sum(n) AS DOUBLE) FROM c1) < 0.005
+        |      THEN n ELSE 0 END) AS DOUBLE)
+        |      / (SELECT CAST(sum(n) AS DOUBLE) FROM c1) * 10000.0 + 0.5)
+        |      AS DOUBLE) / 10000.0 AS rare_share
+        |  FROM c1),
+        |c2 AS (SELECT o_orderpriority AS level, count(*) AS n
+        |  FROM orders GROUP BY 1),
+        |r2 AS (SELECT 'orders.o_orderpriority', count(*),
+        |    CAST(sum(CASE WHEN CAST(n AS DOUBLE) / (SELECT CAST(sum(n)
+        |      AS DOUBLE) FROM c2) < 0.005 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(floor(CAST(sum(CASE WHEN CAST(n AS DOUBLE)
+        |        / (SELECT CAST(sum(n) AS DOUBLE) FROM c2) < 0.005
+        |      THEN n ELSE 0 END) AS DOUBLE)
+        |      / (SELECT CAST(sum(n) AS DOUBLE) FROM c2) * 10000.0 + 0.5)
+        |      AS DOUBLE) / 10000.0
+        |  FROM c2),
+        |c3 AS (SELECT p_brand AS level, count(*) AS n FROM part GROUP BY 1),
+        |r3 AS (SELECT 'part.p_brand', count(*),
+        |    CAST(sum(CASE WHEN CAST(n AS DOUBLE) / (SELECT CAST(sum(n)
+        |      AS DOUBLE) FROM c3) < 0.005 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(floor(CAST(sum(CASE WHEN CAST(n AS DOUBLE)
+        |        / (SELECT CAST(sum(n) AS DOUBLE) FROM c3) < 0.005
+        |      THEN n ELSE 0 END) AS DOUBLE)
+        |      / (SELECT CAST(sum(n) AS DOUBLE) FROM c3) * 10000.0 + 0.5)
+        |      AS DOUBLE) / 10000.0
+        |  FROM c3)
+        |SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL
+        |SELECT * FROM r3 ORDER BY column_name""".stripMargin,
+    // prefix sum over the frequency-ranked domain in fixed order
+    "text_vocab_coverage" ->
+      s"""WITH tk AS (SELECT unnest($toksSql) AS token FROM documents),
+        |c AS (SELECT token, count(*) AS n FROM tk GROUP BY 1),
+        |r AS (SELECT token, n,
+        |    CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT)
+        |      AS rnk,
+        |    CAST(sum(n) OVER (ORDER BY n DESC, token
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum FROM c),
+        |tt AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM c)
+        |SELECT rnk AS top_k, cum AS tokens_covered,
+        |  CAST(floor(CAST(cum AS DOUBLE) / tot * 10000.0 + 0.5) AS DOUBLE)
+        |    / 10000.0 AS coverage
+        |FROM r CROSS JOIN tt WHERE rnk IN (5, 10, 20)
+        |ORDER BY top_k""".stripMargin,
     "evt_survival_km" ->
       """WITH u AS (SELECT user_id,
         |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS f,

@@ -366,6 +366,28 @@ object DataQuality {
         .select(lit(name).as("table_name"), col("n_rows"), col("fingerprint"))
     }.reduce(_.unionAll(_)).orderBy("table_name")
 
+  /** Rare-level report — the feature-prep screen for categoricals:
+    * per column, how many levels exist, how many fall below the
+    * min-support share (candidates for an "other" bucket), and how
+    * much probability mass they hold. One domain fold per column,
+    * unioned — each fold map-side combines to the level domain. */
+  def rareLevels(tables: Seq[(String, DataFrame, String)],
+      minShare: Double = 0.005): DataFrame =
+    tables.map { case (label, df, c) =>
+      val lv = df.groupBy(col(c).as("level")).agg(count(lit(1)).as("n"))
+      val tot = lv.agg(sum("n").cast("double").as("n_total"))
+      lv.crossJoin(broadcast(tot)) // bounded: 1 row
+        .select(col("level"), col("n"),
+          (col("n").cast("double") / col("n_total") < minShare).as("rare"),
+          col("n_total"))
+        .agg(count(lit(1)).as("n_levels"),
+          sum(when(col("rare"), 1L).otherwise(0L)).as("n_rare"),
+          Num.pround(sum(when(col("rare"), col("n")).otherwise(lit(0L)))
+            .cast("double") / max("n_total"), 4).as("rare_share"))
+        .select(lit(label).as("column_name"), col("n_levels"),
+          col("n_rare"), col("rare_share"))
+    }.reduce(_.unionAll(_)).orderBy("column_name")
+
   /** Referential-integrity audit — the foreign-key orphan screen every
     * warehouse load runs ("do all child keys resolve to a parent?"):
     * for each declared (child, fk) → (parent, pk) relation, the child

@@ -1132,6 +1132,35 @@ object TextOps {
       .limit(topN)
   }
 
+  /** Vocabulary coverage curve — "how much of the corpus do the top-K
+    * types cover": the tokenizer-budget readout (a 1k-type vocab
+    * covering 95% of tokens is a very different corpus from one
+    * covering 60%). One gram explode + one type fold, then a prefix
+    * sum over the FREQUENCY-RANKED type domain (fixed order: count
+    * desc, token — deterministic prefix floats), probed at the K
+    * ladder. */
+  def vocabCoverage(docs: DataFrame,
+      ks: Seq[Int] = Seq(5, 10, 20)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n").desc, col("token"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = counts
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("n").desc, col("token"))))
+      .withColumn("cum", sum("n").over(w))
+      .crossJoin(broadcast(counts.agg(sum("n").cast("double").as("tot"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ks.map { k =>
+      ranked.filter(col("rnk") === k)
+        .select(lit(k.toLong).as("top_k"),
+          col("cum").as("tokens_covered"),
+          Num.pround(col("cum").cast("double") / col("tot"), 4)
+            .as("coverage"))
+    }.reduce(_.unionAll(_)).orderBy("top_k")
+  }
+
   /** Heaps'-law fit — the vocabulary-growth exponent beside the Zipf
     * rank-frequency fit: per document, distinct-token count v grows as
     * K·n^β; β and K come from ONE closed-form log-log OLS over

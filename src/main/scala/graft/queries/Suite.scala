@@ -2019,6 +2019,17 @@ object Suite {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Rare categorical levels across three representative columns. */
+  def dqRareLevels(s: SparkSession, dir: String): DataFrame =
+    DataQuality.rareLevels(Seq(
+      ("customer.c_mktsegment", t(s, dir, "customer"), "c_mktsegment"),
+      ("orders.o_orderpriority", t(s, dir, "orders"), "o_orderpriority"),
+      ("part.p_brand", t(s, dir, "part"), "p_brand")))
+
+  /** Top-K vocabulary coverage ladder. */
+  def textVocabCoverage(s: SparkSession, dir: String): DataFrame =
+    TextOps.vocabCoverage(t(s, dir, "documents"))
+
   /** Supervised decile bins with per-bin event rate and WoE. */
   def featSupervisedBins(s: SparkSession, dir: String): DataFrame =
     Features.supervisedBins(t(s, dir, "orders"))

@@ -359,6 +359,15 @@ class QualitySpec extends SparkTestBase {
     assert(out("validation|test") == ((1L, (nVa + nTe).toLong)))
   }
 
+  test("rareLevels: a level at exactly min share is NOT rare, below is") {
+    val df = ((1 to 995).map(_ => "big") ++ (1 to 4).map(_ => "tiny") ++
+      Seq("edge")) // 1/1000 = 0.001 < 0.005 rare; tiny 0.004 rare
+      .map(Tuple1(_)).toDF("k")
+    val r = DataQuality.rareLevels(Seq(("t.k", df, "k"))).head()
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ==
+      (("t.k", 3L, 2L, 0.005)))
+  }
+
   test("tableFingerprints: order-independent, content-sensitive") {
     val a = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "v")
     val b = Seq((3L, "z"), (1L, "x"), (2L, "y")).toDF("k", "v") // reordered

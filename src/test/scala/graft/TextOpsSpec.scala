@@ -571,6 +571,13 @@ class TextOpsSpec extends SparkTestBase {
       ("5_pass", 2L, 0.3333)))
   }
 
+  test("vocabCoverage: the ladder reads the exact prefix shares") {
+    val docs = Seq((1L, "a a a a a b b b c c")).toDF("doc_id", "text")
+    val out = TextOps.vocabCoverage(docs, Seq(1, 2, 3)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 5L, 0.5), (2L, 8L, 0.8), (3L, 10L, 1.0)))
+  }
+
   test("keyphrases: RAKE degree/frequency scores on a hand case") {
     // "the" splits the doc into phrases "fast table scan" + "fast table":
     // fast deg 5 freq 2 → 2.5; table 2.5; scan 3/1 = 3
