@@ -17,6 +17,12 @@ import graft.operators.{Profile, Render}
   *   context <root> create <name>     create a context
   *   context <root> use <name>        switch the persisted active context
   *   context <root> current           show the active context name
+  *   pipeline <root> list [filter..]  registered pipelines with step counts
+  *   pipeline <root> explain <name>   step structure (step, op, input)
+  *   workflow <root> list             workflows (+ persisted/in-memory)
+  *   workflow <root> explain <name>   step structure for one workflow
+  *   data <root> list [glob]          stored values: id, rows, aliases
+  *   type list                        data-type catalog (name -> spark sql)
   *
   * `run` is separated from `main` so specs can drive it on a shared
   * session and assert on the rendered output.
@@ -118,6 +124,57 @@ object Cli {
       val i = new GraftContexts(spark, baseRoot).currentContext.contextInfo
       s"root:       ${i.root}\nvalues:     ${i.values}\naliases:    ${i.aliases}\n" +
         s"jobs:       ${i.jobs}\nworkflows:  ${i.workflows}\noperations: ${i.operations}"
+    // pipeline structure surface (kiara pipeline list / explain,
+    // reference interfaces/cli/pipeline/commands.py:30,100): graft
+    // pipelines are the registry's named step-sequences
+    case "pipeline" :: root :: "list" :: filters =>
+      val api = new GraftApi(spark, root)
+      val names = api.workflows.list
+        .filter(n => filters.forall(f => n.toLowerCase.contains(f.toLowerCase)))
+      if (names.isEmpty) "no pipelines registered"
+      else names.map { n =>
+        f"$n%-24s ${api.workflows.describe(n).size}%2d steps"
+      }.mkString("\n")
+    case "pipeline" :: root :: "explain" :: name :: Nil =>
+      val steps = new GraftApi(spark, root).workflows.describe(name)
+      s"pipeline: $name\nsteps:\n" + steps.map(s =>
+        f"  ${s.name}%-20s op=${s.op}%-24s input=${s.input}").mkString("\n")
+    // workflow registry surface (kiara workflow list / explain,
+    // reference interfaces/cli/workflow/commands.py)
+    case "workflow" :: root :: "list" :: Nil =>
+      val api = new GraftApi(spark, root)
+      val names = api.workflows.list
+      if (names.isEmpty) "no workflows registered"
+      else names.map { n =>
+        val kind = if (api.workflows.isPersisted(n)) "persisted" else "in-memory"
+        f"$n%-24s ${api.workflows.describe(n).size}%2d steps  $kind"
+      }.mkString("\n")
+    case "workflow" :: root :: "explain" :: name :: Nil =>
+      val api = new GraftApi(spark, root)
+      val steps = api.workflows.describe(name)
+      val kind = if (api.workflows.isPersisted(name)) "persisted" else "in-memory"
+      s"workflow: $name ($kind)\nsteps:\n" + steps.map(s =>
+        f"  ${s.name}%-20s op=${s.op}%-24s input=${s.input}").mkString("\n")
+    // stored-value listing over a context root (kiara data list,
+    // reference interfaces/cli/data/commands.py): id, rows, aliases
+    case "data" :: root :: "list" :: globs if globs.size <= 1 =>
+      val api = new GraftApi(spark, root)
+      val ids = api.findValues(globs.headOption.getOrElse("*"))
+      if (ids.isEmpty) "no values stored"
+      else {
+        val byValue = api.findAliases().groupBy(_._2)
+        ids.map { id =>
+          val i = api.valueInfo(id)
+          val als = byValue.getOrElse(id, Seq.empty).map(_._1)
+          f"$id%-24s ${i.rows}%10d rows" +
+            (if (als.isEmpty) "" else s"  aliases: ${als.mkString(", ")}")
+        }.mkString("\n")
+      }
+    // data-type catalog (kiara type list,
+    // reference interfaces/cli/type/commands.py)
+    case "type" :: "list" :: Nil =>
+      graft.sources.TypeMap.toSpark.toSeq.sortBy(_._1)
+        .map { case (n, t) => f"$n%-12s -> ${t.sql}" }.mkString("\n")
     // renderer catalog + dispatch (kiara render list-renderers / render
     // item, reference interfaces/cli/render/commands.py:60,79)
     case "render" :: "list-renderers" :: Nil =>
@@ -135,7 +192,10 @@ object Cli {
           s"operations [filter...] | operation <name> | " +
           s"module list|explain <name> | plugin list|explain <name> | " +
           s"context <root> list|create <name>|use <name>|current|info | " +
-          s"archive info <dir> | value <root> info <ref> | jobs <root> list " +
+          s"archive info <dir> | value <root> info <ref> | jobs <root> list | " +
+          s"pipeline <root> list|explain <name> | " +
+          s"workflow <root> list|explain <name> | " +
+          s"data <root> list [glob] | type list " +
           s"(got: ${other.mkString(" ")})")
   }
 

@@ -633,19 +633,19 @@ object SparkEntry {
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
         | round(sum(l_extendedprice),2) AS sum_base_price,
-        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS sum_disc_price,
+        | round(sum(l_extendedprice*(1.0e0-l_discount)),2) AS sum_disc_price,
         | round(avg(l_quantity),4) AS avg_qty, round(avg(l_discount),4) AS avg_disc,
         | count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-31 00:00:00'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q2_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
-        | CAST(floor(l_extendedprice*(1.0-l_discount)*100.0 + 0.5) AS DOUBLE)/100.0 AS net_price
-        |FROM lineitem WHERE l_quantity > 45 AND l_discount > 0.05
+        | CAST(floor(l_extendedprice*(1.0e0-l_discount)*100.0e0 + 0.5e0) AS DOUBLE)/100.0e0 AS net_price
+        |FROM lineitem WHERE l_quantity > 45 AND l_discount > 0.05e0
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q3_join" ->
       """SELECT c_custkey, c_name,
-        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue, count(*) AS n_items
+        | round(sum(l_extendedprice*(1.0e0-l_discount)),2) AS revenue, count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         | JOIN customer ON o_custkey = c_custkey
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -681,7 +681,7 @@ object SparkEntry {
         |ORDER BY rflag, lstatus""".stripMargin,
     "q11_case_agg" ->
       """SELECT o_orderpriority, count(*) AS n,
-        | round(sum(CASE WHEN o_totalprice > 200000 THEN o_totalprice ELSE 0.0 END),2) AS big_total,
+        | round(sum(CASE WHEN o_totalprice > 200000 THEN o_totalprice ELSE 0.0e0 END),2) AS big_total,
         | CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q12_union" ->
@@ -691,9 +691,9 @@ object SparkEntry {
         | SELECT 'recent' AS bucket, o_orderstatus FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
         |GROUP BY bucket, o_orderstatus ORDER BY bucket, o_orderstatus""".stripMargin,
     "q13_percentile" ->
-      """SELECT l_returnflag, round(quantile_cont(l_quantity, 0.25),4) AS q25_qty,
-        | round(quantile_cont(l_quantity, 0.5),4) AS median_qty,
-        | round(quantile_cont(l_extendedprice, 0.75),4) AS q75_price
+      """SELECT l_returnflag, round(quantile_cont(l_quantity, 0.25e0),4) AS q25_qty,
+        | round(quantile_cont(l_quantity, 0.5e0),4) AS median_qty,
+        | round(quantile_cont(l_extendedprice, 0.75e0),4) AS q75_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // full outer join: one-sided rows surface with NULLs on the other
     "q28_full_outer" ->
@@ -789,8 +789,8 @@ object SparkEntry {
          |  (SELECT DISTINCT doc_id, term FROM t) GROUP BY term),
          |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
          |SELECT doc_id, term, tf, df,
-         | CAST(floor(tf * ln(CAST(n_docs AS DOUBLE) / df) * 10000.0 + 0.5) AS DOUBLE)
-         |   / 10000.0 AS tfidf,
+         | CAST(floor(tf * ln(CAST(n_docs AS DOUBLE) / df) * 10000.0e0 + 0.5e0) AS DOUBLE)
+         |   / 10000.0e0 AS tfidf,
          | CAST(rank AS BIGINT) AS rank
          |FROM (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, n.n_docs,
          |  row_number() OVER (PARTITION BY tf.doc_id
@@ -918,12 +918,12 @@ object SparkEntry {
          |    ('0x' || substr(md5(gram), 1, 8))::BIGINT % 4096 AS bucket
          |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi) u),
          |w AS (SELECT range AS bucket,
-         |    ('0x' || substr(md5('w' || range), 1, 8))::BIGINT / 4294967296.0 - 0.5 AS w
+         |    ('0x' || substr(md5('w' || range), 1, 8))::BIGINT / 4294967296.0e0 - 0.5e0 AS w
          |  FROM range(4096)),
          |a AS (SELECT doc_id, count(*) AS n_grams, sum(w.w) AS s
          |  FROM g JOIN w USING (bucket) GROUP BY doc_id)
          |SELECT doc_id, n_grams,
-         |  round(1.0 / (1.0 + exp(-s / sqrt(n_grams))), 4) AS score
+         |  round(1.0e0 / (1.0e0 + exp(-s / sqrt(n_grams))), 4) AS score
          |FROM a ORDER BY doc_id""".stripMargin,
     // every ratio rule compares cross-multiplied BIGINTs, so no float
     // ever decides a rule — the two engines must agree exactly
@@ -990,13 +990,13 @@ object SparkEntry {
          |    sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS n_t FROM b GROUP BY bucket),
          |tot AS (SELECT sum(n_r) AS nr, sum(n_t) AS nt FROM lm),
          |w AS (SELECT bucket,
-         |    ln((CAST(n_t AS DOUBLE) + 1.0) / (CAST(nt AS DOUBLE) + 4096))
-         |      - ln((CAST(n_r AS DOUBLE) + 1.0) / (CAST(nr AS DOUBLE) + 4096)) AS w
+         |    ln((CAST(n_t AS DOUBLE) + 1.0e0) / (CAST(nt AS DOUBLE) + 4096))
+         |      - ln((CAST(n_r AS DOUBLE) + 1.0e0) / (CAST(nr AS DOUBLE) + 4096)) AS w
          |  FROM lm CROSS JOIN tot),
          |sc AS (SELECT doc_id, count(*) AS n_grams,
          |    round(sum(w.w) / count(*), 4) AS llr
          |  FROM b JOIN w USING (bucket) GROUP BY doc_id),
-         |th AS (SELECT quantile_cont(llr, 0.8) AS th FROM sc)
+         |th AS (SELECT quantile_cont(llr, 0.8e0) AS th FROM sc)
          |SELECT doc_id, n_grams, llr, llr >= th.th AS selected
          |FROM sc CROSS JOIN th ORDER BY doc_id""".stripMargin,
     "mix_sampled" ->
@@ -1070,7 +1070,7 @@ object SparkEntry {
          |SELECT doc_id, count(*) AS n_grams,
          | CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
          | CAST(floor(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
-         |   / count(*) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS contamination
+         |   / count(*) * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS contamination
          |FROM train LEFT JOIN bench b ON train.gram = b.gram
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_repetition" ->
@@ -1079,9 +1079,9 @@ object SparkEntry {
          | CAST(len(toks) - 2 AS BIGINT) AS n_ngrams,
          | CAST(len(list_distinct(list_transform(generate_series(1, len(toks)-2),
          |   i -> array_to_string(toks[i:i+2], ' ')))) AS BIGINT) AS n_distinct,
-         | CAST(floor((1.0 - len(list_distinct(list_transform(generate_series(1, len(toks)-2),
+         | CAST(floor((1.0e0 - len(list_distinct(list_transform(generate_series(1, len(toks)-2),
          |   i -> array_to_string(toks[i:i+2], ' '))))
-         |     / (len(toks) - 2)) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS rep_ratio
+         |     / (len(toks) - 2)) * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS rep_ratio
          |FROM t WHERE len(toks) >= 3 ORDER BY doc_id""".stripMargin,
     // sharded concat-and-chunk packing: same window replayed in DuckDB
     // (sum() over BIGINT widens to HUGEINT there — cast back)
@@ -1164,9 +1164,9 @@ object SparkEntry {
     "text_quality" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents)
          |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-         | CAST(floor(CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) / len(toks) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS avg_tok_len,
-         | CAST(floor(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS punct_ratio,
-         | CAST(floor(CAST(len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in|is)\\b')) AS DOUBLE) / len(toks) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS stop_ratio
+         | CAST(floor(CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) / len(toks) * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS avg_tok_len,
+         | CAST(floor(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS punct_ratio,
+         | CAST(floor(CAST(len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in|is)\\b')) AS DOUBLE) / len(toks) * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS stop_ratio
          |FROM t ORDER BY doc_id""".stripMargin,
     "text_langid" ->
       """WITH s AS (SELECT doc_id,
@@ -1204,7 +1204,7 @@ object SparkEntry {
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "q22_histogram" ->
       """SELECT bucket, count(*) AS n FROM (
-        | SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket FROM orders)
+        | SELECT CAST(floor(o_totalprice / 50000.0e0) AS BIGINT) AS bucket FROM orders)
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q23_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
@@ -1230,10 +1230,10 @@ object SparkEntry {
     "dq_expectations" ->
       """WITH c AS (SELECT count(*) AS row_count,
         |  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ok,
-        |  CAST(sum(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS qty_oor,
-        |  CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS disc_oor,
+        |  CAST(sum(CASE WHEN l_quantity < 1.0e0 OR l_quantity > 50.0e0 THEN 1 ELSE 0 END) AS BIGINT) AS qty_oor,
+        |  CAST(sum(CASE WHEN l_discount < 0.0e0 OR l_discount > 0.1e0 THEN 1 ELSE 0 END) AS BIGINT) AS disc_oor,
         |  CAST(sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS bad_rf,
-        |  CAST(sum(CASE WHEN l_extendedprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpos
+        |  CAST(sum(CASE WHEN l_extendedprice <= 0.0e0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpos
         | FROM lineitem),
         |u AS (SELECT CAST(count(*) AS BIGINT) AS dups FROM (
         |   SELECT l_orderkey, l_linenumber FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1)),
@@ -1309,8 +1309,8 @@ object SparkEntry {
     // winsorized: Spark percentile ≡ DuckDB quantile_cont (q13-proven);
     // float aggregates round(4)
     "evt_winsorized" ->
-      """WITH b AS (SELECT event_type, quantile_cont(value, 0.05) AS p_lo,
-        |    quantile_cont(value, 0.95) AS p_hi
+      """WITH b AS (SELECT event_type, quantile_cont(value, 0.05e0) AS p_lo,
+        |    quantile_cont(value, 0.95e0) AS p_hi
         |  FROM events GROUP BY 1)
         |SELECT event_type, count(*) AS n,
         |  round(avg(value), 4) AS raw_mean,
@@ -1347,15 +1347,15 @@ object SparkEntry {
         |  FROM e GROUP BY event_type),
         |d AS (SELECT event_type, n_a, n_b,
         |    sx_a / CAST(n_a AS DOUBLE) AS ma, sx_b / CAST(n_b AS DOUBLE) AS mb,
-        |    (sxx_a - sx_a * sx_a / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0) / CAST(n_a AS DOUBLE) AS sea,
-        |    (sxx_b - sx_b * sx_b / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0) / CAST(n_b AS DOUBLE) AS seb
+        |    (sxx_a - sx_a * sx_a / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0e0) / CAST(n_a AS DOUBLE) AS sea,
+        |    (sxx_b - sx_b * sx_b / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0e0) / CAST(n_b AS DOUBLE) AS seb
         |  FROM c)
         |SELECT event_type, n_a, n_b,
         |  round(ma, 4) AS mean_a, round(mb, 4) AS mean_b,
         |  round((ma - mb) / sqrt(sea + seb), 4) AS t_stat,
-        |  round((sea + seb) * (sea + seb) / (sea * sea / (CAST(n_a AS DOUBLE) - 1.0)
-        |    + seb * seb / (CAST(n_b AS DOUBLE) - 1.0)), 4) AS welch_df,
-        |  (abs((ma - mb) / sqrt(sea + seb)) > 1.96) AS significant
+        |  round((sea + seb) * (sea + seb) / (sea * sea / (CAST(n_a AS DOUBLE) - 1.0e0)
+        |    + seb * seb / (CAST(n_b AS DOUBLE) - 1.0e0)), 4) AS welch_df,
+        |  (abs((ma - mb) / sqrt(sea + seb)) > 1.96e0) AS significant
         |FROM d ORDER BY event_type""".stripMargin,
     // co-purchase: identical double-domain lift math both sides (count
     // products stay out of BIGINT); portable floor on the per-row float
@@ -1369,8 +1369,8 @@ object SparkEntry {
         |  GROUP BY 1, 2 HAVING count(*) >= 50)
         |SELECT brand_a, brand_b, support,
         |  CAST(floor(CAST(support AS DOUBLE) * n_orders
-        |      / (CAST(sa.cnt AS DOUBLE) * sb.cnt) * 10000.0 + 0.5) AS DOUBLE)
-        |    / 10000.0 AS lift
+        |      / (CAST(sa.cnt AS DOUBLE) * sb.cnt) * 10000.0e0 + 0.5e0) AS DOUBLE)
+        |    / 10000.0e0 AS lift
         |FROM p JOIN s sa ON sa.brand = p.brand_a
         |  JOIN s sb ON sb.brand = p.brand_b CROSS JOIN n
         |ORDER BY brand_a, brand_b""".stripMargin,
@@ -1397,7 +1397,7 @@ object SparkEntry {
     "dq_kanon" ->
       """SELECT c_nationkey, c_mktsegment, count(*) AS class_size,
         |  count(*) >= 5 AS meets_k,
-        |  CAST(floor(1e0 / count(*) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS reid_risk
+        |  CAST(floor(1e0 / count(*) * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS reid_risk
         |FROM customer GROUP BY 1, 2
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
     // SCD-2: identical change-collapse + episode windows; valid_to is the
@@ -1454,10 +1454,10 @@ object SparkEntry {
         |  FROM orders WHERE o_orderkey % 10 < 8),
         |ch AS (
         |  SELECT o_orderkey, 1 AS seq, 'U' AS op, o_custkey, o_orderstatus,
-        |         o_totalprice + 1.0 AS o_totalprice
+        |         o_totalprice + 1.0e0 AS o_totalprice
         |  FROM orders WHERE o_orderkey % 10 = 3
         |  UNION ALL
-        |  SELECT o_orderkey, 2, 'U', o_custkey, 'R', o_totalprice + 2.0
+        |  SELECT o_orderkey, 2, 'U', o_custkey, 'R', o_totalprice + 2.0e0
         |  FROM orders WHERE o_orderkey % 100 = 3
         |  UNION ALL
         |  SELECT o_orderkey, 1, 'D', o_custkey, o_orderstatus, o_totalprice
@@ -1487,7 +1487,7 @@ object SparkEntry {
         |SELECT from_type, to_type, n,
         |  CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from,
         |  CAST(floor(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT)
-        |    * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS p
+        |    * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS p
         |FROM c ORDER BY from_type, to_type""".stripMargin,
     // anomalies: stddev_samp algorithms differ at ~1e-12 relative across
     // engines — z is rounded at the edge; the |z|>3 cut on the unrounded
@@ -1499,7 +1499,7 @@ object SparkEntry {
         |SELECT event_id, user_id, value, round(mu, 4) AS mu, round(sd, 4) AS sd,
         |  round((value - mu)/sd, 4) AS z
         |FROM events JOIN p USING (user_id)
-        |WHERE abs((value - mu)/sd) > 3.0
+        |WHERE abs((value - mu)/sd) > 3.0e0
         |ORDER BY event_id""".stripMargin,
     "graph_pagerank" -> pagerankSql(5),
     "graph_label_prop" -> labelPropSql(5),
@@ -1683,19 +1683,19 @@ object SparkEntry {
          |  FROM t WHERE len(toks) >= 3),
          |ss AS (SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id,
          |  CAST(floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |    / len(list_distinct(list_concat(a.sh, b.sh))) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS sim
+         |    / len(list_distinct(list_concat(a.sh, b.sh))) * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS sim
          |  FROM g a JOIN g b ON a.doc_id < 20 AND a.doc_id <> b.doc_id),
          |stop AS (SELECT query_id, neighbor_id, rnk FROM (
          |  SELECT query_id, neighbor_id,
          |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM ss)
          |  WHERE rnk <= 10),
-         |u AS (SELECT query_id, neighbor_id, CAST(1.0 AS DOUBLE) / (60 + rnk) AS contrib FROM dtop
-         |  UNION ALL SELECT query_id, neighbor_id, CAST(1.0 AS DOUBLE) / (60 + rnk) AS contrib FROM stop),
+         |u AS (SELECT query_id, neighbor_id, CAST(1.0e0 AS DOUBLE) / (60 + rnk) AS contrib FROM dtop
+         |  UNION ALL SELECT query_id, neighbor_id, CAST(1.0e0 AS DOUBLE) / (60 + rnk) AS contrib FROM stop),
          |f AS (SELECT query_id, neighbor_id, sum(contrib) AS rrf FROM u GROUP BY query_id, neighbor_id),
          |r AS (SELECT query_id, neighbor_id, rrf,
          |  row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, neighbor_id) AS rnk FROM f)
          |SELECT r.query_id, r.neighbor_id,
-         |  CAST(floor(r.rrf * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS rrf,
+         |  CAST(floor(r.rrf * 1000000.0e0 + 0.5e0) AS DOUBLE) / 1000000.0e0 AS rrf,
          |  CAST(r.rnk AS BIGINT) AS rank
          |FROM r WHERE r.rnk <= 5 ORDER BY r.query_id, r.rnk""".stripMargin,
     // hard negatives: top-5 most-similar DIFFERENT-label vectors per query
@@ -1708,7 +1708,7 @@ object SparkEntry {
         |    / (sqrt(list_inner_product(q.e, q.e)) * sqrt(list_inner_product(c.e, c.e))) AS sim
         |  FROM q JOIN c ON q.label <> c.label)
         |SELECT vec_id, neighbor_id, neighbor_label,
-        | CAST(floor(sim * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS sim,
+        | CAST(floor(sim * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS sim,
         | CAST(rank AS BIGINT) AS rank FROM (
         | SELECT vec_id, neighbor_id, neighbor_label, sim,
         |  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
@@ -1733,7 +1733,7 @@ object SparkEntry {
         |SELECT CAST(p.qlabel AS BIGINT) AS label, count(*) AS n_eval,
         | CAST(sum(CASE WHEN p.pred = p.qlabel THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
         | CAST(floor(sum(CASE WHEN p.pred = p.qlabel THEN 1 ELSE 0 END)
-        |   / count(*) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS accuracy
+        |   / count(*) * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS accuracy
         |FROM p GROUP BY p.qlabel ORDER BY label""".stripMargin,
     // label outliers: bottom-3 cosine-to-own-ROUNDED-centroid per label
     "sim_label_outliers" ->
@@ -1745,7 +1745,7 @@ object SparkEntry {
         |s AS (SELECT e.label, e.vec_id,
         |  CAST(floor(list_inner_product(e.emb, c.centroid)
         |    / (sqrt(list_inner_product(e.emb, e.emb)) * sqrt(list_inner_product(c.centroid, c.centroid)))
-        |    * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS sim
+        |    * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS sim
         |  FROM e JOIN c ON e.label = c.label),
         |r AS (SELECT label, vec_id, sim,
         |  row_number() OVER (PARTITION BY label ORDER BY sim, vec_id) AS rnk FROM s)
@@ -1763,7 +1763,7 @@ object SparkEntry {
          |  FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
          |  GROUP BY a.source, b.source)
          |SELECT sh.src_a, sh.src_b, sh.shared, na.n AS n_a, nb.n AS n_b,
-         |  CAST(floor(sh.shared / (na.n + nb.n - sh.shared) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS jaccard
+         |  CAST(floor(sh.shared / (na.n + nb.n - sh.shared) * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS jaccard
          |FROM sh JOIN n na ON sh.src_a = na.source JOIN n nb ON sh.src_b = nb.source
          |ORDER BY sh.src_a, sh.src_b""".stripMargin,
     // asymmetric containment (ordered pairs): brute-force oracle — any pair
@@ -1777,9 +1777,9 @@ object SparkEntry {
          |SELECT * FROM (
          | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST(floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |    / len(a.sh) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS containment
+         |    / len(a.sh) * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS containment
          | FROM g a JOIN g b ON a.doc_id <> b.doc_id)
-         |WHERE containment >= 0.6 ORDER BY doc_a, doc_b""".stripMargin,
+         |WHERE containment >= 0.6e0 ORDER BY doc_a, doc_b""".stripMargin,
     // fuzzy record linkage: best same-block Levenshtein match per query part
     "dedup_fuzzy_match" ->
       """WITH n AS (SELECT p_partkey AS id, p_name AS name,
@@ -1811,14 +1811,14 @@ object SparkEntry {
     // ORC round trip must be lossless vs the original parquet
     "ingest_orc" ->
       """SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey,
-        |  CAST(floor(s_acctbal * 100.0 + 0.5) AS DOUBLE) / 100.0 AS s_acctbal
+        |  CAST(floor(s_acctbal * 100.0e0 + 0.5e0) AS DOUBLE) / 100.0e0 AS s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
     // temperature-0.5 rebalance: floor(4·√n) per source, md5-ranked picks;
     // sqrt and * are correctly rounded in IEEE-754, so the floor is exact
     // on both engines (pow would not be)
     "mix_temperature" ->
       """WITH c AS (SELECT lang, count(*) AS n_docs,
-        |    CAST(floor(4.0 * sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS n_target
+        |    CAST(floor(4.0e0 * sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS n_target
         |  FROM documents GROUP BY lang),
         |r AS (SELECT doc_id, lang,
         |  CAST(row_number() OVER (PARTITION BY lang
@@ -1837,8 +1837,8 @@ object SparkEntry {
         |    x -> x <> '')) AS BIGINT) AS words
         |  FROM documents)
         |SELECT lang, CAST(sum(bpe) AS BIGINT) AS n_bpe, CAST(sum(words) AS BIGINT) AS n_words,
-        |  CAST(floor(CAST(sum(bpe) AS DOUBLE) / sum(words) * 10000.0 + 0.5) AS DOUBLE)
-        |    / 10000.0 AS fertility
+        |  CAST(floor(CAST(sum(bpe) AS DOUBLE) / sum(words) * 10000.0e0 + 0.5e0) AS DOUBLE)
+        |    / 10000.0e0 AS fertility
         |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
     // power-of-two context buckets; CASE-chain bounds are integer-exact
     "text_ctx_buckets" ->
@@ -1855,8 +1855,8 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_docs,
         |  CAST(sum(n_docs) OVER () AS BIGINT) AS total_docs FROM g)
         |SELECT ctx_bucket, n_docs, sum_tokens, cum_docs,
-        |  CAST(floor(CAST(cum_docs AS DOUBLE) / total_docs * 10000.0 + 0.5) AS DOUBLE)
-        |    / 10000.0 AS doc_share
+        |  CAST(floor(CAST(cum_docs AS DOUBLE) / total_docs * 10000.0e0 + 0.5e0) AS DOUBLE)
+        |    / 10000.0e0 AS doc_share
         |FROM c ORDER BY ctx_bucket""".stripMargin,
     // one-pass moment aggregates; 4dp absorbs engine accumulation-order ulps
     "dq_corr" ->
@@ -1888,8 +1888,8 @@ object SparkEntry {
         |    CAST(day AS TIMESTAMP) + INTERVAL 27 DAY, INTERVAL 1 DAY)) AS DATE) AS mday FROM a),
         |m AS (SELECT mday AS day, count(*) AS mau FROM c GROUP BY mday)
         |SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, m.mau,
-        |  CAST(floor(CAST(d.dau AS DOUBLE) / m.mau * 10000.0 + 0.5) AS DOUBLE)
-        |    / 10000.0 AS stickiness
+        |  CAST(floor(CAST(d.dau AS DOUBLE) / m.mau * 10000.0e0 + 0.5e0) AS DOUBLE)
+        |    / 10000.0e0 AS stickiness
         |FROM d JOIN m ON d.day = m.day ORDER BY d.day""".stripMargin,
     // sessionize CTE reused verbatim; sweep deltas with the default
     // RANGE frame (peer groups) ≡ Spark's explicit rangeBetween
@@ -1918,10 +1918,10 @@ object SparkEntry {
         |x(tier_pct) AS (VALUES (1), (5), (10), (50)),
         |k AS (SELECT CAST(tier_pct AS BIGINT) AS tier_pct, e,
         |  greatest(CAST(1 AS BIGINT),
-        |    CAST(floor(CAST(u AS DOUBLE) * tier_pct / 100.0) AS BIGINT)) AS rk
+        |    CAST(floor(CAST(u AS DOUBLE) * tier_pct / 100.0e0) AS BIGINT)) AS rk
         |  FROM x CROSS JOIN t)
         |SELECT k.tier_pct, k.rk AS n_users, r.cum AS n_events,
-        |  floor(CAST(r.cum AS DOUBLE) / CAST(k.e AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS share
+        |  floor(CAST(r.cum AS DOUBLE) / CAST(k.e AS DOUBLE) * 10000.0e0 + 0.5e0) / 10000.0e0 AS share
         |FROM k JOIN r ON r.rk = k.rk ORDER BY k.tier_pct""".stripMargin,
     // integer-µs gaps; quantile_cont ≡ Spark exact percentile (q13 parity)
     "evt_interarrival" ->
@@ -1930,9 +1930,9 @@ object SparkEntry {
         |g AS (SELECT event_type,
         |    us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap_us FROM e)
         |SELECT event_type, count(*) AS n_gaps,
-        |  round(quantile_cont(gap_us, 0.5) / 1000000.0, 4) AS p50_s,
-        |  round(quantile_cont(gap_us, 0.9) / 1000000.0, 4) AS p90_s,
-        |  round(avg(gap_us) / 1000000.0, 4) AS avg_s
+        |  round(quantile_cont(gap_us, 0.5e0) / 1000000.0e0, 4) AS p50_s,
+        |  round(quantile_cont(gap_us, 0.9e0) / 1000000.0e0, 4) AS p90_s,
+        |  round(avg(gap_us) / 1000000.0e0, 4) AS avg_s
         |FROM g WHERE gap_us IS NOT NULL GROUP BY event_type ORDER BY event_type""".stripMargin,
     // confusion matrix over the same langid CASE predictor
     "text_langid_confusion" ->
@@ -1976,17 +1976,17 @@ object SparkEntry {
     // 4dp constants identical to the driver-computed literals
     "dq_benford" ->
       """WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
-        |  FROM orders WHERE o_totalprice >= 1.0),
+        |  FROM orders WHERE o_totalprice >= 1.0e0),
         |c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
         |t AS (SELECT digit, n, sum(n) OVER () AS total FROM c),
         |s AS (SELECT digit, n,
-        |  floor(CAST(n AS DOUBLE) / total * 10000.0 + 0.5) / 10000.0 AS share,
-        |  CAST(CASE digit WHEN 1 THEN 0.3010 WHEN 2 THEN 0.1761 WHEN 3 THEN 0.1249
-        |    WHEN 4 THEN 0.0969 WHEN 5 THEN 0.0792 WHEN 6 THEN 0.0669
-        |    WHEN 7 THEN 0.0580 WHEN 8 THEN 0.0512 ELSE 0.0458 END AS DOUBLE) AS expected
+        |  floor(CAST(n AS DOUBLE) / total * 10000.0e0 + 0.5e0) / 10000.0e0 AS share,
+        |  CAST(CASE digit WHEN 1 THEN 0.3010e0 WHEN 2 THEN 0.1761e0 WHEN 3 THEN 0.1249e0
+        |    WHEN 4 THEN 0.0969e0 WHEN 5 THEN 0.0792e0 WHEN 6 THEN 0.0669e0
+        |    WHEN 7 THEN 0.0580e0 WHEN 8 THEN 0.0512e0 ELSE 0.0458e0 END AS DOUBLE) AS expected
         | FROM t)
         |SELECT digit, n, share, expected,
-        |  floor(abs(share - expected) * 10000.0 + 0.5) / 10000.0 AS abs_dev
+        |  floor(abs(share - expected) * 10000.0e0 + 0.5e0) / 10000.0e0 AS abs_dev
         |FROM s ORDER BY digit""".stripMargin,
     // lifecycle classification via each user's own lag/lead over the
     // distinct activity dimension; churn lands on day+1, bounded by the
@@ -2018,7 +2018,7 @@ object SparkEntry {
     // flipped by float partial-agg order
     "rel_rfm" ->
       """WITH per AS (SELECT o_custkey, max(o_orderdate) AS last_order, count(*) AS n_orders,
-        |    CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |    CAST(sum(CAST(floor(o_totalprice * 100.0e0 + 0.5e0) AS BIGINT)) AS BIGINT) AS cents
         |  FROM orders GROUP BY o_custkey),
         |mx AS (SELECT max(o_orderdate) AS global_max FROM orders),
         |sc AS (SELECT o_custkey, n_orders, cents,
@@ -2039,7 +2039,7 @@ object SparkEntry {
         |SELECT segment, count(*) AS n_customers,
         |  round(avg(recency_days), 2) AS avg_recency_days,
         |  round(avg(n_orders), 2) AS avg_orders,
-        |  round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS total_monetary
+        |  round(CAST(sum(cents) AS DOUBLE) / 100.0e0, 2) AS total_monetary
         |FROM seg GROUP BY segment ORDER BY segment""".stripMargin,
     // one LEFT JOIN per relation against the distinct parent keys; the
     // counts ride the join (no second child scan); NULL fk ≠ orphan
@@ -2105,7 +2105,7 @@ object SparkEntry {
         |sc AS (SELECT c.vec_id, c.e, t.cent_id,
         |   floor(list_inner_product(c.e, t.ce)
         |     / (sqrt(list_inner_product(c.e, c.e)) * sqrt(list_inner_product(t.ce, t.ce)))
-        |     * 10000.0 + 0.5) / 10000.0 AS csim
+        |     * 10000.0e0 + 0.5e0) / 10000.0e0 AS csim
         |  FROM corpus c CROSS JOIN cents t),
         |asg AS (SELECT vec_id, e, cent_id AS cluster_id FROM (
         |   SELECT vec_id, e, cent_id,
@@ -2114,18 +2114,18 @@ object SparkEntry {
         |p AS (SELECT a.cluster_id, b.vec_id AS drop_id, a.vec_id AS keep_id,
         |   floor(list_inner_product(a.e, b.e)
         |     / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e)))
-        |     * 10000.0 + 0.5) / 10000.0 AS sim
+        |     * 10000.0e0 + 0.5e0) / 10000.0e0 AS sim
         |  FROM asg a JOIN asg b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id)
         |SELECT cluster_id, drop_id AS dropped_vec, min(keep_id) AS keeper_vec,
         |  max(sim) AS sim
-        |FROM p WHERE sim >= 0.95 GROUP BY cluster_id, drop_id
+        |FROM p WHERE sim >= 0.95e0 GROUP BY cluster_id, drop_id
         |ORDER BY cluster_id, dropped_vec""".stripMargin,
     // domination decided on exact integer cents; double-division price
     // (cents/100.0) is the identical IEEE op in both engines
     "rel_skyline" ->
       """WITH p AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
-        |    CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) AS cents FROM part)
-        |SELECT a.p_partkey, CAST(a.cents AS DOUBLE) / 100.0 AS price, a.p_size
+        |    CAST(floor(p_retailprice * 100.0e0 + 0.5e0) AS BIGINT) AS cents FROM part)
+        |SELECT a.p_partkey, CAST(a.cents AS DOUBLE) / 100.0e0 AS price, a.p_size
         |FROM p a WHERE NOT EXISTS (SELECT 1 FROM p b
         |  WHERE b.cents <= a.cents AND b.p_size >= a.p_size
         |    AND (b.cents < a.cents OR b.p_size > a.p_size))
@@ -2142,7 +2142,7 @@ object SparkEntry {
         |sc AS (SELECT brand_a, brand_b, co,
         |    floor(CAST(co AS DOUBLE)
         |      / (sqrt(CAST(sa.n AS DOUBLE)) * sqrt(CAST(sb.n AS DOUBLE)))
-        |      * 10000.0 + 0.5) / 10000.0 AS cosine
+        |      * 10000.0e0 + 0.5e0) / 10000.0e0 AS cosine
         |  FROM cp JOIN s sa ON sa.b = cp.brand_a JOIN s sb ON sb.b = cp.brand_b),
         |r AS (SELECT brand_a, brand_b, co, cosine,
         |    CAST(row_number() OVER (PARTITION BY brand_a
@@ -2163,7 +2163,7 @@ object SparkEntry {
         |    / sqrt((CAST(s2 AS DOUBLE)
         |        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n_cells AS DOUBLE))
         |      / CAST(n_cells AS DOUBLE))
-        |    * 10000.0 + 0.5) / 10000.0 AS z
+        |    * 10000.0e0 + 0.5e0) / 10000.0e0 AS z
         |FROM cells CROSS JOIN st ORDER BY dow, hr""".stripMargin,
     // expected counts from exact integer marginals; the only float agg
     // is the 15-cell Σ(o−e)²/e, rounded per the float-aggregate rule
@@ -2209,15 +2209,15 @@ object SparkEntry {
         |  FROM ob x JOIN ob y ON x.okey = y.okey AND x.b <> y.b GROUP BY 1, 2
         |  HAVING count(*) >= 50)
         |SELECT antecedent, consequent, support,
-        |  floor(CAST(support AS DOUBLE) / CAST(sa.cnt AS DOUBLE) * 10000.0 + 0.5)
-        |    / 10000.0 AS confidence,
+        |  floor(CAST(support AS DOUBLE) / CAST(sa.cnt AS DOUBLE) * 10000.0e0 + 0.5e0)
+        |    / 10000.0e0 AS confidence,
         |  floor((CAST(support AS DOUBLE) / CAST(sa.cnt AS DOUBLE))
         |    / (CAST(sc.cnt AS DOUBLE) / CAST(no.n_orders AS DOUBLE))
-        |    * 10000.0 + 0.5) / 10000.0 AS lift,
+        |    * 10000.0e0 + 0.5e0) / 10000.0e0 AS lift,
         |  CASE WHEN support = sa.cnt THEN NULL
-        |    ELSE floor((1.0 - CAST(sc.cnt AS DOUBLE) / CAST(no.n_orders AS DOUBLE))
-        |      / (1.0 - CAST(support AS DOUBLE) / CAST(sa.cnt AS DOUBLE))
-        |      * 10000.0 + 0.5) / 10000.0 END AS conviction
+        |    ELSE floor((1.0e0 - CAST(sc.cnt AS DOUBLE) / CAST(no.n_orders AS DOUBLE))
+        |      / (1.0e0 - CAST(support AS DOUBLE) / CAST(sa.cnt AS DOUBLE))
+        |      * 10000.0e0 + 0.5e0) / 10000.0e0 END AS conviction
         |FROM pr JOIN s sa ON sa.b = pr.antecedent
         |  JOIN s sc ON sc.b = pr.consequent CROSS JOIN no
         |ORDER BY antecedent, consequent""".stripMargin,
@@ -2230,9 +2230,9 @@ object SparkEntry {
         |  FROM daily d JOIN daily p ON p.day + 7 = d.day)
         |SELECT CAST(dayofweek(day) AS BIGINT) AS dow, count(*) AS n_days,
         |  floor(CAST(sum(abs(n - n_forecast)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
-        |    * 10000.0 + 0.5) / 10000.0 AS mae,
+        |    * 10000.0e0 + 0.5e0) / 10000.0e0 AS mae,
         |  floor(CAST(sum(abs(n - n_forecast)) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
-        |    * 10000.0 + 0.5) / 10000.0 AS wape
+        |    * 10000.0e0 + 0.5e0) / 10000.0e0 AS wape
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     // integer word/sentence/vowel-run counts → deterministic FRE; bands
     // cut on the unrounded score, avg rounds per the float-agg rule
@@ -2245,12 +2245,12 @@ object SparkEntry {
         |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS syllables
         |  FROM documents),
         |sc AS (SELECT lang,
-        |    206.835 - 1.015 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
-        |      - 84.6 * (CAST(syllables AS DOUBLE) / nullif(CAST(words AS DOUBLE), 0.0)) AS fre
+        |    206.835e0 - 1.015e0 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+        |      - 84.6e0 * (CAST(syllables AS DOUBLE) / nullif(CAST(words AS DOUBLE), 0.0e0)) AS fre
         |  FROM f),
         |b AS (SELECT lang, CASE WHEN fre IS NULL THEN '9_empty'
-        |    WHEN fre >= 90.0 THEN '0_very_easy' WHEN fre >= 70.0 THEN '1_easy'
-        |    WHEN fre >= 50.0 THEN '2_medium' WHEN fre >= 30.0 THEN '3_hard'
+        |    WHEN fre >= 90.0e0 THEN '0_very_easy' WHEN fre >= 70.0e0 THEN '1_easy'
+        |    WHEN fre >= 50.0e0 THEN '2_medium' WHEN fre >= 30.0e0 THEN '3_hard'
         |    ELSE '4_very_hard' END AS band, fre FROM sc)
         |SELECT lang, band, count(*) AS n_docs, round(avg(fre), 2) AS avg_fre
         |FROM b GROUP BY lang, band ORDER BY lang, band""".stripMargin,
@@ -2261,7 +2261,7 @@ object SparkEntry {
         |t AS (SELECT CAST(sum(n_rows) AS DOUBLE) AS tot FROM g),
         |top AS (SELECT user_id, n_rows FROM g ORDER BY n_rows DESC, user_id LIMIT 10)
         |SELECT user_id, n_rows,
-        |  floor(CAST(n_rows AS DOUBLE) / tot * 10000.0 + 0.5) / 10000.0 AS share
+        |  floor(CAST(n_rows AS DOUBLE) / tot * 10000.0e0 + 0.5e0) / 10000.0e0 AS share
         |FROM top CROSS JOIN t ORDER BY n_rows DESC, user_id""".stripMargin,
     // the semdedup deterministic first-8 centroid assignment, majority
     // label per cluster with ties to the smaller label
@@ -2271,7 +2271,7 @@ object SparkEntry {
         |sc AS (SELECT b.vec_id, b.label, t.cent_id,
         |    floor(list_inner_product(b.e, t.ce)
         |      / (sqrt(list_inner_product(b.e, b.e)) * sqrt(list_inner_product(t.ce, t.ce)))
-        |      * 10000.0 + 0.5) / 10000.0 AS csim
+        |      * 10000.0e0 + 0.5e0) / 10000.0e0 AS csim
         |  FROM base b CROSS JOIN cents t),
         |asg AS (SELECT vec_id, label, cent_id AS cluster_id FROM (
         |    SELECT vec_id, label, cent_id,
@@ -2285,8 +2285,8 @@ object SparkEntry {
         |tot AS (SELECT cluster_id, CAST(sum(n_label) AS BIGINT) AS n_vecs
         |  FROM bl GROUP BY 1)
         |SELECT tot.cluster_id, tot.n_vecs, CAST(tp.top_label AS BIGINT) AS top_label, tp.n_top,
-        |  floor(CAST(tp.n_top AS DOUBLE) / CAST(tot.n_vecs AS DOUBLE) * 10000.0 + 0.5)
-        |    / 10000.0 AS purity
+        |  floor(CAST(tp.n_top AS DOUBLE) / CAST(tot.n_vecs AS DOUBLE) * 10000.0e0 + 0.5e0)
+        |    / 10000.0e0 AS purity
         |FROM tot JOIN tp ON tot.cluster_id = tp.cluster_id
         |ORDER BY tot.cluster_id""".stripMargin,
     // sensitive attribute = value tier; countDistinct ignores NULLs in
@@ -2294,7 +2294,7 @@ object SparkEntry {
     "dq_ldiversity" ->
       """WITH e AS (SELECT event_type,
         |    CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS BIGINT) AS dow,
-        |    CAST(floor(value / 20.0) AS BIGINT) AS value_tier FROM events)
+        |    CAST(floor(value / 20.0e0) AS BIGINT) AS value_tier FROM events)
         |SELECT event_type, dow, count(*) AS class_size,
         |  CAST(count(DISTINCT value_tier) AS BIGINT) AS n_sensitive,
         |  count(DISTINCT value_tier) >= 3 AS meets_l
@@ -2304,18 +2304,18 @@ object SparkEntry {
     // quantile_cont ≡ Spark percentile (the q13 bridge)
     "dq_outlier_mad" ->
       """WITH e AS (SELECT event_type, value FROM events),
-        |m AS (SELECT event_type, quantile_cont(value, 0.5) AS med,
+        |m AS (SELECT event_type, quantile_cont(value, 0.5e0) AS med,
         |    count(*) AS n FROM e GROUP BY 1),
         |d AS (SELECT e.event_type, abs(e.value - m.med) AS dev, m.med, m.n
         |  FROM e JOIN m USING (event_type)),
-        |md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY 1)
+        |md AS (SELECT event_type, quantile_cont(dev, 0.5e0) AS mad FROM d GROUP BY 1)
         |SELECT d.event_type, CAST(max(d.n) AS BIGINT) AS n,
         |  round(max(d.med), 4) AS med, round(max(md.mad), 4) AS mad,
         |  CAST(sum(CASE WHEN d.dev > (3e0 * 1.4826e0) * md.mad
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
         |  floor(sum(CASE WHEN d.dev > (3e0 * 1.4826e0) * md.mad
-        |      THEN 1 ELSE 0 END) / CAST(max(d.n) AS DOUBLE) * 10000.0 + 0.5)
-        |    / 10000.0 AS outlier_rate
+        |      THEN 1 ELSE 0 END) / CAST(max(d.n) AS DOUBLE) * 10000.0e0 + 0.5e0)
+        |    / 10000.0e0 AS outlier_rate
         |FROM d JOIN md USING (event_type)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // prefix sums evaluate in day order on both engines (deterministic
@@ -2350,7 +2350,7 @@ object SparkEntry {
         |s AS (SELECT o_orderpriority, count(*) AS n, sum(x) AS sx,
         |    sum(CAST(i AS DOUBLE) * x) AS six FROM r GROUP BY 1)
         |SELECT o_orderpriority, n,
-        |  round(2.0 * six / (CAST(n AS DOUBLE) * sx)
+        |  round(2.0e0 * six / (CAST(n AS DOUBLE) * sx)
         |    - CAST(n + 1 AS DOUBLE) / n, 4) AS gini
         |FROM s ORDER BY o_orderpriority""".stripMargin,
     // binned two-sample KS vs the pooled rest; integer cumsums exact on
@@ -2540,15 +2540,15 @@ object SparkEntry {
         |        * sqrt(list_inner_product(c.e, c.e))) AS sim
         |  FROM q JOIN c ON q.vec_id <> c.vec_id)
         |SELECT vec_id, neighbor_id,
-        |  CAST(floor(sim * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS sim
+        |  CAST(floor(sim * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS sim
         |FROM s WHERE sim >= 0.25e0 ORDER BY vec_id, neighbor_id""".stripMargin,
     // quartile cuts via quantile_cont ≡ Spark percentile (q13 precedent)
     "mix_curriculum" ->
       s"""WITH s AS (SELECT doc_id,
          |    CAST(len($toksSql) AS BIGINT) AS difficulty FROM documents),
-         |c AS (SELECT quantile_cont(difficulty, 0.25) AS q1,
-         |    quantile_cont(difficulty, 0.5) AS q2,
-         |    quantile_cont(difficulty, 0.75) AS q3 FROM s),
+         |c AS (SELECT quantile_cont(difficulty, 0.25e0) AS q1,
+         |    quantile_cont(difficulty, 0.5e0) AS q2,
+         |    quantile_cont(difficulty, 0.75e0) AS q3 FROM s),
          |p AS (SELECT difficulty, 1 + (difficulty > q1)::INT
          |    + (difficulty > q2)::INT + (difficulty > q3)::INT AS phase
          |  FROM s CROSS JOIN c)
@@ -2708,7 +2708,7 @@ object SparkEntry {
          |g AS (SELECT stage, count(*) AS n_docs FROM v GROUP BY 1)
          |SELECT stage, n_docs,
          |  CAST(floor(CAST(n_docs AS DOUBLE) / (SELECT sum(n_docs) FROM g)
-         |    * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS share
+         |    * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS share
          |FROM g ORDER BY stage""".stripMargin,
     // per-period quartile tiers (quantile_cont ≡ percentile, spend
     // rounded 2dp first so float-sum ulps cannot move a boundary)
@@ -2717,9 +2717,9 @@ object SparkEntry {
         |    CASE WHEN year(o_orderdate) <= 1997 THEN 'p1' ELSE 'p2' END
         |      AS period,
         |    round(sum(o_totalprice), 2) AS spend FROM orders GROUP BY 1, 2),
-        |c AS (SELECT period, quantile_cont(spend, 0.25) AS q1,
-        |    quantile_cont(spend, 0.5) AS q2,
-        |    quantile_cont(spend, 0.75) AS q3 FROM sp GROUP BY 1),
+        |c AS (SELECT period, quantile_cont(spend, 0.25e0) AS q1,
+        |    quantile_cont(spend, 0.5e0) AS q2,
+        |    quantile_cont(spend, 0.75e0) AS q3 FROM sp GROUP BY 1),
         |ti AS (SELECT sp.o_custkey, sp.period,
         |    1 + (spend > q1)::INT + (spend > q2)::INT + (spend > q3)::INT
         |      AS tier
@@ -2781,7 +2781,7 @@ object SparkEntry {
         |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
         |SELECT event_type, day, n_events,
         |  CASE WHEN pn >= 3 THEN CAST(floor(CAST(ps AS DOUBLE) / pn
-        |    * 10000.0 + 0.5) AS DOUBLE) / 10000.0 END AS prev_avg,
+        |    * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 END AS prev_avg,
         |  (pn >= 3 AND n_events * pn > 2 * ps) AS burst
         |FROM w ORDER BY event_type, day""".stripMargin,
     // frontier-relative staleness in exact integer µs (DIV convention)
@@ -2820,8 +2820,8 @@ object SparkEntry {
       """WITH s AS (SELECT count(*) AS n,
         |    sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_v,
         |    sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS null_t,
-        |    round(quantile_cont(value, 0.01), 2) AS p1,
-        |    round(quantile_cont(value, 0.99), 2) AS p99 FROM events),
+        |    round(quantile_cont(value, 0.01e0), 2) AS p1,
+        |    round(quantile_cont(value, 0.99e0), 2) AS p99 FROM events),
         |m AS (SELECT string_agg(DISTINCT event_type, ','
         |      ORDER BY event_type) AS set_csv,
         |    count(DISTINCT event_type) AS ndv FROM events),
@@ -2831,14 +2831,14 @@ object SparkEntry {
         |  SELECT 'value' AS "column", 'not_null' AS rule,
         |    CAST(NULL AS DOUBLE) AS lo, CAST(NULL AS DOUBLE) AS hi,
         |    CAST(NULL AS VARCHAR) AS members,
-        |    CAST(floor(CAST(n - null_v AS DOUBLE) / n * 10000.0 + 0.5)
-        |      AS DOUBLE) / 10000.0 AS support FROM s
+        |    CAST(floor(CAST(n - null_v AS DOUBLE) / n * 10000.0e0 + 0.5e0)
+        |      AS DOUBLE) / 10000.0e0 AS support FROM s
         |  UNION ALL SELECT 'value', 'range_p1_p99', p1, p99, NULL,
-        |    CAST(floor(CAST(n_in_range AS DOUBLE) / n * 10000.0 + 0.5)
-        |      AS DOUBLE) / 10000.0 FROM s CROSS JOIN sup
+        |    CAST(floor(CAST(n_in_range AS DOUBLE) / n * 10000.0e0 + 0.5e0)
+        |      AS DOUBLE) / 10000.0e0 FROM s CROSS JOIN sup
         |  UNION ALL SELECT 'event_type', 'not_null', NULL, NULL, NULL,
-        |    CAST(floor(CAST(n - null_t AS DOUBLE) / n * 10000.0 + 0.5)
-        |      AS DOUBLE) / 10000.0 FROM s
+        |    CAST(floor(CAST(n - null_t AS DOUBLE) / n * 10000.0e0 + 0.5e0)
+        |      AS DOUBLE) / 10000.0e0 FROM s
         |  UNION ALL SELECT 'event_type', 'in_set', NULL,
         |    CAST(ndv AS DOUBLE), set_csv, 1e0 FROM m)
         |SELECT * FROM u ORDER BY "column", rule""".stripMargin,
@@ -2874,12 +2874,12 @@ object SparkEntry {
     // md5-stride sample caps the quadratic; thresholds compare the
     // unrounded cosine (list_inner_product ≡ DotProduct, topk precedent)
     "sim_threshold_sweep" ->
-      """WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+      """WITH sm AS (SELECT vec_id, embedding FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 500),
+        |s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
         |    sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
         |      CAST(embedding AS DOUBLE[]))) AS nrm
-        |  FROM embeddings
-        |  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
-        |    % 5 = 0),
+        |  FROM sm),
         |p AS (SELECT list_inner_product(a.e, b.e) / (a.nrm * b.nrm) AS sim
         |  FROM s a JOIN s b ON a.vec_id < b.vec_id),
         |g AS (SELECT count(*) AS n_candidates,
@@ -2895,8 +2895,8 @@ object SparkEntry {
         |  UNION ALL SELECT 0.35e0, n_candidates, g3 FROM g
         |  UNION ALL SELECT 0.40e0, n_candidates, g4 FROM g)
         |SELECT threshold, n_candidates, CAST(np AS BIGINT) AS n_pairs,
-        |  CAST(floor(CAST(np AS DOUBLE) / n_candidates * 10000.0 + 0.5)
-        |    AS DOUBLE) / 10000.0 AS share
+        |  CAST(floor(CAST(np AS DOUBLE) / n_candidates * 10000.0e0 + 0.5e0)
+        |    AS DOUBLE) / 10000.0e0 AS share
         |FROM u ORDER BY threshold""".stripMargin,
     // the merge-on-read scan must equal the plain filtered table
     "maint_delete_vector" ->
@@ -2914,7 +2914,7 @@ object SparkEntry {
         |        * sqrt(list_inner_product(c.e, c.e))) AS sim
         |  FROM q JOIN c ON q.vec_id <> c.vec_id)
         |SELECT vec_id, neighbor_id,
-        |  CAST(floor(sim * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS sim,
+        |  CAST(floor(sim * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS sim,
         |  CAST(rank AS BIGINT) AS rank FROM (
         |  SELECT vec_id, neighbor_id, sim, row_number() OVER (
         |    PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank
@@ -2972,41 +2972,50 @@ object SparkEntry {
         |SELECT candidate, n_rows, n_distinct, n_dup_rows,
         |  n_dup_rows = 0 AS is_key
         |FROM u ORDER BY candidate""".stripMargin,
-    // CUPED: identical left-associative moment algebra end to end
+    // CUPED: every SUM is BIGINT-exact (integer cents) — the engines
+    // only ever do IDENTICAL scalar double arithmetic on exact ints,
+    // so no accumulation-order / DuckDB-version sensitivity remains.
     "evt_cuped" ->
       """WITH b AS (SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) AS lo,
         |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS hi FROM events),
         |pu AS (SELECT user_id,
         |    sum(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) * 2 >= lo + hi
-        |      THEN 0e0 ELSE value END) AS x,
+        |      THEN 0 ELSE CAST(floor(value * 100e0 + 0.5e0) AS BIGINT)
+        |      END) AS x,
         |    sum(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) * 2 >= lo + hi
-        |      THEN value ELSE 0e0 END) AS y
+        |      THEN CAST(floor(value * 100e0 + 0.5e0) AS BIGINT) ELSE 0
+        |      END) AS y
         |  FROM events CROSS JOIN b GROUP BY 1),
         |pv AS (SELECT user_id, x, y,
         |    CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
         |      THEN 'A' ELSE 'B' END AS v FROM pu),
-        |mo AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
-        |    sum(x * x) AS sxx, sum(x * y) AS sxy FROM pv),
-        |th AS (SELECT n, sx,
-        |    (CAST(n AS DOUBLE) * sxy - sx * sy)
-        |      / (CAST(n AS DOUBLE) * sxx - sx * sx) AS theta FROM mo),
-        |ad AS (SELECT v, y,
-        |    y - theta * (x - sx / CAST(n AS DOUBLE)) AS yadj
-        |  FROM pv CROSS JOIN th),
-        |g AS (SELECT v, count(*) AS nu, sum(y) AS vy, sum(y * y) AS vyy,
-        |    sum(yadj) AS va, sum(yadj * yadj) AS vaa FROM ad GROUP BY 1)
+        |g AS (SELECT v, count(*) AS nu,
+        |    CAST(sum(x) AS DOUBLE) AS vx, CAST(sum(y) AS DOUBLE) AS vy,
+        |    CAST(sum(x * x) AS DOUBLE) AS vxx,
+        |    CAST(sum(x * y) AS DOUBLE) AS vxy,
+        |    CAST(sum(y * y) AS DOUBLE) AS vyy FROM pv GROUP BY 1),
+        |mo AS (SELECT CAST(sum(nu) AS DOUBLE) AS n, sum(vx) AS sx,
+        |    sum(vy) AS sy, sum(vxx) AS sxx, sum(vxy) AS sxy FROM g),
+        |fo AS (SELECT v, nu, CAST(nu AS DOUBLE) AS nud, vx, vy,
+        |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta, n, sx,
+        |    (vyy - vy * vy / CAST(nu AS DOUBLE))
+        |      / (CAST(nu AS DOUBLE) - 1e0) AS var_raw,
+        |    (vxy - vx * vy / CAST(nu AS DOUBLE))
+        |      / (CAST(nu AS DOUBLE) - 1e0) AS cov_v,
+        |    (vxx - vx * vx / CAST(nu AS DOUBLE))
+        |      / (CAST(nu AS DOUBLE) - 1e0) AS var_x
+        |  FROM g CROSS JOIN mo),
+        |fi AS (SELECT v, nu, vy / nud AS mean_raw,
+        |    vy / nud - theta * (vx / nud - sx / n) AS mean_cuped, var_raw,
+        |    var_raw - 2e0 * theta * cov_v + theta * theta * var_x AS var_adj
+        |  FROM fo)
         |SELECT v AS variant, nu AS n_users,
-        |  round(vy / CAST(nu AS DOUBLE), 4) AS mean_raw,
-        |  round(va / CAST(nu AS DOUBLE), 4) AS mean_cuped,
-        |  round((vyy - vy * vy / CAST(nu AS DOUBLE))
-        |    / (CAST(nu AS DOUBLE) - 1e0), 4) AS var_raw,
-        |  round((vaa - va * va / CAST(nu AS DOUBLE))
-        |    / (CAST(nu AS DOUBLE) - 1e0), 4) AS var_cuped,
-        |  round(1e0 - ((vaa - va * va / CAST(nu AS DOUBLE))
-        |      / (CAST(nu AS DOUBLE) - 1e0))
-        |    / ((vyy - vy * vy / CAST(nu AS DOUBLE))
-        |      / (CAST(nu AS DOUBLE) - 1e0)), 4) AS var_reduction
-        |FROM g ORDER BY variant""".stripMargin,
+        |  round(mean_raw / 100e0, 4) AS mean_raw,
+        |  round(mean_cuped / 100e0, 4) AS mean_cuped,
+        |  round(var_raw / 10000e0, 4) AS var_raw,
+        |  round(var_adj / 10000e0, 4) AS var_cuped,
+        |  round(1e0 - var_adj / var_raw, 4) AS var_reduction
+        |FROM fi ORDER BY variant""".stripMargin,
     // sliding 2h/1h: an event at t belongs to windows starting at
     // trunc(t,1h) and trunc(t,1h) − 1h — the oracle replays that
     "stream_sliding" ->
@@ -3033,8 +3042,8 @@ object SparkEntry {
         |      ORDER BY c DESC, nxt) AS rn FROM c)
         |SELECT context, CAST(n_obs AS BIGINT) AS n_obs, nxt AS top_next,
         |  c AS n_top,
-        |  CAST(floor(CAST(c AS DOUBLE) / n_obs * 10000.0 + 0.5)
-        |    AS DOUBLE) / 10000.0 AS accuracy
+        |  CAST(floor(CAST(c AS DOUBLE) / n_obs * 10000.0e0 + 0.5e0)
+        |    AS DOUBLE) / 10000.0e0 AS accuracy
         |FROM r WHERE rn = 1 ORDER BY n_obs DESC, context LIMIT 20""".stripMargin,
     // revenue rounds 2dp BEFORE the growth ratio
     "rel_yoy" ->
@@ -3065,8 +3074,8 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN regexp_matches(path, '^(view>)*view$')
         |    THEN 1 ELSE 0 END) AS BIGINT) AS pure_browse FROM j)
         |SELECT pattern, n_users, n_journeys,
-        |  CAST(floor(CAST(n_users AS DOUBLE) / n_journeys * 10000.0 + 0.5)
-        |    AS DOUBLE) / 10000.0 AS share
+        |  CAST(floor(CAST(n_users AS DOUBLE) / n_journeys * 10000.0e0 + 0.5e0)
+        |    AS DOUBLE) / 10000.0e0 AS share
         |FROM (
         |  SELECT 'direct_convert' AS pattern, direct_convert AS n_users,
         |    n_journeys FROM m
@@ -3112,8 +3121,8 @@ object SparkEntry {
         |cc AS (SELECT dg.node, dg.deg,
         |    CAST(COALESCE(tc.n_tri, 0) AS BIGINT) AS n_tri,
         |    CAST(floor(2e0 * COALESCE(tc.n_tri, 0)
-        |      / (dg.deg * (dg.deg - 1e0)) * 10000.0 + 0.5) AS DOUBLE)
-        |      / 10000.0 AS cc
+        |      / (dg.deg * (dg.deg - 1e0)) * 10000.0e0 + 0.5e0) AS DOUBLE)
+        |      / 10000.0e0 AS cc
         |  FROM dg LEFT JOIN tc ON dg.node = tc.node WHERE dg.deg >= 2)
         |SELECT node, deg, n_tri, cc FROM cc
         |ORDER BY cc DESC, node LIMIT 20""".stripMargin,
@@ -3129,8 +3138,8 @@ object SparkEntry {
         |  WHERE l_orderkey % 1000 = 0)
         |SELECT sm.l_orderkey, sm.l_linenumber, sm.cat, sm.l_quantity,
         |  CAST(floor(((s - l_quantity) + 50e0 * mu)
-        |    / ((CAST(cnt AS DOUBLE) - 1e0) + 50e0) * 10000.0 + 0.5)
-        |    AS DOUBLE) / 10000.0 AS te_loo
+        |    / ((CAST(cnt AS DOUBLE) - 1e0) + 50e0) * 10000.0e0 + 0.5e0)
+        |    AS DOUBLE) / 10000.0e0 AS te_loo
         |FROM sm JOIN st ON sm.cat = st.cat CROSS JOIN g
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // JSD contributions from exact integer token counts; ln on both
@@ -3154,7 +3163,7 @@ object SparkEntry {
         |      THEN q * ln(q / ((p + q) / 2e0)) ELSE 0e0 END) AS contrib
         |  FROM s)
         |SELECT token, c_a, c_b,
-        |  CAST(floor(contrib * 10000.0 * 10000.0 + 0.5) AS DOUBLE) / 10000.0
+        |  CAST(floor(contrib * 10000.0e0 * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0
         |    AS contrib_bp
         |FROM e ORDER BY contrib_bp DESC, token LIMIT 10""".stripMargin,
     // F from group moments only; 4dp absorbs fold-order ulps
@@ -3203,7 +3212,8 @@ object SparkEntry {
         |        / (CAST(n_t AS DOUBLE) - 1e0)) / CAST(n_t AS DOUBLE)) AS se
         |  FROM m)
         |SELECT n_c, n_t, round(did_est, 4) AS did, round(se, 4) AS se,
-        |  CASE WHEN se > 0e0 THEN round(did_est / se, 4) END AS t_stat
+        |  CASE WHEN NOT isnan(se) AND se > 0e0
+        |    THEN round(did_est / se, 4) END AS t_stat
         |FROM f""".stripMargin,
     // "first purchase at-or-after first view" is a filter + min, not
     // an as-of scan; exact interpolated percentiles (q13 convention)
@@ -3218,8 +3228,8 @@ object SparkEntry {
         |d AS (SELECT CAST(hour(make_timestamp(v_us)) AS BIGINT) AS cohort_hour,
         |    CAST(p_us - v_us AS DOUBLE) / 60e6 AS dur_min FROM cv)
         |SELECT cohort_hour, count(*) AS n_conv,
-        |  round(quantile_cont(dur_min, 0.5), 4) AS med_min,
-        |  round(quantile_cont(dur_min, 0.9), 4) AS p90_min,
+        |  round(quantile_cont(dur_min, 0.5e0), 4) AS med_min,
+        |  round(quantile_cont(dur_min, 0.9e0), 4) AS p90_min,
         |  round(avg(dur_min), 4) AS avg_min
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     // integer-valued measure → exact moments; the draw is the
@@ -3232,7 +3242,7 @@ object SparkEntry {
         |    sum(CAST(n_docs AS DOUBLE) * sd) AS wsum FROM st),
         |al AS (SELECT lang, n_docs, sd,
         |    CAST(floor(floor(CAST(n_total AS DOUBLE) / 5e0)
-        |      * (CAST(n_docs AS DOUBLE) * sd) / wsum + 0.5) AS BIGINT) AS alloc
+        |      * (CAST(n_docs AS DOUBLE) * sd) / wsum + 0.5e0) AS BIGINT) AS alloc
         |  FROM st CROSS JOIN tt),
         |ar AS (SELECT lang, n_docs, sd, alloc,
         |    least(1e0, CAST(alloc AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS rate
@@ -3273,12 +3283,12 @@ object SparkEntry {
         |    CAST(sum(n_neg) AS DOUBLE) AS tn FROM s2)
         |SELECT c_mktsegment AS segment, n, n_pos, n_neg,
         |  CAST(floor(ln((CAST(n_pos AS DOUBLE) / tp)
-        |    / (CAST(n_neg AS DOUBLE) / tn)) * 10000.0 + 0.5) AS DOUBLE)
-        |    / 10000.0 AS woe,
+        |    / (CAST(n_neg AS DOUBLE) / tn)) * 10000.0e0 + 0.5e0) AS DOUBLE)
+        |    / 10000.0e0 AS woe,
         |  CAST(floor(((CAST(n_pos AS DOUBLE) / tp)
         |      - (CAST(n_neg AS DOUBLE) / tn))
         |    * ln((CAST(n_pos AS DOUBLE) / tp) / (CAST(n_neg AS DOUBLE) / tn))
-        |    * 10000.0 * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS iv_bp
+        |    * 10000.0e0 * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS iv_bp
         |FROM s2 CROSS JOIN tt ORDER BY segment""".stripMargin,
     // user-local features: the sample prunes at the scan; lag window
     // then one fold, 30-min session boundary in integer µs
@@ -3292,8 +3302,8 @@ object SparkEntry {
         |SELECT user_id, count(*) AS n_events,
         |  CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
-        |  CAST(floor(CAST(max(us) - min(us) AS DOUBLE) / 86400e6 * 10000.0
-        |    + 0.5) AS DOUBLE) / 10000.0 AS tenure_days,
+        |  CAST(floor(CAST(max(us) - min(us) AS DOUBLE) / 86400e6 * 10000.0e0
+        |    + 0.5e0) AS DOUBLE) / 10000.0e0 AS tenure_days,
         |  round(avg(CASE WHEN gap IS NOT NULL
         |    THEN CAST(gap AS DOUBLE) / 60e6 END), 4) AS avg_gap_min,
         |  round(sum(value), 2) AS sum_value
@@ -3313,7 +3323,7 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
         |  round(avg(CAST(lag_days AS DOUBLE)), 4) AS avg_lag_days,
         |  CAST(floor(CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / count(*) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS late_rate
+        |    / count(*) * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS late_rate
         |FROM s GROUP BY priority ORDER BY priority""".stripMargin,
     "dq_temporal" ->
       """WITH j AS (SELECT year(o.o_orderdate) AS order_year,
@@ -3326,7 +3336,7 @@ object SparkEntry {
         |  CAST(min(lag_days) AS BIGINT) AS min_lag_days,
         |  CAST(max(lag_days) AS BIGINT) AS max_lag_days,
         |  CAST(floor(CAST(sum(CASE WHEN lag_days < 0 THEN 1 ELSE 0 END)
-        |      AS DOUBLE) / count(*) * 10000.0 + 0.5) AS DOUBLE) / 10000.0
+        |      AS DOUBLE) / count(*) * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0
         |    AS violation_rate
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     // RAKE: every quantity an integer count, scores deterministic
@@ -3351,7 +3361,7 @@ object SparkEntry {
         |    sum(CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE)) AS score
         |  FROM dw JOIN ws ON dw.word = ws.word GROUP BY 1)
         |SELECT pc.phrase, pc.n_occurrences,
-        |  CAST(floor(score * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS score
+        |  CAST(floor(score * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS score
         |FROM pc JOIN ps ON pc.phrase = ps.phrase
         |ORDER BY score DESC, pc.phrase LIMIT 15""".stripMargin,
     // row-local (ln n, ln v) points, one closed-form OLS moment agg
@@ -3382,8 +3392,8 @@ object SparkEntry {
         |x AS (SELECT d.r_name AS region, d.n_name AS nation, bn.n_orders,
         |    bn.revenue,
         |    CAST(floor(bn.revenue / sum(bn.revenue)
-        |      OVER (PARTITION BY d.r_name) * 10000.0 + 0.5) AS DOUBLE)
-        |      / 10000.0 AS share,
+        |      OVER (PARTITION BY d.r_name) * 10000.0e0 + 0.5e0) AS DOUBLE)
+        |      / 10000.0e0 AS share,
         |    CAST(row_number() OVER (PARTITION BY d.r_name
         |      ORDER BY bn.revenue DESC, d.n_name) AS BIGINT) AS rank_in_region
         |  FROM bn JOIN d ON bn.c_nationkey = d.n_nationkey)
@@ -3438,10 +3448,10 @@ object SparkEntry {
         |SELECT strftime(dd.day, '%Y-%m-%d') AS day,
         |  CAST(dd.dow AS BIGINT) AS dow, dd.n,
         |  CAST(floor(CAST(pre.s AS DOUBLE) / CAST(pre.cnt AS DOUBLE)
-        |    * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS forecast,
+        |    * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS forecast,
         |  CAST(floor((CAST(dd.n AS DOUBLE)
         |    - CAST(pre.s AS DOUBLE) / CAST(pre.cnt AS DOUBLE))
-        |    * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS lift,
+        |    * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS lift,
         |  abs(CAST(dd.n AS DOUBLE)
         |    - CAST(pre.s AS DOUBLE) / CAST(pre.cnt AS DOUBLE))
         |    > 2e0 * sqrt(var_pool) AS significant
@@ -3467,7 +3477,7 @@ object SparkEntry {
         |  CAST(floor(CAST(COALESCE(jt.n_ab, 0) AS DOUBLE)
         |    * (SELECT CAST(n_orders AS DOUBLE) FROM no)
         |    / (CAST(pd.n_a AS DOUBLE) * CAST(pd.n_b AS DOUBLE))
-        |    * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS lift
+        |    * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS lift
         |FROM pd LEFT JOIN jt ON pd.pa = jt.pa AND pd.pb = jt.pb
         |ORDER BY lift, pd.pa, pd.pb LIMIT 15""".stripMargin,
     "graph_modularity" -> modularitySql(5),
@@ -3500,16 +3510,16 @@ object SparkEntry {
         |      || CAST(k AS VARCHAR)), 1, 8))::BIGINT / 4294967296e0 AS u
         |  FROM reps),
         |w AS (SELECT r, x,
-        |    CASE WHEN u < 0.36787944117144233 THEN 0e0
-        |      WHEN u < 0.7357588823428847 THEN 1e0
-        |      WHEN u < 0.9196986029286058 THEN 2e0
-        |      WHEN u < 0.9810118431238462 THEN 3e0 ELSE 4e0 END AS w
+        |    CASE WHEN u < 0.36787944117144233e0 THEN 0e0
+        |      WHEN u < 0.7357588823428847e0 THEN 1e0
+        |      WHEN u < 0.9196986029286058e0 THEN 2e0
+        |      WHEN u < 0.9810118431238462e0 THEN 3e0 ELSE 4e0 END AS w
         |  FROM u),
         |mb AS (SELECT r, sum(w * x) / sum(w) AS mb FROM w GROUP BY r),
         |pt AS (SELECT round(avg(o_totalprice), 4) AS mean_est FROM orders)
         |SELECT count(*) AS n_replicas,
-        |  round(quantile_cont(mb, 0.025), 4) AS ci_lo,
-        |  round(quantile_cont(mb, 0.975), 4) AS ci_hi,
+        |  round(quantile_cont(mb, 0.025e0), 4) AS ci_lo,
+        |  round(quantile_cont(mb, 0.975e0), 4) AS ci_hi,
         |  round(avg(mb), 4) AS boot_mean, pt.mean_est
         |FROM mb CROSS JOIN pt GROUP BY pt.mean_est""".stripMargin,
     "sim_trunc_recall" -> truncRecallSql(Seq(16, 32, 64), 5),
@@ -3527,8 +3537,8 @@ object SparkEntry {
         |  FROM g GROUP BY 1)
         |SELECT brand, n_months,
         |  CAST(floor((CAST(n_months AS DOUBLE) * sxy - sx * sy)
-        |    / (CAST(n_months AS DOUBLE) * sxx - sx * sx) * 10000.0 + 0.5)
-        |    AS DOUBLE) / 10000.0 AS slope,
+        |    / (CAST(n_months AS DOUBLE) * sxx - sx * sx) * 10000.0e0 + 0.5e0)
+        |    AS DOUBLE) / 10000.0e0 AS slope,
         |  round(sy / CAST(n_months AS DOUBLE), 2) AS avg_monthly_rev
         |FROM mo ORDER BY slope DESC, brand LIMIT 10""".stripMargin,
     // md5-bridge fold assignment; balance vs the expected n/k
@@ -3539,8 +3549,8 @@ object SparkEntry {
         |    round(avg(o_totalprice), 4) AS mean_value FROM f GROUP BY 1),
         |tt AS (SELECT CAST(sum(n_orders) AS DOUBLE) AS n_total FROM g)
         |SELECT fold, n_orders, mean_value,
-        |  CAST(floor(CAST(n_orders AS DOUBLE) / (n_total / 5e0) * 10000.0
-        |    + 0.5) AS DOUBLE) / 10000.0 AS balance_ratio
+        |  CAST(floor(CAST(n_orders AS DOUBLE) / (n_total / 5e0) * 10000.0e0
+        |    + 0.5e0) AS DOUBLE) / 10000.0e0 AS balance_ratio
         |FROM g CROSS JOIN tt ORDER BY fold""".stripMargin,
     // lossless-migration assertion: every count equals the source's
     "maint_migrate_format" ->
@@ -3562,7 +3572,7 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN rec_min IS NOT NULL THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_recovered,
         |  round(avg(rec_min), 4) AS avg_recovery_min,
-        |  round(quantile_cont(rec_min, 0.5), 4) AS p50_recovery_min
+        |  round(quantile_cont(rec_min, 0.5e0), 4) AS p50_recovery_min
         |FROM r""".stripMargin,
     // group-aware md5 folds; OOF stats = totals minus own fold
     "feat_target_encode_oof" ->
@@ -3580,8 +3590,8 @@ object SparkEntry {
         |  FROM lineitem)
         |SELECT b.l_orderkey, b.l_linenumber, b.cat, b.fold,
         |  CAST(floor(((s_t - s_f) + 50e0 * mu)
-        |    / (CAST(cnt_t - cnt_f AS DOUBLE) + 50e0) * 10000.0 + 0.5)
-        |    AS DOUBLE) / 10000.0 AS te_oof
+        |    / (CAST(cnt_t - cnt_f AS DOUBLE) + 50e0) * 10000.0e0 + 0.5e0)
+        |    AS DOUBLE) / 10000.0e0 AS te_oof
         |FROM b JOIN bf ON b.cat = bf.cat AND b.fold = bf.fold
         |JOIN tt ON b.cat = tt.cat CROSS JOIN g
         |WHERE b.l_orderkey % 1000 = 0
@@ -3599,15 +3609,15 @@ object SparkEntry {
         |cl AS (SELECT l_partkey, rev,
         |    CAST(floor(sum(rev) OVER (ORDER BY rev DESC, l_partkey
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      / sum(rev) OVER () * 10000.0 + 0.5) AS DOUBLE) / 10000.0
+        |      / sum(rev) OVER () * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0
         |      AS cum_share,
-        |    CAST(floor(cv * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS cv_r
+        |    CAST(floor(cv * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS cv_r
         |  FROM bp),
         |cc AS (SELECT rev,
-        |    CASE WHEN cum_share <= 0.8 THEN 'A'
-        |      WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS abc_class,
-        |    CASE WHEN cv_r IS NULL THEN 'Z' WHEN cv_r <= 0.5 THEN 'X'
-        |      WHEN cv_r <= 1.0 THEN 'Y' ELSE 'Z' END AS xyz_class
+        |    CASE WHEN cum_share <= 0.8e0 THEN 'A'
+        |      WHEN cum_share <= 0.95e0 THEN 'B' ELSE 'C' END AS abc_class,
+        |    CASE WHEN cv_r IS NULL THEN 'Z' WHEN cv_r <= 0.5e0 THEN 'X'
+        |      WHEN cv_r <= 1.0e0 THEN 'Y' ELSE 'Z' END AS xyz_class
         |  FROM cl)
         |SELECT abc_class, xyz_class, count(*) AS n_parts,
         |  round(sum(rev), 2) AS revenue
@@ -3620,12 +3630,12 @@ object SparkEntry {
         |    stddev_samp(l_extendedprice) AS sd_p,
         |    min(l_discount) AS lo_d, max(l_discount) AS hi_d FROM lineitem)
         |SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
-        |  CAST(floor((l_quantity - mu_q) / sd_q * 10000.0 + 0.5) AS DOUBLE)
-        |    / 10000.0 AS z_qty,
-        |  CAST(floor((l_extendedprice - mu_p) / sd_p * 10000.0 + 0.5)
-        |    AS DOUBLE) / 10000.0 AS z_price,
-        |  CAST(floor((l_discount - lo_d) / (hi_d - lo_d) * 10000.0 + 0.5)
-        |    AS DOUBLE) / 10000.0 AS mm_disc
+        |  CAST(floor((l_quantity - mu_q) / sd_q * 10000.0e0 + 0.5e0) AS DOUBLE)
+        |    / 10000.0e0 AS z_qty,
+        |  CAST(floor((l_extendedprice - mu_p) / sd_p * 10000.0e0 + 0.5e0)
+        |    AS DOUBLE) / 10000.0e0 AS z_price,
+        |  CAST(floor((l_discount - lo_d) / (hi_d - lo_d) * 10000.0e0 + 0.5e0)
+        |    AS DOUBLE) / 10000.0e0 AS mm_disc
         |FROM lineitem CROSS JOIN fit WHERE l_orderkey % 1000 = 0
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // XOR of 60-bit md5 row hashes: order/partition independent;
@@ -3668,7 +3678,7 @@ object SparkEntry {
         |    count(*) AS n FROM e GROUP BY 1, 2)
         |SELECT dow, hour, n,
         |  CAST(floor(CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE)
-        |    * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS share
+        |    * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS share
         |FROM g ORDER BY dow, hour""".stripMargin,
     "rel_basket_size" ->
       """WITH ln AS (SELECT l_orderkey AS o_orderkey, count(*) AS n_lines
@@ -3691,7 +3701,7 @@ object SparkEntry {
         |    CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
         |    round(avg(l_discount), 4) AS avg_discount,
         |    CAST(floor(sum(CASE WHEN lag > 30 THEN 1e0 ELSE 0e0 END)
-        |      / count(*) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS late_rate
+        |      / count(*) * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS late_rate
         |  FROM f GROUP BY 1)
         |SELECT g.s_suppkey, s.s_name, g.revenue, g.n_lines, g.n_parts,
         |  g.avg_discount, g.late_rate
@@ -3699,18 +3709,20 @@ object SparkEntry {
         |ORDER BY g.revenue DESC, g.s_suppkey LIMIT 15""".stripMargin,
     "evt_value_bands" ->
       """SELECT event_type, count(*) AS n,
-        |  round(quantile_cont(value, 0.1), 4) AS p10,
-        |  round(quantile_cont(value, 0.5), 4) AS p50,
-        |  round(quantile_cont(value, 0.9), 4) AS p90
+        |  round(quantile_cont(value, 0.1e0), 4) AS p10,
+        |  round(quantile_cont(value, 0.5e0), 4) AS p50,
+        |  round(quantile_cont(value, 0.9e0), 4) AS p90
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // rank-sum AUC with tie-averaged ranks from the score domain
     "feat_auc" ->
-      """WITH d AS (SELECT n_chars AS s, count(*) AS cnt FROM documents
+      """WITH lb AS (SELECT n_chars, lang FROM documents
+        |  WHERE lang IS NOT NULL),
+        |d AS (SELECT n_chars AS s, count(*) AS cnt FROM lb
         |  GROUP BY 1),
         |rk AS (SELECT s, CAST(sum(cnt) OVER (ORDER BY s
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |  - (CAST(cnt AS DOUBLE) - 1e0) / 2e0 AS r FROM d),
-        |j AS (SELECT (doc.lang = 'en') AS pos, rk.r FROM documents doc
+        |j AS (SELECT (doc.lang = 'en') AS pos, rk.r FROM lb doc
         |  JOIN rk ON doc.n_chars = rk.s),
         |m AS (SELECT
         |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
@@ -3758,14 +3770,14 @@ object SparkEntry {
         |  WHERE l_orderkey % 1000 = 0)
         |SELECT sm.l_orderkey, sm.l_linenumber, sm.cat,
         |  CAST(floor(((s - l_quantity) + 50e0 * mu)
-        |    / ((CAST(cnt AS DOUBLE) - 1e0) + 50e0) * 10000.0 + 0.5)
-        |    AS DOUBLE) / 10000.0 AS te_loo,
-        |  CAST(floor((l_quantity - mu_q) / sd_q * 10000.0 + 0.5) AS DOUBLE)
-        |    / 10000.0 AS z_qty,
-        |  CAST(floor((l_extendedprice - mu_p) / sd_p * 10000.0 + 0.5)
-        |    AS DOUBLE) / 10000.0 AS z_price,
-        |  CAST(floor((l_discount - lo_d) / (hi_d - lo_d) * 10000.0 + 0.5)
-        |    AS DOUBLE) / 10000.0 AS mm_disc,
+        |    / ((CAST(cnt AS DOUBLE) - 1e0) + 50e0) * 10000.0e0 + 0.5e0)
+        |    AS DOUBLE) / 10000.0e0 AS te_loo,
+        |  CAST(floor((l_quantity - mu_q) / sd_q * 10000.0e0 + 0.5e0) AS DOUBLE)
+        |    / 10000.0e0 AS z_qty,
+        |  CAST(floor((l_extendedprice - mu_p) / sd_p * 10000.0e0 + 0.5e0)
+        |    AS DOUBLE) / 10000.0e0 AS z_price,
+        |  CAST(floor((l_discount - lo_d) / (hi_d - lo_d) * 10000.0e0 + 0.5e0)
+        |    AS DOUBLE) / 10000.0e0 AS mm_disc,
         |  ('0x' || substr(md5(CAST(sm.l_orderkey AS VARCHAR)), 1, 8))::BIGINT
         |    % 5 AS fold
         |FROM sm JOIN st ON sm.cat = st.cat CROSS JOIN g CROSS JOIN fit
@@ -3774,7 +3786,7 @@ object SparkEntry {
     // compare is deterministic on both engines
     "feat_supervised_bins" ->
       """WITH e AS (SELECT quantile_cont(o_totalprice,
-        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS ed
+        |    [0.1e0, 0.2e0, 0.3e0, 0.4e0, 0.5e0, 0.6e0, 0.7e0, 0.8e0, 0.9e0]) AS ed
         |  FROM orders),
         |b AS (SELECT 1 + (o_totalprice > ed[1])::BIGINT
         |    + (o_totalprice > ed[2])::BIGINT + (o_totalprice > ed[3])::BIGINT
@@ -3790,11 +3802,11 @@ object SparkEntry {
         |tt AS (SELECT CAST(sum(n_pos) AS DOUBLE) AS tp,
         |    CAST(sum(n_neg) AS DOUBLE) AS tn FROM g2)
         |SELECT CAST(bin AS BIGINT) AS bin, n, n_pos,
-        |  CAST(floor(CAST(n_pos AS DOUBLE) / n * 10000.0 + 0.5) AS DOUBLE)
-        |    / 10000.0 AS event_rate,
+        |  CAST(floor(CAST(n_pos AS DOUBLE) / n * 10000.0e0 + 0.5e0) AS DOUBLE)
+        |    / 10000.0e0 AS event_rate,
         |  CAST(floor(ln((CAST(n_pos AS DOUBLE) / tp)
-        |    / (CAST(n_neg AS DOUBLE) / tn)) * 10000.0 + 0.5) AS DOUBLE)
-        |    / 10000.0 AS woe
+        |    / (CAST(n_neg AS DOUBLE) / tn)) * 10000.0e0 + 0.5e0) AS DOUBLE)
+        |    / 10000.0e0 AS woe
         |FROM g2 CROSS JOIN tt ORDER BY bin""".stripMargin,
     "dq_rare_levels" ->
       """WITH c1 AS (SELECT c_mktsegment AS level, count(*) AS n
@@ -3802,34 +3814,34 @@ object SparkEntry {
         |r1 AS (SELECT 'customer.c_mktsegment' AS column_name,
         |    count(*) AS n_levels,
         |    CAST(sum(CASE WHEN CAST(n AS DOUBLE) / (SELECT CAST(sum(n)
-        |      AS DOUBLE) FROM c1) < 0.005 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS DOUBLE) FROM c1) < 0.005e0 THEN 1 ELSE 0 END) AS BIGINT)
         |      AS n_rare,
         |    CAST(floor(CAST(sum(CASE WHEN CAST(n AS DOUBLE)
-        |        / (SELECT CAST(sum(n) AS DOUBLE) FROM c1) < 0.005
+        |        / (SELECT CAST(sum(n) AS DOUBLE) FROM c1) < 0.005e0
         |      THEN n ELSE 0 END) AS DOUBLE)
-        |      / (SELECT CAST(sum(n) AS DOUBLE) FROM c1) * 10000.0 + 0.5)
-        |      AS DOUBLE) / 10000.0 AS rare_share
+        |      / (SELECT CAST(sum(n) AS DOUBLE) FROM c1) * 10000.0e0 + 0.5e0)
+        |      AS DOUBLE) / 10000.0e0 AS rare_share
         |  FROM c1),
         |c2 AS (SELECT o_orderpriority AS level, count(*) AS n
         |  FROM orders GROUP BY 1),
         |r2 AS (SELECT 'orders.o_orderpriority', count(*),
         |    CAST(sum(CASE WHEN CAST(n AS DOUBLE) / (SELECT CAST(sum(n)
-        |      AS DOUBLE) FROM c2) < 0.005 THEN 1 ELSE 0 END) AS BIGINT),
+        |      AS DOUBLE) FROM c2) < 0.005e0 THEN 1 ELSE 0 END) AS BIGINT),
         |    CAST(floor(CAST(sum(CASE WHEN CAST(n AS DOUBLE)
-        |        / (SELECT CAST(sum(n) AS DOUBLE) FROM c2) < 0.005
+        |        / (SELECT CAST(sum(n) AS DOUBLE) FROM c2) < 0.005e0
         |      THEN n ELSE 0 END) AS DOUBLE)
-        |      / (SELECT CAST(sum(n) AS DOUBLE) FROM c2) * 10000.0 + 0.5)
-        |      AS DOUBLE) / 10000.0
+        |      / (SELECT CAST(sum(n) AS DOUBLE) FROM c2) * 10000.0e0 + 0.5e0)
+        |      AS DOUBLE) / 10000.0e0
         |  FROM c2),
         |c3 AS (SELECT p_brand AS level, count(*) AS n FROM part GROUP BY 1),
         |r3 AS (SELECT 'part.p_brand', count(*),
         |    CAST(sum(CASE WHEN CAST(n AS DOUBLE) / (SELECT CAST(sum(n)
-        |      AS DOUBLE) FROM c3) < 0.005 THEN 1 ELSE 0 END) AS BIGINT),
+        |      AS DOUBLE) FROM c3) < 0.005e0 THEN 1 ELSE 0 END) AS BIGINT),
         |    CAST(floor(CAST(sum(CASE WHEN CAST(n AS DOUBLE)
-        |        / (SELECT CAST(sum(n) AS DOUBLE) FROM c3) < 0.005
+        |        / (SELECT CAST(sum(n) AS DOUBLE) FROM c3) < 0.005e0
         |      THEN n ELSE 0 END) AS DOUBLE)
-        |      / (SELECT CAST(sum(n) AS DOUBLE) FROM c3) * 10000.0 + 0.5)
-        |      AS DOUBLE) / 10000.0
+        |      / (SELECT CAST(sum(n) AS DOUBLE) FROM c3) * 10000.0e0 + 0.5e0)
+        |      AS DOUBLE) / 10000.0e0
         |  FROM c3)
         |SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL
         |SELECT * FROM r3 ORDER BY column_name""".stripMargin,
@@ -3845,8 +3857,8 @@ object SparkEntry {
         |      AS cum FROM c),
         |tt AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM c)
         |SELECT rnk AS top_k, cum AS tokens_covered,
-        |  CAST(floor(CAST(cum AS DOUBLE) / tot * 10000.0 + 0.5) AS DOUBLE)
-        |    / 10000.0 AS coverage
+        |  CAST(floor(CAST(cum AS DOUBLE) / tot * 10000.0e0 + 0.5e0) AS DOUBLE)
+        |    / 10000.0e0 AS coverage
         |FROM r CROSS JOIN tt WHERE rnk IN (5, 10, 20)
         |ORDER BY top_k""".stripMargin,
     "evt_survival_km" ->
@@ -3855,7 +3867,7 @@ object SparkEntry {
         |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS l FROM events
         |  WHERE event_type = 'purchase' GROUP BY 1),
         |e AS (SELECT max(l) AS edge FROM u),
-        |lt AS (SELECT CAST(floor((l - f) / 86400000000.0) AS BIGINT) AS t,
+        |lt AS (SELECT CAST(floor((l - f) / 86400000000.0e0) AS BIGINT) AS t,
         |    (e.edge - l >= 3 * 86400000000) AS churned FROM u CROSS JOIN e),
         |bt AS (SELECT t, sum(CASE WHEN churned THEN 1 ELSE 0 END) AS d,
         |    count(*) AS leaving FROM lt GROUP BY 1),
@@ -3863,11 +3875,11 @@ object SparkEntry {
         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_risk
         |  FROM bt),
         |fr AS (SELECT t, d, n_risk,
-        |    1.0 - CAST(d AS DOUBLE) / n_risk AS frac FROM cv),
+        |    1.0e0 - CAST(d AS DOUBLE) / n_risk AS frac FROM cv),
         |sv AS (SELECT t, n_risk, d,
         |    CASE WHEN min(frac) OVER (ORDER BY t
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= 0.0
-        |      THEN 0.0
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= 0.0e0
+        |      THEN 0.0e0
         |      ELSE exp(sum(ln(frac)) OVER (ORDER BY t
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) END AS s
         |  FROM fr)
@@ -3885,9 +3897,12 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS frontier
         |  FROM e)
         |SELECT event_type, count(*) AS n_events,
-        |  sum(CASE WHEN frontier - us > 3600000000 THEN 1 ELSE 0 END) AS late_1h,
-        |  sum(CASE WHEN frontier - us > 6 * 3600000000 THEN 1 ELSE 0 END) AS late_6h,
-        |  sum(CASE WHEN frontier - us > 24 * 3600000000 THEN 1 ELSE 0 END) AS late_24h
+        |  CAST(sum(CASE WHEN frontier - us > 3600000000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS late_1h,
+        |  CAST(sum(CASE WHEN frontier - us > 6 * 3600000000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS late_6h,
+        |  CAST(sum(CASE WHEN frontier - us > 24 * 3600000000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS late_24h
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     "evt_shapley" ->
       """WITH fc AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS conv_ts
@@ -3902,22 +3917,25 @@ object SparkEntry {
         |  FROM exp0 GROUP BY 1),
         |x AS (SELECT unnest(string_split(coalition, ',')) AS channel,
         |    conversions, k FROM c)
-        |SELECT channel, sum(conversions) AS n_conversions,
-        |  round(sum(CAST(conversions AS DOUBLE) / k), 4) AS phi
+        |SELECT channel, CAST(sum(conversions) AS BIGINT) AS n_conversions,
+        |  round(CAST(sum(conversions * (840 // k)) AS DOUBLE) / 840e0, 4)
+        |    AS phi
         |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
     "evt_islands" ->
       """WITH iv AS (SELECT user_id, event_id,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS s,
         |    epoch_us(CAST(ts AS TIMESTAMP))
-        |      + CAST(floor(value * 60000000.0) AS BIGINT) AS e FROM events),
+        |      + CAST(floor(value * 60000000e0) AS BIGINT) AS e FROM events),
         |m AS (SELECT user_id, event_id, s, e,
         |    max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
         |  FROM iv),
         |g AS (SELECT user_id, s, e,
-        |    sum(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+        |    CAST(sum(CASE WHEN prev_max IS NULL OR s > prev_max
+        |        THEN 1 ELSE 0 END)
         |      OVER (PARTITION BY user_id ORDER BY s, event_id
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS island_id
         |  FROM m)
         |SELECT user_id, island_id, min(s) AS island_start_us,
         |  max(e) AS island_end_us, count(*) AS n_intervals
@@ -3968,7 +3986,7 @@ object SparkEntry {
     "dq_tcloseness" ->
       """WITH e AS (SELECT event_type,
         |    CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS BIGINT) AS dow,
-        |    CAST(floor(value / 20.0) AS BIGINT) AS value_tier FROM events),
+        |    CAST(floor(value / 20.0e0) AS BIGINT) AS value_tier FROM events),
         |grid AS (SELECT event_type, dow, value_tier, count(*) AS n
         |  FROM e GROUP BY 1, 2, 3),
         |cls AS (SELECT event_type, dow, CAST(sum(n) AS BIGINT) AS class_size
@@ -3983,9 +4001,9 @@ object SparkEntry {
         |  LEFT JOIN grid gr ON gr.event_type = c.event_type
         |    AND gr.dow = c.dow AND gr.value_tier = gl.value_tier),
         |agg AS (SELECT event_type, dow, class_size,
-        |    round(0.5 * sum(dev), 4) AS tvd
+        |    round(0.5e0 * sum(dev), 4) AS tvd
         |  FROM cells GROUP BY 1, 2, 3)
-        |SELECT event_type, dow, class_size, tvd, tvd <= 0.2 AS meets_t
+        |SELECT event_type, dow, class_size, tvd, tvd <= 0.2e0 AS meets_t
         |FROM agg ORDER BY 1, 2""".stripMargin,
     // deterministic discrete-Laplace: both engines hash the identical
     // 'event_type|day|dp1' bytes and replay the same inverse-CDF algebra
@@ -3996,10 +4014,10 @@ object SparkEntry {
         |h AS (SELECT event_type, day, n_true,
         |    md5(event_type || '|' || day || '|dp1') AS hx FROM c),
         |d AS (SELECT event_type, day, n_true,
-        |    (('0x' || substr(hx, 1, 8))::BIGINT + 0.5) / 4294967296.0 AS u,
+        |    (('0x' || substr(hx, 1, 8))::BIGINT + 0.5e0) / 4294967296.0e0 AS u,
         |    CASE WHEN substr(hx, 9, 1) < '8' THEN 1 ELSE -1 END AS s FROM h)
         |SELECT event_type, day,
-        |  CAST(GREATEST(0, n_true + s * CAST(floor(ln(u) / -1.0) AS BIGINT))
+        |  CAST(GREATEST(0, n_true + s * CAST(floor(ln(u) / -1.0e0) AS BIGINT))
         |    AS BIGINT) AS n_noisy
         |FROM d ORDER BY 1, 2""".stripMargin,
     // three-way lift replays Spark's exact (s/n)/((ca/n)(cb/n)(cc/n))
@@ -4019,7 +4037,7 @@ object SparkEntry {
         |    / ((CAST(sa.cnt AS DOUBLE) / CAST(no.n_orders AS DOUBLE))
         |      * (CAST(sb.cnt AS DOUBLE) / CAST(no.n_orders AS DOUBLE))
         |      * (CAST(sc.cnt AS DOUBLE) / CAST(no.n_orders AS DOUBLE)))
-        |    * 10000.0 + 0.5) / 10000.0 AS lift3
+        |    * 10000.0e0 + 0.5e0) / 10000.0e0 AS lift3
         |FROM tr JOIN s sa ON sa.b = tr.brand_a JOIN s sb ON sb.b = tr.brand_b
         |  JOIN s sc ON sc.b = tr.brand_c CROSS JOIN no
         |ORDER BY brand_a, brand_b, brand_c""".stripMargin,
@@ -4045,7 +4063,7 @@ object SparkEntry {
     "rel_ltv" ->
       """WITH o AS (SELECT o_custkey,
         |    year(o_orderdate) * 12 + month(o_orderdate) AS m,
-        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents FROM orders),
+        |    CAST(floor(o_totalprice * 100.0e0 + 0.5e0) AS BIGINT) AS cents FROM orders),
         |f AS (SELECT o_custkey, min(m) AS m0 FROM o GROUP BY 1),
         |cs AS (SELECT m0, count(*) AS n_customers FROM f GROUP BY 1),
         |cell AS (SELECT f.m0, o.m - f.m0 AS age_months,
@@ -4057,8 +4075,8 @@ object SparkEntry {
         |SELECT printf('%04d-%02d', CAST((cum.m0 - 1) // 12 AS INT),
         |    CAST(cum.m0 - ((cum.m0 - 1) // 12) * 12 AS INT)) AS cohort,
         |  CAST(age_months AS BIGINT) AS age_months, cs.n_customers, cum_cents,
-        |  floor(CAST(cum_cents AS DOUBLE) / 100.0 / CAST(cs.n_customers AS DOUBLE)
-        |    * 100.0 + 0.5) / 100.0 AS ltv
+        |  floor(CAST(cum_cents AS DOUBLE) / 100.0e0 / CAST(cs.n_customers AS DOUBLE)
+        |    * 100.0e0 + 0.5e0) / 100.0e0 AS ltv
         |FROM cum JOIN cs ON cum.m0 = cs.m0 ORDER BY cohort, age_months""".stripMargin,
     // identical planted literals; hex-range script classes behave the
     // same in Java regex and RE2; dominance = integer max + precedence
@@ -4082,7 +4100,7 @@ object SparkEntry {
         |    WHEN cjk >= dig THEN 'cjk'
         |    ELSE 'digit' END AS script,
         |    CAST(latin + cyr + cjk + dig AS DOUBLE)
-        |      / nullif(CAST(nonspace AS DOUBLE), 0.0) AS script_ratio
+        |      / nullif(CAST(nonspace AS DOUBLE), 0.0e0) AS script_ratio
         |  FROM c)
         |SELECT lang, script, count(*) AS n_docs,
         |  round(avg(script_ratio), 4) AS avg_script_ratio
@@ -4100,7 +4118,7 @@ object SparkEntry {
         |SELECT event_type, count(*) AS n_events,
         |  CAST(sum(CASE WHEN prev_id > event_id THEN 1 ELSE 0 END) AS BIGINT) AS n_inversions,
         |  floor(CAST(sum(CASE WHEN prev_id > event_id THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / CAST(count(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS inversion_rate
+        |    / CAST(count(*) AS DOUBLE) * 10000.0e0 + 0.5e0) / 10000.0e0 AS inversion_rate
         |FROM lg GROUP BY event_type ORDER BY event_type""".stripMargin,
     // exact-binary weights (0.5/0.125) so the planning products are
     // deterministic IEEE; epochs floor-round, the cap compares unrounded
@@ -4109,14 +4127,14 @@ object SparkEntry {
         |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n
         |  FROM documents),
         |g AS (SELECT lang, CAST(sum(n) AS BIGINT) AS group_tokens,
-        |    CAST(CASE WHEN lang = 'en' THEN 0.5 ELSE 0.125 END AS DOUBLE) AS weight
+        |    CAST(CASE WHEN lang = 'en' THEN 0.5e0 ELSE 0.125e0 END AS DOUBLE) AS weight
         |  FROM tok GROUP BY lang)
         |SELECT lang, group_tokens, weight,
-        |  floor(least(500000.0 * weight / CAST(group_tokens AS DOUBLE), 4.0)
-        |    * 10000.0 + 0.5) / 10000.0 AS epochs,
-        |  CAST(floor(least(500000.0 * weight / CAST(group_tokens AS DOUBLE), 4.0)
-        |    * CAST(group_tokens AS DOUBLE) + 0.5) AS BIGINT) AS effective_tokens,
-        |  500000.0 * weight / CAST(group_tokens AS DOUBLE) > 4.0 AS capped
+        |  floor(least(500000.0e0 * weight / CAST(group_tokens AS DOUBLE), 4.0e0)
+        |    * 10000.0e0 + 0.5e0) / 10000.0e0 AS epochs,
+        |  CAST(floor(least(500000.0e0 * weight / CAST(group_tokens AS DOUBLE), 4.0e0)
+        |    * CAST(group_tokens AS DOUBLE) + 0.5e0) AS BIGINT) AS effective_tokens,
+        |  500000.0e0 * weight / CAST(group_tokens AS DOUBLE) > 4.0e0 AS capped
         |FROM g ORDER BY lang""".stripMargin,
     // the planted metronome (60 s gaps → cv 0) must flag; gap moments
     // in whole seconds keep Σg² far from BIGINT range
@@ -4135,9 +4153,9 @@ object SparkEntry {
         |c AS (SELECT user_id, n_gaps,
         |    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
         |        / CAST(n_gaps AS DOUBLE)) / CAST(n_gaps AS DOUBLE))
-        |      / nullif(CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE), 0.0) AS cv
+        |      / nullif(CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE), 0.0e0) AS cv
         |  FROM m),
-        |f AS (SELECT CASE WHEN n_gaps >= 19 AND (cv < 0.1 OR cv IS NULL)
+        |f AS (SELECT CASE WHEN n_gaps >= 19 AND (cv < 0.1e0 OR cv IS NULL)
         |      THEN 'bot' ELSE 'human' END AS flag, cv, n_gaps FROM c)
         |SELECT flag, count(*) AS n_users, round(avg(cv), 4) AS avg_cv,
         |  round(avg(n_gaps), 2) AS avg_gaps
@@ -4162,8 +4180,8 @@ object SparkEntry {
         |  GROUP BY e.user_id),
         |n AS (SELECT CAST(count(*) AS BIGINT) AS n1 FROM s1)
         |SELECT stage, n_users,
-        |  floor(CAST(n_users AS DOUBLE) / CAST(n.n1 AS DOUBLE) * 10000.0 + 0.5)
-        |    / 10000.0 AS conv_rate
+        |  floor(CAST(n_users AS DOUBLE) / CAST(n.n1 AS DOUBLE) * 10000.0e0 + 0.5e0)
+        |    / 10000.0e0 AS conv_rate
         |FROM (
         |  SELECT '1_signup' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s1
         |  UNION ALL SELECT '2_click_48h', CAST(count(*) AS BIGINT) FROM s2
@@ -4185,7 +4203,7 @@ object SparkEntry {
         |  ta.n + tb.n - coalesce(ov.n_overlap, CAST(0 AS BIGINT)) AS n_union,
         |  floor(CAST(coalesce(ov.n_overlap, CAST(0 AS BIGINT)) AS DOUBLE)
         |    / CAST(ta.n + tb.n - coalesce(ov.n_overlap, CAST(0 AS BIGINT)) AS DOUBLE)
-        |    * 10000.0 + 0.5) / 10000.0 AS jaccard
+        |    * 10000.0e0 + 0.5e0) / 10000.0e0 AS jaccard
         |FROM pr JOIN t ta ON ta.event_type = pr.type_a
         |  JOIN t tb ON tb.event_type = pr.type_b
         |  LEFT JOIN ov ON ov.type_a = pr.type_a AND ov.type_b = pr.type_b
@@ -4319,7 +4337,7 @@ object SparkEntry {
          |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM t)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          | CAST(floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |   / len(list_distinct(list_concat(a.sh, b.sh))) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS jaccard
+         |   / len(list_distinct(list_concat(a.sh, b.sh))) * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS jaccard
          |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
          |WHERE a.doc_id % 5 = 0 AND a.n >= 3 AND b.n >= 3 ORDER BY doc_a""".stripMargin,
     // prefix join is EXACT: the oracle is plain brute-force all-pairs —
@@ -4333,9 +4351,9 @@ object SparkEntry {
          |SELECT * FROM (
          | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST(floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |    / len(list_distinct(list_concat(a.sh, b.sh))) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS jaccard
+         |    / len(list_distinct(list_concat(a.sh, b.sh))) * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS jaccard
          | FROM g a JOIN g b ON a.doc_id < b.doc_id)
-         |WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b""".stripMargin,
+         |WHERE jaccard >= 0.7e0 ORDER BY doc_a, doc_b""".stripMargin,
     // sorted-neighborhood: the oracle replays the identical planting,
     // blocking window, lag pairing, and rounded-jaccard verification
     "dedup_sorted_nbr" ->
@@ -4364,9 +4382,9 @@ object SparkEntry {
          |SELECT * FROM (
          |  SELECT doc_a, doc_b,
          |    CAST(floor(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
-         |      / len(list_distinct(list_concat(sh_a, sh_b))) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS jaccard
+         |      / len(list_distinct(list_concat(sh_a, sh_b))) * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS jaccard
          |  FROM g)
-         |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+         |WHERE jaccard >= 0.8e0 ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_minhash_verified" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |g AS (SELECT doc_id, list_distinct(list_transform(
@@ -4376,9 +4394,9 @@ object SparkEntry {
          |SELECT * FROM (
          | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST(floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |    / len(list_distinct(list_concat(a.sh, b.sh))) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS jaccard
+         |    / len(list_distinct(list_concat(a.sh, b.sh))) * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS jaccard
          | FROM g a JOIN g b ON a.doc_id < b.doc_id)
-         |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+         |WHERE jaccard >= 0.8e0 ORDER BY doc_a, doc_b""".stripMargin,
     // brute-force batch×corpus exact jaccard anchors the incremental
     // LSH path the same way the all-pairs oracle anchors the self-join
     "dedup_incremental" ->
@@ -4392,9 +4410,9 @@ object SparkEntry {
          |SELECT * FROM (
          | SELECT a.doc_id AS doc_new, b.doc_id AS doc_old,
          |  CAST(floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |    / len(list_distinct(list_concat(a.sh, b.sh))) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS jaccard
+         |    / len(list_distinct(list_concat(a.sh, b.sh))) * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS jaccard
          | FROM a CROSS JOIN b)
-         |WHERE jaccard >= 0.8 ORDER BY doc_new, doc_old""".stripMargin,
+         |WHERE jaccard >= 0.8e0 ORDER BY doc_new, doc_old""".stripMargin,
     // connected components verified end-to-end: brute-force exact-Jaccard
     // pair set + recursive-CTE transitive closure (min reachable id =
     // cluster label, matching Dedup.clusters' min-label propagation)
@@ -4407,9 +4425,9 @@ object SparkEntry {
          |p AS (SELECT * FROM (
          | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST(floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |    / len(list_distinct(list_concat(a.sh, b.sh))) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS jaccard
+         |    / len(list_distinct(list_concat(a.sh, b.sh))) * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS jaccard
          | FROM g a JOIN g b ON a.doc_id < b.doc_id)
-         |WHERE jaccard >= 0.8),
+         |WHERE jaccard >= 0.8e0),
          |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
          |      UNION SELECT doc_b, doc_a FROM p),
          |reach AS (SELECT src, dst FROM e
@@ -4428,9 +4446,9 @@ object SparkEntry {
          |p AS (SELECT * FROM (
          | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST(floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |    / len(list_distinct(list_concat(a.sh, b.sh))) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS jaccard
+         |    / len(list_distinct(list_concat(a.sh, b.sh))) * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS jaccard
          | FROM g a JOIN g b ON a.doc_id < b.doc_id)
-         |WHERE jaccard >= 0.8),
+         |WHERE jaccard >= 0.8e0),
          |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
          |      UNION SELECT doc_b, doc_a FROM p),
          |reach AS (SELECT src, dst FROM e
@@ -4456,7 +4474,7 @@ object SparkEntry {
         |    / (sqrt(list_inner_product(q.e, q.e)) * sqrt(list_inner_product(c.e, c.e))) AS sim
         |  FROM q JOIN c ON q.vec_id <> c.vec_id)
         |SELECT vec_id, neighbor_id,
-        | CAST(floor(sim * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS sim,
+        | CAST(floor(sim * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS sim,
         | CAST(rank AS BIGINT) AS rank FROM (
         | SELECT vec_id, neighbor_id, sim,
         |  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
@@ -4467,16 +4485,16 @@ object SparkEntry {
     "sim_quant_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |m AS (SELECT vec_id, e,
-        |  greatest(list_max(list_transform(e, x -> abs(x))), 1e-30) / 127.0 AS scale FROM e),
+        |  greatest(list_max(list_transform(e, x -> abs(x))), 1e-30) / 127.0e0 AS scale FROM e),
         |qv AS (SELECT vec_id,
-        |  CAST(list_transform(e, x -> floor(x / scale + 0.5)) AS DOUBLE[]) AS q FROM m),
+        |  CAST(list_transform(e, x -> floor(x / scale + 0.5e0)) AS DOUBLE[]) AS q FROM m),
         |q AS (SELECT vec_id, q FROM qv WHERE vec_id < 20),
         |s AS (SELECT q.vec_id AS vec_id, c.vec_id AS neighbor_id,
         |  list_inner_product(q.q, c.q)
         |    / (sqrt(list_inner_product(q.q, q.q)) * sqrt(list_inner_product(c.q, c.q))) AS sim
         |  FROM q JOIN qv c ON q.vec_id <> c.vec_id)
         |SELECT vec_id, neighbor_id,
-        | CAST(floor(sim * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS sim,
+        | CAST(floor(sim * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS sim,
         | CAST(rank AS BIGINT) AS rank FROM (
         | SELECT vec_id, neighbor_id, sim,
         |  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)

@@ -77,30 +77,32 @@ object Basket {
     *
     * Scale shape: one shuffle folds orders to the per-customer RFM
     * triple (map-side partials); everything after runs on the CUSTOMER
-    * DIMENSION — the three global ntile windows sort |customers| rows,
-    * not order volume (the evt_pareto convention: at extreme customer
-    * cardinality the global window becomes a range-partitioned sort, or
-    * quintile cut-offs come from approx_percentile instead). The
-    * observation anchor (recency measured from the corpus max date) is
-    * a broadcast 1-row aggregate, never a driver collect. Every ntile
-    * ORDER BY is a total order (BIGINT measure, customer-key
-    * tie-break), so quintile membership is engine-independent. */
+    * DIMENSION — and each quintile is [[graft.operators.Rank.ntileExact]]'s
+    * two-level scan (value-domain cells: recency weeks, order-count
+    * buckets, monetary bands; bounded per-cell sorts; triangular-join
+    * prefix over the tiny cell grid), bit-identical to the global
+    * `ntile(5)` window while never funnelling the customer dimension
+    * through one task. The observation anchor (recency measured from
+    * the corpus max date) is a broadcast 1-row aggregate, never a
+    * driver collect. Every ntile ORDER BY is a total order (BIGINT
+    * measure, customer-key tie-break), so quintile membership is
+    * engine-independent. */
   def rfmSegments(orders: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val per = orders.groupBy("o_custkey").agg(
       max(col("o_orderdate")).as("last_order"),
       count(lit(1)).as("n_orders"),
       sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")).as("cents"))
     val maxDay = orders.agg(max(col("o_orderdate")).as("global_max"))
-    val scored = per.crossJoin(broadcast(maxDay))
+    val base = per.crossJoin(broadcast(maxDay))
       .withColumn("recency_days",
         datediff(col("global_max"), col("last_order")).cast("long"))
-      .withColumn("r_score",
-        ntile(5).over(Window.orderBy(col("recency_days").desc, col("o_custkey"))).cast("long"))
-      .withColumn("f_score",
-        ntile(5).over(Window.orderBy(col("n_orders").asc, col("o_custkey"))).cast("long"))
-      .withColumn("m_score",
-        ntile(5).over(Window.orderBy(col("cents").asc, col("o_custkey"))).cast("long"))
+      .persist() // customer-dimension-sized; three rank passes read it
+    val r = Rank.ntileExact(base, -expr("recency_days DIV 7"),
+      Seq(col("recency_days").desc, col("o_custkey")), 5, "r_score")
+    val f = Rank.ntileExact(r, expr("n_orders DIV 4"),
+      Seq(col("n_orders").asc, col("o_custkey")), 5, "f_score")
+    val scored = Rank.ntileExact(f, expr("cents DIV 1000000"),
+      Seq(col("cents").asc, col("o_custkey")), 5, "m_score")
     val segment = when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4, "1_champion")
       .when(col("f_score") >= 4, "2_loyal")
       .when(col("m_score") >= 4, "3_big_spender")

@@ -584,23 +584,42 @@ object Dedup {
     * of each doc's grams and 23% of all pairs survive as candidates, so
     * prefix machinery (frequency sort, collect_list, candidate distinct)
     * cost more than the count join it saved. At corpus scale the
-    * standard hot-gram mitigation applies: df-cap the posting table
-    * (drop grams in > maxDf docs) with a documented recall trade, or
-    * raise t and switch to the prefix form ([[prefixJaccardPairs]]). */
-  def containmentPairs(docs: DataFrame, threshold: Double = 0.6, k: Int = 3): DataFrame = {
+    * standard hot-gram mitigation is IN the signature: `maxDf` drops
+    * grams appearing in more than maxDf docs from the posting table
+    * BEFORE the self-join, bounding the join volume at Σ_g min(df(g),
+    * maxDf)² ≤ |postings|·maxDf. The trade is recall, one-sided:
+    * containment can only be UNDER-counted (a capped gram was shared
+    * boilerplate by definition), never invented — the DedupSpec
+    * planted-hot-gram test pins both directions. `maxDf = None` keeps
+    * the exact semantics the oracle demands; at a 100 TB corpus pass
+    * `Some(~1e5)` — or raise t and switch to the prefix form
+    * ([[prefixJaccardPairs]]). */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.6, k: Int = 3,
+                       maxDf: Option[Long] = None): DataFrame = {
     // gram FINGERPRINTS (native row-local hasher, w=1 → every gram), not
     // strings: the join key is 8 bytes instead of a ~25-char string and
     // the set build is codegen'd — fp containment ≡ string containment
     // modulo 64-bit collisions (the overlap-matrix/decontam precedent)
-    val posting = docs
+    val posting0 = docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= k)
       .select(col("doc_id"), array_distinct(
         org.apache.spark.sql.graftext.Shingles.winnowFps(col("toks"), k, 1)).as("sh"))
       .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    posting.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("s"))
-      .join(posting.select(col("doc_id").as("doc_b"), col("s")), "s")
+    // df-cap: one aggregate on the gram key (same partitioning the
+    // self-join needs anyway), anti-joining the hot grams out; n stays
+    // the UNCAPPED set size so containment denominators are unchanged
+    val posting = maxDf match {
+      case Some(cap) =>
+        val hot = posting0.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("s")
+        posting0.join(hot, Seq("s"), "left_anti")
+      case None => posting0
+    }
+    val cached =
+      posting.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cached.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("s"))
+      .join(cached.select(col("doc_id").as("doc_b"), col("s")), "s")
       .filter(col("doc_a") =!= col("doc_b"))
       .groupBy("doc_a", "doc_b", "n_a").agg(count(lit(1)).as("shared"))
       .withColumn("containment", expr(

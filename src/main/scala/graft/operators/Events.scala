@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -102,8 +102,12 @@ object Events {
         col("conversions"), col("k"))
       .groupBy("channel")
       .agg(sum("conversions").as("n_conversions"),
-        round(sum(col("conversions").cast("double") / col("k").cast("double")), 4)
-          .as("phi"))
+        // φ = Σ conversions/k computed EXACTLY: scale by 840 = lcm(1..8)
+        // (k ≤ |event_type| − 1, far below 8), sum in BIGINT — no float
+        // accumulation, so no engine/thread-order sensitivity — then one
+        // identical IEEE division + round at the readout.
+        round(sum(col("conversions") * expr("840 div k")).cast("double")
+          / 840.0, 4).as("phi"))
       .orderBy("channel")
   }
 
@@ -462,41 +466,54 @@ object Events {
     * Periods split at the event-time midpoint (two 1-row integer-µs
     * aggregates broadcast back — deterministic, no wall clock).
     *
-    * Scale shape: one corpus fold to per-user (pre, post) sums, one
-    * pooled moment aggregate for θ, then a per-variant moment
-    * aggregate over the user dimension — every stage associative,
-    * floats rounded 4dp at the readout. */
+    * Scale shape: one corpus fold to per-user (pre, post) CENT sums
+    * (value folded to exact integer cents per event — the
+    * [[graft.operators.Basket.rfmSegments]] precedent), then ONE
+    * per-variant BIGINT moment aggregate; the pooled moments are the
+    * sum of the two variant rows. Every SUM in the plan is
+    * BIGINT-exact, so no result depends on float accumulation order —
+    * θ, the means, and the variances are closed-form scalar double
+    * expressions of exact integers (var(y−θx) = var(y) − 2θ·cov(x,y)
+    * + θ²·var(x); the x̄ shift only moves the mean), evaluated in an
+    * identical expression tree by any engine. */
   def cuped(events: DataFrame): DataFrame = {
     val bounds = events.agg(min(unix_micros(col("ts"))).as("lo"),
       max(unix_micros(col("ts"))).as("hi"))
-    val perUser = events.crossJoin(broadcast(bounds)) // bounded: 1 row
+    val cents = floor(col("value") * 100.0 + 0.5).cast("long")
+    val byV = events.crossJoin(broadcast(bounds)) // bounded: 1 row
       .withColumn("post",
         unix_micros(col("ts")) * 2 >= col("lo") + col("hi"))
       .groupBy("user_id")
-      .agg(sum(when(!col("post"), col("value")).otherwise(lit(0.0))).as("x"),
-        sum(when(col("post"), col("value")).otherwise(lit(0.0))).as("y"))
+      .agg(sum(when(!col("post"), cents).otherwise(lit(0L))).as("x"),
+        sum(when(col("post"), cents).otherwise(lit(0L))).as("y"))
       .withColumn("v", when(
         substring(md5(col("user_id").cast("string")), 1, 1) < "8", "A")
         .otherwise("B"))
-      .persist() // pooled θ + the per-variant readout
-    val mo = perUser.agg(count(lit(1)).as("n"), sum("x").as("sx"),
-      sum("y").as("sy"), sum(col("x") * col("x")).as("sxx"),
-      sum(col("x") * col("y")).as("sxy"))
-    val nD = col("n").cast("double")
-    val theta = (nD * col("sxy") - col("sx") * col("sy")) /
-      (nD * col("sxx") - col("sx") * col("sx"))
-    val adj = perUser.crossJoin(broadcast(mo)) // bounded: 1 row
-      .withColumn("yadj", col("y") - theta * (col("x") - col("sx") / nD))
-    val byV = adj.groupBy("v").agg(count(lit(1)).as("nu"),
-      sum("y").as("vy"), sum(col("y") * col("y")).as("vyy"),
-      sum("yadj").as("va"), sum(col("yadj") * col("yadj")).as("vaa"))
-    val nuD = col("nu").cast("double")
-    val varRaw = (col("vyy") - col("vy") * col("vy") / nuD) / (nuD - 1.0)
-    val varAdj = (col("vaa") - col("va") * col("va") / nuD) / (nuD - 1.0)
-    byV.select(col("v").as("variant"), col("nu").as("n_users"),
-        round(col("vy") / nuD, 4).as("mean_raw"),
-        round(col("va") / nuD, 4).as("mean_cuped"),
-        round(varRaw, 4).as("var_raw"), round(varAdj, 4).as("var_cuped"),
+      .groupBy("v").agg(count(lit(1)).as("nu"),
+        sum("x").as("vx"), sum("y").as("vy"),
+        sum(col("x") * col("x")).as("vxx"),
+        sum(col("x") * col("y")).as("vxy"),
+        sum(col("y") * col("y")).as("vyy"))
+      .persist() // 2 rows: pooled θ + the per-variant readout
+    val mo = byV.agg(sum("nu").as("n"), sum("vx").as("sx"),
+      sum("vy").as("sy"), sum("vxx").as("sxx"), sum("vxy").as("sxy"))
+    def d(c: String): Column = col(c).cast("double")
+    val nD = d("n")
+    val nuD = d("nu")
+    val theta = (nD * d("sxy") - d("sx") * d("sy")) /
+      (nD * d("sxx") - d("sx") * d("sx"))
+    val varRaw = (d("vyy") - d("vy") * d("vy") / nuD) / (nuD - 1.0)
+    val covV = (d("vxy") - d("vx") * d("vy") / nuD) / (nuD - 1.0)
+    val varX = (d("vxx") - d("vx") * d("vx") / nuD) / (nuD - 1.0)
+    val varAdj = varRaw - lit(2.0) * theta * covV + theta * theta * varX
+    val meanRaw = d("vy") / nuD
+    val meanCuped = meanRaw - theta * (d("vx") / nuD - d("sx") / nD)
+    byV.crossJoin(broadcast(mo)) // bounded: 1 row
+      .select(col("v").as("variant"), col("nu").as("n_users"),
+        round(meanRaw / 100.0, 4).as("mean_raw"),
+        round(meanCuped / 100.0, 4).as("mean_cuped"),
+        round(varRaw / 10000.0, 4).as("var_raw"),
+        round(varAdj / 10000.0, 4).as("var_cuped"),
         round(lit(1.0) - varAdj / varRaw, 4).as("var_reduction"))
       .orderBy("variant")
   }
@@ -665,20 +682,20 @@ object Events {
     * cut-off count, the events those users contribute, and their share.
     *
     * Scale shape: the fact table folds to a per-user count (one
-    * shuffle, user-dimension-sized); the ranked cumulative sum runs
-    * over that dimension table, and the tier lookup joins a
-    * tiers-sized literal frame against exactly |tiers| ranks. The
-    * global-ordered window on the dimension table is the documented
-    * cost (at extreme user cardinality it becomes a range-partitioned
-    * sort + per-partition offset pass; the fact table is never
-    * globally sorted). */
+    * shuffle, user-dimension-sized); the ranked cumulative sum is
+    * [[Rank.rankedCumSum]]'s two-level scan — activity-bucket cells
+    * (−(n DIV 16), ascending cells ⇔ descending activity), bounded
+    * per-cell sorts, triangular-join prefix over the bucket grid — so
+    * no single task ever sees the whole user dimension; the tier
+    * lookup joins a tiers-sized literal frame against exactly |tiers|
+    * ranks. */
   def concentration(events: DataFrame, tiers: Seq[Int] = Seq(1, 5, 10, 50)): DataFrame = {
     require(tiers.nonEmpty && tiers.forall(t => t >= 1 && t <= 100), s"bad tiers: $tiers")
     val counts = events.groupBy("user_id").agg(count(lit(1)).as("n"))
-    val w = Window.orderBy(col("n").desc, col("user_id"))
-    val ranked = counts.select(col("n"),
-      row_number().over(w).cast("long").as("rk"),
-      sum("n").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"))
+      .persist() // user-dimension-sized; ranked + totals both read it
+    val ranked = Rank.rankedCumSum(counts,
+        -expr("n DIV 16"), Seq(col("n").desc, col("user_id")), col("n"))
+      .select(col("n"), col("rk").cast("long").as("rk"), col("cum"))
     val totals = counts.agg(count(lit(1)).as("u"), sum("n").as("e"))
     val cuts = totals.select(col("u"), col("e"),
         explode(array(tiers.map(t => lit(t.toLong)): _*)).as("tier_pct"))
@@ -726,12 +743,16 @@ object Events {
     * window frame this is).
     *
     * Scale shape: one shuffle on user_id (session derivation), one
-    * dimension-sized aggregate to session bounds, then the sweep runs
-    * over 2·|sessions| delta rows — session-dimension-sized, never
-    * event-volume. The globally-ordered window is the documented cost
-    * (the pareto note: at extreme session cardinality it becomes a
-    * range-partitioned sort + per-partition prefix offsets); days with
-    * no session transitions carry no row by construction. */
+    * dimension-sized aggregate to session bounds — and the sweep's
+    * running sum is a two-level prefix scan CHUNKED BY DAY (the
+    * [[watermarkAudit]] shape): the cumulative-delta window runs
+    * partitioned by day (bounded sorts), and the cross-day carry is a
+    * triangular join over the DAY-TOTAL table (calendar-bounded, so
+    * broadcastable at any event volume — and being a join, not a
+    * window, the whole plan runs with zero unpartitioned windows).
+    * Ties can't straddle a chunk boundary (equal t ⇒ equal day), so
+    * the peer-group RANGE semantics survive the split: distributed
+    * scan ≡ the oracle's one sequential window. */
   def peakConcurrency(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val sessions = sessionize(events, gapMinutes)
       .withColumn("us", unix_micros(col("ts")))
@@ -741,11 +762,20 @@ object Events {
         struct(col("s").as("t"), lit(1L).as("d")),
         struct((col("e") + 1L).as("t"), lit(-1L).as("d")))).as("x"))
       .select(col("x.t").as("t"), col("x.d").as("d"))
-    val sweep = Window.orderBy(col("t"), col("d"))
+      .withColumn("day", date_format(timestamp_micros(col("t")), "yyyy-MM-dd"))
+    val dayTotals = deltas.groupBy("day").agg(sum("d").as("dsum"))
+    // carry into each day = Σ of ALL prior days' deltas (triangular
+    // join over the day domain — days with no transitions have no
+    // deltas and contribute 0 by absence)
+    val carry = dayTotals.as("a")
+      .join(broadcast(dayTotals.as("p")), col("p.day") < col("a.day"), "left")
+      .groupBy(col("a.day").as("day"))
+      .agg(coalesce(sum(col("p.dsum")), lit(0L)).as("carry"))
+    val inDay = Window.partitionBy("day").orderBy(col("t"), col("d"))
       .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    deltas
-      .select(col("t"), sum("d").over(sweep).as("concurrent"))
-      .groupBy(date_format(timestamp_micros(col("t")), "yyyy-MM-dd").as("day"))
+    deltas.join(broadcast(carry), "day")
+      .select(col("day"), (col("carry") + sum("d").over(inDay)).as("concurrent"))
+      .groupBy("day")
       .agg(max("concurrent").as("peak_concurrent"), count(lit(1)).as("n_transitions"))
       .orderBy("day")
   }
@@ -1183,8 +1213,11 @@ object Events {
     * (the unit of clustering — no naive per-event SE).
     *
     * Scale shape: one user fold, one 2-row group fold, one scalar
-    * pivot — no sort, no window; t is NULL (never NaN) when both
-    * groups are degenerate. */
+    * pivot — no sort, no window; t is NULL (never NaN) both when a
+    * group has zero variance (se == 0) AND when a one-user group
+    * makes the Welch variance 0/0 = NaN (the explicit isnan guard —
+    * NaN > 0 is true in both engines, so se > 0 alone would leak a
+    * NaN t_stat). */
   def did(events: DataFrame): DataFrame = {
     val bounds = events.agg(min(unix_micros(col("ts"))).as("lo"),
       max(unix_micros(col("ts"))).as("hi"))
@@ -1215,7 +1248,7 @@ object Events {
     val se = sqrt(vc / nc + vt / nt)
     m.select(col("n_c"), col("n_t"),
       round(didEst, 4).as("did"), round(se, 4).as("se"),
-      when(se > 0.0, round(didEst / se, 4)).as("t_stat"))
+      when(!isnan(se) && se > 0.0, round(didEst / se, 4)).as("t_stat"))
   }
 
   /** Funnel latency — the time-to-convert distribution between the

@@ -244,14 +244,18 @@ object Features {
     * final ratio is deterministic IEEE; Gini = 2·AUC − 1 rides along. */
   def aucRoc(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // NULL labels are EXCLUDED (not counted as negatives): both this
+    // aggregate and the feat_auc oracle filter lang IS NOT NULL, so
+    // the two engines can never disagree on how a NULL is counted
+    val labeled = docs.filter(col("lang").isNotNull)
     val w = Window.orderBy(col("s"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranks = docs.groupBy(col("n_chars").as("s"))
+    val ranks = labeled.groupBy(col("n_chars").as("s"))
       .agg(count(lit(1)).as("cnt"))
       .select(col("s"),
         (sum("cnt").over(w).cast("double")
           - (col("cnt").cast("double") - 1.0) / 2.0).as("r"))
-    val lab = docs.select(col("n_chars").as("s"),
+    val lab = labeled.select(col("n_chars").as("s"),
       (col("lang") === "en").as("pos"))
     val m = lab.join(broadcast(ranks), "s")
       .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),

@@ -532,20 +532,23 @@ object Similarity {
     * the curve a team reads before committing a near-dup threshold
     * to a 100 TB run ("0.8 drops 3% of pairs, 0.7 drops 19%").
     *
-    * Scale shape: the md5-stride sample (engine-portable, the
-    * mix-sampling bridge) caps the quadratic — that cap IS the
-    * operator's scale story, documented: all-pairs similarity is only
-    * ever computed inside the bounded sample (sample²/2 pairs), one
-    * self cross-join + a single aggregate pass scoring every
-    * threshold at once. Thresholds compare the UNROUNDED cosine
-    * (bit-identical accumulation, the radiusSearch precedent). */
+    * Scale shape: a FIXED-SIZE deterministic sample caps the
+    * quadratic — the `sampleN` vectors with the smallest md5(vec_id)
+    * rank (TakeOrdered: per-partition top-N then a single merge, the
+    * groupSample machinery globalized). The pair count is
+    * sampleN²/2 REGARDLESS of corpus size — a rate-based stride would
+    * grow quadratically with the corpus; a fixed rank-sample cannot.
+    * One self cross-join inside the sample + a single aggregate pass
+    * scoring every threshold at once. Thresholds compare the
+    * UNROUNDED cosine (bit-identical accumulation, the radiusSearch
+    * precedent). */
   def thresholdSweep(corpus: DataFrame,
       thresholds: Seq[Double] = Seq(0.20, 0.25, 0.30, 0.35, 0.40),
-      sampleMod: Int = 5): DataFrame = {
-    val inSample = conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
-      .cast("long") % sampleMod === 0
-    val s = withNorm(corpus.filter(inSample)
-        .select(col("vec_id"), col("embedding")), "embedding", "norm")
+      sampleN: Int = 500): DataFrame = {
+    val sampled = corpus.select(col("vec_id"), col("embedding"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(sampleN)
+    val s = withNorm(sampled, "embedding", "norm")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = s.select(col("vec_id").as("ida"), col("embedding").as("ea"),
       col("norm").as("na"))

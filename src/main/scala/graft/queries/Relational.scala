@@ -419,42 +419,22 @@ object Relational {
     * row count with exact NTILE semantics, each reporting count, bounds,
     * and total. The partition-sizing / quantile-binning primitive.
     *
-    * Scale design: exact global NTILE WITHOUT a single-partition window.
-    * Phase 1 folds the corpus into a price-domain-sized coarse grid
-    * ($1000 cells) whose counts prefix-sum in a window over the TINY
-    * grid table; phase 2 joins the broadcast offsets back and
-    * row_numbers WITHIN each cell (every window partition is one price
-    * cell), so global_rank = cell_offset + local_rank is exact while
-    * both shuffles stay value-partitioned. The tile then falls out of
-    * NTILE's arithmetic (first n%b tiles hold ⌈n/b⌉ rows) applied to
-    * the exact rank — bit-identical to the oracle's ntile(8) window.
-    * At 100 TB this is the standard distributed ranking shape; the
-    * single-window form would funnel the corpus through one task. */
+    * Scale design: exact global NTILE WITHOUT a single-partition
+    * window — [[graft.operators.Rank.ntileExact]] (the two-level scan
+    * originally built here, now the shared helper behind rel_rfm and
+    * evt_pareto too): $1000 price cells, broadcast prefix offsets,
+    * within-cell row_number — bit-identical to the oracle's ntile(8)
+    * window. At 100 TB this is the standard distributed ranking
+    * shape; the single-window form would funnel the corpus through
+    * one task. */
   def q34Equidepth(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val b = 8
     val li = t(s, dir, "lineitem")
       .select(col("l_extendedprice").as("price"), col("l_orderkey"), col("l_linenumber"))
-      .withColumn("bkt", floor(col("price") / 1000.0).cast("long"))
-    val counts = li.groupBy("bkt").agg(count(lit(1)).as("cnt")).persist()
-    // prefix over the coarse grid only — price-domain-sized, not corpus-sized
-    val wPrefix = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = counts.select(col("bkt"),
-      coalesce(sum(col("cnt")).over(wPrefix), lit(0L)).as("off"))
-    // the total is the grid counts summed — no third corpus scan
-    val total = counts.agg(sum("cnt").as("n_total"))
-    val wIn = Window.partitionBy("bkt")
-      .orderBy(col("price"), col("l_orderkey"), col("l_linenumber"))
-    val ranked = li.join(broadcast(offsets), Seq("bkt"))
-      .withColumn("rk", col("off") + row_number().over(wIn))
-      .crossJoin(broadcast(total)) // bounded: 1 row
-      .withColumn("big", expr(s"n_total DIV $b"))
-      .withColumn("rem", expr(s"n_total % $b"))
-      .withColumn("tile",
-        when(col("rk") <= col("rem") * (col("big") + 1),
-          expr("(rk - 1) DIV (big + 1)") + 1)
-          .otherwise(col("rem") + expr("(rk - 1 - rem * (big + 1)) DIV big") + 1))
-    ranked.groupBy(col("tile").cast("long").as("bucket"))
+    graft.operators.Rank.ntileExact(li,
+        floor(col("price") / 1000.0).cast("long"),
+        Seq(col("price"), col("l_orderkey"), col("l_linenumber")),
+        8, "tile")
+      .groupBy(col("tile").as("bucket"))
       .agg(count(lit(1)).as("n_rows"), min("price").as("lo"), max("price").as("hi"),
         round(sum("price"), 2).as("total"))
       .orderBy("bucket")

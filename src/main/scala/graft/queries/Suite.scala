@@ -1768,7 +1768,8 @@ object Suite {
   def textCompressRatio(s: SparkSession, dir: String): DataFrame =
     TextOps.compressionRatio(t(s, dir, "documents"))
 
-  /** Near-dup threshold calibration curve over the md5-stride sample. */
+  /** Near-dup threshold calibration curve over the fixed-size
+    * md5-rank sample (pair count independent of corpus size). */
   def simThresholdSweep(s: SparkSession, dir: String): DataFrame =
     Similarity.thresholdSweep(t(s, dir, "embeddings"))
 
@@ -2114,7 +2115,17 @@ object Suite {
     Basket.substitutes(t(s, dir, "lineitem"))
 
   /** Reconciliation of lineitem vs a deterministically perturbed copy
-    * (rows dropped at %101, quantities bumped at %97). */
+    * (rows dropped at %101, quantities bumped at %97).
+    *
+    * Caveat (the pipeline_features convention): (l_orderkey,
+    * l_linenumber) is NOT unique in this synthetic lineitem, so the
+    * FULL OUTER join fans out duplicate key groups and
+    * n_left/n_right/n_same over-count physical rows. Engine parity
+    * holds exactly (the oracle fans out identically — this is what
+    * reconcile-on-a-non-key means on BOTH engines); a production run
+    * wanting row-accurate counts should reconcile on a key the
+    * dq_key_audit component has verified unique, or add a row-hash
+    * disambiguator. */
   def dqReconcile(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
     val right = li.filter(col("l_orderkey") % 101 =!= 0)

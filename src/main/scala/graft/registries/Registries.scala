@@ -265,6 +265,17 @@ class WorkflowRegistry(root: String, lineage: LineageRegistry) {
 
   def list: Seq[String] = (flows.keys.toSeq ++ readAll().keys).distinct.sorted
 
+  /** Step structure for the explain surfaces: in-memory closure steps
+    * report op = "<closure>" with their declared inputs; persisted
+    * workflows report the stored (step, op, input) triples. */
+  def describe(name: String): Seq[OpStep] =
+    flows.get(name)
+      .map(_.map(s => OpStep(s.name, "<closure>", s.inputs.mkString("+"))))
+      .orElse(readAll().get(name))
+      .getOrElse(throw new NoSuchElementException(s"unknown workflow: $name"))
+
+  def isPersisted(name: String): Boolean = readAll().contains(name)
+
   def run(name: String, runId: String, inputs: Map[String, DataFrame]): Pipeline.Result = {
     val steps = flows.get(name)
       .orElse(readAll().get(name).map(_.map(st =>

@@ -111,6 +111,53 @@ class CliSpec extends SparkTestBase {
     assert(e2.getMessage.contains("usage:"))
   }
 
+  test("pipeline/workflow list and explain render the step structure") {
+    import graft.registries.WorkflowRegistry.OpStep
+    val root = graft.sources.Export.tempDir("graft_cli_wf_").toString
+    val api = new GraftApi(spark, root)
+    api.workflows.registerOps("curate", Seq(
+      OpStep("clean", "text.clean", "docs"),
+      OpStep("score", "text.quality", "clean")))
+    val listing = Cli.run(spark, Array("pipeline", root, "list"))
+    assert(listing.contains("curate") && listing.contains("2 steps"))
+    assert(Cli.run(spark, Array("pipeline", root, "list", "cur")).contains("curate"))
+    assert(Cli.run(spark, Array("pipeline", root, "list", "zz"))
+      == "no pipelines registered")
+    val explain = Cli.run(spark, Array("pipeline", root, "explain", "curate"))
+    assert(explain.contains("op=text.clean") && explain.contains("input=clean"))
+    val wl = Cli.run(spark, Array("workflow", root, "list"))
+    assert(wl.contains("curate") && wl.contains("persisted"))
+    val we = Cli.run(spark, Array("workflow", root, "explain", "curate"))
+    assert(we.contains("workflow: curate (persisted)") && we.contains("op=text.quality"))
+    // in-memory closure workflows describe as such (registry-level:
+    // each Cli.run builds a fresh GraftApi, so only persisted flows
+    // cross that boundary — the closure surface is the API's)
+    api.workflows.register("adhoc", Seq(
+      graft.plans.Pipeline.Step("only", Seq("docs"), m => m("docs"))))
+    assert(!api.workflows.isPersisted("adhoc"))
+    assert(api.workflows.describe("adhoc").head.op == "<closure>")
+    assert(api.workflows.list.contains("adhoc"))
+  }
+
+  test("data list and type list catalog stored values and data types") {
+    import spark.implicits._
+    val root = graft.sources.Export.tempDir("graft_cli_data_").toString
+    val api = new GraftApi(spark, root)
+    api.storeValue("events_clean", Seq(1L, 2L, 3L).toDF("n"), Some("latest"))
+    api.storeValue("docs_raw", Seq("a").toDF("t"))
+    val out = Cli.run(spark, Array("data", root, "list"))
+    assert(out.contains("events_clean") && out.contains("3 rows"))
+    assert(out.contains("aliases: latest") && out.contains("docs_raw"))
+    val filtered = Cli.run(spark, Array("data", root, "list", "docs*"))
+    assert(filtered.contains("docs_raw") && !filtered.contains("events_clean"))
+    assert(Cli.run(spark, Array("data",
+      graft.sources.Export.tempDir("graft_cli_nodata_").toString, "list"))
+      == "no values stored")
+    val types = Cli.run(spark, Array("type", "list"))
+    assert(types.contains("integer") && types.contains("BIGINT"))
+    assert(types.contains("table") || types.contains("string"))
+  }
+
   test("render list-renderers catalogs targets; render item dispatches each") {
     val cat = Cli.run(spark, Array("render", "list-renderers"))
     assert(cat.contains("string") && cat.contains("markdown") && cat.contains("html"))

@@ -308,6 +308,37 @@ class DedupSpec extends SparkTestBase {
     assert(!out.keys.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("containment maxDf: planted hot gram drops out; recall trade is one-sided") {
+    // Docs 1..4 all share the same 5-token boilerplate prefix (hot
+    // grams, df=4); doc 5 is a strict subset of doc 1 via UNIQUE grams.
+    val boiler = "terms of service apply here"
+    val docs = Seq(
+      (1L, s"$boiler alpha bravo charlie delta echo foxtrot"),
+      (2L, s"$boiler golf hotel india juliet kilo lima"),
+      (3L, s"$boiler mike november oscar papa quebec romeo"),
+      (4L, s"$boiler sierra tango uniform victor whiskey xray"),
+      (5L, "alpha bravo charlie delta echo foxtrot"))
+      .toDF("doc_id", "text")
+    def pairs(maxDf: Option[Long]) =
+      Dedup.containmentPairs(docs, threshold = 0.6, maxDf = maxDf).collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val exact = pairs(None)
+    val capped = pairs(Some(3L)) // df=4 boilerplate grams get dropped
+    // doc 5 ⊂ doc 1 through unique grams: survives the cap with the
+    // SAME containment (its grams are all df ≤ 2)
+    assert(exact((5L, 1L)) == 1.0 && capped((5L, 1L)) == 1.0)
+    // boilerplate-only pairs existed exactly (5 shared boiler-window
+    // grams over 9 total ≥ 0.6? no — so check at the count level via a
+    // lower threshold) and can only DISAPPEAR under the cap, never gain:
+    val exactLo = Dedup.containmentPairs(docs, threshold = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cappedLo = Dedup.containmentPairs(docs, threshold = 0.3, maxDf = Some(3L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactLo.contains((1L, 2L)), "boilerplate pair should exist exactly")
+    assert(!cappedLo.contains((1L, 2L)), "df-cap should drop the boilerplate-only pair")
+    assert(cappedLo.subsetOf(exactLo), "cap may only remove pairs, never invent")
+  }
+
   test("fuzzy match: nearest same-block name wins; blockless queries sit out") {
     val recs = Seq(
       (0L, "green apple pie"),

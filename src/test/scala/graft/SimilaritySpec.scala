@@ -346,11 +346,25 @@ class SimilaritySpec extends SparkTestBase {
     // the ladder keeps exactly the identical pair, share 1/3
     val e = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
       (3L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
-    val out = Similarity.thresholdSweep(e, sampleMod = 1).collect()
+    val out = Similarity.thresholdSweep(e).collect()
       .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(out.length == 5)
     assert(out.forall { case (_, nc, np, sh) =>
       nc == 3L && np == 1L && sh == 0.3333 }, s"sweep: ${out.toSeq}")
+  }
+
+  test("thresholdSweep pair count is CAPPED: independent of corpus size") {
+    // 40-vector corpus, sampleN = 10 → exactly C(10,2) = 45 candidate
+    // pairs — growing the corpus 2× must NOT change the pair count
+    // (the fixed-size md5-rank sample bounds the quadratic)
+    def corpus(n: Int) = (1 to n).map(i =>
+      (i.toLong, Array(i.toFloat, 1.0f))).toDF("vec_id", "embedding")
+    val n40 = Similarity.thresholdSweep(corpus(40), sampleN = 10)
+      .collect().head.getLong(1)
+    val n80 = Similarity.thresholdSweep(corpus(80), sampleN = 10)
+      .collect().head.getLong(1)
+    assert(n40 == 45L, s"expected C(10,2)=45 pairs, got $n40")
+    assert(n80 == 45L, s"pair count grew with the corpus: $n80")
   }
 
   test("normalize yields unit vectors") {
