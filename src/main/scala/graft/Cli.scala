@@ -17,6 +17,7 @@ import graft.operators.{Profile, Render}
   *   context <root> create <name>     create a context
   *   context <root> use <name>        switch the persisted active context
   *   context <root> current           show the active context name
+  *   run <root> <op> <ref> [--save a] run an operation on a stored value
   *   pipeline <root> list [filter..]  registered pipelines with step counts
   *   pipeline <root> explain <name>   step structure (step, op, input)
   *   workflow <root> list             workflows (+ persisted/in-memory)
@@ -124,6 +125,23 @@ object Cli {
       val i = new GraftContexts(spark, baseRoot).currentContext.contextInfo
       s"root:       ${i.root}\nvalues:     ${i.values}\naliases:    ${i.aliases}\n" +
         s"jobs:       ${i.jobs}\nworkflows:  ${i.workflows}\noperations: ${i.operations}"
+    // run an operation on a stored value (kiara's primary verb,
+    // reference interfaces/cli/run.py): records the job + lineage,
+    // optionally saves the output under an alias (`--save`), prints a
+    // bounded rendering of the result
+    case "run" :: root :: operation :: valueRef :: rest =>
+      val api = new GraftApi(spark, root)
+      graft.plans.Builtins.ensureRegistered()
+      val (jobId, out) = api.runJob(operation, valueRef)
+      val saved = rest match {
+        case "--save" :: alias :: Nil =>
+          api.storeValue(s"$jobId-out", out, Some(alias))
+          s"\nsaved: $jobId-out (alias: $alias)"
+        case Nil => ""
+        case other => throw new IllegalArgumentException(
+          s"run: unexpected args ${other.mkString(" ")} (only --save <alias>)")
+      }
+      s"job: $jobId\n" + Render.prettyPrint(out, 10) + saved
     // pipeline structure surface (kiara pipeline list / explain,
     // reference interfaces/cli/pipeline/commands.py:30,100): graft
     // pipelines are the registry's named step-sequences
@@ -193,6 +211,7 @@ object Cli {
           s"module list|explain <name> | plugin list|explain <name> | " +
           s"context <root> list|create <name>|use <name>|current|info | " +
           s"archive info <dir> | value <root> info <ref> | jobs <root> list | " +
+          s"run <root> <operation> <valueRef> [--save <alias>] | " +
           s"pipeline <root> list|explain <name> | " +
           s"workflow <root> list|explain <name> | " +
           s"data <root> list [glob] | type list " +

@@ -139,6 +139,25 @@ class CliSpec extends SparkTestBase {
     assert(api.workflows.list.contains("adhoc"))
   }
 
+  test("run executes an operation on a stored value, records the job, saves") {
+    import spark.implicits._
+    val root = graft.sources.Export.tempDir("graft_cli_run_").toString
+    val api = new GraftApi(spark, root)
+    api.storeValue("docs", Seq((1L, "Hello World two")).toDF("doc_id", "text"),
+      Some("raw"))
+    val out = Cli.run(spark, Array("run", root, "text.token_count", "raw",
+      "--save", "counted"))
+    assert(out.contains("job: job-") && out.contains("n_tokens"))
+    assert(out.contains("saved:") && out.contains("alias: counted"))
+    // the saved alias resolves to the operation output
+    val saved = new GraftApi(spark, root).getValue("counted")
+    assert(saved.select("n_tokens").head().getLong(0) == 3L)
+    val bad = intercept[IllegalArgumentException] {
+      Cli.run(spark, Array("run", root, "text.token_count", "raw", "--oops"))
+    }
+    assert(bad.getMessage.contains("--save"))
+  }
+
   test("data list and type list catalog stored values and data types") {
     import spark.implicits._
     val root = graft.sources.Export.tempDir("graft_cli_data_").toString

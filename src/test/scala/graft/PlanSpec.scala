@@ -120,4 +120,22 @@ class PlanSpec extends SparkTestBase {
       .collect { case t: TakeOrderedAndProjectExec => t }
     assert(top.nonEmpty, s"plan:\n${df.queryExecution.executedPlan}")
   }
+
+  test("rank-backed queries run zero unpartitioned windows over data rows") {
+    // evt_peak_concurrency, rel_rfm, evt_pareto and q34_equidepth were
+    // the global-window plans; all now route through the two-level
+    // scan (Rank / per-day chunking), so NO window in any of their
+    // plans may have an empty partition spec — except the final
+    // presentation sort, which is not a window at all
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (q <- Seq("evt_peak_concurrency", "rel_rfm", "evt_pareto",
+        "q34_equidepth")) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.collect()
+      val bad = flattenPlan(df.queryExecution.executedPlan)
+        .collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      assert(bad.isEmpty,
+        s"$q has ${bad.size} unpartitioned window(s):\n${bad.headOption}")
+    }
+  }
 }
