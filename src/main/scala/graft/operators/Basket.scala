@@ -77,16 +77,18 @@ object Basket {
     *
     * Scale shape: one shuffle folds orders to the per-customer RFM
     * triple (map-side partials); everything after runs on the CUSTOMER
-    * DIMENSION — and each quintile is [[graft.operators.Rank.ntileExact]]'s
-    * two-level scan (value-domain cells: recency weeks, order-count
-    * buckets, monetary bands; bounded per-cell sorts; triangular-join
-    * prefix over the tiny cell grid), bit-identical to the global
-    * `ntile(5)` window while never funnelling the customer dimension
-    * through one task. The observation anchor (recency measured from
-    * the corpus max date) is a broadcast 1-row aggregate, never a
-    * driver collect. Every ntile ORDER BY is a total order (BIGINT
-    * measure, customer-key tie-break), so quintile membership is
-    * engine-independent. */
+    * DIMENSION — and all three quintiles come from ONE
+    * [[graft.operators.Rank.ntileExactBy]] two-level scan: the three
+    * rank problems stack under a dimension tag (each with a
+    * sign-normalized sort value, so recency's DESC order becomes the
+    * shared ASC order), score in a single (dim, cell)-partitioned
+    * pass, and pivot back — bit-identical to three global `ntile(5)`
+    * windows while never funnelling the customer dimension through
+    * one task, and at ONE pass of fixed plan overhead instead of
+    * three. The observation anchor (recency measured from the corpus
+    * max date) is a broadcast 1-row aggregate, never a driver
+    * collect. Every ordering is total (BIGINT measure, customer-key
+    * tie-break), so quintile membership is engine-independent. */
   def rfmSegments(orders: DataFrame): DataFrame = {
     val per = orders.groupBy("o_custkey").agg(
       max(col("o_orderdate")).as("last_order"),
@@ -96,13 +98,23 @@ object Basket {
     val base = per.crossJoin(broadcast(maxDay))
       .withColumn("recency_days",
         datediff(col("global_max"), col("last_order")).cast("long"))
-      .persist() // customer-dimension-sized; three rank passes read it
-    val r = Rank.ntileExact(base, -expr("recency_days DIV 7"),
-      Seq(col("recency_days").desc, col("o_custkey")), 5, "r_score")
-    val f = Rank.ntileExact(r, expr("n_orders DIV 4"),
-      Seq(col("n_orders").asc, col("o_custkey")), 5, "f_score")
-    val scored = Rank.ntileExact(f, expr("cents DIV 1000000"),
-      Seq(col("cents").asc, col("o_custkey")), 5, "m_score")
+      .persist() // customer-dimension-sized; scores join back onto it
+    // v ascending reproduces each dimension's ntile order exactly:
+    // recency DESC ⇔ (−recency) ASC; cells stay monotone in v (DIV
+    // truncates toward zero — order-preserving on the whole axis)
+    val stacked = base.select(col("o_custkey"), lit("r").as("dim"),
+        (-col("recency_days")).as("v"), expr("(-recency_days) DIV 7").as("vc"))
+      .unionByName(base.select(col("o_custkey"), lit("f").as("dim"),
+        col("n_orders").as("v"), expr("n_orders DIV 4").as("vc")))
+      .unionByName(base.select(col("o_custkey"), lit("m").as("dim"),
+        col("cents").as("v"), expr("cents DIV 1000000").as("vc")))
+    val scores = Rank.ntileExactBy(stacked, col("dim"), col("vc"),
+        Seq(col("v"), col("o_custkey")), 5, "score")
+      .groupBy("o_custkey")
+      .agg(max(when(col("dim") === "r", col("score"))).as("r_score"),
+        max(when(col("dim") === "f", col("score"))).as("f_score"),
+        max(when(col("dim") === "m", col("score"))).as("m_score"))
+    val scored = base.join(scores, "o_custkey")
     val segment = when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4, "1_champion")
       .when(col("f_score") >= 4, "2_loyal")
       .when(col("m_score") >= 4, "3_big_spender")

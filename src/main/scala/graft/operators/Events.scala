@@ -763,6 +763,7 @@ object Events {
         struct((col("e") + 1L).as("t"), lit(-1L).as("d")))).as("x"))
       .select(col("x.t").as("t"), col("x.d").as("d"))
       .withColumn("day", date_format(timestamp_micros(col("t")), "yyyy-MM-dd"))
+      .persist() // session-dimension-sized; day totals + sweep both read it
     val dayTotals = deltas.groupBy("day").agg(sum("d").as("dsum"))
     // carry into each day = Σ of ALL prior days' deltas (triangular
     // join over the day domain — days with no transitions have no

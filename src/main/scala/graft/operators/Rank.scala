@@ -50,7 +50,10 @@ object Rank {
   def rankedCumSum(df: DataFrame, cell: Column, order: Seq[Column],
       measure: Column, rkName: String = "rk",
       cumName: String = "cum"): DataFrame = {
-    val tagged = df.withColumn("__cell", cell)
+    // persist the tagged input: the offsets aggregate AND the main
+    // join both read it, and CHAINED rank passes (the RFM triple)
+    // would otherwise replay each other's full plans multiplicatively
+    val tagged = df.withColumn("__cell", cell).persist()
     val (off, _) = offsets(tagged, measure)
     val wIn = Window.partitionBy("__cell").orderBy(order: _*)
     tagged.join(broadcast(off), Seq("__cell"))
@@ -64,13 +67,33 @@ object Rank {
     * to the single-window `ntile(b)` (first n%b tiles hold ⌈n/b⌉
     * rows), computed from the distributed rank. */
   def ntileExact(df: DataFrame, cell: Column, order: Seq[Column],
-      b: Int, outName: String): DataFrame = {
-    val tagged = df.withColumn("__cell", cell)
-    val (off, tot) = offsets(tagged, lit(1L))
-    val wIn = Window.partitionBy("__cell").orderBy(order: _*)
-    tagged.join(broadcast(off), Seq("__cell"))
+      b: Int, outName: String): DataFrame =
+    ntileExactBy(df, lit(1L), cell, order, b, outName)
+
+  /** Grouped variant: exact NTILE(`b`) WITHIN each `grp` along
+    * `order` — many independent rank problems in ONE two-level scan.
+    * This is what keeps a multi-score readout (the RFM triple) at one
+    * pass of fixed overhead instead of one pass PER score: stack the
+    * problems with a tag column, call once, pivot back. Offsets and
+    * totals become (grp × cell)- and grp-domain tables — still
+    * broadcastable; the within-cell window partitions by (grp, cell). */
+  def ntileExactBy(df: DataFrame, grp: Column, cell: Column,
+      order: Seq[Column], b: Int, outName: String): DataFrame = {
+    val tagged = df.withColumn("__grp", grp).withColumn("__cell", cell)
+      .persist() // see rankedCumSum
+    val counts = tagged.groupBy("__grp", "__cell")
+      .agg(count(lit(1)).as("__cnt")).persist()
+    val off = counts.as("a")
+      .join(broadcast(counts.as("p")),
+        col("p.__grp") === col("a.__grp") && col("p.__cell") < col("a.__cell"),
+        "left")
+      .groupBy(col("a.__grp").as("__grp"), col("a.__cell").as("__cell"))
+      .agg(coalesce(sum(col("p.__cnt")), lit(0L)).as("__off"))
+    val tot = counts.groupBy("__grp").agg(sum("__cnt").as("__n_total"))
+    val wIn = Window.partitionBy("__grp", "__cell").orderBy(order: _*)
+    tagged.join(broadcast(off), Seq("__grp", "__cell"))
+      .join(broadcast(tot), Seq("__grp"))
       .withColumn("__rk", col("__off") + row_number().over(wIn))
-      .crossJoin(broadcast(tot)) // bounded: 1 row
       .withColumn("__big", expr(s"__n_total DIV $b"))
       .withColumn("__rem", expr(s"__n_total % $b"))
       .withColumn(outName,
@@ -79,6 +102,6 @@ object Rank {
           .otherwise(col("__rem")
             + expr("(__rk - 1 - __rem * (__big + 1)) DIV __big") + 1)
           .cast("long"))
-      .drop("__cell", "__off", "__moff", "__rk", "__n_total", "__big", "__rem")
+      .drop("__grp", "__cell", "__off", "__rk", "__n_total", "__big", "__rem")
   }
 }

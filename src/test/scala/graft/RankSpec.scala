@@ -53,11 +53,10 @@ class RankSpec extends SparkTestBase {
   test("no unpartitioned window anywhere in the plan") {
     val df = Rank.ntileExact(sample, expr("m DIV 3"),
       Seq(col("m"), col("id")), 5, "tile")
-    val plan = df.queryExecution.executedPlan.toString
-    // a global window renders as "Window [...]" with an empty partition
-    // spec; every window here must carry the __cell partition key
-    val windowLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
-    assert(windowLines.forall(_.contains("windowspecdefinition(__cell")),
-      s"found unpartitioned window:\n${windowLines.mkString("\n")}")
+    df.collect()
+    import org.apache.spark.sql.execution.window.WindowExec
+    val bad = flattenPlan(df.queryExecution.executedPlan)
+      .collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    assert(bad.isEmpty, s"found unpartitioned window(s):\n${bad.headOption}")
   }
 }
