@@ -24,6 +24,7 @@ import graft.operators.{Profile, Render}
   *   workflow <root> explain <name>   step structure for one workflow
   *   data <root> list [glob]          stored values: id, rows, aliases
   *   type list                        data-type catalog (name -> spark sql)
+  *   info config print                effective engine configuration
   *
   * `run` is separated from `main` so specs can drive it on a shared
   * session and assert on the rendered output.
@@ -193,6 +194,20 @@ object Cli {
     case "type" :: "list" :: Nil =>
       graft.sources.TypeMap.toSpark.toSeq.sortBy(_._1)
         .map { case (n, t) => f"$n%-12s -> ${t.sql}" }.mkString("\n")
+    // effective engine configuration (kiara info config print,
+    // reference interfaces/cli/info/commands.py:29 — the plugin half
+    // of the info group is the existing plugin list/explain verbs)
+    case "info" :: "config" :: "print" :: Nil =>
+      val c = spark.sparkContext.getConf
+      val keys = Seq("spark.master", "spark.sql.shuffle.partitions",
+        "spark.sql.session.timeZone", "spark.sql.ansi.enabled",
+        "spark.sql.adaptive.enabled",
+        "spark.sql.legacy.parquet.nanosAsLong")
+      val conf = keys.map(k =>
+        f"$k%-42s ${spark.conf.getOption(k).orElse(c.getOption(k)).getOrElse("-")}")
+      (s"spark:   ${org.apache.spark.SPARK_VERSION}" +:
+        s"scala:   ${scala.util.Properties.versionNumberString}" +: conf)
+        .mkString("\n")
     // renderer catalog + dispatch (kiara render list-renderers / render
     // item, reference interfaces/cli/render/commands.py:60,79)
     case "render" :: "list-renderers" :: Nil =>
@@ -214,7 +229,7 @@ object Cli {
           s"run <root> <operation> <valueRef> [--save <alias>] | " +
           s"pipeline <root> list|explain <name> | " +
           s"workflow <root> list|explain <name> | " +
-          s"data <root> list [glob] | type list " +
+          s"data <root> list [glob] | type list | info config print " +
           s"(got: ${other.mkString(" ")})")
   }
 

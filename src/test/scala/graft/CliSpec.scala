@@ -177,6 +177,13 @@ class CliSpec extends SparkTestBase {
     assert(types.contains("table") || types.contains("string"))
   }
 
+  test("info config print reports the effective engine configuration") {
+    val out = Cli.run(spark, Array("info", "config", "print"))
+    assert(out.contains("spark:   " + org.apache.spark.SPARK_VERSION))
+    assert(out.contains("spark.sql.session.timeZone") && out.contains("UTC"))
+    assert(out.contains("spark.sql.shuffle.partitions"))
+  }
+
   test("render list-renderers catalogs targets; render item dispatches each") {
     val cat = Cli.run(spark, Array("render", "list-renderers"))
     assert(cat.contains("string") && cat.contains("markdown") && cat.contains("html"))
