@@ -2568,32 +2568,49 @@ object SparkEntry {
         |ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
     // α=1/2 EWMA: every weight an exact power of two (integer shift,
     // not libm pow), so both engines agree bit-for-bit on weights
+    // BIGINT-exact end to end (the cuped discipline): daily mean in
+    // 1e-4 units, EWMA as an integer Σ xq·2^(20−k), limits from exact
+    // integer moments — floats only in identical scalar trees
     "evt_ewma" ->
       """WITH d AS (SELECT event_type,
         |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
-        |    avg(value) AS x FROM events GROUP BY 1, 2),
-        |i AS (SELECT event_type, day, x, row_number() OVER (
-        |    PARTITION BY event_type ORDER BY day) AS i FROM d),
-        |st AS (SELECT event_type, count(*) AS nd, sum(x) AS s1,
-        |    sum(x * x) AS s2 FROM i GROUP BY 1),
-        |j AS (SELECT c.event_type, c.i AS t, c.day, c.x, h.x AS xi,
+        |    CAST(sum(CAST(floor(value * 100e0 + 0.5e0) AS BIGINT))
+        |      AS BIGINT) AS xc,
+        |    count(*) AS nc FROM events GROUP BY 1, 2),
+        |q AS (SELECT event_type, day,
+        |    CAST(floor(CAST(xc AS DOUBLE) / CAST(nc AS DOUBLE) * 100e0
+        |      + 0.5e0) AS BIGINT) AS xq FROM d),
+        |i AS (SELECT event_type, day, xq, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY day) AS i FROM q),
+        |st AS (SELECT event_type, count(*) AS nd,
+        |    CAST(sum(xq) AS BIGINT) AS s1,
+        |    CAST(sum(xq * xq) AS BIGINT) AS s2 FROM i GROUP BY 1),
+        |j AS (SELECT c.event_type, c.i AS t, c.day, c.xq, h.xq AS xqi,
         |    CASE WHEN h.i = 1 THEN c.i - 1 ELSE c.i - h.i + 1 END AS k
         |  FROM i c JOIN i h ON h.event_type = c.event_type AND h.i <= c.i),
-        |e AS (SELECT event_type, t, day, x,
-        |    sum(xi * CASE WHEN k > 62 THEN 0e0
-        |      ELSE 1e0 / CAST(1::BIGINT << CAST(k AS INT) AS DOUBLE) END) AS ewma
+        |e AS (SELECT event_type, t, day, xq,
+        |    CAST(sum(xqi * CASE WHEN k > 20 THEN 0
+        |      ELSE (1::BIGINT << CAST(20 - k AS INT)) END) AS BIGINT) AS ss
         |  FROM j GROUP BY 1, 2, 3, 4),
-        |f AS (SELECT e.event_type, e.day, e.x, e.ewma,
-        |    s1 / CAST(nd AS DOUBLE) AS mu,
-        |    3e0 * sqrt((s2 - s1 * s1 / CAST(nd AS DOUBLE))
-        |        / (CAST(nd AS DOUBLE) - 1e0))
+        |f AS (SELECT e.event_type, e.day,
+        |    CAST(e.xq AS DOUBLE) / 10000e0 AS x,
+        |    CAST(e.ss AS DOUBLE) / 1048576e0 / 10000e0 AS ewma,
+        |    CAST(s1 AS DOUBLE) / CAST(nd AS DOUBLE) / 10000e0 AS mu,
+        |    3e0 * sqrt((CAST(s2 AS DOUBLE)
+        |        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |          / CAST(nd AS DOUBLE))
+        |        / (CAST(nd AS DOUBLE) - 1e0)) / 10000e0
         |      * sqrt((1e0 - CASE WHEN t > 31 THEN 0e0
         |        ELSE 1e0 / CAST(1::BIGINT << CAST(2 * t AS INT) AS DOUBLE) END)
         |        / 3e0) AS lim
         |  FROM e JOIN st USING (event_type))
-        |SELECT event_type, day, round(x, 4) AS x, round(ewma, 4) AS ewma,
-        |  round(mu - lim, 4) AS lcl, round(mu + lim, 4) AS ucl,
-        |  round(abs(ewma - mu), 4) > round(lim, 4) AS signal
+        |SELECT event_type, day,
+        |  CAST(floor(x * 10000e0 + 0.5e0) AS DOUBLE) / 10000e0 AS x,
+        |  CAST(floor(ewma * 10000e0 + 0.5e0) AS DOUBLE) / 10000e0 AS ewma,
+        |  CAST(floor((mu - lim) * 10000e0 + 0.5e0) AS DOUBLE) / 10000e0 AS lcl,
+        |  CAST(floor((mu + lim) * 10000e0 + 0.5e0) AS DOUBLE) / 10000e0 AS ucl,
+        |  CAST(floor(abs(ewma - mu) * 10000e0 + 0.5e0) AS DOUBLE) / 10000e0
+        |    > CAST(floor(lim * 10000e0 + 0.5e0) AS DOUBLE) / 10000e0 AS signal
         |FROM f ORDER BY event_type, day""".stripMargin,
     "evt_power" ->
       """WITH a AS (SELECT event_type, count(*) AS n, sum(value) AS s1,

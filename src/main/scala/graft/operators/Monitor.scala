@@ -266,50 +266,66 @@ object Monitor {
     * ([[cusumChangePoint]] localizes a completed shift): the
     * exponentially weighted average crosses its limits while a small
     * sustained drift is still in progress. α is FIXED at 1/2 so every
-    * weight is an exact power of two (2^−k via integer shift, not
-    * libm pow — the two engines agree bit-for-bit on every weight);
-    * the time-varying limit uses α/(2−α) = 1/3 and (1−α)^2t = 4^−t
-    * through the same shifts.
+    * weight is an exact power of two.
+    *
+    * EVERY aggregate here is BIGINT-exact (the cuped discipline): the
+    * daily mean folds to integer cents and quantizes ONCE to 1e-4
+    * units (identical integer division both engines → identical
+    * floor), the EWMA accumulates Σ xq·2^(20−k) as an integer (weights
+    * below 2^−20 are under the 4dp readout and go to exact 0 — the
+    * magnitude bound keeping the sum < 2^53), and the control limits
+    * derive from exact integer moments. The only floats are identical
+    * scalar expression trees over those exact integers, so no value
+    * can shift with engine version, thread count, or accumulation
+    * order — r6's sf0.001 probe caught the old round(avg) form on a
+    * half-boundary (38.37875: Spark's decimal-string rounding went up,
+    * DuckDB's binary-double rounding went down).
     *
     * Scale shape: ONE corpus fold to the (group × day) grid; the EWMA
     * closed form evaluates as a day-domain self-join (i ≤ t) — at most
-    * calendar² rows per group, bounded regardless of corpus size, and
-    * weights vanish (exactly 0) past k = 62 anyway. Limits derive from
-    * per-group moment sums (the abTest convention: explicit
-    * left-associative algebra, never an engine's stddev builtin);
-    * signal compares 4dp-rounded deviation against the 4dp-rounded
-    * limit so a final-ulp wobble cannot flip the flag. */
+    * calendar² rows per group, bounded regardless of corpus size.
+    * Signal compares 4dp-pround deviation against the 4dp-pround limit
+    * so a final-ulp wobble cannot flip the flag. */
   def ewmaChart(events: DataFrame, l: Double = 3.0): DataFrame = {
+    val cents = floor(col("value") * 100.0 + 0.5).cast("long")
     val daily = events
       .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
-        col("value"))
-      .groupBy("event_type", "day").agg(avg("value").as("x"))
+        cents.as("c"))
+      .groupBy("event_type", "day")
+      .agg(sum("c").as("xc"), count(lit(1)).as("nc"))
+      .withColumn("xq", floor(col("xc").cast("double") / col("nc").cast("double")
+        * 100.0 + 0.5).cast("long")) // daily mean in exact 1e-4 units
       .withColumn("i", row_number().over(
         Window.partitionBy("event_type").orderBy("day")))
       .persist() // three consumers: both self-join sides + the moments
     val nd = col("nd").cast("double")
     val stats = daily.groupBy("event_type").agg(
-      count(lit(1)).as("nd"), sum("x").as("s1"), sum(col("x") * col("x")).as("s2"))
-    val hist = daily.select(col("event_type"), col("i"), col("x").as("xi"))
-    val cur = daily.select(col("event_type"), col("i").as("t"), col("day"), col("x"))
+      count(lit(1)).as("nd"), sum("xq").as("s1"),
+      sum(col("xq") * col("xq")).as("s2"))
+    val hist = daily.select(col("event_type"), col("i"), col("xq").as("xqi"))
+    val cur = daily.select(col("event_type"), col("i").as("t"), col("day"), col("xq"))
     val ewma = cur.join(hist, Seq("event_type"))
       .filter(col("i") <= col("t"))
       .withColumn("k", when(col("i") === 1, col("t") - 1)
         .otherwise(col("t") - col("i") + 1))
-      .withColumn("w", when(col("k") > 62, lit(0.0))
-        .otherwise(lit(1.0) / expr("shiftleft(1L, CAST(k AS INT))").cast("double")))
-      .groupBy("event_type", "t", "day", "x")
-      .agg(sum(col("xi") * col("w")).as("ewma"))
-    val mu = col("s1") / nd
-    val lim = lit(l) * sqrt((col("s2") - col("s1") * col("s1") / nd) / (nd - 1.0)) *
+      .withColumn("ws", when(col("k") > 20, lit(0L))
+        .otherwise(expr("shiftleft(1L, CAST(20 - k AS INT))")))
+      .groupBy("event_type", "t", "day", "xq")
+      .agg(sum(col("xqi") * col("ws")).as("ss")) // BIGINT-exact EWMA·2^20
+    val mu = col("s1").cast("double") / nd / 10000.0
+    val lim = lit(l) * sqrt((col("s2").cast("double")
+        - col("s1").cast("double") * col("s1").cast("double") / nd)
+        / (nd - 1.0)) / 10000.0 *
       sqrt((lit(1.0) - when(col("t") > 31, lit(0.0))
         .otherwise(lit(1.0)
           / expr("shiftleft(1L, CAST(2 * t AS INT))").cast("double"))) / lit(3.0))
+    val ewmaD = col("ss").cast("double") / 1048576.0 / 10000.0
+    val xD = col("xq").cast("double") / 10000.0
     ewma.join(broadcast(stats), "event_type")
       .select(col("event_type"), col("day"),
-        round(col("x"), 4).as("x"), round(col("ewma"), 4).as("ewma"),
-        round(mu - lim, 4).as("lcl"), round(mu + lim, 4).as("ucl"),
-        (round(abs(col("ewma") - mu), 4) > round(lim, 4)).as("signal"))
+        Num.pround(xD, 4).as("x"), Num.pround(ewmaD, 4).as("ewma"),
+        Num.pround(mu - lim, 4).as("lcl"), Num.pround(mu + lim, 4).as("ucl"),
+        (Num.pround(abs(ewmaD - mu), 4) > Num.pround(lim, 4)).as("signal"))
       .orderBy("event_type", "day")
   }
 
