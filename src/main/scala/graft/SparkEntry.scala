@@ -632,9 +632,15 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
-        | round(sum(l_extendedprice),2) AS sum_base_price,
-        | round(sum(l_extendedprice*(1.0e0-l_discount)),2) AS sum_disc_price,
-        | round(avg(l_quantity),4) AS avg_qty, round(avg(l_discount),4) AS avg_disc,
+        | CAST(sum(CAST(floor(l_extendedprice * 100e0 + 0.5e0) AS BIGINT))
+        |   AS DOUBLE) / 100e0 AS sum_base_price,
+        | CAST(sum(CAST(floor(l_extendedprice*(1.0e0-l_discount) * 100e0
+        |     + 0.5e0) AS BIGINT)) AS DOUBLE) / 100e0 AS sum_disc_price,
+        | CAST(floor(avg(l_quantity) * 10000e0 + 0.5e0) AS DOUBLE) / 10000e0
+        |   AS avg_qty,
+        | CAST(floor(CAST(sum(CAST(floor(l_discount * 100e0 + 0.5e0)
+        |       AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100e0
+        |     * 10000e0 + 0.5e0) AS DOUBLE) / 10000e0 AS avg_disc,
         | count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-31 00:00:00'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -657,7 +663,10 @@ object SparkEntry {
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q6_region_join" ->
-      """SELECT r_name, count(*) AS n_cust, round(avg(c_acctbal),2) AS avg_bal
+      """SELECT r_name, count(*) AS n_cust,
+        | CAST(floor(CAST(sum(CAST(floor(c_acctbal * 100e0 + 0.5e0)
+        |       AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100e0
+        |     * 100e0 + 0.5e0) AS DOUBLE) / 100e0 AS avg_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         | JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
@@ -724,7 +733,10 @@ object SparkEntry {
       """SELECT n_regionkey, count(*) AS n_nations
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "export_roundtrip" ->
-      """SELECT p_brand, count(*) AS n, round(avg(p_retailprice),2) AS avg_price
+      """SELECT p_brand, count(*) AS n,
+        | CAST(floor(CAST(sum(CAST(floor(p_retailprice * 100e0 + 0.5e0)
+        |       AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100e0
+        |     * 100e0 + 0.5e0) AS DOUBLE) / 100e0 AS avg_price
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "serde_json" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
@@ -807,7 +819,9 @@ object SparkEntry {
         |FROM n ORDER BY doc_id""".stripMargin,
     "text_lang_stats" ->
       s"""WITH t AS (SELECT lang, source, n_chars, len($toksSql) AS n_tokens FROM documents)
-         |SELECT lang, count(*) AS n_docs, round(avg(n_chars),2) AS avg_chars,
+         |SELECT lang, count(*) AS n_docs,
+         | CAST(floor(avg(n_chars) * 100e0 + 0.5e0) AS DOUBLE) / 100e0
+         |   AS avg_chars,
          | CAST(sum(n_tokens) AS BIGINT) AS total_tokens, count(DISTINCT source) AS n_sources
          |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
     // compaction preserves contents exactly, so the original table is
@@ -1313,9 +1327,17 @@ object SparkEntry {
         |    quantile_cont(value, 0.95e0) AS p_hi
         |  FROM events GROUP BY 1)
         |SELECT event_type, count(*) AS n,
-        |  round(avg(value), 4) AS raw_mean,
-        |  round(avg(least(greatest(value, p_lo), p_hi)), 4) AS winsorized_mean,
-        |  round(max(p_lo), 4) AS lo_bound, round(max(p_hi), 4) AS hi_bound
+        |  CAST(floor(CAST(sum(CAST(floor(value * 100e0 + 0.5e0) AS BIGINT))
+        |      AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100e0
+        |    * 10000e0 + 0.5e0) AS DOUBLE) / 10000e0 AS raw_mean,
+        |  CAST(floor(CAST(sum(CAST(floor(least(greatest(value, p_lo), p_hi)
+        |        * 10000e0 + 0.5e0) AS BIGINT)) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE) / 10000e0
+        |    * 10000e0 + 0.5e0) AS DOUBLE) / 10000e0 AS winsorized_mean,
+        |  CAST(floor(max(p_lo) * 10000e0 + 0.5e0) AS DOUBLE) / 10000e0
+        |    AS lo_bound,
+        |  CAST(floor(max(p_hi) * 10000e0 + 0.5e0) AS DOUBLE) / 10000e0
+        |    AS hi_bound
         |FROM events e JOIN b USING (event_type)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // schema evolution: the oracle replays the union-schema read (v1
@@ -1493,12 +1515,23 @@ object SparkEntry {
     // engines — z is rounded at the edge; the |z|>3 cut on the unrounded
     // value flips only if a z lands within that epsilon of 3.0 exactly
     "evt_anomaly" ->
-      """WITH p AS (SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sd, count(*) AS n
-        |  FROM events GROUP BY user_id
-        |  HAVING count(*) >= 20 AND stddev_samp(value) > 0)
-        |SELECT event_id, user_id, value, round(mu, 4) AS mu, round(sd, 4) AS sd,
-        |  round((value - mu)/sd, 4) AS z
-        |FROM events JOIN p USING (user_id)
+      """WITH m AS (SELECT user_id,
+        |    CAST(sum(CAST(floor(value * 100e0 + 0.5e0) AS BIGINT))
+        |      AS BIGINT) AS s1,
+        |    CAST(sum(CAST(floor(value * 100e0 + 0.5e0) AS BIGINT)
+        |      * CAST(floor(value * 100e0 + 0.5e0) AS BIGINT)) AS BIGINT) AS s2,
+        |    count(*) AS n FROM events GROUP BY user_id),
+        |p AS (SELECT user_id,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 100e0 AS mu,
+        |    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |        / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1e0)) / 100e0 AS sd
+        |  FROM m WHERE n >= 20),
+        |q AS (SELECT user_id, mu, sd FROM p WHERE sd > 0e0)
+        |SELECT event_id, user_id, value,
+        |  CAST(floor(mu * 10000e0 + 0.5e0) AS DOUBLE) / 10000e0 AS mu,
+        |  CAST(floor(sd * 10000e0 + 0.5e0) AS DOUBLE) / 10000e0 AS sd,
+        |  CAST(floor((value - mu)/sd * 10000e0 + 0.5e0) AS DOUBLE) / 10000e0 AS z
+        |FROM events JOIN q USING (user_id)
         |WHERE abs((value - mu)/sd) > 3.0e0
         |ORDER BY event_id""".stripMargin,
     "graph_pagerank" -> pagerankSql(5),
@@ -1930,9 +1963,12 @@ object SparkEntry {
         |g AS (SELECT event_type,
         |    us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap_us FROM e)
         |SELECT event_type, count(*) AS n_gaps,
-        |  round(quantile_cont(gap_us, 0.5e0) / 1000000.0e0, 4) AS p50_s,
-        |  round(quantile_cont(gap_us, 0.9e0) / 1000000.0e0, 4) AS p90_s,
-        |  round(avg(gap_us) / 1000000.0e0, 4) AS avg_s
+        |  CAST(floor(quantile_cont(gap_us, 0.5e0) / 1000000.0e0
+        |    * 10000e0 + 0.5e0) AS DOUBLE) / 10000e0 AS p50_s,
+        |  CAST(floor(quantile_cont(gap_us, 0.9e0) / 1000000.0e0
+        |    * 10000e0 + 0.5e0) AS DOUBLE) / 10000e0 AS p90_s,
+        |  CAST(floor(avg(gap_us) / 1000000.0e0
+        |    * 10000e0 + 0.5e0) AS DOUBLE) / 10000e0 AS avg_s
         |FROM g WHERE gap_us IS NOT NULL GROUP BY event_type ORDER BY event_type""".stripMargin,
     // confusion matrix over the same langid CASE predictor
     "text_langid_confusion" ->
@@ -2037,8 +2073,10 @@ object SparkEntry {
         |    WHEN r_score <= 2 THEN '5_hibernating'
         |    ELSE '6_other' END AS segment, recency_days, n_orders, cents FROM sco)
         |SELECT segment, count(*) AS n_customers,
-        |  round(avg(recency_days), 2) AS avg_recency_days,
-        |  round(avg(n_orders), 2) AS avg_orders,
+        |  CAST(floor(avg(recency_days) * 100e0 + 0.5e0) AS DOUBLE) / 100e0
+        |    AS avg_recency_days,
+        |  CAST(floor(avg(n_orders) * 100e0 + 0.5e0) AS DOUBLE) / 100e0
+        |    AS avg_orders,
         |  round(CAST(sum(cents) AS DOUBLE) / 100.0e0, 2) AS total_monetary
         |FROM seg GROUP BY segment ORDER BY segment""".stripMargin,
     // one LEFT JOIN per relation against the distinct parent keys; the
@@ -3243,11 +3281,15 @@ object SparkEntry {
         |  FROM e JOIN fv ON e.user_id = fv.user_id
         |  WHERE e.event_type = 'purchase' AND e.us >= fv.v_us GROUP BY 1),
         |d AS (SELECT CAST(hour(make_timestamp(v_us)) AS BIGINT) AS cohort_hour,
+        |    p_us - v_us AS dur_us,
         |    CAST(p_us - v_us AS DOUBLE) / 60e6 AS dur_min FROM cv)
         |SELECT cohort_hour, count(*) AS n_conv,
-        |  round(quantile_cont(dur_min, 0.5e0), 4) AS med_min,
-        |  round(quantile_cont(dur_min, 0.9e0), 4) AS p90_min,
-        |  round(avg(dur_min), 4) AS avg_min
+        |  CAST(floor(quantile_cont(dur_min, 0.5e0) * 10000e0 + 0.5e0)
+        |    AS DOUBLE) / 10000e0 AS med_min,
+        |  CAST(floor(quantile_cont(dur_min, 0.9e0) * 10000e0 + 0.5e0)
+        |    AS DOUBLE) / 10000e0 AS p90_min,
+        |  CAST(floor(avg(dur_us) / 60e6 * 10000e0 + 0.5e0)
+        |    AS DOUBLE) / 10000e0 AS avg_min
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     // integer-valued measure → exact moments; the draw is the
     // engine-replayable md5-fraction threshold
@@ -3321,8 +3363,8 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |  CAST(floor(CAST(max(us) - min(us) AS DOUBLE) / 86400e6 * 10000.0e0
         |    + 0.5e0) AS DOUBLE) / 10000.0e0 AS tenure_days,
-        |  round(avg(CASE WHEN gap IS NOT NULL
-        |    THEN CAST(gap AS DOUBLE) / 60e6 END), 4) AS avg_gap_min,
+        |  CAST(floor(avg(CASE WHEN gap IS NOT NULL THEN gap END) / 60e6
+        |    * 10000e0 + 0.5e0) AS DOUBLE) / 10000e0 AS avg_gap_min,
         |  round(sum(value), 2) AS sum_value
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
     // DATE-cast day arithmetic so both engines count identical days
@@ -3338,7 +3380,8 @@ object SparkEntry {
         |  FROM j)
         |SELECT priority, count(*) AS n_items,
         |  CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
-        |  round(avg(CAST(lag_days AS DOUBLE)), 4) AS avg_lag_days,
+        |  CAST(floor(avg(CAST(lag_days AS DOUBLE)) * 10000e0 + 0.5e0)
+        |    AS DOUBLE) / 10000e0 AS avg_lag_days,
         |  CAST(floor(CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS DOUBLE)
         |    / count(*) * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS late_rate
         |FROM s GROUP BY priority ORDER BY priority""".stripMargin,
@@ -3532,11 +3575,20 @@ object SparkEntry {
         |      WHEN u < 0.9196986029286058e0 THEN 2e0
         |      WHEN u < 0.9810118431238462e0 THEN 3e0 ELSE 4e0 END AS w
         |  FROM u),
-        |mb AS (SELECT r, sum(w * x) / sum(w) AS mb FROM w GROUP BY r),
-        |pt AS (SELECT round(avg(o_totalprice), 4) AS mean_est FROM orders)
+        |mb AS (SELECT r,
+        |    CAST(sum(CAST(w AS BIGINT)
+        |        * CAST(floor(x * 100e0 + 0.5e0) AS BIGINT)) AS DOUBLE)
+        |      / CAST(sum(CAST(w AS BIGINT)) AS DOUBLE) / 100e0 AS mb
+        |  FROM w GROUP BY r),
+        |pt AS (SELECT CAST(floor(CAST(sum(CAST(floor(o_totalprice * 100e0
+        |        + 0.5e0) AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |      / 100e0 * 10000e0 + 0.5e0) AS DOUBLE) / 10000e0 AS mean_est
+        |  FROM orders)
         |SELECT count(*) AS n_replicas,
-        |  round(quantile_cont(mb, 0.025e0), 4) AS ci_lo,
-        |  round(quantile_cont(mb, 0.975e0), 4) AS ci_hi,
+        |  CAST(floor(quantile_cont(mb, 0.025e0) * 10000e0 + 0.5e0)
+        |    AS DOUBLE) / 10000e0 AS ci_lo,
+        |  CAST(floor(quantile_cont(mb, 0.975e0) * 10000e0 + 0.5e0)
+        |    AS DOUBLE) / 10000e0 AS ci_hi,
         |  round(avg(mb), 4) AS boot_mean, pt.mean_est
         |FROM mb CROSS JOIN pt GROUP BY pt.mean_est""".stripMargin,
     "sim_trunc_recall" -> truncRecallSql(Seq(16, 32, 64), 5),
@@ -3563,7 +3615,10 @@ object SparkEntry {
       """WITH f AS (SELECT ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
         |    1, 8))::BIGINT % 5 AS fold, o_totalprice FROM orders),
         |g AS (SELECT fold, count(*) AS n_orders,
-        |    round(avg(o_totalprice), 4) AS mean_value FROM f GROUP BY 1),
+        |    CAST(floor(CAST(sum(CAST(floor(o_totalprice * 100e0 + 0.5e0)
+        |          AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100e0
+        |        * 10000e0 + 0.5e0) AS DOUBLE) / 10000e0 AS mean_value
+        |  FROM f GROUP BY 1),
         |tt AS (SELECT CAST(sum(n_orders) AS DOUBLE) AS n_total FROM g)
         |SELECT fold, n_orders, mean_value,
         |  CAST(floor(CAST(n_orders AS DOUBLE) / (n_total / 5e0) * 10000.0e0
@@ -3583,13 +3638,16 @@ object SparkEntry {
         |      PARTITION BY user_id ORDER BY us, event_id
         |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS rec_us
         |  FROM e),
-        |r AS (SELECT CAST(rec_us - us AS DOUBLE) / 60e6 AS rec_min
+        |r AS (SELECT rec_us - us AS rec_gap_us,
+        |    CAST(rec_us - us AS DOUBLE) / 60e6 AS rec_min
         |  FROM n WHERE event_type = 'error')
         |SELECT count(*) AS n_errors,
         |  CAST(sum(CASE WHEN rec_min IS NOT NULL THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_recovered,
-        |  round(avg(rec_min), 4) AS avg_recovery_min,
-        |  round(quantile_cont(rec_min, 0.5e0), 4) AS p50_recovery_min
+        |  CAST(floor(avg(rec_gap_us) / 60e6 * 10000e0 + 0.5e0)
+        |    AS DOUBLE) / 10000e0 AS avg_recovery_min,
+        |  CAST(floor(quantile_cont(rec_min, 0.5e0) * 10000e0 + 0.5e0)
+        |    AS DOUBLE) / 10000e0 AS p50_recovery_min
         |FROM r""".stripMargin,
     // group-aware md5 folds; OOF stats = totals minus own fold
     "feat_target_encode_oof" ->
@@ -3701,7 +3759,9 @@ object SparkEntry {
       """WITH ln AS (SELECT l_orderkey AS o_orderkey, count(*) AS n_lines
         |  FROM lineitem GROUP BY 1)
         |SELECT n_lines, count(*) AS n_orders,
-        |  round(avg(o_totalprice), 2) AS avg_order_value
+        |  CAST(floor(CAST(sum(CAST(floor(o_totalprice * 100e0 + 0.5e0)
+        |      AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100e0
+        |    * 100e0 + 0.5e0) AS DOUBLE) / 100e0 AS avg_order_value
         |FROM orders JOIN ln USING (o_orderkey)
         |GROUP BY n_lines ORDER BY n_lines""".stripMargin,
     // one fold computes every metric; revenue rounds 2dp BEFORE the
@@ -3716,7 +3776,9 @@ object SparkEntry {
         |    round(sum(l_extendedprice), 2) AS revenue,
         |    count(*) AS n_lines,
         |    CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
-        |    round(avg(l_discount), 4) AS avg_discount,
+        |    CAST(floor(CAST(sum(CAST(floor(l_discount * 100e0 + 0.5e0)
+        |          AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100e0
+        |        * 10000e0 + 0.5e0) AS DOUBLE) / 10000e0 AS avg_discount,
         |    CAST(floor(sum(CASE WHEN lag > 30 THEN 1e0 ELSE 0e0 END)
         |      / count(*) * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS late_rate
         |  FROM f GROUP BY 1)
@@ -3960,14 +4022,21 @@ object SparkEntry {
     "evt_cusum" ->
       """WITH daily AS (SELECT event_type,
         |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
-        |    avg(value) AS x FROM events GROUP BY 1, 2),
-        |sc AS (SELECT event_type, day, x,
-        |    avg(x) OVER (PARTITION BY event_type) AS mu,
+        |    CAST(floor(CAST(sum(CAST(floor(value * 100e0 + 0.5e0) AS BIGINT))
+        |        AS DOUBLE) / CAST(count(*) AS DOUBLE) * 100e0 + 0.5e0)
+        |      AS BIGINT) AS xq FROM events GROUP BY 1, 2),
+        |sc AS (SELECT event_type, day, xq,
+        |    CAST(sum(xq) OVER (PARTITION BY event_type) AS BIGINT) AS sq,
         |    count(*) OVER (PARTITION BY event_type) AS n_days
         |  FROM daily),
         |pf AS (SELECT event_type, day, n_days,
-        |    round(abs(sum(x - mu) OVER (PARTITION BY event_type ORDER BY day
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4) AS s_abs
+        |    CAST(floor(abs(CAST(sum(xq) OVER (PARTITION BY event_type
+        |          ORDER BY day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |        - CAST(count(*) OVER (PARTITION BY event_type ORDER BY day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |          * (CAST(sq AS DOUBLE) / CAST(n_days AS DOUBLE)))
+        |      / 10000e0 * 10000e0 + 0.5e0) AS DOUBLE) / 10000e0 AS s_abs
         |  FROM sc)
         |SELECT event_type, day AS cp_day, s_abs, CAST(n_days AS BIGINT) AS n_days
         |FROM (SELECT pf.*, row_number() OVER (PARTITION BY event_type
@@ -4175,7 +4244,8 @@ object SparkEntry {
         |f AS (SELECT CASE WHEN n_gaps >= 19 AND (cv < 0.1e0 OR cv IS NULL)
         |      THEN 'bot' ELSE 'human' END AS flag, cv, n_gaps FROM c)
         |SELECT flag, count(*) AS n_users, round(avg(cv), 4) AS avg_cv,
-        |  round(avg(n_gaps), 2) AS avg_gaps
+        |  CAST(floor(avg(n_gaps) * 100e0 + 0.5e0) AS DOUBLE) / 100e0
+        |    AS avg_gaps
         |FROM f GROUP BY flag ORDER BY flag""".stripMargin,
     // earliest-entry windowed funnel: every later stage must land
     // within 48 h of the user's FIRST signup; exact integer µs bounds
@@ -4282,8 +4352,12 @@ object SparkEntry {
     "q33_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
         |  coalesce(l_linestatus, 'ALL') AS lstatus,
-        |  count(*) AS n, round(sum(l_extendedprice), 2) AS total,
-        |  round(avg(l_discount), 4) AS avg_disc
+        |  count(*) AS n,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100e0 + 0.5e0) AS BIGINT))
+        |    AS DOUBLE) / 100e0 AS total,
+        |  CAST(floor(CAST(sum(CAST(floor(l_discount * 100e0 + 0.5e0)
+        |        AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100e0
+        |      * 10000e0 + 0.5e0) AS DOUBLE) / 10000e0 AS avg_disc
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY rflag, lstatus""".stripMargin,
     // wide→long via UNION ALL legs ≡ Spark's Expand-based unpivot
@@ -4293,8 +4367,12 @@ object SparkEntry {
         |  UNION ALL SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
         |  UNION ALL SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
         |  UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
-        |SELECT l_returnflag, metric, count(*) AS n, round(sum(val), 2) AS total,
-        |  round(avg(val), 4) AS avg_val
+        |SELECT l_returnflag, metric, count(*) AS n,
+        |  CAST(sum(CAST(floor(val * 100e0 + 0.5e0) AS BIGINT)) AS DOUBLE)
+        |    / 100e0 AS total,
+        |  CAST(floor(CAST(sum(CAST(floor(val * 100e0 + 0.5e0) AS BIGINT))
+        |        AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100e0
+        |      * 10000e0 + 0.5e0) AS DOUBLE) / 10000e0 AS avg_val
         |FROM u GROUP BY l_returnflag, metric ORDER BY l_returnflag, metric""".stripMargin,
     // INTERSECT/EXCEPT cohorts over distinct early/late customer keys
     "q30_setops" ->

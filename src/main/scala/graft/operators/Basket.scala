@@ -124,8 +124,9 @@ object Basket {
     scored
       .groupBy(segment.as("segment"))
       .agg(count(lit(1)).as("n_customers"),
-        round(avg(col("recency_days")), 2).as("avg_recency_days"),
-        round(avg(col("n_orders")), 2).as("avg_orders"),
+        // integer numerators → exact avgs; pround for rule-identity
+        Num.pround(avg(col("recency_days")), 2).as("avg_recency_days"),
+        Num.pround(avg(col("n_orders")), 2).as("avg_orders"),
         round(sum(col("cents")).cast("double") / 100.0, 2).as("total_monetary"))
       .orderBy("segment")
   }
@@ -458,7 +459,8 @@ object Basket {
       .groupBy("priority")
       .agg(count(lit(1)).as("n_items"),
         sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
-        round(avg(col("lag_days").cast("double")), 4).as("avg_lag_days"))
+        // integer numerator → exact avg; pround for rule-identity
+        Num.pround(avg(col("lag_days").cast("double")), 4).as("avg_lag_days"))
       .withColumn("late_rate",
         Num.pround(col("n_late").cast("double") / col("n_items").cast("double"), 4))
       .orderBy("priority")
@@ -545,7 +547,9 @@ object Basket {
       .agg(round(sum("l_extendedprice"), 2).as("revenue"),
         count(lit(1)).as("n_lines"),
         countDistinct(col("l_partkey")).as("n_parts"),
-        round(avg("l_discount"), 4).as("avg_discount"), // float agg → round
+        Num.pround(sum(floor(col("l_discount") * 100.0 + 0.5).cast("long"))
+          .cast("double") / count(lit(1)).cast("double") / 100.0, 4)
+          .as("avg_discount"), // exact discount-cents, any order
         Num.pround(
           sum(when(lag > 30, 1.0).otherwise(0.0)) / count(lit(1)), 4)
           .as("late_rate"))
@@ -570,7 +574,9 @@ object Basket {
       .join(lines, "o_orderkey")
       .groupBy("n_lines")
       .agg(count(lit(1)).as("n_orders"),
-        round(avg("o_totalprice"), 2).as("avg_order_value"))
+        Num.pround(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+          .cast("double") / count(lit(1)).cast("double") / 100.0, 2)
+          .as("avg_order_value")) // exact cents, any order
       .orderBy("n_lines")
   }
 

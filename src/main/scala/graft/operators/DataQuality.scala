@@ -337,13 +337,20 @@ object DataQuality {
           .when(col("u") < 0.7357588823428847, 1.0)
           .when(col("u") < 0.9196986029286058, 2.0)
           .when(col("u") < 0.9810118431238462, 3.0).otherwise(4.0))
+    // replica means from BIGINT-exact (Σw·cents, Σw) pairs — identical
+    // doubles on both engines; the point estimate from exact cents
     val means = reps.groupBy("r")
-      .agg((sum(col("w") * col("x")) / sum(col("w"))).as("mb"))
-    val pt = orders.agg(round(avg("o_totalprice"), 4).as("mean_est"))
+      .agg((sum((col("w").cast("long") * floor(col("x") * 100.0 + 0.5)
+          .cast("long"))).cast("double")
+        / sum(col("w").cast("long")).cast("double") / 100.0).as("mb"))
+    val pt = orders.agg(
+      Num.pround(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+        .cast("double") / count(lit(1)).cast("double") / 100.0, 4)
+        .as("mean_est"))
     means
       .agg(count(lit(1)).as("n_replicas"),
-        round(expr("percentile(mb, 0.025)"), 4).as("ci_lo"),
-        round(expr("percentile(mb, 0.975)"), 4).as("ci_hi"),
+        Num.pround(expr("percentile(mb, 0.025)"), 4).as("ci_lo"),
+        Num.pround(expr("percentile(mb, 0.975)"), 4).as("ci_hi"),
         round(avg("mb"), 4).as("boot_mean"))
       .crossJoin(broadcast(pt)) // bounded: 1 row
   }

@@ -272,17 +272,28 @@ object Events {
     * output edge (float-aggregate gate rule: round(,4) both engines).
     */
   def valueAnomalies(events: DataFrame, sigma: Double = 3.0, minEvents: Int = 20): DataFrame = {
+    // per-user profile from BIGINT-exact cent moments (the ewma
+    // discipline): mu and sd derive from exact integers through one
+    // identical scalar tree — no stddev builtin, no order-dependent
+    // float sum, no round-rule divergence (pround displays)
+    val cents = floor(col("value") * 100.0 + 0.5).cast("long")
     val prof = events.groupBy("user_id")
-      .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"),
+      .agg(sum(cents).as("s1"), sum(cents * cents).as("s2"),
         count(lit(1)).as("n_events"))
+      .withColumn("mu",
+        col("s1").cast("double") / col("n_events").cast("double") / 100.0)
+      .withColumn("sd", sqrt((col("s2").cast("double")
+        - col("s1").cast("double") * col("s1").cast("double")
+          / col("n_events").cast("double"))
+        / (col("n_events").cast("double") - 1.0)) / 100.0)
       .filter(col("n_events") >= minEvents && col("sd") > 0.0)
     events
       .join(prof, "user_id")
       .withColumn("z", (col("value") - col("mu")) / col("sd"))
       .filter(abs(col("z")) > sigma)
       .select(col("event_id"), col("user_id"), col("value"),
-        round(col("mu"), 4).as("mu"), round(col("sd"), 4).as("sd"),
-        round(col("z"), 4).as("z"))
+        Num.pround(col("mu"), 4).as("mu"), Num.pround(col("sd"), 4).as("sd"),
+        Num.pround(col("z"), 4).as("z"))
       .orderBy("event_id")
   }
 
@@ -338,16 +349,24 @@ object Events {
     val bounds = events.groupBy("event_type").agg(
       expr(s"percentile(value, $lo)").as("p_lo"),
       expr(s"percentile(value, $hi)").as("p_hi"))
+    // clip bounds are identical doubles on both engines (same
+    // interpolation over the same sorted values), so the clipped value
+    // quantizes ONCE to exact 1e-4 units per row — every mean is then
+    // a BIGINT-exact sum divided at the readout (the ewma discipline)
     events.join(broadcast(bounds), "event_type")
-      .select(col("event_type"), col("value"),
-        least(greatest(col("value"), col("p_lo")), col("p_hi")).as("w"),
+      .select(col("event_type"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("c"),
+        floor(least(greatest(col("value"), col("p_lo")), col("p_hi"))
+          * 10000.0 + 0.5).cast("long").as("wq"),
         col("p_lo"), col("p_hi"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
-        round(avg(col("value")), 4).as("raw_mean"),
-        round(avg(col("w")), 4).as("winsorized_mean"),
-        round(max(col("p_lo")), 4).as("lo_bound"),
-        round(max(col("p_hi")), 4).as("hi_bound"))
+        Num.pround(sum("c").cast("double") / count(lit(1)).cast("double")
+          / 100.0, 4).as("raw_mean"),
+        Num.pround(sum("wq").cast("double") / count(lit(1)).cast("double")
+          / 10000.0, 4).as("winsorized_mean"),
+        Num.pround(max(col("p_lo")), 4).as("lo_bound"),
+        Num.pround(max(col("p_hi")), 4).as("hi_bound"))
       .orderBy("event_type")
   }
 
@@ -723,10 +742,13 @@ object Events {
       .withColumn("gap_us", col("us") - lag(col("us"), 1).over(byUser))
       .filter(col("gap_us").isNotNull)
       .groupBy("event_type")
+      // integer-µs inputs: percentile interpolation and the exact
+      // integral-sum average are identical doubles on both engines —
+      // pround (not round) so the display rounding is rule-identical
       .agg(count(lit(1)).as("n_gaps"),
-        round(expr("percentile(gap_us, 0.5)") / 1000000.0, 4).as("p50_s"),
-        round(expr("percentile(gap_us, 0.9)") / 1000000.0, 4).as("p90_s"),
-        round(avg(col("gap_us")) / 1000000.0, 4).as("avg_s"))
+        Num.pround(expr("percentile(gap_us, 0.5)") / 1000000.0, 4).as("p50_s"),
+        Num.pround(expr("percentile(gap_us, 0.9)") / 1000000.0, 4).as("p90_s"),
+        Num.pround(avg(col("gap_us")) / 1000000.0, 4).as("avg_s"))
       .orderBy("event_type")
   }
 
@@ -1000,7 +1022,8 @@ object Events {
       .groupBy("flag")
       .agg(count(lit(1)).as("n_users"),
         round(avg(col("cv")), 4).as("avg_cv"),
-        round(avg(col("n_gaps")), 2).as("avg_gaps"))
+        // integer numerator → exact avg; pround for rule-identity
+        Num.pround(avg(col("n_gaps")), 2).as("avg_gaps"))
       .orderBy("flag")
   }
 
@@ -1275,12 +1298,16 @@ object Events {
     conv
       .select(
         hour(timestamp_micros(col("v_us"))).cast("long").as("cohort_hour"),
+        (col("p_us") - col("v_us")).as("dur_us"),
         ((col("p_us") - col("v_us")).cast("double") / lit(60e6)).as("dur_min"))
       .groupBy("cohort_hour")
+      // the mean averages the integer-µs durations (exact sum, ONE
+      // division) instead of per-row-divided doubles; percentiles
+      // interpolate identical doubles — pround displays throughout
       .agg(count(lit(1)).as("n_conv"),
-        round(expr("percentile(dur_min, 0.5)"), 4).as("med_min"),
-        round(expr("percentile(dur_min, 0.9)"), 4).as("p90_min"),
-        round(avg("dur_min"), 4).as("avg_min"))
+        Num.pround(expr("percentile(dur_min, 0.5)"), 4).as("med_min"),
+        Num.pround(expr("percentile(dur_min, 0.9)"), 4).as("p90_min"),
+        Num.pround(avg("dur_us") / lit(60e6), 4).as("avg_min"))
       .orderBy("cohort_hour")
   }
 
@@ -1330,13 +1357,15 @@ object Events {
       .withColumn("rec_us",
         min(when(col("event_type") =!= "error", col("us"))).over(w))
       .filter(col("event_type") === "error")
-      .select(((col("rec_us") - col("us")).cast("double") / 60e6)
-        .as("rec_min"))
+      .select((col("rec_us") - col("us")).as("rec_gap_us"),
+        ((col("rec_us") - col("us")).cast("double") / 60e6).as("rec_min"))
+      // exact integer-µs mean (avg skips NULLs identically on both
+      // engines); percentile interpolates identical doubles — pround
       .agg(count(lit(1)).as("n_errors"),
         sum(when(col("rec_min").isNotNull, 1L).otherwise(0L))
           .as("n_recovered"),
-        round(avg("rec_min"), 4).as("avg_recovery_min"),
-        round(expr("percentile(rec_min, 0.5)"), 4).as("p50_recovery_min"))
+        Num.pround(avg("rec_gap_us") / lit(60e6), 4).as("avg_recovery_min"),
+        Num.pround(expr("percentile(rec_min, 0.5)"), 4).as("p50_recovery_min"))
   }
 
   /** Counterfactual impact readout (CausalImpact-lite): the post-period

@@ -112,8 +112,10 @@ object Features {
           .otherwise(0L))).as("n_sessions"),
         Num.pround((max("us") - min("us")).cast("double") / lit(86400e6), 4)
           .as("tenure_days"),
-        round(avg(when(col("gap").isNotNull,
-          col("gap").cast("double") / 60e6)), 4).as("avg_gap_min"),
+        // exact integer-µs mean (ONE division), not per-row-divided
+        // doubles; pround for rule-identity
+        Num.pround(avg(when(col("gap").isNotNull, col("gap"))) / 60e6, 4)
+          .as("avg_gap_min"),
         round(sum("value"), 2).as("sum_value"))
       .orderBy("user_id")
   }
@@ -162,7 +164,9 @@ object Features {
       (conv(substring(md5(col("o_orderkey").cast("string")), 1, 8), 16, 10)
         .cast("long") % k).as("fold"), col("o_totalprice"))
     val g = folds.groupBy("fold").agg(count(lit(1)).as("n_orders"),
-      round(avg("o_totalprice"), 4).as("mean_value"))
+      Num.pround(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+        .cast("double") / count(lit(1)).cast("double") / 100.0, 4)
+        .as("mean_value")) // exact cents, any order
     val tot = g.agg(sum("n_orders").cast("double").as("n_total"))
     g.crossJoin(broadcast(tot)) // bounded: 1 row
       .select(col("fold"), col("n_orders"), col("mean_value"),

@@ -21,26 +21,37 @@ object Monitor {
     * where the level shifts).
     *
     * Scale shape: ONE corpus fold to the (group × day) grid, then all
-    * window work (series mean, ordered prefix sum, argmax) runs over
+    * window work (series total, ordered prefix sum, argmax) runs over
     * that domain-sized grid partitioned by group — nothing corpus-sized
-    * is sorted. Prefix sums evaluate in day order on any engine, so the
-    * float accumulation ORDER is deterministic; |S| is rounded to 4dp
-    * BEFORE the argmax so a final-ulp difference cannot flip which day
-    * wins (day ascending breaks exact ties).
+    * is sorted. Every window sum is a BIGINT over exact 1e-4-unit
+    * daily means, so |S| is identical on any engine by construction;
+    * it prounds to 4dp BEFORE the argmax so even a boundary value
+    * cannot flip which day wins (day ascending breaks exact ties).
     */
   def cusumChangePoint(events: DataFrame): DataFrame = {
+    // BIGINT-exact daily means (the ewma discipline): cents fold +
+    // one quantization to 1e-4 units, so S(t) = Σxq − t·(Σxq/n)
+    // derives from exact integer prefix sums and one identical scalar
+    // division — no accumulation-order or round-rule sensitivity
+    val cents = floor(col("value") * 100.0 + 0.5).cast("long")
     val daily = events
       .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
-        col("value"))
-      .groupBy("event_type", "day").agg(avg("value").as("x"))
+        cents.as("c"))
+      .groupBy("event_type", "day")
+      .agg(sum("c").as("xc"), count(lit(1)).as("nc"))
+      .withColumn("xq", floor(col("xc").cast("double") / col("nc").cast("double")
+        * 100.0 + 0.5).cast("long"))
     val byType = Window.partitionBy("event_type")
     val prefix = byType.orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val scored = daily
-      .withColumn("mu", avg("x").over(byType))
-      .withColumn("s", sum(col("x") - col("mu")).over(prefix))
-      .withColumn("s_abs", round(abs(col("s")), 4))
+      .withColumn("sq", sum("xq").over(byType)) // BIGINT total
       .withColumn("n_days", count(lit(1)).over(byType))
+      .withColumn("pq", sum("xq").over(prefix)) // BIGINT prefix
+      .withColumn("t", count(lit(1)).over(prefix))
+      .withColumn("s_abs", Num.pround(abs(col("pq").cast("double")
+        - col("t").cast("double") * (col("sq").cast("double")
+          / col("n_days").cast("double"))) / 10000.0, 4))
     scored
       .withColumn("rn", row_number().over(
         byType.orderBy(col("s_abs").desc, col("day").asc)))

@@ -100,7 +100,8 @@ object TextOps {
     withTokenCount(docs)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
-        round(avg("n_chars"), 2).as("avg_chars"),
+        // integer numerator → exact avg; pround for rule-identity
+        Num.pround(avg("n_chars"), 2).as("avg_chars"),
         sum(col("n_tokens").cast("long")).as("total_tokens"),
         countDistinct("source").as("n_sources"))
       .orderBy("lang")

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
+import graft.operators.Num
 
 /** Core relational query surface (the "query capabilities" target of
   * BASELINE.json; kiara analogue: the `filter` operation type,
@@ -21,11 +22,20 @@ object Relational {
       .filter(col("l_shipdate") <= lit("2000-12-31"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
+        // quantities are integral doubles → the sum is exact in any
+        // order; money folds to integer cents per row (the q15
+        // net_price precedent) so no output depends on float
+        // accumulation order or an engine's round() rule
         round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg("l_quantity"), 4).as("avg_qty"),
-        round(avg("l_discount"), 4).as("avg_disc"),
+        (sum(floor(col("l_extendedprice") * 100.0 + 0.5).cast("long"))
+          .cast("double") / 100.0).as("sum_base_price"),
+        (sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 100.0 + 0.5).cast("long")).cast("double") / 100.0)
+          .as("sum_disc_price"),
+        Num.pround(avg("l_quantity"), 4).as("avg_qty"),
+        Num.pround(sum(floor(col("l_discount") * 100.0 + 0.5).cast("long"))
+          .cast("double") / count(lit(1)).cast("double") / 100.0, 4)
+          .as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -76,7 +86,12 @@ object Relational {
       .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name")
-      .agg(count(lit(1)).as("n_cust"), round(avg("c_acctbal"), 2).as("avg_bal"))
+      .agg(count(lit(1)).as("n_cust"),
+        // balances fold to exact integer cents (negatives included:
+        // half-up floor is identical both engines on the whole axis)
+        Num.pround(sum(floor(col("c_acctbal") * 100.0 + 0.5).cast("long"))
+          .cast("double") / count(lit(1)).cast("double") / 100.0, 2)
+          .as("avg_bal"))
       .orderBy("r_name")
 
   /** Window function: top-3 orders per customer by price. */
@@ -387,8 +402,12 @@ object Relational {
   def q33Cube(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("total"),
-        round(avg("l_discount"), 4).as("avg_disc"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("l_extendedprice") * 100.0 + 0.5).cast("long"))
+          .cast("double") / 100.0).as("total"), // exact cents, any order
+        Num.pround(sum(floor(col("l_discount") * 100.0 + 0.5).cast("long"))
+          .cast("double") / count(lit(1)).cast("double") / 100.0, 4)
+          .as("avg_disc"))
       .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
         col("n"), col("total"), col("avg_disc"))
@@ -410,8 +429,12 @@ object Relational {
         "metric", "val")
       .groupBy("l_returnflag", "metric")
       .agg(count(lit(1)).as("n"),
-        round(sum(col("val")), 2).as("total"),
-        round(avg(col("val")), 4).as("avg_val"))
+        // every unpivoted metric is 2dp-or-integer → exact cents
+        (sum(floor(col("val") * 100.0 + 0.5).cast("long"))
+          .cast("double") / 100.0).as("total"),
+        Num.pround(sum(floor(col("val") * 100.0 + 0.5).cast("long"))
+          .cast("double") / count(lit(1)).cast("double") / 100.0, 4)
+          .as("avg_val"))
       .orderBy("l_returnflag", "metric")
   }
 

@@ -51,7 +51,10 @@ object Suite {
     Export.parquet(src, tmp)
     Ingest.parquet(s, tmp)
       .groupBy("p_brand")
-      .agg(count(lit(1)).as("n"), round(avg("p_retailprice"), 2).as("avg_price"))
+      .agg(count(lit(1)).as("n"),
+        Num.pround(sum(floor(col("p_retailprice") * 100.0 + 0.5).cast("long"))
+          .cast("double") / count(lit(1)).cast("double") / 100.0, 2)
+          .as("avg_price")) // exact cents, any order
       .orderBy("p_brand")
   }
 
