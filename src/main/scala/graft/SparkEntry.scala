@@ -2494,28 +2494,33 @@ object SparkEntry {
         |    CAST(sum(n_l) AS BIGINT) AS n_rows, count(*) AS n_groups,
         |    CAST(sum(CASE WHEN n_rhs = 1 THEN 1 ELSE 0 END) AS BIGINT)
         |      AS n_clean_groups,
-        |    round(1e0 - CAST(sum(keep_l) AS DOUBLE)
-        |      / CAST(sum(n_l) AS DOUBLE), 4) AS g3_error FROM g1
+        |    CAST(floor((1e0 - CAST(sum(keep_l) AS DOUBLE)
+        |      / CAST(sum(n_l) AS DOUBLE)) * 10000e0 + 0.5e0)
+        |      AS DOUBLE) / 10000e0 AS g3_error FROM g1
         |  UNION ALL SELECT 'customer.nationkey->mktsegment',
         |    CAST(sum(n_l) AS BIGINT), count(*),
         |    CAST(sum(CASE WHEN n_rhs = 1 THEN 1 ELSE 0 END) AS BIGINT),
-        |    round(1e0 - CAST(sum(keep_l) AS DOUBLE)
-        |      / CAST(sum(n_l) AS DOUBLE), 4) FROM g2
+        |    CAST(floor((1e0 - CAST(sum(keep_l) AS DOUBLE)
+        |      / CAST(sum(n_l) AS DOUBLE)) * 10000e0 + 0.5e0)
+        |      AS DOUBLE) / 10000e0 FROM g2
         |  UNION ALL SELECT 'orders.custkey->orderpriority',
         |    CAST(sum(n_l) AS BIGINT), count(*),
         |    CAST(sum(CASE WHEN n_rhs = 1 THEN 1 ELSE 0 END) AS BIGINT),
-        |    round(1e0 - CAST(sum(keep_l) AS DOUBLE)
-        |      / CAST(sum(n_l) AS DOUBLE), 4) FROM g3
+        |    CAST(floor((1e0 - CAST(sum(keep_l) AS DOUBLE)
+        |      / CAST(sum(n_l) AS DOUBLE)) * 10000e0 + 0.5e0)
+        |      AS DOUBLE) / 10000e0 FROM g3
         |  UNION ALL SELECT 'lineitem.partkey->suppkey',
         |    CAST(sum(n_l) AS BIGINT), count(*),
         |    CAST(sum(CASE WHEN n_rhs = 1 THEN 1 ELSE 0 END) AS BIGINT),
-        |    round(1e0 - CAST(sum(keep_l) AS DOUBLE)
-        |      / CAST(sum(n_l) AS DOUBLE), 4) FROM g4
+        |    CAST(floor((1e0 - CAST(sum(keep_l) AS DOUBLE)
+        |      / CAST(sum(n_l) AS DOUBLE)) * 10000e0 + 0.5e0)
+        |      AS DOUBLE) / 10000e0 FROM g4
         |  UNION ALL SELECT 'events.user_id->event_type',
         |    CAST(sum(n_l) AS BIGINT), count(*),
         |    CAST(sum(CASE WHEN n_rhs = 1 THEN 1 ELSE 0 END) AS BIGINT),
-        |    round(1e0 - CAST(sum(keep_l) AS DOUBLE)
-        |      / CAST(sum(n_l) AS DOUBLE), 4) FROM g5)
+        |    CAST(floor((1e0 - CAST(sum(keep_l) AS DOUBLE)
+        |      / CAST(sum(n_l) AS DOUBLE)) * 10000e0 + 0.5e0)
+        |      AS DOUBLE) / 10000e0 FROM g5)
         |SELECT fd, n_rows, n_groups, n_clean_groups, g3_error,
         |  g3_error = 0e0 AS holds
         |FROM u ORDER BY fd""".stripMargin,
@@ -2875,8 +2880,10 @@ object SparkEntry {
       """WITH s AS (SELECT count(*) AS n,
         |    sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_v,
         |    sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS null_t,
-        |    round(quantile_cont(value, 0.01e0), 2) AS p1,
-        |    round(quantile_cont(value, 0.99e0), 2) AS p99 FROM events),
+        |    CAST(floor(quantile_cont(value, 0.01e0) * 100e0 + 0.5e0)
+        |      AS DOUBLE) / 100e0 AS p1,
+        |    CAST(floor(quantile_cont(value, 0.99e0) * 100e0 + 0.5e0)
+        |      AS DOUBLE) / 100e0 AS p99 FROM events),
         |m AS (SELECT string_agg(DISTINCT event_type, ','
         |      ORDER BY event_type) AS set_csv,
         |    count(DISTINCT event_type) AS ndv FROM events),
@@ -3549,17 +3556,27 @@ object SparkEntry {
         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |  WHERE year(o.o_orderdate) IN (1996, 1997)),
         |g AS (SELECT p.p_brand AS brand,
-        |    sum(CASE WHEN yr = 1996 THEN l_quantity ELSE 0e0 END) AS q0,
-        |    sum(CASE WHEN yr = 1997 THEN l_quantity ELSE 0e0 END) AS q1,
-        |    sum(CASE WHEN yr = 1996 THEN l_extendedprice ELSE 0e0 END) AS r0,
-        |    sum(CASE WHEN yr = 1997 THEN l_extendedprice ELSE 0e0 END) AS r1
+        |    CAST(sum(CASE WHEN yr = 1996
+        |      THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS q0,
+        |    CAST(sum(CASE WHEN yr = 1997
+        |      THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS q1,
+        |    CAST(sum(CASE WHEN yr = 1996 THEN CAST(floor(l_extendedprice
+        |      * 100e0 + 0.5e0) AS BIGINT) ELSE 0 END) AS BIGINT) AS r0c,
+        |    CAST(sum(CASE WHEN yr = 1997 THEN CAST(floor(l_extendedprice
+        |      * 100e0 + 0.5e0) AS BIGINT) ELSE 0 END) AS BIGINT) AS r1c
         |  FROM f JOIN part p ON f.l_partkey = p.p_partkey GROUP BY 1)
-        |SELECT brand, CAST(q0 AS BIGINT) AS qty0, CAST(q1 AS BIGINT) AS qty1,
-        |  round(r0, 2) AS rev0, round(r1, 2) AS rev1,
-        |  round((q1 - q0) * (r0 / q0), 2) AS volume_effect,
-        |  round(((r1 / q1) - (r0 / q0)) * q1, 2) AS price_effect,
-        |  round(r1 - r0, 2) AS total_change
-        |FROM g WHERE q0 > 0e0 AND q1 > 0e0 ORDER BY brand""".stripMargin,
+        |SELECT brand, q0 AS qty0, q1 AS qty1,
+        |  CAST(r0c AS DOUBLE) / 100e0 AS rev0,
+        |  CAST(r1c AS DOUBLE) / 100e0 AS rev1,
+        |  CAST(floor((CAST(q1 AS DOUBLE) - CAST(q0 AS DOUBLE))
+        |      * (CAST(r0c AS DOUBLE) / CAST(q0 AS DOUBLE)) / 100e0
+        |    * 100e0 + 0.5e0) AS DOUBLE) / 100e0 AS volume_effect,
+        |  CAST(floor((CAST(r1c AS DOUBLE) / CAST(q1 AS DOUBLE)
+        |      - CAST(r0c AS DOUBLE) / CAST(q0 AS DOUBLE))
+        |      * CAST(q1 AS DOUBLE) / 100e0
+        |    * 100e0 + 0.5e0) AS DOUBLE) / 100e0 AS price_effect,
+        |  CAST(r1c - r0c AS DOUBLE) / 100e0 AS total_change
+        |FROM g WHERE q0 > 0 AND q1 > 0 ORDER BY brand""".stripMargin,
     // Poisson(1) weights from the md5 bridge; identical CDF literals
     // parse to identical doubles on both engines
     "sample_bootstrap_ci" ->
@@ -3596,19 +3613,27 @@ object SparkEntry {
     // denominator cancellation exact
     "rel_trend_by_group" ->
       """WITH f AS (SELECT l.l_partkey, l.l_extendedprice,
-        |    CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) AS DOUBLE)
+        |    CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) AS BIGINT)
         |      AS m
         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
-        |g AS (SELECT p.p_brand AS brand, f.m, sum(f.l_extendedprice) AS rev
+        |g AS (SELECT p.p_brand AS brand, f.m,
+        |    CAST(sum(CAST(floor(f.l_extendedprice * 100e0 + 0.5e0)
+        |      AS BIGINT)) AS BIGINT) AS revc
         |  FROM f JOIN part p ON f.l_partkey = p.p_partkey GROUP BY 1, 2),
-        |mo AS (SELECT brand, count(*) AS n_months, sum(m) AS sx,
-        |    sum(rev) AS sy, sum(m * m) AS sxx, sum(m * rev) AS sxy
+        |mo AS (SELECT brand, count(*) AS n_months,
+        |    CAST(sum(m) AS BIGINT) AS sx, CAST(sum(revc) AS BIGINT) AS sy,
+        |    CAST(sum(m * m) AS BIGINT) AS sxx,
+        |    CAST(sum(m * revc) AS BIGINT) AS sxy
         |  FROM g GROUP BY 1)
         |SELECT brand, n_months,
-        |  CAST(floor((CAST(n_months AS DOUBLE) * sxy - sx * sy)
-        |    / (CAST(n_months AS DOUBLE) * sxx - sx * sx) * 10000.0e0 + 0.5e0)
+        |  CAST(floor((CAST(n_months AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n_months AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 100e0
+        |    * 10000.0e0 + 0.5e0)
         |    AS DOUBLE) / 10000.0e0 AS slope,
-        |  round(sy / CAST(n_months AS DOUBLE), 2) AS avg_monthly_rev
+        |  CAST(floor(CAST(sy AS DOUBLE) / CAST(n_months AS DOUBLE) / 100e0
+        |    * 100e0 + 0.5e0) AS DOUBLE) / 100e0 AS avg_monthly_rev
         |FROM mo ORDER BY slope DESC, brand LIMIT 10""".stripMargin,
     // md5-bridge fold assignment; balance vs the expected n/k
     "feat_kfold" ->

@@ -633,23 +633,32 @@ object Basket {
     * moment fold → TakeOrdered. Two shuffles total. */
   def trendByGroup(lineitem: DataFrame, orders: DataFrame,
       part: DataFrame, topN: Int = 10): DataFrame = {
+    // monthly revenue folds to BIGINT cents, so EVERY regression
+    // moment is integer-exact (the cuped discipline) — slope and the
+    // avg divide exact integers through identical scalar trees
     val monthly = lineitem
       .select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice"))
       .join(orders.select(col("o_orderkey").as("l_orderkey"),
         (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
-          .cast("double").as("m")), "l_orderkey")
+          .cast("long").as("m")), "l_orderkey")
       .join(broadcast(part.select(col("p_partkey").as("l_partkey"),
         col("p_brand"))), "l_partkey")
       .groupBy(col("p_brand").as("brand"), col("m"))
-      .agg(sum("l_extendedprice").as("rev"))
+      .agg(sum(floor(col("l_extendedprice") * 100.0 + 0.5).cast("long"))
+        .as("revc"))
     val mo = monthly.groupBy("brand").agg(
-      count(lit(1)).as("n_months"), sum("m").as("sx"), sum("rev").as("sy"),
-      sum(col("m") * col("m")).as("sxx"), sum(col("m") * col("rev")).as("sxy"))
+      count(lit(1)).as("n_months"), sum("m").as("sx"), sum("revc").as("sy"),
+      sum(col("m") * col("m")).as("sxx"),
+      sum(col("m") * col("revc")).as("sxy"))
     val nD = col("n_months").cast("double")
     mo.select(col("brand"), col("n_months"),
-      Num.pround((nD * col("sxy") - col("sx") * col("sy"))
-        / (nD * col("sxx") - col("sx") * col("sx")), 4).as("slope"),
-      round(col("sy") / nD, 2).as("avg_monthly_rev"))
+      Num.pround((nD * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+        / (nD * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double")) / 100.0, 4)
+        .as("slope"),
+      Num.pround(col("sy").cast("double") / nD / 100.0, 2)
+        .as("avg_monthly_rev"))
       .orderBy(col("slope").desc, col("brand"))
       .limit(topN)
   }
@@ -671,25 +680,32 @@ object Basket {
       .filter(col("yr") === y0 || col("yr") === y1)
       .join(broadcast(part.select(col("p_partkey").as("l_partkey"),
         col("p_brand"))), "l_partkey")
+    // revenue folds to BIGINT cents, quantities to BIGINT — prices
+    // p = cents/qty are then identical doubles on both engines and
+    // the effects pround through identical scalar trees
     val g = facts.groupBy(col("p_brand").as("brand"))
       .agg(
-        sum(when(col("yr") === y0, col("l_quantity")).otherwise(lit(0.0)))
-          .as("q0"),
-        sum(when(col("yr") === y1, col("l_quantity")).otherwise(lit(0.0)))
-          .as("q1"),
-        sum(when(col("yr") === y0, col("l_extendedprice")).otherwise(lit(0.0)))
-          .as("r0"),
-        sum(when(col("yr") === y1, col("l_extendedprice")).otherwise(lit(0.0)))
-          .as("r1"))
-      .filter(col("q0") > 0.0 && col("q1") > 0.0)
-    val p0 = col("r0") / col("q0")
-    val p1 = col("r1") / col("q1")
-    g.select(col("brand"), col("q0").cast("long").as("qty0"),
-      col("q1").cast("long").as("qty1"),
-      round(col("r0"), 2).as("rev0"), round(col("r1"), 2).as("rev1"),
-      round((col("q1") - col("q0")) * p0, 2).as("volume_effect"),
-      round((p1 - p0) * col("q1"), 2).as("price_effect"),
-      round(col("r1") - col("r0"), 2).as("total_change"))
+        sum(when(col("yr") === y0, col("l_quantity").cast("long"))
+          .otherwise(lit(0L))).as("q0"),
+        sum(when(col("yr") === y1, col("l_quantity").cast("long"))
+          .otherwise(lit(0L))).as("q1"),
+        sum(when(col("yr") === y0,
+          floor(col("l_extendedprice") * 100.0 + 0.5).cast("long"))
+          .otherwise(lit(0L))).as("r0c"),
+        sum(when(col("yr") === y1,
+          floor(col("l_extendedprice") * 100.0 + 0.5).cast("long"))
+          .otherwise(lit(0L))).as("r1c"))
+      .filter(col("q0") > 0L && col("q1") > 0L)
+    val q0d = col("q0").cast("double")
+    val q1d = col("q1").cast("double")
+    val p0 = col("r0c").cast("double") / q0d
+    val p1 = col("r1c").cast("double") / q1d
+    g.select(col("brand"), col("q0").as("qty0"), col("q1").as("qty1"),
+      (col("r0c").cast("double") / 100.0).as("rev0"),
+      (col("r1c").cast("double") / 100.0).as("rev1"),
+      Num.pround((q1d - q0d) * p0 / 100.0, 2).as("volume_effect"),
+      Num.pround((p1 - p0) * q1d / 100.0, 2).as("price_effect"),
+      ((col("r1c") - col("r0c")).cast("double") / 100.0).as("total_change"))
       .orderBy("brand")
   }
 

@@ -665,8 +665,10 @@ object DataQuality {
       count(lit(1)).as("n"),
       sum(when(col("value").isNull, 1L).otherwise(0L)).as("null_v"),
       sum(when(col("event_type").isNull, 1L).otherwise(0L)).as("null_t"),
-      round(expr("percentile(value, 0.01)"), 2).as("p1"),
-      round(expr("percentile(value, 0.99)"), 2).as("p99"))
+      // half-cent interpolants sit exactly on the round(,2) boundary
+      // when 0.01·(n−1) lands on .5 — pround for rule-identity
+      Num.pround(expr("percentile(value, 0.01)"), 2).as("p1"),
+      Num.pround(expr("percentile(value, 0.99)"), 2).as("p99"))
     val members = events.agg(
       array_join(sort_array(collect_set(col("event_type"))), ",").as("set_csv"),
       countDistinct(col("event_type")).as("ndv"))
@@ -726,7 +728,8 @@ object DataQuality {
         sum("keep_l").as("n_keep"))
       .select(lit(tag).as("fd"), col("n_rows"), col("n_groups"),
         col("n_clean_groups"),
-        round(lit(1.0) - col("n_keep").cast("double")
+        // integer-count ratio → clean grid; pround for rule-identity
+        Num.pround(lit(1.0) - col("n_keep").cast("double")
           / col("n_rows").cast("double"), 4).as("g3_error"))
       .withColumn("holds", col("g3_error") === 0.0)
   }
