@@ -4105,15 +4105,16 @@ object SparkEntry {
         |gdist AS (SELECT value_tier, CAST(sum(n) AS BIGINT) AS g
         |  FROM grid GROUP BY 1),
         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM grid),
-        |cells AS (SELECT c.event_type, c.dow, c.class_size,
-        |    abs(CAST(COALESCE(gr.n, 0) AS DOUBLE) / c.class_size
-        |      - CAST(gl.g AS DOUBLE) / t.total) AS dev
+        |cells AS (SELECT c.event_type, c.dow, c.class_size, t.total,
+        |    abs(COALESCE(gr.n, 0) * t.total - gl.g * c.class_size) AS devn
         |  FROM cls c CROSS JOIN gdist gl CROSS JOIN tot t
         |  LEFT JOIN grid gr ON gr.event_type = c.event_type
         |    AND gr.dow = c.dow AND gr.value_tier = gl.value_tier),
         |agg AS (SELECT event_type, dow, class_size,
-        |    round(0.5e0 * sum(dev), 4) AS tvd
-        |  FROM cells GROUP BY 1, 2, 3)
+        |    CAST(floor(CAST(sum(devn) AS DOUBLE)
+        |        / (CAST(class_size AS DOUBLE) * CAST(total AS DOUBLE)) / 2e0
+        |      * 10000e0 + 0.5e0) AS DOUBLE) / 10000e0 AS tvd
+        |  FROM cells GROUP BY event_type, dow, class_size, total)
         |SELECT event_type, dow, class_size, tvd, tvd <= 0.2e0 AS meets_t
         |FROM agg ORDER BY 1, 2""".stripMargin,
     // deterministic discrete-Laplace: both engines hash the identical

@@ -477,8 +477,10 @@ object DataQuality {
     * all derive from that grid, and the deviation cells come from a
     * domain-sized crossJoin (|classes| × |sensitive domain|) with the
     * two scalar/domain frames broadcast — nothing corpus-sized after
-    * the first fold. TVD is a float AGGREGATE → round(,4) on both
-    * engines per the oracle-parity rule. */
+    * the first fold. TVD is BIGINT-exact: |o/cs − g/T| =
+    * |o·T − g·cs| / (cs·T), so the per-class sum accumulates exact
+    * integers and divides once at the readout (the r6 sf0.001 probe
+    * caught the float form on a count-ratio half-boundary). */
   def tCloseness(df: DataFrame, quasi: Seq[String], sensitive: String,
                  t: Double = 0.2): DataFrame = {
     val grid = df.groupBy((quasi :+ sensitive).map(col): _*)
@@ -493,11 +495,14 @@ object DataQuality {
       .join(grid, quasi :+ sensitive, "left")
       .withColumn("o", coalesce(col("n"), lit(0L)))
       .crossJoin(broadcast(tot)) // bounded: 1 row
-      .select(quasi.map(col) ++ Seq(col("class_size"),
-        abs(col("o").cast("double") / col("class_size").cast("double")
-          - col("g").cast("double") / col("total").cast("double")).as("dev")): _*)
-    cells.groupBy((quasi :+ "class_size").map(col): _*)
-      .agg(round(sum("dev") * 0.5, 4).as("tvd"))
+      .select(quasi.map(col) ++ Seq(col("class_size"), col("total"),
+        abs(col("o") * col("total") - col("g") * col("class_size"))
+          .as("devn")): _*)
+    cells.groupBy((quasi ++ Seq("class_size", "total")).map(col): _*)
+      .agg(Num.pround(sum("devn").cast("double")
+        / (col("class_size").cast("double") * col("total").cast("double"))
+        / 2.0, 4).as("tvd"))
+      .drop("total")
       .select(quasi.map(col) ++ Seq(col("class_size"), col("tvd"),
         (col("tvd") <= t).as("meets_t")): _*)
       .orderBy(quasi.map(col): _*)
