@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{IntegerType, LongType, TimestampNTZType, TimestampType}
 
 /** Canonical table access over the driver-generated parquet testdata.
   * Mirrors kiara's "onboarding" idea (values come from a store, not ad-hoc
@@ -14,7 +14,18 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
+    normalizeInts(normalizeTs(spark.read.parquet(s"$dir/$name.parquet")))
+
+  /** The ts-encoding precedent generalized to integer widths: if a
+    * regenerated testdata round ships key columns as INT32, every
+    * Spark output would shrink to int where the DuckDB oracle emits
+    * BIGINT and the driver's hash would fail on width alone. Widen
+    * top-level int32 columns to long at load — a no-op on the current
+    * data, a round-saver on a regeneration. */
+  private def normalizeInts(df: DataFrame): DataFrame = {
+    val narrow = df.schema.fields.filter(_.dataType == IntegerType).map(_.name)
+    narrow.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(LongType)))
+  }
 
   /** The driver has generated events.parquet with two encodings across
     * rounds; accept both so every operator sees plain TimestampType:
