@@ -39,7 +39,10 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
       }
       val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      spark.catalog.clearCache() // release operator-persisted intermediates
+      // release the query's tracked intermediates (the library-user
+      // discipline), with clearCache as a backstop for anything else
+      Caches.release()
+      spark.catalog.clearCache()
       dt
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {

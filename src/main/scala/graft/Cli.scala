@@ -23,6 +23,13 @@ import graft.operators.{Profile, Render}
   *   workflow <root> list             workflows (+ persisted/in-memory)
   *   workflow <root> explain <name>   step structure for one workflow
   *   data <root> list [glob]          stored values: id, rows, aliases
+  *   data <root> load <ref> [rows]    pretty-print a stored value
+  *   data <root> explain <ref>        value info record (id/schema/lineage)
+  *   data <root> filter <ref> <op>    apply an operation ([--save <alias>])
+  *   data <root> import <id> <f> <p>  import a file as a stored value
+  *   data <root> export <ref> <f> <p> export a stored value to a file
+  *   archive export <root> <dir> [r..] bundle values+aliases+lineage
+  *   archive import <root> <dir>      import an archive ([--no-aliases])
   *   type list                        data-type catalog (name -> spark sql)
   *   info config print                effective engine configuration
   *
@@ -174,6 +181,38 @@ object Cli {
       val kind = if (api.workflows.isPersisted(name)) "persisted" else "in-memory"
       s"workflow: $name ($kind)\nsteps:\n" + steps.map(s =>
         f"  ${s.name}%-20s op=${s.op}%-24s input=${s.input}").mkString("\n")
+    // load + pretty-print a stored value (kiara data load,
+    // reference interfaces/cli/data/commands.py:531)
+    case "data" :: root :: "load" :: ref :: rest if rest.size <= 1 =>
+      val rows = rest.headOption.map(_.toInt).getOrElse(20)
+      Render.prettyPrint(new GraftApi(spark, root).getValue(ref), rows)
+    // value detail record (kiara data explain, commands.py:215 — same
+    // info record the `value <root> info` verb renders)
+    case "data" :: root :: "explain" :: ref :: Nil =>
+      run(spark, Array("value", root, "info", ref))
+    // apply a registered operation to a stored value (kiara data
+    // filter, commands.py:699): records job + lineage like `run`
+    case "data" :: root :: "filter" :: ref :: operation :: rest =>
+      run(spark, Array("run", root, operation, ref) ++ rest)
+    // single-value import/export (kiara data import/export,
+    // commands.py:361,312) over the Convert/Export format dispatch
+    case "data" :: root :: "import" :: id :: format :: path :: Nil =>
+      val api = new GraftApi(spark, root)
+      val df = api.importValue(id, format, path)
+      s"imported: $id (${df.count()} rows from $path)"
+    case "data" :: root :: "export" :: ref :: format :: path :: Nil =>
+      new GraftApi(spark, root).exportValue(ref, format, path)
+      s"exported: $ref -> $path ($format)"
+    // archive round-trip (kiara archive export/import,
+    // reference interfaces/cli/archive/commands.py:46,82)
+    case "archive" :: "export" :: root :: targetDir :: refs =>
+      val ids = new GraftApi(spark, root).exportArchive(targetDir, refs)
+      s"exported archive: $targetDir (${ids.size} values: ${ids.sorted.mkString(", ")})"
+    case "archive" :: "import" :: root :: sourceDir :: rest
+        if rest.isEmpty || rest == List("--no-aliases") =>
+      val ids = new GraftApi(spark, root)
+        .importArchive(sourceDir, noAliases = rest.nonEmpty)
+      s"imported archive: ${ids.size} values: ${ids.sorted.mkString(", ")}"
     // stored-value listing over a context root (kiara data list,
     // reference interfaces/cli/data/commands.py): id, rows, aliases
     case "data" :: root :: "list" :: globs if globs.size <= 1 =>
@@ -225,11 +264,16 @@ object Cli {
           s"operations [filter...] | operation <name> | " +
           s"module list|explain <name> | plugin list|explain <name> | " +
           s"context <root> list|create <name>|use <name>|current|info | " +
-          s"archive info <dir> | value <root> info <ref> | jobs <root> list | " +
+          s"archive info <dir> | archive export <root> <dir> [refs...] | " +
+          s"archive import <root> <dir> [--no-aliases] | " +
+          s"value <root> info <ref> | jobs <root> list | " +
           s"run <root> <operation> <valueRef> [--save <alias>] | " +
           s"pipeline <root> list|explain <name> | " +
           s"workflow <root> list|explain <name> | " +
-          s"data <root> list [glob] | type list | info config print " +
+          s"data <root> list [glob]|load <ref> [rows]|explain <ref>" +
+          s"|filter <ref> <op> [--save <alias>]" +
+          s"|import <id> <fmt> <path>|export <ref> <fmt> <path> | " +
+          s"type list | info config print " +
           s"(got: ${other.mkString(" ")})")
   }
 

@@ -1374,7 +1374,7 @@ object SparkEntry {
         |  FROM c)
         |SELECT event_type, n_a, n_b,
         |  round(ma, 4) AS mean_a, round(mb, 4) AS mean_b,
-        |  round((ma - mb) / sqrt(sea + seb), 4) AS t_stat,
+        |  round((ma - mb) / sqrt(sea + seb), 4) + 0e0 AS t_stat,
         |  round((sea + seb) * (sea + seb) / (sea * sea / (CAST(n_a AS DOUBLE) - 1.0e0)
         |    + seb * seb / (CAST(n_b AS DOUBLE) - 1.0e0)), 4) AS welch_df,
         |  (abs((ma - mb) / sqrt(sea + seb)) > 1.96e0) AS significant
@@ -1449,9 +1449,9 @@ object SparkEntry {
         |    sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy
         |  FROM e GROUP BY event_type)
         |SELECT event_type, n,
-        |  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 4) AS slope,
-        |  round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 4) AS intercept,
-        |  round((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 4) AS pearson_r
+        |  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 4) + 0e0 AS slope,
+        |  round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 4) + 0e0 AS intercept,
+        |  round((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 4) + 0e0 AS pearson_r
         |FROM s ORDER BY event_type""".stripMargin,
     // weighted sampling: max-of-w md5 draws IS u^(1/w) (A-Res), ranked
     // as hex strings — no float anywhere, so the sets match exactly
@@ -1694,7 +1694,7 @@ object SparkEntry {
         |  SELECT label, i - 1 AS dim, emb[i] AS v
         |  FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |       (SELECT unnest(generate_series(1, 8)) AS i) g)
-        |SELECT label, CAST(dim AS BIGINT) AS dim, round(avg(v), 4) AS avg_v
+        |SELECT label, CAST(dim AS BIGINT) AS dim, round(avg(v), 4) + 0e0 AS avg_v
         |FROM u GROUP BY label, dim ORDER BY label, dim""".stripMargin,
     // hybrid retrieval: dense cosine + sparse 3-gram jaccard legs, RRF-fused.
     // Each leg replays its proven oracle formulation (sim_topk_exact /
@@ -1894,10 +1894,10 @@ object SparkEntry {
     // one-pass moment aggregates; 4dp absorbs engine accumulation-order ulps
     "dq_corr" ->
       """SELECT count(*) AS n,
-        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-        |  round(corr(l_quantity, l_discount), 4) AS corr_qty_disc,
-        |  round(corr(l_extendedprice, l_discount), 4) AS corr_price_disc,
-        |  round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
+        |  round(corr(l_quantity, l_extendedprice), 4) + 0e0 AS corr_qty_price,
+        |  round(corr(l_quantity, l_discount), 4) + 0e0 AS corr_qty_disc,
+        |  round(corr(l_extendedprice, l_discount), 4) + 0e0 AS corr_price_disc,
+        |  round(covar_samp(l_quantity, l_extendedprice), 4) + 0e0 AS cov_qty_price,
         |  round(stddev_samp(l_quantity), 4) AS sd_qty,
         |  round(stddev_samp(l_extendedprice), 4) AS sd_price
         |FROM lineitem""".stripMargin,
@@ -2127,8 +2127,8 @@ object SparkEntry {
         |   (cnt*sxy - sx*sy) / (cnt*sxx - sx*sx) AS slope,
         |   cnt, sx, sy, sxx, sxy, syy FROM a)
         |SELECT n_terms,
-        | round(slope, 4) AS slope,
-        | round((sy - slope*sx) / cnt, 4) AS intercept,
+        | round(slope, 4) + 0e0 AS slope,
+        | round((sy - slope*sx) / cnt, 4) + 0e0 AS intercept,
         | round((cnt*sxy - sx*sy)*(cnt*sxy - sx*sy)
         |   / ((cnt*sxx - sx*sx)*(cnt*syy - sy*sy)), 4) AS r2
         |FROM fit""".stripMargin,
@@ -2376,9 +2376,9 @@ object SparkEntry {
         |    sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy
         |  FROM e GROUP BY brand)
         |SELECT brand, n,
-        |  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 4) AS elasticity,
+        |  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 4) + 0e0 AS elasticity,
         |  round((n*sxy - sx*sy)
-        |    / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 4) AS pearson_r
+        |    / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 4) + 0e0 AS pearson_r
         |FROM s ORDER BY brand""".stripMargin,
     // gini via the rank-weighted sum; (value, key) tie-break fixes ranks
     "dq_gini" ->
@@ -2389,7 +2389,7 @@ object SparkEntry {
         |    sum(CAST(i AS DOUBLE) * x) AS six FROM r GROUP BY 1)
         |SELECT o_orderpriority, n,
         |  round(2.0e0 * six / (CAST(n AS DOUBLE) * sx)
-        |    - CAST(n + 1 AS DOUBLE) / n, 4) AS gini
+        |    - CAST(n + 1 AS DOUBLE) / n, 4) + 0e0 AS gini
         |FROM s ORDER BY o_orderpriority""".stripMargin,
     // binned two-sample KS vs the pooled rest; integer cumsums exact on
     // both engines, gap rounded BEFORE the argmax (cusum precedent)
@@ -2461,7 +2461,7 @@ object SparkEntry {
         |    round((u - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2e0)
         |      / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12e0
         |        * (CAST(n + 1 AS DOUBLE) - CAST(ties AS DOUBLE)
-        |          / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))), 4) AS z
+        |          / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))), 4) + 0e0 AS z
         |  FROM fin)
         |SELECT event_type, CAST(n_a AS BIGINT) AS n_a,
         |  CAST(n_b AS BIGINT) AS n_b, round(u, 1) AS u, z,
@@ -2567,7 +2567,7 @@ object SparkEntry {
          |    round(ln(CAST(n_pair AS DOUBLE) * CAST(nu AS DOUBLE)
          |        * CAST(nu AS DOUBLE)
          |      / (CAST(nb AS DOUBLE) * CAST(c1 AS DOUBLE)
-         |        * CAST(c2 AS DOUBLE))), 4) AS pmi
+         |        * CAST(c2 AS DOUBLE))), 4) + 0e0 AS pmi
          |  FROM j CROSS JOIN tot)
          |SELECT bigram, n_pair, c1, c2, pmi
          |FROM f ORDER BY pmi DESC, bigram LIMIT 30""".stripMargin,
@@ -2689,7 +2689,7 @@ object SparkEntry {
         |    AS avg_degree,
         |  round((CAST(mm AS DOUBLE) * sxy - sx * sy)
         |    / sqrt((CAST(mm AS DOUBLE) * sxx - sx * sx)
-        |      * (CAST(mm AS DOUBLE) * syy - sy * sy)), 4) AS assortativity
+        |      * (CAST(mm AS DOUBLE) * syy - sy * sy)), 4) + 0e0 AS assortativity
         |FROM mo CROSS JOIN nn CROSS JOIN ne""".stripMargin,
     // the WHOLE pipeline — container synthesis, header parse, frame
     // slicing, sampled-byte md5 — replays in SQL (frames are ASCII md5
@@ -2741,7 +2741,7 @@ object SparkEntry {
         |  FROM f)
         |SELECT day, CAST(xa AS BIGINT) AS xa, CAST(xb AS BIGINT) AS xb,
         |  CAST(n AS BIGINT) AS n_days,
-        |  CASE WHEN den2 > 0e0 THEN round(num / sqrt(den2), 4) END AS corr
+        |  CASE WHEN den2 > 0e0 THEN round(num / sqrt(den2), 4) + 0e0 END AS corr
         |FROM g ORDER BY day""".stripMargin,
     // oracle = DuckDB's NATIVE windowed count(DISTINCT): the hash match
     // proves the first-occurrence composition ≡ the builtin Spark lacks
@@ -2929,9 +2929,9 @@ object SparkEntry {
         |    CAST(n_events AS DOUBLE) - (icept + slope * i) AS detrended
         |  FROM ix CROSS JOIN co2),
         |dw AS (SELECT dow, avg(detrended) AS dow_effect FROM t2 GROUP BY 1)
-        |SELECT day, t2.dow, n_events, round(trend, 4) AS trend,
-        |  round(dow_effect, 4) AS dow_effect,
-        |  round(detrended - dow_effect, 4) AS residual
+        |SELECT day, t2.dow, n_events, round(trend, 4) + 0e0 AS trend,
+        |  round(dow_effect, 4) + 0e0 AS dow_effect,
+        |  round(detrended - dow_effect, 4) + 0e0 AS residual
         |FROM t2 JOIN dw ON dw.dow = t2.dow ORDER BY day""".stripMargin,
     // md5-stride sample caps the quadratic; thresholds compare the
     // unrounded cosine (list_inner_product ≡ DotProduct, topk precedent)
@@ -3072,11 +3072,11 @@ object SparkEntry {
         |    var_raw - 2e0 * theta * cov_v + theta * theta * var_x AS var_adj
         |  FROM fo)
         |SELECT v AS variant, nu AS n_users,
-        |  round(mean_raw / 100e0, 4) AS mean_raw,
-        |  round(mean_cuped / 100e0, 4) AS mean_cuped,
-        |  round(var_raw / 10000e0, 4) AS var_raw,
-        |  round(var_adj / 10000e0, 4) AS var_cuped,
-        |  round(1e0 - var_adj / var_raw, 4) AS var_reduction
+        |  round(mean_raw / 100e0, 4) + 0e0 AS mean_raw,
+        |  round(mean_cuped / 100e0, 4) + 0e0 AS mean_cuped,
+        |  round(var_raw / 10000e0, 4) + 0e0 AS var_raw,
+        |  round(var_adj / 10000e0, 4) + 0e0 AS var_cuped,
+        |  round(1e0 - var_adj / var_raw, 4) + 0e0 AS var_reduction
         |FROM fi ORDER BY variant""".stripMargin,
     // sliding 2h/1h: an event at t belongs to windows starting at
     // trunc(t,1h) and trunc(t,1h) − 1h — the oracle replays that
@@ -3115,7 +3115,7 @@ object SparkEntry {
         |SELECT yr, n_orders, revenue,
         |  CASE WHEN lag(revenue) OVER (ORDER BY yr) IS NOT NULL
         |    THEN round((revenue - lag(revenue) OVER (ORDER BY yr))
-        |      / lag(revenue) OVER (ORDER BY yr) * 100e0, 2) END AS yoy_pct
+        |      / lag(revenue) OVER (ORDER BY yr) * 100e0, 2) + 0e0 END AS yoy_pct
         |FROM y ORDER BY yr""".stripMargin,
     // journey strings assembled per user (first 20 events, rn-ordered),
     // then each pattern is one RE2-subset regex replayed verbatim;
@@ -3165,9 +3165,9 @@ object SparkEntry {
         |  JOIN dr ON l.l_discount = dr.v
         |  JOIN xr ON l.l_tax = xr.v)
         |SELECT count(*) AS n,
-        |  round(corr(rq, rd), 4) AS rho_qty_disc,
-        |  round(corr(rq, rt), 4) AS rho_qty_tax,
-        |  round(corr(rd, rt), 4) AS rho_disc_tax FROM f""".stripMargin,
+        |  round(corr(rq, rd), 4) + 0e0 AS rho_qty_disc,
+        |  round(corr(rq, rt), 4) + 0e0 AS rho_qty_tax,
+        |  round(corr(rd, rt), 4) + 0e0 AS rho_disc_tax FROM f""".stripMargin,
     // triangles CTE = graph_triangles verbatim; cc portable-rounded
     // BEFORE the top-N ordering on both engines
     "graph_cluster_coeff" ->
@@ -3273,9 +3273,9 @@ object SparkEntry {
         |      + ((sdd_t - sd_t * sd_t / CAST(n_t AS DOUBLE))
         |        / (CAST(n_t AS DOUBLE) - 1e0)) / CAST(n_t AS DOUBLE)) AS se
         |  FROM m)
-        |SELECT n_c, n_t, round(did_est, 4) AS did, round(se, 4) AS se,
+        |SELECT n_c, n_t, round(did_est, 4) + 0e0 AS did, round(se, 4) AS se,
         |  CASE WHEN NOT isnan(se) AND se > 0e0
-        |    THEN round(did_est / se, 4) END AS t_stat
+        |    THEN round(did_est / se, 4) + 0e0 END AS t_stat
         |FROM f""".stripMargin,
     // "first purchase at-or-after first view" is a filter + min, not
     // an as-of scan; exact interpolated percentiles (q13 convention)
@@ -3699,28 +3699,29 @@ object SparkEntry {
     // cumulative share evaluated in fixed frame order, rounded BEFORE
     // the class compare (round-before-argmax rule); CV likewise
     "rel_abc_xyz" ->
-      """WITH f AS (SELECT l.l_partkey, l.l_quantity, l.l_extendedprice,
+      """WITH f AS (SELECT l.l_partkey, l.l_quantity,
+        |    CAST(floor(l.l_extendedprice * 100e0 + 0.5e0) AS BIGINT) AS cents,
         |    year(o.o_orderdate) * 12 + month(o.o_orderdate) AS m
         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
         |mo AS (SELECT l_partkey, m, sum(l_quantity) AS q,
-        |    sum(l_extendedprice) AS r FROM f GROUP BY 1, 2),
-        |bp AS (SELECT l_partkey, round(sum(r), 2) AS rev,
+        |    CAST(sum(cents) AS BIGINT) AS rc FROM f GROUP BY 1, 2),
+        |bp AS (SELECT l_partkey, CAST(sum(rc) AS BIGINT) AS rev_c,
         |    stddev_samp(q) / avg(q) AS cv FROM mo GROUP BY 1),
-        |cl AS (SELECT l_partkey, rev,
-        |    CAST(floor(sum(rev) OVER (ORDER BY rev DESC, l_partkey
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      / sum(rev) OVER () * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0
-        |      AS cum_share,
+        |cl AS (SELECT l_partkey, rev_c,
+        |    CAST(floor(CAST(sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |      / CAST(sum(rev_c) OVER () AS DOUBLE) * 10000.0e0 + 0.5e0)
+        |      AS DOUBLE) / 10000.0e0 AS cum_share,
         |    CAST(floor(cv * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS cv_r
         |  FROM bp),
-        |cc AS (SELECT rev,
+        |cc AS (SELECT rev_c,
         |    CASE WHEN cum_share <= 0.8e0 THEN 'A'
         |      WHEN cum_share <= 0.95e0 THEN 'B' ELSE 'C' END AS abc_class,
         |    CASE WHEN cv_r IS NULL THEN 'Z' WHEN cv_r <= 0.5e0 THEN 'X'
         |      WHEN cv_r <= 1.0e0 THEN 'Y' ELSE 'Z' END AS xyz_class
         |  FROM cl)
         |SELECT abc_class, xyz_class, count(*) AS n_parts,
-        |  round(sum(rev), 2) AS revenue
+        |  CAST(CAST(sum(rev_c) AS BIGINT) AS DOUBLE) / 100e0 AS revenue
         |FROM cc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // one fit aggregate broadcast into a row-local transform
     "feat_scaler" ->
@@ -4357,7 +4358,7 @@ object SparkEntry {
         |t AS (SELECT col_name, cnt,
         |  CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY col_name) AS p FROM f)
         |SELECT col_name, CAST(count(*) AS BIGINT) AS n_distinct,
-        |  round(-sum(p * log2(p)), 4) AS entropy_bits
+        |  round(-sum(p * log2(p)), 4) + 0e0 AS entropy_bits
         |FROM t GROUP BY col_name ORDER BY col_name""".stripMargin,
     // partition-pruned english slice must equal the plain filter on the
     // original table (losslessness of the partitioned layout included)

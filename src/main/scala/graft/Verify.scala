@@ -29,8 +29,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // operators may persist() intermediates (LSH indexes); release them
-      // so cached blocks don't accumulate across the whole query sweep
+      // operators persistTracked() their intermediates (LSH indexes,
+      // rank cells); release exactly those — the discipline an embedding
+      // application follows — then clearCache as a backstop
+      Caches.release()
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Caches._
 
 /** Market-basket co-occurrence — the frequent-pairs core of association
   * mining ("customers who bought X also bought Y"): for every attribute
@@ -34,7 +35,7 @@ object Basket {
       .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
         col("l_partkey") === col("p_partkey"))
       .groupBy("okey").agg(collect_set(col("p_brand")).as("brands"))
-      .persist()
+      .persistTracked()
 
   /** Brand pairs co-occurring in orders, with support ≥ `minSupport`
     * and lift; deterministic total order on the pair. */
@@ -98,7 +99,7 @@ object Basket {
     val base = per.crossJoin(broadcast(maxDay))
       .withColumn("recency_days",
         datediff(col("global_max"), col("last_order")).cast("long"))
-      .persist() // customer-dimension-sized; scores join back onto it
+      .persistTracked() // customer-dimension-sized; scores join back onto it
     // v ascending reproduces each dimension's ntile order exactly:
     // recency DESC ⇔ (−recency) ASC; cells stay monotone in v (DIV
     // truncates toward zero — order-preserving on the whole axis)
@@ -149,7 +150,7 @@ object Basket {
       floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
     // customer-dimension-sized; two consumers (cohort sizes + the tag
     // join), so persist rather than re-scan orders for each
-    val first = o.groupBy("o_custkey").agg(min("m").as("m0")).persist()
+    val first = o.groupBy("o_custkey").agg(min("m").as("m0")).persistTracked()
     val cohortSize = first.groupBy("m0").agg(count(lit(1)).as("n_customers"))
     val cells = o.join(first, Seq("o_custkey"))
       .select(col("m0"), (col("m") - col("m0")).cast("long").as("age_months"), col("cents"))
@@ -311,7 +312,7 @@ object Basket {
       .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
         col("l_partkey") === col("p_partkey"))
       .groupBy("o_custkey").agg(collect_set(col("p_brand")).as("brands"))
-      .persist() // three consumers: singles + both explode passes
+      .persistTracked() // three consumers: singles + both explode passes
     val singles = cb.select(explode(col("brands")).as("b"))
       .groupBy("b").agg(count(lit(1)).as("n"))
     val pairs = cb
@@ -482,11 +483,11 @@ object Basket {
     val baskets = lineitem
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
       .filter(col("p") % mod === 0).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nOrders = baskets.select(col("ok")).distinct().count()
     val freq = baskets.groupBy("p").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("p")).limit(topItems)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairsDomain = freq.select(col("p").as("pa"), col("n").as("n_a"))
       .crossJoin(freq.select(col("p").as("pb"), col("n").as("n_b")))
       .filter(col("pa") < col("pb"))
@@ -586,31 +587,36 @@ object Basket {
     * variability (CV of monthly quantity: X ≤ 0.5, Y ≤ 1.0, Z rest).
     * Output is the 9-cell matrix with counts and revenue share.
     *
-    * Scale/determinism: facts fold once to the part domain; the
-    * cumulative-share window runs over that dimension-sized table in
-    * a FIXED frame order (revenue desc, part id), so the prefix sum
-    * is deterministic float on both engines, and both cum-share and
-    * CV are portable-rounded BEFORE their threshold compares (the
-    * round-before-argmax rule). */
+    * Scale/determinism: facts fold once to the part domain with
+    * revenue in EXACT integer cents (so the cumulative sum is
+    * associative — no float accumulation-order channel anywhere); the
+    * global Pareto prefix runs through [[Rank.rankedCumSum]]'s
+    * two-level scan (log2-revenue cells, value-domain-bounded ≤64
+    * buckets at ANY corpus size), never a single-partition window —
+    * the part dimension scales with the data, unlike nation/region.
+    * Both cum-share and CV are portable-rounded BEFORE their
+    * threshold compares (the round-before-argmax rule). */
   def abcXyz(lineitem: DataFrame, orders: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val facts = lineitem
       .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
-        col("l_extendedprice"))
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("cents"))
       .join(orders.select(col("o_orderkey").as("l_orderkey"),
         (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m")),
         "l_orderkey")
     val monthly = facts.groupBy(col("l_partkey"), col("m"))
-      .agg(sum("l_quantity").as("q"), sum("l_extendedprice").as("r"))
+      .agg(sum("l_quantity").as("q"), sum("cents").as("rc"))
     val byPart = monthly.groupBy("l_partkey")
-      .agg(round(sum("r"), 2).as("rev"),
+      .agg(sum("rc").as("rev_c"),
         (stddev_samp(col("q")) / avg(col("q"))).as("cv"))
-    val wCum = Window.orderBy(col("rev").desc, col("l_partkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wTot = Window.partitionBy()
-    val classed = byPart
+    // cell = -ilog2(revenue): monotone non-decreasing along the
+    // (rev_c desc, part) order, bounded by the long value domain
+    val ranked = Rank.rankedCumSum(byPart,
+      -floor(log2(col("rev_c").cast("double") + 1.0)).cast("long"),
+      Seq(col("rev_c").desc, col("l_partkey")), col("rev_c"))
+    val tot = byPart.agg(sum("rev_c").as("tot"))
+    val classed = ranked.crossJoin(broadcast(tot)) // bounded: 1 row
       .withColumn("cum_share",
-        Num.pround(sum("rev").over(wCum) / sum("rev").over(wTot), 4))
+        Num.pround(col("cum").cast("double") / col("tot").cast("double"), 4))
       .withColumn("cv_r", Num.pround(col("cv"), 4))
       .withColumn("abc_class", when(col("cum_share") <= 0.8, "A")
         .when(col("cum_share") <= 0.95, "B").otherwise("C"))
@@ -618,7 +624,8 @@ object Basket {
         .when(col("cv_r") <= 0.5, "X")
         .when(col("cv_r") <= 1.0, "Y").otherwise("Z"))
     classed.groupBy("abc_class", "xyz_class")
-      .agg(count(lit(1)).as("n_parts"), round(sum("rev"), 2).as("revenue"))
+      .agg(count(lit(1)).as("n_parts"),
+        (sum("rev_c").cast("double") / 100.0).as("revenue"))
       .orderBy("abc_class", "xyz_class")
   }
 
@@ -745,7 +752,7 @@ object Basket {
         col("o_totalprice"))
       .groupBy("o_custkey", "period")
       .agg(round(sum("o_totalprice"), 2).as("spend"))
-      .persist() // three consumers: cuts + both period sides
+      .persistTracked() // three consumers: cuts + both period sides
     val cuts = spend.groupBy("period").agg(
       expr("percentile(spend, 0.25)").as("q1"),
       expr("percentile(spend, 0.5)").as("q2"),

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Caches._
 
 /** Deduplication operators for LLM-training-data pipelines.
   *
@@ -62,7 +63,7 @@ object Dedup {
       .groupBy("f").agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd") >= minDocs)
       .select(col("f"), lit(1).as("__dup"))
-      .persist()
+      .persistTracked()
     lines.join(dup, Seq("f"), "left")
       .groupBy("doc_id")
       .agg(
@@ -133,7 +134,7 @@ object Dedup {
     // corpus (NumHashes longs per doc), so this is the 100 TB play too
     // (there you'd checkpoint them to storage).
     val sigs = minhashSignatures(docs, shingleK)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = bandedSigs(sigs)
     val a = banded.select(col("band"), col("bhash"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("bhash"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
@@ -250,7 +251,7 @@ object Dedup {
     // persist: referenced on both sides of the chunk self-join (see
     // minhashCandidates) — one long per doc, negligible footprint
     val sh = simhash(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = sh.select(col("doc_id"), col("simhash"),
       explode(expr(s"transform(sequence(0, ${numChunks - 1}), c -> " +
         s"named_struct('chunk', c, 'ckey', shiftright(simhash, c * $width) & $mask))")).as("ck"))
@@ -283,7 +284,7 @@ object Dedup {
     val rawEdges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // near-dup pair sets are a sliver of the corpus (LSH candidates);
     // size the iterative joins to the graph, not to the session default —
     // per-iteration scheduling overhead dominates otherwise
@@ -291,7 +292,7 @@ object Dedup {
     val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
       (nEdges / 100000L).toInt + 1))
     val edges = rawEdges.repartition(parts, col("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     edges.count() // materialize, then release the pre-repartition copy
     rawEdges.unpersist()
     // localCheckpoint (eager) truncates lineage every round, so each
@@ -346,7 +347,7 @@ object Dedup {
     val cl = clusters(minhashVerified(docs, threshold, shingleK).select("doc_a", "doc_b"))
     val sized = cl
       .join(docs.select(col("doc_id"), length(col("text")).cast("long").as("len")), "doc_id")
-      .persist()
+      .persistTracked()
     val best = sized.groupBy("cluster_id").agg(max(col("len")).as("max_len"))
     val keeper = sized.join(best, "cluster_id")
       .filter(col("len") === col("max_len"))
@@ -381,7 +382,7 @@ object Dedup {
                    sketchItems: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.graftext.BloomMembership._
     val refFp = ref.select(md5(normalized(col(textCol))).as("fp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one pass over the reference feeds BOTH the sketch build and the
     // exact join (persist = no second scan); the count sizes the sketch
     val nRef = refFp.count()
@@ -420,7 +421,7 @@ object Dedup {
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= k)
       .select(col("doc_id"), expr(shingleSetSql("toks", k)).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val posting = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     val freq = posting.groupBy("s").agg(count(lit(1)).as("cf"))
     val prefix = posting.join(freq, "s")
@@ -432,7 +433,7 @@ object Dedup {
             s"size(ord) - cast(ceil($threshold * size(ord)) as int) + 1)")).as("s"))
       // self-join input: persist or the whole posting/frequency/sort
       // subtree runs twice (CLAUDE.md self-join rule)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
           col("a.n") * lit(threshold) <= col("b.n") &&
@@ -547,7 +548,7 @@ object Dedup {
       .select(col("source"), explode(
         org.apache.spark.sql.graftext.Shingles.winnowFps(col("toks"), k, 1)).as("gram"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = grams.groupBy("source").agg(count(lit(1)).as("n"))
     val shared = grams.as("a")
       .join(grams.as("b"),
@@ -617,7 +618,7 @@ object Dedup {
       case None => posting0
     }
     val cached =
-      posting.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      posting.persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cached.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("s"))
       .join(cached.select(col("doc_id").as("doc_b"), col("s")), "s")
       .filter(col("doc_a") =!= col("doc_b"))

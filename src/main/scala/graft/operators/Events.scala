@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Caches._
 
 /** Event-table operators: sessionization and time-window aggregation.
   * One shuffle each (on user_id / on the group keys); window timestamps
@@ -105,8 +106,16 @@ object Events {
         // φ = Σ conversions/k computed EXACTLY: scale by 840 = lcm(1..8)
         // (k ≤ |event_type| − 1, far below 8), sum in BIGINT — no float
         // accumulation, so no engine/thread-order sensitivity — then one
-        // identical IEEE division + round at the readout.
-        round(sum(col("conversions") * expr("840 div k")).cast("double")
+        // identical IEEE division + round at the readout. The scaler is
+        // only exact while k ≤ 8: a regenerated corpus with a wider
+        // event-type vocabulary must FAIL here, not silently drift
+        // (both engines would still agree on the truncated `840 div k`,
+        // so no gate would catch the semantic change).
+        round(sum(col("conversions") *
+            when(col("k") <= 8, expr("840 div k"))
+              .otherwise(raise_error(concat(lit("shapley exact-φ scaler " +
+                "assumes k <= 8 (840 = lcm(1..8)); widen the scaler for k="),
+                col("k"))))).cast("double")
           / 840.0, 4).as("phi"))
       .orderBy("channel")
   }
@@ -513,7 +522,7 @@ object Events {
         sum(col("x") * col("x")).as("vxx"),
         sum(col("x") * col("y")).as("vxy"),
         sum(col("y") * col("y")).as("vyy"))
-      .persist() // 2 rows: pooled θ + the per-variant readout
+      .persistTracked() // 2 rows: pooled θ + the per-variant readout
     val mo = byV.agg(sum("nu").as("n"), sum("vx").as("sx"),
       sum("vy").as("sy"), sum("vxx").as("sxx"), sum("vxy").as("sxy"))
     def d(c: String): Column = col(c).cast("double")
@@ -578,13 +587,13 @@ object Events {
     // re-scans the event log
     val s1 = events.filter(col("event_type") === "signup")
       .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("t1"))
-      .persist()
+      .persistTracked()
     val s2 = events.filter(col("event_type") === "click")
       .select(col("user_id"), unix_micros(col("ts")).as("cus"))
       .join(s1, "user_id")
       .filter(col("cus") > col("t1") && col("cus") <= col("t1") + wUs)
       .groupBy("user_id").agg(min("cus").as("t2"), min("t1").as("t1"))
-      .persist()
+      .persistTracked()
     val s3 = events.filter(col("event_type") === "purchase")
       .select(col("user_id"), unix_micros(col("ts")).as("pus"))
       .join(s2, "user_id")
@@ -711,7 +720,7 @@ object Events {
   def concentration(events: DataFrame, tiers: Seq[Int] = Seq(1, 5, 10, 50)): DataFrame = {
     require(tiers.nonEmpty && tiers.forall(t => t >= 1 && t <= 100), s"bad tiers: $tiers")
     val counts = events.groupBy("user_id").agg(count(lit(1)).as("n"))
-      .persist() // user-dimension-sized; ranked + totals both read it
+      .persistTracked() // user-dimension-sized; ranked + totals both read it
     val ranked = Rank.rankedCumSum(counts,
         -expr("n DIV 16"), Seq(col("n").desc, col("user_id")), col("n"))
       .select(col("n"), col("rk").cast("long").as("rk"), col("cum"))
@@ -785,7 +794,7 @@ object Events {
         struct((col("e") + 1L).as("t"), lit(-1L).as("d")))).as("x"))
       .select(col("x.t").as("t"), col("x.d").as("d"))
       .withColumn("day", date_format(timestamp_micros(col("t")), "yyyy-MM-dd"))
-      .persist() // session-dimension-sized; day totals + sweep both read it
+      .persistTracked() // session-dimension-sized; day totals + sweep both read it
     val dayTotals = deltas.groupBy("day").agg(sum("d").as("dsum"))
     // carry into each day = Σ of ALL prior days' deltas (triangular
     // join over the day domain — days with no transitions have no
@@ -902,7 +911,7 @@ object Events {
     val daily = events
       .select(to_date(col("ts")).as("day"))
       .groupBy("day").agg(count(lit(1)).as("n"))
-      .persist() // both join sides
+      .persistTracked() // both join sides
     val prior = daily.select(col("day").as("pday"), col("n").as("n_forecast"))
     daily
       .join(prior, date_add(col("pday"), 7) === col("day"))
@@ -1072,7 +1081,7 @@ object Events {
         (dayofweek(col("ts")) - 1).cast("long").as("dow"),
         hour(col("ts")).cast("long").as("hr"))
       .groupBy("dow", "hr").agg(count(lit(1)).as("n_events"))
-      .persist() // two consumers: the moment fold + the z projection
+      .persistTracked() // two consumers: the moment fold + the z projection
     val stats = cells.agg(
       count(lit(1)).as("n_cells"),
       sum(col("n_events")).as("s1"),
@@ -1146,7 +1155,7 @@ object Events {
         (dayofweek(col("ts")) - 1).cast("long").as("dow"))
       .groupBy("day", "dow").agg(count(lit(1)).as("n_events"))
       .withColumn("i", row_number().over(Window.orderBy("day")).cast("long"))
-      .persist() // moments + dow means + the final projection
+      .persistTracked() // moments + dow means + the final projection
     val m = daily.agg(count(lit(1)).as("n"), sum("i").as("sx"),
       sum("n_events").as("sy"), sum(col("i") * col("n_events")).as("sxy"),
       sum(col("i") * col("i")).as("sxx"))
@@ -1389,7 +1398,7 @@ object Events {
       .withColumn("post",
         unix_micros(col("day").cast("timestamp")) * 2 >= col("lo") + col("hi"))
       .withColumn("dow", (dayofweek(col("day")) - 1).cast("long"))
-      .persist() // pre stats + post join both read it
+      .persistTracked() // pre stats + post join both read it
     val pre = daily.filter(!col("post")).groupBy("dow")
       .agg(count(lit(1)).as("cnt"), sum("n").as("s"),
         sum(col("n").cast("double") * col("n").cast("double")).as("ss"))

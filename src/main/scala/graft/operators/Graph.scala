@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
+import graft.Caches._
 
 /** Distributed graph analytics over edge tables. kiara ships network
   * analysis as a first-class plugin domain (kiara_plugin.network_analysis;
@@ -38,7 +39,7 @@ object Graph {
   def pageRank(edgesIn: DataFrame, iters: Int = 5, damping: Double = 0.85): DataFrame = {
     val spark = edgesIn.sparkSession
     val edges = edgesIn.select(col("src"), col("dst")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistTracked(StorageLevel.MEMORY_AND_DISK)
     // size the per-iteration shuffles to the GRAPH, not the session
     // default — at spec scale the loop is scheduler-bound otherwise
     // (the Dedup.clusters sizing rule)
@@ -49,14 +50,14 @@ object Graph {
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
       .repartition(parts, col("node"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistTracked(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
     // static across iterations: (src, dst, out_deg), co-partitioned on
     // src so each round's join with ranks(node) only moves the (much
     // smaller) ranks side
     val contrib = edges.join(outDeg, "src")
       .repartition(parts, col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistTracked(StorageLevel.MEMORY_AND_DISK)
     contrib.count()
     edges.unpersist()
     val baseTerm = (1.0 - damping) / n
@@ -96,12 +97,12 @@ object Graph {
     val und = edgesIn.select(col("src"), col("dst"))
       .unionAll(edgesIn.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-    val parts0 = und.persist(StorageLevel.MEMORY_AND_DISK)
+    val parts0 = und.persistTracked(StorageLevel.MEMORY_AND_DISK)
     val nEdges = parts0.count()
     val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
       (nEdges / 100000L).toInt + 1))
     val edges = parts0.repartition(parts, col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistTracked(StorageLevel.MEMORY_AND_DISK)
     edges.count()
     parts0.unpersist()
     var labels = edges.select(col("src").as("node")).distinct()
@@ -129,7 +130,7 @@ object Graph {
     */
   def kHopDistances(edgesIn: DataFrame, seeds: DataFrame, k: Int = 3): DataFrame = {
     val edges = edgesIn.select(col("src"), col("dst")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistTracked(StorageLevel.MEMORY_AND_DISK)
     edges.count()
     var dist = seeds.select(col("node")).distinct()
       .withColumn("dist", lit(0L)).localCheckpoint()
@@ -172,7 +173,7 @@ object Graph {
         when(uFirst, col("u")).otherwise(col("v")).as("src"),
         when(uFirst, col("v")).otherwise(col("u")).as("dst"),
         when(uFirst, col("dv")).otherwise(col("du")).as("dd"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistTracked(StorageLevel.MEMORY_AND_DISK)
     val e1 = oriented.select(col("src"), col("dst").as("b"), col("dd").as("db"))
     val e2 = oriented.select(col("src"), col("dst").as("c"), col("dd").as("dc"))
     val wedges = e1.join(e2, Seq("src"))
@@ -197,7 +198,7 @@ object Graph {
     * cut (node id breaks exact ties). */
   def clusteringCoeff(edgesUV: DataFrame, topN: Int = 20): DataFrame = {
     val edges = edgesUV.select(col("u"), col("v"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // feeds deg AND the triangle join tree
+      .persistTracked(StorageLevel.MEMORY_AND_DISK) // feeds deg AND the triangle join tree
     val deg = edges.select(col("u").as("node"))
       .union(edges.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -220,7 +221,7 @@ object Graph {
     val l = lineitem
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
       .filter(col("p") % mod === 0)
-      .persist(StorageLevel.MEMORY_AND_DISK) // self-join rule
+      .persistTracked(StorageLevel.MEMORY_AND_DISK) // self-join rule
     l.as("a").join(l.as("b"),
         col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
       .select(col("a.p").as("u"), col("b.p").as("v"))
@@ -249,13 +250,13 @@ object Graph {
     val edges = edgesUV
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK) // adjacency ×2 + the anti-join
+      .persistTracked(StorageLevel.MEMORY_AND_DISK) // adjacency ×2 + the anti-join
     val adj = edges.select(col("u").as("w"), col("v").as("x"))
       .union(edges.select(col("v").as("w"), col("u").as("x")))
     val deg = adj.groupBy("w").agg(count(lit(1)).as("dw"))
     val hub = adj.join(deg, "w")
       .filter(col("dw") >= 2 && col("dw") <= maxHubDeg)
-      .persist(StorageLevel.MEMORY_AND_DISK) // wedge self-join rule
+      .persistTracked(StorageLevel.MEMORY_AND_DISK) // wedge self-join rule
     val pairs = hub.as("l")
       .join(hub.as("r"), col("l.w") === col("r.w") && col("l.x") < col("r.x"))
       .select(col("l.x").as("a"), col("r.x").as("b"), col("l.dw").as("dw"))
@@ -284,7 +285,7 @@ object Graph {
     var edges = edgesUV
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistTracked(StorageLevel.MEMORY_AND_DISK)
     var n = edges.count()
     var rounds = 0
     var stable = false
@@ -296,7 +297,7 @@ object Graph {
         .join(keep.select(col("x").as("u")), Seq("u"), "left_semi")
         .join(keep.select(col("x").as("v")), Seq("v"), "left_semi")
         .select("u", "v")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persistTracked(StorageLevel.MEMORY_AND_DISK)
       val m = next.count()
       edges.unpersist()
       edges = next
@@ -323,9 +324,9 @@ object Graph {
     * Σ is float, rounded 4dp. */
   def modularity(edgesIn: DataFrame, iters: Int = 5): DataFrame = {
     val e = edgesIn.select(col("src"), col("dst")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistTracked(StorageLevel.MEMORY_AND_DISK)
     val labels = labelPropagation(e, iters)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistTracked(StorageLevel.MEMORY_AND_DISK)
     val mE = e.count() / 2 // both directions present → undirected count
     val nNodes = labels.count()
     val la = labels.select(col("node").as("src"), col("label").as("la"))
@@ -360,7 +361,7 @@ object Graph {
     * left-associative algebra in the oracle). */
   def degreeStats(edgesUV: DataFrame): DataFrame = {
     val edges = edgesUV.select(col("u"), col("v"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // adjacency + edge count
+      .persistTracked(StorageLevel.MEMORY_AND_DISK) // adjacency + edge count
     val adj = edges.select(col("u").as("n"), col("v").as("m"))
       .union(edges.select(col("v").as("n"), col("u").as("m")))
     val deg = adj.groupBy("n").agg(count(lit(1)).as("d"))

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Caches._
 
 /** Deterministic corpus-mixture sampling — the data-mixing step of a
   * training pipeline ("web at 50%, forums at 12.5%, ...").
@@ -130,7 +131,7 @@ object Mixture {
     val scored = docs.select(col("doc_id"),
       size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
       size(array_distinct(TextOps.tokens(col("text")))).cast("long").as("n_distinct"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val byScore = scored.groupBy("n_distinct").agg(sum("n_tokens").as("score_tokens"))
     val wScore = Window.orderBy(col("n_distinct").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -264,7 +265,7 @@ object Mixture {
       .select(col("doc_id"), col("is_t"),
         (conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long") % buckets)
           .as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lm = grams.groupBy("bucket").agg(
       count(lit(1)).as("n_r"),
       sum(when(col("is_t"), 1L).otherwise(0L)).as("n_t"))
@@ -317,7 +318,7 @@ object Mixture {
   def curriculumPhases(docs: DataFrame): DataFrame = {
     val scored = docs.select(col("doc_id"),
         size(TextOps.tokens(col("text"))).cast("long").as("difficulty"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cuts = scored.agg(
       expr("percentile(difficulty, 0.25)").as("q1"),
       expr("percentile(difficulty, 0.5)").as("q2"),

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Caches._
 
 /** Statistical monitoring operators — the "did the metric change, and
   * when?" family that sits beside the distributional audits in
@@ -130,7 +131,7 @@ object Monitor {
     val dev = events.select(col("event_type"), col("value"))
       .join(broadcast(med), "event_type")
       .withColumn("dev", abs(col("value") - col("med")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mad = dev.groupBy("event_type")
       .agg(expr("percentile(dev, 0.5)").as("mad"))
     dev.join(broadcast(mad), "event_type")
@@ -308,7 +309,7 @@ object Monitor {
         * 100.0 + 0.5).cast("long")) // daily mean in exact 1e-4 units
       .withColumn("i", row_number().over(
         Window.partitionBy("event_type").orderBy("day")))
-      .persist() // three consumers: both self-join sides + the moments
+      .persistTracked() // three consumers: both self-join sides + the moments
     val nd = col("nd").cast("double")
     val stats = daily.groupBy("event_type").agg(
       count(lit(1)).as("nd"), sum("xq").as("s1"),

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Caches._
 
 /** Distributed exact ranking WITHOUT a single-partition window — the
   * shared two-level-scan helper behind every "global order over a
@@ -34,7 +35,7 @@ object Rank {
       measure: Column): (DataFrame, DataFrame) = {
     val counts = tagged.groupBy("__cell")
       .agg(count(lit(1)).as("__cnt"), sum(measure).as("__msum"))
-      .persist()
+      .persistTracked()
     val off = counts.as("a")
       .join(broadcast(counts.as("p")), col("p.__cell") < col("a.__cell"), "left")
       .groupBy(col("a.__cell").as("__cell"))
@@ -53,7 +54,7 @@ object Rank {
     // persist the tagged input: the offsets aggregate AND the main
     // join both read it, and CHAINED rank passes (the RFM triple)
     // would otherwise replay each other's full plans multiplicatively
-    val tagged = df.withColumn("__cell", cell).persist()
+    val tagged = df.withColumn("__cell", cell).persistTracked()
     val (off, _) = offsets(tagged, measure)
     val wIn = Window.partitionBy("__cell").orderBy(order: _*)
     tagged.join(broadcast(off), Seq("__cell"))
@@ -80,9 +81,9 @@ object Rank {
   def ntileExactBy(df: DataFrame, grp: Column, cell: Column,
       order: Seq[Column], b: Int, outName: String): DataFrame = {
     val tagged = df.withColumn("__grp", grp).withColumn("__cell", cell)
-      .persist() // see rankedCumSum
+      .persistTracked() // see rankedCumSum
     val counts = tagged.groupBy("__grp", "__cell")
-      .agg(count(lit(1)).as("__cnt")).persist()
+      .agg(count(lit(1)).as("__cnt")).persistTracked()
     val off = counts.as("a")
       .join(broadcast(counts.as("p")),
         col("p.__grp") === col("a.__grp") && col("p.__cell") < col("a.__cell"),

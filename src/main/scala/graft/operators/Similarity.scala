@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Caches._
 
 /** Similarity search over embedding columns (Array[Float]).
   *
@@ -175,7 +176,7 @@ object Similarity {
     }
     val codes = corpus
       .select(col("vec_id"), array((0 until m).map(codeExpr): _*).as("codes"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the compressed index is the only thing the approximate pass scans:
     // reconstruct each vector from its codewords row-locally
     val recon = flatten(array((0 until m).map { j =>
@@ -253,7 +254,7 @@ object Similarity {
       }: _*)
     val scored = withNorm(corpus, "embedding", "norm")
       .withColumn("__scores", centScores(col("embedding"), col("norm")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val indexed = scored.select(col("vec_id"), col("embedding"), col("norm"),
       expr("array_position(__scores, array_max(__scores)) - 1").cast("int").as("centroid_id"))
     val probed = scored.select(col("vec_id"), col("embedding"), col("norm"),
@@ -375,7 +376,7 @@ object Similarity {
         zip_with(col("embedding").cast("array<double>"),
           element_at(centsLit, col("centroid_id") + 1),
           (a, b) => a - b).as("resid"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stepR = math.max(1L, n / codebookSize)
     def residSample(df: DataFrame): Array[Array[Double]] = df
       .orderBy("vec_id").limit(codebookSize)
@@ -398,11 +399,11 @@ object Similarity {
     val codes = resDf
       .select(col("vec_id"), col("centroid_id"),
         array((0 until m).map(codeExpr): _*).as("codes"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q0 = withNorm(queries.select(col("vec_id").as("qid"),
       col("embedding").cast("array<double>").as("qemb")), "qemb", "qnorm")
       .withColumn("__scores", centScores(col("qemb"), col("qnorm")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probed = q0.select(col("qid"), col("qemb"), col("qnorm"),
       explode(expr(
         s"slice(array_sort(transform(__scores, (s, i) -> named_struct('ns', -s, 'ci', i))), 1, $nprobe)"))
@@ -452,11 +453,11 @@ object Similarity {
     * asserts the curve is monotone and saturates. */
   def nprobeSweep(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       nprobes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
-    val qIds = queries.select(col("vec_id")).persist(
+    val qIds = queries.select(col("vec_id")).persistTracked(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val truth = topKExact(corpus, queries, k)
       .select(col("vec_id"), col("neighbor_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nTotal = truth.count()
     nprobes.map { p =>
       val arm = ivfTopK(corpus, k, nprobe = p)
@@ -509,7 +510,7 @@ object Similarity {
       dims: Seq[Int] = Seq(16, 32, 64)): DataFrame = {
     val full = topKExact(corpus, queries, k)
       .select(col("vec_id"), col("neighbor_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nTotal = full.count()
     val arms = dims.map { d =>
       def trunc(df: DataFrame): DataFrame =
@@ -549,7 +550,7 @@ object Similarity {
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(sampleN)
     val s = withNorm(sampled, "embedding", "norm")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = s.select(col("vec_id").as("ida"), col("embedding").as("ea"),
       col("norm").as("na"))
     val b = s.select(col("vec_id").as("idb"), col("embedding").as("eb"),
@@ -595,7 +596,7 @@ object Similarity {
     import org.apache.spark.sql.Row
     val base = corpus
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // deterministic FARTHEST-POINT init (Gonzalez k-center, the
     // derandomized k-means++): seed with the smallest vec_id, then k−1
     // times take the point maximizing its min distance to the chosen
@@ -704,7 +705,7 @@ object Similarity {
     val bucketed = withNorm(corpus, "embedding", "norm")
       .select(col("vec_id"), col("embedding"), col("norm"), explode(array(bucketStructs: _*)).as("tb"))
       .select(col("vec_id"), col("embedding"), col("norm"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probed =
       if (!multiProbe) bucketed
       else bucketed.select(col("vec_id"), col("embedding"), col("norm"), col("tbl"),
@@ -864,7 +865,7 @@ object Similarity {
       .select(col("doc_id"), array_distinct(
         org.apache.spark.sql.graftext.Shingles.winnowFps(col("toks"), 3, 1)).as("fps"))
       .select(col("doc_id"), col("fps"), size(col("fps")).cast("long").as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qpost = sets.filter(col("doc_id") < nQueries)
       .select(col("doc_id").as("qid"), col("n").as("n_a"), explode(col("fps")).as("g"))
     val cpost = sets
@@ -918,7 +919,7 @@ object Similarity {
     require(k > 0 && kPool >= k, s"need kPool >= k > 0, got kPool=$kPool k=$k")
     val cand = topKExact(embeddings, embeddings.filter(col("vec_id") < nQueries), kPool)
       .select(col("vec_id").as("qid"), col("neighbor_id").as("nid"), col("sim").as("sim_q"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val emb = embeddings.select(col("vec_id"), col("embedding"))
     val withVec = cand.select("qid", "nid")
       .join(emb, col("nid") === col("vec_id")).drop("vec_id")
@@ -930,7 +931,7 @@ object Similarity {
       .select(col("qid"), col("nid_a"), col("nid_b"),
         Num.pround(cosinePrenormed(dot(col("ea"), col("eb")), col("na"), col("nb")), 4)
           .as("sim_p"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("nid"))
     var selected: DataFrame = null
     for (r <- 1 to k) {
@@ -1025,7 +1026,7 @@ object Similarity {
     val assigned = org.apache.spark.sql.graftext.GroupTopK.topK(
         scored, Seq("vec_id"), Seq("csim" -> true, "cent_id" -> false), 1)
       .select(col("cent_id").as("cluster_id"), col("vec_id"), col("embedding"), col("vnorm"))
-      .persist()
+      .persistTracked()
     val a = assigned.select(col("cluster_id"), col("vec_id").as("keep_id"),
       col("embedding").as("kemb"), col("vnorm").as("knorm"))
     val b = assigned.select(col("cluster_id"), col("vec_id").as("drop_id"),

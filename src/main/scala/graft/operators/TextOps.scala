@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Caches._
 
 /** Text-analysis operators over document tables — all built on codegen'd
   * Spark builtins (split/regexp/aggregate), no UDFs, so the whole stage
@@ -478,7 +479,7 @@ object TextOps {
           "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1])) " +
           "else array() end"))).as("gram"))
     val counts = grams.groupBy("gram").agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val uni = counts.filter(!col("gram").contains(" "))
       .select(col("gram").as("tok"), col("c"))
     val totals = counts.agg(
@@ -767,7 +768,7 @@ object TextOps {
       .groupBy("term").agg(count(lit(1)).as("cnt"))
       .select(concat(lit(" "),
         trim(regexp_replace(col("term"), "(.)", "$1 ")), lit(" ")).as("sym"), col("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     words.count()
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     for (i <- 1 to merges) {
@@ -788,7 +789,7 @@ object TextOps {
         val merged = pair.replace(" ", "")
         val next = words
           .select(expr(s"replace(sym, ' ${pair} ', ' ${merged} ')").as("sym"), col("cnt"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         next.count()
         words.unpersist()
         words = next
@@ -863,7 +864,7 @@ object TextOps {
     val dup = pos.groupBy("h").agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)
       .select(col("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shared = pos.join(dup, Seq("h"), "leftsemi")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
@@ -908,7 +909,7 @@ object TextOps {
     val pos = withWin.select(col("doc_id"),
       posexplode(Shingles.gramHashes(col("toks"), k)).as(Seq("pos", "h")))
     val dup = pos.groupBy("h").agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= minDocs).select(col("h")).persist(mem)
+      .filter(col("nd") >= minDocs).select(col("h")).persistTracked(mem)
     val shared = pos.join(dup, Seq("h"), "leftsemi")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
@@ -920,7 +921,7 @@ object TextOps {
       .filter(col("run") >= minRun)
       .select(col("doc_id"), explode(sequence(col("start"), col("end"))).as("tpos"))
       .distinct()
-      .persist(mem)
+      .persistTracked(mem)
     val affected = covered.select(col("doc_id")).distinct()
     val rebuilt = withWin.join(affected, Seq("doc_id"), "leftsemi")
       .select(col("doc_id"), posexplode(col("toks")).as(Seq("tpos", "tok")))
@@ -965,7 +966,7 @@ object TextOps {
     // per doc / row count per term), so they aggregate the compressed
     // postings table instead of re-exploding the token stream
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
@@ -1113,7 +1114,7 @@ object TextOps {
       .filter(col("phrase") =!= "")
       .withColumn("words", split(col("phrase"), " "))
       .filter(size(col("words")) <= maxLen)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wstats = phrases
       .select(size(col("words")).as("plen"), explode(col("words")).as("word"))
       .groupBy("word")
@@ -1139,27 +1140,33 @@ object TextOps {
     * covering 60%). One gram explode + one type fold, then a prefix
     * sum over the FREQUENCY-RANKED type domain (fixed order: count
     * desc, token — deterministic prefix floats), probed at the K
-    * ladder. */
+    * ladder.
+    *
+    * Scale shape: the query only ever reads ranks ≤ max(ks), so the
+    * type table is CUT to max(ks) rows first (`TakeOrderedAndProject`
+    * — the `vocabulary` operator's own pattern) before any window
+    * runs; the corpus-wide denominator is one scalar aggregate. The
+    * type domain grows with the corpus (10⁷–10⁸ types at web scale),
+    * so ranking the FULL vocabulary through one global window — the
+    * pre-r7 shape — would funnel it through a single task. */
   def vocabCoverage(docs: DataFrame,
       ks: Seq[Int] = Seq(5, 10, 20)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = docs.select(explode(tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
+      .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val top = counts.orderBy(col("n").desc, col("token")).limit(ks.max)
     val w = Window.orderBy(col("n").desc, col("token"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = counts
-      .withColumn("rnk", row_number().over(
-        Window.orderBy(col("n").desc, col("token"))))
-      .withColumn("cum", sum("n").over(w))
+    top // bounded: ≤ max(ks) rows past this point
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("cum", sum("n").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .crossJoin(broadcast(counts.agg(sum("n").cast("double").as("tot"))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    ks.map { k =>
-      ranked.filter(col("rnk") === k)
-        .select(lit(k.toLong).as("top_k"),
-          col("cum").as("tokens_covered"),
-          Num.pround(col("cum").cast("double") / col("tot"), 4)
-            .as("coverage"))
-    }.reduce(_.unionAll(_)).orderBy("top_k")
+      .filter(col("rnk").isin(ks.map(_.toLong): _*))
+      .select(col("rnk").as("top_k"), col("cum").as("tokens_covered"),
+        Num.pround(col("cum").cast("double") / col("tot"), 4)
+          .as("coverage"))
+      .orderBy("top_k")
   }
 
   /** Heaps'-law fit — the vocabulary-growth exponent beside the Zipf
@@ -1207,7 +1214,7 @@ object TextOps {
       .groupBy("token")
       .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("c_a"),
         sum(when(col("side") === 1, 1L).otherwise(0L)).as("c_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = counts.agg(sum("c_a").cast("double").as("ta"),
       sum("c_b").cast("double").as("tb"))
     val p = col("c_a").cast("double") / col("ta")

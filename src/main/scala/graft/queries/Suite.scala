@@ -9,6 +9,7 @@ import graft.operators.ImageHeader
 import graft.sources.{Export, Ingest, Serde}
 import graft.plans.Pipeline
 import graft.registries.{AliasRegistry, DataRegistry}
+import graft.Caches._
 
 /** Non-relational query entries: ingestion/export round-trips, serde,
   * bundles, registries, pipeline DAG, profiling, text/dedup/similarity/
@@ -1417,7 +1418,7 @@ object Suite {
     val docs = t(s, dir, "documents")
     val dest = Export.tempDir("graft_bloomskip_").toString + "/d"
     Layout.clusterWrite(docs, "doc_id", dest, 16)
-    val idx = Layout.bloomFileIndex(s, dest, md5(col("text"))).persist()
+    val idx = Layout.bloomFileIndex(s, dest, md5(col("text"))).persistTracked()
     val probeRows = docs.filter(col("doc_id") % 97 === 3)
       .orderBy("doc_id").limit(5)
       .select(md5(col("text")).as("h"), xxhash64(md5(col("text"))).as("hh"))
@@ -1592,14 +1593,17 @@ object Suite {
     val grams = toksD.select(explode(expr(
         "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))"))
         .as("term"))
-      .persist() // feeds both the sketch fold and the exact probe counts
+      .persistTracked() // feeds both the sketch fold and the exact probe counts
     val grid = CountMin.sketch(grams, "term")
     val exact = grams.groupBy("term").agg(count(lit(1)).as("n_true"))
-    // vocabulary-sized (≈1k bigrams) total order — the single-partition
-    // window is domain-bounded, never corpus-bounded
-    val probes = exact.withColumn("rn", row_number().over(
+    // the probe only reads ranks ≤ 205, so cut the bigram table to 205
+    // rows (TakeOrderedAndProject) BEFORE the rank window — the bigram
+    // vocabulary is corpus-sized at web scale, never window it whole
+    val probes = exact.orderBy(col("n_true").desc, col("term").asc)
+      .limit(205)
+      .withColumn("rn", row_number().over(
         Window.orderBy(col("n_true").desc, col("term").asc)))
-      .filter(col("rn") <= 5 || (col("rn") >= 201 && col("rn") <= 205))
+      .filter(col("rn") <= 5 || col("rn") >= 201)
       .select("term", "n_true")
     CountMin.estimate(grid, probes)
       .join(probes, "term")

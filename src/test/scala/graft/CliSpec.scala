@@ -177,6 +177,57 @@ class CliSpec extends SparkTestBase {
     assert(types.contains("table") || types.contains("string"))
   }
 
+  test("data load/explain/filter verbs round-trip a stored value") {
+    import spark.implicits._
+    val root = graft.sources.Export.tempDir("graft_cli_dload_").toString
+    val api = new GraftApi(spark, root)
+    api.storeValue("docs", Seq((1L, "Hello World two")).toDF("doc_id", "text"),
+      Some("raw"))
+    val loaded = Cli.run(spark, Array("data", root, "load", "raw", "5"))
+    assert(loaded.contains("doc_id") && loaded.contains("Hello World two"))
+    val explained = Cli.run(spark, Array("data", root, "explain", "docs"))
+    assert(explained.contains("id:       docs")
+      && explained.contains("aliases:  raw"))
+    val filtered = Cli.run(spark,
+      Array("data", root, "filter", "raw", "text.token_count", "--save", "tc"))
+    assert(filtered.contains("job: job-") && filtered.contains("n_tokens"))
+    assert(new GraftApi(spark, root).getValue("tc")
+      .select("n_tokens").head().getLong(0) == 3L)
+  }
+
+  test("data import/export verbs dispatch formats over the store") {
+    import spark.implicits._
+    val root = graft.sources.Export.tempDir("graft_cli_dio_").toString
+    val tmp = graft.sources.Export.tempDir("graft_cli_dio_files_").toString
+    Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+      .write.mode("overwrite").option("header", "true").csv(s"$tmp/in_csv")
+    val imp = Cli.run(spark,
+      Array("data", root, "import", "pairs", "csv", s"$tmp/in_csv"))
+    assert(imp.contains("imported: pairs") && imp.contains("2 rows"))
+    val exp = Cli.run(spark,
+      Array("data", root, "export", "pairs", "json", s"$tmp/out_json"))
+    assert(exp.contains("exported: pairs"))
+    assert(spark.read.json(s"$tmp/out_json").count() == 2)
+  }
+
+  test("archive export/import verbs move values across context roots") {
+    import spark.implicits._
+    val src = graft.sources.Export.tempDir("graft_cli_arc_src_").toString
+    val dst = graft.sources.Export.tempDir("graft_cli_arc_dst_").toString
+    val arc = graft.sources.Export.tempDir("graft_cli_arc_dir_").toString + "/a1"
+    val api = new GraftApi(spark, src)
+    api.storeValue("t1", Seq(1L, 2L).toDF("n"), Some("nums"))
+    api.storeValue("t2", Seq("z").toDF("s"))
+    val out = Cli.run(spark, Array("archive", "export", src, arc))
+    assert(out.contains("exported archive") && out.contains("2 values")
+      && out.contains("t1") && out.contains("t2"))
+    val in = Cli.run(spark, Array("archive", "import", dst, arc))
+    assert(in.contains("imported archive: 2 values"))
+    val moved = new GraftApi(spark, dst)
+    assert(moved.getValue("nums").count() == 2)
+    assert(moved.getValue("t2").columns.sameElements(Array("s")))
+  }
+
   test("info config print reports the effective engine configuration") {
     val out = Cli.run(spark, Array("info", "config", "print"))
     assert(out.contains("spark:   " + org.apache.spark.SPARK_VERSION))

@@ -129,7 +129,7 @@ class PlanSpec extends SparkTestBase {
     // presentation sort, which is not a window at all
     import org.apache.spark.sql.execution.window.WindowExec
     for (q <- Seq("evt_peak_concurrency", "rel_rfm", "evt_pareto",
-        "q34_equidepth")) {
+        "q34_equidepth", "rel_abc_xyz")) {
       val df = SparkEntry.queries(q)(spark, sfDir)
       df.collect()
       val bad = flattenPlan(df.queryExecution.executedPlan)

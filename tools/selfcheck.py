@@ -16,6 +16,7 @@ Two hardenings after round 5's driver-red/replica-green split:
 """
 import sys, json, glob
 import duckdb
+import numpy as np
 import pandas as pd
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -76,7 +77,14 @@ for name, sql in sorted(oracle.items()):
                     f"(driver hashes 5 vs 5.0 differently — CAST the oracle)")
                 continue
             if wf or gf:
-                neq = ~((wv.isna() & gv.isna()) | (wv == gv))
+                # SIGNBIT STRICTNESS (round-6 hardening): the driver's
+                # value hash serializes -0.0 and 0.0 differently, but
+                # (wv == gv) treats them as equal — exactly the
+                # evt_cuped r6 blind spot. Restrict to float dtypes and
+                # flag any zero whose sign differs between the sides.
+                sign_neq = (np.signbit(wv.fillna(0.0).to_numpy())
+                            != np.signbit(gv.fillna(0.0).to_numpy()))
+                neq = ~((wv.isna() & gv.isna()) | (wv == gv)) | sign_neq
             else:
                 neq = wv.astype(str) != gv.astype(str)
             if neq.any():
