@@ -630,6 +630,96 @@ object SparkEntry {
 
   /** DuckDB oracle SQL; keys omitted here get a rows-only check. */
   def oracleSql: Map[String, String] = Map(
+    // FP-growth's frequent-itemset SET is deterministic (exact counts,
+    // no sampling): the oracle enumerates candidate itemsets to arity 4
+    // by ordered self-joins of the distinct (order, brand) table — far
+    // past the observed max arity (2), so a regenerated corpus can't
+    // silently outgrow the enumeration without a row-count red.
+    // minCount replays MLlib's ceil(minSupport·n) in identical doubles.
+    // MATERIALIZED pins the shared basket CTE (inlined 5× it repeats
+    // the distinct-join and the optimizer stalls).
+    "rel_fpgrowth" ->
+      """WITH d AS MATERIALIZED (SELECT DISTINCT l.l_orderkey AS ok,
+        |    p.p_brand AS b
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |n AS (SELECT CAST(ceil(0.02e0 * CAST(count(DISTINCT ok) AS DOUBLE))
+        |    AS BIGINT) AS mc FROM d),
+        |s1 AS (SELECT b AS itemset, CAST(1 AS BIGINT) AS arity,
+        |    count(*) AS freq FROM d GROUP BY 1),
+        |s2 AS (SELECT a.b || ',' || c.b AS itemset, CAST(2 AS BIGINT) AS arity,
+        |    count(*) AS freq
+        |  FROM d a JOIN d c ON a.ok = c.ok AND a.b < c.b GROUP BY 1),
+        |s3 AS (SELECT a.b || ',' || c.b || ',' || e.b AS itemset,
+        |    CAST(3 AS BIGINT) AS arity, count(*) AS freq
+        |  FROM d a JOIN d c ON a.ok = c.ok AND a.b < c.b
+        |  JOIN d e ON a.ok = e.ok AND c.b < e.b GROUP BY 1),
+        |s4 AS (SELECT a.b || ',' || c.b || ',' || e.b || ',' || f.b AS itemset,
+        |    CAST(4 AS BIGINT) AS arity, count(*) AS freq
+        |  FROM d a JOIN d c ON a.ok = c.ok AND a.b < c.b
+        |  JOIN d e ON a.ok = e.ok AND c.b < e.b
+        |  JOIN d f ON a.ok = f.ok AND e.b < f.b GROUP BY 1),
+        |u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        |  UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4)
+        |SELECT itemset, arity, freq FROM u CROSS JOIN n
+        |WHERE freq >= mc ORDER BY arity, itemset""".stripMargin,
+    // PrefixSpan's frequent-subsequence set is likewise deterministic:
+    // candidates = type-domain^{1..3} (maxPatternLength=3), support =
+    // journeys (rn ≤ 20, the evt_seq_match journey CTE verbatim)
+    // containing the pattern as a gapped subsequence — the '>'-wrapped
+    // boundary regex with [^>]+ gap tokens, charset-agnostic.
+    "rel_prefixspan" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn FROM events),
+        |j AS MATERIALIZED (SELECT user_id,
+        |    '>' || string_agg(event_type, '>' ORDER BY rn) || '>' AS wp
+        |  FROM e WHERE rn <= 20 GROUP BY user_id),
+        |n AS (SELECT CAST(ceil(0.2e0 * CAST(count(*) AS DOUBLE)) AS BIGINT)
+        |    AS mc FROM j),
+        |t AS (SELECT DISTINCT event_type AS ty FROM events),
+        |c1 AS (SELECT ty AS pattern, CAST(1 AS BIGINT) AS arity,
+        |    '>' || ty || '>' AS re FROM t),
+        |c2 AS (SELECT a.ty || '>' || b.ty AS pattern,
+        |    CAST(2 AS BIGINT) AS arity,
+        |    '>' || a.ty || '>([^>]+>)*' || b.ty || '>' AS re FROM t a, t b),
+        |c3 AS (SELECT a.ty || '>' || b.ty || '>' || c.ty AS pattern,
+        |    CAST(3 AS BIGINT) AS arity,
+        |    '>' || a.ty || '>([^>]+>)*' || b.ty || '>([^>]+>)*' || c.ty || '>'
+        |      AS re FROM t a, t b, t c),
+        |cand AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2
+        |  UNION ALL SELECT * FROM c3),
+        |f AS (SELECT pattern, arity,
+        |    CAST(sum(CASE WHEN regexp_matches(wp, re) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS freq
+        |  FROM cand CROSS JOIN j GROUP BY 1, 2)
+        |SELECT pattern, arity, freq FROM f CROSS JOIN n WHERE freq >= mc
+        |ORDER BY arity, pattern""".stripMargin,
+    // k-core peeling replayed as a bounded recursive CTE: each step
+    // keeps edges whose BOTH endpoints have degree ≥ 3 in the previous
+    // step's edge set (DuckDB's working table), 30 steps = kCore's
+    // maxIters; a converged set repeats unchanged, so i=30 IS the
+    // fixpoint (and empty if the 3-core is empty).
+    "graph_kcore" ->
+      """WITH RECURSIVE
+        |l AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem
+        |  WHERE l_partkey % 5 = 0),
+        |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v FROM l a
+        |  JOIN l b ON a.ok = b.ok AND a.p < b.p),
+        |core(i, u, v) AS (
+        |  SELECT 0, u, v FROM e0
+        |  UNION ALL
+        |  SELECT i + 1, u, v FROM core
+        |  WHERE i < 30
+        |    AND u IN (SELECT x FROM (SELECT u AS x FROM core
+        |      UNION ALL SELECT v AS x FROM core) dd
+        |      GROUP BY x HAVING count(*) >= 3)
+        |    AND v IN (SELECT x FROM (SELECT u AS x FROM core
+        |      UNION ALL SELECT v AS x FROM core) dd
+        |      GROUP BY x HAVING count(*) >= 3))
+        |SELECT node, count(*) AS core_degree FROM (
+        |  SELECT u AS node FROM core WHERE i = 30
+        |  UNION ALL SELECT v AS node FROM core WHERE i = 30) nx
+        |GROUP BY node ORDER BY node""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
         | CAST(sum(CAST(floor(l_extendedprice * 100e0 + 0.5e0) AS BIGINT))

@@ -1288,8 +1288,10 @@ object Suite {
       Mixture.hashSample(t(s, dir, "documents"), col("doc_id"), 4),
       maxIter = 15)
 
-  /** Rows-only (arbitrary-arity itemsets have no tractable SQL twin);
-    * FrequentSpec cross-checks the pair tier against exact counts. */
+  /** Oracle-backed since r7: the frequent-itemset SET is deterministic,
+    * so DuckDB enumerates candidates to arity 4 by ordered self-joins
+    * (observed max arity 2 — ample regeneration headroom);
+    * FrequentSpec additionally cross-checks the pair tier. */
   def relFpgrowth(s: SparkSession, dir: String): DataFrame =
     Topics.fpGrowth(t(s, dir, "lineitem"), t(s, dir, "part"))
 
@@ -1440,9 +1442,10 @@ object Suite {
   def simRecallAtK(s: SparkSession, dir: String): DataFrame =
     Similarity.recallAtK(t(s, dir, "embeddings"))
 
-  /** Rows-only (PrefixSpan has no SQL twin): frequent ordered
-    * event-type journeys across users; TopicsSpec checks planted
-    * sequences. */
+  /** Oracle-backed since r7: candidates = type-domain^{1..3}, support
+    * counted by a boundary-safe gapped-subsequence regex over the
+    * capped journeys (the evt_seq_match CTE); TopicsSpec additionally
+    * checks planted sequences. */
   def relPrefixspan(s: SparkSession, dir: String): DataFrame =
     Topics.prefixSpan(t(s, dir, "events"))
 
@@ -1761,8 +1764,10 @@ object Suite {
   def dqSuggestConstraints(s: SparkSession, dir: String): DataFrame =
     DataQuality.suggestConstraints(t(s, dir, "events"))
 
-  /** 3-core of the co-purchase graph (rows-only: iterative fixpoint;
-    * clique-plus-tail peeling spec'd in GraphSpec). */
+  /** 3-core of the co-purchase graph. Oracle-backed since r7: the
+    * peeling fixpoint replays as a 30-step bounded recursive CTE
+    * (degree-≥-3 filter over the working edge set per step);
+    * clique-plus-tail peeling additionally spec'd in GraphSpec. */
   def graphKcore(s: SparkSession, dir: String): DataFrame =
     Graph.kCore(Graph.coPurchaseEdges(t(s, dir, "lineitem")))
 
