@@ -145,6 +145,8 @@ object SparkEntry {
     "q34_equidepth" -> (Relational.q34Equidepth _),
     "rel_assoc_rules" -> (Suite.relAssocRules _),
     "evt_forecast_snaive" -> (Suite.evtForecastSnaive _),
+    "evt_holt" -> (Suite.evtHolt _),
+    "feat_gains" -> (Suite.featGains _),
     "text_readability" -> (Suite.textReadability _),
     "dq_skew" -> (Suite.dqSkew _),
     "sim_cluster_purity" -> (Suite.simClusterPurity _),
@@ -630,6 +632,69 @@ object SparkEntry {
 
   /** DuckDB oracle SQL; keys omitted here get a rows-only check. */
   def oracleSql: Map[String, String] = Map(
+    // Holt recursion replayed step-by-step as a recursive CTE: each
+    // SQL step folds the IDENTICAL IEEE expressions (exact binary
+    // α=0.5, β=0.25) the Scala loop folds, so every level/trend double
+    // is bit-identical; yhat is floor-pround AFTER the recursion.
+    "evt_holt" ->
+      """WITH RECURSIVE
+        |dd AS (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+        |    AS d, count(*) AS n FROM events GROUP BY 1),
+        |ix AS MATERIALIZED (SELECT d, n,
+        |  CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i FROM dd),
+        |x12 AS (SELECT max(CASE WHEN i = 1 THEN CAST(n AS DOUBLE) END) AS x1,
+        |    max(CASE WHEN i = 2 THEN CAST(n AS DOUBLE) END) AS x2
+        |  FROM ix WHERE i <= 2),
+        |rec(i, s, b) AS (
+        |  SELECT CAST(1 AS BIGINT), x1, x2 - x1 FROM x12
+        |  UNION ALL
+        |  SELECT r.i + 1,
+        |    0.5e0 * CAST(ix.n AS DOUBLE) + 0.5e0 * (r.s + r.b),
+        |    0.25e0 * ((0.5e0 * CAST(ix.n AS DOUBLE)
+        |      + 0.5e0 * (r.s + r.b)) - r.s) + 0.75e0 * r.b
+        |  FROM rec r JOIN ix ON ix.i = r.i + 1),
+        |fin AS (SELECT s, b FROM rec ORDER BY i DESC LIMIT 1),
+        |mx AS (SELECT d FROM ix ORDER BY i DESC LIMIT 1),
+        |ft AS (SELECT strftime(ix.d, '%Y-%m-%d') AS day, 'fit' AS kind,
+        |    ix.n AS n_events,
+        |    CASE WHEN ix.i = 1 THEN (SELECT x1 FROM x12)
+        |      ELSE r.s + r.b END AS yhat
+        |  FROM ix LEFT JOIN rec r ON r.i = ix.i - 1),
+        |fc AS (SELECT strftime(mx.d + CAST(hs.h AS INT) * INTERVAL 1 DAY,
+        |      '%Y-%m-%d') AS day,
+        |    'forecast' AS kind, CAST(0 AS BIGINT) AS n_events,
+        |    fin.s + CAST(hs.h AS DOUBLE) * fin.b AS yhat
+        |  FROM mx, fin, (SELECT unnest(generate_series(1, 7)) AS h) hs),
+        |u AS (SELECT * FROM ft UNION ALL SELECT * FROM fc)
+        |SELECT day, kind, n_events,
+        |  CAST(floor(yhat * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS yhat
+        |FROM u ORDER BY day""".stripMargin,
+    // exact-integer counts end-to-end: the decile is DuckDB's native
+    // ntile (Rank.ntileExact is bit-identical to it), cumulative sums
+    // fold integers, and only the final two ratios are floats
+    "feat_gains" ->
+      """WITH l AS (SELECT doc_id, n_chars, (lang = 'en') AS pos
+        |  FROM documents WHERE lang IS NOT NULL),
+        |t AS (SELECT doc_id, pos,
+        |    CAST(ntile(10) OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT)
+        |      AS tile FROM l),
+        |per AS (SELECT tile, count(*) AS n_docs,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        |  FROM t GROUP BY 1),
+        |cum AS (SELECT a.tile AS tile, max(a.n_docs) AS n_docs,
+        |    max(a.n_pos) AS n_pos,
+        |    CAST(sum(p.n_docs) AS BIGINT) AS cum_docs,
+        |    CAST(sum(p.n_pos) AS BIGINT) AS cum_pos
+        |  FROM per a JOIN per p ON p.tile <= a.tile GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tn,
+        |    CAST(sum(n_pos) AS BIGINT) AS tp FROM per)
+        |SELECT c.tile AS tile, c.n_docs AS n_docs, c.n_pos AS n_pos,
+        |  CAST(floor(CAST(cum_pos AS DOUBLE) / CAST(tp AS DOUBLE)
+        |    * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS cum_gain,
+        |  CAST(floor((CAST(cum_pos AS DOUBLE) / CAST(cum_docs AS DOUBLE))
+        |    / (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE))
+        |    * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS cum_lift
+        |FROM cum c CROSS JOIN tt ORDER BY c.tile""".stripMargin,
     // FP-growth's frequent-itemset SET is deterministic (exact counts,
     // no sampling): the oracle enumerates candidate itemsets to arity 4
     // by ordered self-joins of the distinct (order, brand) table — far

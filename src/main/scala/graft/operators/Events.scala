@@ -929,6 +929,57 @@ object Events {
       .orderBy("dow")
   }
 
+  /** Holt linear (double-exponential) smoothing of the daily event
+    * volume plus an h-step-ahead forecast — the trend-aware rung
+    * between [[ewmaDaily]] (level only) and [[forecastSnaive]]
+    * (seasonal-naive): s_t = αx_t + (1−α)(s_{t−1}+b_{t−1}),
+    * b_t = β(s_t−s_{t−1}) + (1−β)b_{t−1}, init s₁ = x₁,
+    * b₁ = x₂ − x₁ (Holt 1957). α, β default to exact binary
+    * fractions so every engine folds the same doubles.
+    *
+    * Scale shape: ONE corpus fold to the DAY DIMENSION (bounded by
+    * the calendar span — ≤ a few thousand rows for years of data,
+    * never corpus-sized); the recursion is inherently sequential in
+    * t, so it runs driver-side over that documented-bounded table
+    * (the sketch-readout precedent: bytes per DAY, never per event)
+    * and the result re-parallelizes. Output: one 'fit' row per day
+    * (n_events, one-step-ahead yhat = s_{t−1}+b_{t−1}) and `horizon`
+    * 'forecast' rows (yhat = s_T + h·b_T), yhat portable-rounded. */
+  def holtLinear(events: DataFrame, alpha: Double = 0.5,
+                 beta: Double = 0.25, horizon: Int = 7): DataFrame = {
+    val spark = events.sparkSession
+    val daily = events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("day")
+      .select(date_format(col("day"), "yyyy-MM-dd"), col("n"))
+      .collect() // bounded: day-dimension, see scaladoc
+      .map(r => (r.getString(0), r.getLong(1)))
+    require(daily.length >= 2, s"holt needs >= 2 days, got ${daily.length}")
+    def pround4(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val xs = daily.map(_._2.toDouble)
+    var s = xs(0)
+    var b = xs(1) - xs(0)
+    val fits = Array.newBuilder[(String, String, Long, Double)]
+    fits += ((daily(0)._1, "fit", daily(0)._2, pround4(xs(0))))
+    for (t <- 1 until daily.length) {
+      val yhat = s + b // one-step-ahead prediction made at t−1
+      val sNew = alpha * xs(t) + (1 - alpha) * (s + b)
+      b = beta * (sNew - s) + (1 - beta) * b
+      s = sNew
+      fits += ((daily(t)._1, "fit", daily(t)._2, pround4(yhat)))
+    }
+    val lastDay = java.time.LocalDate.parse(daily.last._1)
+    val fc = (1 to horizon).map { h =>
+      (lastDay.plusDays(h.toLong).toString, "forecast", 0L,
+        pround4(s + h.toDouble * b))
+    }
+    import spark.implicits._
+    (fits.result().toSeq ++ fc)
+      .toDF("day", "kind", "n_events", "yhat")
+      .orderBy("day")
+  }
+
   /** Audience overlap via theta sketches: for every pair of event
     * types, the (approximate) distinct-user intersection, union, and
     * Jaccard — the "did A-users also do B" readout whose exact form is

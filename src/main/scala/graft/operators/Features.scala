@@ -299,4 +299,43 @@ object Features {
         round(stddev_samp(col("y")), 4).as("sd_y"))
       .orderBy("label")
   }
+
+  /** Cumulative gains / lift table — the model-triage readout beside
+    * [[aucRoc]] (same score/label framing: does n_chars predict
+    * English?): rank by score desc, cut into `buckets` exact tiles,
+    * report per-tile positives, the cumulative capture rate
+    * ("top 20% of scores finds X% of positives") and the cumulative
+    * lift over the base rate. AUC summarizes the whole curve; the
+    * gains table says where to put the budget cut.
+    *
+    * Scale shape: the decile comes from [[Rank.ntileExact]]'s
+    * two-level scan (score-bucket cells — NO corpus-sized
+    * single-partition window); per-tile folds are bucket-domain-sized
+    * and the cumulative step is a triangular broadcast join over
+    * `buckets` rows. Every count is an exact integer, so the final
+    * ratios are deterministic scalar IEEE on any engine. */
+  def gainsChart(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    val labeled = docs.filter(col("lang").isNotNull)
+      .select(col("doc_id"), col("n_chars"),
+        (col("lang") === "en").as("pos"))
+    val tiled = Rank.ntileExact(labeled, -expr("n_chars DIV 256"),
+      Seq(col("n_chars").desc, col("doc_id")), buckets, "tile")
+    val per = tiled.groupBy("tile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"))
+    val cum = per.as("a")
+      .join(broadcast(per.as("p")), col("p.tile") <= col("a.tile"))
+      .groupBy(col("a.tile").as("tile"))
+      .agg(max(col("a.n_docs")).as("n_docs"), max(col("a.n_pos")).as("n_pos"),
+        sum(col("p.n_docs")).as("cum_docs"), sum(col("p.n_pos")).as("cum_pos"))
+    val tot = per.agg(sum("n_docs").as("tn"), sum("n_pos").as("tp"))
+    cum.crossJoin(broadcast(tot)) // bounded: 1 row
+      .select(col("tile"), col("n_docs"), col("n_pos"),
+        Num.pround(col("cum_pos").cast("double") / col("tp").cast("double"), 4)
+          .as("cum_gain"),
+        Num.pround((col("cum_pos").cast("double") / col("cum_docs").cast("double"))
+          / (col("tp").cast("double") / col("tn").cast("double")), 4)
+          .as("cum_lift"))
+      .orderBy("tile")
+  }
 }

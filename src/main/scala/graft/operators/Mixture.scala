@@ -373,4 +373,5 @@ object Mixture {
         col("alloc"), coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
       .orderBy("lang")
   }
+
 }

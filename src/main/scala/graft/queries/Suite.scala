@@ -1227,6 +1227,14 @@ object Suite {
   def evtForecastSnaive(s: SparkSession, dir: String): DataFrame =
     Events.forecastSnaive(t(s, dir, "events"))
 
+  /** Holt linear smoothing of daily volume + 7-day forecast. */
+  def evtHolt(s: SparkSession, dir: String): DataFrame =
+    Events.holtLinear(t(s, dir, "events"))
+
+  /** Cumulative gains/lift by score decile (the feat_auc framing). */
+  def featGains(s: SparkSession, dir: String): DataFrame =
+    Features.gainsChart(t(s, dir, "documents"))
+
   def textReadability(s: SparkSession, dir: String): DataFrame =
     TextOps.readability(t(s, dir, "documents"))
 

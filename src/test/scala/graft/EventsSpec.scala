@@ -1006,4 +1006,34 @@ class EventsSpec extends SparkTestBase {
       ("pure_browse", 1L, 4L, 0.25),
       ("signup_first", 1L, 4L, 0.25)))
   }
+
+  test("holtLinear: recursion matches the hand-computed series, forecast extends the trend") {
+    // daily counts 2,4,6 (one event day 1, ... wait: plant exact counts)
+    val rows = Seq(
+      (1L, 1L, Timestamp.valueOf("2024-01-01 10:00:00")),
+      (2L, 1L, Timestamp.valueOf("2024-01-01 11:00:00")),
+      (3L, 1L, Timestamp.valueOf("2024-01-02 10:00:00")),
+      (4L, 1L, Timestamp.valueOf("2024-01-02 11:00:00")),
+      (5L, 1L, Timestamp.valueOf("2024-01-02 12:00:00")),
+      (6L, 1L, Timestamp.valueOf("2024-01-02 13:00:00")),
+      (7L, 1L, Timestamp.valueOf("2024-01-03 10:00:00")),
+      (8L, 1L, Timestamp.valueOf("2024-01-03 11:00:00")),
+      (9L, 1L, Timestamp.valueOf("2024-01-03 12:00:00")),
+      (10L, 1L, Timestamp.valueOf("2024-01-03 13:00:00")),
+      (11L, 1L, Timestamp.valueOf("2024-01-03 14:00:00")),
+      (12L, 1L, Timestamp.valueOf("2024-01-03 15:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    // x = (2, 4, 6): init s=2, b=2.
+    // t=2: yhat=4; s'=0.5*4+0.5*(2+2)=4; b'=0.25*(4-2)+0.75*2=2
+    // t=3: yhat=6; s'=0.5*6+0.5*(4+2)=6; b'=0.25*(6-4)+0.75*2=2
+    // forecast h: 6 + 2h
+    val out = Events.holtLinear(rows, horizon = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01", "fit", 2L, 2.0),
+      ("2024-01-02", "fit", 4L, 4.0),
+      ("2024-01-03", "fit", 6L, 6.0),
+      ("2024-01-04", "forecast", 0L, 8.0),
+      ("2024-01-05", "forecast", 0L, 10.0)))
+  }
 }

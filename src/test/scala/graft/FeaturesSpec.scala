@@ -176,4 +176,19 @@ class FeaturesSpec extends SparkTestBase {
       r.getDouble(4), r.getDouble(5)) ==
       ((10L, 3L, 2L, 0.0417, 30.0, 7.0)))
   }
+
+  test("gainsChart: a perfect score ranks all positives into the top tiles") {
+    // 20 docs, 5 positives holding the 5 highest scores -> the first
+    // quintile-sized tiles capture them all; lift of tile 1 = 4x base
+    val rows = (1 to 20).map { i =>
+      (i.toLong, (100 - i) * 1000L, if (i <= 5) "en" else "de")
+    }.toDF("doc_id", "n_chars", "lang")
+    val out = graft.operators.Features.gainsChart(rows, buckets = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (1L, 5L, 5L, 1.0, 4.0),   // top quartile: all 5 positives, lift 4
+      (2L, 5L, 0L, 1.0, 2.0),
+      (3L, 5L, 0L, 1.0, 1.3333),
+      (4L, 5L, 0L, 1.0, 1.0)))
+  }
 }
