@@ -147,6 +147,10 @@ object SparkEntry {
     "evt_forecast_snaive" -> (Suite.evtForecastSnaive _),
     "evt_holt" -> (Suite.evtHolt _),
     "feat_gains" -> (Suite.featGains _),
+    "feat_calibration" -> (Suite.featCalibration _),
+    "evt_hazard" -> (Suite.evtHazard _),
+    "text_lexdiv" -> (Suite.textLexdiv _),
+    "evt_uplift" -> (Suite.evtUplift _),
     "text_readability" -> (Suite.textReadability _),
     "dq_skew" -> (Suite.dqSkew _),
     "sim_cluster_purity" -> (Suite.simClusterPurity _),
@@ -695,6 +699,116 @@ object SparkEntry {
         |    / (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE))
         |    * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS cum_lift
         |FROM cum c CROSS JOIN tt ORDER BY c.tile""".stripMargin,
+    // Reliability table: every per-tile stat derives from exact BIGINT
+    // moments; mean_score/pos_rate/gap are identical scalar trees
+    // portable-rounded (gap is negative-capable -> pround, never round)
+    "feat_calibration" ->
+      """WITH l AS (SELECT doc_id, n_chars, (lang = 'en') AS pos
+        |  FROM documents WHERE lang IS NOT NULL),
+        |mm AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM l),
+        |t AS (SELECT doc_id, n_chars, pos,
+        |    CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+        |      AS tile FROM l),
+        |per AS (SELECT tile, count(*) AS n_docs,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(sum(n_chars) AS BIGINT) AS s_sum FROM t GROUP BY 1)
+        |SELECT tile, CAST(n_docs AS BIGINT) AS n_docs, n_pos,
+        |  CAST(floor((CAST(s_sum AS DOUBLE) - CAST(n_docs AS DOUBLE)
+        |      * CAST(lo AS DOUBLE))
+        |    / (CAST(n_docs AS DOUBLE) * CAST(hi - lo AS DOUBLE))
+        |    * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS mean_score,
+        |  CAST(floor(CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |    * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS pos_rate,
+        |  CAST(floor(((CAST(s_sum AS DOUBLE) - CAST(n_docs AS DOUBLE)
+        |      * CAST(lo AS DOUBLE))
+        |    / (CAST(n_docs AS DOUBLE) * CAST(hi - lo AS DOUBLE))
+        |    - CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE))
+        |    * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS gap
+        |FROM per CROSS JOIN mm ORDER BY tile""".stripMargin,
+    // Nelson-Aalen twin of evt_survival_km: same lifetimes frame; the
+    // prefix sums run in frame order on both engines (ROWS UNBOUNDED
+    // PRECEDING determinism rule); h/vh are positive -> plain round(,4)
+    "evt_hazard" ->
+      """WITH u AS (SELECT user_id,
+        |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS f,
+        |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS l FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |e AS (SELECT max(l) AS edge FROM u),
+        |lt AS (SELECT CAST(floor((l - f) / 86400000000.0e0) AS BIGINT) AS t,
+        |    (e.edge - l >= 3 * 86400000000) AS churned FROM u CROSS JOIN e),
+        |bt AS (SELECT t, sum(CASE WHEN churned THEN 1 ELSE 0 END) AS d,
+        |    count(*) AS leaving FROM lt GROUP BY 1),
+        |cv AS (SELECT t, d, sum(leaving) OVER (ORDER BY t
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_risk
+        |  FROM bt),
+        |hz AS (SELECT t, n_risk, d,
+        |    CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS h,
+        |    CAST(d AS DOUBLE) / (CAST(n_risk AS DOUBLE)
+        |      * CAST(n_risk AS DOUBLE)) AS vh FROM cv),
+        |cm AS (SELECT t, n_risk, d,
+        |    sum(h) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ch,
+        |    sum(vh) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vv
+        |  FROM hz)
+        |SELECT t, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(d AS BIGINT) AS n_churned,
+        |  round(ch, 4) AS cum_hazard, round(sqrt(vv), 4) AS se
+        |FROM cm ORDER BY t""".stripMargin,
+    // Every diversity moment is an exact BIGINT sum; the three ratios
+    // are identical scalar trees under portable pround
+    "text_lexdiv" ->
+      (s"""WITH tk AS (SELECT lang, unnest($toksSql) AS term FROM documents
+        |  WHERE lang IS NOT NULL),
+        |tf AS (SELECT lang, term, count(*) AS f FROM tk GROUP BY 1, 2),
+        |ag AS (SELECT lang, CAST(sum(f) AS BIGINT) AS n_tokens,
+        |    count(*) AS n_types, CAST(sum(f * f) AS BIGINT) AS sf2,
+        |    CAST(sum(f * (f - 1)) AS BIGINT) AS sff1 FROM tf GROUP BY 1)
+        |SELECT lang, n_tokens, CAST(n_types AS BIGINT) AS n_types,
+        |  CAST(floor(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |    * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS ttr,
+        |  CAST(floor(CAST(sff1 AS DOUBLE) / (CAST(n_tokens AS DOUBLE)
+        |    * CAST(n_tokens - 1 AS DOUBLE)) * 1000000.0e0 + 0.5e0) AS DOUBLE)
+        |    / 1000000.0e0 AS simpson,
+        |  CAST(floor(10000.0e0 * CAST(sf2 - n_tokens AS DOUBLE)
+        |    / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+        |    * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS yule_k
+        |FROM ag ORDER BY lang""").stripMargin,
+    // Qini by engagement decile: DuckDB's native ntile over the same
+    // total order is bit-identical to Rank.ntileExact (feat_gains
+    // precedent); all counts exact BIGINTs, ratios identical trees,
+    // empty-arm tiles NULL-guarded on both sides
+    "evt_uplift" ->
+      """WITH u AS (SELECT user_id, count(*) AS n_ev,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT user_id, n_ev, conv,
+        |    CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |      THEN 1 ELSE 0 END AS tr FROM u),
+        |t AS (SELECT n_ev, conv, tr,
+        |    CAST(ntile(10) OVER (ORDER BY n_ev DESC, user_id) AS BIGINT)
+        |      AS tile FROM a),
+        |per AS (SELECT tile, CAST(sum(tr) AS BIGINT) AS n_t,
+        |    CAST(sum(1 - tr) AS BIGINT) AS n_c,
+        |    CAST(sum(tr * conv) AS BIGINT) AS y_t,
+        |    CAST(sum((1 - tr) * conv) AS BIGINT) AS y_c FROM t GROUP BY 1),
+        |cum AS (SELECT a.tile AS tile, max(a.n_t) AS n_t, max(a.n_c) AS n_c,
+        |    max(a.y_t) AS y_t, max(a.y_c) AS y_c,
+        |    CAST(sum(p.n_t) AS BIGINT) AS cnt_t,
+        |    CAST(sum(p.n_c) AS BIGINT) AS cnt_c,
+        |    CAST(sum(p.y_t) AS BIGINT) AS cy_t,
+        |    CAST(sum(p.y_c) AS BIGINT) AS cy_c
+        |  FROM per a JOIN per p ON p.tile <= a.tile GROUP BY 1)
+        |SELECT c.tile AS tile, n_t, n_c, y_t, y_c,
+        |  CASE WHEN n_t > 0 AND n_c > 0 THEN
+        |    CAST(floor((CAST(y_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+        |      - CAST(y_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+        |      * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 END AS uplift,
+        |  CASE WHEN cnt_c > 0 THEN
+        |    CAST(floor((CAST(cy_t AS DOUBLE) - CAST(cy_c AS DOUBLE)
+        |      * (CAST(cnt_t AS DOUBLE) / CAST(cnt_c AS DOUBLE)))
+        |      * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 END AS qini
+        |FROM cum c ORDER BY c.tile""".stripMargin,
     // FP-growth's frequent-itemset SET is deterministic (exact counts,
     // no sampling): the oracle enumerates candidate itemsets to arity 4
     // by ordered self-joins of the distinct (order, brand) table — far

@@ -1517,4 +1517,49 @@ object Events {
           .as("share"))
       .orderBy("pattern")
   }
+
+  /** Uplift Qini table — the incrementality readout the A/B trio
+    * ([[abTest]]/[[srmCheck]]/[[cuped]]) doesn't give: rank users by a
+    * targeting score (here: engagement = event count), cut into exact
+    * tiles, and per cumulative prefix report the treatment/control
+    * conversion split, the tile's incremental rate (`uplift`) and the
+    * Qini value Y_t(k) − Y_c(k)·N_t(k)/N_c(k) — "how many EXTRA
+    * conversions did targeting the top-k decile buy". Assignment is
+    * the replayable md5 coin shared with [[abTest]].
+    *
+    * Scale shape: one user fold, [[graft.operators.Rank.ntileExact]]'s
+    * two-level scan for the decile (NO user-count-sized window), then
+    * tile-domain folds and a triangular broadcast cumulative join.
+    * All counts are exact BIGINTs; the two ratios are identical scalar
+    * IEEE trees (empty-arm tiles → NULL, guarded on both sides). */
+  def upliftQini(events: DataFrame, buckets: Int = 10): DataFrame = {
+    val users = events.groupBy("user_id")
+      .agg(count(lit(1)).as("n_ev"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      .withColumn("tr", when(
+        substring(md5(col("user_id").cast("string")), 1, 1) < "8", 1L).otherwise(0L))
+    val tiled = Rank.ntileExact(users, -expr("n_ev DIV 8"),
+      Seq(col("n_ev").desc, col("user_id")), buckets, "tile")
+    val per = tiled.groupBy("tile")
+      .agg(sum(col("tr")).as("n_t"),
+        sum(lit(1L) - col("tr")).as("n_c"),
+        sum(col("tr") * col("conv")).as("y_t"),
+        sum((lit(1L) - col("tr")) * col("conv")).as("y_c"))
+    val cum = per.as("a")
+      .join(broadcast(per.as("p")), col("p.tile") <= col("a.tile"))
+      .groupBy(col("a.tile").as("tile"))
+      .agg(max(col("a.n_t")).as("n_t"), max(col("a.n_c")).as("n_c"),
+        max(col("a.y_t")).as("y_t"), max(col("a.y_c")).as("y_c"),
+        sum(col("p.n_t")).as("cnt_t"), sum(col("p.n_c")).as("cnt_c"),
+        sum(col("p.y_t")).as("cy_t"), sum(col("p.y_c")).as("cy_c"))
+    val uplift = when(col("n_t") > 0L && col("n_c") > 0L,
+      Num.pround(col("y_t").cast("double") / col("n_t").cast("double")
+        - col("y_c").cast("double") / col("n_c").cast("double"), 4))
+    val qini = when(col("cnt_c") > 0L,
+      Num.pround(col("cy_t").cast("double") - col("cy_c").cast("double")
+        * (col("cnt_t").cast("double") / col("cnt_c").cast("double")), 4))
+    cum.select(col("tile"), col("n_t"), col("n_c"), col("y_t"), col("y_c"),
+        uplift.as("uplift"), qini.as("qini"))
+      .orderBy("tile")
+  }
 }

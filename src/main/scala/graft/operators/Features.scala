@@ -338,4 +338,41 @@ object Features {
           .as("cum_lift"))
       .orderBy("tile")
   }
+
+  /** Score-calibration (reliability) table — the third leg of the
+    * model-triage trio beside [[aucRoc]] (discrimination) and
+    * [[gainsChart]] (budget cuts): cut the score range into exact
+    * tiles, compare the tile's mean min-max-normalized score against
+    * its observed positive rate. A well-calibrated scorer tracks the
+    * diagonal; `gap` is the per-tile calibration error (the ECE
+    * summand). Same score/label framing as the siblings: score =
+    * n_chars, label = lang=='en', NULL labels excluded on both sides.
+    *
+    * Scale shape: one 1-row min/max fold plus [[Rank.ntileExact]]'s
+    * two-level scan (NO corpus-sized single-partition window); every
+    * per-tile statistic is an exact BIGINT moment (Σscore, counts), so
+    * mean_score = (Σs − n·lo)/(n·(hi−lo)) and the rate/gap are
+    * deterministic scalar IEEE trees any engine reproduces bit-exactly
+    * (gap is negative-capable → portable pround, signed-zero-safe). */
+  def calibrationTable(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    val labeled = docs.filter(col("lang").isNotNull)
+      .select(col("doc_id"), col("n_chars"), (col("lang") === "en").as("pos"))
+    val mm = labeled.agg(min("n_chars").as("lo"), max("n_chars").as("hi"))
+    val tiled = Rank.ntileExact(labeled, expr("n_chars DIV 256"),
+      Seq(col("n_chars"), col("doc_id")), buckets, "tile")
+    val per = tiled.groupBy("tile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("n_chars")).as("s_sum"))
+    val n = col("n_docs").cast("double")
+    val meanScore = (col("s_sum").cast("double") - n * col("lo").cast("double")) /
+      (n * (col("hi") - col("lo")).cast("double"))
+    val posRate = col("n_pos").cast("double") / n
+    per.crossJoin(broadcast(mm)) // bounded: 1 row
+      .select(col("tile"), col("n_docs"), col("n_pos"),
+        Num.pround(meanScore, 4).as("mean_score"),
+        Num.pround(posRate, 4).as("pos_rate"),
+        Num.pround(meanScore - posRate, 4).as("gap"))
+      .orderBy("tile")
+  }
 }

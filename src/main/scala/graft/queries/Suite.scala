@@ -1235,6 +1235,23 @@ object Suite {
   def featGains(s: SparkSession, dir: String): DataFrame =
     Features.gainsChart(t(s, dir, "documents"))
 
+  /** Score-calibration reliability table (the feat_auc framing). */
+  def featCalibration(s: SparkSession, dir: String): DataFrame =
+    Features.calibrationTable(t(s, dir, "documents"))
+
+  /** Nelson–Aalen cumulative hazard over purchase lifetimes. */
+  def evtHazard(s: SparkSession, dir: String): DataFrame =
+    Monitor.nelsonAalen(
+      t(s, dir, "events").filter(col("event_type") === "purchase"))
+
+  /** Simpson / Yule's K lexical-diversity profile per language. */
+  def textLexdiv(s: SparkSession, dir: String): DataFrame =
+    TextOps.lexicalDiversity(t(s, dir, "documents"))
+
+  /** Uplift Qini table by engagement decile under the md5 coin. */
+  def evtUplift(s: SparkSession, dir: String): DataFrame =
+    Events.upliftQini(t(s, dir, "events"))
+
   def textReadability(s: SparkSession, dir: String): DataFrame =
     TextOps.readability(t(s, dir, "documents"))
 

@@ -1036,4 +1036,25 @@ class EventsSpec extends SparkTestBase {
       ("2024-01-04", "forecast", 0L, 8.0),
       ("2024-01-05", "forecast", 0L, 10.0)))
   }
+
+  test("upliftQini: hand-computed qini over a known md5 assignment split") {
+    // md5 first hex char: treated (<'8') = users 6,9,11,17; control =
+    // 7,10,13,14. Engagement puts {6,9,7,10} in tile 1, rest in tile 2.
+    // Converters: 6 (treated), 7 (control), 11 (treated).
+    // tile1: 1/2 vs 1/2 -> uplift 0, qini 1-1*(2/2) = 0
+    // tile2: 1/2 vs 0/2 -> uplift 0.5; cum 2-1*(4/4) = 1.0
+    val nEv = Map(6L -> 20, 9L -> 19, 7L -> 18, 10L -> 17,
+      11L -> 16, 17L -> 15, 13L -> 14, 14L -> 13)
+    val conv = Set(6L, 7L, 11L)
+    val rows = nEv.toSeq.flatMap { case (u, n) =>
+      (1 to n).map { i =>
+        (u, if (i == 1 && conv(u)) "purchase" else "view") }
+    }
+    val ev = rows.toDF("user_id", "event_type")
+    val out = Events.upliftQini(ev, buckets = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).toSeq
+    assert(out == Seq((1L, 2L, 2L, 1L, 1L, 0.0, 0.0),
+      (2L, 2L, 2L, 1L, 0L, 0.5, 1.0)))
+  }
 }

@@ -191,4 +191,21 @@ class FeaturesSpec extends SparkTestBase {
       (3L, 5L, 0L, 1.0, 1.3333),
       (4L, 5L, 0L, 1.0, 1.0)))
   }
+
+  test("calibrationTable: exact integer moments give the hand reliability rows") {
+    // the gains fixture: scores (100-i)*1000, positives = 5 highest.
+    // lo=80000, hi=99000, R=95000 over 5-doc quartiles: mean_score =
+    // (sum - 5*lo)/(5*R); positives land entirely in tile 4
+    val rows = (1 to 20).map { i =>
+      (i.toLong, (100 - i) * 1000L, if (i <= 5) "en" else "de")
+    }.toDF("doc_id", "n_chars", "lang")
+    val out = graft.operators.Features.calibrationTable(rows, buckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      (1L, 5L, 0L, 0.1053, 0.0, 0.1053),
+      (2L, 5L, 0L, 0.3684, 0.0, 0.3684),
+      (3L, 5L, 0L, 0.6316, 0.0, 0.6316),
+      (4L, 5L, 5L, 0.8947, 1.0, -0.1053)))
+  }
 }

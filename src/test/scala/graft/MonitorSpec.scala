@@ -126,4 +126,22 @@ class MonitorSpec extends SparkTestBase {
     val byDepth = grid.groupBy("depth").agg(sum("cnt").as("s")).collect()
     assert(byDepth.forall(_.getLong(1) == 11L), "each depth row must hold all N updates")
   }
+
+  test("nelsonAalen: hand-computed cumulative hazard on the KM fixture") {
+    // same frame as the kaplanMeier test: lifetimes t=2 (2 churned),
+    // t=8 (censored), t=10 (censored); risk sets 4/2/1.
+    // h = 2/4, 0, 0 -> H = 0.5 flat; V = 2/16 -> se = sqrt(0.125)
+    val rows = Seq(
+      (1L, 1L, 0), (2L, 1L, 2), (3L, 2L, 1), (4L, 2L, 3),
+      (5L, 3L, 0), (6L, 3L, 8), (7L, 4L, 0), (8L, 4L, 10))
+    val ev = rows.map { case (e, u, day) =>
+      (e, u, f"2024-03-${day + 1}%02d 12:00:00") }
+      .toDF("event_id", "user_id", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = Monitor.nelsonAalen(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(out == Seq((2L, 4L, 2L, 0.5, 0.3536),
+      (8L, 2L, 0L, 0.5, 0.3536), (10L, 1L, 0L, 0.5, 0.3536)))
+  }
 }

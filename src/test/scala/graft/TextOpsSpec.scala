@@ -624,4 +624,18 @@ class TextOpsSpec extends SparkTestBase {
     assert(out.head.getString(0) == "uniquemarker")
     assert(out.head.getDouble(3) > 0.0)
   }
+
+  test("lexicalDiversity: hand-computed simpson and yule moments per lang") {
+    // en "a b a b c": f = {2,2,1}, N=5, V=3, sum f^2=9, sum f(f-1)=4:
+    //   ttr 0.6, simpson 4/20 = 0.2, yule 1e4*(9-5)/25 = 1600
+    // de "x x x": f={3}, N=3, V=1: ttr 0.3333, simpson 6/6=1,
+    //   yule 1e4*6/9 = 6666.6667
+    val docs = Seq((1L, "en", "a b a b c"), (2L, "de", "x x x"))
+      .toDF("doc_id", "lang", "text")
+    val out = TextOps.lexicalDiversity(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(out == Seq(("de", 3L, 1L, 0.3333, 1.0, 6666.6667),
+      ("en", 5L, 3L, 0.6, 0.2, 1600.0)))
+  }
 }
