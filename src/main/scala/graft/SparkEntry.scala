@@ -151,6 +151,9 @@ object SparkEntry {
     "evt_hazard" -> (Suite.evtHazard _),
     "text_lexdiv" -> (Suite.textLexdiv _),
     "evt_uplift" -> (Suite.evtUplift _),
+    "graph_wcc" -> (Suite.graphWcc _),
+    "feat_mutual_info" -> (Suite.featMutualInfo _),
+    "rel_hhi" -> (Suite.relHhi _),
     "text_readability" -> (Suite.textReadability _),
     "dq_skew" -> (Suite.dqSkew _),
     "sim_cluster_purity" -> (Suite.simClusterPurity _),
@@ -809,6 +812,68 @@ object SparkEntry {
         |      * (CAST(cnt_t AS DOUBLE) / CAST(cnt_c AS DOUBLE)))
         |      * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 END AS qini
         |FROM cum c ORDER BY c.tile""".stripMargin,
+    // WCC size histogram: the dedup_clusters_verified closure idiom on
+    // the kcore co-purchase edges -- components are exact sets, so the
+    // histogram admits an exact twin
+    "graph_wcc" ->
+      """WITH RECURSIVE
+        |l AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem
+        |  WHERE l_partkey % 5 = 0),
+        |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v FROM l a
+        |  JOIN l b ON a.ok = b.ok AND a.p < b.p),
+        |e AS (SELECT u AS src, v AS dst FROM e0
+        |      UNION SELECT v, u FROM e0),
+        |reach AS (SELECT src, dst FROM e
+        |          UNION
+        |          SELECT r.src, e2.dst FROM reach r JOIN e e2 ON e2.src = r.dst),
+        |c AS (SELECT src AS node, LEAST(src, MIN(dst)) AS comp
+        |      FROM reach GROUP BY src),
+        |s AS (SELECT comp, count(*) AS csize FROM c GROUP BY comp)
+        |SELECT CAST(csize AS BIGINT) AS csize,
+        |  CAST(count(*) AS BIGINT) AS n_components
+        |FROM s GROUP BY csize ORDER BY csize""".stripMargin,
+    // MI from exact BIGINT contingency moments; the running total
+    // evaluates in (r, c) frame order on both engines
+    "feat_mutual_info" ->
+      """WITH obs AS (SELECT l_returnflag AS r, l_linestatus AS c,
+        |    count(*) AS n FROM lineitem GROUP BY 1, 2),
+        |rt AS (SELECT r, CAST(sum(n) AS BIGINT) AS nr FROM obs GROUP BY 1),
+        |ct AS (SELECT c, CAST(sum(n) AS BIGINT) AS nc FROM obs GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM obs),
+        |cc AS (SELECT obs.r, obs.c, obs.n,
+        |    CAST(obs.n AS DOUBLE) / CAST(nt AS DOUBLE)
+        |      * ln(CAST(obs.n AS DOUBLE) * CAST(nt AS DOUBLE)
+        |        / (CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE))) AS contrib
+        |  FROM obs JOIN rt ON obs.r = rt.r JOIN ct ON obs.c = ct.c
+        |  CROSS JOIN tt)
+        |SELECT cc.r AS r, cc.c AS c, CAST(cc.n AS BIGINT) AS n,
+        |  CAST(floor(contrib * 1000000.0e0 + 0.5e0) AS DOUBLE)
+        |    / 1000000.0e0 AS contrib_nats,
+        |  CAST(floor(sum(contrib) OVER (ORDER BY cc.r, cc.c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    * 1000000.0e0 + 0.5e0) AS DOUBLE) / 1000000.0e0 AS mi_cum
+        |FROM cc ORDER BY cc.r, cc.c""".stripMargin,
+    // HHI from exact integer-dollar moments (cents rule then // 100):
+    // 1e4 * sum(d^2)/tot^2 -- no float sum anywhere
+    "rel_hhi" ->
+      """WITH sn AS (SELECT s_suppkey, n_name FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey),
+        |b AS (SELECT n_name AS nation, l_suppkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * (1.0e0 - l_discount)
+        |      * 100e0 + 0.5e0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem JOIN sn ON l_suppkey = s_suppkey GROUP BY 1, 2),
+        |d AS (SELECT nation, cents // 100 AS d FROM b),
+        |ag AS (SELECT nation, count(*) AS n_suppliers,
+        |    CAST(sum(d) AS BIGINT) AS tot,
+        |    CAST(sum(d * d) AS BIGINT) AS sd2,
+        |    max(d) AS dmax FROM d GROUP BY 1)
+        |SELECT nation, CAST(n_suppliers AS BIGINT) AS n_suppliers,
+        |  CAST(floor(CAST(dmax AS DOUBLE) / CAST(tot AS DOUBLE)
+        |    * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS top_share,
+        |  CAST(floor(10000.0e0 * CAST(sd2 AS DOUBLE)
+        |    / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE))
+        |    * 100.0e0 + 0.5e0) AS DOUBLE) / 100.0e0 AS hhi
+        |FROM ag ORDER BY nation""".stripMargin,
     // FP-growth's frequent-itemset SET is deterministic (exact counts,
     // no sampling): the oracle enumerates candidate itemsets to arity 4
     // by ordered self-joins of the distinct (order, brand) table — far

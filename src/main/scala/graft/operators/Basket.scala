@@ -772,4 +772,41 @@ object Basket {
       .groupBy("from_tier", "to_tier").agg(count(lit(1)).as("n_customers"))
       .orderBy("from_tier", "to_tier")
   }
+
+  /** Supplier market concentration per nation — Herfindahl-Hirschman
+    * index over exact integer-dollar revenue shares, the antitrust /
+    * supply-risk readout beside [[supplierScorecard]] (per-supplier
+    * KPIs) and [[abcXyz]] (part concentration): HHI in the 0-10000
+    * convention = 10^4 * sum(share^2), plus the single-largest share.
+    *
+    * Scale shape: one fact fold to (nation, supplier) dollars (exact
+    * BIGINT via the integer-cents rule, then DIV 100 - the floor path
+    * both engines share), then nation-domain algebra: HHI = 10^4 *
+    * sum(d^2)/tot^2 needs only the BIGINT moments sum(d^2), max(d), tot
+    * - no float is ever summed. (sum(d^2) fits BIGINT to ~3e9 dollars
+    * per supplier-nation cell; past that the moment moves to DECIMAL -
+    * the oracle demands exact integers at gate scale.) */
+  def supplierHhi(lineitem: DataFrame, supplier: DataFrame,
+      nation: DataFrame): DataFrame = {
+    val cents = sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      * 100.0 + 0.5).cast("long")).as("cents")
+    val bySupp = lineitem.join(
+        broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), col("s_suppkey"))
+      .agg(cents)
+      .select(col("nation"), expr("cents DIV 100").as("d"))
+    val hhi = lit(10000.0) * col("sd2").cast("double") /
+      (col("tot").cast("double") * col("tot").cast("double"))
+    bySupp.groupBy("nation")
+      .agg(count(lit(1)).as("n_suppliers"), sum("d").as("tot"),
+        sum(col("d") * col("d")).as("sd2"), max("d").as("dmax"))
+      .select(col("nation"), col("n_suppliers"),
+        Num.pround(col("dmax").cast("double") / col("tot").cast("double"), 4)
+          .as("top_share"),
+        Num.pround(hhi, 2).as("hhi"))
+      .orderBy("nation")
+  }
 }

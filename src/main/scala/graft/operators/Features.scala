@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Caches._
 
 /** ML feature-engineering operators — the transform step between the
   * curated tables and a trainer. kiara's pipeline modules cover the
@@ -374,5 +375,39 @@ object Features {
         Num.pround(posRate, 4).as("pos_rate"),
         Num.pround(meanScore - posRate, 4).as("gap"))
       .orderBy("tile")
+  }
+
+  /** Mutual information between two categorical columns — the
+    * feature-selection score beside [[graft.operators.DataQuality]]'s
+    * chi2/Cramer's V (chi2 tests independence; MI measures it in
+    * nats): per cell I-contribution (n/N)·ln(nN/(n_r·n_c)) plus the
+    * running total in (r, c) frame order, whose last row is the MI.
+    *
+    * Scale shape: one contingency fold (domain-sized result), two
+    * broadcast marginal join-backs; the cumulative window runs over
+    * the |A|x|B| cell DOMAIN. All counts are exact BIGINTs, so each
+    * cell's contribution is a deterministic scalar tree, and the
+    * running sum evaluates in frame order on both engines. */
+  def mutualInfo(df: DataFrame, colA: String, colB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val obs = df.groupBy(col(colA).as("r"), col(colB).as("c"))
+      .agg(count(lit(1)).as("n"))
+      .persistTracked() // four consumers: marginals x2, total, cell join
+    val rowT = obs.groupBy("r").agg(sum("n").as("nr"))
+    val colT = obs.groupBy("c").agg(sum("n").as("nc"))
+    val tot = obs.agg(sum("n").as("nt"))
+    val nD = col("n").cast("double")
+    val contrib = nD / col("nt").cast("double") *
+      log(nD * col("nt").cast("double") /
+        (col("nr").cast("double") * col("nc").cast("double")))
+    val w = Window.orderBy("r", "c") // cell domain: bounded window
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    obs.join(broadcast(rowT), "r").join(broadcast(colT), "c")
+      .crossJoin(broadcast(tot)) // bounded: 1 row
+      .withColumn("contrib", contrib)
+      .select(col("r"), col("c"), col("n"),
+        Num.pround(col("contrib"), 6).as("contrib_nats"),
+        Num.pround(sum("contrib").over(w), 6).as("mi_cum"))
+      .orderBy("r", "c")
   }
 }

@@ -396,4 +396,24 @@ object Graph {
       .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
     cs.union(cs.select(col("dst").as("src"), col("src").as("dst")))
   }
+
+  /** Weakly-connected-component size histogram — the graph-health
+    * readout run before any per-component algorithm ("is this one
+    * giant hairball or many islands?"), the aggregate face of
+    * [[graft.operators.Dedup.clusters]]' exact min-label fixpoint
+    * (reused verbatim: convergence-checked, localCheckpoint lineage
+    * cuts, edge-sized partitioning). Input: undirected unique edges
+    * u < v; isolated nodes are out of frame (no edges = no row), same
+    * as the oracle's edge-derived universe.
+    *
+    * Scale shape: O(diameter) min-label join rounds on the edge
+    * table, then two domain folds (component -> size -> histogram);
+    * nothing is ever single-partition. */
+  def wccSizes(edges: DataFrame): DataFrame = {
+    val labels = Dedup.clusters(
+      edges.select(col("u").as("doc_a"), col("v").as("doc_b")), maxIters = 40)
+    labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("csize"))
+      .groupBy("csize").agg(count(lit(1)).as("n_components"))
+      .orderBy("csize")
+  }
 }

@@ -1796,6 +1796,19 @@ object Suite {
   def graphKcore(s: SparkSession, dir: String): DataFrame =
     Graph.kCore(Graph.coPurchaseEdges(t(s, dir, "lineitem")))
 
+  /** Component-size histogram of the co-purchase graph. */
+  def graphWcc(s: SparkSession, dir: String): DataFrame =
+    Graph.wccSizes(Graph.coPurchaseEdges(t(s, dir, "lineitem")))
+
+  /** Mutual information between return flag and line status. */
+  def featMutualInfo(s: SparkSession, dir: String): DataFrame =
+    Features.mutualInfo(t(s, dir, "lineitem"), "l_returnflag", "l_linestatus")
+
+  /** Supplier HHI revenue concentration per nation. */
+  def relHhi(s: SparkSession, dir: String): DataFrame =
+    Basket.supplierHhi(t(s, dir, "lineitem"), t(s, dir, "supplier"),
+      t(s, dir, "nation"))
+
   /** Trend + day-of-week + residual decomposition of daily volume. */
   def evtDecompose(s: SparkSession, dir: String): DataFrame =
     Events.decomposeDaily(t(s, dir, "events"))

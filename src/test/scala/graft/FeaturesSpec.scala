@@ -208,4 +208,18 @@ class FeaturesSpec extends SparkTestBase {
       (3L, 5L, 0L, 0.6316, 0.0, 0.6316),
       (4L, 5L, 5L, 0.8947, 1.0, -0.1053)))
   }
+
+  test("mutualInfo: perfect dependence scores ln 2, independence scores 0") {
+    // diagonal 2x2: each cell contributes (2/4)·ln(2·4/(2·2)) = ln(2)/2
+    val dep = Seq(("A", "X"), ("A", "X"), ("B", "Y"), ("B", "Y"))
+      .toDF("f1", "f2")
+    val out = Features.mutualInfo(dep, "f1", "f2").collect()
+    assert(out.map(_.getDouble(3)).toSeq == Seq(0.346574, 0.346574))
+    assert(out.last.getDouble(4) == 0.693147) // MI = ln 2 at the last cell
+    // uniform 2x2: every cell has n·N == n_r·n_c → ln(1) = 0 throughout
+    val ind = Seq(("A", "X"), ("A", "Y"), ("B", "X"), ("B", "Y"))
+      .toDF("f1", "f2")
+    val mi = Features.mutualInfo(ind, "f1", "f2").collect()
+    assert(mi.forall(r => r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0))
+  }
 }

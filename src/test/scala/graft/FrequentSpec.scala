@@ -423,4 +423,19 @@ class FrequentSpec extends SparkTestBase {
     assert(out.filterKeys(k => k._1 == k._2 && k._1 > 0).values.sum >= 5,
       s"rank-stable customers must stay on the diagonal: $out")
   }
+
+  test("supplierHhi: monopoly scores 10000, an even split scores 5000") {
+    import graft.operators.Basket
+    val li = Seq(
+      (1L, 100.0, 0.0), (2L, 100.0, 0.0), // nation N1: two equal suppliers
+      (3L, 50.0, 0.0)) // nation N2: monopoly
+      .toDF("l_suppkey", "l_extendedprice", "l_discount")
+    val sup = Seq((1L, 10L), (2L, 10L), (3L, 20L))
+      .toDF("s_suppkey", "s_nationkey")
+    val nation = Seq((10L, "N1"), (20L, "N2")).toDF("n_nationkey", "n_name")
+    val out = Basket.supplierHhi(li, sup, nation).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // N1: shares 0.5/0.5 → 10^4·(0.25+0.25) = 5000; N2: single → 10000
+    assert(out.toSeq == Seq(("N1", 2L, 0.5, 5000.0), ("N2", 1L, 1.0, 10000.0)))
+  }
 }

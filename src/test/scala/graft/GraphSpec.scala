@@ -163,4 +163,12 @@ class GraphSpec extends SparkTestBase {
     assert(out.toSeq == Seq((1L, 2L, 1L, 1.0), (2L, 2L, 1L, 1.0),
       (3L, 3L, 1L, 0.3333)))
   }
+
+  test("wccSizes histograms component sizes of a path plus two islands") {
+    // components: {1,2,3} (path), {5,6}, {8,9} → one size-3, two size-2
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L)).toDF("u", "v")
+    val out = Graph.wccSizes(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((2L, 2L), (3L, 1L)))
+  }
 }
