@@ -154,6 +154,10 @@ object SparkEntry {
     "graph_wcc" -> (Suite.graphWcc _),
     "feat_mutual_info" -> (Suite.featMutualInfo _),
     "rel_hhi" -> (Suite.relHhi _),
+    "evt_acf" -> (Suite.evtAcf _),
+    "dq_xi_corr" -> (Suite.dqXiCorr _),
+    "dq_anova2" -> (Suite.dqAnova2 _),
+    "sim_silhouette" -> (Suite.simSilhouette _),
     "text_readability" -> (Suite.textReadability _),
     "dq_skew" -> (Suite.dqSkew _),
     "sim_cluster_purity" -> (Suite.simClusterPurity _),
@@ -874,6 +878,155 @@ object SparkEntry {
         |    / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE))
         |    * 100.0e0 + 0.5e0) AS DOUBLE) / 100.0e0 AS hhi
         |FROM ag ORDER BY nation""".stripMargin,
+    // sample ACF from exact BIGINT moments: per-lag pair sums via the
+    // day-index equi-join, r_k as one scalar tree on both engines
+    "evt_acf" ->
+      """WITH d0 AS (SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day
+        |  FROM events),
+        |d AS (SELECT day, count(*) AS x FROM d0 GROUP BY 1),
+        |ix AS (SELECT day, x, row_number() OVER (ORDER BY day) AS i FROM d),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
+        |    CAST(sum(x * x) AS BIGINT) AS ssq FROM ix),
+        |lg AS (SELECT unnest(generate_series(1, 14)) AS lag),
+        |p AS (SELECT lg.lag, count(*) AS n_pairs,
+        |    CAST(sum(a.x * b.x) AS BIGINT) AS sp,
+        |    CAST(sum(a.x) AS BIGINT) AS sh, CAST(sum(b.x) AS BIGINT) AS st
+        |  FROM ix a CROSS JOIN lg JOIN ix b ON b.i = a.i + lg.lag
+        |  GROUP BY 1)
+        |SELECT CAST(p.lag AS BIGINT) AS lag, CAST(p.n_pairs AS BIGINT) AS n_pairs,
+        |  CAST(floor((CAST(sp AS DOUBLE)
+        |      - CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * CAST(sh + st AS DOUBLE)
+        |      + CAST(n_pairs AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+        |    / (CAST(ssq AS DOUBLE)
+        |      - CAST(s AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+        |    * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS acf
+        |FROM p CROSS JOIN m ORDER BY p.lag""".stripMargin,
+    // Chatterjee xi: ranks and sum|dr| are exact integers on the fixed
+    // md5-rank sample; xi is one scalar tree
+    "dq_xi_corr" ->
+      """WITH t AS (SELECT o_orderpriority AS grp, o_orderdate AS x,
+        |    o_totalprice AS y, md5(CAST(o_orderkey AS VARCHAR)) AS tie
+        |  FROM orders),
+        |s AS (SELECT grp, x, y, tie FROM (SELECT t.*,
+        |    row_number() OVER (PARTITION BY grp ORDER BY tie) AS rn FROM t)
+        |  WHERE rn <= 400),
+        |r AS (SELECT grp,
+        |    row_number() OVER (PARTITION BY grp ORDER BY x, tie) AS xr,
+        |    row_number() OVER (PARTITION BY grp ORDER BY y, tie) AS yr FROM s),
+        |d AS (SELECT grp,
+        |    abs(yr - lag(yr) OVER (PARTITION BY grp ORDER BY xr)) AS dr FROM r),
+        |g AS (SELECT grp, count(*) AS n, CAST(sum(dr) AS BIGINT) AS sum_dr
+        |  FROM d GROUP BY 1)
+        |SELECT grp, CAST(n AS BIGINT) AS n, sum_dr,
+        |  CAST(floor((1.0e0 - 3.0e0 * CAST(sum_dr AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0e0))
+        |    * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS xi
+        |FROM g ORDER BY grp""".stripMargin,
+    // two-way ANOVA from exact BIGINT cent moments; the float sum(s^2/n)
+    // terms accumulate in FRAME ORDER (window prefix read at the last
+    // row) so both engines add in the identical sequence
+    "dq_anova2" ->
+      """WITH li AS (SELECT l_returnflag AS fa, l_linestatus AS fb,
+        |    CAST(floor(l_quantity * 100.0e0 + 0.5e0) AS BIGINT) AS qc
+        |  FROM lineitem),
+        |cells AS (SELECT fa, fb, count(*) AS n_g,
+        |    CAST(sum(qc) AS BIGINT) AS s_g,
+        |    CAST(sum(qc * qc) AS BIGINT) AS ss_g
+        |  FROM li GROUP BY 1, 2),
+        |ma AS (SELECT fa, CAST(sum(n_g) AS BIGINT) AS n_g,
+        |    CAST(sum(s_g) AS BIGINT) AS s_g FROM cells GROUP BY 1),
+        |mb AS (SELECT fb, CAST(sum(n_g) AS BIGINT) AS n_g,
+        |    CAST(sum(s_g) AS BIGINT) AS s_g FROM cells GROUP BY 1),
+        |sa AS (SELECT cum AS sa FROM (SELECT fa,
+        |    sum(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE))
+        |      OVER (ORDER BY fa ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum FROM ma) ORDER BY fa DESC LIMIT 1),
+        |sb AS (SELECT cum AS sb FROM (SELECT fb,
+        |    sum(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE))
+        |      OVER (ORDER BY fb ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum FROM mb) ORDER BY fb DESC LIMIT 1),
+        |sc AS (SELECT cum AS sc FROM (SELECT fa, fb,
+        |    sum(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE))
+        |      OVER (ORDER BY fa, fb ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum FROM cells) ORDER BY fa DESC, fb DESC LIMIT 1),
+        |g AS (SELECT CAST(count(DISTINCT fa) AS BIGINT) AS ka,
+        |    CAST(count(DISTINCT fb) AS BIGINT) AS kb,
+        |    CAST(count(*) AS BIGINT) AS ncells,
+        |    CAST(sum(n_g) AS BIGINT) AS n, CAST(sum(s_g) AS BIGINT) AS s,
+        |    CAST(sum(ss_g) AS BIGINT) AS ssq FROM cells),
+        |w AS (SELECT ka, kb, ncells, n,
+        |    (CAST(ssq AS DOUBLE)
+        |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / 10000.0e0 AS sst,
+        |    (sa - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / 10000.0e0 AS ssa,
+        |    (sb - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / 10000.0e0 AS ssb,
+        |    (sc - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / 10000.0e0 AS ssc
+        |  FROM g CROSS JOIN sa CROSS JOIN sb CROSS JOIN sc),
+        |u AS (
+        |  SELECT 'factor_a' AS source, ka - 1 AS df,
+        |    CAST(floor(ssa * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS ss,
+        |    CAST(floor(ssa / sst * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS pct
+        |  FROM w
+        |  UNION ALL SELECT 'factor_b', kb - 1,
+        |    CAST(floor(ssb * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0,
+        |    CAST(floor(ssb / sst * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 FROM w
+        |  UNION ALL SELECT 'interaction', (ka - 1) * (kb - 1),
+        |    CAST(floor((ssc - ssa - ssb) * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0,
+        |    CAST(floor((ssc - ssa - ssb) / sst * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 FROM w
+        |  UNION ALL SELECT 'within', n - ncells,
+        |    CAST(floor((sst - ssc) * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0,
+        |    CAST(floor((sst - ssc) / sst * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 FROM w
+        |  UNION ALL SELECT 'total', n - 1,
+        |    CAST(floor(sst * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0,
+        |    CAST(1.0e0 AS DOUBLE) FROM w)
+        |SELECT source, CAST(df AS BIGINT) AS df, ss, pct
+        |FROM u ORDER BY source""".stripMargin,
+    // simplified silhouette: centroid components from 1e-6-quantized
+    // BIGINT sums; distances row-local in index order
+    // (list_inner_product ≡ DotProduct); per-row s(i) re-quantized so
+    // the label means are exact-integer ratios
+    "sim_silhouette" ->
+      """WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |u AS (SELECT label, i AS dim,
+        |    CAST(floor(e[i] * 1000000.0e0 + 0.5e0) AS BIGINT) AS q
+        |  FROM v CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g),
+        |cm AS (SELECT label, dim, CAST(sum(q) AS BIGINT) AS sq, count(*) AS cnt
+        |  FROM u GROUP BY 1, 2),
+        |cent AS (SELECT label AS clabel,
+        |    list(CAST(sq AS DOUBLE) / (CAST(cnt AS DOUBLE) * 1000000.0e0)
+        |      ORDER BY dim) AS c
+        |  FROM cm GROUP BY 1),
+        |sc AS (SELECT v.vec_id, v.label, cent.clabel,
+        |    greatest(list_inner_product(v.e, v.e)
+        |      - 2.0e0 * list_inner_product(v.e, cent.c)
+        |      + list_inner_product(cent.c, cent.c), 0.0e0) AS d2
+        |  FROM v CROSS JOIN cent),
+        |own AS (SELECT vec_id, d2 AS a2 FROM sc WHERE label = clabel),
+        |oth AS (SELECT vec_id, min(d2) AS b2 FROM sc WHERE label <> clabel
+        |  GROUP BY 1),
+        |per AS (SELECT v.label,
+        |    CAST(floor(sqrt(a2) * 1000000.0e0 + 0.5e0) AS BIGINT) AS qa,
+        |    CAST(floor(sqrt(b2) * 1000000.0e0 + 0.5e0) AS BIGINT) AS qb,
+        |    CAST(floor((sqrt(b2) - sqrt(a2))
+        |      / greatest(sqrt(a2), sqrt(b2)) * 1000000.0e0 + 0.5e0) AS BIGINT) AS qs
+        |  FROM v JOIN own ON v.vec_id = own.vec_id
+        |  JOIN oth ON v.vec_id = oth.vec_id),
+        |ag AS (SELECT label, count(*) AS n_vectors,
+        |    CAST(sum(qa) AS BIGINT) AS sa, CAST(sum(qb) AS BIGINT) AS sb,
+        |    CAST(sum(qs) AS BIGINT) AS ss FROM per GROUP BY 1)
+        |SELECT label, CAST(n_vectors AS BIGINT) AS n_vectors,
+        |  CAST(floor(CAST(sa AS DOUBLE) / (CAST(n_vectors AS DOUBLE) * 1000000.0e0)
+        |    * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS mean_a,
+        |  CAST(floor(CAST(sb AS DOUBLE) / (CAST(n_vectors AS DOUBLE) * 1000000.0e0)
+        |    * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS mean_b,
+        |  CAST(floor(CAST(ss AS DOUBLE) / (CAST(n_vectors AS DOUBLE) * 1000000.0e0)
+        |    * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS mean_sil
+        |FROM ag ORDER BY label""".stripMargin,
     // FP-growth's frequent-itemset SET is deterministic (exact counts,
     // no sampling): the oracle enumerates candidate itemsets to arity 4
     // by ordered self-joins of the distinct (order, brand) table — far

@@ -738,4 +738,107 @@ object DataQuality {
           / col("n_rows").cast("double"), 4).as("g3_error"))
       .withColumn("holds", col("g3_error") === 0.0)
   }
+
+  /** Chatterjee's rank correlation ξ between order date and order value,
+    * per priority group — the modern dependence screen beside
+    * [[spearmanAudit]]: Spearman only sees MONOTONE association; ξ
+    * detects ANY functional dependence (ξ→1 iff y is a measurable
+    * function of x, Chatterjee 2021), and it is asymmetric by design
+    * (does x determine y, not the reverse). No-ties form on a
+    * deterministic sample: sort by x, rank y, then
+    * ξ = 1 − 3·Σ|r_{i+1} − r_i| / (n² − 1).
+    *
+    * Scale shape: the per-group sample is a GroupTopK by md5 rank
+    * (bounded heaps, no full sort — the thresholdSweep fixed-sample
+    * idiom), so every later rank window runs over ≤ `perGroup` rows.
+    * Both ranks and Σ|Δr| are exact integers; ξ is one scalar tree. */
+  def xiCorr(orders: DataFrame, perGroup: Int = 400): DataFrame = {
+    val tagged = orders.select(col("o_orderpriority").as("grp"),
+      col("o_orderdate").as("x"), col("o_totalprice").as("y"),
+      md5(col("o_orderkey").cast("string")).as("tie"))
+    val pruned = org.apache.spark.sql.graftext.GroupTopK.topK(
+      tagged, Seq("grp"), Seq("tie" -> false), perGroup)
+    val s = pruned.withColumn("rn",
+        row_number().over(Window.partitionBy("grp").orderBy("tie")))
+      .filter(col("rn") <= perGroup)
+    val xr = row_number().over(
+      Window.partitionBy("grp").orderBy(col("x"), col("tie")))
+    val yr = row_number().over(
+      Window.partitionBy("grp").orderBy(col("y"), col("tie")))
+    val ranked = s.select(col("grp"), xr.cast("long").as("xr"),
+      yr.cast("long").as("yr"))
+    val nD = col("n").cast("double")
+    ranked
+      .withColumn("dr", abs(col("yr") - lag("yr", 1)
+        .over(Window.partitionBy("grp").orderBy("xr"))))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum("dr").as("sum_dr"))
+      .select(col("grp"), col("n"), col("sum_dr"),
+        Num.pround(lit(1.0) - lit(3.0) * col("sum_dr").cast("double")
+          / (nD * nD - 1.0), 4).as("xi"))
+      .orderBy("grp")
+  }
+
+  /** Two-way variance decomposition (ANOVA table) of line quantity over
+    * return flag × line status — the factorial extension of
+    * [[anovaAudit]]: splits SS_total into factor A, factor B, their
+    * interaction (SS_cells − SS_A − SS_B, the balanced-design
+    * identity used descriptively), and within-cell noise, with each
+    * source's df and share of total variance.
+    *
+    * Scale shape: ONE fact fold to the |A|×|B| cell table (count, Σq,
+    * Σq² — exact BIGINT cents); everything after is domain-sized
+    * algebra. The Σ s²/n terms are float, so each is accumulated via a
+    * FRAME-ORDER window prefix over its tiny domain and read at the
+    * last row — deterministic on both engines where a plain float
+    * aggregate is accumulation-order-unstable (the cuped lesson). */
+  def anovaTwoWay(lineitem: DataFrame): DataFrame = {
+    import graft.Caches._
+    val qc = floor(col("l_quantity") * 100.0 + 0.5).cast("long")
+    val cells = lineitem
+      .groupBy(col("l_returnflag").as("fa"), col("l_linestatus").as("fb"))
+      .agg(count(lit(1)).as("n_g"), sum(qc).as("s_g"),
+        sum(qc * qc).as("ss_g"))
+      .persistTracked() // consumers: global moments + A/B marginals + cells
+    def lastCum(df: DataFrame, keys: Seq[String], out: String): DataFrame = {
+      val w = Window.orderBy(keys.map(col): _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val term = col("s_g").cast("double") * col("s_g").cast("double") /
+        col("n_g").cast("double")
+      df.withColumn(out, sum(term).over(w)) // cell/factor domain: bounded
+        .orderBy(keys.map(k => col(k).desc): _*).limit(1).select(col(out))
+    }
+    val sa = lastCum(cells.groupBy("fa")
+      .agg(sum("n_g").as("n_g"), sum("s_g").as("s_g")), Seq("fa"), "sa")
+    val sb = lastCum(cells.groupBy("fb")
+      .agg(sum("n_g").as("n_g"), sum("s_g").as("s_g")), Seq("fb"), "sb")
+    val sc = lastCum(cells, Seq("fa", "fb"), "sc")
+    val g = cells.agg(countDistinct("fa").as("ka"),
+      countDistinct("fb").as("kb"), count(lit(1)).as("ncells"),
+      sum("n_g").as("n"), sum("s_g").as("s"), sum("ss_g").as("ssq"))
+    val corr0 = col("s").cast("double") * col("s").cast("double") /
+      col("n").cast("double")
+    val sst = (col("ssq").cast("double") - corr0) / 1e4 // cents² → qty²
+    val ssA = (col("sa") - corr0) / 1e4
+    val ssB = (col("sb") - corr0) / 1e4
+    val ssC = (col("sc") - corr0) / 1e4
+    g.crossJoin(broadcast(sa)).crossJoin(broadcast(sb)) // bounded: 1 row each
+      .crossJoin(broadcast(sc))
+      .select(col("ka"), col("kb"), col("ncells"), col("n"),
+        Num.pround(ssA, 4).as("v_a"), Num.pround(ssB, 4).as("v_b"),
+        Num.pround(ssC - ssA - ssB, 4).as("v_i"),
+        Num.pround(sst - ssC, 4).as("v_w"), Num.pround(sst, 4).as("v_t"),
+        Num.pround(ssA / sst, 4).as("p_a"), Num.pround(ssB / sst, 4).as("p_b"),
+        Num.pround((ssC - ssA - ssB) / sst, 4).as("p_i"),
+        Num.pround((sst - ssC) / sst, 4).as("p_w"))
+      .select(expr(
+        """stack(5,
+          |  'factor_a', ka - 1L, v_a, p_a,
+          |  'factor_b', kb - 1L, v_b, p_b,
+          |  'interaction', (ka - 1L) * (kb - 1L), v_i, p_i,
+          |  'within', n - ncells, v_w, p_w,
+          |  'total', n - 1L, v_t, CAST(1.0 AS DOUBLE)
+          |) AS (source, df, ss, pct)""".stripMargin))
+      .orderBy("source")
+  }
 }

@@ -1562,4 +1562,43 @@ object Events {
         uplift.as("uplift"), qini.as("qini"))
       .orderBy("tile")
   }
+
+  /** Sample autocorrelation of daily event volume at lags 1..`maxLag` —
+    * the periodicity probe run before picking a seasonal model:
+    * [[decomposeDaily]] ASSUMES a weekly rhythm; the ACF is how you
+    * find out the rhythm exists (a lag-7 spike) and whether the series
+    * is trend-dominated (slow decay). r_k uses the standard estimator
+    * sum_t (x_t-mu)(x_{t+k}-mu) / sum_t (x_t-mu)^2 with the global mean.
+    *
+    * Scale shape: one corpus fold to the day grid; the lagged pairs are
+    * an equi-join on day index (calendar domain x maxLag rows); every
+    * moment (sum x_t x_{t+k}, head/tail sums, global sum/sum-sq) stays
+    * an exact BIGINT, so r_k is a deterministic scalar tree on both
+    * engines. The day-index row_number window runs over the calendar
+    * domain (bounded). */
+  def acf(events: DataFrame, maxLag: Int = 14): DataFrame = {
+    val daily = events
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("x"))
+      .withColumn("i", row_number().over(Window.orderBy("day")).cast("long"))
+      .persistTracked() // three consumers: global moments + both join sides
+    val m = daily.agg(count(lit(1)).as("n"), sum("x").as("s"),
+      sum(col("x") * col("x")).as("ssq"))
+    val lags = daily.sparkSession.range(1, maxLag + 1).toDF("lag")
+    val pairs = daily.select(col("i"), col("x").as("xa"))
+      .crossJoin(broadcast(lags)) // bounded: maxLag rows
+      .join(daily.select(col("i").as("j"), col("x").as("xb")),
+        col("j") === col("i") + col("lag"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("xa") * col("xb")).as("sp"),
+        sum("xa").as("sh"), sum("xb").as("st"))
+    val mu = col("s").cast("double") / col("n").cast("double")
+    val num = col("sp").cast("double") - mu * (col("sh") + col("st")).cast("double") +
+      col("n_pairs").cast("double") * mu * mu
+    val den = col("ssq").cast("double") - col("s").cast("double") * mu
+    pairs.crossJoin(broadcast(m)) // bounded: 1 row
+      .select(col("lag"), col("n_pairs"), Num.pround(num / den, 4).as("acf"))
+      .orderBy("lag")
+  }
 }

@@ -1085,4 +1085,65 @@ object Similarity {
         Num.pround(col("n_top").cast("double") / col("n_vecs").cast("double"), 4).as("purity"))
       .orderBy("cluster_id")
   }
+
+  /** Simplified silhouette per ground-truth label — the cluster-quality
+    * readout beside [[clusterPurity]] (purity asks "is the majority
+    * label dominant"; silhouette asks "is each vector geometrically
+    * closer to its own centroid than to any other"): a(i) = distance
+    * to own-label centroid, b(i) = min distance to any other centroid,
+    * s(i) = (b−a)/max(a,b), reported as per-label means. On these
+    * near-uniform synthetic embeddings the means sit near 0 — exactly
+    * the "labels are not geometrically separable" verdict the operator
+    * exists to deliver.
+    *
+    * Scale shape: centroids via ONE posexplode fold with components
+    * QUANTIZED to 1e-6 BIGINTs (exact accumulation — a raw float sum
+    * over rows is accumulation-order-unstable across engines); the
+    * scoring pass is corpus × label-domain against broadcast centroid
+    * arrays, distances row-local in index order (|v|² − 2v·c + |c|²
+    * on the codegen'd DotProduct); per-row silhouettes re-quantize so
+    * the final per-label means are again exact-integer ratios. */
+  def silhouette(embeddings: DataFrame): DataFrame = {
+    val vecs = embeddings.select(col("vec_id"),
+      col("label").cast("long").as("label"),
+      col("embedding").cast("array<double>").as("e"))
+      .persistTracked() // consumers: centroid fold + the scoring scan
+    val cents = vecs
+      .select(col("label").as("clabel"), posexplode(col("e")).as(Seq("dim", "v")))
+      .groupBy("clabel", "dim")
+      .agg(sum(floor(col("v") * 1e6 + 0.5).cast("long")).as("sq"),
+        count(lit(1)).as("cnt"))
+      .groupBy("clabel")
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("sq"), col("cnt")))),
+        x => x.getField("sq").cast("double") /
+          (x.getField("cnt").cast("double") * lit(1e6))).as("c"))
+    val d2 = greatest(dot(col("e"), col("e"))
+      - lit(2.0) * dot(col("e"), col("c")) + dot(col("c"), col("c")), lit(0.0))
+    val scored = vecs.crossJoin(broadcast(cents)) // bounded: label domain
+      .select(col("vec_id"), col("label"), col("clabel"), d2.as("d2"))
+      .persistTracked() // two consumers: own-centroid leg + min-other leg
+    val own = scored.filter(col("label") === col("clabel"))
+      .select(col("vec_id"), col("d2").as("a2"))
+    val other = scored.filter(col("label") =!= col("clabel"))
+      .groupBy("vec_id").agg(min("d2").as("b2"))
+    val a = sqrt(col("a2"))
+    val b = sqrt(col("b2"))
+    val sil = (b - a) / greatest(a, b)
+    def mean6(s: String): org.apache.spark.sql.Column =
+      Num.pround(col(s).cast("double") /
+        (col("n_vectors").cast("double") * 1e6), 4)
+    vecs.select(col("vec_id"), col("label"))
+      .join(own, "vec_id").join(other, "vec_id")
+      .select(col("label"),
+        floor(a * 1e6 + 0.5).cast("long").as("qa"),
+        floor(b * 1e6 + 0.5).cast("long").as("qb"),
+        floor(sil * 1e6 + 0.5).cast("long").as("qs"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vectors"), sum("qa").as("sa"),
+        sum("qb").as("sb"), sum("qs").as("ss"))
+      .select(col("label"), col("n_vectors"), mean6("sa").as("mean_a"),
+        mean6("sb").as("mean_b"), mean6("ss").as("mean_sil"))
+      .orderBy("label")
+  }
 }

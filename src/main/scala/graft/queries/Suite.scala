@@ -1809,6 +1809,22 @@ object Suite {
     Basket.supplierHhi(t(s, dir, "lineitem"), t(s, dir, "supplier"),
       t(s, dir, "nation"))
 
+  /** Autocorrelation of daily event volume at lags 1..14. */
+  def evtAcf(s: SparkSession, dir: String): DataFrame =
+    Events.acf(t(s, dir, "events"))
+
+  /** Chatterjee ξ of order value on order date, per priority. */
+  def dqXiCorr(s: SparkSession, dir: String): DataFrame =
+    DataQuality.xiCorr(t(s, dir, "orders"))
+
+  /** Two-way ANOVA table: quantity over return flag × line status. */
+  def dqAnova2(s: SparkSession, dir: String): DataFrame =
+    DataQuality.anovaTwoWay(t(s, dir, "lineitem"))
+
+  /** Per-label simplified silhouette over the embedding corpus. */
+  def simSilhouette(s: SparkSession, dir: String): DataFrame =
+    Similarity.silhouette(t(s, dir, "embeddings"))
+
   /** Trend + day-of-week + residual decomposition of daily volume. */
   def evtDecompose(s: SparkSession, dir: String): DataFrame =
     Events.decomposeDaily(t(s, dir, "events"))

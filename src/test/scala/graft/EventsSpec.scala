@@ -1057,4 +1057,17 @@ class EventsSpec extends SparkTestBase {
     assert(out == Seq((1L, 2L, 2L, 1L, 1L, 0.0, 0.0),
       (2L, 2L, 2L, 1L, 0L, 0.5, 1.0)))
   }
+
+  test("acf: hand-checked lags on a 3-day ramp") {
+    // daily counts [1,2,3]: mean 2, den Σ(x−2)² = 2
+    //   lag 1 pairs (1,2),(2,3): (−1·0)+(0·1) = 0   → acf 0
+    //   lag 2 pair (1,3): (−1)(1) = −1               → acf −0.5
+    import java.sql.Timestamp
+    val rows = (Seq.fill(1)("2024-01-01") ++ Seq.fill(2)("2024-01-02") ++
+      Seq.fill(3)("2024-01-03"))
+      .map(d => Timestamp.valueOf(s"$d 12:00:00")).toDF("ts")
+    val out = Events.acf(rows, maxLag = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 2L, 0.0), (2L, 1L, -0.5)))
+  }
 }

@@ -441,4 +441,33 @@ class QualitySpec extends SparkTestBase {
     assert(r.getDouble(2) == -0.866)
     assert(r.getDouble(3) == -1.0)
   }
+
+  test("xiCorr: any strictly monotone dependence scores 1 − 3/(n+1)") {
+    // n=9, y monotone in x → every |Δr| = 1, Σ = 8, ξ = 1 − 24/80 = 0.7;
+    // direction doesn't matter (ξ measures dependence, not sign)
+    import java.sql.Timestamp
+    def orders(up: Boolean) = (1L to 9L).map { i =>
+      val y = if (up) i * 10.0 else (10 - i) * 10.0
+      (i, "A", Timestamp.valueOf(f"2024-01-${i}%02d 00:00:00"), y)
+    }.toDF("o_orderkey", "o_orderpriority", "o_orderdate", "o_totalprice")
+    for (up <- Seq(true, false)) {
+      val r = DataQuality.xiCorr(orders(up)).head()
+      assert((r.getLong(1), r.getLong(2), r.getDouble(3)) == ((9L, 8L, 0.7)))
+    }
+  }
+
+  test("anovaTwoWay: balanced 2x2 with a pure column effect decomposes exactly") {
+    // cells (A,X)={1,3} (A,Y)={5,7} (B,X)={1,3} (B,Y)={5,7}: grand mean 4;
+    // SS_A=0, SS_B=32, SS_int=0, SS_within=8, SS_total=40
+    val li = Seq(
+      ("A", "X", 1.0), ("A", "X", 3.0), ("A", "Y", 5.0), ("A", "Y", 7.0),
+      ("B", "X", 1.0), ("B", "X", 3.0), ("B", "Y", 5.0), ("B", "Y", 7.0))
+      .toDF("l_returnflag", "l_linestatus", "l_quantity")
+    val out = DataQuality.anovaTwoWay(li).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("factor_a", 1L, 0.0, 0.0), ("factor_b", 1L, 32.0, 0.8),
+      ("interaction", 1L, 0.0, 0.0), ("total", 7L, 40.0, 1.0),
+      ("within", 4L, 8.0, 0.2)))
+  }
 }

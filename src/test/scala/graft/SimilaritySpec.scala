@@ -542,4 +542,20 @@ class SimilaritySpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(out.toSeq == Seq((100L, 1L, 1.0), (100L, 2L, 0.6)))
   }
+
+  test("silhouette: axis-separated clusters score hand-checked means") {
+    // label 0 on the x-axis {(2,0),(4,0)} → centroid (3,0); label 1 on
+    // the y-axis {(0,2),(0,4)} → centroid (0,3). For (2,0): a=1,
+    // b=√13, s = 1−1/√13 ≈ 0.72265; for (4,0): a=1, b=5, s=0.8 →
+    // mean_a 1.0, mean_b (√13+5)/2 → 4.3028, mean_sil 0.7613 (symmetric)
+    val emb = Seq(
+      (0L, 0, Array(2.0f, 0.0f)), (1L, 0, Array(4.0f, 0.0f)),
+      (2L, 1, Array(0.0f, 2.0f)), (3L, 1, Array(0.0f, 4.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.silhouette(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(out.toSeq == Seq((0L, 2L, 1.0, 4.3028, 0.7613),
+      (1L, 2L, 1.0, 4.3028, 0.7613)))
+  }
 }
