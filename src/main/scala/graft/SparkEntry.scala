@@ -158,6 +158,9 @@ object SparkEntry {
     "dq_xi_corr" -> (Suite.dqXiCorr _),
     "dq_anova2" -> (Suite.dqAnova2 _),
     "sim_silhouette" -> (Suite.simSilhouette _),
+    "evt_adf" -> (Suite.evtAdf _),
+    "evt_bayes_ab" -> (Suite.evtBayesAb _),
+    "graph_jaccard" -> (Suite.graphJaccard _),
     "text_readability" -> (Suite.textReadability _),
     "dq_skew" -> (Suite.dqSkew _),
     "sim_cluster_purity" -> (Suite.simClusterPurity _),
@@ -1027,6 +1030,94 @@ object SparkEntry {
         |  CAST(floor(CAST(ss AS DOUBLE) / (CAST(n_vectors AS DOUBLE) * 1000000.0e0)
         |    * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS mean_sil
         |FROM ag ORDER BY label""".stripMargin,
+    // Dickey-Fuller: every regression moment an exact BIGINT; beta,
+    // the OLS residual identity, and t are one scalar tree
+    "evt_adf" ->
+      """WITH d0 AS (SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day
+        |  FROM events),
+        |d AS (SELECT day, count(*) AS x FROM d0 GROUP BY 1),
+        |ix AS (SELECT x, row_number() OVER (ORDER BY day) AS i FROM d),
+        |pr AS (SELECT a.x AS z, b.x - a.x AS y
+        |  FROM ix a JOIN ix b ON b.i = a.i + 1),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS m, CAST(sum(z) AS BIGINT) AS sz,
+        |    CAST(sum(z * z) AS BIGINT) AS szz, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(z * y) AS BIGINT) AS szy, CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM pr),
+        |c1 AS (SELECT m, sz, sy, szy, syy,
+        |    CAST(m AS DOUBLE) * CAST(szz AS DOUBLE)
+        |      - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) AS den,
+        |    (CAST(m AS DOUBLE) * CAST(szy AS DOUBLE)
+        |      - CAST(sz AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(m AS DOUBLE) * CAST(szz AS DOUBLE)
+        |      - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)) AS beta FROM mm),
+        |c2 AS (SELECT m, sy, szy, syy, den, beta,
+        |    (CAST(sy AS DOUBLE) - beta * CAST(sz AS DOUBLE)) / CAST(m AS DOUBLE)
+        |      AS alpha FROM c1),
+        |c3 AS (SELECT m, den, beta,
+        |    CAST(syy AS DOUBLE) - alpha * CAST(sy AS DOUBLE)
+        |      - beta * CAST(szy AS DOUBLE) AS ssr FROM c2)
+        |SELECT m AS n_obs,
+        |  CAST(floor(beta * 1000000.0e0 + 0.5e0) AS DOUBLE) / 1000000.0e0 AS beta,
+        |  CAST(floor((1.0e0 + beta) * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS rho,
+        |  CAST(floor(beta / sqrt(ssr / (CAST(m AS DOUBLE) - 2.0e0)
+        |      * CAST(m AS DOUBLE) / den) * 10000.0e0 + 0.5e0) AS DOUBLE)
+        |    / 10000.0e0 AS t_stat
+        |FROM c3""".stripMargin,
+    // Beta(1,1) posterior readout: every quantity a closed-form scalar
+    // tree on the four exact arm counts (md5-replayable assignment)
+    "evt_bayes_ab" ->
+      """WITH e AS (SELECT event_type,
+        |    CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |      THEN 'A' ELSE 'B' END AS v,
+        |    CASE WHEN value >= 50.0e0 THEN 1 ELSE 0 END AS s FROM events),
+        |g AS (SELECT event_type,
+        |    CAST(count(CASE WHEN v = 'A' THEN 1 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN v = 'A' THEN s ELSE 0 END) AS BIGINT) AS s_a,
+        |    CAST(count(CASE WHEN v = 'B' THEN 1 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN v = 'B' THEN s ELSE 0 END) AS BIGINT) AS s_b
+        |  FROM e GROUP BY 1),
+        |c AS (SELECT event_type, n_a, s_a, n_b, s_b,
+        |    (CAST(s_a AS DOUBLE) + 1.0e0) / (CAST(n_a AS DOUBLE) + 2.0e0) AS pma,
+        |    (CAST(s_b AS DOUBLE) + 1.0e0) / (CAST(n_b AS DOUBLE) + 2.0e0) AS pmb,
+        |    (CAST(s_a AS DOUBLE) + 1.0e0)
+        |      * (CAST(n_a AS DOUBLE) - CAST(s_a AS DOUBLE) + 1.0e0)
+        |      / ((CAST(n_a AS DOUBLE) + 2.0e0) * (CAST(n_a AS DOUBLE) + 2.0e0)
+        |        * ((CAST(n_a AS DOUBLE) + 2.0e0) + 1.0e0)) AS pva,
+        |    (CAST(s_b AS DOUBLE) + 1.0e0)
+        |      * (CAST(n_b AS DOUBLE) - CAST(s_b AS DOUBLE) + 1.0e0)
+        |      / ((CAST(n_b AS DOUBLE) + 2.0e0) * (CAST(n_b AS DOUBLE) + 2.0e0)
+        |        * ((CAST(n_b AS DOUBLE) + 2.0e0) + 1.0e0)) AS pvb
+        |  FROM g)
+        |SELECT event_type, n_a, s_a, n_b, s_b,
+        |  CAST(floor(pma * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS rate_a,
+        |  CAST(floor(pmb * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS rate_b,
+        |  CAST(floor((pmb - pma) * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS lift,
+        |  CAST(floor((pmb - pma) / sqrt(pva + pvb) * 10000.0e0 + 0.5e0) AS DOUBLE)
+        |    / 10000.0e0 AS z_score
+        |FROM c ORDER BY event_type""".stripMargin,
+    // neighbor-set Jaccard with the adamic-adar hub cap mirrored; the
+    // top-k total order is the UNROUNDED single-division ratio
+    "graph_jaccard" ->
+      """WITH l AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem
+        |  WHERE l_partkey % 5 = 0),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM l a
+        |  JOIN l b ON a.ok = b.ok AND a.p < b.p),
+        |adj AS (SELECT u AS w, v AS x FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT w, count(*) AS dw FROM adj GROUP BY 1),
+        |hub AS (SELECT adj.w, adj.x FROM adj JOIN deg ON adj.w = deg.w
+        |  WHERE deg.dw BETWEEN 2 AND 256),
+        |cm AS (SELECT l2.x AS a, r2.x AS b, count(*) AS n_common
+        |  FROM hub l2 JOIN hub r2 ON l2.w = r2.w AND l2.x < r2.x
+        |  GROUP BY 1, 2),
+        |j AS (SELECT cm.a, cm.b, cm.n_common, da.dw AS da, db.dw AS db,
+        |    CAST(cm.n_common AS DOUBLE)
+        |      / CAST(da.dw + db.dw - cm.n_common AS DOUBLE) AS j_raw
+        |  FROM cm JOIN deg da ON cm.a = da.w JOIN deg db ON cm.b = db.w)
+        |SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+        |  CAST(n_common AS BIGINT) AS n_common,
+        |  CAST(da AS BIGINT) AS da, CAST(db AS BIGINT) AS db,
+        |  CAST(floor(j_raw * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS jaccard
+        |FROM j ORDER BY j_raw DESC, a, b LIMIT 20""".stripMargin,
     // FP-growth's frequent-itemset SET is deterministic (exact counts,
     // no sampling): the oracle enumerates candidate itemsets to arity 4
     // by ordered self-joins of the distinct (order, brand) table — far

@@ -1601,4 +1601,79 @@ object Events {
       .select(col("lag"), col("n_pairs"), Num.pround(num / den, 4).as("acf"))
       .orderBy("lag")
   }
+
+  /** Dickey-Fuller unit-root screen on daily event volume — the
+    * stationarity gate run before trusting [[acf]]'s shape or fitting
+    * any AR model: regress Δx_t = α + β·x_{t−1} + ε and report β̂ and
+    * its t-statistic (t ≪ 0 ⇒ mean-reverting; t ≈ 0 ⇒ random-walk-like,
+    * so "trend" readouts are spurious). ρ = 1 + β̂ is the implied AR(1)
+    * coefficient.
+    *
+    * Scale shape: one corpus fold to the day grid, one day-index
+    * self-join for (x_{t−1}, Δx_t), then a single moment aggregate —
+    * every moment (Σz, Σz², Σy, Σzy, Σy²) an exact BIGINT, so β̂, the
+    * OLS residual identity SSR = Σy² − α̂Σy − β̂Σzy, and t are one
+    * deterministic scalar tree on both engines. */
+  def adfScreen(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("x"))
+      .withColumn("i", row_number().over(Window.orderBy("day")).cast("long"))
+      .persistTracked() // two consumers: both sides of the lag join
+    val m = daily.select(col("i"), col("x").as("z"))
+      .join(daily.select((col("i") - 1L).as("i"), col("x").as("xc")),
+        "i")
+      .select(col("z"), (col("xc") - col("z")).as("y"))
+      .agg(count(lit(1)).as("m"), sum("z").as("sz"),
+        sum(col("z") * col("z")).as("szz"), sum("y").as("sy"),
+        sum(col("z") * col("y")).as("szy"), sum(col("y") * col("y")).as("syy"))
+    val mD = col("m").cast("double")
+    val den = mD * col("szz").cast("double") -
+      col("sz").cast("double") * col("sz").cast("double")
+    val beta = (mD * col("szy").cast("double") -
+      col("sz").cast("double") * col("sy").cast("double")) / den
+    val alpha = (col("sy").cast("double") - beta * col("sz").cast("double")) / mD
+    val ssr = col("syy").cast("double") - alpha * col("sy").cast("double") -
+      beta * col("szy").cast("double")
+    val se = sqrt(ssr / (mD - 2.0) * mD / den)
+    m.select(col("m").as("n_obs"), Num.pround(beta, 6).as("beta"),
+      Num.pround(lit(1.0) + beta, 4).as("rho"),
+      Num.pround(beta / se, 4).as("t_stat"))
+  }
+
+  /** Bayesian A/B readout — the posterior companion to the frequentist
+    * [[abTest]]: with a Beta(1,1) prior over each arm's success rate
+    * (success = event value ≥ `threshold`), report the posterior means,
+    * the lift, and the z-score of the posterior difference under the
+    * normal approximation (monotone in P(B beats A), without needing an
+    * erf that neither engine exposes portably).
+    *
+    * Scale shape: one conditional-count fold per metric group (the
+    * abTest/SRM idiom, md5-replayable arm assignment); every posterior
+    * quantity is a closed-form scalar tree on the four exact counts. */
+  def bayesAb(events: DataFrame, threshold: Double = 50.0): DataFrame = {
+    val variant = when(
+      substring(md5(col("user_id").cast("string")), 1, 1) < "8", "A").otherwise("B")
+    val success = when(col("value") >= threshold, 1L).otherwise(0L)
+    def pm(n: Column, s: Column) =
+      (s.cast("double") + 1.0) / (n.cast("double") + 2.0)
+    def pv(n: Column, s: Column) = {
+      val t = n.cast("double") + 2.0
+      (s.cast("double") + 1.0) * (n.cast("double") - s.cast("double") + 1.0) /
+        (t * t * (t + 1.0))
+    }
+    val g = events.select(col("event_type"), variant.as("v"), success.as("s"))
+      .groupBy("event_type")
+      .agg(count(when(col("v") === "A", 1)).as("n_a"),
+        sum(when(col("v") === "A", col("s")).otherwise(0L)).as("s_a"),
+        count(when(col("v") === "B", 1)).as("n_b"),
+        sum(when(col("v") === "B", col("s")).otherwise(0L)).as("s_b"))
+    val pma = pm(col("n_a"), col("s_a"))
+    val pmb = pm(col("n_b"), col("s_b"))
+    val z = (pmb - pma) / sqrt(pv(col("n_a"), col("s_a")) + pv(col("n_b"), col("s_b")))
+    g.select(col("event_type"), col("n_a"), col("s_a"), col("n_b"), col("s_b"),
+        Num.pround(pma, 4).as("rate_a"), Num.pround(pmb, 4).as("rate_b"),
+        Num.pround(pmb - pma, 4).as("lift"), Num.pround(z, 4).as("z_score"))
+      .orderBy("event_type")
+  }
 }

@@ -416,4 +416,46 @@ object Graph {
       .groupBy("csize").agg(count(lit(1)).as("n_components"))
       .orderBy("csize")
   }
+
+  /** Jaccard neighbor similarity — the set-overlap sibling of
+    * [[adamicAdar]] (AA weights common neighbors by rarity and predicts
+    * MISSING links; this scores ALL pairs sharing a neighbor by
+    * |N(a)∩N(b)| / |N(a)∪N(b)|, the item-item similarity used for
+    * "customers also bought"). Top `topK` pairs by the UNROUNDED exact
+    * ratio (single division of exact integers — bit-identical both
+    * engines), (a, b) tie-break.
+    *
+    * Scale shape: the wedge self-join enumerates pairs only through
+    * common neighbors of degree ∈ [2, maxHubDeg] — the adamicAdar hub
+    * cap that keeps candidate counts Σ d(w)² bounded when a hub node
+    * would otherwise emit 10¹⁰ wedges (the cap is part of the operator
+    * contract and mirrored in the oracle); degrees join back from the
+    * uncapped table so the reported Jaccard is exact for every
+    * surviving pair. */
+  def jaccardNeighbors(edgesUV: DataFrame, topK: Int = 20,
+      maxHubDeg: Int = 256): DataFrame = {
+    val edges = edgesUV
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct()
+      .persistTracked(StorageLevel.MEMORY_AND_DISK) // adjacency both directions
+    val adj = edges.select(col("u").as("w"), col("v").as("x"))
+      .union(edges.select(col("v").as("w"), col("u").as("x")))
+    val deg = adj.groupBy("w").agg(count(lit(1)).as("dw"))
+      .persistTracked() // hub filter + two degree join-backs
+    val hub = adj.join(deg, "w")
+      .filter(col("dw") >= 2 && col("dw") <= maxHubDeg)
+      .persistTracked(StorageLevel.MEMORY_AND_DISK) // wedge self-join rule
+    val common = hub.as("l")
+      .join(hub.as("r"), col("l.w") === col("r.w") && col("l.x") < col("r.x"))
+      .groupBy(col("l.x").as("a"), col("r.x").as("b"))
+      .agg(count(lit(1)).as("n_common"))
+    val union = (col("da") + col("db") - col("n_common")).cast("double")
+    common
+      .join(deg.select(col("w").as("a"), col("dw").as("da")), "a")
+      .join(deg.select(col("w").as("b"), col("dw").as("db")), "b")
+      .withColumn("j_raw", col("n_common").cast("double") / union)
+      .orderBy(col("j_raw").desc, col("a"), col("b")).limit(topK)
+      .select(col("a"), col("b"), col("n_common"), col("da"), col("db"),
+        Num.pround(col("j_raw"), 4).as("jaccard"))
+  }
 }

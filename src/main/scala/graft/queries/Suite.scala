@@ -1825,6 +1825,18 @@ object Suite {
   def simSilhouette(s: SparkSession, dir: String): DataFrame =
     Similarity.silhouette(t(s, dir, "embeddings"))
 
+  /** Dickey-Fuller unit-root screen on daily event volume. */
+  def evtAdf(s: SparkSession, dir: String): DataFrame =
+    Events.adfScreen(t(s, dir, "events"))
+
+  /** Beta-posterior A/B readout per event type. */
+  def evtBayesAb(s: SparkSession, dir: String): DataFrame =
+    Events.bayesAb(t(s, dir, "events"))
+
+  /** Top-20 co-purchase pairs by neighbor-set Jaccard. */
+  def graphJaccard(s: SparkSession, dir: String): DataFrame =
+    Graph.jaccardNeighbors(Graph.coPurchaseEdges(t(s, dir, "lineitem")))
+
   /** Trend + day-of-week + residual decomposition of daily volume. */
   def evtDecompose(s: SparkSession, dir: String): DataFrame =
     Events.decomposeDaily(t(s, dir, "events"))

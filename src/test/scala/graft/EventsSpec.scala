@@ -1070,4 +1070,30 @@ class EventsSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(out.toSeq == Seq((1L, 2L, 0.0), (2L, 1L, -0.5)))
   }
+
+  test("adfScreen: hand-checked regression on a 4-day series") {
+    // daily [1,2,3,1] → (z,Δ) pairs (1,1),(2,1),(3,−2): m=3, β̂=−1.5,
+    // α̂=3, SSR=1.5, se=√0.75, t=−1.5/0.866025… = −1.7321
+    import java.sql.Timestamp
+    val rows = (Seq.fill(1)("2024-01-01") ++ Seq.fill(2)("2024-01-02") ++
+      Seq.fill(3)("2024-01-03") ++ Seq.fill(1)("2024-01-04"))
+      .map(d => Timestamp.valueOf(s"$d 12:00:00")).toDF("ts")
+    val r = Events.adfScreen(rows).head()
+    assert((r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)) ==
+      ((3L, -1.5, -0.5, -1.7321)))
+  }
+
+  test("bayesAb: Beta(1,1) posterior means and z on hand-picked arms") {
+    // md5 first hex: users 6,9 → arm A; users 1,2 → arm B.
+    // A: successes 1/2 → posterior mean 2/4 = 0.5; B: 2/2 → 3/4 = 0.75;
+    // vars 4/80, 3/80 → z = 0.25/√0.0875 = 0.8452
+    val ev = Seq((6L, 100.0), (9L, 10.0), (1L, 100.0), (2L, 100.0))
+      .map { case (u, v) => (u, "click", v) }
+      .toDF("user_id", "event_type", "value")
+    val r = Events.bayesAb(ev).head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((2L, 1L, 2L, 2L)))
+    assert((r.getDouble(5), r.getDouble(6), r.getDouble(7), r.getDouble(8)) ==
+      ((0.5, 0.75, 0.25, 0.8452)))
+  }
 }

@@ -171,4 +171,15 @@ class GraphSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSeq == Seq((2L, 2L), (3L, 1L)))
   }
+
+  test("jaccardNeighbors: opposite square corners share both neighbors") {
+    // 4-cycle 1-2-3-4: N(1)=N(3)={2,4}, N(2)=N(4)={1,3} → pairs (1,3)
+    // and (2,4) each share 2 of 2 neighbors → jaccard 2/(2+2−2) = 1.0
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("u", "v")
+    val out = Graph.jaccardNeighbors(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(out.toSeq == Seq((1L, 3L, 2L, 2L, 2L, 1.0),
+      (2L, 4L, 2L, 2L, 2L, 1.0)))
+  }
 }
