@@ -291,7 +291,24 @@ object PlanAudit {
     "pipeline_features", "feat_supervised_bins",
     // rare levels (domain folds, one per column), vocab coverage
     // (gram explode + type fold + domain prefix windows)
-    "dq_rare_levels", "text_vocab_coverage")
+    "dq_rare_levels", "text_vocab_coverage",
+    // round 7: gains/calibration (one ranked fold over the doc
+    // dimension + tile-domain windows), hazard (ONE user fold +
+    // day-domain windows), lexdiv/uplift (dimension folds + bounded
+    // windows), mutual info (one contingency fold + cell-domain
+    // window), HHI (fact fold → nation-domain algebra)
+    "feat_gains", "feat_calibration", "evt_hazard", "text_lexdiv",
+    "evt_uplift", "feat_mutual_info", "rel_hhi",
+    // round 7 cont.: acf/adf (day-grid fold + calendar-index joins +
+    // 1-row moment broadcasts), xi (GroupTopK sample → per-group
+    // bounded rank windows), anova2 (one cell fold + tiny frame-order
+    // windows), silhouette (quantized centroid fold + broadcast
+    // scoring scan), bayes ab (one conditional-count fold), jaccard
+    // (capped wedge equi-join + degree join-backs + TakeOrdered);
+    // graph_wcc excluded: the min-label loop runs eagerly (the
+    // dedup_clusters rule)
+    "evt_acf", "evt_adf", "dq_xi_corr", "dq_anova2", "sim_silhouette",
+    "evt_bayes_ab", "graph_jaccard")
     // evt_audience_overlap is excluded like dedup_clusters: its
     // domain-sized sketch table collects eagerly at construction, so
     // only the trivial driver-built result frame would be explained
