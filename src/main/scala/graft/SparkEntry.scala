@@ -161,6 +161,9 @@ object SparkEntry {
     "evt_adf" -> (Suite.evtAdf _),
     "evt_bayes_ab" -> (Suite.evtBayesAb _),
     "graph_jaccard" -> (Suite.graphJaccard _),
+    "text_burstiness" -> (Suite.textBurstiness _),
+    "evt_user_entropy" -> (Suite.evtUserEntropy _),
+    "sim_ild" -> (Suite.simIld _),
     "text_readability" -> (Suite.textReadability _),
     "dq_skew" -> (Suite.dqSkew _),
     "sim_cluster_purity" -> (Suite.simClusterPurity _),
@@ -1118,6 +1121,74 @@ object SparkEntry {
         |  CAST(da AS BIGINT) AS da, CAST(db AS BIGINT) AS db,
         |  CAST(floor(j_raw * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS jaccard
         |FROM j ORDER BY j_raw DESC, a, b LIMIT 20""".stripMargin,
+    // Church-Gale burstiness: per-doc count moments are exact BIGINTs;
+    // the zero-count docs enter only through the 1-row n_docs scalar
+    "text_burstiness" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |pc AS (SELECT doc_id, term, count(*) AS c FROM tk GROUP BY 1, 2),
+         |bt AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+         |    CAST(sum(c) AS BIGINT) AS tf, CAST(sum(c * c) AS BIGINT) AS sc2
+         |  FROM pc GROUP BY 1 ORDER BY tf DESC, term LIMIT 20),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+         |SELECT term, df, tf,
+         |  CAST(floor(CAST(tf AS DOUBLE) / CAST(n_docs AS DOUBLE)
+         |    * 1000000.0e0 + 0.5e0) AS DOUBLE) / 1000000.0e0 AS mean_per_doc,
+         |  CAST(floor((CAST(sc2 AS DOUBLE) / CAST(n_docs AS DOUBLE)
+         |      - (CAST(tf AS DOUBLE) / CAST(n_docs AS DOUBLE))
+         |        * (CAST(tf AS DOUBLE) / CAST(n_docs AS DOUBLE)))
+         |    / (CAST(tf AS DOUBLE) / CAST(n_docs AS DOUBLE))
+         |    * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS burstiness
+         |FROM bt CROSS JOIN nd ORDER BY tf DESC, term""".stripMargin,
+    // per-user entropy accumulates c·ln c in FRAME ORDER (event_type)
+    // so both engines add in the identical sequence; bands floor-path
+    "evt_user_entropy" ->
+      """WITH cnt AS (SELECT user_id, event_type, count(*) AS c FROM events
+        |  GROUP BY 1, 2),
+        |acc AS (SELECT user_id,
+        |    sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+        |      OVER (PARTITION BY user_id ORDER BY event_type
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY user_id) AS n,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_type DESC)
+        |      AS rn
+        |  FROM cnt),
+        |per AS (SELECT CAST(floor(greatest(ln(CAST(n AS DOUBLE))
+        |      - cum / CAST(n AS DOUBLE), 0.0e0) * 10.0e0) AS BIGINT) AS band10,
+        |    CAST(n AS BIGINT) AS n
+        |  FROM acc WHERE rn = 1)
+        |SELECT CAST(band10 AS DOUBLE) / 10.0e0 AS entropy_band,
+        |  CAST(count(*) AS BIGINT) AS n_users, CAST(sum(n) AS BIGINT) AS n_events
+        |FROM per GROUP BY band10 ORDER BY entropy_band""".stripMargin,
+    // ILD: the ranking leg replays the sim_topk_exact oracle; pair
+    // distances are row-local index-order sums, re-quantized so each
+    // query's mean is an exact-integer ratio
+    "sim_ild" ->
+      """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_inner_product(q.e, c.e)
+        |      / (sqrt(list_inner_product(q.e, q.e))
+        |        * sqrt(list_inner_product(c.e, c.e))) AS sim
+        |  FROM q JOIN c ON q.vec_id <> c.vec_id),
+        |top AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id, row_number()
+        |      OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+        |    FROM s) WHERE rnk <= 5),
+        |lst AS (SELECT t.query_id, t.neighbor_id, c.e,
+        |    sqrt(list_inner_product(c.e, c.e)) AS nrm
+        |  FROM top t JOIN c ON t.neighbor_id = c.vec_id),
+        |pr AS (SELECT x.query_id,
+        |    CAST(floor((1.0e0 - list_inner_product(x.e, y.e) / (x.nrm * y.nrm))
+        |      * 1000000.0e0 + 0.5e0) AS BIGINT) AS qd
+        |  FROM lst x JOIN lst y ON x.query_id = y.query_id
+        |    AND x.neighbor_id < y.neighbor_id),
+        |g AS (SELECT query_id, count(*) AS n_pairs, CAST(sum(qd) AS BIGINT) AS sd
+        |  FROM pr GROUP BY 1)
+        |SELECT query_id, CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  CAST(floor(CAST(sd AS DOUBLE) / (CAST(n_pairs AS DOUBLE) * 1000000.0e0)
+        |    * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS ild
+        |FROM g ORDER BY query_id""".stripMargin,
     // FP-growth's frequent-itemset SET is deterministic (exact counts,
     // no sampling): the oracle enumerates candidate itemsets to arity 4
     // by ordered self-joins of the distinct (order, brand) table — far

@@ -1676,4 +1676,40 @@ object Events {
         Num.pround(pmb - pma, 4).as("lift"), Num.pround(z, 4).as("z_score"))
       .orderBy("event_type")
   }
+
+  /** Behavioral-entropy histogram: Shannon entropy of each user's
+    * event-type mix (H = ln n − (Σ c·ln c)/n over the user's type
+    * counts), banded to 0.1 nats — the audience-diversity readout
+    * (H = 0: single-behavior users/bots; H → ln k: uniform explorers)
+    * that complements [[botDetect]]'s timing signals with a WHAT-mix
+    * signal.
+    *
+    * Scale shape: one (user, type) fold, then per-user windows over
+    * the ≤|type-domain| rows per user — the Σ c·ln c float sum
+    * accumulates in FRAME ORDER (event_type order) so both engines add
+    * in the identical sequence (a plain groupBy sum of floats is
+    * accumulation-order-unstable; the cuped lesson), and the band
+    * comes from the shared floor path. */
+  def userEntropy(events: DataFrame): DataFrame = {
+    val cnt = events.groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+    val wOrd = Window.partitionBy("user_id").orderBy("event_type")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("user_id")
+    val per = cnt
+      .withColumn("cum",
+        sum(col("c").cast("double") * log(col("c").cast("double"))).over(wOrd))
+      .withColumn("n", sum("c").over(wAll))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("event_type").desc)))
+      .filter(col("rn") === 1)
+    val h = greatest(
+      log(col("n").cast("double")) - col("cum") / col("n").cast("double"),
+      lit(0.0)) // a last-ulp cancellation can dip microscopically below 0
+    per.select(floor(h * 10.0).cast("long").as("band10"), col("n"))
+      .groupBy("band10")
+      .agg(count(lit(1)).as("n_users"), sum("n").as("n_events"))
+      .select((col("band10").cast("double") / 10.0).as("entropy_band"),
+        col("n_users"), col("n_events"))
+      .orderBy("entropy_band")
+  }
 }

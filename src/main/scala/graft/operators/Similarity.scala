@@ -1146,4 +1146,40 @@ object Similarity {
         mean6("sb").as("mean_b"), mean6("ss").as("mean_sil"))
       .orderBy("label")
   }
+
+  /** Intra-list diversity of each query's exact top-k — the
+    * result-set-redundancy eval beside [[mmrTopK]] (MMR *optimizes*
+    * diversity at retrieval time; ILD *measures* what a plain top-k
+    * returns): mean pairwise cosine DISTANCE within the returned list,
+    * near 0 when the k results are near-duplicates of each other.
+    *
+    * Scale shape: the ranking leg is [[topKExact]] (broadcast query
+    * set, GroupTopK pruning); the diversity leg joins embeddings back
+    * onto the k·|queries|-row result and self-joins WITHIN query lists
+    * only (k²·|queries| pairs, never corpus²), distances row-local on
+    * the codegen'd DotProduct; per-pair distances quantize to 1e-6
+    * BIGINTs so the per-query mean is an exact-integer ratio. */
+  def intraListDiversity(corpus: DataFrame, nQueries: Int = 20,
+      k: Int = 5): DataFrame = {
+    val top = topKExact(corpus,
+        corpus.filter(col("vec_id") < nQueries), k)
+      .select(col("vec_id").as("query_id"), col("neighbor_id"))
+    val emb = withNorm(corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("e")), "e", "nrm")
+    val lst = top.join(emb, "neighbor_id")
+      .persistTracked() // the within-list self-join reads it twice
+    val dist = lit(1.0) -
+      cosinePrenormed(dot(col("x.e"), col("y.e")), col("x.nrm"), col("y.nrm"))
+    lst.as("x")
+      .join(lst.as("y"), col("x.query_id") === col("y.query_id") &&
+        col("x.neighbor_id") < col("y.neighbor_id"))
+      .select(col("x.query_id").as("query_id"),
+        floor(dist * 1e6 + 0.5).cast("long").as("qd"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_pairs"), sum("qd").as("sd"))
+      .select(col("query_id"), col("n_pairs"),
+        Num.pround(col("sd").cast("double") /
+          (col("n_pairs").cast("double") * 1e6), 4).as("ild"))
+      .orderBy("query_id")
+  }
 }

@@ -1260,4 +1260,36 @@ object TextOps {
           .as("yule_k"))
       .orderBy("lang")
   }
+
+  /** Token burstiness (Church–Gale): the index of dispersion var/mean
+    * of a token's PER-DOCUMENT count, zeros included — 1 for a Poisson
+    * "background" word, ≫1 for topical words that clump into few
+    * documents. The signal a stopword list can't give: "the" and a
+    * topic word can share corpus frequency yet differ 10× here, which
+    * is why burstiness drives keyword weighting and topical-dedup
+    * screens. Reported for the `topK` highest-frequency tokens.
+    *
+    * Scale shape: one (doc, term) fold, one term fold to (df, tf,
+    * Σc²) with a TakeOrdered top-k — the moments over the implicit
+    * zero-count documents need only n_docs (one 1-row broadcast), so
+    * nothing corpus × vocab ever materializes; every moment is an
+    * exact BIGINT and the dispersion is one scalar tree. */
+  def burstiness(docs: DataFrame, topK: Int = 20): DataFrame = {
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val byTerm = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("c").as("tf"),
+        sum(col("c") * col("c")).as("sc2"))
+      .orderBy(col("tf").desc, col("term")).limit(topK)
+    val nD = col("n_docs").cast("double")
+    val mean = col("tf").cast("double") / nD
+    val varr = col("sc2").cast("double") / nD - mean * mean
+    byTerm.crossJoin(broadcast(nDocs)) // bounded: 1 row
+      .select(col("term"), col("df"), col("tf"),
+        Num.pround(mean, 6).as("mean_per_doc"),
+        Num.pround(varr / mean, 4).as("burstiness"))
+      .orderBy(col("tf").desc, col("term"))
+  }
 }

@@ -1837,6 +1837,18 @@ object Suite {
   def graphJaccard(s: SparkSession, dir: String): DataFrame =
     Graph.jaccardNeighbors(Graph.coPurchaseEdges(t(s, dir, "lineitem")))
 
+  /** Per-document dispersion (burstiness) of the top-20 tokens. */
+  def textBurstiness(s: SparkSession, dir: String): DataFrame =
+    TextOps.burstiness(t(s, dir, "documents"))
+
+  /** Histogram of per-user event-type entropy (0.1-nat bands). */
+  def evtUserEntropy(s: SparkSession, dir: String): DataFrame =
+    Events.userEntropy(t(s, dir, "events"))
+
+  /** Intra-list diversity of each query's exact top-5. */
+  def simIld(s: SparkSession, dir: String): DataFrame =
+    Similarity.intraListDiversity(t(s, dir, "embeddings"))
+
   /** Trend + day-of-week + residual decomposition of daily volume. */
   def evtDecompose(s: SparkSession, dir: String): DataFrame =
     Events.decomposeDaily(t(s, dir, "events"))

@@ -1096,4 +1096,14 @@ class EventsSpec extends SparkTestBase {
     assert((r.getDouble(5), r.getDouble(6), r.getDouble(7), r.getDouble(8)) ==
       ((0.5, 0.75, 0.25, 0.8452)))
   }
+
+  test("userEntropy: uniform two-type mix lands in the ln2 band, monoculture at 0") {
+    // u1: 2 click + 2 view → H = ln4 − ln2 = 0.6931 → band 0.6
+    // u2: 4 click → H = 0 → band 0.0
+    val ev = (Seq.fill(2)((1L, "click")) ++ Seq.fill(2)((1L, "view")) ++
+      Seq.fill(4)((2L, "click"))).toDF("user_id", "event_type")
+    val out = Events.userEntropy(ev).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0.0, 1L, 4L), (0.6, 1L, 4L)))
+  }
 }

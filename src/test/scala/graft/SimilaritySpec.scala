@@ -558,4 +558,16 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.toSeq == Seq((0L, 2L, 1.0, 4.3028, 0.7613),
       (1L, 2L, 1.0, 4.3028, 0.7613)))
   }
+
+  test("intraListDiversity: two duplicated orthogonal vectors score 2/3") {
+    // corpus {x,x,y,y} orthogonal pairs: every query's 3-list holds one
+    // duplicate pair (dist 0) and two cross pairs (dist 1) → ILD 0.6667
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.intraListDiversity(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == (0L to 3L).map(q => (q, 3L, 0.6667)))
+  }
 }

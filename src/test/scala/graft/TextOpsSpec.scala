@@ -638,4 +638,15 @@ class TextOpsSpec extends SparkTestBase {
     assert(out == Seq(("de", 3L, 1L, 0.3333, 1.0, 6666.6667),
       ("en", 5L, 3L, 0.6, 0.2, 1600.0)))
   }
+
+  test("burstiness: a clumped token disperses more than a spread one") {
+    // 'a': 4 hits in ONE of 4 docs → mean 1, var 16/4−1=3 → 3.0
+    // 'b': hits 1,1,2 across three docs → var 6/4−1=0.5 → 0.5
+    val docs = Seq((1L, "a a a a"), (2L, "b"), (3L, "b"), (4L, "b b"))
+      .toDF("doc_id", "text")
+    val out = TextOps.burstiness(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(out.toSeq == Seq(("a", 1L, 4L, 1.0, 3.0), ("b", 3L, 4L, 1.0, 0.5)))
+  }
 }
