@@ -164,6 +164,7 @@ object SparkEntry {
     "text_burstiness" -> (Suite.textBurstiness _),
     "evt_user_entropy" -> (Suite.evtUserEntropy _),
     "sim_ild" -> (Suite.simIld _),
+    "mm_audio" -> (Suite.mmAudio _),
     "text_readability" -> (Suite.textReadability _),
     "dq_skew" -> (Suite.dqSkew _),
     "sim_cluster_purity" -> (Suite.simClusterPurity _),
@@ -1189,6 +1190,20 @@ object SparkEntry {
         |  CAST(floor(CAST(sd AS DOUBLE) / (CAST(n_pairs AS DOUBLE) * 1000000.0e0)
         |    * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS ild
         |FROM g ORDER BY query_id""".stripMargin,
+    // the planted WAV geometry is a pure function of doc_id, so the
+    // oracle recomputes the plant while Spark runs the real RIFF walk
+    "mm_audio" ->
+      """WITH p AS (SELECT doc_id,
+        |    CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |      WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END AS sr,
+        |    doc_id % 2 + 1 AS ch,
+        |    (doc_id % 1000 + 10) * 50 AS frames
+        |  FROM documents)
+        |SELECT doc_id, CAST(44 AS BIGINT) AS n_bytes,
+        |  CAST(ch AS BIGINT) AS channels, CAST(sr AS BIGINT) AS sample_rate,
+        |  CAST(16 AS BIGINT) AS bits, CAST(frames AS BIGINT) AS n_frames,
+        |  CAST(frames * 1000 // sr AS BIGINT) AS duration_ms
+        |FROM p ORDER BY doc_id""".stripMargin,
     // FP-growth's frequent-itemset SET is deterministic (exact counts,
     // no sampling): the oracle enumerates candidate itemsets to arity 4
     // by ordered self-joins of the distinct (order, brand) table — far

@@ -75,6 +75,33 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  case class AudioMeta(doc_id: Long, n_bytes: Int, channels: Int,
+    sample_rate: Int, bits: Int, n_frames: Long, duration_ms: Long)
+
+  /** Decode audio metadata for a (doc_id, payload) input — the audio
+    * face of [[decodeMeta]]: a REAL RIFF/WAVE chunk walk (canonical
+    * Microsoft/IBM WAVE format: "fmt " carries channels/rate/width,
+    * "data" carries the sample byte count; frame count = data size /
+    * block align, duration from frames × 1000 / rate in integer math).
+    * Same contract as the image decoder: non-WAV payloads come back
+    * zeroed, one O(header) parse per row via mapPartitions, no shuffle,
+    * partitioning preserved. */
+  def decodeAudio(payloads: DataFrame): Dataset[AudioMeta] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads
+      .select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        if (bytes == null) AudioMeta(id, 0, 0, 0, 0, 0L, 0L)
+        else {
+          val (ch, sr, bits, frames) = WavHeader.decode(bytes)
+          val durMs = if (sr > 0) frames * 1000L / sr else 0L
+          AudioMeta(id, bytes.length, ch, sr, bits, frames, durMs)
+        }
+      })
+  }
+
   case class FrameStats(doc_id: Long, n_frames: Long, n_sampled: Long,
     sample_md5: String, total_bytes: Long)
 
@@ -221,6 +248,58 @@ object ImageHeader {
     out.putInt(40).putInt(w).putInt(h)
     out.putShort(1).putShort(24).putInt(0).putInt(0)
     out.putInt(2835).putInt(2835).putInt(0).putInt(0)
+    out.array()
+  }
+}
+
+/** RIFF/WAVE header parse (canonical PCM WAV: RIFF container, "fmt "
+  * chunk with channels/sample-rate/block-align/bit-width, "data" chunk
+  * whose size in bytes divided by block align is the frame count). Only
+  * chunk headers and the fixed "fmt " fields are read — never sample
+  * data — so this is O(header) per blob regardless of payload size. */
+object WavHeader {
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+  /** (channels, sample_rate, bits_per_sample, n_frames); zeros when the
+    * payload is not a recognizable WAVE container. */
+  def decode(b: Array[Byte]): (Int, Int, Int, Long) = {
+    if (b == null || b.length < 36 ||
+      !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'))
+      return (0, 0, 0, 0L)
+    var i = 12
+    var ch = 0; var sr = 0; var bits = 0; var blockAlign = 0; var dataSize = 0L
+    while (i + 8 <= b.length) {
+      val id = new String(b, i, 4, "US-ASCII")
+      val size = le32(b, i + 4)
+      if (id == "fmt " && i + 24 <= b.length) {
+        ch = le16(b, i + 10); sr = le32(b, i + 12)
+        blockAlign = le16(b, i + 20); bits = le16(b, i + 22)
+      } else if (id == "data") dataSize = size & 0xffffffffL
+      i += 8 + size + (size & 1) // RIFF chunks are word-aligned
+    }
+    val frames = if (blockAlign > 0) dataSize / blockAlign else 0L
+    (ch, sr, bits, frames)
+  }
+
+  /** 44-byte canonical PCM WAV header; the data chunk declares
+    * `nFrames` frames but carries no sample bytes (metadata decode
+    * never reads them — the planted-payload convention). */
+  def header(sampleRate: Int, channels: Int, bits: Int, nFrames: Int): Array[Byte] = {
+    val blockAlign = channels * bits / 8
+    val dataSize = nFrames * blockAlign
+    val out = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+    out.put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    out.putShort(1.toShort).putShort(channels.toShort)
+    out.putInt(sampleRate).putInt(sampleRate * blockAlign)
+    out.putShort(blockAlign.toShort).putShort(bits.toShort)
+    out.put("data".getBytes("US-ASCII")).putInt(dataSize)
     out.array()
   }
 }

@@ -680,6 +680,27 @@ object Suite {
       .orderBy("doc_id")
   }
 
+  /** Real WAV-header decode over planted payloads whose audio geometry
+    * is a pure function of doc_id — the [[mmDecode]] convention, so the
+    * oracle recomputes the plant while Spark runs the REAL RIFF walk. */
+  def mmAudio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rates = Array(8000, 16000, 22050, 44100, 48000)
+    val planted = t(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val sr = rates((id % 5).toInt)
+      val ch = (id % 2).toInt + 1
+      val frames = ((id % 1000).toInt + 10) * 50
+      (id, WavHeader.header(sr, ch, 16, frames))
+    }.toDF("doc_id", "payload")
+    Multimodal.decodeAudio(planted).toDF()
+      .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
+        col("channels").cast("long").as("channels"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("bits").cast("long").as("bits"),
+        col("n_frames"), col("duration_ms"))
+      .orderBy("doc_id")
+  }
+
   // --- events + streaming -------------------------------------------------
 
   def evtSessionize(s: SparkSession, dir: String): DataFrame =

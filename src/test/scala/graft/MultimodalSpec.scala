@@ -85,4 +85,29 @@ class MultimodalSpec extends SparkTestBase {
     val ham = out(20L).zip(out(60L)).count { case (a, b) => a != b }
     assert(ham > 0 && ham <= 16, s"one-char edit moved $ham of 64 bits")
   }
+
+  test("WavHeader round-trips its own header and rejects garbage") {
+    // 44100 Hz stereo 16-bit, 44100 frames → exactly 1000 ms
+    val b = graft.operators.WavHeader.header(44100, 2, 16, 44100)
+    assert(b.length == 44)
+    assert(graft.operators.WavHeader.decode(b) == ((2, 44100, 16, 44100L)))
+    assert(graft.operators.WavHeader.decode("not a wav at all, sorry!!!!!!!!!!!!!"
+      .getBytes("US-ASCII")) == ((0, 0, 0, 0L)))
+    assert(graft.operators.WavHeader.decode(null) == ((0, 0, 0, 0L)))
+  }
+
+  test("decodeAudio recovers planted geometry distributed") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, graft.operators.WavHeader.header(8000, 1, 16, 4000)),
+      (2L, graft.operators.WavHeader.header(48000, 2, 16, 12000)),
+      (3L, "RIFFbroken".getBytes("US-ASCII")))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.decodeAudio(planted).collect()
+      .map(m => m.doc_id -> ((m.channels, m.sample_rate, m.n_frames, m.duration_ms)))
+      .toMap
+    assert(out(1L) == ((1, 8000, 4000L, 500L)))
+    assert(out(2L) == ((2, 48000, 12000L, 250L)))
+    assert(out(3L) == ((0, 0, 0L, 0L)))
+  }
 }
