@@ -165,6 +165,7 @@ object SparkEntry {
     "evt_user_entropy" -> (Suite.evtUserEntropy _),
     "sim_ild" -> (Suite.simIld _),
     "mm_audio" -> (Suite.mmAudio _),
+    "text_code_detect" -> (Suite.textCodeDetect _),
     "text_readability" -> (Suite.textReadability _),
     "dq_skew" -> (Suite.dqSkew _),
     "sim_cluster_purity" -> (Suite.simClusterPurity _),
@@ -1204,6 +1205,30 @@ object SparkEntry {
         |  CAST(16 AS BIGINT) AS bits, CAST(frames AS BIGINT) AS n_frames,
         |  CAST(frames * 1000 // sr AS BIGINT) AS duration_ms
         |FROM p ORDER BY doc_id""".stripMargin,
+    // code detection: three regexp kernels mirrored (RE2 and Java agree
+    // on these ASCII classes); the verdict is an integer cross-multiply
+    "text_code_detect" ->
+      """WITH d AS (SELECT source,
+        |    2 * len(regexp_extract_all(text,
+        |      '\b(def|class|function|return|import|const|void|public)\b'))
+        |      + (length(text)
+        |        - length(regexp_replace(text, '[\[\]{}();=<>]', '', 'g')))
+        |      + 2 * len(regexp_extract_all(text, '\n(    |\t)')) AS s,
+        |    length(text) AS nc
+        |  FROM documents),
+        |g AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(CASE WHEN s * 20 >= nc AND nc > 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_code,
+        |    CAST(sum(s) AS BIGINT) AS score_sum,
+        |    CAST(sum(nc) AS BIGINT) AS char_sum
+        |  FROM d GROUP BY 1)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_code,
+        |  CAST(floor(CAST(n_code AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |    * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS code_rate,
+        |  CAST(floor(100.0e0 * CAST(score_sum AS DOUBLE)
+        |    / CAST(char_sum AS DOUBLE) * 10000.0e0 + 0.5e0) AS DOUBLE)
+        |    / 10000.0e0 AS score_per_100c
+        |FROM g ORDER BY source""".stripMargin,
     // FP-growth's frequent-itemset SET is deterministic (exact counts,
     // no sampling): the oracle enumerates candidate itemsets to arity 4
     // by ordered self-joins of the distinct (order, brand) table — far

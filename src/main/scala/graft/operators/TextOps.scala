@@ -1292,4 +1292,39 @@ object TextOps {
         Num.pround(varr / mean, 4).as("burstiness"))
       .orderBy(col("tf").desc, col("term"))
   }
+
+  /** Code-vs-prose screen — the corpus-mix gate an LLM data pipeline
+    * runs before routing documents to code-specific cleaning (prose
+    * heuristics destroy code: [[qualitySignals]]' punctuation ratio
+    * flags healthy source files as garbage). Integer evidence per doc:
+    * structural symbols ({}[]();=<>), code keywords, and indented
+    * lines, 2:1:2-weighted; a doc is code when evidence ≥ 1 per 20
+    * chars. The verdict is a CROSS-MULTIPLIED integer compare — no
+    * float decides.
+    *
+    * Scale shape: three row-local codegen'd regexp kernels + ONE
+    * source-domain fold; the per-source densities are exact-integer
+    * ratios. */
+  def codeDetect(docs: DataFrame): DataFrame = {
+    val txt = col("text")
+    val sym = length(txt) - length(regexp_replace(txt, "[\\[\\]{}();=<>]", ""))
+    val kw = regexp_count(txt,
+      lit("\\b(def|class|function|return|import|const|void|public)\\b"))
+    val ind = regexp_count(txt, lit("\\n(    |\\t)"))
+    val score = lit(2L) * kw.cast("long") + sym.cast("long") +
+      lit(2L) * ind.cast("long")
+    val chars = length(txt).cast("long")
+    docs.select(col("source"), score.as("s"), chars.as("nc"),
+        (score * lit(20L) >= chars && chars > 0L).as("is_code"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_code"), 1L).otherwise(0L)).as("n_code"),
+        sum("s").as("score_sum"), sum("nc").as("char_sum"))
+      .select(col("source"), col("n_docs"), col("n_code"),
+        Num.pround(col("n_code").cast("double")
+          / col("n_docs").cast("double"), 4).as("code_rate"),
+        Num.pround(lit(100.0) * col("score_sum").cast("double")
+          / col("char_sum").cast("double"), 4).as("score_per_100c"))
+      .orderBy("source")
+  }
 }

@@ -1870,6 +1870,10 @@ object Suite {
   def simIld(s: SparkSession, dir: String): DataFrame =
     Similarity.intraListDiversity(t(s, dir, "embeddings"))
 
+  /** Per-source code-vs-prose mix from integer structural evidence. */
+  def textCodeDetect(s: SparkSession, dir: String): DataFrame =
+    TextOps.codeDetect(t(s, dir, "documents"))
+
   /** Trend + day-of-week + residual decomposition of daily volume. */
   def evtDecompose(s: SparkSession, dir: String): DataFrame =
     Events.decomposeDaily(t(s, dir, "events"))

@@ -649,4 +649,16 @@ class TextOpsSpec extends SparkTestBase {
         r.getDouble(4)))
     assert(out.toSeq == Seq(("a", 1L, 4L, 1.0, 3.0), ("b", 3L, 4L, 1.0, 0.5)))
   }
+
+  test("codeDetect: a function body trips the integer evidence gate, prose doesn't") {
+    // code doc: kw {def, return} ×2 + symbols ()[]; (5) + 1 indent ×2
+    // = 11 over 23 chars (≥ 1/20); prose doc: 0 evidence over 43 chars
+    val docs = Seq(
+      (1L, "s1", "def f():\n    return [];"),
+      (2L, "s1", "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "source", "text")
+    val r = TextOps.codeDetect(docs).head()
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+      r.getDouble(4)) == (("s1", 2L, 1L, 0.5, 16.6667)))
+  }
 }
