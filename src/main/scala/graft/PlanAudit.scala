@@ -308,7 +308,14 @@ object PlanAudit {
     // graph_wcc excluded: the min-label loop runs eagerly (the
     // dedup_clusters rule)
     "evt_acf", "evt_adf", "dq_xi_corr", "dq_anova2", "sim_silhouette",
-    "evt_bayes_ab", "graph_jaccard")
+    "evt_bayes_ab", "graph_jaccard",
+    // round 7 cont. #2: burstiness (one (doc,term) fold + TakeOrdered
+    // + 1-row broadcast), user entropy (one fold + per-user bounded
+    // windows), ILD (topKExact leg + within-list-only self-join), WAV
+    // decode (pure mapPartitions, no shuffle), code detect (row-local
+    // regexp kernels + one source-domain fold)
+    "text_burstiness", "evt_user_entropy", "sim_ild", "mm_audio",
+    "text_code_detect")
     // evt_audience_overlap is excluded like dedup_clusters: its
     // domain-sized sketch table collects eagerly at construction, so
     // only the trivial driver-built result frame would be explained
