@@ -166,6 +166,9 @@ object SparkEntry {
     "sim_ild" -> (Suite.simIld _),
     "mm_audio" -> (Suite.mmAudio _),
     "text_code_detect" -> (Suite.textCodeDetect _),
+    "evt_funnel_ci" -> (Suite.evtFunnelCi _),
+    "rel_new_repeat" -> (Suite.relNewRepeat _),
+    "feat_rand_proj" -> (Suite.featRandProj _),
     "text_readability" -> (Suite.textReadability _),
     "dq_skew" -> (Suite.dqSkew _),
     "sim_cluster_purity" -> (Suite.simClusterPurity _),
@@ -1229,6 +1232,98 @@ object SparkEntry {
         |    / CAST(char_sum AS DOUBLE) * 10000.0e0 + 0.5e0) AS DOUBLE)
         |    / 10000.0e0 AS score_per_100c
         |FROM g ORDER BY source""".stripMargin,
+    // the funnel chain + Wilson: every interval quantity a scalar tree
+    // on the two exact counts; z^2 COMPUTED as 1.96*1.96 (a 3.8416
+    // literal is a different double)
+    "evt_funnel_ci" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |  FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t1 FROM ev
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM ev e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM ev e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id),
+        |rows0 AS (
+        |  SELECT '1_signup' AS stage, CAST(count(*) AS BIGINT) AS n FROM s1
+        |  UNION ALL SELECT '2_click', CAST(count(*) AS BIGINT) FROM s2
+        |  UNION ALL SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM s3),
+        |rows1 AS (SELECT stage, n,
+        |    lag(n) OVER (ORDER BY stage) AS n_prev FROM rows0),
+        |c AS (SELECT stage, n, n_prev,
+        |    CAST(n AS DOUBLE) / CAST(n_prev AS DOUBLE) AS p,
+        |    1.96e0 * 1.96e0 AS z2, CAST(n_prev AS DOUBLE) AS np
+        |  FROM rows1),
+        |w AS (SELECT stage, n, n_prev, p,
+        |    (p + z2 / (2.0e0 * np)) / (1.0e0 + z2 / np) AS center,
+        |    1.96e0 * sqrt(p * (1.0e0 - p) / np + z2 / (4.0e0 * np * np))
+        |      / (1.0e0 + z2 / np) AS half
+        |  FROM c)
+        |SELECT stage, n, n_prev,
+        |  CAST(floor(p * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS rate,
+        |  CAST(floor((center - half) * 10000.0e0 + 0.5e0) AS DOUBLE)
+        |    / 10000.0e0 AS wilson_lo,
+        |  CAST(floor((center + half) * 10000.0e0 + 0.5e0) AS DOUBLE)
+        |    / 10000.0e0 AS wilson_hi
+        |FROM w ORDER BY stage""".stripMargin,
+    // new-vs-repeat: the first-order flag is one customer window; all
+    // money stays integer cents
+    "rel_new_repeat" ->
+      """WITH f AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |    CAST(floor(o_totalprice * 100.0e0 + 0.5e0) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) = 1 AS is_new
+        |  FROM orders),
+        |g AS (SELECT month, count(*) AS n_orders,
+        |    CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_first_orders,
+        |    CAST(sum(CASE WHEN is_new THEN cents ELSE 0 END) AS BIGINT)
+        |      AS new_cents,
+        |    CAST(sum(CASE WHEN is_new THEN 0 ELSE cents END) AS BIGINT)
+        |      AS repeat_cents
+        |  FROM f GROUP BY 1)
+        |SELECT month, CAST(n_orders AS BIGINT) AS n_orders, n_first_orders,
+        |  CAST(floor(CAST(new_cents AS DOUBLE) / 100.0e0 * 100.0e0 + 0.5e0)
+        |    AS DOUBLE) / 100.0e0 AS new_revenue,
+        |  CAST(floor(CAST(repeat_cents AS DOUBLE) / 100.0e0 * 100.0e0 + 0.5e0)
+        |    AS DOUBLE) / 100.0e0 AS repeat_revenue,
+        |  CAST(floor(CAST(repeat_cents AS DOUBLE)
+        |    / CAST(new_cents + repeat_cents AS DOUBLE) * 10000.0e0 + 0.5e0)
+        |    AS DOUBLE) / 10000.0e0 AS repeat_share
+        |FROM g ORDER BY month""".stripMargin,
+    // JL check: md5-derived signs over the (dim x k) domain, exact
+    // integer projections, row-local index-order distances
+    "feat_rand_proj" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings WHERE vec_id < 100),
+        |cm AS (SELECT vec_id, i - 1 AS d,
+        |    CAST(floor(e[i] * 1000000.0e0 + 0.5e0) AS BIGINT) AS q
+        |  FROM v CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g),
+        |sg AS (SELECT a.d, b.j,
+        |    CASE WHEN substring(md5(CAST(a.d AS VARCHAR) || ':'
+        |      || CAST(b.j AS VARCHAR)), 1, 1) < '8' THEN 1 ELSE -1 END AS sg
+        |  FROM (SELECT unnest(generate_series(0, 63)) AS d) a,
+        |       (SELECT unnest(generate_series(0, 15)) AS j) b),
+        |pj AS (SELECT vec_id, j, CAST(sum(q * sg) AS BIGINT) AS p
+        |  FROM cm JOIN sg ON cm.d = sg.d GROUP BY 1, 2),
+        |pv AS (SELECT vec_id, list(CAST(p AS DOUBLE) ORDER BY j) AS pv
+        |  FROM pj GROUP BY 1),
+        |qv AS (SELECT vec_id, list(CAST(q AS DOUBLE) ORDER BY d) AS qv
+        |  FROM cm GROUP BY 1),
+        |b2 AS (SELECT qv.vec_id, qv.qv, pv.pv
+        |  FROM qv JOIN pv ON qv.vec_id = pv.vec_id),
+        |pr AS (SELECT l.vec_id // 2 AS pair_id,
+        |    list_inner_product(l.qv, l.qv)
+        |      - 2.0e0 * list_inner_product(l.qv, r.qv)
+        |      + list_inner_product(r.qv, r.qv) AS do2,
+        |    list_inner_product(l.pv, l.pv)
+        |      - 2.0e0 * list_inner_product(l.pv, r.pv)
+        |      + list_inner_product(r.pv, r.pv) AS dp2
+        |  FROM b2 l JOIN b2 r ON r.vec_id = l.vec_id + 1 AND l.vec_id % 2 = 0)
+        |SELECT CAST(pair_id AS BIGINT) AS pair_id,
+        |  CAST(floor(dp2 / 16.0e0 / do2 * 10000.0e0 + 0.5e0) AS DOUBLE)
+        |    / 10000.0e0 AS distortion
+        |FROM pr WHERE do2 > 0.0e0 ORDER BY pair_id""".stripMargin,
     // FP-growth's frequent-itemset SET is deterministic (exact counts,
     // no sampling): the oracle enumerates candidate itemsets to arity 4
     // by ordered self-joins of the distinct (order, brand) table — far

@@ -809,4 +809,37 @@ object Basket {
         Num.pround(hhi, 2).as("hhi"))
       .orderBy("nation")
   }
+
+  /** Monthly new-vs-repeat revenue split — the growth-quality readout
+    * behind every "revenue grew 20%" headline: how much came from NEW
+    * customers (acquisition working) vs repeat orders (retention
+    * working)? An order is NEW iff it is its customer's first ever
+    * (earliest order date, orderkey tie-break). Complements
+    * [[graft.operators.Events.churnCohorts]]-style retention (user
+    * counts) with the DOLLAR split.
+    *
+    * Scale shape: ONE customer-partitioned row_number window flags
+    * first orders (no self-join, no global sort), then one
+    * month-domain fold; money stays in exact integer cents. */
+  def newVsRepeat(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = floor(col("o_totalprice") * 100.0 + 0.5).cast("long")
+    val flagged = orders.select(
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        cents.as("cents"),
+        (row_number().over(Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))) === 1).as("is_new"))
+    flagged.groupBy("month")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("n_first_orders"),
+        sum(when(col("is_new"), col("cents")).otherwise(0L)).as("new_cents"),
+        sum(when(col("is_new"), 0L).otherwise(col("cents"))).as("repeat_cents"))
+      .select(col("month"), col("n_orders"), col("n_first_orders"),
+        Num.pround(col("new_cents").cast("double") / 100.0, 2).as("new_revenue"),
+        Num.pround(col("repeat_cents").cast("double") / 100.0, 2).as("repeat_revenue"),
+        Num.pround(col("repeat_cents").cast("double") /
+          (col("new_cents") + col("repeat_cents")).cast("double"), 4)
+          .as("repeat_share"))
+      .orderBy("month")
+  }
 }

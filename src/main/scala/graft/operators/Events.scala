@@ -1712,4 +1712,50 @@ object Events {
         col("n_users"), col("n_events"))
       .orderBy("entropy_band")
   }
+
+  /** Funnel with Wilson 95% intervals on each step's conversion rate —
+    * the uncertainty [[funnel]] omits: a 40% step-2 rate means nothing
+    * until you know whether it's 40% of 25 users or 25 000. Wilson (not
+    * Wald) because funnel tails are exactly where p̂ is extreme and n is
+    * small — Wald's ±z√(p̂(1−p̂)/n) collapses to zero width at p̂∈{0,1};
+    * Wilson stays honest. Stage 1 has no parent step → NULL interval.
+    *
+    * Scale shape: the [[funnel]] user-dimension join chain unchanged
+    * (three 1-row counts); every interval quantity is a closed-form
+    * scalar tree on the two exact counts (z² is COMPUTED as 1.96·1.96
+    * in both engines — a 3.8416 literal is a different double). */
+  def funnelCi(events: DataFrame): DataFrame = {
+    val s1 = events.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("t1"))
+      .persistTracked() // next stage join + own count
+    val s2 = events.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("cus"))
+      .join(s1, "user_id").filter(col("cus") > col("t1"))
+      .groupBy("user_id").agg(min("cus").as("t2"))
+      .persistTracked()
+    val s3 = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("pus"))
+      .join(s2, "user_id").filter(col("pus") > col("t2"))
+      .groupBy("user_id").agg(min("pus").as("t3"))
+    def cnt(df: DataFrame, stage: String) =
+      df.agg(count(lit(1)).as("n")).select(lit(stage).as("stage"), col("n"))
+    val rows = cnt(s1, "1_signup")
+      .unionByName(cnt(s2, "2_click"))
+      .unionByName(cnt(s3, "3_purchase"))
+      .withColumn("n_prev", lag("n", 1).over(
+        Window.orderBy("stage"))) // stage domain: 3 rows
+    val z = lit(1.96)
+    val z2 = z * z
+    val nP = col("n_prev").cast("double")
+    val p = col("n").cast("double") / nP
+    val denom = lit(1.0) + z2 / nP
+    val center = (p + z2 / (lit(2.0) * nP)) / denom
+    val half = z * sqrt(p * (lit(1.0) - p) / nP +
+      z2 / (lit(4.0) * nP * nP)) / denom
+    rows.select(col("stage"), col("n"), col("n_prev"),
+        Num.pround(p, 4).as("rate"),
+        Num.pround(center - half, 4).as("wilson_lo"),
+        Num.pround(center + half, 4).as("wilson_hi"))
+      .orderBy("stage")
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.Caches._
 
@@ -409,5 +409,61 @@ object Features {
         Num.pround(col("contrib"), 6).as("contrib_nats"),
         Num.pround(sum("contrib").over(w), 6).as("mi_cum"))
       .orderBy("r", "c")
+  }
+
+  /** Johnson–Lindenstrauss random-projection distortion check — the
+    * go/no-go audit before swapping full-dimension vectors for a k-dim
+    * sketch in an ANN index (64→16 dims is a 4× index shrink IF
+    * pairwise distances survive): project with a ±1 sign matrix and
+    * report, for a fixed sample of vector pairs, the ratio
+    * (‖proj a − proj b‖²/k) / ‖a − b‖² — JL says it concentrates
+    * around 1 with spread ~1/√k.
+    *
+    * Scale shape: signs are md5-derived over the (dim × k) DOMAIN
+    * (engine-replayable — the hex-bridge rule — and broadcast);
+    * components quantize to 1e-6 BIGINTs so every projection
+    * coordinate is an exact integer sum; distances are row-local
+    * index-order array products (‖x‖² − 2x·y + ‖y‖² on the codegen'd
+    * DotProduct), so the distortion is one scalar tree per pair. */
+  def randProjCheck(embeddings: DataFrame, k: Int = 16,
+      nPairs: Int = 50): DataFrame = {
+    import org.apache.spark.sql.graftext.VectorFunctions.dot
+    import graft.Caches._
+    val spark = embeddings.sparkSession
+    val comps = embeddings.filter(col("vec_id") < nPairs * 2L)
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("d", "v")))
+      .select(col("vec_id"), col("d").cast("long").as("d"),
+        floor(col("v") * 1e6 + 0.5).cast("long").as("q"))
+      .persistTracked() // sign-join projection + original arrays
+    val signs = spark.range(0, 256).toDF("d") // covers any dim ≤ 256
+      .crossJoin(spark.range(0, k).toDF("j"))
+      .select(col("d"), col("j"),
+        when(substring(md5(concat(col("d").cast("string"), lit(":"),
+          col("j").cast("string"))), 1, 1) < "8", 1L).otherwise(-1L).as("sg"))
+    def toArr(df: DataFrame, key: String, value: String) =
+      df.groupBy("vec_id")
+        .agg(transform(array_sort(collect_list(struct(col(key), col(value)))),
+          x => x.getField(value).cast("double")).as(s"arr_$value"))
+    val proj = toArr(
+      comps.join(broadcast(signs), "d")
+        .groupBy("vec_id", "j").agg(sum(col("q") * col("sg")).as("p")),
+      "j", "p")
+    val orig = toArr(comps, "d", "q")
+    val both = orig.join(proj, "vec_id")
+    val left = both.filter(col("vec_id") % 2 === 0)
+      .select(expr("vec_id DIV 2").as("pair_id"),
+        col("arr_q").as("qa"), col("arr_p").as("pa"))
+    val right = both.filter(col("vec_id") % 2 === 1)
+      .select(expr("vec_id DIV 2").as("pair_id"),
+        col("arr_q").as("qb"), col("arr_p").as("pb"))
+    def d2(x: Column, y: Column) = dot(x, x) - lit(2.0) * dot(x, y) + dot(y, y)
+    left.join(right, "pair_id")
+      .select(col("pair_id"), d2(col("qa"), col("qb")).as("do2"),
+        d2(col("pa"), col("pb")).as("dp2"))
+      .filter(col("do2") > 0.0) // identical pairs carry no distance signal
+      .select(col("pair_id"),
+        Num.pround(col("dp2") / lit(k.toDouble) / col("do2"), 4).as("distortion"))
+      .orderBy("pair_id")
   }
 }

@@ -1874,6 +1874,18 @@ object Suite {
   def textCodeDetect(s: SparkSession, dir: String): DataFrame =
     TextOps.codeDetect(t(s, dir, "documents"))
 
+  /** Funnel step rates with Wilson 95% intervals. */
+  def evtFunnelCi(s: SparkSession, dir: String): DataFrame =
+    Events.funnelCi(t(s, dir, "events"))
+
+  /** Monthly new-vs-repeat revenue split. */
+  def relNewRepeat(s: SparkSession, dir: String): DataFrame =
+    Basket.newVsRepeat(t(s, dir, "orders"))
+
+  /** JL random-projection distortion over 50 fixed vector pairs. */
+  def featRandProj(s: SparkSession, dir: String): DataFrame =
+    Features.randProjCheck(t(s, dir, "embeddings"))
+
   /** Trend + day-of-week + residual decomposition of daily volume. */
   def evtDecompose(s: SparkSession, dir: String): DataFrame =
     Events.decomposeDaily(t(s, dir, "events"))

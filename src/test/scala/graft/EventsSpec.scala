@@ -1106,4 +1106,23 @@ class EventsSpec extends SparkTestBase {
       .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
     assert(out.toSeq == Seq((0.0, 1L, 4L), (0.6, 1L, 4L)))
   }
+
+  test("funnelCi: Wilson bounds on a 4→2→1 funnel (hand-computed)") {
+    // stage 2: 2/4 → Wilson(0.5, n=4) = [0.15, 0.85]
+    // stage 3: 1/2 → Wilson(0.5, n=2) = [0.0945, 0.9055]
+    import java.sql.Timestamp
+    def at(h: Int) = Timestamp.valueOf(f"2024-01-01 ${h}%02d:00:00")
+    val ev = ((1L to 4L).map(u => (u, "signup", at(1))) ++
+      Seq((1L, "click", at(2)), (2L, "click", at(2)), (1L, "purchase", at(3))))
+      .toDF("user_id", "event_type", "ts")
+    val out = Events.funnelCi(ev).collect()
+    assert((out(0).getString(0), out(0).getLong(1)) == (("1_signup", 4L)))
+    assert(out(0).isNullAt(2) && out(0).isNullAt(3))
+    assert((out(1).getString(0), out(1).getLong(1), out(1).getLong(2),
+      out(1).getDouble(3), out(1).getDouble(4), out(1).getDouble(5)) ==
+      (("2_click", 2L, 4L, 0.5, 0.15, 0.85)))
+    assert((out(2).getString(0), out(2).getLong(1), out(2).getLong(2),
+      out(2).getDouble(3), out(2).getDouble(4), out(2).getDouble(5)) ==
+      (("3_purchase", 1L, 2L, 0.5, 0.0945, 0.9055)))
+  }
 }

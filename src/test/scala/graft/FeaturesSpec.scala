@@ -222,4 +222,21 @@ class FeaturesSpec extends SparkTestBase {
     val mi = Features.mutualInfo(ind, "f1", "f2").collect()
     assert(mi.forall(r => r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0))
   }
+
+  test("randProjCheck: basis-vector pair distortion equals m/8 from the md5 signs") {
+    // for e0 vs e1: dp² = Σ_j (sg(0,j)−sg(1,j))²·10¹² = 4m·10¹², do² =
+    // 2·10¹² → distortion = m/8 where m = #{j: signs differ} — counted
+    // here INDEPENDENTLY from the same md5 the operator derives from
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sg(d: Int, j: Int): Int = {
+      val h = md.digest(s"$d:$j".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (h.charAt(0) < '8') 1 else -1
+    }
+    val m = (0 until 16).count(j => sg(0, j) != sg(1, j))
+    val emb = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Features.randProjCheck(emb).collect()
+    assert(out.length == 1)
+    assert((out(0).getLong(0), out(0).getDouble(1)) == ((0L, m / 8.0)))
+  }
 }

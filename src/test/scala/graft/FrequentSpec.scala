@@ -438,4 +438,20 @@ class FrequentSpec extends SparkTestBase {
     // N1: shares 0.5/0.5 → 10^4·(0.25+0.25) = 5000; N2: single → 10000
     assert(out.toSeq == Seq(("N1", 2L, 0.5, 5000.0), ("N2", 1L, 1.0, 10000.0)))
   }
+
+  test("newVsRepeat: a customer's second order moves to the repeat bucket") {
+    import graft.operators.Basket
+    import java.sql.Timestamp
+    val orders = Seq(
+      (1L, 10L, Timestamp.valueOf("1995-01-05 00:00:00"), 10.0), // c10 first
+      (2L, 10L, Timestamp.valueOf("1995-02-05 00:00:00"), 5.0), // c10 repeat
+      (3L, 20L, Timestamp.valueOf("1995-02-10 00:00:00"), 20.0)) // c20 first
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val out = Basket.newVsRepeat(orders).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      ("1995-01", 1L, 1L, 10.0, 0.0, 0.0),
+      ("1995-02", 2L, 1L, 20.0, 5.0, 0.2)))
+  }
 }
