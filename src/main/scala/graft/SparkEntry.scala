@@ -169,6 +169,8 @@ object SparkEntry {
     "evt_funnel_ci" -> (Suite.evtFunnelCi _),
     "rel_new_repeat" -> (Suite.relNewRepeat _),
     "feat_rand_proj" -> (Suite.featRandProj _),
+    "rel_repeat_interval" -> (Suite.relRepeatInterval _),
+    "rel_price_dispersion" -> (Suite.relPriceDispersion _),
     "text_readability" -> (Suite.textReadability _),
     "dq_skew" -> (Suite.dqSkew _),
     "sim_cluster_purity" -> (Suite.simClusterPurity _),
@@ -1324,6 +1326,46 @@ object SparkEntry {
         |  CAST(floor(dp2 / 16.0e0 / do2 * 10000.0e0 + 0.5e0) AS DOUBLE)
         |    / 10000.0e0 AS distortion
         |FROM pr WHERE do2 > 0.0e0 ORDER BY pair_id""".stripMargin,
+    // repeat-purchase cadence: one customer lag window, exact integer
+    // day gaps, the percentile ≡ quantile_cont parity (value_bands rule)
+    "rel_repeat_interval" ->
+      """WITH g0 AS (SELECT o_custkey, o_orderdate,
+        |    lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |g AS (SELECT o_custkey AS c_custkey,
+        |    CAST(date_diff('day', CAST(prev AS DATE), CAST(o_orderdate AS DATE))
+        |      AS BIGINT) AS gap_days
+        |  FROM g0 WHERE prev IS NOT NULL),
+        |j AS (SELECT c_mktsegment AS segment, gap_days
+        |  FROM g JOIN customer USING (c_custkey))
+        |SELECT segment, CAST(count(*) AS BIGINT) AS n_gaps,
+        |  round(quantile_cont(gap_days, 0.25e0), 4) AS p25,
+        |  round(quantile_cont(gap_days, 0.5e0), 4) AS p50,
+        |  round(quantile_cont(gap_days, 0.75e0), 4) AS p75
+        |FROM j GROUP BY 1 ORDER BY segment""".stripMargin,
+    // price dispersion from exact integer-cent unit prices; variance
+    // via BIGINT moments, one scalar subtraction
+    "rel_price_dispersion" ->
+      """WITH u AS (SELECT p_brand,
+        |    CAST(floor(l_extendedprice / l_quantity * 100.0e0 + 0.5e0)
+        |      AS BIGINT) AS uc
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |g AS (SELECT p_brand, count(*) AS n, CAST(sum(uc) AS BIGINT) AS s,
+        |    CAST(sum(uc * uc) AS BIGINT) AS ss,
+        |    CAST(min(uc) AS BIGINT) AS lo, CAST(max(uc) AS BIGINT) AS hi
+        |  FROM u GROUP BY 1)
+        |SELECT p_brand, CAST(n AS BIGINT) AS n,
+        |  CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0e0
+        |    * 100.0e0 + 0.5e0) AS DOUBLE) / 100.0e0 AS mean_price,
+        |  CAST(floor(sqrt(greatest(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 0.0e0))
+        |    / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS cv,
+        |  CAST(floor(CAST(hi AS DOUBLE) / CAST(lo AS DOUBLE)
+        |    * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS spread_ratio
+        |FROM g ORDER BY p_brand""".stripMargin,
     // FP-growth's frequent-itemset SET is deterministic (exact counts,
     // no sampling): the oracle enumerates candidate itemsets to arity 4
     // by ordered self-joins of the distinct (order, brand) table — far

@@ -842,4 +842,68 @@ object Basket {
           .as("repeat_share"))
       .orderBy("month")
   }
+
+  /** Repeat-purchase latency profile per market segment — the CLV
+    * model's cadence input ("how long until a customer buys again"),
+    * segmented so merchandising sees which segments reorder fast:
+    * exact p25/p50/p75 of the day gaps between a customer's
+    * consecutive orders. One-order customers contribute no gap (they
+    * have no cadence yet — not a zero).
+    *
+    * Scale shape: ONE customer-partitioned lag window (no self-join),
+    * one key-shuffle dimension join to segment, one segment-domain
+    * exact-percentile fold (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`; at 100 TB the same shape takes
+    * approx_percentile); gaps are exact integer days. */
+  def repeatInterval(orders: DataFrame, customer: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val gaps = orders
+      .withColumn("prev", lag("o_orderdate", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("o_custkey").as("c_custkey"),
+        datediff(to_date(col("o_orderdate")), to_date(col("prev")))
+          .cast("long").as("gap_days"))
+    gaps.join(customer.select(col("c_custkey"), col("c_mktsegment")), "c_custkey")
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(expr("percentile(gap_days, 0.25)"), 4).as("p25"),
+        round(expr("percentile(gap_days, 0.5)"), 4).as("p50"),
+        round(expr("percentile(gap_days, 0.75)"), 4).as("p75"))
+      .orderBy("segment")
+  }
+
+  /** Price-dispersion audit per brand — the pricing-governance screen
+    * ("is the same catalog selling at wildly different realized
+    * prices?"): per part brand, the realized unit price's coefficient
+    * of variation and max/min spread across line items. High CV flags
+    * inconsistent discounting or data errors feeding any price-based
+    * feature.
+    *
+    * Scale shape: one fact⋈dim join (broadcast part projection), one
+    * brand-domain moment fold — unit prices fold to exact integer
+    * cents so mean and variance come from BIGINT moments (the
+    * variance's single subtraction is one scalar tree). */
+  def priceDispersion(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val unitCents = floor(col("l_extendedprice") / col("l_quantity") * 100.0 + 0.5)
+      .cast("long")
+    val nD = col("n").cast("double")
+    val mean = col("s").cast("double") / nD
+    val varr = col("ss").cast("double") / nD - mean * mean
+    lineitem
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), unitCents.as("uc"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), sum("uc").as("s"),
+        sum(col("uc") * col("uc")).as("ss"),
+        min("uc").as("lo"), max("uc").as("hi"))
+      .select(col("p_brand"), col("n"),
+        Num.pround(mean / 100.0, 2).as("mean_price"),
+        Num.pround(sqrt(greatest(varr, lit(0.0))) / mean, 4).as("cv"),
+        Num.pround(col("hi").cast("double") / col("lo").cast("double"), 4)
+          .as("spread_ratio"))
+      .orderBy("p_brand")
+  }
 }

@@ -1886,6 +1886,14 @@ object Suite {
   def featRandProj(s: SparkSession, dir: String): DataFrame =
     Features.randProjCheck(t(s, dir, "embeddings"))
 
+  /** Repeat-purchase latency percentiles per market segment. */
+  def relRepeatInterval(s: SparkSession, dir: String): DataFrame =
+    Basket.repeatInterval(t(s, dir, "orders"), t(s, dir, "customer"))
+
+  /** Unit-price dispersion audit per part brand. */
+  def relPriceDispersion(s: SparkSession, dir: String): DataFrame =
+    Basket.priceDispersion(t(s, dir, "lineitem"), t(s, dir, "part"))
+
   /** Trend + day-of-week + residual decomposition of daily volume. */
   def evtDecompose(s: SparkSession, dir: String): DataFrame =
     Events.decomposeDaily(t(s, dir, "events"))

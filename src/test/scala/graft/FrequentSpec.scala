@@ -454,4 +454,36 @@ class FrequentSpec extends SparkTestBase {
       ("1995-01", 1L, 1L, 10.0, 0.0, 0.0),
       ("1995-02", 2L, 1L, 20.0, 5.0, 0.2)))
   }
+
+  test("repeatInterval: gaps interpolate exact percentiles; single orders drop") {
+    import graft.operators.Basket
+    import java.sql.Timestamp
+    // c10 gaps {10, 20} days → p25/p50/p75 = 12.5/15/17.5; c20 has one
+    // order → contributes nothing
+    val orders = Seq(
+      (1L, 10L, "1995-01-01"), (2L, 10L, "1995-01-11"), (3L, 10L, "1995-01-31"),
+      (4L, 20L, "1995-06-01"))
+      .map { case (o, c, d) => (o, c, Timestamp.valueOf(s"$d 00:00:00")) }
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val cust = Seq((10L, "AUTO"), (20L, "AUTO"))
+      .toDF("c_custkey", "c_mktsegment")
+    val out = Basket.repeatInterval(orders, cust).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(out.toSeq == Seq(("AUTO", 2L, 12.5, 15.0, 17.5)))
+  }
+
+  test("priceDispersion: hand-checked cv and spread on two price points") {
+    import graft.operators.Basket
+    // brand B1 unit prices {10, 10, 20, 20}: mean 15, sd 5 → cv 0.3333,
+    // spread 2.0
+    val li = Seq(
+      (1L, 20.0, 2.0), (1L, 10.0, 1.0), (2L, 40.0, 2.0), (2L, 20.0, 1.0))
+      .toDF("l_partkey", "l_extendedprice", "l_quantity")
+    val part = Seq((1L, "B1"), (2L, "B1")).toDF("p_partkey", "p_brand")
+    val out = Basket.priceDispersion(li, part).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(out.toSeq == Seq(("B1", 4L, 15.0, 0.3333, 2.0)))
+  }
 }
