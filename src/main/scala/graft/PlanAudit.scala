@@ -315,7 +315,15 @@ object PlanAudit {
     // decode (pure mapPartitions, no shuffle), code detect (row-local
     // regexp kernels + one source-domain fold)
     "text_burstiness", "evt_user_entropy", "sim_ild", "mm_audio",
-    "text_code_detect")
+    "text_code_detect",
+    // round 7 cont. #3: funnel CI (the funnel join chain + 3-row
+    // Wilson algebra), new-vs-repeat (ONE customer window + month
+    // fold), rand proj (quantized fold + broadcast sign join + pair
+    // equi-join, distances row-local), repeat interval (customer lag
+    // window + dim join + segment percentile fold), price dispersion
+    // (fact⋈broadcast-dim + brand moment fold)
+    "evt_funnel_ci", "rel_new_repeat", "feat_rand_proj",
+    "rel_repeat_interval", "rel_price_dispersion")
     // evt_audience_overlap is excluded like dedup_clusters: its
     // domain-sized sketch table collects eagerly at construction, so
     // only the trivial driver-built result frame would be explained
