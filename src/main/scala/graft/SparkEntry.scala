@@ -171,6 +171,8 @@ object SparkEntry {
     "feat_rand_proj" -> (Suite.featRandProj _),
     "rel_repeat_interval" -> (Suite.relRepeatInterval _),
     "rel_price_dispersion" -> (Suite.relPriceDispersion _),
+    "text_dup_rate" -> (Suite.textDupRate _),
+    "evt_slo_burn" -> (Suite.evtSloBurn _),
     "text_readability" -> (Suite.textReadability _),
     "dq_skew" -> (Suite.dqSkew _),
     "sim_cluster_purity" -> (Suite.simClusterPurity _),
@@ -1366,6 +1368,41 @@ object SparkEntry {
         |  CAST(floor(CAST(hi AS DOUBLE) / CAST(lo AS DOUBLE)
         |    * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS spread_ratio
         |FROM g ORDER BY p_brand""".stripMargin,
+    // per-source dup profile: the exact-dedup fingerprint fold twice
+    "text_dup_rate" ->
+      """WITH f AS (SELECT source,
+        |    md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |c AS (SELECT source, fp, count(*) AS c FROM f GROUP BY 1, 2),
+        |g AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+        |    CAST(count(*) AS BIGINT) AS n_unique,
+        |    CAST(sum(c - 1) AS BIGINT) AS n_redundant,
+        |    CAST(max(c) AS BIGINT) AS max_copies FROM c GROUP BY 1)
+        |SELECT source, n_docs, n_unique, n_redundant, max_copies,
+        |  CAST(floor(CAST(n_redundant AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |    * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS dup_rate
+        |FROM g ORDER BY source""".stripMargin,
+    // SLO burn: the daily verdict is an integer cross-multiply; the
+    // cumulative burn divides two running BIGINTs
+    "evt_slo_burn" ->
+      """WITH d0 AS (SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS err
+        |  FROM events),
+        |d AS (SELECT day, count(*) AS n_events,
+        |    CAST(sum(err) AS BIGINT) AS n_errors FROM d0 GROUP BY 1),
+        |c AS (SELECT day, CAST(n_events AS BIGINT) AS n_events, n_errors,
+        |    CAST(sum(n_events) OVER w AS BIGINT) AS cum_events,
+        |    CAST(sum(n_errors) OVER w AS BIGINT) AS cum_errors
+        |  FROM d WINDOW w AS (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT day, n_events, n_errors,
+        |  CAST(floor(CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE)
+        |    * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS err_share,
+        |  n_errors * 1000 > 200 * n_events AS breach,
+        |  CAST(floor(CAST(cum_errors AS DOUBLE) * 1000.0e0
+        |    / (200.0e0 * CAST(cum_events AS DOUBLE)) * 10000.0e0 + 0.5e0)
+        |    AS DOUBLE) / 10000.0e0 AS budget_burn
+        |FROM c ORDER BY day""".stripMargin,
     // FP-growth's frequent-itemset SET is deterministic (exact counts,
     // no sampling): the oracle enumerates candidate itemsets to arity 4
     // by ordered self-joins of the distinct (order, brand) table — far

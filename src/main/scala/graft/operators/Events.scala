@@ -1758,4 +1758,37 @@ object Events {
         Num.pround(center + half, 4).as("wilson_hi"))
       .orderBy("stage")
   }
+
+  /** SLO error-budget burn-down — the SRE readout over the event
+    * stream: against an error-share objective of `sloPermille`‰, each
+    * day reports its own error share and the cumulative share of the
+    * period's error BUDGET already consumed (>1 = the SLO is blown for
+    * the period even if every remaining day is perfect). The daily
+    * verdict (`breach`) is a CROSS-MULTIPLIED integer compare —
+    * 1000·errors > slo·events — and the cumulative burn divides two
+    * running BIGINTs, so no float ever decides or accumulates.
+    *
+    * Scale shape: one corpus fold to the day grid; the running sums
+    * are calendar-domain prefix windows. */
+  def sloBurn(events: DataFrame, sloPermille: Int = 200): DataFrame = {
+    val daily = events
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        when(col("event_type") === "error", 1L).otherwise(0L).as("err"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_events"), sum("err").as("n_errors"))
+    val w = Window.orderBy("day") // calendar domain: bounded
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("cum_events", sum("n_events").over(w))
+      .withColumn("cum_errors", sum("n_errors").over(w))
+      .select(col("day"), col("n_events"), col("n_errors"),
+        Num.pround(col("n_errors").cast("double")
+          / col("n_events").cast("double"), 4).as("err_share"),
+        (col("n_errors") * 1000L > lit(sloPermille.toLong) * col("n_events"))
+          .as("breach"),
+        Num.pround(col("cum_errors").cast("double") * 1000.0 /
+          (lit(sloPermille.toDouble) * col("cum_events").cast("double")), 4)
+          .as("budget_burn"))
+      .orderBy("day")
+  }
 }

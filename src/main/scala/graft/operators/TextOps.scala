@@ -1327,4 +1327,30 @@ object TextOps {
           / col("char_sum").cast("double"), 4).as("score_per_100c"))
       .orderBy("source")
   }
+
+  /** Per-source duplication profile — the mixing-weight diagnostic run
+    * BEFORE [[graft.operators.Dedup]] decides what to drop: a source
+    * whose exact-duplicate rate is 40% contributes far fewer effective
+    * tokens than its row count claims, so epoch plans and mixing
+    * ratios built on raw counts overweight it. Identity is the
+    * whitespace-normalized lowercased text md5 (the exact-dedup
+    * fingerprint), duplicates counted WITHIN source.
+    *
+    * Scale shape: one row-local fingerprint projection, one
+    * (source, fp) fold, one source-domain fold — the same two-level
+    * shape as exact dedup, nothing corpus² anywhere. */
+  def dupRateBySource(docs: DataFrame): DataFrame = {
+    val fp = md5(lower(regexp_replace(col("text"), "\\s+", " ")))
+    docs.select(col("source"), fp.as("fp"))
+      .groupBy("source", "fp").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum("c").as("n_docs"), count(lit(1)).as("n_unique"),
+        sum(col("c") - 1L).as("n_redundant"),
+        max("c").as("max_copies"))
+      .select(col("source"), col("n_docs"), col("n_unique"),
+        col("n_redundant"), col("max_copies"),
+        Num.pround(col("n_redundant").cast("double")
+          / col("n_docs").cast("double"), 4).as("dup_rate"))
+      .orderBy("source")
+  }
 }

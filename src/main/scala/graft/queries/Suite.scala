@@ -1894,6 +1894,14 @@ object Suite {
   def relPriceDispersion(s: SparkSession, dir: String): DataFrame =
     Basket.priceDispersion(t(s, dir, "lineitem"), t(s, dir, "part"))
 
+  /** Per-source exact-duplicate rate (mixing-weight diagnostic). */
+  def textDupRate(s: SparkSession, dir: String): DataFrame =
+    TextOps.dupRateBySource(t(s, dir, "documents"))
+
+  /** Daily error-budget burn-down against a 200‰ error SLO. */
+  def evtSloBurn(s: SparkSession, dir: String): DataFrame =
+    Events.sloBurn(t(s, dir, "events"))
+
   /** Trend + day-of-week + residual decomposition of daily volume. */
   def evtDecompose(s: SparkSession, dir: String): DataFrame =
     Events.decomposeDaily(t(s, dir, "events"))

@@ -1125,4 +1125,20 @@ class EventsSpec extends SparkTestBase {
       out(2).getDouble(3), out(2).getDouble(4), out(2).getDouble(5)) ==
       (("3_purchase", 1L, 2L, 0.5, 0.0945, 0.9055)))
   }
+
+  test("sloBurn: integer breach verdicts and exact cumulative burn") {
+    // 200‰ SLO: day 1 = 1/10 errors (no breach, burn 0.5 of budget so
+    // far), day 2 = 5/10 (breach; cumulative 6/20 → burn 1.5: blown)
+    import java.sql.Timestamp
+    def ev(day: Int, ty: String, n: Int) = Seq.fill(n)(
+      (Timestamp.valueOf(f"2024-01-0$day%d 10:00:00"), ty))
+    val rows = (ev(1, "error", 1) ++ ev(1, "view", 9) ++
+      ev(2, "error", 5) ++ ev(2, "view", 5)).toDF("ts", "event_type")
+    val out = Events.sloBurn(rows).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 10L, 1L, 0.1, false, 0.5),
+      ("2024-01-02", 10L, 5L, 0.5, true, 1.5)))
+  }
 }

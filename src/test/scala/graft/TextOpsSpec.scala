@@ -661,4 +661,13 @@ class TextOpsSpec extends SparkTestBase {
     assert((r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
       r.getDouble(4)) == (("s1", 2L, 1L, 0.5, 16.6667)))
   }
+
+  test("dupRateBySource: normalization collapses case/whitespace variants") {
+    // "a  b" and "A B" normalize to the same fingerprint → 1 redundant
+    val docs = Seq((1L, "s1", "a  b"), (2L, "s1", "A B"), (3L, "s1", "c"))
+      .toDF("doc_id", "source", "text")
+    val r = TextOps.dupRateBySource(docs).head()
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getDouble(5)) == (("s1", 3L, 2L, 1L, 2L, 0.3333)))
+  }
 }
