@@ -323,7 +323,10 @@ object PlanAudit {
     // window + dim join + segment percentile fold), price dispersion
     // (fact⋈broadcast-dim + brand moment fold)
     "evt_funnel_ci", "rel_new_repeat", "feat_rand_proj",
-    "rel_repeat_interval", "rel_price_dispersion")
+    "rel_repeat_interval", "rel_price_dispersion",
+    // round 7 cont. #4: dup rate (two-level fingerprint fold), SLO
+    // burn (one day-grid fold + calendar prefix windows)
+    "text_dup_rate", "evt_slo_burn")
     // evt_audience_overlap is excluded like dedup_clusters: its
     // domain-sized sketch table collects eagerly at construction, so
     // only the trivial driver-built result frame would be explained
