@@ -325,8 +325,10 @@ object PlanAudit {
     "evt_funnel_ci", "rel_new_repeat", "feat_rand_proj",
     "rel_repeat_interval", "rel_price_dispersion",
     // round 7 cont. #4: dup rate (two-level fingerprint fold), SLO
-    // burn (one day-grid fold + calendar prefix windows)
-    "text_dup_rate", "evt_slo_burn")
+    // burn (one day-grid fold + calendar prefix windows), level drift
+    // (1-row bounds broadcast + level-domain folds), dow ANOVA
+    // (day-grid fold + ≤7-row frame-order scalar)
+    "text_dup_rate", "evt_slo_burn", "dq_level_drift", "evt_dow_anova")
     // evt_audience_overlap is excluded like dedup_clusters: its
     // domain-sized sketch table collects eagerly at construction, so
     // only the trivial driver-built result frame would be explained

@@ -173,6 +173,8 @@ object SparkEntry {
     "rel_price_dispersion" -> (Suite.relPriceDispersion _),
     "text_dup_rate" -> (Suite.textDupRate _),
     "evt_slo_burn" -> (Suite.evtSloBurn _),
+    "dq_level_drift" -> (Suite.dqLevelDrift _),
+    "evt_dow_anova" -> (Suite.evtDowAnova _),
     "text_readability" -> (Suite.textReadability _),
     "dq_skew" -> (Suite.dqSkew _),
     "sim_cluster_purity" -> (Suite.simClusterPurity _),
@@ -1403,6 +1405,65 @@ object SparkEntry {
         |    / (200.0e0 * CAST(cum_events AS DOUBLE)) * 10000.0e0 + 0.5e0)
         |    AS DOUBLE) / 10000.0e0 AS budget_burn
         |FROM c ORDER BY day""".stripMargin,
+    // level drift: the split point is exact integer microseconds; the
+    // per-level membership flags are exact maxes
+    "dq_level_drift" ->
+      """WITH b AS (SELECT CAST(min(epoch_us(o_orderdate)) AS BIGINT) AS lo,
+        |    CAST(max(epoch_us(o_orderdate)) AS BIGINT) AS hi FROM orders),
+        |t1 AS (SELECT o_orderpriority, o_orderstatus,
+        |    epoch_us(o_orderdate) * 2 > lo + hi AS h2
+        |  FROM orders CROSS JOIN b),
+        |a1 AS (SELECT o_orderpriority AS level,
+        |    max(CASE WHEN NOT h2 THEN 1 ELSE 0 END) AS in1,
+        |    max(CASE WHEN h2 THEN 1 ELSE 0 END) AS in2 FROM t1 GROUP BY 1),
+        |s1 AS (SELECT 'o_orderpriority' AS column_name,
+        |    CAST(sum(in1) AS BIGINT) AS n_levels_h1,
+        |    CAST(sum(in2) AS BIGINT) AS n_levels_h2,
+        |    CAST(sum(CASE WHEN in2 = 1 AND in1 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_new,
+        |    CAST(sum(CASE WHEN in1 = 1 AND in2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_gone FROM a1),
+        |a2 AS (SELECT o_orderstatus AS level,
+        |    max(CASE WHEN NOT h2 THEN 1 ELSE 0 END) AS in1,
+        |    max(CASE WHEN h2 THEN 1 ELSE 0 END) AS in2 FROM t1 GROUP BY 1),
+        |s2 AS (SELECT 'o_orderstatus' AS column_name,
+        |    CAST(sum(in1) AS BIGINT) AS n_levels_h1,
+        |    CAST(sum(in2) AS BIGINT) AS n_levels_h2,
+        |    CAST(sum(CASE WHEN in2 = 1 AND in1 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_new,
+        |    CAST(sum(CASE WHEN in1 = 1 AND in2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_gone FROM a2)
+        |SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        |ORDER BY column_name""".stripMargin,
+    // dow ANOVA: exact BIGINT count moments; the sum(s^2/n) term is a
+    // frame-order prefix over the <=7-row dow domain (the anova2 rule);
+    // Spark dayofweek-1 pairs with DuckDB dayofweek (decompose rule)
+    "evt_dow_anova" ->
+      """WITH d0 AS (SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |    CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS BIGINT) AS dow
+        |  FROM events),
+        |d AS (SELECT day, dow, count(*) AS x FROM d0 GROUP BY 1, 2),
+        |g AS (SELECT dow, count(*) AS n_g, CAST(sum(x) AS BIGINT) AS s_g,
+        |    CAST(sum(x * x) AS BIGINT) AS ss_g FROM d GROUP BY 1),
+        |sa AS (SELECT cum FROM (SELECT dow,
+        |    sum(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE))
+        |      OVER (ORDER BY dow ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum FROM g) ORDER BY dow DESC LIMIT 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+        |    CAST(sum(s_g) AS BIGINT) AS s, CAST(sum(ss_g) AS BIGINT) AS ssq
+        |  FROM g)
+        |SELECT k, n AS n_days,
+        |  CAST(floor(((cum - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |        / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0e0))
+        |      / ((CAST(ssq AS DOUBLE) - cum)
+        |        / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+        |    * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS f_stat,
+        |  CAST(floor((cum - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / CAST(n AS DOUBLE))
+        |    / (CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / CAST(n AS DOUBLE))
+        |    * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS eta_sq
+        |FROM m CROSS JOIN sa""".stripMargin,
     // FP-growth's frequent-itemset SET is deterministic (exact counts,
     // no sampling): the oracle enumerates candidate itemsets to arity 4
     // by ordered self-joins of the distinct (order, brand) table — far

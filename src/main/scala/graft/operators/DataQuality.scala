@@ -841,4 +841,39 @@ object DataQuality {
           |) AS (source, df, ss, pct)""".stripMargin))
       .orderBy("source")
   }
+
+  /** Categorical level drift between the table's own time halves — the
+    * enum-contract audit [[driftAudit]]'s PSI can't express: PSI moves
+    * when SHARES shift, but a brand-new level (upstream enum widened)
+    * or a vanished one (producer stopped emitting) is a schema-contract
+    * event even at 0.1% mass. Halves split at the exact integer-µs
+    * midpoint of the observed time range, so the audit needs no wall
+    * clock and replays identically anywhere.
+    *
+    * Scale shape: one 1-row min/max fold broadcast into a map-side
+    * half tag; per column ONE distinct (level, half) fold over the
+    * level domain — counts only, never level lists, so the output is
+    * O(columns). */
+  def levelDrift(orders: DataFrame): DataFrame = {
+    // o_orderdate arrives TIMESTAMP_NTZ; the UTC session makes the
+    // cast-to-timestamp µs identical to the oracle's epoch_us
+    val us = unix_micros(col("o_orderdate").cast("timestamp"))
+    val bounds = orders.agg(min(us).as("lo"), max(us).as("hi"))
+    val tagged = orders.crossJoin(broadcast(bounds)) // bounded: 1 row
+      .withColumn("h2", us * 2L > col("lo") + col("hi"))
+    def audit(c: String): DataFrame =
+      tagged.select(col(c).as("level"), col("h2"))
+        .groupBy("level")
+        .agg(max(when(!col("h2"), 1L).otherwise(0L)).as("in1"),
+          max(when(col("h2"), 1L).otherwise(0L)).as("in2"))
+        .agg(sum("in1").as("n_levels_h1"), sum("in2").as("n_levels_h2"),
+          sum(when(col("in2") === 1L && col("in1") === 0L, 1L).otherwise(0L))
+            .as("n_new"),
+          sum(when(col("in1") === 1L && col("in2") === 0L, 1L).otherwise(0L))
+            .as("n_gone"))
+        .select(lit(c).as("column_name"), col("n_levels_h1"),
+          col("n_levels_h2"), col("n_new"), col("n_gone"))
+    audit("o_orderpriority").unionByName(audit("o_orderstatus"))
+      .orderBy("column_name")
+  }
 }

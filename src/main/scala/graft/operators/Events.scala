@@ -1791,4 +1791,44 @@ object Events {
           .as("budget_burn"))
       .orderBy("day")
   }
+
+  /** One-way ANOVA of daily volume by day-of-week — the significance
+    * companion to [[decomposeDaily]]: the decomposition ASSUMES a
+    * weekly rhythm and subtracts it; this asks whether the rhythm is
+    * statistically real (F ≫ 1) or the "DOW effect" is noise being
+    * laundered into a pattern. Same F and η² as the order-value ANOVA,
+    * but every moment here is an exact BIGINT (counts of counts).
+    *
+    * Scale shape: one corpus fold to the day grid, one ≤7-row group
+    * fold; the float Σs²/n term accumulates in FRAME ORDER over the
+    * dow domain (the anova2 rule), everything else is one scalar
+    * tree. */
+  def dowAnova(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        (dayofweek(col("ts")) - 1).cast("long").as("dow"))
+      .groupBy("day", "dow").agg(count(lit(1)).as("x"))
+    val g = daily.groupBy("dow")
+      .agg(count(lit(1)).as("n_g"), sum("x").as("s_g"),
+        sum(col("x") * col("x")).as("ss_g"))
+      .persistTracked() // global moments + the frame-order scalar
+    val wOrd = Window.orderBy("dow") // dow domain: ≤7 rows
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sa = g.withColumn("cum",
+        sum(col("s_g").cast("double") * col("s_g").cast("double") /
+          col("n_g").cast("double")).over(wOrd))
+      .orderBy(col("dow").desc).limit(1).select(col("cum"))
+    val m = g.agg(count(lit(1)).as("k"), sum("n_g").as("n"),
+      sum("s_g").as("s"), sum("ss_g").as("ssq"))
+    val kD = col("k").cast("double")
+    val nD = col("n").cast("double")
+    val corr0 = col("s").cast("double") * col("s").cast("double") / nD
+    val ssb = col("cum") - corr0
+    val ssw = col("ssq").cast("double") - col("cum")
+    val sst = col("ssq").cast("double") - corr0
+    m.crossJoin(broadcast(sa)) // bounded: 1 row
+      .select(col("k"), col("n").as("n_days"),
+        Num.pround((ssb / (kD - 1.0)) / (ssw / (nD - kD)), 4).as("f_stat"),
+        Num.pround(ssb / sst, 4).as("eta_sq"))
+  }
 }

@@ -1902,6 +1902,14 @@ object Suite {
   def evtSloBurn(s: SparkSession, dir: String): DataFrame =
     Events.sloBurn(t(s, dir, "events"))
 
+  /** Categorical level drift between the orders table's time halves. */
+  def dqLevelDrift(s: SparkSession, dir: String): DataFrame =
+    DataQuality.levelDrift(t(s, dir, "orders"))
+
+  /** Is the weekly volume rhythm statistically real? One-way ANOVA. */
+  def evtDowAnova(s: SparkSession, dir: String): DataFrame =
+    Events.dowAnova(t(s, dir, "events"))
+
   /** Trend + day-of-week + residual decomposition of daily volume. */
   def evtDecompose(s: SparkSession, dir: String): DataFrame =
     Events.decomposeDaily(t(s, dir, "events"))

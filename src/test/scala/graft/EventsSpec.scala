@@ -1141,4 +1141,17 @@ class EventsSpec extends SparkTestBase {
       ("2024-01-01", 10L, 1L, 0.1, false, 0.5),
       ("2024-01-02", 10L, 5L, 0.5, true, 1.5)))
   }
+
+  test("dowAnova: hand-checked F on two Mondays vs two Tuesdays") {
+    // Mondays {2,4}, Tuesdays {1,1}: SSB = 20−16 = 4, SSW = 22−20 = 2
+    // → F = (4/1)/(2/2) = 4, η² = 4/6 = 0.6667
+    import java.sql.Timestamp
+    def day(d: String, n: Int) =
+      Seq.fill(n)(Timestamp.valueOf(s"2024-01-$d 12:00:00"))
+    val rows = (day("01", 2) ++ day("08", 4) ++ day("02", 1) ++ day("09", 1))
+      .toDF("ts")
+    val r = Events.dowAnova(rows).head()
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)) ==
+      ((2L, 4L, 4.0, 0.6667)))
+  }
 }

@@ -470,4 +470,20 @@ class QualitySpec extends SparkTestBase {
       ("interaction", 1L, 0.0, 0.0), ("total", 7L, 40.0, 1.0),
       ("within", 4L, 8.0, 0.2)))
   }
+
+  test("levelDrift: a level appearing only late is new, one vanishing is gone") {
+    // first half priorities {A,B}, second half {B,C}; status constant
+    import java.sql.Timestamp
+    val orders = Seq(
+      ("1995-01-01", "A"), ("1995-01-03", "B"),
+      ("1995-01-28", "B"), ("1995-01-31", "C"))
+      .map { case (d, p) => (Timestamp.valueOf(s"$d 00:00:00"), p, "O") }
+      .toDF("o_orderdate", "o_orderpriority", "o_orderstatus")
+    val out = DataQuality.levelDrift(orders).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("o_orderpriority", 2L, 2L, 1L, 1L),
+      ("o_orderstatus", 1L, 1L, 0L, 0L)))
+  }
 }
