@@ -328,7 +328,10 @@ object PlanAudit {
     // burn (one day-grid fold + calendar prefix windows), level drift
     // (1-row bounds broadcast + level-domain folds), dow ANOVA
     // (day-grid fold + ≤7-row frame-order scalar)
-    "text_dup_rate", "evt_slo_burn", "dq_level_drift", "evt_dow_anova")
+    "text_dup_rate", "evt_slo_burn", "dq_level_drift", "evt_dow_anova",
+    // effective tokens (row-local tokenize+fingerprint, ONE
+    // fingerprint-partitioned winner window, source fold + 1-row pool)
+    "mix_effective_tokens")
     // evt_audience_overlap is excluded like dedup_clusters: its
     // domain-sized sketch table collects eagerly at construction, so
     // only the trivial driver-built result frame would be explained

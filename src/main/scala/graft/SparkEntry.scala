@@ -175,6 +175,7 @@ object SparkEntry {
     "evt_slo_burn" -> (Suite.evtSloBurn _),
     "dq_level_drift" -> (Suite.dqLevelDrift _),
     "evt_dow_anova" -> (Suite.evtDowAnova _),
+    "mix_effective_tokens" -> (Suite.mixEffectiveTokens _),
     "text_readability" -> (Suite.textReadability _),
     "dq_skew" -> (Suite.dqSkew _),
     "sim_cluster_purity" -> (Suite.simClusterPurity _),
@@ -1464,6 +1465,31 @@ object SparkEntry {
         |      / CAST(n AS DOUBLE))
         |    * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS eta_sq
         |FROM m CROSS JOIN sa""".stripMargin,
+    // effective tokens: first-doc_id-per-fingerprint wins; all token
+    // counts exact BIGINTs, shares single divisions
+    "mix_effective_tokens" ->
+      s"""WITH f AS (SELECT source, doc_id,
+         |    CAST(len($toksSql) AS BIGINT) AS n_toks,
+         |    md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+         |  FROM documents),
+         |k AS (SELECT source, n_toks,
+         |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1 AS keep
+         |  FROM f),
+         |p AS (SELECT source, count(*) AS n_docs,
+         |    CAST(sum(n_toks) AS BIGINT) AS raw_tokens,
+         |    CAST(sum(CASE WHEN keep THEN n_toks ELSE 0 END) AS BIGINT)
+         |      AS effective_tokens
+         |  FROM k GROUP BY 1),
+         |t AS (SELECT CAST(sum(effective_tokens) AS BIGINT) AS pool FROM p)
+         |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, raw_tokens,
+         |  effective_tokens,
+         |  CAST(floor(CAST(effective_tokens AS DOUBLE)
+         |    / CAST(raw_tokens AS DOUBLE) * 10000.0e0 + 0.5e0) AS DOUBLE)
+         |    / 10000.0e0 AS yield_ratio,
+         |  CAST(floor(CAST(effective_tokens AS DOUBLE)
+         |    / CAST(pool AS DOUBLE) * 10000.0e0 + 0.5e0) AS DOUBLE)
+         |    / 10000.0e0 AS pool_share
+         |FROM p CROSS JOIN t ORDER BY source""".stripMargin,
     // FP-growth's frequent-itemset SET is deterministic (exact counts,
     // no sampling): the oracle enumerates candidate itemsets to arity 4
     // by ordered self-joins of the distinct (order, brand) table — far

@@ -374,4 +374,39 @@ object Mixture {
       .orderBy("lang")
   }
 
+  /** Effective-token accounting per source — the mixing-weight input
+    * that [[epochPlan]] and [[weightedSample]] SHOULD be fed instead
+    * of raw counts: a source's exact duplicates contribute rows but no
+    * new tokens, so its EFFECTIVE tokens are the tokens of its unique
+    * documents only (first doc_id per normalized-text fingerprint
+    * wins). Reports raw vs effective tokens and each source's share of
+    * the corpus-wide effective pool — the number a mixing ratio should
+    * actually target.
+    *
+    * Scale shape: one row-local tokenize+fingerprint projection, ONE
+    * fingerprint-partitioned winner window (no self-join), one
+    * source-domain fold + a 1-row total broadcast; token counts are
+    * exact BIGINTs throughout. */
+  def effectiveTokens(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = size(TextOps.tokens(col("text"))).cast("long")
+    val fp = md5(lower(regexp_replace(col("text"), "\\s+", " ")))
+    val flagged = docs
+      .select(col("source"), col("doc_id"), toks.as("n_toks"), fp.as("fp"))
+      .withColumn("keep",
+        row_number().over(Window.partitionBy("fp").orderBy("doc_id")) === 1)
+    val per = flagged.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("raw_tokens"),
+        sum(when(col("keep"), col("n_toks")).otherwise(0L))
+          .as("effective_tokens"))
+    val tot = per.agg(sum("effective_tokens").as("pool"))
+    per.crossJoin(broadcast(tot)) // bounded: 1 row
+      .select(col("source"), col("n_docs"), col("raw_tokens"),
+        col("effective_tokens"),
+        Num.pround(col("effective_tokens").cast("double")
+          / col("raw_tokens").cast("double"), 4).as("yield_ratio"),
+        Num.pround(col("effective_tokens").cast("double")
+          / col("pool").cast("double"), 4).as("pool_share"))
+      .orderBy("source")
+  }
 }

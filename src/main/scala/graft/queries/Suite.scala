@@ -1910,6 +1910,10 @@ object Suite {
   def evtDowAnova(s: SparkSession, dir: String): DataFrame =
     Events.dowAnova(t(s, dir, "events"))
 
+  /** Dedup-discounted effective-token accounting per source. */
+  def mixEffectiveTokens(s: SparkSession, dir: String): DataFrame =
+    Mixture.effectiveTokens(t(s, dir, "documents"))
+
   /** Trend + day-of-week + residual decomposition of daily volume. */
   def evtDecompose(s: SparkSession, dir: String): DataFrame =
     Events.decomposeDaily(t(s, dir, "events"))

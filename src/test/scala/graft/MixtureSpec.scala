@@ -251,4 +251,16 @@ class MixtureSpec extends SparkTestBase {
     assert(out.toSeq == Seq(("aa", 10L, 0.0, 0L, 0L),
       ("bb", 10L, sdBb, 4L, expBb)))
   }
+
+  test("effectiveTokens: a duplicated doc contributes rows but no new tokens") {
+    // s1 holds the same 3-token doc twice → 6 raw / 3 effective; s2's
+    // 2-token doc is unique → pool 5, shares 0.6 / 0.4
+    val docs = Seq((1L, "s1", "a b c"), (2L, "s1", "a b c"), (3L, "s2", "d e"))
+      .toDF("doc_id", "source", "text")
+    val out = graft.operators.Mixture.effectiveTokens(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(("s1", 2L, 6L, 3L, 0.5, 0.6),
+      ("s2", 1L, 2L, 2L, 1.0, 0.4)))
+  }
 }
