@@ -138,4 +138,22 @@ class PlanSpec extends SparkTestBase {
         s"$q has ${bad.size} unpartitioned window(s):\n${bad.headOption}")
     }
   }
+
+  test("round-7 windowed queries keep every data-row window partitioned") {
+    // user entropy / xi / new-repeat / repeat-interval windows run
+    // per user / group / fingerprint / customer — none may fall back
+    // to a global single-partition sort over data-sized rows (the
+    // calendar-domain queries acf/adf/slo_burn are bounded by design
+    // and intentionally excluded here)
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (q <- Seq("evt_user_entropy", "dq_xi_corr", "rel_new_repeat",
+        "rel_repeat_interval", "mix_effective_tokens")) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.collect()
+      val bad = flattenPlan(df.queryExecution.executedPlan)
+        .collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      assert(bad.isEmpty,
+        s"$q has ${bad.size} unpartitioned window(s):\n${bad.headOption}")
+    }
+  }
 }
