@@ -38,11 +38,20 @@ import graft.operators.{Profile, Render}
   */
 object Cli {
 
+  /** Optional `[rows]` CLI argument: a non-numeric value is a usage
+    * error (IllegalArgumentException like every other malformed verb),
+    * not a raw NumberFormatException out of `.toInt`. */
+  private def rowsArg(rest: List[String]): Int =
+    rest.headOption.map { s =>
+      scala.util.Try(s.toInt).getOrElse(throw new IllegalArgumentException(
+        s"expected a row count, got: $s"))
+    }.getOrElse(20)
+
   def run(spark: SparkSession, args: Array[String]): String = args.toList match {
     case "queries" :: Nil =>
       SparkEntry.queries.keys.toSeq.sorted.mkString("\n")
     case "query" :: name :: sfDir :: rest =>
-      val rows = rest.headOption.map(_.toInt).getOrElse(20)
+      val rows = rowsArg(rest)
       val fn = SparkEntry.queries.getOrElse(name,
         throw new IllegalArgumentException(
           s"unknown query: $name (see `queries` for the list)"))
@@ -184,7 +193,7 @@ object Cli {
     // load + pretty-print a stored value (kiara data load,
     // reference interfaces/cli/data/commands.py:531)
     case "data" :: root :: "load" :: ref :: rest if rest.size <= 1 =>
-      val rows = rest.headOption.map(_.toInt).getOrElse(20)
+      val rows = rowsArg(rest)
       Render.prettyPrint(new GraftApi(spark, root).getValue(ref), rows)
     // value detail record (kiara data explain, commands.py:215 — same
     // info record the `value <root> info` verb renders)
@@ -252,7 +261,7 @@ object Cli {
     case "render" :: "list-renderers" :: Nil =>
       Render.renderers.map { case (n, d) => f"$n%-10s $d" }.mkString("\n")
     case "render" :: "item" :: target :: name :: sfDir :: rest =>
-      val rows = rest.headOption.map(_.toInt).getOrElse(20)
+      val rows = rowsArg(rest)
       val fn = SparkEntry.queries.getOrElse(name,
         throw new IllegalArgumentException(
           s"unknown query: $name (see `queries` for the list)"))

@@ -379,6 +379,53 @@ object SparkEntry {
        |FROM b ORDER BY doc_id""".stripMargin
   }
 
+  /** Portable-simhash oracle, generated: 32 ±1-sum bit terms over
+    * md5-bridge token hashes replay Dedup.simhashPortable's SimHashAgg
+    * arithmetic exactly (bits 32–63 of the long are provably 0 — the
+    * per-token counters stay strictly negative there); the same planted
+    * tail-edit twins as the Spark query, then BRUTE-FORCE all-pairs
+    * hamming — so hash equality proves both the signature bits and the
+    * 4×8 banding's pigeonhole recall. */
+  private def simhashSql: String = {
+    val bits = (0 until 32).map(i =>
+      s"""CASE WHEN sum(CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END) > 0
+         |    THEN CAST(${1L << i} AS BIGINT) ELSE 0 END""".stripMargin)
+    s"""WITH base AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT CAST(doc_id + 1000000 AS BIGINT), text || ' tail'
+       |  FROM documents WHERE doc_id % 50 = 0),
+       |t AS (SELECT doc_id, $toksSql AS toks FROM base),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+       |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t)),
+       |s AS (SELECT doc_id, CAST(${bits.mkString(" + ")} AS BIGINT) AS sh
+       |  FROM h GROUP BY doc_id)
+       |SELECT doc_a, doc_b, hamming FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+       |WHERE hamming <= 3 ORDER BY hamming, doc_a, doc_b""".stripMargin
+  }
+
+  /** Portable-winnowing oracle: md5-bridge gram hashes, the w-window
+    * min as a doc-partitioned SQL window, distinct-set count + mod-sum
+    * checksum — selection arithmetic identical to
+    * TextOps.winnowPortableStats (1-based positions here, 0-based
+    * there: both keep gram windows pos ≤ n-(k+w-2) 1-based). */
+  private def winnowSql(k: Int, w: Int): String =
+    s"""WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, $toksSql AS toks FROM documents),
+       |f AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= ${k + w - 1}),
+       |g AS (SELECT doc_id, n, pos,
+       |    ('0x' || substr(md5(array_to_string(toks[pos:pos+${k - 1}], ' ')), 1, 8))::BIGINT AS h
+       |  FROM (SELECT doc_id, toks, n, unnest(generate_series(1, n - ${k - 1})) AS pos FROM f)),
+       |m AS (SELECT doc_id, n, pos, min(h) OVER (
+       |    PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS fp FROM g),
+       |sel AS (SELECT DISTINCT doc_id, fp FROM m WHERE pos <= n - ${k + w - 2})
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps,
+       |  CAST(sum(fp % 1000003) AS BIGINT) AS fp_checksum
+       |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Truncation-recall oracle, generated per dim arm: full-dimension
     * exact top-k vs the list_slice-truncated top-k, overlap counted on
     * the (query, neighbor) key — identical selection arithmetic to
@@ -4398,6 +4445,8 @@ object SparkEntry {
         |  round(r * r, 4) AS r2
         |FROM m""".stripMargin,
     "mm_phash" -> phashSql,
+    "dedup_simhash" -> simhashSql,
+    "text_fingerprint" -> winnowSql(5, 4),
     // revenue rounds 2dp BEFORE the share; windows over the nation domain
     "q36_share" ->
       """WITH bn AS (SELECT c.c_nationkey, round(sum(o.o_totalprice), 2)

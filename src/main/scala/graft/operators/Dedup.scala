@@ -239,18 +239,27 @@ object Dedup {
     * best-effort candidate generation (full recall is not guaranteed) —
     * callers must opt in explicitly via bestEffort. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3, numChunks: Int = 4,
-      bestEffort: Boolean = false): DataFrame = {
-    require(numChunks > 0 && 64 % numChunks == 0,
-      s"numChunks must divide 64 (got $numChunks)")
+      bestEffort: Boolean = false): DataFrame =
+    simhashPairsOver(simhash(docs), 64, maxHamming, numChunks, bestEffort)
+
+  /** Chunk-banded hamming pair search over a precomputed `(doc_id,
+    * simhash)` signature table whose hashes occupy the low `bits` bits —
+    * the banding/verification half of [[simhashPairs]], factored out so
+    * the 32-bit portable signature ([[simhashPortable]]) reuses the
+    * identical join shape. */
+  def simhashPairsOver(sig: DataFrame, bits: Int, maxHamming: Int,
+      numChunks: Int, bestEffort: Boolean = false): DataFrame = {
+    require(numChunks > 0 && bits % numChunks == 0,
+      s"numChunks must divide $bits (got $numChunks)")
     require(maxHamming < numChunks || bestEffort,
-      s"${numChunks}x${64 / numChunks}-bit chunking guarantees recall only for " +
+      s"${numChunks}x${bits / numChunks}-bit chunking guarantees recall only for " +
         s"maxHamming <= ${numChunks - 1} (got $maxHamming); pass bestEffort=true " +
         s"for approximate higher-distance search")
-    val width = 64 / numChunks
+    val width = bits / numChunks
     val mask = if (width == 64) -1L else (1L << width) - 1L
     // persist: referenced on both sides of the chunk self-join (see
     // minhashCandidates) — one long per doc, negligible footprint
-    val sh = simhash(docs)
+    val sh = sig
       .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = sh.select(col("doc_id"), col("simhash"),
       explode(expr(s"transform(sequence(0, ${numChunks - 1}), c -> " +
@@ -267,6 +276,39 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
   }
+
+  /** Engine-replayable 32-bit simhash: the per-token hash is the portable
+    * md5 bridge (`conv(substr(md5(tok),1,8),16,10)` ≡ DuckDB
+    * `('0x'||substr(md5(tok),1,8))::BIGINT` — CLAUDE.md's hex→int rule),
+    * folded per doc by the native [[org.apache.spark.sql.graftext.SimHashAgg]]
+    * (map-side partial aggregation, one 256-byte buffer per doc on the
+    * shuffle). A 32-bit input hash leaves counters 32–63 strictly
+    * negative, so the result IS a 32-bit simhash in a long — which lets
+    * the DuckDB oracle replay every bit with plain SQL (32 generated
+    * ±1-sum terms), something the xxhash64 basis of [[simhash]] cannot do.
+    * [[simhash]] stays the 100 TB hot path (row-local, no shuffle); this
+    * is the oracle-anchored twin proving the banding/verify join shape.
+    *
+    * Scale shape: explode + one aggregation shuffle with partial combine
+    * (ObjectHashAggregate) — the [[SimHashAgg]] pre-exploded contract. */
+  def simhashPortable(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("h"))
+      .groupBy("doc_id")
+      .agg(org.apache.spark.sql.graftext.SimHashAgg.simhashAgg(col("h")).as("simhash"))
+
+  /** Oracle-verified simhash near-dup pairs: [[simhashPortable]]
+    * signatures banded 4×8 bits (pigeonhole-complete for hamming ≤ 3 over
+    * the 32-bit hash; 256 buckets per chunk — the bounded-corpus end of
+    * the [[simhashPairs]] chunk trade-off, fine for the gate corpus and
+    * for batch-vs-corpus screening, while the 64-bit xxhash64 path keeps
+    * the 2^16-bucket sparsity at full scale). DuckDB replays signatures
+    * bit-for-bit and brute-forces all pairs, so hash equality proves both
+    * the signature arithmetic and full banding recall. */
+  def simhashVerified(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    simhashPairsOver(simhashPortable(docs), 32, maxHamming, numChunks = 4)
 
   // ---- Duplicate clustering (connected components) ----------------------
 

@@ -273,14 +273,21 @@ object WavHeader {
       return (0, 0, 0, 0L)
     var i = 12
     var ch = 0; var sr = 0; var bits = 0; var blockAlign = 0; var dataSize = 0L
-    while (i + 8 <= b.length) {
+    while (i + 8 <= b.length && i >= 0) {
       val id = new String(b, i, 4, "US-ASCII")
       val size = le32(b, i + 4)
+      // a declared chunk size with the top bit set (le32 < 0) cannot fit in
+      // a JVM byte array — treat the container as corrupt rather than let
+      // the cursor stall or run backwards on an adversarial payload
+      if (size < 0) return (0, 0, 0, 0L)
       if (id == "fmt " && i + 24 <= b.length) {
         ch = le16(b, i + 10); sr = le32(b, i + 12)
         blockAlign = le16(b, i + 20); bits = le16(b, i + 22)
       } else if (id == "data") dataSize = size & 0xffffffffL
-      i += 8 + size + (size & 1) // RIFF chunks are word-aligned
+      // RIFF chunks are word-aligned; advance in Long so i+8+size cannot
+      // overflow Int into a negative (still-in-bounds) cursor
+      val next = i.toLong + 8L + size + (size & 1)
+      i = if (next > b.length) b.length else next.toInt
     }
     val frames = if (blockAlign > 0) dataSize / blockAlign else 0L
     (ch, sr, bits, frames)

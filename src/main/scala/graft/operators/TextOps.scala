@@ -194,6 +194,47 @@ object TextOps {
       .select(col("doc_id"),
         org.apache.spark.sql.graftext.Shingles.winnowFps(col("toks"), k, w).as("fps"))
 
+  /** Engine-replayable winnowing (the oracle-anchored twin of
+    * [[winnowFingerprints]], like Dedup.simhashPortable vs simhash): the
+    * k-gram hash is the portable md5 bridge over the space-joined gram
+    * STRING, and the window minimum runs as a doc-partitioned SQL window
+    * — every selected fingerprint is therefore reproducible bit-for-bit
+    * in DuckDB, which the xxhash64 basis of the native WinnowFps kernel
+    * cannot be. Output per doc: distinct-fingerprint count plus an
+    * order-independent value checksum (Σ fp mod 1000003 over the distinct
+    * set — ≤ 10⁶ per fp, exact in BIGINT at any doc count), so the oracle
+    * pins the selected VALUES, not just how many there are.
+    *
+    * Scale shape: posexplode + two windows over the SAME (doc_id, pos)
+    * sort (k−1 token leads to build grams, then the w-window min) — one
+    * shuffle on doc_id, nothing corpus-global; the native row-local
+    * [[winnowFingerprints]] stays the 100 TB hot path. */
+  def winnowPortableStats(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
+    val wspec = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val tok = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= k + w - 1)
+      .select(col("doc_id"), size(col("toks")).as("n"),
+        posexplode(col("toks")).as(Seq("pos", "tok")))
+    // gram at 0-based pos p covers tokens p .. p+k-1 (k-1 leads, one sort)
+    val gramCols = col("tok") +: (1 until k).map(i => lead(col("tok"), i).over(wspec))
+    val gram = tok
+      .withColumn("gram", concat_ws(" ", gramCols: _*))
+      .filter(col("pos") <= col("n") - k)
+      .select(col("doc_id"), col("n"), col("pos"),
+        conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long").as("h"))
+    // winnow: min gram hash in each w-window of gram positions
+    gram
+      .withColumn("fp", min(col("h")).over(wspec.rowsBetween(0, w - 1)))
+      .filter(col("pos") <= col("n") - k - w + 1)
+      .select(col("doc_id"), col("fp")).distinct()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fps"),
+        sum(pmod(col("fp"), lit(1000003L))).as("fp_checksum"))
+      .orderBy("doc_id")
+  }
+
   /** PII detection + redaction for training-data scrubbing: per-doc
     * counts of emails/URLs/phone-shaped strings and the md5 of the
     * redacted text (emails → [EMAIL], then URLs → [URL], then phones →

@@ -235,10 +235,13 @@ object Suite {
       .select(col("doc_id"), TextOps.bpeTokenCount(col("text")).as("n_bpe_tokens"))
       .orderBy("doc_id")
 
+  /** Winnowing fingerprints on the engine-replayable md5-bridge basis:
+    * the DuckDB oracle replays gram hashing, the w-window minimum AND the
+    * distinct-set checksum bit-for-bit (full oracle since r8; the native
+    * xxhash64 WinnowFps kernel keeps its parity spec + decontam/spans
+    * consumers). */
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
-    TextOps.winnowFingerprints(t(s, dir, "documents"))
-      .select(col("doc_id"), size(col("fps")).cast("long").as("n_fps"))
-      .orderBy("doc_id")
+    TextOps.winnowPortableStats(t(s, dir, "documents"))
 
   /** PII scrub over deterministically PLANTED pii (the synthetic corpus
     * has none): docs at doc_id % 7/11/13 get an email/url/phone suffix,
@@ -507,13 +510,23 @@ object Suite {
   def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashCandidates(t(s, dir, "documents")).limit(200)
 
-  /** Recall-guaranteed configuration: 4×16-bit chunking guarantees every
-    * pair at hamming ≤ 3 shares a chunk (pigeonhole) — no bestEffort
-    * waiver, and 2^16 buckets per chunk keeps the candidate join sparse
-    * at corpus scale (the 100 TB default; see Dedup.simhashPairs for the
-    * 8×8 trade-off). */
-  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3).limit(200)
+  /** Oracle-verified simhash near-dup pairs (full oracle since r8):
+    * portable 32-bit signatures banded 4×8 (pigeonhole-complete at
+    * hamming ≤ 3), DuckDB replaying every signature bit and brute-forcing
+    * all pairs — signature arithmetic AND banding recall both proven.
+    * The corpus has no pairs in simhash range, so near-dup twins are
+    * PLANTED deterministically (every 50th doc re-enters with a one-token
+    * tail edit under doc_id+1000000), built identically in the oracle —
+    * the dedup-specs-plant-their-own rule. The 64-bit xxhash64 path
+    * (Dedup.simhashPairs) keeps its DedupSpec parity coverage as the
+    * 2^16-bucket 100 TB default. */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = d.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" tail")).as("text"))
+    Dedup.simhashVerified(d.union(planted), maxHamming = 3)
+  }
 
   /** LSH-candidates + exact-Jaccard verification, oracle-anchored against
     * DuckDB's brute-force all-pairs exact Jaccard at the same threshold:

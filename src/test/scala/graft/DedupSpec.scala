@@ -125,6 +125,33 @@ class DedupSpec extends SparkTestBase {
     assert(viaExpr == viaAgg)
   }
 
+  test("simhashVerified: portable signatures match a local md5-bridge replay; dup paired at 0") {
+    val unrelated =
+      "completely different content about spark query engines and distributed columnar storage systems at scale"
+    val d = docs(1L -> base, 2L -> base, 3L -> unrelated)
+    // local replay of the md5-bridge 32-bit simhash (the DuckDB oracle's
+    // arithmetic, independent of SimHashAgg)
+    def localSim(text: String): Long = {
+      val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      val counters = new Array[Int](32)
+      toks.foreach { t =>
+        val dig = java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8"))
+        val hex = dig.take(4).map(b => f"$b%02x").mkString
+        val h = java.lang.Long.parseLong(hex, 16)
+        (0 until 32).foreach(i => counters(i) += (if (((h >> i) & 1L) != 0L) 1 else -1))
+      }
+      (0 until 32).foldLeft(0L)((acc, i) => if (counters(i) > 0) acc | (1L << i) else acc)
+    }
+    val sig = Dedup.simhashPortable(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig.values.forall(s => (s >>> 32) == 0L)) // strictly 32-bit
+    assert(sig == Map(1L -> localSim(base), 2L -> localSim(base), 3L -> localSim(unrelated)))
+    val pairs = Dedup.simhashVerified(d, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.contains((1L, 2L, 0L)))
+  }
+
   test("incremental dedup: new batch vs corpus finds planted cross pairs only") {
     val nearDup = base.replace("lazy", "sleepy")
     val unrelated =

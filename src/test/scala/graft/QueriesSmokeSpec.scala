@@ -5,7 +5,9 @@ package graft
   */
 class QueriesSmokeSpec extends SparkTestBase {
 
-  private val expectEmptyOk = Set("dedup_minhash", "dedup_simhash")
+  // dedup_simhash left this set in r8: its planted tail-edit twins
+  // guarantee pairs at any SF
+  private val expectEmptyOk = Set("dedup_minhash")
 
   test("entry produces rows") {
     assert(SparkEntry.entry(spark).count() > 0)

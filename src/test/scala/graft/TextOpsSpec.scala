@@ -105,6 +105,32 @@ class TextOpsSpec extends SparkTestBase {
     assert((fps(2L) intersect fps(3L)).isEmpty)
   }
 
+  test("winnowPortableStats: matches a local md5-bridge winnowing replay") {
+    val texts = Map(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu",
+      2L -> "one two three one two three one two three one two three",
+      3L -> "short doc only") // below k+w-1 tokens → excluded
+    val d = texts.toSeq.map { case (id, t) => (id, t) }.toDF("doc_id", "text")
+    val k = 5; val w = 4
+    def local(text: String): Option[(Long, Long)] = {
+      val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      if (toks.length < k + w - 1) return None
+      val grams = toks.sliding(k).map(_.mkString(" ")).toArray
+      val hs = grams.map { g =>
+        val dig = java.security.MessageDigest.getInstance("MD5")
+          .digest(g.getBytes("UTF-8"))
+        java.lang.Long.parseLong(dig.take(4).map(b => f"$b%02x").mkString, 16)
+      }
+      val fps = hs.sliding(w).map(_.min).toSet
+      Some((fps.size.toLong, fps.toSeq.map(_ % 1000003L).sum))
+    }
+    val got = TextOps.winnowPortableStats(d, k, w).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == texts.flatMap { case (id, t) => local(t).map(id -> _) })
+    // the repeated-phrase doc winnows to fewer distinct fps than windows
+    assert(got(2L)._1 < texts(2L).split(" ").length - k + 1 - w + 1)
+  }
+
   test("bpeTrain: hand-traced greedy merges with counts and tie-breaks") {
     val d = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
     val out = TextOps.bpeTrain(d, merges = 3).collect()
