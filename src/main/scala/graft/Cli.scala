@@ -30,6 +30,12 @@ import graft.operators.{Profile, Render}
   *   data <root> export <ref> <f> <p> export a stored value to a file
   *   archive export <root> <dir> [r..] bundle values+aliases+lineage
   *   archive import <root> <dir>      import an archive ([--no-aliases])
+  *   metadata <root> list             attached metadata items
+  *   metadata <root> add <ref> <k> <v> attach key=value ([--job] for jobs)
+  *   metadata <root> find <keyGlob>   items by key glob
+  *   metadata <root> explain <hash>   one item by content hash
+  *   jobs <root> explain <id>         job record + recorded environment
+  *   render item <t> <q> <sf> [--template <tpl>] render via a target
   *   type list                        data-type catalog (name -> spark sql)
   *   info config print                effective engine configuration
   *
@@ -124,7 +130,45 @@ object Cli {
       val i = new GraftApi(spark, root).valueInfo(ref)
       s"id:       ${i.id}\nschema:   ${i.schema}\nrows:     ${i.rows}\n" +
         s"bytes:    ${i.sizeBytes}\nproduced: ${i.producedBy.getOrElse("-")}\n" +
-        s"aliases:  ${if (i.aliases.isEmpty) "-" else i.aliases.mkString(", ")}"
+        s"aliases:  ${if (i.aliases.isEmpty) "-" else i.aliases.mkString(", ")}\n" +
+        s"metadata: ${if (i.metadata.isEmpty) "-" else i.metadata.mkString(", ")}"
+    // value-metadata registry (kiara metadata list/add/explain,
+    // reference registries/metadata/__init__.py:94,203,233,309)
+    case "metadata" :: root :: "list" :: Nil =>
+      val items = new GraftApi(spark, root).findMetadataItems()
+      if (items.isEmpty) "no metadata items"
+      else items.map(m =>
+        f"${m.refType}%-6s ${m.refId}%-18s ${m.key}%-20s ${m.value}").mkString("\n")
+    case "metadata" :: root :: "add" :: ref :: key :: value :: rest
+        if rest.isEmpty || rest == List("--job") =>
+      val refType = if (rest.nonEmpty) "job" else "value"
+      val h = new GraftApi(spark, root).registerMetadata(ref, key, value, refType)
+      s"attached: $key -> $ref ($refType), item hash $h"
+    case "metadata" :: root :: "find" :: keyGlob :: Nil =>
+      val items = new GraftApi(spark, root).findMetadataItems(keyGlob)
+      if (items.isEmpty) "no matching metadata items"
+      else items.map(m =>
+        f"${m.refType}%-6s ${m.refId}%-18s ${m.key}%-20s ${m.value}").mkString("\n")
+    case "metadata" :: root :: "explain" :: hash :: Nil =>
+      val m = new GraftApi(spark, root).metadataItemWithHash(hash).getOrElse(
+        throw new IllegalArgumentException(s"no metadata item with hash: $hash"))
+      s"hash:  ${m.hash}\nkey:   ${m.key}\nvalue: ${m.value}\n" +
+        s"ref:   ${m.refType} ${m.refId}"
+    // one job's full record incl. the environment that ran it (kiara
+    // jobs explain; environment per registries/environment/__init__.py)
+    case "jobs" :: root :: "explain" :: jobId :: Nil =>
+      val api = new GraftApi(spark, root)
+      val j = api.jobInfo(jobId)
+      val env = api.jobEnvironment(jobId)
+      s"job:       ${j.jobId}\nstate:     ${j.state}\n" +
+        s"operation: ${j.operation}\ninputs:    ${j.inputs.mkString(", ")}\n" +
+        s"schema:    ${j.outputSchema}\n" +
+        s"comment:   ${j.comment.getOrElse("-")}\n" +
+        (env match {
+          case None => "environment: (not recorded)"
+          case Some(e) => s"environment: ${e.cid}\n" +
+            e.fields.map { case (k, v) => f"  $k%-30s $v" }.mkString("\n")
+        })
     // rendered job-info table (kiara's jobs CLI): StepRecord + state +
     // comment in one pass, first comment line only (empty-safe)
     case "jobs" :: root :: "list" :: Nil =>
@@ -261,11 +305,16 @@ object Cli {
     case "render" :: "list-renderers" :: Nil =>
       Render.renderers.map { case (n, d) => f"$n%-10s $d" }.mkString("\n")
     case "render" :: "item" :: target :: name :: sfDir :: rest =>
-      val rows = rowsArg(rest)
+      // kiara render item --template (renderers/jinja.py): the template
+      // travels as an explicit flag so row counts stay unambiguous
+      val (tpl, rowsRest) = rest match {
+        case "--template" :: t :: more => (Some(t), more)
+        case other                     => (None, other)
+      }
       val fn = SparkEntry.queries.getOrElse(name,
         throw new IllegalArgumentException(
           s"unknown query: $name (see `queries` for the list)"))
-      Render.as(target, fn(spark, sfDir), rows)
+      Render.as(target, fn(spark, sfDir), rowsArg(rowsRest), tpl)
     case other =>
       throw new IllegalArgumentException(
         s"usage: queries | query <name> <sfDir> [rows] | tables <sfDir> | " +
@@ -275,7 +324,11 @@ object Cli {
           s"context <root> list|create <name>|use <name>|current|info | " +
           s"archive info <dir> | archive export <root> <dir> [refs...] | " +
           s"archive import <root> <dir> [--no-aliases] | " +
-          s"value <root> info <ref> | jobs <root> list | " +
+          s"value <root> info <ref> | jobs <root> list|explain <id> | " +
+          s"metadata <root> list|add <ref> <key> <value> [--job]" +
+          s"|find <keyGlob>|explain <hash> | " +
+          s"render list-renderers | " +
+          s"render item <target> <query> <sfDir> [--template <tpl>] [rows] | " +
           s"run <root> <operation> <valueRef> [--save <alias>] | " +
           s"pipeline <root> list|explain <name> | " +
           s"workflow <root> list|explain <name> | " +

@@ -7,7 +7,7 @@ import scala.concurrent.duration.Duration
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 import graft.plans.{Builtins, OpRegistry, Pipeline}
-import graft.registries.{AliasRegistry, Archive, CommentStore, DataRegistry, LineageRegistry, ParquetMeta, WorkflowRegistry}
+import graft.registries.{AliasRegistry, Archive, CommentStore, DataRegistry, EnvironmentRegistry, LineageRegistry, MetadataRegistry, ParquetMeta, WorkflowRegistry}
 import graft.sources.{Convert, Export, TypeMap}
 
 object GraftApi {
@@ -17,10 +17,12 @@ object GraftApi {
 
   /** Lightweight value info (kiara_api.py:944 `retrieve_values_info`):
     * schema + size from parquet footers/filesystem only (no data scan),
-    * plus the lineage step that produced the value, if any. */
+    * plus the lineage step that produced the value, if any, and the
+    * metadata items attached to it (key=value, MetadataRegistry). */
   final case class ValueInfo(id: String, schema: String, rows: Long,
                              sizeBytes: Long, producedBy: Option[String],
-                             aliases: Seq[String])
+                             aliases: Seq[String],
+                             metadata: Seq[String] = Seq.empty)
 
   /** Context summary (kiara_api.py:529 `get_context_info`). */
   final case class ContextInfo(root: String, values: Int, aliases: Int,
@@ -53,6 +55,12 @@ class GraftApi(val spark: SparkSession, root: String) {
   val lineage = new LineageRegistry(root)
   val workflows = new WorkflowRegistry(root, lineage)
   val comments = new CommentStore(root)
+  val metadata = new MetadataRegistry(root)
+  val environments = new EnvironmentRegistry(root)
+  // this session's runtime fingerprint, stored once on first use — every
+  // job record references it (kiara registries/environment provenance)
+  private lazy val sessionEnvCid: String =
+    environments.register(EnvironmentRegistry.snapshot(spark))
   // job ids continue where a previous JVM on the same root left off —
   // job records persist in the lineage JSONL (kiara registries/jobs/),
   // so a restart must not re-issue an existing id. Failed queued jobs
@@ -119,7 +127,7 @@ class GraftApi(val spark: SparkSession, root: String) {
     jobs.put(jobId, rec)
     // concurrent queued jobs append from worker threads; serialize so two
     // single-line appends cannot interleave
-    lineage.synchronized { lineage.record(jobId, rec) }
+    lineage.synchronized { lineage.record(jobId, rec, Some(sessionEnvCid)) }
   }
 
   // job-prefixed runs in the persisted lineage log ARE the job records
@@ -250,6 +258,45 @@ class GraftApi(val spark: SparkSession, root: String) {
     * steps that produced its inputs, recursively to the raw leaves. */
   def valueLineage(value: String): Seq[LineageRegistry.StepNode] = lineage.upstream(value)
 
+  // --- value metadata (kiara registries/metadata/__init__.py:94,203,233,309)
+  /** register_metadata_item: attach key=value to a stored value (by id or
+    * alias) or a job id; returns the item's content hash. */
+  def registerMetadata(ref: String, key: String, value: String,
+                       refType: String = "value"): String = {
+    val id = if (refType == "value") {
+      val resolved = aliases.resolve(ref).getOrElse(ref)
+      require(data.exists(resolved), s"no such value: $ref")
+      resolved
+    } else {
+      require(getJobRecord(ref).isDefined || jobStates.contains(ref),
+        s"no such job: $ref")
+      ref
+    }
+    metadata.register(key, value, refType, id)
+  }
+  /** find_metadata_items: key glob over every attached item. */
+  def findMetadataItems(keyGlob: String = "*"): Seq[MetadataRegistry.MetadataItem] =
+    metadata.find(keyGlob)
+  /** Items attached to one value (alias-resolving). */
+  def metadataForValue(ref: String): Seq[MetadataRegistry.MetadataItem] =
+    metadata.forRef("value", aliases.resolve(ref).getOrElse(ref))
+  /** retrieve_metadata_item_with_hash. */
+  def metadataItemWithHash(hash: String): Option[MetadataRegistry.MetadataItem] =
+    metadata.byHash(hash)
+
+  // --- environment provenance (kiara registries/environment/__init__.py) --
+  /** This session's runtime snapshot (registered in the context root). */
+  def environmentInfo: EnvironmentRegistry.EnvSnapshot = {
+    val cid = sessionEnvCid
+    environments.get(cid).getOrElse(EnvironmentRegistry.snapshot(spark))
+  }
+  /** The environment that RAN a job — resolved from the persisted job
+    * record, so it survives a JVM restart (kiara's
+    * retrieve_environment_item, registries/metadata/__init__.py:210). */
+  def jobEnvironment(jobId: String): Option[EnvironmentRegistry.EnvSnapshot] =
+    lineage.records.filter(_.run == jobId).lastOption
+      .flatMap(_.env).flatMap(environments.get)
+
   // --- data types (kiara_api.py:578) -------------------------------------
   def listDataTypeNames: Seq[String] = TypeMap.toSpark.keys.toSeq.sorted
 
@@ -284,8 +331,9 @@ class GraftApi(val spark: SparkSession, root: String) {
     val schema = data.load(spark, id).schema.simpleString
     val producedBy = lineage.records.filter(_.step == id).lastOption.map(_.run)
     val als = aliases.list.collect { case (a, v) if v == id => a }
+    val meta = metadata.forRef("value", id).map(m => s"${m.key}=${m.value}")
     ValueInfo(id, schema, ParquetMeta.dirRowCount(dir),
-      ParquetMeta.dirSizeBytes(dir), producedBy, als)
+      ParquetMeta.dirSizeBytes(dir), producedBy, als, meta)
   }
   def valuesInfo(refs: Seq[String] = Seq.empty): Seq[ValueInfo] =
     (if (refs.nonEmpty) refs else listValueIds).map(valueInfo)

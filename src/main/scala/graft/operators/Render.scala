@@ -57,16 +57,51 @@ object Render {
   val renderers: Seq[(String, String)] = Seq(
     "string" -> "fixed-width text table (pretty_print)",
     "markdown" -> "GitHub-style markdown table",
-    "html" -> "escaped HTML table")
+    "html" -> "escaped HTML table",
+    "template" -> "user template rendered per row ({{col}} substitution)")
 
   /** Render a frame through a named target — kiara's `render item`
-    * dispatch (render_value.py:54 picks the renderer by format). */
-  def as(target: String, df: DataFrame, rows: Int = 20): String = target match {
+    * dispatch (render_value.py:54 picks the renderer by format). The
+    * `template` target needs the user template (kiara's jinja renderer
+    * takes it as a render-config input, renderers/jinja.py:92). */
+  def as(target: String, df: DataFrame, rows: Int = 20,
+         tpl: Option[String] = None): String = target match {
     case "string"   => prettyPrint(df, rows)
     case "markdown" => markdown(df, rows)
     case "html"     => html(df, rows)
+    case "template" => template(df, tpl.getOrElse(throw new IllegalArgumentException(
+      "renderer 'template' needs a template (render item template <q> <sf> <tpl>)")), rows)
     case other => throw new IllegalArgumentException(
       s"unknown renderer: $other (see `render list-renderers`)")
+  }
+
+  private val Placeholder = """\{\{\s*([A-Za-z0-9_]+)\s*\}\}""".r
+
+  /** Template-driven rendering — kiara's jinja renderer
+    * (reference renderers/jinja.py:1-103) re-expressed without the
+    * jinja dependency: the template renders once per row of the bounded
+    * slice, `{{col}}` substituting that row's column value (null → "");
+    * a placeholder naming no column is an error listing what IS
+    * available, like jinja's missing-template diagnostics
+    * (jinja.py:78-86). Same bounded-slice materialization as every
+    * other target — templates never pull more than `rows` rows. */
+  def template(df: DataFrame, tpl: String, rows: Int = 20): String = {
+    val cols = df.columns
+    Placeholder.findAllMatchIn(tpl).map(_.group(1)).toSeq.distinct
+      .filterNot(cols.contains) match {
+      case Seq() =>
+      case missing => throw new IllegalArgumentException(
+        s"template references unknown column(s) ${missing.mkString(", ")}; " +
+          s"available: ${cols.mkString(", ")}")
+    }
+    val idx = cols.zipWithIndex.toMap
+    df.limit(rows).collect().toSeq.map { r =>
+      Placeholder.replaceAllIn(tpl, m =>
+        scala.util.matching.Regex.quoteReplacement {
+          val v = r.get(idx(m.group(1)))
+          if (v == null) "" else v.toString
+        })
+    }.mkString("\n")
   }
 
   /** Minimal HTML table — kiara's render_value `html` target. Cell text

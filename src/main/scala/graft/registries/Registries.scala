@@ -102,8 +102,11 @@ class AliasRegistry(root: String) {
 
 object LineageRegistry {
   /** One parsed lineage record: step (= produced value name), the value
-    * names it consumed, and the run that produced it. */
-  final case class StepNode(run: String, step: String, inputs: Seq[String], schema: String)
+    * names it consumed, the run that produced it, and (for job runs
+    * since r8) the environment cid of the session that ran it
+    * (kiara registries/environment: jobs reference runtime snapshots). */
+  final case class StepNode(run: String, step: String, inputs: Seq[String],
+                            schema: String, env: Option[String] = None)
 }
 
 /** Shared JSONL string escape/unescape — full JSON escape incl. control
@@ -151,9 +154,11 @@ class LineageRegistry(root: String) {
 
   private def esc(s: String): String = Jsonl.esc(s)
 
-  def record(runId: String, rec: Pipeline.StepRecord): Unit = {
+  def record(runId: String, rec: Pipeline.StepRecord,
+             envCid: Option[String] = None): Unit = {
+    val envField = envCid.map(c => s""","env":"${esc(c)}"""").getOrElse("")
     val line = s"""{"run":"${esc(runId)}","step":"${esc(rec.step)}","inputs":[${
-      rec.inputs.map(i => "\"" + esc(i) + "\"").mkString(",")}],"schema":"${esc(rec.outputSchema)}"}"""
+      rec.inputs.map(i => "\"" + esc(i) + "\"").mkString(",")}],"schema":"${esc(rec.outputSchema)}"$envField}"""
     Files.write(file, (line + "\n").getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
   }
@@ -172,7 +177,7 @@ class LineageRegistry(root: String) {
 
   private val FieldStr = (name: String) => (s""""$name":"((?:[^"\\\\]|\\\\.)*)"""").r
   private val RunRe = FieldStr("run"); private val StepRe = FieldStr("step")
-  private val SchemaRe = FieldStr("schema")
+  private val SchemaRe = FieldStr("schema"); private val EnvRe = FieldStr("env")
   private val InputsRe = """"inputs":\[((?:[^\]"]|"(?:[^"\\]|\\.)*")*)\]""".r
   private val QuotedRe = """"((?:[^"\\]|\\.)*)"""".r
 
@@ -185,7 +190,8 @@ class LineageRegistry(root: String) {
       sch = SchemaRe.findFirstMatchIn(l).map(m => unesc(m.group(1))).getOrElse("")
       ins = InputsRe.findFirstMatchIn(l).map(m =>
         QuotedRe.findAllMatchIn(m.group(1)).map(q => unesc(q.group(1))).toSeq).getOrElse(Seq.empty)
-    } yield StepNode(r, s, ins, sch)
+      env = EnvRe.findFirstMatchIn(l).map(m => unesc(m.group(1)))
+    } yield StepNode(r, s, ins, sch, env)
   }
 
   /** Upstream provenance closure of a value: its producing step, the
@@ -332,5 +338,165 @@ class CommentStore(root: String) {
         } yield c
       }
       .nextOption()
+  }
+}
+
+object MetadataRegistry {
+  /** One metadata item: content hash, user key, free-text/JSON value,
+    * and the item it annotates (`refType` "value"/"job" + id) — kiara's
+    * KiaraMetadata + reference_item_* triple
+    * (registries/metadata/__init__.py:309 register_metadata_item). */
+  final case class MetadataItem(hash: String, key: String, value: String,
+                                refType: String, refId: String)
+
+  /** Content hash of a metadata item — key and value only, like kiara's
+    * model-data hash (the same item attached to two values shares a
+    * hash, and retrieve-by-hash is reference-independent,
+    * registries/metadata/__init__.py:233). */
+  def itemHash(key: String, value: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s"$key $value".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+  }
+}
+
+/** Value-metadata registry (kiara registries/metadata/__init__.py:94
+  * `MetadataRegistry`): arbitrary typed metadata items (provenance
+  * notes, source licences, QC verdicts) attached to stored values or
+  * jobs, persisted append-only next to the lineage log. Latest write
+  * for a (key, refType, refId) triple wins — kiara's
+  * `replace_existing_references=True` path (:309); items are findable
+  * by key glob (:203 find_metadata_items) and retrievable by content
+  * hash (:233 retrieve_metadata_item_with_hash). */
+class MetadataRegistry(root: String) {
+  import MetadataRegistry._
+  private val file = Paths.get(s"$root/metadata.jsonl")
+  Files.createDirectories(Paths.get(root))
+
+  /** Attach `key` = `value` to `refId`; returns the item's content
+    * hash (kiara returns the item id, :309). */
+  def register(key: String, value: String, refType: String,
+               refId: String): String = synchronized {
+    Names.validate("metadata key", key)
+    require(refType == "value" || refType == "job",
+      s"refType must be 'value' or 'job', got: $refType")
+    val h = itemHash(key, value)
+    val line = s"""{"hash":"$h","key":"${Jsonl.esc(key)}","value":"${
+      Jsonl.esc(value)}","refType":"${Jsonl.esc(refType)}","refId":"${Jsonl.esc(refId)}"}"""
+    Files.write(file, (line + "\n").getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    h
+  }
+
+  private val F = (n: String) => (s""""$n":"((?:[^"\\\\]|\\\\.)*)"""").r
+  private val HashRe = F("hash"); private val KeyRe = F("key")
+  private val ValueRe = F("value"); private val TypeRe = F("refType")
+  private val IdRe = F("refId")
+
+  /** All items, latest-wins per (key, refType, refId), sorted. */
+  def items: Seq[MetadataItem] = {
+    val all =
+      if (!Files.exists(file)) Seq.empty
+      else Files.readAllLines(file).asScala.toSeq.flatMap { l =>
+        for {
+          h <- HashRe.findFirstMatchIn(l).map(m => Jsonl.unesc(m.group(1)))
+          k <- KeyRe.findFirstMatchIn(l).map(m => Jsonl.unesc(m.group(1)))
+          v <- ValueRe.findFirstMatchIn(l).map(m => Jsonl.unesc(m.group(1)))
+          t <- TypeRe.findFirstMatchIn(l).map(m => Jsonl.unesc(m.group(1)))
+          i <- IdRe.findFirstMatchIn(l).map(m => Jsonl.unesc(m.group(1)))
+        } yield MetadataItem(h, k, v, t, i)
+      }
+    all.groupBy(m => (m.key, m.refType, m.refId)).map(_._2.last).toSeq
+      .sortBy(m => (m.refType, m.refId, m.key))
+  }
+
+  /** Key-glob + optional reference filters (kiara's MetadataMatcher,
+    * :203). */
+  def find(keyGlob: String = "*", refType: Option[String] = None,
+           refId: Option[String] = None): Seq[MetadataItem] =
+    items.filter(m => DataRegistry.globMatch(keyGlob, m.key) &&
+      refType.forall(_ == m.refType) && refId.forall(_ == m.refId))
+
+  /** Items attached to one value/job. */
+  def forRef(refType: String, refId: String): Seq[MetadataItem] =
+    find(refType = Some(refType), refId = Some(refId))
+
+  /** Retrieve by content hash (:233); latest surviving item wins. */
+  def byHash(hash: String): Option[MetadataItem] = items.find(_.hash == hash)
+}
+
+object EnvironmentRegistry {
+  /** A runtime-environment snapshot (kiara models/runtime_environment:
+    * RuntimeEnvironment): ordered fields + the content id (cid) kiara
+    * keys environments by (registries/environment/__init__.py:41
+    * get_environment_for_cid). */
+  final case class EnvSnapshot(cid: String, fields: Seq[(String, String)]) {
+    def field(name: String): Option[String] = fields.find(_._1 == name).map(_._2)
+  }
+
+  /** Snapshot the running Spark/JVM/config environment — the provenance
+    * fingerprint recorded with each job (kiara snapshots python/plugin
+    * versions; the Spark twin is engine + JVM + the semantics-bearing
+    * session confs). Deterministic field order so the cid is stable for
+    * identical environments. */
+  def snapshot(spark: org.apache.spark.sql.SparkSession): EnvSnapshot = {
+    val conf = spark.conf
+    val fields = Seq(
+      "spark.version" -> spark.version,
+      "scala.version" -> scala.util.Properties.versionNumberString,
+      "java.version" -> System.getProperty("java.version"),
+      "os" -> s"${System.getProperty("os.name")} ${System.getProperty("os.arch")}",
+      "spark.master" -> spark.sparkContext.master,
+      "spark.sql.shuffle.partitions" -> conf.get("spark.sql.shuffle.partitions"),
+      "spark.sql.ansi.enabled" -> conf.get("spark.sql.ansi.enabled", "true"),
+      "spark.sql.adaptive.enabled" -> conf.get("spark.sql.adaptive.enabled", "true"))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val cid = md.digest(fields.map { case (k, v) => s"$k=$v" }
+      .mkString(" ").getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    EnvSnapshot(cid, fields)
+  }
+}
+
+/** Environment registry (kiara registries/environment/__init__.py:1-161):
+  * runtime-environment snapshots stored once per distinct cid, so job
+  * records can carry a provenance fingerprint by reference — a re-read
+  * job on a fresh JVM still knows the Spark/JVM/config of the session
+  * that RAN it. Append-only JSONL, idempotent per cid. */
+class EnvironmentRegistry(root: String) {
+  import EnvironmentRegistry._
+  private val file = Paths.get(s"$root/environments.jsonl")
+  Files.createDirectories(Paths.get(root))
+
+  /** Store a snapshot (no-op if its cid is already recorded); returns
+    * the cid. */
+  def register(env: EnvSnapshot): String = synchronized {
+    if (get(env.cid).isEmpty) {
+      val fields = env.fields.map { case (k, v) =>
+        s""""${Jsonl.esc(k)}":"${Jsonl.esc(v)}"""" }.mkString(",")
+      val line = s"""{"cid":"${env.cid}","env":{$fields}}"""
+      Files.write(file, (line + "\n").getBytes("UTF-8"),
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    }
+    env.cid
+  }
+
+  private val CidRe = """"cid":"((?:[^"\\]|\\.)*)"""".r
+  private val PairRe = """"((?:[^"\\]|\\.)*)":"((?:[^"\\]|\\.)*)"""".r
+
+  def list: Seq[String] =
+    if (!Files.exists(file)) Seq.empty
+    else Files.readAllLines(file).asScala.toSeq
+      .flatMap(l => CidRe.findFirstMatchIn(l).map(m => m.group(1))).distinct
+
+  /** Snapshot by cid (kiara get_environment_for_cid, :41). */
+  def get(cid: String): Option[EnvSnapshot] = {
+    if (!Files.exists(file)) return None
+    Files.readAllLines(file).asScala.iterator.flatMap { l =>
+      for {
+        c <- CidRe.findFirstMatchIn(l).map(m => m.group(1)) if c == cid
+      } yield EnvSnapshot(c,
+        PairRe.findAllMatchIn(l.substring(l.indexOf("\"env\":{")))
+          .map(m => Jsonl.unesc(m.group(1)) -> Jsonl.unesc(m.group(2))).toSeq
+          .filterNot(_._1 == "env"))
+    }.nextOption()
   }
 }

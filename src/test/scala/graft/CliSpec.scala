@@ -238,6 +238,7 @@ class CliSpec extends SparkTestBase {
   test("render list-renderers catalogs targets; render item dispatches each") {
     val cat = Cli.run(spark, Array("render", "list-renderers"))
     assert(cat.contains("string") && cat.contains("markdown") && cat.contains("html"))
+    assert(cat.contains("template"))
     val md = Cli.run(spark, Array("render", "item", "markdown", "q1_agg", sfDir, "3"))
     assert(md.startsWith("| ") && md.contains("| --- |"))
     val html = Cli.run(spark, Array("render", "item", "html", "q1_agg", sfDir, "3"))
@@ -246,5 +247,49 @@ class CliSpec extends SparkTestBase {
       Cli.run(spark, Array("render", "item", "pdf", "q1_agg", sfDir))
     }
     assert(e.getMessage.contains("unknown renderer"))
+  }
+
+  test("render item --template renders rows through a user template") {
+    val out = Cli.run(spark, Array("render", "item", "template", "q1_agg", sfDir,
+      "--template", "flag {{l_returnflag}}: qty={{sum_qty}}", "2"))
+    val lines = out.split("\n")
+    assert(lines.length == 2)
+    assert(lines.forall(l => l.startsWith("flag ") && l.contains(": qty=")))
+    assert(!out.contains("{{")) // every placeholder substituted
+    // a template naming a nonexistent column is a usage error
+    val e = intercept[IllegalArgumentException] {
+      Cli.run(spark, Array("render", "item", "template", "q1_agg", sfDir,
+        "--template", "{{no_such_col}}", "2"))
+    }
+    assert(e.getMessage.contains("unknown column"))
+    // the template target without --template is a usage error
+    val e2 = intercept[IllegalArgumentException] {
+      Cli.run(spark, Array("render", "item", "template", "q1_agg", sfDir, "2"))
+    }
+    assert(e2.getMessage.contains("needs a template"))
+  }
+
+  test("metadata verbs attach, list, find and explain items; jobs explain shows env") {
+    val root = graft.sources.Export.tempDir("graft_cli_meta_").toString
+    val api = new GraftApi(spark, root)
+    import spark.implicits._
+    api.storeValue("docs", Seq((1L, "x")).toDF("id", "s"), Some("corpus"))
+    val added = Cli.run(spark,
+      Array("metadata", root, "add", "corpus", "licence", "CC-BY-4.0"))
+    assert(added.contains("licence") && added.contains("item hash"))
+    val hash = added.split("item hash ").last.trim
+    assert(Cli.run(spark, Array("metadata", root, "list")).contains("CC-BY-4.0"))
+    assert(Cli.run(spark, Array("metadata", root, "find", "lic*"))
+      .contains("licence"))
+    val explained = Cli.run(spark, Array("metadata", root, "explain", hash))
+    assert(explained.contains("key:   licence") && explained.contains("value: CC-BY-4.0"))
+    assert(Cli.run(spark, Array("value", root, "info", "docs"))
+      .contains("metadata: licence=CC-BY-4.0"))
+    // jobs explain renders the record plus the recorded environment
+    api.registerOperation("cli_env_id", df => df)
+    val (jobId, _) = api.runJob("cli_env_id", "corpus")
+    val job = Cli.run(spark, Array("jobs", root, "explain", jobId))
+    assert(job.contains(s"job:       $jobId"))
+    assert(job.contains("environment: ") && job.contains("spark.version"))
   }
 }

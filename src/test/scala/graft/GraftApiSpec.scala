@@ -148,6 +148,53 @@ class GraftApiSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { apiB.setJobComment("job-999", "x") }
   }
 
+  test("metadata: attach, find by key glob, retrieve by hash, survive a restart") {
+    val root = Export.tempDir("graft_meta_").toString
+    val apiA = new GraftApi(spark, root)
+    apiA.storeValue("docs", Seq((1L, "x")).toDF("id", "s"), Some("corpus"))
+    // attach via alias AND via id; latest-wins per (key, ref)
+    val h1 = apiA.registerMetadata("corpus", "licence", "CC-BY-4.0")
+    apiA.registerMetadata("docs", "qc_verdict", "draft")
+    val h2 = apiA.registerMetadata("docs", "qc_verdict", "approved")
+    assert(h1 == graft.registries.MetadataRegistry.itemHash("licence", "CC-BY-4.0"))
+    assert(apiA.metadataForValue("corpus").map(m => m.key -> m.value) ==
+      Seq("licence" -> "CC-BY-4.0", "qc_verdict" -> "approved"))
+    assert(apiA.findMetadataItems("qc_*").map(_.value) == Seq("approved"))
+    assert(apiA.metadataItemWithHash(h2).get.key == "qc_verdict")
+    // unknown value refused; job refs resolve against job records
+    intercept[IllegalArgumentException] { apiA.registerMetadata("nope", "k", "v") }
+    apiA.registerOperation("meta_id", df => df)
+    val (jobId, _) = apiA.runJob("meta_id", "corpus")
+    apiA.registerMetadata(jobId, "review", "lgtm", refType = "job")
+    // a fresh API on the same root (fresh-JVM shape) sees everything,
+    // and valueInfo surfaces the attached items
+    val apiB = new GraftApi(spark, root)
+    assert(apiB.metadataForValue("docs").size == 2)
+    assert(apiB.metadataItemWithHash(h1).get.value == "CC-BY-4.0")
+    assert(apiB.metadata.forRef("job", jobId).map(_.value) == Seq("lgtm"))
+    assert(apiB.valueInfo("docs").metadata == Seq("licence=CC-BY-4.0", "qc_verdict=approved"))
+  }
+
+  test("environment provenance: a re-read job carries its writing session's env") {
+    val root = Export.tempDir("graft_env_").toString
+    val apiA = new GraftApi(spark, root)
+    apiA.storeValue("nums", Seq(1L, 2L).toDF("n"), Some("input"))
+    apiA.registerOperation("env_id", df => df)
+    val (jobId, _) = apiA.runJob("env_id", "input")
+    val envA = apiA.environmentInfo
+    assert(envA.field("spark.version").contains(spark.version))
+    assert(envA.field("spark.sql.shuffle.partitions").isDefined)
+    // fresh API on the same root: the job's environment resolves from the
+    // persisted record, cid-identical to the writing session's snapshot
+    val apiB = new GraftApi(spark, root)
+    val envB = apiB.jobEnvironment(jobId)
+    assert(envB.isDefined)
+    assert(envB.get.cid == envA.cid)
+    assert(envB.get.field("spark.version").contains(spark.version))
+    assert(apiB.environments.list == Seq(envA.cid)) // idempotent per cid
+    assert(apiB.jobEnvironment("job-does-not-exist").isEmpty)
+  }
+
   test("module-type catalog: names, info records, custom types surface") {
     val api = newApi
     val names = api.listModuleTypeNames
@@ -381,5 +428,20 @@ class GraftApiSpec extends SparkTestBase {
     assert(h.startsWith("<table>") && h.endsWith("</table>"))
     assert(h.contains("&lt;b&gt;bold&lt;/b&gt;") && h.contains("a&amp;b"))
     assert(!h.contains("<b>")) // no raw markup injection
+  }
+
+  test("template render target substitutes per row, bounded, null-safe") {
+    val df = Seq((1L, Some("alpha")), (2L, None), (3L, Some("gamma")))
+      .toDF("id", "name")
+    val out = Render.template(df, "item {{id}} is '{{ name }}'", rows = 2)
+    assert(out == "item 1 is 'alpha'\nitem 2 is ''") // bounded + null → ""
+    // repeated + whitespace-padded placeholders both substitute
+    assert(Render.template(df, "{{id}}{{id}}", rows = 1) == "11")
+    val e = intercept[IllegalArgumentException] {
+      Render.template(df, "{{missing}}", rows = 1)
+    }
+    assert(e.getMessage.contains("unknown column") && e.getMessage.contains("id, name"))
+    // dispatch through the catalog target
+    assert(Render.as("template", df, 1, Some("{{name}}")) == "alpha")
   }
 }
