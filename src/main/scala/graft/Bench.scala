@@ -7,58 +7,187 @@ import org.apache.spark.sql.SparkSession
   * stays the cold total — the number the driver tracks — with
   * `warm`/`warm_total` alongside so plan-compile constants are
   * separable from real data costs (they amortize to noise at cluster
-  * scale; warm is the 100 TB-relevant number). */
+  * scale; warm is the 100 TB-relevant number).
+  *
+  * Comparability (r8): 338 queries × 2 in ONE JVM accumulate enough
+  * heap/GC pressure to inflate late-suite warm timings up to ~3×
+  * (r7's phantom "regressions" — BenchOne showed the same queries
+  * flat). Two fixes:
+  *   - the suite runs in CHUNKS of `SPARK_GRAFT_BENCH_CHUNK` queries
+  *     (default 90), each in a FRESH child JVM with the same classpath
+  *     and session shape (warmed exactly like the single-JVM bench, so
+  *     cold/warm semantics are unchanged); the parent merges the
+  *     per-chunk results into the same single JSON line. Chunk size 0
+  *     restores the old inline single-JVM mode, and any child failure
+  *     falls back to running that chunk inline.
+  *   - a per-query `gc` dict (seconds of JVM GC time during the warm
+  *     run, from the collector MXBeans) so any residual inflation is
+  *     visible in the artifact instead of masquerading as plan cost.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  private def newSession(sfDirIgnored: String, cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      // 200 queries × 2 runs in one driver JVM: broadcast/shuffle state
-      // is reclaimed by the ContextCleaner only when a GC actually runs,
-      // and the default periodicGC interval (30 min) never fires inside
-      // a bench — tighten it so late-suite queries aren't taxed by the
-      // accumulated heap of the first hundred
+      // broadcast/shuffle state is reclaimed by the ContextCleaner only
+      // when a GC actually runs, and the default periodicGC interval
+      // (30 min) never fires inside a bench chunk — tighten it so
+      // late-chunk queries aren't taxed by the accumulated heap
       .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the JVM/codegen/FS once so the first timed query doesn't carry
-    // the whole session bootstrap cost
+    spark
+  }
+
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime.max(0L)).sum
+  }
+
+  /** (name, cold, warm, warmGcSec) for each key, on a warmed session. */
+  private def runKeys(spark: SparkSession, sfDir: String,
+      keys: Seq[String]): Seq[(String, Double, Double, Double)] = {
+    // warm the JVM/codegen/FS once so the first timed query doesn't
+    // carry the whole session bootstrap cost
     spark.range(1000).selectExpr("sum(id)").collect()
     SparkEntry.entry(spark).count()
-    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def timeOne(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val gc0 = gcMillis()
       val t0 = System.nanoTime()
-      // a failed query must be visible, not a fast-looking timing: report
-      // -1 and log, instead of silently recording time-to-crash
+      // a failed query must be visible, not a fast-looking timing:
+      // report -1 and log, instead of silently recording time-to-crash
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
       }
       val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      val gcSec = (gcMillis() - gc0) / 1e3
       // release the query's tracked intermediates (the library-user
       // discipline), with clearCache as a backstop for anything else
       Caches.release()
       spark.catalog.clearCache()
-      dt
+      (dt, gcSec)
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
-      case ((name, fn), i) =>
-        // untimed GC hint every 25 queries: lets the ContextCleaner drop
-        // dead broadcasts/accumulators so heap pressure stays flat across
-        // the suite instead of inflating the tail's timings
-        if (i % 25 == 24) System.gc()
-        (name, timeOne(name, fn), timeOne(name, fn))
+    keys.zipWithIndex.map { case (name, i) =>
+      // untimed GC hint every 25 queries: lets the ContextCleaner drop
+      // dead broadcasts/accumulators so heap pressure stays flat
+      if (i % 25 == 24) System.gc()
+      val fn = SparkEntry.queries(name)
+      val (cold, _) = timeOne(name, fn)
+      val (warm, warmGc) = timeOne(name, fn)
+      (name, cold, warm, warmGc)
     }
-    def dict(f: ((String, Double, Double)) => Double): String =
+  }
+
+  /** Child-JVM entry: bench the keys in SPARK_GRAFT_BENCH_KEYS, write
+    * name/cold/warm/gc TSV to SPARK_GRAFT_BENCH_OUT. */
+  private def childMain(sfDir: String, cpus: String, keysCsv: String,
+      outPath: String): Unit = {
+    val spark = newSession(sfDir, cpus)
+    val rs = runKeys(spark, sfDir, keysCsv.split(',').toSeq.filter(_.nonEmpty))
+    val body = rs.map(r => s"${r._1}\t${r._2}\t${r._3}\t${r._4}").mkString("\n")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (body + "\n").getBytes("UTF-8"))
+    spark.stop()
+  }
+
+  /** Spawn a fresh JVM for one chunk; None if the child failed. */
+  private def runChunkInChild(sfDir: String, cpus: String,
+      keys: Seq[String]): Option[Seq[(String, Double, Double, Double)]] = {
+    try {
+      val out = java.nio.file.Files.createTempFile("graft_bench_", ".tsv")
+      val log = java.nio.file.Files.createTempFile("graft_bench_", ".log")
+      val javaBin = s"${System.getProperty("java.home")}/bin/java"
+      // mirror build.sbt's run JVM exactly: same add-opens set and heap
+      val addOpens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar")
+        .map(p => s"--add-opens=$p=ALL-UNNAMED")
+      val cmd = Seq(javaBin, "-cp", System.getProperty("java.class.path")) ++
+        addOpens ++ Seq(
+          s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+          "-Dspark.ui.enabled=false",
+          "-Dspark.sql.session.timeZone=UTC",
+          "graft.Bench")
+      import scala.jdk.CollectionConverters._
+      val pb = new ProcessBuilder(cmd.asJava)
+      val env = pb.environment()
+      env.put("SPARK_GRAFT_SF_DIR", sfDir)
+      env.put("SPARK_GRAFT_CPUS", cpus)
+      env.put("SPARK_GRAFT_BENCH_KEYS", keys.mkString(","))
+      env.put("SPARK_GRAFT_BENCH_OUT", out.toString)
+      pb.redirectOutput(log.toFile).redirectErrorStream(true)
+      val rc = pb.start().waitFor()
+      if (rc != 0) {
+        System.err.println(s"[bench] chunk JVM exited $rc (log: $log)")
+        return None
+      }
+      val lines = java.nio.file.Files.readAllLines(out)
+      import scala.jdk.CollectionConverters._
+      val parsed = lines.asScala.toSeq.filter(_.nonEmpty).map { l =>
+        val f = l.split('\t')
+        (f(0), f(1).toDouble, f(2).toDouble, f(3).toDouble)
+      }
+      if (parsed.map(_._1) == keys) Some(parsed) else {
+        System.err.println(s"[bench] chunk output incomplete (log: $log)")
+        None
+      }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] chunk spawn failed: ${e.getMessage}")
+        None
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    (sys.env.get("SPARK_GRAFT_BENCH_KEYS"), sys.env.get("SPARK_GRAFT_BENCH_OUT")) match {
+      case (Some(keys), Some(out)) => childMain(sfDir, cpus, keys, out); return
+      case _ =>
+    }
+    val chunkSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_CHUNK", "90").toInt
+    // optional args = key filter (targeted benching, like Verify's)
+    val allKeys = {
+      val keys = SparkEntry.queries.keys.toSeq.sorted
+      if (args.isEmpty) keys
+      else {
+        val want = args.toSet
+        val unknown = want -- keys.toSet
+        require(unknown.isEmpty, s"unknown query keys: ${unknown.mkString(", ")}")
+        keys.filter(want)
+      }
+    }
+    val results: Seq[(String, Double, Double, Double)] =
+      if (chunkSize <= 0) {
+        val spark = newSession(sfDir, cpus)
+        try runKeys(spark, sfDir, allKeys) finally spark.stop()
+      } else {
+        allKeys.grouped(chunkSize).toSeq.flatMap { chunk =>
+          runChunkInChild(sfDir, cpus, chunk).getOrElse {
+            // degraded but correct: run the chunk inline in this JVM
+            val spark = newSession(sfDir, cpus)
+            try runKeys(spark, sfDir, chunk) finally spark.stop()
+          }
+        }
+      }
+    def dict(f: ((String, Double, Double, Double)) => Double): String =
       results.map(r => s"\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val warmTotal = results.map(_._3).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""queries":${dict(_._2)},"warm":${dict(_._3)},"warm_total":$warmTotal,"sf":"$sfDir"}""")
-    spark.stop()
+      s""""queries":${dict(_._2)},"warm":${dict(_._3)},"gc":${dict(_._4)},""" +
+      s""""warm_total":$warmTotal,"sf":"$sfDir"}""")
   }
 }
