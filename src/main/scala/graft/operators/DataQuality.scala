@@ -213,6 +213,8 @@ object DataQuality {
     * single-partition window is over the tiny domain, not the data. */
   def spearmanAudit(lineitem: DataFrame): DataFrame = {
     def rankTable(c: String): DataFrame = {
+      // distinct-value domain of one column (quantized <= 100 cells for
+      // continuous inputs) - bounded, never corpus-sized
       val w = Window.orderBy(col(c))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       lineitem.groupBy(col(c)).agg(count(lit(1)).as("cnt"))

@@ -1106,7 +1106,7 @@ object Events {
       .groupBy("day").agg(
         hll_sketch_agg(col("user_id")).as("sk"),
         count(lit(1)).as("n_events"))
-    val w = Window.orderBy("day").rowsBetween(-(windowDays - 1), 0)
+    val w = Window.orderBy("day").rowsBetween(-(windowDays - 1), 0) // calendar-day domain: bounded
     daily
       .withColumn("users_rolling",
         hll_sketch_estimate(hll_union_agg(col("sk")).over(w)))
@@ -1169,7 +1169,7 @@ object Events {
       .groupBy("day")
       .agg(sum(when(col("event_type") === typeA, 1L).otherwise(0L)).as("xa"),
         sum(when(col("event_type") === typeB, 1L).otherwise(0L)).as("xb"))
-    val w = Window.orderBy("day").rowsBetween(-(windowDays - 1), 0)
+    val w = Window.orderBy("day").rowsBetween(-(windowDays - 1), 0) // calendar-day domain: bounded
     val framed = daily
       .withColumn("n", count(lit(1)).over(w))
       .withColumn("sx", sum("xa").over(w))
@@ -1205,7 +1205,7 @@ object Events {
       .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
         (dayofweek(col("ts")) - 1).cast("long").as("dow"))
       .groupBy("day", "dow").agg(count(lit(1)).as("n_events"))
-      .withColumn("i", row_number().over(Window.orderBy("day")).cast("long"))
+      .withColumn("i", row_number().over(Window.orderBy("day")).cast("long")) // calendar-day domain: bounded
       .persistTracked() // moments + dow means + the final projection
     val m = daily.agg(count(lit(1)).as("n"), sum("i").as("sx"),
       sum("n_events").as("sy"), sum(col("i") * col("n_events")).as("sxy"),
@@ -1580,7 +1580,7 @@ object Events {
     val daily = events
       .select(date_format(col("ts"), "yyyy-MM-dd").as("day"))
       .groupBy("day").agg(count(lit(1)).as("x"))
-      .withColumn("i", row_number().over(Window.orderBy("day")).cast("long"))
+      .withColumn("i", row_number().over(Window.orderBy("day")).cast("long")) // calendar-day domain: bounded
       .persistTracked() // three consumers: global moments + both join sides
     val m = daily.agg(count(lit(1)).as("n"), sum("x").as("s"),
       sum(col("x") * col("x")).as("ssq"))
@@ -1618,7 +1618,7 @@ object Events {
     val daily = events
       .select(date_format(col("ts"), "yyyy-MM-dd").as("day"))
       .groupBy("day").agg(count(lit(1)).as("x"))
-      .withColumn("i", row_number().over(Window.orderBy("day")).cast("long"))
+      .withColumn("i", row_number().over(Window.orderBy("day")).cast("long")) // calendar-day domain: bounded
       .persistTracked() // two consumers: both sides of the lag join
     val m = daily.select(col("i"), col("x").as("z"))
       .join(daily.select((col("i") - 1L).as("i"), col("x").as("xc")),

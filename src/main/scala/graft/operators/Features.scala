@@ -253,6 +253,12 @@ object Features {
     // aggregate and the feat_auc oracle filter lang IS NOT NULL, so
     // the two engines can never disagree on how a NULL is counted
     val labeled = docs.filter(col("lang").isNotNull)
+    // BOUNDED-DOMAIN window: runs over DISTINCT n_chars values, whose
+    // cardinality is capped by the maximum document byte length (≤ ~10⁵–10⁶
+    // even at web scale, vs 10¹¹ corpus rows) — it can never grow with
+    // corpus VOLUME, only with the longest document. If a deployment ever
+    // scores on an unbounded-cardinality column, quantize the score to the
+    // spearman ≤100-cell grid first (same tie-averaged rank arithmetic).
     val w = Window.orderBy(col("s"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ranks = labeled.groupBy(col("n_chars").as("s"))

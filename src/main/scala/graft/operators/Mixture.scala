@@ -133,6 +133,8 @@ object Mixture {
       size(array_distinct(TextOps.tokens(col("text")))).cast("long").as("n_distinct"))
       .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val byScore = scored.groupBy("n_distinct").agg(sum("n_tokens").as("score_tokens"))
+    // distinct-token-count domain: bounded by the longest document's
+    // token count (the feat_auc score-domain bound), not corpus volume
     val wScore = Window.orderBy(col("n_distinct").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val cum = byScore.withColumn("cum_before",

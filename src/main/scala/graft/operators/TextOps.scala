@@ -88,6 +88,7 @@ object TextOps {
     val per = docs.select(bucket.as("ctx_bucket"), n.as("n_tokens"))
       .groupBy("ctx_bucket")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+    // ctx_bucket domain: <= 7 power-of-two buckets, never data-sized
     val cumW = Window.orderBy("ctx_bucket").rowsBetween(Window.unboundedPreceding, 0)
     val totW = Window.partitionBy() // whole-table total — bucket-domain-sized input
     per.withColumn("cum_docs", sum("n_docs").over(cumW))
@@ -672,6 +673,7 @@ object TextOps {
       .groupBy("term").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
       .orderBy(col("cnt").desc, col("term")).limit(maxSize)
+    // vocab-sized: the window only ever sees the <= maxSize post-limit rows
     top.withColumn("token_id",
         (row_number().over(Window.orderBy(col("cnt").desc, col("term"))) - 1)
           .cast("long"))
@@ -1054,7 +1056,7 @@ object TextOps {
       .groupBy("tok").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("tok"))
       .limit(topN)
-    val ranked = top
+    val ranked = top // bounded: <= topN rows past the limit above
       .withColumn("rank", row_number().over(Window.orderBy(col("n").desc, col("tok"))))
       .select(log10(col("rank").cast("double")).as("x"), log10(col("n").cast("double")).as("y"))
     val n = col("cnt").cast("double")
