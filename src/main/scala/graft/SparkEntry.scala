@@ -146,6 +146,9 @@ object SparkEntry {
     "rel_assoc_rules" -> (Suite.relAssocRules _),
     "evt_forecast_snaive" -> (Suite.evtForecastSnaive _),
     "evt_holt" -> (Suite.evtHolt _),
+    "evt_holt_winters" -> (Suite.evtHoltWinters _),
+    "dq_assoc" -> (Suite.dqAssoc _),
+    "dedup_minhash_est_err" -> (Suite.dedupMinhashEstErr _),
     "feat_gains" -> (Suite.featGains _),
     "feat_calibration" -> (Suite.featCalibration _),
     "evt_hazard" -> (Suite.evtHazard _),
@@ -405,6 +408,117 @@ object SparkEntry {
        |    CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
        |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
        |WHERE hamming <= 3 ORDER BY hamming, doc_a, doc_b""".stripMargin
+  }
+
+  /** MinHash estimate-vs-exact oracle: replays the 16 md5-bridge slot
+    * hashes, per-slot mins, planted tail-trim twins, pair selection,
+    * exact gram intersection, and the identical est/jaccard/abs-err
+    * float expressions of Dedup.minhashEstErr. */
+  private def minhashEstSql: String =
+    s"""WITH t0 AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, $toksSql AS toks FROM documents),
+       |tw AS (SELECT doc_id + 1000000 AS doc_id,
+       |    toks[1:len(toks) - (1 + (len(toks) * (1 + doc_id % 7)) // 20)] AS toks
+       |  FROM t0 WHERE doc_id % 11 = 0 AND len(toks) >= 12),
+       |ub AS (SELECT * FROM t0 UNION ALL SELECT * FROM tw),
+       |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, len(toks) - 2),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gr
+       |  FROM ub WHERE len(toks) >= 3),
+       |gc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ng FROM g GROUP BY 1),
+       |sig AS (SELECT doc_id, j,
+       |    min(('0x' || substr(md5(gr || '|' || CAST(j AS VARCHAR)), 1, 8))::BIGINT) AS mh
+       |  FROM g CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) js
+       |  GROUP BY 1, 2),
+       |ids AS (SELECT DISTINCT doc_id FROM g),
+       |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM ids a
+       |    JOIN ids b ON b.doc_id = a.doc_id + 1000000
+       |  UNION
+       |  SELECT a.doc_id, b.doc_id FROM ids a
+       |    JOIN ids b ON b.doc_id = a.doc_id + 1
+       |  WHERE a.doc_id % 5 = 0 AND a.doc_id < 1000000),
+       |mm AS (SELECT pr.doc_a, pr.doc_b,
+       |    CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT) AS m
+       |  FROM pr JOIN sig sa ON sa.doc_id = pr.doc_a
+       |    JOIN sig sb ON sb.doc_id = pr.doc_b AND sb.j = sa.j
+       |  GROUP BY 1, 2),
+       |xx AS (SELECT pr.doc_a, pr.doc_b, CAST(count(*) AS BIGINT) AS ni
+       |  FROM pr JOIN g ga ON ga.doc_id = pr.doc_a
+       |    JOIN g gb ON gb.doc_id = pr.doc_b AND gb.gr = ga.gr
+       |  GROUP BY 1, 2),
+       |fin AS (SELECT mm.doc_a, mm.doc_b, ca.ng AS n_grams_a, cb.ng AS n_grams_b,
+       |    CAST(mm.m AS DOUBLE) / 16e0 AS er,
+       |    CAST(coalesce(xx.ni, 0) AS DOUBLE)
+       |      / CAST(ca.ng + cb.ng - coalesce(xx.ni, 0) AS DOUBLE) AS jr
+       |  FROM mm LEFT JOIN xx ON xx.doc_a = mm.doc_a AND xx.doc_b = mm.doc_b
+       |    JOIN gc ca ON ca.doc_id = mm.doc_a
+       |    JOIN gc cb ON cb.doc_id = mm.doc_b)
+       |SELECT doc_a, doc_b, n_grams_a, n_grams_b,
+       |  CAST(floor(er * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS est_jaccard,
+       |  CAST(floor(jr * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS jaccard,
+       |  CAST(floor(abs(er - jr) * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS abs_err
+       |FROM fin ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Categorical-association oracle: per column pair, the full-grid χ²
+    * (empty cells included), the three n·ln(n) entropy moments, and the
+    * identical bias-corrected-V / Theil's-U scalar expressions of
+    * DataQuality.assocMatrix, generated per pair. */
+  private def assocSql: String = {
+    val colsMap = Seq("o_orderpriority" -> "a", "o_orderstatus" -> "b",
+      "c_mktsegment" -> "c", "n_name" -> "d")
+    val pairs = for {
+      i <- colsMap.indices
+      j <- (i + 1) until colsMap.length
+    } yield (colsMap(i), colsMap(j))
+    val blocks = pairs.zipWithIndex.map { case (((nx, ax), (ny, ay)), k) =>
+      s"""ob$k AS (SELECT $ax AS vx, $ay AS vy, count(*) AS o FROM base GROUP BY 1, 2),
+         |rx$k AS (SELECT vx, CAST(sum(o) AS BIGINT) AS nx FROM ob$k GROUP BY 1),
+         |ry$k AS (SELECT vy, CAST(sum(o) AS BIGINT) AS ny FROM ob$k GROUP BY 1),
+         |mo$k AS (SELECT
+         |    (SELECT CAST(count(*) AS BIGINT) FROM rx$k) AS r,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM ry$k) AS c,
+         |    (SELECT sum(
+         |      (CAST(coalesce(ob$k.o, 0) AS DOUBLE)
+         |        - CAST(rx$k.nx AS DOUBLE) * CAST(ry$k.ny AS DOUBLE) / CAST(t.n AS DOUBLE))
+         |      * (CAST(coalesce(ob$k.o, 0) AS DOUBLE)
+         |        - CAST(rx$k.nx AS DOUBLE) * CAST(ry$k.ny AS DOUBLE) / CAST(t.n AS DOUBLE))
+         |      / (CAST(rx$k.nx AS DOUBLE) * CAST(ry$k.ny AS DOUBLE) / CAST(t.n AS DOUBLE)))
+         |      FROM rx$k CROSS JOIN ry$k CROSS JOIN tot t
+         |        LEFT JOIN ob$k ON ob$k.vx = rx$k.vx AND ob$k.vy = ry$k.vy) AS chi2,
+         |    (SELECT sum(CAST(nx AS DOUBLE) * ln(CAST(nx AS DOUBLE))) FROM rx$k) AS sx,
+         |    (SELECT sum(CAST(ny AS DOUBLE) * ln(CAST(ny AS DOUBLE))) FROM ry$k) AS sy,
+         |    (SELECT sum(CAST(o AS DOUBLE) * ln(CAST(o AS DOUBLE))) FROM ob$k) AS sxy),
+         |row$k AS (SELECT '$nx' AS col_x, '$ny' AS col_y, r AS levels_x,
+         |    c AS levels_y, (SELECT n FROM tot) AS n_rows,
+         |    chi2, sx, sy, sxy, r, c FROM mo$k)""".stripMargin
+    }
+    val union = pairs.indices.map(k => s"SELECT * FROM row$k").mkString("\nUNION ALL\n")
+    s"""WITH base AS (SELECT o_orderpriority AS a, o_orderstatus AS b,
+       |    c_mktsegment AS c, n_name AS d
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+       |${blocks.mkString(",\n")},
+       |sel AS ($union)
+       |SELECT col_x, col_y, levels_x, levels_y, n_rows,
+       |  CAST(floor(sqrt(
+       |      greatest(0e0, chi2 / CAST(n_rows AS DOUBLE)
+       |        - CAST(r - 1 AS DOUBLE) * CAST(c - 1 AS DOUBLE)
+       |          / (CAST(n_rows AS DOUBLE) - 1e0))
+       |      / least(
+       |        (CAST(r AS DOUBLE) - CAST(r - 1 AS DOUBLE) * CAST(r - 1 AS DOUBLE)
+       |          / (CAST(n_rows AS DOUBLE) - 1e0)) - 1e0,
+       |        (CAST(c AS DOUBLE) - CAST(c - 1 AS DOUBLE) * CAST(c - 1 AS DOUBLE)
+       |          / (CAST(n_rows AS DOUBLE) - 1e0)) - 1e0))
+       |    * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS cramers_v_corr,
+       |  CAST(floor(((ln(CAST(n_rows AS DOUBLE)) - sx / CAST(n_rows AS DOUBLE))
+       |      - (sy - sxy) / CAST(n_rows AS DOUBLE))
+       |    / (ln(CAST(n_rows AS DOUBLE)) - sx / CAST(n_rows AS DOUBLE))
+       |    * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS theil_xy,
+       |  CAST(floor(((ln(CAST(n_rows AS DOUBLE)) - sy / CAST(n_rows AS DOUBLE))
+       |      - (sx - sxy) / CAST(n_rows AS DOUBLE))
+       |    / (ln(CAST(n_rows AS DOUBLE)) - sy / CAST(n_rows AS DOUBLE))
+       |    * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS theil_yx
+       |FROM sel ORDER BY col_x, col_y""".stripMargin
   }
 
   /** Portable-winnowing oracle: md5-bridge gram hashes, the w-window
@@ -745,6 +859,56 @@ object SparkEntry {
         |SELECT day, kind, n_events,
         |  CAST(floor(yhat * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS yhat
         |FROM u ORDER BY day""".stripMargin,
+    // the evt_holt recursion replayed on the DESEASONALIZED series:
+    // dow indices from exact integer moments (portable epoch-Monday
+    // dow, never a locale weekday fn), added back for fit + forecast
+    "evt_holt_winters" ->
+      """WITH RECURSIVE
+        |dd AS (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+        |    AS d, count(*) AS n FROM events GROUP BY 1),
+        |ix AS MATERIALIZED (SELECT d, n,
+        |  CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i,
+        |  date_diff('day', DATE '1970-01-05', d) % 7 AS dow FROM dd),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+        |    CAST(count(*) AS BIGINT) AS tc FROM ix),
+        |idxv AS MATERIALIZED (SELECT dow,
+        |    CAST(CAST(sum(n) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |      - (SELECT CAST(tn AS DOUBLE) / CAST(tc AS DOUBLE) FROM tot) AS iv
+        |  FROM ix GROUP BY dow),
+        |z AS MATERIALIZED (SELECT ix.i, ix.d, ix.n, ix.dow,
+        |    CAST(ix.n AS DOUBLE) - iv.iv AS z, iv.iv AS iv
+        |  FROM ix JOIN idxv iv USING (dow)),
+        |x12 AS (SELECT max(CASE WHEN i = 1 THEN z END) AS z1,
+        |    max(CASE WHEN i = 2 THEN z END) AS z2
+        |  FROM z WHERE i <= 2),
+        |rec(i, s, b) AS (
+        |  SELECT CAST(1 AS BIGINT), z1, z2 - z1 FROM x12
+        |  UNION ALL
+        |  SELECT r.i + 1,
+        |    0.5e0 * z.z + 0.5e0 * (r.s + r.b),
+        |    0.25e0 * ((0.5e0 * z.z + 0.5e0 * (r.s + r.b)) - r.s) + 0.75e0 * r.b
+        |  FROM rec r JOIN z ON z.i = r.i + 1),
+        |fin AS (SELECT s, b FROM rec ORDER BY i DESC LIMIT 1),
+        |mx AS (SELECT d FROM z ORDER BY i DESC LIMIT 1),
+        |ft AS (SELECT strftime(z.d, '%Y-%m-%d') AS day, 'fit' AS kind,
+        |    z.n AS n_events,
+        |    CASE WHEN z.i = 1 THEN (SELECT z1 FROM x12) + z.iv
+        |      ELSE (r.s + r.b) + z.iv END AS yhat
+        |  FROM z LEFT JOIN rec r ON r.i = z.i - 1),
+        |fcd AS (SELECT CAST(mx.d + CAST(hs.h AS INT) * INTERVAL 1 DAY AS DATE)
+        |      AS fd, hs.h AS h
+        |  FROM mx, (SELECT unnest(generate_series(1, 7)) AS h) hs),
+        |fc AS (SELECT strftime(fcd.fd, '%Y-%m-%d') AS day, 'forecast' AS kind,
+        |    CAST(0 AS BIGINT) AS n_events,
+        |    (fin.s + CAST(fcd.h AS DOUBLE) * fin.b) + iv.iv AS yhat
+        |  FROM fcd CROSS JOIN fin JOIN idxv iv
+        |    ON iv.dow = date_diff('day', DATE '1970-01-05', fcd.fd) % 7),
+        |u AS (SELECT * FROM ft UNION ALL SELECT * FROM fc)
+        |SELECT day, kind, n_events,
+        |  CAST(floor(yhat * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS yhat
+        |FROM u ORDER BY day""".stripMargin,
+    "dq_assoc" -> assocSql,
+    "dedup_minhash_est_err" -> minhashEstSql,
     // exact-integer counts end-to-end: the decile is DuckDB's native
     // ntile (Rank.ntileExact is bit-identical to it), cumulative sums
     // fold integers, and only the final two ratios are floats

@@ -580,6 +580,79 @@ object DataQuality {
           * least(col("nr") - 1, col("nc") - 1).cast("double"))), 4).as("cramers_v"))
   }
 
+  /** Pairwise categorical-association matrix — the profiling screen
+    * ("which dimensions move together?") run over EVERY unordered pair
+    * of the given categorical columns at once, pandas-profiling style.
+    * Per pair it emits the two association families [[chi2Independence]]
+    * doesn't: Bergsma's bias-corrected Cramér's V (plain V inflates on
+    * small/low-signal tables — V̂corr subtracts the E[φ²] bias and
+    * shrinks the level counts) and Theil's uncertainty coefficient in
+    * BOTH directions (U is asymmetric: U(X|Y) = fraction of H(X)
+    * explained by Y — it distinguishes "priority determines status"
+    * from the converse, which any symmetric V cannot).
+    *
+    * Scale design: ONE corpus fold to the full attribute grid (bounded
+    * by the product of level cardinalities — here ≤ 5·3·5·25 ≈ 2k rows,
+    * a data-model constant independent of corpus size); every pairwise
+    * contingency, marginal, χ² and entropy moment then derives from
+    * that collected grid driver-side (the sketch-readout/day-dimension
+    * precedent: bytes per LEVEL-COMBINATION, never per row) and the
+    * 6-row matrix re-parallelizes. Iteration orders are key-sorted so
+    * the float sums are run-deterministic; the only outputs are
+    * sqrt/ln-valued (irrational — the measure-zero rounding class). */
+  def assocMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.length >= 2, "assocMatrix needs >= 2 columns")
+    val spark = df.sparkSession
+    val grid = df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("o"))
+      .collect() // bounded: attribute-domain product, see scaladoc
+      .map(r => (cols.indices.map(i => String.valueOf(r.get(i))).toVector,
+        r.getLong(cols.length)))
+    val n = grid.map(_._2).sum
+    val nD = n.toDouble
+    def pround4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    // Σ n·ln(n) over a count family, key-sorted for determinism
+    def sLogS(m: Map[String, Long]): Double =
+      m.toSeq.sortBy(_._1).map { case (_, c) =>
+        c.toDouble * math.log(c.toDouble) }.sum
+    val rows = for {
+      i <- cols.indices
+      j <- (i + 1) until cols.length
+    } yield {
+      val cell: Map[(String, String), Long] = grid
+        .groupBy(g => (g._1(i), g._1(j)))
+        .map { case (k, rs) => k -> rs.map(_._2).sum }
+      val rx = cell.groupBy(_._1._1).map { case (k, m) => k -> m.values.sum }
+      val ry = cell.groupBy(_._1._2).map { case (k, m) => k -> m.values.sum }
+      val (r, c) = (rx.size, ry.size)
+      val chi2 = (for {
+        (kx, nx) <- rx.toSeq.sortBy(_._1)
+        (ky, ny) <- ry.toSeq.sortBy(_._1)
+      } yield {
+        val o = cell.getOrElse((kx, ky), 0L).toDouble
+        val e = nx.toDouble * ny.toDouble / nD
+        (o - e) * (o - e) / e
+      }).sum
+      val phi2c = math.max(0.0,
+        chi2 / nD - (r - 1).toDouble * (c - 1).toDouble / (nD - 1.0))
+      val rCorr = r.toDouble - (r - 1).toDouble * (r - 1).toDouble / (nD - 1.0)
+      val cCorr = c.toDouble - (c - 1).toDouble * (c - 1).toDouble / (nD - 1.0)
+      val vCorr = math.sqrt(phi2c / math.min(rCorr - 1.0, cCorr - 1.0))
+      val sx = sLogS(rx)
+      val sy = sLogS(ry)
+      val sxy = sLogS(cell.map { case ((a, b), v) => (a + "\u0000" + b) -> v })
+      val hx = math.log(nD) - sx / nD
+      val hy = math.log(nD) - sy / nD
+      val uXY = (hx - (sy - sxy) / nD) / hx // U(X|Y): Y explaining H(X)
+      val uYX = (hy - (sx - sxy) / nD) / hy
+      (cols(i), cols(j), r.toLong, c.toLong, n,
+        pround4(vCorr), pround4(uXY), pround4(uYX))
+    }
+    import spark.implicits._
+    rows.toDF("col_x", "col_y", "levels_x", "levels_y", "n_rows",
+      "cramers_v_corr", "theil_xy", "theil_yx")
+      .orderBy("col_x", "col_y")
+  }
+
   /** Approximate functional-dependency audit for one candidate
     * lhs → rhs: does lhs determine rhs, and if not, HOW broken is it?
     * Reports the standard g3 error — the minimum fraction of rows to

@@ -310,6 +310,90 @@ object Dedup {
   def simhashVerified(docs: DataFrame, maxHamming: Int = 3): DataFrame =
     simhashPairsOver(simhashPortable(docs), 32, maxHamming, numChunks = 4)
 
+  /** MinHash ESTIMATION accuracy, oracle-replayably: per candidate pair,
+    * the 16-slot minhash jaccard estimate (matching slots / 16) next to
+    * the exact 3-gram jaccard and the absolute error — the readout that
+    * justifies trusting minhash similarity numbers (not just candidate
+    * RECALL, which dedup_minhash_verified already proves) and that picks
+    * the signature width for a target error budget (stderr ≈
+    * √(J(1−J)/k)). Slot hashes are the portable md5 bridge over
+    * (gram, slot), so DuckDB replays every min and every match bit —
+    * the [[simhashPortable]] precedent, now for minhash arithmetic.
+    * Pairs cover a jaccard SPREAD: planted tail-trimmed twins (doc_id %
+    * 11, trimming a 5–40% tail slice keyed on doc_id % 7 — jaccard ≈
+    * 0.55–0.95) plus sampled adjacent background pairs (jaccard ≈ 0).
+    *
+    * Scale shape: this is the gate-corpus verification twin — at 100 TB
+    * the signature comes from the row-local native
+    * [[org.apache.spark.sql.graftext.MinHashSig]] expression (no
+    * explode, no shuffle); here the explode × 16-slot re-hash keeps
+    * every intermediate SQL-replayable. The gram table is persisted
+    * (three consumers: slot mins, pair-intersection self-join, per-doc
+    * sizes); pairs are an equi-join on the planted/adjacent id map,
+    * never all-pairs. */
+  def minhashEstErr(docs: DataFrame, slots: Int = 16): DataFrame = {
+    val t0 = docs.select(col("doc_id"),
+      graft.operators.TextOps.tokens(col("text")).as("toks"))
+    val twins = t0
+      .filter(pmod(col("doc_id"), lit(11)) === 0 && size(col("toks")) >= 12)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        // proportional trim (5–40% of the doc) so twin jaccards SPREAD
+        // over ~0.55–0.95 instead of clustering at 1−ε
+        expr("slice(toks, 1, size(toks) - " +
+          "(1 + (size(toks) * (1 + pmod(doc_id, 7))) div 20))").as("toks"))
+    val grams = t0.union(twins)
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(toks) - 3), " +
+          "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"))).as("g"))
+      .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = grams
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, ${slots - 1}), j -> named_struct('j', j, " +
+          "'h', cast(conv(substring(md5(concat(g, '|', j)), 1, 8), 16, 10) as bigint)))")).as("s"))
+      .groupBy(col("doc_id"), col("s.j").as("j"))
+      .agg(min(col("s.h")).as("mh"))
+      .persistTracked() // both sides of the pair match join
+    val ids = grams.select("doc_id").distinct()
+      .persistTracked() // twin + background pair derivations
+    val twinPairs = ids.as("a").join(ids.as("b"),
+        col("b.doc_id") === col("a.doc_id") + 1000000L)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val bgPairs = ids.as("a").join(ids.as("b"),
+        col("b.doc_id") === col("a.doc_id") + 1L)
+      .filter(pmod(col("a.doc_id"), lit(5)) === 0 && col("a.doc_id") < 1000000L)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val pairs = twinPairs.union(bgPairs).distinct()
+      .persistTracked() // match join + intersection join + size join
+    val matches = pairs
+      .join(sig.as("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(sig.as("sb"),
+        col("sb.doc_id") === col("doc_b") && col("sb.j") === col("sa.j"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(when(col("sa.mh") === col("sb.mh"), 1L).otherwise(0L)).as("m"))
+    val inter = pairs
+      .join(grams.as("ga"), col("ga.doc_id") === col("doc_a"))
+      .join(grams.as("gb"),
+        col("gb.doc_id") === col("doc_b") && col("gb.g") === col("ga.g"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("ni"))
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("ng"))
+    val est = col("m").cast("double") / lit(slots.toDouble)
+    val jac = col("ni").cast("double") /
+      (col("na") + col("nb") - col("ni")).cast("double")
+    matches
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .withColumn("ni", coalesce(col("ni"), lit(0L)))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("ng").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("ng").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        col("na").as("n_grams_a"), col("nb").as("n_grams_b"),
+        Num.pround(est, 4).as("est_jaccard"),
+        Num.pround(jac, 4).as("jaccard"),
+        Num.pround(abs(est - jac), 4).as("abs_err"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   // ---- Duplicate clustering (connected components) ----------------------
 
   /** Duplicate CLUSTERS from near-dup pairs: connected components by

@@ -980,6 +980,72 @@ object Events {
       .orderBy("day")
   }
 
+  /** Holt-Winters-style weekday-seasonal forecast: classical
+    * decomposition (additive day-of-week indices) + [[holtLinear]]'s
+    * level/trend recursion on the deseasonalized series, indices added
+    * back for fit and forecast — the forecast that evt_holt cannot make
+    * when traffic has a strong weekly shape (snaive captures the shape
+    * but no trend; this captures both). Seasonal index for weekday d =
+    * mean(count | dow=d) − mean(count), every term an exact-integer
+    * ratio so both engines compute the identical doubles; dow is the
+    * portable `datediff(day, 1970-01-05) % 7` (0 = Monday), never a
+    * locale-dependent weekday function.
+    *
+    * Scale shape: identical to [[holtLinear]] — ONE corpus fold to the
+    * DAY DIMENSION (bounded by the calendar span, never corpus-sized);
+    * the dow-index table is a ≤7-row aggregate of that; the recursion
+    * is inherently sequential in t so it runs driver-side over the
+    * collected day table and re-parallelizes (the sketch-readout
+    * precedent). Output matches evt_holt's schema: 'fit' rows carry the
+    * one-step-ahead prediction (s+b at t−1, reseasonalized), 'forecast'
+    * rows carry s_T + h·b_T + idx(dow), yhat portable-rounded. */
+  def holtWinters(events: DataFrame, alpha: Double = 0.5,
+                  beta: Double = 0.25, horizon: Int = 7): DataFrame = {
+    val spark = events.sparkSession
+    val daily = events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("day")
+      .select(date_format(col("day"), "yyyy-MM-dd"), col("n"))
+      .collect() // bounded: day-dimension, see scaladoc
+      .map(r => (r.getString(0), r.getLong(1)))
+    require(daily.length >= 2, s"holtWinters needs >= 2 days, got ${daily.length}")
+    def pround4(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
+    // 1970-01-05 was a Monday: epochDay 4 — dow 0 = Monday, portable
+    def dowOf(day: String): Int =
+      (((java.time.LocalDate.parse(day).toEpochDay - 4L) % 7L + 7L) % 7L).toInt
+    // additive index from exact integer moments (sum/count per dow and
+    // overall), divisions in the same order as the oracle SQL
+    val totN = daily.map(_._2).sum
+    val byDow = daily.groupBy(d => dowOf(d._1))
+      .map { case (d, rows) => d -> (rows.map(_._2).sum, rows.length) }
+    val idx: Map[Int, Double] = byDow.map { case (d, (sn, cn)) =>
+      d -> (sn.toDouble / cn.toDouble - totN.toDouble / daily.length.toDouble)
+    }
+    val zs = daily.map { case (day, n) => n.toDouble - idx(dowOf(day)) }
+    var s = zs(0)
+    var b = zs(1) - zs(0)
+    val fits = Array.newBuilder[(String, String, Long, Double)]
+    fits += ((daily(0)._1, "fit", daily(0)._2,
+      pround4(zs(0) + idx(dowOf(daily(0)._1)))))
+    for (t <- 1 until daily.length) {
+      val yhat = (s + b) + idx(dowOf(daily(t)._1))
+      val sNew = alpha * zs(t) + (1 - alpha) * (s + b)
+      b = beta * (sNew - s) + (1 - beta) * b
+      s = sNew
+      fits += ((daily(t)._1, "fit", daily(t)._2, pround4(yhat)))
+    }
+    val lastDay = java.time.LocalDate.parse(daily.last._1)
+    val fc = (1 to horizon).map { h =>
+      val d = lastDay.plusDays(h.toLong).toString
+      (d, "forecast", 0L, pround4((s + h.toDouble * b) + idx(dowOf(d))))
+    }
+    import spark.implicits._
+    (fits.result().toSeq ++ fc)
+      .toDF("day", "kind", "n_events", "yhat")
+      .orderBy("day")
+  }
+
   /** Audience overlap via theta sketches: for every pair of event
     * types, the (approximate) distinct-user intersection, union, and
     * Jaccard — the "did A-users also do B" readout whose exact form is

@@ -1265,6 +1265,25 @@ object Suite {
   def evtHolt(s: SparkSession, dir: String): DataFrame =
     Events.holtLinear(t(s, dir, "events"))
 
+  /** Weekday-seasonal Holt forecast (decompose + level/trend). */
+  def evtHoltWinters(s: SparkSession, dir: String): DataFrame =
+    Events.holtWinters(t(s, dir, "events"))
+
+  /** Pairwise categorical association (bias-corrected V + Theil's U)
+    * over priority/status/segment/nation. */
+  def dqAssoc(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .select("o_orderpriority", "o_orderstatus", "c_mktsegment", "n_name")
+    DataQuality.assocMatrix(base,
+      Seq("o_orderpriority", "o_orderstatus", "c_mktsegment", "n_name"))
+  }
+
+  /** MinHash estimate-vs-exact-jaccard error table (portable slots). */
+  def dedupMinhashEstErr(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashEstErr(t(s, dir, "documents"))
+
   /** Cumulative gains/lift by score decile (the feat_auc framing). */
   def featGains(s: SparkSession, dir: String): DataFrame =
     Features.gainsChart(t(s, dir, "documents"))

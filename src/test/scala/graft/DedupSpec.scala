@@ -380,4 +380,30 @@ class DedupSpec extends SparkTestBase {
     // query 1's best is the dist-2 original, not the dist-3 plural
     assert(out(1L)._1 == 0L && out(1L)._2 == 2L)
   }
+
+  test("minhashEstErr: planted twin, identical, and disjoint pairs bracket the estimate") {
+    // doc 0 (30 distinct tokens, 0 % 11 == 0) gains a twin trimmed by
+    // 1 + 30*1 div 20 = 2 tokens: 28 grams vs 26, all 26 shared ->
+    // jaccard 26/28. docs 5 == 6 (identical, background pair via
+    // 5 % 5 == 0): est = jac = 1. docs 10/11 disjoint: jac = 0 and no
+    // slot-min collision -> est = 0.
+    val docs = Seq(
+      (0L, (0 until 30).map(i => s"t$i").mkString(" ")),
+      (5L, (0 until 15).map(i => s"c$i").mkString(" ")),
+      (6L, (0 until 15).map(i => s"c$i").mkString(" ")),
+      (10L, (0 until 10).map(i => s"x$i").mkString(" ")),
+      (11L, (0 until 10).map(i => s"y$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashEstErr(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(out.map(t => (t._1, t._2)).toSeq ==
+      Seq((0L, 1000000L), (5L, 6L), (10L, 11L)))
+    val twin = out(0)
+    assert((twin._3, twin._4) == (28L, 26L))
+    assert(twin._6 == math.floor(26.0 / 28.0 * 10000.0 + 0.5) / 10000.0)
+    assert(twin._5 >= 0.5 && twin._5 <= 1.0) // 16-slot estimate near 0.93
+    assert(out(1) == (5L, 6L, 13L, 13L, 1.0, 1.0, 0.0))
+    assert((out(2)._5, out(2)._6) == (0.0, 0.0))
+  }
 }

@@ -1154,4 +1154,29 @@ class EventsSpec extends SparkTestBase {
     assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)) ==
       ((2L, 4L, 4.0, 0.6667)))
   }
+
+  test("holtWinters: a pure weekly pattern forecasts itself exactly") {
+    // Two identical weeks starting Monday 2024-01-01: count on weekday
+    // d is 2+d. The dow index is then exactly (2+d) - 5, every
+    // deseasonalized value is 5, the recursion holds (s, b) = (5, 0),
+    // and every fit AND forecast reproduces the weekly pattern exactly
+    // (all arithmetic dyadic-exact, so pround4 is the identity).
+    val rows = (0 until 14).flatMap { day =>
+      val date = java.time.LocalDate.of(2024, 1, 1).plusDays(day.toLong)
+      val n = 2 + day % 7
+      (0 until n).map(i => (day * 100L + i,
+        Timestamp.valueOf(s"$date 10:${"%02d".format(i)}:00")))
+    }.toDF("event_id", "ts")
+    val out = Events.holtWinters(rows).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length == 21)
+    out.take(14).zipWithIndex.foreach { case ((day, kind, n, yhat), i) =>
+      assert(kind == "fit" && n == (2 + i % 7).toLong && yhat == n.toDouble,
+        s"fit row $i: $day $n $yhat")
+    }
+    out.drop(14).zipWithIndex.foreach { case ((day, kind, n, yhat), h) =>
+      assert(kind == "forecast" && n == 0L && yhat == (2 + h % 7).toDouble,
+        s"forecast row $h: $day $yhat")
+    }
+  }
 }

@@ -486,4 +486,30 @@ class QualitySpec extends SparkTestBase {
       ("o_orderpriority", 2L, 2L, 1L, 1L),
       ("o_orderstatus", 1L, 1L, 0L, 0L)))
   }
+
+  test("assocMatrix: perfect determination scores 1.0 on every metric") {
+    // x fully determines y and vice versa: chi2 = n, phi2 = 1,
+    // phi2corr = 1 - 1/(n-1) = rcorr - 1 = ccorr - 1 -> Vcorr = 1;
+    // H(X|Y) = H(Y|X) = 0 -> both Theil U = 1
+    val df = Seq(("a", "p"), ("a", "p"), ("b", "q"), ("b", "q"),
+      ("a", "p"), ("b", "q")).toDF("x", "y")
+    val out = DataQuality.assocMatrix(df, Seq("x", "y")).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getString(0), r.getString(1)) == ("x", "y"))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) == (2L, 2L, 6L))
+    assert((r.getDouble(5), r.getDouble(6), r.getDouble(7)) == (1.0, 1.0, 1.0))
+  }
+
+  test("assocMatrix: independent uniform columns score 0.0, pairs enumerate i<j") {
+    // perfectly balanced 2x2 -> chi2 = 0 -> phi2corr clamps to 0;
+    // H(X|Y) = H(X) -> U = 0. Third column checks pair enumeration.
+    val df = Seq(("a", "p", "k"), ("a", "q", "k"), ("b", "p", "k"),
+      ("b", "q", "k")).toDF("x", "y", "z")
+    val out = DataQuality.assocMatrix(df, Seq("x", "y", "z")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(5)))
+    assert(out.map(t => (t._1, t._2)).toSeq ==
+      Seq(("x", "y"), ("x", "z"), ("y", "z")))
+    assert(out.head._3 == 0.0) // the balanced x-y pair
+  }
 }
