@@ -151,6 +151,7 @@ object SparkEntry {
     "dedup_minhash_est_err" -> (Suite.dedupMinhashEstErr _),
     "feat_gains" -> (Suite.featGains _),
     "feat_calibration" -> (Suite.featCalibration _),
+    "feat_brier" -> (Suite.featBrier _),
     "evt_hazard" -> (Suite.evtHazard _),
     "text_lexdiv" -> (Suite.textLexdiv _),
     "evt_uplift" -> (Suite.evtUplift _),
@@ -909,6 +910,50 @@ object SparkEntry {
         |FROM u ORDER BY day""".stripMargin,
     "dq_assoc" -> assocSql,
     "dedup_minhash_est_err" -> minhashEstSql,
+    // integer bins, BIGINT-exact per-row squares; the REL/RES sums
+    // replay the driver's ascending-bin fold as a cumulative window
+    // (frame order = identical left-to-right double accumulation)
+    "feat_brier" ->
+      """WITH l AS (SELECT n_chars,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS o
+        |  FROM documents WHERE lang IS NOT NULL),
+        |mm AS (SELECT CAST(min(n_chars) AS BIGINT) AS lo,
+        |    CAST(max(n_chars) AS BIGINT) AS hi FROM l),
+        |b AS (SELECT least(9, ((l.n_chars - mm.lo) * 10) // (mm.hi - mm.lo))
+        |      AS bin,
+        |    l.n_chars - mm.lo AS a, l.o AS o, mm.hi - mm.lo AS d
+        |  FROM l CROSS JOIN mm),
+        |per AS (SELECT bin, CAST(count(*) AS BIGINT) AS nk,
+        |    CAST(sum(a) AS BIGINT) AS sk, CAST(sum(o) AS BIGINT) AS pk,
+        |    CAST(sum((a - o * d) * (a - o * d)) AS BIGINT) AS sqk,
+        |    max(d) AS d
+        |  FROM b GROUP BY bin),
+        |tot AS (SELECT CAST(sum(nk) AS BIGINT) AS n,
+        |    CAST(sum(pk) AS BIGINT) AS np, CAST(sum(sqk) AS BIGINT) AS sq,
+        |    max(d) AS d FROM per),
+        |cum AS (SELECT bin,
+        |    sum(CAST(sk - pk * t.d AS DOUBLE) * CAST(sk - pk * t.d AS DOUBLE)
+        |      / (CAST(nk AS DOUBLE) * (CAST(t.d AS DOUBLE) * CAST(t.d AS DOUBLE))
+        |        * CAST(t.n AS DOUBLE))) OVER w AS rel,
+        |    sum(CAST(pk * t.n - t.np * nk AS DOUBLE)
+        |      * CAST(pk * t.n - t.np * nk AS DOUBLE)
+        |      / (CAST(nk AS DOUBLE) * (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE))
+        |        * CAST(t.n AS DOUBLE))) OVER w AS res
+        |  FROM per CROSS JOIN tot t
+        |  WINDOW w AS (ORDER BY bin ROWS UNBOUNDED PRECEDING)),
+        |fin AS (SELECT rel, res FROM cum ORDER BY bin DESC LIMIT 1)
+        |SELECT t.n AS n_docs, t.np AS n_pos,
+        |  CAST(floor(CAST(t.sq AS DOUBLE) / (CAST(t.n AS DOUBLE)
+        |    * (CAST(t.d AS DOUBLE) * CAST(t.d AS DOUBLE)))
+        |    * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS brier,
+        |  CAST(floor(fin.rel * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0
+        |    AS reliability,
+        |  CAST(floor(fin.res * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0
+        |    AS resolution,
+        |  CAST(floor((CAST(t.np AS DOUBLE) / CAST(t.n AS DOUBLE))
+        |    * (1e0 - CAST(t.np AS DOUBLE) / CAST(t.n AS DOUBLE))
+        |    * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS uncertainty
+        |FROM tot t CROSS JOIN fin""".stripMargin,
     // exact-integer counts end-to-end: the decile is DuckDB's native
     // ntile (Rank.ntileExact is bit-identical to it), cumulative sums
     // fold integers, and only the final two ratios are floats

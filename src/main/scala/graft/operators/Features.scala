@@ -383,6 +383,68 @@ object Features {
       .orderBy("tile")
   }
 
+  /** Brier score + Murphy decomposition — the probabilistic-forecast
+    * audit [[calibrationTable]] shows per-bin and this reduces to the
+    * three numbers that diagnose a scorer: RELIABILITY (calibration
+    * error, want ≈0), RESOLUTION (how far bin outcome rates move from
+    * the base rate, want large), UNCERTAINTY (the irreducible
+    * ō(1−ō)). Identity: the binned forecast's Brier score equals
+    * REL − RES + UNC exactly; `brier` is the RAW min-max-normalized
+    * score's, whose gap to the identity is within-bin variance (shown
+    * by the spec, intentionally not a column). Same framing as
+    * feat_auc/gains: label = (lang = 'en'), forecast = min-max-
+    * normalized n_chars.
+    *
+    * Scale shape: one min/max fold, then ONE conditional-aggregate fold
+    * to ≤`buckets` rows of exact integer moments (bin as pure integer
+    * arithmetic — no float decides membership; per-row squared terms
+    * stay BIGINT-exact: (a−o·d)² ≤ d² ≈ 10⁸); the decomposition folds
+    * the collected bucket dimension driver-side in ASCENDING bin order
+    * (the oracle's cumulative window replays the identical
+    * left-to-right double accumulation — bit-identical sums, the
+    * frame-order rule). Term magnitudes stay double-exact to corpus
+    * ~2⁵³/(N·d) rows. */
+  def brierDecomposition(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    val l = docs.filter(col("lang").isNotNull)
+      .select(col("n_chars"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("o"))
+      .persistTracked() // min/max fold + binned-moment fold
+    val mm = l.agg(min("n_chars").cast("long"), max("n_chars").cast("long")).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    require(hi > lo, s"degenerate score range [$lo, $hi]")
+    val d = hi - lo
+    val per = l
+      .select((col("n_chars") - lit(lo)).as("a"), col("o"))
+      .select(expr(s"least(${buckets - 1}, (a * $buckets) div $d)").as("bin"),
+        col("a"), col("o"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("nk"), sum(col("a")).as("sk"),
+        sum(col("o")).as("pk"),
+        sum((col("a") - col("o") * lit(d)) * (col("a") - col("o") * lit(d))).as("sqk"))
+      .collect() // bounded: <= buckets rows
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    val n = per.map(_._2).sum
+    val np = per.map(_._4).sum
+    val sq = per.map(_._5).sum
+    val (nD, dD) = (n.toDouble, d.toDouble)
+    var (rel, res) = (0.0, 0.0)
+    per.foreach { case (_, nk, sk, pk, _) =>
+      val dr = (sk - pk * d).toDouble // n_k·D·(p̄_k − ō_k)
+      val ds = (pk * n - np * nk).toDouble // n_k·N·(ō_k − ō)
+      rel += dr * dr / (nk.toDouble * (dD * dD) * nD)
+      res += ds * ds / (nk.toDouble * (nD * nD) * nD)
+    }
+    val brier = sq.toDouble / (nD * (dD * dD))
+    val unc = (np.toDouble / nD) * (1.0 - np.toDouble / nD)
+    def pround4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    import spark.implicits._
+    Seq((n, np, pround4(brier), pround4(rel), pround4(res), pround4(unc)))
+      .toDF("n_docs", "n_pos", "brier", "reliability", "resolution",
+        "uncertainty")
+  }
+
   /** Mutual information between two categorical columns — the
     * feature-selection score beside [[graft.operators.DataQuality]]'s
     * chi2/Cramer's V (chi2 tests independence; MI measures it in

@@ -687,8 +687,21 @@ object Similarity {
     * ScalaTest). For near-uniform random vectors no sub-quadratic method
     * beats a brute scan; use topKExact with a bounded query set there. */
   def annTopK(corpus: DataFrame, k: Int, dim: Int = 64, numTables: Int = 8,
-              numBits: Int = 6, seed: Long = 42L, multiProbe: Boolean = false): DataFrame = {
-    val cands = candidatePairs(corpus, dim, numTables, numBits, seed, multiProbe)
+              numBits: Int = -1, seed: Long = 42L, multiProbe: Boolean = false): DataFrame = {
+    // numBits must GROW with the corpus (like shuffle partitions): at a
+    // fixed width the bucket population is N/2^bits and the
+    // within-bucket pair work N²/2^bits — the r8 x1/x3/x10 probe
+    // measured exactly that superlinear leg at 6 fixed bits. Sizing
+    // bits to ~64 vectors per bucket keeps per-bucket work linear in N;
+    // callers tuning recall pass numBits explicitly.
+    val bits =
+      if (numBits > 0) numBits
+      else {
+        val n = corpus.count()
+        math.min(16, math.max(6,
+          math.ceil(math.log(math.max(1.0, n.toDouble / 64.0)) / math.log(2.0)).toInt))
+      }
+    val cands = candidatePairs(corpus, dim, numTables, bits, seed, multiProbe)
     rankTopK(cands, k)
   }
 

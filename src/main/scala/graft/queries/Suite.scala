@@ -1292,6 +1292,10 @@ object Suite {
   def featCalibration(s: SparkSession, dir: String): DataFrame =
     Features.calibrationTable(t(s, dir, "documents"))
 
+  /** Brier score + Murphy decomposition (the feat_auc framing). */
+  def featBrier(s: SparkSession, dir: String): DataFrame =
+    Features.brierDecomposition(t(s, dir, "documents"))
+
   /** Nelson–Aalen cumulative hazard over purchase lifetimes. */
   def evtHazard(s: SparkSession, dir: String): DataFrame =
     Monitor.nelsonAalen(

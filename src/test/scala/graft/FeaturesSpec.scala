@@ -239,4 +239,21 @@ class FeaturesSpec extends SparkTestBase {
     assert(out.length == 1)
     assert((out(0).getLong(0), out(0).getDouble(1)) == ((0L, m / 8.0)))
   }
+
+  test("brierDecomposition: perfect and inverted forecasts bracket the decomposition") {
+    // scores 0/9 normalize to p = 0/1; two docs each. Perfectly
+    // calibrated: brier = rel = 0, res = unc = 0.25. Inverting the
+    // labels flips rel to 1.0 (brier = rel - res + unc exactly).
+    def df(swap: Boolean) = Seq(
+      (1L, 0L, if (swap) "en" else "de"), (2L, 0L, if (swap) "en" else "de"),
+      (3L, 9L, if (swap) "de" else "en"), (4L, 9L, if (swap) "de" else "en"))
+      .toDF("doc_id", "n_chars", "lang")
+    val good = Features.brierDecomposition(df(swap = false)).collect().head
+    assert((good.getLong(0), good.getLong(1)) == (4L, 2L))
+    assert((good.getDouble(2), good.getDouble(3), good.getDouble(4),
+      good.getDouble(5)) == (0.0, 0.0, 0.25, 0.25))
+    val bad = Features.brierDecomposition(df(swap = true)).collect().head
+    assert((bad.getDouble(2), bad.getDouble(3), bad.getDouble(4),
+      bad.getDouble(5)) == (1.0, 1.0, 0.25, 0.25))
+  }
 }
