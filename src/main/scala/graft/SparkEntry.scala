@@ -147,6 +147,9 @@ object SparkEntry {
     "evt_forecast_snaive" -> (Suite.evtForecastSnaive _),
     "evt_holt" -> (Suite.evtHolt _),
     "evt_holt_winters" -> (Suite.evtHoltWinters _),
+    "evt_backtest" -> (Suite.evtBacktest _),
+    "dedup_simhash_scale" -> (Suite.dedupSimhashScale _),
+    "dq_wasserstein" -> (Suite.dqWasserstein _),
     "dq_assoc" -> (Suite.dqAssoc _),
     "dedup_minhash_est_err" -> (Suite.dedupMinhashEstErr _),
     "feat_gains" -> (Suite.featGains _),
@@ -910,6 +913,91 @@ object SparkEntry {
         |FROM u ORDER BY day""".stripMargin,
     "dq_assoc" -> assocSql,
     "dedup_minhash_est_err" -> minhashEstSql,
+    // the evt_holt recursion refit on the train PREFIX; per-model error
+    // terms accumulate in a per-model frame-order window (the driver's
+    // ascending-h fold, bit-identical)
+    "evt_backtest" ->
+      """WITH RECURSIVE
+        |dd AS (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+        |    AS d, count(*) AS n FROM events GROUP BY 1),
+        |ix AS MATERIALIZED (SELECT n,
+        |  CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i FROM dd),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS na FROM ix),
+        |tr AS MATERIALIZED (SELECT i, n FROM ix CROSS JOIN nn
+        |  WHERE i <= na - 7),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS ntr,
+        |    CAST(sum(n) AS BIGINT) AS ts FROM tr),
+        |x12 AS (SELECT max(CASE WHEN i = 1 THEN CAST(n AS DOUBLE) END) AS x1,
+        |    max(CASE WHEN i = 2 THEN CAST(n AS DOUBLE) END) AS x2
+        |  FROM tr WHERE i <= 2),
+        |rec(i, s, b) AS (
+        |  SELECT CAST(1 AS BIGINT), x1, x2 - x1 FROM x12
+        |  UNION ALL
+        |  SELECT r.i + 1,
+        |    0.5e0 * CAST(t.n AS DOUBLE) + 0.5e0 * (r.s + r.b),
+        |    0.25e0 * ((0.5e0 * CAST(t.n AS DOUBLE) + 0.5e0 * (r.s + r.b))
+        |      - r.s) + 0.75e0 * r.b
+        |  FROM rec r JOIN tr t ON t.i = r.i + 1),
+        |fin AS (SELECT s, b FROM rec ORDER BY i DESC LIMIT 1),
+        |hs AS (SELECT unnest(generate_series(1, 7)) AS h),
+        |te AS (SELECT hs.h, CAST(ix.n AS DOUBLE) AS y FROM hs
+        |  JOIN ix ON ix.i = (SELECT ntr FROM nt) + hs.h),
+        |er AS (
+        |  SELECT 'holt' AS model, te.h,
+        |      (fin.s + CAST(te.h AS DOUBLE) * fin.b) - te.y AS e, te.y AS y
+        |    FROM te CROSS JOIN fin
+        |  UNION ALL
+        |  SELECT 'mean', te.h,
+        |      (SELECT CAST(ts AS DOUBLE) / CAST(ntr AS DOUBLE) FROM nt) - te.y,
+        |      te.y
+        |    FROM te
+        |  UNION ALL
+        |  SELECT 'snaive', te.h, CAST(tr.n AS DOUBLE) - te.y, te.y
+        |    FROM te JOIN tr
+        |      ON tr.i = (SELECT ntr FROM nt) - 6 + ((te.h - 1) % 7)),
+        |cm AS (SELECT model, h,
+        |    sum(abs(e)) OVER w AS ae, sum(e * e) OVER w AS se,
+        |    sum(abs(e) / y) OVER w AS pe
+        |  FROM er
+        |  WINDOW w AS (PARTITION BY model ORDER BY h ROWS UNBOUNDED PRECEDING))
+        |SELECT model, (SELECT ntr FROM nt) AS n_train,
+        |  CAST(7 AS BIGINT) AS n_test,
+        |  CAST(floor(ae / 7e0 * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0
+        |    AS mae,
+        |  CAST(floor(sqrt(se / 7e0) * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0
+        |    AS rmse,
+        |  CAST(floor(pe / 7e0 * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0
+        |    AS mape
+        |FROM cm WHERE h = 7 ORDER BY model""".stripMargin,
+    // integer-cents CDF staircase; the integral numerator stays BIGINT
+    // (|cum_r·Nc − cum_c·Nr|·gap), one float division at the edge
+    "dq_wasserstein" ->
+      """WITH c AS (SELECT event_type,
+        |    CASE WHEN date_part('day', CAST(ts AS TIMESTAMP)) <= 15
+        |      THEN 1 ELSE 0 END AS ref,
+        |    CAST(floor(value * 100e0 + 0.5e0) AS BIGINT) AS cent
+        |  FROM events),
+        |per AS (SELECT event_type, cent, CAST(sum(ref) AS BIGINT) AS nr,
+        |    CAST(sum(1 - ref) AS BIGINT) AS nc
+        |  FROM c GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(sum(nr) AS BIGINT) AS tr,
+        |    CAST(sum(nc) AS BIGINT) AS tc FROM per GROUP BY 1),
+        |cum AS (SELECT event_type, cent,
+        |    CAST(sum(nr) OVER w AS BIGINT) AS cr,
+        |    CAST(sum(nc) OVER w AS BIGINT) AS cc,
+        |    lead(cent) OVER (PARTITION BY event_type ORDER BY cent) AS nxt
+        |  FROM per
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY cent
+        |    ROWS UNBOUNDED PRECEDING))
+        |SELECT cum.event_type, t.tr AS n_ref, t.tc AS n_cur,
+        |  CAST(floor(CAST(sum(abs(cr * t.tc - cc * t.tr) * (nxt - cent))
+        |      AS DOUBLE)
+        |    / (CAST(t.tr AS DOUBLE) * CAST(t.tc AS DOUBLE) * 100e0)
+        |    * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS w1
+        |FROM cum JOIN tot t USING (event_type)
+        |WHERE nxt IS NOT NULL AND t.tr > 0 AND t.tc > 0
+        |GROUP BY cum.event_type, t.tr, t.tc
+        |ORDER BY event_type""".stripMargin,
     // integer bins, BIGINT-exact per-row squares; the REL/RES sums
     // replay the driver's ascending-bin fold as a cumulative window
     // (frame order = identical left-to-right double accumulation)
@@ -2819,7 +2907,7 @@ object SparkEntry {
          |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
          |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
          |q AS (SELECT doc_id AS query_id, array_to_string(($toksSql)[1:8], ' ') AS qtext
-         |  FROM documents WHERE doc_id % 97 = 0),
+         |  FROM documents WHERE doc_id % 97 = 0 AND doc_id < 5000),
          |qt AS (SELECT DISTINCT query_id,
          |    unnest(list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) AS term
          |  FROM q),

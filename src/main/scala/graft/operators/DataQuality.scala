@@ -540,6 +540,47 @@ object DataQuality {
       .orderBy(groupCols.map(col): _*)
   }
 
+  /** Wasserstein-1 distribution drift per event type — the MAGNITUDE
+    * companion to [[valueDrift]]'s PSI and dq_ks_test's sup-norm: W1 =
+    * ∫|F_ref − F_cur| is the average value-shift in value units (an
+    * interpretable "the distribution moved $0.73"), robust where PSI
+    * needs populated bins and KS saturates. Same ref/cur halves as the
+    * PSI monitor (day-of-month ≤ 15).
+    *
+    * Scale shape: values fold to the INTEGER-CENT domain (one corpus
+    * shuffle to ≤10⁴ cells per type — a value-domain bound, not a row
+    * bound); the CDF windows run per-type over that bounded domain.
+    * The integral is kept INTEGER-EXACT to the last step: Σ |cum_ref·
+    * N_cur − cum_cur·N_ref| · gap is a BIGINT (≤ N²·range ≈ 10¹⁷ at
+    * sf1), divided by N_ref·N_cur·100 only at the output edge. */
+  def wassersteinDrift(events: DataFrame): DataFrame = {
+    val byCent = events
+      .select(col("event_type"),
+        when(dayofmonth(col("ts")) <= 15, 1L).otherwise(0L).as("ref"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cent"))
+      .groupBy("event_type", "cent")
+      .agg(sum(col("ref")).as("nr"), sum(lit(1L) - col("ref")).as("nc"))
+    val tot = byCent.groupBy("event_type")
+      .agg(sum("nr").as("tr"), sum("nc").as("tc"))
+    val ord = Window.partitionBy("event_type").orderBy("cent")
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stepped = byCent
+      .withColumn("cr", sum("nr").over(cum))
+      .withColumn("cc", sum("nc").over(cum))
+      .withColumn("nxt", lead("cent", 1).over(ord))
+      .filter(col("nxt").isNotNull)
+    stepped.join(tot, "event_type")
+      .filter(col("tr") > 0L && col("tc") > 0L)
+      .groupBy("event_type", "tr", "tc")
+      .agg(sum(abs(col("cr") * col("tc") - col("cc") * col("tr"))
+        * (col("nxt") - col("cent"))).as("num"))
+      .select(col("event_type"), col("tr").as("n_ref"), col("tc").as("n_cur"),
+        Num.pround(col("num").cast("double")
+          / (col("tr").cast("double") * col("tc").cast("double") * lit(100.0)), 4)
+          .as("w1"))
+      .orderBy("event_type")
+  }
+
   /** Chi-square test of independence between two categorical columns —
     * the standard "are these dimensions correlated?" audit (segment ×
     * status, source × language). Emits the statistic, degrees of

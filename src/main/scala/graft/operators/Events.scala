@@ -1046,6 +1046,70 @@ object Events {
       .orderBy("day")
   }
 
+  /** Rolling-origin forecast backtest — the model-selection readout the
+    * forecast family (snaive / [[holtLinear]] / mean) needs before
+    * anyone trusts a 7-day projection: hold out the LAST `horizon`
+    * observed days, fit each model on the prefix, score the holdout.
+    * MAE/RMSE/MAPE per model in one table; the winner is an argmin the
+    * READER makes — no float comparison decides a row. Day indexing
+    * follows the family convention (the observed day sequence, gaps
+    * collapse — evt_holt's contract).
+    *
+    * Scale shape: identical to [[holtLinear]] — one corpus fold to the
+    * bounded DAY DIMENSION, the sequential fits + 3×horizon error terms
+    * fold driver-side in ascending-h order (the oracle replays them as
+    * frame-order cumulative windows — bit-identical accumulation), and
+    * the 3-row table re-parallelizes. */
+  def forecastBacktest(events: DataFrame, horizon: Int = 7,
+                       alpha: Double = 0.5, beta: Double = 0.25): DataFrame = {
+    val spark = events.sparkSession
+    val daily = events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("day")
+      .select(col("n"))
+      .collect() // bounded: day-dimension (the holtLinear precedent)
+      .map(_.getLong(0))
+    val nAll = daily.length
+    require(nAll >= horizon + 9, // snaive needs 7 lags + holt needs 2
+      s"backtest needs >= ${horizon + 9} days, got $nAll")
+    val train = daily.take(nAll - horizon)
+    val test = daily.drop(nAll - horizon)
+    val nT = train.length
+    // holt fit on the train prefix (identical recursion to holtLinear)
+    var s = train(0).toDouble
+    var b = train(1).toDouble - train(0).toDouble
+    for (t <- 1 until nT) {
+      val sNew = alpha * train(t).toDouble + (1 - alpha) * (s + b)
+      b = beta * (sNew - s) + (1 - beta) * b
+      s = sNew
+    }
+    val trainMean = train.sum.toDouble / nT.toDouble
+    def pround4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    def score(yhat: Int => Double): (Double, Double, Double) = {
+      var (ae, se, pe) = (0.0, 0.0, 0.0)
+      for (h <- 1 to horizon) { // ascending-h: the oracle's frame order
+        val y = test(h - 1).toDouble
+        val e = yhat(h) - y
+        ae += math.abs(e)
+        se += e * e
+        pe += math.abs(e) / y
+      }
+      val hD = horizon.toDouble
+      (pround4(ae / hD), pround4(math.sqrt(se / hD)), pround4(pe / hD))
+    }
+    val rows = Seq(
+      ("holt", score(h => s + h.toDouble * b)),
+      ("mean", score(_ => trainMean)),
+      // seasonal-naive: repeat the last 7 train days
+      ("snaive", score(h => train(nT - 7 + ((h - 1) % 7)).toDouble)))
+      .map { case (m, (mae, rmse, mape)) =>
+        (m, nT.toLong, horizon.toLong, mae, rmse, mape) }
+    import spark.implicits._
+    rows.toDF("model", "n_train", "n_test", "mae", "rmse", "mape")
+      .orderBy("model")
+  }
+
   /** Audience overlap via theta sketches: for every pair of event
     * types, the (approximate) distinct-user intersection, union, and
     * Jaccard — the "did A-users also do B" readout whose exact form is

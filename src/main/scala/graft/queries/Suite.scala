@@ -528,6 +528,24 @@ object Suite {
     Dedup.simhashVerified(d.union(planted), maxHamming = 3)
   }
 
+  /** The 100 TB simhash face, registered so the scale probe benches the
+    * path production runs: 64-bit row-local xxhash64 signatures
+    * ([[Dedup.simhashPairs]], native SimHash expression — no explode,
+    * no shuffle to sign) banded 4×16 bits = 2^16 buckets per chunk,
+    * collision-sparse at any corpus size — unlike `dedup_simhash`'s
+    * portable 32-bit ORACLE twin, whose 4×8 banding (256 buckets, the
+    * documented bounded-corpus end of the chunk trade-off) is
+    * quadratic-bound by construction and exists to let DuckDB replay
+    * every bit. Same planted twins; rows-only (xxhash64 has no DuckDB
+    * twin) — bit-level coverage lives in the SimHash parity spec. */
+  def dedupSimhashScale(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = d.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" tail")).as("text"))
+    Dedup.simhashPairs(d.union(planted), maxHamming = 3, numChunks = 4)
+  }
+
   /** LSH-candidates + exact-Jaccard verification, oracle-anchored against
     * DuckDB's brute-force all-pairs exact Jaccard at the same threshold:
     * hash equality proves zero false positives AND full recall on this
@@ -758,7 +776,12 @@ object Suite {
     * (retrieval sanity is visible in the output, not just nonzero). */
   def textBm25(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-    val q = d.filter(col("doc_id") % 97 === 0)
+    // the query set must stay BOUNDED as the corpus grows (the bm25
+    // contract): an unbounded %-sample made the scored pair count
+    // O(N²/97) — the r8 x30 probe measured exactly that. The id cap is
+    // a no-op at gate SF (all doc_ids < 5000) and pins |queries| ≤ 52
+    // at any corpus size; the oracle mirrors it.
+    val q = d.filter(col("doc_id") % 97 === 0 && col("doc_id") < 5000L)
       .select(col("doc_id").as("query_id"),
         concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 8)).as("qtext"))
     TextOps.bm25(d, q)
@@ -1268,6 +1291,14 @@ object Suite {
   /** Weekday-seasonal Holt forecast (decompose + level/trend). */
   def evtHoltWinters(s: SparkSession, dir: String): DataFrame =
     Events.holtWinters(t(s, dir, "events"))
+
+  /** Rolling-origin backtest of the forecast family (holt/mean/snaive). */
+  def evtBacktest(s: SparkSession, dir: String): DataFrame =
+    Events.forecastBacktest(t(s, dir, "events"))
+
+  /** Wasserstein-1 value drift per event type (ref/cur halves). */
+  def dqWasserstein(s: SparkSession, dir: String): DataFrame =
+    DataQuality.wassersteinDrift(t(s, dir, "events"))
 
   /** Pairwise categorical association (bias-corrected V + Theil's U)
     * over priority/status/segment/nation. */

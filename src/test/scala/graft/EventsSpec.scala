@@ -1179,4 +1179,24 @@ class EventsSpec extends SparkTestBase {
         s"forecast row $h: $day $yhat")
     }
   }
+
+  test("forecastBacktest: holt is exact on a linear series, mean/snaive pay their bias") {
+    // daily counts 1..16; train = 1..9, test = 10..16. Holt with
+    // alpha=.5/beta=.25 tracks a linear series exactly -> zero error.
+    // snaive repeats train days 3..9 -> every error is -7. mean = 5.
+    val rows = (1 to 16).flatMap { t =>
+      (1 to t).map(i => (t * 100L + i,
+        Timestamp.valueOf(f"2024-01-$t%02d 10:00:${i % 60}%02d")))
+    }.toDF("event_id", "ts")
+    val out = Events.forecastBacktest(rows).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    def p4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    def mape(err: Int => Double) =
+      p4((1 to 7).map(h => math.abs(err(h)) / (9.0 + h)).sum / 7.0)
+    assert(out(0) == ("holt", 9L, 7L, 0.0, 0.0, 0.0))
+    assert(out(1) == ("mean", 9L, 7L, 8.0, p4(math.sqrt(476.0 / 7.0)),
+      mape(h => 4.0 + h)))
+    assert(out(2) == ("snaive", 9L, 7L, 7.0, 7.0, mape(_ => 7.0)))
+  }
 }

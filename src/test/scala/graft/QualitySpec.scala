@@ -512,4 +512,19 @@ class QualitySpec extends SparkTestBase {
       Seq(("x", "y"), ("x", "z"), ("y", "z")))
     assert(out.head._3 == 0.0) // the balanced x-y pair
   }
+
+  test("wassersteinDrift: a unit value shift measures exactly 1.0; one-sided types drop") {
+    // type a: ref half all 1.00, cur half all 2.00 -> the CDFs differ
+    // by 1 over a 100-cent gap: W1 = 1.0 exactly. type b exists only
+    // in the ref half -> filtered (no comparison possible).
+    import java.sql.Timestamp
+    val rows =
+      (1 to 4).map(i => (i.toLong, Timestamp.valueOf(s"2024-01-0$i 10:00:00"), "a", 1.0)) ++
+      (1 to 4).map(i => (10L + i, Timestamp.valueOf(s"2024-01-2$i 10:00:00"), "a", 2.0)) ++
+      Seq((20L, Timestamp.valueOf("2024-01-03 10:00:00"), "b", 9.0))
+    val df = rows.toDF("event_id", "ts", "event_type", "value")
+    val out = DataQuality.wassersteinDrift(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(("a", 4L, 4L, 1.0)))
+  }
 }
