@@ -465,7 +465,19 @@ object SparkEntry {
   /** Categorical-association oracle: per column pair, the full-grid χ²
     * (empty cells included), the three n·ln(n) entropy moments, and the
     * identical bias-corrected-V / Theil's-U scalar expressions of
-    * DataQuality.assocMatrix, generated per pair. */
+    * DataQuality.assocMatrix, generated per pair.
+    *
+    * ACCEPTED ROUNDING RISK (re-gate after any DuckDB version bump):
+    * the χ² and n·ln(n) moments are double sums — key-sorted and
+    * driver-side on the Spark side, hash-aggregation-ordered in DuckDB —
+    * then floor-rounded at 4dp. Unlike the exact-integer-moment designs
+    * (cuped/shapley), a last-ulp accumulation shift here could in
+    * principle flip a half-boundary; the outputs are sqrt/ln-valued
+    * (irrational), so a boundary hit is measure-zero over level-count
+    * grids this small, and an exact-rational χ² would need per-cell
+    * BIGINT fractions over an lcm of all marginals (the grid is tiny but
+    * the lcm overflows 64-bit at these cardinalities). Documented risk
+    * over false precision. */
   private def assocSql: String = {
     val colsMap = Seq("o_orderpriority" -> "a", "o_orderstatus" -> "b",
       "c_mktsegment" -> "c", "n_name" -> "d")

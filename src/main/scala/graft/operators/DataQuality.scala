@@ -641,13 +641,23 @@ object DataQuality {
     * 6-row matrix re-parallelizes. Iteration orders are key-sorted so
     * the float sums are run-deterministic; the only outputs are
     * sqrt/ln-valued (irrational — the measure-zero rounding class). */
-  def assocMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def assocMatrix(df: DataFrame, cols: Seq[String],
+                  maxGridRows: Int = 100000): DataFrame = {
     require(cols.length >= 2, "assocMatrix needs >= 2 columns")
     val spark = df.sparkSession
+    // refuse-loudly bound on the driver-side grid (heavyHitters
+    // precedent): the limit(cap+1) keeps the collect itself bounded, so
+    // a high-cardinality column errors instead of driver-OOMing
     val grid = df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("o"))
-      .collect() // bounded: attribute-domain product, see scaladoc
+      .limit(maxGridRows + 1)
+      .collect() // bounded: attribute-domain product, capped above
       .map(r => (cols.indices.map(i => String.valueOf(r.get(i))).toVector,
         r.getLong(cols.length)))
+    require(grid.length <= maxGridRows,
+      s"assocMatrix level-combination grid exceeds $maxGridRows rows — " +
+        s"columns ${cols.mkString(", ")} include a high-cardinality " +
+        "attribute; assocMatrix is for bounded categorical domains " +
+        "(bucket or filter the column first, or raise maxGridRows)")
     val n = grid.map(_._2).sum
     val nD = n.toDouble
     def pround4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
@@ -665,6 +675,13 @@ object DataQuality {
       val rx = cell.groupBy(_._1._1).map { case (k, m) => k -> m.values.sum }
       val ry = cell.groupBy(_._1._2).map { case (k, m) => k -> m.values.sum }
       val (r, c) = (rx.size, ry.size)
+      // a constant column would make vCorr = sqrt(0/0) and Theil's
+      // U = 0/0 — refuse with the pair named instead of emitting NaN
+      // (brierDecomposition's degenerate-range precedent)
+      require(r >= 2 && c >= 2,
+        s"assocMatrix: column pair (${cols(i)}, ${cols(j)}) needs >= 2 " +
+          s"levels on both sides (got $r x $c) — association is " +
+          "undefined against a constant column")
       val chi2 = (for {
         (kx, nx) <- rx.toSeq.sortBy(_._1)
         (ky, ny) <- ry.toSeq.sortBy(_._1)

@@ -230,12 +230,14 @@ object Dedup {
     * ≤ numChunks - 1 is GUARANTEED to share a chunk), equi-join per chunk,
     * verify with bit_count(xor).
     *
-    * Chunk-count trade-off at scale: 4×16-bit chunks give 2^16 buckets per
-    * chunk (collision-sparse, the 100 TB default) but guarantee only
-    * hamming ≤ 3; 8×8-bit chunks guarantee ≤ 7 but only 256 buckets per
-    * chunk — on a billion-doc corpus every bucket pairs ~N/256 docs, a
-    * quadratic blowup, so reserve 8-chunk mode for bounded corpora or add
-    * a within-bucket cap. For maxHamming ≥ numChunks the chunk join is
+    * Chunk-count trade-off at scale: 4×16-bit chunks guarantee hamming
+    * ≤ 3; 8×8-bit chunks guarantee ≤ 7 but leave only 256 first-level
+    * buckets. Either way the SECOND-level pigeonhole in
+    * [[simhashPairsOver]] sub-bands the remaining bits (4×16 → 2^28
+    * composite buckets, 8×8 → 8×7-bit sub-keys → 2^15), so within-bucket
+    * pair work stays ~N²/2^28 at the default — recall-exact at both
+    * levels, no fixed-width escape left (the r8 annTopK lesson applied
+    * to hamming banding). For maxHamming ≥ numChunks the chunk join is
     * best-effort candidate generation (full recall is not guaranteed) —
     * callers must opt in explicitly via bestEffort. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3, numChunks: Int = 4,
@@ -246,9 +248,26 @@ object Dedup {
     * simhash)` signature table whose hashes occupy the low `bits` bits —
     * the banding/verification half of [[simhashPairs]], factored out so
     * the 32-bit portable signature ([[simhashPortable]]) reuses the
-    * identical join shape. */
+    * identical join shape.
+    *
+    * Second-level banding (Manku/Jain/Das Sarma, WWW'07 §3 — "probe more
+    * tables with longer keys"): a pair at hamming ≤ maxHamming has, by
+    * pigeonhole, some chunk c with ZERO differing bits, and its REMAINING
+    * bits-width bits then carry ≤ maxHamming ≤ subChunks−1 diffs — so a
+    * second pigeonhole over the remaining bits split into `subChunks`
+    * sub-keys guarantees the pair also agrees on some (c, s) composite
+    * key. Candidates therefore join on (chunk, ckey, sub, skey): the key
+    * space grows from 2^width to 2^(width + remWidth/subChunks) — for the
+    * 64-bit default, 2^16 → 2^28 buckets — turning the within-bucket pair
+    * work from N²/2^16 into N²/2^28 at the cost of numChunks×subChunks
+    * exploded rows per doc. Recall is UNCHANGED (both levels are exact
+    * pigeonholes), so this is the 100 TB default, not a trade-off knob.
+    * subChunks = -1 (auto) picks maxHamming+1 when the guarantee applies
+    * and the remaining width divides; bestEffort mode keeps single-level
+    * banding (its recall is already approximate, and sub-banding would
+    * shrink it further). */
   def simhashPairsOver(sig: DataFrame, bits: Int, maxHamming: Int,
-      numChunks: Int, bestEffort: Boolean = false): DataFrame = {
+      numChunks: Int, bestEffort: Boolean = false, subChunks: Int = -1): DataFrame = {
     require(numChunks > 0 && bits % numChunks == 0,
       s"numChunks must divide $bits (got $numChunks)")
     require(maxHamming < numChunks || bestEffort,
@@ -257,17 +276,44 @@ object Dedup {
         s"for approximate higher-distance search")
     val width = bits / numChunks
     val mask = if (width == 64) -1L else (1L << width) - 1L
+    val remWidth = bits - width
+    val subC =
+      if (subChunks > 0) subChunks
+      else if (!bestEffort && maxHamming >= 1 && remWidth > 0 &&
+        remWidth % (maxHamming + 1) == 0) maxHamming + 1
+      else 1
+    require(subC == 1 || (remWidth % subC == 0 && (bestEffort || subC > maxHamming)),
+      s"subChunks=$subC must divide the remaining $remWidth bits and exceed " +
+        s"maxHamming=$maxHamming for the second pigeonhole to guarantee recall")
+    val subWidth = if (subC == 1) 0 else remWidth / subC
+    val subMask = if (subC == 1) 0L else (1L << subWidth) - 1L
     // persist: referenced on both sides of the chunk self-join (see
     // minhashCandidates) — one long per doc, negligible footprint
     val sh = sig
       .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-(c, s) key expressions generated with compile-time-constant
+    // shifts (never a shift by 64, which the JVM would take mod 64)
+    val keyStructs = for (c <- 0 until numChunks; s <- 0 until subC) yield {
+      val ckey = s"(shiftright(simhash, ${c * width}) & ${mask}L)"
+      val skey =
+        if (subC == 1) "0L"
+        else {
+          val low = if (c == 0) "0L" else s"(simhash & ${(1L << (c * width)) - 1}L)"
+          val high = if (c == numChunks - 1) "0L"
+          else s"shiftleft(shiftrightunsigned(simhash, ${(c + 1) * width}), ${c * width})"
+          s"(shiftrightunsigned($low | $high, ${s * subWidth}) & ${subMask}L)"
+        }
+      expr(s"named_struct('chunk', $c, 'sub', $s, 'ckey', $ckey, 'skey', $skey)")
+    }
     val chunked = sh.select(col("doc_id"), col("simhash"),
-      explode(expr(s"transform(sequence(0, ${numChunks - 1}), c -> " +
-        s"named_struct('chunk', c, 'ckey', shiftright(simhash, c * $width) & $mask))")).as("ck"))
-      .select(col("doc_id"), col("simhash"), col("ck.chunk").as("chunk"), col("ck.ckey").as("ckey"))
-    val a = chunked.select(col("chunk"), col("ckey"), col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
-    val b = chunked.select(col("chunk"), col("ckey"), col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
-    a.join(b, Seq("chunk", "ckey"))
+      explode(array(keyStructs: _*)).as("ck"))
+      .select(col("doc_id"), col("simhash"), col("ck.chunk").as("chunk"),
+        col("ck.sub").as("sub"), col("ck.ckey").as("ckey"), col("ck.skey").as("skey"))
+    val a = chunked.select(col("chunk"), col("sub"), col("ckey"), col("skey"),
+      col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val b = chunked.select(col("chunk"), col("sub"), col("ckey"), col("skey"),
+      col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("chunk", "sub", "ckey", "skey"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         expr("bit_count(sh_a ^ sh_b)").cast("long").as("hamming"))

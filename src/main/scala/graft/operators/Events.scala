@@ -1019,6 +1019,14 @@ object Events {
     val totN = daily.map(_._2).sum
     val byDow = daily.groupBy(d => dowOf(d._1))
       .map { case (d, rows) => d -> (rows.map(_._2).sum, rows.length) }
+    // a corpus spanning fewer than 7 distinct weekdays has no seasonal
+    // index for some forecast day — fail fast with the gap named rather
+    // than NoSuchElementException-ing on idx() below (and diverging from
+    // the oracle, whose inner join would silently DROP that forecast row)
+    require(byDow.size == 7,
+      s"holtWinters needs observations on all 7 weekdays to seasonalize " +
+        s"(got ${byDow.size}: dow ${byDow.keys.toSeq.sorted.mkString(",")}) " +
+        "— use holtLinear for sub-week corpora")
     val idx: Map[Int, Double] = byDow.map { case (d, (sn, cn)) =>
       d -> (sn.toDouble / cn.toDouble - totN.toDouble / daily.length.toDouble)
     }

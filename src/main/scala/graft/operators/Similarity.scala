@@ -688,22 +688,24 @@ object Similarity {
     * beats a brute scan; use topKExact with a bounded query set there. */
   def annTopK(corpus: DataFrame, k: Int, dim: Int = 64, numTables: Int = 8,
               numBits: Int = -1, seed: Long = 42L, multiProbe: Boolean = false): DataFrame = {
-    // numBits must GROW with the corpus (like shuffle partitions): at a
-    // fixed width the bucket population is N/2^bits and the
-    // within-bucket pair work N²/2^bits — the r8 x1/x3/x10 probe
-    // measured exactly that superlinear leg at 6 fixed bits. Sizing
-    // bits to ~64 vectors per bucket keeps per-bucket work linear in N;
-    // callers tuning recall pass numBits explicitly.
-    val bits =
-      if (numBits > 0) numBits
-      else {
-        val n = corpus.count()
-        math.min(16, math.max(6,
-          math.ceil(math.log(math.max(1.0, n.toDouble / 64.0)) / math.log(2.0)).toInt))
-      }
-    val cands = candidatePairs(corpus, dim, numTables, bits, seed, multiProbe)
+    val cands = candidatePairs(corpus, dim, numTables,
+      resolveBits(numBits, corpus.count()), seed, multiProbe)
     rankTopK(cands, k)
   }
+
+  /** Corpus-sized LSH width: numBits must GROW with the corpus (like
+    * shuffle partitions) — at a fixed width the bucket population is
+    * N/2^bits and the within-bucket pair work N²/2^bits, the superlinear
+    * leg the r8 x1/x3/x10 probe measured at 6 fixed bits. ~64 vectors
+    * per bucket keeps per-bucket work linear in N; clamp 6..16. */
+  private[graft] def lshBits(n: Long): Int =
+    math.min(16, math.max(6,
+      math.ceil(math.log(math.max(1.0, n.toDouble / 64.0)) / math.log(2.0)).toInt))
+
+  /** Explicit caller width wins (recall tuning); otherwise size to the
+    * corpus — `n` is by-name so the count job only runs when needed. */
+  private[graft] def resolveBits(numBits: Int, n: => Long): Int =
+    if (numBits > 0) numBits else lshBits(n)
 
   /** Scored, deduplicated LSH candidate pairs (both directions). */
   private def candidatePairs(corpus: DataFrame, dim: Int, numTables: Int,

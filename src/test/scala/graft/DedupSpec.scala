@@ -406,4 +406,57 @@ class DedupSpec extends SparkTestBase {
     assert(out(1) == (5L, 6L, 13L, 13L, 1.0, 1.0, 0.0))
     assert((out(2)._5, out(2)._6) == (0.0, 0.0))
   }
+
+  test("simhashPairsOver second-level banding: recall identical to single-level" +
+    " and to brute force under adversarial bit placements") {
+    val rnd = new scala.util.Random(7)
+    val bases = Vector.fill(12)(rnd.nextLong())
+    def flip(h: Long, bits: Int*) = bits.foldLeft(h)((a, b) => a ^ (1L << b))
+    // adversarial placements against the (chunk, ckey, sub, skey) key:
+    // sign bit, chunk-boundary straddles, diffs packed into one sub-key,
+    // diffs spread so every sub-key of some chunks is dirty
+    val sigs: Seq[(Long, Long)] =
+      bases.zipWithIndex.map { case (h, i) => (i * 10L, h) } ++ Seq(
+        1000L -> flip(bases(0), 5),              // hamming 1
+        1001L -> flip(bases(1), 0, 63),          // extremes incl. the sign bit
+        1002L -> flip(bases(2), 17, 33, 49),     // 3 diffs in 3 distinct chunks
+        1003L -> flip(bases(3), 0, 1, 2),        // 3 diffs packed in one sub-key
+        1004L -> flip(bases(4), 15, 16, 31),     // chunk-boundary straddle
+        1005L -> flip(bases(5), 18, 30, 40),     // diffs across the low|high stitch
+        1006L -> flip(bases(6), 3, 19, 35, 51))  // hamming 4 — must NOT pair
+    val sig = sigs.toDF("doc_id", "simhash")
+    def run(sub: Int) = Dedup.simhashPairsOver(sig, 64, 3, 4, subChunks = sub)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = (for {
+      a <- sigs; b <- sigs if a._1 < b._1
+      h = java.lang.Long.bitCount(a._2 ^ b._2) if h <= 3
+    } yield (a._1, b._1, h.toLong)).toSet
+    assert(brute.size == 6) // exactly the planted ≤3 pairs
+    assert(run(-1) == brute) // auto: sub-banded (2^28 composite keys)
+    assert(run(1) == brute)  // single-level
+    assert(run(4) == brute)  // explicit
+    // explicit sub-width that cannot guarantee recall is refused
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashPairsOver(sig, 64, 3, 4, subChunks = 2).collect()
+    }
+    assert(e.getMessage.contains("pigeonhole"))
+  }
+
+  test("simhashVerified 32-bit path sub-bands (auto) with recall intact") {
+    val unrelated =
+      "completely different content about spark query engines and distributed columnar storage systems at scale"
+    val nearDup = base.replace("lazy", "sleepy")
+    val d = docs(1L -> base, 2L -> base, 3L -> unrelated, 4L -> nearDup)
+    // brute force over the portable signatures
+    val sig = Dedup.simhashPortable(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    val brute = (for {
+      a <- sig; b <- sig if a._1 < b._1
+      h = java.lang.Long.bitCount(a._2 ^ b._2) if h <= 3
+    } yield (a._1, b._1, h.toLong)).toSet
+    val got = Dedup.simhashVerified(d, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute)
+    assert(brute.contains((1L, 2L, 0L)))
+  }
 }

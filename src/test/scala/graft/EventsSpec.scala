@@ -1199,4 +1199,15 @@ class EventsSpec extends SparkTestBase {
       mape(h => 4.0 + h)))
     assert(out(2) == ("snaive", 9L, 7L, 7.0, 7.0, mape(_ => 7.0)))
   }
+
+  test("holtWinters refuses a corpus spanning fewer than 7 distinct weekdays") {
+    // 5 days Mon-Fri: no Sat/Sun seasonal index — must fail fast, not
+    // NoSuchElementException on a forecast day's unseen dow
+    val ev = (0 until 5).flatMap { d =>
+      (0 until (d + 2)).map(i =>
+        ((d * 10 + i).toLong, ts(s"2024-01-0${d + 1} 10:0$i:00"), 1L, "view", 1.0))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val e = intercept[IllegalArgumentException] { Events.holtWinters(ev).collect() }
+    assert(e.getMessage.contains("7 weekdays"))
+  }
 }

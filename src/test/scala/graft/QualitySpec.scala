@@ -503,14 +503,15 @@ class QualitySpec extends SparkTestBase {
 
   test("assocMatrix: independent uniform columns score 0.0, pairs enumerate i<j") {
     // perfectly balanced 2x2 -> chi2 = 0 -> phi2corr clamps to 0;
-    // H(X|Y) = H(X) -> U = 0. Third column checks pair enumeration.
-    val df = Seq(("a", "p", "k"), ("a", "q", "k"), ("b", "p", "k"),
+    // H(X|Y) = H(X) -> U = 0. Third column checks pair enumeration
+    // (balanced against both others — a constant column is refused).
+    val df = Seq(("a", "p", "k"), ("a", "q", "m"), ("b", "p", "m"),
       ("b", "q", "k")).toDF("x", "y", "z")
     val out = DataQuality.assocMatrix(df, Seq("x", "y", "z")).collect()
       .map(r => (r.getString(0), r.getString(1), r.getDouble(5)))
     assert(out.map(t => (t._1, t._2)).toSeq ==
       Seq(("x", "y"), ("x", "z"), ("y", "z")))
-    assert(out.head._3 == 0.0) // the balanced x-y pair
+    assert(out.forall(_._3 == 0.0)) // every pair balanced → V = 0
   }
 
   test("wassersteinDrift: a unit value shift measures exactly 1.0; one-sided types drop") {
@@ -526,5 +527,23 @@ class QualitySpec extends SparkTestBase {
     val out = DataQuality.wassersteinDrift(df).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(out.toSeq == Seq(("a", 4L, 4L, 1.0)))
+  }
+
+  test("assocMatrix refuses a high-cardinality column instead of collecting it") {
+    val df = (1 to 500).map(i =>
+      (s"user$i", if (i % 2 == 0) "a" else "b")).toDF("hi_card", "flag")
+    val e = intercept[IllegalArgumentException] {
+      DataQuality.assocMatrix(df, Seq("hi_card", "flag"), maxGridRows = 100)
+    }
+    assert(e.getMessage.contains("high-cardinality"))
+  }
+
+  test("assocMatrix refuses a constant column instead of emitting NaN") {
+    val df = (1 to 50).map(i =>
+      (if (i % 2 == 0) "a" else "b", "const")).toDF("x", "y")
+    val e = intercept[IllegalArgumentException] {
+      DataQuality.assocMatrix(df, Seq("x", "y"))
+    }
+    assert(e.getMessage.contains("constant column"))
   }
 }

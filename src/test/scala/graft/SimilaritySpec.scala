@@ -570,4 +570,17 @@ class SimilaritySpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(out.toSeq == (0L to 3L).map(q => (q, 3L, 0.6667)))
   }
+
+  test("annTopK LSH width grows with the corpus (the r8 fixed-width fix); explicit numBits wins") {
+    // ~64 vectors/bucket: N/2^bits stays constant, so within-bucket pair
+    // work is linear in N — the clamp formula pinned against regression
+    assert(Similarity.lshBits(1L) == 6)
+    assert(Similarity.lshBits(4096L) == 6)          // 4096/64 = 2^6 → floor of the clamp
+    assert(Similarity.lshBits(4097L) == 7)          // first corpus past the clamp floor
+    assert(Similarity.lshBits(1000000L) == 14)      // ceil(log2(15625)) = 14
+    assert(Similarity.lshBits(1000000000L) == 16)   // ceiling of the clamp
+    // explicit width short-circuits: the by-name count must never run
+    assert(Similarity.resolveBits(4, sys.error("corpus count must not run")) == 4)
+    assert(Similarity.resolveBits(-1, 1000000L) == 14)
+  }
 }
