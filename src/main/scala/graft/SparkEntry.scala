@@ -5815,6 +5815,25 @@ object SparkEntry {
          |      / len(list_distinct(list_concat(sh_a, sh_b))) * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS jaccard
          |  FROM g)
          |WHERE jaccard >= 0.8e0 ORDER BY doc_a, doc_b""".stripMargin,
+    // planted-twin corpus rebuilt with the identical perturbation
+    // arithmetic, ALL pairs brute-forced at the same threshold — hash
+    // equality proves the LSH path's full recall on this corpus
+    "dedup_embedding" ->
+      """WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |tw0 AS (SELECT vec_id AS old_id, e FROM b WHERE vec_id % 7 = 0),
+        |tw AS (SELECT old_id + 1000000 AS vec_id,
+        |  list_transform(generate_series(1, 64), j ->
+        |    e[j] * (1.0e0 + CAST((old_id * 31 + (j - 1)) % 11 - 5 AS DOUBLE) / 100.0e0)) AS e
+        |  FROM tw0),
+        |u AS (SELECT * FROM b UNION ALL SELECT * FROM tw),
+        |s AS (SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+        |  list_inner_product(a.e, c.e) /
+        |    (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(c.e, c.e))) AS sim
+        |  FROM u a JOIN u c ON a.vec_id < c.vec_id)
+        |SELECT vec_a, vec_b,
+        |  CAST(floor(sim * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS sim
+        |FROM s WHERE sim >= 0.98e0
+        |ORDER BY 3 DESC, 1, 2""".stripMargin,
     "dedup_minhash_verified" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |g AS (SELECT doc_id, list_distinct(list_transform(

@@ -212,8 +212,9 @@ object Similarity {
     * The dedup-by-embedding path of an LLM data pipeline — same bucket
     * equi-join as annTopK, no all-pairs product. */
   def nearDupPairs(corpus: DataFrame, threshold: Double, dim: Int = 64,
-                   numTables: Int = 8, numBits: Int = 6, seed: Long = 42L): DataFrame =
-    candidatePairs(corpus, dim, numTables, numBits, seed, multiProbe = false)
+                   numTables: Int = 8, numBits: Int = 6, seed: Long = 42L,
+                   multiProbe: Boolean = false): DataFrame =
+    candidatePairs(corpus, dim, numTables, numBits, seed, multiProbe)
       .filter(col("sim") >= threshold && col("qid") < col("nid"))
       .select(col("qid").as("vec_a"), col("nid").as("vec_b"),
         Num.pround(col("sim"), 4).as("sim"))

@@ -624,12 +624,32 @@ object Suite {
   def simIvfTopk(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(t(s, dir, "embeddings"), k = 5, nprobe = 4)
 
-  /** Embedding-cosine near-dup pairs (rows-only; the synthetic embeddings
-    * are near-random with max pairwise cosine ≈ 0.48, so the threshold
-    * here is demonstrative — production dedup uses ~0.95, covered by the
-    * planted-cluster ScalaTest). */
-  def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
-    Similarity.nearDupPairs(t(s, dir, "embeddings"), threshold = 0.30).limit(200)
+  /** Embedding-cosine near-dup pairs over a PLANTED-TWIN corpus, full
+    * oracle (r8 verdict #6): every vec_id % 7 == 0 vector gains a twin
+    * perturbed ±5% per component by engine-replayable arithmetic
+    * (cosine ≈ 0.9995 — the ScaleGen perturbation formula), then the
+    * LSH-bucketed near-dup search (multi-probe, 8 seeded tables, 4-bit
+    * keys) runs at threshold 0.98. DuckDB rebuilds the identical corpus
+    * and brute-forces ALL pairs at the same threshold, so hash equality
+    * proves both the cosine arithmetic and FULL LSH candidate recall on
+    * this corpus (the dedup_minhash_verified pattern). The natural
+    * corpus has max pairwise cosine ≈ 0.48, so only planted twins
+    * qualify; per-twin miss probability across 8 multi-probed tables is
+    * ~1e-25 and the seeded planes make the plan fully deterministic.
+    * The twin build's interpreted HOF transform runs over 72 rows —
+    * off the hot path (production near-dup keeps the native DotProduct
+    * scoring inside the bucket join, unchanged here). */
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val twins = base.filter(pmod(col("vec_id"), lit(7)) === 0)
+      .withColumn("embedding", expr(
+        "transform(embedding, (x, j) -> x * (1.0D + " +
+          "CAST(pmod(vec_id * 31 + j, 11) - 5 AS DOUBLE) / 100.0D))"))
+      .withColumn("vec_id", col("vec_id") + lit(1000000L))
+    Similarity.nearDupPairs(base.unionAll(twins), threshold = 0.98,
+      numBits = 4, multiProbe = true)
+  }
 
   /** Per-label centroid components: posexplode the vector, aggregate by
     * (label, dim) — embedding aggregation without ever collecting vectors. */
