@@ -36,6 +36,8 @@ import graft.operators.{Profile, Render}
   *   metadata <root> explain <hash>   one item by content hash
   *   jobs <root> explain <id>         job record + recorded environment
   *   render item <t> <q> <sf> [--template <tpl>] render via a target
+  *   render pipeline <root> <n> <t>   pipeline DAG as markdown/html/
+  *                                    mermaid/script
   *   type list                        data-type catalog (name -> spark sql)
   *   info config print                effective engine configuration
   *
@@ -303,7 +305,14 @@ object Cli {
     // renderer catalog + dispatch (kiara render list-renderers / render
     // item, reference interfaces/cli/render/commands.py:60,79)
     case "render" :: "list-renderers" :: Nil =>
-      Render.renderers.map { case (n, d) => f"$n%-10s $d" }.mkString("\n")
+      (Render.renderers.map { case (n, d) => f"$n%-10s $d" } ++
+        Render.pipelineRenderers.map { case (n, d) => f"pipeline:$n%-10s $d" })
+        .mkString("\n")
+    // pipeline renderers (kiara render --source-type pipeline item,
+    // reference renderers/included_renderers/pipeline.py:60,91,197,235)
+    case "render" :: "pipeline" :: root :: name :: target :: Nil =>
+      val steps = new GraftApi(spark, root).workflows.describe(name)
+      Render.pipeline(name, steps.map(s => (s.name, s.op, s.input)), target)
     case "render" :: "item" :: target :: name :: sfDir :: rest =>
       // kiara render item --template (renderers/jinja.py): the template
       // travels as an explicit flag so row counts stay unambiguous
@@ -329,6 +338,7 @@ object Cli {
           s"|find <keyGlob>|explain <hash> | " +
           s"render list-renderers | " +
           s"render item <target> <query> <sfDir> [--template <tpl>] [rows] | " +
+          s"render pipeline <root> <name> <target> | " +
           s"run <root> <operation> <valueRef> [--save <alias>] | " +
           s"pipeline <root> list|explain <name> | " +
           s"workflow <root> list|explain <name> | " +

@@ -50,9 +50,14 @@ object GraftApi {
 class GraftApi(val spark: SparkSession, root: String) {
   import GraftApi._
 
-  val data = new DataRegistry(root)
-  val aliases = new AliasRegistry(root)
-  val lineage = new LineageRegistry(root)
+  // one bus through every mutating registry — a single subscription
+  // observes value/alias/job mutations in order (kiara
+  // registries/events/__init__.py:13 EventListener; the listeners are
+  // synchronous, so a QC hook can veto by throwing)
+  val registryEvents = new graft.registries.EventBus
+  val data = new DataRegistry(root, registryEvents)
+  val aliases = new AliasRegistry(root, registryEvents)
+  val lineage = new LineageRegistry(root, registryEvents)
   val workflows = new WorkflowRegistry(root, lineage)
   val comments = new CommentStore(root)
   val metadata = new MetadataRegistry(root)
@@ -109,6 +114,12 @@ class GraftApi(val spark: SparkSession, root: String) {
   /** retrieve_plugin_infos: every registered bundle. */
   def pluginsInfo: Seq[graft.plans.PluginRegistry.PluginInfo] =
     graft.plans.PluginRegistry.infos
+
+  /** Subscribe to registry mutations (kiara's event listener
+    * registration): the listener sees every ValueStored / AliasStored /
+    * JobRecordStored on this context, synchronously, in mutation order. */
+  def onRegistryEvent(l: graft.registries.RegistryEvents.Event => Unit): Unit =
+    registryEvents.subscribe(l)
 
   /** run_job (kiara_api.py:105): execute a registered operation on a
     * value (by alias or value id), record the job, return the result. */

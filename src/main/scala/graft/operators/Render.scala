@@ -114,4 +114,130 @@ object Render {
       .map(r => s"<tr>$r</tr>").mkString
     s"<table><thead><tr>$header</tr></thead><tbody>$body</tbody></table>"
   }
+
+  // ---- pipeline renderers ------------------------------------------------
+
+  /** Pipeline renderer catalog — kiara renders a PIPELINE (not just
+    * values) to several targets (renderers/included_renderers/pipeline.py:
+    * :60 PipelineRendererHtml, :91 Markdown, :197 PipelineInfoRenderer,
+    * :235 PythonScriptRenderer, plus the png graph renderers at :120).
+    * The `mermaid` target is the portable twin of kiara's png execution
+    * graph (same topology, text format — the sandbox renders text, not
+    * graphviz images); `script` mirrors PythonScriptRenderer with a
+    * runnable Scala snippet over OpRegistry. */
+  val pipelineRenderers: Seq[(String, String)] = Seq(
+    "markdown" -> "pipeline structure as a markdown document",
+    "html" -> "pipeline structure as a static html page",
+    "mermaid" -> "execution DAG as a mermaid graph definition",
+    "script" -> "runnable scala snippet replaying the pipeline")
+
+  /** One renderable step: (step name, op name, input name). The DAG edge
+    * is input → step; an input naming no step is a pipeline INPUT. */
+  type PipelineStep = (String, String, String)
+
+  private def pipelineInputs(steps: Seq[PipelineStep]): Seq[String] = {
+    val produced = steps.map(_._1).toSet
+    steps.map(_._3).filterNot(produced).distinct
+  }
+
+  /** Leaf steps — produced values nothing downstream consumes (kiara's
+    * pipeline output fields). */
+  private def pipelineOutputs(steps: Seq[PipelineStep]): Seq[String] = {
+    val consumed = steps.map(_._3).toSet
+    steps.map(_._1).filterNot(consumed)
+  }
+
+  /** Steps in execution order (single-input DAG topological walk —
+    * same ready-set rule as Pipeline.run, cycles reported loudly). */
+  private def topo(steps: Seq[PipelineStep]): Seq[PipelineStep] = {
+    var available = pipelineInputs(steps).toSet
+    var remaining = steps
+    var ordered = Vector.empty[PipelineStep]
+    while (remaining.nonEmpty) {
+      val (ready, blocked) = remaining.partition(s => available.contains(s._3))
+      require(ready.nonEmpty,
+        s"pipeline cannot progress (cycle or unknown input) at steps: " +
+          blocked.map(_._1).mkString(", "))
+      ordered ++= ready
+      available ++= ready.map(_._1)
+      remaining = blocked
+    }
+    ordered
+  }
+
+  /** Render a pipeline's step topology through a named target — kiara's
+    * `render --source-type pipeline item <name> <target>`. */
+  def pipeline(name: String, steps: Seq[PipelineStep], target: String): String = {
+    require(steps.nonEmpty, s"pipeline $name has no steps to render")
+    target match {
+      case "markdown" => pipelineMarkdown(name, steps)
+      case "html"     => pipelineHtml(name, steps)
+      case "mermaid"  => pipelineMermaid(name, steps)
+      case "script"   => pipelineScript(name, steps)
+      case other => throw new IllegalArgumentException(
+        s"unknown pipeline renderer: $other (available: " +
+          pipelineRenderers.map(_._1).mkString(", ") + ")")
+    }
+  }
+
+  /** kiara pipeline.md.j2 structure: title, inputs, step table, outputs. */
+  private def pipelineMarkdown(name: String, steps: Seq[PipelineStep]): String = {
+    val rows = topo(steps).map { case (s, op, in) => s"| $s | $op | $in |" }
+    (Seq(s"# pipeline: $name", "", "## inputs", "") ++
+      pipelineInputs(steps).map(i => s"- $i") ++
+      Seq("", "## steps (execution order)", "",
+        "| step | operation | input |", "| --- | --- | --- |") ++ rows ++
+      Seq("", "## outputs", "") ++
+      pipelineOutputs(steps).map(o => s"- $o")).mkString("\n")
+  }
+
+  private def pipelineHtml(name: String, steps: Seq[PipelineStep]): String = {
+    def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val ins = pipelineInputs(steps).map(i => s"<li>${esc(i)}</li>").mkString
+    val outs = pipelineOutputs(steps).map(o => s"<li>${esc(o)}</li>").mkString
+    val rows = topo(steps).map { case (s, op, in) =>
+      s"<tr><td>${esc(s)}</td><td>${esc(op)}</td><td>${esc(in)}</td></tr>"
+    }.mkString
+    s"<html><body><h1>pipeline: ${esc(name)}</h1>" +
+      s"<h2>inputs</h2><ul>$ins</ul>" +
+      "<h2>steps</h2><table><thead><tr><th>step</th><th>operation</th>" +
+      s"<th>input</th></tr></thead><tbody>$rows</tbody></table>" +
+      s"<h2>outputs</h2><ul>$outs</ul></body></html>"
+  }
+
+  /** Execution DAG as mermaid `graph TD` — node ids are positional (i0/s0)
+    * so arbitrary step names can't break mermaid syntax; labels carry the
+    * real names. Inputs render as stadium nodes, steps as boxes labeled
+    * with their operation. */
+  private def pipelineMermaid(name: String, steps: Seq[PipelineStep]): String = {
+    val ins = pipelineInputs(steps)
+    val inId = ins.zipWithIndex.map { case (n, i) => n -> s"i$i" }.toMap
+    val stepId = steps.map(_._1).zipWithIndex.map { case (n, i) => n -> s"s$i" }.toMap
+    def esc(s: String) = s.replace("\"", "#quot;")
+    val nodes =
+      ins.map(n => s"""  ${inId(n)}(["${esc(n)}"])""") ++
+        steps.map { case (s, op, _) => s"""  ${stepId(s)}["${esc(s)}<br/>${esc(op)}"]""" }
+    val edges = steps.map { case (s, _, in) =>
+      s"  ${inId.getOrElse(in, stepId(in))} --> ${stepId(s)}"
+    }
+    (s"---\ntitle: $name\n---" +: "graph TD" +: (nodes ++ edges)).mkString("\n")
+  }
+
+  /** Runnable Scala replay — kiara's PythonScriptRenderer (pipeline.py:235)
+    * emits a python script with `<TODO_SET_INPUT>` placeholders for
+    * unbound pipeline inputs; the Scala twin binds each input to a loud
+    * failure the user replaces with a real DataFrame. */
+  private def pipelineScript(name: String, steps: Seq[PipelineStep]): String = {
+    def v(s: String) = s.replace('-', '_').replace('.', '_')
+    val header = Seq(
+      s"// graft pipeline '$name' — generated replay (render pipeline $name script)",
+      "import graft.plans.OpRegistry")
+    val binds = pipelineInputs(steps).map(i =>
+      s"""val ${v(i)}: org.apache.spark.sql.DataFrame = sys.error("bind pipeline input '$i'")""")
+    val body = topo(steps).map { case (s, op, in) =>
+      s"""val ${v(s)} = OpRegistry.get("$op")(${v(in)})"""
+    }
+    val outs = pipelineOutputs(steps).map(o => s"// output: ${v(o)}")
+    (header ++ Seq("") ++ binds ++ body ++ outs).mkString("\n")
+  }
 }

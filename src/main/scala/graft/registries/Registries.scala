@@ -5,6 +5,37 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.plans.{OpRegistry, Pipeline}
 
+/** Typed registry events — kiara's registry event system (reference
+  * src/kiara/registries/events/__init__.py:13 EventListener protocol;
+  * models/events/data_registry.py:37 ValueRegisteredEvent / :47
+  * ValueStoredEvent; models/events/alias_registry.py:39
+  * AliasStoredEvent; models/events/job_registry.py:36
+  * JobRecordStoredEvent). */
+object RegistryEvents {
+  sealed trait Event
+  final case class ValueStored(id: String, path: String) extends Event
+  final case class AliasStored(alias: String, valueId: String) extends Event
+  final case class JobRecordStored(runId: String, step: String,
+                                   inputs: Seq[String]) extends Event
+}
+
+/** Synchronous listener bus the mutating registries fire into — the
+  * "run this QC hook on every new value" surface. GraftApi wires ONE
+  * bus through data/alias/lineage, so a single subscription observes
+  * every mutation in order; standalone registries default to a private
+  * bus (events go nowhere until someone subscribes to that instance).
+  * Listeners run AFTER the mutation is durable — an event is never
+  * fired for a write that then failed — and synchronously on the
+  * mutating thread (kiara's EventListener contract), so a throwing
+  * listener propagates to the caller rather than being swallowed. */
+final class EventBus {
+  private val listeners =
+    new java.util.concurrent.CopyOnWriteArrayList[RegistryEvents.Event => Unit]()
+  def subscribe(l: RegistryEvents.Event => Unit): Unit = listeners.add(l)
+  private[registries] def fire(e: RegistryEvents.Event): Unit =
+    listeners.forEach(l => l(e))
+}
+
 object DataRegistry {
   /** Value matcher (kiara_api.py:844 `list_value_ids(**matcher_params)`):
     * filter the catalog without loading any value. `idGlob` is a shell
@@ -29,7 +60,7 @@ object DataRegistry {
   * load it back, enumerate. Values live as parquet (columnar, splittable)
   * so a stored value is immediately a first-class distributed table again.
   */
-class DataRegistry(root: String) {
+class DataRegistry(root: String, bus: EventBus = new EventBus) {
   // same id validation on every path that touches the filesystem — a raw
   // alias target like "../x" must not escape the registry root
   private def dir(id: String) = {
@@ -40,6 +71,7 @@ class DataRegistry(root: String) {
 
   def store(id: String, df: DataFrame): String = {
     df.write.mode("overwrite").parquet(dir(id))
+    bus.fire(RegistryEvents.ValueStored(id, dir(id)))
     id
   }
   def load(spark: SparkSession, id: String): DataFrame = spark.read.parquet(dir(id))
@@ -65,7 +97,7 @@ class DataRegistry(root: String) {
 
 /** Alias registry (kiara registries/aliases/): human names → value ids,
   * persisted as a flat properties file. */
-class AliasRegistry(root: String) {
+class AliasRegistry(root: String, bus: EventBus = new EventBus) {
   private val file = Paths.get(s"$root/aliases.properties")
   Files.createDirectories(Paths.get(root))
 
@@ -87,6 +119,7 @@ class AliasRegistry(root: String) {
     Files.write(tmp, all.toSeq.sorted.map { case (k, v) => s"$k=$v" }.asJava)
     Files.move(tmp, file, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    bus.fire(RegistryEvents.AliasStored(alias, valueId))
   }
   def resolve(alias: String): Option[String] = readAll().get(alias)
   def list: Seq[(String, String)] = readAll().toSeq.sorted
@@ -147,7 +180,7 @@ private[registries] object Jsonl {
 
 /** Job/lineage registry (kiara registries/jobs/, models/module/jobs.py):
   * append-only JSONL of executed steps with inputs and output schemas. */
-class LineageRegistry(root: String) {
+class LineageRegistry(root: String, bus: EventBus = new EventBus) {
   import LineageRegistry.StepNode
   private val file = Paths.get(s"$root/lineage.jsonl")
   Files.createDirectories(Paths.get(root))
@@ -161,6 +194,7 @@ class LineageRegistry(root: String) {
       rec.inputs.map(i => "\"" + esc(i) + "\"").mkString(",")}],"schema":"${esc(rec.outputSchema)}"$envField}"""
     Files.write(file, (line + "\n").getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    bus.fire(RegistryEvents.JobRecordStored(runId, rec.step, rec.inputs))
   }
   def recordRun(runId: String, recs: Seq[Pipeline.StepRecord]): Unit = recs.foreach(record(runId, _))
   def lines: Seq[String] =

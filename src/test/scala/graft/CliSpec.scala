@@ -249,6 +249,37 @@ class CliSpec extends SparkTestBase {
     assert(e.getMessage.contains("unknown renderer"))
   }
 
+  test("render pipeline: markdown, mermaid, html and script targets over a registered workflow") {
+    import graft.registries.WorkflowRegistry.OpStep
+    val root = graft.sources.Export.tempDir("graft_cli_rp_").toString
+    val api = new GraftApi(spark, root)
+    api.workflows.registerOps("demo", Seq(
+      OpStep("clean", "text.clean", "docs"),
+      OpStep("score", "text.quality", "clean"),
+      OpStep("stats", "text.stats", "clean")))
+    val cat = Cli.run(spark, Array("render", "list-renderers"))
+    assert(cat.contains("pipeline:mermaid") && cat.contains("pipeline:script"))
+    val md = Cli.run(spark, Array("render", "pipeline", root, "demo", "markdown"))
+    assert(md.startsWith("# pipeline: demo"))
+    assert(md.contains("- docs")) // the unbound pipeline input
+    assert(md.contains("| clean | text.clean | docs |"))
+    assert(md.contains("- score") && md.contains("- stats")) // both leaves
+    val mm = Cli.run(spark, Array("render", "pipeline", root, "demo", "mermaid"))
+    assert(mm.contains("graph TD"))
+    assert(mm.contains("""i0(["docs"])""")) // input node
+    assert(mm.contains("i0 --> s0") && mm.contains("s0 --> s1") && mm.contains("s0 --> s2"))
+    val html = Cli.run(spark, Array("render", "pipeline", root, "demo", "html"))
+    assert(html.contains("<h1>pipeline: demo</h1>"))
+    assert(html.contains("<td>text.quality</td>"))
+    val sc = Cli.run(spark, Array("render", "pipeline", root, "demo", "script"))
+    assert(sc.contains("""val clean = OpRegistry.get("text.clean")(docs)"""))
+    assert(sc.contains("bind pipeline input 'docs'")) // unbound-input placeholder
+    val e = intercept[IllegalArgumentException] {
+      Cli.run(spark, Array("render", "pipeline", root, "demo", "png"))
+    }
+    assert(e.getMessage.contains("unknown pipeline renderer"))
+  }
+
   test("render item --template renders rows through a user template") {
     val out = Cli.run(spark, Array("render", "item", "template", "q1_agg", sfDir,
       "--template", "flag {{l_returnflag}}: qty={{sum_qty}}", "2"))

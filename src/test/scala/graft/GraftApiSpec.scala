@@ -430,6 +430,34 @@ class GraftApiSpec extends SparkTestBase {
     assert(!h.contains("<b>")) // no raw markup injection
   }
 
+  test("registry event hooks: one subscription sees value/alias/job mutations in order") {
+    import graft.registries.RegistryEvents._
+    val api = newApi
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Event]
+    api.onRegistryEvent(seen += _)
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    api.storeValue("ev-demo", df, alias = Some("evdemo"))
+    val (jobId, _) = api.runJob("profile.schema", "evdemo")
+    val kinds = seen.toSeq
+    assert(kinds.collect { case ValueStored(id, path) => (id, path.contains("ev-demo")) }
+      == Seq(("ev-demo", true)))
+    assert(kinds.collect { case AliasStored(a, v) => (a, v) } == Seq(("evdemo", "ev-demo")))
+    assert(kinds.collect { case JobRecordStored(r, s, ins) => (r, s, ins) }
+      == Seq((jobId, "profile.schema", Seq("evdemo"))))
+    // order: the value is stored before its alias, the job records last
+    assert(kinds.map(_.getClass.getSimpleName) ==
+      Seq("ValueStored", "AliasStored", "JobRecordStored"))
+    // a throwing listener vetoes synchronously on the mutating thread
+    api.onRegistryEvent {
+      case ValueStored(id, _) if id == "veto" => sys.error("qc hook rejected " + id)
+      case _ => ()
+    }
+    val e = intercept[RuntimeException] { api.storeValue("veto", df) }
+    assert(e.getMessage.contains("qc hook rejected veto"))
+    // an unsubscribed context is unaffected
+    assert(seen.size == 4) // + the veto ValueStored seen by the first listener
+  }
+
   test("template render target substitutes per row, bounded, null-safe") {
     val df = Seq((1L, Some("alpha")), (2L, None), (3L, Some("gamma")))
       .toDF("id", "name")
