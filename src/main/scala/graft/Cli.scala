@@ -36,8 +36,11 @@ import graft.operators.{Profile, Render}
   *   metadata <root> explain <hash>   one item by content hash
   *   jobs <root> explain <id>         job record + recorded environment
   *   render item <t> <q> <sf> [--template <tpl>] render via a target
-  *   render pipeline <root> <n> <t>   pipeline DAG as markdown/html/
-  *                                    mermaid/script
+  *   render pipeline <t> <root> <n>   pipeline DAG as markdown/html/
+  *                                    mermaid/script (target-last legacy
+  *                                    order also accepted)
+  *   render archive html <dir>        archive inspection as a html page
+  *   render job script <root> <id>    one job as a runnable replay script
   *   type list                        data-type catalog (name -> spark sql)
   *   info config print                effective engine configuration
   *
@@ -309,10 +312,44 @@ object Cli {
         Render.pipelineRenderers.map { case (n, d) => f"pipeline:$n%-10s $d" })
         .mkString("\n")
     // pipeline renderers (kiara render --source-type pipeline item,
-    // reference renderers/included_renderers/pipeline.py:60,91,197,235)
-    case "render" :: "pipeline" :: root :: name :: target :: Nil =>
+    // reference renderers/included_renderers/pipeline.py:60,91,197,235).
+    // Canonical arg order is target-first like `render item <target> ...`;
+    // the pre-r10 target-last order stays accepted (target detected by
+    // membership in the renderer catalog, renderer names and roots/names
+    // can't be confused: a root is a path, a target is one of 4 words)
+    case "render" :: "pipeline" :: a :: b :: c :: Nil =>
+      val targets = Render.pipelineRenderers.map(_._1).toSet
+      val (target, root, name) =
+        if (targets.contains(a)) (a, b, c)
+        else if (targets.contains(c)) (c, a, b)
+        else throw new IllegalArgumentException(
+          s"render pipeline: neither '$a' nor '$c' is a renderer target " +
+            s"(available: ${targets.toSeq.sorted.mkString(", ")})")
       val steps = new GraftApi(spark, root).workflows.describe(name)
       Render.pipeline(name, steps.map(s => (s.name, s.op, s.input)), target)
+    // archive renderer (kiara ArchiveRendererHtml,
+    // reference renderers/included_renderers/archive.py:55): the
+    // metadata-only archive inspection as a static html page
+    case "render" :: "archive" :: a :: b :: Nil =>
+      val dir =
+        if (a == "html") b
+        else if (b == "html") a
+        else throw new IllegalArgumentException(
+          s"render archive: unknown target (expected 'html' as one of '$a'/'$b')")
+      Render.archiveHtml(graft.registries.Archive.archiveInfo(dir))
+    // job replay renderer (kiara JobDescPythonScriptRenderer,
+    // reference renderers/included_renderers/job.py:56): one recorded
+    // job as a runnable script over OpRegistry
+    case "render" :: "job" :: a :: b :: c :: Nil =>
+      val (root, id) =
+        if (a == "script") (b, c)
+        else if (c == "script") (a, b)
+        else throw new IllegalArgumentException(
+          s"render job: unknown target (expected 'script' first or last, got '$a' ... '$c')")
+      val j = new GraftApi(spark, root).jobInfo(id)
+      if (j.inputs.isEmpty) throw new IllegalArgumentException(
+        s"job $id has no recorded input to replay")
+      Render.jobScript(id, j.operation, j.inputs.head)
     case "render" :: "item" :: target :: name :: sfDir :: rest =>
       // kiara render item --template (renderers/jinja.py): the template
       // travels as an explicit flag so row counts stay unambiguous
@@ -338,7 +375,8 @@ object Cli {
           s"|find <keyGlob>|explain <hash> | " +
           s"render list-renderers | " +
           s"render item <target> <query> <sfDir> [--template <tpl>] [rows] | " +
-          s"render pipeline <root> <name> <target> | " +
+          s"render pipeline <target> <root> <name> | " +
+          s"render archive html <dir> | render job script <root> <id> | " +
           s"run <root> <operation> <valueRef> [--save <alias>] | " +
           s"pipeline <root> list|explain <name> | " +
           s"workflow <root> list|explain <name> | " +

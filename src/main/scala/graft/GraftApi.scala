@@ -51,16 +51,20 @@ class GraftApi(val spark: SparkSession, root: String) {
   import GraftApi._
 
   // one bus through every mutating registry — a single subscription
-  // observes value/alias/job mutations in order (kiara
-  // registries/events/__init__.py:13 EventListener; the listeners are
-  // synchronous, so a QC hook can veto by throwing)
+  // observes value/alias/job/workflow/metadata/comment mutations in
+  // order (kiara registries/events/__init__.py:13 EventListener).
+  // Listeners are synchronous; all events except ValueStoring fire
+  // AFTER the mutation is durable, so a throwing listener there aborts
+  // the caller's continuation (e.g. storeValue's alias set), not the
+  // write itself — a QC hook that must veto a value write throws on the
+  // pre-write ValueStoring event instead
   val registryEvents = new graft.registries.EventBus
   val data = new DataRegistry(root, registryEvents)
   val aliases = new AliasRegistry(root, registryEvents)
   val lineage = new LineageRegistry(root, registryEvents)
-  val workflows = new WorkflowRegistry(root, lineage)
-  val comments = new CommentStore(root)
-  val metadata = new MetadataRegistry(root)
+  val workflows = new WorkflowRegistry(root, lineage, registryEvents)
+  val comments = new CommentStore(root, registryEvents)
+  val metadata = new MetadataRegistry(root, registryEvents)
   val environments = new EnvironmentRegistry(root)
   // this session's runtime fingerprint, stored once on first use — every
   // job record references it (kiara registries/environment provenance)
@@ -116,8 +120,9 @@ class GraftApi(val spark: SparkSession, root: String) {
     graft.plans.PluginRegistry.infos
 
   /** Subscribe to registry mutations (kiara's event listener
-    * registration): the listener sees every ValueStored / AliasStored /
-    * JobRecordStored on this context, synchronously, in mutation order. */
+    * registration): the listener sees every ValueStoring / ValueStored /
+    * AliasStored / JobRecordStored / MetadataStored / WorkflowStored /
+    * CommentStored on this context, synchronously, in mutation order. */
   def onRegistryEvent(l: graft.registries.RegistryEvents.Event => Unit): Unit =
     registryEvents.subscribe(l)
 

@@ -1019,14 +1019,21 @@ object Events {
     val totN = daily.map(_._2).sum
     val byDow = daily.groupBy(d => dowOf(d._1))
       .map { case (d, rows) => d -> (rows.map(_._2).sum, rows.length) }
-    // a corpus spanning fewer than 7 distinct weekdays has no seasonal
-    // index for some forecast day — fail fast with the gap named rather
-    // than NoSuchElementException-ing on idx() below (and diverging from
-    // the oracle, whose inner join would silently DROP that forecast row)
-    require(byDow.size == 7,
-      s"holtWinters needs observations on all 7 weekdays to seasonalize " +
-        s"(got ${byDow.size}: dow ${byDow.keys.toSeq.sorted.mkString(",")}) " +
-        "— use holtLinear for sub-week corpora")
+    // fit rows only ever use OBSERVED weekdays' indices, so the guard is
+    // on the forecast days: each forecast weekday must have been observed
+    // or idx() below would NoSuchElementException (and diverge from the
+    // oracle, whose inner join would silently DROP that forecast row). A
+    // 6-weekday corpus with a short horizon whose weekdays are all
+    // covered is fine; the default horizon=7 needs all 7.
+    val forecastDows = {
+      val last = java.time.LocalDate.parse(daily.last._1)
+      (1 to horizon).map(h => dowOf(last.plusDays(h.toLong).toString)).toSet
+    }
+    val missingDows = forecastDows -- byDow.keySet
+    require(missingDows.isEmpty,
+      s"holtWinters: forecast weekday(s) dow ${missingDows.toSeq.sorted.mkString(",")} " +
+        s"never observed (observed dow ${byDow.keys.toSeq.sorted.mkString(",")}) " +
+        "— shorten the horizon or use holtLinear for sub-week corpora")
     val idx: Map[Int, Double] = byDow.map { case (d, (sn, cn)) =>
       d -> (sn.toDouble / cn.toDouble - totN.toDouble / daily.length.toDouble)
     }

@@ -210,6 +210,7 @@ object Render {
     * real names. Inputs render as stadium nodes, steps as boxes labeled
     * with their operation. */
   private def pipelineMermaid(name: String, steps: Seq[PipelineStep]): String = {
+    topo(steps) // cycle / unknown-input check: every target fails loudly, not just the tabular ones
     val ins = pipelineInputs(steps)
     val inId = ins.zipWithIndex.map { case (n, i) => n -> s"i$i" }.toMap
     val stepId = steps.map(_._1).zipWithIndex.map { case (n, i) => n -> s"s$i" }.toMap
@@ -229,6 +230,17 @@ object Render {
     * failure the user replaces with a real DataFrame. */
   private def pipelineScript(name: String, steps: Seq[PipelineStep]): String = {
     def v(s: String) = s.replace('-', '_').replace('.', '_')
+    // '-' and '.' both mangle to '_', so distinct names like 'a-b' and
+    // 'a.b' could collide into one Scala val — that would silently emit a
+    // shadowing (wrong-wiring) or non-compiling script; refuse loudly
+    // with the colliding pair named instead
+    val allNames = (pipelineInputs(steps) ++ steps.map(_._1)).distinct
+    allNames.groupBy(v).collectFirst { case (id, ns) if ns.size > 1 => (id, ns) }
+      .foreach { case (id, ns) =>
+        throw new IllegalArgumentException(
+          s"pipeline $name: step/input names ${ns.mkString("'", "', '", "'")} " +
+            s"all mangle to script identifier '$id' — rename one")
+      }
     val header = Seq(
       s"// graft pipeline '$name' — generated replay (render pipeline $name script)",
       "import graft.plans.OpRegistry")
@@ -240,4 +252,39 @@ object Render {
     val outs = pipelineOutputs(steps).map(o => s"// output: ${v(o)}")
     (header ++ Seq("") ++ binds ++ body ++ outs).mkString("\n")
   }
+
+  // ---- archive + job renderers --------------------------------------------
+
+  /** Archive inspection as a static html page — kiara's ArchiveRendererHtml
+    * (renderers/included_renderers/archive.py:55 renders a KiArchive to
+    * `archive/static_page/page.html.j2`). Same metadata-only source as the
+    * CLI text view: manifest + parquet footers, never a data scan. */
+  def archiveHtml(info: graft.registries.Archive.ArchiveInfo): String = {
+    def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val vals = info.values.map(v =>
+      s"<tr><td>${esc(v.id)}</td><td>${v.rows}</td><td>${v.sizeBytes}</td><td>${v.files}</td></tr>"
+    ).mkString
+    val als = info.aliases.map { case (a, t) =>
+      s"<tr><td>${esc(a)}</td><td>${esc(t)}</td></tr>" }.mkString
+    s"<html><body><h1>archive (version ${info.version})</h1>" +
+      s"<p>${info.values.size} values, ${info.aliases.size} aliases, " +
+      s"${info.lineageRecords} lineage records</p>" +
+      "<h2>values</h2><table><thead><tr><th>id</th><th>rows</th>" +
+      s"<th>bytes</th><th>files</th></tr></thead><tbody>$vals</tbody></table>" +
+      (if (als.isEmpty) ""
+       else "<h2>aliases</h2><table><thead><tr><th>alias</th><th>value</th>" +
+         s"</tr></thead><tbody>$als</tbody></table>") +
+      "</body></html>"
+  }
+
+  /** One JOB record as a runnable replay script — kiara's
+    * JobDescPythonScriptRenderer (renderers/included_renderers/job.py:56
+    * renders a JobDesc through the pipeline script template: a job IS a
+    * one-step pipeline). Reuses [[pipelineScript]] with the job's
+    * (operation, input) as the single step; the bound input is the
+    * stored value the job consumed. */
+  def jobScript(jobId: String, operation: String, input: String): String =
+    Seq(s"// graft job '$jobId' — generated replay (render job <root> $jobId script)",
+      pipelineScript(jobId, Seq((s"${jobId}_out", operation, input)))
+        .linesIterator.drop(1).mkString("\n")).mkString("\n")
 }

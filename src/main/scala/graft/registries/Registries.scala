@@ -13,10 +13,18 @@ import graft.plans.{OpRegistry, Pipeline}
   * JobRecordStoredEvent). */
 object RegistryEvents {
   sealed trait Event
+  /** Fired BEFORE the value write starts — the only event where a
+    * throwing listener genuinely VETOES the mutation (nothing has been
+    * written yet). All other events fire after durability. */
+  final case class ValueStoring(id: String) extends Event
   final case class ValueStored(id: String, path: String) extends Event
   final case class AliasStored(alias: String, valueId: String) extends Event
   final case class JobRecordStored(runId: String, step: String,
                                    inputs: Seq[String]) extends Event
+  final case class MetadataStored(key: String, refType: String,
+                                  refId: String, hash: String) extends Event
+  final case class WorkflowStored(name: String, persisted: Boolean) extends Event
+  final case class CommentStored(jobId: String) extends Event
 }
 
 /** Synchronous listener bus the mutating registries fire into — the
@@ -24,10 +32,13 @@ object RegistryEvents {
   * bus through data/alias/lineage, so a single subscription observes
   * every mutation in order; standalone registries default to a private
   * bus (events go nowhere until someone subscribes to that instance).
-  * Listeners run AFTER the mutation is durable — an event is never
-  * fired for a write that then failed — and synchronously on the
-  * mutating thread (kiara's EventListener contract), so a throwing
-  * listener propagates to the caller rather than being swallowed. */
+  * Except for the pre-write [[RegistryEvents.ValueStoring]], listeners
+  * run AFTER the mutation is durable — an event is never fired for a
+  * write that then failed — and synchronously on the mutating thread
+  * (kiara's EventListener contract), so a throwing listener propagates
+  * to the caller. Throwing on a post-write event ABORTS THE CALLER'S
+  * CONTINUATION, not the write itself (the value is already on disk);
+  * a QC hook that must veto the write throws on ValueStoring. */
 final class EventBus {
   private val listeners =
     new java.util.concurrent.CopyOnWriteArrayList[RegistryEvents.Event => Unit]()
@@ -70,8 +81,12 @@ class DataRegistry(root: String, bus: EventBus = new EventBus) {
   Files.createDirectories(Paths.get(s"$root/values"))
 
   def store(id: String, df: DataFrame): String = {
-    df.write.mode("overwrite").parquet(dir(id))
-    bus.fire(RegistryEvents.ValueStored(id, dir(id)))
+    // pre-write event: a throwing listener vetoes the store — nothing
+    // is on disk yet (dir(id) also validates the id before the fire)
+    val d = dir(id)
+    bus.fire(RegistryEvents.ValueStoring(id))
+    df.write.mode("overwrite").parquet(d)
+    bus.fire(RegistryEvents.ValueStored(id, d))
     id
   }
   def load(spark: SparkSession, id: String): DataFrame = spark.read.parquet(dir(id))
@@ -146,7 +161,7 @@ object LineageRegistry {
   * chars, so an unrestricted step name or free-text comment with a
   * tab/newline cannot corrupt an append-only log (same hardening as
   * Verify's oracle_sql.json writer). */
-private[registries] object Jsonl {
+private[graft] object Jsonl {
   def esc(s: String): String = s.flatMap {
     case '"'  => "\\\""
     case '\\' => "\\\\"
@@ -262,7 +277,8 @@ object WorkflowRegistry {
   final case class OpStep(name: String, op: String, input: String)
 }
 
-class WorkflowRegistry(root: String, lineage: LineageRegistry) {
+class WorkflowRegistry(root: String, lineage: LineageRegistry,
+                       bus: EventBus = new EventBus) {
   import WorkflowRegistry.OpStep
 
   private val flows = scala.collection.concurrent.TrieMap[String, Seq[Pipeline.Step]]()
@@ -270,7 +286,10 @@ class WorkflowRegistry(root: String, lineage: LineageRegistry) {
   Files.createDirectories(Paths.get(root))
 
   /** In-memory registration for arbitrary-closure steps (not persisted). */
-  def register(name: String, steps: Seq[Pipeline.Step]): Unit = flows.put(name, steps)
+  def register(name: String, steps: Seq[Pipeline.Step]): Unit = {
+    flows.put(name, steps)
+    bus.fire(RegistryEvents.WorkflowStored(name, persisted = false))
+  }
 
   // flat `wf=step:op:input,step:op:input` lines — names share the
   // registry charset, which excludes the separators, so the encoding is
@@ -301,6 +320,7 @@ class WorkflowRegistry(root: String, lineage: LineageRegistry) {
     }.asJava)
     Files.move(tmp, file, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    bus.fire(RegistryEvents.WorkflowStored(name, persisted = true))
   }
 
   def list: Seq[String] = (flows.keys.toSeq ++ readAll().keys).distinct.sorted
@@ -332,7 +352,7 @@ class WorkflowRegistry(root: String, lineage: LineageRegistry) {
   * append-only JSONL next to the lineage log. Comments are arbitrary
   * text (fully JSON-escaped); the latest write for a job wins, so
   * updating a comment is an append, never a rewrite. */
-class CommentStore(root: String) {
+class CommentStore(root: String, bus: EventBus = new EventBus) {
   private val file = Paths.get(s"$root/job_comments.jsonl")
   Files.createDirectories(Paths.get(root))
 
@@ -341,6 +361,7 @@ class CommentStore(root: String) {
     val line = s"""{"job":"${Jsonl.esc(jobId)}","comment":"${Jsonl.esc(comment)}"}"""
     Files.write(file, (line + "\n").getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    bus.fire(RegistryEvents.CommentStored(jobId))
   }
 
   private val JobRe = """"job":"((?:[^"\\]|\\.)*)"""".r
@@ -401,7 +422,7 @@ object MetadataRegistry {
   * `replace_existing_references=True` path (:309); items are findable
   * by key glob (:203 find_metadata_items) and retrievable by content
   * hash (:233 retrieve_metadata_item_with_hash). */
-class MetadataRegistry(root: String) {
+class MetadataRegistry(root: String, bus: EventBus = new EventBus) {
   import MetadataRegistry._
   private val file = Paths.get(s"$root/metadata.jsonl")
   Files.createDirectories(Paths.get(root))
@@ -418,6 +439,7 @@ class MetadataRegistry(root: String) {
       Jsonl.esc(value)}","refType":"${Jsonl.esc(refType)}","refId":"${Jsonl.esc(refId)}"}"""
     Files.write(file, (line + "\n").getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    bus.fire(RegistryEvents.MetadataStored(key, refType, refId, h))
     h
   }
 

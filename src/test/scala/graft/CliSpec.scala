@@ -259,25 +259,79 @@ class CliSpec extends SparkTestBase {
       OpStep("stats", "text.stats", "clean")))
     val cat = Cli.run(spark, Array("render", "list-renderers"))
     assert(cat.contains("pipeline:mermaid") && cat.contains("pipeline:script"))
-    val md = Cli.run(spark, Array("render", "pipeline", root, "demo", "markdown"))
+    // canonical target-first order, aligned with `render item <target> ...`
+    val md = Cli.run(spark, Array("render", "pipeline", "markdown", root, "demo"))
     assert(md.startsWith("# pipeline: demo"))
     assert(md.contains("- docs")) // the unbound pipeline input
     assert(md.contains("| clean | text.clean | docs |"))
     assert(md.contains("- score") && md.contains("- stats")) // both leaves
-    val mm = Cli.run(spark, Array("render", "pipeline", root, "demo", "mermaid"))
+    val mm = Cli.run(spark, Array("render", "pipeline", "mermaid", root, "demo"))
     assert(mm.contains("graph TD"))
     assert(mm.contains("""i0(["docs"])""")) // input node
     assert(mm.contains("i0 --> s0") && mm.contains("s0 --> s1") && mm.contains("s0 --> s2"))
-    val html = Cli.run(spark, Array("render", "pipeline", root, "demo", "html"))
+    val html = Cli.run(spark, Array("render", "pipeline", "html", root, "demo"))
     assert(html.contains("<h1>pipeline: demo</h1>"))
     assert(html.contains("<td>text.quality</td>"))
-    val sc = Cli.run(spark, Array("render", "pipeline", root, "demo", "script"))
+    val sc = Cli.run(spark, Array("render", "pipeline", "script", root, "demo"))
     assert(sc.contains("""val clean = OpRegistry.get("text.clean")(docs)"""))
     assert(sc.contains("bind pipeline input 'docs'")) // unbound-input placeholder
+    // the pre-r10 target-last order is still accepted
+    assert(Cli.run(spark, Array("render", "pipeline", root, "demo", "markdown")) == md)
     val e = intercept[IllegalArgumentException] {
       Cli.run(spark, Array("render", "pipeline", root, "demo", "png"))
     }
-    assert(e.getMessage.contains("unknown pipeline renderer"))
+    assert(e.getMessage.contains("renderer target"))
+  }
+
+  test("render pipeline script refuses colliding mangled identifiers; mermaid checks cycles") {
+    import graft.registries.WorkflowRegistry.OpStep
+    val root = graft.sources.Export.tempDir("graft_cli_collide_").toString
+    val api = new GraftApi(spark, root)
+    // 'a-b' and 'a.b' both mangle to Scala identifier a_b
+    api.workflows.registerOps("collide", Seq(
+      OpStep("a-b", "text.clean", "docs"),
+      OpStep("a.b", "text.stats", "a-b")))
+    val e = intercept[IllegalArgumentException] {
+      Cli.run(spark, Array("render", "pipeline", "script", root, "collide"))
+    }
+    assert(e.getMessage.contains("a-b") && e.getMessage.contains("a.b")
+      && e.getMessage.contains("a_b"))
+    // the other targets render the same pipeline fine (names are legal there)
+    assert(Cli.run(spark, Array("render", "pipeline", "markdown", root, "collide"))
+      .contains("| a-b | text.clean | docs |"))
+    // a cyclic pipeline fails loudly on EVERY target incl. mermaid
+    api.workflows.registerOps("loopy", Seq(
+      OpStep("x", "text.clean", "y"),
+      OpStep("y", "text.stats", "x")))
+    val ec = intercept[IllegalArgumentException] {
+      Cli.run(spark, Array("render", "pipeline", "mermaid", root, "loopy"))
+    }
+    assert(ec.getMessage.contains("cannot progress"))
+  }
+
+  test("render archive html and render job script mirror kiara's archive/job renderers") {
+    import spark.implicits._
+    val root = graft.sources.Export.tempDir("graft_cli_rarch_").toString
+    val api = new GraftApi(spark, root)
+    graft.plans.Builtins.ensureRegistered()
+    api.storeValue("corpus", Seq((1L, "<tag>"), (2L, "b")).toDF("id", "s"), Some("cv"))
+    val (jobId, _) = api.runJob("profile.schema", "corpus")
+    val arch = graft.sources.Export.tempDir("graft_cli_rarch_out_").toString + "/a1"
+    api.exportArchive(arch)
+    val html = Cli.run(spark, Array("render", "archive", "html", arch))
+    assert(html.startsWith("<html>") && html.contains("<h1>archive"))
+    assert(html.contains("<td>corpus</td>") && html.contains("<td>2</td>")) // rows from footers
+    assert(html.contains("<td>cv</td>")) // alias table rendered
+    // target-last order accepted here too
+    assert(Cli.run(spark, Array("render", "archive", arch, "html")) == html)
+    val sc = Cli.run(spark, Array("render", "job", "script", root, jobId))
+    assert(sc.contains(s"graft job '$jobId'"))
+    assert(sc.contains("""OpRegistry.get("profile.schema")(corpus)"""))
+    assert(sc.contains("bind pipeline input 'corpus'"))
+    val e = intercept[IllegalArgumentException] {
+      Cli.run(spark, Array("render", "archive", "pdf", arch))
+    }
+    assert(e.getMessage.contains("unknown target"))
   }
 
   test("render item --template renders rows through a user template") {

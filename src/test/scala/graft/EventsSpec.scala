@@ -1200,14 +1200,32 @@ class EventsSpec extends SparkTestBase {
     assert(out(2) == ("snaive", 9L, 7L, 7.0, 7.0, mape(_ => 7.0)))
   }
 
-  test("holtWinters refuses a corpus spanning fewer than 7 distinct weekdays") {
-    // 5 days Mon-Fri: no Sat/Sun seasonal index — must fail fast, not
-    // NoSuchElementException on a forecast day's unseen dow
+  test("holtWinters guards forecast weekdays: unseen dow refused, covered horizon allowed") {
+    // 5 days Mon-Fri (2024-01-01 is a Monday): no Sat/Sun seasonal index.
+    // The default horizon=7 forecasts into the weekend — must fail fast
+    // naming the unseen dow, not NoSuchElementException on idx()
     val ev = (0 until 5).flatMap { d =>
       (0 until (d + 2)).map(i =>
         ((d * 10 + i).toLong, ts(s"2024-01-0${d + 1} 10:0$i:00"), 1L, "view", 1.0))
     }.toDF("event_id", "ts", "user_id", "event_type", "value")
     val e = intercept[IllegalArgumentException] { Events.holtWinters(ev).collect() }
-    assert(e.getMessage.contains("7 weekdays"))
+    assert(e.getMessage.contains("never observed"))
+    assert(e.getMessage.contains("5")) // Saturday = dow 5 named in the gap
+    // 6-weekday corpus (Mon-Sat + next Mon, Sunday never observed) with a
+    // horizon whose forecast days are all covered (Tue-Sat) now WORKS —
+    // fit rows only ever use observed dows (the r9 all-7 require was
+    // stricter than the failure it prevented)
+    val ev6 = ((0 until 6) :+ 7).flatMap { d =>
+      (0 until 3).map(i =>
+        ((d * 10 + i).toLong, ts(s"2024-01-0${d + 1} 10:0$i:00"), 1L, "view", 1.0))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.holtWinters(ev6, horizon = 5).collect()
+    assert(out.count(_.getString(1) == "forecast") == 5)
+    assert(out.count(_.getString(1) == "fit") == 7)
+    // ...but the same corpus with horizon=7 reaches Sunday (dow 6): refused
+    val e2 = intercept[IllegalArgumentException] {
+      Events.holtWinters(ev6, horizon = 7).collect()
+    }
+    assert(e2.getMessage.contains("dow 6"))
   }
 }

@@ -430,7 +430,7 @@ class GraftApiSpec extends SparkTestBase {
     assert(!h.contains("<b>")) // no raw markup injection
   }
 
-  test("registry event hooks: one subscription sees value/alias/job mutations in order") {
+  test("registry event hooks: one subscription sees every mutation kind in order") {
     import graft.registries.RegistryEvents._
     val api = newApi
     val seen = scala.collection.mutable.ArrayBuffer.empty[Event]
@@ -438,24 +438,41 @@ class GraftApiSpec extends SparkTestBase {
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     api.storeValue("ev-demo", df, alias = Some("evdemo"))
     val (jobId, _) = api.runJob("profile.schema", "evdemo")
+    api.registerMetadata("evdemo", "qc", "passed")
+    api.workflows.registerOps("evwf",
+      Seq(graft.registries.WorkflowRegistry.OpStep("s1", "profile.schema", "in")))
+    api.setJobComment(jobId, "reviewed")
     val kinds = seen.toSeq
     assert(kinds.collect { case ValueStored(id, path) => (id, path.contains("ev-demo")) }
       == Seq(("ev-demo", true)))
     assert(kinds.collect { case AliasStored(a, v) => (a, v) } == Seq(("evdemo", "ev-demo")))
     assert(kinds.collect { case JobRecordStored(r, s, ins) => (r, s, ins) }
       == Seq((jobId, "profile.schema", Seq("evdemo"))))
-    // order: the value is stored before its alias, the job records last
+    assert(kinds.collect { case MetadataStored(k, t, r, _) => (k, t, r) }
+      == Seq(("qc", "value", "ev-demo"))) // alias resolved to the value id
+    assert(kinds.collect { case WorkflowStored(n, p) => (n, p) } == Seq(("evwf", true)))
+    assert(kinds.collect { case CommentStored(j) => j } == Seq(jobId))
+    // full mutation order across ALL six registries on the one bus
+    // (ValueStoring is the pre-write half of the store)
     assert(kinds.map(_.getClass.getSimpleName) ==
-      Seq("ValueStored", "AliasStored", "JobRecordStored"))
-    // a throwing listener vetoes synchronously on the mutating thread
+      Seq("ValueStoring", "ValueStored", "AliasStored", "JobRecordStored",
+        "MetadataStored", "WorkflowStored", "CommentStored"))
+    // pre-write veto: a throwing ValueStoring listener PREVENTS the write
     api.onRegistryEvent {
-      case ValueStored(id, _) if id == "veto" => sys.error("qc hook rejected " + id)
+      case ValueStoring(id) if id == "veto" => sys.error("qc hook rejected " + id)
       case _ => ()
     }
     val e = intercept[RuntimeException] { api.storeValue("veto", df) }
     assert(e.getMessage.contains("qc hook rejected veto"))
-    // an unsubscribed context is unaffected
-    assert(seen.size == 4) // + the veto ValueStored seen by the first listener
+    assert(!api.data.exists("veto")) // genuinely vetoed: nothing on disk
+    // a post-write throwing listener aborts the continuation, not the write
+    api.onRegistryEvent {
+      case ValueStored(id, _) if id == "audit-fail" => sys.error("audit sink down")
+      case _ => ()
+    }
+    intercept[RuntimeException] { api.storeValue("audit-fail", df, alias = Some("af")) }
+    assert(api.data.exists("audit-fail")) // value durable before the event
+    assert(api.aliases.resolve("af").isEmpty) // continuation (alias set) aborted
   }
 
   test("template render target substitutes per row, bounded, null-safe") {
