@@ -79,6 +79,16 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** Engine-replayable deterministic stride filter over vec_id — the md5
+    * hex bridge: Spark `conv(substring(md5('c'||id),1,8),16,10)` ≡ DuckDB
+    * `('0x'||substr(md5('c'||id),1,8))::BIGINT`, so the IVF/PQ centroid
+    * and codebook samples (and therefore the whole deterministic index
+    * build) hash-replay in the oracle — xxhash64 has no DuckDB twin
+    * (r10, for the sim_nprobe_sweep / sim_ivf_topk full oracles). */
+  private def strideHit(id: Column, step: Long): Column =
+    pmod(conv(substring(md5(concat(lit("c"), id.cast("string"))), 1, 8), 16, 10)
+      .cast("long"), lit(step)) === 0
+
   /** Cosine with pre-computed norms: one array pass per pair instead of
     * three. Numerically identical to `cosine` (same accumulators, same
     * order), so oracle comparisons are unaffected — norms are just
@@ -158,7 +168,7 @@ object Similarity {
       .orderBy("vec_id").limit(codebookSize)
       .select(col("embedding").cast("array<double>"))
       .collect().map((r: Row) => r.getSeq[Double](0).toArray)
-    val sampled = firstK(corpus.filter(pmod(xxhash64(col("vec_id")), lit(step)) === 0))
+    val sampled = firstK(corpus.filter(strideHit(col("vec_id"), step)))
     val sample: Array[Array[Double]] =
       if (sampled.length >= math.max(1, (codebookSize + 1) / 2)) sampled
       else firstK(corpus)
@@ -240,7 +250,7 @@ object Similarity {
       .orderBy("vec_id").limit(c)
       .select(col("embedding").cast("array<double>"))
       .collect().map((r: Row) => r.getSeq[Double](0).toArray)
-    val sampled = firstK(corpus.filter(pmod(xxhash64(col("vec_id")), lit(step)) === 0))
+    val sampled = firstK(corpus.filter(strideHit(col("vec_id"), step)))
     // fall back to the smallest ids unless the hash stride produced at
     // least half the requested centroids — accepting a handful (e.g. 5 of
     // 100) would silently gut recall
@@ -359,7 +369,7 @@ object Similarity {
     val sampleSize = math.max(8 * c, 512)
     val stepS = math.max(1L, n / sampleSize)
     val tsample = firstK(corpus.filter(
-      pmod(xxhash64(col("vec_id")), lit(stepS)) === 0), sampleSize, "embedding")
+      strideHit(col("vec_id"), stepS)), sampleSize, "embedding")
     val train = if (tsample.length >= math.max(1, (sampleSize + 1) / 4)) tsample
       else firstK(corpus, sampleSize, "embedding")
     val cents = trainCoarse(train, math.min(c, train.length), 5)
@@ -384,7 +394,7 @@ object Similarity {
       .select(col("resid")).collect()
       .map((r: Row) => r.getSeq[Double](0).toArray)
     val rs = residSample(
-      resDf.filter(pmod(xxhash64(col("vec_id")), lit(stepR)) === 0))
+      resDf.filter(strideHit(col("vec_id"), stepR)))
     val rsample = if (rs.length >= math.max(1, (codebookSize + 1) / 2)) rs
       else residSample(resDf)
     val cb: Array[Array[Array[Double]]] =
@@ -659,12 +669,28 @@ object Similarity {
     transform(emb.cast("array<double>"), v => v / n)
   }
 
-  /** Deterministic random hyperplanes: numTables × numBits planes of `dim`
-    * components, seeded — identical across executors and runs. */
-  private def planes(dim: Int, numTables: Int, numBits: Int, seed: Long): Array[Array[Array[Double]]] = {
-    val r = new scala.util.Random(seed)
-    Array.fill(numTables, numBits, dim)(r.nextGaussian())
+  /** One engine-replayable hyperplane component: uniform in [-0.5, 0.5)
+    * via the md5 hex bridge (CLAUDE.md; feat_rand_proj precedent) —
+    * DuckDB replays it as
+    * `('0x'||substr(md5('pl'||seed||'_'||t||'_'||b||'_'||d),1,8))::BIGINT
+    *  / 4294967296.0e0 - 0.5e0` (value < 2^32 and the divisor is a power
+    * of two, so the double arithmetic is exact on both engines). */
+  private[graft] def planeW(seed: Long, t: Int, b: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hx = md.digest(s"pl${seed}_${t}_${b}_$d".getBytes("UTF-8"))
+      .take(4).map(x => f"$x%02x").mkString
+    java.lang.Long.parseLong(hx, 16).toDouble / 4294967296.0 - 0.5
   }
+
+  /** Deterministic random hyperplanes: numTables × numBits planes of `dim`
+    * components, seeded — identical across executors and runs, and (r10)
+    * md5-bridge-derived so the whole LSH pipeline (buckets, probes,
+    * candidates) hash-replays in the DuckDB oracle. Sign-projection LSH
+    * needs only a SYMMETRIC component distribution; uniform trades the
+    * Gaussian's exact rotation invariance for engine replayability
+    * (recall bounds re-pinned by the planted-cluster specs). */
+  private def planes(dim: Int, numTables: Int, numBits: Int, seed: Long): Array[Array[Array[Double]]] =
+    Array.tabulate(numTables, numBits, dim)((t, b, d) => planeW(seed, t, b, d))
 
   /** Bucket id for one table: sign bits of projections onto its planes. */
   private def bucketExpr(emb: Column, tablePlanes: Array[Array[Double]]): Column =
@@ -698,9 +724,13 @@ object Similarity {
     * shuffle partitions) — at a fixed width the bucket population is
     * N/2^bits and the within-bucket pair work N²/2^bits, the superlinear
     * leg the r8 x1/x3/x10 probe measured at 6 fixed bits. ~64 vectors
-    * per bucket keeps per-bucket work linear in N; clamp 6..16. */
+    * per bucket keeps per-bucket work linear in N; clamp 6..20 (the r10
+    * x100 probe showed the old 16-bit ceiling re-entering the quadratic
+    * regime near 4M vectors — 20 bits = 1M buckets/table covers ~70M
+    * vectors at the 64/bucket target, bucket ids still well inside
+    * int32). */
   private[graft] def lshBits(n: Long): Int =
-    math.min(16, math.max(6,
+    math.min(20, math.max(6,
       math.ceil(math.log(math.max(1.0, n.toDouble / 64.0)) / math.log(2.0)).toInt))
 
   /** Explicit caller width wins (recall tuning); otherwise size to the

@@ -578,7 +578,8 @@ class SimilaritySpec extends SparkTestBase {
     assert(Similarity.lshBits(4096L) == 6)          // 4096/64 = 2^6 → floor of the clamp
     assert(Similarity.lshBits(4097L) == 7)          // first corpus past the clamp floor
     assert(Similarity.lshBits(1000000L) == 14)      // ceil(log2(15625)) = 14
-    assert(Similarity.lshBits(1000000000L) == 16)   // ceiling of the clamp
+    assert(Similarity.lshBits(67108864L) == 20)     // 2^26/64 = 2^20 → exactly at the cap
+    assert(Similarity.lshBits(1000000000L) == 20)   // ceiling of the clamp (r10: 16 → 20)
     // explicit width short-circuits: the by-name count must never run
     assert(Similarity.resolveBits(4, sys.error("corpus count must not run")) == 4)
     assert(Similarity.resolveBits(-1, 1000000L) == 14)
