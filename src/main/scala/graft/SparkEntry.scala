@@ -2010,6 +2010,18 @@ object SparkEntry {
         | round(quantile_cont(l_quantity, 0.5e0),4) AS median_qty,
         | round(quantile_cont(l_extendedprice, 0.75e0),4) AS q75_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // q13_approx (oracle-backed r10): the sketch value has no DuckDB
+    // twin, but its rank-bound CONTRACT does — the Spark side derives
+    // 1/0 verdicts from counts around the sketch output; the oracle
+    // recomputes the exact percentiles and emits the expected-pass
+    // constants. A sketch past its N/accuracy bound flips a verdict to
+    // 0 and reds the hash.
+    "q13_approx" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n_rows,
+        | round(quantile_cont(l_quantity, 0.5e0),4) AS median_qty,
+        | round(quantile_cont(l_extendedprice, 0.75e0),4) AS q75_price,
+        | 1::BIGINT AS median_in_bound, 1::BIGINT AS q75_in_bound
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // full outer join: one-sided rows surface with NULLs on the other
     "q28_full_outer" ->
       """WITH big AS (SELECT o_custkey AS custkey, count(*) AS n_big_orders
@@ -5928,6 +5940,188 @@ object SparkEntry {
         | SELECT vec_id, neighbor_id, sim,
         |  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
         |WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin,
+    // sim_ann_lsh (oracle-backed r10): FULL LSH replay — the md5-bridge
+    // hyperplanes (Similarity.planeW) regenerate in SQL, projections run
+    // through list_inner_product (sequential double accumulation, the
+    // DotProduct twin), buckets are exact integer sums of disjoint sign
+    // bits, and the candidate bucket-join + (sim DESC, nid) ranking
+    // replays rankTopK. Hash equality proves planes, buckets, candidate
+    // generation AND scoring arithmetic end-to-end.
+    "sim_ann_lsh" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |  sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
+        |  FROM embeddings),
+        |nn AS (SELECT count(*) AS n FROM c),
+        |bits AS (SELECT LEAST(20, GREATEST(6,
+        |  CAST(ceil(ln(GREATEST(1.0e0, n / 64.0e0)) / ln(2.0e0)) AS INT))) AS nb FROM nn),
+        |pw AS (SELECT t, b, d,
+        |  ('0x'||substr(md5('pl42_'||t||'_'||b||'_'||d),1,8))::BIGINT / 4294967296.0e0 - 0.5e0 AS w
+        |  FROM range(0,8) r1(t), range(0,20) r2(b), range(0,64) r3(d), bits WHERE b < bits.nb),
+        |pl AS (SELECT t, b, list(w ORDER BY d) AS pl FROM pw GROUP BY t, b),
+        |proj AS (SELECT v.vec_id, p.t, p.b,
+        |  CASE WHEN list_inner_product(v.e, p.pl) >= 0 THEN 1 << p.b ELSE 0 END AS bit
+        |  FROM c v CROSS JOIN pl p),
+        |bucketed AS (SELECT vec_id, t AS tbl, sum(bit)::INT AS bucket FROM proj GROUP BY vec_id, t),
+        |cand AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+        |  max(list_inner_product(q.e, v.e) / (q.norm * v.norm)) AS sim
+        |  FROM bucketed a JOIN bucketed b
+        |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        |  JOIN c q ON q.vec_id = a.vec_id
+        |  JOIN c v ON v.vec_id = b.vec_id
+        |  GROUP BY 1, 2)
+        |SELECT qid AS vec_id, nid AS neighbor_id,
+        |  CAST(floor(sim * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS sim,
+        |  CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT qid, nid, sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM cand)
+        |WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin,
+    // sim_recall_at_k (oracle-backed r10): exact brute-force ground truth
+    // AND the multi-probe LSH arm both replay in SQL (the sim_ann_lsh
+    // machinery plus the Hamming-1 probe union), so the recall DIVISION
+    // itself is hash-checked — not just the ground truth.
+    "sim_recall_at_k" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |  sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
+        |  FROM embeddings),
+        |nn AS (SELECT count(*) AS n FROM c),
+        |bits AS (SELECT LEAST(20, GREATEST(6,
+        |  CAST(ceil(ln(GREATEST(1.0e0, n / 64.0e0)) / ln(2.0e0)) AS INT))) AS nb FROM nn),
+        |pw AS (SELECT t, b, d,
+        |  ('0x'||substr(md5('pl42_'||t||'_'||b||'_'||d),1,8))::BIGINT / 4294967296.0e0 - 0.5e0 AS w
+        |  FROM range(0,8) r1(t), range(0,20) r2(b), range(0,64) r3(d), bits WHERE b < bits.nb),
+        |pl AS (SELECT t, b, list(w ORDER BY d) AS pl FROM pw GROUP BY t, b),
+        |proj AS (SELECT v.vec_id, p.t, p.b,
+        |  CASE WHEN list_inner_product(v.e, p.pl) >= 0 THEN 1 << p.b ELSE 0 END AS bit
+        |  FROM c v CROSS JOIN pl p),
+        |bucketed AS (SELECT vec_id, t AS tbl, sum(bit)::INT AS bucket FROM proj GROUP BY vec_id, t),
+        |probed AS (SELECT vec_id, tbl, bucket FROM bucketed
+        |  UNION ALL
+        |  SELECT b.vec_id, b.tbl, xor(b.bucket, 1 << r.j)::INT
+        |  FROM bucketed b, range(0,20) r(j), bits WHERE r.j < bits.nb),
+        |cand AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+        |  max(list_inner_product(q.e, v.e) / (q.norm * v.norm)) AS sim
+        |  FROM probed a JOIN bucketed b
+        |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        |  JOIN c q ON q.vec_id = a.vec_id
+        |  JOIN c v ON v.vec_id = b.vec_id
+        |  WHERE a.vec_id < 50
+        |  GROUP BY 1, 2),
+        |annr AS (SELECT qid, nid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM cand),
+        |truth AS (SELECT qid, nid, rank FROM (
+        |  SELECT q.vec_id AS qid, v.vec_id AS nid,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_inner_product(q.e, v.e) / (q.norm * v.norm) DESC, v.vec_id) AS rank
+        |  FROM c q JOIN c v ON q.vec_id <> v.vec_id WHERE q.vec_id < 50)
+        |  WHERE rank <= 10),
+        |nq AS (SELECT count(*) AS nq FROM c WHERE vec_id < 50),
+        |joined AS (SELECT t.qid, t.rank AS ex_rank, a.rank AS ann_rank
+        |  FROM truth t LEFT JOIN annr a ON a.qid = t.qid AND a.nid = t.nid AND a.rank <= 10),
+        |ks AS (SELECT unnest([1, 5, 10]) AS k)
+        |SELECT k.k::BIGINT AS k, (SELECT nq FROM nq)::BIGINT AS n_queries,
+        |  CAST(floor(sum(CASE WHEN j.ex_rank <= k.k AND j.ann_rank <= k.k THEN 1 ELSE 0 END)
+        |    * 1.0e0 / (k.k * (SELECT nq FROM nq)) * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS recall
+        |FROM ks k, joined j GROUP BY k.k ORDER BY k""".stripMargin,
+    // sim_ivf_topk (oracle-backed r10): the whole IVF build + query
+    // replays — md5-bridge stride centroids (with the fallback rule),
+    // first-max assignment, (score DESC, ci) probe ranking, candidate
+    // list join and rankTopK — because every step is deterministic
+    // arithmetic both engines compute identically.
+    "sim_ivf_topk" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |  sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
+        |  FROM embeddings),
+        |nn AS (SELECT count(*) AS n, GREATEST(4, CAST(floor(sqrt(count(*))) AS BIGINT)) AS nc FROM c),
+        |strided AS (SELECT s.vec_id, s.e FROM c s, nn
+        |  WHERE (('0x'||substr(md5('c'||s.vec_id),1,8))::BIGINT % GREATEST(1, nn.n // nn.nc)) = 0),
+        |pool AS (
+        |  SELECT vec_id, e FROM strided
+        |  WHERE (SELECT count(*) FROM strided) >= (SELECT (nc+1)//2 FROM nn)
+        |  UNION ALL
+        |  SELECT vec_id, e FROM c
+        |  WHERE (SELECT count(*) FROM strided) < (SELECT (nc+1)//2 FROM nn)),
+        |cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, e,
+        |    sqrt(list_inner_product(e, e)) AS cnorm
+        |  FROM (SELECT vec_id, e FROM pool ORDER BY vec_id LIMIT (SELECT nc FROM nn))),
+        |scores AS (SELECT v.vec_id, ct.ci,
+        |    list_inner_product(v.e, ct.e) / (v.norm * ct.cnorm) AS s
+        |  FROM c v CROSS JOIN cents ct),
+        |assigned AS (SELECT vec_id, ci AS centroid_id FROM (
+        |  SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ci) AS rn
+        |  FROM scores) WHERE rn = 1),
+        |probed AS (SELECT vec_id AS qid, ci AS centroid_id FROM (
+        |  SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ci) AS prn
+        |  FROM scores) WHERE prn <= 4),
+        |cand AS (SELECT p.qid, i.vec_id AS nid,
+        |    max(list_inner_product(q.e, v.e) / (q.norm * v.norm)) AS sim
+        |  FROM probed p JOIN assigned i
+        |    ON i.centroid_id = p.centroid_id AND i.vec_id <> p.qid
+        |  JOIN c q ON q.vec_id = p.qid
+        |  JOIN c v ON v.vec_id = i.vec_id
+        |  GROUP BY 1, 2)
+        |SELECT qid AS vec_id, nid AS neighbor_id,
+        |  CAST(floor(sim * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS sim,
+        |  CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT qid, nid, sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM cand)
+        |WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin,
+    // sim_nprobe_sweep (oracle-backed r10): the IVF replay above run as
+    // FOUR correlated arms (per-query centroid rank <= nprobe) against
+    // the exact ground truth, recall division hash-checked per arm.
+    "sim_nprobe_sweep" ->
+      """WITH sub AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |  sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
+        |  FROM embeddings WHERE vec_id < 1000),
+        |nn AS (SELECT count(*) AS n, GREATEST(4, CAST(floor(sqrt(count(*))) AS BIGINT)) AS nc FROM sub),
+        |strided AS (SELECT s.vec_id, s.e FROM sub s, nn
+        |  WHERE (('0x'||substr(md5('c'||s.vec_id),1,8))::BIGINT % GREATEST(1, nn.n // nn.nc)) = 0),
+        |pool AS (
+        |  SELECT vec_id, e FROM strided
+        |  WHERE (SELECT count(*) FROM strided) >= (SELECT (nc+1)//2 FROM nn)
+        |  UNION ALL
+        |  SELECT vec_id, e FROM sub
+        |  WHERE (SELECT count(*) FROM strided) < (SELECT (nc+1)//2 FROM nn)),
+        |cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, e,
+        |    sqrt(list_inner_product(e, e)) AS cnorm
+        |  FROM (SELECT vec_id, e FROM pool ORDER BY vec_id LIMIT (SELECT nc FROM nn))),
+        |scores AS (SELECT v.vec_id, ct.ci,
+        |    list_inner_product(v.e, ct.e) / (v.norm * ct.cnorm) AS s
+        |  FROM sub v CROSS JOIN cents ct),
+        |assigned AS (SELECT vec_id, ci AS centroid_id FROM (
+        |  SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ci) AS rn
+        |  FROM scores) WHERE rn = 1),
+        |probe_rank AS (SELECT vec_id AS qid, ci AS centroid_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ci) AS prn
+        |  FROM scores WHERE vec_id < 50),
+        |arms AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
+        |cand AS (SELECT a.nprobe, p.qid, i.vec_id AS nid,
+        |    max(list_inner_product(q.e, v.e) / (q.norm * v.norm)) AS sim
+        |  FROM arms a
+        |  JOIN probe_rank p ON p.prn <= a.nprobe
+        |  JOIN assigned i ON i.centroid_id = p.centroid_id AND i.vec_id <> p.qid
+        |  JOIN sub q ON q.vec_id = p.qid
+        |  JOIN sub v ON v.vec_id = i.vec_id
+        |  GROUP BY 1, 2, 3),
+        |arm_topk AS (SELECT nprobe, qid, nid FROM (
+        |  SELECT nprobe, qid, nid,
+        |    row_number() OVER (PARTITION BY nprobe, qid ORDER BY sim DESC, nid) AS rank
+        |  FROM cand) WHERE rank <= 5),
+        |truth AS (SELECT qid, nid FROM (
+        |  SELECT q.vec_id AS qid, v.vec_id AS nid,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_inner_product(q.e, v.e) / (q.norm * v.norm) DESC, v.vec_id) AS rank
+        |  FROM sub q JOIN sub v ON q.vec_id <> v.vec_id WHERE q.vec_id < 50)
+        |  WHERE rank <= 5),
+        |tot AS (SELECT count(*) AS n_total FROM truth)
+        |SELECT a.nprobe::BIGINT AS nprobe,
+        |  count(t.qid)::BIGINT AS n_overlap,
+        |  (SELECT n_total FROM tot)::BIGINT AS n_total,
+        |  CAST(floor(count(t.qid) * 1.0e0 / (SELECT n_total FROM tot) * 10000.0e0 + 0.5e0)
+        |    AS DOUBLE) / 10000.0e0 AS recall
+        |FROM arms a
+        |LEFT JOIN arm_topk k ON k.nprobe = a.nprobe
+        |LEFT JOIN truth t ON t.qid = k.qid AND t.nid = k.nid
+        |GROUP BY a.nprobe ORDER BY nprobe""".stripMargin,
     // identical int8 quantization in SQL (floor(x+0.5) is portable
     // round-half-up; scales cancel in the cosine, so quantized scores
     // are exact-int dot products — bitwise comparable across engines)

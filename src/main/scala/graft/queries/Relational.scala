@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 import graft.operators.Num
@@ -171,17 +171,41 @@ object Relational {
     * of the exact distributed sort. Registered rows-only — the sketch is
     * engine-specific — but the require() makes every run self-checking
     * against the exact answer at gate scale. */
-  def q13Approx(s: SparkSession, dir: String): DataFrame =
-    // approx ONLY — the whole point of the sketch is never paying the
-    // exact sort; the within-1%-of-exact accuracy claim is asserted in
-    // QueriesSmokeSpec ("q13Approx tracks the exact percentiles"), not
-    // recomputed on every production run
-    t(s, dir, "lineitem")
+  def q13Approx(s: SparkSession, dir: String): DataFrame = {
+    // Oracle-backed since r10 (the r9 verdict's rows-only shrink): the
+    // sketch VALUE has no cross-engine twin, but its deterministic
+    // accuracy CONTRACT does — approx_percentile(φ, acc) must return an
+    // element whose rank is within N/acc (+1 row of convention slack) of
+    // the target rank. The query outputs exact percentiles (DuckDB
+    // recomputes them) plus the bound VERDICTS (DuckDB emits the
+    // expected-pass constants) — a sketch that ever violates its bound
+    // flips a verdict to 0 and hash-reds the gate. At 100 TB production
+    // runs the sketch alone; the exact columns here are the gate face.
+    val li = t(s, dir, "lineitem")
+    val ap = li.groupBy("l_returnflag").agg(
+      expr("approx_percentile(l_quantity, 0.5, 10000)").as("aq"),
+      expr("approx_percentile(l_extendedprice, 0.75, 10000)").as("ap75"))
+    def inBound(phi: Double, le: Column, lt: Column, n: Column): Column = {
+      val err = n.cast("double") / 10000.0 + 1.0 // N/accuracy + convention slack
+      val target = n.cast("double") * phi
+      (le.cast("double") >= target - err && lt.cast("double") <= target + err)
+        .cast("long")
+    }
+    li.join(broadcast(ap), "l_returnflag")
       .groupBy("l_returnflag")
-      .agg(
-        expr("approx_percentile(l_quantity, 0.5, 10000)").as("median_qty_approx"),
-        expr("approx_percentile(l_extendedprice, 0.75, 10000)").as("q75_price_approx"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("q75_price"),
+        sum(when(col("l_quantity") <= col("aq"), 1L).otherwise(0L)).as("le_q"),
+        sum(when(col("l_quantity") < col("aq"), 1L).otherwise(0L)).as("lt_q"),
+        sum(when(col("l_extendedprice") <= col("ap75"), 1L).otherwise(0L)).as("le_p"),
+        sum(when(col("l_extendedprice") < col("ap75"), 1L).otherwise(0L)).as("lt_p"))
+      .select(col("l_returnflag"), col("n_rows"),
+        col("median_qty"), col("q75_price"),
+        inBound(0.5, col("le_q"), col("lt_q"), col("n_rows")).as("median_in_bound"),
+        inBound(0.75, col("le_p"), col("lt_p"), col("n_rows")).as("q75_in_bound"))
       .orderBy("l_returnflag")
+  }
 
   /** Exact interpolated percentiles per group (distributed sort-based). */
   def q13Percentile(s: SparkSession, dir: String): DataFrame =

@@ -584,6 +584,10 @@ object Suite {
     Similarity.topKExact(e, e.filter(col("vec_id") < 20), 5)
   }
 
+  /** LSH ANN top-k, FULL oracle since r10: the md5-bridge hyperplanes
+    * regenerate in SQL and the whole bucket/candidate/rank pipeline
+    * hash-replays in DuckDB (planes, sign projections, bucket join,
+    * (sim DESC, nid) ranking). */
   def simAnnLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.annTopK(t(s, dir, "embeddings"), k = 5)
 
@@ -620,7 +624,10 @@ object Suite {
     Dedup.clusters(Dedup.minhashVerified(t(s, dir, "documents"), threshold = 0.8)
       .select("doc_a", "doc_b"))
 
-  /** IVF ANN top-k (rows-only; recall spec on planted clusters). */
+  /** IVF ANN top-k, FULL oracle since r10: md5-bridge stride centroids
+    * (fallback rule included), first-max assignment, (score DESC, ci)
+    * probe ranking and candidate-list top-k all hash-replay in DuckDB;
+    * recall additionally spec'd on planted clusters. */
   def simIvfTopk(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(t(s, dir, "embeddings"), k = 5, nprobe = 4)
 
@@ -1569,9 +1576,12 @@ object Suite {
       .orderBy("doc_id")
   }
 
-  /** Rows-only (the LSH side has no SQL twin): recall@{1,5,10} of the
-    * multi-probe ANN index vs exact ground truth on the first 50
-    * vectors — SimilaritySpec bounds recall on planted clusters. */
+  /** recall@{1,5,10} of the multi-probe ANN index vs exact ground truth
+    * on the first 50 vectors. FULL oracle since r10: both the exact
+    * ground truth AND the multi-probe LSH arm (bridge planes + Hamming-1
+    * probe union) replay in DuckDB, so the recall division itself is
+    * hash-checked; SimilaritySpec additionally bounds recall on planted
+    * clusters. */
   def simRecallAtK(s: SparkSession, dir: String): DataFrame =
     Similarity.recallAtK(t(s, dir, "embeddings"))
 
@@ -2281,8 +2291,10 @@ object Suite {
   def featAuc(s: SparkSession, dir: String): DataFrame =
     Features.aucRoc(t(s, dir, "documents"))
 
-  /** IVF nprobe tuning curve on the bounded tuning sample (rows-only;
-    * monotone-saturation spec'd on planted clusters). */
+  /** IVF nprobe tuning curve on the bounded tuning sample. FULL oracle
+    * since r10 (four correlated IVF arms + exact ground truth, recall
+    * division hash-checked per arm); monotone-saturation additionally
+    * spec'd on planted clusters. */
   def simNprobeSweep(s: SparkSession, dir: String): DataFrame = {
     val sub = t(s, dir, "embeddings").filter(col("vec_id") < 1000)
     Similarity.nprobeSweep(sub, sub.filter(col("vec_id") < 50), 5)

@@ -25,18 +25,22 @@ class QueriesSmokeSpec extends SparkTestBase {
     }
   }
 
-  test("q13Approx tracks the exact percentiles within 1%") {
+  test("q13Approx: sketch rank-bound verdicts pass and exact columns match q13Percentile") {
     import org.apache.spark.sql.functions._
-    val approx = graft.queries.Relational.q13Approx(spark, sfDir)
-    val exact = graft.Tables.t(spark, sfDir, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(expr("percentile(l_quantity, 0.5)").as("median_exact"),
-        expr("percentile(l_extendedprice, 0.75)").as("q75_exact"))
-    approx.join(exact, "l_returnflag").collect().foreach { r =>
-      val (ma, me) = (r.getDouble(1), r.getDouble(3))
-      val (qa, qe) = (r.getDouble(2), r.getDouble(4))
-      assert(math.abs(ma - me) <= math.max(1.0, me * 0.01), s"median drifted: $ma vs $me")
-      assert(math.abs(qa - qe) <= math.max(1.0, qe * 0.01), s"q75 drifted: $qa vs $qe")
+    val rows = graft.queries.Relational.q13Approx(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(4) == 1L, s"median sketch out of rank bound: $r")
+      assert(r.getLong(5) == 1L, s"q75 sketch out of rank bound: $r")
+    }
+    // the exact gate-face columns are the same expressions q13Percentile
+    // publishes — cross-check the two queries agree
+    val ex = graft.queries.Relational.q13Percentile(spark, sfDir)
+      .select(col("l_returnflag"), col("median_qty"), col("q75_price"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    rows.foreach { r =>
+      val (m, q) = ex(r.getString(0))
+      assert(r.getDouble(2) == m && r.getDouble(3) == q)
     }
   }
 }
