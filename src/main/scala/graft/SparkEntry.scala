@@ -462,6 +462,36 @@ object SparkEntry {
        |  CAST(floor(abs(er - jr) * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS abs_err
        |FROM fin ORDER BY doc_a, doc_b""".stripMargin
 
+  /** dedup_minhash oracle (r11): the whole portable banded-MinHash
+    * pipeline replays — md5-bridge slot minima over distinct 3-grams,
+    * j-ordered band keys (string_agg ORDER BY j ≡ Spark's
+    * array_sort(collect_list(struct(j, mh)))), band equi-join, and the
+    * matching-slot estimate m/32 (exact binary, so the LIMIT's total
+    * order has no rounding ambiguity). */
+  private def minhashBandedSql: String =
+    s"""WITH t0 AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, $toksSql AS toks FROM documents),
+       |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, len(toks) - 2),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gr
+       |  FROM t0 WHERE len(toks) >= 3),
+       |sig AS (SELECT doc_id, j,
+       |    min(('0x' || substr(md5(gr || '|' || CAST(j AS VARCHAR)), 1, 8))::BIGINT) AS mh
+       |  FROM g CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS j) js
+       |  GROUP BY 1, 2),
+       |bk AS (SELECT doc_id,
+       |    CAST(j // 4 AS VARCHAR) || ':' || string_agg(CAST(mh AS VARCHAR), ':' ORDER BY j) AS bkey
+       |  FROM sig GROUP BY doc_id, j // 4),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bk a JOIN bk b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |mm AS (SELECT p.doc_a, p.doc_b,
+       |    sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS m
+       |  FROM pairs p JOIN sig sa ON sa.doc_id = p.doc_a
+       |    JOIN sig sb ON sb.doc_id = p.doc_b AND sb.j = sa.j
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  CAST(floor(CAST(m AS DOUBLE) / 32e0 * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS est_jaccard
+       |FROM mm ORDER BY est_jaccard DESC, doc_a, doc_b LIMIT 200""".stripMargin
+
   /** Categorical-association oracle: per column pair, the full-grid χ²
     * (empty cells included), the three n·ln(n) entropy moments, and the
     * identical bias-corrected-V / Theil's-U scalar expressions of
@@ -836,6 +866,190 @@ object SparkEntry {
        |FROM c ORDER BY event_type""".stripMargin
   }
 
+  /** sim_pq_topk oracle (r11): the whole PQ build + query replays —
+    * md5-bridge stride codebook sample (fallback rule included), slice
+    * codewords, first-max argmin-L2 encoding via the 2·x·c − |c|²
+    * expansion, reconstructed-vector approximate cosine, k·refine
+    * candidate cut and exact re-rank — every step deterministic
+    * arithmetic both engines fold identically (list_inner_product ≡ the
+    * native DotProduct's sequential accumulation). */
+  private def pqTopkSql: String =
+    """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+      |  sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
+      |  FROM embeddings),
+      |nn AS (SELECT count(*) AS n, GREATEST(1, count(*) // 32) AS step FROM c),
+      |strided AS (SELECT s.vec_id, s.e FROM c s, nn
+      |  WHERE (('0x'||substr(md5('c'||s.vec_id),1,8))::BIGINT % nn.step) = 0),
+      |pool AS (
+      |  SELECT vec_id, e FROM strided WHERE (SELECT count(*) FROM strided) >= 16
+      |  UNION ALL
+      |  SELECT vec_id, e FROM c WHERE (SELECT count(*) FROM strided) < 16),
+      |samp AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS t, e
+      |  FROM (SELECT vec_id, e FROM pool ORDER BY vec_id LIMIT 32)),
+      |js AS (SELECT unnest(range(0, 8)) AS j),
+      |cbw AS MATERIALIZED (SELECT js.j, s.t, list_slice(s.e, js.j*8+1, js.j*8+8) AS cw,
+      |    list_inner_product(list_slice(s.e, js.j*8+1, js.j*8+8),
+      |      list_slice(s.e, js.j*8+1, js.j*8+8)) AS cw2
+      |  FROM samp s CROSS JOIN js),
+      |enc AS (SELECT v.vec_id, w.j, w.t,
+      |    list_inner_product(list_slice(v.e, w.j*8+1, w.j*8+8), w.cw) * 2e0 - w.cw2 AS s
+      |  FROM c v CROSS JOIN cbw w),
+      |codes AS (SELECT vec_id, j, t FROM (
+      |  SELECT vec_id, j, t, row_number() OVER (PARTITION BY vec_id, j ORDER BY s DESC, t) AS rn
+      |  FROM enc) WHERE rn = 1),
+      |recon AS (SELECT cd.vec_id, flatten(list(w.cw ORDER BY cd.j)) AS remb
+      |  FROM codes cd JOIN cbw w ON w.j = cd.j AND w.t = cd.t GROUP BY cd.vec_id),
+      |q AS MATERIALIZED (SELECT vec_id AS qid, e AS qemb, norm AS qnorm FROM c WHERE vec_id < 20),
+      |approx AS (SELECT q.qid, r.vec_id AS nid,
+      |    list_inner_product(q.qemb, r.remb)
+      |      / (q.qnorm * sqrt(list_inner_product(r.remb, r.remb))) AS asim
+      |  FROM recon r CROSS JOIN q WHERE q.qid <> r.vec_id),
+      |cand AS (SELECT qid, nid FROM (
+      |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY asim DESC, nid) AS rn
+      |  FROM approx) WHERE rn <= 40),
+      |ex AS (SELECT cd.qid, cd.nid,
+      |    list_inner_product(q.qemb, v.e) / (q.qnorm * v.norm) AS sim
+      |  FROM cand cd JOIN c v ON v.vec_id = cd.nid JOIN q ON q.qid = cd.qid)
+      |SELECT qid AS vec_id, nid AS neighbor_id,
+      |  CAST(floor(sim * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS sim,
+      |  CAST(rank AS BIGINT) AS rank FROM (
+      |  SELECT qid, nid, sim,
+      |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM ex)
+      |WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin
+
+  /** One Lloyd refinement step of the IVF-PQ coarse quantizer, replayed
+    * in SQL: first-min assignment against the previous iteration's
+    * centroids (the same (aa − 2ab) + bb squared-L2 expansion the Scala
+    * trainCoarse folds), then per-(centroid, dim) means accumulated in
+    * SAMPLE ORDER (list_sum over list(... ORDER BY i) ≡ the Scala
+    * foreach fold), empty clusters carrying the old centroid. Every CTE
+    * is MATERIALIZED: DuckDB inlines CTEs by default, and each step
+    * references its predecessor twice — unmaterialized, the five-step
+    * chain re-expands the Gonzalez recursion 2^5 times. */
+  private def lloydCte(n: Int): String = {
+    val p = if (n > 1) s"ll${n - 1}" else "ll0"
+    s"""asg$n AS MATERIALIZED (SELECT t.i, t.e, list_position(t.dd, list_min(t.dd)) AS j1
+       |  FROM (SELECT i, e, list_transform((SELECT cents FROM $p), ct ->
+       |      (list_inner_product(e, e) - 2e0*list_inner_product(e, ct)) + list_inner_product(ct, ct)) AS dd
+       |    FROM train) t),
+       |dim$n AS MATERIALIZED (SELECT a.j1, p.p, list_sum(list(a.e[p.p] ORDER BY a.i)) AS sm, count(*) AS cnt
+       |  FROM asg$n a CROSS JOIN (SELECT unnest(range(1, 65)) AS p) p GROUP BY 1, 2),
+       |newc$n AS MATERIALIZED (SELECT j1, list(sm / cnt ORDER BY p) AS cv FROM dim$n GROUP BY j1),
+       |ll$n AS MATERIALIZED (SELECT list(coalesce(nc.cv, lp.cents[jj.j]) ORDER BY jj.j) AS cents
+       |  FROM (SELECT unnest(range(1, (SELECT kk FROM kx) + 1)) AS j) jj
+       |  LEFT JOIN newc$n nc ON nc.j1 = jj.j
+       |  CROSS JOIN $p lp),""".stripMargin
+  }
+
+  /** sim_ivfpq_topk oracle (r11): the ENTIRE composite index build
+    * replays in DuckDB — md5-bridge stride training sample, Gonzalez
+    * farthest-point init as a recursive CTE carrying (picked, min-dist)
+    * list state over the precomputed distance matrix, five unrolled
+    * Lloyd steps ([[lloydCte]]), cosine first-max coarse assignment,
+    * residuals, md5-stride residual codebook, PQ encoding, the
+    * ADC-cosine candidate scan ((cn² + 2·c·r) + |r|² in the exact Spark
+    * expression order) and the k·refine exact re-rank. Possible because
+    * trainCoarse's d2 is the ip-expansion (Similarity.scala) — three
+    * sequential folds both engines compute bitwise-identically. */
+  private def ivfpqTopkSql: String =
+    """WITH RECURSIVE c AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+      |  sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
+      |  FROM embeddings),
+      |nn AS (SELECT count(*) AS n,
+      |  GREATEST(4, CAST(floor(sqrt(count(*))) AS BIGINT)) AS nc,
+      |  GREATEST(8 * GREATEST(4, CAST(floor(sqrt(count(*))) AS BIGINT)), 512) AS ssz FROM c),
+      |tstr AS (SELECT s.vec_id, s.e FROM c s, nn
+      |  WHERE (('0x'||substr(md5('c'||s.vec_id),1,8))::BIGINT % GREATEST(1, nn.n // nn.ssz)) = 0),
+      |tpool AS (
+      |  SELECT vec_id, e FROM tstr
+      |  WHERE (SELECT count(*) FROM tstr) >= (SELECT (ssz + 1) // 4 FROM nn)
+      |  UNION ALL
+      |  SELECT vec_id, e FROM c
+      |  WHERE (SELECT count(*) FROM tstr) < (SELECT (ssz + 1) // 4 FROM nn)),
+      |train AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, e
+      |  FROM (SELECT vec_id, e FROM tpool ORDER BY vec_id LIMIT (SELECT ssz FROM nn))),
+      |kx AS MATERIALIZED (SELECT LEAST((SELECT nc FROM nn), (SELECT count(*) FROM train)) AS kk),
+      |dmat AS (SELECT a.i, b.i AS j,
+      |    (list_inner_product(a.e, a.e) - 2e0*list_inner_product(a.e, b.e))
+      |      + list_inner_product(b.e, b.e) AS d
+      |  FROM train a CROSS JOIN train b),
+      |dlist AS MATERIALIZED (SELECT i, list(d ORDER BY j) AS dl FROM dmat GROUP BY i),
+      |gonz(cnt, picked, md) AS (
+      |  SELECT 1, [CAST(0 AS INT)], (SELECT dl FROM dlist WHERE i = 0)
+      |  UNION ALL
+      |  SELECT g.cnt + 1,
+      |    list_append(g.picked, CAST(list_position(g.md, list_max(g.md)) - 1 AS INT)),
+      |    list_transform(list_zip(g.md, d.dl), s -> least(s[1], s[2]))
+      |  FROM gonz g JOIN dlist d ON d.i = list_position(g.md, list_max(g.md)) - 1
+      |  WHERE g.cnt < (SELECT kk FROM kx)),
+      |tv AS MATERIALIZED (SELECT list(e ORDER BY i) AS v FROM train),
+      |ll0 AS MATERIALIZED (SELECT list_transform(g.picked, p -> tv.v[p + 1]) AS cents
+      |  FROM gonz g, tv, kx WHERE g.cnt = kx.kk),
+      |""".stripMargin +
+      (1 to 5).map(lloydCte).mkString("\n") +
+    """
+      |centt AS MATERIALIZED (SELECT jj.j - 1 AS ci, l.cents[jj.j] AS cv,
+      |    list_inner_product(l.cents[jj.j], l.cents[jj.j]) AS cn2,
+      |    sqrt(list_inner_product(l.cents[jj.j], l.cents[jj.j])) AS cnorm
+      |  FROM ll5 l CROSS JOIN (SELECT unnest(range(1, (SELECT kk FROM kx) + 1)) AS j) jj),
+      |vsc AS (SELECT v.vec_id, ct.ci, list_inner_product(v.e, ct.cv) / (v.norm * ct.cnorm) AS s
+      |  FROM c v CROSS JOIN centt ct),
+      |asgc AS MATERIALIZED (SELECT vec_id, ci AS centroid_id FROM (
+      |  SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ci) AS rn
+      |  FROM vsc) WHERE rn = 1),
+      |resid AS MATERIALIZED (SELECT a.vec_id, a.centroid_id,
+      |    list_transform(list_zip(v.e, ct.cv), z -> z[1] - z[2]) AS r
+      |  FROM asgc a JOIN c v USING (vec_id) JOIN centt ct ON ct.ci = a.centroid_id),
+      |rstr AS (SELECT r.vec_id, r.r FROM resid r, nn
+      |  WHERE (('0x'||substr(md5('c'||r.vec_id),1,8))::BIGINT % GREATEST(1, nn.n // 32)) = 0),
+      |rpool AS (
+      |  SELECT vec_id, r FROM rstr WHERE (SELECT count(*) FROM rstr) >= 16
+      |  UNION ALL
+      |  SELECT vec_id, r FROM resid WHERE (SELECT count(*) FROM rstr) < 16),
+      |rsamp AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS t, r
+      |  FROM (SELECT vec_id, r FROM rpool ORDER BY vec_id LIMIT 32)),
+      |js AS (SELECT unnest(range(0, 8)) AS j),
+      |cbw AS MATERIALIZED (SELECT js.j, s.t, list_slice(s.r, js.j*8+1, js.j*8+8) AS cw,
+      |    list_inner_product(list_slice(s.r, js.j*8+1, js.j*8+8),
+      |      list_slice(s.r, js.j*8+1, js.j*8+8)) AS cw2
+      |  FROM rsamp s CROSS JOIN js),
+      |enc AS (SELECT rs.vec_id, w.j, w.t,
+      |    list_inner_product(list_slice(rs.r, w.j*8+1, w.j*8+8), w.cw) * 2e0 - w.cw2 AS s
+      |  FROM resid rs CROSS JOIN cbw w),
+      |codes AS MATERIALIZED (SELECT vec_id, j, t FROM (
+      |  SELECT vec_id, j, t, row_number() OVER (PARTITION BY vec_id, j ORDER BY s DESC, t) AS rn
+      |  FROM enc) WHERE rn = 1),
+      |recon AS MATERIALIZED (SELECT cd.vec_id, flatten(list(w.cw ORDER BY cd.j)) AS rrec
+      |  FROM codes cd JOIN cbw w ON w.j = cd.j AND w.t = cd.t GROUP BY cd.vec_id),
+      |q AS MATERIALIZED (SELECT vec_id AS qid, e AS qemb, norm AS qnorm FROM c WHERE vec_id < 20),
+      |qsc AS (SELECT q.qid, ct.ci, list_inner_product(q.qemb, ct.cv) / (q.qnorm * ct.cnorm) AS s
+      |  FROM q CROSS JOIN centt ct),
+      |probed AS MATERIALIZED (SELECT qid, ci AS centroid_id FROM (
+      |  SELECT qid, ci, row_number() OVER (PARTITION BY qid ORDER BY s DESC, ci) AS rn
+      |  FROM qsc) WHERE rn <= 4),
+      |cand AS (SELECT p.qid, a.vec_id AS nid,
+      |    (list_inner_product(q.qemb, ct.cv) + list_inner_product(q.qemb, rc.rrec))
+      |      / (q.qnorm * sqrt((ct.cn2 + 2e0 * list_inner_product(ct.cv, rc.rrec))
+      |        + list_inner_product(rc.rrec, rc.rrec))) AS sim
+      |  FROM probed p
+      |  JOIN asgc a ON a.centroid_id = p.centroid_id AND a.vec_id <> p.qid
+      |  JOIN recon rc ON rc.vec_id = a.vec_id
+      |  JOIN centt ct ON ct.ci = p.centroid_id
+      |  JOIN q ON q.qid = p.qid),
+      |cgrp AS (SELECT qid, nid, max(sim) AS sim FROM cand GROUP BY 1, 2),
+      |cands AS (SELECT qid, nid FROM (
+      |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+      |  FROM cgrp) WHERE rn <= 40),
+      |ex AS (SELECT cd.qid, cd.nid,
+      |    list_inner_product(q.qemb, v.e) / (q.qnorm * v.norm) AS sim
+      |  FROM cands cd JOIN c v ON v.vec_id = cd.nid JOIN q ON q.qid = cd.qid)
+      |SELECT qid AS vec_id, nid AS neighbor_id,
+      |  CAST(floor(sim * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS sim,
+      |  CAST(rank AS BIGINT) AS rank FROM (
+      |  SELECT qid, nid, sim,
+      |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM ex)
+      |WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin
+
   /** DuckDB oracle SQL; keys omitted here get a rows-only check. */
   def oracleSql: Map[String, String] = Map(
     // Holt recursion replayed step-by-step as a recursive CTE: each
@@ -925,6 +1139,9 @@ object SparkEntry {
         |FROM u ORDER BY day""".stripMargin,
     "dq_assoc" -> assocSql,
     "dedup_minhash_est_err" -> minhashEstSql,
+    // dedup_minhash (oracle-backed r11): the portable banded pipeline
+    // replays end-to-end — see minhashBandedSql.
+    "dedup_minhash" -> minhashBandedSql,
     // the evt_holt recursion refit on the train PREFIX; per-model error
     // terms accumulate in a per-model frame-order window (the driver's
     // ascending-h fold, bit-identical)
@@ -6065,6 +6282,10 @@ object SparkEntry {
         |  SELECT qid, nid, sim,
         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM cand)
         |WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin,
+    // sim_pq_topk / sim_ivfpq_topk (oracle-backed r11): the PQ and
+    // IVF-PQ builds replay end-to-end — see pqTopkSql / ivfpqTopkSql.
+    "sim_pq_topk" -> pqTopkSql,
+    "sim_ivfpq_topk" -> ivfpqTopkSql,
     // sim_nprobe_sweep (oracle-backed r10): the IVF replay above run as
     // FOUR correlated arms (per-query centroid rank <= nprobe) against
     // the exact ground truth, recall division hash-checked per arm.

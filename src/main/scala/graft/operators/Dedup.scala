@@ -151,6 +151,58 @@ object Dedup {
   def minhashPairs(docs: DataFrame, threshold: Double, shingleK: Int = 3): DataFrame =
     minhashCandidates(docs, shingleK).filter(col("est_jaccard") >= threshold)
 
+  /** Banded MinHash candidates with PORTABLE signatures — the md5-bridge
+    * slot scheme [[minhashEstErr]] proves replayable, applied to the FULL
+    * candidate pipeline so the registered query carries a complete DuckDB
+    * oracle (r11): per-slot minima over distinct shingles, band keys as
+    * the j-ordered concatenation of each band's slot minima, a band
+    * equi-join (never all-pairs), and the matching-slot Jaccard estimate
+    * (m/slots is exact binary for power-of-two slots, so the ORDER BY is
+    * tie-unambiguous). The xxhash64 [[minhashCandidates]] path stays the
+    * production kernel (row-local native MinHashSig, no explode, no
+    * shuffle — the 100 TB hot path, exercised by dedup_clusters /
+    * dedup_minhash_verified / dedup_incremental); this twin trades one
+    * explode for bit-replayability, widening the dedup_minhash_est_err
+    * precedent from estimate auditing to banding itself. */
+  def minhashCandidatesPortable(docs: DataFrame, shingleK: Int = 3,
+      slots: Int = 32, bands: Int = 8): DataFrame = {
+    val rpb = slots / bands
+    val gramExpr = (0 until shingleK).map(o => s"toks[i+$o]")
+      .mkString("concat_ws(' ', ", ", ", ")")
+    val grams = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= shingleK)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(0, size(toks) - $shingleK), i -> $gramExpr)"))).as("g"))
+    val sig = grams
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, ${slots - 1}), j -> named_struct('j', j, " +
+          "'h', cast(conv(substring(md5(concat(g, '|', j)), 1, 8), 16, 10) as bigint)))")).as("s"))
+      .groupBy(col("doc_id"), col("s.j").as("j"))
+      .agg(min(col("s.h")).as("mh"))
+      .persistTracked() // band keys + both sides of the slot-match join
+    val bk = sig
+      .withColumn("band", expr(s"j div $rpb"))
+      .groupBy("doc_id", "band")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("j"), col("mh")))),
+        x => x.getField("mh").cast("string")), ":").as("vals"))
+      .select(col("doc_id"),
+        concat(col("band").cast("string"), lit(":"), col("vals")).as("bkey"))
+    val pairs = bk.as("a").join(bk.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    pairs
+      .join(sig.as("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(sig.as("sb"),
+        col("sb.doc_id") === col("doc_b") && col("sb.j") === col("sa.j"))
+      .groupBy("doc_a", "doc_b")
+      .agg((sum(when(col("sa.mh") === col("sb.mh"), 1L).otherwise(0L))
+        .cast("double") / lit(slots.toDouble)).as("est"))
+      .select(col("doc_a"), col("doc_b"), Num.pround(col("est"), 4).as("est_jaccard"))
+      .orderBy(col("est_jaccard").desc, col("doc_a"), col("doc_b"))
+  }
+
   /** The full production near-dup pipeline: LSH candidate generation
     * (bucket-bounded, no all-pairs) followed by EXACT n-gram Jaccard
     * verification of each candidate, keeping pairs at `threshold` or

@@ -293,11 +293,19 @@ object Similarity {
     * training the quantizer on a sample, never the corpus. */
   private def trainCoarse(sample: Array[Array[Double]], k: Int,
       iters: Int): Array[Array[Double]] = {
-    def d2(a: Array[Double], b: Array[Double]): Double = {
+    // squared L2 via the inner-product expansion (aa − 2ab) + bb, NOT the
+    // diff-square loop: each ip is a sequential fold that DuckDB's
+    // list_inner_product reproduces bitwise, so the whole quantizer
+    // training replays in the sim_ivfpq_topk oracle (r11). The expansion
+    // only loses precision where d2 ≈ 0 (near-identical vectors), where
+    // the argmin/argmax decisions it feeds are unaffected.
+    def ip(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
-      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
       s
     }
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      (ip(a, a) - 2.0 * ip(a, b)) + ip(b, b)
     val picked = scala.collection.mutable.ArrayBuffer(sample.head)
     while (picked.length < k) {
       var bestI = 0; var bestD = -1.0

@@ -507,8 +507,13 @@ object Suite {
     Dedup.sortedNeighborhood(d.union(planted))
   }
 
+  /** Banded MinHash candidate pairs, FULL oracle since r11: the portable
+    * md5-bridge slot signatures, j-ordered band keys, band equi-join and
+    * matching-slot estimate all hash-replay in DuckDB. The xxhash64
+    * native-kernel path stays exercised by dedup_clusters /
+    * dedup_minhash_verified / dedup_incremental (plus DedupSpec). */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashCandidates(t(s, dir, "documents")).limit(200)
+    Dedup.minhashCandidatesPortable(t(s, dir, "documents")).limit(200)
 
   /** Oracle-verified simhash near-dup pairs (full oracle since r8):
     * portable 32-bit signatures banded 4×8 (pigeonhole-complete at
@@ -599,8 +604,9 @@ object Suite {
   }
 
   /** Top-k over the 8-byte-per-vector PQ index (same query set), exact
-    * re-rank on the true embeddings; rows-only like the other ANN paths
-    * (codebooks and approximate scores are not SQL-expressible). */
+    * re-rank on the true embeddings. FULL oracle since r11: the
+    * md5-bridge stride codebook, argmin-L2 encoding, reconstructed
+    * approximate cosine and refine cut all hash-replay in DuckDB. */
   def simPqTopk(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     Similarity.pqTopK(e, e.filter(col("vec_id") < 20), 5)
@@ -2158,9 +2164,11 @@ object Suite {
   def featUserProfile(s: SparkSession, dir: String): DataFrame =
     Features.userProfile(t(s, dir, "events"))
 
-  /** IVF-PQ composite ANN over the bounded query set (rows-only; the
-    * planted-cluster recall spec carries the quality bar — synthetic
-    * embeddings are near-uniform, see sim_ann_lsh). */
+  /** IVF-PQ composite ANN over the bounded query set. FULL oracle since
+    * r11: Gonzalez+Lloyd quantizer training (d2 as the ip-expansion),
+    * residual PQ codebooks and the ADC-cosine scan all hash-replay in
+    * DuckDB (recursive-CTE Gonzalez + five unrolled Lloyd steps); the
+    * planted-cluster recall spec still carries the quality bar. */
   def simIvfpqTopk(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 20), 5)
