@@ -309,8 +309,20 @@ object Cli {
     // item, reference interfaces/cli/render/commands.py:60,79)
     case "render" :: "list-renderers" :: Nil =>
       (Render.renderers.map { case (n, d) => f"$n%-10s $d" } ++
-        Render.pipelineRenderers.map { case (n, d) => f"pipeline:$n%-10s $d" })
+        Render.pipelineRenderers.map { case (n, d) => f"pipeline:$n%-10s $d" } ++
+        Render.apiRenderers.map { case (n, d) => f"api:$n%-10s $d" })
         .mkString("\n")
+    // API-doc renderer (kiara render base_api, reference
+    // renderers/included_renderers/api/base_api.py:40): the endpoint
+    // catalog itself rendered into docs — name, signature, one-line doc
+    case "render" :: "api" :: target :: Nil =>
+      target match {
+        case "markdown" => Render.apiMarkdown(GraftApi.endpoints)
+        case "html" => Render.apiHtml(GraftApi.endpoints)
+        case other => throw new IllegalArgumentException(
+          s"render api: unknown target '$other' (available: " +
+            Render.apiRenderers.map(_._1).mkString(", ") + ")")
+      }
     // pipeline renderers (kiara render --source-type pipeline item,
     // reference renderers/included_renderers/pipeline.py:60,91,197,235).
     // Canonical arg order is target-first like `render item <target> ...`;
@@ -319,8 +331,14 @@ object Cli {
     // can't be confused: a root is a path, a target is one of 4 words)
     case "render" :: "pipeline" :: a :: b :: c :: Nil =>
       val targets = Render.pipelineRenderers.map(_._1).toSet
+      // a legacy target-last invocation whose ROOT directory is literally
+      // named like a renderer target (a relative path 'markdown'/'html')
+      // must not be mis-parsed as target-first: when both orders are
+      // syntactically valid, prefer the one where root is an existing
+      // directory (roots are paths; a target word is never a real dir)
+      val aIsDir = java.nio.file.Files.isDirectory(java.nio.file.Paths.get(a))
       val (target, root, name) =
-        if (targets.contains(a)) (a, b, c)
+        if (targets.contains(a) && !(aIsDir && targets.contains(c))) (a, b, c)
         else if (targets.contains(c)) (c, a, b)
         else throw new IllegalArgumentException(
           s"render pipeline: neither '$a' nor '$c' is a renderer target " +
@@ -377,6 +395,7 @@ object Cli {
           s"render item <target> <query> <sfDir> [--template <tpl>] [rows] | " +
           s"render pipeline <target> <root> <name> | " +
           s"render archive html <dir> | render job script <root> <id> | " +
+          s"render api markdown|html | " +
           s"run <root> <operation> <valueRef> [--save <alias>] | " +
           s"pipeline <root> list|explain <name> | " +
           s"workflow <root> list|explain <name> | " +

@@ -35,6 +35,106 @@ object GraftApi {
   final case class JobInfo(jobId: String, operation: String, inputs: Seq[String],
                            outputSchema: String, state: String,
                            comment: Option[String])
+
+  /** One row of the API endpoint catalog (render api). */
+  final case class Endpoint(name: String, signature: String, doc: String)
+
+  /** One-line docs for the endpoint catalog. Names must match real public
+    * GraftApi members — GraftApiSpec cross-checks this map against the
+    * reflected method list, so a renamed method fails CI instead of
+    * silently rendering as undocumented. */
+  private val endpointDocs: Map[String, String] = Map(
+    "spark" -> "the live SparkSession this context runs on",
+    "registryEvents" -> "event bus: every registry mutation, in order",
+    "data" -> "value (DataFrame) registry rooted at this context",
+    "aliases" -> "alias registry (name -> value id)",
+    "lineage" -> "lineage registry: which step produced which value",
+    "workflows" -> "workflow (pipeline DAG) registry",
+    "comments" -> "job comment store",
+    "metadata" -> "value-metadata registry (key=value items per value)",
+    "environments" -> "runtime-environment snapshot registry",
+    "listOperationIds" -> "registered operation ids (optionally filtered)",
+    "operationInfo" -> "doc + type hints for one operation",
+    "operationsInfo" -> "every registered operation's info record",
+    "registerOperation" -> "register a custom DataFrame transform as an operation",
+    "listModuleTypeNames" -> "module-type vocabulary (operation families)",
+    "moduleTypeInfo" -> "doc + implementing class + members of one module type",
+    "moduleTypesInfo" -> "every module type's info record",
+    "listPluginNames" -> "registered extension-bundle names",
+    "pluginInfo" -> "one extension bundle's info record",
+    "pluginsInfo" -> "every registered extension bundle",
+    "onRegistryEvent" -> "subscribe to registry mutations (synchronous, in order)",
+    "runJob" -> "execute an operation on a value, record the job, return the result",
+    "getJobRecord" -> "the persisted step record of one job",
+    "listJobRecordIds" -> "ids of all recorded jobs (live + persisted)",
+    "listJobRecords" -> "all recorded jobs' step records",
+    "queueJob" -> "enqueue an operation asynchronously, returns the job id",
+    "getJob" -> "queued-job status (running/success/failed)",
+    "getJobResult" -> "the DataFrame result of a finished queued job",
+    "setJobComment" -> "attach a comment to a job",
+    "getJobComment" -> "the comment attached to a job, if any",
+    "listJobComments" -> "all (job id, comment) pairs",
+    "jobsInfo" -> "every job's record + status + comment in one catalog pass",
+    "jobInfo" -> "one job's record + status + comment",
+    "valueLineage" -> "upstream lineage steps of a value",
+    "registerMetadata" -> "attach a key=value metadata item to a value",
+    "findMetadataItems" -> "metadata items whose key matches a glob",
+    "metadataForValue" -> "all metadata items attached to one value",
+    "metadataItemWithHash" -> "look up a metadata item by content hash",
+    "environmentInfo" -> "this session's runtime fingerprint (registered once)",
+    "jobEnvironment" -> "the environment snapshot a job ran under",
+    "listDataTypeNames" -> "supported data-type names",
+    "storeValue" -> "persist a DataFrame as a value (optional alias), returns the id",
+    "getValue" -> "load a value by id or alias",
+    "listValueIds" -> "ids of all stored values",
+    "listAliasNames" -> "all alias names",
+    "storeValues" -> "persist several DataFrames in one call",
+    "getValues" -> "load several values by id or alias",
+    "valueInfo" -> "schema/rows/size/lineage/metadata of one value (no data scan)",
+    "valuesInfo" -> "info records for several (or all) values",
+    "aliasesInfo" -> "(alias, value info) pairs for aliases matching a glob",
+    "dataTypesInfo" -> "(name, Spark type) for every supported data type",
+    "dataTypeInfo" -> "(name, Spark type) for one data type",
+    "getValueStr" -> "bounded pretty-printed slice of a value",
+    "contextInfo" -> "context summary: counts of values/aliases/jobs/workflows/ops",
+    "findValues" -> "value ids matching an id glob (optionally having a column)",
+    "findAliases" -> "(alias, value id) pairs matching alias/value globs",
+    "importValue" -> "import a file (csv/json/orc/parquet) as a value",
+    "exportValue" -> "export a value to a file in the given format",
+    "importValues" -> "import several files as values",
+    "exportValues" -> "export several values into a directory",
+    "exportArchive" -> "export values + aliases + lineage as a portable archive",
+    "importArchive" -> "import a portable archive into this context",
+    "archiveInfo" -> "metadata-only inspection of an archive directory")
+
+  /** The API endpoint catalog — kiara's ApiEndpoints twin
+    * (reference renderers/included_renderers/api/base_api.py:40 renders
+    * the BaseAPI endpoint list via introspection). Names and signatures
+    * come from reflection, so the catalog is complete by construction
+    * (every public member appears; a new method can never be forgotten);
+    * the one-line docs come from [[endpointDocs]]. */
+  def endpoints: Seq[Endpoint] = {
+    def short(t: java.lang.reflect.Type): String =
+      t.getTypeName.replaceAll("""[a-z][A-Za-z0-9_$]*\.""", "").replace("$", ".")
+    classOf[GraftApi].getDeclaredMethods.toSeq
+      .filter(m => java.lang.reflect.Modifier.isPublic(m.getModifiers))
+      // statics are the companion object's forwarders (endpoints itself,
+      // case-class factories) — instance endpoints only
+      .filterNot(m => java.lang.reflect.Modifier.isStatic(m.getModifiers))
+      .filterNot(m => m.getName.contains("$") || m.isSynthetic || m.isBridge)
+      .sortBy(m => (m.getName, m.getParameterCount))
+      .map { m =>
+        val ps = m.getGenericParameterTypes.map(short).mkString(", ")
+        val sig =
+          if (ps.isEmpty) s"${m.getName}: ${short(m.getGenericReturnType)}"
+          else s"${m.getName}($ps): ${short(m.getGenericReturnType)}"
+        Endpoint(m.getName, sig, endpointDocs.getOrElse(m.getName, ""))
+      }
+  }
+
+  /** Endpoint names with a curated doc line — exposed for the CI
+    * cross-check (every key must name a real public method). */
+  def documentedEndpointNames: Set[String] = endpointDocs.keySet
 }
 
 /** Top-level facade mirroring kiara's python API

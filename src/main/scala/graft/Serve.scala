@@ -53,7 +53,11 @@ object Serve {
 
     private val EndpointRe = """"endpoint"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
     private val ArgsRe = """"args"\s*:\s*\[((?:[^\]"]|"(?:[^"\\]|\\.)*")*)\]""".r
-    private val QuotedRe = """"((?:[^"\\]|\\.)*)"""".r
+    // array elements: quoted strings OR bare JSON scalars (numbers,
+    // booleans, null) — a bare row limit in {"args":["q1","dir",3]} must
+    // not be silently dropped (it used to fall back to the default 20)
+    private val TokenRe =
+      """"((?:[^"\\]|\\.)*)"|(-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?|true|false|null)""".r
 
     private def ok(endpoint: String, fields: (String, String)*): String =
       (s""""endpoint":"${Jsonl.esc(endpoint)}"""" +: fields.map { case (k, v) => s""""$k":$v""" })
@@ -67,7 +71,8 @@ object Serve {
       served.incrementAndGet()
       val endpoint = EndpointRe.findFirstMatchIn(line).map(m => Jsonl.unesc(m.group(1)))
       val args: Seq[String] = ArgsRe.findFirstMatchIn(line).map(m =>
-        QuotedRe.findAllMatchIn(m.group(1)).map(q => Jsonl.unesc(q.group(1))).toSeq)
+        TokenRe.findAllMatchIn(m.group(1)).map(q =>
+          if (q.group(1) != null) Jsonl.unesc(q.group(1)) else q.group(2)).toSeq)
         .getOrElse(Seq.empty)
       endpoint match {
         case None =>
@@ -108,9 +113,13 @@ object Serve {
     private def run(endpoint: String)(body: => String): String =
       try body catch {
         case e: Throwable =>
+          // getMessage is null for bare NPEs etc.; esc(null) would throw
+          // FROM the catch and kill the stream despite the containment
+          // contract — fall back to the exception's class name
+          val msg = if (e.getMessage != null) e.getMessage else e.toString
           if (endpoint == "cli")
-            ok("cli", "stdout" -> str(""), "stderr" -> str(e.getMessage))
-          else ok(endpoint, "error" -> str(e.getMessage))
+            ok("cli", "stdout" -> str(""), "stderr" -> str(msg))
+          else ok(endpoint, "error" -> str(msg))
       }
   }
 
@@ -158,7 +167,15 @@ object Serve {
       onBound(bound)
       while (!session.isStopped) {
         val sock: Socket = server.accept()
+        // per-CONNECTION containment to match the per-REQUEST containment
+        // inside handle(): one client's connection reset / half-open
+        // socket / write failure must not kill the long-lived service —
+        // log and keep accepting; only shutdown/stop exits the loop
         try serveStream(session, sock.getInputStream, sock.getOutputStream)
+        catch {
+          case e: java.io.IOException =>
+            System.err.println(s"[graft.serve] connection error (continuing): $e")
+        }
         finally sock.close()
       }
       session.requestsServed

@@ -462,14 +462,14 @@ object SparkEntry {
        |  CAST(floor(abs(er - jr) * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS abs_err
        |FROM fin ORDER BY doc_a, doc_b""".stripMargin
 
-  /** dedup_minhash oracle (r11): the whole portable banded-MinHash
-    * pipeline replays — md5-bridge slot minima over distinct 3-grams,
-    * j-ordered band keys (string_agg ORDER BY j ≡ Spark's
-    * array_sort(collect_list(struct(j, mh)))), band equi-join, and the
-    * matching-slot estimate m/32 (exact binary, so the LIMIT's total
-    * order has no rounding ambiguity). */
-  private def minhashBandedSql: String =
-    s"""WITH t0 AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, $toksSql AS toks FROM documents),
+  /** Shared CTE body of the portable banded-MinHash replay (r11):
+    * md5-bridge slot minima over distinct 3-grams, j-ordered band keys
+    * (string_agg ORDER BY j ≡ Spark's array_sort(collect_list(struct(j,
+    * mh)))), band equi-join, matching-slot counts. `est` carries the
+    * rounded m/32 estimate (exact binary for 32 slots, so thresholds
+    * and total orders have no rounding ambiguity). */
+  private def minhashBandedCtes: String =
+    s"""t0 AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, $toksSql AS toks FROM documents),
        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
        |    generate_series(1, len(toks) - 2),
        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gr
@@ -487,10 +487,32 @@ object SparkEntry {
        |    sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS m
        |  FROM pairs p JOIN sig sa ON sa.doc_id = p.doc_a
        |    JOIN sig sb ON sb.doc_id = p.doc_b AND sb.j = sa.j
-       |  GROUP BY 1, 2)
-       |SELECT doc_a, doc_b,
+       |  GROUP BY 1, 2),
+       |est AS (SELECT doc_a, doc_b,
        |  CAST(floor(CAST(m AS DOUBLE) / 32e0 * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS est_jaccard
-       |FROM mm ORDER BY est_jaccard DESC, doc_a, doc_b LIMIT 200""".stripMargin
+       |  FROM mm)""".stripMargin
+
+  /** dedup_minhash oracle (r11): the banded replay above, top 200 under
+    * the (est DESC, doc_a, doc_b) total order. */
+  private def minhashBandedSql: String =
+    s"""WITH $minhashBandedCtes
+       |SELECT doc_a, doc_b, est_jaccard
+       |FROM est ORDER BY est_jaccard DESC, doc_a, doc_b LIMIT 200""".stripMargin
+
+  /** dedup_clusters oracle (r11): connected components over the
+    * thresholded portable banded pairs — the banded replay feeds the
+    * recursive-CTE transitive closure (dedup_clusters_verified
+    * precedent), so BOTH the candidate generation and the distributed
+    * min-label propagation are proven against an exact reference. */
+  private def minhashClustersSql: String =
+    s"""WITH RECURSIVE $minhashBandedCtes,
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM est WHERE est_jaccard >= 0.2e0
+       |      UNION SELECT doc_b, doc_a FROM est WHERE est_jaccard >= 0.2e0),
+       |reach AS (SELECT src, dst FROM e
+       |          UNION
+       |          SELECT r.src, e2.dst FROM reach r JOIN e e2 ON e2.src = r.dst)
+       |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 
   /** Categorical-association oracle: per column pair, the full-grid χ²
     * (empty cells included), the three n·ln(n) entropy moments, and the
@@ -1139,9 +1161,11 @@ object SparkEntry {
         |FROM u ORDER BY day""".stripMargin,
     "dq_assoc" -> assocSql,
     "dedup_minhash_est_err" -> minhashEstSql,
-    // dedup_minhash (oracle-backed r11): the portable banded pipeline
-    // replays end-to-end — see minhashBandedSql.
+    // dedup_minhash / dedup_clusters (oracle-backed r11): the portable
+    // banded pipeline replays end-to-end — see minhashBandedSql /
+    // minhashClustersSql.
     "dedup_minhash" -> minhashBandedSql,
+    "dedup_clusters" -> minhashClustersSql,
     // the evt_holt recursion refit on the train PREFIX; per-model error
     // terms accumulate in a per-model frame-order window (the driver's
     // ascending-h fold, bit-identical)

@@ -277,6 +277,38 @@ object Render {
       "</body></html>"
   }
 
+  // ---- API doc renderers ---------------------------------------------------
+
+  /** API renderer catalog (listed by `render list-renderers` as
+    * `api:<target>`), twin of kiara's api_to_<target> renderer aliases. */
+  val apiRenderers: Seq[(String, String)] = Seq(
+    "markdown" -> "endpoint catalog as a markdown reference",
+    "html" -> "endpoint catalog as a static html page")
+
+  /** The API's endpoint catalog rendered as markdown — kiara's
+    * BaseApiDocRenderer family (renderers/included_renderers/api/
+    * base_api.py:40 renders the BaseAPI endpoint list, with doc and
+    * signature per endpoint, via introspection). The answer to "what can
+    * this API do?" without reading source. */
+  def apiMarkdown(eps: Seq[graft.GraftApi.Endpoint]): String =
+    (s"# graft API endpoints (${eps.size})" +: "" +:
+      "| endpoint | signature | doc |" +: "| --- | --- | --- |" +:
+      eps.map(e =>
+        s"| ${e.name} | `${e.signature.replace("|", "\\|")}` | ${e.doc} |"))
+      .mkString("\n")
+
+  /** The endpoint catalog as a static html page (escaped, like every
+    * other html target — signatures cannot inject markup). */
+  def apiHtml(eps: Seq[graft.GraftApi.Endpoint]): String = {
+    def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val rows = eps.map(e =>
+      s"<tr><td>${esc(e.name)}</td><td><code>${esc(e.signature)}</code></td>" +
+        s"<td>${esc(e.doc)}</td></tr>").mkString
+    s"<html><body><h1>graft API endpoints (${eps.size})</h1>" +
+      "<table><thead><tr><th>endpoint</th><th>signature</th><th>doc</th>" +
+      s"</tr></thead><tbody>$rows</tbody></table></body></html>"
+  }
+
   /** One JOB record as a runnable replay script — kiara's
     * JobDescPythonScriptRenderer (renderers/included_renderers/job.py:56
     * renders a JobDesc through the pipeline script template: a job IS a

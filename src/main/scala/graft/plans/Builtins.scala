@@ -34,6 +34,9 @@ object Builtins {
     OpRegistry.registerModuleType("profile",
       "table and column profiling",
       "graft.operators.Profile")
+    OpRegistry.registerModuleType("mock",
+      "configurable fake outputs for pipeline prototyping before real operators exist",
+      "graft.plans.Mock")
     OpRegistry.register("text.clean",
       df => df.withColumn("ctext", TextOps.clean(col("text"))),
       doc = "scrub urls/emails/control chars from `text` into `ctext`")

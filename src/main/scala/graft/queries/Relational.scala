@@ -181,6 +181,11 @@ object Relational {
     // expected-pass constants) — a sketch that ever violates its bound
     // flips a verdict to 0 and hash-reds the gate. At 100 TB production
     // runs the sketch alone; the exact columns here are the gate face.
+    // ACCEPTED BENCH COST (r11, advice item): this registered form is
+    // strictly dearer than q13_percentile (~0.3 s extra warm at sf0.1 —
+    // one more lineitem scan + broadcast join) because the verification
+    // face is the point of the entry; splitting the exact leg out of the
+    // query would also remove it from the oracle's reach.
     val li = t(s, dir, "lineitem")
     val ap = li.groupBy("l_returnflag").agg(
       expr("approx_percentile(l_quantity, 0.5, 10000)").as("aq"),

@@ -616,10 +616,12 @@ object Suite {
     * pairs — raw band collisions would transitively merge unrelated docs
     * (one spurious bridge chains two components), so the Jaccard-estimate
     * gate comes first. Pairs become dedup GROUPS, the form a pipeline
-    * actually consumes (keep one doc per cluster_id). Rows-only. */
+    * actually consumes (keep one doc per cluster_id). FULL oracle since
+    * r11: the portable banded candidates + threshold + min-label
+    * propagation all replay (closure as a recursive CTE). */
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
-    Dedup.clusters(Dedup.minhashPairs(t(s, dir, "documents"), threshold = 0.2)
-      .select("doc_a", "doc_b"))
+    Dedup.clusters(Dedup.minhashCandidatesPortable(t(s, dir, "documents"))
+      .filter(col("est_jaccard") >= 0.2).select("doc_a", "doc_b"))
 
   /** Connected components over the EXACT-verified near-dup pairs,
     * oracle-anchored: DuckDB recomputes the pair set by brute-force

@@ -283,6 +283,70 @@ class CliSpec extends SparkTestBase {
     assert(e.getMessage.contains("renderer target"))
   }
 
+  test("render pipeline: a root directory literally named like a target parses as target-last") {
+    import graft.registries.WorkflowRegistry.OpStep
+    // a RELATIVE root named 'markdown' (a real directory) used in the
+    // legacy target-last order must not be mis-parsed as target-first —
+    // that would silently swap root and pipeline name
+    val rel = java.nio.file.Paths.get("markdown")
+    val created = !java.nio.file.Files.exists(rel)
+    if (created) java.nio.file.Files.createDirectories(rel)
+    try {
+      val api = new GraftApi(spark, "markdown")
+      api.workflows.registerOps("amb", Seq(OpStep("clean", "text.clean", "docs")))
+      val mm = Cli.run(spark, Array("render", "pipeline", "markdown", "amb", "mermaid"))
+      assert(mm.contains("graph TD")) // rendered as mermaid, root=markdown
+      // target-first still wins when the first arg is NOT a directory of
+      // a legacy invocation (third arg not a target)
+      val md = Cli.run(spark, Array("render", "pipeline", "markdown", "markdown", "amb"))
+      assert(md.startsWith("# pipeline: amb"))
+    } finally {
+      if (created) {
+        java.nio.file.Files.walk(rel).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
+
+  test("render api: the endpoint catalog renders to markdown and html") {
+    val cat = Cli.run(spark, Array("render", "list-renderers"))
+    assert(cat.contains("api:markdown") && cat.contains("api:html"))
+    val md = Cli.run(spark, Array("render", "api", "markdown"))
+    assert(md.startsWith("# graft API endpoints"))
+    // >= 50 endpoints, each with name | signature | doc columns
+    val rows = md.linesIterator.count(_.startsWith("| "))
+    assert(rows - 2 >= 50, s"expected >= 50 endpoint rows, got ${rows - 2}")
+    assert(md.contains("| runJob |") && md.contains("record the job"))
+    assert(md.contains("| storeValue |") && md.contains("`storeValue("))
+    val html = Cli.run(spark, Array("render", "api", "html"))
+    assert(html.startsWith("<html><body><h1>graft API endpoints"))
+    assert(html.split("<tr>", -1).length - 2 >= 50) // header row + endpoint rows
+    assert(html.contains("<td>exportArchive</td>"))
+    assert(!html.contains("$")) // no mangled synthetic members leak through
+    val e = intercept[IllegalArgumentException] {
+      Cli.run(spark, Array("render", "api", "png"))
+    }
+    assert(e.getMessage.contains("api") && e.getMessage.contains("markdown"))
+  }
+
+  test("render pipeline handles a workflow containing mock steps") {
+    import graft.registries.WorkflowRegistry.OpStep
+    graft.plans.Mock.register(spark, "mock.seed",
+      Seq("doc_id" -> "integer", "text" -> "string"), Seq(Seq("1", "x")))
+    val root = graft.sources.Export.tempDir("graft_cli_mock_").toString
+    val api = new GraftApi(spark, root)
+    api.workflows.registerOps("proto", Seq(
+      OpStep("seed", "mock.seed", "nothing"),
+      OpStep("clean", "text.clean", "seed"),
+      OpStep("count", "text.token_count", "clean")))
+    val md = Cli.run(spark, Array("render", "pipeline", "markdown", root, "proto"))
+    assert(md.contains("| seed | mock.seed | nothing |"))
+    val sc = Cli.run(spark, Array("render", "pipeline", "script", root, "proto"))
+    assert(sc.contains("""OpRegistry.get("mock.seed")"""))
+    // the mock op resolves and runs from the generated-script's registry path
+    assert(graft.plans.OpRegistry.get("mock.seed")(spark.emptyDataFrame).count() == 1)
+  }
+
   test("render pipeline script refuses colliding mangled identifiers; mermaid checks cycles") {
     import graft.registries.WorkflowRegistry.OpStep
     val root = graft.sources.Export.tempDir("graft_cli_collide_").toString

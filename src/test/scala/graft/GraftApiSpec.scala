@@ -489,4 +489,25 @@ class GraftApiSpec extends SparkTestBase {
     // dispatch through the catalog target
     assert(Render.as("template", df, 1, Some("{{name}}")) == "alpha")
   }
+
+  test("endpoint catalog is complete, documented and drift-checked") {
+    val eps = GraftApi.endpoints
+    assert(eps.size >= 50, s"expected >= 50 endpoints, got ${eps.size}")
+    // complete by construction: reflection found the overloads too
+    assert(eps.count(_.name == "listOperationIds") == 2)
+    // drift check: every curated doc key names a REAL public member —
+    // a renamed method fails here instead of rendering as undocumented
+    val reflected = eps.map(_.name).toSet
+    val undoc = GraftApi.documentedEndpointNames -- reflected
+    assert(undoc.isEmpty, s"docs for nonexistent endpoints: $undoc")
+    // and every reflected endpoint carries a doc line (discoverability —
+    // the point of the renderer); a new public method must add its doc
+    val missing = eps.filter(_.doc.isEmpty).map(_.name)
+    assert(missing.isEmpty, s"endpoints without a doc line: $missing")
+    // signatures render with short type names, no compiler mangling
+    val run = eps.find(e => e.name == "runJob").get
+    assert(run.signature == "runJob(String, String): Tuple2<String, Dataset<Row>>"
+      || run.signature.startsWith("runJob(String, String)"))
+    assert(eps.forall(e => !e.signature.contains("java.lang")))
+  }
 }

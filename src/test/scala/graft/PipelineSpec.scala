@@ -100,4 +100,46 @@ class PipelineSpec extends SparkTestBase {
     assert(out.columns.contains("n_tokens") && out.count() == 10)
     intercept[NoSuchElementException] { OpRegistry.info("missing_op") }
   }
+
+  test("mock module: a 3-step pipeline runs before the real operators exist") {
+    import graft.plans.Mock
+    // a mock corpus source and a mock scorer stand in for unbuilt steps
+    // (kiara mock.py:75 MockKiaraModule: configurable literal outputs);
+    // the real text.token_count runs between them
+    Mock.register(spark, "mock.corpus",
+      Seq("doc_id" -> "integer", "text" -> "string"),
+      Seq(Seq("1", "alpha beta"), Seq("2", "gamma")))
+    Mock.register(spark, "mock.score",
+      Seq("doc_id" -> "integer", "score" -> "float"),
+      Seq(Seq("1", "0.5"), Seq("2", "0.25")))
+    val steps = Seq(
+      Pipeline.Step("corpus", Seq.empty,
+        _ => OpRegistry.get("mock.corpus")(spark.emptyDataFrame)),
+      Pipeline.Step("counted", Seq("corpus"),
+        in => OpRegistry.get("text.token_count")(in("corpus"))),
+      Pipeline.Step("scored", Seq("counted"),
+        in => in("counted").join(OpRegistry.get("mock.score")(spark.emptyDataFrame), "doc_id")))
+    val res = Pipeline.run(steps, Map.empty)
+    assert(res.lineage.map(_.step) == Seq("corpus", "counted", "scored"))
+    val rows = res("scored").orderBy("doc_id").collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[Long]("n_tokens")).toSeq == Seq(2L, 1L)) // real op over mock data
+    assert(rows.map(_.getAs[Double]("score")).toSeq == Seq(0.5, 0.25)) // mock literals, typed
+    // catalog: mock ops belong to the 'mock' module type with a doc
+    assert(OpRegistry.info("mock.corpus").module == "mock")
+    assert(OpRegistry.moduleTypeNames.contains("mock"))
+    assert(OpRegistry.info("mock.score").doc.contains("mock operation"))
+    // idempotent and input-agnostic, like the reference characteristics
+    val li = Tables.t(spark, sfDir, "lineitem")
+    assert(OpRegistry.get("mock.corpus")(li).count() == 2)
+    // configure-time validation: unknown type fails fast with the options
+    val e = intercept[IllegalArgumentException] {
+      Mock.register(spark, "mock.bad", Seq("x" -> "nope"), Seq(Seq("1")))
+    }
+    assert(e.getMessage.contains("unknown type") && e.getMessage.contains("integer"))
+    val e2 = intercept[IllegalArgumentException] {
+      Mock.register(spark, "mock.bad2", Seq("x" -> "integer"), Seq(Seq("1", "2")))
+    }
+    assert(e2.getMessage.contains("row arity"))
+  }
 }

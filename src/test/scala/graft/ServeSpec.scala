@@ -93,6 +93,42 @@ class ServeSpec extends SparkTestBase {
     assert(!Files.exists(Paths.get(infoFile)))
   }
 
+  test("bare JSON scalars in args are parsed, not silently dropped") {
+    val s = session
+    // unquoted row limit: {"args":["q1_agg","<dir>",2]} must bound to 2
+    // rows, not fall back to the default 20
+    val resp = s.handle(
+      s"""{"endpoint":"query","args":["q1_agg","$sfDir",2]}""")
+    assert(resp.startsWith("""{"endpoint":"query","rows":["""))
+    assert(resp.split("l_returnflag", -1).length - 1 == 2)
+    // booleans/null arrive as their literal token text
+    val cli = s.handle("""{"endpoint":"cli","args":[true]}""")
+    assert(cli.contains("usage")) // reached Cli.run with arg "true"
+  }
+
+  test("tcp transport: one misbehaving connection does not kill the service") {
+    @volatile var port = 0
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val server = new Thread(() =>
+      Serve.serveTcp(spark, 0, None, p => { port = p; latch.countDown() }))
+    server.setDaemon(true)
+    server.start()
+    assert(latch.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    // client 1 connects, starts a request line, then resets the
+    // connection without finishing — the accept loop must contain the
+    // IOException and keep serving
+    val bad = new java.net.Socket("127.0.0.1", port)
+    bad.setSoLinger(true, 0) // RST on close, not FIN: a genuine abort
+    bad.getOutputStream.write("""{"endpoint":"ping"""".getBytes("UTF-8"))
+    bad.getOutputStream.flush()
+    bad.close()
+    // client 2 on a fresh connection is served normally
+    assert(Serve.request("127.0.0.1", port, """{"endpoint":"ping"}""").contains("pong"))
+    assert(Serve.request("127.0.0.1", port, """{"endpoint":"shutdown"}""").contains("ok"))
+    server.join(30000)
+    assert(!server.isAlive)
+  }
+
   test("duplicate service registration is refused loudly") {
     val infoFile = graft.sources.Export.tempDir("graft_serve_dup_").toString + "/svc.json"
     Files.write(Paths.get(infoFile), "{}".getBytes("UTF-8"))
