@@ -263,17 +263,34 @@ object Similarity {
         val cl = array(c.map(lit): _*)
         dot(emb, cl) / (norm * math.sqrt(c.map(x => x * x).sum))
       }: _*)
+    // Persist only the per-row TOP-nprobe (ns, ci) slice, never the full
+    // c-wide score array: c = O(√N), so a cached score array per row is
+    // O(N^1.5) storage bytes — the r11 x300 probe found exactly that
+    // cliff (600k vectors × 775 centroids ≈ 3.7 GB of cached scores,
+    // heap OOM at the default 8g driver). The sorted slice keeps nprobe
+    // structs per row — O(N·nprobe) cache — and serves BOTH consumers:
+    // assignment is its first entry (sort by (−s, ci) ⇔ first-max
+    // array_position, same tie-break, so the DuckDB oracle is
+    // unchanged), probes are the whole slice.
     val scored = withNorm(corpus, "embedding", "norm")
-      .withColumn("__scores", centScores(col("embedding"), col("norm")))
+      .withColumn("__top", slice(array_sort(transform(
+        centScores(col("embedding"), col("norm")),
+        (s, i) => struct((-s).as("ns"), i.as("ci")))), lit(1), lit(nprobe)))
       .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val indexed = scored.select(col("vec_id"), col("embedding"), col("norm"),
-      expr("array_position(__scores, array_max(__scores)) - 1").cast("int").as("centroid_id"))
+      element_at(col("__top"), 1).getField("ci").cast("int").as("centroid_id"))
     val probed = scored.select(col("vec_id"), col("embedding"), col("norm"),
-      explode(expr(
-        s"slice(array_sort(transform(__scores, (s, i) -> named_struct('ns', -s, 'ci', i))), 1, $nprobe)"))
-        .as("p"))
+      explode(col("__top")).as("p"))
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
         col("norm").as("qnorm"), col("p.ci").as("centroid_id"))
+    // No (qid, nid) dedup aggregate: each index vector has exactly ONE
+    // assigned centroid and a query's probed centroids are distinct, so
+    // a pair can surface through at most one probe arm — a groupBy here
+    // is an identity that hash-aggregates the full candidate stream
+    // (N·nprobe·listsize rows; the r11 x300 probe OOM'd exactly there).
+    // The scored stream flows straight into GroupTopK's bounded
+    // map-side heaps instead. The oracle's GROUP BY max() stays — over
+    // unique pairs it is the same identity.
     val cands = probed.join(
       indexed.select(col("centroid_id"), col("vec_id").as("nid"),
         col("embedding").as("nemb"), col("norm").as("nnorm")),
@@ -281,8 +298,6 @@ object Similarity {
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         cosinePrenormed(dot(col("qemb"), col("nemb")), col("qnorm"), col("nnorm")).as("sim"))
-      .groupBy("qid", "nid")
-      .agg(max("sim").as("sim"))
     rankTopK(cands, k)
   }
 
@@ -746,41 +761,68 @@ object Similarity {
   private[graft] def resolveBits(numBits: Int, n: => Long): Int =
     if (numBits > 0) numBits else lshBits(n)
 
-  /** Scored, deduplicated LSH candidate pairs (both directions). */
+  /** Scored, deduplicated LSH candidate pairs (both directions).
+    *
+    * Dedup is ROW-LOCAL (canonical emission), not an aggregate: a pair
+    * that collides in several tables (or probe arms) is emitted only by
+    * its lexicographically-first colliding (table, arm) slot, which each
+    * joined row decides from the two bucket VECTORS it already carries —
+    * d = qbucket[t] XOR nbucket[t] is 0 for a self-arm collision and a
+    * single probe bit for an arm collision, so the full collision set is
+    * an unrolled codegen'd expression over numTables ints. (History: the
+    * previous groupBy(qid, nid) dedup hash-aggregated the ENTIRE
+    * candidate stream — N·tables·bucketsize rows, the largest shuffle of
+    * the query; the r11 x300 probe OOM'd in exactly that aggregate.
+    * Canonical emission removes the shuffle outright — the scored stream
+    * now flows straight into GroupTopK's bounded map-side heaps.) */
   private def candidatePairs(corpus: DataFrame, dim: Int, numTables: Int,
                              numBits: Int, seed: Long, multiProbe: Boolean): DataFrame = {
     val ps = planes(dim, numTables, numBits, seed)
-    val bucketStructs = ps.zipWithIndex.map { case (tp, t) =>
-      struct(lit(t).as("tbl"), bucketExpr(col("embedding"), tp).as("bucket"))
-    }
+    val bucketCols = ps.map(tp => bucketExpr(col("embedding"), tp))
     // persist: both sides of the bucket self-join read this, and the
     // numTables×numBits projection dots per vector would otherwise run
     // twice (at cluster scale, write the bucket index to storage instead)
     val bucketed = withNorm(corpus, "embedding", "norm")
-      .select(col("vec_id"), col("embedding"), col("norm"), explode(array(bucketStructs: _*)).as("tb"))
-      .select(col("vec_id"), col("embedding"), col("norm"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .withColumn("bks", array(bucketCols: _*)) // all tables, for canon
+      .select(col("vec_id"), col("embedding"), col("norm"), col("bks"),
+        posexplode(col("bks")).as(Seq("tbl", "bucket")))
       .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probed =
-      if (!multiProbe) bucketed
-      else bucketed.select(col("vec_id"), col("embedding"), col("norm"), col("tbl"),
+      if (!multiProbe) bucketed.withColumn("arm", lit(0))
+      else bucketed.select(col("vec_id"), col("embedding"), col("norm"), col("bks"), col("tbl"),
         explode(array((-1 until numBits).map {
-          case -1 => col("bucket")
-          case j  => expr(s"int(bucket ^ ${1 << j})")
-        }: _*)).as("bucket"))
-    val a = probed.select(col("tbl"), col("bucket"), col("vec_id").as("qid"),
-      col("embedding").as("qemb"), col("norm").as("qnorm"))
+          case -1 => struct(col("bucket").as("bucket"), lit(0).as("arm"))
+          case j  => struct(expr(s"int(bucket ^ ${1 << j})").as("bucket"), lit(j + 1).as("arm"))
+        }: _*)).as("pa"))
+        .select(col("vec_id"), col("embedding"), col("norm"), col("bks"), col("tbl"),
+          col("pa.bucket").as("bucket"), col("pa.arm").as("arm"))
+    val a = probed.select(col("tbl"), col("bucket"), col("arm"),
+      col("vec_id").as("qid"), col("embedding").as("qemb"), col("norm").as("qnorm"),
+      col("bks").as("qbks"))
     val b = bucketed.select(col("tbl"), col("bucket"), col("vec_id").as("nid"),
-      col("embedding").as("nemb"), col("norm").as("nnorm"))
-    // Score inside the bucket join and dedup on the (qid,nid,sim) triple —
-    // recomputing the (codegen'd) cosine for a pair that collides in
-    // several tables is far cheaper than shuffling embedding arrays
-    // through a groupBy to dedup before scoring.
+      col("embedding").as("nemb"), col("norm").as("nnorm"), col("bks").as("nbks"))
+    // canonical slot of the pair: min over tables of t·span + armRank(d),
+    // armRank 0 = self collision, j+1 = probe-bit j, MaxValue = none —
+    // fully unrolled (numTables is a plan constant), all inside
+    // whole-stage codegen, no interpreted HOF on the candidate stream
+    val span = numBits + 2
+    val slotKeys = (0 until numTables).map { t =>
+      val d = element_at(col("qbks"), t + 1).bitwiseXOR(element_at(col("nbks"), t + 1))
+      val rank =
+        if (multiProbe)
+          when(d === 0, lit(0))
+            .when(d.bitwiseAND(d - 1) === 0 && d < lit(1 << numBits),
+              bit_count(d - 1).cast("int") + 1)
+            .otherwise(lit(Int.MaxValue))
+        else when(d === 0, lit(0)).otherwise(lit(Int.MaxValue))
+      when(rank === Int.MaxValue, lit(Int.MaxValue)).otherwise(rank + lit(t * span))
+    }
+    val canon = slotKeys.reduce(least(_, _))
     a.join(b, Seq("tbl", "bucket"))
       .filter(col("qid") =!= col("nid"))
+      .filter(col("tbl") * lit(span) + col("arm") === canon)
       .select(col("qid"), col("nid"),
         cosinePrenormed(dot(col("qemb"), col("nemb")), col("qnorm"), col("nnorm")).as("sim"))
-      .groupBy("qid", "nid")
-      .agg(max("sim").as("sim"))
   }
 
   // ---- int8 quantization (the ANN index memory story) --------------------
