@@ -463,11 +463,12 @@ object SparkEntry {
        |FROM fin ORDER BY doc_a, doc_b""".stripMargin
 
   /** Shared CTE body of the portable banded-MinHash replay (r11):
-    * md5-bridge slot minima over distinct 3-grams, j-ordered band keys
-    * (string_agg ORDER BY j ≡ Spark's array_sort(collect_list(struct(j,
-    * mh)))), band equi-join, matching-slot counts. `est` carries the
-    * rounded m/32 estimate (exact binary for 32 slots, so thresholds
-    * and total orders have no rounding ambiguity). */
+    * Kirsch–Mitzenmacher slot minima over distinct 3-grams (h_j =
+    * a + j·b mod 2^32 from one md5's two 32-bit lanes — pure BIGINT
+    * arithmetic both engines compute identically), j-ordered band keys,
+    * band equi-join, matching-slot counts. `est` carries the rounded
+    * m/32 estimate (exact binary for 32 slots, so thresholds and total
+    * orders have no rounding ambiguity). */
   private def minhashBandedCtes: String =
     s"""t0 AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, $toksSql AS toks FROM documents),
        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
@@ -475,7 +476,8 @@ object SparkEntry {
        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gr
        |  FROM t0 WHERE len(toks) >= 3),
        |sig AS (SELECT doc_id, j,
-       |    min(('0x' || substr(md5(gr || '|' || CAST(j AS VARCHAR)), 1, 8))::BIGINT) AS mh
+       |    min((('0x' || substr(md5(gr), 1, 8))::BIGINT
+       |      + j * ('0x' || substr(md5(gr), 9, 8))::BIGINT) % 4294967296) AS mh
        |  FROM g CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS j) js
        |  GROUP BY 1, 2),
        |bk AS (SELECT doc_id,

@@ -174,32 +174,41 @@ object Dedup {
       .filter(size(col("toks")) >= shingleK)
       .select(col("doc_id"), explode(array_distinct(expr(
         s"transform(sequence(0, size(toks) - $shingleK), i -> $gramExpr)"))).as("g"))
-    val sig = grams
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, ${slots - 1}), j -> named_struct('j', j, " +
-          "'h', cast(conv(substring(md5(concat(g, '|', j)), 1, 8), 16, 10) as bigint)))")).as("s"))
-      .groupBy(col("doc_id"), col("s.j").as("j"))
-      .agg(min(col("s.h")).as("mh"))
-      .persistTracked() // band keys + both sides of the slot-match join
-    val bk = sig
-      .withColumn("band", expr(s"j div $rpb"))
-      .groupBy("doc_id", "band")
-      .agg(array_join(transform(array_sort(collect_list(struct(col("j"), col("mh")))),
-        x => x.getField("mh").cast("string")), ":").as("vals"))
-      .select(col("doc_id"),
-        concat(col("band").cast("string"), lit(":"), col("vals")).as("bkey"))
+    // WIDE signature: all `slots` minima in ONE aggregate pass over the
+    // gram table (32 conditional-min columns), instead of exploding
+    // grams × slots into a (doc, slot)-keyed shuffle — one shuffle on
+    // doc_id at gram-table size rather than 32×. Slot hashes are
+    // Kirsch–Mitzenmacher double hashing over ONE md5 per gram
+    // (h_j = a + j·b mod 2^32, two 32-bit md5 lanes): 32 independent-
+    // enough lanes for 1/32 estimate resolution at 1/32 of the md5
+    // cost, and the BIGINT arithmetic replays verbatim in DuckDB
+    // (a, b < 2^32 so a + 31·b < 2^37 — no overflow under ANSI). Band
+    // keys and the matching-slot count then both read the wide row
+    // LOCALLY (no per-slot join).
+    def slotHash(j: Int): Column = expr(
+      "cast((cast(conv(substring(md5(g), 1, 8), 16, 10) as bigint) + " +
+        s"$j * cast(conv(substring(md5(g), 9, 8), 16, 10) as bigint)) " +
+        "% 4294967296 as bigint)")
+    val minCols = (0 until slots).map(j => min(slotHash(j)).as(s"mh$j"))
+    val sig = grams.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      .persistTracked() // band keys + both sides of the pair-match join
+    val bkeys = (0 until bands).map { b =>
+      val parts = (0 until rpb).flatMap(r =>
+        Seq(lit(":"), col(s"mh${b * rpb + r}").cast("string")))
+      concat(lit(b.toString) +: parts: _*)
+    }
+    val bk = sig.select(col("doc_id"), explode(array(bkeys: _*)).as("bkey"))
     val pairs = bk.as("a").join(bk.as("b"),
         col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    val m = (0 until slots).map(j =>
+      when(col(s"sa.mh$j") === col(s"sb.mh$j"), 1L).otherwise(0L)).reduce(_ + _)
     pairs
       .join(sig.as("sa"), col("sa.doc_id") === col("doc_a"))
-      .join(sig.as("sb"),
-        col("sb.doc_id") === col("doc_b") && col("sb.j") === col("sa.j"))
-      .groupBy("doc_a", "doc_b")
-      .agg((sum(when(col("sa.mh") === col("sb.mh"), 1L).otherwise(0L))
-        .cast("double") / lit(slots.toDouble)).as("est"))
-      .select(col("doc_a"), col("doc_b"), Num.pround(col("est"), 4).as("est_jaccard"))
+      .join(sig.as("sb"), col("sb.doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        Num.pround(m.cast("double") / lit(slots.toDouble), 4).as("est_jaccard"))
       .orderBy(col("est_jaccard").desc, col("doc_a"), col("doc_b"))
   }
 

@@ -103,11 +103,86 @@ object DotProduct {
   }
 }
 
+/** Canonical LSH collision slot of a candidate pair: the smallest
+  * t·(numBits+2)+armRank over tables t where the two bucket vectors
+  * collide (armRank 0 = same bucket, j+1 = query probe arm flipping bit
+  * j), or [[LshCanon.NoSlot]] when they collide nowhere. The row-local
+  * dedup key of Similarity.candidatePairs: a pair colliding in several
+  * (table, arm) slots is emitted only by its canonical slot.
+  *
+  * Exists as a NATIVE expression because the unrolled Column formulation
+  * (8 tables × a 4-branch CASE each, every branch re-deriving
+  * element_at(q)^element_at(n)) became a several-hundred-node join
+  * condition that fell out of whole-stage codegen and ran interpreted —
+  * 24× slower end-to-end on dedup_embedding. This is one static-helper
+  * call per row inside the generated join stage. */
+case class LshCanon(left: Expression, right: Expression,
+    numBits: Int, multiProbe: Boolean) extends BinaryExpression {
+
+  private def intArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(IntegerType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (intArray(left) && intArray(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_lsh_canon expects array<int> bucket vectors, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    LshCanon.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      numBits, multiProbe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (q, n) =>
+      s"org.apache.spark.sql.graftext.LshCanon.compute($q, $n, $numBits, $multiProbe)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_lsh_canon"
+}
+
+object LshCanon {
+  /** Sentinel for "no collision" — larger than any real slot key
+    * (max = (tables−1)·span + numBits+1 < tables·span ≤ 8·22). */
+  val NoSlot: Int = Int.MaxValue
+
+  /** Shared eval/codegen kernel: one pass over the table dimension. Per
+    * table the diff is 0 (self-arm collision), a single probe bit
+    * (arm collision, multiProbe only), or no collision; the first
+    * colliding t wins, and within a t at most one arm can collide, so
+    * the scan returns at the first hit. */
+  def compute(q: ArrayData, n: ArrayData, numBits: Int, multiProbe: Boolean): Int = {
+    val span = numBits + 2
+    val tables = DotProduct.checkedLength(q.numElements(), n.numElements())
+    var t = 0
+    while (t < tables) {
+      val d = q.getInt(t) ^ n.getInt(t)
+      if (d == 0) return t * span
+      if (multiProbe && (d & (d - 1)) == 0 && d < (1 << numBits))
+        return t * span + 1 + java.lang.Integer.numberOfTrailingZeros(d)
+      t += 1
+    }
+    NoSlot
+  }
+}
+
 object VectorFunctions {
   /** Column-API wrapper: dot(a, b) as a codegen'd native expression. */
   def dot(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProduct(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Column-API wrapper: canonical LSH collision slot of a pair. */
+  def lshCanon(q: Column, n: Column, numBits: Int, multiProbe: Boolean): Column =
+    ExpressionUtils.column(LshCanon(
+      ExpressionUtils.expression(q), ExpressionUtils.expression(n),
+      numBits, multiProbe))
 
   /** Make graft_dot callable from SQL text in an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

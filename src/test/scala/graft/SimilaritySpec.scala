@@ -584,4 +584,24 @@ class SimilaritySpec extends SparkTestBase {
     assert(Similarity.resolveBits(4, sys.error("corpus count must not run")) == 4)
     assert(Similarity.resolveBits(-1, 1000000L) == 14)
   }
+
+  test("LshCanon kernel: first colliding (table, arm) slot, hand-checked") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.graftext.LshCanon
+    def canon(q: Seq[Int], n: Seq[Int], bits: Int, multi: Boolean): Int =
+      LshCanon.compute(ArrayData.toArrayData(q.toArray),
+        ArrayData.toArrayData(n.toArray), bits, multi)
+    val span = 4 + 2 // numBits = 4
+    // self collision at t=0 beats everything
+    assert(canon(Seq(3, 5), Seq(3, 9), 4, multi = true) == 0 * span)
+    // t=0 differs by bit 2 (probe arm 2) while t=1 is a self collision:
+    // t-major order says t=0's arm wins
+    assert(canon(Seq(3, 5), Seq(7, 5), 4, multi = true) == 0 * span + 1 + 2)
+    // without multiProbe the bit-flip at t=0 is not a collision — t=1 wins
+    assert(canon(Seq(3, 5), Seq(7, 5), 4, multi = false) == 1 * span)
+    // multi-bit diff everywhere → no collision
+    assert(canon(Seq(3, 5), Seq(0, 6), 4, multi = true) == LshCanon.NoSlot)
+    // a diff bit OUTSIDE the probe range is not an arm collision
+    assert(canon(Seq(0, 5), Seq(16, 5), 4, multi = true) == 1 * span)
+  }
 }
