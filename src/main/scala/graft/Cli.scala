@@ -333,12 +333,26 @@ object Cli {
       val targets = Render.pipelineRenderers.map(_._1).toSet
       // a legacy target-last invocation whose ROOT directory is literally
       // named like a renderer target (a relative path 'markdown'/'html')
-      // must not be mis-parsed as target-first: when both orders are
-      // syntactically valid, prefer the one where root is an existing
-      // directory (roots are paths; a target word is never a real dir)
-      val aIsDir = java.nio.file.Files.isDirectory(java.nio.file.Paths.get(a))
+      // must not be mis-parsed as target-first — but the dir-existence
+      // heuristic alone can also swap a LEGITIMATE target-first call
+      // (`render pipeline markdown <root> markdown`, pipeline named
+      // 'markdown') whenever a ./markdown dir happens to exist. When both
+      // orders are syntactically valid, pick one only if exactly one
+      // candidate root is a real directory; otherwise refuse loudly.
+      def isDir(p: String) =
+        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p))
       val (target, root, name) =
-        if (targets.contains(a) && !(aIsDir && targets.contains(c))) (a, b, c)
+        if (targets.contains(a) && targets.contains(c)) {
+          val lastRootIsDir = isDir(a)  // target-last reading: root = a
+          val firstRootIsDir = isDir(b) // target-first reading: root = b
+          if (lastRootIsDir && !firstRootIsDir) (c, a, b)
+          else if (firstRootIsDir && !lastRootIsDir) (a, b, c)
+          else throw new IllegalArgumentException(
+            s"render pipeline: ambiguous argument order ('$a' and '$c' are " +
+              "both renderer targets and the root cannot be inferred); " +
+              "use an absolute or ./-prefixed root path")
+        }
+        else if (targets.contains(a)) (a, b, c)
         else if (targets.contains(c)) (c, a, b)
         else throw new IllegalArgumentException(
           s"render pipeline: neither '$a' nor '$c' is a renderer target " +

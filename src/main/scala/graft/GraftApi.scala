@@ -122,7 +122,6 @@ object GraftApi {
       // case-class factories) — instance endpoints only
       .filterNot(m => java.lang.reflect.Modifier.isStatic(m.getModifiers))
       .filterNot(m => m.getName.contains("$") || m.isSynthetic || m.isBridge)
-      .sortBy(m => (m.getName, m.getParameterCount))
       .map { m =>
         val ps = m.getGenericParameterTypes.map(short).mkString(", ")
         val sig =
@@ -130,6 +129,10 @@ object GraftApi {
           else s"${m.getName}($ps): ${short(m.getGenericReturnType)}"
         Endpoint(m.getName, sig, endpointDocs.getOrElse(m.getName, ""))
       }
+      // sort on the full rendered signature: same-name same-arity
+      // overloads would otherwise keep getDeclaredMethods' unspecified
+      // JVM order and make `render api` output nondeterministic
+      .sortBy(e => (e.name, e.signature))
   }
 
   /** Endpoint names with a curated doc line — exposed for the CI

@@ -46,8 +46,16 @@ object Mock {
     * (mock.py:120 process() just sets the configured output values). */
   def operation(spark: SparkSession, schema: Seq[(String, String)],
                 rows: Seq[Seq[String]]): DataFrame => DataFrame = {
-    val out = frame(spark, schema, rows) // validated once, at configure time
-    _ => out
+    val out = frame(spark, schema, rows)
+    // materialize NOW: schema/arity were checked in frame(), but the
+    // per-cell ANSI casts are lazy — without this collect a malformed
+    // literal ('abc' as integer) would throw on the first action of the
+    // CONSUMING pipeline step, not at Mock.register. Mock frames are
+    // driver-authored literals, so the collect is bounded by design.
+    import scala.jdk.CollectionConverters._
+    val cells = out.collect().toSeq
+    val local = spark.createDataFrame(cells.asJava, out.schema)
+    _ => local
   }
 
   /** Register a configured mock operation under `name` so pipelines and
