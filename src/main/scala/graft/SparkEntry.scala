@@ -941,6 +941,21 @@ object SparkEntry {
       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM ex)
       |WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin
 
+  /** Shared exact-percentile + verdict-constant oracle for the batch
+    * (`evt_quantiles_kll`) and streaming (`stream_quantiles`) KLL faces:
+    * both sketches answer inside the same rank contract, so both gate
+    * against the same exact percentiles (q13_approx precedent). The
+    * `+ 0e0` guards the signed-zero hash rule on negative-capable
+    * rounded floats. */
+  private def kllQuantilesSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  round(quantile_cont(value, 0.5e0), 4) + 0e0 AS p50,
+      |  round(quantile_cont(value, 0.9e0), 4) + 0e0 AS p90,
+      |  round(quantile_cont(value, 0.99e0), 4) + 0e0 AS p99,
+      |  1::BIGINT AS p50_in_bound, 1::BIGINT AS p90_in_bound,
+      |  1::BIGINT AS p99_in_bound
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** One Lloyd refinement step of the IVF-PQ coarse quantizer, replayed
     * in SQL: first-min assignment against the previous iteration's
     * centroids (the same (aa − 2ab) + bb squared-L2 expansion the Scala
@@ -994,8 +1009,12 @@ object SparkEntry {
       |  FROM (SELECT vec_id, e FROM tpool ORDER BY vec_id LIMIT (SELECT ssz FROM nn))),
       |kx AS MATERIALIZED (SELECT LEAST((SELECT nc FROM nn), (SELECT count(*) FROM train)) AS kk),
       |dmat AS (SELECT a.i, b.i AS j,
-      |    (list_inner_product(a.e, a.e) - 2e0*list_inner_product(a.e, b.e))
-      |      + list_inner_product(b.e, b.e) AS d
+      |    -- dl[i=picked][j=cand] must group as d2(cand, picked) =
+      |    -- (ip(cand,cand) - 2ab) + ip(picked,picked), matching the Scala
+      |    -- Gonzalez fold bitwise: a transposed grouping differs by an ulp
+      |    -- and a near-tie argmax flip desyncs the whole quantizer.
+      |    (list_inner_product(b.e, b.e) - 2e0*list_inner_product(a.e, b.e))
+      |      + list_inner_product(a.e, a.e) AS d
       |  FROM train a CROSS JOIN train b),
       |dlist AS MATERIALIZED (SELECT i, list(d ORDER BY j) AS dl FROM dmat GROUP BY i),
       |gonz(cnt, picked, md) AS (
@@ -2350,6 +2369,27 @@ object SparkEntry {
         |  CAST(min(l_quantity) AS DOUBLE), CAST(max(l_quantity) AS DOUBLE),
         |  count(DISTINCT l_quantity) FROM lineitem)
         |ORDER BY col_name""".stripMargin,
+    // meta_profile_approx (oracle-backed r12, q13_approx precedent): the
+    // HLL++ ndv estimate has no DuckDB twin, but its 3σ accuracy contract
+    // does — the Spark side emits exact ndv + a 1/0 verdict; the oracle
+    // recomputes the exact stats and emits the expected-pass constant.
+    "meta_profile_approx" ->
+      """SELECT *, 1::BIGINT AS ndv_in_bound FROM (
+        | SELECT 'l_discount' AS col_name, count(*) AS cnt,
+        |  CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+        |  CAST(min(l_discount) AS DOUBLE) AS minv, CAST(max(l_discount) AS DOUBLE) AS maxv,
+        |  count(DISTINCT l_discount) AS ndv FROM lineitem
+        | UNION ALL
+        | SELECT 'l_extendedprice', count(*),
+        |  CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(min(l_extendedprice) AS DOUBLE), CAST(max(l_extendedprice) AS DOUBLE),
+        |  count(DISTINCT l_extendedprice) FROM lineitem
+        | UNION ALL
+        | SELECT 'l_quantity', count(*),
+        |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(min(l_quantity) AS DOUBLE), CAST(max(l_quantity) AS DOUBLE),
+        |  count(DISTINCT l_quantity) FROM lineitem)
+        |ORDER BY col_name""".stripMargin,
     "text_tokens" ->
       s"""SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
@@ -3485,6 +3525,43 @@ object SparkEntry {
         |  CAST(floor(CAST(d.dau AS DOUBLE) / m.mau * 10000.0e0 + 0.5e0) AS DOUBLE)
         |    / 10000.0e0 AS stickiness
         |FROM d JOIN m ON d.day = m.day ORDER BY d.day""".stripMargin,
+    // evt_rolling_distinct_hll (oracle-backed r12, q13_approx precedent):
+    // the HLL-union estimate has no DuckDB twin, but the accuracy
+    // contract does — the Spark side emits the EXACT rolling distinct
+    // (last-7 OBSERVED days, a rows window, not calendar) + a 1/0
+    // verdict; the oracle replays the same day-rank window exactly.
+    "evt_rolling_distinct_hll" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+        |    count(*) AS n_events FROM events GROUP BY 1),
+        |dr AS MATERIALIZED (
+        |  SELECT day, n_events, row_number() OVER (ORDER BY day) AS rn FROM daily),
+        |pairs AS MATERIALIZED (
+        |  SELECT DISTINCT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+        |    user_id FROM events),
+        |ex AS (
+        |  SELECT d.day, d.n_events, count(DISTINCT p.user_id) AS users_rolling
+        |  FROM dr d JOIN dr s ON s.rn BETWEEN d.rn - 6 AND d.rn
+        |  JOIN pairs p ON p.day = s.day
+        |  GROUP BY d.day, d.n_events)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, n_events, users_rolling,
+        |  1::BIGINT AS hll_in_bound
+        |FROM ex ORDER BY day""".stripMargin,
+    // evt_quantiles_kll / stream_quantiles (oracle-backed r12): the KLL
+    // sketch value has no DuckDB twin, but its rank contract does — the
+    // Spark side derives 1/0 verdicts from counts around each sketch
+    // answer; the oracle recomputes the exact percentiles and emits the
+    // expected-pass constants. Shared SQL: batch and streamed sketches
+    // differ (insertion order) but the exact/verdict gate face is equal.
+    "evt_quantiles_kll" -> kllQuantilesSql,
+    "stream_quantiles" -> kllQuantilesSql,
+    // stream_hll_distinct (oracle-backed r12): exact hourly distinct out
+    // + the streamed HLL++ estimate gated by its 3σ contract.
+    "stream_hll_distinct" ->
+      """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:00') AS hour,
+        |  count(DISTINCT user_id) AS n_users, count(*) AS n_events,
+        |  1::BIGINT AS hll_in_bound
+        |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
     // sessionize CTE reused verbatim; sweep deltas with the default
     // RANGE frame (peer groups) ≡ Spark's explicit rangeBetween
     "evt_peak_concurrency" ->

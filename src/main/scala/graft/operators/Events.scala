@@ -1170,25 +1170,65 @@ object Events {
     * exact form needs a per-group sort that stops scaling. Each
     * partition folds values into a ~few-KB sketch (map-side partials,
     * bounded rank error ~1.65% at k=200); the rank queries run on the
-    * type-domain sketch table (the theta-overlap precedent). Rows-only:
-    * sketch quantiles have no cross-engine twin; the spec bounds them
-    * against exact percentiles by rank error. */
+    * type-domain sketch table (the theta-overlap precedent).
+    *
+    * Oracle-backed since r12 (the q13_approx precedent): the sketch
+    * VALUE has no cross-engine twin, but its rank-error CONTRACT does —
+    * see [[kllVerdictReadout]]. At 100 TB production runs the sketch
+    * alone; the exact percentile columns are the gate face. */
   def valueQuantilesKll(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftext.KllSketchAgg
-    val spark = events.sparkSession
     val sk = events.groupBy("event_type")
       .agg(KllSketchAgg.kllSketch(col("value")).as("sk"))
       .collect() // bounded: event-type domain
       .map(r => (r.getString(0), r.getAs[Array[Byte]](1)))
       .sortBy(_._1)
-    val rows = sk.map { case (t, bytes) =>
-      (t, KllSketchAgg.count(bytes),
-        KllSketchAgg.quantile(bytes, 0.5),
-        KllSketchAgg.quantile(bytes, 0.9),
-        KllSketchAgg.quantile(bytes, 0.99))
-    }
+    kllVerdictReadout(events, sk)
+  }
+
+  /** Rank-bound verdict readout shared by the batch and streaming KLL
+    * quantile faces (the q13_approx precedent, r12): each per-type
+    * sketch answers p50/p90/p99; a rank-select at φ must return an
+    * element whose true rank lies within n·(φ ± 3%) (the spec's safety
+    * margin over the ~1.65% k=200 bound) + 1 row of convention slack.
+    * The query outputs EXACT percentiles (DuckDB recomputes them) plus
+    * the integer verdicts (DuckDB emits expected-pass constants) — a
+    * sketch past its bound flips a verdict to 0 and hash-reds the gate.
+    * One corpus pass: the type-domain sketch values broadcast into a
+    * single count/percentile aggregate. */
+  private[graft] def kllVerdictReadout(events: DataFrame,
+      sketches: Seq[(String, Array[Byte])]): DataFrame = {
+    import org.apache.spark.sql.graftext.KllSketchAgg
+    val spark = events.sparkSession
     import spark.implicits._
-    rows.toSeq.toDF("event_type", "n", "p50", "p90", "p99")
+    val skdf = sketches.map { case (t, b) =>
+      (t, KllSketchAgg.quantile(b, 0.5), KllSketchAgg.quantile(b, 0.9),
+        KllSketchAgg.quantile(b, 0.99))
+    }.toSeq.toDF("event_type", "v50", "v90", "v99")
+    def inBound(phi: Double, le: Column, lt: Column, n: Column): Column = {
+      val err = n.cast("double") * 0.03 + 1.0
+      val target = n.cast("double") * phi
+      (le.cast("double") >= target - err && lt.cast("double") <= target + err)
+        .cast("long")
+    }
+    def leLt(v: Column) = Seq(
+      sum(when(col("value") <= v, 1L).otherwise(0L)),
+      sum(when(col("value") < v, 1L).otherwise(0L)))
+    val aggs = Seq(
+      count(lit(1)).as("n"),
+      round(expr("percentile(value, 0.5)"), 4).as("p50"),
+      round(expr("percentile(value, 0.9)"), 4).as("p90"),
+      round(expr("percentile(value, 0.99)"), 4).as("p99")) ++
+      (leLt(col("v50")) ++ leLt(col("v90")) ++ leLt(col("v99")))
+        .zip(Seq("le50", "lt50", "le90", "lt90", "le99", "lt99"))
+        .map { case (c, nm) => c.as(nm) }
+    events.join(broadcast(skdf), "event_type")
+      .groupBy("event_type")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("event_type"), col("n"), col("p50"), col("p90"), col("p99"),
+        inBound(0.5, col("le50"), col("lt50"), col("n")).as("p50_in_bound"),
+        inBound(0.9, col("le90"), col("lt90"), col("n")).as("p90_in_bound"),
+        inBound(0.99, col("le99"), col("lt99"), col("n")).as("p99_in_bound"))
       .orderBy("event_type")
   }
 
@@ -1243,20 +1283,46 @@ object Events {
     * The window runs over the CALENDAR-sized daily table (documented
     * single-partition, like the skyline/equidepth prefix step — the
     * corpus never passes through it). HLL register updates are
-    * max-merges, so the estimate is deterministic and order-independent
-    * — but it is an ESTIMATE with no cross-engine twin, hence
-    * rows-only + a spec bounding the error against the exact count. */
+    * max-merges, so the estimate is deterministic and order-independent.
+    *
+    * Oracle-backed since r12 (the q13_approx precedent): the ESTIMATE
+    * has no cross-engine twin, but the DataSketches HLL accuracy
+    * contract does (lgK=12 → rse ≈ 1.6%; 5% ≈ 3σ, the spec's bound,
+    * + 4 rows absolute slack for tiny windows). The query outputs the
+    * EXACT rolling distinct (DuckDB recomputes it via the same
+    * observed-rows window) plus the integer verdict; an estimate past
+    * its bound hash-reds the gate. At 100 TB production runs the
+    * sketch union alone — the exact leg here is the gate face (its
+    * pair table is |users|×|days| bounded and the ≤windowDays-way
+    * day-rank join broadcasts the calendar dimension). */
   def rollingDistinctHll(events: DataFrame, windowDays: Int = 7): DataFrame = {
     val daily = events.select(to_date(col("ts")).as("day"), col("user_id"))
       .groupBy("day").agg(
         hll_sketch_agg(col("user_id")).as("sk"),
         count(lit(1)).as("n_events"))
     val w = Window.orderBy("day").rowsBetween(-(windowDays - 1), 0) // calendar-day domain: bounded
-    daily
-      .withColumn("users_rolling",
+    val est = daily
+      .withColumn("users_est",
         hll_sketch_estimate(hll_union_agg(col("sk")).over(w)))
-      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
-        col("n_events"), col("users_rolling"))
+      .select(col("day"), col("n_events"), col("users_est"))
+    // exact rolling distinct for the verdict: distinct (day, user) pairs
+    // each land in the ≤windowDays observed-day windows that contain
+    // their day (broadcast range join on the calendar-sized day-rank
+    // table — the corpus-sized pair table is never windowed directly)
+    val dayRank = daily.select(col("day"))
+      .withColumn("rn", row_number().over(Window.orderBy("day"))) // calendar-day domain: bounded
+    val pairs = events.select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val exact = pairs.join(broadcast(dayRank), "day")
+      .select(col("user_id"), col("rn").as("prn"))
+      .join(broadcast(dayRank.select(col("day").as("tday"), col("rn").as("trn"))),
+        col("prn") <= col("trn") && col("prn") > col("trn") - windowDays)
+      .groupBy("tday").agg(countDistinct("user_id").as("users_rolling"))
+    est.join(exact, est("day") === exact("tday"))
+      .select(date_format(est("day"), "yyyy-MM-dd").as("day"),
+        col("n_events"), col("users_rolling"),
+        (abs(col("users_est").cast("double") - col("users_rolling").cast("double"))
+          <= col("users_rolling").cast("double") * 0.05 + 4.0)
+          .cast("long").as("hll_in_bound"))
       .orderBy("day")
   }
 

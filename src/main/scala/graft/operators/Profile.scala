@@ -53,6 +53,47 @@ object Profile {
   def profileApprox(df: DataFrame, cols: Seq[String]): DataFrame =
     profileWith(df, cols, approx_count_distinct(_))
 
+  /** The gate face of [[profileApprox]] (oracle-backed since r12, the
+    * q13_approx precedent): the HLL++ ndv estimate has no cross-engine
+    * twin, but its accuracy contract does (default rsd 0.05 → 15% ≈ 3σ,
+    * + 4 absolute slack where linear counting makes tiny ndv near-exact).
+    * Outputs the EXACT ndv (DuckDB recomputes it) plus an integer
+    * verdict per column; an estimate past its bound hash-reds the gate.
+    * ACCEPTED GATE COST: this face computes exact AND approx ndv in one
+    * scan, re-paying the Expand ×(cols+1) blowup that [[profileApprox]]
+    * exists to avoid — at 100 TB production runs the approx face alone. */
+  def profileApproxVerified(df: DataFrame, cols: Seq[String]): DataFrame = {
+    cols.foreach { c =>
+      graft.registries.Names.validate("column name for profile", c)
+      val field = df.schema.fields.find(_.name == c)
+        .getOrElse(throw new IllegalArgumentException(s"no such column: $c"))
+      require(field.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"profile supports numeric columns only; '$c' is ${field.dataType.simpleString}")
+    }
+    val aggs = Seq(count(lit(1)).as("__cnt")) ++ cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max"),
+        countDistinct(col(c)).as(s"${c}__ndv"),
+        approx_count_distinct(col(c)).as(s"${c}__andv"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols
+      .map(c => s"'$c', __cnt, `${c}__nulls`, `${c}__min`, `${c}__max`, " +
+        s"`${c}__ndv`, `${c}__andv`")
+      .mkString(", ")
+    one
+      .select(expr(s"stack(${cols.size}, $stackArgs) as " +
+        "(col_name, cnt, nulls, minv, maxv, ndv, andv)"))
+      .select(col("col_name"), col("cnt"), col("nulls"), col("minv"),
+        col("maxv"), col("ndv"),
+        (abs(col("andv").cast("double") - col("ndv").cast("double"))
+          <= col("ndv").cast("double") * 0.15 + 4.0)
+          .cast("long").as("ndv_in_bound"))
+      .orderBy("col_name")
+  }
+
   /** String-column profile (kiara's extract_metadata covers every core
     * type, not just numerics): one distributed pass computing count,
     * nulls, exact ndv and min/max BYTE LENGTH per column — the length

@@ -187,10 +187,12 @@ object Suite {
   def metaProfile(s: SparkSession, dir: String): DataFrame =
     Profile.profile(t(s, dir, "lineitem"), Seq("l_quantity", "l_extendedprice", "l_discount"))
 
-  /** HLL-based profile — the scale variant (rows-only: HLL estimates are
-    * engine-specific so there is no cross-engine oracle). */
+  /** HLL-based profile — the scale variant, gated through its accuracy
+    * contract since r12 (exact ndv out + within-3σ verdicts; the HLL
+    * estimate itself is engine-specific). */
   def metaProfileApprox(s: SparkSession, dir: String): DataFrame =
-    Profile.profileApprox(t(s, dir, "lineitem"), Seq("l_quantity", "l_extendedprice", "l_discount"))
+    Profile.profileApproxVerified(t(s, dir, "lineitem"),
+      Seq("l_quantity", "l_extendedprice", "l_discount"))
 
   // --- text ---------------------------------------------------------------
 
@@ -1157,9 +1159,9 @@ object Suite {
   def streamDedup(s: SparkSession, dir: String): DataFrame =
     graft.streaming.EventStream.dedupedLangCounts(s, s"$dir/documents.parquet")
 
-  /** Rows-only: KLL compaction is insertion-order-dependent, so the
-    * streaming sketch differs from the batch one WITHIN the shared
-    * rank-error bound — EventsSpec asserts exactly that. */
+  /** Oracle-backed since r12: the streamed sketch differs from the
+    * batch one (insertion-order-dependent compaction) but both answer
+    * within the same rank-error contract — the verdict columns gate it. */
   def streamQuantiles(s: SparkSession, dir: String): DataFrame =
     graft.streaming.EventStream.quantilesStream(s, s"$dir/events.parquet")
 
@@ -1396,8 +1398,8 @@ object Suite {
   def relTriples(s: SparkSession, dir: String): DataFrame =
     Basket.frequentTriples(t(s, dir, "lineitem"), t(s, dir, "part"), minSupport = 5)
 
-  /** Rows-only (HLL estimates have no DuckDB twin); EventsSpec bounds
-    * the estimate against the exact rolling distinct within 5%. */
+  /** Oracle-backed since r12 (q13_approx precedent): exact rolling
+    * distinct out, sketch gated by its within-5% verdict column. */
   def evtRollingDistinctHll(s: SparkSession, dir: String): DataFrame =
     Events.rollingDistinctHll(t(s, dir, "events"))
 
@@ -1443,8 +1445,8 @@ object Suite {
   def relFpgrowth(s: SparkSession, dir: String): DataFrame =
     Topics.fpGrowth(t(s, dir, "lineitem"), t(s, dir, "part"))
 
-  /** Rows-only (sketch quantiles have no cross-engine twin);
-    * EventsSpec bounds the estimates against exact percentiles. */
+  /** Oracle-backed since r12 (q13_approx precedent): exact percentiles
+    * out, sketch gated by its rank-error verdict columns. */
   def evtQuantilesKll(s: SparkSession, dir: String): DataFrame =
     Events.valueQuantilesKll(t(s, dir, "events"))
 
@@ -2192,8 +2194,10 @@ object Suite {
   def textHeaps(s: SparkSession, dir: String): DataFrame =
     TextOps.heapsFit(t(s, dir, "documents"))
 
-  /** Streaming hourly approx-distinct users (HLL state; rows-only —
-    * the spec proves bit-parity with the batch HLL). */
+  /** Streaming hourly approx-distinct users (HLL state). Oracle-backed
+    * since r12: exact hourly distinct out + within-3σ verdict on the
+    * streamed estimate; the spec separately proves the raw drained
+    * stream is bit-identical to the batch HLL. */
   def streamHllDistinct(s: SparkSession, dir: String): DataFrame =
     graft.streaming.EventStream.hourlyDistinctHll(s, s"$dir/events.parquet")
 

