@@ -43,6 +43,10 @@ import graft.operators.{Profile, Render}
   *   render job script <root> <id>    one job as a runnable replay script
   *   type list                        data-type catalog (name -> spark sql)
   *   info config print                effective engine configuration
+  *   --service <info> <verb...>       forward ANY verb above through a
+  *                                    running `graft.Serve` daemon (warm
+  *                                    session — no SparkSession cold
+  *                                    start in this process)
   *
   * `run` is separated from `main` so specs can drive it on a shared
   * session and assert on the rendered output.
@@ -420,16 +424,75 @@ object Cli {
           s"(got: ${other.mkString(" ")})")
   }
 
-  def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    println(run(spark, args))
-    spark.stop()
+  /** CLI→running-service proxy (kiara zmq/client.py:32 request_cli →
+    * interfaces/cli proxy path): forward ONE CLI invocation through a
+    * live [[Serve]] daemon's `cli` endpoint, so the call rides the
+    * daemon's warm SparkSession instead of paying a full cold start.
+    * The info file is the daemon's registration (written by
+    * `graft.Serve tcp <port> <infoFile>`, kiara's zmq lock-file twin).
+    * Returns the response's captured stdout; a service-side failure
+    * (non-empty stderr / error field) raises — parity with the local
+    * path's exception surface. */
+  def proxy(infoFile: String, args: Seq[String]): String = {
+    import graft.registries.Jsonl
+    require(args.nonEmpty, "usage: Cli --service <info-file> <subcommand...>")
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(infoFile)), "UTF-8")
+    val host = """"host"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no host in service info file $infoFile: ${txt.trim}"))
+    val port = """"port"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no port in service info file $infoFile: ${txt.trim}"))
+    val line = args.map(a => "\"" + Jsonl.esc(a) + "\"")
+      .mkString("""{"endpoint":"cli","args":[""", ",", "]}")
+    val resp = Serve.request(host, port, line)
+    // linear scan, not a regex: a query response's stdout can be many
+    // KB of escaped table text, and java.util.regex recurses one stack
+    // frame per character on (x|y)* alternations — a large payload
+    // overflows the stack. The field layout is fixed by Serve's ok().
+    def field(k: String): Option[String] = {
+      val tag = "\"" + k + "\":\""
+      val i = resp.indexOf(tag)
+      if (i < 0) None
+      else {
+        val sb = new StringBuilder
+        var j = i + tag.length
+        var done = false
+        while (!done && j < resp.length) {
+          resp.charAt(j) match {
+            case '\\' if j + 1 < resp.length =>
+              sb.append(resp.charAt(j)).append(resp.charAt(j + 1)); j += 2
+            case '"' => done = true
+            case c   => sb.append(c); j += 1
+          }
+        }
+        Some(Jsonl.unesc(sb.toString))
+      }
+    }
+    field("error").foreach(e =>
+      throw new IllegalStateException(s"service error: $e"))
+    field("stderr").filter(_.nonEmpty).foreach(e =>
+      throw new IllegalStateException(e))
+    field("stdout").getOrElse(throw new IllegalStateException(
+      s"malformed service response: $resp"))
+  }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    // proxy mode: no SparkSession built here — the daemon's warm
+    // session does the work and this process just prints the response
+    case "--service" :: infoFile :: rest =>
+      println(proxy(infoFile, rest))
+    case _ =>
+      val spark = SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
+        .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      println(run(spark, args))
+      spark.stop()
   }
 }

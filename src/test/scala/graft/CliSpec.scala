@@ -308,6 +308,38 @@ class CliSpec extends SparkTestBase {
     }
   }
 
+  test("--service proxy forwards CLI verbs through a live TCP daemon") {
+    // kiara zmq/client.py:32 request_cli: the CLI rides a running
+    // service's warm session instead of paying a SparkSession cold start
+    val infoFile = graft.sources.Export.tempDir("graft_cli_proxy_").toString + "/svc.json"
+    @volatile var port = 0
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val server = new Thread(() =>
+      Serve.serveTcp(spark, 0, Some(infoFile), p => { port = p; latch.countDown() }))
+    server.setDaemon(true)
+    server.start()
+    assert(latch.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    try {
+      // a query and a tables listing round-trip through the daemon
+      val q = Cli.proxy(infoFile, Seq("query", "q5_distinct", sfDir, "3"))
+      assert(q.contains("|")) // pretty-printed table came back
+      val tables = Cli.proxy(infoFile, Seq("tables", sfDir))
+      assert(tables.contains("lineitem") && tables.contains("rows"))
+      val keys = Cli.proxy(infoFile, Seq("queries"))
+      assert(keys.linesIterator.contains("q1_agg"))
+      // service-side failures surface as local exceptions, not silence
+      val e = intercept[IllegalStateException] {
+        Cli.proxy(infoFile, Seq("query", "no_such_query", sfDir))
+      }
+      assert(e.getMessage.contains("unknown query"))
+    } finally {
+      Serve.request("127.0.0.1", port, """{"endpoint":"shutdown"}""")
+      server.join(30000)
+    }
+    assert(!server.isAlive)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(infoFile)))
+  }
+
   test("render api: the endpoint catalog renders to markdown and html") {
     val cat = Cli.run(spark, Array("render", "list-renderers"))
     assert(cat.contains("api:markdown") && cat.contains("api:html"))
