@@ -319,6 +319,15 @@ object Cli {
     // API-doc renderer (kiara render base_api, reference
     // renderers/included_renderers/api/base_api.py:40): the endpoint
     // catalog itself rendered into docs — name, signature, one-line doc
+    // `kiara_api` renders the catalog into SOURCE CODE (base_api.py:165
+    // BaseToKiaraApiRenderer): an optional template file supplies the
+    // marker-delimited shell the endpoint block is injected into
+    case "render" :: "api" :: "kiara_api" :: rest if rest.size <= 1 =>
+      val template = rest.headOption.map { f =>
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(f)), "UTF-8")
+      }
+      Render.apiScala(GraftApi.endpoints, template)
     case "render" :: "api" :: target :: Nil =>
       target match {
         case "markdown" => Render.apiMarkdown(GraftApi.endpoints)

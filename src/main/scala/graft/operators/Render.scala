@@ -283,7 +283,8 @@ object Render {
     * `api:<target>`), twin of kiara's api_to_<target> renderer aliases. */
   val apiRenderers: Seq[(String, String)] = Seq(
     "markdown" -> "endpoint catalog as a markdown reference",
-    "html" -> "endpoint catalog as a static html page")
+    "html" -> "endpoint catalog as a static html page",
+    "kiara_api" -> "delegating Scala facade source (marker-injected client stub)")
 
   /** The API's endpoint catalog rendered as markdown — kiara's
     * BaseApiDocRenderer family (renderers/included_renderers/api/
@@ -308,6 +309,88 @@ object Render {
       "<table><thead><tr><th>endpoint</th><th>signature</th><th>doc</th>" +
       s"</tr></thead><tbody>$rows</tbody></table></body></html>"
   }
+
+  val BeginEndpointsMarker = "// BEGIN AUTO-GENERATED-ENDPOINTS"
+  val EndEndpointsMarker = "// END AUTO-GENERATED-ENDPOINTS"
+
+  /** The endpoint catalog rendered into CLIENT SOURCE CODE — kiara's
+    * BaseToKiaraApiRenderer (renderers/included_renderers/api/
+    * base_api.py:165: the KiaraAPI facade class is REGENERATED from the
+    * introspected BaseAPI endpoint list by injecting delegating proxy
+    * methods between template markers, instead of being hand-maintained).
+    * The Scala twin: one `def` per endpoint delegating to an inner
+    * [[graft.GraftApi]], injected between [[BeginEndpointsMarker]] /
+    * [[EndEndpointsMarker]] in `template` (default: a self-contained
+    * facade class). Reflection's `<>` generics convert to Scala `[]`;
+    * parameters are named arg0..argN (reflection does not retain source
+    * names). */
+  def apiScala(eps: Seq[graft.GraftApi.Endpoint],
+               template: Option[String] = None): String = {
+    val tpl = template.getOrElse(defaultApiTemplate)
+    Seq(BeginEndpointsMarker, EndEndpointsMarker).foreach(m =>
+      require(tpl.contains(m), s"template does not contain marker: $m"))
+    // bracket-depth-aware split: generic types carry ", " inside []
+    def splitParams(s: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var depth = 0; var start = 0
+      s.indices.foreach { i =>
+        s.charAt(i) match {
+          case '[' => depth += 1
+          case ']' => depth -= 1
+          case ',' if depth == 0 =>
+            out += s.substring(start, i).trim; start = i + 1
+          case _ =>
+        }
+      }
+      val last = s.substring(start).trim
+      if (last.nonEmpty) out += last
+      out.toSeq
+    }
+    val methods = eps.map { e =>
+      val sig = e.signature.replace('<', '[').replace('>', ']')
+      val doc = if (e.doc.nonEmpty) s"  /** ${e.doc} */\n" else ""
+      val open = sig.indexOf('(')
+      if (open < 0) {
+        // zero-arg endpoint renders `name: R`
+        val ret = sig.substring(sig.indexOf(':') + 1).trim
+        s"$doc  def ${e.name}: $ret =\n    api.${e.name}"
+      } else {
+        val close = sig.lastIndexOf(')')
+        val params = splitParams(sig.substring(open + 1, close))
+        val ret = sig.substring(close + 2).trim // skip "): "
+        val decl = params.zipWithIndex
+          .map { case (t, i) => s"arg$i: $t" }.mkString(", ")
+        val pass = params.indices.map(i => s"arg$i").mkString(", ")
+        s"$doc  def ${e.name}($decl): $ret =\n    api.${e.name}($pass)"
+      }
+    }
+    val begin = tpl.indexOf(BeginEndpointsMarker)
+    val end = tpl.indexOf(EndEndpointsMarker)
+    require(begin < end, "template markers out of order")
+    tpl.substring(0, begin + BeginEndpointsMarker.length) + "\n\n" +
+      methods.mkString("\n\n") + "\n\n  " +
+      tpl.substring(end)
+  }
+
+  /** Self-contained default facade template: everything outside the
+    * marker pair survives regeneration verbatim (base_api.py's
+    * template-file contract). */
+  private def defaultApiTemplate: String =
+    """// GraftApiFacade — GENERATED by `graft.Cli render api kiara_api`.
+      |// Only the block between the endpoint markers is regenerated;
+      |// everything else is yours to edit (kiara base_api.py template
+      |// contract). Exotic parameter types may need extra imports.
+      |package graft.client
+      |
+      |import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+      |
+      |final class GraftApiFacade(spark: SparkSession, root: String) {
+      |  private val api = new graft.GraftApi(spark, root)
+      |
+      |  // BEGIN AUTO-GENERATED-ENDPOINTS
+      |  // END AUTO-GENERATED-ENDPOINTS
+      |}
+      |""".stripMargin
 
   /** One JOB record as a runnable replay script — kiara's
     * JobDescPythonScriptRenderer (renderers/included_renderers/job.py:56

@@ -308,6 +308,46 @@ class CliSpec extends SparkTestBase {
     }
   }
 
+  test("render api kiara_api emits the marker-injected Scala facade stub") {
+    val cat = Cli.run(spark, Array("render", "list-renderers"))
+    assert(cat.contains("api:kiara_api"))
+    val src = Cli.run(spark, Array("render", "api", "kiara_api"))
+    // template shell survives verbatim around the generated block
+    assert(src.startsWith("// GraftApiFacade — GENERATED"))
+    assert(src.contains("final class GraftApiFacade(spark: SparkSession, root: String)"))
+    assert(src.contains(graft.operators.Render.BeginEndpointsMarker))
+    assert(src.contains(graft.operators.Render.EndEndpointsMarker))
+    // one delegating def per endpoint, Scala-bracket generics, argN names
+    val eps = GraftApi.endpoints
+    assert(eps.size >= 50)
+    eps.foreach(e => assert(src.contains(s"def ${e.name}"), s"missing def ${e.name}"))
+    assert(src.contains("api.runJob(arg0, arg1)") ||
+      src.contains("api.runJob(arg0, arg1, arg2)"))
+    assert(!src.contains("<")) // generics converted to []
+    // zero-arg endpoints render as parameterless defs
+    assert("def \\w+: ".r.findFirstIn(src).isDefined)
+    // a caller template: ONLY the marker block is regenerated
+    val dir = graft.sources.Export.tempDir("graft_api_tpl_")
+    val tplPath = dir.resolve("Facade.scala")
+    java.nio.file.Files.write(tplPath,
+      ("// custom shell\nclass MyFacade {\n  private val api = ???\n" +
+        "  // BEGIN AUTO-GENERATED-ENDPOINTS\n  // stale\n" +
+        "  // END AUTO-GENERATED-ENDPOINTS\n}\n").getBytes("UTF-8"))
+    val custom = Cli.run(spark,
+      Array("render", "api", "kiara_api", tplPath.toString))
+    assert(custom.startsWith("// custom shell"))
+    assert(custom.contains("class MyFacade"))
+    assert(!custom.contains("// stale")) // replaced, not appended
+    assert(custom.contains("def runJob"))
+    // a template without markers is refused with guidance
+    val bad = dir.resolve("bad.scala")
+    java.nio.file.Files.write(bad, "class X {}\n".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      Cli.run(spark, Array("render", "api", "kiara_api", bad.toString))
+    }
+    assert(e.getMessage.contains("marker"))
+  }
+
   test("--service proxy forwards CLI verbs through a live TCP daemon") {
     // kiara zmq/client.py:32 request_cli: the CLI rides a running
     // service's warm session instead of paying a SparkSession cold start
