@@ -312,9 +312,12 @@ object Cli {
     // renderer catalog + dispatch (kiara render list-renderers / render
     // item, reference interfaces/cli/render/commands.py:60,79)
     case "render" :: "list-renderers" :: Nil =>
+      graft.plans.Builtins.ensureRegistered() // built-in value renderers
       (Render.renderers.map { case (n, d) => f"$n%-10s $d" } ++
         Render.pipelineRenderers.map { case (n, d) => f"pipeline:$n%-10s $d" } ++
-        Render.apiRenderers.map { case (n, d) => f"api:$n%-10s $d" })
+        Render.apiRenderers.map { case (n, d) => f"api:$n%-10s $d" } ++
+        Render.ValueRenderOps.list.map { case (s, t, op) =>
+          f"value:$s->$t%-10s registered value renderer (operation $op)" })
         .mkString("\n")
     // API-doc renderer (kiara render base_api, reference
     // renderers/included_renderers/api/base_api.py:40): the endpoint
@@ -405,6 +408,7 @@ object Cli {
       val fn = SparkEntry.queries.getOrElse(name,
         throw new IllegalArgumentException(
           s"unknown query: $name (see `queries` for the list)"))
+      graft.plans.Builtins.ensureRegistered() // value-renderer fall-through
       Render.as(target, fn(spark, sfDir), rowsArg(rowsRest), tpl)
     case other =>
       throw new IllegalArgumentException(

@@ -86,6 +86,7 @@ object GraftApi {
     "listDataTypeNames" -> "supported data-type names",
     "storeValue" -> "persist a DataFrame as a value (optional alias), returns the id",
     "getValue" -> "load a value by id or alias",
+    "renderValueAs" -> "render a stored value into a value of another type via the registered render-operation seam",
     "listValueIds" -> "ids of all stored values",
     "listAliasNames" -> "all alias names",
     "storeValues" -> "persist several DataFrames in one call",
@@ -427,6 +428,20 @@ class GraftApi(val spark: SparkSession, root: String) {
   }
   def getValue(ref: String): DataFrame =
     data.load(spark, aliases.resolve(ref).getOrElse(ref))
+
+  /** Render a stored value INTO a value of another type through the
+    * registered render-operation seam (kiara value.py:67 ValueRenderer:
+    * the (source, target) pair resolves an operation from the graph;
+    * graft values are tables, so the source type is "table"). Returns
+    * the rendered VALUE; optionally stores it under `saveAs`. */
+  def renderValueAs(ref: String, targetType: String,
+                    saveAs: Option[String] = None): DataFrame = {
+    graft.plans.Builtins.ensureRegistered()
+    val out = graft.operators.Render.ValueRenderOps
+      .render("table", targetType, getValue(ref))
+    saveAs.foreach(a => storeValue(a, out, Some(a)))
+    out
+  }
   def listValueIds: Seq[String] = data.list
   def listAliasNames: Seq[String] = aliases.list.map(_._1)
 

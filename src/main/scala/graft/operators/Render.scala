@@ -71,8 +71,15 @@ object Render {
     case "html"     => html(df, rows)
     case "template" => template(df, tpl.getOrElse(throw new IllegalArgumentException(
       "renderer 'template' needs a template (render item template <q> <sf> <tpl>)")), rows)
-    case other => throw new IllegalArgumentException(
-      s"unknown renderer: $other (see `render list-renderers`)")
+    case other =>
+      // value→value fall-through (r12): an unknown STRING target may be
+      // a registered value renderer for the table type — render through
+      // it, then pretty-print the RESULTING value for the CLI surface
+      ValueRenderOps.find("table", other) match {
+        case Some(_) => prettyPrint(ValueRenderOps.render("table", other, df), rows)
+        case None => throw new IllegalArgumentException(
+          s"unknown renderer: $other (see `render list-renderers`)")
+      }
   }
 
   private val Placeholder = """\{\{\s*([A-Za-z0-9_]+)\s*\}\}""".r
@@ -308,6 +315,58 @@ object Render {
     s"<html><body><h1>graft API endpoints (${eps.size})</h1>" +
       "<table><thead><tr><th>endpoint</th><th>signature</th><th>doc</th>" +
       s"</tr></thead><tbody>$rows</tbody></table></body></html>"
+  }
+
+  // ---- typed value→value render dispatch -----------------------------------
+
+  /** kiara's RenderValueOperationType seam (reference
+    * renderers/included_renderers/value.py:67 ValueRenderer +
+    * SourceTransformer, operations/included_core_operations/
+    * render_value.py): "render a value of type S AS a value of type T"
+    * resolves a REGISTERED operation from the (source, target) type
+    * pair — so new value renderers are DATA (one registration), not
+    * code (a new match arm). Registrations also land in
+    * [[graft.plans.OpRegistry]] under `render.<source>.<target>`, so
+    * they surface in the operations catalog and run in pipelines like
+    * any other operation. */
+  object ValueRenderOps {
+    private val index =
+      scala.collection.concurrent.TrieMap[(String, String), String]()
+
+    /** Register (and index) a value→value render operation; returns the
+      * operation name it was registered under. Re-registration replaces
+      * (the OpRegistry contract). */
+    def register(sourceType: String, targetType: String,
+                 op: DataFrame => DataFrame, doc: String = ""): String = {
+      graft.registries.Names.validate("render source type", sourceType)
+      graft.registries.Names.validate("render target type", targetType)
+      val name = s"render.$sourceType.$targetType"
+      graft.plans.OpRegistry.register(name, op,
+        doc = if (doc.nonEmpty) doc
+          else s"render a '$sourceType' value as a '$targetType' value",
+        inputType = sourceType, outputType = targetType, module = "render")
+      index.put((sourceType, targetType), name)
+      name
+    }
+
+    def find(sourceType: String, targetType: String): Option[String] =
+      index.get((sourceType, targetType))
+
+    /** All registered (source, target, operation) triples. */
+    def list: Seq[(String, String, String)] =
+      index.toSeq.map { case ((s, t), n) => (s, t, n) }.sorted
+
+    /** Dispatch: value in, value out (value.py:101 _render resolves the
+      * op for (source, target) and runs it; missing registration is an
+      * error naming the pair, like the reference's). */
+    def render(sourceType: String, targetType: String,
+               df: DataFrame): DataFrame =
+      index.get((sourceType, targetType)) match {
+        case Some(n) => graft.plans.OpRegistry.get(n)(df)
+        case None => throw new IllegalArgumentException(
+          s"no render operation registered for '$sourceType' -> '$targetType' " +
+            s"(registered: ${list.map { case (s, t, _) => s"$s->$t" }.mkString(", ")})")
+      }
   }
 
   val BeginEndpointsMarker = "// BEGIN AUTO-GENERATED-ENDPOINTS"

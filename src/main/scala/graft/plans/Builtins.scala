@@ -70,5 +70,20 @@ object Builtins {
     OpRegistry.register("profile.schema",
       df => Profile.schemaOf(df),
       doc = "schema of the input as (col_name, data_type, nullable) rows")
+    // built-in value→value renderers (kiara render_value.py operation
+    // type): render a table value AS another value type through the
+    // registered-operation seam — new renderers are registrations
+    graft.operators.Render.ValueRenderOps.register("table", "schema",
+      df => Profile.schemaOf(df),
+      doc = "render a table value as its schema table")
+    graft.operators.Render.ValueRenderOps.register("table", "profile",
+      df => {
+        val numeric = df.schema.fields.collect {
+          case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] => f.name
+        }.toSeq
+        require(numeric.nonEmpty, "render table->profile: no numeric columns")
+        Profile.profile(df, numeric)
+      },
+      doc = "render a table value as a one-pass numeric-column profile table")
   }
 }

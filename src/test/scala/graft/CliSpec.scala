@@ -247,6 +247,16 @@ class CliSpec extends SparkTestBase {
       Cli.run(spark, Array("render", "item", "pdf", "q1_agg", sfDir))
     }
     assert(e.getMessage.contains("unknown renderer"))
+    // the catalog lists registered value->value renderers, and `render
+    // item` falls through to them for non-string targets (r12 seam)
+    assert(cat.contains("value:table->schema"))
+    val sch = Cli.run(spark, Array("render", "item", "schema", "q1_agg", sfDir))
+    assert(sch.contains("col_name") && sch.contains("l_returnflag"))
+    graft.operators.Render.ValueRenderOps.register("table", "cli_rows",
+      df => df.agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_rows")))
+    val rc = Cli.run(spark, Array("render", "item", "cli_rows", "q5_distinct", sfDir))
+    assert(rc.contains("n_rows"))
   }
 
   test("render pipeline: markdown, mermaid, html and script targets over a registered workflow") {

@@ -20,6 +20,35 @@ class GraftApiSpec extends SparkTestBase {
     assert(api.getValue("v1").count() == 2)
   }
 
+  test("renderValueAs dispatches through the typed value->value render seam") {
+    val api = newApi
+    api.storeValue("t1", Seq((1L, 2.5, "x"), (2L, 4.5, "y")).toDF("k", "v", "s"),
+      Some("corpus"))
+    // built-in renderer: table -> schema (registered as data, not code)
+    val schema = api.renderValueAs("corpus", "schema").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(schema.map(_._1).toSet == Set("k", "v", "s"))
+    // built-in renderer: table -> profile covers only numeric columns
+    val prof = api.renderValueAs("t1", "profile", saveAs = Some("t1_profile"))
+    assert(prof.collect().map(_.getString(0)).toSet == Set("k", "v"))
+    assert(api.getValue("t1_profile").count() == 2) // rendered VALUE stored
+    // a CUSTOM renderer registered at runtime is picked up by the same
+    // dispatch — new value renderers are registrations, not match arms
+    val opName = Render.ValueRenderOps.register("table", "row_count",
+      df => df.agg(count(lit(1)).as("n_rows")),
+      doc = "render any table as its row count")
+    assert(opName == "render.table.row_count")
+    assert(graft.plans.OpRegistry.contains(opName)) // surfaces as an operation
+    val n = api.renderValueAs("corpus", "row_count").head().getLong(0)
+    assert(n == 2L)
+    // unknown pair: refused with the registered inventory named
+    val e = intercept[IllegalArgumentException] {
+      api.renderValueAs("corpus", "nope")
+    }
+    assert(e.getMessage.contains("table' -> 'nope") &&
+      e.getMessage.contains("table->schema"))
+  }
+
   test("runJob executes a registered operation and records the job") {
     val api = newApi
     api.storeValue("nums", Seq(1L, 2L, 3L, 4L).toDF("n"), Some("input"))
