@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Caches._
@@ -238,10 +238,77 @@ object Similarity {
     * is O(√N) by construction, so collecting it to the driver for
     * broadcast is bounded (32k centroids × 64 dims ≈ 8 MB at 1B vectors).
     * Shuffles on centroid_id only — list sizes, not all-pairs. */
-  def ivfTopK(corpus: DataFrame, k: Int, numCentroids: Int = -1, nprobe: Int = 4): DataFrame = {
-    import org.apache.spark.sql.Row
+  /** Expression-tree ceiling for inlining a codebook as literals: a
+    * c-wide literal centroid array costs O(c·dim) Catalyst nodes PER
+    * CONSUMER — fine at gate scale (c = O(√N) ≈ hundreds), but past a
+    * few thousand centroids analysis/codegen time dominates and giant
+    * trees fall out of whole-stage codegen (the r11 LshCanon lesson).
+    * Above the ceiling the codebook travels as a broadcast DataFrame
+    * instead ([[topCentroidSlices]]'s distributed strategy). */
+  private[graft] val literalCentroidCeiling = 1024
+
+  /** The codebook as a broadcastable dimension: (ci, cemb, cnorm,
+    * cnorm2). Norms are computed driver-side with the same fold the
+    * literal path uses, so both strategies evaluate identical doubles. */
+  private def centroidFrame(spark: SparkSession,
+      cents: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (cv, i) =>
+      val n2 = cv.map(x => x * x).sum
+      (i, cv.toSeq, math.sqrt(n2), n2)
+    }.toSeq.toDF("__ci", "__cemb", "__cnorm", "__cnorm2")
+  }
+
+  /** Per-vector top-`nprobe` centroid slice `__top` = sorted array of
+    * struct(ns = −cosine, ci), shared by IVF assignment (entry 1 ⇔
+    * first-max with (−s, ci) tie-break) and probing (the whole slice).
+    * Two physical strategies, value-identical (parity spec):
+    *  - literal (c ≤ [[literalCentroidCeiling]]): codebook inlined as a
+    *    literal array — zero shuffle, scores computed in the row
+    *    projection;
+    *  - distributed (c above the ceiling): codebook broadcast as a
+    *    DataFrame; the (vector × centroid) scored stream is pruned by
+    *    [[org.apache.spark.sql.graftext.GroupTopK]]'s bounded map-side
+    *    heaps (at most nprobe rows per vector per partition shuffle),
+    *    folded to the slice, and joined back on `keyCol`. No
+    *    expression-tree ceiling; the trade is two narrow shuffles on
+    *    `keyCol` of O(N·nprobe) rows. */
+  private[graft] def topCentroidSlices(df: DataFrame, keyCol: String,
+      embCol: String, normCol: String, cents: Array[Array[Double]],
+      nprobe: Int, distributed: Boolean): DataFrame =
+    if (!distributed) {
+      df.withColumn("__top", slice(array_sort(transform(
+        array(cents.map { cv =>
+          val cl = array(cv.map(lit): _*)
+          dot(col(embCol), cl) / (col(normCol) * math.sqrt(cv.map(x => x * x).sum))
+        }: _*),
+        (s, i) => struct((-s).as("ns"), i.as("ci")))), lit(1), lit(nprobe)))
+    } else {
+      val cdf = centroidFrame(df.sparkSession, cents)
+      val pruned = org.apache.spark.sql.graftext.GroupTopK.topK(
+        df.select(col(keyCol), col(embCol), col(normCol))
+          .crossJoin(broadcast(cdf))
+          .select(col(keyCol),
+            (-dot(col(embCol), col("__cemb")) / (col(normCol) * col("__cnorm")))
+              .as("__ns"),
+            col("__ci")),
+        Seq(keyCol), Seq("__ns" -> false, "__ci" -> false), nprobe)
+      val slices = pruned.groupBy(keyCol)
+        .agg(sort_array(collect_list(
+          struct(col("__ns").as("ns"), col("__ci").as("ci")))).as("__top"))
+      df.join(slices, keyCol)
+    }
+
+  def ivfTopK(corpus: DataFrame, k: Int, numCentroids: Int = -1,
+      nprobe: Int = 4): DataFrame = {
     val n = corpus.count()
     val c = if (numCentroids > 0) numCentroids else math.max(4, math.sqrt(n.toDouble).toInt)
+    ivfTopKImpl(corpus, k, c, nprobe, n, distributed = c > literalCentroidCeiling)
+  }
+
+  private[graft] def ivfTopKImpl(corpus: DataFrame, k: Int, c: Int,
+      nprobe: Int, n: Long, distributed: Boolean): DataFrame = {
+    import org.apache.spark.sql.Row
     val step = math.max(1L, n / c)
     // deterministic id-HASH stride (robust to sparse/structured vec_ids),
     // with a total order under the limit per the repo's determinism rule;
@@ -256,13 +323,6 @@ object Similarity {
     // 100) would silently gut recall
     val cents: Array[Array[Double]] =
       if (sampled.length >= math.max(1, (c + 1) / 2)) sampled else firstK(corpus)
-    // nearest-centroid assignment: cosine against the broadcast centroid
-    // literals, reusing the precomputed vector norm
-    def centScores(emb: Column, norm: Column): Column =
-      array(cents.map { c =>
-        val cl = array(c.map(lit): _*)
-        dot(emb, cl) / (norm * math.sqrt(c.map(x => x * x).sum))
-      }: _*)
     // Persist only the per-row TOP-nprobe (ns, ci) slice, never the full
     // c-wide score array: c = O(√N), so a cached score array per row is
     // O(N^1.5) storage bytes — the r11 x300 probe found exactly that
@@ -272,10 +332,8 @@ object Similarity {
     // assignment is its first entry (sort by (−s, ci) ⇔ first-max
     // array_position, same tie-break, so the DuckDB oracle is
     // unchanged), probes are the whole slice.
-    val scored = withNorm(corpus, "embedding", "norm")
-      .withColumn("__top", slice(array_sort(transform(
-        centScores(col("embedding"), col("norm")),
-        (s, i) => struct((-s).as("ns"), i.as("ci")))), lit(1), lit(nprobe)))
+    val scored = topCentroidSlices(withNorm(corpus, "embedding", "norm"),
+      "vec_id", "embedding", "norm", cents, nprobe, distributed)
       .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val indexed = scored.select(col("vec_id"), col("embedding"), col("norm"),
       element_at(col("__top"), 1).getField("ci").cast("int").as("centroid_id"))
@@ -371,13 +429,20 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       numCentroids: Int = -1, nprobe: Int = 4, m: Int = 8,
       codebookSize: Int = 32, refine: Int = 8): DataFrame = {
+    val n = corpus.count()
+    val c = if (numCentroids > 0) numCentroids
+      else math.max(4, math.sqrt(n.toDouble).toInt)
+    ivfPqTopKImpl(corpus, queries, k, c, nprobe, m, codebookSize, refine, n,
+      distributed = c > literalCentroidCeiling)
+  }
+
+  private[graft] def ivfPqTopKImpl(corpus: DataFrame, queries: DataFrame,
+      k: Int, c: Int, nprobe: Int, m: Int, codebookSize: Int, refine: Int,
+      n: Long, distributed: Boolean): DataFrame = {
     import org.apache.spark.sql.Row
     val dim = corpus.select(size(col("embedding"))).head.getInt(0)
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val d0 = dim / m
-    val n = corpus.count()
-    val c = if (numCentroids > 0) numCentroids
-      else math.max(4, math.sqrt(n.toDouble).toInt)
     def firstK(df: DataFrame, kk: Int, emb: String): Array[Array[Double]] = df
       .orderBy("vec_id").limit(kk)
       .select(col(emb).cast("array<double>"))
@@ -387,8 +452,11 @@ object Similarity {
     // the sample missed with huge residuals the PQ codebook cannot
     // encode (measured: recall 0.74 → 1.0 on the planted-cluster spec);
     // Gonzalez + Lloyd on the driver-side sample covers every
-    // well-separated region. Sample is 8c (≥512) vectors — for √N
-    // centroids at extreme scale swap in the distributed kMeans.
+    // well-separated region. Sample is 8c (≥512) vectors — the TRAINING
+    // collect stays O(√N)-bounded; the ASSIGNMENT side's former
+    // expression-tree ceiling (c-wide literals) is gone since r12:
+    // above literalCentroidCeiling every centroid lookup runs through
+    // the broadcast dimension join (topCentroidSlices / withCentVec).
     val sampleSize = math.max(8 * c, 512)
     val stepS = math.max(1L, n / sampleSize)
     val tsample = firstK(corpus.filter(
@@ -397,18 +465,28 @@ object Similarity {
       else firstK(corpus, sampleSize, "embedding")
     val cents = trainCoarse(train, math.min(c, train.length), 5)
     val centsLit = array(cents.map(cw => array(cw.map(lit): _*)): _*)
-    def centScores(emb: Column, norm: Column): Column =
-      array(cents.map { cv =>
-        val cl = array(cv.map(lit): _*)
-        dot(emb, cl) / (norm * math.sqrt(cv.map(x => x * x).sum))
-      }: _*)
-    val resDf = withNorm(corpus, "embedding", "norm")
-      .withColumn("__scores", centScores(col("embedding"), col("norm")))
-      .withColumn("centroid_id",
-        expr("array_position(__scores, array_max(__scores)) - 1").cast("int"))
+    val centNormSq = array(cents.map(cv => lit(cv.map(x => x * x).sum)): _*)
+    val cdf = centroidFrame(corpus.sparkSession, cents)
+    // assigned-centroid vector/|c|² lookup: literal element_at below the
+    // ceiling, broadcast dimension join on centroid_id above it — the
+    // same doubles either way (centroidFrame computes the norms with the
+    // identical driver-side fold the literals use)
+    def withCentVec(df: DataFrame): DataFrame =
+      if (!distributed)
+        df.withColumn("__cemb", element_at(centsLit, col("centroid_id") + 1))
+          .withColumn("__cnorm2", element_at(centNormSq, col("centroid_id") + 1))
+      else
+        df.join(broadcast(cdf), col("centroid_id") === col("__ci"))
+          .drop("__ci", "__cnorm")
+    // coarse assignment = entry 1 of the shared top-slice (first-max
+    // with (−s, ci) tie-break ⇔ the oracle's row_number ORDER BY s DESC, ci)
+    val resDf = withCentVec(
+      topCentroidSlices(withNorm(corpus, "embedding", "norm"),
+        "vec_id", "embedding", "norm", cents, 1, distributed)
+        .withColumn("centroid_id",
+          element_at(col("__top"), 1).getField("ci").cast("int")))
       .select(col("vec_id"), col("centroid_id"),
-        zip_with(col("embedding").cast("array<double>"),
-          element_at(centsLit, col("centroid_id") + 1),
+        zip_with(col("embedding").cast("array<double>"), col("__cemb"),
           (a, b) => a - b).as("resid"))
       .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stepR = math.max(1L, n / codebookSize)
@@ -434,14 +512,13 @@ object Similarity {
       .select(col("vec_id"), col("centroid_id"),
         array((0 until m).map(codeExpr): _*).as("codes"))
       .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val q0 = withNorm(queries.select(col("vec_id").as("qid"),
-      col("embedding").cast("array<double>").as("qemb")), "qemb", "qnorm")
-      .withColumn("__scores", centScores(col("qemb"), col("qnorm")))
+    val q0 = topCentroidSlices(
+      withNorm(queries.select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qemb")), "qemb", "qnorm"),
+      "qid", "qemb", "qnorm", cents, nprobe, distributed)
       .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probed = q0.select(col("qid"), col("qemb"), col("qnorm"),
-      explode(expr(
-        s"slice(array_sort(transform(__scores, (s, i) -> named_struct('ns', -s, 'ci', i))), 1, $nprobe)"))
-        .as("p"))
+      explode(col("__top")).as("p"))
       .select(col("qid"), col("qemb"), col("qnorm"),
         col("p.ci").as("centroid_id"))
     val rrec = flatten(array((0 until m).map { j =>
@@ -451,19 +528,18 @@ object Similarity {
     // ADC scan over the byte-code index only: approximate COSINE, not
     // raw inner product — candidate norms vary, and IP ranking would
     // crowd true neighbors out of the refine set with high-norm
-    // vectors. |recon|² expands to |c|² + 2·c·r + |r|² where |c|² is a
-    // per-centroid literal and the two dots are native codegen'd.
-    val centNormSq = array(cents.map(cv => lit(cv.map(x => x * x).sum)): _*)
-    val cand = codes.join(broadcast(probed), "centroid_id")
+    // vectors. |recon|² expands to |c|² + 2·c·r + |r|² where |c|² comes
+    // from the centroid lookup (literal or broadcast dimension) and the
+    // two dots are native codegen'd. The PQ codebook (m × codebookSize)
+    // stays literal in both paths — it is configuration-sized, not
+    // O(√N) like the coarse codebook.
+    val cand = withCentVec(codes.join(broadcast(probed), "centroid_id"))
       .filter(col("qid") =!= col("vec_id"))
-      .withColumn("__cdot",
-        dot(element_at(centsLit, col("centroid_id") + 1), rrec))
+      .withColumn("__cdot", dot(col("__cemb"), rrec))
       .select(col("qid"), col("vec_id").as("nid"),
-        ((dot(col("qemb"), element_at(centsLit, col("centroid_id") + 1))
-          + dot(col("qemb"), rrec))
-          / (col("qnorm") * sqrt(
-            element_at(centNormSq, col("centroid_id") + 1)
-              + lit(2.0) * col("__cdot") + dot(rrec, rrec)))).as("sim"))
+        ((dot(col("qemb"), col("__cemb")) + dot(col("qemb"), rrec))
+          / (col("qnorm") * sqrt(col("__cnorm2")
+            + lit(2.0) * col("__cdot") + dot(rrec, rrec)))).as("sim"))
       .groupBy("qid", "nid").agg(max("sim").as("sim"))
     val cands = rankTopK(cand, k * refine)
       .select(col("vec_id").as("qid"), col("neighbor_id").as("nid"))

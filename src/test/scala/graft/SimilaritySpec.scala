@@ -304,6 +304,34 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.9, f"recall $recall%.3f below 0.9")
   }
 
+  test("distributed-codebook assignment is value-identical to the literal path (IVF + IVF-PQ)") {
+    // the r12 escape for the c-wide literal expression ceiling: above
+    // literalCentroidCeiling the codebook broadcasts as a DataFrame and
+    // GroupTopK prunes the (vector × centroid) stream. Forcing the
+    // distributed path at small c must reproduce the literal path's
+    // rows EXACTLY (same arithmetic, same (−s, ci) tie-break).
+    val r = new scala.util.Random(7)
+    val dim = 64
+    val rows = (0 until 12).flatMap { c =>
+      val center = Array.fill(dim)(r.nextGaussian())
+      (0 until 20).map(m => (c.toLong * 20 + m,
+        center.map(x => (x + 0.15 * r.nextGaussian()).toFloat)))
+    }
+    val e = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val n = e.count()
+    def rows4(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getLong(3))).toSeq
+    val ivfLit = rows4(Similarity.ivfTopKImpl(e, 5, 16, 4, n, distributed = false))
+    val ivfDist = rows4(Similarity.ivfTopKImpl(e, 5, 16, 4, n, distributed = true))
+    assert(ivfLit.nonEmpty && ivfLit == ivfDist)
+    val qs = e.filter(col("vec_id") % 40 === 0)
+    val pqLit = rows4(Similarity.ivfPqTopKImpl(e, qs, 5, 16, 4, 8, 32, 8, n,
+      distributed = false))
+    val pqDist = rows4(Similarity.ivfPqTopKImpl(e, qs, 5, 16, 4, 8, 32, 8, n,
+      distributed = true))
+    assert(pqLit.nonEmpty && pqLit == pqDist)
+  }
+
   test("embedding near-dup pairs: intra-cluster only at a high threshold") {
     val r = new scala.util.Random(11)
     val dim = 64
