@@ -60,4 +60,45 @@ class ScaleGenSpec extends SparkTestBase {
       .select((col("vec_id") - 10000000L).as("vec_id"), col("embedding").as("b"))
     assert(e0.join(e1, "vec_id").filter(expr("a = b")).count() == 0)
   }
+
+  test("ScaleGen planted mode: disjoint replicas, prefix twins at controlled containment/jaccard") {
+    val out = graft.sources.Export.tempDir("graft_scale_pl_").toString
+    ScaleGen.generate(spark, sfDir, out, reps = 2, planted = true)
+    val docs = Tables.t(spark, out, "documents").cache()
+    val nBase = Tables.t(spark, sfDir, "documents").count()
+    // every replica plants one twin per (doc_id % 101 == 0, >= 12 tokens) doc
+    val nTwins = docs.filter(pmod(col("doc_id"), lit(10000000L)) >= 5000000L).count()
+    assert(nTwins > 0 && nTwins < nBase / 20, s"twin count $nTwins out of band")
+    assert(docs.count() == 2 * nBase + nTwins)
+    // cross-replica gram overlap is ZERO: every replica-1 token is suffixed
+    val shared = docs.filter(col("doc_id") < 5000000L)
+      .select(explode(split(col("text"), " ")).as("w")).distinct()
+      .join(docs.filter(col("doc_id") >= 10000000L)
+        .select(explode(split(col("text"), " ")).as("w")).distinct(), "w")
+      .count()
+    assert(shared == 0, s"$shared tokens shared across planted replicas")
+    // each twin is a token PREFIX of its original: containment = 1.0 and
+    // gram-jaccard ≈ the kept-length fraction (0.55–0.90 spread)
+    def grams(toks: String) = expr(s"array_distinct(transform(" +
+      s"sequence(1, greatest(size($toks) - 2, 1)), " +
+      s"i -> concat_ws(' ', slice($toks, i, 3))))")
+    val twins = docs.filter(pmod(col("doc_id"), lit(10000000L)) >= 5000000L)
+      .select((col("doc_id") - 5000000L).as("doc_id"), col("text").as("tt"))
+    val pairs = twins.join(docs.select(col("doc_id"), col("text").as("to")), "doc_id")
+      .withColumn("gt", grams("split(tt, ' ')"))
+      .withColumn("go", grams("split(to, ' ')"))
+      .select(
+        (size(array_intersect(col("gt"), col("go"))).cast("double") /
+          size(col("gt"))).as("containment"),
+        (size(array_intersect(col("gt"), col("go"))).cast("double") /
+          size(array_union(col("gt"), col("go")))).as("j"))
+      .cache()
+    assert(pairs.count() == nTwins)
+    assert(pairs.filter(col("containment") < 1.0).count() == 0)
+    val (jmin, jmax) = { val r = pairs.agg(min("j"), max("j")).head()
+      (r.getDouble(0), r.getDouble(1)) }
+    assert(jmin >= 0.4 && jmax <= 0.95 && jmax - jmin > 0.1,
+      s"jaccard spread [$jmin, $jmax] not controlled")
+    pairs.unpersist(); docs.unpersist()
+  }
 }
