@@ -642,29 +642,42 @@ object Dedup {
     * candidate join runs on exploded PREFIXES only (rarest-first makes
     * those postings the shortest), with the size filter applied in the
     * join. Exact verification on the persisted shingle arrays removes
-    * the false positives; the lemma proves there are no false negatives.
+    * the false positives; the lemma proves there are no false negatives
+    * (it holds for ANY global total order applied consistently — here
+    * (frequency, fingerprint)).
     *
-    * Shuffles: shingle-frequency aggregate, per-doc re-sort, prefix
-    * posting join, verify join — all equi-joins on keys; posting-list
-    * length is bounded by prefix length (≈ (1−t)·n per doc), and the
-    * rare-first order keeps hot shingles out of the prefixes entirely.
-    */
+    * Shuffles: shingle-frequency aggregate, per-doc rank window, prefix
+    * posting join, verify join — all equi-joins/partitions on keys;
+    * posting-list length is bounded by prefix length (≈ (1−t)·n per
+    * doc), and the rare-first order keeps hot shingles out of the
+    * prefixes entirely.
+    *
+    * Scale shape (r12, after the x300 planted probe filled the probe
+    * box's disk): grams travel as 8-byte xxhash64 FINGERPRINTS (the
+    * containmentPairs/overlap-matrix precedent — fp jaccard ≡ string
+    * jaccard modulo 64-bit collisions, gate-proven), and the rarest
+    * prefix comes from a row_number window that FILTERS ~70% of the
+    * postings before anything persists — the old formulation rebuilt
+    * every doc's full (cf, gram-string) array in a collect_list
+    * aggregate and shuffled it, several× the corpus bytes of spill. */
   def prefixJaccardPairs(docs: DataFrame, threshold: Double = 0.7, k: Int = 3): DataFrame = {
     val sh = docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= k)
-      .select(col("doc_id"), expr(shingleSetSql("toks", k)).as("sh"))
+      .select(col("doc_id"), array_distinct(
+        org.apache.spark.sql.graftext.Shingles.winnowFps(col("toks"), k, 1)).as("sh"))
       .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val posting = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val posting = sh.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("s"))
     val freq = posting.groupBy("s").agg(count(lit(1)).as("cf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("cf", "s") // total: s distinct per doc
     val prefix = posting.join(freq, "s")
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("cf"), col("s")))).as("ord"))
-      .select(col("doc_id"), size(col("ord")).as("n"),
-        explode(expr(
-          s"slice(transform(ord, x -> x.s), 1, " +
-            s"size(ord) - cast(ceil($threshold * size(ord)) as int) + 1)")).as("s"))
-      // self-join input: persist or the whole posting/frequency/sort
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <=
+        col("n") - ceil(lit(threshold) * col("n")).cast("int") + 1)
+      .select(col("doc_id"), col("n"), col("s"))
+      // self-join input: persist or the whole posting/frequency/rank
       // subtree runs twice (CLAUDE.md self-join rule)
       .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = prefix.as("a").join(prefix.as("b"),
