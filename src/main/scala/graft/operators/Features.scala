@@ -307,6 +307,67 @@ object Features {
       .orderBy("label")
   }
 
+  /** The gate face of [[pcaProject]] (oracle-backed since r12, the
+    * q13_approx bound-verdict precedent): the MLlib eigensolve is
+    * float (no cross-engine twin for the projected coordinates), but
+    * an EIGENDECOMPOSITION has a deterministic contract that checks
+    * without replaying LAPACK — the returned components must be unit
+    * vectors, mutually orthogonal, satisfy the eigenvalue equation
+    * `C·v = λ·v` against the SAME covariance matrix MLlib diagonalized
+    * (recomputed via RowMatrix.computeCovariance; λ_j = proportion_j ×
+    * trace(C)), and the explained-variance proportions must descend
+    * within [0, 1]. Replayable output: per-label vector counts (the
+    * grouping never touches floats). A solver or plumbing regression
+    * hash-reds the gate. ACCEPTED GATE COST: one extra covariance pass
+    * over the corpus (treeAggregate, d×d result); production projection
+    * runs [[pcaProject]], whose planted-axis recovery the spec pins. */
+  def pcaVerified(embeddings: DataFrame, k: Int = 2): DataFrame = {
+    import org.apache.spark.ml.feature.PCA
+    import org.apache.spark.ml.functions.array_to_vector
+    // label type passes through untouched (Tables.t already widens the
+    // parquet int32 to long; the spec feeds string labels)
+    val df = embeddings.select(col("label"),
+      array_to_vector(col("embedding").cast("array<double>")).as("features"))
+      .persistTracked()
+    val model = new PCA().setInputCol("features").setOutputCol("pc")
+      .setK(k).fit(df)
+    // the d×d covariance MLlib's solver diagonalized, recomputed with
+    // the same distributed kernel (bounded: d×d local result)
+    val cov = new org.apache.spark.mllib.linalg.distributed.RowMatrix(
+      df.select(col("features")).rdd.map(r =>
+        org.apache.spark.mllib.linalg.Vectors.fromML(
+          r.getAs[org.apache.spark.ml.linalg.Vector](0))))
+      .computeCovariance()
+    val d = cov.numRows
+    val pc = model.pc
+    val ev = model.explainedVariance.toArray
+    val trace = (0 until d).map(i => cov(i, i)).sum
+    def dotCols(a: Int, b: Int): Double =
+      (0 until d).map(i => pc(i, a) * pc(i, b)).sum
+    val unitOk = (0 until k).forall(j =>
+      math.abs(math.sqrt(dotCols(j, j)) - 1.0) < 1e-9)
+    val orthoOk = (for { i <- 0 until k; j <- (i + 1) until k } yield (i, j))
+      .forall { case (i, j) => math.abs(dotCols(i, j)) < 1e-9 }
+    val eigenOk = (0 until k).forall { j =>
+      val lambda = ev(j) * trace
+      val resid2 = (0 until d).map { r =>
+        val cvr = (0 until d).map(c => cov(r, c) * pc(c, j)).sum
+        val diff = cvr - lambda * pc(r, j)
+        diff * diff
+      }.sum
+      math.sqrt(resid2) <= 1e-8 * math.max(1.0, trace)
+    }
+    val descOk = (1 until k).forall(j => ev(j) <= ev(j - 1) + 1e-12) &&
+      ev.forall(e => e >= -1e-12 && e <= 1.0 + 1e-12)
+    df.groupBy("label").agg(count(lit(1)).as("n_vecs"))
+      .select(col("label"), col("n_vecs"),
+        lit(if (unitOk) 1L else 0L).as("unit_norm_ok"),
+        lit(if (orthoOk) 1L else 0L).as("ortho_ok"),
+        lit(if (eigenOk) 1L else 0L).as("eigen_ok"),
+        lit(if (descOk) 1L else 0L).as("explained_desc_ok"))
+      .orderBy("label")
+  }
+
   /** Cumulative gains / lift table — the model-triage readout beside
     * [[aucRoc]] (same score/label framing: does n_chars predict
     * English?): rank by score desc, cut into `buckets` exact tiles,

@@ -762,6 +762,98 @@ object Similarity {
       .orderBy("cluster_id")
   }
 
+  /** The gate face of [[kMeans]] (oracle-backed since r12, the
+    * q13_approx bound-verdict precedent): the Lloyd means are
+    * distributed float averages (partition-boundary accumulation — no
+    * cross-engine twin), but everything AROUND them is checkable:
+    *
+    *  - the Gonzalez farthest-point seeds are exact replayable
+    *    arithmetic (per-row scalar d2 folds + argmax with a vec_id
+    *    tie-break, no accumulation) — DuckDB re-derives all k seed
+    *    vec_ids from the corpus via k unrolled scans using the SAME
+    *    fold grouping `(ip(x,x) − 2·ip(x,c)) + ip(c,c)` (the
+    *    sim_ivfpq_topk precedent, ulp-exact per the r11 ADVICE fix);
+    *  - Lloyd's convergence CONTRACT is deterministic: inertia is
+    *    non-increasing across iterations, every point's final score is
+    *    the array max (argmin assignment), and the k-cluster inertia
+    *    can't exceed the single-global-mean baseline (each Lloyd update
+    *    per-cell mean minimizes within-cell SSE) — emitted as integer
+    *    verdicts that hash-red the gate if the loop regresses.
+    *
+    * ACCEPTED GATE COST: tracking inertia adds one corpus-scan
+    * aggregate per iteration plus the global-mean baseline pass (the
+    * profileApproxVerified trade) — production clustering runs
+    * [[kMeans]], whose planted-cluster recovery SimilaritySpec pins. */
+  def kMeansVerified(corpus: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def pick1(df: DataFrame): (Long, Array[Double]) = {
+      val r = df.select(col("vec_id"), col("emb")).collect().head
+      (r.getLong(0), r.getSeq[Double](1).toArray)
+    }
+    val picked = scala.collection.mutable.ArrayBuffer(
+      pick1(base.orderBy("vec_id").limit(1)))
+    while (picked.length < k) {
+      val minD2 = picked.map { case (_, c) =>
+        val cl = array(c.map(lit): _*)
+        dot(col("emb"), col("emb")) - lit(2.0) * dot(col("emb"), cl) +
+          lit(c.map(x => x * x).sum)
+      }.reduce(least(_, _))
+      picked += pick1(base.withColumn("__d2", minD2)
+        .orderBy(col("__d2").desc, col("vec_id")).limit(1))
+    }
+    def scoresOf(cents: Array[Array[Double]]): Column =
+      array(cents.map { c =>
+        val cl = array(c.map(lit): _*)
+        lit(2.0) * dot(col("emb"), cl) - lit(c.map(x => x * x).sum)
+      }: _*)
+    def assigned(cents: Array[Array[Double]]): DataFrame =
+      base.withColumn("__s", scoresOf(cents))
+        .withColumn("cid",
+          expr("array_position(__s, array_max(__s)) - 1").cast("int"))
+    // J_t = Σ|x|² − Σ max-score (d2 = |x|² − score); Σ|x|² folds once
+    val sxx = base.agg(sum(dot(col("emb"), col("emb")))).head.getDouble(0)
+    def inertiaOf(cents: Array[Array[Double]]): Double =
+      sxx - base.agg(sum(array_max(scoresOf(cents)))).head.getDouble(0)
+    var cents: Array[Array[Double]] = picked.map(_._2).toArray
+    val js = scala.collection.mutable.ArrayBuffer(inertiaOf(cents))
+    for (_ <- 1 to iters) {
+      val means = assigned(cents)
+        .select(col("cid"), posexplode(col("emb")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos").agg(avg("v").as("m"))
+        .collect() // bounded: k × dim doubles
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray }
+      cents = cents.indices.map(i => means.getOrElse(i, cents(i))).toArray
+      js += inertiaOf(cents)
+    }
+    val monotone = (1 until js.length).forall(i =>
+      js(i) <= js(i - 1) + 1e-6 * math.max(1.0, math.abs(js(i - 1))))
+    val violations = assigned(cents)
+      .filter(element_at(col("__s"), col("cid") + 1) < array_max(col("__s")))
+      .count()
+    val nTotal = base.count()
+    val mu = base.select(posexplode(col("emb")).as(Seq("pos", "v")))
+      .groupBy("pos").agg(avg("v").as("m"))
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1)) // bounded: dim
+    val muL = array(mu.map(lit): _*)
+    val jSingle = base.agg(sum(dot(col("emb"), col("emb"))
+      - lit(2.0) * dot(col("emb"), muL) + lit(mu.map(x => x * x).sum)))
+      .head.getDouble(0)
+    val leSingle = js.last <= jSingle + 1e-6 * math.max(1.0, math.abs(jSingle))
+    picked.toSeq.zipWithIndex.map { case ((vid, _), i) =>
+      (i.toLong, vid, nTotal, if (monotone) 1L else 0L,
+        if (violations == 0L) 1L else 0L, if (leSingle) 1L else 0L)
+    }.toDF("cluster_id", "seed_vec_id", "n_total",
+      "inertia_monotone", "assignment_optimal", "inertia_le_single")
+      .orderBy("cluster_id")
+  }
+
   /** Unit-normalize an embedding column (array<double> out). */
   def normalize(emb: Column): Column = {
     val n = sqrt(dot(emb, emb))

@@ -577,6 +577,58 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** The gate face of [[compressionRatio]] (oracle-backed since r12,
+    * the q13_approx bound-verdict precedent): the Deflate byte count is
+    * zlib-version-bound so it has no cross-engine twin, but the codec's
+    * CONTRACT does — (a) inflate(deflate(text)) must reproduce the
+    * exact input bytes (the round trip is run per row, in the same map
+    * stage) and (b) the compressed size obeys Deflate's worst-case
+    * stored-block envelope (5 bytes per 16 KiB block + 11 bytes of
+    * stream framing, checked with integer arithmetic). Outputs the
+    * EXACT byte length (DuckDB recomputes it as strlen) plus the two
+    * integer verdicts; a codec regression hash-reds the gate.
+    * Same pure-map scale shape as the production face — the only
+    * added work is the inflate pass over the just-compressed bytes. */
+  def compressionVerified(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val bytes = Option(text).getOrElse("").getBytes("UTF-8")
+        val d = new java.util.zip.Deflater(
+          java.util.zip.Deflater.DEFAULT_COMPRESSION)
+        d.setInput(bytes)
+        d.finish()
+        val buf = new Array[Byte](8192)
+        val out = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
+        while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+        d.end()
+        val comp = out.toByteArray
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(comp)
+        val back = new java.io.ByteArrayOutputStream(bytes.length + 16)
+        var stalled = false
+        while (!inf.finished() && !stalled) {
+          val n = inf.inflate(buf)
+          if (n > 0) back.write(buf, 0, n)
+          // a well-formed self-contained stream never needs more input
+          // or a preset dictionary; treat either as a failed round trip
+          else stalled = inf.needsInput() || inf.needsDictionary()
+        }
+        inf.end()
+        val roundtrip = java.util.Arrays.equals(back.toByteArray, bytes)
+        // stored-block envelope: 5 bytes/16 KiB block + 2-byte zlib
+        // header + 4-byte adler32 + one-block minimum
+        val bound = bytes.length.toLong +
+          5L * (bytes.length.toLong / 16384L + 1L) + 6L
+        (id, bytes.length.toLong,
+          if (roundtrip) 1L else 0L,
+          if (comp.length.toLong <= bound) 1L else 0L)
+      })
+      .toDF("doc_id", "n_bytes", "roundtrip_ok", "size_in_bound")
+      .orderBy("doc_id")
+  }
+
   /** Quality-filter funnel with first-failing-rule attribution: every
     * corpus filter pipeline needs to know not just HOW MANY documents
     * died but WHICH rule killed each one (a rule that kills 40% is

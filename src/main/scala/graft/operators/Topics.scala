@@ -111,4 +111,66 @@ object Topics {
       .select(col("topic"), (col("rank") + 1).cast("long").as("rank"), col("term"))
       .orderBy("topic", "rank")
   }
+
+  /** The gate face of [[topicsLda]] (oracle-backed since r12, the
+    * q13_approx bound-verdict precedent): the EM-estimated topic-term
+    * weights are iterative distributed float (no cross-engine twin),
+    * but the MODEL SHAPE is deterministic and DuckDB can re-derive it —
+    * the vocabulary size is min(vocabSize, distinct corpus tokens)
+    * under the same tokenizer (replayed with the text_tokens twin over
+    * the same md5 hash sample), and each of the k topics must expose
+    * min(topTerms, vocab) distinct valid term indices. The topic-model
+    * CONTRACT rides as integer verdicts: every topic carries
+    * non-negative finite term masses with a positive total (EM's
+    * topicsMatrix is expected counts — describeTopics normalizes)
+    * and describeTopics' weights arrive rank-sorted. A tokenizer,
+    * CountVectorizer or LDA plumbing regression hash-reds the gate;
+    * topic QUALITY (planted-topic separation, stable membership) stays
+    * pinned by TextOpsSpec on [[topicsLda]], the production face. */
+  def topicsLdaVerified(docs: DataFrame, k: Int = 4, vocabSize: Int = 2000,
+                        maxIter: Int = 30, topTerms: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col("doc_id"),
+      array_remove(split(lower(col("text")), "[^a-z0-9]+"), "").as("words"))
+    val cv = new CountVectorizer()
+      .setInputCol("words").setOutputCol("features")
+      .setVocabSize(vocabSize)
+      .fit(toks)
+    val model = new LDA()
+      .setK(k).setSeed(42L).setMaxIter(maxIter).setOptimizer("em")
+      .fit(cv.transform(toks))
+    val vocabN = cv.vocabulary.length.toLong
+    // EM's topicsMatrix carries EXPECTED COUNTS per (term, topic) —
+    // describeTopics normalizes per topic — so the checkable contract
+    // is non-negative finite masses with positive per-topic totals
+    val tm = model.topicsMatrix // bounded: vocab × k, model-sized
+    val distValid = (0 until k).forall { j =>
+      var s = 0.0
+      var nonneg = true
+      (0 until tm.numRows).foreach { i =>
+        val w = tm(i, j); s += w; nonneg &&= w >= 0.0
+      }
+      nonneg && s > 0.0 && java.lang.Double.isFinite(s)
+    }
+    val desc = model.describeTopics(topTerms).collect() // bounded: k rows
+    val weightsDesc = desc.forall { r =>
+      val ws = r.getSeq[Double](r.fieldIndex("termWeights"))
+      (1 until ws.length).forall(i => ws(i) <= ws(i - 1) + 1e-12)
+    }
+    val nTerms = math.min(topTerms.toLong, vocabN)
+    val termsOk = desc.forall { r =>
+      val ti = r.getSeq[Int](r.fieldIndex("termIndices"))
+      ti.length.toLong == nTerms && ti.distinct.length == ti.length &&
+        ti.forall(x => x >= 0 && x < vocabN)
+    }
+    (0 until k).map { t =>
+      (t.toLong, nTerms, vocabN,
+        if (distValid) 1L else 0L,
+        if (weightsDesc) 1L else 0L,
+        if (termsOk) 1L else 0L)
+    }.toDF("topic", "n_terms", "vocab_n",
+      "dist_valid", "weights_desc", "terms_ok")
+      .orderBy("topic")
+  }
 }

@@ -1428,13 +1428,17 @@ object Suite {
   def evtAudienceOverlap(s: SparkSession, dir: String): DataFrame =
     Events.audienceOverlap(t(s, dir, "events"))
 
-  /** Rows-only (iterative float estimates have no DuckDB twin);
-    * TextOpsSpec pins stable topic membership and planted-topic separation.
-    * Topics are estimated over a deterministic 4/16 hash sample — the
-    * production shape (topic discovery runs on a sample; only the
-    * cheap assignment pass would ever see the full corpus). */
+  /** LDA topics over a deterministic 4/16 hash sample — the production
+    * shape (topic discovery runs on a sample; only the cheap assignment
+    * pass would ever see the full corpus). Oracle-backed since r12
+    * (q13_approx precedent): DuckDB re-derives the model shape
+    * (replayed hash sample + tokenizer → vocabulary size, k topics ×
+    * min(topTerms, vocab) distinct terms) and the probability-vector /
+    * rank-sorted contracts ride as integer verdicts; TextOpsSpec keeps
+    * pinning stable topic membership and planted-topic separation on
+    * the [[Topics.topicsLda]] production face. */
   def textTopicsLda(s: SparkSession, dir: String): DataFrame =
-    Topics.topicsLda(
+    Topics.topicsLdaVerified(
       Mixture.hashSample(t(s, dir, "documents"), col("doc_id"), 4),
       maxIter = 15)
 
@@ -1889,10 +1893,14 @@ object Suite {
     DataQuality.splitLeakage(planted)
   }
 
-  /** Lloyd k-means over the embedding corpus (rows-only: iterative
-    * float; planted-cluster recovery spec'd in SimilaritySpec). */
+  /** Lloyd k-means over the embedding corpus. Oracle-backed since r12
+    * (q13_approx precedent): the gate face re-derives the Gonzalez
+    * seeds in DuckDB and gates the Lloyd loop on its deterministic
+    * contract (inertia monotone, argmin assignment, ≤ single-center
+    * baseline) as integer verdicts; the cluster-size/inertia readout
+    * ([[Similarity.kMeans]]) keeps planted-cluster recovery specs. */
   def simKmeans(s: SparkSession, dir: String): DataFrame =
-    Similarity.kMeans(t(s, dir, "embeddings"))
+    Similarity.kMeansVerified(t(s, dir, "embeddings"))
 
   /** Burst days vs the trailing-week baseline; the synthetic log's
     * volume is near-uniform, so the suite TRIPLES the last day (union
@@ -2025,10 +2033,13 @@ object Suite {
   def evtDecompose(s: SparkSession, dir: String): DataFrame =
     Events.decomposeDaily(t(s, dir, "events"))
 
-  /** Deflate compression ratio per document (rows-only: JVM codec;
-    * orderings pinned in TextOpsSpec). */
+  /** Deflate compression per document. Oracle-backed since r12
+    * (q13_approx precedent): the gate face emits the replayable byte
+    * length plus per-row round-trip and worst-case-envelope verdicts;
+    * the ratio readout ([[TextOps.compressionRatio]]) keeps its
+    * repetitive ≪ prose ≪ random ordering spec in TextOpsSpec. */
   def textCompressRatio(s: SparkSession, dir: String): DataFrame =
-    TextOps.compressionRatio(t(s, dir, "documents"))
+    TextOps.compressionVerified(t(s, dir, "documents"))
 
   /** Near-dup threshold calibration curve over the fixed-size
     * md5-rank sample (pair count independent of corpus size). */
@@ -2374,9 +2385,14 @@ object Suite {
   def evtCausalImpact(s: SparkSession, dir: String): DataFrame =
     Events.causalImpact(t(s, dir, "events"))
 
-  /** PCA 2-D projection geometry per label (rows-only; MLlib float). */
+  /** PCA over the embedding corpus. Oracle-backed since r12
+    * (q13_approx precedent): the gate face checks the eigendecomposition
+    * contract (unit norm, orthogonality, C·v = λ·v against the
+    * recomputed covariance, descending proportions) as integer verdicts
+    * beside replayable per-label counts; the 2-D projection readout
+    * ([[Features.pcaProject]]) keeps its planted-axis spec. */
   def featPca(s: SparkSession, dir: String): DataFrame =
-    Features.pcaProject(t(s, dir, "embeddings"))
+    Features.pcaVerified(t(s, dir, "embeddings"))
 
   /** Substitute pairs: frequent items co-bought less than independence. */
   def relSubstitutes(s: SparkSession, dir: String): DataFrame =

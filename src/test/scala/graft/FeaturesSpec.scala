@@ -120,6 +120,25 @@ class FeaturesSpec extends SparkTestBase {
       s"md5 folds badly unbalanced: ${out.toSeq}")
   }
 
+  test("pcaVerified: eigendecomposition contract verdicts all pass") {
+    val r = new scala.util.Random(11)
+    val rows = (1 to 40).map { i =>
+      (i.toLong, if (i % 2 == 0) "A" else "B",
+        Array.fill(6)(r.nextGaussian() * (1.0 + i % 3)))
+    }
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val out = graft.operators.Features.pcaVerified(df).collect()
+      .map(row => (row.getString(0), row.getLong(1), row.getLong(2),
+        row.getLong(3), row.getLong(4), row.getLong(5)))
+    assert(out.map(x => (x._1, x._2)).toSeq == Seq(("A", 20L), ("B", 20L)))
+    out.foreach { case (label, _, unit, ortho, eigen, desc) =>
+      assert(unit == 1L, s"$label: components not unit norm")
+      assert(ortho == 1L, s"$label: components not orthogonal")
+      assert(eigen == 1L, s"$label: C*v != lambda*v")
+      assert(desc == 1L, s"$label: explained variance not descending in [0,1]")
+    }
+  }
+
   test("pcaProject: the leading component finds the planted variance axis") {
     // all real variance on axis 0 (spread ±10); labels offset on axis 1
     // by a constant → per-label spread concentrates in the first PC

@@ -369,6 +369,30 @@ class SimilaritySpec extends SparkTestBase {
     assert(sizes.forall(_._2 % 25 == 0), s"planted clusters split: ${sizes.toSeq}")
   }
 
+  test("kMeansVerified: replayable seeds + Lloyd-contract verdicts all pass") {
+    val r = new scala.util.Random(7)
+    val dim = 16
+    val rows = (0 until 4).flatMap { c =>
+      val center = Array.fill(dim)(r.nextGaussian() * 5.0)
+      (0 until 25).map(m => (c.toLong * 25 + m,
+        center.map(x => (x + 0.05 * r.nextGaussian()).toFloat)))
+    }
+    val e = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val out = Similarity.kMeansVerified(e, k = 4, iters = 3).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+    // seed 0 is the smallest vec_id; Gonzalez covers each well-separated
+    // planted cluster exactly once (farthest-point guarantee)
+    assert(out.head.getLong(1) == 0L)
+    assert(out.map(_.getLong(1) / 25).distinct.length == 4,
+      s"seeds missed a planted cluster: ${out.map(_.getLong(1)).toSeq}")
+    assert(out.forall(_.getLong(2) == 100L))
+    out.foreach { row =>
+      assert(row.getLong(3) == 1L, "inertia not monotone")
+      assert(row.getLong(4) == 1L, "assignment not argmin")
+      assert(row.getLong(5) == 1L, "inertia above single-center baseline")
+    }
+  }
+
   test("thresholdSweep: one identical pair among three vectors at every threshold") {
     // pairs: (1,2) sim 1.0; (1,3) and (2,3) sim 0 → every threshold in
     // the ladder keeps exactly the identical pair, share 1/3

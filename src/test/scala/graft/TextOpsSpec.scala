@@ -578,6 +578,49 @@ class TextOpsSpec extends SparkTestBase {
     assert(out(1L) < 0.05 && out(3L) > 0.5, s"extremes: $out")
   }
 
+  test("compressionVerified: round trip + envelope verdicts hold, incl. empty text") {
+    val noise = (1 to 40).map(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"n$i".getBytes).map("%02x".format(_)).mkString).mkString(" ")
+    val docs = Seq(
+      (1L, "ab" * 500),
+      (2L, "The quick brown fox jumps over the lazy dog and keeps going. " * 10),
+      (3L, noise), (4L, ""), (5L, "日本語テキスト × déjà vu"))
+      .toDF("doc_id", "text")
+    val out = TextOps.compressionVerified(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(out.find(_._1 == 1L).get._2 == 1000L)
+    assert(out.find(_._1 == 4L).get._2 == 0L)
+    // UTF-8 length, not char count
+    assert(out.find(_._1 == 5L).get._2 ==
+      "日本語テキスト × déjà vu".getBytes("UTF-8").length.toLong)
+    out.foreach { case (id, _, rt, bound) =>
+      assert(rt == 1L, s"doc $id failed the inflate round trip")
+      assert(bound == 1L, s"doc $id compressed above the stored-block envelope")
+    }
+  }
+
+  test("topicsLdaVerified: model-shape columns replay, verdicts hold, vocab<topTerms edge") {
+    val a = Seq("alpha beta gamma", "beta gamma alpha", "gamma alpha beta")
+    val b = Seq("delta epsilon zeta", "epsilon zeta delta", "zeta delta epsilon")
+    val docs = (0 until 30).map { i =>
+      (i.toLong, if (i % 2 == 0) a(i % 3) else b(i % 3))
+    }.toDF("doc_id", "text")
+    // 6 distinct tokens < topTerms=8 → n_terms must clamp to vocab
+    val out = graft.operators.Topics.topicsLdaVerified(docs, k = 2, topTerms = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.map(_._1).toSeq == Seq(0L, 1L))
+    out.foreach { case (topic, nTerms, vocabN, dist, wdesc, terms) =>
+      assert(vocabN == 6L)
+      assert(nTerms == 6L, s"topic $topic: n_terms $nTerms != clamped vocab")
+      assert(dist == 1L && wdesc == 1L && terms == 1L,
+        s"topic $topic verdicts: $dist/$wdesc/$terms")
+    }
+  }
+
   test("filterFunnel charges each doc to its FIRST failing rule") {
     val pass = (1 to 30).map(i => s"word$i").mkString(" ")
     val docs = Seq(
