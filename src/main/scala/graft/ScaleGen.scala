@@ -47,10 +47,17 @@ object ScaleGen {
   private val TwinKey = 5000000L   // planted-twin doc shift (inside the replica band)
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 3 || (args.length == 4 && args(3) == "planted"),
-      "usage: ScaleGen <srcSfDir> <outDir> <replicas> [planted]")
+    require(args.length == 3 ||
+      (args.length == 4 && (args(3) == "planted" || args(3).startsWith("only="))),
+      "usage: ScaleGen <srcSfDir> <outDir> <replicas> [planted|only=t1,t2]")
     val (src, out, reps) = (args(0), args(1), args(2).toInt)
     require(reps >= 1, s"replicas must be >= 1, got $reps")
+    // only=embeddings (r12): write just the named tables — an ANN probe
+    // at x600 needs 1.2M vectors, not 9 GB of salted documents/lineitem
+    val only: Set[String] =
+      if (args.length == 4 && args(3).startsWith("only="))
+        args(3).stripPrefix("only=").split(",").map(_.trim).toSet
+      else Set.empty
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -60,16 +67,18 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, src, out, reps, planted = args.length == 4)
+    generate(spark, src, out, reps,
+      planted = args.length == 4 && args(3) == "planted", only = only)
     spark.stop()
   }
 
   def generate(spark: SparkSession, src: String, out: String, reps: Int,
-               planted: Boolean = false): Unit = {
-    def write(name: String, df: DataFrame): Unit = {
-      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
-      println(s"[scalegen] $name x$reps written")
-    }
+               planted: Boolean = false, only: Set[String] = Set.empty): Unit = {
+    def write(name: String, df: => DataFrame): Unit =
+      if (only.isEmpty || only(name)) {
+        df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+        println(s"[scalegen] $name x$reps written")
+      }
     def replicated(name: String)(shift: (DataFrame, Int) => DataFrame): DataFrame = {
       val base = Tables.t(spark, src, name)
       (0 until reps).map(k => shift(base, k)).reduce(_ unionAll _)

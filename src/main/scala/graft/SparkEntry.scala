@@ -216,6 +216,7 @@ object SparkEntry {
     "rel_migration" -> (Suite.relMigration _),
     "dq_split_leakage" -> (Suite.dqSplitLeakage _),
     "sim_kmeans" -> (Suite.simKmeans _),
+    "dedup_cdc_chunks" -> (Suite.dedupCdcChunks _),
     "evt_bursts" -> (Suite.evtBursts _),
     "dq_freshness" -> (Suite.dqFreshness _),
     "rel_top_movers" -> (Suite.relTopMovers _),
@@ -1135,6 +1136,43 @@ object SparkEntry {
     // Gonzalez seeds + Lloyd-contract integer verdicts; the means stay
     // distributed float and never reach the output.
     "sim_kmeans" -> kmeansSeedsSql(),
+    // dedup_cdc_chunks (r12): content-defined chunking replayed end to
+    // end — bridge token hashes decide boundaries (≡ 0 mod 16, the
+    // boundary token closes its chunk ⇒ exclusive prefix sum), chunks
+    // re-hash via md5 over the space-joined span, and the planted
+    // prefix-twin shared-set counts prove insertion robustness.
+    "dedup_cdc_chunks" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, 'zzins ' || text FROM documents
+        |  WHERE doc_id % 25 = 0),
+        |tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM planted),
+        |tok AS (SELECT doc_id, pos, toks[pos] AS tok,
+        |    CASE WHEN ('0x' || substr(md5(toks[pos]), 1, 8))::BIGINT % 16 = 0
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(generate_series(1, len(toks))) AS pos FROM tk)),
+        |ck AS (SELECT doc_id, pos, tok,
+        |    coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+        |  FROM tok),
+        |ch AS MATERIALIZED (SELECT DISTINCT doc_id, chunk_md5 FROM (
+        |  SELECT doc_id, chunk_id,
+        |    md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
+        |  FROM ck GROUP BY doc_id, chunk_id)),
+        |o AS (SELECT doc_id AS orig_id, chunk_md5 FROM ch WHERE doc_id < 2000000),
+        |tw AS (SELECT doc_id - 2000000 AS orig_id, chunk_md5 FROM ch
+        |  WHERE doc_id >= 2000000),
+        |no AS (SELECT orig_id, count(*) AS n_chunks_orig FROM o GROUP BY orig_id),
+        |ntw AS (SELECT orig_id, count(*) AS n_chunks_twin FROM tw GROUP BY orig_id),
+        |sh AS (SELECT o.orig_id, count(*) AS n_shared
+        |  FROM o JOIN tw ON o.orig_id = tw.orig_id AND o.chunk_md5 = tw.chunk_md5
+        |  GROUP BY o.orig_id)
+        |SELECT ntw.orig_id, no.n_chunks_orig, ntw.n_chunks_twin,
+        |  CAST(coalesce(sh.n_shared, 0) AS BIGINT) AS n_shared
+        |FROM ntw JOIN no USING (orig_id) LEFT JOIN sh USING (orig_id)
+        |ORDER BY ntw.orig_id""".stripMargin,
     // feat_pca (oracle-backed r12): replayable per-label counts; the
     // eigendecomposition contract (unit/ortho/C·v=λ·v/descending)
     // rides as Spark-side verdicts expected 1.

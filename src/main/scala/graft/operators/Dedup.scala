@@ -910,4 +910,90 @@ object Dedup {
         (col("dist") <= maxDist).as("accepted"))
       .orderBy("query_id")
   }
+
+  /** Content-defined chunking (CDC) — the storage-dedup primitive
+    * (LBFS/rsync lineage, reference: `operators/` has no analogue;
+    * this is a §2b training-pipeline extension): chunk boundaries are
+    * decided by the CONTENT of each token (hash(token) ≡ 0 mod
+    * `divisor`), not by position, so an insertion near the head shifts
+    * every fixed-width window but leaves every boundary after it —
+    * and therefore every later chunk's identity — intact. That is the
+    * property fixed chunking ([[graft.operators.TextOps.chunkDocs]])
+    * fundamentally lacks, and what makes CDC the right unit for
+    * dedup-by-chunk over revision-style near-duplicates (docs that
+    * differ by small edits/insertions).
+    *
+    * Returns one row per (doc_id, chunk_id): the chunk's md5, token
+    * count and start position. Token hashes ride the md5-hex bridge so
+    * DuckDB replays boundaries AND chunk hashes bit-for-bit.
+    *
+    * Scale shape: tokenize + posexplode is a pure map stage; the
+    * boundary flag is row-local; the chunk id is an EXCLUSIVE prefix
+    * sum over a per-doc window (ONE shuffle on doc_id, parallel across
+    * docs — never a global order); chunk reassembly is a groupBy on
+    * (doc_id, chunk_id) that reuses the window's doc_id partitioning
+    * (no second exchange), and each collect_list is chunk-sized
+    * (expected `divisor` tokens — the array IS the output unit). */
+  def cdcChunks(docs: DataFrame, divisor: Int = 16): DataFrame = {
+    require(divisor >= 2, s"divisor must be >= 2, got $divisor")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      // boundary AFTER a token whose bridge hash ≡ 0 (mod divisor): the
+      // token CLOSES its chunk, so chunk_id counts strictly-preceding
+      // boundary tokens (exclusive prefix sum)
+      .withColumn("b",
+        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+          % divisor === 0).cast("long"))
+      .withColumn("chunk_id", coalesce(sum(col("b")).over(w), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ")).as("chunk_md5"),
+        count(lit(1)).as("n_tokens"),
+        min(col("pos")).cast("long").as("start_pos"))
+  }
+
+  /** The CDC insertion-robustness readout (the `dedup_cdc_chunks`
+    * face): plants a one-token-prefixed twin for every `plantEvery`-th
+    * doc, chunks both sides with [[cdcChunks]], and reports per pair
+    * how many DISTINCT chunk hashes survive the shift. Content-defined
+    * boundaries depend only on token content, so every chunk after the
+    * first boundary is bit-identical between twin and original — a
+    * fixed-width chunker would share ~nothing. Fully engine-replayable
+    * (bridge hashes + md5 chunk ids), so DuckDB proves boundary
+    * placement, chunk reassembly AND the shared-set cardinalities.
+    *
+    * Scale shape: [[cdcChunks]]'s two co-partitioned stages over the
+    * planted corpus; the chunk table persists once and feeds both join
+    * sides (the self-join rule) with the twin side joined back on the
+    * SHIFTED doc id — an equi-join on (orig_id, chunk_md5), never
+    * all-pairs. */
+  def cdcShiftAudit(docs: DataFrame, divisor: Int = 16,
+                    plantEvery: Int = 25, shift: Long = 2000000L): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    val planted = base.unionAll(
+      base.filter(pmod(col("doc_id"), lit(plantEvery)) === 0)
+        .select((col("doc_id") + shift).as("doc_id"),
+          concat(lit("zzins "), col("text")).as("text")))
+    val chunks = cdcChunks(planted, divisor)
+      .select(col("doc_id"), col("chunk_md5")).distinct()
+      .persistTracked()
+    val orig = chunks.filter(col("doc_id") < shift)
+      .select(col("doc_id").as("orig_id"), col("chunk_md5"))
+    val twin = chunks.filter(col("doc_id") >= shift)
+      .select((col("doc_id") - shift).as("orig_id"), col("chunk_md5"))
+    val nOrig = orig.groupBy("orig_id").agg(count(lit(1)).as("n_chunks_orig"))
+    val nTwin = twin.groupBy("orig_id").agg(count(lit(1)).as("n_chunks_twin"))
+    val shared = orig.join(twin, Seq("orig_id", "chunk_md5"))
+      .groupBy("orig_id").agg(count(lit(1)).as("n_shared"))
+    nTwin.join(nOrig, "orig_id")
+      .join(shared, Seq("orig_id"), "left")
+      .select(col("orig_id"), col("n_chunks_orig"), col("n_chunks_twin"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .orderBy("orig_id")
+  }
 }

@@ -1902,6 +1902,15 @@ object Suite {
   def simKmeans(s: SparkSession, dir: String): DataFrame =
     Similarity.kMeansVerified(t(s, dir, "embeddings"))
 
+  /** CDC insertion-robustness audit (r12): content-defined chunk
+    * boundaries survive a planted one-token prefix insertion — every
+    * chunk after the first boundary stays bit-identical between twin
+    * and original, which fixed-width chunking cannot do. Fully
+    * md5-bridge replayable: DuckDB re-derives boundaries, chunk hashes
+    * and the shared-set counts. */
+  def dedupCdcChunks(s: SparkSession, dir: String): DataFrame =
+    Dedup.cdcShiftAudit(t(s, dir, "documents"))
+
   /** Burst days vs the trailing-week baseline; the synthetic log's
     * volume is near-uniform, so the suite TRIPLES the last day (union
     * ×2) — every type must burst exactly there. */

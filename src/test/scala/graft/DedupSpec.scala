@@ -459,4 +459,42 @@ class DedupSpec extends SparkTestBase {
     assert(got == brute)
     assert(brute.contains((1L, 2L, 0L)))
   }
+
+  test("cdcChunks: boundaries are content-defined — chunk hashes survive a prefix insert") {
+    // 240 DISTINCT tokens → expected ~15 chunks at divisor 16; the twin
+    // prefixes one token, which can only perturb chunk 0
+    val toks = (1 to 240).map(i => s"tok${i}q")
+    val d = docs(0L -> toks.mkString(" "), 7L -> toks.reverse.mkString(" "))
+    val audit = Dedup.cdcShiftAudit(d, plantEvery = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(audit.map(_._1).toSeq == Seq(0L, 7L))
+    audit.foreach { case (id, nOrig, nTwin, nShared) =>
+      assert(nOrig >= 3, s"doc $id: too few chunks ($nOrig) to test the shift")
+      // 'zzins' is not a boundary token (bridge hash % 16 = 2), so the
+      // boundary structure — and the chunk count — is identical, and
+      // exactly chunk 0 differs
+      assert(nTwin == nOrig, s"doc $id: chunk count moved $nOrig -> $nTwin")
+      assert(nShared == nOrig - 1,
+        s"doc $id: expected all-but-first shared, got $nShared of $nOrig")
+    }
+    // fixed-width contrast: the same insert shifts EVERY 16-token window
+    val fixedShared = {
+      val a = toks.grouped(16).map(_.mkString(" ")).toSet
+      val b = ("zzins" +: toks).grouped(16).map(_.mkString(" ")).toSet
+      (a intersect b).size
+    }
+    assert(fixedShared == 0, "fixed-width chunking should share nothing here")
+  }
+
+  test("cdcChunks: chunk ids are dense from 0 and reassembly preserves token order") {
+    val d = docs(3L -> (1 to 100).map(i => s"w$i").mkString(" "))
+    val ch = Dedup.cdcChunks(d).collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(ch.map(_._1).toSeq == ch.indices.map(_.toLong).toSeq, "chunk ids not dense")
+    assert(ch.map(_._3).sum == 100L, "chunks must partition the tokens")
+    assert(ch.head._4 == 0L, "first chunk starts at pos 0")
+    // start positions are the running token counts (spans are contiguous)
+    assert(ch.map(_._4).toSeq == ch.map(_._3).scanLeft(0L)(_ + _).init.toSeq)
+  }
 }
