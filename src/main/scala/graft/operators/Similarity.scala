@@ -285,8 +285,17 @@ object Similarity {
         (s, i) => struct((-s).as("ns"), i.as("ci")))), lit(1), lit(nprobe)))
     } else {
       val cdf = centroidFrame(df.sparkSession, cents)
+      // the scored stream does c ≥ 1024 dots PER INPUT ROW, so its
+      // parallelism must track the session, not the scan (a 300 MB
+      // probe corpus reads as ~3 input splits — the x600 probe ran the
+      // c=1095 crossJoin on 3 of 32 cores before this): hash-repartition
+      // the N-row vector side (cheap next to the N·c scoring) so every
+      // core scores; per-key rows stay within one partition, so
+      // GroupTopK's map-side heaps still shuffle ≤ nprobe rows per key
+      val p = df.sparkSession.sparkContext.defaultParallelism
       val pruned = org.apache.spark.sql.graftext.GroupTopK.topK(
         df.select(col(keyCol), col(embCol), col(normCol))
+          .repartition(p, col(keyCol))
           .crossJoin(broadcast(cdf))
           .select(col(keyCol),
             (-dot(col(embCol), col("__cemb")) / (col(normCol) * col("__cnorm")))
@@ -379,16 +388,30 @@ object Similarity {
     }
     def d2(a: Array[Double], b: Array[Double]): Double =
       (ip(a, a) - 2.0 * ip(a, b)) + ip(b, b)
+    // running min-dist per sample point — the O(|sample|·k) Gonzalez
+    // (each pick relaxes md with ONE new d2), not the O(|sample|·k²)
+    // recompute-all form: at c = 1095 / sample 8760 (the x600 probe)
+    // that form burned ~340 s single-threaded on the driver. min() is
+    // exact (no arithmetic), so md is bitwise the min over the same d2
+    // set and every argmax pick — and the DuckDB replay — is unchanged.
     val picked = scala.collection.mutable.ArrayBuffer(sample.head)
+    val md = sample.map(v => d2(v, sample.head))
     while (picked.length < k) {
       var bestI = 0; var bestD = -1.0
       var i = 0
       while (i < sample.length) {
-        val md = picked.iterator.map(c => d2(sample(i), c)).min
-        if (md > bestD) { bestD = md; bestI = i }
+        if (md(i) > bestD) { bestD = md(i); bestI = i }
         i += 1
       }
       picked += sample(bestI)
+      if (picked.length < k) {
+        var j = 0
+        while (j < sample.length) {
+          val d = d2(sample(j), sample(bestI))
+          if (d < md(j)) md(j) = d
+          j += 1
+        }
+      }
     }
     var cents = picked.toArray
     for (_ <- 1 to iters) {
