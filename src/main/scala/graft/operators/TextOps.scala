@@ -607,16 +607,23 @@ object TextOps {
         val inf = new java.util.zip.Inflater()
         inf.setInput(comp)
         val back = new java.io.ByteArrayOutputStream(bytes.length + 16)
+        // a malformed stream must read as a FAILED round trip (verdict
+        // 0), not a task error: DataFormatException is the codec's
+        // rejection. A zero-progress stall merely ends the read (zlib
+        // reports needs-input on an EMPTY payload even though output is
+        // complete) — the byte comparison is the verdict either way.
+        var corrupt = false
         var stalled = false
-        while (!inf.finished() && !stalled) {
-          val n = inf.inflate(buf)
-          if (n > 0) back.write(buf, 0, n)
-          // a well-formed self-contained stream never needs more input
-          // or a preset dictionary; treat either as a failed round trip
-          else stalled = inf.needsInput() || inf.needsDictionary()
-        }
+        try {
+          while (!inf.finished() && !stalled) {
+            val n = inf.inflate(buf)
+            if (n > 0) back.write(buf, 0, n)
+            else stalled = inf.needsInput() || inf.needsDictionary()
+          }
+        } catch { case _: java.util.zip.DataFormatException => corrupt = true }
         inf.end()
-        val roundtrip = java.util.Arrays.equals(back.toByteArray, bytes)
+        val roundtrip = !corrupt &&
+          java.util.Arrays.equals(back.toByteArray, bytes)
         // stored-block envelope: 5 bytes/16 KiB block + 2-byte zlib
         // header + 4-byte adler32 + one-block minimum
         val bound = bytes.length.toLong +
