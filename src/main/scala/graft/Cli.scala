@@ -18,6 +18,7 @@ import graft.operators.{Profile, Render}
   *   context <root> use <name>        switch the persisted active context
   *   context <root> current           show the active context name
   *   run <root> <op> <ref> [--save a] run an operation on a stored value
+  *   run <root> --batch <spec.json>   run a pipeline defined in a spec file
   *   pipeline <root> list [filter..]  registered pipelines with step counts
   *   pipeline <root> explain <name>   step structure (step, op, input)
   *   workflow <root> list             workflows (+ persisted/in-memory)
@@ -199,6 +200,15 @@ object Cli {
     // reference interfaces/cli/run.py): records the job + lineage,
     // optionally saves the output under an alias (`--save`), prints a
     // bounded rendering of the result
+    // batch mode (kiara `kiara run pipeline.yaml`, python_api/batch.py):
+    // the whole pipeline lives in a json spec file
+    case "run" :: root :: "--batch" :: spec :: Nil =>
+      val api = new GraftApi(spark, root)
+      val (runId, saved) = api.runBatch(spec)
+      s"batch run: $runId\n" + (
+        if (saved.isEmpty) "(no save targets)"
+        else saved.map { case (step, alias, vid) =>
+          f"  $step%-20s -> alias '$alias' ($vid)" }.mkString("\n"))
     case "run" :: root :: operation :: valueRef :: rest =>
       val api = new GraftApi(spark, root)
       graft.plans.Builtins.ensureRegistered()
@@ -428,6 +438,7 @@ object Cli {
           s"render archive html <dir> | render job script <root> <id> | " +
           s"render api markdown|html | " +
           s"run <root> <operation> <valueRef> [--save <alias>] | " +
+          s"run <root> --batch <spec.json> | " +
           s"pipeline <root> list|explain <name> | " +
           s"workflow <root> list|explain <name> | " +
           s"data <root> list [glob]|load <ref> [rows]|explain <ref>" +

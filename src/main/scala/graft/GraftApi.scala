@@ -65,6 +65,7 @@ object GraftApi {
     "pluginsInfo" -> "every registered extension bundle",
     "onRegistryEvent" -> "subscribe to registry mutations (synchronous, in order)",
     "runJob" -> "execute an operation on a value, record the job, return the result",
+    "runBatch" -> "run a pipeline defined in a JSON spec file; save named outputs under aliases",
     "getJobRecord" -> "the persisted step record of one job",
     "listJobRecordIds" -> "ids of all recorded jobs (live + persisted)",
     "listJobRecords" -> "all recorded jobs' step records",
@@ -277,6 +278,67 @@ class GraftApi(val spark: SparkSession, root: String) {
 
   // --- async job queue (kiara_api.py:149 queue_job, :1342 get_job,
   //     :1348 get_job_result) ----------------------------------------------
+  /** Batch pipeline-from-file (kiara interfaces/python_api/batch.py:31
+    * BatchOperation.from_file + utils.py create_save_config): run a
+    * pipeline DEFINED IN A JSON FILE in one shot — steps resolve
+    * against OpRegistry by name, inputs load from the data registry
+    * (alias or value id), and steps named in `save` store under their
+    * aliases afterwards. `pipeline_name` defaults from the file
+    * basename with the extension stripped, exactly like the reference.
+    * The spec is honest JSON parsed by Spark's own reader (multiLine,
+    * one document — no new dependency):
+    * {{{
+    * {"pipeline_name": "curate",
+    *  "steps": [{"name": "clean", "op": "tables.dropNulls", "input": "docs"}],
+    *  "inputs": {"docs": "<alias-or-value-id>"},
+    *  "save":   {"clean": "curated"}}
+    * }}}
+    * Returns the run id and the (step, alias, value id) saves; every
+    * step lands in the lineage log under the run id (the workflow-run
+    * contract), so provenance traversal works for batch outputs too. */
+  def runBatch(specPath: String): (String, Seq[(String, String, String)]) = {
+    graft.plans.Builtins.ensureRegistered()
+    val sdf = spark.read.option("multiLine", "true").json(specPath)
+    require(sdf.count() == 1, s"batch spec must be ONE json document: $specPath")
+    val row = sdf.head()
+    val fields = sdf.schema.fieldNames.toSet
+    require(fields.contains("steps"), s"batch spec has no steps: $specPath")
+    def kvMap(field: String): Seq[(String, String)] =
+      if (!fields.contains(field) || row.isNullAt(row.fieldIndex(field))) Seq.empty
+      else {
+        val st = row.getStruct(row.fieldIndex(field))
+        st.schema.fieldNames.toSeq.map(f => f -> st.getAs[String](f))
+      }
+    val name = (if (fields.contains("pipeline_name") &&
+        !row.isNullAt(row.fieldIndex("pipeline_name")))
+        row.getString(row.fieldIndex("pipeline_name"))
+      else new java.io.File(specPath).getName.replaceAll("\\.(json|yaml|yml)$", ""))
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    val stepRows = row.getSeq[org.apache.spark.sql.Row](row.fieldIndex("steps"))
+    require(stepRows.nonEmpty, "batch spec has an empty steps list")
+    val opSteps = stepRows.map { r =>
+      val (sn, op, in) = (r.getAs[String]("name"), r.getAs[String]("op"),
+        r.getAs[String]("input"))
+      require(sn != null && op != null && in != null,
+        s"every step needs name/op/input: $r")
+      require(OpRegistry.contains(op), s"unknown operation in batch spec: $op")
+      graft.registries.WorkflowRegistry.OpStep(sn, op, in)
+    }
+    val inputs = kvMap("inputs").map { case (n, ref) => n -> getValue(ref) }.toMap
+    val steps = opSteps.map(st => Pipeline.Step(st.name, Seq(st.input),
+      in => OpRegistry.get(st.op)(in(st.input))))
+    val runId = s"batch-$name-${jobSeq.incrementAndGet()}"
+    val res = Pipeline.run(steps, inputs)
+    lineage.recordRun(runId, res.lineage)
+    val saved = kvMap("save").sortBy(_._1).map { case (step, alias) =>
+      require(res.values.contains(step),
+        s"save target '$step' is not a step or input of this batch")
+      val vid = storeValue(s"$runId-$step", res.values(step), Some(alias))
+      (step, alias, vid)
+    }
+    (runId, saved)
+  }
+
   private val jobPool = Executors.newFixedThreadPool(4, r => {
     val t = new Thread(r, "graft-job"); t.setDaemon(true); t
   })

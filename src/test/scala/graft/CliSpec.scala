@@ -158,6 +158,24 @@ class CliSpec extends SparkTestBase {
     assert(bad.getMessage.contains("--save"))
   }
 
+  test("run --batch executes a pipeline spec file and reports its saves") {
+    import spark.implicits._
+    val root = graft.sources.Export.tempDir("graft_cli_batch_").toString
+    val api = new GraftApi(spark, root)
+    api.storeValue("docs", Seq((1L, "Hello World two"), (2L, "one")).toDF(
+      "doc_id", "text"), Some("raw"))
+    val spec = graft.sources.Export.tempDir("graft_cli_batchspec_")
+      .resolve("nightly.json")
+    java.nio.file.Files.write(spec,
+      """{"steps": [{"name": "counts", "op": "text.token_count", "input": "d"}],
+        | "inputs": {"d": "raw"}, "save": {"counts": "tokens"}}""".stripMargin
+        .getBytes("UTF-8"))
+    val out = Cli.run(spark, Array("run", root, "--batch", spec.toString))
+    assert(out.contains("batch run: batch-nightly-"), out)
+    assert(out.contains("counts") && out.contains("alias 'tokens'"), out)
+    assert(api.getValue("tokens").count() == 2L)
+  }
+
   test("data list and type list catalog stored values and data types") {
     import spark.implicits._
     val root = graft.sources.Export.tempDir("graft_cli_data_").toString

@@ -519,6 +519,46 @@ class GraftApiSpec extends SparkTestBase {
     assert(Render.as("template", df, 1, Some("{{name}}")) == "alpha")
   }
 
+  test("runBatch: pipeline-from-file runs, saves aliases, records lineage") {
+    val api = newApi
+    api.storeValue("src1", Seq((1L, 10L), (2L, 60L), (3L, 80L)).toDF("id", "qty"),
+      Some("raw"))
+    graft.plans.OpRegistry.register("batch_keep_big",
+      df => df.filter(col("qty") > 50L))
+    graft.plans.OpRegistry.register("batch_tag",
+      df => df.withColumn("tag", lit("ok")))
+    val spec = Export.tempDir("graft_batch_").resolve("curate_corpus.json")
+    java.nio.file.Files.write(spec,
+      """{"steps": [{"name": "big", "op": "batch_keep_big", "input": "docs"},
+        |           {"name": "tagged", "op": "batch_tag", "input": "big"}],
+        | "inputs": {"docs": "raw"},
+        | "save": {"tagged": "curated"}}""".stripMargin.getBytes("UTF-8"))
+    val (runId, saved) = api.runBatch(spec.toString)
+    // pipeline_name defaults from the file basename (the kiara contract)
+    assert(runId.startsWith("batch-curate_corpus-"), runId)
+    assert(saved.map(s => (s._1, s._2)) == Seq(("tagged", "curated")))
+    val out = api.getValue("curated").collect()
+    assert(out.map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    assert(out.forall(_.getString(2) == "ok"))
+    // every step landed in lineage under the run id
+    val steps = api.lineage.records.filter(_.run == runId).map(_.step)
+    assert(steps.toSet == Set("big", "tagged"))
+    // a bad save target and an unknown op are refused up front
+    val spec2 = spec.getParent.resolve("bad.json")
+    java.nio.file.Files.write(spec2,
+      """{"steps": [{"name": "s", "op": "batch_tag", "input": "docs"}],
+        | "inputs": {"docs": "raw"}, "save": {"nope": "x"}}""".stripMargin
+        .getBytes("UTF-8"))
+    val e1 = intercept[IllegalArgumentException](api.runBatch(spec2.toString))
+    assert(e1.getMessage.contains("save target"))
+    val spec3 = spec.getParent.resolve("unknown_op.json")
+    java.nio.file.Files.write(spec3,
+      """{"steps": [{"name": "s", "op": "no_such_op", "input": "docs"}],
+        | "inputs": {"docs": "raw"}}""".stripMargin.getBytes("UTF-8"))
+    val e2 = intercept[IllegalArgumentException](api.runBatch(spec3.toString))
+    assert(e2.getMessage.contains("unknown operation"))
+  }
+
   test("endpoint catalog is complete, documented and drift-checked") {
     val eps = GraftApi.endpoints
     assert(eps.size >= 50, s"expected >= 50 endpoints, got ${eps.size}")
