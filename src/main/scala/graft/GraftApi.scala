@@ -66,6 +66,9 @@ object GraftApi {
     "onRegistryEvent" -> "subscribe to registry mutations (synchronous, in order)",
     "runJob" -> "execute an operation on a value, record the job, return the result",
     "runBatch" -> "run a pipeline defined in a JSON spec file; save named outputs under aliases",
+    "createWorkflow" -> "start a new interactive workflow session (incremental steps/inputs, snapshots)",
+    "getWorkflow" -> "the cached workflow session, or one rebuilt from the persisted registry workflow",
+    "listWorkflowIds" -> "live workflow session names plus persisted registry workflows",
     "getJobRecord" -> "the persisted step record of one job",
     "listJobRecordIds" -> "ids of all recorded jobs (live + persisted)",
     "listJobRecords" -> "all recorded jobs' step records",
@@ -278,6 +281,38 @@ class GraftApi(val spark: SparkSession, root: String) {
 
   // --- async job queue (kiara_api.py:149 queue_job, :1342 get_job,
   //     :1348 get_job_result) ----------------------------------------------
+  // --- interactive workflow sessions (python_api/workflow.py:144) ---
+  private val workflowSessions =
+    scala.collection.concurrent.TrieMap[String, WorkflowSession]()
+
+  /** create_workflow (base_api.py workflow surface / workflow.py:202
+    * Workflow.create): a NEW interactive session — steps and inputs
+    * accumulate incrementally, snapshots capture states. The session is
+    * cached on this context (the reference's _workflow_cache). */
+  def createWorkflow(name: String): WorkflowSession = {
+    require(!workflowSessions.contains(name),
+      s"workflow session already exists: $name (use getWorkflow)")
+    val s = new WorkflowSession(this, name, root)
+    workflowSessions.put(name, s)
+    s
+  }
+
+  /** get_workflow (base_api.py:3373): the cached session, or a session
+    * REBUILT from the persisted registry workflow of that name (the
+    * reference loads by id or alias from its workflow registry). */
+  def getWorkflow(name: String): WorkflowSession =
+    workflowSessions.getOrElseUpdate(name, {
+      val steps = workflows.describe(name) // throws on unknown, like kiara
+      val s = new WorkflowSession(this, name, root)
+      steps.foreach(st => s.addStep(st.name, st.op, st.input))
+      s
+    })
+
+  /** list_workflow_ids (base_api.py:3359): live session names plus
+    * persisted registry workflows, sorted. */
+  def listWorkflowIds: Seq[String] =
+    (workflowSessions.keys.toSeq ++ workflows.list).distinct.sorted
+
   /** Batch pipeline-from-file (kiara interfaces/python_api/batch.py:31
     * BatchOperation.from_file + utils.py create_save_config): run a
     * pipeline DEFINED IN A JSON FILE in one shot — steps resolve

@@ -1,0 +1,208 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+
+import graft.plans.{OpRegistry, Pipeline}
+import graft.registries.{Jsonl, Names, WorkflowRegistry}
+
+/** Interactive, stateful workflow session — the twin of kiara's
+  * `Workflow` class (interfaces/python_api/workflow.py:144), the layer
+  * ABOVE the static workflow registry: a pipeline is BUILT incrementally
+  * (`addStep`), its inputs are set and re-set field by field
+  * (`setInput`, returning the changed ref exactly like the reference
+  * returns the new value id or None), processing is explicit and
+  * invalidated by any mutation, and every interesting configuration can
+  * be SNAPSHOTTED (workflow.py:1277): state identity is content-derived
+  * from (steps, inputs) — the same configuration always hashes to the
+  * same state id — and saved snapshots append to a JSONL history under
+  * the context root, so `loadState` time-travels within the session AND
+  * a fresh JVM can reload any persisted state (workflow.py:1164
+  * load_state: no id → the latest SAVED state).
+  *
+  * Spark-native shape: nothing here touches data until `process()`,
+  * which topologically runs the accumulated steps through
+  * [[graft.plans.Pipeline]] — one fused Catalyst plan per process call,
+  * recorded in lineage under a per-session run id like workflow-registry
+  * runs. Snapshots persist REFERENCES (op names + value refs), never
+  * data — the data registry already owns the values.
+  */
+final class WorkflowSession private[graft] (api: GraftApi, val name: String,
+                                            contextRoot: String) {
+  import WorkflowRegistry.OpStep
+
+  Names.validate("workflow session name", name)
+
+  private var steps = Vector.empty[OpStep]
+  private var inputRefs = Map.empty[String, String]
+  private var outputs: Option[Pipeline.Result] = None
+  private var processSeq = 0L
+  // in-memory state cache: stateId -> (steps, inputs); insertion-ordered
+  // history like the reference's workflow_history
+  private val stateCache =
+    scala.collection.mutable.LinkedHashMap[String, (Vector[OpStep], Map[String, String])]()
+
+  private def stateFile = Paths.get(s"$contextRoot/workflow_states.jsonl")
+
+  /** Add one step (workflow.py:939 add_step): `op` must already be a
+    * registered operation; the step consumes pipeline input `input` or
+    * a prior step's output. Any cached processing is invalidated. */
+  def addStep(stepName: String, op: String, input: String): this.type = {
+    Names.validate("step name", stepName)
+    Names.validate("step input", input)
+    require(OpRegistry.contains(op), s"unknown operation: $op")
+    require(!steps.exists(_.name == stepName), s"duplicate step name: $stepName")
+    steps :+= OpStep(stepName, op, input)
+    outputs = None
+    this
+  }
+
+  /** Remove the named steps, or ALL steps when none are named
+    * (workflow.py:886 clear_steps — load_state uses the clear-all form). */
+  def clearSteps(stepIds: String*): this.type = {
+    steps = if (stepIds.isEmpty) Vector.empty
+      else steps.filterNot(s => stepIds.contains(s.name))
+    outputs = None
+    this
+  }
+
+  /** The pipeline's FREE inputs: consumed by a step, produced by none. */
+  def currentInputNames: Seq[String] = {
+    val produced = steps.map(_.name).toSet
+    steps.map(_.input).distinct.filterNot(produced).sorted
+  }
+
+  /** Set one pipeline input to a value reference (registry id or alias).
+    * Returns the ref if this CHANGED the field, None if it was already
+    * set to the same ref — the reference's set_input contract
+    * (workflow.py:705: value id for a new value, None for no change).
+    * Unknown fields are refused with the available inputs named. */
+  def setInput(field: String, ref: String): Option[String] = {
+    val avail = currentInputNames
+    require(avail.contains(field),
+      s"can't set workflow input, invalid field: $field. " +
+        s"Available inputs: ${avail.mkString(", ")}")
+    Names.validate("input ref", ref)
+    if (inputRefs.get(field).contains(ref)) None
+    else {
+      inputRefs += field -> ref
+      outputs = None
+      Some(ref)
+    }
+  }
+
+  def currentInputs: Map[String, String] = inputRefs
+
+  /** Run every step over the currently-set inputs (workflow.py:660
+    * process_steps): loads each input ref from the data registry,
+    * executes the accumulated DAG as ONE Catalyst-fused pipeline,
+    * records lineage under this session's run id, caches the outputs. */
+  def process(): Pipeline.Result = {
+    val missing = currentInputNames.filterNot(inputRefs.contains)
+    require(missing.isEmpty,
+      s"can't process workflow '$name', inputs not set: ${missing.mkString(", ")}")
+    val loaded = inputRefs.map { case (f, ref) => f -> api.getValue(ref) }
+    val pSteps = steps.map(st => Pipeline.Step(st.name, Seq(st.input),
+      in => OpRegistry.get(st.op)(in(st.input))))
+    processSeq += 1
+    val runId = s"wfs-$name-$processSeq"
+    val res = Pipeline.run(pSteps, loaded)
+    api.lineage.recordRun(runId, res.lineage)
+    outputs = Some(res)
+    res
+  }
+
+  /** Step-output values of the last `process()` (workflow.py:557
+    * current_output_values); empty before the first process or after
+    * any invalidating mutation. */
+  def currentOutputs: Map[String, DataFrame] =
+    outputs.map(r => steps.map(s => s.name -> r.values(s.name)).toMap)
+      .getOrElse(Map.empty)
+
+  /** Content-derived state id over (steps, inputs) — the same
+    * configuration always hashes identically (the reference's
+    * WorkflowState.instance_id is likewise a cid over its fields). */
+  def stateId: String = {
+    val canon = steps.map(s => s"${s.name}:${s.op}:${s.input}").mkString(",") +
+      "|" + inputRefs.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(",")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
+  }
+
+  /** Snapshot the current configuration (workflow.py:1277): caches it in
+    * the session history; `save = true` additionally appends it to the
+    * context root's state log so a fresh JVM can reload it. */
+  def snapshot(save: Boolean = false): String = {
+    val id = stateId
+    stateCache.put(id, (steps, inputRefs))
+    if (save) {
+      val line = s"""{"workflow":"${Jsonl.esc(name)}","state_id":"$id",""" +
+        s""""steps":"${Jsonl.esc(steps.map(s => s"${s.name}:${s.op}:${s.input}").mkString(","))}",""" +
+        s""""inputs":"${Jsonl.esc(inputRefs.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(","))}"}"""
+      this.synchronized {
+        Files.write(stateFile, (line + "\n").getBytes("UTF-8"),
+          StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      }
+    }
+    id
+  }
+
+  private def persistedStates: Seq[(String, (Vector[OpStep], Map[String, String]))] =
+    if (!Files.exists(stateFile)) Seq.empty
+    else Files.readAllLines(stateFile).asScala.toSeq.flatMap { l =>
+      def field(k: String): Option[String] =
+        s""""$k":"((?:[^"\\\\]|\\\\.)*)"""".r.findFirstMatchIn(l).map(m => Jsonl.unesc(m.group(1)))
+      for {
+        wf <- field("workflow") if wf == name
+        id <- field("state_id")
+        st <- field("steps")
+        in <- field("inputs")
+      } yield id -> ((
+        st.split(',').toVector.filter(_.nonEmpty).map { s =>
+          val p = s.split(':'); OpStep(p(0), p(1), p(2))
+        },
+        in.split(',').filter(_.nonEmpty).map { kv =>
+          val i = kv.indexOf('='); kv.substring(0, i) -> kv.substring(i + 1)
+        }.toMap))
+    }
+
+  /** All known state ids — session cache plus the persisted log, sorted
+    * (workflow.py:1227 all_state_ids). */
+  def allStateIds: Seq[String] =
+    (stateCache.keys ++ persistedStates.map(_._1)).toSeq.distinct.sorted
+
+  /** Restore a past configuration (workflow.py:1164 load_state): by id
+    * from the session cache or the persisted log; with no id, the
+    * LATEST SAVED state. Returns the restored id, or None when nothing
+    * has been saved yet. Outputs are invalidated — process() re-runs. */
+  def loadState(id: Option[String] = None): Option[String] = {
+    val target: Option[(String, (Vector[OpStep], Map[String, String]))] = id match {
+      case Some(sid) =>
+        stateCache.get(sid).map(sid -> _)
+          .orElse(persistedStates.reverse.collectFirst { case p if p._1 == sid => p })
+          .orElse(throw new NoSuchElementException(
+            s"no state '$sid' for workflow '$name'; known: ${allStateIds.mkString(", ")}"))
+      case None => persistedStates.lastOption
+    }
+    target.map { case (sid, (st, in)) =>
+      steps = st
+      inputRefs = in
+      outputs = None
+      stateCache.put(sid, (st, in))
+      sid
+    }
+  }
+
+  /** Persist the CURRENT step list as a named registry workflow
+    * (workflow.py:1266 save): the session's DAG becomes a durable,
+    * re-runnable pipeline under `name` and every extra alias. */
+  def save(aliases: String*): Unit = {
+    require(steps.nonEmpty, s"workflow '$name' has no steps to save")
+    (name +: aliases).foreach(a => api.workflows.registerOps(a, steps))
+  }
+
+  def describe: Seq[OpStep] = steps
+}

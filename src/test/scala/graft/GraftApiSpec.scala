@@ -559,6 +559,73 @@ class GraftApiSpec extends SparkTestBase {
     assert(e2.getMessage.contains("unknown operation"))
   }
 
+  test("workflow session: incremental build, set_input diff contract, process") {
+    val root = Export.tempDir("graft_wfs_").toString
+    val api = new GraftApi(spark, root)
+    api.storeValue("d1", Seq((1L, 10L), (2L, 70L)).toDF("id", "qty"), Some("raw"))
+    api.storeValue("d2", Seq((1L, 10L), (2L, 70L), (3L, 90L)).toDF("id", "qty"),
+      Some("raw2"))
+    graft.plans.OpRegistry.register("wfs_big", df => df.filter(col("qty") > 50L))
+    graft.plans.OpRegistry.register("wfs_n",
+      df => df.agg(count(lit(1)).as("n")))
+    val wf = api.createWorkflow("curation")
+    wf.addStep("big", "wfs_big", "docs").addStep("n", "wfs_n", "big")
+    assert(wf.currentInputNames == Seq("docs"))
+    // set_input returns the ref when it CHANGES the field, None when not
+    assert(wf.setInput("docs", "raw") == Some("raw"))
+    assert(wf.setInput("docs", "raw") == None)
+    val bad = intercept[IllegalArgumentException](wf.setInput("nope", "raw"))
+    assert(bad.getMessage.contains("Available inputs: docs"))
+    wf.process()
+    assert(wf.currentOutputs("n").head().getLong(0) == 1L)
+    // lineage recorded under the session run id
+    assert(api.lineage.records.exists(r => r.run == "wfs-curation-1"))
+    // mutation invalidates cached outputs until the next process
+    wf.setInput("docs", "raw2")
+    assert(wf.currentOutputs.isEmpty)
+    wf.process()
+    assert(wf.currentOutputs("n").head().getLong(0) == 2L)
+  }
+
+  test("workflow session: snapshots, state time-travel, cross-JVM reload, save") {
+    val root = Export.tempDir("graft_wfs2_").toString
+    val api = new GraftApi(spark, root)
+    api.storeValue("d1", Seq((1L, 60L)).toDF("id", "qty"), Some("rawA"))
+    api.storeValue("d2", Seq((1L, 60L), (2L, 80L)).toDF("id", "qty"), Some("rawB"))
+    graft.plans.OpRegistry.register("wfs2_keep", df => df.filter(col("qty") > 50L))
+    val wf = api.createWorkflow("journey")
+    wf.addStep("keep", "wfs2_keep", "in")
+    wf.setInput("in", "rawA")
+    val s1 = wf.snapshot(save = true)
+    wf.setInput("in", "rawB")
+    val s2 = wf.snapshot(save = true)
+    assert(s1 != s2)
+    // content-derived identity: same config -> same id
+    wf.setInput("in", "rawA")
+    assert(wf.stateId == s1)
+    assert(wf.allStateIds == Seq(s1, s2).sorted)
+    // no id -> the LATEST SAVED state
+    assert(wf.loadState() == Some(s2))
+    assert(wf.currentInputs("in") == "rawB")
+    assert(wf.loadState(Some(s1)) == Some(s1))
+    assert(wf.currentInputs("in") == "rawA")
+    intercept[NoSuchElementException](wf.loadState(Some("deadbeef0000")))
+    // a FRESH context on the same root reloads the persisted history
+    val api2 = new GraftApi(spark, root)
+    val wf2 = api2.createWorkflow("journey")
+    assert(wf2.loadState() == Some(s2))
+    assert(wf2.describe.map(_.op) == Seq("wfs2_keep"))
+    assert(wf2.process().values("keep").count() == 2L)
+    // save() persists the DAG as a registry workflow; getWorkflow rebuilds
+    wf2.save("journey_alias")
+    val api3 = new GraftApi(spark, root)
+    val wf3 = api3.getWorkflow("journey_alias")
+    assert(wf3.describe.map(s => (s.name, s.op, s.input)) ==
+      Seq(("keep", "wfs2_keep", "in")))
+    assert(api3.listWorkflowIds.contains("journey") &&
+      api3.listWorkflowIds.contains("journey_alias"))
+  }
+
   test("endpoint catalog is complete, documented and drift-checked") {
     val eps = GraftApi.endpoints
     assert(eps.size >= 50, s"expected >= 50 endpoints, got ${eps.size}")
