@@ -53,6 +53,9 @@ final class WorkflowSession private[graft] (api: GraftApi, val name: String,
   def addStep(stepName: String, op: String, input: String): this.type = {
     Names.validate("step name", stepName)
     Names.validate("step input", input)
+    // the ':'-delimited state log and the registry's step records are
+    // exact only under the shared charset — ops included
+    Names.validate("operation name", op)
     require(OpRegistry.contains(op), s"unknown operation: $op")
     require(!steps.exists(_.name == stepName), s"duplicate step name: $stepName")
     steps :+= OpStep(stepName, op, input)
