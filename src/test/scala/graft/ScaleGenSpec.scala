@@ -61,6 +61,15 @@ class ScaleGenSpec extends SparkTestBase {
     assert(e0.join(e1, "vec_id").filter(expr("a = b")).count() == 0)
   }
 
+  test("ScaleGen only= mode writes just the named tables") {
+    val out = graft.sources.Export.tempDir("graft_scale_only_").toString
+    ScaleGen.generate(spark, sfDir, out, reps = 2, only = Set("embeddings"))
+    val written = new java.io.File(out).listFiles().map(_.getName).toSet
+    assert(written == Set("embeddings.parquet"), s"wrote: $written")
+    assert(Tables.t(spark, out, "embeddings").count() ==
+      2 * Tables.t(spark, sfDir, "embeddings").count())
+  }
+
   test("ScaleGen planted mode: disjoint replicas, prefix twins at controlled containment/jaccard") {
     val out = graft.sources.Export.tempDir("graft_scale_pl_").toString
     ScaleGen.generate(spark, sfDir, out, reps = 2, planted = true)
