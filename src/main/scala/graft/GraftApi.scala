@@ -360,8 +360,7 @@ class GraftApi(val spark: SparkSession, root: String) {
       graft.registries.WorkflowRegistry.OpStep(sn, op, in)
     }
     val inputs = kvMap("inputs").map { case (n, ref) => n -> getValue(ref) }.toMap
-    val steps = opSteps.map(st => Pipeline.Step(st.name, Seq(st.input),
-      in => OpRegistry.get(st.op)(in(st.input))))
+    val steps = opSteps.map(st => OpRegistry.step(st.name, st.op, st.input))
     val runId = s"batch-$name-${jobSeq.incrementAndGet()}"
     val res = Pipeline.run(steps, inputs)
     lineage.recordRun(runId, res.lineage)

@@ -331,7 +331,12 @@ object PlanAudit {
     "text_dup_rate", "evt_slo_burn", "dq_level_drift", "evt_dow_anova",
     // effective tokens (row-local tokenize+fingerprint, ONE
     // fingerprint-partitioned winner window, source fold + 1-row pool)
-    "mix_effective_tokens")
+    "mix_effective_tokens",
+    // round 12: CDC chunking (one per-doc window shuffle for the
+    // exclusive prefix sum; the chunk reassembly groupBy reuses the
+    // window's doc_id partitioning — no second exchange — and the
+    // twin/orig audit equi-joins the PERSISTED chunk table)
+    "dedup_cdc_chunks")
     // evt_audience_overlap is excluded like dedup_clusters: its
     // domain-sized sketch table collects eagerly at construction, so
     // only the trivial driver-built result frame would be explained

@@ -48,15 +48,20 @@ final class WorkflowSession private[graft] (api: GraftApi, val name: String,
   private def stateFile = Paths.get(s"$contextRoot/workflow_states.jsonl")
 
   /** Add one step (workflow.py:939 add_step): `op` must already be a
-    * registered operation; the step consumes pipeline input `input` or
-    * a prior step's output. Any cached processing is invalidated. */
+    * registered operation; the step consumes pipeline input(s) or prior
+    * step outputs — a binary operation takes two '+'-joined names
+    * (kiara's connect_steps wiring, workflow.py:1044). Any cached
+    * processing is invalidated. */
   def addStep(stepName: String, op: String, input: String): this.type = {
     Names.validate("step name", stepName)
-    Names.validate("step input", input)
     // the ':'-delimited state log and the registry's step records are
     // exact only under the shared charset — ops included
     Names.validate("operation name", op)
     require(OpRegistry.contains(op), s"unknown operation: $op")
+    val parts = input.split('+').toSeq.filter(_.nonEmpty)
+    parts.foreach(Names.validate("step input", _))
+    require(parts.length == OpRegistry.arity(op),
+      s"operation '$op' takes ${OpRegistry.arity(op)} input(s), got '$input'")
     require(!steps.exists(_.name == stepName), s"duplicate step name: $stepName")
     steps :+= OpStep(stepName, op, input)
     outputs = None
@@ -75,7 +80,8 @@ final class WorkflowSession private[graft] (api: GraftApi, val name: String,
   /** The pipeline's FREE inputs: consumed by a step, produced by none. */
   def currentInputNames: Seq[String] = {
     val produced = steps.map(_.name).toSet
-    steps.map(_.input).distinct.filterNot(produced).sorted
+    steps.flatMap(_.input.split('+')).filter(_.nonEmpty)
+      .distinct.filterNot(produced).sorted
   }
 
   /** Set one pipeline input to a value reference (registry id or alias).
@@ -108,8 +114,7 @@ final class WorkflowSession private[graft] (api: GraftApi, val name: String,
     require(missing.isEmpty,
       s"can't process workflow '$name', inputs not set: ${missing.mkString(", ")}")
     val loaded = inputRefs.map { case (f, ref) => f -> api.getValue(ref) }
-    val pSteps = steps.map(st => Pipeline.Step(st.name, Seq(st.input),
-      in => OpRegistry.get(st.op)(in(st.input))))
+    val pSteps = steps.map(st => OpRegistry.step(st.name, st.op, st.input))
     processSeq += 1
     val runId = s"wfs-$name-$processSeq"
     val res = Pipeline.run(pSteps, loaded)

@@ -70,6 +70,26 @@ object Builtins {
     OpRegistry.register("profile.schema",
       df => Profile.schemaOf(df),
       doc = "schema of the input as (col_name, data_type, nullable) rows")
+    // binary DAG steps (kiara multi-input pipeline steps / connect_steps
+    // wiring): the two-table vocabulary pipelines join and stack with
+    OpRegistry.registerModuleType("table2",
+      "two-input table combinators for multi-input pipeline steps",
+      "graft.plans.Builtins")
+    OpRegistry.register2("table2.union",
+      (a, b) => a.unionByName(b),
+      doc = "stack two tables with identical columns (by name)")
+    OpRegistry.register2("table2.join",
+      (a, b) => {
+        val common = a.columns.toSeq.intersect(b.columns.toSeq)
+        require(common.nonEmpty,
+          s"table2.join: no shared columns between (${a.columns.mkString(",")}) " +
+            s"and (${b.columns.mkString(",")})")
+        a.join(b, common, "inner")
+      },
+      doc = "inner natural join on all shared column names")
+    OpRegistry.register2("table2.except",
+      (a, b) => a.exceptAll(b),
+      doc = "rows of the first table not present in the second (bag semantics)")
     // built-in value→value renderers (kiara render_value.py operation
     // type): render a table value AS another value type through the
     // registered-operation seam — new renderers are registrations

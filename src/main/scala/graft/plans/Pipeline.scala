@@ -60,6 +60,13 @@ object Pipeline {
   * retrieve_operation_info, :679 list_operation_ids filters). */
 object OpRegistry {
   type Op = DataFrame => DataFrame
+  /** Binary operation — a DAG step with TWO upstream values (join,
+    * union, enrich, anti-diff): the arity kiara's multi-input pipeline
+    * steps have (models/module/pipeline: step input_links can name
+    * several upstream fields; connect_steps wires them). Unary chains
+    * stay `Op`; persistable multi-input steps encode their inputs
+    * '+'-joined (the convention `describe` already prints). */
+  type Op2 = (DataFrame, DataFrame) => DataFrame
 
   /** Operation metadata (kiara models/module/operations.py analogue).
     * `module` is the module TYPE this operation instantiates — the
@@ -77,6 +84,7 @@ object OpRegistry {
                                   operations: Seq[String])
 
   private val ops = scala.collection.concurrent.TrieMap[String, Op]()
+  private val ops2 = scala.collection.concurrent.TrieMap[String, Op2]()
   private val infos = scala.collection.concurrent.TrieMap[String, OpInfo]()
   // module type → (doc, implementing class)
   private val modules = scala.collection.concurrent.TrieMap[String, (String, String)]()
@@ -91,6 +99,17 @@ object OpRegistry {
     ops.put(name, op)
     val m = if (module.nonEmpty) module else defaultModule(name)
     infos.put(name, OpInfo(name, doc, inputType, outputType, m))
+  }
+
+  /** Register a BINARY operation (two-input DAG step). The info record
+    * marks the input type "table+table" so catalogs show the arity. */
+  def register2(name: String, op: Op2, doc: String = "",
+                module: String = ""): Unit = {
+    require(!ops.contains(name), s"'$name' is already a unary operation")
+    ops2.put(name, op)
+    val m = if (module.nonEmpty) module else defaultModule(name)
+    infos.put(name, OpInfo(name, doc, inputType = "table+table",
+      outputType = "table", module = m))
   }
 
   /** Declare a module type's doc + implementing class (kiara module
@@ -123,13 +142,44 @@ object OpRegistry {
 
   def moduleTypesInfo: Seq[ModuleTypeInfo] = moduleTypeNames.map(moduleTypeInfo)
   def get(name: String): Op =
-    ops.getOrElse(name, throw new NoSuchElementException(s"operator not registered: $name"))
-  def list: Seq[String] = ops.keys.toSeq.sorted
-  def contains(name: String): Boolean = ops.contains(name)
+    ops.getOrElse(name,
+      if (ops2.contains(name)) throw new IllegalArgumentException(
+        s"operator '$name' takes two inputs (use get2 / a two-input step)")
+      else throw new NoSuchElementException(s"operator not registered: $name"))
+  def get2(name: String): Op2 =
+    ops2.getOrElse(name,
+      if (ops.contains(name)) throw new IllegalArgumentException(
+        s"operator '$name' takes one input")
+      else throw new NoSuchElementException(s"operator not registered: $name"))
+  def list: Seq[String] = (ops.keys ++ ops2.keys).toSeq.sorted
+  def contains(name: String): Boolean = ops.contains(name) || ops2.contains(name)
+  /** The declared input arity of a registered operation (1 or 2). */
+  def arity(name: String): Int =
+    if (ops.contains(name)) 1
+    else if (ops2.contains(name)) 2
+    else throw new NoSuchElementException(s"operator not registered: $name")
 
   /** Full info for one operation. */
   def info(name: String): OpInfo =
     infos.getOrElse(name, throw new NoSuchElementException(s"operator not registered: $name"))
+
+  /** Build an executable step from a persisted (step, op, input)
+    * triple: `input` is one value name, or two '+'-joined names for a
+    * binary operation (kiara connect_steps wiring, encoded with the
+    * convention `WorkflowRegistry.describe` always printed). */
+  def step(stepName: String, op: String, input: String): Pipeline.Step = {
+    val parts = input.split('+').toSeq.filter(_.nonEmpty)
+    arity(op) match {
+      case 1 =>
+        require(parts.length == 1,
+          s"operation '$op' takes one input, got '$input'")
+        Pipeline.Step(stepName, parts, in => get(op)(in(parts.head)))
+      case _ =>
+        require(parts.length == 2,
+          s"operation '$op' takes two inputs 'a+b', got '$input'")
+        Pipeline.Step(stepName, parts, in => get2(op)(in(parts(0)), in(parts(1))))
+    }
+  }
 
   /** Filtered ids (kiara list_operation_ids): every filter term must
     * appear in the id or its doc (case-insensitive). */

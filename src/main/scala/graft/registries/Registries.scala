@@ -309,9 +309,15 @@ class WorkflowRegistry(root: String, lineage: LineageRegistry,
     * registry charset, then the whole table is atomically rewritten. */
   def registerOps(name: String, steps: Seq[OpStep]): Unit = synchronized {
     def ok(s: String): Boolean = Names.isValid(s)
+    // a binary step's input is two '+'-joined names (the describe
+    // convention); each part must satisfy the shared charset
+    def okInput(s: String): Boolean = {
+      val parts = s.split('+')
+      parts.nonEmpty && parts.length <= 2 && parts.forall(ok)
+    }
     require(ok(name), s"bad workflow name: $name")
     steps.foreach { st =>
-      require(ok(st.name) && ok(st.op) && ok(st.input), s"bad step part in: $st")
+      require(ok(st.name) && ok(st.op) && okInput(st.input), s"bad step part in: $st")
     }
     val all = readAll() + (name -> steps)
     val tmp = Files.createTempFile(Paths.get(root), ".workflows", ".tmp")
@@ -339,7 +345,7 @@ class WorkflowRegistry(root: String, lineage: LineageRegistry,
   def run(name: String, runId: String, inputs: Map[String, DataFrame]): Pipeline.Result = {
     val steps = flows.get(name)
       .orElse(readAll().get(name).map(_.map(st =>
-        Pipeline.Step(st.name, Seq(st.input), in => OpRegistry.get(st.op)(in(st.input))))))
+        OpRegistry.step(st.name, st.op, st.input))))
       .getOrElse(throw new NoSuchElementException(s"workflow not registered: $name"))
     val res = Pipeline.run(steps, inputs)
     lineage.recordRun(runId, res.lineage)

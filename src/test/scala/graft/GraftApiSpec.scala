@@ -626,6 +626,31 @@ class GraftApiSpec extends SparkTestBase {
       api3.listWorkflowIds.contains("journey_alias"))
   }
 
+  test("workflow session: binary step wiring and '+' state-log round trip") {
+    val root = Export.tempDir("graft_wfs3_").toString
+    val api = new GraftApi(spark, root)
+    graft.plans.Builtins.ensureRegistered()
+    api.storeValue("l", Seq((1L, "a"), (2L, "b")).toDF("id", "s"), Some("left"))
+    api.storeValue("r", Seq((1L, "A")).toDF("id", "t"), Some("right"))
+    val wf = api.createWorkflow("pairing")
+    wf.addStep("j", "table2.join", "x+y")
+    assert(wf.currentInputNames == Seq("x", "y"))
+    wf.setInput("x", "left")
+    wf.setInput("y", "right")
+    assert(wf.process().values("j").count() == 1L)
+    val sid = wf.snapshot(save = true)
+    // a fresh context reloads the two-input step from the state log
+    val api2 = new GraftApi(spark, root)
+    val wf2 = api2.createWorkflow("pairing")
+    assert(wf2.loadState() == Some(sid))
+    assert(wf2.describe.head.input == "x+y")
+    assert(wf2.process().values("j").count() == 1L)
+    // arity mismatch refused at addStep
+    val e = intercept[IllegalArgumentException](
+      wf.addStep("bad", "table2.join", "j"))
+    assert(e.getMessage.contains("takes 2 input"))
+  }
+
   test("endpoint catalog is complete, documented and drift-checked") {
     val eps = GraftApi.endpoints
     assert(eps.size >= 50, s"expected >= 50 endpoints, got ${eps.size}")

@@ -73,6 +73,45 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("binary operations: registry arity, persisted two-input workflow, '+' wiring") {
+    graft.plans.Builtins.ensureRegistered()
+    assert(OpRegistry.arity("table2.join") == 2)
+    assert(OpRegistry.info("table2.join").inputType == "table+table")
+    // arity mismatches are refused with direction
+    val e1 = intercept[IllegalArgumentException](OpRegistry.get("table2.join"))
+    assert(e1.getMessage.contains("two inputs"))
+    val e2 = intercept[IllegalArgumentException](OpRegistry.get2("text.token_count"))
+    assert(e2.getMessage.contains("one input"))
+    val e3 = intercept[IllegalArgumentException](
+      OpRegistry.step("s", "table2.join", "only_one"))
+    assert(e3.getMessage.contains("two inputs"))
+    // a persisted workflow with a binary join step survives a fresh
+    // registry and runs (kiara connect_steps wiring, '+'-encoded)
+    val root = java.nio.file.Files.createTempDirectory("graft_wf2in_").toString
+    val wf = new WorkflowRegistry(root, new LineageRegistry(root))
+    OpRegistry.register("wf2_orders_oct",
+      df => df.filter(col("o_orderdate") >= "1995-01-01"))
+    wf.registerOps("enriched", Seq(
+      WorkflowRegistry.OpStep("recent", "wf2_orders_oct", "orders"),
+      WorkflowRegistry.OpStep("joined", "table2.join", "recent+customer")))
+    val wf2 = new WorkflowRegistry(root, new LineageRegistry(root))
+    val res = wf2.run("enriched", "run-2in", Map(
+      "orders" -> Tables.t(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"),
+          col("o_custkey").as("c_custkey")),
+      "customer" -> Tables.t(spark, sfDir, "customer")
+        .select(col("c_custkey"), col("c_name"))))
+    val out = res("joined")
+    assert(out.columns.contains("c_name") && out.count() > 0)
+    // union + except builtins compose
+    import spark.implicits._
+    val a = Seq((1L, "x"), (2L, "y")).toDF("id", "s")
+    val b = Seq((2L, "y"), (3L, "z")).toDF("id", "s")
+    assert(OpRegistry.get2("table2.union")(a, b).count() == 4)
+    assert(OpRegistry.get2("table2.except")(a, b).collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("op registry registers and resolves custom operators") {
     OpRegistry.register("double_qty",
       df => df.withColumn("l_quantity", col("l_quantity") * 2))
