@@ -84,20 +84,51 @@ final class WorkflowSession private[graft] (api: GraftApi, val name: String,
       .distinct.filterNot(produced).sorted
   }
 
+  // user-facing field aliases (workflow.py:895 set_input_alias / :910
+  // set_output_alias): presentation names for pipeline fields —
+  // set_inputs translates them back before matching, exactly like the
+  // reference's _workflow_input_aliases loop
+  private var inputAliases = Map.empty[String, String]  // field -> alias
+  private var outputAliases = Map.empty[String, String] // step  -> alias
+
+  /** Alias a pipeline input field (workflow.py:895): `setInput` then
+    * accepts the alias in place of the field name. */
+  def setInputAlias(field: String, alias: String): this.type = {
+    require(currentInputNames.contains(field),
+      s"can't alias unknown input field: $field. " +
+        s"Available inputs: ${currentInputNames.mkString(", ")}")
+    Names.validate("input alias", alias)
+    inputAliases += field -> alias
+    this
+  }
+
+  /** Alias a step's output (workflow.py:910): `currentOutputs` exposes
+    * the step under the alias as well. */
+  def setOutputAlias(step: String, alias: String): this.type = {
+    require(steps.exists(_.name == step), s"can't alias unknown step: $step")
+    Names.validate("output alias", alias)
+    outputAliases += step -> alias
+    this
+  }
+
   /** Set one pipeline input to a value reference (registry id or alias).
     * Returns the ref if this CHANGED the field, None if it was already
     * set to the same ref — the reference's set_input contract
     * (workflow.py:705: value id for a new value, None for no change).
-    * Unknown fields are refused with the available inputs named. */
+    * Field aliases translate back first (the reference's set_inputs
+    * loop); unknown fields are refused with the available inputs named. */
   def setInput(field: String, ref: String): Option[String] = {
+    val resolved = inputAliases.collectFirst {
+      case (f, a) if a == field => f
+    }.getOrElse(field)
     val avail = currentInputNames
-    require(avail.contains(field),
+    require(avail.contains(resolved),
       s"can't set workflow input, invalid field: $field. " +
         s"Available inputs: ${avail.mkString(", ")}")
     Names.validate("input ref", ref)
-    if (inputRefs.get(field).contains(ref)) None
+    if (inputRefs.get(resolved).contains(ref)) None
     else {
-      inputRefs += field -> ref
+      inputRefs += resolved -> ref
       outputs = None
       Some(ref)
     }
@@ -125,10 +156,14 @@ final class WorkflowSession private[graft] (api: GraftApi, val name: String,
 
   /** Step-output values of the last `process()` (workflow.py:557
     * current_output_values); empty before the first process or after
-    * any invalidating mutation. */
+    * any invalidating mutation. Aliased steps appear under BOTH names. */
   def currentOutputs: Map[String, DataFrame] =
-    outputs.map(r => steps.map(s => s.name -> r.values(s.name)).toMap)
-      .getOrElse(Map.empty)
+    outputs.map { r =>
+      val base = steps.map(s => s.name -> r.values(s.name)).toMap
+      base ++ outputAliases.collect {
+        case (step, alias) if base.contains(step) => alias -> base(step)
+      }
+    }.getOrElse(Map.empty)
 
   /** Content-derived state id over (steps, inputs) — the same
     * configuration always hashes identically (the reference's

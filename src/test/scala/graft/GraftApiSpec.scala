@@ -649,6 +649,17 @@ class GraftApiSpec extends SparkTestBase {
     val e = intercept[IllegalArgumentException](
       wf.addStep("bad", "table2.join", "j"))
     assert(e.getMessage.contains("takes 2 input"))
+    // field aliases (set_input_alias / set_output_alias): setInput
+    // accepts the alias; outputs surface under both names
+    wf.setInputAlias("x", "left_table").setOutputAlias("j", "pairs")
+    assert(wf.setInput("left_table", "right") == Some("right"))
+    wf.setInput("left_table", "left")
+    wf.process()
+    assert(wf.currentOutputs("pairs").count() == 1L)
+    assert(wf.currentOutputs.contains("j"))
+    val e2 = intercept[IllegalArgumentException](
+      wf.setInputAlias("ghost", "g"))
+    assert(e2.getMessage.contains("unknown input field"))
   }
 
   test("endpoint catalog is complete, documented and drift-checked") {
