@@ -134,7 +134,20 @@ object Cli {
       val vals = info.values.map(v =>
         f"  ${v.id}%-24s ${v.rows}%10d rows ${v.sizeBytes}%12d bytes (${v.files}%d files)")
       val als = info.aliases.map { case (a, v) => s"  $a -> $v" }
-      (header +: vals ++: (if (als.isEmpty) Seq.empty else "aliases:" +: als)).mkString("\n")
+      val meta = info.metadata.map { case (k, v) => s"  $k=$v" }
+      (header +: vals ++: (if (als.isEmpty) Seq.empty else "aliases:" +: als) ++:
+        (if (meta.isEmpty) Seq.empty else "archive metadata:" +: meta)).mkString("\n")
+    // archive-to-archive copy + archive-level metadata
+    // (kiara base_api.py:2496 copy_archive, :2337 set_archive_metadata_value)
+    case "archive" :: "copy" :: sourceDir :: targetDir :: rest
+        if rest.isEmpty || rest == List("--no-aliases") =>
+      val ids = graft.registries.Archive.copyArchive(sourceDir, targetDir,
+        noAliases = rest.nonEmpty)
+      if (ids.isEmpty) "nothing to copy (target already has every value)"
+      else s"copied ${ids.size} values into $targetDir: ${ids.sorted.mkString(", ")}"
+    case "archive" :: "meta" :: dir :: key :: value :: Nil =>
+      graft.registries.Archive.setArchiveMetadata(dir, key, value)
+      s"archive metadata set: $key=$value"
     // value + context info records (kiara_api.py:944,529)
     case "value" :: root :: "info" :: ref :: Nil =>
       val i = new GraftApi(spark, root).valueInfo(ref)
@@ -209,6 +222,17 @@ object Cli {
         if (saved.isEmpty) "(no save targets)"
         else saved.map { case (step, alias, vid) =>
           f"  $step%-20s -> alias '$alias' ($vid)" }.mkString("\n"))
+    // configured-module run (kiara `run <module_type> key=value ...`,
+    // base_api.py:2956 run_manifest): instantiate with per-call config
+    case "run" :: root :: "--manifest" :: moduleType :: valueRef :: cfg =>
+      val config = cfg.map { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"manifest config must be key=value, got: $kv")
+        kv.substring(0, i) -> kv.substring(i + 1)
+      }.toMap
+      val (jobId, out) = new GraftApi(spark, root)
+        .runManifest(moduleType, config, valueRef)
+      s"job: $jobId (manifest $moduleType)\n" + Render.prettyPrint(out, 10)
     case "run" :: root :: operation :: valueRef :: rest =>
       val api = new GraftApi(spark, root)
       graft.plans.Builtins.ensureRegistered()
@@ -241,18 +265,28 @@ object Cli {
     // reference interfaces/cli/workflow/commands.py)
     case "workflow" :: root :: "list" :: Nil =>
       val api = new GraftApi(spark, root)
-      val names = api.workflows.list
-      if (names.isEmpty) "no workflows registered"
-      else names.map { n =>
-        val kind = if (api.workflows.isPersisted(n)) "persisted" else "in-memory"
-        f"$n%-24s ${api.workflows.describe(n).size}%2d steps  $kind"
+      val infos = api.workflowsInfo
+      if (infos.isEmpty) "no workflows registered"
+      else infos.map { i =>
+        val kind = if (i.persisted) "persisted" else "in-memory"
+        val als = if (i.aliases.isEmpty) "" else s"  aka ${i.aliases.mkString(",")}"
+        val snaps = if (i.savedStates == 0) "" else s"  ${i.savedStates} snapshot(s)"
+        f"${i.name}%-24s ${i.steps.size}%2d steps  $kind$als$snaps"
       }.mkString("\n")
     case "workflow" :: root :: "explain" :: name :: Nil =>
-      val api = new GraftApi(spark, root)
-      val steps = api.workflows.describe(name)
-      val kind = if (api.workflows.isPersisted(name)) "persisted" else "in-memory"
-      s"workflow: $name ($kind)\nsteps:\n" + steps.map(s =>
+      val i = new GraftApi(spark, root).workflowInfo(name)
+      val kind = if (i.persisted) "persisted" else "in-memory"
+      val head = s"workflow: ${i.name} ($kind)" +
+        (if (i.aliases.isEmpty) "" else s"\naliases: ${i.aliases.mkString(", ")}") +
+        (if (i.inputFields.isEmpty) "" else s"\ninputs: ${i.inputFields.mkString(", ")}") +
+        (if (i.savedStates == 0) ""
+         else s"\nsnapshots: ${i.savedStates} (latest ${i.lastStateId.getOrElse("-")})")
+      head + "\nsteps:\n" + i.steps.map(s =>
         f"  ${s.name}%-20s op=${s.op}%-24s input=${s.input}").mkString("\n")
+    // register an alias over a persisted workflow (base_api.py:3366 family)
+    case "workflow" :: root :: "alias" :: alias :: wf :: Nil =>
+      new GraftApi(spark, root).setWorkflowAlias(alias, wf)
+      s"workflow alias set: $alias -> $wf"
     // load + pretty-print a stored value (kiara data load,
     // reference interfaces/cli/data/commands.py:531)
     case "data" :: root :: "load" :: ref :: rest if rest.size <= 1 =>

@@ -39,6 +39,14 @@ object GraftApi {
   /** One row of the API endpoint catalog (render api). */
   final case class Endpoint(name: String, signature: String, doc: String)
 
+  /** Rendered workflow record (base_api.py:3424 retrieve_workflow_info,
+    * WorkflowInfo.create_from_workflow): name + aliases + structure +
+    * snapshot history in one catalog row. */
+  final case class WorkflowInfo(name: String, aliases: Seq[String],
+                                steps: Seq[graft.registries.WorkflowRegistry.OpStep],
+                                inputFields: Seq[String], persisted: Boolean,
+                                savedStates: Int, lastStateId: Option[String])
+
   /** One-line docs for the endpoint catalog. Names must match real public
     * GraftApi members — GraftApiSpec cross-checks this map against the
     * reflected method list, so a renamed method fails CI instead of
@@ -69,6 +77,13 @@ object GraftApi {
     "createWorkflow" -> "start a new interactive workflow session (incremental steps/inputs, snapshots)",
     "getWorkflow" -> "the cached workflow session, or one rebuilt from the persisted registry workflow",
     "listWorkflowIds" -> "live workflow session names plus persisted registry workflows",
+    "listWorkflowAliasNames" -> "aliases registered over persisted workflows",
+    "setWorkflowAlias" -> "register an alias over a persisted workflow",
+    "workflowInfo" -> "one workflow's record: aliases, steps, inputs, snapshot history",
+    "workflowsInfo" -> "every workflow's info record",
+    "createOperation" -> "instantiate a configurable module type with a config map (manifest)",
+    "runManifest" -> "instantiate + run a manifest; config recorded as job metadata",
+    "queueManifest" -> "async run_manifest: returns the job id immediately",
     "getJobRecord" -> "the persisted step record of one job",
     "listJobRecordIds" -> "ids of all recorded jobs (live + persisted)",
     "listJobRecords" -> "all recorded jobs' step records",
@@ -110,7 +125,9 @@ object GraftApi {
     "exportValues" -> "export several values into a directory",
     "exportArchive" -> "export values + aliases + lineage as a portable archive",
     "importArchive" -> "import a portable archive into this context",
-    "archiveInfo" -> "metadata-only inspection of an archive directory")
+    "archiveInfo" -> "metadata-only inspection of an archive directory",
+    "copyArchive" -> "copy values between archives, skipping ones the target already has",
+    "setArchiveMetadata" -> "attach key=value metadata to an archive itself")
 
   /** The API endpoint catalog — kiara's ApiEndpoints twin
     * (reference renderers/included_renderers/api/base_api.py:40 renders
@@ -205,6 +222,42 @@ class GraftApi(val spark: SparkSession, root: String) {
                         doc: String = ""): Unit =
     OpRegistry.register(name, op, doc)
 
+  // --- configured-module manifests (base_api.py:711 create_operation,
+  //     :2904 queue_manifest, :2956 run_manifest) --------------------------
+  /** create_operation: instantiate a configurable module type with a
+    * per-call config map — the operation registers under a
+    * content-derived id (same manifest → same id) and is then runnable
+    * by `runJob`/`queueJob`/pipelines like any named operation. */
+  def createOperation(moduleType: String,
+                      config: Map[String, String] = Map.empty): String = {
+    Builtins.ensureRegistered()
+    OpRegistry.instantiate(OpRegistry.Manifest(moduleType, config))
+  }
+
+  /** run_manifest: instantiate + execute in one call; the manifest
+    * (module type + config) lands in the job's metadata, so lineage
+    * traversal sees exactly what configuration ran. */
+  def runManifest(moduleType: String, config: Map[String, String],
+                  inputValue: String): (String, DataFrame) = {
+    val m = OpRegistry.Manifest(moduleType, config)
+    val opId = createOperation(moduleType, config)
+    val (jobId, out) = runJob(opId, inputValue)
+    metadata.register("manifest", m.render, "job", jobId)
+    (jobId, out)
+  }
+
+  /** queue_manifest: the async form — returns the job id immediately;
+    * the manifest is attached as job metadata up front (kiara's
+    * register_job_metadata_items on queue, base_api.py:2948). */
+  def queueManifest(moduleType: String, config: Map[String, String],
+                    inputValue: String): String = {
+    val m = OpRegistry.Manifest(moduleType, config)
+    val opId = createOperation(moduleType, config)
+    val jobId = queueJob(opId, inputValue)
+    metadata.register("manifest", m.render, "job", jobId)
+    jobId
+  }
+
   // --- module types (kiara_api.py:632,638,662) -----------------------------
   /** list_module_type_names: the module-type vocabulary (operation
     * families + their implementing classes), distinct from operation
@@ -290,28 +343,68 @@ class GraftApi(val spark: SparkSession, root: String) {
     * accumulate incrementally, snapshots capture states. The session is
     * cached on this context (the reference's _workflow_cache). */
   def createWorkflow(name: String): WorkflowSession = {
-    require(!workflowSessions.contains(name),
-      s"workflow session already exists: $name (use getWorkflow)")
+    // a persisted registry workflow of the same name must not be
+    // silently shadowed (a later save() would overwrite its DAG) —
+    // the reference's create path likewise refuses an existing alias
+    require(!workflows.list.contains(name),
+      s"a persisted workflow already exists: $name (use getWorkflow)")
     val s = new WorkflowSession(this, name, root)
-    workflowSessions.put(name, s)
+    // putIfAbsent: two concurrent creators can't both win the name
+    require(workflowSessions.putIfAbsent(name, s).isEmpty,
+      s"workflow session already exists: $name (use getWorkflow)")
     s
   }
 
   /** get_workflow (base_api.py:3373): the cached session, or a session
     * REBUILT from the persisted registry workflow of that name (the
-    * reference loads by id or alias from its workflow registry). */
-  def getWorkflow(name: String): WorkflowSession =
+    * reference loads by id or alias from its workflow registry —
+    * aliases resolve here too, and both names share one cached session). */
+  def getWorkflow(ref: String): WorkflowSession = {
+    val name = workflows.resolve(ref)
     workflowSessions.getOrElseUpdate(name, {
       val steps = workflows.describe(name) // throws on unknown, like kiara
       val s = new WorkflowSession(this, name, root)
       steps.foreach(st => s.addStep(st.name, st.op, st.input))
       s
     })
+  }
 
   /** list_workflow_ids (base_api.py:3359): live session names plus
     * persisted registry workflows, sorted. */
   def listWorkflowIds: Seq[String] =
     (workflowSessions.keys.toSeq ++ workflows.list).distinct.sorted
+
+  /** list_workflow_alias_names (base_api.py:3366): every alias
+    * registered over a persisted workflow, sorted. */
+  def listWorkflowAliasNames: Seq[String] = workflows.aliasNames
+
+  /** Register an alias over a persisted workflow (the reference's
+    * register_workflow_alias seam inside its workflow registry). */
+  def setWorkflowAlias(alias: String, workflow: String): Unit =
+    workflows.setAlias(alias, workflows.resolve(workflow))
+
+  /** retrieve_workflow_info (base_api.py:3424 / WorkflowInfo
+    * create_from_workflow): the rendered record of one workflow —
+    * resolved name, aliases over it, step triples, free input fields,
+    * persistence, and the snapshot history (count + last saved id). */
+  def workflowInfo(ref: String): WorkflowInfo = {
+    val name = workflows.resolve(ref)
+    // live session first, else the registry's step triples — NO session
+    // is created here (a closure workflow's steps can't rebuild one, and
+    // an info lookup must not mutate the session cache)
+    val steps = workflowSessions.get(name).map(_.describe)
+      .getOrElse(workflows.describe(name))
+    val produced = steps.map(_.name).toSet
+    val inputFields = steps.flatMap(_.input.split('+')).filter(_.nonEmpty)
+      .distinct.filterNot(produced).sorted
+    val saved = WorkflowSession.savedStatesFor(root, name)
+    WorkflowInfo(name, workflows.aliasesFor(name), steps, inputFields,
+      workflows.isPersisted(name), saved.distinct.size, saved.lastOption)
+  }
+
+  /** retrieve_workflows_info (base_api.py:3498): every workflow's info
+    * record — live sessions and persisted registry workflows. */
+  def workflowsInfo: Seq[WorkflowInfo] = listWorkflowIds.map(workflowInfo)
 
   /** Batch pipeline-from-file (kiara interfaces/python_api/batch.py:31
     * BatchOperation.from_file + utils.py create_save_config): run a
@@ -338,11 +431,41 @@ class GraftApi(val spark: SparkSession, root: String) {
     val row = sdf.head()
     val fields = sdf.schema.fieldNames.toSet
     require(fields.contains("steps"), s"batch spec has no steps: $specPath")
+    // validate the INFERRED schema before any row access: a numeric or
+    // nested value where a string belongs, or steps that all omit a key,
+    // must surface as a spec-shaped error, not a ClassCastException or
+    // Spark field-not-found (ADVICE r12)
+    import org.apache.spark.sql.types.{ArrayType, StringType, StructType}
+    def specErr(msg: String): Nothing =
+      throw new IllegalArgumentException(s"bad batch spec $specPath: $msg")
+    sdf.schema("steps").dataType match {
+      case ArrayType(st: StructType, _) =>
+        Seq("name", "op", "input").foreach { f =>
+          st.fields.find(_.name == f) match {
+            case Some(sf) if sf.dataType == StringType => ()
+            case Some(sf) => specErr(
+              s"step field '$f' must be a string, got ${sf.dataType.simpleString}")
+            case None => specErr(s"every step needs name/op/input ('$f' missing)")
+          }
+        }
+      case other => specErr(s"'steps' must be a list of step objects, got ${other.simpleString}")
+    }
     def kvMap(field: String): Seq[(String, String)] =
       if (!fields.contains(field) || row.isNullAt(row.fieldIndex(field))) Seq.empty
-      else {
-        val st = row.getStruct(row.fieldIndex(field))
-        st.schema.fieldNames.toSeq.map(f => f -> st.getAs[String](f))
+      else sdf.schema(field).dataType match {
+        case stTy: StructType =>
+          stTy.fields.foreach { f =>
+            if (f.dataType != StringType) specErr(
+              s"'$field.${f.name}' must be a string, got ${f.dataType.simpleString}")
+          }
+          val st = row.getStruct(row.fieldIndex(field))
+          st.schema.fieldNames.toSeq.map { f =>
+            val v = st.getAs[String](f)
+            if (v == null) specErr(s"'$field.$f' must not be null")
+            f -> v
+          }
+        case other => specErr(
+          s"'$field' must be an object of string values, got ${other.simpleString}")
       }
     val name = (if (fields.contains("pipeline_name") &&
         !row.isNullAt(row.fieldIndex("pipeline_name")))
@@ -664,4 +787,16 @@ class GraftApi(val spark: SparkSession, root: String) {
     * manifest, per-value sizes and row counts WITHOUT importing it. */
   def archiveInfo(sourceDir: String): Archive.ArchiveInfo =
     Archive.archiveInfo(sourceDir)
+
+  /** copy_archive (base_api.py:2496): archive-to-archive value copy —
+    * values already in the target are skipped, never duplicated;
+    * lineage manifests merge. Returns the ids actually copied. */
+  def copyArchive(sourceDir: String, targetDir: String,
+                  noAliases: Boolean = false): Seq[String] =
+    Archive.copyArchive(sourceDir, targetDir, noAliases)
+
+  /** set_archive_metadata_value (base_api.py:2337): attach key=value to
+    * an archive ITSELF (its manifest), not to any value in it. */
+  def setArchiveMetadata(archiveDir: String, key: String, value: String): Unit =
+    Archive.setArchiveMetadata(archiveDir, key, value)
 }

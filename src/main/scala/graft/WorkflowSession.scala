@@ -30,6 +30,31 @@ import graft.registries.{Jsonl, Names, WorkflowRegistry}
   * runs. Snapshots persist REFERENCES (op names + value refs), never
   * data — the data registry already owns the values.
   */
+object WorkflowSession {
+  // workflow_states.jsonl is shared by EVERY session on the same context
+  // root — appends must serialize across sessions, not per instance
+  // (ADVICE r12). One lock object per normalized root path, JVM-wide.
+  private val rootLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+  private[graft] def stateLogLock(root: String): Object =
+    rootLocks.getOrElseUpdate(
+      Paths.get(root).toAbsolutePath.normalize.toString, new Object)
+
+  /** Saved state ids of one workflow, in log order — the info surfaces'
+    * snapshot census, readable WITHOUT constructing a session (a closure
+    * workflow has no rebuildable session, but its history may exist). */
+  private[graft] def savedStatesFor(root: String, name: String): Seq[String] = {
+    val f = Paths.get(s"$root/workflow_states.jsonl")
+    if (!Files.exists(f)) Seq.empty
+    else Files.readAllLines(f).asScala.toSeq.flatMap { l =>
+      def field(k: String): Option[String] =
+        s""""$k":"((?:[^"\\\\]|\\\\.)*)"""".r.findFirstMatchIn(l)
+          .map(m => Jsonl.unesc(m.group(1)))
+      for { wf <- field("workflow") if wf == name; id <- field("state_id") } yield id
+    }
+  }
+}
+
 final class WorkflowSession private[graft] (api: GraftApi, val name: String,
                                             contextRoot: String) {
   import WorkflowRegistry.OpStep
@@ -58,7 +83,10 @@ final class WorkflowSession private[graft] (api: GraftApi, val name: String,
     // exact only under the shared charset — ops included
     Names.validate("operation name", op)
     require(OpRegistry.contains(op), s"unknown operation: $op")
-    val parts = input.split('+').toSeq.filter(_.nonEmpty)
+    // -1: a trailing/leading/doubled '+' must be an empty part, not
+    // silently dropped — "a+" is malformed, not a unary input
+    val parts = input.split("\\+", -1).toSeq
+    require(parts.forall(_.nonEmpty), s"malformed step input: '$input'")
     parts.foreach(Names.validate("step input", _))
     require(parts.length == OpRegistry.arity(op),
       s"operation '$op' takes ${OpRegistry.arity(op)} input(s), got '$input'")
@@ -98,6 +126,13 @@ final class WorkflowSession private[graft] (api: GraftApi, val name: String,
       s"can't alias unknown input field: $field. " +
         s"Available inputs: ${currentInputNames.mkString(", ")}")
     Names.validate("input alias", alias)
+    // setInput resolves aliases BEFORE field names, so an alias equal to
+    // another real input field would silently shadow that field (and an
+    // alias already pointing elsewhere would be hijacked) — refuse both
+    require(!currentInputNames.contains(alias) || alias == field,
+      s"input alias '$alias' collides with a real input field")
+    require(!inputAliases.exists { case (f, a) => a == alias && f != field },
+      s"input alias '$alias' is already bound to another field")
     inputAliases += field -> alias
     this
   }
@@ -185,7 +220,7 @@ final class WorkflowSession private[graft] (api: GraftApi, val name: String,
       val line = s"""{"workflow":"${Jsonl.esc(name)}","state_id":"$id",""" +
         s""""steps":"${Jsonl.esc(steps.map(s => s"${s.name}:${s.op}:${s.input}").mkString(","))}",""" +
         s""""inputs":"${Jsonl.esc(inputRefs.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(","))}"}"""
-      this.synchronized {
+      WorkflowSession.stateLogLock(contextRoot).synchronized {
         Files.write(stateFile, (line + "\n").getBytes("UTF-8"),
           StandardOpenOption.CREATE, StandardOpenOption.APPEND)
       }
@@ -198,6 +233,13 @@ final class WorkflowSession private[graft] (api: GraftApi, val name: String,
     else Files.readAllLines(stateFile).asScala.toSeq.flatMap { l =>
       def field(k: String): Option[String] =
         s""""$k":"((?:[^"\\\\]|\\\\.)*)"""".r.findFirstMatchIn(l).map(m => Jsonl.unesc(m.group(1)))
+      // a line the writer above could never have produced means the log
+      // is corrupted (interleaved append, manual edit): FAIL, don't
+      // silently drop history (ADVICE r12)
+      if (field("workflow").isEmpty || field("state_id").isEmpty ||
+          field("steps").isEmpty || field("inputs").isEmpty)
+        throw new IllegalStateException(
+          s"corrupt workflow state log $stateFile: unparseable line: $l")
       for {
         wf <- field("workflow") if wf == name
         id <- field("state_id")

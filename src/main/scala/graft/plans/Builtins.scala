@@ -90,6 +90,53 @@ object Builtins {
     OpRegistry.register2("table2.except",
       (a, b) => a.exceptAll(b),
       doc = "rows of the first table not present in the second (bag semantics)")
+    // configurable module types (kiara's Manifest seam, base_api.py:711
+    // create_operation: module type + module_config → operation
+    // instance). Factories validate their config EAGERLY so a bad
+    // manifest fails at create_operation, not on the first action.
+    OpRegistry.registerFactory("table.filter",
+      "filter rows by a configured SQL predicate", Seq("where"), cfg => {
+        val where = cfg.getOrElse("where",
+          throw new IllegalArgumentException("table.filter needs config key 'where'"))
+        // parse NOW (functions.expr defers to resolution in Spark 4) —
+        // a malformed predicate must fail at create_operation time
+        org.apache.spark.sql.SparkSession.active
+          .sessionState.sqlParser.parseExpression(where)
+        df => df.filter(expr(where))
+      })
+    OpRegistry.registerFactory("table.select",
+      "project the configured comma-separated columns", Seq("columns"), cfg => {
+        val cols = cfg.getOrElse("columns",
+          throw new IllegalArgumentException("table.select needs config key 'columns'"))
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        require(cols.nonEmpty, "table.select: 'columns' must name >= 1 column")
+        df => df.select(cols.map(col): _*)
+      })
+    OpRegistry.registerFactory("table.head",
+      "keep the first n rows (configured 'n') under the table's current order",
+      Seq("n"), cfg => {
+        val n = cfg.getOrElse("n",
+          throw new IllegalArgumentException("table.head needs config key 'n'")).toInt
+        require(n > 0, s"table.head: n must be positive, got $n")
+        df => df.limit(n)
+      })
+    OpRegistry.registerFactory("table.sample",
+      "deterministic row sample (configured 'fraction', optional 'seed')",
+      Seq("fraction", "seed"), cfg => {
+        val f = cfg.getOrElse("fraction",
+          throw new IllegalArgumentException("table.sample needs config key 'fraction'")).toDouble
+        require(f > 0 && f <= 1, s"table.sample: fraction must be in (0,1], got $f")
+        val seed = cfg.getOrElse("seed", "42").toLong
+        df => df.sample(withReplacement = false, f, seed)
+      })
+    OpRegistry.registerFactory("dedup.minhash",
+      "MinHash-LSH near-duplicate pairs at a configured jaccard threshold",
+      Seq("threshold"), cfg => {
+        val t = cfg.getOrElse("threshold",
+          throw new IllegalArgumentException("dedup.minhash needs config key 'threshold'")).toDouble
+        require(t > 0 && t <= 1, s"dedup.minhash: threshold must be in (0,1], got $t")
+        df => Dedup.minhashPairs(df, threshold = t)
+      })
     // built-in value→value renderers (kiara render_value.py operation
     // type): render a table value AS another value type through the
     // registered-operation seam — new renderers are registrations

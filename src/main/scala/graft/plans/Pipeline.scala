@@ -83,11 +83,39 @@ object OpRegistry {
                                   inputType: String, outputType: String,
                                   operations: Seq[String])
 
+  /** A manifest — kiara's Manifest model (models/module/manifest.py:
+    * module type + module config), the unit `create_operation` /
+    * `queue_manifest` / `run_manifest` (base_api.py:711,2904,2956)
+    * instantiate operations from. The cid is content-derived so the
+    * same (type, config) always names the same operation instance. */
+  final case class Manifest(moduleType: String, config: Map[String, String]) {
+    /** Canonical one-line rendering — what lineage metadata records. */
+    def render: String =
+      s"$moduleType{${config.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(",")}}"
+    def cid: String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(render.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
+    }
+    /** The derived operation id a manifest instantiates under —
+      * deterministic, charset-safe, collision-free per (type, config). */
+    def operationId: String = s"$moduleType._m$cid"
+  }
+
+  /** A configurable module factory: config map → operation (kiara's
+    * module class + module_config constructor seam). Factories VALIDATE
+    * eagerly — a bad config must fail at create_operation time, not on
+    * the first pipeline action. */
+  final case class Factory(moduleType: String, doc: String,
+                           configKeys: Seq[String],
+                           build: Map[String, String] => Op)
+
   private val ops = scala.collection.concurrent.TrieMap[String, Op]()
   private val ops2 = scala.collection.concurrent.TrieMap[String, Op2]()
   private val infos = scala.collection.concurrent.TrieMap[String, OpInfo]()
   // module type → (doc, implementing class)
   private val modules = scala.collection.concurrent.TrieMap[String, (String, String)]()
+  // configurable module types (module_config-accepting kiara modules)
+  private val factories = scala.collection.concurrent.TrieMap[String, Factory]()
 
   private def defaultModule(name: String): String =
     name.split('.').headOption.getOrElse(name)
@@ -117,6 +145,42 @@ object OpRegistry {
     * object the registered transforms close over). */
   def registerModuleType(name: String, doc: String, implementing: String): Unit =
     modules.put(name, (doc, implementing))
+
+  /** Declare a CONFIGURABLE module type (kiara module class accepting
+    * module_config): manifests over it instantiate operations. */
+  def registerFactory(moduleType: String, doc: String, configKeys: Seq[String],
+                      build: Map[String, String] => Op): Unit =
+    factories.put(moduleType, Factory(moduleType, doc, configKeys, build))
+
+  /** Configurable module types, sorted. */
+  def factoryNames: Seq[String] = factories.keys.toSeq.sorted
+
+  def factoryInfo(moduleType: String): Factory =
+    factories.getOrElse(moduleType, throw new NoSuchElementException(
+      s"module type is not configurable (no factory): $moduleType " +
+        s"(configurable: ${factoryNames.mkString(", ")})"))
+
+  /** create_operation (base_api.py:711): instantiate the module type
+    * with this manifest's config and REGISTER the resulting operation
+    * under the manifest's derived id, so `runJob`/`queueJob`/pipelines
+    * resolve it like any named operation. Idempotent per manifest
+    * (same (type, config) → same id, registered once); unknown config
+    * keys are refused — kiara's pydantic config validation twin. */
+  def instantiate(m: Manifest): String = {
+    val f = factoryInfo(m.moduleType)
+    val unknown = m.config.keySet -- f.configKeys.toSet
+    require(unknown.isEmpty,
+      s"unknown config key(s) ${unknown.toSeq.sorted.mkString(", ")} for module " +
+        s"type '${m.moduleType}' (accepted: ${f.configKeys.mkString(", ")})")
+    val id = m.operationId
+    if (!ops.contains(id)) {
+      val op = f.build(m.config) // eager validation happens in the factory
+      register(id, op,
+        doc = s"manifest-configured ${m.moduleType}: ${m.render}",
+        module = m.moduleType)
+    }
+    id
+  }
 
   /** Module types: every declared type plus any module name referenced
     * by a registered operation (custom registrations without a declared
@@ -168,7 +232,9 @@ object OpRegistry {
     * binary operation (kiara connect_steps wiring, encoded with the
     * convention `WorkflowRegistry.describe` always printed). */
   def step(stepName: String, op: String, input: String): Pipeline.Step = {
-    val parts = input.split('+').toSeq.filter(_.nonEmpty)
+    // -1 + nonEmpty check: "a+" must fail as malformed, not parse unary
+    val parts = input.split("\\+", -1).toSeq
+    require(parts.forall(_.nonEmpty), s"malformed step input: '$input'")
     arity(op) match {
       case 1 =>
         require(parts.length == 1,

@@ -57,15 +57,104 @@ object Archive {
     val kept =
       if (noAliases) Seq.empty
       else aliases.list.filter { case (_, vid) => ids.contains(vid) }
-    val manifest =
-      s"""{"version":$Version,"values":[${ids.map(i => "\"" + esc(i) + "\"").mkString(",")}],""" +
-        s""""aliases":{${kept.map { case (a, v) => "\"" + esc(a) + "\":\"" + esc(v) + "\"" }.mkString(",")}}}"""
-    Files.createDirectories(target)
-    Files.write(target.resolve("manifest.json"), (manifest + "\n").getBytes("UTF-8"))
+    writeManifest(targetDir, ids, kept, Seq.empty)
     val lin = lineage.lines
     if (lin.nonEmpty)
       Files.write(target.resolve("lineage.jsonl"), (lin.mkString("\n") + "\n").getBytes("UTF-8"))
     ids
+  }
+
+  /** (Re)write manifest.json — ids/aliases use the restricted registry
+    * charset; metadata values are free text (JSON-escaped). */
+  private def writeManifest(dir: String, ids: Seq[String],
+                            aliases: Seq[(String, String)],
+                            metadata: Seq[(String, String)]): Unit = {
+    val metaBlock =
+      if (metadata.isEmpty) ""
+      else s""","metadata":{${metadata.sortBy(_._1).map { case (k, v) =>
+        "\"" + esc(k) + "\":\"" + esc(v) + "\"" }.mkString(",")}}"""
+    val manifest =
+      s"""{"version":$Version,"values":[${ids.map(i => "\"" + esc(i) + "\"").mkString(",")}],""" +
+        s""""aliases":{${aliases.map { case (a, v) => "\"" + esc(a) + "\":\"" + esc(v) + "\"" }.mkString(",")}}$metaBlock}"""
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(dir, "manifest.json"), (manifest + "\n").getBytes("UTF-8"))
+  }
+
+  /** Archive-level metadata (kiara base_api.py:2337
+    * set_archive_metadata_value): key=value pairs attached to THE
+    * ARCHIVE itself (title, licence, provenance note) in its manifest —
+    * distinct from value metadata, which the MetadataRegistry owns.
+    * Latest write per key wins; a rewrite preserves values + aliases. */
+  def setArchiveMetadata(dir: String, key: String, value: String): Unit = {
+    Names.validate("archive metadata key", key)
+    val (ids, als) = readManifest(dir)
+    val meta = readArchiveMetadata(dir).filterNot(_._1 == key) :+ (key -> value)
+    writeManifest(dir, ids, als, meta)
+  }
+
+  /** The archive's own metadata entries, sorted by key. */
+  def readArchiveMetadata(dir: String): Seq[(String, String)] = {
+    val p = Paths.get(dir, "manifest.json")
+    require(Files.exists(p), s"not an archive (no manifest.json): $dir")
+    val txt = Files.readString(p)
+    """"metadata":\{([^}]*)\}""".r.findFirstMatchIn(txt).map(_.group(1))
+      .map { block =>
+        """"((?:[^"\\]|\\.)*)":"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(block)
+          .map(m => Jsonl.unesc(m.group(1)) -> Jsonl.unesc(m.group(2))).toSeq
+      }.getOrElse(Seq.empty).sortBy(_._1)
+  }
+
+  /** Archive-to-archive copy (kiara base_api.py:2496 copy_archive):
+    * values in `sourceDir` not yet present in `targetDir` are copied
+    * (parquet dirs, file-level — no Spark job, values stay splittable),
+    * manifests merge (target wins on alias conflicts, target keeps its
+    * own archive metadata), and source lineage lines not already in the
+    * target append. A fresh target becomes a full copy, inheriting the
+    * source's archive metadata — kiara's create_if_not_exists path.
+    * Returns the ids actually copied (existing ones are SKIPPED, never
+    * duplicated — the reference's StoreValuesResult 'already exists'
+    * rows). */
+  def copyArchive(sourceDir: String, targetDir: String,
+                  noAliases: Boolean = false): Seq[String] = {
+    val (srcIds, srcAls) = readManifest(sourceDir)
+    val fresh = !Files.exists(Paths.get(targetDir, "manifest.json"))
+    val (tgtIds, tgtAls) = if (fresh) (Seq.empty[String], Seq.empty[(String, String)])
+      else readManifest(targetDir)
+    val copied = srcIds.filterNot(tgtIds.contains)
+    copied.foreach { id =>
+      copyTree(Paths.get(sourceDir, "values", id), Paths.get(targetDir, "values", id))
+    }
+    val mergedIds = (tgtIds ++ copied).distinct
+    val mergedAls =
+      if (noAliases) tgtAls
+      else {
+        val taken = tgtAls.map(_._1).toSet
+        tgtAls ++ srcAls.filter { case (a, v) =>
+          !taken.contains(a) && mergedIds.contains(v) }
+      }
+    val meta = if (fresh) readArchiveMetadata(sourceDir) else readArchiveMetadata(targetDir)
+    writeManifest(targetDir, mergedIds, mergedAls.sorted, meta)
+    val srcLin = Paths.get(sourceDir, "lineage.jsonl")
+    if (Files.exists(srcLin)) {
+      val tgtLin = Paths.get(targetDir, "lineage.jsonl")
+      val existing = if (Files.exists(tgtLin)) Files.readAllLines(tgtLin).asScala.toSet
+        else Set.empty[String]
+      val add = Files.readAllLines(srcLin).asScala.filterNot(existing)
+      if (add.nonEmpty)
+        Files.write(tgtLin, (add.mkString("\n") + "\n").getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+    }
+    copied
+  }
+
+  private def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    val s = Files.walk(src)
+    try s.iterator.asScala.foreach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else { Files.createDirectories(t.getParent); Files.copy(p, t) }
+    } finally s.close()
   }
 
   /** Import every value (+ aliases, + lineage records) from an archive
@@ -89,7 +178,8 @@ object Archive {
     * as data, so inspecting a 100 TB archive stays a metadata operation. */
   final case class ValueEntry(id: String, files: Int, sizeBytes: Long, rows: Long)
   final case class ArchiveInfo(version: Int, values: Seq[ValueEntry],
-                               aliases: Seq[(String, String)], lineageRecords: Int)
+                               aliases: Seq[(String, String)], lineageRecords: Int,
+                               metadata: Seq[(String, String)] = Seq.empty)
 
   def archiveInfo(sourceDir: String): ArchiveInfo = {
     val (ids, als) = readManifest(sourceDir)
@@ -110,7 +200,7 @@ object Archive {
     }
     val lin = Paths.get(sourceDir, "lineage.jsonl")
     val nLin = if (Files.exists(lin)) Files.readAllLines(lin).size else 0
-    ArchiveInfo(version, entries, als, nLin)
+    ArchiveInfo(version, entries, als, nLin, readArchiveMetadata(sourceDir))
   }
 
   /** Parse manifest.json — fields are the restricted value-id/alias

@@ -287,6 +287,8 @@ class WorkflowRegistry(root: String, lineage: LineageRegistry,
 
   /** In-memory registration for arbitrary-closure steps (not persisted). */
   def register(name: String, steps: Seq[Pipeline.Step]): Unit = {
+    require(resolveAlias(name).isEmpty,
+      s"'$name' is already a workflow alias (over '${resolveAlias(name).get}')")
     flows.put(name, steps)
     bus.fire(RegistryEvents.WorkflowStored(name, persisted = false))
   }
@@ -312,10 +314,14 @@ class WorkflowRegistry(root: String, lineage: LineageRegistry,
     // a binary step's input is two '+'-joined names (the describe
     // convention); each part must satisfy the shared charset
     def okInput(s: String): Boolean = {
-      val parts = s.split('+')
-      parts.nonEmpty && parts.length <= 2 && parts.forall(ok)
+      // -1 keeps empty parts so "a+", "+a" and "a++b" are all rejected
+      // HERE, at registration, not later inside OpRegistry.step
+      val parts = s.split("\\+", -1)
+      parts.nonEmpty && parts.length <= 2 && parts.forall(p => p.nonEmpty && ok(p))
     }
     require(ok(name), s"bad workflow name: $name")
+    require(resolveAlias(name).isEmpty,
+      s"'$name' is already a workflow alias (over '${resolveAlias(name).get}')")
     steps.foreach { st =>
       require(ok(st.name) && ok(st.op) && okInput(st.input), s"bad step part in: $st")
     }
@@ -331,22 +337,72 @@ class WorkflowRegistry(root: String, lineage: LineageRegistry,
 
   def list: Seq[String] = (flows.keys.toSeq ++ readAll().keys).distinct.sorted
 
+  // --- workflow aliases (kiara base_api.py:3366 list_workflow_alias_names;
+  //     registries/workflows/__init__.py workflow_aliases: alias -> id) ---
+  // Same flat-properties + atomic-rewrite pattern as AliasRegistry; an
+  // alias is a second durable name over a PERSISTED workflow. Aliases may
+  // not collide with workflow names (resolution would shadow — the same
+  // lesson as ADVICE r12's createWorkflow fix).
+  private val aliasFile = Paths.get(s"$root/workflow_aliases.properties")
+
+  private def readAliases(): Map[String, String] =
+    if (!Files.exists(aliasFile)) Map.empty
+    else Files.readAllLines(aliasFile).asScala.filter(_.contains("=")).map { l =>
+      val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
+    }.toMap
+
+  /** Register `alias` over persisted workflow `workflow` (latest wins,
+    * like value aliases). Refused for in-memory-only workflows: the
+    * alias file must never point at a name a fresh JVM can't resolve. */
+  def setAlias(alias: String, workflow: String): Unit = synchronized {
+    Names.validate("workflow alias", alias)
+    require(isPersisted(workflow),
+      s"workflow is not persisted (save it first): $workflow")
+    require(!readAll().contains(alias) && !flows.contains(alias),
+      s"alias '$alias' collides with an existing workflow name")
+    val all = readAliases() + (alias -> workflow)
+    val tmp = Files.createTempFile(Paths.get(root), ".wfaliases", ".tmp")
+    Files.write(tmp, all.toSeq.sorted.map { case (k, v) => s"$k=$v" }.asJava)
+    Files.move(tmp, aliasFile, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    bus.fire(RegistryEvents.WorkflowStored(alias, persisted = true))
+  }
+
+  /** All alias names (base_api.py:3366 list_workflow_alias_names). */
+  def aliasNames: Seq[String] = readAliases().keys.toSeq.sorted
+
+  /** alias -> workflow name, or None when `alias` isn't one. */
+  def resolveAlias(alias: String): Option[String] = readAliases().get(alias)
+
+  /** The aliases registered over one workflow (kiara get_aliases). */
+  def aliasesFor(workflow: String): Seq[String] =
+    readAliases().collect { case (a, w) if w == workflow => a }.toSeq.sorted
+
+  /** Resolve a workflow reference: a real name wins (aliases may not
+    * collide with names, so the order is unambiguous), else an alias. */
+  def resolve(ref: String): String =
+    if (flows.contains(ref) || readAll().contains(ref)) ref
+    else resolveAlias(ref).getOrElse(ref)
+
   /** Step structure for the explain surfaces: in-memory closure steps
     * report op = "<closure>" with their declared inputs; persisted
     * workflows report the stored (step, op, input) triples. */
-  def describe(name: String): Seq[OpStep] =
+  def describe(ref: String): Seq[OpStep] = {
+    val name = resolve(ref)
     flows.get(name)
       .map(_.map(s => OpStep(s.name, "<closure>", s.inputs.mkString("+"))))
       .orElse(readAll().get(name))
-      .getOrElse(throw new NoSuchElementException(s"unknown workflow: $name"))
+      .getOrElse(throw new NoSuchElementException(s"unknown workflow: $ref"))
+  }
 
-  def isPersisted(name: String): Boolean = readAll().contains(name)
+  def isPersisted(ref: String): Boolean = readAll().contains(resolve(ref))
 
-  def run(name: String, runId: String, inputs: Map[String, DataFrame]): Pipeline.Result = {
+  def run(ref: String, runId: String, inputs: Map[String, DataFrame]): Pipeline.Result = {
+    val name = resolve(ref)
     val steps = flows.get(name)
       .orElse(readAll().get(name).map(_.map(st =>
         OpRegistry.step(st.name, st.op, st.input))))
-      .getOrElse(throw new NoSuchElementException(s"workflow not registered: $name"))
+      .getOrElse(throw new NoSuchElementException(s"workflow not registered: $ref"))
     val res = Pipeline.run(steps, inputs)
     lineage.recordRun(runId, res.lineage)
     res

@@ -246,6 +246,59 @@ class CliSpec extends SparkTestBase {
     assert(moved.getValue("t2").columns.sameElements(Array("s")))
   }
 
+  test("archive copy and archive meta verbs: skip-existing copy, manifest metadata") {
+    import spark.implicits._
+    val src = graft.sources.Export.tempDir("graft_cli_cp_src_").toString
+    val dir = graft.sources.Export.tempDir("graft_cli_cp_dir_").toString
+    val api = new GraftApi(spark, src)
+    api.storeValue("v1", Seq(1L, 2L).toDF("n"), Some("nums"))
+    Cli.run(spark, Array("archive", "export", src, s"$dir/a"))
+    assert(Cli.run(spark, Array("archive", "meta", s"$dir/a", "title", "probe set"))
+      .contains("title=probe set"))
+    val cp = Cli.run(spark, Array("archive", "copy", s"$dir/a", s"$dir/b"))
+    assert(cp.contains("copied 1 values") && cp.contains("v1"))
+    // re-copy: everything already present
+    assert(Cli.run(spark, Array("archive", "copy", s"$dir/a", s"$dir/b"))
+      .contains("nothing to copy"))
+    val info = Cli.run(spark, Array("archive", "info", s"$dir/b"))
+    assert(info.contains("archive metadata:") && info.contains("title=probe set"))
+  }
+
+  test("workflow alias verb and info-bearing list/explain") {
+    import spark.implicits._
+    val root = graft.sources.Export.tempDir("graft_cli_wfa_").toString
+    val api = new GraftApi(spark, root)
+    api.storeValue("d", Seq((1L, 99L)).toDF("id", "qty"), Some("cli_wfa_raw"))
+    graft.plans.OpRegistry.register("cli_wfa_id", df => df)
+    val wf = api.createWorkflow("nightly")
+    wf.addStep("s1", "cli_wfa_id", "in")
+    wf.setInput("in", "cli_wfa_raw")
+    wf.snapshot(save = true)
+    wf.save()
+    assert(Cli.run(spark, Array("workflow", root, "alias", "prod", "nightly"))
+      .contains("prod -> nightly"))
+    val ls = Cli.run(spark, Array("workflow", root, "list"))
+    assert(ls.contains("nightly") && ls.contains("aka prod")
+      && ls.contains("1 snapshot(s)"))
+    val ex = Cli.run(spark, Array("workflow", root, "explain", "prod"))
+    assert(ex.contains("workflow: nightly") && ex.contains("aliases: prod")
+      && ex.contains("inputs: in") && ex.contains("snapshots: 1"))
+  }
+
+  test("run --manifest instantiates a configured module and renders the job") {
+    import spark.implicits._
+    val root = graft.sources.Export.tempDir("graft_cli_mf_").toString
+    val api = new GraftApi(spark, root)
+    api.storeValue("m", Seq((1L, 10L), (2L, 90L)).toDF("id", "qty"), Some("cli_mf_raw"))
+    val out = Cli.run(spark, Array("run", root, "--manifest", "table.filter",
+      "cli_mf_raw", "where=qty > 50"))
+    assert(out.contains("manifest table.filter"), out)
+    assert(out.linesIterator.count(_.startsWith("|")) == 2) // header + 1 row
+    // the manifest config was recorded as job metadata
+    assert(api.findMetadataItems("manifest")
+      .exists(_.value == "table.filter{where=qty > 50}"))
+  }
+
   test("info config print reports the effective engine configuration") {
     val out = Cli.run(spark, Array("info", "config", "print"))
     assert(out.contains("spark:   " + org.apache.spark.SPARK_VERSION))

@@ -662,6 +662,192 @@ class GraftApiSpec extends SparkTestBase {
     assert(e2.getMessage.contains("unknown input field"))
   }
 
+  test("workflow aliases: register, resolve, info records, collision rules") {
+    val root = Export.tempDir("graft_wfa_").toString
+    val api = new GraftApi(spark, root)
+    api.storeValue("w1", Seq((1L, 60L), (2L, 10L)).toDF("id", "qty"), Some("wa_raw"))
+    graft.plans.OpRegistry.register("wfa_keep", df => df.filter(col("qty") > 50L))
+    val wf = api.createWorkflow("ingest_v2")
+    wf.addStep("keep", "wfa_keep", "in")
+    wf.setInput("in", "wa_raw")
+    wf.snapshot(save = true)
+    // aliases only over PERSISTED workflows (a fresh JVM must resolve them)
+    val e0 = intercept[IllegalArgumentException](
+      api.setWorkflowAlias("prod", "ingest_v2"))
+    assert(e0.getMessage.contains("not persisted"))
+    wf.save()
+    api.setWorkflowAlias("prod", "ingest_v2")
+    assert(api.listWorkflowAliasNames == Seq("prod"))
+    // an alias resolves everywhere a name does — getWorkflow, describe, run
+    assert(api.getWorkflow("prod").describe.map(_.op) == Seq("wfa_keep"))
+    assert(api.workflows.describe("prod").map(_.name) == Seq("keep"))
+    // aliasing an alias resolves through to the real name
+    api.setWorkflowAlias("prod2", "prod")
+    assert(api.workflows.resolveAlias("prod2") == Some("ingest_v2"))
+    assert(api.workflows.aliasesFor("ingest_v2") == Seq("prod", "prod2"))
+    // collisions refused both ways: alias over a workflow name, and a
+    // new workflow under an existing alias
+    val e1 = intercept[IllegalArgumentException](
+      api.setWorkflowAlias("ingest_v2", "ingest_v2"))
+    assert(e1.getMessage.contains("collides"))
+    val e2 = intercept[IllegalArgumentException](
+      api.workflows.registerOps("prod",
+        Seq(graft.registries.WorkflowRegistry.OpStep("s", "wfa_keep", "in"))))
+    assert(e2.getMessage.contains("already a workflow alias"))
+    // info records: aliases + steps + inputs + snapshot history
+    val info = api.workflowInfo("prod")
+    assert(info.name == "ingest_v2" && info.aliases == Seq("prod", "prod2"))
+    assert(info.inputFields == Seq("in") && info.persisted)
+    assert(info.savedStates == 1 && info.lastStateId.isDefined)
+    assert(api.workflowsInfo.map(_.name).contains("ingest_v2"))
+    // a FRESH context resolves the persisted alias and its history
+    val api2 = new GraftApi(spark, root)
+    assert(api2.listWorkflowAliasNames == Seq("prod", "prod2"))
+    val info2 = api2.workflowInfo("prod2")
+    assert(info2.name == "ingest_v2" && info2.savedStates == 1)
+    val rebuilt = api2.getWorkflow("prod") // steps from the registry…
+    rebuilt.loadState()                    // …inputs from the state log
+    assert(rebuilt.process().values("keep").count() == 1L)
+  }
+
+  test("createWorkflow refuses to shadow a persisted workflow") {
+    val root = Export.tempDir("graft_wfshadow_").toString
+    val api = new GraftApi(spark, root)
+    graft.plans.OpRegistry.register("wfsh_id", df => df)
+    api.workflows.registerOps("stable",
+      Seq(graft.registries.WorkflowRegistry.OpStep("s", "wfsh_id", "in")))
+    // creating a session named like the persisted workflow would shadow
+    // it (and a later save() would overwrite the DAG) — refused
+    val e = intercept[IllegalArgumentException](api.createWorkflow("stable"))
+    assert(e.getMessage.contains("persisted workflow already exists"))
+    // getWorkflow is the right door: rebuilds from the registry
+    assert(api.getWorkflow("stable").describe.map(_.op) == Seq("wfsh_id"))
+  }
+
+  test("setInputAlias refuses collisions with real fields and other aliases") {
+    val api = newApi
+    graft.plans.Builtins.ensureRegistered()
+    val wf = api.createWorkflow("alias_rules")
+    wf.addStep("j", "table2.join", "x+y")
+    // alias equal to ANOTHER real input field would make that field
+    // unreachable (setInput resolves aliases first) — refused
+    val e1 = intercept[IllegalArgumentException](wf.setInputAlias("x", "y"))
+    assert(e1.getMessage.contains("collides"))
+    wf.setInputAlias("x", "left")
+    // the same alias on a second field would hijack the first binding
+    val e2 = intercept[IllegalArgumentException](wf.setInputAlias("y", "left"))
+    assert(e2.getMessage.contains("already bound"))
+    // re-stating the same binding is idempotent, not a collision
+    wf.setInputAlias("x", "left")
+  }
+
+  test("runBatch surfaces spec-shaped errors for malformed specs") {
+    val api = newApi
+    api.storeValue("rb1", Seq((1L, 2L)).toDF("id", "qty"), Some("rb_raw"))
+    graft.plans.OpRegistry.register("rb_id", df => df)
+    val dir = Export.tempDir("graft_badspec_")
+    def spec(name: String, body: String): String = {
+      val p = dir.resolve(name)
+      java.nio.file.Files.write(p, body.getBytes("UTF-8"))
+      p.toString
+    }
+    // a numeric value where a string belongs: spec-shaped error, not a
+    // ClassCastException (ADVICE r12)
+    val e1 = intercept[IllegalArgumentException](api.runBatch(spec("num.json",
+      """{"steps": [{"name": "s", "op": "rb_id", "input": "docs"}],
+        | "inputs": {"docs": 42}}""".stripMargin)))
+    assert(e1.getMessage.contains("must be a string"), e1.getMessage)
+    // steps that all omit a key: named error, not Spark field-not-found
+    val e2 = intercept[IllegalArgumentException](api.runBatch(spec("nokey.json",
+      """{"steps": [{"name": "s", "op": "rb_id"}], "inputs": {"docs": "rb_raw"}}""")))
+    assert(e2.getMessage.contains("'input' missing"), e2.getMessage)
+    // steps not a list of objects
+    val e3 = intercept[IllegalArgumentException](api.runBatch(spec("flat.json",
+      """{"steps": "s", "inputs": {"docs": "rb_raw"}}""")))
+    assert(e3.getMessage.contains("list of step objects"), e3.getMessage)
+    // a null save alias
+    val e4 = intercept[IllegalArgumentException](api.runBatch(spec("null.json",
+      """{"steps": [{"name": "s", "op": "rb_id", "input": "docs"}],
+        | "inputs": {"docs": "rb_raw"}, "save": {"s": null}}""".stripMargin)))
+    assert(e4.getMessage.contains("not be null") ||
+      e4.getMessage.contains("must be a string"), e4.getMessage)
+  }
+
+  test("manifests: createOperation instantiates, run/queueManifest record config") {
+    val api = newApi
+    api.storeValue("mf1",
+      Seq((1L, 10L, "a"), (2L, 60L, "b"), (3L, 80L, "c")).toDF("id", "qty", "s"),
+      Some("mf_raw"))
+    // create_operation: module type + config → registered operation id
+    val opId = api.createOperation("table.filter", Map("where" -> "qty > 50"))
+    assert(opId.startsWith("table.filter._m"))
+    // deterministic + idempotent: same manifest → same id
+    assert(api.createOperation("table.filter", Map("where" -> "qty > 50")) == opId)
+    // a different config is a different operation instance
+    assert(api.createOperation("table.filter", Map("where" -> "qty > 70")) != opId)
+    // the instance is a first-class operation: info + runJob resolve it
+    assert(api.operationInfo(opId).module == "table.filter")
+    val (_, viaJob) = api.runJob(opId, "mf_raw")
+    assert(viaJob.count() == 2L)
+    // run_manifest: one-call form; manifest lands in the job's metadata
+    val (jobId, out) = api.runManifest("table.select",
+      Map("columns" -> "id,qty"), "mf_raw")
+    assert(out.columns.toSeq == Seq("id", "qty") && out.count() == 3L)
+    val items = api.metadata.forRef("job", jobId)
+    assert(items.exists(i => i.key == "manifest" &&
+      i.value == "table.select{columns=id,qty}"), items)
+    // queue_manifest: async form, same metadata contract
+    val qid = api.queueManifest("table.head", Map("n" -> "2"), "mf_raw")
+    assert(api.getJobResult(qid).count() == 2L)
+    assert(api.metadata.forRef("job", qid).exists(_.key == "manifest"))
+    // bad manifests fail at create time, with the config named
+    val e1 = intercept[IllegalArgumentException](
+      api.createOperation("table.filter", Map("predicate" -> "qty > 50")))
+    assert(e1.getMessage.contains("unknown config key"), e1.getMessage)
+    // parse error surfaces eagerly at create time, not on first action
+    intercept[Exception](
+      api.createOperation("table.filter", Map("where" -> "qty >")))
+    val e3 = intercept[NoSuchElementException](
+      api.createOperation("no.such.module", Map.empty))
+    assert(e3.getMessage.contains("not configurable"))
+    // the configurable vocabulary is discoverable
+    assert(graft.plans.OpRegistry.factoryNames.contains("dedup.minhash"))
+  }
+
+  test("copyArchive skips existing values; archive metadata round-trips") {
+    val api = newApi
+    api.storeValue("ca1", Seq((1L, "a")).toDF("id", "s"), Some("one"))
+    api.storeValue("ca2", Seq((2L, "b"), (3L, "c")).toDF("id", "s"), Some("two"))
+    val archA = Export.tempDir("graft_archA_").resolve("a").toString
+    api.exportArchive(archA)
+    // archive-level metadata: attached to the MANIFEST, not any value
+    api.setArchiveMetadata(archA, "title", "corpus snapshot #1")
+    api.setArchiveMetadata(archA, "licence", "CC-BY-4.0")
+    api.setArchiveMetadata(archA, "title", "corpus snapshot") // latest wins
+    assert(api.archiveInfo(archA).metadata ==
+      Seq("licence" -> "CC-BY-4.0", "title" -> "corpus snapshot"))
+    // copy into a FRESH archive: full copy, metadata inherited
+    val archB = Export.tempDir("graft_archB_").resolve("b").toString
+    assert(api.copyArchive(archA, archB).sorted == Seq("ca1", "ca2"))
+    assert(api.archiveInfo(archB).metadata.toMap.get("licence") == Some("CC-BY-4.0"))
+    // a value that exists in both is SKIPPED, not duplicated; new ones copy
+    api.storeValue("ca3", Seq((9L, "z")).toDF("id", "s"), Some("three"))
+    val archC = Export.tempDir("graft_archC_").resolve("c").toString
+    api.exportArchive(archC, values = Seq("ca2", "ca3"))
+    assert(api.copyArchive(archC, archB) == Seq("ca3"))
+    assert(api.copyArchive(archC, archB).isEmpty) // idempotent re-copy
+    val infoB = api.archiveInfo(archB)
+    assert(infoB.values.map(_.id).sorted == Seq("ca1", "ca2", "ca3"))
+    assert(infoB.values.find(_.id == "ca2").get.rows == 2L) // not doubled
+    // aliases merged (target wins on conflicts), and the copied archive
+    // IMPORTS cleanly into a fresh context with lineage intact
+    assert(infoB.aliases.toMap.get("three") == Some("ca3"))
+    val api2 = new GraftApi(spark, Export.tempDir("graft_archimp_").toString)
+    val ids = api2.importArchive(archB)
+    assert(ids.sorted == Seq("ca1", "ca2", "ca3"))
+    assert(api2.getValue("three").count() == 1L)
+  }
+
   test("endpoint catalog is complete, documented and drift-checked") {
     val eps = GraftApi.endpoints
     assert(eps.size >= 50, s"expected >= 50 endpoints, got ${eps.size}")
