@@ -5198,6 +5198,18 @@ object SparkEntry {
         |FROM m""".stripMargin,
     "mm_phash" -> phashSql,
     "dedup_simhash" -> simhashSql,
+    // dedup_simhash_scale (contract-verdict since r13): the 64-bit
+    // xxhash64 production face can't bit-replay in DuckDB, but its
+    // banding contract can — pigeonhole recall on planted hamming<=3
+    // twins and signature-re-verified precision gate as integer
+    // verdicts; n_planted pins the twin planting from the documents
+    // table. Bit-level signature coverage stays with dedup_simhash's
+    // portable 32-bit twin (every bit DuckDB-replayed).
+    "dedup_simhash_scale" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_planted,
+        |  CAST(1 AS BIGINT) AS recall_ok,
+        |  CAST(1 AS BIGINT) AS precision_ok
+        |FROM documents WHERE doc_id % 50 = 0""".stripMargin,
     "text_fingerprint" -> winnowSql(5, 4),
     // revenue rounds 2dp BEFORE the share; windows over the nation domain
     "q36_share" ->

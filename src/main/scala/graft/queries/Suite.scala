@@ -543,14 +543,50 @@ object Suite {
     * portable 32-bit ORACLE twin, whose 4×8 banding (256 buckets, the
     * documented bounded-corpus end of the chunk trade-off) is
     * quadratic-bound by construction and exists to let DuckDB replay
-    * every bit. Same planted twins; rows-only (xxhash64 has no DuckDB
-    * twin) — bit-level coverage lives in the SimHash parity spec. */
+    * every bit.
+    *
+    * Contract-verdict oracle (r13, the q13_approx / evt_quantiles_kll
+    * precedent): the xxhash64 signature itself can't replay in DuckDB,
+    * but its banding CONTRACT can be verified engine-side and gated as
+    * integer verdicts the oracle expects — (1) pigeonhole recall: a
+    * 4-chunk split of 64 bits means any pair within hamming 3 shares
+    * at least one whole chunk, so every planted tail-edit twin whose
+    * TRUE hamming (computed directly from the two signatures, no
+    * banding involved) is <= 3 MUST appear in the emitted pairs;
+    * (2) precision: every emitted pair re-verifies at hamming <= 3
+    * from the signatures. `n_planted` is exactly replayable from the
+    * documents table, so the oracle also pins the twin-planting. The
+    * full pair list stays the benched production output shape via the
+    * probe keys; the GATE face aggregates to the verdict row. */
   def dedupSimhashScale(s: SparkSession, dir: String): DataFrame = {
+    import graft.Caches.TrackedPersist
     val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val planted = d.filter(col("doc_id") % 50 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"),
         concat(col("text"), lit(" tail")).as("text"))
-    Dedup.simhashPairs(d.union(planted), maxHamming = 3, numChunks = 4)
+    val sig = Dedup.simhash(d.union(planted))
+      .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = Dedup.simhashPairsOver(sig, 64, maxHamming = 3, numChunks = 4)
+      .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // true hamming of each planted (orig, twin) pair, straight from the
+    // signatures — no banding, so it's an independent recall witness
+    val twinSig = sig.filter(col("doc_id") >= 1000000L)
+      .select((col("doc_id") - 1000000L).as("doc_id"), col("simhash").as("sh_t"))
+    val direct = sig.join(twinSig, "doc_id")
+      .select(col("doc_id"), expr("bit_count(simhash ^ sh_t)").cast("long").as("hd"))
+    val caught = pairs.select(col("doc_a").as("doc_id"), col("doc_b"))
+      .filter(col("doc_b") === col("doc_id") + 1000000L)
+    val recallMisses = direct.filter(col("hd") <= 3)
+      .join(caught, Seq("doc_id"), "left_anti").count()
+    // every emitted pair re-verifies at <= 3 from the signatures
+    val badEmits = pairs
+      .join(sig.select(col("doc_id").as("doc_a"), col("simhash").as("va")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("simhash").as("vb")), "doc_b")
+      .filter(expr("bit_count(va ^ vb)") > 3).count()
+    direct.agg(
+      count(lit(1)).as("n_planted"),
+      lit(if (recallMisses == 0L) 1L else 0L).as("recall_ok"),
+      lit(if (badEmits == 0L) 1L else 0L).as("precision_ok"))
   }
 
   /** LSH-candidates + exact-Jaccard verification, oracle-anchored against

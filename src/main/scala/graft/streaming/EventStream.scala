@@ -39,6 +39,21 @@ object EventStream {
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    // scale-probe observability (SPARK_GRAFT_STREAM_STATS=1): the
+    // state-store footprint is THE streaming scale risk — print each
+    // stateful operator's peak state rows/bytes across the drain's
+    // micro-batches, so an xN probe can verify state stays bounded by
+    // the design horizon (watermark / session gap), not corpus size
+    if (sys.env.contains("SPARK_GRAFT_STREAM_STATS")) {
+      val ps = q.recentProgress
+      val byOp = ps.flatMap(p => p.stateOperators.map(so =>
+          (so.operatorName, so.numRowsTotal, so.memoryUsedBytes)))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+      byOp.foreach { case (op, xs) =>
+        println(s"[stream-state] sink=$name batches=${ps.length} op=$op " +
+          s"maxRows=${xs.map(_._2).max} maxBytes=${xs.map(_._3).max}")
+      }
+    }
     spark.table(name)
   }
 
