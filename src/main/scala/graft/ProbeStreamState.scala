@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-probe main for streaming STATE-STORE behavior: replays the
+  * events corpus as a time-ordered multi-batch stream through
+  * `dropDuplicatesWithinWatermark`
+  * ([[graft.streaming.EventStream.dedupWithinWatermarkReplay]]) so the
+  * watermark actually advances between micro-batches and state expiry
+  * is observable — run with SPARK_GRAFT_STREAM_STATS=1 to print each
+  * batch's peak state rows/bytes. The claim under test: state is
+  * bounded by the duplicate HORIZON (≈ one time bucket), not corpus
+  * size.
+  *
+  * Usage: ProbeStreamState <sfDir> [nFiles]
+  */
+object ProbeStreamState {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: ProbeStreamState <sfDir> [nFiles]")
+    val dir = args(0)
+    val nFiles = if (args.length > 1) args(1).toInt else 30
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (leg <- Seq("cold", "warm")) {
+      val t0 = System.nanoTime()
+      val row = graft.streaming.EventStream
+        .dedupWithinWatermarkReplay(spark, s"$dir/events.parquet", nFiles).head()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"stream_dedup_wm_replay","leg":"$leg","dir":"$dir","nFiles":$nFiles,"n_out":${
+        row.getLong(0)},"n_expected":${row.getLong(2)},"all_unique":${
+        row.getLong(3)},"sec":$sec%.2f}""")
+    }
+    spark.stop()
+  }
+}

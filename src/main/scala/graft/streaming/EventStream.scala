@@ -27,9 +27,20 @@ object EventStream {
     * normalization applied (nanos-long → µs timestamp). */
   private def source(spark: SparkSession, path: String): DataFrame = {
     val schema = spark.read.parquet(path).schema
-    val (dir, file) = splitPath(path)
-    graft.Tables.normalizeTs(
-      spark.readStream.schema(schema).option("pathGlobFilter", file).parquet(dir))
+    // a table may be a single FILE (the driver's testdata) or a parquet
+    // DIRECTORY (anything Spark wrote, e.g. ScaleGen probe corpora). A
+    // directory streams directly; a file needs the parent-dir + name
+    // glob (the glob applies to LEAF files, so pointing it at a
+    // directory's name would match nothing and stream zero rows — the
+    // r13 streaming probe found exactly that)
+    val st =
+      if (new java.io.File(path).isDirectory)
+        spark.readStream.schema(schema).parquet(path)
+      else {
+        val (dir, file) = splitPath(path)
+        spark.readStream.schema(schema).option("pathGlobFilter", file).parquet(dir)
+      }
+    graft.Tables.normalizeTs(st)
   }
 
   /** Run a streaming DataFrame to a memory sink with AvailableNow and
@@ -39,11 +50,17 @@ object EventStream {
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    // scale-probe observability (SPARK_GRAFT_STREAM_STATS=1): the
-    // state-store footprint is THE streaming scale risk — print each
-    // stateful operator's peak state rows/bytes across the drain's
-    // micro-batches, so an xN probe can verify state stays bounded by
-    // the design horizon (watermark / session gap), not corpus size
+    printStateStats(q, name)
+    spark.table(name)
+  }
+
+  /** Scale-probe observability (SPARK_GRAFT_STREAM_STATS=1): the
+    * state-store footprint is THE streaming scale risk — print each
+    * stateful operator's peak state rows/bytes across the drain's
+    * micro-batches, so an xN probe can verify state stays bounded by
+    * the design horizon (watermark / session gap), not corpus size. */
+  private def printStateStats(q: org.apache.spark.sql.streaming.StreamingQuery,
+                              name: String): Unit =
     if (sys.env.contains("SPARK_GRAFT_STREAM_STATS")) {
       val ps = q.recentProgress
       val byOp = ps.flatMap(p => p.stateOperators.map(so =>
@@ -54,8 +71,6 @@ object EventStream {
           s"maxRows=${xs.map(_._2).max} maxBytes=${xs.map(_._3).max}")
       }
     }
-    spark.table(name)
-  }
 
   /** Bounded run: process everything currently in `path`, return the final
     * windowed counts as a batch DataFrame. */
@@ -140,6 +155,83 @@ object EventStream {
       "append")
       .groupBy("event_type").agg(count(lit(1)).as("n"))
       .orderBy("event_type")
+  }
+
+  /** Horizon-bounded-state PROBE face of [[dedupWithinWatermark]]: the
+    * registered gate face drains in ONE AvailableNow micro-batch, where
+    * the watermark can only advance at the batch boundary — so its
+    * state necessarily peaks at corpus size and says nothing about the
+    * operator's real scale property. This face replays the corpus the
+    * way a LIVE stream arrives: events time-bucketed into `nFiles`
+    * mtime-ordered files (each event TWICE in its file — the
+    * at-least-once duplicate feed), `maxFilesPerTrigger=1` making each
+    * bucket its own micro-batch, so the watermark advances bucket by
+    * bucket and `dropDuplicatesWithinWatermark` EXPIRES state behind
+    * it. Bucket spans exceed the 1 h horizon, so no event is ever late
+    * across batches (bucket k+1's events are all newer than bucket k's
+    * max, hence inside any watermark derived from it) and both copies
+    * of an event co-arrive — the drained stream must be exactly unique.
+    * Returns one verdict row (n_out, n_expected, all_unique); peak
+    * state rows/bytes print via the SPARK_GRAFT_STREAM_STATS hook —
+    * the probe's claim is peak ≈ horizon-bucket size, NOT corpus size. */
+  def dedupWithinWatermarkReplay(spark0: SparkSession, path: String,
+                                 nFiles: Int = 30): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val spark = spark0.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val dir = flushStaged.getOrElseUpdate(s"dedupwm:$nFiles:$path", {
+      val batch = graft.Tables.normalizeTs(spark.read.parquet(path))
+        .select("event_id", "ts", "user_id", "event_type")
+      val (minUs, maxUs) = {
+        val r = batch.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val doubled = batch.union(batch)
+        .withColumn("b", ((unix_micros(col("ts")) - minUs) * nFiles /
+          (maxUs - minUs + 1)).cast("int"))
+        .persist()
+      val d = graft.sources.Export.tempDir("graft_stream_wmreplay_").toString
+      val now = System.currentTimeMillis()
+      for (b <- 0 until nFiles) {
+        val tmp = s"$d/_stage_$b"
+        doubled.filter(col("b") === b).drop("b")
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .headOption
+        part.foreach { p =>
+          val dst = Paths.get(d, f"$b%04d_bucket.parquet")
+          Files.move(p.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+          dst.toFile.setLastModified(now - (nFiles - b).toLong * 60000L)
+        }
+      }
+      doubled.unpersist()
+      d
+    })
+    val schema = spark.read.option("pathGlobFilter", "*.parquet").parquet(dir).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(dir)
+    // parquet sink, not memory: the drained stream is corpus-sized and
+    // must never accumulate as driver-held rows at an x300 probe
+    val outDir = graft.sources.Export.tempDir("graft_wmreplay_out_").toString
+    val ck = graft.sources.Export.tempDir("graft_wmreplay_ck_").toString
+    val q = src.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ck)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    printStateStats(q, "wm_replay")
+    val drained = spark.read.parquet(outDir)
+    val expected = spark.read.option("pathGlobFilter", "*.parquet").parquet(dir)
+      .select("event_id").distinct().count()
+    drained.agg(
+      count(lit(1)).as("n_out"),
+      countDistinct(col("event_id")).as("n_distinct"))
+      .select(col("n_out"), col("n_distinct"), lit(expected).as("n_expected"),
+        (col("n_out") === col("n_distinct") && col("n_out") === lit(expected))
+          .cast("long").as("all_unique"))
   }
 
   /** Streaming PSI drift monitor — the batch [[graft.operators.DataQuality
