@@ -6,12 +6,18 @@ object BenchOne {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // scale probes size the shuffle with the data, like a real cluster
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
-    val spark = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+    // probe hook: run stateful streaming keys under RocksDB (off-heap
+    // state, the cluster-production provider) instead of the on-heap
+    // HDFSBacked default — set in the context conf so the operators'
+    // cloned sessions (newSession) inherit it too
+    val spark = sys.env.get("SPARK_GRAFT_STATE_PROVIDER")
+      .fold(b)(p => b.config("spark.sql.streaming.stateStore.providerClass", p))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (name <- args) {

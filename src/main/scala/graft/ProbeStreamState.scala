@@ -20,13 +20,17 @@ object ProbeStreamState {
     val dir = args(0)
     val nFiles = if (args.length > 1) args(1).toInt else 30
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+    // same provider hook as BenchOne: RocksDB = the off-heap
+    // production state store
+    val spark = sys.env.get("SPARK_GRAFT_STATE_PROVIDER")
+      .fold(b)(p => b.config("spark.sql.streaming.stateStore.providerClass", p))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (leg <- Seq("cold", "warm")) {
