@@ -289,6 +289,15 @@ object Cli {
       s"workflow alias set: $alias -> $wf"
     // load + pretty-print a stored value (kiara data load,
     // reference interfaces/cli/data/commands.py:531)
+    // ::-path sub-value query (kiara query_value, base_api.py:1449)
+    case "data" :: root :: "query" :: path :: rest if rest.size <= 1 =>
+      new GraftApi(spark, root).queryValue(path) match {
+        case df: org.apache.spark.sql.DataFrame =>
+          Render.prettyPrint(df, rowsArg(rest))
+        case m: Map[_, _] => m.asInstanceOf[Map[String, String]].toSeq.sorted
+          .map { case (k, v) => f"$k%-12s $v" }.mkString("\n")
+        case other => other.toString
+      }
     case "data" :: root :: "load" :: ref :: rest if rest.size <= 1 =>
       val rows = rowsArg(rest)
       Render.prettyPrint(new GraftApi(spark, root).getValue(ref), rows)

@@ -116,6 +116,7 @@ object GraftApi {
     "dataTypesInfo" -> "(name, Spark type) for every supported data type",
     "dataTypeInfo" -> "(name, Spark type) for one data type",
     "getValueStr" -> "bounded pretty-printed slice of a value",
+    "queryValue" -> "::-path query into a value: data column path or a property",
     "contextInfo" -> "context summary: counts of values/aliases/jobs/workflows/ops",
     "findValues" -> "value ids matching an id glob (optionally having a column)",
     "findAliases" -> "(alias, value id) pairs matching alias/value globs",
@@ -663,6 +664,41 @@ class GraftApi(val spark: SparkSession, root: String) {
   }
   def listValueIds: Seq[String] = data.list
   def listAliasNames: Seq[String] = aliases.list.map(_._1)
+
+  /** query_value (base_api.py:1449 — provisional in the reference, so
+    * the shape is kept deliberately small): a `::`-delimited query path
+    * `<value_ref>[::<category>[::<attr>...]]` into a stored value.
+    * Categories: `data` (attrs = a nested column path — the table
+    * projected to that column, still a lazy distributed frame) and
+    * `properties` (the footer-only info record as a key→value map;
+    * one attr selects a single property). No category → the value
+    * itself. */
+  def queryValue(path: String): Any = {
+    val tokens = path.split("::").toList
+    require(tokens.nonEmpty && tokens.head.nonEmpty, s"empty query path: $path")
+    val df = getValue(tokens.head)
+    def props: Map[String, String] = {
+      val i = valueInfo(tokens.head)
+      Map("id" -> i.id, "schema" -> i.schema, "rows" -> i.rows.toString,
+        "size_bytes" -> i.sizeBytes.toString,
+        "produced_by" -> i.producedBy.getOrElse(""),
+        "aliases" -> i.aliases.mkString(","),
+        "metadata" -> i.metadata.mkString(","))
+    }
+    tokens.tail match {
+      case Nil => df
+      case "data" :: Nil => df
+      case "data" :: attrs =>
+        // a nested attribute walk IS a struct-field path in a table value
+        df.select(org.apache.spark.sql.functions.col(attrs.mkString(".")))
+      case "properties" :: Nil => props
+      case "properties" :: attr :: Nil =>
+        props.getOrElse(attr, throw new NoSuchElementException(
+          s"no property '$attr' (have: ${props.keys.toSeq.sorted.mkString(", ")})"))
+      case other => throw new IllegalArgumentException(
+        s"unknown query category '${other.head}' (use data | properties)")
+    }
+  }
 
   // --- batch value ops (kiara_api.py:1055 store_values, :909 get_values) --
   /** store_values: store several values in one call; pairs are
