@@ -2433,6 +2433,15 @@ object SparkEntry {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "bundle_stats" ->
       "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang ORDER BY lang",
+    // bundle_pick (full oracle since r13): the picked subtree's row
+    // count replays from the documents table, and n_files = 1 is a
+    // LAYOUT CONTRACT — writeBundle repartitions by lang before
+    // partitionBy, so each lang's rows flow through exactly one writer
+    // task and land in exactly one file (the gate now pins that too).
+    "bundle_pick" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(1 AS BIGINT) AS n_files
+        |FROM documents WHERE lang = 'en'""".stripMargin,
     "registry_roundtrip" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |WHERE c_acctbal > 5000 ORDER BY c_custkey""".stripMargin,
