@@ -33,14 +33,28 @@ object ProbeStreamState {
       .fold(b)(p => b.config("spark.sql.streaming.stateStore.providerClass", p))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val mode = if (args.length > 2) args(2) else "dedup"
     for (leg <- Seq("cold", "warm")) {
       val t0 = System.nanoTime()
-      val row = graft.streaming.EventStream
-        .dedupWithinWatermarkReplay(spark, s"$dir/events.parquet", nFiles).head()
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"""{"probe":"stream_dedup_wm_replay","leg":"$leg","dir":"$dir","nFiles":$nFiles,"n_out":${
-        row.getLong(0)},"n_expected":${row.getLong(2)},"all_unique":${
-        row.getLong(3)},"sec":$sec%.2f}""")
+      mode match {
+        case "dedup" =>
+          val row = graft.streaming.EventStream
+            .dedupWithinWatermarkReplay(spark, s"$dir/events.parquet", nFiles).head()
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"""{"probe":"stream_dedup_wm_replay","leg":"$leg","dir":"$dir","nFiles":$nFiles,"n_out":${
+            row.getLong(0)},"n_expected":${row.getLong(2)},"all_unique":${
+            row.getLong(3)},"sec":$sec%.2f}""")
+        case "leftjoin" =>
+          val row = graft.streaming.EventStream
+            .purchaseClickLeftJoinReplay(spark, s"$dir/events.parquet", nFiles).head()
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"""{"probe":"stream_left_join_replay","leg":"$leg","dir":"$dir","nFiles":$nFiles,"n_out":${
+            row.getLong(0)},"n_null":${row.getLong(1)},"n_expected":${
+            row.getLong(2)},"n_null_expected":${row.getLong(3)},"matches_batch":${
+            row.getLong(4)},"sec":$sec%.2f}""")
+        case other => throw new IllegalArgumentException(
+          s"unknown probe mode: $other (use dedup | leftjoin)")
+      }
     }
     spark.stop()
   }

@@ -174,40 +174,66 @@ object EventStream {
     * Returns one verdict row (n_out, n_expected, all_unique); peak
     * state rows/bytes print via the SPARK_GRAFT_STREAM_STATS hook —
     * the probe's claim is peak ≈ horizon-bucket size, NOT corpus size. */
-  def dedupWithinWatermarkReplay(spark0: SparkSession, path: String,
-                                 nFiles: Int = 30): DataFrame = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val spark = spark0.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val dir = flushStaged.getOrElseUpdate(s"dedupwm:$nFiles:$path", {
+  /** Stage the events table into `nFiles` TIME-BUCKETED, mtime-ordered
+    * parquet files — the live-arrival replay corpus the bounded-state
+    * probes stream with `maxFilesPerTrigger=1` (each bucket = one
+    * micro-batch, so watermarks advance and state expiry is
+    * observable). `doubled` plants every event twice (the
+    * at-least-once duplicate feed); `sentinel` appends a far-future
+    * final file (one impossible purchase + click, negative ids, +30
+    * days) that pushes the global watermark past every real event —
+    * the outer-join flush idiom from [[purchaseClickLeftJoin]]. Staged
+    * dirs are immutable → cached per configuration per JVM. */
+  private def stageTimeBuckets(spark: SparkSession, path: String, nFiles: Int,
+                               doubled: Boolean, sentinel: Boolean): String =
+    flushStaged.getOrElseUpdate(s"buckets:$nFiles:$doubled:$sentinel:$path", {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
       val batch = graft.Tables.normalizeTs(spark.read.parquet(path))
         .select("event_id", "ts", "user_id", "event_type")
       val (minUs, maxUs) = {
         val r = batch.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
         (r.getLong(0), r.getLong(1))
       }
-      val doubled = batch.union(batch)
+      val fed = if (doubled) batch.union(batch) else batch
+      val bucketed = fed
         .withColumn("b", ((unix_micros(col("ts")) - minUs) * nFiles /
           (maxUs - minUs + 1)).cast("int"))
         .persist()
-      val d = graft.sources.Export.tempDir("graft_stream_wmreplay_").toString
+      val d = graft.sources.Export.tempDir("graft_stream_buckets_").toString
       val now = System.currentTimeMillis()
-      for (b <- 0 until nFiles) {
-        val tmp = s"$d/_stage_$b"
-        doubled.filter(col("b") === b).drop("b")
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
+      def place(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = s"$d/_stage_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
         val part = new java.io.File(tmp).listFiles()
           .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
           .headOption
         part.foreach { p =>
-          val dst = Paths.get(d, f"$b%04d_bucket.parquet")
+          val dst = Paths.get(d, s"$name.parquet")
           Files.move(p.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
-          dst.toFile.setLastModified(now - (nFiles - b).toLong * 60000L)
+          dst.toFile.setLastModified(mtime)
         }
       }
-      doubled.unpersist()
+      for (b <- 0 until nFiles)
+        place(bucketed.filter(col("b") === b).drop("b"), f"$b%04d_bucket",
+          now - (nFiles + 1 - b).toLong * 60000L)
+      if (sentinel) {
+        import spark.implicits._
+        val flushUs = maxUs + 30L * 86400L * 1000000L
+        place(Seq((-1L, flushUs, -1L, "purchase"), (-2L, flushUs, -2L, "click"))
+          .toDF("event_id", "us", "user_id", "event_type")
+          .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+            col("user_id"), col("event_type")),
+          f"$nFiles%04d_flush", now)
+      }
+      bucketed.unpersist()
       d
     })
+
+  def dedupWithinWatermarkReplay(spark0: SparkSession, path: String,
+                                 nFiles: Int = 30): DataFrame = {
+    val spark = spark0.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val dir = stageTimeBuckets(spark, path, nFiles, doubled = true, sentinel = false)
     val schema = spark.read.option("pathGlobFilter", "*.parquet").parquet(dir).schema
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
@@ -448,6 +474,76 @@ object EventStream {
       "left_outer")
     runToMemory(s2, joined.select(col("p_id"), col("c_id")), "append")
       .filter(col("p_id") >= 0)
+  }
+
+  /** Horizon-bounded-state PROBE face of [[purchaseClickLeftJoin]] —
+    * the interval join is the streaming family's biggest state, and the
+    * registered gate face's two-file drain (events, then sentinel)
+    * necessarily buffers BOTH whole sides until the sentinel batch. This
+    * face replays the corpus as `nFiles` time-ordered micro-batches
+    * (the [[stageTimeBuckets]] corpus + the sentinel as the final
+    * file), so the watermark advances per bucket and the join evicts:
+    * clicks expire once no future purchase can reach back 24 h to them,
+    * unmatched purchases emit their null row as soon as the watermark
+    * passes them — peak state is ~one bucket plus the 26 h horizon, not
+    * the corpus. Cross-bucket pairs (purchase early in bucket k+1,
+    * click late in bucket k) stay matchable by exactly that horizon
+    * retention, so the output is IDENTICAL to the batch left join —
+    * returned as a verdict row against the batch-computed expectation. */
+  def purchaseClickLeftJoinReplay(spark0: SparkSession, path: String,
+                                  nFiles: Int = 30, hours: Int = 24): DataFrame = {
+    val spark = spark0.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val dir = stageTimeBuckets(spark, path, nFiles, doubled = false, sentinel = true)
+    val schema = spark.read.option("pathGlobFilter", "*.parquet").parquet(dir).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(dir)
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val joined = purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $hours HOURS") &&
+        col("c_ts") <= col("p_ts"),
+      "left_outer")
+    val outDir = graft.sources.Export.tempDir("graft_ljreplay_out_").toString
+    val ck = graft.sources.Export.tempDir("graft_ljreplay_ck_").toString
+    val q = joined.select(col("p_id"), col("c_id"))
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ck)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    printStateStats(q, "lj_replay")
+    val drained = spark.read.parquet(outDir).filter(col("p_id") >= 0)
+    // batch-computed expectation over the SAME staged data (sentinels out)
+    val ev = spark.read.option("pathGlobFilter", "*.parquet").parquet(dir)
+      .filter(col("event_id") >= 0)
+    val bp = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val bc = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val expected = bp.join(bc,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $hours HOURS") &&
+        col("c_ts") <= col("p_ts"),
+      "left_outer")
+      .agg(count(lit(1)).as("n"), sum(col("c_id").isNull.cast("long")).as("n_null"))
+      .head()
+    val (expN, expNull) = (expected.getLong(0), expected.getLong(1))
+    drained.agg(
+      count(lit(1)).as("n_out"),
+      sum(col("c_id").isNull.cast("long")).as("n_null"))
+      .select(col("n_out"), col("n_null"),
+        lit(expN).as("n_expected"), lit(expNull).as("n_null_expected"),
+        (col("n_out") === lit(expN) && col("n_null") === lit(expNull))
+          .cast("long").as("matches_batch"))
   }
 
   private val upsertStaged = scala.collection.concurrent.TrieMap[String, String]()
