@@ -60,6 +60,19 @@ class EventsSpec extends SparkTestBase {
     assert(stream == batch)
   }
 
+  test("bounded-state replay faces: dedup exactly unique, left join equals batch") {
+    // the r13 scale-probe faces, pinned at sf0.001 with 5 time buckets:
+    // multi-batch watermark advancement must not change the ANSWERS —
+    // dedup drains exactly unique, the interval join equals its batch twin
+    val d = graft.streaming.EventStream
+      .dedupWithinWatermarkReplay(spark, s"$sfDir/events.parquet", nFiles = 5).head()
+    assert(d.getLong(0) == d.getLong(2) && d.getLong(3) == 1L,
+      s"dedup replay: $d")
+    val j = graft.streaming.EventStream
+      .purchaseClickLeftJoinReplay(spark, s"$sfDir/events.parquet", nFiles = 5).head()
+    assert(j.getLong(4) == 1L, s"left-join replay vs batch: $j")
+  }
+
   test("streaming sessionization (flatMapGroupsWithState) matches batch") {
     val batch = Events.sessionStats(Tables.t(spark, sfDir, "events"))
       .select("user_id", "n_sessions", "n_events").collect().toSeq
