@@ -52,8 +52,15 @@ object ProbeStreamState {
             row.getLong(0)},"n_null":${row.getLong(1)},"n_expected":${
             row.getLong(2)},"n_null_expected":${row.getLong(3)},"matches_batch":${
             row.getLong(4)},"sec":$sec%.2f}""")
+        case "sessionize" =>
+          val row = graft.streaming.EventStream
+            .sessionStatsExpiring(spark, s"$dir/events.parquet", nFiles).head()
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"""{"probe":"stream_sessionize_expiring","leg":"$leg","dir":"$dir","nFiles":$nFiles,"n_users":${
+            row.getLong(0)},"sessions":${row.getLong(1)},"events":${
+            row.getLong(2)},"matches_batch":${row.getLong(3)},"sec":$sec%.2f}""")
         case other => throw new IllegalArgumentException(
-          s"unknown probe mode: $other (use dedup | leftjoin)")
+          s"unknown probe mode: $other (use dedup | leftjoin | sessionize)")
       }
     }
     spark.stop()

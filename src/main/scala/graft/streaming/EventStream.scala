@@ -546,6 +546,104 @@ object EventStream {
           .cast("long").as("matches_batch"))
   }
 
+  /** Horizon-bounded-state PROBE face of [[sessionStats]] — the
+    * registered face's per-user state has NO timeout (its AvailableNow
+    * + batch-oracle semantics never need one), so state grows with the
+    * TOTAL user domain. Over an unbounded key domain the production
+    * answer is `GroupStateTimeout.EventTimeTimeout`: once the watermark
+    * passes a user's last event + gap, their session is CLOSED BY
+    * DEFINITION (a later event would start a new session anyway), so
+    * the state can emit its partial (sessions, events) counts and be
+    * REMOVED — peak state is the concurrently-active users inside the
+    * watermark horizon, not everyone ever seen. Partial emissions sum
+    * to exactly the batch answer: timeout ⟹ the gap elapsed before the
+    * user's next event (watermark ≤ every future ts + delay), and a
+    * surviving state handles the gap check in its own fold. Replayed
+    * over the [[stageTimeBuckets]] corpus (sentinel file pushes the
+    * final watermark so every open state closes and emits). Returns a
+    * verdict row against the batch [[graft.operators.Events
+    * .sessionStats]] twin: n_users, total sessions/events, and
+    * matches_batch. */
+  def sessionStatsExpiring(spark0: SparkSession, path: String,
+                           nFiles: Int = 30, gapMinutes: Int = 30): DataFrame = {
+    val spark = spark0.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val dir = stageTimeBuckets(spark, path, nFiles, doubled = false, sentinel = true)
+    val schema = spark.read.option("pathGlobFilter", "*.parquet").parquet(dir).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(dir)
+      .withWatermark("ts", s"$gapMinutes minutes")
+      // ts STAYS in the projection — the watermark rides on it, and an
+      // event-time timeout needs a watermarked column in the input
+      .select(col("ts"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+      .as[(java.sql.Timestamp, Long, Long, Long)]
+    // Append output mode: each (uid, sessions, events) row is emitted
+    // exactly once, at state closure — append-shaped by construction
+    // (and the parquet sink the drain needs only supports Append)
+    val closed = src
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows0: Iterator[(java.sql.Timestamp, Long, Long, Long)],
+         state: GroupState[SessionState]) =>
+          val rows = rows0.map(r => (r._2, r._3, r._4))
+          if (state.hasTimedOut) {
+            // the watermark passed lastUs + gap: every future event of
+            // this user is > gap away, so the open session is closed —
+            // emit the accumulated partial counts and DROP the state
+            val s = state.get
+            state.remove()
+            Iterator.single((uid, s.nSessions, s.nEvents))
+          } else {
+            val evs = rows.toArray.sortBy(r => (r._2, r._3))
+            var s = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
+            evs.foreach { e =>
+              val newSession = s.nEvents == 0L || e._2 - s.lastUs > gapUs
+              s = SessionState(s.nSessions + (if (newSession) 1L else 0L),
+                math.max(s.lastUs, e._2), s.nEvents + 1L)
+            }
+            state.update(s)
+            // close the state once the watermark passes the session end
+            state.setTimeoutTimestamp(s.lastUs / 1000L + gapMinutes * 60000L)
+            Iterator.empty
+          }
+      }
+    val outDir = graft.sources.Export.tempDir("graft_sessexp_out_").toString
+    val ck = graft.sources.Export.tempDir("graft_sessexp_ck_").toString
+    val q = closed.toDF("user_id", "n_sessions", "n_events")
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ck)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    printStateStats(q, "sess_expiring")
+    // partial closures sum to each user's totals; sentinels filtered
+    val streamed = spark.read.parquet(outDir).filter(col("user_id") >= 0)
+      .groupBy("user_id")
+      .agg(sum("n_sessions").as("n_sessions"), sum("n_events").as("n_events"))
+    // batch twin over the SAME staged data (sessionize carries only
+    // ts/user_id/event_id — the staged projection; sessionStats itself
+    // also sums `value`, which the staged corpus doesn't carry)
+    val batch = graft.operators.Events.sessionize(
+      graft.Tables.normalizeTs(
+        spark.read.option("pathGlobFilter", "*.parquet").parquet(dir))
+        .filter(col("event_id") >= 0), gapMinutes)
+      .groupBy("user_id")
+      .agg(max("session_id").as("b_sessions"), count(lit(1)).as("b_events"))
+    val cmp = streamed.join(batch, Seq("user_id"), "full_outer")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("n_sessions")).as("sessions"),
+        sum(col("n_events")).as("events"),
+        sum((coalesce(col("n_sessions"), lit(-1L)) =!= coalesce(col("b_sessions"), lit(-2L)) ||
+          coalesce(col("n_events"), lit(-1L)) =!= coalesce(col("b_events"), lit(-2L)))
+          .cast("long")).as("n_mismatch"))
+    cmp.select(col("n_users"), col("sessions"), col("events"),
+      (col("n_mismatch") === 0L).cast("long").as("matches_batch"))
+  }
+
   private val upsertStaged = scala.collection.concurrent.TrieMap[String, String]()
 
   /** Streaming CDC UPSERT sink — `foreachBatch` + [[graft.operators

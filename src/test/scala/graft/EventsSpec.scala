@@ -71,6 +71,11 @@ class EventsSpec extends SparkTestBase {
     val j = graft.streaming.EventStream
       .purchaseClickLeftJoinReplay(spark, s"$sfDir/events.parquet", nFiles = 5).head()
     assert(j.getLong(4) == 1L, s"left-join replay vs batch: $j")
+    // expiring sessionization: event-time-timeout closures summed per
+    // user must equal the batch sessionize exactly
+    val se = graft.streaming.EventStream
+      .sessionStatsExpiring(spark, s"$sfDir/events.parquet", nFiles = 5).head()
+    assert(se.getLong(3) == 1L, s"expiring sessionize vs batch: $se")
   }
 
   test("streaming sessionization (flatMapGroupsWithState) matches batch") {
