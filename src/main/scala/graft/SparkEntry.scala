@@ -370,6 +370,7 @@ object SparkEntry {
     "stream_drift" -> (Suite.streamDrift _),
     "stream_upsert" -> (Suite.streamUpsert _),
     "stream_sessionize" -> (Suite.streamSessionize _),
+    "stream_sessionize_wm" -> (Suite.streamSessionizeWm _),
     "stream_enrich" -> (Suite.streamEnrich _)
   )
 
@@ -6619,6 +6620,22 @@ object SparkEntry {
         |SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions, count(*) AS n_events,
         | round(sum(value),2) AS total_value
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // stream_sessionize_wm (r13): the expiring-state face — DuckDB
+    // replays users/sessions/events exactly (lag/running-sum), and the
+    // engine-side verdict (partial closures sum to the batch sessionize
+    // per user) must hold: matches_batch = 1.
+    "stream_sessionize_wm" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |f AS (SELECT user_id,
+        |  CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+        |    OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+        |   THEN 1 ELSE 0 END AS is_new FROM e)
+        |SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(is_new) AS BIGINT) AS sessions,
+        |  CAST(count(*) AS BIGINT) AS events,
+        |  CAST(1 AS BIGINT) AS matches_batch
+        |FROM f""".stripMargin,
     "evt_window_agg" ->
       """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:00') AS hour,
         | event_type, count(*) AS n, round(sum(value),2) AS total_value

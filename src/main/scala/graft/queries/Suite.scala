@@ -1214,6 +1214,18 @@ object Suite {
       s, s"$dir/events.parquet", dim, "event_type", "type_group")
   }
 
+  /** EXPIRING streaming sessionization — the bounded-state production
+    * face (EventTimeTimeout closes a user's state once the watermark
+    * passes lastEvent+gap; partial closures sum to the batch answer;
+    * peak state = concurrently-active users, probed 30× under the
+    * no-timeout face at x300, PLANS r13). Replayed as 5 time-ordered
+    * micro-batches at gate SF; the oracle replays users/sessions/events
+    * via the lag/running-sum derivation and expects the engine-side
+    * batch-equality verdict to hold. */
+  def streamSessionizeWm(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.sessionStatsExpiring(
+      s, s"$dir/events.parquet", nFiles = 5)
+
   /** Stateful streaming sessionization (flatMapGroupsWithState) drained
     * over the static events table — oracle is the batch lag/running-sum
     * session derivation in SQL, so custom streaming STATE is verified
