@@ -724,6 +724,29 @@ class GraftApiSpec extends SparkTestBase {
     assert(api.getWorkflow("stable").describe.map(_.op) == Seq("wfsh_id"))
   }
 
+  test("a corrupt workflow state log fails loudly instead of dropping history") {
+    val root = Export.tempDir("graft_wfcorrupt_").toString
+    val api = new GraftApi(spark, root)
+    graft.plans.OpRegistry.register("wfc_id", df => df)
+    api.storeValue("wc1", Seq(1L).toDF("n"), Some("wfc_raw"))
+    val wf = api.createWorkflow("audit")
+    wf.addStep("s", "wfc_id", "in")
+    wf.setInput("in", "wfc_raw")
+    val sid = wf.snapshot(save = true)
+    // an interleaved/hand-edited line the writer could never produce
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/workflow_states.jsonl"),
+      "{\"workflow\":\"audit\",\"state_id\":\"deadbeef\"  GARBAGE\n".getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.APPEND)
+    val e = intercept[IllegalStateException](wf.allStateIds)
+    assert(e.getMessage.contains("corrupt workflow state log"), e.getMessage)
+    // a parallel session on the same root serializes through the shared
+    // per-root lock object (same instance for both sessions)
+    assert(graft.WorkflowSession.stateLogLock(root) eq
+      graft.WorkflowSession.stateLogLock(root + "/."))
+    assert(sid.nonEmpty)
+  }
+
   test("setInputAlias refuses collisions with real fields and other aliases") {
     val api = newApi
     graft.plans.Builtins.ensureRegistered()
