@@ -371,6 +371,7 @@ object SparkEntry {
     "stream_upsert" -> (Suite.streamUpsert _),
     "stream_sessionize" -> (Suite.streamSessionize _),
     "stream_sessionize_wm" -> (Suite.streamSessionizeWm _),
+    "stream_dedup_replay" -> (Suite.streamDedupReplay _),
     "stream_enrich" -> (Suite.streamEnrich _)
   )
 
@@ -6620,6 +6621,15 @@ object SparkEntry {
         |SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions, count(*) AS n_events,
         | round(sum(value),2) AS total_value
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // stream_dedup_replay (r13): the bounded-state dedup face — the
+    // time-ordered multi-batch drain must emit every event exactly once
+    // (event_id is the events PK; the feed plants each twice).
+    "stream_dedup_replay" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_out,
+        |  CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+        |  CAST(count(*) AS BIGINT) AS n_expected,
+        |  CAST(1 AS BIGINT) AS all_unique
+        |FROM events""".stripMargin,
     // stream_sessionize_wm (r13): the expiring-state face — DuckDB
     // replays users/sessions/events exactly (lag/running-sum), and the
     // engine-side verdict (partial closures sum to the batch sessionize

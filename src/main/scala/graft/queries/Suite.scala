@@ -1226,6 +1226,18 @@ object Suite {
     graft.streaming.EventStream.sessionStatsExpiring(
       s, s"$dir/events.parquet", nFiles = 5)
 
+  /** Bounded-state streaming dedup REPLAY — the production face of
+    * stream_dedup_wm (PLANS r13): the corpus replays as 5 time-ordered
+    * micro-batches (every event planted twice), the watermark advances
+    * per batch and dropDuplicatesWithinWatermark EXPIRES state behind
+    * it (peak = one bucket, probed to x600). The oracle replays the
+    * expected counts (event_id is the events PK, so the deduped drain
+    * must emit exactly count(*) rows) and pins the engine-side
+    * uniqueness verdict. */
+  def streamDedupReplay(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.dedupWithinWatermarkReplay(
+      s, s"$dir/events.parquet", nFiles = 5)
+
   /** Stateful streaming sessionization (flatMapGroupsWithState) drained
     * over the static events table — oracle is the batch lag/running-sum
     * session derivation in SQL, so custom streaming STATE is verified
