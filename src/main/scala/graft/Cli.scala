@@ -261,6 +261,40 @@ object Cli {
       val steps = new GraftApi(spark, root).workflows.describe(name)
       s"pipeline: $name\nsteps:\n" + steps.map(s =>
         f"  ${s.name}%-20s op=${s.op}%-24s input=${s.input}").mkString("\n")
+    // pipelines as first-class operations (kiara register_pipeline,
+    // base_api.py:1277; catalog :1085-:1220)
+    case "pipeline" :: root :: "register" :: spec :: rest =>
+      val api = new GraftApi(spark, root)
+      val opId = rest match {
+        case "--id" :: id :: Nil => api.registerPipelineFile(spec, Some(id))
+        case Nil                 => api.registerPipelineFile(spec)
+        case other => throw new IllegalArgumentException(
+          s"pipeline register: unexpected args ${other.mkString(" ")} (only --id <opId>)")
+      }
+      val s = api.getPipelineStructure(opId)
+      s"pipeline registered: $opId (${s.steps.size} steps, " +
+        s"inputs ${s.inputFields.mkString("+")}, output ${s.outputField})"
+    case "pipeline" :: root :: "ops" :: filters =>
+      val api = new GraftApi(spark, root)
+      val ids = api.listPipelineIds(filters: _*)
+      if (ids.isEmpty) "no pipeline operations registered"
+      else ids.map { id =>
+        val st = api.getPipelineStructure(id)
+        f"$id%-32s ${st.steps.size}%2d steps  in=${st.inputFields.mkString("+")}  out=${st.outputField}"
+      }.mkString("\n")
+    case "pipeline" :: root :: "structure" :: opId :: Nil =>
+      val s = new GraftApi(spark, root).getPipelineStructure(opId)
+      s"pipeline operation: ${s.operationId}\n" +
+        s"inputs: ${s.inputFields.mkString(", ")}\noutput: ${s.outputField}\n" +
+        s"stages: ${s.stages.map(_.mkString("[", " ", "]")).mkString(" -> ")}\nsteps:\n" +
+        s.steps.map(st =>
+          f"  ${st.name}%-20s op=${st.op}%-24s input=${st.input}").mkString("\n")
+    case "pipeline" :: root :: "info" :: opId :: Nil =>
+      val api = new GraftApi(spark, root)
+      val i = api.pipelineInfo(opId)
+      s"pipeline operation: ${i.structure.operationId}\n" +
+        s"doc: ${i.doc}\narity: ${i.arity}\npersisted: ${i.persisted}\n" +
+        s"stages: ${i.structure.stages.map(_.mkString("[", " ", "]")).mkString(" -> ")}"
     // workflow registry surface (kiara workflow list / explain,
     // reference interfaces/cli/workflow/commands.py)
     case "workflow" :: root :: "list" :: Nil =>
@@ -482,7 +516,8 @@ object Cli {
           s"render api markdown|html | " +
           s"run <root> <operation> <valueRef> [--save <alias>] | " +
           s"run <root> --batch <spec.json> | " +
-          s"pipeline <root> list|explain <name> | " +
+          s"pipeline <root> list|explain <name>|register <spec.json> [--id <opId>]" +
+          s"|ops [filter...]|structure <opId>|info <opId> | " +
           s"workflow <root> list|explain <name> | " +
           s"data <root> list [glob]|load <ref> [rows]|explain <ref>" +
           s"|filter <ref> <op> [--save <alias>]" +

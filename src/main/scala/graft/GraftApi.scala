@@ -7,7 +7,7 @@ import scala.concurrent.duration.Duration
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 import graft.plans.{Builtins, OpRegistry, Pipeline}
-import graft.registries.{AliasRegistry, Archive, CommentStore, DataRegistry, EnvironmentRegistry, LineageRegistry, MetadataRegistry, ParquetMeta, WorkflowRegistry}
+import graft.registries.{AliasRegistry, Archive, CommentStore, DataRegistry, EnvironmentRegistry, LineageRegistry, MetadataRegistry, ParquetMeta, PipelineRegistry, WorkflowRegistry}
 import graft.sources.{Convert, Export, TypeMap}
 
 object GraftApi {
@@ -39,6 +39,21 @@ object GraftApi {
   /** One row of the API endpoint catalog (render api). */
   final case class Endpoint(name: String, signature: String, doc: String)
 
+  /** Pipeline structure record (kiara models/module/pipeline/structure.py
+    * PipelineStructure, surfaced by base_api.py:1152
+    * get_pipeline_structure): steps, free input fields, the output value,
+    * and the topological processing stages. */
+  final case class PipelineStructure(operationId: String,
+                                     steps: Seq[graft.registries.WorkflowRegistry.OpStep],
+                                     inputFields: Seq[String], outputField: String,
+                                     stages: Seq[Seq[String]])
+
+  /** Augmented pipeline record (base_api.py:1184 retrieve_pipeline_info /
+    * PipelineInfo.create_from_instance): structure + doc + arity +
+    * persistence. */
+  final case class PipelineOpInfo(structure: PipelineStructure, doc: String,
+                                  arity: Int, persisted: Boolean)
+
   /** Rendered workflow record (base_api.py:3424 retrieve_workflow_info,
     * WorkflowInfo.create_from_workflow): name + aliases + structure +
     * snapshot history in one catalog row. */
@@ -58,6 +73,14 @@ object GraftApi {
     "aliases" -> "alias registry (name -> value id)",
     "lineage" -> "lineage registry: which step produced which value",
     "workflows" -> "workflow (pipeline DAG) registry",
+    "pipelines" -> "pipeline-definition registry (operation id -> persisted spec)",
+    "registerPipeline" -> "register a pipeline definition as a first-class operation (callable as a step of other pipelines)",
+    "registerPipelineFile" -> "register a pipeline operation from a JSON spec file",
+    "registerPipelines" -> "register every given spec file; returns path -> operation id",
+    "listPipelineIds" -> "operation ids registered from pipeline definitions (optionally filtered)",
+    "getPipelineStructure" -> "steps, free inputs, output and stages of a pipeline operation",
+    "pipelineInfo" -> "augmented record of one pipeline operation",
+    "pipelinesInfo" -> "every pipeline operation's augmented record",
     "comments" -> "job comment store",
     "metadata" -> "value-metadata registry (key=value items per value)",
     "environments" -> "runtime-environment snapshot registry",
@@ -189,6 +212,7 @@ class GraftApi(val spark: SparkSession, root: String) {
   val aliases = new AliasRegistry(root, registryEvents)
   val lineage = new LineageRegistry(root, registryEvents)
   val workflows = new WorkflowRegistry(root, lineage, registryEvents)
+  val pipelines = new PipelineRegistry(root, registryEvents)
   val comments = new CommentStore(root, registryEvents)
   val metadata = new MetadataRegistry(root, registryEvents)
   val environments = new EnvironmentRegistry(root)
@@ -209,6 +233,11 @@ class GraftApi(val spark: SparkSession, root: String) {
   private val jobs = scala.collection.concurrent.TrieMap[String, Pipeline.StepRecord]()
 
   Builtins.ensureRegistered()
+
+  // fresh-JVM contract for registered pipelines: every persisted
+  // definition re-registers into OpRegistry under its stored id, so
+  // runJob/pipeline steps resolve it exactly as in the registering JVM
+  pipelines.list.foreach(id => registerPipelineOp(id, pipelines.describe(id)))
 
   // --- operations (kiara_api.py:679,709,770) ------------------------------
   def listOperationIds: Seq[String] = OpRegistry.list
@@ -349,6 +378,11 @@ class GraftApi(val spark: SparkSession, root: String) {
     // the reference's create path likewise refuses an existing alias
     require(!workflows.list.contains(name),
       s"a persisted workflow already exists: $name (use getWorkflow)")
+    // ...and neither may a workflow ALIAS be shadowed: resolve() routes
+    // the alias name to the aliased workflow, so a live session created
+    // under it would be unreachable and unsavable (ADVICE r13)
+    require(workflows.resolveAlias(name).isEmpty,
+      s"'$name' is already a workflow alias (over '${workflows.resolveAlias(name).get}')")
     val s = new WorkflowSession(this, name, root)
     // putIfAbsent: two concurrent creators can't both win the name
     require(workflowSessions.putIfAbsent(name, s).isEmpty,
@@ -406,6 +440,205 @@ class GraftApi(val spark: SparkSession, root: String) {
   /** retrieve_workflows_info (base_api.py:3498): every workflow's info
     * record — live sessions and persisted registry workflows. */
   def workflowsInfo: Seq[WorkflowInfo] = listWorkflowIds.map(workflowInfo)
+
+  // --- pipelines as first-class operations (base_api.py:1277
+  //     register_pipeline, :1298 register_pipelines; catalog :1085
+  //     list_pipeline_ids, :1152 get_pipeline_structure,
+  //     :1184/:1220 retrieve_pipeline_info(s)) ----------------------------
+
+  private def pipelineFreeInputs(steps: Seq[WorkflowRegistry.OpStep]): Seq[String] = {
+    val produced = steps.map(_.name).toSet
+    steps.flatMap(_.input.split("\\+", -1).toSeq).filter(_.nonEmpty)
+      .filterNot(produced).distinct
+  }
+
+  /** Topological processing stages (kiara PipelineStructure
+    * processing_stages): a step's stage is 1 + the max stage of the
+    * steps it consumes; free inputs are stage 0. Throws on cycles. */
+  private def pipelineStages(steps: Seq[WorkflowRegistry.OpStep]): Seq[Seq[String]] = {
+    val produced = steps.map(_.name).toSet
+    var lv = Map.empty[String, Int]
+    var remaining = steps
+    while (remaining.nonEmpty) {
+      val (ready, blocked) = remaining.partition(st =>
+        st.input.split("\\+", -1).filter(produced).forall(lv.contains))
+      require(ready.nonEmpty, "pipeline has a cycle among steps: " +
+        blocked.map(_.name).mkString(", "))
+      ready.foreach { st =>
+        val deps = st.input.split("\\+", -1).filter(produced).map(lv)
+        lv += st.name -> (if (deps.isEmpty) 1 else deps.max + 1)
+      }
+      remaining = blocked
+    }
+    lv.groupBy(_._2).toSeq.sortBy(_._1).map(_._2.keys.toSeq.sorted)
+  }
+
+  // nested-run ids resume past any prior JVM's ("<opId>-run-<n>" lines in
+  // the persisted lineage log), so re-running a stored pipeline never
+  // reuses a run id
+  private val pipelineRunSeq = new AtomicLong(
+    lineage.records.map(_.run).flatMap { r =>
+      val i = r.lastIndexOf("-run-")
+      if (i < 0) None else r.substring(i + 5).toLongOption
+    }.maxOption.getOrElse(0L))
+
+  /** Build + register the executable operation for a pipeline definition.
+    * Step operations resolve BY NAME at run time (the stored-pipeline
+    * contract); the closure records the inner steps as their own lineage
+    * run, so a pipeline invoked as a STEP of another pipeline leaves the
+    * nesting visible in the provenance log. */
+  private def registerPipelineOp(opId: String,
+                                 steps: Seq[WorkflowRegistry.OpStep]): Unit = {
+    val free = pipelineFreeInputs(steps)
+    require(free.size == 1 || free.size == 2,
+      s"a pipeline operation needs 1 or 2 free inputs, '$opId' has " +
+        s"${free.size}: ${free.mkString(", ")}")
+    pipelineStages(steps) // acyclicity surfaces at registration, not first run
+    val out = steps.last.name
+    def run(inputs: Map[String, DataFrame]): DataFrame = {
+      Builtins.ensureRegistered()
+      val ps = steps.map(st => OpRegistry.step(st.name, st.op, st.input))
+      val res = Pipeline.run(ps, inputs)
+      lineage.synchronized {
+        lineage.recordRun(s"$opId-run-${pipelineRunSeq.incrementAndGet()}", res.lineage)
+      }
+      res.values(out)
+    }
+    OpRegistry.registerModuleType("pipeline",
+      "pipeline definitions registered as first-class operations",
+      "graft.plans.Pipeline")
+    val doc = s"registered pipeline (${steps.size} steps: " +
+      s"${steps.map(_.name).mkString("->")}; output '$out')"
+    OpRegistry.unregister(opId) // re-registration may change arity
+    free match {
+      case Seq(a) =>
+        OpRegistry.register(opId, df => run(Map(a -> df)), doc, module = "pipeline")
+      case Seq(a, b) =>
+        OpRegistry.register2(opId, (l, r) => run(Map(a -> l, b -> r)), doc,
+          module = "pipeline")
+      case _ => () // unreachable (require above)
+    }
+  }
+
+  /** register_pipeline (base_api.py:1277): register a pipeline DEFINITION
+    * as a first-class operation — runnable via runJob/queueJob and
+    * callable as a STEP of another pipeline (nested pipelines, kiara's
+    * main composition mechanism). The operation id defaults to
+    * `pipeline.<name>`; the definition persists under the context root
+    * and a fresh JVM re-registers it automatically. The operation's
+    * input is the pipeline's free input field — two free inputs make a
+    * binary operation, bound in first-appearance order — and its output
+    * is the LAST declared step's value. */
+  def registerPipeline(name: String, steps: Seq[WorkflowRegistry.OpStep],
+                       operationId: Option[String] = None): String = {
+    Builtins.ensureRegistered()
+    val opId = operationId.getOrElse(
+      s"pipeline.${graft.registries.Names.validate("pipeline name", name)}")
+    // eager validation, kiara-style: every step op must resolve NOW (a
+    // nested pipeline is registered before the pipeline that uses it)
+    steps.map(_.op).filterNot(OpRegistry.contains).headOption.foreach(op =>
+      throw new NoSuchElementException(s"unknown operation in pipeline: $op"))
+    val stash = if (pipelines.contains(opId)) Some(pipelines.describe(opId)) else None
+    pipelines.put(opId, steps) // charset + shape validation, atomic persist
+    try registerPipelineOp(opId, steps)
+    catch { case e: Throwable =>
+      // keep persisted state consistent with the registered-op state:
+      // a structurally-invalid definition must not survive on disk
+      stash match {
+        case Some(old) => pipelines.put(opId, old)
+        case None      => pipelines.remove(opId)
+      }
+      throw e
+    }
+    opId
+  }
+
+  /** register_pipeline from a JSON spec FILE — the `runBatch` spec shape;
+    * only `pipeline_name` and `steps` are read (inputs/save are a batch-
+    * run concern, not part of the definition). The id auto-derives from
+    * the pipeline name (file basename if unnamed), like the reference. */
+  def registerPipelineFile(specPath: String,
+                           operationId: Option[String] = None): String = {
+    val (name, steps) = parsePipelineSpec(specPath)
+    registerPipeline(name, steps, operationId)
+  }
+
+  /** register_pipelines (base_api.py:1298): register every spec file;
+    * returns path -> operation id in input order. */
+  def registerPipelines(specPaths: Seq[String]): Seq[(String, String)] =
+    specPaths.map(p => p -> registerPipelineFile(p))
+
+  private def parsePipelineSpec(specPath: String): (String, Seq[WorkflowRegistry.OpStep]) = {
+    val sdf = spark.read.option("multiLine", "true").json(specPath)
+    require(sdf.count() == 1, s"pipeline spec must be ONE json document: $specPath")
+    val row = sdf.head()
+    val fields = sdf.schema.fieldNames.toSet
+    require(fields.contains("steps"), s"pipeline spec has no steps: $specPath")
+    import org.apache.spark.sql.types.{ArrayType, StringType, StructType}
+    def specErr(msg: String): Nothing =
+      throw new IllegalArgumentException(s"bad pipeline spec $specPath: $msg")
+    sdf.schema("steps").dataType match {
+      case ArrayType(st: StructType, _) =>
+        Seq("name", "op", "input").foreach { f =>
+          st.fields.find(_.name == f) match {
+            case Some(sf) if sf.dataType == StringType => ()
+            case Some(sf) => specErr(
+              s"step field '$f' must be a string, got ${sf.dataType.simpleString}")
+            case None => specErr(s"every step needs name/op/input ('$f' missing)")
+          }
+        }
+      case other => specErr(s"'steps' must be a list of step objects, got ${other.simpleString}")
+    }
+    val name = (if (fields.contains("pipeline_name") &&
+        !row.isNullAt(row.fieldIndex("pipeline_name")))
+        row.getString(row.fieldIndex("pipeline_name"))
+      else new java.io.File(specPath).getName.replaceAll("\\.(json|yaml|yml)$", ""))
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    val stepRows = row.getSeq[org.apache.spark.sql.Row](row.fieldIndex("steps"))
+    require(stepRows.nonEmpty, "pipeline spec has an empty steps list")
+    val steps = stepRows.map { r =>
+      val (sn, op, in) = (r.getAs[String]("name"), r.getAs[String]("op"),
+        r.getAs[String]("input"))
+      require(sn != null && op != null && in != null,
+        s"every step needs name/op/input: $r")
+      WorkflowRegistry.OpStep(sn, op, in)
+    }
+    (name, steps)
+  }
+
+  /** list_pipeline_ids (base_api.py:1085): pipeline operations of THIS
+    * context (kiara's operation registry is per-context; graft's
+    * OpRegistry is JVM-global, so the catalog intersects it with the
+    * root's persisted definitions — another context's pipelines stay
+    * runnable by id but don't pollute this context's listing),
+    * optionally filtered like operation ids. */
+  def listPipelineIds(filters: String*): Seq[String] = {
+    val mine = pipelines.list.toSet
+    OpRegistry.find(filters: _*).filter(mine)
+  }
+
+  /** get_pipeline_structure (base_api.py:1152): steps, free inputs,
+    * output and stages of one pipeline operation. A non-pipeline
+    * operation id is refused with kiara's "not a pipeline" shape. */
+  def getPipelineStructure(opId: String): PipelineStructure = {
+    if (!pipelines.contains(opId) && OpRegistry.contains(opId))
+      throw new IllegalArgumentException(
+        s"operation '$opId' is not a pipeline, but a '${OpRegistry.info(opId).module}'")
+    val steps = pipelines.describe(opId)
+    PipelineStructure(opId, steps, pipelineFreeInputs(steps), steps.last.name,
+      pipelineStages(steps))
+  }
+
+  /** retrieve_pipeline_info (base_api.py:1184): augmented record. */
+  def pipelineInfo(opId: String): PipelineOpInfo = {
+    val s = getPipelineStructure(opId)
+    PipelineOpInfo(s, OpRegistry.info(opId).doc, s.inputFields.size,
+      pipelines.contains(opId))
+  }
+
+  /** retrieve_pipelines_info (base_api.py:1220): every pipeline
+    * operation's augmented record. */
+  def pipelinesInfo: Seq[PipelineOpInfo] = listPipelineIds().map(pipelineInfo)
 
   /** Batch pipeline-from-file (kiara interfaces/python_api/batch.py:31
     * BatchOperation.from_file + utils.py create_save_config): run a

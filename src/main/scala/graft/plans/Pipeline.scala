@@ -89,12 +89,21 @@ object OpRegistry {
     * instantiate operations from. The cid is content-derived so the
     * same (type, config) always names the same operation instance. */
   final case class Manifest(moduleType: String, config: Map[String, String]) {
-    /** Canonical one-line rendering — what lineage metadata records. */
+    /** Canonical one-line rendering — what lineage metadata records.
+      * Display only: '='/','-containing values render ambiguously here,
+      * which is why [[cid]] hashes a length-prefixed encoding instead. */
     def render: String =
       s"$moduleType{${config.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(",")}}"
     def cid: String = {
+      // length-prefixed canonical encoding: unambiguous for ANY key/value
+      // content (a "k=v,k2=v2" join would collide {a:"1,b=2"} with
+      // {a:"1", b:"2"} — ADVICE r13), so distinct configs can never share
+      // an operation id and silently skip the factory's eager validation
+      val canonical = (Seq(moduleType) ++ config.toSeq.sorted.flatMap {
+        case (k, v) => Seq(k, v)
+      }).map(s => s"${s.length}:$s").mkString("|")
       val md = java.security.MessageDigest.getInstance("MD5")
-      md.digest(render.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
+      md.digest(canonical.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
     }
     /** The derived operation id a manifest instantiates under —
       * deterministic, charset-safe, collision-free per (type, config). */
@@ -217,6 +226,12 @@ object OpRegistry {
       else throw new NoSuchElementException(s"operator not registered: $name"))
   def list: Seq[String] = (ops.keys ++ ops2.keys).toSeq.sorted
   def contains(name: String): Boolean = ops.contains(name) || ops2.contains(name)
+  /** Remove a registered operation — the pipeline RE-registration path
+    * (a re-registered pipeline may change arity, so the stale unary or
+    * binary entry must go before the new one lands). */
+  private[graft] def unregister(name: String): Unit = {
+    ops.remove(name); ops2.remove(name); infos.remove(name)
+  }
   /** The declared input arity of a registered operation (1 or 2). */
   def arity(name: String): Int =
     if (ops.contains(name)) 1

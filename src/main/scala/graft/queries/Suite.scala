@@ -561,8 +561,14 @@ object Suite {
   def dedupSimhashScale(s: SparkSession, dir: String): DataFrame = {
     import graft.Caches.TrackedPersist
     val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    // twin offset derived from the corpus, not a fixed 1e6 (ADVICE r13):
+    // an x300+ ScaleGen probe corpus has real doc_ids past 1e6, which a
+    // fixed offset would misclassify as twins. Bounded driver agg (one
+    // long). Output columns never carry doc_ids, so gate hashes are
+    // unchanged; the oracle's n_planted replays from doc_id % 50 alone.
+    val off = d.agg(max(col("doc_id"))).head().getLong(0) + 1L
     val planted = d.filter(col("doc_id") % 50 === 0)
-      .select((col("doc_id") + 1000000L).as("doc_id"),
+      .select((col("doc_id") + off).as("doc_id"),
         concat(col("text"), lit(" tail")).as("text"))
     val sig = Dedup.simhash(d.union(planted))
       .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -570,12 +576,12 @@ object Suite {
       .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // true hamming of each planted (orig, twin) pair, straight from the
     // signatures — no banding, so it's an independent recall witness
-    val twinSig = sig.filter(col("doc_id") >= 1000000L)
-      .select((col("doc_id") - 1000000L).as("doc_id"), col("simhash").as("sh_t"))
+    val twinSig = sig.filter(col("doc_id") >= off)
+      .select((col("doc_id") - off).as("doc_id"), col("simhash").as("sh_t"))
     val direct = sig.join(twinSig, "doc_id")
       .select(col("doc_id"), expr("bit_count(simhash ^ sh_t)").cast("long").as("hd"))
     val caught = pairs.select(col("doc_a").as("doc_id"), col("doc_b"))
-      .filter(col("doc_b") === col("doc_id") + 1000000L)
+      .filter(col("doc_b") === col("doc_id") + off)
     val recallMisses = direct.filter(col("hd") <= 3)
       .join(caught, Seq("doc_id"), "left_anti").count()
     // every emitted pair re-verifies at <= 3 from the signatures

@@ -64,6 +64,13 @@ object Archive {
     ids
   }
 
+  /** Metadata-value escape: full JSON escape PLUS '}' as }, so the
+    * reader's `"metadata":\{([^}]*)\}` block regex can never be truncated
+    * by a brace inside a value (ADVICE r13 — a truncated read would make
+    * the next read-modify-rewrite silently drop entries). Jsonl.unesc
+    * decodes } back to '}' transparently. */
+  private def metaEsc(s: String): String = esc(s).replace("}", "\\u007d")
+
   /** (Re)write manifest.json — ids/aliases use the restricted registry
     * charset; metadata values are free text (JSON-escaped). */
   private def writeManifest(dir: String, ids: Seq[String],
@@ -72,7 +79,7 @@ object Archive {
     val metaBlock =
       if (metadata.isEmpty) ""
       else s""","metadata":{${metadata.sortBy(_._1).map { case (k, v) =>
-        "\"" + esc(k) + "\":\"" + esc(v) + "\"" }.mkString(",")}}"""
+        "\"" + metaEsc(k) + "\":\"" + metaEsc(v) + "\"" }.mkString(",")}}"""
     val manifest =
       s"""{"version":$Version,"values":[${ids.map(i => "\"" + esc(i) + "\"").mkString(",")}],""" +
         s""""aliases":{${aliases.map { case (a, v) => "\"" + esc(a) + "\":\"" + esc(v) + "\"" }.mkString(",")}}$metaBlock}"""

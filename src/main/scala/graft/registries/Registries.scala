@@ -409,6 +409,75 @@ class WorkflowRegistry(root: String, lineage: LineageRegistry,
   }
 }
 
+/** Pipeline-definition registry (kiara base_api.py:1277
+  * `register_pipeline` + operation_registry.register_pipeline): pipeline
+  * SPECS registered as first-class operations, persisted so a fresh JVM
+  * re-registers them into [[graft.plans.OpRegistry]] under the same
+  * operation id. Same flat `opId=step:op:input,...` encoding and
+  * atomic-rewrite discipline as [[WorkflowRegistry]] (the id/step
+  * charset excludes the separators). Step OPERATIONS resolve by name at
+  * run time — kiara's contract: the module providing an operation must
+  * be importable when a stored pipeline runs. */
+class PipelineRegistry(root: String, bus: EventBus = new EventBus) {
+  import WorkflowRegistry.OpStep
+
+  private val file = Paths.get(s"$root/pipelines.properties")
+  Files.createDirectories(Paths.get(root))
+
+  private def readAll(): Map[String, Seq[OpStep]] =
+    if (!Files.exists(file)) Map.empty
+    else Files.readAllLines(file).asScala.filter(_.contains("=")).map { l =>
+      val i = l.indexOf('=')
+      val steps = l.substring(i + 1).split(',').toSeq.filter(_.nonEmpty).map { s =>
+        val p = s.split(':')
+        OpStep(p(0), p(1), p(2))
+      }
+      l.substring(0, i) -> steps
+    }.toMap
+
+  /** Persist a pipeline definition under its operation id (validated
+    * charset, atomic rewrite). Latest registration wins, like kiara's
+    * operation registry. */
+  def put(opId: String, steps: Seq[OpStep]): Unit = synchronized {
+    Names.validate("pipeline operation id", opId)
+    def okInput(s: String): Boolean = {
+      val parts = s.split("\\+", -1)
+      parts.nonEmpty && parts.length <= 2 &&
+        parts.forall(p => p.nonEmpty && Names.isValid(p))
+    }
+    require(steps.nonEmpty, s"pipeline '$opId' has no steps")
+    steps.foreach { st =>
+      require(Names.isValid(st.name) && Names.isValid(st.op) && okInput(st.input),
+        s"bad step part in: $st")
+    }
+    val all = readAll() + (opId -> steps)
+    val tmp = Files.createTempFile(Paths.get(root), ".pipelines", ".tmp")
+    Files.write(tmp, all.toSeq.sortBy(_._1).map { case (n, ss) =>
+      s"$n=${ss.map(s => s"${s.name}:${s.op}:${s.input}").mkString(",")}"
+    }.asJava)
+    Files.move(tmp, file, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    bus.fire(RegistryEvents.WorkflowStored(opId, persisted = true))
+  }
+
+  def list: Seq[String] = readAll().keys.toSeq.sorted
+  def contains(opId: String): Boolean = readAll().contains(opId)
+  def describe(opId: String): Seq[OpStep] =
+    readAll().getOrElse(opId,
+      throw new NoSuchElementException(s"unknown pipeline operation: $opId"))
+
+  /** Drop a definition (registration-rollback path). */
+  def remove(opId: String): Unit = synchronized {
+    val all = readAll() - opId
+    val tmp = Files.createTempFile(Paths.get(root), ".pipelines", ".tmp")
+    Files.write(tmp, all.toSeq.sortBy(_._1).map { case (n, ss) =>
+      s"$n=${ss.map(s => s"${s.name}:${s.op}:${s.input}").mkString(",")}"
+    }.asJava)
+    Files.move(tmp, file, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+}
+
 /** Job comments (kiara_api.py:186 `set_job_comment`, :209
   * `get_job_comment`): free-text notes attached to job ids, persisted as
   * append-only JSONL next to the lineage log. Comments are arbitrary

@@ -188,8 +188,14 @@ object EventStream {
                                doubled: Boolean, sentinel: Boolean): String =
     flushStaged.getOrElseUpdate(s"buckets:$nFiles:$doubled:$sentinel:$path", {
       import java.nio.file.{Files, Paths, StandardCopyOption}
+      // ids cast to long explicitly: the sentinel file below writes LONG
+      // ids, and a driver regeneration narrowing the source to INT32
+      // would otherwise leave the staged dir mixed-type — the streaming
+      // schema comes from ONE footer, so the mix mis-reads (ADVICE r13;
+      // same hazard Tables.t widening guards on the batch side)
       val batch = graft.Tables.normalizeTs(spark.read.parquet(path))
-        .select("event_id", "ts", "user_id", "event_type")
+        .select(col("event_id").cast("long").as("event_id"), col("ts"),
+          col("user_id").cast("long").as("user_id"), col("event_type"))
       val (minUs, maxUs) = {
         val r = batch.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
         (r.getLong(0), r.getLong(1))

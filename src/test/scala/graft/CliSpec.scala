@@ -139,6 +139,35 @@ class CliSpec extends SparkTestBase {
     assert(api.workflows.list.contains("adhoc"))
   }
 
+  test("pipeline register/ops/structure/info verbs drive first-class pipeline operations") {
+    import spark.implicits._
+    val root = graft.sources.Export.tempDir("graft_cli_rp_").toString
+    val api = new GraftApi(spark, root)
+    api.storeValue("clirp",
+      Seq((1L, 5L), (2L, 90L)).toDF("id", "qty"), Some("clirp_raw"))
+    val spec = graft.sources.Export.tempDir("graft_cli_rp_spec_").resolve("screen.json")
+    java.nio.file.Files.writeString(spec,
+      """{"pipeline_name": "screen",
+        | "steps": [{"name": "prof", "op": "profile.schema", "input": "t"}]}""".stripMargin)
+    val reg = Cli.run(spark, Array("pipeline", root, "register", spec.toString))
+    assert(reg.contains("pipeline registered: pipeline.screen"), reg)
+    assert(reg.contains("inputs t") && reg.contains("output prof"))
+    val ops = Cli.run(spark, Array("pipeline", root, "ops"))
+    assert(ops.contains("pipeline.screen") && ops.contains("1 steps"), ops)
+    assert(Cli.run(spark, Array("pipeline", root, "ops", "nomatch_zz"))
+      == "no pipeline operations registered")
+    val st = Cli.run(spark, Array("pipeline", root, "structure", "pipeline.screen"))
+    assert(st.contains("stages: [prof]") && st.contains("op=profile.schema"), st)
+    val info = Cli.run(spark, Array("pipeline", root, "info", "pipeline.screen"))
+    assert(info.contains("arity: 1") && info.contains("persisted: true"), info)
+    // --id override + the registered operation runs like any other
+    val reg2 = Cli.run(spark,
+      Array("pipeline", root, "register", spec.toString, "--id", "qc.screen"))
+    assert(reg2.contains("pipeline registered: qc.screen"))
+    val run = Cli.run(spark, Array("run", root, "qc.screen", "clirp_raw"))
+    assert(run.contains("job:") && run.contains("col_name"), run)
+  }
+
   test("run executes an operation on a stored value, records the job, saves") {
     import spark.implicits._
     val root = graft.sources.Export.tempDir("graft_cli_run_").toString

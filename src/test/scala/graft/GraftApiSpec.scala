@@ -694,6 +694,10 @@ class GraftApiSpec extends SparkTestBase {
       api.workflows.registerOps("prod",
         Seq(graft.registries.WorkflowRegistry.OpStep("s", "wfa_keep", "in"))))
     assert(e2.getMessage.contains("already a workflow alias"))
+    // ...and a live SESSION under an alias name is refused too — resolve()
+    // would shadow it, leaving it unreachable and unsavable (ADVICE r13)
+    val e2b = intercept[IllegalArgumentException](api.createWorkflow("prod"))
+    assert(e2b.getMessage.contains("already a workflow alias"))
     // info records: aliases + steps + inputs + snapshot history
     val info = api.workflowInfo("prod")
     assert(info.name == "ingest_v2" && info.aliases == Seq("prod", "prod2"))
@@ -833,6 +837,10 @@ class GraftApiSpec extends SparkTestBase {
     val e3 = intercept[NoSuchElementException](
       api.createOperation("no.such.module", Map.empty))
     assert(e3.getMessage.contains("not configurable"))
+    // cid is length-prefix-canonical: configs whose flat 'k=v,k=v'
+    // rendering collides still get DISTINCT operation ids (ADVICE r13)
+    assert(graft.plans.OpRegistry.Manifest("m", Map("a" -> "1,b=2")).cid !=
+      graft.plans.OpRegistry.Manifest("m", Map("a" -> "1", "b" -> "2")).cid)
     // the configurable vocabulary is discoverable
     assert(graft.plans.OpRegistry.factoryNames.contains("dedup.minhash"))
   }
@@ -849,6 +857,13 @@ class GraftApiSpec extends SparkTestBase {
     api.setArchiveMetadata(archA, "title", "corpus snapshot") // latest wins
     assert(api.archiveInfo(archA).metadata ==
       Seq("licence" -> "CC-BY-4.0", "title" -> "corpus snapshot"))
+    // a brace-bearing value must not truncate the metadata block: later
+    // writes would silently drop the remaining entries (ADVICE r13)
+    api.setArchiveMetadata(archA, "note", """json-ish {"k": "v"} trailer""")
+    api.setArchiveMetadata(archA, "zlast", "after-brace write")
+    assert(api.archiveInfo(archA).metadata == Seq(
+      "licence" -> "CC-BY-4.0", "note" -> """json-ish {"k": "v"} trailer""",
+      "title" -> "corpus snapshot", "zlast" -> "after-brace write"))
     // copy into a FRESH archive: full copy, metadata inherited
     val archB = Export.tempDir("graft_archB_").resolve("b").toString
     assert(api.copyArchive(archA, archB).sorted == Seq("ca1", "ca2"))
@@ -898,6 +913,74 @@ class GraftApiSpec extends SparkTestBase {
     // path's grandparent (values/<id> lives under <root>/values)
     api.storeValue("root_probe", Seq(1L).toDF("n"))
     new java.io.File(api.data.path("root_probe")).getParentFile.getParent
+  }
+
+  test("registerPipeline: pipelines are first-class operations, nestable as steps") {
+    import graft.registries.WorkflowRegistry.OpStep
+    val root = Export.tempDir("graft_rp_").toString
+    val api = new GraftApi(spark, root)
+    api.storeValue("rp1",
+      Seq((1L, 10L, "x"), (2L, 60L, "y"), (3L, 80L, "z")).toDF("id", "qty", "s"),
+      Some("rp_raw"))
+    graft.plans.OpRegistry.register("rp_keep", df => df.filter(col("qty") > 50L))
+    graft.plans.OpRegistry.register("rp_tag", df => df.withColumn("tag", lit("t")))
+    // register a 2-step pipeline FROM A SPEC FILE (the runBatch shape)
+    val specPath = Export.tempDir("graft_rp_spec_").resolve("curate.json")
+    java.nio.file.Files.writeString(specPath,
+      """{"pipeline_name": "curate",
+        | "steps": [{"name": "keep", "op": "rp_keep", "input": "docs"},
+        |           {"name": "tag",  "op": "rp_tag",  "input": "keep"}]}""".stripMargin)
+    val opId = api.registerPipelineFile(specPath.toString)
+    assert(opId == "pipeline.curate")
+    // it is a first-class operation: catalog, info record, runJob
+    assert(api.listPipelineIds().contains(opId))
+    assert(api.listPipelineIds("curate") == Seq(opId))
+    assert(api.operationInfo(opId).module == "pipeline")
+    val (_, out) = api.runJob(opId, "rp_raw")
+    assert(out.count() == 2L && out.columns.contains("tag"))
+    // NESTED composition: a second pipeline calls the first AS A STEP,
+    // then narrows through a manifest-instantiated operation
+    val selId = api.createOperation("table.select", Map("columns" -> "id,tag"))
+    val outer = api.registerPipeline("outer",
+      Seq(OpStep("inner", opId, "src"), OpStep("narrow", selId, "inner")))
+    val (_, out2) = api.runJob(outer, "rp_raw")
+    assert(out2.columns.toSeq == Seq("id", "tag") && out2.count() == 2L)
+    // lineage records the nesting: the outer run AND the inner
+    // pipeline's own nested run are both in the provenance log
+    val runs = api.lineage.records.map(_.run)
+    assert(runs.exists(_.startsWith("pipeline.outer-run-")), runs)
+    assert(runs.exists(_.startsWith("pipeline.curate-run-")), runs)
+    // structure: free inputs, output = last declared step, stages
+    val st = api.getPipelineStructure(outer)
+    assert(st.inputFields == Seq("src") && st.outputField == "narrow")
+    assert(st.stages == Seq(Seq("inner"), Seq("narrow")))
+    val info = api.pipelineInfo(outer)
+    assert(info.arity == 1 && info.persisted && info.doc.contains("inner->narrow"))
+    assert(api.pipelinesInfo.map(_.structure.operationId).contains(opId))
+    // two free inputs make a BINARY operation (first-appearance order)
+    val paired = api.registerPipeline("paired",
+      Seq(OpStep("j", "table2.join", "l+r")))
+    assert(api.operationInfo(paired).inputType == "table+table")
+    assert(api.getPipelineStructure(paired).inputFields == Seq("l", "r"))
+    // refusals: non-pipeline id, >2 free inputs (not persisted), unknown op
+    val e = intercept[IllegalArgumentException](api.getPipelineStructure("rp_keep"))
+    assert(e.getMessage.contains("not a pipeline"))
+    val e2 = intercept[IllegalArgumentException](api.registerPipeline("bad3",
+      Seq(OpStep("a", "table2.join", "x+y"), OpStep("b", "table2.join", "a+z"))))
+    assert(e2.getMessage.contains("1 or 2 free inputs"))
+    assert(!api.pipelines.contains("pipeline.bad3"))
+    intercept[NoSuchElementException](
+      api.registerPipeline("badop", Seq(OpStep("a", "no.such.op", "x"))))
+    // cross-JVM: drop the live registrations, then a fresh context on the
+    // same root re-registers every persisted pipeline operation
+    graft.plans.OpRegistry.unregister(opId)
+    graft.plans.OpRegistry.unregister(outer)
+    val api2 = new GraftApi(spark, root)
+    assert(api2.listPipelineIds().contains(opId))
+    assert(api2.getPipelineStructure(outer) == st) // structure round-trips
+    assert(api2.pipelineInfo(outer).persisted)
+    val (_, out3) = api2.runJob(outer, "rp_raw")
+    assert(out3.count() == 2L && out3.columns.toSeq == Seq("id", "tag"))
   }
 
   test("endpoint catalog is complete, documented and drift-checked") {
