@@ -145,6 +145,28 @@ object Cli {
         noAliases = rest.nonEmpty)
       if (ids.isEmpty) "nothing to copy (target already has every value)"
       else s"copied ${ids.size} values into $targetDir: ${ids.sorted.mkString(", ")}"
+    // mount an archive as a named store (kiara register_archive,
+    // base_api.py:2220); reads resolve through it without import
+    case "archive" :: "register" :: root :: dir :: rest =>
+      var name: Option[String] = None
+      var writable = false
+      var args2 = rest
+      while (args2.nonEmpty) args2 match {
+        case "--name" :: n :: t => name = Some(n); args2 = t
+        case "--writable" :: t  => writable = true; args2 = t
+        case other => throw new IllegalArgumentException(
+          s"archive register: unexpected args ${other.mkString(" ")} " +
+            "(only --name <name>, --writable)")
+      }
+      val api = new GraftApi(spark, root)
+      val n = api.registerArchive(dir, name, allowWriteAccess = writable)
+      s"archive registered: $n -> $dir (${if (writable) "writable" else "read-only"})"
+    case "archive" :: "mounts" :: root :: Nil =>
+      val ms = new GraftApi(spark, root).listRegisteredArchives
+      if (ms.isEmpty) "no archives registered"
+      else ms.map { case (n, d, w) =>
+        f"$n%-20s ${if (w) "rw" else "ro"}  $d"
+      }.mkString("\n")
     case "archive" :: "meta" :: dir :: key :: value :: Nil =>
       graft.registries.Archive.setArchiveMetadata(dir, key, value)
       s"archive metadata set: $key=$value"
@@ -506,6 +528,8 @@ object Cli {
           s"context <root> list|create <name>|use <name>|current|info | " +
           s"archive info <dir> | archive export <root> <dir> [refs...] | " +
           s"archive import <root> <dir> [--no-aliases] | " +
+          s"archive register <root> <dir> [--name <n>] [--writable]" +
+          s"|mounts <root> | " +
           s"value <root> info <ref> | jobs <root> list|explain <id> | " +
           s"metadata <root> list|add <ref> <key> <value> [--job]" +
           s"|find <keyGlob>|explain <hash> | " +

@@ -81,6 +81,7 @@ object GraftApi {
     "getPipelineStructure" -> "steps, free inputs, output and stages of a pipeline operation",
     "pipelineInfo" -> "augmented record of one pipeline operation",
     "pipelinesInfo" -> "every pipeline operation's augmented record",
+    "assembleFilterPipelineConfig" -> "chain filter-family operations (plus an optional endpoint step) into a pipeline definition",
     "comments" -> "job comment store",
     "metadata" -> "value-metadata registry (key=value items per value)",
     "environments" -> "runtime-environment snapshot registry",
@@ -151,7 +152,11 @@ object GraftApi {
     "importArchive" -> "import a portable archive into this context",
     "archiveInfo" -> "metadata-only inspection of an archive directory",
     "copyArchive" -> "copy values between archives, skipping ones the target already has",
-    "setArchiveMetadata" -> "attach key=value metadata to an archive itself")
+    "setArchiveMetadata" -> "attach key=value metadata to an archive itself",
+    "mounts" -> "mounted-archive registry (name -> directory, writable flag)",
+    "registerArchive" -> "mount an archive directory as a named store; values resolve through it without import",
+    "listRegisteredArchives" -> "the registered archive mounts (name, directory, writable)",
+    "storeValueTo" -> "store a value into a writable registered archive")
 
   /** The API endpoint catalog — kiara's ApiEndpoints twin
     * (reference renderers/included_renderers/api/base_api.py:40 renders
@@ -213,6 +218,9 @@ class GraftApi(val spark: SparkSession, root: String) {
   val lineage = new LineageRegistry(root, registryEvents)
   val workflows = new WorkflowRegistry(root, lineage, registryEvents)
   val pipelines = new PipelineRegistry(root, registryEvents)
+  // archive mounts (register_archive) — declared with the registries so
+  // getValue's mount fall-through never sees an uninitialized field
+  val mounts = new graft.registries.MountRegistry(root)
   val comments = new CommentStore(root, registryEvents)
   val metadata = new MetadataRegistry(root, registryEvents)
   val environments = new EnvironmentRegistry(root)
@@ -640,6 +648,56 @@ class GraftApi(val spark: SparkSession, root: String) {
     * operation's augmented record. */
   def pipelinesInfo: Seq[PipelineOpInfo] = listPipelineIds().map(pipelineInfo)
 
+  /** assemble_filter_pipeline_config (base_api.py:2630 — preliminary in
+    * the reference, same scope here): chain N filter-family operations
+    * over one data type into a pipeline definition, optionally ending in
+    * an endpoint step. Filter refs resolve as given or as
+    * `<dataType>.<name>` (the filter-family naming convention — manifest
+    * ids from [[createOperation]] work directly); every filter must be a
+    * UNARY operation. Step ids auto-derive from the op id (kiara's
+    * "calculated automatically"), deduplicated on repeats. A unary
+    * endpoint consumes the filtered value; a binary endpoint binds the
+    * filtered value FIRST, with `endpointInputField` naming the second
+    * (free) input. Returns step triples ready for [[registerPipeline]]
+    * or [[graft.registries.WorkflowRegistry.registerOps]]. */
+  def assembleFilterPipelineConfig(dataType: String, filters: Seq[String],
+      endpoint: Option[String] = None,
+      endpointInputField: Option[String] = None,
+      endpointStepId: Option[String] = None): Seq[WorkflowRegistry.OpStep] = {
+    Builtins.ensureRegistered()
+    require(filters.nonEmpty, "assembleFilterPipelineConfig needs at least one filter")
+    def resolveOp(f: String): String =
+      if (OpRegistry.contains(f)) f
+      else if (OpRegistry.contains(s"$dataType.$f")) s"$dataType.$f"
+      else throw new NoSuchElementException(
+        s"unknown filter operation: $f (tried '$f' and '$dataType.$f')")
+    val used = scala.collection.mutable.Map.empty[String, Int]
+    def stepId(op: String): String = {
+      val base = op.replace('.', '_')
+      val n = used.getOrElse(base, 0) + 1
+      used(base) = n
+      if (n == 1) base else s"${base}_$n"
+    }
+    var prev = dataType // the pipeline's free input field IS the data type
+    val fSteps = filters.map { f =>
+      val op = resolveOp(f)
+      require(OpRegistry.arity(op) == 1, s"filter operations must be unary: $op")
+      val st = WorkflowRegistry.OpStep(stepId(op), op, prev)
+      prev = st.name
+      st
+    }
+    val epStep = endpoint.map { e =>
+      val op = resolveOp(e)
+      val id = endpointStepId.getOrElse(stepId(op))
+      val input = OpRegistry.arity(op) match {
+        case 1 => prev
+        case _ => s"$prev+${endpointInputField.getOrElse("endpoint_input")}"
+      }
+      WorkflowRegistry.OpStep(id, op, input)
+    }
+    fSteps ++ epStep
+  }
+
   /** Batch pipeline-from-file (kiara interfaces/python_api/batch.py:31
     * BatchOperation.from_file + utils.py create_save_config): run a
     * pipeline DEFINED IN A JSON FILE in one shot — steps resolve
@@ -879,8 +937,27 @@ class GraftApi(val spark: SparkSession, root: String) {
     alias.foreach(a => aliases.set(a, id))
     id
   }
-  def getValue(ref: String): DataFrame =
-    data.load(spark, aliases.resolve(ref).getOrElse(ref))
+  /** Load by id or alias; the LOCAL registry wins, then refs resolve
+    * through the registered archive mounts (register_archive reads —
+    * no import, the mounted parquet is read in place, so a 100 TB
+    * mounted value is immediately a distributed table). */
+  def getValue(ref: String): DataFrame = {
+    val local = aliases.resolve(ref).getOrElse(ref)
+    if (data.exists(local)) data.load(spark, local)
+    else mountedValue(ref).getOrElse(data.load(spark, local))
+  }
+
+  /** Resolve a ref through the archive mounts, in mount-name order:
+    * value id first, then the archive's own aliases. */
+  private def mountedValue(ref: String): Option[DataFrame] =
+    mounts.list.view.flatMap { case (_, dir, _) =>
+      scala.util.Try {
+        val (ids, als) = Archive.manifest(dir)
+        val id = if (ids.contains(ref)) Some(ref)
+          else als.toMap.get(ref).filter(ids.contains)
+        id.map(i => spark.read.parquet(s"$dir/values/$i"))
+      }.toOption.flatten
+    }.headOption
 
   /** Render a stored value INTO a value of another type through the
     * registered render-operation seam (kiara value.py:67 ValueRenderer:
@@ -1068,4 +1145,51 @@ class GraftApi(val spark: SparkSession, root: String) {
     * an archive ITSELF (its manifest), not to any value in it. */
   def setArchiveMetadata(archiveDir: String, key: String, value: String): Unit =
     Archive.setArchiveMetadata(archiveDir, key, value)
+
+  // --- mounted archives (base_api.py:2220 register_archive) ---------------
+
+  /** register_archive (base_api.py:2220 — preliminary in the reference,
+    * same scope here): attach an archive directory to this context as a
+    * NAMED STORE. Values and aliases in it resolve through [[getValue]]
+    * WITHOUT an import (the mounted parquet reads in place), and — when
+    * `allowWriteAccess` — [[storeValueTo]] writes new values into it.
+    * The mount persists under the context root, so a fresh JVM re-mounts
+    * automatically. A missing archive is created empty
+    * (`createIfNotExists`, kiara's default) or refused. Returns the
+    * registered name (directory basename by default, `.kiarchive`
+    * suffix stripped like the reference). */
+  def registerArchive(archiveDir: String, registeredName: Option[String] = None,
+                      allowWriteAccess: Boolean = false,
+                      createIfNotExists: Boolean = true,
+                      existingOk: Boolean = true): String = {
+    require(existingOk || createIfNotExists,
+      "'existingOk' and 'createIfNotExists' cannot both be false")
+    val exists = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(archiveDir, "manifest.json"))
+    if (exists) require(existingOk, s"archive already exists: $archiveDir")
+    else {
+      require(createIfNotExists, s"archive does not exist: $archiveDir")
+      Archive.createArchive(archiveDir)
+    }
+    val name = registeredName.getOrElse(
+      new java.io.File(archiveDir).getName.stripSuffix(".kiarchive"))
+    mounts.set(name, archiveDir, allowWriteAccess)
+    name
+  }
+
+  /** The registered archive mounts: (name, directory, writable). */
+  def listRegisteredArchives: Seq[(String, String, Boolean)] = mounts.list
+
+  /** store_value INTO a registered archive (kiara's `store_value(...,
+    * store=<registered name>)` seam): refused unless the mount was
+    * registered with write access; existing ids are refused, never
+    * overwritten. */
+  def storeValueTo(store: String, id: String, df: DataFrame,
+                   alias: Option[String] = None): String = {
+    val (dir, writable) = mounts.get(store).getOrElse(
+      throw new NoSuchElementException(s"no registered archive: $store"))
+    require(writable, s"archive '$store' is mounted read-only")
+    Archive.storeValueInArchive(df, dir, id, alias)
+    id
+  }
 }

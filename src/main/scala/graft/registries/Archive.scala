@@ -111,6 +111,37 @@ object Archive {
       }.getOrElse(Seq.empty).sortBy(_._1)
   }
 
+  /** Create an EMPTY archive (the register_archive
+    * create_if_not_exists path, base_api.py:2220): a manifest with no
+    * values, ready to be mounted writable and filled in place. */
+  def createArchive(dir: String): Unit = {
+    require(!Files.exists(Paths.get(dir, "manifest.json")),
+      s"archive already exists: $dir")
+    writeManifest(dir, Seq.empty, Seq.empty, Seq.empty)
+  }
+
+  /** The archive's manifest (value ids, aliases) — the mount-resolution
+    * surface (register_archive reads resolve through this without any
+    * import). */
+  def manifest(dir: String): (Seq[String], Seq[(String, String)]) =
+    readManifest(dir)
+
+  /** Store ONE value into an existing archive in place — the mounted
+    * WRITE path (register_archive with allow_write_access; kiara's
+    * store_value(store=...) seam). Existing ids are refused, never
+    * silently overwritten; an alias re-points to the new value (latest
+    * wins, like the live alias registry). */
+  def storeValueInArchive(df: org.apache.spark.sql.DataFrame, dir: String,
+                          id: String, alias: Option[String] = None): Unit = {
+    Names.validate("value id", id)
+    alias.foreach(Names.validate("alias name", _))
+    val (ids, als) = readManifest(dir)
+    require(!ids.contains(id), s"archive already has value: $id")
+    df.write.mode("errorifexists").parquet(s"$dir/values/$id")
+    val newAls = alias.fold(als)(a => als.filterNot(_._1 == a) :+ (a -> id))
+    writeManifest(dir, ids :+ id, newAls, readArchiveMetadata(dir))
+  }
+
   /** Archive-to-archive copy (kiara base_api.py:2496 copy_archive):
     * values in `sourceDir` not yet present in `targetDir` are copied
     * (parquet dirs, file-level — no Spark job, values stay splittable),

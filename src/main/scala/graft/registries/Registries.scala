@@ -478,6 +478,45 @@ class PipelineRegistry(root: String, bus: EventBus = new EventBus) {
   }
 }
 
+/** Mounted-archive registry (kiara base_api.py:2220 `register_archive`):
+  * name -> (archive dir, writable), persisted append-only JSONL under the
+  * context root so a fresh JVM re-mounts automatically. Latest
+  * registration per name wins (re-pointing a name is an append, never a
+  * rewrite). Paths are free text (JSON-escaped) — only the NAME uses the
+  * restricted registry charset. */
+class MountRegistry(root: String) {
+  private val file = Paths.get(s"$root/mounts.jsonl")
+  Files.createDirectories(Paths.get(root))
+
+  def set(name: String, dir: String, writable: Boolean): Unit = synchronized {
+    Names.validate("archive name", name)
+    val line = s"""{"name":"${Jsonl.esc(name)}","dir":"${Jsonl.esc(dir)}","writable":$writable}"""
+    Files.write(file, (line + "\n").getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+
+  private val NameRe = """"name":"((?:[^"\\]|\\.)*)"""".r
+  private val DirRe = """"dir":"((?:[^"\\]|\\.)*)"""".r
+  private val WritableRe = """"writable":(true|false)""".r
+
+  /** Latest mount per name, sorted by name. */
+  def list: Seq[(String, String, Boolean)] = {
+    val all =
+      if (!Files.exists(file)) Seq.empty
+      else Files.readAllLines(file).asScala.toSeq.flatMap { l =>
+        for {
+          n <- NameRe.findFirstMatchIn(l).map(m => Jsonl.unesc(m.group(1)))
+          d <- DirRe.findFirstMatchIn(l).map(m => Jsonl.unesc(m.group(1)))
+          w <- WritableRe.findFirstMatchIn(l).map(_.group(1).toBoolean)
+        } yield (n, d, w)
+      }
+    all.groupBy(_._1).map(_._2.last).toSeq.sortBy(_._1)
+  }
+
+  def get(name: String): Option[(String, Boolean)] =
+    list.collectFirst { case (n, d, w) if n == name => (d, w) }
+}
+
 /** Job comments (kiara_api.py:186 `set_job_comment`, :209
   * `get_job_comment`): free-text notes attached to job ids, persisted as
   * append-only JSONL next to the lineage log. Comments are arbitrary

@@ -168,6 +168,28 @@ class CliSpec extends SparkTestBase {
     assert(run.contains("job:") && run.contains("col_name"), run)
   }
 
+  test("archive register and mounts verbs attach a store; reads resolve through") {
+    import spark.implicits._
+    val root = graft.sources.Export.tempDir("graft_cli_mount_").toString
+    val src = new GraftApi(spark,
+      graft.sources.Export.tempDir("graft_cli_mount_src_").toString)
+    src.storeValue("cm1", Seq((1L, "hello-mount")).toDF("id", "s"), Some("shared_corpus"))
+    val arch = graft.sources.Export.tempDir("graft_cli_mount_arch_")
+      .resolve("shared.kiarchive").toString
+    src.exportArchive(arch)
+    val reg = Cli.run(spark,
+      Array("archive", "register", root, arch, "--name", "shared"))
+    assert(reg.contains("archive registered: shared") && reg.contains("read-only"), reg)
+    val mounts = Cli.run(spark, Array("archive", "mounts", root))
+    assert(mounts.contains("shared") && mounts.contains("ro"), mounts)
+    // a mounted value loads through the data verb WITHOUT an import
+    val loaded = Cli.run(spark, Array("data", root, "load", "shared_corpus"))
+    assert(loaded.contains("hello-mount"), loaded)
+    assert(Cli.run(spark, Array("archive", "mounts",
+      graft.sources.Export.tempDir("graft_cli_mount_empty_").toString))
+      == "no archives registered")
+  }
+
   test("run executes an operation on a stored value, records the job, saves") {
     import spark.implicits._
     val root = graft.sources.Export.tempDir("graft_cli_run_").toString

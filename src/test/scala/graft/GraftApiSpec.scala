@@ -983,6 +983,101 @@ class GraftApiSpec extends SparkTestBase {
     assert(out3.count() == 2L && out3.columns.toSeq == Seq("id", "tag"))
   }
 
+  test("assembleFilterPipelineConfig chains filter operations into a runnable pipeline") {
+    val api = newApi
+    api.storeValue("afp1",
+      Seq((1L, 10L, "ok"), (2L, 60L, "ok"), (3L, 80L, "bad"), (4L, 95L, "ok"))
+        .toDF("id", "qty", "s"), Some("afp_raw"))
+    val f1 = api.createOperation("table.filter", Map("where" -> "qty > 20"))
+    val f2 = api.createOperation("table.filter", Map("where" -> "s = 'ok'"))
+    val f3 = api.createOperation("table.head", Map("n" -> "1"))
+    // a 3-filter chain: input field = the data type, each step consumes
+    // its predecessor
+    val steps = api.assembleFilterPipelineConfig("table", Seq(f1, f2, f3))
+    assert(steps.size == 3 && steps.head.input == "table")
+    assert(steps(1).input == steps(0).name && steps(2).input == steps(1).name)
+    // the assembled config registers and RUNS end to end
+    val opId = api.registerPipeline("screened", steps)
+    val (_, out) = api.runJob(opId, "afp_raw")
+    assert(out.count() == 1L)
+    // duplicate filter ops get deduplicated auto step ids
+    val dup = api.assembleFilterPipelineConfig("table", Seq(f1, f1))
+    assert(dup.map(_.name).distinct.size == 2)
+    // bare names resolve through the '<dataType>.<name>' convention
+    val bare = api.assembleFilterPipelineConfig("text", Seq("clean", "nfc"))
+    assert(bare.map(_.op) == Seq("text.clean", "text.nfc"))
+    // unary endpoint consumes the filtered value
+    val ep = api.assembleFilterPipelineConfig("table", Seq(f1, f2),
+      endpoint = Some("profile.schema"), endpointStepId = Some("report"))
+    assert(ep.last.name == "report" && ep.last.input == ep(1).name)
+    // binary endpoint binds the filtered value first; the named field
+    // stays a free input of the assembled pipeline
+    val ep2 = api.assembleFilterPipelineConfig("table", Seq(f1),
+      endpoint = Some("table2.join"), endpointInputField = Some("dim"))
+    assert(ep2.last.input.endsWith("+dim"))
+    val bId = api.registerPipeline("enriched", ep2)
+    assert(api.getPipelineStructure(bId).inputFields == Seq("table", "dim"))
+    // unknown filters refused with both tried names
+    val e = intercept[NoSuchElementException](
+      api.assembleFilterPipelineConfig("table", Seq("no_such")))
+    assert(e.getMessage.contains("table.no_such"))
+    // a binary op is not a filter
+    val e2 = intercept[IllegalArgumentException](
+      api.assembleFilterPipelineConfig("table", Seq("table2.union")))
+    assert(e2.getMessage.contains("unary"))
+  }
+
+  test("registerArchive mounts an archive as a live store: read-through + write control") {
+    val root = Export.tempDir("graft_mount_").toString
+    val api = new GraftApi(spark, root)
+    // build an archive in a SEPARATE context, then mount it here
+    val src = new GraftApi(spark, Export.tempDir("graft_mount_src_").toString)
+    src.storeValue("mv1", Seq((1L, "a"), (2L, "b")).toDF("id", "s"), Some("corpus"))
+    val arch = Export.tempDir("graft_mount_arch_").resolve("team.kiarchive").toString
+    src.exportArchive(arch)
+    val name = api.registerArchive(arch)
+    assert(name == "team") // basename, .kiarchive suffix stripped
+    assert(api.listRegisteredArchives == Seq(("team", arch, false)))
+    // read THROUGH the mount, no import: by value id and by archive alias
+    assert(api.getValue("mv1").count() == 2L)
+    assert(api.getValue("corpus").count() == 2L)
+    assert(!api.data.exists("mv1")) // nothing was imported
+    // the local registry wins over a mounted value of the same id
+    api.storeValue("mv1", Seq((9L, "z")).toDF("id", "s"))
+    assert(api.getValue("mv1").count() == 1L)
+    // write refusal on a read-only mount
+    val e = intercept[IllegalArgumentException](
+      api.storeValueTo("team", "mv2", Seq((3L, "c")).toDF("id", "s")))
+    assert(e.getMessage.contains("read-only"))
+    // a writable mount accepts storeValueTo; the archive alias resolves
+    api.registerArchive(arch, Some("teamrw"), allowWriteAccess = true)
+    api.storeValueTo("teamrw", "mv2",
+      Seq((3L, "c"), (4L, "d"), (5L, "e")).toDF("id", "s"), Some("extra"))
+    assert(api.getValue("mv2").count() == 3L && api.getValue("extra").count() == 3L)
+    assert(api.archiveInfo(arch).values.map(_.id).contains("mv2"))
+    // existing archive ids are refused, never overwritten
+    intercept[IllegalArgumentException](
+      api.storeValueTo("teamrw", "mv2", Seq((1L, "x")).toDF("id", "s")))
+    intercept[NoSuchElementException](
+      api.storeValueTo("ghost", "v9", Seq((1L, "x")).toDF("id", "s")))
+    // createIfNotExists: a fresh path becomes an EMPTY archive in place
+    val fresh = Export.tempDir("graft_mount_new_").resolve("scratch").toString
+    api.registerArchive(fresh, allowWriteAccess = true)
+    assert(api.archiveInfo(fresh).values.isEmpty)
+    api.storeValueTo("scratch", "sv1", Seq((1L, "q")).toDF("id", "s"))
+    assert(api.getValue("sv1").count() == 1L)
+    // refusals: missing archive with create disabled; both flags false
+    intercept[IllegalArgumentException](api.registerArchive(
+      Export.tempDir("graft_mount_no_").resolve("none").toString,
+      createIfNotExists = false))
+    intercept[IllegalArgumentException](api.registerArchive(arch,
+      createIfNotExists = false, existingOk = false))
+    // fresh-JVM re-mount: a new context on the same root still resolves
+    val api2 = new GraftApi(spark, root)
+    assert(api2.getValue("corpus").count() == 2L)
+    assert(api2.listRegisteredArchives.map(_._1) == Seq("scratch", "team", "teamrw"))
+  }
+
   test("endpoint catalog is complete, documented and drift-checked") {
     val eps = GraftApi.endpoints
     assert(eps.size >= 50, s"expected >= 50 endpoints, got ${eps.size}")
