@@ -43,6 +43,32 @@ object EventStream {
     graft.Tables.normalizeTs(st)
   }
 
+  /** Clone a session for a STATEFUL face: narrow shuffle width (one
+    * state store per shuffle partition — with the batch default of 32
+    * the per-store bookkeeping, not the data, dominates at gate SFs) +
+    * the configurable state-store provider.
+    * `SPARK_GRAFT_STATE_PROVIDER` selects the provider class for every
+    * stateful face; the shorthand value `rocksdb` expands to Spark's
+    * RocksDBStateStoreProvider. The x600 replay legs measured the
+    * default HDFSBacked provider's per-batch ON-HEAP state-map rebuild
+    * as THE wall-clock term that grows with bucket size (2.5–3.2× at
+    * 2× data); RocksDB moves that state off-heap and flattens exactly
+    * that term — the memory-headroom trade production clusters make.
+    * Default (unset) keeps Spark's HDFSBacked provider, so local gate
+    * runs are unchanged. */
+  private def statefulSession(spark0: SparkSession): SparkSession = {
+    val s = spark0.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    sys.env.get("SPARK_GRAFT_STATE_PROVIDER").foreach { p =>
+      val cls =
+        if (p.equalsIgnoreCase("rocksdb"))
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        else p
+      s.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
+    }
+    s
+  }
+
   /** Run a streaming DataFrame to a memory sink with AvailableNow and
     * return the sink table. */
   private def runToMemory(spark: SparkSession, df: DataFrame, mode: String): DataFrame = {
@@ -184,9 +210,42 @@ object EventStream {
     * days) that pushes the global watermark past every real event —
     * the outer-join flush idiom from [[purchaseClickLeftJoin]]. Staged
     * dirs are immutable → cached per configuration per JVM. */
+  /** Staged-dir sanity gate for the replay faces: every bucket file must
+    * be readable parquet (footer-only check — no data scan), and mtime
+    * order (what the file source processes by) must match lexicographic
+    * bucket-name order (how [[stageTimeBuckets]] encodes event-time
+    * order). A violation fails HERE, with the file named, instead of the
+    * two silent failure modes it would otherwise become: a corrupt or
+    * truncated bucket kills the query mid-drain with a task-level error,
+    * and an out-of-order mtime makes the watermark jump ahead and
+    * silently DROP the late bucket's events (verdicts would read wrong
+    * with no pointer to why). The r13 probe found the silent-zero-rows
+    * class of failure in `source()`; this pins the staged-replay class.
+    * Zero-ROW buckets are legal (a quiet time range); zero-BYTE or
+    * garbage files are not. */
+  private[graft] def validateStagedDir(dir: String): Unit = {
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    require(files.nonEmpty, s"staged replay dir has no bucket files: $dir")
+    files.foreach { f =>
+      try graft.registries.ParquetMeta.rowCount(f.getPath)
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"staged bucket file is not readable parquet: ${f.getPath}", e)
+      }
+    }
+    files.sliding(2).foreach {
+      case Array(a, b) => require(a.lastModified <= b.lastModified,
+        s"staged bucket files out of mtime order: ${b.getName} has an older " +
+          s"mtime than ${a.getName} — the file source replays by mtime, so " +
+          "the watermark would jump ahead and silently drop the late bucket")
+      case _ => ()
+    }
+  }
+
   private def stageTimeBuckets(spark: SparkSession, path: String, nFiles: Int,
-                               doubled: Boolean, sentinel: Boolean): String =
-    flushStaged.getOrElseUpdate(s"buckets:$nFiles:$doubled:$sentinel:$path", {
+                               doubled: Boolean, sentinel: Boolean): String = {
+    val staged = flushStaged.getOrElseUpdate(s"buckets:$nFiles:$doubled:$sentinel:$path", {
       import java.nio.file.{Files, Paths, StandardCopyOption}
       // ids cast to long explicitly: the sentinel file below writes LONG
       // ids, and a driver regeneration narrowing the source to INT32
@@ -234,11 +293,15 @@ object EventStream {
       bucketed.unpersist()
       d
     })
+    // validate fresh AND cached retrievals: footers only, so the gate is
+    // cheap next to the drain it protects
+    validateStagedDir(staged)
+    staged
+  }
 
   def dedupWithinWatermarkReplay(spark0: SparkSession, path: String,
                                  nFiles: Int = 30): DataFrame = {
-    val spark = spark0.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val spark = statefulSession(spark0)
     val dir = stageTimeBuckets(spark, path, nFiles, doubled = true, sentinel = false)
     val schema = spark.read.option("pathGlobFilter", "*.parquet").parquet(dir).schema
     val src = spark.readStream.schema(schema)
@@ -392,8 +455,7 @@ object EventStream {
     // SparkContext) sized to the stream's key cardinality instead of
     // mutating the caller's conf — with the batch default of 32 the
     // per-store bookkeeping, not the data, dominated (measured 7.4→3.9 s)
-    val s2 = spark.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val s2 = statefulSession(spark)
     val purchases = source(s2, path)
       .filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
@@ -432,8 +494,7 @@ object EventStream {
 
   def purchaseClickLeftJoin(spark: SparkSession, path: String, hours: Int = 24): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val s2 = spark.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val s2 = statefulSession(spark)
     val dir = flushStaged.getOrElseUpdate(path, {
       val batch = graft.Tables.normalizeTs(s2.read.parquet(path))
         .select("event_id", "ts", "user_id", "event_type")
@@ -498,8 +559,7 @@ object EventStream {
     * returned as a verdict row against the batch-computed expectation. */
   def purchaseClickLeftJoinReplay(spark0: SparkSession, path: String,
                                   nFiles: Int = 30, hours: Int = 24): DataFrame = {
-    val spark = spark0.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val spark = statefulSession(spark0)
     val dir = stageTimeBuckets(spark, path, nFiles, doubled = false, sentinel = true)
     val schema = spark.read.option("pathGlobFilter", "*.parquet").parquet(dir).schema
     val src = spark.readStream.schema(schema)
@@ -572,8 +632,7 @@ object EventStream {
     * matches_batch. */
   def sessionStatsExpiring(spark0: SparkSession, path: String,
                            nFiles: Int = 30, gapMinutes: Int = 30): DataFrame = {
-    val spark = spark0.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val spark = statefulSession(spark0)
     import spark.implicits._
     val gapUs = gapMinutes.toLong * 60L * 1000000L
     val dir = stageTimeBuckets(spark, path, nFiles, doubled = false, sentinel = true)
@@ -668,8 +727,7 @@ object EventStream {
     */
   def upsertedProfiles(spark0: SparkSession, path: String): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val s2 = spark0.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val s2 = statefulSession(spark0)
     val dir = upsertStaged.getOrElseUpdate(path, {
       val ev = graft.Tables.normalizeTs(s2.read.parquet(path))
         .select("event_id", "ts", "user_id", "event_type", "value")
@@ -734,8 +792,7 @@ object EventStream {
     // stateful stage: one state store per shuffle partition — size to the
     // key cardinality on a cloned session instead of inheriting the batch
     // default (same reasoning as purchaseClickJoin below)
-    val spark = spark0.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val spark = statefulSession(spark0)
     import spark.implicits._
     val gapUs = gapMinutes.toLong * 60L * 1000000L
     val src = source(spark, path)
@@ -833,8 +890,7 @@ object EventStream {
     * Scale shape: state is 3 longs per user; the drained per-user
     * table folds to a single 3-counter row. */
   def funnelStages(spark0: SparkSession, path: String): DataFrame = {
-    val spark = spark0.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val spark = statefulSession(spark0)
     import spark.implicits._
     val M = Long.MaxValue
     val src = source(spark, path)

@@ -78,6 +78,50 @@ class EventsSpec extends SparkTestBase {
     assert(se.getLong(3) == 1L, s"expiring sessionize vs batch: $se")
   }
 
+  test("staged-replay validation: corrupt/truncated buckets and out-of-order mtimes are diagnosable errors") {
+    import java.nio.file.{Files, Paths}
+    import graft.streaming.EventStream
+    // build a tiny well-formed two-bucket dir (valid parquet, mtimes in
+    // name order) — the shape stageTimeBuckets produces
+    val dir = graft.sources.Export.tempDir("graft_staged_val_").toString
+    def writeBucket(name: String, mtime: Long): Unit = {
+      val tmp = s"$dir/_stage_$name"
+      Seq((1L, "a")).toDF("id", "s").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+      val dst = Paths.get(dir, s"$name.parquet")
+      Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    val now = System.currentTimeMillis()
+    writeBucket("0000_bucket", now - 120000L)
+    writeBucket("0001_bucket", now - 60000L)
+    EventStream.validateStagedDir(dir) // well-formed passes
+    // a TRUNCATED bucket (zero bytes — a killed copy) names itself
+    val trunc = Paths.get(dir, "0002_bucket.parquet")
+    Files.write(trunc, Array.empty[Byte])
+    trunc.toFile.setLastModified(now)
+    val e1 = intercept[IllegalArgumentException](EventStream.validateStagedDir(dir))
+    assert(e1.getMessage.contains("not readable parquet") &&
+      e1.getMessage.contains("0002_bucket"), e1.getMessage)
+    // a CORRUPT bucket (garbage bytes) likewise
+    Files.write(trunc, "not a parquet file".getBytes("UTF-8"))
+    val e2 = intercept[IllegalArgumentException](EventStream.validateStagedDir(dir))
+    assert(e2.getMessage.contains("not readable parquet"), e2.getMessage)
+    Files.delete(trunc)
+    // an out-of-order mtime (later-named bucket with an OLDER mtime —
+    // the file source would replay it first, watermark jumps ahead,
+    // the late bucket's events silently drop) is refused, named
+    Paths.get(dir, "0001_bucket.parquet").toFile.setLastModified(now - 300000L)
+    val e3 = intercept[IllegalArgumentException](EventStream.validateStagedDir(dir))
+    assert(e3.getMessage.contains("out of mtime order") &&
+      e3.getMessage.contains("0001_bucket"), e3.getMessage)
+    // and an empty staged dir cannot silently stream zero rows
+    val empty = graft.sources.Export.tempDir("graft_staged_empty_").toString
+    val e4 = intercept[IllegalArgumentException](EventStream.validateStagedDir(empty))
+    assert(e4.getMessage.contains("no bucket files"), e4.getMessage)
+  }
+
   test("streaming sessionization (flatMapGroupsWithState) matches batch") {
     val batch = Events.sessionStats(Tables.t(spark, sfDir, "events"))
       .select("user_id", "n_sessions", "n_events").collect().toSeq
