@@ -82,6 +82,7 @@ object GraftApi {
     "pipelineInfo" -> "augmented record of one pipeline operation",
     "pipelinesInfo" -> "every pipeline operation's augmented record",
     "assembleFilterPipelineConfig" -> "chain filter-family operations (plus an optional endpoint step) into a pipeline definition",
+    "assembleRenderPipeline" -> "pipeline definition rendering a data type to the first matching target format, with an optional filter chain",
     "comments" -> "job comment store",
     "metadata" -> "value-metadata registry (key=value items per value)",
     "environments" -> "runtime-environment snapshot registry",
@@ -696,6 +697,36 @@ class GraftApi(val spark: SparkSession, root: String) {
       WorkflowRegistry.OpStep(id, op, input)
     }
     fSteps ++ epStep
+  }
+
+  /** assemble_render_pipeline (base_api.py:2814 — preliminary there,
+    * same scope here): resolve the render operation for `dataType` and
+    * the FIRST matching entry of `targetFormats` (the reference's
+    * try-each-format loop), optionally prepending a filter chain via
+    * [[assembleFilterPipelineConfig]] with the render step as the
+    * endpoint. With no filters the definition is the single render
+    * step. A missing renderer is refused with the formats that ARE
+    * registered for the type, like the reference. (The reference's
+    * `use_pretty_print` variant is not twinned: graft's pretty_print is
+    * a driver-side STRING rendering, not a value→value operation — a
+    * 'string'-target render op, once registered, slots in here by
+    * name.) */
+  def assembleRenderPipeline(dataType: String,
+      targetFormats: Seq[String] = Seq("string"),
+      filters: Seq[String] = Seq.empty): Seq[WorkflowRegistry.OpStep] = {
+    Builtins.ensureRegistered()
+    import graft.operators.Render.ValueRenderOps
+    val registered = ValueRenderOps.list.collect { case (s, t, _) if s == dataType => t }
+    val opName = targetFormats.view
+      .flatMap(t => ValueRenderOps.find(dataType, t)).headOption
+      .getOrElse(throw new NoSuchElementException(
+        s"no render operation for source type '$dataType' to target(s) " +
+          targetFormats.mkString(", ") +
+          (if (registered.isEmpty) s" — no render operations registered for '$dataType'"
+           else s" (registered targets for '$dataType': ${registered.sorted.mkString(", ")})")))
+    if (filters.isEmpty) Seq(WorkflowRegistry.OpStep("render_value", opName, dataType))
+    else assembleFilterPipelineConfig(dataType, filters,
+      endpoint = Some(opName), endpointStepId = Some("render_value"))
   }
 
   /** Batch pipeline-from-file (kiara interfaces/python_api/batch.py:31

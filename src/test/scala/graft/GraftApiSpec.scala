@@ -1025,6 +1025,23 @@ class GraftApiSpec extends SparkTestBase {
     val e2 = intercept[IllegalArgumentException](
       api.assembleFilterPipelineConfig("table", Seq("table2.union")))
     assert(e2.getMessage.contains("unary"))
+    // assemble_render_pipeline: first matching target format wins; with
+    // filters it becomes a filter chain ending in the render step
+    val r1 = api.assembleRenderPipeline("table", Seq("string", "schema"))
+    assert(r1 == Seq(graft.registries.WorkflowRegistry
+      .OpStep("render_value", "render.table.schema", "table")), r1)
+    val r2 = api.assembleRenderPipeline("table", Seq("profile"), filters = Seq(f1))
+    assert(r2.size == 2 && r2.last.name == "render_value" &&
+      r2.last.op == "render.table.profile" && r2.last.input == r2.head.name)
+    // ...and it registers + runs like any assembled definition
+    val rId = api.registerPipeline("render_profiled", r2)
+    val (_, rOut) = api.runJob(rId, "afp_raw")
+    assert(rOut.columns.contains("col_name") && rOut.count() > 0)
+    // missing renderer refused, naming what IS registered
+    val e3 = intercept[NoSuchElementException](
+      api.assembleRenderPipeline("table", Seq("pdf")))
+    assert(e3.getMessage.contains("registered targets") &&
+      e3.getMessage.contains("schema"), e3.getMessage)
   }
 
   test("registerArchive mounts an archive as a live store: read-through + write control") {
