@@ -103,6 +103,10 @@ object GraftApi {
     "getWorkflow" -> "the cached workflow session, or one rebuilt from the persisted registry workflow",
     "listWorkflowIds" -> "live workflow session names plus persisted registry workflows",
     "listWorkflowAliasNames" -> "aliases registered over persisted workflows",
+    "workflowAliasesInfo" -> "every workflow alias paired with its workflow's info record",
+    "findOperationId" -> "registered operation id for a module type + config, if instantiated",
+    "registerValueAlias" -> "alias an existing stored value (re-pointing needs allowOverwrite)",
+    "isInternalDataType" -> "whether a data type is internal-only (always false; unknown types refused)",
     "setWorkflowAlias" -> "register an alias over a persisted workflow",
     "workflowInfo" -> "one workflow's record: aliases, steps, inputs, snapshot history",
     "workflowsInfo" -> "every workflow's info record",
@@ -297,6 +301,19 @@ class GraftApi(val spark: SparkSession, root: String) {
     jobId
   }
 
+  /** find_operation_id (base_api.py:2612): the registered operation id
+    * for a module type + config, if one is registered — a bare
+    * already-registered operation id resolves to itself (kiara's
+    * module_or_operation manifest path); an uninstantiated manifest
+    * returns None (this endpoint never instantiates). */
+  def findOperationId(moduleType: String,
+                      config: Map[String, String] = Map.empty): Option[String] = {
+    Builtins.ensureRegistered()
+    if (config.isEmpty && OpRegistry.contains(moduleType)) Some(moduleType)
+    else Some(OpRegistry.Manifest(moduleType, config).operationId)
+      .filter(OpRegistry.contains)
+  }
+
   // --- module types (kiara_api.py:632,638,662) -----------------------------
   /** list_module_type_names: the module-type vocabulary (operation
     * families + their implementing classes), distinct from operation
@@ -449,6 +466,12 @@ class GraftApi(val spark: SparkSession, root: String) {
   /** retrieve_workflows_info (base_api.py:3498): every workflow's info
     * record — live sessions and persisted registry workflows. */
   def workflowsInfo: Seq[WorkflowInfo] = listWorkflowIds.map(workflowInfo)
+
+  /** retrieve_workflow_aliases_info (base_api.py:3512) /
+    * list_workflow_aliases (:3464): every workflow alias paired with the
+    * info record of the workflow it resolves to. */
+  def workflowAliasesInfo: Seq[(String, WorkflowInfo)] =
+    workflows.aliasNames.map(a => a -> workflowInfo(a))
 
   // --- pipelines as first-class operations (base_api.py:1277
   //     register_pipeline, :1298 register_pipelines; catalog :1085
@@ -962,6 +985,15 @@ class GraftApi(val spark: SparkSession, root: String) {
   // --- data types (kiara_api.py:578) -------------------------------------
   def listDataTypeNames: Seq[String] = TypeMap.toSpark.keys.toSeq.sorted
 
+  /** is_internal_data_type (base_api.py:484): graft exposes every
+    * registered data type to users (there is no internal/doc-model type
+    * tier — pydantic scaffolding has no Spark twin), so this is `false`
+    * for every KNOWN type and a refusal for unknown ones. */
+  def isInternalDataType(name: String): Boolean = {
+    require(TypeMap.toSpark.contains(name), s"unknown data type: $name")
+    false
+  }
+
   // --- values + aliases (kiara_api.py:893,1018,965,831) -------------------
   def storeValue(id: String, df: DataFrame, alias: Option[String] = None): String = {
     data.store(id, df)
@@ -1005,6 +1037,19 @@ class GraftApi(val spark: SparkSession, root: String) {
   }
   def listValueIds: Seq[String] = data.list
   def listAliasNames: Seq[String] = aliases.list.map(_._1)
+
+  /** register_value_alias (base_api.py:1678): alias an EXISTING stored
+    * value; re-pointing a live alias requires `allowOverwrite` (the
+    * reference's allow_overwrite gate — the registry itself is
+    * latest-wins, this endpoint adds kiara's protection). */
+  def registerValueAlias(value: String, alias: String,
+                         allowOverwrite: Boolean = false): Unit = {
+    require(data.exists(value), s"no such value: $value")
+    val existing = aliases.resolve(alias)
+    require(allowOverwrite || existing.isEmpty || existing.contains(value),
+      s"alias '$alias' already points at '${existing.get}' (pass allowOverwrite to re-point)")
+    aliases.set(alias, value)
+  }
 
   /** query_value (base_api.py:1449 — provisional in the reference, so
     * the shape is kept deliberately small): a `::`-delimited query path

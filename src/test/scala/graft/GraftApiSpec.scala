@@ -841,6 +841,12 @@ class GraftApiSpec extends SparkTestBase {
     // rendering collides still get DISTINCT operation ids (ADVICE r13)
     assert(graft.plans.OpRegistry.Manifest("m", Map("a" -> "1,b=2")).cid !=
       graft.plans.OpRegistry.Manifest("m", Map("a" -> "1", "b" -> "2")).cid)
+    // find_operation_id: instantiated manifests resolve, others are None,
+    // a bare operation id resolves to itself
+    assert(api.findOperationId("table.filter", Map("where" -> "qty > 50")) ==
+      Some(opId))
+    assert(api.findOperationId("table.filter", Map("where" -> "never_ran")).isEmpty)
+    assert(api.findOperationId("table2.union") == Some("table2.union"))
     // the configurable vocabulary is discoverable
     assert(graft.plans.OpRegistry.factoryNames.contains("dedup.minhash"))
   }
@@ -1093,6 +1099,34 @@ class GraftApiSpec extends SparkTestBase {
     val api2 = new GraftApi(spark, root)
     assert(api2.getValue("corpus").count() == 2L)
     assert(api2.listRegisteredArchives.map(_._1) == Seq("scratch", "team", "teamrw"))
+  }
+
+  test("registerValueAlias, workflowAliasesInfo and isInternalDataType round out the catalog") {
+    val api = newApi
+    api.storeValue("rva1", Seq((1L, "a")).toDF("id", "s"))
+    api.storeValue("rva2", Seq((2L, "b")).toDF("id", "s"))
+    // alias an existing value; idempotent re-point to the SAME value ok
+    api.registerValueAlias("rva1", "current")
+    api.registerValueAlias("rva1", "current")
+    assert(api.getValue("current").count() == 1L)
+    // re-pointing to a DIFFERENT value needs allowOverwrite
+    val e = intercept[IllegalArgumentException](
+      api.registerValueAlias("rva2", "current"))
+    assert(e.getMessage.contains("allowOverwrite"))
+    api.registerValueAlias("rva2", "current", allowOverwrite = true)
+    assert(api.getValue("current").head().getLong(0) == 2L)
+    intercept[IllegalArgumentException](api.registerValueAlias("ghost", "g"))
+    // workflow aliases info: alias -> resolved workflow's info record
+    graft.plans.OpRegistry.register("rva_id", df => df)
+    val wf = api.createWorkflow("rva_flow")
+    wf.addStep("s1", "rva_id", "in")
+    wf.save()
+    api.setWorkflowAlias("rva_prod", "rva_flow")
+    val wai = api.workflowAliasesInfo
+    assert(wai.map(_._1) == Seq("rva_prod") && wai.head._2.name == "rva_flow")
+    // data types: none are internal; unknown names refused
+    assert(!api.isInternalDataType("string"))
+    intercept[IllegalArgumentException](api.isInternalDataType("no_such_type"))
   }
 
   test("endpoint catalog is complete, documented and drift-checked") {
