@@ -253,6 +253,7 @@ object SparkEntry {
     "text_heaps" -> (Suite.textHeaps _),
     "stream_hll_distinct" -> (Suite.streamHllDistinct _),
     "mm_phash" -> (Suite.mmPhash _),
+    "mm_near_dup" -> (Suite.mmNearDup _),
     "q36_share" -> (Relational.q36Share _),
     "dq_reconcile" -> (Suite.dqReconcile _),
     "evt_causal_impact" -> (Suite.evtCausalImpact _),
@@ -387,6 +388,35 @@ object SparkEntry {
        |  WHERE doc_id % 20 = 0 AND strlen(text) >= 72)
        |SELECT doc_id, nb AS n_bytes, ${bits.mkString(" || ")} AS phash
        |FROM b ORDER BY doc_id""".stripMargin
+  }
+
+  /** Media near-dup oracle, generated: the same planted last-byte-swap
+    * twins, the 64-bit dHash replay of [[phashSql]] over the unioned
+    * corpus, then BRUTE-FORCE all-pairs positional hamming (64 per-bit
+    * CASE terms) at the same threshold — hash equality proves the
+    * engine's 4×16 banding recalls exactly the brute-force pair set. */
+  private def mmNearDupSql: String = {
+    def px(i: Int) =
+      s"('0x' || substr(hx, ((((nb - 1) * $i) // 71) * 2 + 1), 2))::INT"
+    val bits = (0 until 8).flatMap(r => (0 until 8).map(c =>
+      s"(CASE WHEN ${px(r * 9 + c)} > ${px(r * 9 + c + 1)} THEN '1' ELSE '0' END)"))
+    val ham = (1 to 64).map(i =>
+      s"(CASE WHEN substr(a.phash, $i, 1) <> substr(b.phash, $i, 1) THEN 1 ELSE 0 END)")
+    s"""WITH base AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT CAST(doc_id + 1000000 AS BIGINT),
+       |    substr(text, 1, CAST(strlen(text) AS INT) - 1) || '~'
+       |  FROM documents WHERE doc_id % 40 = 0 AND strlen(text) >= 72),
+       |b AS (SELECT doc_id, hex(text) AS hx,
+       |    CAST(strlen(text) AS BIGINT) AS nb FROM base
+       |  WHERE doc_id % 20 = 0 AND strlen(text) >= 72),
+       |s AS (SELECT doc_id, ${bits.mkString(" || ")} AS phash FROM b)
+       |SELECT doc_a, doc_b, hamming FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(${ham.mkString(" + ")} AS BIGINT) AS hamming
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+       |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
   }
 
   /** Portable-simhash oracle, generated: 32 ±1-sum bit terms over
@@ -5208,6 +5238,7 @@ object SparkEntry {
         |  round(r * r, 4) AS r2
         |FROM m""".stripMargin,
     "mm_phash" -> phashSql,
+    "mm_near_dup" -> mmNearDupSql,
     "dedup_simhash" -> simhashSql,
     // dedup_simhash_scale (contract-verdict since r13): the 64-bit
     // xxhash64 production face can't bit-replay in DuckDB, but its

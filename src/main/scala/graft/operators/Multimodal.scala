@@ -75,6 +75,44 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Media near-duplicate pairs via BANDED perceptual hashes — the
+    * image-dedup step of a multimodal curation pipeline (retrieve →
+    * pHash → band → bucket-join → verify), composed from [[pHash]]
+    * exactly like the text simhash family: the 64-bit dHash string
+    * bands into 4×16-bit chunks (pigeonhole: any pair within hamming 3
+    * shares at least one whole chunk), equal chunks bucket-join the
+    * candidates — an EQUI-join, never an all-pairs product, so
+    * candidate volume scales with collisions, not corpus² — and exact
+    * hamming over the remaining few verifies (per-chunk base-2 conv →
+    * xor → bit_count, codegen'd). The signature table is persisted:
+    * the banding self-join would otherwise recompute the pHash subtree
+    * twice (the r8 lesson). Fully engine-replayable: pHash is hex/
+    * integer arithmetic, banding is substring equality, hamming is
+    * positional bit comparison. */
+  def nearDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    import graft.Caches.TrackedPersist
+    val sig = pHash(docs)
+      .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val chunks = (0 until 4).map(k =>
+      struct(lit(k).as("k"), expr(s"substring(phash, ${k * 16 + 1}, 16)").as("chunk")))
+    val banded = sig.select(col("doc_id"), col("phash"),
+        explode(array(chunks: _*)).as("bc"))
+      .select(col("doc_id"), col("phash"), col("bc.k").as("k"), col("bc.chunk").as("chunk"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.k") === col("b.k") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.phash").as("pa"), col("b.phash").as("pb"))
+      .distinct() // a pair sharing several chunks is ONE candidate
+    val ham = (0 until 4).map(k =>
+      expr(s"bit_count(cast(conv(substring(pa, ${k * 16 + 1}, 16), 2, 10) as bigint)" +
+        s" ^ cast(conv(substring(pb, ${k * 16 + 1}, 16), 2, 10) as bigint))"))
+      .reduce(_ + _)
+    cand.select(col("doc_a"), col("doc_b"), ham.cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
   case class AudioMeta(doc_id: Long, n_bytes: Int, channels: Int,
     sample_rate: Int, bits: Int, n_frames: Long, duration_ms: Long)
 

@@ -2291,6 +2291,25 @@ object Suite {
   def mmPhash(s: SparkSession, dir: String): DataFrame =
     Multimodal.pHash(t(s, dir, "documents"))
 
+  /** Media near-dup pairs over banded perceptual hashes. Planted twins:
+    * payloads at doc_id % 40 == 0 re-enter at +1000000 with the LAST
+    * byte swapped for '~' — the length is unchanged, so the strided
+    * dHash sampling grid is unchanged and only the final cell moves
+    * (true hamming <= 1; banding recall then guaranteed by pigeonhole).
+    * The fixed offset is oracle-REPLAYED (the simhash/minhash planted
+    * precedent), so it stays fixed, unlike dedup_simhash_scale's
+    * derived offset. Oracle: the same twins + brute-force all-pairs
+    * positional hamming — hash equality proves the banding's recall
+    * equals brute force on this corpus. */
+  def mmNearDup(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val twins = d
+      .filter(col("doc_id") % 40 === 0 && octet_length(col("text")) >= 72)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(expr("substring(text, 1, octet_length(text) - 1)"), lit("~")).as("text"))
+    Multimodal.nearDupPairs(d.union(twins))
+  }
+
   /** Newman modularity of the label-prop communities on the trade graph. */
   def graphModularity(s: SparkSession, dir: String): DataFrame =
     Graph.modularity(Graph.tradeEdges(t(s, dir, "orders"),

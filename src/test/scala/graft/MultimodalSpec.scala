@@ -86,6 +86,32 @@ class MultimodalSpec extends SparkTestBase {
     assert(ham > 0 && ham <= 16, s"one-char edit moved $ham of 64 bits")
   }
 
+  test("nearDupPairs: banded pHash recalls planted near-twins, exact docs at 0, far docs absent") {
+    val base = ("the quick brown fox jumps over the lazy dog and keeps running " * 3)
+    val twin = base.dropRight(1) + "~" // same length: only the last cell moves
+    val far = ("numbers 0123456789 all day long and nothing else to sample here " * 3)
+    val docs = Seq((20L, base), (40L, base), (60L, twin), (80L, far))
+      .toDF("doc_id", "text")
+    val pairs = graft.operators.Multimodal.nearDupPairs(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // exact duplicates collide at hamming 0; the last-byte twin is
+    // within 1 of both copies (pigeonhole recall through the banding)
+    assert(pairs((20L, 40L)) == 0L)
+    assert(pairs.contains((20L, 60L)) && pairs((20L, 60L)) <= 1L, pairs)
+    assert(pairs.contains((40L, 60L)))
+    // the unrelated payload pairs with nothing
+    assert(!pairs.keys.exists { case (a, b) => a == 80L || b == 80L }, pairs)
+    // banded candidates verify by EXACT hamming: recompute brute force
+    // from the signatures and compare the full pair set
+    val sig = graft.operators.Multimodal.pHash(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val brute = (for {
+      a <- sig.keys; b <- sig.keys if a < b
+      h = sig(a).zip(sig(b)).count { case (x, y) => x != y } if h <= 3
+    } yield (a, b) -> h.toLong).toMap
+    assert(pairs == brute, s"banding must equal brute force: $pairs vs $brute")
+  }
+
   test("WavHeader round-trips its own header and rejects garbage") {
     // 44100 Hz stereo 16-bit, 44100 frames → exactly 1000 ms
     val b = graft.operators.WavHeader.header(44100, 2, 16, 44100)
