@@ -402,10 +402,11 @@ object SparkEntry {
       s"(CASE WHEN ${px(r * 9 + c)} > ${px(r * 9 + c + 1)} THEN '1' ELSE '0' END)"))
     val ham = (1 to 64).map(i =>
       s"(CASE WHEN substr(a.phash, $i, 1) <> substr(b.phash, $i, 1) THEN 1 ELSE 0 END)")
-    s"""WITH base AS (
+    s"""WITH o AS (SELECT ((max(doc_id) // 40) + 1) * 40 AS off FROM documents),
+       |base AS (
        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
        |  UNION ALL
-       |  SELECT CAST(doc_id + 1000000 AS BIGINT),
+       |  SELECT CAST(doc_id + (SELECT off FROM o) AS BIGINT),
        |    substr(text, 1, CAST(strlen(text) AS INT) - 1) || '~'
        |  FROM documents WHERE doc_id % 40 = 0 AND strlen(text) >= 72),
        |b AS (SELECT doc_id, hex(text) AS hx,

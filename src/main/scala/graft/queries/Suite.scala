@@ -2292,20 +2292,25 @@ object Suite {
     Multimodal.pHash(t(s, dir, "documents"))
 
   /** Media near-dup pairs over banded perceptual hashes. Planted twins:
-    * payloads at doc_id % 40 == 0 re-enter at +1000000 with the LAST
-    * byte swapped for '~' — the length is unchanged, so the strided
-    * dHash sampling grid is unchanged and only the final cell moves
-    * (true hamming <= 1; banding recall then guaranteed by pigeonhole).
-    * The fixed offset is oracle-REPLAYED (the simhash/minhash planted
-    * precedent), so it stays fixed, unlike dedup_simhash_scale's
-    * derived offset. Oracle: the same twins + brute-force all-pairs
-    * positional hamming — hash equality proves the banding's recall
-    * equals brute force on this corpus. */
+    * payloads at doc_id % 40 == 0 re-enter at max(doc_id)+1 + their own
+    * id with the LAST byte swapped for '~' — the length is unchanged,
+    * so the strided dHash sampling grid is unchanged and only the final
+    * cell moves (true hamming <= 1; banding recall then guaranteed by
+    * pigeonhole). The offset is DERIVED, not fixed (the ADVICE-r13
+    * lesson — twin ids reach the OUTPUT here, so a fixed 1e6 would
+    * collide with real ids on an x300+ probe corpus), and it replays
+    * exactly in the oracle as a max() scalar subquery. Oracle: the same
+    * twins + brute-force all-pairs positional hamming — hash equality
+    * proves the banding's recall equals brute force on this corpus.
+    * Twin ids stay %20-aligned for pHash's sample filter because the
+    * derived offset is rounded up to a multiple of 40. */
   def mmNearDup(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val maxId = d.agg(max(col("doc_id"))).head().getLong(0)
+    val off = ((maxId / 40L) + 1L) * 40L // multiple of 40 > max(doc_id)
     val twins = d
       .filter(col("doc_id") % 40 === 0 && octet_length(col("text")) >= 72)
-      .select((col("doc_id") + 1000000L).as("doc_id"),
+      .select((col("doc_id") + off).as("doc_id"),
         concat(expr("substring(text, 1, octet_length(text) - 1)"), lit("~")).as("text"))
     Multimodal.nearDupPairs(d.union(twins))
   }
