@@ -254,6 +254,10 @@ object PlanAudit {
     // (fact fold + broadcast dims + domain windows), reconcile (ONE
     // full-outer co-shuffle + scalar counters)
     "mm_phash", "q36_share", "dq_reconcile",
+    // r14: banded near-dup — expect the 4-chunk explode + ONE equi-join
+    // on (k, chunk) with NO cartesian, the persisted signature scan on
+    // both sides, and codegen'd conv/xor/bit_count verification
+    "mm_near_dup",
     // causal impact (one day fold, everything else domain-sized),
     // substitutes (bounded pair domain + restricted basket self-join);
     // feat_pca excluded: the MLlib fit collects eagerly at construction

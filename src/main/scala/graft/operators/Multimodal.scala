@@ -58,7 +58,15 @@ object Multimodal {
     * All arithmetic is integer (hex-parse + integer stride), so the
     * hash is engine-replayable byte-for-byte; everything is one
     * codegen'd map stage over the sampled slice. */
-  def pHash(docs: DataFrame, sampleMod: Long = 20L): DataFrame = {
+  def pHash(docs: DataFrame, sampleMod: Long = 20L): DataFrame =
+    pHashUnsorted(docs, sampleMod).orderBy("doc_id")
+
+  /** [[pHash]] without the presentation sort — the signature producer
+    * for [[nearDupPairs]], whose banding join neither needs nor should
+    * pay a global range-shuffle of the full signature table before the
+    * persist (the sort exists only for mm_phash's deterministic gate
+    * output). */
+  private def pHashUnsorted(docs: DataFrame, sampleMod: Long = 20L): DataFrame = {
     import org.apache.spark.sql.Column
     val base = docs.filter(col("doc_id") % sampleMod === 0)
       .select(col("doc_id"), hex(col("text")).as("hx"),
@@ -72,7 +80,6 @@ object Multimodal {
       when(px(r * 9 + c) > px(r * 9 + c + 1), lit("1")).otherwise(lit("0"))))
     base.select(col("doc_id"), col("nb").as("n_bytes"),
       concat(bits: _*).as("phash"))
-      .orderBy("doc_id")
   }
 
   /** Media near-duplicate pairs via BANDED perceptual hashes — the
@@ -91,7 +98,7 @@ object Multimodal {
     * positional bit comparison. */
   def nearDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     import graft.Caches.TrackedPersist
-    val sig = pHash(docs)
+    val sig = pHashUnsorted(docs)
       .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunks = (0 until 4).map(k =>
       struct(lit(k).as("k"), expr(s"substring(phash, ${k * 16 + 1}, 16)").as("chunk")))
