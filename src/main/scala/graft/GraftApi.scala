@@ -1011,15 +1011,21 @@ class GraftApi(val spark: SparkSession, root: String) {
   }
 
   /** Resolve a ref through the archive mounts, in mount-name order:
-    * value id first, then the archive's own aliases. */
+    * value id first, then the archive's own aliases. Only the manifest
+    * PROBE is guarded (one unreadable mount must not block unrelated
+    * refs resolving through other mounts); once a ref resolves in a
+    * manifest, a failure reading the VALUE propagates — a mounted value
+    * that cannot be read is a diagnosable error, never a silent
+    * fall-through to "no such value". */
   private def mountedValue(ref: String): Option[DataFrame] =
     mounts.list.view.flatMap { case (_, dir, _) =>
-      scala.util.Try {
-        val (ids, als) = Archive.manifest(dir)
-        val id = if (ids.contains(ref)) Some(ref)
+      val hit =
+        try {
+          val (ids, als) = Archive.manifest(dir)
+          if (ids.contains(ref)) Some(ref)
           else als.toMap.get(ref).filter(ids.contains)
-        id.map(i => spark.read.parquet(s"$dir/values/$i"))
-      }.toOption.flatten
+        } catch { case _: Exception => None }
+      hit.map(i => spark.read.parquet(s"$dir/values/$i"))
     }.headOption
 
   /** Render a stored value INTO a value of another type through the

@@ -1099,6 +1099,12 @@ class GraftApiSpec extends SparkTestBase {
     val api2 = new GraftApi(spark, root)
     assert(api2.getValue("corpus").count() == 2L)
     assert(api2.listRegisteredArchives.map(_._1) == Seq("scratch", "team", "teamrw"))
+    // a manifest-resolved value whose parquet is GONE is a diagnosable
+    // error (path in the message), never a silent "no such value"
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(s"$arch/values/mv2")).deleteRecursively()
+    val eGone = intercept[Exception](api2.getValue("extra"))
+    assert(eGone.getMessage.contains("mv2"), eGone.getMessage)
   }
 
   test("registerValueAlias, workflowAliasesInfo and isInternalDataType round out the catalog") {
