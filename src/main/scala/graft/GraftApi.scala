@@ -194,6 +194,12 @@ object GraftApi {
   /** Endpoint names with a curated doc line — exposed for the CI
     * cross-check (every key must name a real public method). */
   def documentedEndpointNames: Set[String] = endpointDocs.keySet
+
+  // the pipeline-operation invocation stack of the CURRENT thread —
+  // the run-time recursion guard for nested pipeline operations
+  private val activePipelines = new ThreadLocal[Vector[String]] {
+    override def initialValue(): Vector[String] = Vector.empty
+  }
 }
 
 /** Top-level facade mirroring kiara's python API
@@ -529,12 +535,21 @@ class GraftApi(val spark: SparkSession, root: String) {
     val out = steps.last.name
     def run(inputs: Map[String, DataFrame]): DataFrame = {
       Builtins.ensureRegistered()
-      val ps = steps.map(st => OpRegistry.step(st.name, st.op, st.input))
-      val res = Pipeline.run(ps, inputs)
-      lineage.synchronized {
-        lineage.recordRun(s"$opId-run-${pipelineRunSeq.incrementAndGet()}", res.lineage)
-      }
-      res.values(out)
+      // indirect cycles (A steps into B, B re-registered to step into A)
+      // cannot all be caught at registration — fail with the cycle named
+      // instead of a StackOverflowError deep in plan construction
+      val active = GraftApi.activePipelines.get()
+      require(!active.contains(opId),
+        s"recursive pipeline invocation: ${(active :+ opId).mkString(" -> ")}")
+      GraftApi.activePipelines.set(active :+ opId)
+      try {
+        val ps = steps.map(st => OpRegistry.step(st.name, st.op, st.input))
+        val res = Pipeline.run(ps, inputs)
+        lineage.synchronized {
+          lineage.recordRun(s"$opId-run-${pipelineRunSeq.incrementAndGet()}", res.lineage)
+        }
+        res.values(out)
+      } finally GraftApi.activePipelines.set(active)
     }
     OpRegistry.registerModuleType("pipeline",
       "pipeline definitions registered as first-class operations",
@@ -566,8 +581,18 @@ class GraftApi(val spark: SparkSession, root: String) {
     Builtins.ensureRegistered()
     val opId = operationId.getOrElse(
       s"pipeline.${graft.registries.Names.validate("pipeline name", name)}")
+    // a custom id may RE-register a pipeline (latest wins) but must never
+    // silently replace a non-pipeline operation — a pipeline registered
+    // as "text.clean" would shadow the builtin for every caller
+    require(!OpRegistry.contains(opId) || pipelines.contains(opId),
+      s"operation id already taken by a non-pipeline operation: $opId")
     // eager validation, kiara-style: every step op must resolve NOW (a
-    // nested pipeline is registered before the pipeline that uses it)
+    // nested pipeline is registered before the pipeline that uses it).
+    // Direct self-reference is refused here; indirect cycles created by
+    // later re-registration are caught at run time (the activePipelines
+    // recursion guard).
+    require(!steps.exists(_.op == opId),
+      s"pipeline '$opId' cannot invoke itself as a step")
     steps.map(_.op).filterNot(OpRegistry.contains).headOption.foreach(op =>
       throw new NoSuchElementException(s"unknown operation in pipeline: $op"))
     val stash = if (pipelines.contains(opId)) Some(pipelines.describe(opId)) else None

@@ -977,6 +977,23 @@ class GraftApiSpec extends SparkTestBase {
     assert(!api.pipelines.contains("pipeline.bad3"))
     intercept[NoSuchElementException](
       api.registerPipeline("badop", Seq(OpStep("a", "no.such.op", "x"))))
+    // a custom id may never silently REPLACE a non-pipeline operation
+    val eShadow = intercept[IllegalArgumentException](api.registerPipeline(
+      "shadowy", Seq(OpStep("a", "rp_keep", "x")), Some("text.clean")))
+    assert(eShadow.getMessage.contains("non-pipeline"))
+    // direct self-reference refused at registration; an indirect cycle
+    // (A -> B -> A via re-registration) fails AT RUN with the cycle
+    // named, not a StackOverflowError
+    val eSelf = intercept[IllegalArgumentException](api.registerPipeline(
+      "selfy", Seq(OpStep("a", "pipeline.selfy", "x"))))
+    assert(eSelf.getMessage.contains("invoke itself"))
+    val cycA = api.registerPipeline("cyc_a", Seq(OpStep("s", "rp_keep", "in")))
+    val cycB = api.registerPipeline("cyc_b", Seq(OpStep("s", cycA, "in")))
+    api.registerPipeline("cyc_a", Seq(OpStep("s", cycB, "in"))) // now cyclic
+    val eCyc = intercept[IllegalArgumentException](api.runJob(cycA, "rp_raw"))
+    assert(eCyc.getMessage.contains("recursive pipeline invocation") &&
+      eCyc.getMessage.contains("pipeline.cyc_a -> pipeline.cyc_b -> pipeline.cyc_a"),
+      eCyc.getMessage)
     // cross-JVM: drop the live registrations, then a fresh context on the
     // same root re-registers every persisted pipeline operation
     graft.plans.OpRegistry.unregister(opId)
