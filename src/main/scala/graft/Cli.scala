@@ -528,8 +528,8 @@ object Cli {
           s"context <root> list|create <name>|use <name>|current|info | " +
           s"archive info <dir> | archive export <root> <dir> [refs...] | " +
           s"archive import <root> <dir> [--no-aliases] | " +
-          s"archive register <root> <dir> [--name <n>] [--writable]" +
-          s"|mounts <root> | " +
+          s"archive register <root> <dir> [--name <n>] [--writable] | " +
+          s"archive mounts <root> | " +
           s"value <root> info <ref> | jobs <root> list|explain <id> | " +
           s"metadata <root> list|add <ref> <key> <value> [--job]" +
           s"|find <keyGlob>|explain <hash> | " +

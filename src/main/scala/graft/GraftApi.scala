@@ -1032,7 +1032,12 @@ class GraftApi(val spark: SparkSession, root: String) {
   def getValue(ref: String): DataFrame = {
     val local = aliases.resolve(ref).getOrElse(ref)
     if (data.exists(local)) data.load(spark, local)
-    else mountedValue(ref).getOrElse(data.load(spark, local))
+    else mountedValue(ref)
+      // a LOCAL alias may point at an id that lives only in a mounted
+      // archive (stored there by another context): probe the resolved id
+      // too before the final local-load fall-through (ADVICE r14)
+      .orElse(if (local != ref) mountedValue(local) else None)
+      .getOrElse(data.load(spark, local))
   }
 
   /** Resolve a ref through the archive mounts, in mount-name order:
@@ -1043,6 +1048,12 @@ class GraftApi(val spark: SparkSession, root: String) {
     * that cannot be read is a diagnosable error, never a silent
     * fall-through to "no such value". */
   private def mountedValue(ref: String): Option[DataFrame] =
+    mountedResolve(ref).map { case (dir, i) =>
+      spark.read.parquet(s"$dir/values/$i") }
+
+  /** Manifest-only probe (no parquet read): the (mount dir, value id)
+    * a ref resolves to, if any mount's manifest carries it. */
+  private def mountedResolve(ref: String): Option[(String, String)] =
     mounts.list.view.flatMap { case (_, dir, _) =>
       val hit =
         try {
@@ -1050,7 +1061,7 @@ class GraftApi(val spark: SparkSession, root: String) {
           if (ids.contains(ref)) Some(ref)
           else als.toMap.get(ref).filter(ids.contains)
         } catch { case _: Exception => None }
-      hit.map(i => spark.read.parquet(s"$dir/values/$i"))
+      hit.map(dir -> _)
     }.headOption
 
   /** Render a stored value INTO a value of another type through the
@@ -1075,7 +1086,10 @@ class GraftApi(val spark: SparkSession, root: String) {
     * latest-wins, this endpoint adds kiara's protection). */
   def registerValueAlias(value: String, alias: String,
                          allowOverwrite: Boolean = false): Unit = {
-    require(data.exists(value), s"no such value: $value")
+    // a value readable THROUGH a mount is aliasable like a local one
+    // (getValue resolves the alias back through the mounts — ADVICE r14)
+    require(data.exists(value) || mountedResolve(value).isDefined,
+      s"no such value: $value")
     val existing = aliases.resolve(alias)
     require(allowOverwrite || existing.isEmpty || existing.contains(value),
       s"alias '$alias' already points at '${existing.get}' (pass allowOverwrite to re-point)")

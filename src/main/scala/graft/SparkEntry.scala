@@ -408,7 +408,8 @@ object SparkEntry {
        |  UNION ALL
        |  SELECT CAST(doc_id + (SELECT off FROM o) AS BIGINT),
        |    substr(text, 1, CAST(strlen(text) AS INT) - 1) || '~'
-       |  FROM documents WHERE doc_id % 40 = 0 AND strlen(text) >= 72),
+       |  FROM documents WHERE doc_id % 40 = 0 AND strlen(text) >= 72
+       |    AND strlen(text) = length(text)),
        |b AS (SELECT doc_id, hex(text) AS hx,
        |    CAST(strlen(text) AS BIGINT) AS nb FROM base
        |  WHERE doc_id % 20 = 0 AND strlen(text) >= 72),

@@ -97,6 +97,11 @@ object Multimodal {
     * integer arithmetic, banding is substring equality, hamming is
     * positional bit comparison. */
   def nearDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // 4 bands of 16 bits guarantee recall only for hamming <= 3 (a pair
+    // differing in 4+ bits can touch all four chunks); a larger threshold
+    // would SILENTLY return an incomplete pair set (ADVICE r14).
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be in [0, 3] for 4x16 banding recall, got $maxHamming")
     import graft.Caches.TrackedPersist
     val sig = pHashUnsorted(docs)
       .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

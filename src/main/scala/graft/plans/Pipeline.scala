@@ -98,7 +98,13 @@ object OpRegistry {
       // length-prefixed canonical encoding: unambiguous for ANY key/value
       // content (a "k=v,k2=v2" join would collide {a:"1,b=2"} with
       // {a:"1", b:"2"} — ADVICE r13), so distinct configs can never share
-      // an operation id and silently skip the factory's eager validation
+      // an operation id and silently skip the factory's eager validation.
+      // MIGRATION NOTE (ADVICE r14): this encoding changed every
+      // manifest-derived id for non-empty configs vs pre-r14 builds;
+      // persisted workflows referencing old <type>._m<cid> step ids must
+      // re-run createOperation once. No legacy-cid lookup fallback is
+      // provided ON PURPOSE — probing the ambiguous render-based cid
+      // would resurrect the exact collision surface this fix closed.
       val canonical = (Seq(moduleType) ++ config.toSeq.sorted.flatMap {
         case (k, v) => Seq(k, v)
       }).map(s => s"${s.length}:$s").mkString("|")

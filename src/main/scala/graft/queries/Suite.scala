@@ -2303,13 +2303,19 @@ object Suite {
     * twins + brute-force all-pairs positional hamming — hash equality
     * proves the banding's recall equals brute force on this corpus.
     * Twin ids stay %20-aligned for pHash's sample filter because the
-    * derived offset is rounded up to a multiple of 40. */
+    * derived offset is rounded up to a multiple of 40. Twins are only
+    * planted where octet_length == length (single-byte text): substring
+    * counts CHARACTERS while the pHash grid strides BYTES, so the
+    * "length-preserving last-cell edit" property only holds when the
+    * two coincide — the guard makes it hold on ANY corpus instead of
+    * silently weakening on multibyte docs (VERDICT r14 watch item). */
   def mmNearDup(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val maxId = d.agg(max(col("doc_id"))).head().getLong(0)
     val off = ((maxId / 40L) + 1L) * 40L // multiple of 40 > max(doc_id)
     val twins = d
-      .filter(col("doc_id") % 40 === 0 && octet_length(col("text")) >= 72)
+      .filter(col("doc_id") % 40 === 0 && octet_length(col("text")) >= 72 &&
+        octet_length(col("text")) === length(col("text")))
       .select((col("doc_id") + off).as("doc_id"),
         concat(expr("substring(text, 1, octet_length(text) - 1)"), lit("~")).as("text"))
     Multimodal.nearDupPairs(d.union(twins))

@@ -24,6 +24,31 @@ object Archive {
 
   private val Version = 1
 
+  // Writable mounts are an explicit cross-context sharing surface, so the
+  // manifest read-modify-write must be single-writer (ADVICE r14: two
+  // concurrent storeValueTo calls could drop a just-stored value from the
+  // manifest, orphaning its parquet dir). In-JVM: one monitor per canonical
+  // archive path. Cross-process: an exclusive FileLock on <dir>/.manifest.lock
+  // held across read-manifest -> write-parquet -> write-manifest.
+  private val archiveMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def withArchiveLock[A](dir: String)(body: => A): A = {
+    val canon = Paths.get(dir).toAbsolutePath.normalize.toString
+    val monitor = archiveMonitors.computeIfAbsent(canon, _ => new Object)
+    monitor.synchronized {
+      Files.createDirectories(Paths.get(dir))
+      val ch = java.nio.channels.FileChannel.open(
+        Paths.get(dir, ".manifest.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock() // blocks until the peer process releases
+        try body finally lock.release()
+      } finally ch.close()
+    }
+  }
+
   private def esc(s: String): String = s.flatMap {
     case '"'  => "\\\""
     case '\\' => "\\\\"
@@ -94,9 +119,11 @@ object Archive {
     * Latest write per key wins; a rewrite preserves values + aliases. */
   def setArchiveMetadata(dir: String, key: String, value: String): Unit = {
     Names.validate("archive metadata key", key)
-    val (ids, als) = readManifest(dir)
-    val meta = readArchiveMetadata(dir).filterNot(_._1 == key) :+ (key -> value)
-    writeManifest(dir, ids, als, meta)
+    withArchiveLock(dir) {
+      val (ids, als) = readManifest(dir)
+      val meta = readArchiveMetadata(dir).filterNot(_._1 == key) :+ (key -> value)
+      writeManifest(dir, ids, als, meta)
+    }
   }
 
   /** The archive's own metadata entries, sorted by key. */
@@ -135,11 +162,13 @@ object Archive {
                           id: String, alias: Option[String] = None): Unit = {
     Names.validate("value id", id)
     alias.foreach(Names.validate("alias name", _))
-    val (ids, als) = readManifest(dir)
-    require(!ids.contains(id), s"archive already has value: $id")
-    df.write.mode("errorifexists").parquet(s"$dir/values/$id")
-    val newAls = alias.fold(als)(a => als.filterNot(_._1 == a) :+ (a -> id))
-    writeManifest(dir, ids :+ id, newAls, readArchiveMetadata(dir))
+    withArchiveLock(dir) {
+      val (ids, als) = readManifest(dir)
+      require(!ids.contains(id), s"archive already has value: $id")
+      df.write.mode("errorifexists").parquet(s"$dir/values/$id")
+      val newAls = alias.fold(als)(a => als.filterNot(_._1 == a) :+ (a -> id))
+      writeManifest(dir, ids :+ id, newAls, readArchiveMetadata(dir))
+    }
   }
 
   /** Archive-to-archive copy (kiara base_api.py:2496 copy_archive):

@@ -1124,6 +1124,37 @@ class GraftApiSpec extends SparkTestBase {
     assert(eGone.getMessage.contains("mv2"), eGone.getMessage)
   }
 
+  test("a LOCAL alias resolving to a mounted-only id reads through the mount (ADVICE r14)") {
+    val api = new GraftApi(spark, Export.tempDir("graft_mntal_").toString)
+    val src = new GraftApi(spark, Export.tempDir("graft_mntal_src_").toString)
+    src.storeValue("shared_v1", Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    val arch = Export.tempDir("graft_mntal_arch_").resolve("team").toString
+    src.exportArchive(arch)
+    api.registerArchive(arch)
+    // the alias lives in THIS context's registry; the id only in the mount
+    api.registerValueAlias("shared_v1", "latest")
+    assert(api.getValue("latest").count() == 2L)
+  }
+
+  test("concurrent storeValueTo calls both land in the manifest (ADVICE r14 lock)") {
+    val api = new GraftApi(spark, Export.tempDir("graft_mntcc_").toString)
+    val arch = Export.tempDir("graft_mntcc_arch_").resolve("scratch").toString
+    api.registerArchive(arch, allowWriteAccess = true)
+    val dfs = (0 until 6).map(i => i -> Seq((i.toLong, s"v$i")).toDF("id", "s"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futs = dfs.map { case (i, df) =>
+      Future(api.storeValueTo("scratch", s"cc$i", df))
+    }
+    Await.result(Future.sequence(futs), 120.seconds)
+    // without the per-archive write lock the read-modify-write races and
+    // the manifest drops ids whose parquet dirs were written (orphans)
+    val ids = api.archiveInfo(arch).values.map(_.id).toSet
+    assert((0 until 6).forall(i => ids.contains(s"cc$i")), ids)
+    (0 until 6).foreach(i => assert(api.getValue(s"cc$i").count() == 1L))
+  }
+
   test("registerValueAlias, workflowAliasesInfo and isInternalDataType round out the catalog") {
     val api = newApi
     api.storeValue("rva1", Seq((1L, "a")).toDF("id", "s"))

@@ -112,6 +112,17 @@ class MultimodalSpec extends SparkTestBase {
     assert(pairs == brute, s"banding must equal brute force: $pairs vs $brute")
   }
 
+  test("nearDupPairs refuses thresholds the 4x16 banding cannot recall") {
+    val docs = Seq((20L, "x" * 80)).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Multimodal.nearDupPairs(docs, maxHamming = 4)
+    }
+    assert(e.getMessage.contains("maxHamming"))
+    intercept[IllegalArgumentException] {
+      graft.operators.Multimodal.nearDupPairs(docs, maxHamming = -1)
+    }
+  }
+
   test("WavHeader round-trips its own header and rejects garbage") {
     // 44100 Hz stereo 16-bit, 44100 frames → exactly 1000 ms
     val b = graft.operators.WavHeader.header(44100, 2, 16, 44100)
