@@ -1,6 +1,7 @@
 package graft.streaming
 
 import java.util.concurrent.atomic.AtomicLong
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
@@ -43,29 +44,56 @@ object EventStream {
     graft.Tables.normalizeTs(st)
   }
 
-  /** Clone a session for a STATEFUL face: narrow shuffle width (one
-    * state store per shuffle partition — with the batch default of 32
-    * the per-store bookkeeping, not the data, dominates at gate SFs) +
-    * the configurable state-store provider.
-    * `SPARK_GRAFT_STATE_PROVIDER` selects the provider class for every
-    * stateful face; the shorthand value `rocksdb` expands to Spark's
-    * RocksDBStateStoreProvider. The x600 replay legs measured the
-    * default HDFSBacked provider's per-batch ON-HEAP state-map rebuild
-    * as THE wall-clock term that grows with bucket size (2.5–3.2× at
-    * 2× data); RocksDB moves that state off-heap and flattens exactly
-    * that term — the memory-headroom trade production clusters make.
-    * Default (unset) keeps Spark's HDFSBacked provider, so local gate
-    * runs are unchanged. */
-  private def statefulSession(spark0: SparkSession): SparkSession = {
+  /** The state ACCESS SHAPE of a stateful face — the axis the r14 x600
+    * provider triple measured the RocksDB-vs-HDFSBacked trade along:
+    *  - [[StateShape.HighChurn]]: many keys cycling through a SMALL live
+    *    set (EventTimeTimeout sessionize, per-key latest-state upserts).
+    *    Wall clock is dominated by the HDFSBacked per-batch on-heap
+    *    state-map rebuild; RocksDB was 2.1x FASTER outright at x600.
+    *  - [[StateShape.ScanHeavy]]: big per-bucket state scanned each
+    *    batch (watermark dedup replay: 2M-row buckets; interval joins).
+    *    RocksDB paid 1.6–2.0x wall for 1.6–8x less memory — the trade a
+    *    cluster makes under memory pressure, not by default. */
+  private[graft] sealed trait StateShape
+  private[graft] object StateShape {
+    case object HighChurn extends StateShape
+    case object ScanHeavy extends StateShape
+  }
+
+  private val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Resolve the state-store provider for a face shape from config —
+    * extracted pure so the per-face mapping is spec-assertable.
+    * Precedence: `SPARK_GRAFT_STATE_PROVIDER` (explicit, every face —
+    * the probe/bench override) > `SPARK_GRAFT_PROFILE=cluster` (the
+    * MEASURED per-face defaults: RocksDB for high-churn faces, default
+    * HDFSBacked-with-headroom for scan-heavy ones) > unset (Spark's
+    * default provider everywhere — local gate runs unchanged). The
+    * shorthand `rocksdb` expands to Spark's RocksDBStateStoreProvider. */
+  private[graft] def resolveProvider(shape: StateShape,
+      env: Map[String, String]): Option[String] =
+    env.get("SPARK_GRAFT_STATE_PROVIDER")
+      .map(p => if (p.equalsIgnoreCase("rocksdb")) RocksDbProvider else p)
+      .orElse {
+        if (env.get("SPARK_GRAFT_PROFILE").exists(_.equalsIgnoreCase("cluster"))
+            && shape == StateShape.HighChurn) Some(RocksDbProvider)
+        else None
+      }
+
+  /** Clone a session for a STATEFUL face: shuffle width sized to state
+    * cardinality (one state store per shuffle partition — with the batch
+    * default of 32 the per-store bookkeeping, not the data, dominates at
+    * gate SFs; `SPARK_GRAFT_STATE_PARTITIONS` overrides for clusters
+    * where store count must track key cardinality) + the state-store
+    * provider resolved per face shape ([[resolveProvider]]). */
+  private def statefulSession(spark0: SparkSession,
+      shape: StateShape = StateShape.ScanHeavy): SparkSession = {
     val s = spark0.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    sys.env.get("SPARK_GRAFT_STATE_PROVIDER").foreach { p =>
-      val cls =
-        if (p.equalsIgnoreCase("rocksdb"))
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
-        else p
-      s.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
-    }
+    s.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STATE_PARTITIONS", "8"))
+    resolveProvider(shape, sys.env.toMap).foreach(
+      s.conf.set("spark.sql.streaming.stateStore.providerClass", _))
     s
   }
 
@@ -92,9 +120,15 @@ object EventStream {
       val byOp = ps.flatMap(p => p.stateOperators.map(so =>
           (so.operatorName, so.numRowsTotal, so.memoryUsedBytes)))
         .groupBy(_._1).toSeq.sortBy(_._1)
+      // provider evidence: RocksDB-only custom metrics appear iff the
+      // provider actually engaged (a silent fall-through to HDFSBacked
+      // would otherwise be invisible in rows/bytes at small scale)
+      val rocks = ps.flatMap(_.stateOperators).exists(
+        _.customMetrics.keySet.asScala.exists(_.startsWith("rocksdb")))
       byOp.foreach { case (op, xs) =>
         println(s"[stream-state] sink=$name batches=${ps.length} op=$op " +
-          s"maxRows=${xs.map(_._2).max} maxBytes=${xs.map(_._3).max}")
+          s"maxRows=${xs.map(_._2).max} maxBytes=${xs.map(_._3).max} " +
+          s"rocksdb=$rocks")
       }
     }
 
@@ -632,7 +666,7 @@ object EventStream {
     * matches_batch. */
   def sessionStatsExpiring(spark0: SparkSession, path: String,
                            nFiles: Int = 30, gapMinutes: Int = 30): DataFrame = {
-    val spark = statefulSession(spark0)
+    val spark = statefulSession(spark0, StateShape.HighChurn)
     import spark.implicits._
     val gapUs = gapMinutes.toLong * 60L * 1000000L
     val dir = stageTimeBuckets(spark, path, nFiles, doubled = false, sentinel = true)
@@ -727,7 +761,7 @@ object EventStream {
     */
   def upsertedProfiles(spark0: SparkSession, path: String): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val s2 = statefulSession(spark0)
+    val s2 = statefulSession(spark0, StateShape.HighChurn)
     val dir = upsertStaged.getOrElseUpdate(path, {
       val ev = graft.Tables.normalizeTs(s2.read.parquet(path))
         .select("event_id", "ts", "user_id", "event_type", "value")
@@ -792,7 +826,7 @@ object EventStream {
     // stateful stage: one state store per shuffle partition — size to the
     // key cardinality on a cloned session instead of inheriting the batch
     // default (same reasoning as purchaseClickJoin below)
-    val spark = statefulSession(spark0)
+    val spark = statefulSession(spark0, StateShape.HighChurn)
     import spark.implicits._
     val gapUs = gapMinutes.toLong * 60L * 1000000L
     val src = source(spark, path)
@@ -890,7 +924,7 @@ object EventStream {
     * Scale shape: state is 3 longs per user; the drained per-user
     * table folds to a single 3-counter row. */
   def funnelStages(spark0: SparkSession, path: String): DataFrame = {
-    val spark = statefulSession(spark0)
+    val spark = statefulSession(spark0, StateShape.HighChurn)
     import spark.implicits._
     val M = Long.MaxValue
     val src = source(spark, path)

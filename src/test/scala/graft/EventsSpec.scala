@@ -1294,4 +1294,26 @@ class EventsSpec extends SparkTestBase {
     }
     assert(e2.getMessage.contains("dow 6"))
   }
+
+  test("state-store provider resolves per face shape (r14 x600 measured defaults)") {
+    import graft.streaming.EventStream.{resolveProvider, StateShape}
+    val rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    // unset: Spark default everywhere — local gate runs unchanged
+    assert(resolveProvider(StateShape.HighChurn, Map.empty).isEmpty)
+    assert(resolveProvider(StateShape.ScanHeavy, Map.empty).isEmpty)
+    // cluster profile: RocksDB ONLY for high-churn faces (sessionize-shaped,
+    // 2.1x faster at x600); scan-heavy replay faces keep HDFSBacked headroom
+    val cluster = Map("SPARK_GRAFT_PROFILE" -> "cluster")
+    assert(resolveProvider(StateShape.HighChurn, cluster).contains(rocks))
+    assert(resolveProvider(StateShape.ScanHeavy, cluster).isEmpty)
+    // explicit provider overrides the profile for EVERY face (probe/bench knob)
+    val explicit = cluster + ("SPARK_GRAFT_STATE_PROVIDER" -> "rocksdb")
+    assert(resolveProvider(StateShape.ScanHeavy, explicit).contains(rocks))
+    assert(resolveProvider(StateShape.HighChurn,
+      Map("SPARK_GRAFT_STATE_PROVIDER" -> "com.example.MyProvider"))
+      .contains("com.example.MyProvider"))
+    // unknown profile values change nothing
+    assert(resolveProvider(StateShape.HighChurn,
+      Map("SPARK_GRAFT_PROFILE" -> "laptop")).isEmpty)
+  }
 }
