@@ -754,24 +754,34 @@ class GraftApi(val spark: SparkSession, root: String) {
     * [[assembleFilterPipelineConfig]] with the render step as the
     * endpoint. With no filters the definition is the single render
     * step. A missing renderer is refused with the formats that ARE
-    * registered for the type, like the reference. (The reference's
-    * `use_pretty_print` variant is not twinned: graft's pretty_print is
-    * a driver-side STRING rendering, not a value→value operation — a
-    * 'string'-target render op, once registered, slots in here by
-    * name.) */
+    * registered for the type, like the reference. `usePrettyPrint`
+    * (base_api.py:2819,2841) resolves through the pretty_print
+    * OPERATION TYPE instead of render_value — the two are distinct
+    * registries in the reference and here
+    * ([[graft.operators.Render.PrettyPrintOps]]); the builtin
+    * `pretty_print.table.as.string` op renders the bounded slice as a
+    * (line_no, line) value, so the assembled chain stays value→value. */
   def assembleRenderPipeline(dataType: String,
       targetFormats: Seq[String] = Seq("string"),
-      filters: Seq[String] = Seq.empty): Seq[WorkflowRegistry.OpStep] = {
+      filters: Seq[String] = Seq.empty,
+      usePrettyPrint: Boolean = false): Seq[WorkflowRegistry.OpStep] = {
     Builtins.ensureRegistered()
-    import graft.operators.Render.ValueRenderOps
-    val registered = ValueRenderOps.list.collect { case (s, t, _) if s == dataType => t }
-    val opName = targetFormats.view
-      .flatMap(t => ValueRenderOps.find(dataType, t)).headOption
-      .getOrElse(throw new NoSuchElementException(
-        s"no render operation for source type '$dataType' to target(s) " +
-          targetFormats.mkString(", ") +
-          (if (registered.isEmpty) s" — no render operations registered for '$dataType'"
-           else s" (registered targets for '$dataType': ${registered.sorted.mkString(", ")})")))
+    import graft.operators.Render.{PrettyPrintOps, ValueRenderOps}
+    def resolve(kind: String, registered: Seq[String],
+                find: String => Option[String]): String =
+      targetFormats.view.flatMap(find).headOption
+        .getOrElse(throw new NoSuchElementException(
+          s"no $kind operation for source type '$dataType' to target(s) " +
+            targetFormats.mkString(", ") +
+            (if (registered.isEmpty) s" — no $kind operations registered for '$dataType'"
+             else s" (registered targets for '$dataType': ${registered.sorted.mkString(", ")})")))
+    val opName =
+      if (usePrettyPrint) resolve("pretty_print",
+        PrettyPrintOps.list.collect { case (s, t, _) if s == dataType => t },
+        PrettyPrintOps.find(dataType, _))
+      else resolve("render",
+        ValueRenderOps.list.collect { case (s, t, _) if s == dataType => t },
+        ValueRenderOps.find(dataType, _))
     if (filters.isEmpty) Seq(WorkflowRegistry.OpStep("render_value", opName, dataType))
     else assembleFilterPipelineConfig(dataType, filters,
       endpoint = Some(opName), endpointStepId = Some("render_value"))

@@ -34,6 +34,20 @@ object Render {
   def page(df: DataFrame, sortCols: Seq[String], pageSize: Int, pageNo: Int): DataFrame =
     df.orderBy(sortCols.map(col): _*).offset(pageSize * pageNo).limit(pageSize)
 
+  /** pretty_print as a VALUE→VALUE operation (kiara pretty_print.py's
+    * 'rendered_value' output — the module contract is value in, rendered
+    * VALUE out, which is what lets pretty_print terminate a pipeline;
+    * graft values are tables, so the rendered value is a (line_no, line)
+    * table of the fixed-width text render). Same bounded-slice
+    * materialization as [[prettyPrint]] — `rows`+4 lines total, built on
+    * the driver and re-parallelized, never a full collect. */
+  def prettyLines(df: DataFrame, rows: Int = 20, maxColWidth: Int = 30): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    prettyPrint(df, rows, maxColWidth).split('\n').toSeq.zipWithIndex
+      .map { case (l, i) => (i.toLong, l) }.toDF("line_no", "line")
+  }
+
   private def boundedRows(df: DataFrame, rows: Int): Seq[Seq[String]] =
     df.limit(rows).collect().toSeq.map(_.toSeq.map {
       case null => ""
@@ -367,6 +381,42 @@ object Render {
           s"no render operation registered for '$sourceType' -> '$targetType' " +
             s"(registered: ${list.map { case (s, t, _) => s"$s->$t" }.mkString(", ")})")
       }
+  }
+
+  /** The pretty_print OPERATION TYPE registry — kiara's
+    * PrettyPrintOperationType (operations/included_core_operations/
+    * pretty_print.py:59): a second (source, target) → operation index
+    * next to [[ValueRenderOps]], because the reference keeps
+    * 'pretty_print' and 'render_value' as DISTINCT operation types that
+    * assemble_render_pipeline chooses between via use_pretty_print.
+    * Operation ids follow _calculate_op_id (pretty_print.py:70):
+    * `pretty_print.<source>.as.<target>`, or `pretty_print.as.<target>`
+    * when the source type is 'any'. */
+  object PrettyPrintOps {
+    private val index =
+      scala.collection.concurrent.TrieMap[(String, String), String]()
+
+    def register(sourceType: String, targetType: String,
+                 op: DataFrame => DataFrame, doc: String = ""): String = {
+      graft.registries.Names.validate("pretty_print source type", sourceType)
+      graft.registries.Names.validate("pretty_print target type", targetType)
+      val name =
+        if (sourceType == "any") s"pretty_print.as.$targetType"
+        else s"pretty_print.$sourceType.as.$targetType"
+      graft.plans.OpRegistry.register(name, op,
+        doc = if (doc.nonEmpty) doc
+          else s"pretty-print a '$sourceType' value as a '$targetType' value",
+        inputType = sourceType, outputType = targetType, module = "pretty_print")
+      index.put((sourceType, targetType), name)
+      name
+    }
+
+    def find(sourceType: String, targetType: String): Option[String] =
+      index.get((sourceType, targetType))
+
+    /** All registered (source, target, operation) triples. */
+    def list: Seq[(String, String, String)] =
+      index.toSeq.map { case ((s, t), n) => (s, t, n) }.sorted
   }
 
   val BeginEndpointsMarker = "// BEGIN AUTO-GENERATED-ENDPOINTS"

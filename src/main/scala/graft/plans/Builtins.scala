@@ -152,5 +152,11 @@ object Builtins {
         Profile.profile(df, numeric)
       },
       doc = "render a table value as a one-pass numeric-column profile table")
+    // pretty_print as a value→value OPERATION (kiara's pretty_print
+    // operation type, distinct from render_value): the rendered value is
+    // a (line_no, line) table, so the op can terminate a pipeline
+    graft.operators.Render.PrettyPrintOps.register("table", "string",
+      df => graft.operators.Render.prettyLines(df),
+      doc = "pretty-print a table value as a (line_no, line) text table")
   }
 }

@@ -1067,6 +1067,42 @@ class GraftApiSpec extends SparkTestBase {
       e3.getMessage.contains("schema"), e3.getMessage)
   }
 
+  test("usePrettyPrint assembles the pretty_print operation type (base_api.py:2841)") {
+    val api = newApi
+    api.storeValue("pp_raw",
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), Some("pp_in"))
+    // the pretty_print registry is DISTINCT from render_value: same
+    // (table, string) pair, different operation — kiara's two op types
+    val pp = api.assembleRenderPipeline("table", Seq("string"), usePrettyPrint = true)
+    assert(pp == Seq(graft.registries.WorkflowRegistry
+      .OpStep("render_value", "pretty_print.table.as.string", "table")), pp)
+    // ...and the registries really are distinct: render_value has NO
+    // (table, string) op (string rendering was driver-side until now)
+    intercept[NoSuchElementException](
+      api.assembleRenderPipeline("table", Seq("string")))
+    // the assembled chain registers + runs: value in, rendered VALUE out
+    val opId = api.createOperation("table.head", Map("n" -> "2"))
+    val chain = api.assembleRenderPipeline("table", Seq("string"),
+      filters = Seq(opId), usePrettyPrint = true)
+    assert(chain.size == 2 && chain.last.op == "pretty_print.table.as.string")
+    val pId = api.registerPipeline("pp_chain", chain)
+    val (_, out) = api.runJob(pId, "pp_in")
+    assert(out.columns.toSeq == Seq("line_no", "line"))
+    val lines = out.orderBy("line_no").collect().map(_.getString(1))
+    // 2 filtered rows + header + 3 separators = 6 lines, header present
+    assert(lines.length == 6, lines.toSeq)
+    assert(lines.exists(l => l.contains("id") && l.contains("s")))
+    // exactly 2 data rows survive the head-2 filter (limit picks any 2)
+    assert(lines.count(l => l.startsWith("| ") && !l.contains("id")) == 2, lines.toSeq)
+    // refusal names the pretty_print operation type, not render_value
+    val e = intercept[NoSuchElementException](
+      api.assembleRenderPipeline("table", Seq("pdf"), usePrettyPrint = true))
+    assert(e.getMessage.contains("pretty_print"), e.getMessage)
+    // 'any'-source registrations take kiara's short id form
+    assert(graft.operators.Render.PrettyPrintOps.register(
+      "any", "string", df => df) == "pretty_print.as.string")
+  }
+
   test("registerArchive mounts an archive as a live store: read-through + write control") {
     val root = Export.tempDir("graft_mount_").toString
     val api = new GraftApi(spark, root)
