@@ -102,6 +102,7 @@ object SparkEntry {
     "maint_constraint" -> (Suite.maintConstraint _),
     "maint_zorder" -> (Suite.maintZorder _),
     "q16_sql" -> (Suite.sqlTpchQ5 _),
+    "q37_sql_kernels" -> (Suite.q37SqlKernels _),
     "sim_centroids" -> (Suite.simCentroids _),
     "sim_hard_negatives" -> (Suite.simHardNegatives _),
     "sim_hybrid_rrf" -> (Suite.simHybridRrf _),
@@ -682,6 +683,23 @@ object SparkEntry {
 
   private val toksSql =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  /** Brute-force all-pairs exact 3-gram Jaccard at threshold 0.8 — the
+    * shared anchor for dedup_minhash_verified AND q37_sql_kernels (the
+    * pure-SQL kernel face replays the identical pipeline, so both must
+    * hash-match the same exhaustive reference). */
+  private def bruteForceJaccardSql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |g AS (SELECT doc_id, list_distinct(list_transform(
+       |  generate_series(1, len(toks)-2),
+       |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       |  FROM t WHERE len(toks) >= 3)
+       |SELECT * FROM (
+       | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / len(list_distinct(list_concat(a.sh, b.sh))) * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS jaccard
+       | FROM g a JOIN g b ON a.doc_id < b.doc_id)
+       |WHERE jaccard >= 0.8e0 ORDER BY doc_a, doc_b""".stripMargin
 
   /** Unrolled fixed-iteration PageRank oracle: DuckDB recursive CTEs
     * forbid aggregates in the recursive term, so the five rounds are
@@ -6333,18 +6351,13 @@ object SparkEntry {
         |  CAST(floor(sim * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS sim
         |FROM s WHERE sim >= 0.98e0
         |ORDER BY 3 DESC, 1, 2""".stripMargin,
-    "dedup_minhash_verified" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |g AS (SELECT doc_id, list_distinct(list_transform(
-         |  generate_series(1, len(toks)-2),
-         |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-         |  FROM t WHERE len(toks) >= 3)
-         |SELECT * FROM (
-         | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  CAST(floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |    / len(list_distinct(list_concat(a.sh, b.sh))) * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS jaccard
-         | FROM g a JOIN g b ON a.doc_id < b.doc_id)
-         |WHERE jaccard >= 0.8e0 ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_minhash_verified" -> bruteForceJaccardSql,
+    // q37_sql_kernels replicates dedup_minhash_verified's arithmetic in
+    // PURE SQL through the injected graftext kernels, so the SAME
+    // brute-force oracle anchors it: hash equality proves the SQL
+    // surface (graft_nfc, graft_minhash_sig, banding) reaches the
+    // identical verified pair set.
+    "q37_sql_kernels" -> bruteForceJaccardSql,
     // brute-force batch×corpus exact jaccard anchors the incremental
     // LSH path the same way the all-pairs oracle anchors the self-join
     "dedup_incremental" ->

@@ -602,6 +602,56 @@ object Suite {
   def dedupMinhashVerified(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashVerified(t(s, dir, "documents"), threshold = 0.8)
 
+  /** The banded near-dup pipeline in PURE SQL through the injected
+    * kernel functions (r15: VectorFunctions.registerAll /
+    * GraftExtensions expose the whole graftext family by name, the way
+    * kiara's operation catalog makes every module callable): graft_nfc →
+    * tokens → graft_minhash_sig(3, 32) signatures, the 8×4 band
+    * equi-join, and exact shingle-Jaccard verification — every kernel
+    * call and every join written as SQL TEXT, replicating
+    * [[dedupMinhashVerified]]'s arithmetic bit-for-bit (same tokens:
+    * NFC is identity on this ASCII corpus; same band hash; same
+    * floor-rounded jaccard). Oracle: the SAME brute-force all-pairs
+    * exact-Jaccard oracle as dedup_minhash_verified — hash equality
+    * proves the SQL surface reaches the identical answer. The signature
+    * table persists because the band self-join reads it twice (the r8
+    * rule); only the plumbing (persist, temp views) is API — all
+    * compute is SQL. */
+  def q37SqlKernels(s: SparkSession, dir: String): DataFrame = {
+    import graft.Caches.TrackedPersist
+    org.apache.spark.sql.graftext.VectorFunctions.registerAll(s)
+    t(s, dir, "documents").createOrReplaceTempView("q37_docs")
+    val sig = s.sql(
+      """SELECT doc_id, toks, graft_minhash_sig(toks, 3, 32) AS sig
+        |FROM (SELECT doc_id,
+        |        array_remove(split(lower(graft_nfc(text)), '[^a-z0-9]+'), '') AS toks
+        |      FROM q37_docs)
+        |WHERE size(toks) >= 3""".stripMargin)
+      .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sig.createOrReplaceTempView("q37_sig")
+    s.sql(
+      """WITH bk AS (
+        |  SELECT doc_id, band,
+        |    xxhash64(band, sig[band*4], sig[band*4+1], sig[band*4+2], sig[band*4+3]) AS bhash
+        |  FROM (SELECT doc_id, sig, explode(sequence(0, 7)) AS band FROM q37_sig)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bk a JOIN bk b
+        |    ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
+        |sh AS (SELECT doc_id,
+        |    array_distinct(transform(sequence(0, size(toks) - 3),
+        |      i -> concat_ws(' ', slice(toks, i + 1, 3)))) AS grams
+        |  FROM q37_sig)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT doc_a, doc_b,
+        |    cast(floor((cast(size(array_intersect(a.grams, b.grams)) as double)
+        |      / size(array_union(a.grams, b.grams))) * 10000.0 + 0.5) as double)
+        |      / 10000.0 AS jaccard
+        |  FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b)
+        |WHERE jaccard >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin)
+  }
+
   /** Incremental dedup: docs at doc_id % 17 == 0 play the newly-arrived
     * batch, checked against everything else as the existing corpus;
     * oracle is the brute-force batch×corpus exact Jaccard. */

@@ -188,6 +188,94 @@ object VectorFunctions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+
+  // ---- the SQL kernel catalog (r15) ---------------------------------
+  // kiara's operation catalog makes every module callable BY NAME; the
+  // graft twin for the native kernel family is one SQL function per
+  // kernel, so spark.sql users reach the engine's dedup/text/vector
+  // primitives without Scala. Static parameters (gram size, hash count)
+  // arrive as SQL literals — they parameterize generated code, so they
+  // must fold at plan time.
+
+  private def litInt(fn: String, arg: String, e: Expression): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType) => v.toInt
+    case _ => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $e")
+  }
+  private def litBool(fn: String, arg: String, e: Expression): Boolean = e match {
+    case Literal(v: Boolean, BooleanType) => v
+    case _ => throw new IllegalArgumentException(
+      s"$fn: $arg must be a boolean literal, got $e")
+  }
+  private def litLong(fn: String, arg: String, e: Expression): Long = e match {
+    case Literal(v: Int, IntegerType) => v.toLong
+    case Literal(v: Long, LongType) => v
+    case _ => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $e")
+  }
+  private def nArgs(fn: String, exprs: Seq[Expression], n: Int): Unit =
+    if (exprs.length != n) throw new IllegalArgumentException(
+      s"$fn expects $n arguments, got ${exprs.length}")
+
+  /** name → builder, shared by [[GraftExtensions]] (injectFunction) and
+    * [[registerAll]] (temp functions on an existing session). Aggregate
+    * kernels return the bare AggregateFunction — the analyzer wraps it,
+    * exactly like Spark's own builtin aggregate builders. */
+  val sqlKernels: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> { exprs =>
+      nArgs("graft_dot", exprs, 2); DotProduct(exprs(0), exprs(1)) },
+    "graft_lsh_canon" -> { exprs =>
+      nArgs("graft_lsh_canon", exprs, 4)
+      LshCanon(exprs(0), exprs(1),
+        litInt("graft_lsh_canon", "numBits", exprs(2)),
+        litBool("graft_lsh_canon", "multiProbe", exprs(3))) },
+    "graft_gram_hashes" -> { exprs =>
+      nArgs("graft_gram_hashes", exprs, 2)
+      GramHashes(exprs(0), litInt("graft_gram_hashes", "k", exprs(1))) },
+    "graft_minhash_sig" -> { exprs =>
+      nArgs("graft_minhash_sig", exprs, 3)
+      MinHashSig(exprs(0), litInt("graft_minhash_sig", "k", exprs(1)),
+        litInt("graft_minhash_sig", "numHashes", exprs(2))) },
+    "graft_winnow_fps" -> { exprs =>
+      nArgs("graft_winnow_fps", exprs, 3)
+      WinnowFps(exprs(0), litInt("graft_winnow_fps", "k", exprs(1)),
+        litInt("graft_winnow_fps", "w", exprs(2))) },
+    "graft_simhash" -> { exprs =>
+      nArgs("graft_simhash", exprs, 1); SimHash(exprs(0)) },
+    "graft_nfc" -> { exprs =>
+      nArgs("graft_nfc", exprs, 1); NfcNormalize(exprs(0)) },
+    "graft_int8_quantize" -> { exprs =>
+      nArgs("graft_int8_quantize", exprs, 1); Int8Quantize(exprs(0)) },
+    // aggregates: the exploded-token simhash, the sketch family, and the
+    // bloom pair (Spark ships the bloom expressions but registers no SQL
+    // names for them)
+    "graft_simhash_agg" -> { exprs =>
+      nArgs("graft_simhash_agg", exprs, 1); SimHashAgg(exprs(0)) },
+    "graft_theta" -> { exprs =>
+      nArgs("graft_theta", exprs, 1); ThetaSketchAgg(exprs(0)) },
+    "graft_kll" -> { exprs =>
+      nArgs("graft_kll", exprs, 1); KllSketchAgg(exprs(0)) },
+    "graft_frequent" -> { exprs =>
+      nArgs("graft_frequent", exprs, 2)
+      FrequentAgg(exprs(0), litInt("graft_frequent", "capacity", exprs(1))) },
+    "graft_bloom_agg" -> { exprs =>
+      nArgs("graft_bloom_agg", exprs, 2)
+      val items = math.max(litLong("graft_bloom_agg", "expectedItems", exprs(1)), 1L)
+      val bits = math.min(math.max(items * 10L, 1024L), 1L << 27)
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        exprs(0), Literal(items), Literal(bits)) },
+    "graft_might_contain" -> { exprs =>
+      nArgs("graft_might_contain", exprs, 2)
+      BloomFilterMightContain(exprs(0), exprs(1)) })
+
+  /** Register every kernel as a temp function on an existing session —
+    * the front door for sessions not built with GraftExtensions. */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    sqlKernels.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
 }
 
 /** SparkSessionExtensions injector for spark-submit / config-based use:
@@ -199,11 +287,13 @@ object VectorFunctions {
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
-    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-    ext.injectFunction((
-      FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    VectorFunctions.sqlKernels.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[DotProduct].getName, name),
+        builder))
+    }
     ext.injectOptimizerRule(_ => RewriteHofDot)
     ext.injectPlannerStrategy(_ => GroupTopKStrategy)
   }
