@@ -248,6 +248,7 @@ object SparkEntry {
     "feat_woe" -> (Suite.featWoe _),
     "feat_user_profile" -> (Suite.featUserProfile _),
     "sim_ivfpq_topk" -> (Suite.simIvfpqTopk _),
+    "sim_index_persist" -> (Suite.simIndexPersist _),
     "rel_priority_sla" -> (Suite.relPrioritySla _),
     "dq_temporal" -> (Suite.dqTemporal _),
     "text_keyphrase" -> (Suite.textKeyphrase _),
@@ -1043,20 +1044,38 @@ object SparkEntry {
     * expression order) and the k·refine exact re-rank. Possible because
     * trainCoarse's d2 is the ip-expansion (Similarity.scala) — three
     * sequential folds both engines compute bitwise-identically. */
-  private def ivfpqTopkSql: String =
-    """WITH RECURSIVE c AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+  private def ivfpqTopkSql: String = ivfpqOracleSql("TRUE", "")
+
+  /** sim_index_persist oracle (r15): the SAME composite replay with
+    * TRAINING restricted to the 90% build subset — assignment, residual
+    * encoding and the ADC scan run over ALL vectors, which is exactly
+    * the frozen-codebook append semantics (encoding is a per-vector
+    * function of the stored model, so v2's appended codes equal codes
+    * computed at build time). Verdict columns pin the Snapshots
+    * versioning (2 commits, full corpus indexed). */
+  private def simIndexPersistSql: String = ivfpqOracleSql(
+    "vec_id % 10 <> 3",
+    ",\n  CAST(2 AS BIGINT) AS n_versions, (SELECT count(*) FROM c) AS n_indexed")
+
+  /** Shared IVF-PQ lifecycle replay, parameterized by the TRAINING
+    * subset predicate (`buildPred` over vec_id): nn/ssz counts, the
+    * coarse training pool and the residual-codebook sample draw from
+    * the build subset; assignment/encoding/query cover the full corpus. */
+  private def ivfpqOracleSql(buildPred: String, extraSelect: String): String =
+    s"""WITH RECURSIVE c AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
       |  sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
       |  FROM embeddings),
+      |cbld AS MATERIALIZED (SELECT * FROM c WHERE $buildPred),
       |nn AS (SELECT count(*) AS n,
       |  GREATEST(4, CAST(floor(sqrt(count(*))) AS BIGINT)) AS nc,
-      |  GREATEST(8 * GREATEST(4, CAST(floor(sqrt(count(*))) AS BIGINT)), 512) AS ssz FROM c),
-      |tstr AS (SELECT s.vec_id, s.e FROM c s, nn
+      |  GREATEST(8 * GREATEST(4, CAST(floor(sqrt(count(*))) AS BIGINT)), 512) AS ssz FROM cbld),
+      |tstr AS (SELECT s.vec_id, s.e FROM cbld s, nn
       |  WHERE (('0x'||substr(md5('c'||s.vec_id),1,8))::BIGINT % GREATEST(1, nn.n // nn.ssz)) = 0),
       |tpool AS (
       |  SELECT vec_id, e FROM tstr
       |  WHERE (SELECT count(*) FROM tstr) >= (SELECT (ssz + 1) // 4 FROM nn)
       |  UNION ALL
-      |  SELECT vec_id, e FROM c
+      |  SELECT vec_id, e FROM cbld
       |  WHERE (SELECT count(*) FROM tstr) < (SELECT (ssz + 1) // 4 FROM nn)),
       |train AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, e
       |  FROM (SELECT vec_id, e FROM tpool ORDER BY vec_id LIMIT (SELECT ssz FROM nn))),
@@ -1083,7 +1102,7 @@ object SparkEntry {
       |  FROM gonz g, tv, kx WHERE g.cnt = kx.kk),
       |""".stripMargin +
       (1 to 5).map(lloydCte).mkString("\n") +
-    """
+    s"""
       |centt AS MATERIALIZED (SELECT jj.j - 1 AS ci, l.cents[jj.j] AS cv,
       |    list_inner_product(l.cents[jj.j], l.cents[jj.j]) AS cn2,
       |    sqrt(list_inner_product(l.cents[jj.j], l.cents[jj.j])) AS cnorm
@@ -1096,12 +1115,13 @@ object SparkEntry {
       |resid AS MATERIALIZED (SELECT a.vec_id, a.centroid_id,
       |    list_transform(list_zip(v.e, ct.cv), z -> z[1] - z[2]) AS r
       |  FROM asgc a JOIN c v USING (vec_id) JOIN centt ct ON ct.ci = a.centroid_id),
-      |rstr AS (SELECT r.vec_id, r.r FROM resid r, nn
+      |rbld AS (SELECT * FROM resid WHERE $buildPred),
+      |rstr AS (SELECT r.vec_id, r.r FROM rbld r, nn
       |  WHERE (('0x'||substr(md5('c'||r.vec_id),1,8))::BIGINT % GREATEST(1, nn.n // 32)) = 0),
       |rpool AS (
       |  SELECT vec_id, r FROM rstr WHERE (SELECT count(*) FROM rstr) >= 16
       |  UNION ALL
-      |  SELECT vec_id, r FROM resid WHERE (SELECT count(*) FROM rstr) < 16),
+      |  SELECT vec_id, r FROM rbld WHERE (SELECT count(*) FROM rstr) < 16),
       |rsamp AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS t, r
       |  FROM (SELECT vec_id, r FROM rpool ORDER BY vec_id LIMIT 32)),
       |js AS (SELECT unnest(range(0, 8)) AS j),
@@ -1141,7 +1161,7 @@ object SparkEntry {
       |  FROM cands cd JOIN c v ON v.vec_id = cd.nid JOIN q ON q.qid = cd.qid)
       |SELECT qid AS vec_id, nid AS neighbor_id,
       |  CAST(floor(sim * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0 AS sim,
-      |  CAST(rank AS BIGINT) AS rank FROM (
+      |  CAST(rank AS BIGINT) AS rank$extraSelect FROM (
       |  SELECT qid, nid, sim,
       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM ex)
       |WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin
@@ -6569,6 +6589,7 @@ object SparkEntry {
     // IVF-PQ builds replay end-to-end — see pqTopkSql / ivfpqTopkSql.
     "sim_pq_topk" -> pqTopkSql,
     "sim_ivfpq_topk" -> ivfpqTopkSql,
+    "sim_index_persist" -> simIndexPersistSql,
     // sim_nprobe_sweep (oracle-backed r10): the IVF replay above run as
     // FOUR correlated arms (per-query centroid rank <= nprobe) against
     // the exact ground truth, recall division hash-checked per arm.

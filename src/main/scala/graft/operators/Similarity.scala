@@ -462,6 +462,95 @@ object Similarity {
   private[graft] def ivfPqTopKImpl(corpus: DataFrame, queries: DataFrame,
       k: Int, c: Int, nprobe: Int, m: Int, codebookSize: Int, refine: Int,
       n: Long, distributed: Boolean): DataFrame = {
+    val idx = buildIvfPqIndexImpl(corpus, c, m, codebookSize, n, distributed)
+    queryIndex(idx, corpus, queries, k, nprobe, refine)
+  }
+
+  /** A FROZEN IVF-PQ model: the driver-trained coarse centroids and
+    * per-subspace residual codebooks — everything [[encodeAgainst]]
+    * needs to turn a vector into (centroid_id, m byte codes) without
+    * retraining. Configuration-sized (O(√N)·dim doubles), so it stores
+    * as one small parquet and broadcasts/inlines exactly like the
+    * inline faces' literals. */
+  final case class IvfPqModel(cents: Array[Array[Double]],
+      cb: Array[Array[Array[Double]]]) {
+    def dim: Int = cents.head.length
+    def m: Int = cb.length
+    def codebookSize: Int = cb.head.length
+    def subDim: Int = dim / m
+    def distributed: Boolean = cents.length > literalCentroidCeiling
+  }
+
+  /** A built index: the frozen model + the (vec_id, centroid_id, codes)
+    * table — the 4+m bytes/vector artifact a serving pipeline stores. */
+  final case class IvfPqIndex(model: IvfPqModel, codes: DataFrame)
+
+  /** Assigned-centroid vector/|c|² lookup for rows carrying
+    * `centroid_id`: literal element_at below the ceiling, broadcast
+    * dimension join above it — the same doubles either way
+    * (centroidFrame computes the norms with the identical driver-side
+    * fold the literals use). */
+  private def withCentVec(cents: Array[Array[Double]], distributed: Boolean)
+      (df: DataFrame): DataFrame =
+    if (!distributed) {
+      val centsLit = array(cents.map(cw => array(cw.map(lit): _*)): _*)
+      val centNormSq = array(cents.map(cv => lit(cv.map(x => x * x).sum)): _*)
+      df.withColumn("__cemb", element_at(centsLit, col("centroid_id") + 1))
+        .withColumn("__cnorm2", element_at(centNormSq, col("centroid_id") + 1))
+    } else
+      df.join(broadcast(centroidFrame(df.sparkSession, cents)),
+        col("centroid_id") === col("__ci"))
+        .drop("__ci", "__cnorm")
+
+  /** Coarse assignment + residual of each vector against the FROZEN
+    * centroids — entry 1 of the shared top-slice (first-max with
+    * (−s, ci) tie-break ⇔ the oracle's row_number ORDER BY s DESC, ci). */
+  private def residualsFor(cents: Array[Array[Double]], distributed: Boolean,
+      vectors: DataFrame): DataFrame =
+    withCentVec(cents, distributed)(
+      topCentroidSlices(withNorm(vectors, "embedding", "norm"),
+        "vec_id", "embedding", "norm", cents, 1, distributed)
+        .withColumn("centroid_id",
+          element_at(col("__top"), 1).getField("ci").cast("int")))
+      .select(col("vec_id"), col("centroid_id"),
+        zip_with(col("embedding").cast("array<double>"), col("__cemb"),
+          (a, b) => a - b).as("resid"))
+
+  /** PQ-encode a residual table against the FROZEN codebooks: per
+    * subspace, the argmax of 2·⟨r_j, cw⟩ − |cw|² (≡ nearest codeword). */
+  private def codesFor(model: IvfPqModel, resDf: DataFrame): DataFrame = {
+    val d0 = model.subDim
+    def codeExpr(j: Int): Column = {
+      val sub = expr(s"slice(resid, ${j * d0 + 1}, $d0)")
+      val scores = array(model.cb(j).map { cw =>
+        val cwLit = array(cw.map(lit): _*)
+        dot(sub, cwLit) * 2.0 - lit(cw.map(x => x * x).sum)
+      }: _*)
+      (array_position(scores, array_max(scores)) - 1).cast("tinyint")
+    }
+    resDf.select(col("vec_id"), col("centroid_id"),
+      array((0 until model.m).map(codeExpr): _*).as("codes"))
+  }
+
+  /** Encode NEW vectors against a frozen model — the incremental-append
+    * path (today's crawl joins the index without a rebuild): coarse
+    * assignment and PQ encoding are per-vector functions of the model,
+    * so this is exactly the build-time encode arithmetic re-run on the
+    * increment; no training, no collect beyond the model already held. */
+  def encodeAgainst(model: IvfPqModel, vectors: DataFrame): DataFrame =
+    codesFor(model, residualsFor(model.cents, model.distributed, vectors))
+
+  def buildIvfPqIndex(corpus: DataFrame, numCentroids: Int = -1,
+      m: Int = 8, codebookSize: Int = 32): IvfPqIndex = {
+    val n = corpus.count()
+    val c = if (numCentroids > 0) numCentroids
+      else math.max(4, math.sqrt(n.toDouble).toInt)
+    buildIvfPqIndexImpl(corpus, c, m, codebookSize, n,
+      distributed = c > literalCentroidCeiling)
+  }
+
+  private[graft] def buildIvfPqIndexImpl(corpus: DataFrame, c: Int, m: Int,
+      codebookSize: Int, n: Long, distributed: Boolean): IvfPqIndex = {
     import org.apache.spark.sql.Row
     val dim = corpus.select(size(col("embedding"))).head.getInt(0)
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
@@ -487,30 +576,7 @@ object Similarity {
     val train = if (tsample.length >= math.max(1, (sampleSize + 1) / 4)) tsample
       else firstK(corpus, sampleSize, "embedding")
     val cents = trainCoarse(train, math.min(c, train.length), 5)
-    val centsLit = array(cents.map(cw => array(cw.map(lit): _*)): _*)
-    val centNormSq = array(cents.map(cv => lit(cv.map(x => x * x).sum)): _*)
-    val cdf = centroidFrame(corpus.sparkSession, cents)
-    // assigned-centroid vector/|c|² lookup: literal element_at below the
-    // ceiling, broadcast dimension join on centroid_id above it — the
-    // same doubles either way (centroidFrame computes the norms with the
-    // identical driver-side fold the literals use)
-    def withCentVec(df: DataFrame): DataFrame =
-      if (!distributed)
-        df.withColumn("__cemb", element_at(centsLit, col("centroid_id") + 1))
-          .withColumn("__cnorm2", element_at(centNormSq, col("centroid_id") + 1))
-      else
-        df.join(broadcast(cdf), col("centroid_id") === col("__ci"))
-          .drop("__ci", "__cnorm")
-    // coarse assignment = entry 1 of the shared top-slice (first-max
-    // with (−s, ci) tie-break ⇔ the oracle's row_number ORDER BY s DESC, ci)
-    val resDf = withCentVec(
-      topCentroidSlices(withNorm(corpus, "embedding", "norm"),
-        "vec_id", "embedding", "norm", cents, 1, distributed)
-        .withColumn("centroid_id",
-          element_at(col("__top"), 1).getField("ci").cast("int")))
-      .select(col("vec_id"), col("centroid_id"),
-        zip_with(col("embedding").cast("array<double>"), col("__cemb"),
-          (a, b) => a - b).as("resid"))
+    val resDf = residualsFor(cents, distributed, corpus)
       .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stepR = math.max(1L, n / codebookSize)
     def residSample(df: DataFrame): Array[Array[Double]] = df
@@ -523,40 +589,43 @@ object Similarity {
       else residSample(resDf)
     val cb: Array[Array[Array[Double]]] =
       Array.tabulate(rsample.length)(t => rsample(t).grouped(d0).toArray).transpose
-    def codeExpr(j: Int): Column = {
-      val sub = expr(s"slice(resid, ${j * d0 + 1}, $d0)")
-      val scores = array(cb(j).map { cw =>
-        val cwLit = array(cw.map(lit): _*)
-        dot(sub, cwLit) * 2.0 - lit(cw.map(x => x * x).sum)
-      }: _*)
-      (array_position(scores, array_max(scores)) - 1).cast("tinyint")
-    }
-    val codes = resDf
-      .select(col("vec_id"), col("centroid_id"),
-        array((0 until m).map(codeExpr): _*).as("codes"))
+    val model = IvfPqModel(cents, cb)
+    val codes = codesFor(model, resDf)
       .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    IvfPqIndex(model, codes)
+  }
+
+  /** Query a (built or stored) index: ADC scan over the byte-code table
+    * only — approximate COSINE, not raw inner product — candidate norms
+    * vary, and IP ranking would crowd true neighbors out of the refine
+    * set with high-norm vectors. |recon|² expands to |c|² + 2·c·r + |r|²
+    * where |c|² comes from the centroid lookup (literal or broadcast
+    * dimension) and the two dots are native codegen'd. The PQ codebook
+    * (m × codebookSize) stays literal in both paths — it is
+    * configuration-sized, not O(√N) like the coarse codebook. The
+    * top k·refine then re-rank EXACTLY against the true embeddings
+    * (`corpus` — candidates only, never the full index). No quantizer
+    * training anywhere in this plan: query cost scales with the stored
+    * index, not the build. */
+  def queryIndex(index: IvfPqIndex, corpus: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int = 4, refine: Int = 8): DataFrame = {
+    val model = index.model
+    val m = model.m
     val q0 = topCentroidSlices(
       withNorm(queries.select(col("vec_id").as("qid"),
         col("embedding").cast("array<double>").as("qemb")), "qemb", "qnorm"),
-      "qid", "qemb", "qnorm", cents, nprobe, distributed)
+      "qid", "qemb", "qnorm", model.cents, nprobe, model.distributed)
       .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probed = q0.select(col("qid"), col("qemb"), col("qnorm"),
       explode(col("__top")).as("p"))
       .select(col("qid"), col("qemb"), col("qnorm"),
         col("p.ci").as("centroid_id"))
     val rrec = flatten(array((0 until m).map { j =>
-      val cbLit = array(cb(j).map(cw => array(cw.map(lit): _*)): _*)
+      val cbLit = array(model.cb(j).map(cw => array(cw.map(lit): _*)): _*)
       element_at(cbLit, element_at(col("codes"), j + 1).cast("int") + 1)
     }: _*))
-    // ADC scan over the byte-code index only: approximate COSINE, not
-    // raw inner product — candidate norms vary, and IP ranking would
-    // crowd true neighbors out of the refine set with high-norm
-    // vectors. |recon|² expands to |c|² + 2·c·r + |r|² where |c|² comes
-    // from the centroid lookup (literal or broadcast dimension) and the
-    // two dots are native codegen'd. The PQ codebook (m × codebookSize)
-    // stays literal in both paths — it is configuration-sized, not
-    // O(√N) like the coarse codebook.
-    val cand = withCentVec(codes.join(broadcast(probed), "centroid_id"))
+    val cand = withCentVec(model.cents, model.distributed)(
+      index.codes.join(broadcast(probed), "centroid_id"))
       .filter(col("qid") =!= col("vec_id"))
       .withColumn("__cdot", dot(col("__cemb"), rrec))
       .select(col("qid"), col("vec_id").as("nid"),
@@ -575,6 +644,59 @@ object Similarity {
           col("qnorm"), col("nnorm")).as("sim"))
     rankTopK(exact, k)
   }
+
+  // ---- index persistence (r15: build once / serve many) -----------------
+
+  /** Write the index under `root`: the codes as a Snapshots-versioned
+    * table (`root/codes` — each [[appendToIndex]] commits a new
+    * queryable version carrying all prior files) and the FROZEN model
+    * once (`root/model`, plain parquet — codebooks never change after
+    * build; that is what makes the appended codes comparable to the
+    * originals). Returns the committed codes version. */
+  def writeIndex(index: IvfPqIndex, root: String): Int = {
+    writeModel(index.codes.sparkSession, index.model, s"$root/model")
+    graft.sources.Snapshots.append(index.codes, s"$root/codes")
+  }
+
+  private def writeModel(spark: SparkSession, model: IvfPqModel,
+      path: String): Unit = {
+    import spark.implicits._
+    val coarse = model.cents.zipWithIndex.map { case (cv, i) =>
+      ("coarse", i, 0, cv.toSeq) }.toSeq
+    val pq = for { j <- model.cb.indices; t <- model.cb(j).indices }
+      yield ("pq", j, t, model.cb(j)(t).toSeq)
+    (coarse ++ pq).toDF("kind", "i", "j", "vec")
+      .coalesce(1) // configuration-sized: one file, one footer
+      .write.mode("errorifexists").parquet(path)
+  }
+
+  /** Read back the frozen model (doubles round-trip parquet exactly, so
+    * a stored-index query computes the same floats as the build). */
+  def readIndexModel(spark: SparkSession, root: String): IvfPqModel = {
+    val rows = spark.read.parquet(s"$root/model").collect()
+    val cents = rows.filter(_.getString(0) == "coarse")
+      .sortBy(_.getInt(1)).map(_.getSeq[Double](3).toArray)
+    val pq = rows.filter(_.getString(0) == "pq")
+    require(cents.nonEmpty && pq.nonEmpty, s"not an ivfpq index model: $root")
+    val m = pq.map(_.getInt(1)).max + 1
+    val cb = Array.tabulate(m)(j => pq.filter(_.getInt(1) == j)
+      .sortBy(_.getInt(2)).map(_.getSeq[Double](3).toArray))
+    IvfPqModel(cents, cb)
+  }
+
+  /** Open the stored index at its LATEST codes version. */
+  def readIndex(spark: SparkSession, root: String): IvfPqIndex =
+    IvfPqIndex(readIndexModel(spark, root),
+      graft.sources.Snapshots.readLatest(spark, s"$root/codes"))
+
+  /** Encode `newVectors` against the STORED frozen model and commit
+    * them as a new codes version — the dedup_incremental pattern for
+    * ANN serving: daily cost is O(increment), the model never retrains,
+    * and every prior version stays queryable (Snapshots readAs). */
+  def appendToIndex(spark: SparkSession, root: String,
+      newVectors: DataFrame): Int =
+    graft.sources.Snapshots.append(
+      encodeAgainst(readIndexModel(spark, root), newVectors), s"$root/codes")
 
   /** IVF tuning curve — recall@k as a function of nprobe, the
     * measurement behind every "how many lists do we probe" decision.

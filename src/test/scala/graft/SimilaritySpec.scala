@@ -286,6 +286,80 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.9, f"recall $recall%.3f below 0.9")
   }
 
+  test("persisted index: write/read round trip serves the same answers as in-memory") {
+    val r = new scala.util.Random(47)
+    val dim = 64
+    val rows = (0 until 20).flatMap { c =>
+      val center = Array.fill(dim)(r.nextGaussian())
+      (0 until 20).map(m => (c.toLong * 20 + m,
+        center.map(x => (x + 0.15 * r.nextGaussian()).toFloat)))
+    }
+    val e = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val qs = e.filter(col("vec_id") % 20 === 0)
+    val idx = Similarity.buildIvfPqIndex(e, numCentroids = 16)
+    val root = graft.sources.Export.tempDir("graft_idx_rt_").toString
+    val v1 = Similarity.writeIndex(idx, root)
+    assert(v1 == 1)
+    val stored = Similarity.readIndex(spark, root)
+    // the frozen model round-trips bitwise (doubles are exact in parquet)
+    assert(stored.model.cents.map(_.toSeq).toSeq == idx.model.cents.map(_.toSeq).toSeq)
+    assert(stored.model.cb.map(_.map(_.toSeq).toSeq).toSeq ==
+      idx.model.cb.map(_.map(_.toSeq).toSeq).toSeq)
+    // ...and so do the answers: build-once/query-twice parity
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getLong(3))).toSet
+    val mem = key(Similarity.queryIndex(idx, e, qs, 5))
+    val disk = key(Similarity.queryIndex(stored, e, qs, 5))
+    assert(mem == disk)
+    // querying twice against the stored index is stable
+    assert(key(Similarity.queryIndex(stored, e, qs, 5)) == disk)
+  }
+
+  test("persisted index: append encodes against FROZEN codebooks and serves new vectors") {
+    val r = new scala.util.Random(59)
+    val dim = 64
+    val rows = (0 until 20).flatMap { c =>
+      val center = Array.fill(dim)(r.nextGaussian())
+      (0 until 20).map(m => (c.toLong * 20 + m,
+        center.map(x => (x + 0.15 * r.nextGaussian()).toFloat)))
+    }
+    val base = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    // the increment: a near-twin of every cluster head, ids offset by 1e6
+    val twins = rows.filter(_._1 % 20 == 0).map { case (id, v) =>
+      (id + 1000000L, v.map(x => x * 1.01f)) }
+    val incr = spark.createDataFrame(twins).toDF("vec_id", "embedding")
+    val root = graft.sources.Export.tempDir("graft_idx_app_").toString
+    Similarity.writeIndex(Similarity.buildIvfPqIndex(base, numCentroids = 16), root)
+    val modelBefore = Similarity.readIndexModel(spark, root)
+    val v2 = Similarity.appendToIndex(spark, root, incr)
+    assert(v2 == 2)
+    // append NEVER retrains: the stored model is unchanged
+    val modelAfter = Similarity.readIndexModel(spark, root)
+    assert(modelBefore.cents.map(_.toSeq).toSeq == modelAfter.cents.map(_.toSeq).toSeq)
+    assert(modelBefore.cb.map(_.map(_.toSeq).toSeq).toSeq ==
+      modelAfter.cb.map(_.map(_.toSeq).toSeq).toSeq)
+    val stored = Similarity.readIndex(spark, root)
+    assert(stored.codes.count() == base.count() + incr.count())
+    // appended codes equal build-time encoding of the same vectors
+    // (encoding is a pure function of the frozen model)
+    val direct = Similarity.encodeAgainst(modelBefore, incr).collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getSeq[Byte](2))).toSet
+    val fromStore = stored.codes.filter(col("vec_id") >= 1000000L).collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getSeq[Byte](2))).toSet
+    assert(direct == fromStore)
+    // a query over the full corpus finds each appended twin as its
+    // head's nearest neighbor (cosine ~1 — scaling preserves direction)
+    val all = base.unionAll(incr)
+    val qs = base.filter(col("vec_id") % 20 === 0)
+    val top1 = Similarity.queryIndex(stored, all, qs, 1).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    val hit = top1.count { case (q, n) => n == q + 1000000L }
+    assert(hit >= 18, s"only $hit/20 appended twins served as top-1: $top1")
+    // the v1-only view is still queryable (time travel over the index)
+    val codesV1 = graft.sources.Snapshots.readAs(spark, s"$root/codes", 1)
+    assert(codesV1.count() == base.count())
+  }
+
   test("IVF ANN recall >= 0.9 vs brute force on a clustered corpus") {
     val r = new scala.util.Random(13)
     val dim = 64
