@@ -245,7 +245,15 @@ object Similarity {
     * trees fall out of whole-stage codegen (the r11 LshCanon lesson).
     * Above the ceiling the codebook travels as a broadcast DataFrame
     * instead ([[topCentroidSlices]]'s distributed strategy). */
-  private[graft] val literalCentroidCeiling = 1024
+  // Default 128, MEASURED r15 (ProbeAnnIndex, build_write_s literal vs
+  // distributed): c=140 → 7.8 vs 9.3 s (literal wins small), c=243 →
+  // 29.5 vs 11.0 s (2.7×), c=775 → 910 vs 21 s (42× — the giant literal
+  // projection had fallen out of codegen and ran INTERPRETED long before
+  // the old 1024 ceiling). Gate-scale c (≈22 at sf0.01) stays literal,
+  // so every oracle plan is unchanged; values are identical either way
+  // (parity specs). Env knob for cluster tuning/probes.
+  private[graft] val literalCentroidCeiling =
+    sys.env.get("SPARK_GRAFT_CENTROID_CEILING").map(_.toInt).getOrElse(128)
 
   /** The codebook as a broadcastable dimension: (ci, cemb, cnorm,
     * cnorm2). Norms are computed driver-side with the same fold the
