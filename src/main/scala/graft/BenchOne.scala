@@ -36,6 +36,13 @@ object BenchOne {
       val t1 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).count()
       println(f"$name warm: ${(System.nanoTime() - t1) / 1e9}%.2f s")
+      // scale-probe heap evidence: the JVM-lifetime PEAK across all
+      // heap pools (captures the worst moment of either leg)
+      import scala.jdk.CollectionConverters._
+      val peak = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+        .asScala.filter(_.getType == java.lang.management.MemoryType.HEAP)
+        .map(_.getPeakUsage.getUsed).sum
+      println(f"$name peak_heap_mb: ${peak / 1048576}%d")
       Caches.release()
       spark.catalog.clearCache()
     }

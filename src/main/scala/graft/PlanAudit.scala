@@ -340,7 +340,15 @@ object PlanAudit {
     // exclusive prefix sum; the chunk reassembly groupBy reuses the
     // window's doc_id partitioning — no second exchange — and the
     // twin/orig audit equi-joins the PERSISTED chunk table)
-    "dedup_cdc_chunks")
+    "dedup_cdc_chunks",
+    // r15: the pure-SQL kernel face — same shape as the minhash family:
+    // persisted signature scan on both sides of ONE (band, bhash)
+    // equi-join, codegen'd native kernels in the projection, no cartesian
+    "q37_sql_kernels",
+    // r15: stored-index ANN serving — expect the codes scan broadcast-
+    // joined to the probed queries (no quantizer training subtree, no
+    // cartesian; the build side runs eagerly before the returned plan)
+    "sim_index_persist")
     // evt_audience_overlap is excluded like dedup_clusters: its
     // domain-sized sketch table collects eagerly at construction, so
     // only the trivial driver-built result frame would be explained

@@ -132,15 +132,30 @@ object Graph {
     val edges = edgesIn.select(col("src"), col("dst")).distinct()
       .persistTracked(StorageLevel.MEMORY_AND_DISK)
     edges.count()
+    // Per-round state via EAGER tracked persists, not localCheckpoint
+    // (the r15 x300 probe's finding): a BFS round's working set is the
+    // REACHED STREAM (O(edges touched) — 175M rows at x300), and the
+    // lazy-checkpoint idiom (right for pagerank, whose per-round state
+    // is rank-sized) chained every round's join/agg into one final
+    // mega-job — 8g heap OOM where the eager form completes. Checkpoint
+    // blocks are also only freed by GC (they leaked the cold run's
+    // blocks into the warm run); tracked persists release promptly and
+    // at k=3 the plan is shallow enough to need no lineage cut — each
+    // materialized round substitutes an InMemoryRelation anyway.
     var dist = seeds.select(col("node")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint()
+      .withColumn("dist", lit(0L))
+      .persistTracked(StorageLevel.MEMORY_AND_DISK)
+    dist.count()
     for (i <- 1 to k) {
       val frontier = dist.filter(col("dist") === (i - 1).toLong)
       val reached = frontier.join(edges, frontier("node") === edges("src"))
         .select(col("dst").as("node"), lit(i.toLong).as("dist"))
-      dist = dist.unionByName(reached)
+      val next = dist.unionByName(reached)
         .groupBy("node").agg(min(col("dist")).as("dist"))
-        .localCheckpoint(false) // lazy: materialized by the next round
+        .persistTracked(StorageLevel.MEMORY_AND_DISK)
+      next.count() // isolate the round's job; release the prior state
+      dist.unpersist()
+      dist = next
     }
     edges.unpersist()
     dist.orderBy("node")
