@@ -692,10 +692,32 @@ object Similarity {
     IvfPqModel(cents, cb)
   }
 
-  /** Open the stored index at its LATEST codes version. */
-  def readIndex(spark: SparkSession, root: String): IvfPqIndex =
-    IvfPqIndex(readIndexModel(spark, root),
-      graft.sources.Snapshots.readLatest(spark, s"$root/codes"))
+  /** Open the stored index at its LATEST codes version. Versions
+    * carrying equality deletes ([[deleteFromIndex]]) read through the
+    * merge-on-read path — a plain scan would resurrect deleted
+    * vectors. */
+  def readIndex(spark: SparkSession, root: String): IvfPqIndex = {
+    import graft.sources.Snapshots
+    val codesRoot = s"$root/codes"
+    val vs = Snapshots.versions(codesRoot)
+    require(vs.nonEmpty, s"no index codes under $root")
+    val codes =
+      if (Snapshots.deleteFiles(codesRoot, vs.last).isEmpty)
+        Snapshots.readAs(spark, codesRoot, vs.last)
+      else Snapshots.readMergeOnRead(spark, codesRoot, vs.last, "vec_id")
+    IvfPqIndex(readIndexModel(spark, root), codes)
+  }
+
+  /** Remove vectors from the stored index WITHOUT rewriting codes — an
+    * Iceberg-style equality-delete commit on vec_id (the GDPR-erase /
+    * stale-document shape of index maintenance): the new version's
+    * manifest carries every data file unchanged plus a delete marker,
+    * [[readIndex]] anti-joins it at read time, and a later
+    * Snapshots.vacuum can compact. Returns the committed version. */
+  def deleteFromIndex(spark: SparkSession, root: String,
+      ids: DataFrame): Int =
+    graft.sources.Snapshots.deleteWhere(
+      ids.select(col("vec_id")), s"$root/codes", "vec_id")
 
   /** Encode `newVectors` against the STORED frozen model and commit
     * them as a new codes version — the dedup_incremental pattern for

@@ -360,6 +360,39 @@ class SimilaritySpec extends SparkTestBase {
     assert(codesV1.count() == base.count())
   }
 
+  test("persisted index: equality-delete removes vectors from serving without a rewrite") {
+    val r = new scala.util.Random(67)
+    val dim = 64
+    val rows = (0 until 15).flatMap { c =>
+      val center = Array.fill(dim)(r.nextGaussian())
+      (0 until 20).map(m => (c.toLong * 20 + m,
+        center.map(x => (x + 0.15 * r.nextGaussian()).toFloat)))
+    }
+    val e = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val root = graft.sources.Export.tempDir("graft_idx_del_").toString
+    Similarity.writeIndex(Similarity.buildIvfPqIndex(e, numCentroids = 12), root)
+    val qs = e.filter(col("vec_id") % 20 === 0)
+    val before = Similarity.queryIndex(Similarity.readIndex(spark, root), e, qs, 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    // erase one whole cluster's non-head members (ids 20..39 except 20)
+    import spark.implicits._
+    val gone = (21L to 39L).toDF("vec_id")
+    val v = Similarity.deleteFromIndex(spark, root, gone)
+    assert(v == 2)
+    val after = Similarity.readIndex(spark, root)
+    assert(after.codes.filter(col("vec_id").between(21L, 39L)).count() == 0)
+    assert(after.codes.count() == e.count() - 19)
+    // deleted ids no longer serve; every other pair is unchanged
+    val served = Similarity.queryIndex(after, e, qs, 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(!served.exists { case (_, n) => n >= 21L && n <= 39L })
+    assert(before.exists { case (q, n) => q == 20L && n >= 21L && n <= 39L },
+      "the pre-delete index should have served in-cluster neighbors")
+    val keptBefore = before.filterNot { case (_, n) => n >= 21L && n <= 39L }.toSet
+    assert(keptBefore.subsetOf(served.toSet),
+      "surviving neighbors must keep serving after the delete")
+  }
+
   test("IVF ANN recall >= 0.9 vs brute force on a clustered corpus") {
     val r = new scala.util.Random(13)
     val dim = 64
