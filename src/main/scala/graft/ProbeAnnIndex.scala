@@ -65,12 +65,22 @@ object ProbeAnnIndex {
     val (v2, appendS) = timed(Similarity.appendToIndex(spark, root, incr))
     val (nCodes, _) = timed(
       graft.sources.Snapshots.readLatest(spark, s"$root/codes").count())
+    // maintenance leg: equality-delete ~1% and serve through the
+    // merge-on-read path — the erase cost must also be O(marker), and
+    // the post-delete query must still be flat
+    Caches.release()
+    val (_, delS) = timed(Similarity.deleteFromIndex(spark, root,
+      e.filter(pmod(col("vec_id"), lit(100)) === 51).select(col("vec_id"))))
+    val (q3Rows, q3S) = timed(
+      Similarity.queryIndex(Similarity.readIndex(spark, root), e, queries,
+        k, nprobe).count())
     println(
       s"""{"metric":"ann_index_probe","dir":"$dir","n_base":$nBase,""" +
       s""""n_incr":$nIncr,"build_write_s":$buildS,"open_s":$openS,""" +
       s""""query1_s":$q1S,"query2_s":$q2S,"append_s":$appendS,""" +
       s""""q_rows":$q1Rows,"q_rows2":$q2Rows,"versions":$v2,""" +
-      s""""codes_rows":$nCodes,"k":$k,"nprobe":$nprobe}""")
+      s""""codes_rows":$nCodes,"delete_s":$delS,"query3_s":$q3S,""" +
+      s""""q_rows3":$q3Rows,"k":$k,"nprobe":$nprobe}""")
     spark.stop()
   }
 }
