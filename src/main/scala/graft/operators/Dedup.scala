@@ -185,12 +185,22 @@ object Dedup {
     // (a, b < 2^32 so a + 31·b < 2^37 — no overflow under ANSI). Band
     // keys and the matching-slot count then both read the wide row
     // LOCALLY (no per-slot join).
+    // r16: the two 32-bit md5 lanes are hoisted into their own
+    // projections BEFORE the aggregate — inside the old per-slot
+    // aggregate expressions each of the 32 conditional mins carried its
+    // own md5(g) subtree (64 md5 calls per gram row if aggregate-side
+    // CSE doesn't fire); now md5 runs exactly once per gram and the 32
+    // slot hashes are pure BIGINT arithmetic over the two lanes.
+    // Identical values, identical signatures.
+    val lanes = grams
+      .select(col("doc_id"), md5(col("g")).as("h"))
+      .select(col("doc_id"),
+        expr("cast(conv(substring(h, 1, 8), 16, 10) as bigint)").as("ha"),
+        expr("cast(conv(substring(h, 9, 8), 16, 10) as bigint)").as("hb"))
     def slotHash(j: Int): Column = expr(
-      "cast((cast(conv(substring(md5(g), 1, 8), 16, 10) as bigint) + " +
-        s"$j * cast(conv(substring(md5(g), 9, 8), 16, 10) as bigint)) " +
-        "% 4294967296 as bigint)")
+      s"cast((ha + $j * hb) % 4294967296 as bigint)")
     val minCols = (0 until slots).map(j => min(slotHash(j)).as(s"mh$j"))
-    val sig = grams.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    val sig = lanes.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
       .persistTracked() // band keys + both sides of the pair-match join
     val bkeys = (0 until bands).map { b =>
       val parts = (0 until rpb).flatMap(r =>
@@ -439,8 +449,18 @@ object Dedup {
     * sizes); pairs are an equi-join on the planted/adjacent id map,
     * never all-pairs. */
   def minhashEstErr(docs: DataFrame, slots: Int = 16): DataFrame = {
-    val t0 = docs.select(col("doc_id"),
-      graft.operators.TextOps.tokens(col("text")).as("toks"))
+    // r16 (guide §2.3, project/filter before the expensive work): every
+    // emitted pair draws from doc_id % 11 == 0 (twin sources), % 5 == 0
+    // (background left) or % 5 == 1 (background right = left + 1) — the
+    // other ~51% of the corpus can never reach a pair, yet previously
+    // paid the full 16-slot md5 signature + gram explode. Filtering here
+    // halves the gram/signature volume with a bit-identical output (the
+    // pair derivations below only ever join ids from this kept set).
+    val t0 = docs
+      .filter(pmod(col("doc_id"), lit(11)) === 0 ||
+        pmod(col("doc_id"), lit(5)) === 0 || pmod(col("doc_id"), lit(5)) === 1)
+      .select(col("doc_id"),
+        graft.operators.TextOps.tokens(col("text")).as("toks"))
     val twins = t0
       .filter(pmod(col("doc_id"), lit(11)) === 0 && size(col("toks")) >= 12)
       .select((col("doc_id") + lit(1000000L)).as("doc_id"),

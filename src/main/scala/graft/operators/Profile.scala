@@ -70,15 +70,27 @@ object Profile {
       require(field.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
         s"profile supports numeric columns only; '$c' is ${field.dataType.simpleString}")
     }
-    val aggs = Seq(count(lit(1)).as("__cnt")) ++ cols.flatMap { c =>
+    // r16 (guide §4/codegen): approx_count_distinct is an
+    // ImperativeAggregate — mixed into the Expand/countDistinct plan it
+    // knocked the WHOLE multi-distinct aggregate out of whole-stage
+    // codegen (ProfileKey: ~13 CPU-seconds interpreting the 583k-group
+    // merge at sf0.1). Split the HLL estimates into their own
+    // single-pass aggregate over the raw rows: the exact leg (count/
+    // nulls/min/max/countDistinct — all declarative) keeps full
+    // codegen, and the HLL leg is 3 sketch updates per row with no
+    // giant hash map. HLL registers are duplicate-insensitive
+    // (register = max(ρ(hash(v))) — idempotent, merge = register max),
+    // so the estimates are bit-identical to the fused plan's.
+    val exactAggs = Seq(count(lit(1)).as("__cnt")) ++ cols.flatMap { c =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
         min(col(c)).cast("double").as(s"${c}__min"),
         max(col(c)).cast("double").as(s"${c}__max"),
-        countDistinct(col(c)).as(s"${c}__ndv"),
-        approx_count_distinct(col(c)).as(s"${c}__andv"))
+        countDistinct(col(c)).as(s"${c}__ndv"))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    val hllAggs = cols.map(c => approx_count_distinct(col(c)).as(s"${c}__andv"))
+    val one = df.agg(exactAggs.head, exactAggs.tail: _*)
+      .crossJoin(df.agg(hllAggs.head, hllAggs.tail: _*)) // bounded: 1 row each
     val stackArgs = cols
       .map(c => s"'$c', __cnt, `${c}__nulls`, `${c}__min`, `${c}__max`, " +
         s"`${c}__ndv`, `${c}__andv`")

@@ -324,6 +324,15 @@ object Similarity {
   }
 
   private[graft] def ivfTopKImpl(corpus: DataFrame, k: Int, c: Int,
+      nprobe: Int, n: Long, distributed: Boolean): DataFrame =
+    ivfTopKFromScored(ivfScoredSlices(corpus, c, nprobe, n, distributed), k, nprobe)
+
+  /** The expensive half of [[ivfTopKImpl]] — centroid selection + the
+    * corpus × c scoring pass that keeps each row's top-`nprobe`
+    * (ns, ci) slice, persisted. Split out (r16) so [[nprobeSweep]] can
+    * score ONCE at max(nprobes) and serve every arm from prefixes of
+    * the same slice instead of re-running the scan per arm. */
+  private[graft] def ivfScoredSlices(corpus: DataFrame, c: Int,
       nprobe: Int, n: Long, distributed: Boolean): DataFrame = {
     import org.apache.spark.sql.Row
     val step = math.max(1L, n / c)
@@ -349,13 +358,22 @@ object Similarity {
     // assignment is its first entry (sort by (−s, ci) ⇔ first-max
     // array_position, same tie-break, so the DuckDB oracle is
     // unchanged), probes are the whole slice.
-    val scored = topCentroidSlices(withNorm(corpus, "embedding", "norm"),
+    topCentroidSlices(withNorm(corpus, "embedding", "norm"),
       "vec_id", "embedding", "norm", cents, nprobe, distributed)
       .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Serve an IVF top-k from a precomputed slice table, probing the
+    * FIRST `nprobe` entries of each row's sorted slice — for slices
+    * built at nprobe' ≥ nprobe this is exactly the top-nprobe set
+    * (the slice is sorted by (ns, ci)), so an arm served from a wider
+    * shared slice equals the arm run standalone. */
+  private[graft] def ivfTopKFromScored(scored: DataFrame, k: Int,
+      nprobe: Int): DataFrame = {
     val indexed = scored.select(col("vec_id"), col("embedding"), col("norm"),
       element_at(col("__top"), 1).getField("ci").cast("int").as("centroid_id"))
     val probed = scored.select(col("vec_id"), col("embedding"), col("norm"),
-      explode(col("__top")).as("p"))
+      explode(expr(s"slice(__top, 1, $nprobe)")).as("p"))
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
         col("norm").as("qnorm"), col("p.ci").as("centroid_id"))
     // No (qid, nid) dedup aggregate: each index vector has exactly ONE
@@ -744,8 +762,17 @@ object Similarity {
       .select(col("vec_id"), col("neighbor_id"))
       .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nTotal = truth.count()
+    // r16: ONE corpus × c scoring pass at max(nprobes); every arm probes
+    // a prefix of the same sorted slice ([[ivfTopKFromScored]] — the
+    // top-p probes of a top-max slice are the standalone top-p probes),
+    // so the sweep stops re-counting, re-sampling centroids and
+    // re-scoring the corpus once per arm. Identical arms, one scan.
+    val n = corpus.count()
+    val c = math.max(4, math.sqrt(n.toDouble).toInt)
+    val scored = ivfScoredSlices(corpus, c, nprobes.max, n,
+      distributed = c > literalCentroidCeiling)
     nprobes.map { p =>
-      val arm = ivfTopK(corpus, k, nprobe = p)
+      val arm = ivfTopKFromScored(scored, k, nprobe = p)
         .join(qIds, "vec_id")
         .select(col("vec_id"), col("neighbor_id"))
       truth.join(arm, Seq("vec_id", "neighbor_id"))
@@ -1347,6 +1374,7 @@ object Similarity {
   def mmrTopK(embeddings: DataFrame, nQueries: Int, kPool: Int, k: Int,
               lam: Double = 0.7): DataFrame = {
     require(k > 0 && kPool >= k, s"need kPool >= k > 0, got kPool=$kPool k=$k")
+    val spark = embeddings.sparkSession
     val cand = topKExact(embeddings, embeddings.filter(col("vec_id") < nQueries), kPool)
       .select(col("vec_id").as("qid"), col("neighbor_id").as("nid"), col("sim").as("sim_q"))
       .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1361,29 +1389,50 @@ object Similarity {
       .select(col("qid"), col("nid_a"), col("nid_b"),
         Num.pround(cosinePrenormed(dot(col("ea"), col("eb")), col("na"), col("nb")), 4)
           .as("sim_p"))
-      .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("nid"))
-    var selected: DataFrame = null
-    for (r <- 1 to k) {
-      val remaining =
-        if (r == 1) cand
-        else cand.join(selected.select("qid", "nid"), Seq("qid", "nid"), "left_anti")
-      val pen =
-        if (r == 1) remaining.withColumn("max_sel", lit(0.0))
-        else remaining.join(
-          pair.join(selected.select(col("qid"), col("nid").as("nid_b")), Seq("qid", "nid_b"))
-            .groupBy(col("qid"), col("nid_a").as("nid")).agg(max("sim_p").as("max_sel")),
-          Seq("qid", "nid"), "left")
-          .na.fill(0.0, Seq("max_sel"))
-      val pick = pen
-        .withColumn("score", lit(lam) * col("sim_q") - lit(1.0 - lam) * col("max_sel"))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("qid"), col("nid"), lit(r.toLong).as("mmr_rank"), col("score"))
-        .localCheckpoint()
-      selected = if (r == 1) pick else selected.unionByName(pick).localCheckpoint()
+    // r16 (guide §5 — the driver does BOUNDED small work): the greedy
+    // MMR selection runs over nQueries × kPool candidate rows and their
+    // pool-internal similarities — both bounded by construction (the
+    // rerank stage of a retrieval pipeline is service-side for the same
+    // reason). The former k-round cluster loop paid ~3 jobs + 2 eager
+    // localCheckpoints PER RANK for a 200-row frame. Candidate scoring
+    // and pool similarities stay distributed (above); only the greedy
+    // argmax loop moves. Float arithmetic is identical IEEE ops on the
+    // same 4dp-rounded inputs (lam·sim_q − (1−lam)·max_sel, exact max,
+    // (score desc, nid) tie-break), so every pick — and the 6dp-rounded
+    // output — is bit-identical to the distributed loop's.
+    val candRows = cand.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pairSim = pair.collect().map(r =>
+      ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getDouble(3))).toMap
+    val oneMinusLam = 1.0 - lam
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    candRows.map(_._1).distinct.sorted.foreach { q =>
+      val pool = candRows.filter(_._1 == q)
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+      for (r <- 1 to k) {
+        var bestNid = -1L
+        var bestScore = 0.0
+        pool.iterator.filterNot(c => selected.contains(c._2)).foreach { c =>
+          val maxSel =
+            if (selected.isEmpty) 0.0
+            else selected.iterator.map(s => pairSim((q, c._2, s))).max
+          val score = lam * c._3 - oneMinusLam * maxSel
+          // (score desc, nid asc) — strictly-greater keeps the smaller
+          // nid on ties, exactly row_number's total order
+          if (bestNid < 0 || score > bestScore ||
+              (score == bestScore && c._2 < bestNid)) {
+            bestNid = c._2; bestScore = score
+          }
+        }
+        if (bestNid >= 0) {
+          selected += bestNid
+          out += ((q, bestNid, r.toLong,
+            math.floor(bestScore * 1e6 + 0.5) / 1e6))
+        }
+      }
     }
-    selected
-      .select(col("qid"), col("nid"), col("mmr_rank"), Num.pround(col("score"), 6).as("score"))
+    import spark.implicits._
+    out.toSeq.toDF("qid", "nid", "mmr_rank", "score")
       .orderBy("qid", "mmr_rank")
   }
 

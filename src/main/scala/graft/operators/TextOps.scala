@@ -875,13 +875,19 @@ object TextOps {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     for (i <- 1 to merges) {
       // sequence(1, 0) counts DOWN in Spark — single-symbol words need
-      // the explicit empty-array guard, not an empty sequence
+      // the explicit empty-array guard, not an empty sequence.
+      // r16: split(trim(sym)) is hoisted into its own projection — the
+      // transform lambda is interpreted (HOF), and the old form re-split
+      // the whole word TWICE PER ELEMENT (O(len²) per word per round);
+      // indexing a precomputed array is O(1). syms[j-1]/syms[j]
+      // (0-based) ≡ element_at(split, j)/element_at(split, j+1)
+      // (1-based) — identical pairs, identical counts.
       val best = words
+        .select(col("cnt"), split(trim(col("sym")), " ").as("syms"))
         .select(col("cnt"), explode(expr(
-          "case when size(split(trim(sym), ' ')) < 2 then cast(array() as array<string>) " +
-            "else transform(sequence(1, size(split(trim(sym), ' ')) - 1), " +
-            "j -> concat_ws(' ', element_at(split(trim(sym), ' '), j), " +
-            "element_at(split(trim(sym), ' '), j + 1))) end")).as("pair"))
+          "case when size(syms) < 2 then cast(array() as array<string>) " +
+            "else transform(sequence(1, size(syms) - 1), " +
+            "j -> concat_ws(' ', syms[j-1], syms[j])) end")).as("pair"))
         .groupBy("pair").agg(sum(col("cnt")).as("c"))
         .orderBy(col("c").desc, col("pair"))
         .limit(1).collect()
@@ -926,7 +932,11 @@ object TextOps {
       replace(s, lit(s" $pair "), lit(s" ${pair.replace(" ", "")} ")))
     val enc = toks.select(col("term")).distinct()
       .select(col("term"), size(split(trim(symN), " ")).cast("long").as("n_sym"))
-    toks.join(enc, "term")
+    // r16 (guide §3.1): enc is vocab-sized (distinct terms) — broadcast
+    // it so the corpus-sized token stream is NOT shuffled by term for a
+    // sort-merge join; the only remaining exchange is the per-doc agg,
+    // whose map-side partials are doc-count-sized.
+    toks.join(broadcast(enc), "term")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe_tokens"))
       .orderBy("doc_id")

@@ -40,14 +40,42 @@ object Topics {
     * parallel conditional trees (each partition mines its projected
     * prefix trees; only itemset counts shuffle). */
   def fpGrowth(lineitem: DataFrame, part: DataFrame, minSupport: Double = 0.02): DataFrame = {
-    import org.apache.spark.ml.fpm.FPGrowth
+    // r16 (guide §1.2 — fix the algorithm before the configuration):
+    // MLlib's FP-tree mining burned ~39 CPU-seconds at sf0.1 building
+    // and extracting conditional trees (ProfileKey, FPGrowth.scala:276
+    // flatMap) for baskets that TPC-H bounds at 7 lines — the tree
+    // machinery exists for deep baskets that cannot occur here, and the
+    // registered oracle's candidate universe is the ordered-subset
+    // enumeration to arity 4 (SparkEntry rel_fpgrowth SQL). Enumerate
+    // exactly that universe row-locally — the coPurchase/frequentTriples
+    // cascade one arity further: each combo generates from the bounded
+    // basket SET (≤ C(7,1..4) = 98 rows/basket), one aggregate per
+    // arity, threshold = ceil(minSupport·n) (MLlib's own minCount
+    // formula, and the oracle's). Identical itemsets, arities and
+    // counts — oracle-gated and pinned by FrequentSpec's exact-algebra
+    // fixture (which includes an arity-3 set).
     val baskets = Basket.brandBaskets(lineitem, part)
-    val model = new FPGrowth()
-      .setItemsCol("brands").setMinSupport(minSupport).setMinConfidence(0.5)
-      .fit(baskets)
-    model.freqItemsets
-      .select(concat_ws(",", array_sort(col("items"))).as("itemset"),
-        size(col("items")).cast("long").as("arity"), col("freq"))
+    val minCount = math.ceil(minSupport * baskets.count()).toLong
+    val b1 = baskets.select(explode(col("brands")).as("a"), col("brands"))
+    val b2 = b1.select(col("a"), explode(col("brands")).as("b"), col("brands"))
+      .filter(col("a") < col("b"))
+    val b3 = b2.select(col("a"), col("b"), explode(col("brands")).as("c"), col("brands"))
+      .filter(col("b") < col("c"))
+    val b4 = b3.select(col("a"), col("b"), col("c"), explode(col("brands")).as("d"))
+      .filter(col("c") < col("d"))
+    val s1 = b1.groupBy("a").agg(count(lit(1)).as("freq"))
+      .select(col("a").as("itemset"), lit(1L).as("arity"), col("freq"))
+    val s2 = b2.groupBy("a", "b").agg(count(lit(1)).as("freq"))
+      .select(concat_ws(",", col("a"), col("b")).as("itemset"),
+        lit(2L).as("arity"), col("freq"))
+    val s3 = b3.groupBy("a", "b", "c").agg(count(lit(1)).as("freq"))
+      .select(concat_ws(",", col("a"), col("b"), col("c")).as("itemset"),
+        lit(3L).as("arity"), col("freq"))
+    val s4 = b4.groupBy("a", "b", "c", "d").agg(count(lit(1)).as("freq"))
+      .select(concat_ws(",", col("a"), col("b"), col("c"), col("d")).as("itemset"),
+        lit(4L).as("arity"), col("freq"))
+    s1.unionAll(s2).unionAll(s3).unionAll(s4)
+      .filter(col("freq") >= minCount)
       .orderBy("arity", "itemset")
   }
 

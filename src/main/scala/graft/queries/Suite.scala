@@ -605,13 +605,16 @@ object Suite {
   /** The banded near-dup pipeline in PURE SQL through the injected
     * kernel functions (r15: VectorFunctions.registerAll /
     * GraftExtensions expose the whole graftext family by name, the way
-    * kiara's operation catalog makes every module callable): graft_nfc →
+    * kiara's operation catalog makes every module callable):
     * tokens → graft_minhash_sig(3, 32) signatures, the 8×4 band
     * equi-join, and exact shingle-Jaccard verification — every kernel
     * call and every join written as SQL TEXT, replicating
-    * [[dedupMinhashVerified]]'s arithmetic bit-for-bit (same tokens:
-    * NFC is identity on this ASCII corpus; same band hash; same
-    * floor-rounded jaccard). Oracle: the SAME brute-force all-pairs
+    * [[dedupMinhashVerified]]'s arithmetic bit-for-bit (same tokens —
+    * no NFC, exactly like the Scala path and the shared brute-force
+    * oracle, which normalizes nowhere: an NFC'd tokenizer here would
+    * diverge from the oracle on any corpus with decomposed Unicode,
+    * the r15 ADVICE finding; graft_nfc stays SQL-exercised in
+    * SqlKernelsSpec; same band hash; same floor-rounded jaccard). Oracle: the SAME brute-force all-pairs
     * exact-Jaccard oracle as dedup_minhash_verified — hash equality
     * proves the SQL surface reaches the identical answer. The signature
     * table persists because the band self-join reads it twice (the r8
@@ -624,7 +627,7 @@ object Suite {
     val sig = s.sql(
       """SELECT doc_id, toks, graft_minhash_sig(toks, 3, 32) AS sig
         |FROM (SELECT doc_id,
-        |        array_remove(split(lower(graft_nfc(text)), '[^a-z0-9]+'), '') AS toks
+        |        array_remove(split(lower(text), '[^a-z0-9]+'), '') AS toks
         |      FROM q37_docs)
         |WHERE size(toks) >= 3""".stripMargin)
       .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

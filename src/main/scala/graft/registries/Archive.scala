@@ -109,7 +109,16 @@ object Archive {
       s"""{"version":$Version,"values":[${ids.map(i => "\"" + esc(i) + "\"").mkString(",")}],""" +
         s""""aliases":{${aliases.map { case (a, v) => "\"" + esc(a) + "\":\"" + esc(v) + "\"" }.mkString(",")}}$metaBlock}"""
     Files.createDirectories(Paths.get(dir))
-    Files.write(Paths.get(dir, "manifest.json"), (manifest + "\n").getBytes("UTF-8"))
+    // temp-file + ATOMIC_MOVE (the Snapshots.commitManifest pattern):
+    // the FileLock only serializes WRITERS — readers (readManifest via
+    // mountedResolve, which swallows exceptions) take no lock, so an
+    // in-place truncate-write could expose an empty/torn manifest and
+    // silently resolve "no such value"
+    val tmp = Files.createTempFile(Paths.get(dir), ".manifest-", ".tmp")
+    Files.write(tmp, (manifest + "\n").getBytes("UTF-8"))
+    Files.move(tmp, Paths.get(dir, "manifest.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Archive-level metadata (kiara base_api.py:2337

@@ -78,7 +78,18 @@ object Snapshots {
     val carried =
       if (carryPrev) prev.lastOption.map(files(root, _)).getOrElse(Seq.empty)
       else Seq.empty
-    commitManifest(root, v, carried ++ fresh, txn)
+    // carry prior equality-delete vectors forward like deleteWhere/upsert
+    // do — without this an append AFTER a delete would silently resurrect
+    // the deleted keys (files() filters '#'-prefixed lines, so the new
+    // manifest would drop every '#delete:' marker while keeping all data
+    // files). The fresh batch dir bVVVVV has v > every delete's dVVVVV,
+    // so readMergeOnRead's sequence rule never masks the new rows.
+    val carriedDeletes =
+      if (carryPrev)
+        prev.lastOption.map(deleteFiles(root, _)).getOrElse(Seq.empty)
+          .map(r => s"#delete:$r")
+      else Seq.empty
+    commitManifest(root, v, carriedDeletes ++ carried ++ fresh, txn)
   }
 
   /** Append `df` as a new version; returns the committed version id. */

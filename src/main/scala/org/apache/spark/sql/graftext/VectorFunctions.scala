@@ -269,6 +269,26 @@ object VectorFunctions {
       nArgs("graft_might_contain", exprs, 2)
       BloomFilterMightContain(exprs(0), exprs(1)) })
 
+  /** Each kernel's own expression class, for DESCRIBE FUNCTION /
+    * ExpressionInfo (registering them all under classOf[DotProduct]
+    * made DESCRIBE report the wrong class for 14 of 15 kernels). */
+  private[graftext] val kernelClass: Map[String, Class[_]] = Map(
+    "graft_dot" -> classOf[DotProduct],
+    "graft_lsh_canon" -> classOf[LshCanon],
+    "graft_gram_hashes" -> classOf[GramHashes],
+    "graft_minhash_sig" -> classOf[MinHashSig],
+    "graft_winnow_fps" -> classOf[WinnowFps],
+    "graft_simhash" -> classOf[SimHash],
+    "graft_nfc" -> classOf[NfcNormalize],
+    "graft_int8_quantize" -> classOf[Int8Quantize],
+    "graft_simhash_agg" -> classOf[SimHashAgg],
+    "graft_theta" -> classOf[ThetaSketchAgg],
+    "graft_kll" -> classOf[KllSketchAgg],
+    "graft_frequent" -> classOf[FrequentAgg],
+    "graft_bloom_agg" ->
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate],
+    "graft_might_contain" -> classOf[BloomFilterMightContain])
+
   /** Register every kernel as a temp function on an existing session —
     * the front door for sessions not built with GraftExtensions. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
@@ -291,7 +311,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     VectorFunctions.sqlKernels.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
-        new ExpressionInfo(classOf[DotProduct].getName, name),
+        new ExpressionInfo(
+          VectorFunctions.kernelClass.getOrElse(name, classOf[DotProduct]).getName,
+          name),
         builder))
     }
     ext.injectOptimizerRule(_ => RewriteHofDot)

@@ -393,6 +393,41 @@ class SimilaritySpec extends SparkTestBase {
       "surviving neighbors must keep serving after the delete")
   }
 
+  test("persisted index: append AFTER a delete keeps the delete vector (no resurrection)") {
+    // the r15 ADVICE sequence: Snapshots.append used to rebuild the new
+    // manifest from files() alone, dropping every '#delete:' marker —
+    // an append after a delete silently served erased vec_ids again
+    val r = new scala.util.Random(71)
+    val dim = 64
+    val rows = (0 until 12).flatMap { c =>
+      val center = Array.fill(dim)(r.nextGaussian())
+      (0 until 20).map(m => (c.toLong * 20 + m,
+        center.map(x => (x + 0.15 * r.nextGaussian()).toFloat)))
+    }
+    val e = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val root = graft.sources.Export.tempDir("graft_idx_delapp_").toString
+    Similarity.writeIndex(Similarity.buildIvfPqIndex(e, numCentroids = 10), root)
+    import spark.implicits._
+    val gone = (21L to 39L).toDF("vec_id")
+    Similarity.deleteFromIndex(spark, root, gone)
+    // now append an increment — the deletes must carry into v3
+    val twins = rows.filter(_._1 % 20 == 0).map { case (id, v) =>
+      (id + 1000000L, v.map(x => x * 1.01f)) }
+    val incr = spark.createDataFrame(twins).toDF("vec_id", "embedding")
+    val v3 = Similarity.appendToIndex(spark, root, incr)
+    assert(v3 == 3)
+    val after = Similarity.readIndex(spark, root)
+    // deleted ids stay deleted; appended ids serve
+    assert(after.codes.filter(col("vec_id").between(21L, 39L)).count() == 0,
+      "append after delete resurrected deleted vec_ids")
+    assert(after.codes.filter(col("vec_id") >= 1000000L).count() == incr.count())
+    assert(after.codes.count() == e.count() - 19 + incr.count())
+    val served = Similarity.queryIndex(after, e.unionAll(incr),
+        e.filter(col("vec_id") % 20 === 0), 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(!served.exists { case (_, n) => n >= 21L && n <= 39L })
+  }
+
   test("IVF ANN recall >= 0.9 vs brute force on a clustered corpus") {
     val r = new scala.util.Random(13)
     val dim = 64
