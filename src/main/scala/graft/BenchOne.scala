@@ -10,6 +10,7 @@ object BenchOne {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.files.openCostInBytes", Sessions.openCostInBytes)
+      .config("spark.sql.adaptive.enabled", Sessions.adaptiveEnabled)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

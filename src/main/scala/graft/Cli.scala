@@ -614,6 +614,7 @@ object Cli {
         .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
         .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
       .config("spark.sql.files.openCostInBytes", Sessions.openCostInBytes)
+      .config("spark.sql.adaptive.enabled", Sessions.adaptiveEnabled)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")

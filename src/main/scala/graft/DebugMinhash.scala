@@ -11,6 +11,7 @@ object DebugMinhash {
       .master(sys.env.getOrElse("DBG_MASTER", "local[8]"))
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("DBG_PARTS", "8"))
       .config("spark.sql.files.openCostInBytes", Sessions.openCostInBytes)
+      .config("spark.sql.adaptive.enabled", Sessions.adaptiveEnabled)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -360,6 +360,7 @@ object PlanAudit {
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.files.openCostInBytes", Sessions.openCostInBytes)
+      .config("spark.sql.adaptive.enabled", Sessions.adaptiveEnabled)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -27,6 +27,7 @@ object ProbeAnnIndex {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.sql.files.openCostInBytes", Sessions.openCostInBytes)
+      .config("spark.sql.adaptive.enabled", Sessions.adaptiveEnabled)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -895,8 +895,18 @@ object TextOps {
         val (pair, c) = (best(0).getString(0), best(0).getLong(1))
         out += ((i, pair, c))
         val merged = pair.replace(" ", "")
+        // r16: the pair rides in as a broadcast 1-row frame, not a
+        // string LITERAL — a literal bakes into the generated code, so
+        // every round janino-compiled a fresh class (~10 × 2 compiles
+        // dominated the loop's driver gaps; ProfileKey: 5.4 s of gaps
+        // across 57 jobs vs 4.1 s of stage time). With column-typed
+        // search/replace args the generated source is identical each
+        // round and the codegen cache hits. Same replace semantics,
+        // same merges.
+        val p = Seq((s" $pair ", s" $merged ")).toDF("p_from", "p_to")
         val next = words
-          .select(expr(s"replace(sym, ' ${pair} ', ' ${merged} ')").as("sym"), col("cnt"))
+          .crossJoin(broadcast(p))
+          .select(replace(col("sym"), col("p_from"), col("p_to")).as("sym"), col("cnt"))
           .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         next.count()
         words.unpersist()

@@ -120,8 +120,17 @@ object Topics {
   def topicsLda(docs: DataFrame, k: Int = 4, vocabSize: Int = 2000,
                 maxIter: Int = 30, topTerms: Int = 8): DataFrame = {
     val spark = docs.sparkSession
-    val toks = docs.select(col("doc_id"),
-      array_remove(split(lower(col("text")), "[^a-z0-9]+"), "").as("words"))
+    // r16: size the LDA input to the DATA (Sizing.byEstimate), not to
+    // the session's shuffle/scan width — EM-LDA builds its GraphX graph
+    // from the input's partitioning, and 15 iterations over 32 near-empty
+    // partitions are pure scheduling (measured 2.5 -> 9 s when AQE's
+    // implicit coalescing was turned off). Float topic weights may move
+    // with partitioning — the gate face is bound-verdict by design
+    // (iterative distributed float, no cross-engine twin).
+    val toks = graft.operators.Sizing.byEstimate(
+      docs.select(col("doc_id"),
+        array_remove(split(lower(col("text")), "[^a-z0-9]+"), "").as("words")),
+      targetBytes = 32L * 1024 * 1024)
     val cv = new CountVectorizer()
       .setInputCol("words").setOutputCol("features")
       .setVocabSize(vocabSize)
@@ -159,8 +168,17 @@ object Topics {
                         maxIter: Int = 30, topTerms: Int = 8): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val toks = docs.select(col("doc_id"),
-      array_remove(split(lower(col("text")), "[^a-z0-9]+"), "").as("words"))
+    // r16: size the LDA input to the DATA (Sizing.byEstimate), not to
+    // the session's shuffle/scan width — EM-LDA builds its GraphX graph
+    // from the input's partitioning, and 15 iterations over 32 near-empty
+    // partitions are pure scheduling (measured 2.5 -> 9 s when AQE's
+    // implicit coalescing was turned off). Float topic weights may move
+    // with partitioning — the gate face is bound-verdict by design
+    // (iterative distributed float, no cross-engine twin).
+    val toks = graft.operators.Sizing.byEstimate(
+      docs.select(col("doc_id"),
+        array_remove(split(lower(col("text")), "[^a-z0-9]+"), "").as("words")),
+      targetBytes = 32L * 1024 * 1024)
     val cv = new CountVectorizer()
       .setInputCol("words").setOutputCol("features")
       .setVocabSize(vocabSize)

@@ -69,7 +69,10 @@ object Snapshots {
     val prev = versions(root)
     val v = prev.lastOption.getOrElse(0) + 1
     val batchRel = f"data/b$v%05d"
-    df.write.mode("errorifexists").parquet(s"$root/$batchRel")
+    // r16: size output files to the data estimate (guide-§6 layout),
+    // not to spark.sql.shuffle.partitions — AQE no longer coalesces
+    // the shuffle feeding this write under the local profile
+    graft.operators.Sizing.byEstimate(df).write.mode("errorifexists").parquet(s"$root/$batchRel")
     val s = Files.list(Paths.get(root, "data", f"b$v%05d"))
     val fresh =
       try s.iterator.asScala.map(_.getFileName.toString)
@@ -122,7 +125,7 @@ object Snapshots {
     require(prev.nonEmpty, s"no snapshots under $root")
     val v = prev.last + 1
     val delRel = f"data/d$v%05d"
-    keys.write.mode("errorifexists").parquet(s"$root/$delRel")
+    graft.operators.Sizing.byEstimate(keys).write.mode("errorifexists").parquet(s"$root/$delRel")
     val s = Files.list(Paths.get(root, "data", f"d$v%05d"))
     val fresh =
       try s.iterator.asScala.map(_.getFileName.toString)
@@ -153,9 +156,9 @@ object Snapshots {
     val v = prev.last + 1
     val delRel = f"data/d$v%05d"
     val batchRel = f"data/b$v%05d"
-    df.select(keyCol).distinct().write.mode("errorifexists")
-      .parquet(s"$root/$delRel")
-    df.write.mode("errorifexists").parquet(s"$root/$batchRel")
+    graft.operators.Sizing.byEstimate(df.select(keyCol).distinct())
+      .write.mode("errorifexists").parquet(s"$root/$delRel")
+    graft.operators.Sizing.byEstimate(df).write.mode("errorifexists").parquet(s"$root/$batchRel")
     def ls(rel: String, prefix: String): Seq[String] = {
       val s = Files.list(Paths.get(root, rel))
       try s.iterator.asScala.map(_.getFileName.toString)
@@ -358,7 +361,7 @@ object Snapshots {
     require(prev.nonEmpty, s"no branch '$name' under $root")
     val v = prev.last + 1
     val batchRel = f"data/${name}_b$v%05d"
-    df.write.mode("errorifexists").parquet(s"$root/$batchRel")
+    graft.operators.Sizing.byEstimate(df).write.mode("errorifexists").parquet(s"$root/$batchRel")
     val s = Files.list(Paths.get(root, "data", f"${name}_b$v%05d"))
     val fresh =
       try s.iterator.asScala.map(_.getFileName.toString)
