@@ -450,8 +450,18 @@ object TextOps {
     val c12 = bi
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
       .groupBy("bigram", "w1").agg(count(lit(1)).as("c12"))
+      // r16 (self-join rule): c1 and the model join both read c12 —
+      // unpersisted, each consumer re-ran the corpus tokenize+explode
+      // behind it (ProfileKey: three full corpus scans for one score)
+      .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
-    bi.join(c12, "bigram").join(c1, "w1")
+    // r16 (guide §2.4): attach the head count to the MODEL table first
+    // (model-sized w1 equi-join), then score with ONE corpus-stream
+    // join on bigram — the old bi⋈c12⋈c1 chain re-shuffled the scored
+    // corpus stream a second time by w1. Same (c12, c1) per bigram,
+    // same per-doc average.
+    val model = c12.join(c1, "w1")
+    bi.join(model, "bigram")
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
         round(avg(-log(col("c12").cast("double") / col("c1"))), 4).as("bigram_ce"))
