@@ -560,7 +560,14 @@ object Dedup {
     while (!converged && iter < maxIters) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("doc_id", "dst").withColumnRenamed("label", "dst_label"), "dst")
-        .groupBy(col("src").as("doc_id"))
+        // r16: aggregate at the graph-sized `parts` width (the
+        // repartition satisfies the groupBy's distribution — same
+        // exchange count, parts tasks instead of the session's 32 now
+        // that AQE-off stopped coalescing; min-labels are ints, so
+        // partitioning cannot move the fixpoint)
+        .select(col("src").as("doc_id"), col("dst_label"))
+        .repartition(parts, col("doc_id"))
+        .groupBy(col("doc_id"))
         .agg(min("dst_label").as("nmin"))
       // lazy checkpoint: the count() below materializes it, so each round
       // is ONE Spark job (eager checkpointing + a separate count was two)

@@ -108,9 +108,19 @@ object Graph {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
     for (_ <- 1 to iters) {
+      // r16: pin the per-round aggregation width to the GRAPH-sized
+      // `parts` (the repartition SATISFIES each groupBy's clustered
+      // distribution, so no extra exchange appears — the shuffles just
+      // run at parts instead of spark.sql.shuffle.partitions, which
+      // nothing coalesces now that the harness runs AQE-off locally).
+      // Labels are int with a deterministic max_by tie-break —
+      // partitioning cannot move the result.
       labels = edges.join(labels, edges("src") === labels("node"))
-        .groupBy(edges("dst").as("node"), col("label"))
+        .select(edges("dst").as("node"), col("label"))
+        .repartition(parts, col("node"), col("label"))
+        .groupBy(col("node"), col("label"))
         .agg(count(lit(1)).as("cnt"))
+        .repartition(parts, col("node"))
         .groupBy("node")
         .agg(expr("max_by(label, (cnt, -label))").as("label"))
         .localCheckpoint(false) // lazy: materialized by the next round
