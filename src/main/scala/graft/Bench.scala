@@ -188,8 +188,58 @@ object Bench {
       results.map(r => s"\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val warmTotal = results.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":${dict(_._2)},"warm":${dict(_._3)},"gc":${dict(_._4)},""" +
-      s""""warm_total":$warmTotal,"sf":"$sfDir"}""")
+      s""""warm_total":$warmTotal,"sf":"$sfDir"}"""
+    // The historical single-line contract, with every key — kept for
+    // tools (grep -o '{"metric".*' takes the FIRST match = this line).
+    println(fullLine)
+    // r17: the driver artifact keeps only the LAST ~2000 chars of
+    // stdout, so for 16 rounds the ~20 KB line above never reached the
+    // driver's parser (BENCH_r01..r16 all have parsed:null). 351 key
+    // names alone are ~4.7 KB — no encoding of the full dict fits the
+    // window. Fix: persist the full JSON to a file, and end stdout with
+    // a COMPACT parseable {"metric"...} line — exact totals plus the
+    // top-N slowest-warm keys' cold/warm dicts, sized to stay inside
+    // the capture window. Same semantics, same keys, same numbers; the
+    // full line above is unchanged.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON",
+      s"bench_out/bench_full_${cpus}cpu.json")
+    val wrote = try {
+      val p = java.nio.file.Paths.get(detailPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, (fullLine + "\n").getBytes("UTF-8"))
+      detailPath
+    } catch { case _: Throwable =>
+      try {
+        val p = java.nio.file.Paths.get(s"/tmp/graft_bench_full_${cpus}cpu.json")
+        java.nio.file.Files.write(p, (fullLine + "\n").getBytes("UTF-8"))
+        p.toString
+      } catch { case _: Throwable => "unwritable" }
+    }
+    def fmt2(v: Double): String = {
+      val r = math.rint(v * 100) / 100
+      if (r == math.rint(r)) r.toLong.toString
+      else {
+        val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(r))
+        if (s.endsWith("0")) s.dropRight(1) else s
+      }
+    }
+    val byWarm = results.sortBy(r => (-r._3, r._1))
+    def compactLine(n: Int): String = {
+      val top = byWarm.take(n)
+      val qd = top.sortBy(_._1).map(r => "\"" + r._1 + "\":" + fmt2(r._2))
+        .mkString("{", ",", "}")
+      val wd = top.sortBy(_._1).map(r => "\"" + r._1 + "\":" + fmt2(r._3))
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qd,""" +
+        s""""warm":$wd,"warm_total":$warmTotal,"n_queries":${results.size},""" +
+        s""""n_shown":${top.size},"note":"top-$n by warm; full dicts in detail file",""" +
+        s""""detail":"$wrote","sf":"$sfDir"}"""
+    }
+    // largest top-N whose rendered line stays under the capture budget
+    val line = (results.size to 0 by -1).iterator.map(compactLine)
+      .find(_.length <= 1800).getOrElse(compactLine(0))
+    println(line)
   }
 }

@@ -46,6 +46,14 @@ object ProfileKey {
       override def onJobStart(js: SparkListenerJobStart): Unit =
         jobs += ((js.jobId, js.time, Option(js.properties.getProperty("spark.job.description")).getOrElse("")))
     }
+    // per-task durations per stage — max/median exposes skew and
+    // stragglers that aggregate stage metrics hide (guide §2.5)
+    val taskDur = mutable.Map.empty[Int, mutable.ArrayBuffer[Long]]
+    val taskListener = new SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        taskDur.getOrElseUpdate(te.stageId, mutable.ArrayBuffer.empty) +=
+          te.taskInfo.duration
+    }
 
     // cold run (not profiled: includes codegen/plan compile)
     val t0 = System.nanoTime()
@@ -54,6 +62,22 @@ object ProfileKey {
     Caches.release(); spark.catalog.clearCache()
 
     spark.sparkContext.addSparkListener(listener)
+    spark.sparkContext.addSparkListener(taskListener)
+    // driver-side planning tax: QueryPlanningTracker phase times for
+    // every query execution in the warm run (the "gaps" decomposition)
+    val phases = mutable.Map.empty[String, Long].withDefaultValue(0L)
+    var nExec = 0
+    val qeListener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        nExec += 1
+        qe.tracker.phases.foreach { case (ph, s) =>
+          phases(ph) += (s.endTimeMs - s.startTimeMs) }
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(qeListener)
     val t1 = System.nanoTime()
     SparkEntry.queries(name)(spark, dir).count()
     val warm = (System.nanoTime() - t1) / 1e9
@@ -62,10 +86,16 @@ object ProfileKey {
     println(f"$name warm: $warm%.2f s  (stages=${stages.size}, jobs=${jobs.size})")
     val totWall = stages.map(_.wallMs).sum
     println(f"sum-of-stage-wall: ${totWall / 1e3}%.2f s (gaps to warm = driver/plan/schedule time)")
+    println(s"planning phases over $nExec tracked executions: " +
+      phases.toSeq.sortBy(-_._2).map { case (p, ms) => s"$p=${ms}ms" }.mkString(" "))
     def mb(b: Long) = f"${b / 1048576.0}%.1f"
     stages.sortBy(-_.wallMs).take(40).foreach { s =>
+      val ds = taskDur.getOrElse(s.stageId, mutable.ArrayBuffer.empty[Long]).sorted
+      val (tmax, tmed) =
+        if (ds.isEmpty) (0L, 0L) else (ds.last, ds(ds.size / 2))
       println(f"stage ${s.stageId}%4d wall=${s.wallMs}%6dms task=${s.taskMs}%7dms cpu=${s.cpuMs}%7dms " +
-        f"tasks=${s.nTasks}%3d in=${s.inRows}%9d/${mb(s.inBytes)}%8sMB shRd=${s.shRdRows}%9d/${mb(s.shRdBytes)}%8sMB " +
+        f"tasks=${s.nTasks}%3d tmax=${tmax}%5dms tmed=${tmed}%5dms " +
+        f"in=${s.inRows}%9d/${mb(s.inBytes)}%8sMB shRd=${s.shRdRows}%9d/${mb(s.shRdBytes)}%8sMB " +
         f"shWr=${s.shWrRows}%9d/${mb(s.shWrBytes)}%8sMB spill=${mb(s.spillMem)}/${mb(s.spillDisk)}MB  ${s.nameLine.take(80)}")
     }
     spark.stop()

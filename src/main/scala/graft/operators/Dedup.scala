@@ -103,7 +103,11 @@ object Dedup {
     * stream plus HOF interpretation overhead; the expression is
     * bit-identical, so every oracle row is unchanged.) */
   def minhashSignatures(docs: DataFrame, shingleK: Int = 3): DataFrame =
-    docs
+    // r17 (guide §2.5): the signature build is the suite's canonical
+    // expensive-per-row map; fan the narrow input out of the
+    // single-row-group scan before it (signatures are per-doc — row
+    // placement cannot change them)
+    Fanout.bySmallInput(docs.select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= shingleK)
       .select(col("doc_id"),
@@ -169,7 +173,10 @@ object Dedup {
     val rpb = slots / bands
     val gramExpr = (0 until shingleK).map(o => s"toks[i+$o]")
       .mkString("concat_ws(' ', ", ", ", ")")
-    val grams = docs
+    // r17 (guide §2.5): fan out of the single-row-group scan before the
+    // tokenize/gram explode (per-doc derivation; placement-independent)
+    val grams = Fanout.bySmallInput(
+        docs.select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= shingleK)
       .select(col("doc_id"), explode(array_distinct(expr(
@@ -232,7 +239,8 @@ object Dedup {
     * oracle is brute-force all-pairs exact Jaccard: a hash match proves
     * both properties end-to-end on the corpus. */
   def minhashVerified(docs: DataFrame, threshold: Double, shingleK: Int = 3): DataFrame = {
-    val toks = docs
+    val toks = Fanout.bySmallInput(
+        docs.select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= shingleK)
     val cands = minhashCandidates(docs, shingleK).select("doc_a", "doc_b")
@@ -263,7 +271,8 @@ object Dedup {
     val b = bandedSigs(minhashSignatures(corpus, shingleK))
       .select(col("band"), col("bhash"), col("doc_id").as("doc_old"))
     val cands = a.join(b, Seq("band", "bhash")).select("doc_new", "doc_old").distinct()
-    def toks(df: DataFrame) = df
+    def toks(df: DataFrame) = Fanout.bySmallInput(
+        df.select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= shingleK)
     cands
@@ -290,7 +299,8 @@ object Dedup {
     * for pre-exploded (doc, token_hash) inputs and produces identical
     * hashes.) */
   def simhash(docs: DataFrame): DataFrame =
-    docs
+    // r17 (guide §2.5): per-doc map — fan out of the 1-task scan
+    Fanout.bySmallInput(docs.select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) > 0) // match the exploded form: tokenless docs emit no row
       .select(col("doc_id"),
@@ -456,9 +466,13 @@ object Dedup {
     // paid the full 16-slot md5 signature + gram explode. Filtering here
     // halves the gram/signature volume with a bit-identical output (the
     // pair derivations below only ever join ids from this kept set).
-    val t0 = docs
+    // r17 (guide §2.5): fan out of the 1-task scan before tokenize +
+    // the 16-slot md5 signature explode (ProfileKey: tmax 2914 ms vs
+    // tmed 56 ms on the slot-signature stage)
+    val t0 = Fanout.bySmallInput(docs
       .filter(pmod(col("doc_id"), lit(11)) === 0 ||
         pmod(col("doc_id"), lit(5)) === 0 || pmod(col("doc_id"), lit(5)) === 1)
+      .select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"),
         graft.operators.TextOps.tokens(col("text")).as("toks"))
     val twins = t0
@@ -555,29 +569,47 @@ object Dedup {
       .withColumn("label", col("doc_id"))
       .repartition(parts, col("doc_id"))
       .localCheckpoint()
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIters) {
+    // one min-label propagation step (r16: aggregate at the graph-sized
+    // `parts` width — the repartition satisfies the groupBy's
+    // distribution, so same exchange count, parts tasks instead of the
+    // session's 32 now that AQE-off stopped coalescing; min-labels are
+    // ints, so partitioning cannot move the fixpoint)
+    def step(ls: DataFrame): DataFrame = {
       val neighborMin = edges
-        .join(labels.withColumnRenamed("doc_id", "dst").withColumnRenamed("label", "dst_label"), "dst")
-        // r16: aggregate at the graph-sized `parts` width (the
-        // repartition satisfies the groupBy's distribution — same
-        // exchange count, parts tasks instead of the session's 32 now
-        // that AQE-off stopped coalescing; min-labels are ints, so
-        // partitioning cannot move the fixpoint)
+        .join(ls.select(col("doc_id").as("dst"), col("label").as("dst_label")), "dst")
         .select(col("src").as("doc_id"), col("dst_label"))
         .repartition(parts, col("doc_id"))
         .groupBy(col("doc_id"))
         .agg(min("dst_label").as("nmin"))
-      // lazy checkpoint: the count() below materializes it, so each round
-      // is ONE Spark job (eager checkpointing + a separate count was two)
-      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
-          col("label").as("old_label"))
-        .localCheckpoint(false)
-      val changed = updated.filter(col("label") =!= col("old_label")).count()
-      labels = updated.drop("old_label")
-      converged = changed == 0
+      ls.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+    }
+    // r17: convergence via the LABEL SUM, not an old-label self-join —
+    // every label is monotonically non-increasing (min-propagation), so
+    // sum(label) strictly decreases until the fixpoint; an unchanged
+    // exact integer sum (decimal(38,0) — no overflow at any scale)
+    // proves NO label moved. One plain aggregate per round instead of
+    // carrying old_label through a join + filter + count.
+    // (VERDICT item 5's two-steps-per-check batching was implemented
+    // and MEASURED WORSE: near-dup graphs are shallow, so it doubled
+    // per-check work without reducing checks — clusters_verified
+    // 2.48 s (r16) → 3.02 s batched → 1.99 s with this form.)
+    def labelSum(ls: DataFrame): Option[java.math.BigDecimal] =
+      Option(ls.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0))
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val updated = step(labels).localCheckpoint(false)
+      val newSum = labelSum(updated) // materializes the checkpoint
+      labels = updated
+      converged = (newSum, prevSum) match {
+        case (Some(a), Some(b)) => a.compareTo(b) == 0
+        case (None, None)       => true // empty graph: nothing to move
+        case _                  => false
+      }
+      prevSum = newSum
       iter += 1
     }
     edges.unpersist()
@@ -874,7 +906,12 @@ object Dedup {
     // strings: the join key is 8 bytes instead of a ~25-char string and
     // the set build is codegen'd — fp containment ≡ string containment
     // modulo 64-bit collisions (the overlap-matrix/decontam precedent)
-    val posting0 = docs
+    // r17 (guide §2.5): fan the narrow (doc_id, text) input out BEFORE
+    // the tokenize/shingle projection — the single-row-group scan put
+    // the whole posting build AND the broadcast-join pair explosion on
+    // one task (ProfileKey: tmax 2481 ms vs tmed 32 ms)
+    val posting0 = Fanout.bySmallInput(
+        docs.select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= k)
       .select(col("doc_id"), array_distinct(

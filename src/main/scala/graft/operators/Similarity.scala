@@ -1152,7 +1152,10 @@ object Similarity {
     // persist: both sides of the bucket self-join read this, and the
     // numTables×numBits projection dots per vector would otherwise run
     // twice (at cluster scale, write the bucket index to storage instead)
-    val bucketed = withNorm(corpus, "embedding", "norm")
+    // r17 (guide §2.5): fan out of the single-row-group scan before the
+    // numTables×numBits×dim hyperplane dots (per-vector derivation)
+    val bucketed = withNorm(
+        Fanout.bySmallInput(corpus, col("vec_id")), "embedding", "norm")
       .withColumn("bks", array(bucketCols: _*)) // all tables, for canon
       .select(col("vec_id"), col("embedding"), col("norm"), col("bks"),
         posexplode(col("bks")).as(Seq("tbl", "bucket")))
@@ -1317,7 +1320,9 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("neighbor_id"), col("rank"))
     // four consumers (corpus postings, query postings, both id sides) —
     // persist or the scan+fingerprint subtree runs four times
-    val sets = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val sets = Fanout.bySmallInput(
+        docs.select(col("doc_id"), col("text")), col("doc_id"))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), array_distinct(
         org.apache.spark.sql.graftext.Shingles.winnowFps(col("toks"), 3, 1)).as("fps"))
@@ -1400,6 +1405,12 @@ object Similarity {
     // same 4dp-rounded inputs (lam·sim_q − (1−lam)·max_sel, exact max,
     // (score desc, nid) tie-break), so every pick — and the 6dp-rounded
     // output — is bit-identical to the distributed loop's.
+    // r17 (ADVICE): the driver-side contract is BOUNDED work — fail
+    // loudly if a caller's pool would not be (the old distributed loop
+    // degraded gracefully; this one would driver-OOM silently)
+    require(nQueries.toLong * kPool <= 1000000L,
+      s"mmrTopK reranks driver-side; nQueries*kPool=${nQueries.toLong * kPool} " +
+        "exceeds the 1e6-row bound — use a distributed reranker at this size")
     val candRows = cand.collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getDouble(2)))
     val pairSim = pair.collect().map(r =>
@@ -1409,10 +1420,11 @@ object Similarity {
     candRows.map(_._1).distinct.sorted.foreach { q =>
       val pool = candRows.filter(_._1 == q)
       val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val selectedSet = scala.collection.mutable.HashSet.empty[Long]
       for (r <- 1 to k) {
         var bestNid = -1L
         var bestScore = 0.0
-        pool.iterator.filterNot(c => selected.contains(c._2)).foreach { c =>
+        pool.iterator.filterNot(c => selectedSet.contains(c._2)).foreach { c =>
           val maxSel =
             if (selected.isEmpty) 0.0
             else selected.iterator.map(s => pairSim((q, c._2, s))).max
@@ -1426,6 +1438,7 @@ object Similarity {
         }
         if (bestNid >= 0) {
           selected += bestNid
+          selectedSet += bestNid
           out += ((q, bestNid, r.toLong,
             math.floor(bestScore * 1e6 + 0.5) / 1e6))
         }

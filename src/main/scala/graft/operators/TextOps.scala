@@ -461,7 +461,11 @@ object TextOps {
     // corpus stream a second time by w1. Same (c12, c1) per bigram,
     // same per-doc average.
     val model = c12.join(c1, "w1")
-    bi.join(model, "bigram")
+    // r17 (VERDICT item 2): the model is bigram-vocabulary-sized and the
+    // r16 AQE-off default lost the runtime broadcast here, planning SMJ
+    // — the round's one 65% regression. Size-gated hint: broadcast when
+    // the estimate fits, let the planner decide otherwise.
+    bi.join(Broadcasting.ifSmall(model), "bigram")
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
         round(avg(-log(col("c12").cast("double") / col("c1"))), 4).as("bigram_ce"))
@@ -489,7 +493,13 @@ object TextOps {
     // corpus is scanned once, not once per family; the bigram transform
     // is guarded (sequence(0,-1) counts DOWN — the ANSI phantom-index
     // trap) so single-token docs contribute their unigram only
-    val grams = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    // r17 (guide §2.5): fan out of the 1-task scan before the gram
+    // explode + md5 (ProfileKey tmax 1152 ms vs tmed 40 ms). Keyed by
+    // doc_id, each doc's grams stay in ONE partition in explode order,
+    // so the per-doc float sum folds in the identical order.
+    val grams = Fanout.bySmallInput(
+        docs.select(col("doc_id"), col("text")), col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 1)
       .select(col("doc_id"), explode(concat(col("toks"), expr(
         "case when size(toks) >= 2 then " +
@@ -881,7 +891,12 @@ object TextOps {
       .select(concat(lit(" "),
         trim(regexp_replace(col("term"), "(.)", "$1 ")), lit(" ")).as("sym"), col("cnt"))
       .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    words.count()
+    // r17: no eager count — the first round's argmax job materializes
+    // the persist; generations unpersist one round LATE (below) so no
+    // round ever recomputes a dropped lineage. Halves the loop's job
+    // count (ProfileKey r17: bpe_encode ran 35 jobs, ~1.8 s of driver
+    // gaps vs 1.6 s of stage time — the gaps ARE the cost here).
+    var prevGen: Option[DataFrame] = None
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     for (i <- 1 to merges) {
       // sequence(1, 0) counts DOWN in Spark — single-symbol words need
@@ -901,6 +916,10 @@ object TextOps {
         .groupBy("pair").agg(sum(col("cnt")).as("c"))
         .orderBy(col("c").desc, col("pair"))
         .limit(1).collect()
+      // the collect above materialized `words`' persist — only now is
+      // the PREVIOUS generation safe to drop without a recompute risk
+      prevGen.foreach(_.unpersist())
+      prevGen = None
       if (best.nonEmpty) {
         val (pair, c) = (best(0).getString(0), best(0).getLong(1))
         out += ((i, pair, c))
@@ -918,11 +937,12 @@ object TextOps {
           .crossJoin(broadcast(p))
           .select(replace(col("sym"), col("p_from"), col("p_to")).as("sym"), col("cnt"))
           .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        next.count()
-        words.unpersist()
+        // lazy: next round's argmax materializes it in the SAME job
+        prevGen = Some(words)
         words = next
       }
     }
+    prevGen.foreach(_.unpersist())
     out.toSeq.toDF("merge_idx", "pair", "cnt")
       .select(col("merge_idx").cast("long").as("merge_idx"), col("pair"), col("cnt"))
       .orderBy("merge_idx")
@@ -956,7 +976,11 @@ object TextOps {
     // it so the corpus-sized token stream is NOT shuffled by term for a
     // sort-merge join; the only remaining exchange is the per-doc agg,
     // whose map-side partials are doc-count-sized.
-    toks.join(broadcast(enc), "term")
+    // r17 (VERDICT item 3): size-gate the hint — at 100 TB of text,
+    // Heaps-law distinct terms run to hundreds of millions of rows and
+    // an unconditional hint would force a driver/executor OOM; over the
+    // cap the planner (and AQE under the cluster profile) decides.
+    toks.join(Broadcasting.ifSmall(enc), "term")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe_tokens"))
       .orderBy("doc_id")
@@ -985,7 +1009,10 @@ object TextOps {
     */
   def sharedSpans(docs: DataFrame, k: Int = 10, minDocs: Int = 2): DataFrame = {
     import org.apache.spark.sql.graftext.Shingles
-    val toksD = docs
+    // r17 (guide §2.5): fan out of the 1-task single-row-group scan
+    // before the tokenize + window-hash posexplode
+    val toksD = Fanout.bySmallInput(
+        docs.select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= k)
     val pos = toksD
@@ -1036,7 +1063,10 @@ object TextOps {
                        minRun: Int = 1): DataFrame = {
     import org.apache.spark.sql.graftext.Shingles
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val toksD = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    // r17 (guide §2.5): fan out of the 1-task scan (see sharedSpans)
+    val toksD = Fanout.bySmallInput(
+        docs.select(col("doc_id"), col("text")), col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
     val withWin = toksD.filter(size(col("toks")) >= k)
     val pos = withWin.select(col("doc_id"),
       posexplode(Shingles.gramHashes(col("toks"), k)).as(Seq("pos", "h")))

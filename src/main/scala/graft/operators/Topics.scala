@@ -39,7 +39,17 @@ object Topics {
     * Scale shape: the same single-shuffle basket fold feeds FPGrowth's
     * parallel conditional trees (each partition mines its projected
     * prefix trees; only itemset counts shuffle). */
-  def fpGrowth(lineitem: DataFrame, part: DataFrame, minSupport: Double = 0.02): DataFrame = {
+  /** NOTE (r17, ADVICE): this implementation enumerates itemsets to
+    * arity <= `maxArity` (default and maximum 4) — it is NOT unbounded
+    * FP-Growth. A corpus/minSupport combination where a 5-item set is
+    * frequent would omit it; the registered oracle's candidate universe
+    * is exactly the arity-<=4 enumeration, and TPC-H baskets cap at 7
+    * lines with no frequent arity-5 set at 2% support. Callers outside
+    * the gate contract see the truncation explicitly via the parameter. */
+  def fpGrowth(lineitem: DataFrame, part: DataFrame, minSupport: Double = 0.02,
+               maxArity: Int = 4): DataFrame = {
+    require(maxArity >= 1 && maxArity <= 4,
+      s"fpGrowth enumerates itemsets only to arity 4 (got maxArity=$maxArity)")
     // r16 (guide §1.2 — fix the algorithm before the configuration):
     // MLlib's FP-tree mining burned ~39 CPU-seconds at sf0.1 building
     // and extracting conditional trees (ProfileKey, FPGrowth.scala:276
@@ -75,7 +85,7 @@ object Topics {
       .select(concat_ws(",", col("a"), col("b"), col("c"), col("d")).as("itemset"),
         lit(4L).as("arity"), col("freq"))
     s1.unionAll(s2).unionAll(s3).unionAll(s4)
-      .filter(col("freq") >= minCount)
+      .filter(col("freq") >= minCount && col("arity") <= maxArity)
       .orderBy("arity", "itemset")
   }
 

@@ -115,10 +115,16 @@ object Archive {
     // in-place truncate-write could expose an empty/torn manifest and
     // silently resolve "no such value"
     val tmp = Files.createTempFile(Paths.get(dir), ".manifest-", ".tmp")
-    Files.write(tmp, (manifest + "\n").getBytes("UTF-8"))
-    Files.move(tmp, Paths.get(dir, "manifest.json"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    try {
+      Files.write(tmp, (manifest + "\n").getBytes("UTF-8"))
+      Files.move(tmp, Paths.get(dir, "manifest.json"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } catch {
+      // r17 (ADVICE): don't leave orphaned .manifest-*.tmp files behind
+      // when the write or move fails — delete the temp and rethrow
+      case e: Throwable => Files.deleteIfExists(tmp); throw e
+    }
   }
 
   /** Archive-level metadata (kiara base_api.py:2337
