@@ -560,15 +560,18 @@ object Dedup {
       (nEdges / 100000L).toInt + 1))
     val edges = rawEdges.repartition(parts, col("dst"))
       .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    edges.count() // materialize, then release the pre-repartition copy
-    rawEdges.unpersist()
     // localCheckpoint (eager) truncates lineage every round, so each
     // iteration re-executes the SAME plan shape — one codegen compile for
-    // the whole loop instead of one per round, and no lineage blowup
+    // the whole loop instead of one per round, and no lineage blowup.
+    // r17: the labels-init checkpoint job below is ALSO what
+    // materializes the edges persist (it reads edges), so the former
+    // eager edges.count() job is gone; rawEdges stays cached until
+    // edges exists, then releases.
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
       .repartition(parts, col("doc_id"))
       .localCheckpoint()
+    rawEdges.unpersist() // edges materialized by the checkpoint above
     // one min-label propagation step (r16: aggregate at the graph-sized
     // `parts` width — the repartition satisfies the groupBy's
     // distribution, so same exchange count, parts tasks instead of the

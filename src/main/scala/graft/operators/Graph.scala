@@ -58,8 +58,12 @@ object Graph {
     val contrib = edges.join(outDeg, "src")
       .repartition(parts, col("src"))
       .persistTracked(StorageLevel.MEMORY_AND_DISK)
-    contrib.count()
-    edges.unpersist()
+    // r17: no eager count — the whole fixed-iteration loop below is ONE
+    // job at consumption time, and within that job the persisted
+    // contrib materializes once and is block-cache-reused by every
+    // round. edges stays tracked-persisted (released with the query's
+    // other intermediates) so the contrib build reads the cache, not a
+    // recompute. Same plan, same partitioning, one job fewer.
     val baseTerm = (1.0 - damping) / n
     var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint()
     for (_ <- 1 to iters) {
@@ -94,19 +98,29 @@ object Graph {
     * localCheckpoint idiom. Labels never collect to the driver. */
   def labelPropagation(edgesIn: DataFrame, iters: Int = 5): DataFrame = {
     val spark = edgesIn.sparkSession
-    val und = edgesIn.select(col("src"), col("dst"))
-      .unionAll(edgesIn.select(col("dst").as("src"), col("src").as("dst")))
+    // r17 (VERDICT item 7, the int-label half — no float at risk here):
+    // distinct BEFORE mirroring — canonicalize each edge to (min, max),
+    // dedup once at half the rows, then mirror map-side (exchange reuse
+    // makes the two canon references share one shuffle). Identical edge
+    // SET; labels are ints with a deterministic max_by tie-break, so
+    // row order cannot move the result.
+    val canon = edgesIn.select(
+        least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
       .distinct()
+    val und = canon.unionAll(canon.filter(col("src") =!= col("dst"))
+      .select(col("dst").as("src"), col("src").as("dst")))
     val parts0 = und.persistTracked(StorageLevel.MEMORY_AND_DISK)
     val nEdges = parts0.count()
     val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
       (nEdges / 100000L).toInt + 1))
     val edges = parts0.repartition(parts, col("src"))
       .persistTracked(StorageLevel.MEMORY_AND_DISK)
-    edges.count()
-    parts0.unpersist()
+    // r17: the eager labels-init checkpoint below materializes the
+    // edges persist itself — no separate count job needed
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
+    parts0.unpersist() // edges materialized by the checkpoint above
     for (_ <- 1 to iters) {
       // r16: pin the per-round aggregation width to the GRAPH-sized
       // `parts` (the repartition SATISFIES each groupBy's clustered
